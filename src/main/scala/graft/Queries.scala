@@ -1,0 +1,579 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.compact.Compaction
+import graft.envelope.{DmsCdc, MongoCdc, PgCdc}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** The declared query surface: every operator from SURVEY.md §2 plus the
+  * LLM-pipeline extension operators, each as a (Spark plan, DuckDB oracle
+  * SQL) pair over the driver-generated test tables.
+  *
+  * Conventions (driver compare contract):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - floating-point aggregates are rounded (sums to 2dp, ratios to 4dp)
+  *    so accumulation-order differences can't flip the hash;
+  *  - rankings order by the ROUNDED value plus an id tiebreaker so both
+  *    engines cut top-k identically.
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     fn: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
+
+  // ---------------------------------------------------------------------
+  // TPC-H-style relational core: scans, filters, aggregates, joins,
+  // sorts, limits — exercises pushdown/pruning/broadcast machinery.
+  // ---------------------------------------------------------------------
+
+  val q1Pricing = Q("q1_pricing",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_base_price,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      round(avg(l_quantity),4) AS avg_qty,
+      round(avg(l_extendedprice),4) AS avg_price,
+      round(avg(l_discount),4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  val q3TopRevenue = Q("q3_top_revenue",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1999-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+        AND l_shipdate > TIMESTAMP '1999-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  val q5RegionRevenue = Q("q5_region_revenue",
+    (s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+    Some("""SELECT n_name,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' GROUP BY n_name"""))
+
+  val qTopParts = Q("q_top_parts",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .orderBy(col("revenue").desc, col("l_partkey").asc)
+        .limit(5)
+        .select(col("p_partkey"), col("p_name"), col("revenue"), col("n_items"))
+    },
+    Some("""SELECT p_partkey, p_name, revenue, n_items FROM (
+      SELECT l_partkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem GROUP BY l_partkey) agg
+      JOIN part ON l_partkey = p_partkey
+      ORDER BY revenue DESC, l_partkey LIMIT 5"""))
+
+  val qAggStats = Q("q_agg_stats",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        round(avg(col("value")), 4).as("avg_v"),
+        round(sum(col("value")), 2).as("sum_v")),
+    Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      round(min(value),4) AS min_v, round(max(value),4) AS max_v,
+      round(avg(value),4) AS avg_v, round(sum(value),2) AS sum_v
+      FROM events GROUP BY event_type"""))
+
+  val qSemiAnti = Q("q_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""))
+
+  val qSemiJoin = Q("q_semi_join",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("2001-06-01"))
+      sup.join(l, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier s
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate > TIMESTAMP '2001-06-01')"""))
+
+  val qWindowRunning = Q("q_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("run_total", round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("run_total"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      row_number() OVER w AS rk,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+
+  // ---------------------------------------------------------------------
+  // CDC semantic core over `events` (the stream stand-in table):
+  // latest-per-key compaction (W1-W3), distinct fanout (W4), merge (K2-K4),
+  // JSON path extraction (P3), envelope parse round-trips (P1-P14).
+  // ---------------------------------------------------------------------
+
+  val qCdcLatest = Q("q_cdc_latest",
+    (s, dir) => Compaction.latestPerKey(t(s, dir, "events"),
+        Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts")),
+    Some("""SELECT user_id, event_id, event_type, value, ts FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x WHERE rn = 1"""))
+
+  val qCdcMerge = Q("q_cdc_merge",
+    (s, dir) => Compaction.latestPerKey(t(s, dir, "events"),
+        Seq("user_id"), Seq("ts", "event_id"))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+    Some("""SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x WHERE rn = 1 AND event_type <> 'error'"""))
+
+  val qCdcTargets = Q("q_cdc_targets",
+    (s, dir) => Compaction.targets(
+      t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day")),
+    Some("SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events"))
+
+  val qJsonExtract = Q("q_json_extract",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("props").isNotNull)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")),
+    Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+      FROM events WHERE props IS NOT NULL"""))
+
+  val qSchemaInference = Q("q_schema_inference",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      // DMS-style runtime payload inference: infer the JSON payload schema
+      // from the data itself (reference src/glue_dms_redshift_cdc.py:161),
+      // then explode payloads to typed columns and aggregate.
+      val inferred = s.read.json(ev.select(col("props")).as[String])
+      val parsed = ev.withColumn("d", from_json(col("props"), inferred.schema))
+        .select(col("d.*"))
+      parsed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k, count(*) AS n
+      FROM events GROUP BY 1"""))
+
+  val qDateFuncs = Q("q_date_funcs",
+    (s, dir) => t(s, dir, "events").select(
+      col("event_id"),
+      to_date(col("ts")).as("day"),
+      hour(col("ts")).as("hr"),
+      unix_timestamp(col("ts")).as("epoch_s"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day_str")),
+    Some("""SELECT event_id, CAST(ts AS DATE) AS day, hour(ts) AS hr,
+      epoch_ms(ts)//1000 AS epoch_s, strftime(ts, '%Y-%m-%d') AS day_str
+      FROM events"""))
+
+  val qEventsHourly = Q("q_events_hourly",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_v")),
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      count(*) AS n, round(sum(value),2) AS sum_v
+      FROM events GROUP BY 1, 2"""))
+
+  /** Debezium-PG envelope round-trip: serialize events into the exact
+    * envelope JSON the reference consumes, run the real parse → extract →
+    * compact pipeline, and compare against direct SQL over the base table.
+    */
+  val qEnvelopePg = Q("q_envelope_pg",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val payload = to_json(struct(
+        col("user_id").as("id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value").as("v")))
+      val env = ev.select(to_json(struct(
+        payload.as("after"),
+        struct(
+          lit("2.5").as("version"), lit("postgresql").as("connector"),
+          lit("pg1").as("name"), unix_millis(col("ts")).as("ts_ms"),
+          lit("false").as("snapshot"), lit("appdb").as("db"),
+          lit("public").as("schema"), col("event_type").as("table"),
+          col("event_id").as("txId")).as("source"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"),
+        unix_millis(col("ts")).as("ts_ms"))).as("value"),
+        col("event_id"))
+      val norm = PgCdc.normalize(env, passthrough = Seq("event_id"))
+      Compaction.latestPerKey(norm, Seq("db_name", "tb_name", "pk"),
+          Seq("ts_ms", "event_id"))
+        .select(col("db_name"), col("tb_name"), col("pk"), col("ts_ms"), col("op"))
+    },
+    Some("""SELECT db_name, tb_name, pk, ts_ms, op FROM (
+      SELECT 'appdb' AS db_name, event_type AS tb_name,
+             CAST(user_id AS VARCHAR) AS pk, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+             row_number() OVER (PARTITION BY event_type, user_id
+               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events) x WHERE rn = 1"""))
+
+  /** Mongo envelope round-trip incl. the merge's delete filter. */
+  val qEnvelopeMongo = Q("q_envelope_mongo",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val env = ev.select(to_json(struct(
+        concat(lit("rid-"), col("event_id")).as("_id"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("insert")).as("operationType"),
+        col("props").as("fullDocument"),
+        unix_millis(col("ts")).as("ts_ms"),
+        struct(lit("appdb").as("db"), col("event_type").as("coll")).as("ns"),
+        to_json(struct(col("user_id").as("_id"))).as("documentKey"))).as("value"),
+        col("event_id"))
+      val norm = MongoCdc.normalize(env, passthrough = Seq("event_id"))
+      Compaction.latestPerKey(norm, Seq("db_name", "tb_name", "pk"),
+          Seq("ts_ms", "event_id"))
+        .filter(col("op") =!= MongoCdc.deleteMarker)
+        .select(col("db_name"), col("tb_name"), col("pk"), col("ts_ms"),
+          col("payload"))
+    },
+    Some("""SELECT db_name, tb_name, pk, ts_ms, payload FROM (
+      SELECT 'appdb' AS db_name, event_type AS tb_name,
+             CAST(user_id AS VARCHAR) AS pk, epoch_ms(ts) AS ts_ms,
+             props AS payload,
+             CASE WHEN event_type='error' THEN 'delete' ELSE 'insert' END AS op,
+             row_number() OVER (PARTITION BY event_type, user_id
+               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events) x WHERE rn = 1 AND op <> 'delete'"""))
+
+  /** DMS envelope round-trip incl. control-record filtering. */
+  val qEnvelopeDms = Q("q_envelope_dms",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val env = ev.select(to_json(struct(
+        col("props").as("data"),
+        struct(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
+          when(col("event_id") % 97 === 0, lit("control")).otherwise(lit("data"))
+            .as("record-type"),
+          when(col("event_type") === "error", lit("delete"))
+            .when(col("event_type") === "signup", lit("insert"))
+            .otherwise(lit("update")).as("operation"),
+          lit("schema-table").as("partition-key-type"),
+          lit("appdb").as("schema-name"),
+          col("event_type").as("table-name")).as("metadata"))).as("value"),
+        col("event_id"), col("user_id"))
+      val norm = DmsCdc(recordIdKey = "k").normalize(env,
+        passthrough = Seq("event_id", "user_id"))
+      Compaction.latestPerKey(
+          norm.withColumn("pk", col("user_id").cast("string")),
+          Seq("db_name", "tb_name", "pk"), Seq("ts_ms", "event_id"))
+        .select(col("db_name"), col("tb_name"), col("pk"), col("ts_ms"), col("op"))
+    },
+    Some("""SELECT db_name, tb_name, pk, ts_ms, op FROM (
+      SELECT 'appdb' AS db_name, event_type AS tb_name,
+             CAST(user_id AS VARCHAR) AS pk, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type='error' THEN 'delete'
+                  WHEN event_type='signup' THEN 'insert'
+                  ELSE 'update' END AS op,
+             row_number() OVER (PARTITION BY event_type, user_id
+               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 97 <> 0) x WHERE rn = 1"""))
+
+  // ---------------------------------------------------------------------
+  // Extension: text analysis over `documents`.
+  // ---------------------------------------------------------------------
+
+  private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val qTextStats = Q("q_text_stats",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.nTokens(col("text")).as("n_tokens"),
+      TextOps.nBpeTokens(col("text")).as("n_bpe"),
+      TextOps.nPunct(col("text")).as("n_punct"),
+      TextOps.nStopwords(col("text")).as("n_stop"),
+      TextOps.stopwordRatioBp(col("text")).as("stop_ratio_bp"),
+      TextOps.qualityScore(col("text")).as("quality")),
+    Some(s"""WITH b AS (SELECT doc_id,
+        len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+            x -> x IN ($stopList))) AS n_stop,
+        length(text) AS n_chars
+      FROM documents)
+      SELECT doc_id, n_tokens, n_bpe, n_punct, n_stop,
+        CASE WHEN n_tokens > 0 THEN (n_stop * 10000) // n_tokens ELSE 0 END AS stop_ratio_bp,
+        (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 10
+              WHEN n_tokens < 20 THEN n_tokens // 2
+              ELSE 10000 // n_tokens END) * 5
+        + least((n_stop * 50) // greatest(n_tokens, 1), 10) * 3
+        + (10 - least((n_punct * 50) // greatest(n_chars, 1), 10)) * 2 AS quality
+      FROM b"""))
+
+  val qTokenCount = Q("q_token_count",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        sum(TextOps.nTokens(col("text"))).as("total_tokens"),
+        sum(TextOps.nBpeTokens(col("text"))).as("total_bpe"),
+        count(lit(1)).as("n_docs")),
+    Some("""SELECT lang,
+      sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+      sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe,
+      count(*) AS n_docs
+      FROM documents GROUP BY lang"""))
+
+  val qLangId = Q("q_lang_id",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.langIdHeuristic(col("text")).as("lang_pred")),
+    Some(s"""SELECT doc_id,
+      CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+           WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+           WHEN regexp_matches(text, '[\\x{0900}-\\x{097f}]') THEN 'hi'
+           WHEN len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+               x -> x IN ($stopList))) * 8 >= len(regexp_extract_all(text, '\\S+'))
+             THEN 'en'
+           ELSE 'und' END AS lang_pred
+      FROM documents"""))
+
+  val qFingerprint = Q("q_fingerprint",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents"""))
+
+  // ---------------------------------------------------------------------
+  // Extension: dedup over `documents`.
+  // ---------------------------------------------------------------------
+
+  val qDedupExact = Q("dedup_exact",
+    (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("keep_id"), col("n_copies")),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""))
+
+  val qDedupJaccard = Q("dedup_ngram_jaccard",
+    (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
+      "doc_id", "text", n = 3, tau = 0.25),
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) AS jacc
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
+
+  private val minhashK = 16
+  private val minhashBands = 4
+  private val minhashParamsSql = Dedup.hashParams(minhashK)
+    .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+
+  val qDedupMinhash = Q("dedup_minhash",
+    (s, dir) => {
+      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = minhashK)
+      Dedup.minhashCandidates(sigs, k = minhashK, bands = minhashBands)
+        .filter(col("est_jacc") >= 0.25)
+    },
+    Some(s"""WITH params(hidx, ha, hb) AS (VALUES $minhashParamsSql),
+      docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, hidx,
+               min((ha * (('0x'||substr(md5(shingle),1,8))::BIGINT) + hb)
+                   % 2305843009213693951) AS mh
+        FROM ex CROSS JOIN params GROUP BY doc_id, hidx),
+      sig AS (SELECT doc_id, array_agg(mh ORDER BY hidx) AS sig FROM hv GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sig, b.band,
+               sig[b.band*4+1 : b.band*4+4] AS band_sig
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) AS est_jacc
+      FROM cand
+      WHERE round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
+
+  val qDedupSimhash = Q("dedup_simhash",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
+      "doc_id", "text", maxDist = 14),
+    None) // hash banding not cleanly SQL-expressible; rows-only check +
+          // cross-validated against jaccard pairs in DedupSpec
+
+  // ---------------------------------------------------------------------
+  // Extension: similarity search over `embeddings`.
+  // ---------------------------------------------------------------------
+
+  val qAnnBrute = Q("ann_bruteforce",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10)
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, vec_id AS nn_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 3) AS sim
+        FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+      ranked AS (
+        SELECT qid AS query_id, nn_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
+
+  val qEmbeddingNearDup = Q("dedup_embedding",
+    (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", tau = 0.9),
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.9"""))
+
+  val qAnnLsh = Q("ann_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10, dim = 64, nBits = 8)
+    },
+    None) // approximate by design; recall vs. ann_bruteforce asserted in SimilaritySpec
+
+  // ---------------------------------------------------------------------
+  // Extension: multimodal column plumbing (decode stubbed — no codecs in
+  // this environment; schema/batching/partitioning are real).
+  // ---------------------------------------------------------------------
+
+  val qMultimodal = Q("multimodal_meta",
+    (s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      media.select(
+        col("media_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.checksum").as("checksum"),
+        Multimodal.fakeDecodeMeta(col("content")).as("dec"))
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.n_frames").as("n_frames"))
+    },
+    Some("""SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+      md5(text) AS checksum,
+      64 + octet_length(encode(text)) % 512 AS width,
+      64 + (octet_length(encode(text)) * 7) % 512 AS height,
+      1 + octet_length(encode(text)) % 16 AS n_frames
+      FROM documents"""))
+
+  /** Every declared query, in gate order. */
+  val all: Seq[Q] = Seq(
+    q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats,
+    qSemiAnti, qSemiJoin, qWindowRunning,
+    qCdcLatest, qCdcMerge, qCdcTargets, qJsonExtract, qSchemaInference,
+    qDateFuncs, qEventsHourly, qEnvelopePg, qEnvelopeMongo, qEnvelopeDms,
+    qTextStats, qTokenCount, qLangId, qFingerprint,
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash,
+    qAnnBrute, qEmbeddingNearDup, qAnnLsh,
+    qMultimodal)
+}

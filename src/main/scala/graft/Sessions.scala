@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession construction for the Verify/Bench mains and tests.
+  *
+  * Settings that matter:
+  *  - shuffle.partitions sized to local cores (not the 200 default);
+  *  - AQE on: runtime partition coalescing + skew-join splitting is the
+  *    posture we want at 100 TB, so we test under it;
+  *  - UTC session timezone for oracle parity;
+  *  - nanosAsLong: the events table ships TIMESTAMP(NANOS) parquet,
+  *    which Spark's reader otherwise rejects (see [[Tables.events]]).
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exactness baseline: a broadcast of
+  * the (small) query set against a scan of the corpus — one pass, no
+  * shuffle of the corpus, embarrassingly parallel, so it scales to any
+  * corpus size at O(corpus × queries × dim).
+  *
+  * The scale path is sign-random-projection LSH: corpus and queries are
+  * bucketed by signature prefix, so each query only scores its bucket.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * precision (floats are cast before multiplying, so both Spark and an
+    * external oracle accumulate the identical IEEE sequence).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbors for each query row.
+    *
+    * @param corpus  (id, embedding)
+    * @param queries (id, embedding) — must be small; it is broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = c.join(broadcast(q), col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("c_emb"), col("q_emb")), 3))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+
+  /** Signature for sign-random-projection LSH: bit i of the signature is
+    * the sign of ⟨v, h_i⟩ where h_i is a deterministic ±1 hyperplane
+    * derived from md5 (dimension d, plane i ⇒ sign = parity of
+    * portable-hash(i:j)). `nBits` planes ⇒ `nBits`-bit bucket id.
+    */
+  def srpSignature(emb: Column, dim: Int, nBits: Int): Column = {
+    val planes: Seq[Seq[Int]] = (0 until nBits).map { i =>
+      (0 until dim).map { j =>
+        // deterministic ±1 from md5 of "i:j" (driver-side, tiny)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$j".getBytes("UTF-8"))
+        if ((hex(0) & 1) == 0) 1 else -1
+      }
+    }
+    val bits = planes.zipWithIndex.map { case (signs, i) =>
+      val proj = aggregate(zip_with(emb, lit(signs.toArray),
+        (x, s) => x.cast("double") * s), lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via LSH buckets: queries only score corpus rows
+    * that share their signature bucket (plus hamming-1 neighbor buckets
+    * for recall). At 100 TB the corpus is written bucketed/partitioned by
+    * `sig`, so a query touches a handful of partitions, not the corpus.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int, nBits: Int): DataFrame = {
+    val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
+      .withColumn("sig", srpSignature(col("c_emb"), dim, nBits))
+    // probe the query's own bucket and all hamming-1 buckets
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("sig0", srpSignature(col("q_emb"), dim, nBits))
+      .withColumn("sig", explode(concat(array(col("sig0")),
+        transform(sequence(lit(0), lit(nBits - 1)),
+          i => col("sig0").bitwiseXOR(call_function("shiftleft", lit(1L), i))))))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("c_emb"), col("q_emb")), 3))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    scored.select(col("query_id"), col("nn_id"), col("sim")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ tau, blocked by a
+    * category column (same-label pairs only) so the pair space is
+    * per-block quadratic instead of globally quadratic. At larger scale
+    * swap the blocking key for an SRP signature (same join shape).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                   blockCol: String, tau: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(embCol).as("emb"), col(blockCol).as("blk"))
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(cosine(col("a.emb"), col("b.emb")), 3))
+      .filter(col("sim") >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All builders return `Column`s composed purely of builtin functions
+  * (regexp, higher-order array ops) — no UDFs — so they inline into
+  * whole-stage codegen'd projections and scale linearly with no shuffle.
+  */
+object TextOps {
+
+  /** Small English stopword list used by the quality / lang-id heuristics. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "it",
+    "with", "as", "at", "by", "be", "this", "that", "from", "or")
+
+  /** Non-whitespace token list (whitespace tokenizer). */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Whitespace token count. */
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word tokenizer: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap, deterministic
+    * stand-in for a byte-pair vocabulary's pre-tokenization pass).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def nBpeTokens(text: Column): Column = size(bpeTokens(text))
+
+  /** Number of punctuation / non-alphanumeric, non-space characters. */
+  def nPunct(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of tokens that are (lowercased) stopwords. */
+  def nStopwords(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isin(Stopwords.map(lit): _*)))
+
+  /** Stopword ratio in basis points (0..10000), integer: exact in every
+    * engine, no float-rounding midpoint hazards. */
+  def stopwordRatioBp(text: Column): Column =
+    when(nTokens(text) > 0,
+      floor((nStopwords(text) * 10000) / nTokens(text)).cast("long")).otherwise(lit(0L))
+
+  /** Mean token length — a proxy for gibberish / boilerplate detection. */
+  def meanTokenLen(text: Column): Column =
+    when(nTokens(text) > 0,
+      round((length(text) - (nTokens(text) - 1)).cast("double") / nTokens(text), 4))
+      .otherwise(lit(0.0))
+
+  /** Composite quality score as integer points 0..100: rewards texts that
+    * are neither too short nor too long, have some stopword mass (fluent
+    * prose) and low punctuation density. Pure integer arithmetic so any
+    * engine reproduces it bit-exactly:
+    *   quality = len_pts*5 + stop_pts*3 + punct_pts*2, each pts in 0..10.
+    */
+  def qualityScore(text: Column): Column = {
+    val nt = nTokens(text)
+    val lenPts = when(nt >= 20 && nt <= 1000, lit(10))
+      .when(nt < 20, floor(nt / lit(2)))
+      .otherwise(floor(lit(10000) / nt))
+    val stopPts = least(floor((nStopwords(text) * 50) / greatest(nt, lit(1))), lit(10))
+    val punctPts = lit(10) - least(floor((nPunct(text) * 50) / greatest(length(text), lit(1))), lit(10))
+    (lenPts * 5 + stopPts * 3 + punctPts * 2).cast("long")
+  }
+
+  /** Heuristic language ID: script detection by Unicode block first
+    * (CJK / Cyrillic / Arabic / Devanagari), then an English-stopword
+    * ratio gate for Latin-script text. Returns a language code string.
+    */
+  def langIdHeuristic(text: Column): Column =
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(text.rlike("[\\u0400-\\u04ff]"), lit("ru"))
+      .when(text.rlike("[\\u0600-\\u06ff]"), lit("ar"))
+      .when(text.rlike("[\\u0900-\\u097f]"), lit("hi"))
+      .when(nStopwords(text) * 8 >= nTokens(text), lit("en"))
+      .otherwise(lit("und"))
+
+  /** Canonical form used for fingerprinting: lowercase, collapse all
+    * whitespace runs to single spaces, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint = md5 of the normalized text. Stable across
+    * engines (md5 is bit-identical everywhere), used for exact-dedup at
+    * scale: group by a 32-byte digest instead of multi-KB text, so the
+    * dedup shuffle carries digests, not documents.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a non-negative
+    * long. Identical in DuckDB via `('0x'||substr(md5(s),1,15))::BIGINT`,
+    * which keeps hash-based operators (MinHash, SimHash) oracle-checkable.
+    * xxhash64 would be faster but is not reproducible outside Spark.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}
