@@ -525,12 +525,12 @@ object Queries {
 
   val qEmbeddingNearDup = Q("dedup_embedding",
     (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),
-      "vec_id", "embedding", "label", tau = 0.9),
+      "vec_id", "embedding", "label", tau = 0.4),
     Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.9"""))
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.4"""))
 
   val qAnnLsh = Q("ann_lsh",
     (s, dir) => {
@@ -538,9 +538,9 @@ object Queries {
       Similarity.lshTopK(
         e.select(col("vec_id").as("id"), col("embedding")),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
-        k = 10, dim = 64, nBits = 8)
+        k = 10, dim = 64, nBits = 6, nTables = 8)
     },
-    None) // approximate by design; recall vs. ann_bruteforce asserted in SimilaritySpec
+    None) // approximate by design; recall vs. ann_bruteforce asserted in ExtOpsSpec
 
   // ---------------------------------------------------------------------
   // Extension: multimodal column plumbing (decode stubbed — no codecs in

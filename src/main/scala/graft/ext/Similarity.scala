@@ -47,15 +47,14 @@ object Similarity {
 
   /** Signature for sign-random-projection LSH: bit i of the signature is
     * the sign of ⟨v, h_i⟩ where h_i is a deterministic ±1 hyperplane
-    * derived from md5 (dimension d, plane i ⇒ sign = parity of
-    * portable-hash(i:j)). `nBits` planes ⇒ `nBits`-bit bucket id.
+    * derived from md5 of (table, plane, dim) — reproducible everywhere,
+    * no RNG state. `nBits` planes ⇒ `nBits`-bit bucket id per table.
     */
-  def srpSignature(emb: Column, dim: Int, nBits: Int): Column = {
+  def srpSignature(emb: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
     val planes: Seq[Seq[Int]] = (0 until nBits).map { i =>
       (0 until dim).map { j =>
-        // deterministic ±1 from md5 of "i:j" (driver-side, tiny)
         val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$i:$j".getBytes("UTF-8"))
+          .digest(s"$table:$i:$j".getBytes("UTF-8"))
         if ((hex(0) & 1) == 0) 1 else -1
       }
     }
@@ -67,27 +66,38 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k via LSH buckets: queries only score corpus rows
-    * that share their signature bucket (plus hamming-1 neighbor buckets
-    * for recall). At 100 TB the corpus is written bucketed/partitioned by
-    * `sig`, so a query touches a handful of partitions, not the corpus.
+  /** Approximate top-k via multi-table LSH buckets: `nTables`
+    * independent hyperplane sets; a candidate is scored if it shares the
+    * query's bucket (or a hamming-1 neighbor bucket) in ANY table. More
+    * tables = higher recall at linear candidate cost — the standard
+    * recall/cost dial. At 100 TB the corpus is written bucketed by
+    * (table, sig), so a query touches a handful of partitions, never the
+    * full corpus.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              dim: Int, nBits: Int): DataFrame = {
+              dim: Int, nBits: Int, nTables: Int = 4): DataFrame = {
     val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
-      .withColumn("sig", srpSignature(col("c_emb"), dim, nBits))
-    // probe the query's own bucket and all hamming-1 buckets
+      .withColumn("tsig", explode(array((0 until nTables).map(tb =>
+        struct(lit(tb).as("t"),
+          srpSignature(col("c_emb"), dim, nBits, tb).as("s"))): _*)))
+    // probe the query's own bucket and all hamming-1 buckets in each table
     val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("sig0", srpSignature(col("q_emb"), dim, nBits))
-      .withColumn("sig", explode(concat(array(col("sig0")),
+      .withColumn("tsig0", explode(array((0 until nTables).map(tb =>
+        struct(lit(tb).as("t"),
+          srpSignature(col("q_emb"), dim, nBits, tb).as("s"))): _*)))
+      .withColumn("tsig", explode(concat(array(col("tsig0")),
         transform(sequence(lit(0), lit(nBits - 1)),
-          i => col("sig0").bitwiseXOR(call_function("shiftleft", lit(1L), i))))))
-    val scored = c.join(broadcast(q), Seq("sig"))
+          i => struct(col("tsig0.t").as("t"),
+            col("tsig0.s").bitwiseXOR(call_function("shiftleft", lit(1L), i)).as("s"))))))
+      .drop("tsig0")
+    val scored = c.join(broadcast(q), Seq("tsig"))
       .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), col("c_emb"), col("q_emb"))
+      .distinct() // a pair may collide in several tables/probes
       .withColumn("sim", round(cosine(col("c_emb"), col("q_emb")), 3))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)
-    scored.select(col("query_id"), col("nn_id"), col("sim")).distinct()
+    scored.select(col("query_id"), col("nn_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))

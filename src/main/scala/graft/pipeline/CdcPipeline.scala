@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+import graft.compact.Compaction
+import graft.config.JobConfig
+import graft.envelope.CdcFormat
+import graft.sink.MergeSink
+
+/** The full CDC replication pipeline: stream of envelope JSON →
+  * normalize → compact to latest-per-key → fan out per target table →
+  * merge into the sink. One engine, any [[CdcFormat]] dialect — the
+  * reference triplicates this per source type.
+  *
+  * Improvements over the reference, kept deliberately (SURVEY.md §4):
+  *   - the compacted batch is persisted once and reused by every
+  *     per-table slice (the reference recomputes the whole plan per
+  *     table — N_tables full passes);
+  *   - fanout targets come from `distinct()` (hash aggregate), not a
+  *     window-sort (reference W4);
+  *   - emptiness probe is `isEmpty` (first-row short circuit), not
+  *     `rdd.count()`;
+  *   - `maxOffsetsPerTrigger` is actually wired (declared dead in the
+  *     reference config contract, readme.md:27);
+  *   - ties on the event timestamp break on a passthrough column (Kafka
+  *     offset) so compaction is deterministic.
+  *
+  * Scale posture: per-table work runs on a driver thread pool like the
+  * reference (tables within a batch parallel, batches serial). The
+  * driver-side `targets` collect is fine for warehouse-bound table
+  * counts (thousands); a fan-out to millions of partitions would switch
+  * to `partitionBy` on write — noted in SURVEY §7.3.
+  */
+final class CdcPipeline(
+    format: CdcFormat,
+    sink: MergeSink,
+    tableParallelism: Int = 10,
+    tiebreaker: Option[String] = None) {
+
+  /** Process one micro-batch of raw envelope records (`value` string
+    * column + optional tiebreaker column, e.g. Kafka `offset`).
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val norm = format.normalize(batch, passthrough = tiebreaker.toSeq)
+    val order = Seq("ts_ms") ++ tiebreaker
+    val compacted = Compaction
+      .latestPerKey(norm, Seq("db_name", "tb_name", "pk"), order)
+      .withColumn("ts_date", to_date(from_unixtime(col("ts_ms") / 1000)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tables = Compaction.targets(compacted, Seq("db_name", "tb_name"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val pool = Executors.newFixedThreadPool(math.max(1, math.min(tableParallelism, tables.length)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val work = Future.traverse(tables.toSeq) { case (db, tb) =>
+          Future {
+            val slice = compacted
+              .filter(col("db_name") === db && col("tb_name") === tb)
+              .drop("db_name", "tb_name")
+            sink.merge(db, tb, slice, keyCol = "pk", opCol = "op",
+              deleteMarker = format.deleteMarker)
+          }
+        }
+        Await.result(work, Duration.Inf)
+      } finally pool.shutdown()
+    } finally compacted.unpersist()
+  }
+
+  /** Attach to a streaming DataFrame of raw records. */
+  def start(stream: DataFrame, checkpointDir: String,
+            windowSize: String = "30 seconds"): StreamingQuery =
+    stream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .trigger(Trigger.ProcessingTime(windowSize))
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}
+
+object CdcPipeline {
+
+  /** Kafka source per the reference's option set
+    * (src/glue_pg_redshift_cdc.py:223-230) with `maxOffsetsPerTrigger`
+    * wired in. Requires the spark-sql-kafka package on the cluster
+    * classpath (external connector, not bundled here).
+    */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+                  cfg: JobConfig): DataFrame = {
+    val msk = cfg.msk_conf
+    var r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", msk.brokers)
+      .option("subscribe", msk.topic)
+      .option("startingOffsets", msk.startingOffsets)
+    msk.maxOffsetsPerTrigger.foreach(n => r = r.option("maxOffsetsPerTrigger", n))
+    msk.groupId.foreach(g => r = r.option("kafka.consumer.commit.groupid", g))
+    msk.pollTimeoutMs.foreach(t => r = r.option("kafkaConsumer.pollTimeoutMs", t))
+    r.load()
+      .selectExpr("CAST(value AS STRING) AS value", "offset")
+  }
+}

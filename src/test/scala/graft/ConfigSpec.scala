@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.JobConfig
+
+class ConfigSpec extends AnyFunSuite {
+  // shaped like the reference's config contract (readme.md:11-45)
+  val json = """{
+    "redshift_conf": {"url": "jdbc:redshift://c:5439/db", "database": "db",
+      "schema": "public", "user": "u", "password": "p",
+      "tmpdir": "s3://tmp", "aws_iam_role": "arn:aws:iam::1:role/r"},
+    "msk_conf": {"brokers": "b-1:9092", "topic": "cdc",
+      "maxOffsetsPerTrigger": 200000, "groupId": "g1",
+      "startingOffsets": "earliest", "pollTimeoutMs": 240000},
+    "spark_batch_conf": {"windowSize": "30 seconds",
+      "checkpointLocation": "s3://ckpt"},
+    "spark_conf": {"executorMemory": "12g", "executorCores": 4,
+      "shufflePartitions": 1, "defaultParallelism": 1},
+    "record_id_key": "order_id",
+    "apply_delete": false
+  }"""
+
+  test("parses the reference-shaped config contract") {
+    val c = JobConfig.fromJson(json)
+    assert(c.msk_conf.maxOffsetsPerTrigger.contains(200000L))
+    assert(c.msk_conf.topic == "cdc")
+    assert(c.spark_batch_conf.windowSize == "30 seconds")
+    assert(c.spark_conf.get.shufflePartitions.contains(1))
+    assert(c.record_id_key == "order_id")
+    assert(!c.apply_delete)
+    assert(c.cdc_timestamp_format == "yyyy-MM-dd'T'HH:mm:ss'Z'") // default
+  }
+}

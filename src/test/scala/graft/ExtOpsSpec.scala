@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextOps}
+
+/** Extension operators validated on the sf0.001 tables plus synthetic
+  * edge cases: MinHash-LSH recall against exact Jaccard, SimHash and SRP
+  * sanity, text heuristics on known inputs.
+  */
+class ExtOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH candidates recall high-jaccard pairs") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 16)
+    val cands = Dedup.minhashCandidates(sigs, k = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    // banding with b=4,r=4 catches ~all pairs at J>=0.5 (P ~ 1-(1-J^4)^4)
+    if (exact.nonEmpty) {
+      val recall = exact.count(cands.contains).toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
+    }
+    assert(cands.nonEmpty)
+  }
+
+  test("identical texts: simhash distance 0, fingerprints equal, exact dedup groups") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "THE  Quick brown FOX"),
+      (3L, "utterly different content here")).toDF("doc_id", "text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2)) // normalization: case+ws
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 2L, 3L -> 1L))
+    val sigs = df.select(Dedup.simhash64(col("text"))).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) > 5)
+  }
+
+  test("brute-force ANN: self-similarity 1, LSH recalls most true neighbors") {
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, 10)
+    val bruteSet = brute.select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bruteSet.size == 30)
+    // this corpus has weak neighbors (top-10 cosine ≈ 0.25-0.4 ⇒ per-bit
+    // agreement ≈ 0.6), so recall needs few bits + many tables
+    val lsh = Similarity.lshTopK(corpus, queries, 10, dim = 64, nBits = 4, nTables = 8)
+    val lshSet = lsh.select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bruteSet.count(lshSet.contains).toDouble / bruteSet.size
+    assert(recall >= 0.5, s"LSH@10 recall $recall") // multiprobe 1-bit flips
+    // cosine sanity: a vector is perfectly similar to itself
+    import spark.implicits._
+    val v = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val sim = v.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("text heuristics on known inputs") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat and it was in the sun",
+      "xyzzy plugh qwerty",
+      "你好 世界").toDF("text")
+    val langs = df.select(TextOps.langIdHeuristic(col("text"))).as[String].collect()
+    assert(langs.toSeq == Seq("en", "und", "zh"))
+    val toks = df.select(TextOps.nTokens(col("text"))).as[Int].collect()
+    assert(toks.toSeq == Seq(12, 3, 2))
+    val bpe = Seq("don't stop2x!").toDF("text")
+      .select(TextOps.nBpeTokens(col("text"))).as[Int].head()
+    // don / ' / t / stop / 2 / x / !
+    assert(bpe == 7)
+    val q = Seq("").toDF("text").select(TextOps.qualityScore(col("text"))).as[Long].head()
+    assert(q >= 0 && q <= 100)
+  }
+}

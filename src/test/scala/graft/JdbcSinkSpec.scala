@@ -1,0 +1,56 @@
+package graft
+
+import java.util.Properties
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.{AnsiDialect, JdbcMergeSink, MergeSql, RedshiftDialect}
+
+/** JDBC merge sink against embedded Derby: the portable stand-in for the
+  * reference's Redshift stage-table + postactions transaction (K1-K5).
+  */
+class JdbcSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  val url = "jdbc:derby:memory:grafttest;create=true"
+  val props = new Properties()
+  props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+  test("stage write + delete-insert merge transaction on Derby") {
+    import spark.implicits._
+    val sink = new JdbcMergeSink(url, props, AnsiDialect)
+    // batch 1
+    sink.merge("shop", "users",
+      Seq(("1", 100L, "u", "ann"), ("2", 101L, "u", "bob"))
+        .toDF("pk", "ts_ms", "op", "payload"),
+      keyCol = "pk", opCol = "op", deleteMarker = "d")
+    val after1 = spark.read.jdbc(url, "shop_users", props)
+      .select("pk", "payload").as[(String, String)].collect().toMap
+    assert(after1 == Map("1" -> "ann", "2" -> "bob"))
+    // batch 2: update 1, delete 2, insert 3 — and replay it (idempotency)
+    val b2 = Seq(("1", 200L, "u", "ann2"), ("2", 201L, "d", "bob"),
+      ("3", 202L, "u", "cat")).toDF("pk", "ts_ms", "op", "payload")
+    sink.merge("shop", "users", b2, "pk", "op", "d")
+    sink.merge("shop", "users", b2, "pk", "op", "d")
+    val after2 = spark.read.jdbc(url, "shop_users", props)
+      .select("pk", "payload").as[(String, String)].collect().toMap
+    assert(after2 == Map("1" -> "ann2", "3" -> "cat"))
+  }
+
+  test("redshift dialect emits the reference's postactions shape") {
+    val create = RedshiftDialect.createTarget("shop_users", "stage_shop_users", Seq("pk"))
+    assert(create.head ==
+      "CREATE TABLE IF NOT EXISTS shop_users sortkey(ts_date) AS SELECT * FROM stage_shop_users WHERE 1=3")
+    val stmts = RedshiftDialect.mergeStatements("t", "s", "pk",
+      Seq("pk", "payload"), "op", "delete")
+    assert(stmts == Seq(
+      "DELETE FROM t USING s WHERE t.pk = s.pk",
+      "INSERT INTO t (pk, payload) SELECT pk, payload FROM s WHERE op <> 'delete'",
+      "DROP TABLE s"))
+    // DMS flavors (K2/K4)
+    assert(MergeSql.mergeUpsert("t", "s", "id").head ==
+      "MERGE INTO t USING s ON (t.id = s.id) REMOVE DUPLICATES")
+    assert(MergeSql.deleteOnly("t", "s", "id") ==
+      Seq("DELETE FROM t USING s WHERE t.id = s.id", "TRUNCATE s"))
+  }
+}
