@@ -359,13 +359,18 @@ object Queries {
 
   val qTextStats = Q("q_text_stats",
     (s, dir) => t(s, dir, "documents").select(
-      col("doc_id"),
-      TextOps.nTokens(col("text")).as("n_tokens"),
-      TextOps.nBpeTokens(col("text")).as("n_bpe"),
-      TextOps.nPunct(col("text")).as("n_punct"),
-      TextOps.nStopwords(col("text")).as("n_stop"),
-      TextOps.stopwordRatioBp(col("text")).as("stop_ratio_bp"),
-      TextOps.qualityScore(col("text")).as("quality")),
+        col("doc_id"),
+        TextOps.nTokens(col("text")).as("n_tokens"),
+        TextOps.nBpeTokens(col("text")).as("n_bpe"),
+        TextOps.nPunct(col("text")).as("n_punct"),
+        TextOps.nStopwords(col("text")).as("n_stop"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe"), col("n_punct"),
+        col("n_stop"),
+        TextOps.stopwordRatioBpFromCounts(col("n_tokens"), col("n_stop"))
+          .as("stop_ratio_bp"),
+        TextOps.qualityFromCounts(col("n_tokens"), col("n_stop"),
+          col("n_punct"), col("n_chars")).as("quality")),
     Some(s"""WITH b AS (SELECT doc_id,
         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
@@ -496,9 +501,9 @@ object Queries {
 
   val qDedupSimhash = Q("dedup_simhash",
     (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
-      "doc_id", "text", maxDist = 14),
+      "doc_id", "text", maxDist = 5),
     None) // hash banding not cleanly SQL-expressible; rows-only check +
-          // cross-validated against jaccard pairs in DedupSpec
+          // cross-validated against near-identical docs in ExtOpsSpec
 
   // ---------------------------------------------------------------------
   // Extension: similarity search over `embeddings`.

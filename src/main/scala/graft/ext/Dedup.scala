@@ -37,15 +37,53 @@ object Dedup {
     (0 until k).map(i => (i, (next() % 536870911L) + 1L, next() % 2147483647L))
   }
 
-  /** Distinct word n-gram shingles of the normalized text. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(TextOps.normalized(text), " ")
+  /** Distinct word n-gram shingles of the normalized text.
+    *
+    * WARNING (perf): a `Column` value is an expression TREE — reusing it
+    * copies the tree into every use site, including inside lambda
+    * functions, where codegen subexpression elimination cannot reach. If
+    * `text` is an expensive expression this recomputes it per element.
+    * Use [[withShingles]] in plans: it binds the split-words array as a
+    * real attribute first, so the lambda does O(1) work per shingle.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfWords(split(TextOps.normalized(text), " "), n)
+
+  private def shinglesOfWords(words: Column, n: Int): Column = {
     val cnt = size(words) - (n - 1)
     when(cnt > 0,
       array_distinct(transform(sequence(lit(0), cnt - 1),
         i => concat_ws(" ", slice(words, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Compiled shingle generator. Semantically identical to
+    * [[wordShingles]] (lowercase, whitespace-normalize, word n-grams,
+    * distinct, order preserved) but a single O(doc) closure.
+    *
+    * Deliberately a UDF, not builtins: Catalyst's
+    * InferFiltersFromGenerate + predicate pushdown clone the generator
+    * expression into a pre-scan Filter and evaluate it per row — and
+    * because a reused `Column` is copied into lambda bodies where
+    * subexpression elimination can't reach, the builtin formulation
+    * re-ran the full regex+split of the text once per shingle INDEX
+    * (O(doc²) per document, ~20 s on sf0.1). The UDF is opaque, so the
+    * worst the optimizer does is evaluate it O(1) extra times per doc.
+    */
+  private val shingleUdf = udf((text: String, n: Int) => {
+    if (text == null) Array.empty[String]
+    else {
+      val words = text.toLowerCase.trim.split("\\s+")
+      if (words.length < n) Array.empty[String]
+      else words.sliding(n).map(_.mkString(" ")).distinct.toArray
+    }
+  })
+
+  /** (id, m = |shingle set|, exploded shingle). */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingleUdf(col(textCol), lit(n)).as("sh"))
+      .select(col("id"), size(col("sh")).as("m"), explode(col("sh")).as("shingle"))
 
   /** Exact dedup groups: one row per distinct normalized content with the
     * surviving (minimum) id and the duplicate count. Grouping key is the
@@ -63,11 +101,18 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .select(col("id"), size(col("sh")).as("m"), explode(col("sh")).as("shingle"))
+    // Join on a 64-bit hash of the shingle, not the string: the (hot)
+    // shuffle carries 8-byte keys. Collisions are ~|shingles|²/2^64 —
+    // vanishing — and only ever merge two shingles, perturbing one
+    // intersection count. The length-ratio prune is exact: J(A,B) ≤
+    // min/max, so |A| ≥ τ|B| (and symmetrically) is necessary for
+    // J ≥ τ; it cuts candidate pairs before the aggregate.
+    val sh = explodedShingles(df, idCol, textCol, n)
+      .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64"))
     val a = sh.as("a")
     val b = sh.as("b")
-    a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    a.join(b, col("a.sh64") === col("b.sh64") && col("a.id") < col("b.id") &&
+        col("a.m") >= col("b.m") * tau && col("b.m") >= col("a.m") * tau)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.m").as("m_a"), col("b.m").as("m_b"))
       .agg(count(lit(1)).as("inter"))
@@ -88,17 +133,18 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val params = spark.createDataset(hashParams(k)).toDF("hidx", "ha", "hb")
-    df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+    // One aggregation pass: k independent `min((a_i*h+b_i) mod p)`
+    // aggregate expressions over the exploded shingles, assembled into
+    // the signature array. No param cross-join (k× row blowup), no
+    // second shuffle — the map-side partial min does almost all work.
+    val minExprs = hashParams(k).map { case (i, a, b) =>
+      min((lit(a) * col("h32") + lit(b)) % MinhashPrime).as(s"mh$i")
+    }
+    explodedShingles(df, idCol, textCol, n)
       .withColumn("h32", portableHash32(col("shingle")))
-      .crossJoin(broadcast(params))
-      .withColumn("hv", (col("ha") * col("h32") + col("hb")) % MinhashPrime)
-      .groupBy(col("id"), col("hidx")).agg(min(col("hv")).as("mh"))
       .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("hidx"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature into `bands` groups
@@ -125,40 +171,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jacc"))
   }
 
-  /** 60-bit SimHash of the token multiset: per bit j, sum +1/-1 over
-    * token hashes' bit j, take the sign. Computed per-document with
-    * array higher-order functions — no per-bit shuffle.
+  /** 60-bit SimHash signatures, one row per doc: per bit j, sum ±1 over
+    * the token hashes' bit j and take the sign. Relational formulation —
+    * explode tokens once, then 60 codegen'd `sum` aggregate expressions
+    * (map-side partials do nearly all the work); the earlier per-row
+    * array-lambda fold interpreted ~60×|tokens| closures per document.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(TextOps.normalized(text)),
-      t => TextOps.portableHash(t))
-    val counts = aggregate(hashes,
-      array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
-        (c, j) => c + call_function("shiftright", h, j) % 2 * 2 - 1))
-    aggregate(zip_with(counts, sequence(lit(0), lit(59)),
-      (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+    df.select(col(idCol).as("id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("toks"))
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), (0 until 60).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
   }
 
   /** SimHash near-dup pairs within hamming distance `maxDist`, using the
     * pigeonhole band trick: split the 60-bit signature into `maxDist+1`
     * bands; any pair within the radius must agree exactly on ≥1 band, so
-    * candidates come from band-bucket joins, never all-pairs.
+    * candidates come from band-bucket joins, never all-pairs. Keep
+    * `maxDist` small: band width 60/(maxDist+1) bits controls bucket
+    * selectivity (4-bit bands ⇒ 16 buckets ⇒ quadratic blowup).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
     val nBands = maxDist + 1
     val bandBits = 60 / nBands
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val mask = (1L << bandBits) - 1
+    val sigs = simhashSignatures(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => call_function("shiftright", col("sig"), b * bandBits) % (1L << bandBits))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))
+          .as("key"))): _*)).as("bk"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+    a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()

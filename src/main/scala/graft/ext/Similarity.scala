@@ -17,16 +17,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double
-    * precision (floats are cast before multiplying, so both Spark and an
-    * external oracle accumulate the identical IEEE sequence).
+    * precision with index-order accumulation — identical IEEE sequence
+    * to any sequential external implementation, so oracles agree
+    * bit-for-bit. Backed by the codegen'd [[graft.functions.CosineSim]]
+    * expression (a fused primitive loop; the `zip_with`+`aggregate`
+    * formulation interprets lambdas per element, ~50× slower).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
+
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.functions.VectorFunctions.register(df.sparkSession)
 
   /** Exact top-k neighbors for each query row.
     *
@@ -34,6 +35,7 @@ object Similarity {
     * @param queries (id, embedding) — must be small; it is broadcast
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    ensureRegistered(corpus)
     val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
     val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
     val scored = c.join(broadcast(q), col("nn_id") =!= col("query_id"))
@@ -76,6 +78,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, nBits: Int, nTables: Int = 4): DataFrame = {
+    ensureRegistered(corpus)
     val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
       .withColumn("tsig", explode(array((0 until nTables).map(tb =>
         struct(lit(tb).as("t"),
@@ -110,6 +113,7 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
                    blockCol: String, tau: Double): DataFrame = {
+    ensureRegistered(df)
     val t = df.select(col(idCol).as("id"), col(embCol).as("emb"), col(blockCol).as("blk"))
     val a = t.as("a")
     val b = t.as("b")

@@ -42,8 +42,12 @@ object TextOps {
   /** Stopword ratio in basis points (0..10000), integer: exact in every
     * engine, no float-rounding midpoint hazards. */
   def stopwordRatioBp(text: Column): Column =
-    when(nTokens(text) > 0,
-      floor((nStopwords(text) * 10000) / nTokens(text)).cast("long")).otherwise(lit(0L))
+    stopwordRatioBpFromCounts(nTokens(text), nStopwords(text))
+
+  /** Same, from precomputed count columns (bind counts as attributes in a
+    * projection first so the token regexes run once per row). */
+  def stopwordRatioBpFromCounts(nTokens: Column, nStop: Column): Column =
+    when(nTokens > 0, floor((nStop * 10000) / nTokens).cast("long")).otherwise(lit(0L))
 
   /** Mean token length — a proxy for gibberish / boilerplate detection. */
   def meanTokenLen(text: Column): Column =
@@ -57,13 +61,17 @@ object TextOps {
     * engine reproduces it bit-exactly:
     *   quality = len_pts*5 + stop_pts*3 + punct_pts*2, each pts in 0..10.
     */
-  def qualityScore(text: Column): Column = {
-    val nt = nTokens(text)
+  def qualityScore(text: Column): Column =
+    qualityFromCounts(nTokens(text), nStopwords(text), nPunct(text), length(text))
+
+  /** Quality points from precomputed count columns. */
+  def qualityFromCounts(nt: Column, nStop: Column, nPunct: Column,
+                        nChars: Column): Column = {
     val lenPts = when(nt >= 20 && nt <= 1000, lit(10))
       .when(nt < 20, floor(nt / lit(2)))
       .otherwise(floor(lit(10000) / nt))
-    val stopPts = least(floor((nStopwords(text) * 50) / greatest(nt, lit(1))), lit(10))
-    val punctPts = lit(10) - least(floor((nPunct(text) * 50) / greatest(length(text), lit(1))), lit(10))
+    val stopPts = least(floor((nStop * 50) / greatest(nt, lit(1))), lit(10))
+    val punctPts = lit(10) - least(floor((nPunct * 50) / greatest(nChars, lit(1))), lit(10))
     (lenPts * 5 + stopPts * 3 + punctPts * 2).cast("long")
   }
 

@@ -43,9 +43,13 @@ class ExtOpsSpec extends AnyFunSuite {
     val groups = Dedup.exactGroups(df, "doc_id", "text")
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
     assert(groups == Map(1L -> 2L, 3L -> 1L))
-    val sigs = df.select(Dedup.simhash64(col("text"))).as[Long].collect()
-    assert(sigs(0) == sigs(1))
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .orderBy("id").select("sig").as[Long].collect()
+    assert(sigs(0) == sigs(1)) // normalization-equal docs: identical simhash
     assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) > 5)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
   }
 
   test("brute-force ANN: self-similarity 1, LSH recalls most true neighbors") {
