@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Normalized CDC event for the typed streaming path (the streaming
+  * analogue of the columns produced by [[graft.envelope.CdcFormat]]).
+  */
+final case class CdcEvent(
+    db_name: String, tb_name: String, pk: String,
+    ts_ms: Long, offset: Long, op: String, payload: String)
+
+/** Streaming-native cross-batch compaction — the extension the reference
+  * never built (its state lives in the warehouse; every batch's stale
+  * events still reach Redshift and are resolved by delete-then-insert,
+  * SURVEY.md §2.8). Here a keyed state store suppresses stale events
+  * INSIDE the stream, so sinks receive exactly the winning version per
+  * key per trigger:
+  *
+  *  - `latestPerKeyStateful`: flatMapGroupsWithState keeps (ts_ms,
+  *    offset) per key; an event is emitted only if it beats the stored
+  *    version — replays and out-of-order stragglers are dropped. State
+  *    is evicted via event-time timeout past the watermark, bounding
+  *    the store (keys × state bytes), which is what makes this viable
+  *    at 100 TB: state holds ~16 bytes per live key, not payloads.
+  *
+  *  - `dedupeWithinWatermark`: exact duplicate suppression (same key +
+  *    same version) via dropDuplicatesWithinWatermark — the lightweight
+  *    path when upstream can redeliver but not reorder.
+  */
+object StreamCompaction {
+
+  /** Version vector per key: newest (ts_ms, offset) seen. */
+  final case class KeyVersion(tsMs: Long, offset: Long)
+
+  def latestPerKeyStateful(events: Dataset[CdcEvent],
+                           watermarkDelay: String = "10 minutes"): Dataset[CdcEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[CdcEvent]
+      .groupByKey(e => (e.db_name, e.tb_name, e.pk))
+      .flatMapGroupsWithState[KeyVersion, CdcEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, batch, state: GroupState[KeyVersion]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            def newer(ats: Long, aoff: Long, bts: Long, boff: Long): Boolean =
+              ats > bts || (ats == bts && aoff > boff)
+            val best = batch.reduceOption { (a, b) =>
+              if (newer(a.ts_ms, a.offset, b.ts_ms, b.offset)) a else b
+            }
+            val winner = best.filter(e => prev.forall(p =>
+              newer(e.ts_ms, e.offset, p.tsMs, p.offset)))
+            winner.foreach { e =>
+              state.update(KeyVersion(e.ts_ms, e.offset))
+              // evict once the watermark passes the key's last activity
+              state.setTimeoutTimestamp(e.ts_ms, watermarkDelay)
+            }
+            winner.iterator
+          }
+      }
+  }
+
+  /** Exact-duplicate suppression keyed on (table, pk, version) within
+    * the watermark window.
+    */
+  def dedupeWithinWatermark(df: DataFrame,
+                            watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("db_name", "tb_name", "pk", "ts_ms", "offset")
+}

@@ -75,6 +75,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("multimodal decode path: media schema, per-partition batching, stub features") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val docs = Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    assert(media.schema("content").dataType.typeName == "binary")
+    assert(media.schema("media_meta").dataType.typeName == "struct")
+    val typed = media.select(col("media_id"), col("content"))
+      .withColumn("kind", lit("text/plain"))
+      .as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeStub(typed).collect()
+    assert(decoded.length == 50)
+    // stub features agree with the expression-based fake decode
+    val viaExpr = media.select(col("media_id"),
+        Multimodal.fakeDecodeMeta(col("content")).as("d"))
+      .select(col("media_id"), col("d.width"), col("d.height"), col("d.n_frames"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    decoded.foreach { d =>
+      assert(viaExpr(d.media_id) == ((d.width, d.height, d.n_frames)))
+      assert(d.sha.length == 32 && d.n_bytes > 0)
+    }
+  }
+
   test("text heuristics on known inputs") {
     import spark.implicits._
     val df = Seq(
