@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these plans
+  * survive a 100× scale-up are asserted, not assumed — filter/column
+  * pushdown into the parquet scan, broadcast for small sides, whole-stage
+  * codegen in the hot paths, and shuffle counts.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_pricing: shipdate filter and column pruning reach the parquet scan") {
+    val p = planOf("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // 7 needed columns, not all 11 (check the FileScan output list)
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    val scanCols = scan.substring(scan.indexOf('['), scan.indexOf(']'))
+    assert(!scanCols.contains("l_orderkey") && scanCols.contains("l_returnflag"),
+      s"column pruning failed: $scanCols")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q5_region_revenue: small dimensions broadcast, no shuffle of dims") {
+    val p = planOf("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins (supplier/nation/region):\n$p")
+  }
+
+  test("q_cdc_latest: exactly one exchange (the window partition shuffle)") {
+    val p = planOf("q_cdc_latest")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "window operator missing")
+  }
+
+  test("ann_bruteforce: corpus is scanned once, queries broadcast, cosine codegen'd") {
+    val p = planOf("ann_bruteforce")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+    assert(p.contains("cosine_sim") || p.contains("cosinesim"),
+      "native cosine expression not in plan")
+  }
+
+  test("dedup_exact: shuffle carries digests, not documents") {
+    val p = planOf("dedup_exact")
+    // the exchange must be keyed on the md5 fingerprint, after partial agg
+    assert(p.contains("Exchange hashpartitioning(fp"), s"not digest-keyed:\n$p")
+    val exchangeLine = p.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+    assert(!exchangeLine.contains("text"), "raw text crosses the shuffle")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      "no map-side partial aggregation")
+  }
+
+  test("merge applyBatch: updates side is broadcast, target never shuffled") {
+    import spark.implicits._
+    val target = Seq(("a", 1L)).toDF("pk", "v")
+    val updates = Seq(("a", 2L, "u")).toDF("pk", "v", "op")
+    val merged = graft.sink.Merge.applyBatch(target, updates, Seq("pk"), "op", "d")
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"anti-join not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"target got shuffled:\n$p")
+  }
+}
