@@ -217,6 +217,19 @@ object Queries {
     Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
       FROM events WHERE props IS NOT NULL"""))
 
+  /** The reference lands whole documents as Redshift SUPER (semi-
+    * structured); Spark 4's VariantType is the modern equivalent
+    * (SURVEY.md §1.1). Parse once to variant, extract typed paths.
+    */
+  val qVariant = Q("q_variant",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("props").isNotNull)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        try_variant_get(col("v"), "$.k", "int").as("k")),
+    Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+      FROM events WHERE props IS NOT NULL"""))
+
   val qSchemaInference = Q("q_schema_inference",
     (s, dir) => {
       import s.implicits._
@@ -499,6 +512,41 @@ object Queries {
       WHERE round(len(list_filter(generate_series(1, $minhashK),
                    i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
 
+  /** Pairs → connected components → cluster assignment: the step that
+    * turns near-dup pairs into "keep one per cluster" decisions. The
+    * oracle replicates min-label reachability with a recursive CTE.
+    */
+  val qDedupClusters = Q("dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, tau = 0.25)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+          WITH docs AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+            FROM documents),
+          sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(len(w)-2, 0)),
+              i -> array_to_string(w[i:i+2], ' '))) AS sset
+            FROM docs),
+          ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.m, b.m
+          HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""))
+
   val qDedupSimhash = Q("dedup_simhash",
     (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
       "doc_id", "text", maxDist = 5),
@@ -575,10 +623,11 @@ object Queries {
   val all: Seq[Q] = Seq(
     q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats,
     qSemiAnti, qSemiJoin, qWindowRunning,
-    qCdcLatest, qCdcMerge, qCdcTargets, qJsonExtract, qSchemaInference,
-    qDateFuncs, qEventsHourly, qEnvelopePg, qEnvelopeMongo, qEnvelopeDms,
+    qCdcLatest, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
+    qSchemaInference, qDateFuncs, qEventsHourly,
+    qEnvelopePg, qEnvelopeMongo, qEnvelopeDms,
     qTextStats, qTokenCount, qLangId, qFingerprint,
-    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash,
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
     qAnnBrute, qEmbeddingNearDup, qAnnLsh,
     qMultimodal)
 }

@@ -171,6 +171,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jacc"))
   }
 
+  /** Connected components over a pair list — the final step of any
+    * near-dup pipeline: pairs → clusters → keep one doc per cluster.
+    * Iterative min-label propagation (each vertex takes the minimum label
+    * among itself and its neighbors until fixpoint): per iteration one
+    * join + aggregate, O(diameter) iterations, `localCheckpoint` every
+    * round to keep lineage flat. Near-dup graphs have tiny diameters, so
+    * this converges in a handful of rounds at any corpus size.
+    *
+    * @return (id, cluster) where cluster = min id reachable from id
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      done = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+        .filter(col("cluster") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 60-bit SimHash signatures, one row per doc: per bit j, sum ±1 over
     * the token hashes' bit j and take the sign. Relational formulation —
     * explode tokens once, then 60 codegen'd `sum` aggregate expressions
