@@ -429,6 +429,62 @@ object Queries {
            ELSE 'und' END AS lang_pred
       FROM documents"""))
 
+  /** Within-document repetition (duplicate 5-gram ratio) — the classic
+    * boilerplate/spam signal in pretraining-data quality filtering.
+    * Integer basis points for engine-exact parity.
+    */
+  val qRepetition = Q("q_repetition",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        greatest(size(split(TextOps.normalized(col("text")), " ")) - 4, lit(0))
+          .as("total_5grams"),
+        size(Dedup.wordShinglesUdf(col("text"), 5)).as("uniq_5grams"))
+      .select(col("doc_id"), col("total_5grams"), col("uniq_5grams"),
+        when(col("total_5grams") > 0,
+          floor(((col("total_5grams") - col("uniq_5grams")) * 10000) / col("total_5grams")))
+          .otherwise(lit(0)).cast("long").as("rep_bp")),
+    Some("""WITH b AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      c AS (
+        SELECT doc_id, greatest(len(w)-4, 0) AS total_5grams,
+               len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(w)-4, 0)),
+                 i -> array_to_string(w[i:i+4], ' ')))) AS uniq_5grams
+        FROM b)
+      SELECT doc_id, total_5grams, uniq_5grams,
+        CASE WHEN total_5grams > 0
+          THEN ((total_5grams - uniq_5grams) * 10000) // total_5grams
+          ELSE 0 END AS rep_bp
+      FROM c"""))
+
+  /** Session windows (30-minute inactivity gap) per user — Structured
+    * Streaming's session_window in its batch form; the oracle replicates
+    * with gaps-and-islands.
+    */
+  val qSessionize = Q("q_sessionize",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_v")),
+    Some("""WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS brk
+        FROM events),
+      s AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM x)
+      SELECT min(ts) AS session_start, user_id,
+             count(*) AS n_events, round(sum(value),2) AS sum_v
+      FROM s GROUP BY user_id, sid"""))
+
   val qFingerprint = Q("q_fingerprint",
     (s, dir) => t(s, dir, "documents").select(
       col("doc_id"),
@@ -585,6 +641,43 @@ object Queries {
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.4"""))
 
+  val qAnnIvf = Q("ann_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10, nCentroids = 8, nProbe = 3)
+    },
+    Some("""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM embeddings
+        ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      qprobe AS (
+        SELECT q.qid, q.qe, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qe::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                          c.cid ASC) AS rn
+        FROM q CROSS JOIN cents c),
+      probes AS (SELECT qid, qe, cell FROM qprobe WHERE rn <= 3),
+      scored AS (
+        SELECT p.qid AS query_id, ce.vec_id AS nn_id,
+               round(list_cosine_similarity(ce.embedding::DOUBLE[], p.qe::DOUBLE[]), 3) AS sim
+        FROM probes p JOIN cell ce ON ce.cell = p.cell
+        WHERE ce.vec_id <> p.qid),
+      ranked AS (
+        SELECT query_id, nn_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
+
   val qAnnLsh = Q("ann_lsh",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -626,8 +719,8 @@ object Queries {
     qCdcLatest, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
     qSchemaInference, qDateFuncs, qEventsHourly,
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms,
-    qTextStats, qTokenCount, qLangId, qFingerprint,
+    qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
-    qAnnBrute, qEmbeddingNearDup, qAnnLsh,
+    qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnLsh,
     qMultimodal)
 }

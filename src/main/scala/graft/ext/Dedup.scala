@@ -79,6 +79,9 @@ object Dedup {
     }
   })
 
+  /** Public column access to the compiled shingle generator. */
+  def wordShinglesUdf(text: Column, n: Int): Column = shingleUdf(text, lit(n))
+
   /** (id, m = |shingle set|, exploded shingle). */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =

@@ -106,6 +106,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the other scale path.
+    * Coarse quantization: `nCentroids` centroid vectors (deterministic:
+    * the lowest-id corpus vectors, so external oracles can replicate);
+    * every corpus vector is assigned to its nearest centroid (argmax
+    * cosine, centroid id breaks ties); a query probes only the `nProbe`
+    * centroid cells nearest to it. At 100 TB the corpus is written
+    * partitioned by cell, so a query reads nProbe/nCentroids of the data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int, nProbe: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val cents = corpus.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("embedding").as("cent"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def centLit(v: Seq[Float]) = lit(v.toArray)
+    // nearest centroid = max (cosine, -cid) over the centroid structs
+    def cellOf(emb: Column): Column = {
+      val scored = cents.map { case (cid, v) =>
+        struct(cosine(emb, centLit(v)).as("sim"), lit(-cid).as("ncid"))
+      }
+      -greatest(scored: _*).getField("ncid")
+    }
+    // a query's nProbe nearest cells, as exploded rows
+    def probeCells(emb: Column): Column = {
+      val arr = array(cents.map { case (cid, v) =>
+        struct(cosine(emb, centLit(v)).as("sim"), lit(-cid).as("ncid"))
+      }: _*)
+      transform(slice(reverse(array_sort(arr)), 1, nProbe), s => -s.getField("ncid"))
+    }
+    val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
+      .withColumn("cell", cellOf(col("c_emb")))
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(probeCells(col("q_emb"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("c_emb"), col("q_emb")), 3))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    scored.select(col("query_id"), col("nn_id"), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ tau, blocked by a
     * category column (same-label pairs only) so the pair space is
     * per-block quadratic instead of globally quadratic. At larger scale
