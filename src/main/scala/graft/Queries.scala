@@ -493,6 +493,79 @@ object Queries {
       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents"""))
 
+  /** End-to-end corpus curation — the composite flow a training-data
+    * pipeline actually runs: language filter → quality floor →
+    * repetition ceiling → exact dedup (keep lowest id per fingerprint) →
+    * per-source corpus stats. Everything integer/string so the oracle is
+    * exact.
+    */
+  val qCorpusCuration = Q("q_corpus_curation",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        TextOps.nTokens(col("text")).as("n_tokens"),
+        TextOps.nStopwords(col("text")).as("n_stop"),
+        TextOps.nPunct(col("text")).as("n_punct"),
+        length(col("text")).as("n_chars"),
+        TextOps.langIdHeuristic(col("text")).as("lang_pred"),
+        greatest(size(split(TextOps.normalized(col("text")), " ")) - 4, lit(0))
+          .as("total5"),
+        size(Dedup.wordShinglesUdf(col("text"), 5)).as("uniq5"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val scored = base.select(col("*"),
+        TextOps.qualityFromCounts(col("n_tokens"), col("n_stop"),
+          col("n_punct"), col("n_chars")).as("quality"),
+        when(col("total5") > 0,
+          floor(((col("total5") - col("uniq5")) * 10000) / col("total5")))
+          .otherwise(lit(0)).cast("long").as("rep_bp"))
+      val kept = scored
+        .filter(col("lang_pred") === "en" && col("quality") >= 60 &&
+          col("rep_bp") <= 6000)
+      val w = Window.partitionBy(col("fp"))
+      kept.withColumn("keep_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    },
+    Some(s"""WITH b AS (
+        SELECT doc_id, source,
+          len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+          len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+              x -> x IN ($stopList))) AS n_stop,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+          length(text) AS n_chars,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+               WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+               WHEN regexp_matches(text, '[\\x{0900}-\\x{097f}]') THEN 'hi'
+               WHEN len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                   x -> x IN ($stopList))) * 8 >= len(regexp_extract_all(text, '\\S+'))
+                 THEN 'en' ELSE 'und' END AS lang_pred,
+          greatest(len(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' '))-4, 0) AS total5,
+          len(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' '))-4, 0)),
+            i -> array_to_string(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')[i:i+4], ' ')))) AS uniq5,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      scored AS (
+        SELECT *,
+          (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 10
+                WHEN n_tokens < 20 THEN n_tokens // 2
+                ELSE 10000 // n_tokens END) * 5
+          + least((n_stop * 50) // greatest(n_tokens, 1), 10) * 3
+          + (10 - least((n_punct * 50) // greatest(n_chars, 1), 10)) * 2 AS quality,
+          CASE WHEN total5 > 0 THEN ((total5 - uniq5) * 10000) // total5
+               ELSE 0 END AS rep_bp
+        FROM b),
+      kept AS (
+        SELECT * FROM scored
+        WHERE lang_pred = 'en' AND quality >= 60 AND rep_bp <= 6000),
+      dedup AS (
+        SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+                       FROM kept) WHERE doc_id = keep_id)
+      SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      FROM dedup GROUP BY source"""))
+
   // ---------------------------------------------------------------------
   // Extension: dedup over `documents`.
   // ---------------------------------------------------------------------
@@ -720,6 +793,7 @@ object Queries {
     qSchemaInference, qDateFuncs, qEventsHourly,
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
+    qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
     qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnLsh,
     qMultimodal)
