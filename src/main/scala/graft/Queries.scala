@@ -125,6 +125,15 @@ object Queries {
       JOIN part ON l_partkey = p_partkey
       ORDER BY revenue DESC, l_partkey LIMIT 5"""))
 
+  val qRollup = Q("q_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
   val qAggStats = Q("q_agg_stats",
     (s, dir) => t(s, dir, "events")
       .groupBy(col("event_type"))
@@ -787,7 +796,7 @@ object Queries {
 
   /** Every declared query, in gate order. */
   val all: Seq[Q] = Seq(
-    q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats,
+    q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats, qRollup,
     qSemiAnti, qSemiJoin, qWindowRunning,
     qCdcLatest, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
     qSchemaInference, qDateFuncs, qEventsHourly,
