@@ -73,6 +73,11 @@ class ExtOpsSpec extends AnyFunSuite {
       .toDF("a", "b")
     val sim = v.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
     assert(math.abs(sim - 1.0) < 1e-12)
+    // the expression is also a first-class SQL function (GraftExtensions)
+    val sqlSim = spark.sql(
+      "SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").as[Double].head()
+    assert(math.abs(sqlSim - 1.0) < 1e-12)
   }
 
   test("multimodal decode path: media schema, per-partition batching, stub features") {
