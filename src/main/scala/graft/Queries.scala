@@ -480,6 +480,8 @@ object Queries {
         col("n_events"), col("sum_v")),
     Some("""WITH x AS (
         SELECT user_id, ts, value,
+               -- strict > matches Spark's verified boundary semantics: an
+               -- event at exactly prev+gap still MERGES into the session
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                       > INTERVAL 30 MINUTE OR
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
