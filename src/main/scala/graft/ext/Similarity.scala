@@ -52,21 +52,8 @@ object Similarity {
     * derived from md5 of (table, plane, dim) — reproducible everywhere,
     * no RNG state. `nBits` planes ⇒ `nBits`-bit bucket id per table.
     */
-  def srpSignature(emb: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
-    val planes: Seq[Seq[Int]] = (0 until nBits).map { i =>
-      (0 until dim).map { j =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$table:$i:$j".getBytes("UTF-8"))
-        if ((hex(0) & 1) == 0) 1 else -1
-      }
-    }
-    val bits = planes.zipWithIndex.map { case (signs, i) =>
-      val proj = aggregate(zip_with(emb, lit(signs.toArray),
-        (x, s) => x.cast("double") * s), lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def srpSignature(emb: Column, dim: Int, nBits: Int, table: Int = 0): Column =
+    graft.functions.VectorFunctions.srpSig(emb, dim, nBits, table)
 
   /** Approximate top-k via multi-table LSH buckets: `nTables`
     * independent hyperplane sets; a candidate is scored if it shares the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression for cosine similarity over two
@@ -64,19 +64,102 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection signature as a native expression: bit i of the
+  * result is the sign of ⟨v, h_i⟩ for deterministic ±1 hyperplanes
+  * (md5-derived, see [[SrpSignature.signsFor]]). One fused loop instead
+  * of nBits interpreted `aggregate(zip_with(...))` folds per row.
+  */
+case class SrpSignature(child: Expression, signs: Array[Array[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "srp_sig"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var sig = 0L
+    var i = 0
+    while (i < signs.length) {
+      val plane = signs(i)
+      val n = math.min(x.numElements(), plane.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += x.getFloat(j).toDouble * plane(j); j += 1 }
+      if (dot > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "int[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val plane = ctx.freshName("plane"); val sig = ctx.freshName("sig")
+      s"""
+        long $sig = 0L;
+        for (int $i = 0; $i < $signsRef.length; $i++) {
+          int[] $plane = $signsRef[$i];
+          int $n = java.lang.Math.min($a.numElements(), $plane.length);
+          double $dot = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            $dot += ((double) $a.getFloat($j)) * $plane[$j];
+          }
+          if ($dot > 0) $sig |= 1L << $i;
+        }
+        ${ev.value} = $sig;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
+object SrpSignature {
+  /** Deterministic ±1 hyperplanes: sign = parity of md5("table:plane:dim")
+    * — stable across engines and releases, no RNG state to ship.
+    */
+  def signsFor(dim: Int, nBits: Int, table: Int): Array[Array[Int]] =
+    Array.tabulate(nBits, dim) { (i, j) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$table:$i:$j".getBytes("UTF-8"))
+      if ((hex(0) & 1) == 0) 1 else -1
+    }
+}
+
 object VectorFunctions {
   val Name = "cosine_sim"
+  val SrpName = "srp_sig"
 
-  /** Idempotent per-session registration (temp function). Sessions built
-    * through [[GraftExtensions]] get it injected; this covers foreign
+  private def srpBuilder(exprs: Seq[Expression]): Expression = {
+    def intArg(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    SrpSignature(exprs(0),
+      SrpSignature.signsFor(intArg(exprs(1)), intArg(exprs(2)), intArg(exprs(3))))
+  }
+
+  private[functions] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    Name -> (exprs => CosineSim(exprs(0), exprs(1))),
+    SrpName -> srpBuilder)
+
+  /** Idempotent per-session registration (temp functions). Sessions built
+    * through [[GraftExtensions]] get them injected; this covers foreign
     * sessions handed to the library.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
 
   /** Column API for [[CosineSim]] (requires registration, see above). */
   def cosineSim(a: Column, b: Column): Column = call_function(Name, a, b)
+
+  /** Column API for [[SrpSignature]]: dim/nBits/table must be literals. */
+  def srpSig(emb: Column, dim: Int, nBits: Int, table: Int): Column =
+    call_function(SrpName, emb, lit(dim), lit(nBits), lit(table))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`
@@ -84,11 +167,12 @@ object VectorFunctions {
   * engine's native functions available in any session, including SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.Name),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[CosineSim].getName, VectorFunctions.Name),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
-  }
+  def apply(e: SparkSessionExtensions): Unit =
+    VectorFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineSim].getName, name),
+        b))
+    }
 }
