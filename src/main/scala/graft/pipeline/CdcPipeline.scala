@@ -107,4 +107,17 @@ object CdcPipeline {
     r.load()
       .selectExpr("CAST(value AS STRING) AS value", "offset")
   }
+
+  /** File-based envelope stream: a directory of JSON-lines envelope
+    * files consumed incrementally (`maxFilesPerTrigger` as backpressure).
+    * The Kafka-free path for replays, backfills, and test/dev
+    * deployments. Unlike Kafka there is no per-record offset, so build
+    * the pipeline with `tiebreaker = None` — compaction orders by the
+    * event timestamp alone (the envelope's own version).
+    */
+  def fileSource(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
 }

@@ -69,6 +69,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(items == Set("7"))
   }
 
+  test("file-based envelope stream drives the same pipeline (Kafka-free path)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_files").toString
+    val root = Files.createTempDirectory("graft_sink3").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt3").toString
+    Files.writeString(java.nio.file.Paths.get(s"$src/batch1.json"),
+      Seq(
+        pgEvent("users", 1, 100L, "c", "ann"),
+        pgEvent("users", 2, 101L, "c", "bob"),
+        pgEvent("users", 2, 102L, "d", "bob")).mkString("\n"))
+    val pipeline = new CdcPipeline(PgCdc, new ParquetMergeSink(root),
+      tiebreaker = None) // file streams have no offset; ts orders versions
+    val q = pipeline.start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.read.parquet(s"$root/shop/users")
+      .select("pk").as[String].collect().toSet
+    assert(users == Set("1")) // 2 was created then deleted
+  }
+
   test("replaying a batch through processBatch converges (idempotent merge)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_sink2").toString
