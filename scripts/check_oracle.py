@@ -30,6 +30,12 @@ def compare(name, spark_df, oracle_df):
         return f"ROWS mismatch: spark={len(s)} oracle={len(o)}"
     for c in s.columns:
         a, b = s[c], o[c]
+        # The driver hashes stringified values: int 123 vs float 123.0 is a
+        # MISMATCH there. DuckDB sum(BIGINT) -> HUGEINT -> pandas float64 is
+        # the classic trigger (fix: CAST(sum(..) AS BIGINT) in oracle SQL).
+        if pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+            return (f"DTYPE mismatch col={c}: spark={a.dtype} oracle={b.dtype}"
+                    " (driver hash compares strings; int vs float fails)")
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             a = a.astype("float64"); b = b.astype("float64")
             bad = ~((a == b) | (a.isna() & b.isna()))

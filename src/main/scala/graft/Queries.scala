@@ -418,8 +418,8 @@ object Queries {
         sum(TextOps.nBpeTokens(col("text"))).as("total_bpe"),
         count(lit(1)).as("n_docs")),
     Some("""SELECT lang,
-      sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
-      sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe,
+      CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+      CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe,
       count(*) AS n_docs
       FROM documents GROUP BY lang"""))
 
@@ -574,7 +574,7 @@ object Queries {
       dedup AS (
         SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
                        FROM kept) WHERE doc_id = keep_id)
-      SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM dedup GROUP BY source"""))
 
   // ---------------------------------------------------------------------

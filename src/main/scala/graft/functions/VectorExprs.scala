@@ -150,8 +150,12 @@ object VectorFunctions {
     */
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      val reg = spark.sessionState.functionRegistry
+      // skip if present: createOrReplace on an existing name logs a WARN
+      // per call, which pollutes the bench/verify stdout the driver parses
+      if (!reg.functionExists(
+          new org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
 
   /** Column API for [[CosineSim]] (requires registration, see above). */
