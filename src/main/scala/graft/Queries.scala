@@ -687,11 +687,37 @@ object Queries {
         SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""))
 
+  /** SimHash near-dup pairs. Oracle replicates the WHOLE pipeline —
+    * portable 60-bit token hash, per-bit ±1 sums, 6×10-bit pigeonhole
+    * bands, hamming ≤ 5 — in SQL (md5 and bit ops are engine-portable).
+    */
   val qDedupSimhash = Q("dedup_simhash",
     (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
       "doc_id", "text", maxDist = 5),
-    None) // hash banding not cleanly SQL-expressible; rows-only check +
-          // cross-validated against near-identical docs in ExtOpsSpec
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h
+            FROM toks WHERE tok <> ''),
+      bits AS (
+        SELECT doc_id, j.j,
+               sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0,59)) AS j) j
+        GROUP BY doc_id, j.j),
+      sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 10)) & 1023 AS key
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,5)) AS b) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 5"""))
 
   // ---------------------------------------------------------------------
   // Extension: similarity search over `embeddings`.
@@ -762,6 +788,12 @@ object Queries {
         FROM scored)
       SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
 
+  /** Multi-table SRP LSH top-k. Approximate vs brute force, but fully
+    * deterministic: hyperplane signs are md5-parity of "table:plane:dim",
+    * so the oracle rebuilds the same planes, signatures, hamming-1
+    * probes and rerank in SQL. `list_reduce` folds the dot product in
+    * index order — the same IEEE accumulation sequence as [[graft.functions.SrpSignature]].
+    */
   val qAnnLsh = Q("ann_lsh",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -770,7 +802,45 @@ object Queries {
         e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
         k = 10, dim = 64, nBits = 6, nTables = 8)
     },
-    None) // approximate by design; recall vs. ann_bruteforce asserted in ExtOpsSpec
+    Some("""WITH signs AS (
+        SELECT t.t, i.i, j.j,
+          CASE WHEN ('0x'||substr(md5(t.t||':'||i.i||':'||j.j),1,2))::INT % 2 = 0
+               THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT unnest(generate_series(0,7)) AS t) t
+        CROSS JOIN (SELECT unnest(generate_series(0,5)) AS i) i
+        CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) j),
+      planes AS (
+        SELECT t, i, list(s ORDER BY j) AS sv FROM signs GROUP BY t, i),
+      dots AS (
+        SELECT e.vec_id, p.t, p.i,
+          list_reduce(list_transform(generate_series(1,64),
+            j -> e.embedding[j]::DOUBLE * p.sv[j]), (a,b) -> a+b) AS dot
+        FROM embeddings e CROSS JOIN planes p),
+      sigs AS (
+        SELECT vec_id, t,
+          CAST(coalesce(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) END), 0) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id, t),
+      qprobe AS (
+        SELECT vec_id AS qid, t, sig AS key FROM sigs WHERE vec_id < 5
+        UNION
+        SELECT vec_id, t, xor(sig, (1::BIGINT << b.b))
+        FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,5)) AS b) b
+        WHERE vec_id < 5),
+      cand AS (
+        SELECT DISTINCT p.qid AS query_id, cs.vec_id AS nn_id
+        FROM qprobe p JOIN sigs cs ON cs.t = p.t AND cs.sig = p.key
+        WHERE cs.vec_id <> p.qid),
+      scored AS (
+        SELECT c.query_id, c.nn_id,
+          round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 3) AS sim
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.nn_id
+        JOIN embeddings q ON q.vec_id = c.query_id),
+      ranked AS (
+        SELECT query_id, nn_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
 
   // ---------------------------------------------------------------------
   // Extension: multimodal column plumbing (decode stubbed — no codecs in

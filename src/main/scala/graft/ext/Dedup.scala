@@ -188,20 +188,24 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-    var iter = 0
+    // init ≡ iteration 1 (label = min(self, neighbors)) folded into one agg
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("cluster"))
+      .localCheckpoint()
+    var iter = 1
     var done = false
     while (!done && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
+      // carry the shrank? flag through the checkpoint so convergence is a
+      // scan of materialized partitions, not another join against `labels`
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("shrank"))
         .localCheckpoint()
-      done = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .filter(col("cluster") < col("prev")).isEmpty
-      labels = next
+      done = next.filter(col("shrank")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
     labels
@@ -212,6 +216,9 @@ object Dedup {
     * explode tokens once, then 60 codegen'd `sum` aggregate expressions
     * (map-side partials do nearly all the work); the earlier per-row
     * array-lambda fold interpreted ~60×|tokens| closures per document.
+    * Token hash is [[TextOps.portableHash]] (60-bit md5 prefix) so the
+    * full signature — and therefore the band join — is reproducible in
+    * any engine with md5: this is what makes dedup_simhash oracle-checkable.
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bitSums = (0 until 60).map(j =>
@@ -219,7 +226,7 @@ object Dedup {
     df.select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("toks"))
       .select(col("id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", TextOps.portableHash(col("tok")))
       .groupBy(col("id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), (0 until 60).map(j =>
