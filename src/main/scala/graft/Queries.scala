@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.compact.Compaction
 import graft.envelope.{DmsCdc, MongoCdc, PgCdc}
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 
 /** The declared query surface: every operator from SURVEY.md §2 plus the
   * LLM-pipeline extension operators, each as a (Spark plan, DuckDB oracle
@@ -843,6 +843,173 @@ object Queries {
       SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
 
   // ---------------------------------------------------------------------
+  // Extension: temporal relational operators (as-of join, range join,
+  // SCD2 history reconstruction) — see graft.operators.Temporal.
+  // ---------------------------------------------------------------------
+
+  /** As-of join: each purchase event gets the user's most recent view
+    * event at-or-before it. Spark side is the single-shuffle
+    * union+carry-forward plan; oracle is DuckDB's native ASOF JOIN over
+    * the same tie-compacted right side.
+    */
+  val qAsofJoin = Q("q_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = Compaction.latestPerKey(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        Seq("user_id", "ts"), Seq("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.Temporal.asOf(purchases, views, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          carry = Seq("event_id", "value"), prefix = "view_")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("view_event_id"), col("view_value"))
+    },
+    Some("""WITH views AS (
+        SELECT user_id, ts, event_id, value FROM (
+          SELECT user_id, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, ts
+                   ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'view') WHERE rn = 1),
+      p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+             v.event_id AS view_event_id, v.value AS view_value
+      FROM p ASOF JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts"""))
+
+  /** Range (interval) join: events within one hour after each signup. */
+  val qRangeJoin = Q("q_range_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val sgn = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+      val e = ev.select(col("event_id").as("e_id"),
+        col("user_id").as("e_user"), col("ts").as("e_ts"))
+      sgn.join(e, col("e_user") === col("s_user") &&
+          col("e_ts") > col("s_ts") &&
+          col("e_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("s_id"), col("s_user"))
+        .agg(count(col("e_id")).as("n_follow"))
+        .select(col("s_id").as("event_id"), col("s_user").as("user_id"),
+          col("n_follow"))
+    },
+    Some("""SELECT s.event_id, s.user_id, count(e.event_id) AS n_follow
+      FROM (SELECT * FROM events WHERE event_type='signup') s
+      LEFT JOIN events e ON e.user_id = s.user_id AND e.ts > s.ts
+        AND e.ts <= s.ts + INTERVAL 1 HOUR
+      GROUP BY s.event_id, s.user_id"""))
+
+  /** SCD2 reconstruction: the event stream becomes validity intervals. */
+  val qScd2 = Q("q_scd2",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Temporal.scd2(ev, Seq("user_id"),
+          timeMs = unix_millis(col("ts")), tiebreak = col("event_id"))
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"),
+          col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+    },
+    Some("""SELECT user_id, event_id, event_type AS state,
+        epoch_ms(ts) AS valid_from_ms,
+        coalesce(lead(epoch_ms(ts)) OVER w, 253402300799999) AS valid_to_ms,
+        CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)"""))
+
+  /** Exact group percentiles: Spark `percentile` ≡ DuckDB `quantile_cont`
+    * (both linear-interpolate on the sorted set). */
+  val qPercentiles = Q("q_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95")),
+    Some("""SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Deterministic hash sample (portable md5, no seed/partitioning
+    * dependence) — the reproducible-subset primitive every training-data
+    * pipeline needs. Aggregated so the oracle certifies the exact sample.
+    */
+  val qSample = Q("q_sample",
+    (s, dir) => Corpus.hashSample(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"), pct = 5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price")),
+    Some("""SELECT l_returnflag, count(*) AS n,
+        round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      WHERE ('0x'||substr(md5(l_orderkey||':'||l_linenumber),1,15))::BIGINT % 100 < 5
+      GROUP BY l_returnflag"""))
+
+  // ---------------------------------------------------------------------
+  // Extension: corpus-level text operators (TF-IDF, vocabulary, PII
+  // scrub) — see graft.ext.Corpus.
+  // ---------------------------------------------------------------------
+
+  val qTfidf = Q("q_tfidf",
+    (s, dir) => Corpus.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("rank"), col("token"), col("score")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(n.n::DOUBLE / dfq.df), 4) AS score
+        FROM tf JOIN dfq USING (token) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token) AS rank
+        FROM scored)
+      SELECT doc_id, rank, token, score FROM ranked WHERE rank <= 5"""))
+
+  val qVocab = Q("q_vocab",
+    (s, dir) => Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 100),
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+      SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
+      FROM counts ORDER BY rank LIMIT 100"""))
+
+  val qPiiScrub = Q("q_pii_scrub",
+    (s, dir) => {
+      val (scrubbed, hits) = Corpus.scrub(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        hits.as("n_hits"), md5(scrubbed).as("fp_scrubbed"))
+    },
+    Some("""SELECT doc_id,
+        len(regexp_extract_all(text, '[0-9]+')) AS n_hits,
+        md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS fp_scrubbed
+      FROM documents"""))
+
+  /** HLL sketch distinct counts (approx_count_distinct): no portable
+    * oracle — DuckDB's approx_distinct uses a different sketch — so this
+    * is a rows-only gate entry; accuracy vs exact is spec-asserted. */
+  val qHll = Q("q_hll",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n")),
+    None)
+
+  // ---------------------------------------------------------------------
   // Extension: multimodal column plumbing (decode stubbed — no codecs in
   // this environment; schema/batching/partitioning are real).
   // ---------------------------------------------------------------------
@@ -877,5 +1044,7 @@ object Queries {
     qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
     qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnLsh,
+    qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample,
+    qTfidf, qVocab, qPiiScrub, qHll,
     qMultimodal)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("tfidfTopK ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .select("id", "token").as[(Long, String)].collect().toMap
+    // 'common' appears in every doc -> idf = ln(1) = 0; any rare term wins
+    assert(out(1L) == "rare1" && out(2L) == "rare2" && out(3L) == "other")
+  }
+
+  test("vocabulary ranks by count desc then token asc") {
+    val docs = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val out = Corpus.vocabulary(docs, "text", topN = 3)
+      .select("rank", "token", "cnt").as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a", 2L), (2, "b", 2L), (3, "c", 1L)))
+  }
+
+  test("scrub replaces every digit run and counts hits") {
+    val (scrubbed, hits) = Corpus.scrub(col("text"))
+    val out = Seq((1L, "a1b22c333 and 4"), (2L, "none")).toDF("doc_id", "text")
+      .select(scrubbed.as("s"), hits.as("n")).as[(String, Int)].collect().toSet
+    assert(out == Set(("a<num>b<num>c<num> and <num>", 4), ("none", 0)))
+  }
+
+  test("hashSample is deterministic and close to the requested rate") {
+    val df = spark.range(10000).select(col("id"))
+    val a = Corpus.hashSample(df, Seq("id"), 10).count()
+    val b = Corpus.hashSample(df, Seq("id"), 10).count()
+    assert(a == b, "same data + key -> same sample")
+    assert(a > 700 && a < 1300, s"~10% of 10k expected, got $a")
+    // nested: a 5% sample is a subset of the 10% sample (hash < 5 < 10)
+    val five = Corpus.hashSample(df, Seq("id"), 5).count()
+    assert(five < a)
+  }
+
+  test("approx_count_distinct at rsd=0.02 stays within 6% of exact") {
+    val df = spark.range(50000)
+      .select((col("id") % 4).as("g"), (col("id") % 7919).as("v"))
+    val got = df.groupBy("g")
+      .agg(approx_count_distinct(col("v"), 0.02).as("a"),
+        countDistinct(col("v")).as("e"))
+      .select("a", "e").as[(Long, Long)].collect()
+    got.foreach { case (a, e) =>
+      assert(math.abs(a - e).toDouble / e < 0.06, s"approx $a vs exact $e")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("asOf picks the latest right row at-or-before each left time") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 50L))
+      .toDF("lid", "k", "t")
+    val right = Seq(("u", 100L, "r@100"), ("u", 200L, "r@200"), ("u", 300L, "r@300"))
+      .toDF("k", "t", "tag")
+    val out = Temporal.asOf(left, right, Seq("k"), "t", "t", Seq("tag"))
+      .select("lid", "r_tag").as[(Long, String)].collect().toMap
+    // lid=3 (t=50) has no preceding right row -> dropped (inner semantics)
+    assert(out == Map(1L -> "r@100", 2L -> "r@200"))
+  }
+
+  test("asOf at equal timestamps sees the right row (at-or-before, not strictly-before)") {
+    val left = Seq((1L, "k1", 10L)).toDF("lid", "k", "t")
+    val right = Seq(("k1", 10L, "same-instant")).toDF("k", "t", "tag")
+    val out = Temporal.asOf(left, right, Seq("k"), "t", "t", Seq("tag"))
+      .select("r_tag").as[String].collect()
+    assert(out.toSeq == Seq("same-instant"))
+  }
+
+  test("asOf matches keys independently and carries multiple columns") {
+    val left = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("lid", "k", "t")
+    val right = Seq(("a", 5L, "ra", 1.5), ("b", 6L, "rb", 2.5))
+      .toDF("k", "t", "tag", "v")
+    val out = Temporal.asOf(left, right, Seq("k"), "t", "t", Seq("tag", "v"))
+      .select("lid", "r_tag", "r_v").as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "ra", 1.5), (2L, "rb", 2.5)))
+  }
+
+  test("asOf plan shuffles once on the key (no range-join pair blowup)") {
+    val left = Seq((1L, "u", 100L)).toDF("lid", "k", "t")
+    val right = Seq(("u", 50L, "r")).toDF("k", "t", "tag")
+    val plan = Temporal.asOf(left, right, Seq("k"), "t", "t", Seq("tag"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single key shuffle, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("scd2 builds contiguous validity intervals with a flagged current row") {
+    val ev = Seq(("u1", 1L, 100L, "s1"), ("u1", 2L, 200L, "s2"),
+      ("u2", 3L, 150L, "t1")).toDF("k", "eid", "tms", "state")
+    val out = Temporal.scd2(ev, Seq("k"), col("tms"), col("eid"))
+      .select("k", "eid", "valid_from_ms", "valid_to_ms", "is_current")
+      .as[(String, Long, Long, Long, Int)].collect().toSet
+    assert(out == Set(
+      ("u1", 1L, 100L, 200L, 0),
+      ("u1", 2L, 200L, 253402300799999L, 1),
+      ("u2", 3L, 150L, 253402300799999L, 1)))
+  }
+
+  test("scd2 orders equal-time events by the tiebreaker") {
+    val ev = Seq(("k", 2L, 100L), ("k", 1L, 100L)).toDF("k", "eid", "tms")
+    val out = Temporal.scd2(ev, Seq("k"), col("tms"), col("eid"))
+      .select("eid", "is_current").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1))
+  }
+}
