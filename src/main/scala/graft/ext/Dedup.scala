@@ -184,10 +184,45 @@ object Dedup {
     *
     * @return (id, cluster) where cluster = min id reachable from id
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          driverLimit: Long = 500000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
+    // Near-dup pair lists are orders of magnitude smaller than the corpus
+    // (they're the output of an aggressive similarity filter). Below the
+    // driver limit, union-find on the driver replaces O(diameter) Spark
+    // jobs with one collect — the label-propagation loop below remains
+    // the scale path for genuinely huge pair sets.
+    val integralIds = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false // string ids take the generic distributed loop
+    }
+    if (integralIds && edges.count() <= driverLimit) {
+      val spark = pairs.sparkSession
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // roots are already the min id of each component: union always
+      // points the larger root at the smaller one
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "cluster")
+    }
     // init ≡ iteration 1 (label = min(self, neighbors)) folded into one agg
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("cluster"))

@@ -120,4 +120,19 @@ class ExtOpsSpec extends AnyFunSuite {
     val q = Seq("").toDF("text").select(TextOps.qualityScore(col("text"))).as[Long].head()
     assert(q >= 0 && q <= 100)
   }
+
+  test("connected components: driver union-find and distributed loop agree") {
+    import spark.implicits._
+    // two chains and a singleton edge: {1,2,3,4}, {10,11}, {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.connectedComponents(pairs, driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == expected)
+    assert(viaLoop == expected)
+  }
 }
