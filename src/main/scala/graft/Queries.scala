@@ -999,6 +999,117 @@ object Queries {
         md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS fp_scrubbed
       FROM documents"""))
 
+  /** Analytic-window breadth: lag/lead/ntile/percent_rank/cume_dist in
+    * one deterministic ordering (ts then event_id). Rank fractions are
+    * small-integer divisions — identical IEEE results in both engines —
+    * rounded at 6dp for safety. */
+  val qWindowFuncs = Q("q_window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_v"),
+        lead(col("value"), 1).over(w).as("next_v"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    },
+    Some("""SELECT user_id, event_id,
+        lag(value) OVER w AS prev_v, lead(value) OVER w AS next_v,
+        ntile(4) OVER w AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
+  /** Set operations: INTERSECT / EXCEPT on yearly customer cohorts. */
+  val qSetOps = Q("q_set_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def cohort(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+      cohort(1995).intersect(cohort(1996))
+        .select(lit("both").as("tag"), col("o_custkey"))
+        .unionByName(cohort(1995).except(cohort(1996))
+          .select(lit("only95").as("tag"), col("o_custkey")))
+    },
+    Some("""WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+      UNION ALL
+      SELECT 'only95' AS tag, o_custkey FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)"""))
+
+  /** Pivot: per-user event-type counts as columns. */
+  val qPivot = Q("q_pivot",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count().na.fill(0L),
+    Some("""SELECT user_id,
+        count(CASE WHEN event_type='click' THEN 1 END) AS click,
+        count(CASE WHEN event_type='error' THEN 1 END) AS error,
+        count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+        count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+        count(CASE WHEN event_type='view' THEN 1 END) AS view
+      FROM events GROUP BY user_id"""))
+
+  /** CUBE aggregation (all grouping-set combinations). */
+  val qCube = Q("q_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity),2) AS qty, count(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
+  /** Fuzzy (edit-distance) matching: near-identical part names within a
+    * brand block — the classic blocked record-linkage shape; the block
+    * key bounds the pair space, levenshtein is unit-cost in both engines. */
+  val qFuzzyPairs = Q("q_fuzzy_pairs",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.as("a")
+      val b = p.as("b")
+      a.join(b, col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+    },
+    Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
+
+  /** Stratified quota sample: exactly 50 rows per returnflag, selected
+    * by portable-hash order — deterministic balanced subsetting. */
+  val qStratified = Q("q_stratified_sample",
+    (s, dir) => Corpus.quotaSample(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), Seq("l_orderkey", "l_linenumber"), quota = 50)
+      .select(col("l_returnflag"), col("sample_rank"),
+        col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_returnflag, sample_rank, l_orderkey, l_linenumber FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY ('0x'||substr(md5(l_orderkey||':'||l_linenumber),1,15))::BIGINT,
+                     l_orderkey, l_linenumber) AS sample_rank
+        FROM lineitem) WHERE sample_rank <= 50"""))
+
+  /** K-means cluster balance (Lloyd, cosine assignment, deterministic
+    * init): float centroid means aren't portably reproducible, so this
+    * is a rows-only gate entry; behavior is spec-asserted. */
+  val qKmeans = Q("q_kmeans",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.kmeans(e.select(col("vec_id").as("id"), col("embedding")),
+          k = 8, maxIter = 3)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    },
+    None)
+
   /** HLL sketch distinct counts (approx_count_distinct): no portable
     * oracle — DuckDB's approx_distinct uses a different sketch — so this
     * is a rows-only gate entry; accuracy vs exact is spec-asserted. */
@@ -1046,5 +1157,6 @@ object Queries {
     qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample,
     qTfidf, qVocab, qPiiScrub, qHll,
+    qWindowFuncs, qSetOps, qPivot, qCube, qFuzzyPairs, qStratified, qKmeans,
     qMultimodal)
 }

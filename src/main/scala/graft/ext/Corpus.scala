@@ -76,4 +76,20 @@ object Corpus {
   def hashSample(df: DataFrame, keyCols: Seq[String], pct: Int): DataFrame =
     df.filter(TextOps.portableHash(concat_ws(":", keyCols.map(col): _*))
       % 100 < pct)
+
+  /** Stratified quota sample: exactly `quota` rows per stratum (fewer if
+    * the stratum is smaller), chosen by portable-hash order — a
+    * deterministic "reservoir" that balances a skewed corpus (the
+    * per-source / per-language cap step of corpus curation). One shuffle
+    * on the strata; `WindowGroupLimit` prunes each partition to the
+    * quota before the final sort.
+    */
+  def quotaSample(df: DataFrame, strataCols: Seq[String],
+                  keyCols: Seq[String], quota: Int): DataFrame = {
+    val h = TextOps.portableHash(concat_ws(":", keyCols.map(col): _*))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy((h +: keyCols.map(col)).map(_.asc): _*)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+  }
 }

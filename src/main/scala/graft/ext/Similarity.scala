@@ -137,6 +137,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
   }
 
+  /** Lloyd k-means over an embedding column with cosine assignment —
+    * the clustering step behind diversity sampling / cluster-balanced
+    * corpus curation. Deterministic init (lowest-id vectors, as in
+    * [[ivfTopK]]); ties in assignment break toward the lowest centroid
+    * index. Each iteration is one scan + one k×dim aggregate: centroids
+    * live on the driver (k·dim floats), the corpus is never shuffled —
+    * per-dimension `avg` aggregates do the update map-side, so this
+    * scales to any corpus size at O(iters · corpus · k · dim).
+    *
+    * @return (id, embedding, cell) — final assignment
+    */
+  def kmeans(corpus: DataFrame, k: Int, maxIter: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val first = corpus.select(col("embedding")).head()
+    val dim = first.getSeq[Float](0).length
+    var cents: Array[Array[Float]] = corpus.orderBy(col("id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    def cellOf(emb: Column): Column = {
+      val scored = cents.zipWithIndex.map { case (v, i) =>
+        struct(cosine(emb, lit(v)).as("sim"), lit(-i).as("nidx"))
+      }
+      -greatest(scored.toIndexedSeq: _*).getField("nidx")
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      val assigned = corpus.withColumn("cell", cellOf(col("embedding")))
+      val avgs = (0 until dim).map(i => avg(col("embedding")(i)).as(s"d$i"))
+      val updated = assigned.groupBy(col("cell"))
+        .agg(avgs.head, avgs.tail: _*).collect()
+        .map(r => r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat))
+        .toMap
+      cents = Array.tabulate(k)(i => updated.getOrElse(i, cents(i)))
+      iter += 1
+    }
+    corpus.withColumn("cell", cellOf(col("embedding")))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ tau, blocked by a
     * category column (same-label pairs only) so the pair space is
     * per-block quadratic instead of globally quadratic. At larger scale

@@ -45,6 +45,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(five < a)
   }
 
+  test("quotaSample returns exactly the quota per stratum, deterministically") {
+    val df = spark.range(1000)
+      .select((col("id") % 3).cast("string").as("g"), col("id"))
+    val s1 = Corpus.quotaSample(df, Seq("g"), Seq("id"), 20)
+    assert(s1.groupBy("g").count().select("count").as[Long].collect().toSeq
+      == Seq(20L, 20L, 20L))
+    val s2 = Corpus.quotaSample(df, Seq("g"), Seq("id"), 20)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(s1.select("g", "id").as[(String, Long)].collect().toSet == s2)
+    // small stratum: quota clips to the stratum size
+    val tiny = spark.range(5).select(lit("x").as("g"), col("id"))
+    assert(Corpus.quotaSample(tiny, Seq("g"), Seq("id"), 20).count() == 5)
+  }
+
+  test("kmeans assigns every vector to one of k cells and improves fit") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val n = e.count()
+    val out = Similarity.kmeans(e, k = 4, maxIter = 3).cache()
+    assert(out.count() == n)
+    val cells = out.select("cell").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf((0 until 4).toSet) && cells.nonEmpty)
+    out.unpersist()
+  }
+
   test("approx_count_distinct at rsd=0.02 stays within 6% of exact") {
     val df = spark.range(50000)
       .select((col("id") % 4).as("g"), (col("id") % 7919).as("v"))
