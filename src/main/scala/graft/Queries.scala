@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.compact.Compaction
 import graft.envelope.{DmsCdc, MongoCdc, PgCdc}
-import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps}
 
 /** The declared query surface: every operator from SURVEY.md §2 plus the
   * LLM-pipeline extension operators, each as a (Spark plan, DuckDB oracle
@@ -1110,6 +1110,42 @@ object Queries {
     },
     None)
 
+  /** Point-in-time snapshot (time travel): the compacted state of the
+    * keyed stream as of a cutoff — latest event per key among those at
+    * or before T. The CDC read-side primitive for "what did the table
+    * look like on the 15th?". */
+  val qTimeTravel = Q("q_time_travel",
+    (s, dir) => {
+      val cutoffMs = 1705276800000L // 2024-01-15T00:00:00Z
+      val ev = t(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .filter(col("ts_ms") <= cutoffMs)
+      Compaction.latestPerKey(ev, Seq("user_id"), Seq("ts_ms", "event_id"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_id, ts_ms, event_type FROM (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE epoch_ms(ts) <= 1705276800000) WHERE rn = 1"""))
+
+  /** Data-quality audit: all expectations in one scan/aggregate. */
+  val qDataQuality = Q("q_data_quality",
+    (s, dir) => DataQuality.audit(t(s, dir, "orders"),
+      Seq(
+        DataQuality.notNull("n_null_cust", col("o_custkey")),
+        DataQuality.inRange("n_bad_price", col("o_totalprice"), 0.01, 1e9),
+        DataQuality.matches("n_bad_status", col("o_orderstatus"), "^[A-Z]$")),
+      uniqueKeyCols = Seq("o_orderkey")),
+    Some("""SELECT count(*) AS n_rows,
+        count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_cust,
+        count(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.01
+                     OR o_totalprice > 1e9 THEN 1 END) AS n_bad_price,
+        count(CASE WHEN o_orderstatus IS NULL
+                     OR NOT regexp_matches(o_orderstatus, '^[A-Z]$') THEN 1 END) AS n_bad_status,
+        count(*) - count(DISTINCT o_orderkey) AS n_dup_key
+      FROM orders"""))
+
   /** HLL sketch distinct counts (approx_count_distinct): no portable
     * oracle — DuckDB's approx_distinct uses a different sketch — so this
     * is a rows-only gate entry; accuracy vs exact is spec-asserted. */
@@ -1158,5 +1194,6 @@ object Queries {
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample,
     qTfidf, qVocab, qPiiScrub, qHll,
     qWindowFuncs, qSetOps, qPivot, qCube, qFuzzyPairs, qStratified, qKmeans,
+    qTimeTravel, qDataQuality,
     qMultimodal)
 }
