@@ -1069,14 +1069,20 @@ object Queries {
   val qFuzzyPairs = Q("q_fuzzy_pairs",
     (s, dir) => {
       val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          length(col("p_name")).as("len"))
       val a = p.as("a")
       val b = p.as("b")
+      // thresholded levenshtein (banded O(n·k) DP, -1 past the bound)
+      // INSIDE the join predicate: non-matches die during the join and
+      // the 16×-larger candidate set is never materialized. The cheap
+      // |len| prune runs first; dist is recomputed only for survivors.
       a.join(b, col("a.p_brand") === col("b.p_brand") &&
           col("a.p_partkey") < col("b.p_partkey") &&
-          levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+          abs(col("a.len") - col("b.len")) <= 3 &&
+          levenshtein(col("a.p_name"), col("b.p_name"), 3) >= 0)
         .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
-          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+          levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"))
     },
     Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         levenshtein(a.p_name, b.p_name) AS dist
