@@ -279,24 +279,29 @@ object Queries {
     * envelope JSON the reference consumes, run the real parse → extract →
     * compact pipeline, and compare against direct SQL over the base table.
     */
+  /** Synthetic Debezium-PG envelope built from the events table — shared
+    * by the envelope round-trip and DLQ queries. */
+  private def pgEnvelope(ev: DataFrame): DataFrame = {
+    val payload = to_json(struct(
+      col("user_id").as("id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      col("value").as("v")))
+    ev.select(to_json(struct(
+      payload.as("after"),
+      struct(
+        lit("2.5").as("version"), lit("postgresql").as("connector"),
+        lit("pg1").as("name"), unix_millis(col("ts")).as("ts_ms"),
+        lit("false").as("snapshot"), lit("appdb").as("db"),
+        lit("public").as("schema"), col("event_type").as("table"),
+        col("event_id").as("txId")).as("source"),
+      when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"),
+      unix_millis(col("ts")).as("ts_ms"))).as("value"),
+      col("event_id"))
+  }
+
   val qEnvelopePg = Q("q_envelope_pg",
     (s, dir) => {
-      val ev = t(s, dir, "events")
-      val payload = to_json(struct(
-        col("user_id").as("id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"),
-        col("value").as("v")))
-      val env = ev.select(to_json(struct(
-        payload.as("after"),
-        struct(
-          lit("2.5").as("version"), lit("postgresql").as("connector"),
-          lit("pg1").as("name"), unix_millis(col("ts")).as("ts_ms"),
-          lit("false").as("snapshot"), lit("appdb").as("db"),
-          lit("public").as("schema"), col("event_type").as("table"),
-          col("event_id").as("txId")).as("source"),
-        when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"),
-        unix_millis(col("ts")).as("ts_ms"))).as("value"),
-        col("event_id"))
+      val env = pgEnvelope(t(s, dir, "events"))
       val norm = PgCdc.normalize(env, passthrough = Seq("event_id"))
       Compaction.latestPerKey(norm, Seq("db_name", "tb_name", "pk"),
           Seq("ts_ms", "event_id"))
@@ -338,6 +343,26 @@ object Queries {
              row_number() OVER (PARTITION BY event_type, user_id
                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
       FROM events) x WHERE rn = 1 AND op <> 'delete'"""))
+
+  /** Dead-letter split: every 50th envelope is truncated mid-JSON; the
+    * pipeline must route exactly those to the DLQ with their raw value,
+    * and process the rest normally. The oracle counts from the
+    * corruption rule itself. */
+  val qEnvelopeDlq = Q("q_envelope_dlq",
+    (s, dir) => {
+      val env = pgEnvelope(t(s, dir, "events"))
+      val corrupted = env.withColumn("value",
+        when(col("event_id") % 50 === 0,
+          expr("substring(value, 1, length(value) - 10)"))
+          .otherwise(col("value")))
+      val (good, bad) = PgCdc.normalizeWithDlq(corrupted, Seq("event_id"))
+      good.select(lit("ok").as("tag"))
+        .unionByName(bad.select(lit("dlq").as("tag")))
+        .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT CASE WHEN event_id % 50 = 0 THEN 'dlq' ELSE 'ok' END AS tag,
+        count(*) AS n
+      FROM events GROUP BY 1"""))
 
   /** DMS envelope round-trip incl. control-record filtering. */
   val qEnvelopeDms = Q("q_envelope_dms",
@@ -1192,7 +1217,7 @@ object Queries {
     qSemiAnti, qSemiJoin, qWindowRunning,
     qCdcLatest, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
     qSchemaInference, qDateFuncs, qEventsHourly,
-    qEnvelopePg, qEnvelopeMongo, qEnvelopeDms,
+    qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,

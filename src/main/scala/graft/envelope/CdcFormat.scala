@@ -51,6 +51,29 @@ trait CdcFormat {
   def normalize(df: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     extract(parse(df), passthrough)
 
+  /** Normalize with a dead-letter split: records whose envelope fails to
+    * parse or lacks routing identity (table / pk / version) come back in
+    * the second frame with their RAW value intact, instead of flowing on
+    * as null-keyed rows that would corrupt compaction ("latest null per
+    * null"). Both frames derive from one parse pass; downstream writes
+    * the DLQ frame wherever replayable storage lives. Dialect-level
+    * drops (e.g. DMS control records) are filtering, not dead letters —
+    * they are absent from both frames.
+    *
+    * @return (normalized good rows, dead letters: value + passthrough)
+    */
+  def normalizeWithDlq(df: DataFrame,
+                       passthrough: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val keepValue = if (df.columns.contains("value")) Seq("value") else Nil
+    val norm = extract(parse(df), passthrough ++ keepValue)
+    val bad = col("tb_name").isNull || col("pk").isNull || col("ts_ms").isNull
+    val good = norm.filter(!bad).drop(keepValue: _*)
+    val dlq = norm.filter(bad)
+      .select((keepValue ++ passthrough).map(col): _*)
+      .withColumn("dlq_reason", lit(s"unroutable_${name}_envelope"))
+    (good, dlq)
+  }
+
   def isDelete(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c === lit(deleteMarker)
 }

@@ -43,14 +43,24 @@ final class CdcPipeline(
     format: CdcFormat,
     sink: MergeSink,
     tableParallelism: Int = 10,
-    tiebreaker: Option[String] = None) {
+    tiebreaker: Option[String] = None,
+    dlq: Option[(DataFrame, Long) => Unit] = None,
+    pipelineId: Option[String] = None) {
+
+  private val pid = pipelineId.getOrElse(s"graft_${format.name}")
 
   /** Process one micro-batch of raw envelope records (`value` string
     * column + optional tiebreaker column, e.g. Kafka `offset`).
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val norm = format.normalize(batch, passthrough = tiebreaker.toSeq)
+    val norm = dlq match {
+      case Some(writeDlq) =>
+        val (good, bad) = format.normalizeWithDlq(batch, passthrough = tiebreaker.toSeq)
+        writeDlq(bad, batchId)
+        good
+      case None => format.normalize(batch, passthrough = tiebreaker.toSeq)
+    }
     val order = Seq("ts_ms") ++ tiebreaker
     val compacted = Compaction
       .latestPerKey(norm, Seq("db_name", "tb_name", "pk"), order)
@@ -68,8 +78,8 @@ final class CdcPipeline(
             val slice = compacted
               .filter(col("db_name") === db && col("tb_name") === tb)
               .drop("db_name", "tb_name")
-            sink.merge(db, tb, slice, keyCol = "pk", opCol = "op",
-              deleteMarker = format.deleteMarker)
+            sink.mergeOnce(pid, batchId, db, tb, slice, keyCol = "pk",
+              opCol = "op", deleteMarker = format.deleteMarker)
           }
         }
         Await.result(work, Duration.Inf)

@@ -21,6 +21,19 @@ trait MergeSink {
     */
   def merge(db: String, tb: String, batch: DataFrame,
             keyCol: String, opCol: String, deleteMarker: String): Unit
+
+  /** Exactly-once variant: apply the batch only if (pipelineId, batchId,
+    * target) has not been applied before. The default forwards to
+    * [[merge]] — at-least-once delivery, which the delete-then-insert
+    * merge already makes idempotent for REPLAYS OF THE SAME DATA; sinks
+    * with a transactional ledger (see [[JdbcMergeSink]]) also protect
+    * against a replayed batch id carrying DIFFERENT data (foreachBatch's
+    * contract after a checkpoint restore).
+    */
+  def mergeOnce(pipelineId: String, batchId: Long,
+                db: String, tb: String, batch: DataFrame,
+                keyCol: String, opCol: String, deleteMarker: String): Unit =
+    merge(db, tb, batch, keyCol, opCol, deleteMarker)
 }
 
 /** Warehouse SQL dialect for the stage-table merge transaction. */
@@ -98,9 +111,57 @@ final class JdbcMergeSink(url: String, props: Properties,
   }
 
   def merge(db: String, tb: String, batch: DataFrame,
-            keyCol: String, opCol: String, deleteMarker: String): Unit = {
+            keyCol: String, opCol: String, deleteMarker: String): Unit =
+    mergeImpl(None, db, tb, batch, keyCol, opCol, deleteMarker)
+
+  /** Ledger-gated exactly-once: the applied-batch record commits IN THE
+    * SAME TRANSACTION as the merge, so "applied" and "marked applied"
+    * cannot diverge; a replayed (pipeline, batch, target) is skipped
+    * even if the recomputed batch differs (non-deterministic upstream).
+    */
+  override def mergeOnce(pipelineId: String, batchId: Long,
+                         db: String, tb: String, batch: DataFrame,
+                         keyCol: String, opCol: String, deleteMarker: String): Unit =
+    mergeImpl(Some((pipelineId, batchId)), db, tb, batch, keyCol, opCol, deleteMarker)
+
+  private val LedgerTable = "graft_applied_batches"
+
+  private def ensureLedger(conn: Connection): Unit =
+    if (!tableExists(conn, LedgerTable)) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $LedgerTable (
+           |  pipeline_id VARCHAR(128) NOT NULL,
+           |  batch_id BIGINT NOT NULL,
+           |  target VARCHAR(256) NOT NULL,
+           |  PRIMARY KEY (pipeline_id, batch_id, target))""".stripMargin)
+      finally st.close()
+    }
+
+  private def alreadyApplied(conn: Connection, pid: String, bid: Long,
+                             target: String): Boolean = {
+    val ps = conn.prepareStatement(
+      s"SELECT 1 FROM $LedgerTable WHERE pipeline_id = ? AND batch_id = ? AND target = ?")
+    try {
+      ps.setString(1, pid); ps.setLong(2, bid); ps.setString(3, target)
+      val rs = ps.executeQuery()
+      try rs.next() finally rs.close()
+    } finally ps.close()
+  }
+
+  private def mergeImpl(once: Option[(String, Long)], db: String, tb: String,
+                        batch: DataFrame, keyCol: String, opCol: String,
+                        deleteMarker: String): Unit = {
     val stage = dialect.stageName(db, tb)
     val target = dialect.targetName(db, tb)
+    // 0. replay probe BEFORE the (expensive) stage write
+    once.foreach { case (pid, bid) =>
+      val skip = withConnection { conn =>
+        conn.setAutoCommit(true); ensureLedger(conn)
+        alreadyApplied(conn, pid, bid, target)
+      }
+      if (skip) return
+    }
     // 1. stage write (executors, parallel inserts)
     batch.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
     // 2. merge transaction (driver connection)
@@ -117,6 +178,14 @@ final class JdbcMergeSink(url: String, props: Properties,
         dialect.mergeStatements(target, stage, keyCol,
           insertCols.filterNot(_ == opCol), opCol, deleteMarker)
           .foreach(st.executeUpdate)
+        once.foreach { case (pid, bid) =>
+          // the PRIMARY KEY makes a concurrent duplicate apply fail the
+          // transaction rather than double-apply
+          val ps = conn.prepareStatement(
+            s"INSERT INTO $LedgerTable (pipeline_id, batch_id, target) VALUES (?, ?, ?)")
+          try { ps.setString(1, pid); ps.setLong(2, bid); ps.setString(3, target); ps.executeUpdate() }
+          finally ps.close()
+        }
         conn.commit()
       } catch {
         case e: Throwable => conn.rollback(); throw e

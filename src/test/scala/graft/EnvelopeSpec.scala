@@ -78,6 +78,22 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(out.getAs[String]("pk") == "bob")
   }
 
+  test("normalizeWithDlq routes malformed/unroutable records with raw value") {
+    import spark.implicits._
+    val good = """{"after":"{\"id\":1}","source":{"db":"d","table":"t","ts_ms":5},"op":"u","ts_ms":5}"""
+    val mangled = good.dropRight(8)
+    val noTable = """{"after":"{\"id\":2}","source":{"db":"d","ts_ms":6},"op":"u","ts_ms":6}"""
+    val df = Seq((good, 1L), (mangled, 2L), (noTable, 3L)).toDF("value", "off")
+    val (ok, dlq) = graft.envelope.PgCdc.normalizeWithDlq(df, passthrough = Seq("off"))
+    assert(ok.select("pk").as[String].collect().toSeq == Seq("1"))
+    assert(ok.columns.toSeq.contains("off") && !ok.columns.contains("value"))
+    val dead = dlq.select("value", "off", "dlq_reason")
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    assert(dead.map(_._2).toSeq == Seq(2L, 3L), "mangled + unroutable go to DLQ")
+    assert(dead.head._1 == mangled, "raw value preserved for replay")
+    assert(dead.forall(_._3 == "unroutable_pg_envelope"))
+  }
+
   test("malformed JSON yields null envelope fields, not a crash") {
     val out = PgCdc.normalize(Seq("{not json").toDF("value")).collect().head
     assert(out.getAs[String]("db_name") == null)

@@ -37,6 +37,31 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(after2 == Map("1" -> "ann2", "3" -> "cat"))
   }
 
+  test("mergeOnce skips a replayed batch id even when its data differs") {
+    import spark.implicits._
+    val sink = new JdbcMergeSink(url, props, AnsiDialect)
+    val b1 = Seq(("1", 100L, "u", "ann")).toDF("pk", "ts_ms", "op", "payload")
+    sink.mergeOnce("pipe", 7L, "ledger", "users", b1, "pk", "op", "d")
+    // checkpoint-restore scenario: same batch id, recomputed DIFFERENT data
+    val b1x = Seq(("1", 100L, "u", "EVIL-REWRITE")).toDF("pk", "ts_ms", "op", "payload")
+    sink.mergeOnce("pipe", 7L, "ledger", "users", b1x, "pk", "op", "d")
+    val rows = spark.read.jdbc(url, "ledger_users", props)
+      .select("pk", "payload").as[(String, String)].collect().toMap
+    assert(rows == Map("1" -> "ann"), "replayed batch id must be a no-op")
+    // a NEW batch id still applies
+    val b2 = Seq(("1", 200L, "u", "ann2")).toDF("pk", "ts_ms", "op", "payload")
+    sink.mergeOnce("pipe", 8L, "ledger", "users", b2, "pk", "op", "d")
+    val rows2 = spark.read.jdbc(url, "ledger_users", props)
+      .select("pk", "payload").as[(String, String)].collect().toMap
+    assert(rows2 == Map("1" -> "ann2"))
+    // a different pipeline id with the same batch id also applies
+    val b3 = Seq(("9", 300L, "u", "zoe")).toDF("pk", "ts_ms", "op", "payload")
+    sink.mergeOnce("otherpipe", 8L, "ledger", "users", b3, "pk", "op", "d")
+    val rows3 = spark.read.jdbc(url, "ledger_users", props)
+      .select("pk", "payload").as[(String, String)].collect().toMap
+    assert(rows3 == Map("1" -> "ann2", "9" -> "zoe"))
+  }
+
   test("redshift dialect emits the reference's postactions shape") {
     val create = RedshiftDialect.createTarget("shop_users", "stage_shop_users", Seq("pk"))
     assert(create.head ==
