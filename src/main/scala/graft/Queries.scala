@@ -1052,11 +1052,15 @@ object Queries {
   val qSetOps = Q("q_set_ops",
     (s, dir) => {
       val o = t(s, dir, "orders")
+      // each cohort feeds both set ops: materialize once (localCheckpoint
+      // on the tiny distinct sets) instead of re-scanning orders 4x
       def cohort(y: Int) = o.filter(year(col("o_orderdate")) === y)
-        .select(col("o_custkey")).distinct()
-      cohort(1995).intersect(cohort(1996))
+        .select(col("o_custkey")).distinct().localCheckpoint()
+      val c95 = cohort(1995)
+      val c96 = cohort(1996)
+      c95.intersect(c96)
         .select(lit("both").as("tag"), col("o_custkey"))
-        .unionByName(cohort(1995).except(cohort(1996))
+        .unionByName(c95.except(c96)
           .select(lit("only95").as("tag"), col("o_custkey")))
     },
     Some("""WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
@@ -1079,11 +1083,18 @@ object Queries {
         count(CASE WHEN event_type='view' THEN 1 END) AS view
       FROM events GROUP BY user_id"""))
 
-  /** CUBE aggregation (all grouping-set combinations). */
+  /** CUBE aggregation (all grouping-set combinations). Two-phase: the
+    * raw relation is aggregated to the finest grouping ONCE, and cube's
+    * Expand (which multiplies its input by the number of grouping sets)
+    * runs over those few rows instead of the full table — sums of sums
+    * and sums of counts are exact, and at 100 TB this is the difference
+    * between scanning the table once and four times. */
   val qCube = Q("q_cube",
     (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n")),
+      .agg(round(sum(col("sq")), 2).as("qty"), sum(col("cnt")).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity),2) AS qty, count(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
@@ -1211,6 +1222,20 @@ object Queries {
       1 + octet_length(encode(text)) % 16 AS n_frames
       FROM documents"""))
 
+  /** Frame sampling over media columns: every 2nd frame of each media
+    * row (frame count from the decode stub), one row per sampled frame
+    * with a content-derived fingerprint. */
+  val qMultimodalFrames = Q("multimodal_frames",
+    (s, dir) => Multimodal.sampleFrames(
+      Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text/plain"),
+      step = 2),
+    Some("""SELECT media_id, n_frames, frame_no,
+        md5(checksum||':'||frame_no) AS frame_fp
+      FROM (SELECT doc_id AS media_id, md5(text) AS checksum,
+              1 + octet_length(encode(text)) % 16 AS n_frames
+            FROM documents),
+      LATERAL (SELECT unnest(generate_series(1, n_frames, 2)) AS frame_no)"""))
+
   /** Every declared query, in gate order. */
   val all: Seq[Q] = Seq(
     q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats, qRollup,
@@ -1226,5 +1251,5 @@ object Queries {
     qTfidf, qVocab, qPiiScrub, qHll,
     qWindowFuncs, qSetOps, qPivot, qCube, qFuzzyPairs, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
-    qMultimodal)
+    qMultimodal, qMultimodalFrames)
 }

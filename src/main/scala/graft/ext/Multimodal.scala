@@ -46,6 +46,25 @@ object Multimodal {
       (lit(1) + pmod(n, lit(16))).as("n_frames"))
   }
 
+  /** Frame sampling: explode a media row into every `step`-th frame row
+    * (1-indexed), with a deterministic per-frame fingerprint — the shape
+    * of video-to-training-examples extraction. The per-frame "feature"
+    * is STUBBED (md5 of content + frame index standing in for a decoded
+    * frame embedding); the relational shape — lateral explode of a
+    * frame sequence bounded by decoded metadata, one output row per
+    * sampled frame — is the real, scalable part: no driver round-trip,
+    * generates rows inside the scan's codegen stage.
+    */
+  def sampleFrames(media: DataFrame, step: Int): DataFrame =
+    media
+      .withColumn("n_frames", fakeDecodeMeta(col("content")).getField("n_frames"))
+      .select(col("media_id"), col("n_frames"),
+        col("media_meta.checksum").as("checksum"),
+        explode(sequence(lit(1), col("n_frames"), lit(step))).as("frame_no"))
+      .select(col("media_id"), col("n_frames"), col("frame_no"),
+        md5(concat(col("checksum"), lit(":"), col("frame_no").cast("string")))
+          .as("frame_fp"))
+
   /** Batched per-partition decode, the `mapInPandas` analogue in Scala:
     * one iterator pass per partition, records processed in order, codec
     * state (the expensive part in a real decoder) initialized once per
