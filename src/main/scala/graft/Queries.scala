@@ -355,9 +355,9 @@ object Queries {
         when(col("event_id") % 50 === 0,
           expr("substring(value, 1, length(value) - 10)"))
           .otherwise(col("value")))
-      val (good, bad) = PgCdc.normalizeWithDlq(corrupted, Seq("event_id"))
-      good.select(lit("ok").as("tag"))
-        .unionByName(bad.select(lit("dlq").as("tag")))
+      // one-pass flagged form: the parse runs once for both halves
+      PgCdc.normalizeFlagged(corrupted, Seq("event_id"))
+        .select(when(col("__bad"), lit("dlq")).otherwise(lit("ok")).as("tag"))
         .groupBy(col("tag")).agg(count(lit(1)).as("n"))
     },
     Some("""SELECT CASE WHEN event_id % 50 = 0 THEN 'dlq' ELSE 'ok' END AS tag,

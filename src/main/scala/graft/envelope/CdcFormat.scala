@@ -63,12 +63,27 @@ trait CdcFormat {
     * @return (normalized good rows, dead letters: value + passthrough)
     */
   def normalizeWithDlq(df: DataFrame,
-                       passthrough: Seq[String] = Nil): (DataFrame, DataFrame) = {
+                       passthrough: Seq[String] = Nil): (DataFrame, DataFrame) =
+    splitFlagged(normalizeFlagged(df, passthrough), passthrough)
+
+  /** One-pass variant of the DLQ split: the normalized frame with a
+    * `__bad` flag (plus the raw value), NOT yet split — callers that
+    * consume both halves (the pipeline) persist THIS frame once, so the
+    * envelope parse — the dominant cost at scale — runs once, not once
+    * per half. */
+  def normalizeFlagged(df: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val keepValue = if (df.columns.contains("value")) Seq("value") else Nil
-    val norm = extract(parse(df), passthrough ++ keepValue)
-    val bad = col("tb_name").isNull || col("pk").isNull || col("ts_ms").isNull
-    val good = norm.filter(!bad).drop(keepValue: _*)
-    val dlq = norm.filter(bad)
+    extract(parse(df), passthrough ++ keepValue)
+      .withColumn("__bad",
+        col("tb_name").isNull || col("pk").isNull || col("ts_ms").isNull)
+  }
+
+  /** Split a [[normalizeFlagged]] frame into (good, dlq). */
+  def splitFlagged(flagged: DataFrame,
+                   passthrough: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val keepValue = if (flagged.columns.contains("value")) Seq("value") else Nil
+    val good = flagged.filter(!col("__bad")).drop("__bad" +: keepValue: _*)
+    val dlq = flagged.filter(col("__bad"))
       .select((keepValue ++ passthrough).map(col): _*)
       .withColumn("dlq_reason", lit(s"unroutable_${name}_envelope"))
     (good, dlq)

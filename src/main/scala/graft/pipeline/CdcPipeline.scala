@@ -54,13 +54,24 @@ final class CdcPipeline(
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
+    var flagged: Option[DataFrame] = None
     val norm = dlq match {
       case Some(writeDlq) =>
-        val (good, bad) = format.normalizeWithDlq(batch, passthrough = tiebreaker.toSeq)
+        // persist the flagged frame: the envelope parse feeds BOTH the
+        // DLQ write and the good-path compaction, and must run once
+        val f = format.normalizeFlagged(batch, passthrough = tiebreaker.toSeq)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        flagged = Some(f)
+        val (good, bad) = format.splitFlagged(f, passthrough = tiebreaker.toSeq)
         writeDlq(bad, batchId)
         good
       case None => format.normalize(batch, passthrough = tiebreaker.toSeq)
     }
+    try processNormalized(norm, batchId)
+    finally flagged.foreach(_.unpersist())
+  }
+
+  private def processNormalized(norm: DataFrame, batchId: Long): Unit = {
     val order = Seq("ts_ms") ++ tiebreaker
     val compacted = Compaction
       .latestPerKey(norm, Seq("db_name", "tb_name", "pk"), order)
