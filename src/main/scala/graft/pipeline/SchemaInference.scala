@@ -69,3 +69,16 @@ final class SchemaInference(sampleRows: Int = 100000) {
     StructType(merged ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
   }
 }
+
+object SchemaInference {
+  /** Config-format timestamp coercion of exploded payload columns — the
+    * reference unconditionally rewrites `gmt_created`/`gmt_modified`
+    * with `cdc_timestamp_format` after explosion
+    * (src/glue_dms_redshift_cdc.py:165-166), which throws when a table
+    * lacks them; here absent columns are skipped (payload schemas vary
+    * per table by construction).
+    */
+  def coerceTimestamps(df: DataFrame, cols: Seq[String], fmt: String): DataFrame =
+    cols.filter(df.columns.contains)
+      .foldLeft(df)((d, c) => d.withColumn(c, to_timestamp(col(c), fmt)))
+}

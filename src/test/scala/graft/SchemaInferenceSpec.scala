@@ -38,4 +38,18 @@ class SchemaInferenceSpec extends AnyFunSuite {
     si2.explodePayload(Seq("""{"n": 1.5}""").toDF("data"), "d", "t", "data", Nil)
     assert(si2.inferredSchema("d", "t").get("n").dataType == DoubleType)
   }
+
+  test("config-format timestamp coercion converts present columns, skips absent") {
+    val si = new SchemaInference()
+    val df = si.explodePayload(
+      Seq("""{"id": 1, "gmt_created": "2024-03-01T10:30:00Z"}""").toDF("data"),
+      "d", "ts", "data", Nil)
+    val out = SchemaInference.coerceTimestamps(df,
+      Seq("gmt_created", "gmt_modified"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    assert(out.schema("gmt_created").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(!out.columns.contains("gmt_modified"), "absent column stays absent")
+    val ts = out.select("gmt_created").head().getTimestamp(0)
+    assert(ts.toInstant.toString == "2024-03-01T10:30:00Z")
+  }
 }
