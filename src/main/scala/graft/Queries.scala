@@ -1236,6 +1236,73 @@ object Queries {
             FROM documents),
       LATERAL (SELECT unnest(generate_series(1, n_frames, 2)) AS frame_no)"""))
 
+  /** End-to-end training-corpus preparation — the composition story:
+    * language/quality gate → exact-dedup survivors → per-source quota
+    * balancing (portable-hash order) → per-source token budget. Every
+    * stage is integer/string-deterministic, so the whole pipeline is
+    * oracle-checked as one unit.
+    */
+  val qCorpusPrep = Q("q_corpus_prep",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(
+        col("doc_id"), col("source"),
+        TextOps.nTokens(col("text")).as("n_tokens"),
+        TextOps.nStopwords(col("text")).as("n_stop"),
+        TextOps.nPunct(col("text")).as("n_punct"),
+        length(col("text")).as("n_chars"),
+        TextOps.langIdHeuristic(col("text")).as("lang_pred"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .withColumn("quality", TextOps.qualityFromCounts(col("n_tokens"),
+          col("n_stop"), col("n_punct"), col("n_chars")))
+      val kept = scored.filter(col("lang_pred") === "en" && col("quality") >= 55)
+      val surv = kept.withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+      Corpus.quotaSample(surv, Seq("source"), Seq("doc_id"), quota = 30)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("budget_tokens"))
+    },
+    Some(s"""WITH scored AS (
+        SELECT doc_id, source,
+          len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+          len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+              x -> x IN ($stopList))) AS n_stop,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+          length(text) AS n_chars,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+               WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+               WHEN regexp_matches(text, '[\\x{0900}-\\x{097f}]') THEN 'hi'
+               WHEN len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                   x -> x IN ($stopList))) * 8 >= len(regexp_extract_all(text, '\\S+'))
+                 THEN 'en'
+               ELSE 'und' END AS lang_pred,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      q AS (
+        SELECT *,
+          (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 10
+                WHEN n_tokens < 20 THEN n_tokens // 2
+                ELSE 10000 // n_tokens END) * 5
+          + least((n_stop * 50) // greatest(n_tokens, 1), 10) * 3
+          + (10 - least((n_punct * 50) // greatest(n_chars, 1), 10)) * 2 AS quality
+        FROM scored),
+      kept AS (SELECT * FROM q WHERE lang_pred = 'en' AND quality >= 55),
+      surv AS (
+        SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+                       FROM kept) WHERE doc_id = keep_id),
+      quota AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+                     doc_id) AS sample_rank
+          FROM surv) WHERE sample_rank <= 30)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS budget_tokens
+      FROM quota GROUP BY source"""))
+
   /** Every declared query, in gate order. */
   val all: Seq[Q] = Seq(
     q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats, qRollup,
@@ -1251,5 +1318,5 @@ object Queries {
     qTfidf, qVocab, qPiiScrub, qHll,
     qWindowFuncs, qSetOps, qPivot, qCube, qFuzzyPairs, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
-    qMultimodal, qMultimodalFrames)
+    qMultimodal, qMultimodalFrames, qCorpusPrep)
 }
