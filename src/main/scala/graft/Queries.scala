@@ -1126,6 +1126,40 @@ object Queries {
         ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
 
+  /** Sorted-neighborhood linkage: candidates are the 5 successors in
+    * p_name order — O(n·w) pairs instead of per-block quadratic, the
+    * scale path when blocks are too coarse (cf. q_fuzzy_pairs). */
+  val qFuzzySnm = Q("q_fuzzy_snm",
+    (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      Corpus.sortedNeighborhood(p, Seq("p_name"), "p_partkey", window = 5)
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"))
+        .filter(col("dist") >= 0)
+    },
+    Some("""WITH ranked AS (
+        SELECT p_partkey, p_name,
+               row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        FROM part)
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 5
+      WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
+
+  /** Explicit GROUPING SETS (beyond rollup/cube), via the SQL surface. */
+  val qGroupingSets = Q("q_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity), 2) AS qty, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS qty, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""))
+
   /** Stratified quota sample: exactly 50 rows per returnflag, selected
     * by portable-hash order — deterministic balanced subsetting. */
   val qStratified = Q("q_stratified_sample",
@@ -1316,7 +1350,8 @@ object Queries {
     qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample,
     qTfidf, qVocab, qPiiScrub, qHll,
-    qWindowFuncs, qSetOps, qPivot, qCube, qFuzzyPairs, qStratified, qKmeans,
+    qWindowFuncs, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
+    qGroupingSets, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qCorpusPrep)
 }

@@ -77,6 +77,30 @@ object Corpus {
     df.filter(TextOps.portableHash(concat_ws(":", keyCols.map(col): _*))
       % 100 < pct)
 
+  /** Sorted-neighborhood record linkage candidates: rank rows by a sort
+    * key and pair each row with its `window` successors. O(n·window)
+    * candidate pairs instead of the blocked join's per-block quadratic —
+    * THE classic scale move for fuzzy matching when blocks are too
+    * coarse. Deterministic (rank ties broken by id), so downstream
+    * distance filters stay oracle-checkable. Single global sort; at
+    * cluster scale use rangepartitioned sort (Spark's default for
+    * window-without-partition is a single partition — acceptable for
+    * key-cardinality-bounded inputs, else pre-block and apply per block).
+    */
+  def sortedNeighborhood(df: DataFrame, sortCols: Seq[String],
+                         idCol: String, window: Int): DataFrame = {
+    val w = Window.orderBy((sortCols.map(col) :+ col(idCol)).map(_.asc): _*)
+    val ranked = df.withColumn("__rn", row_number().over(w))
+    // equi-join on (successor rank - offset), NOT a rank-range predicate:
+    // a range join without an equality key plans as a nested loop
+    val a = ranked.as("a")
+    val b = ranked
+      .withColumn("__k", explode(sequence(lit(1), lit(window))))
+      .withColumn("__rn_pred", col("__rn") - col("__k"))
+      .as("b")
+    a.join(b, col("a.__rn") === col("b.__rn_pred"))
+  }
+
   /** Stratified quota sample: exactly `quota` rows per stratum (fewer if
     * the stratum is smaller), chosen by portable-hash order — a
     * deterministic "reservoir" that balances a skewed corpus (the

@@ -71,6 +71,19 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("sortedNeighborhood pairs each row with its w successors, equi-join plan") {
+    val df = Seq((10L, "aa"), (20L, "ab"), (30L, "ac"), (40L, "zz"))
+      .toDF("id", "name")
+    val out = Corpus.sortedNeighborhood(df, Seq("name"), "id", window = 2)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    val pairs = out.as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 20L), (10L, 30L), (20L, 30L), (20L, 40L), (30L, 40L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank-range must plan as an equi-join, got:\n$plan")
+  }
+
   test("approx_count_distinct at rsd=0.02 stays within 6% of exact") {
     val df = spark.range(50000)
       .select((col("id") % 4).as("g"), (col("id") % 7919).as("v"))
