@@ -260,10 +260,66 @@ object Queries {
       to_date(col("ts")).as("day"),
       hour(col("ts")).as("hr"),
       unix_timestamp(col("ts")).as("epoch_s"),
-      date_format(col("ts"), "yyyy-MM-dd").as("day_str")),
+      date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+      date_trunc("minute", col("ts")).as("minute_ts"),
+      dayofweek(col("ts")).as("dow"),
+      add_months(to_date(col("ts")), 2).as("plus2m"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_in"),
+      last_day(to_date(col("ts"))).as("month_end")),
     Some("""SELECT event_id, CAST(ts AS DATE) AS day, hour(ts) AS hr,
-      epoch_ms(ts)//1000 AS epoch_s, strftime(ts, '%Y-%m-%d') AS day_str
+      epoch_ms(ts)//1000 AS epoch_s, strftime(ts, '%Y-%m-%d') AS day_str,
+      date_trunc('minute', ts) AS minute_ts,
+      dayofweek(ts) + 1 AS dow,
+      CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_in,
+      last_day(CAST(ts AS DATE)) AS month_end
       FROM events"""))
+
+  /** String-function breadth over part names. */
+  val qStringFuncs = Q("q_string_funcs",
+    (s, dir) => t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      substring(col("p_name"), 1, 4).as("pre4"),
+      length(col("p_name")).as("len"),
+      lpad(col("p_brand"), 10, "#").as("padded"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("vowup"),
+      reverse(col("p_name")).as("rev"),
+      split(col("p_name"), " ").getItem(0).as("first_word"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("joined")),
+    Some("""SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 4) AS pre4,
+      length(p_name) AS len, lpad(p_brand, 10, '#') AS padded,
+      translate(p_name, 'aeiou', 'AEIOU') AS vowup,
+      reverse(p_name) AS rev,
+      string_split(p_name, ' ')[1] AS first_word,
+      regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      concat_ws('|', p_brand, p_type) AS joined
+      FROM part"""))
+
+  /** Math-function breadth over lineitem prices (all rounded: libm
+    * results agree to well past 4dp). */
+  val qMathFuncs = Q("q_math_funcs",
+    (s, dir) => t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(abs(col("l_extendedprice") * -1), 2).as("abs_p"),
+      ceil(col("l_extendedprice")).cast("double").as("ceil_p"),
+      floor(col("l_discount") * 100).cast("double").as("disc_pct"),
+      round(sqrt(col("l_extendedprice")), 4).as("sqrt_p"),
+      round(log10(col("l_extendedprice")), 4).as("log10_p"),
+      round(pow(col("l_tax") + 1, 2), 4).as("tax_sq"),
+      pmod(col("l_orderkey"), lit(7)).as("mod7"),
+      sign(col("l_discount") - lit(0.05)).cast("int").as("disc_sign")),
+    Some("""SELECT l_orderkey, l_linenumber,
+      round(abs(l_extendedprice * -1), 2) AS abs_p,
+      CAST(ceil(l_extendedprice) AS DOUBLE) AS ceil_p,
+      CAST(floor(l_discount * 100) AS DOUBLE) AS disc_pct,
+      round(sqrt(l_extendedprice), 4) AS sqrt_p,
+      round(log10(l_extendedprice), 4) AS log10_p,
+      round(pow(l_tax + 1, 2), 4) AS tax_sq,
+      l_orderkey % 7 AS mod7,
+      CAST(CASE WHEN l_discount > 0.05 THEN 1 WHEN l_discount < 0.05 THEN -1 ELSE 0 END AS INT) AS disc_sign
+      FROM lineitem"""))
 
   val qEventsHourly = Q("q_events_hourly",
     (s, dir) => t(s, dir, "events")
@@ -1342,7 +1398,7 @@ object Queries {
     q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats, qRollup,
     qSemiAnti, qSemiJoin, qWindowRunning,
     qCdcLatest, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
-    qSchemaInference, qDateFuncs, qEventsHourly,
+    qSchemaInference, qDateFuncs, qStringFuncs, qMathFuncs, qEventsHourly,
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
