@@ -1202,6 +1202,70 @@ object Queries {
       FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 5
       WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
 
+  /** Array-function breadth over tokenized documents (arrays serialized
+    * to strings for the hash compare: engines stringify arrays
+    * differently, joined strings identically). */
+  val qArrayFuncs = Q("q_array_funcs",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(TextOps.normalized(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        concat_ws(",", slice(sort_array(col("toks")), 1, 3)).as("first3_sorted"),
+        array_contains(col("toks"), "the").cast("int").as("has_the"),
+        concat_ws(",", slice(col("toks"), 1, 2)).as("first2"),
+        element_at(col("toks"), -1).as("last_tok")),
+    Some("""WITH b AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents)
+      SELECT doc_id, len(toks) AS n,
+        len(list_distinct(toks)) AS n_uniq,
+        array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+        CAST(list_contains(toks, 'the') AS INT) AS has_the,
+        array_to_string(toks[1:2], ',') AS first2,
+        toks[-1] AS last_tok
+      FROM b"""))
+
+  /** Correlated subqueries (EXISTS + scalar) through the SQL surface —
+    * Catalyst rewrites these to semi-joins / single-row aggregates. */
+  val qSubqueries = Q("q_subqueries",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      s.sql("""
+        SELECT c.c_custkey, c.c_mktsegment,
+          (SELECT count(*) FROM orders_sq o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""")
+    },
+    Some("""SELECT c.c_custkey, c.c_mktsegment,
+        (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)"""))
+
+  /** Salted skew join ≡ plain join (the oracle is the unsalted SQL):
+    * correctness certificate for the explicit skew tool in
+    * [[graft.ext.Layout.saltedJoin]]. */
+  val qSaltedJoin = Q("q_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ext.Layout.saltedJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
   /** Explicit GROUPING SETS (beyond rollup/cube), via the SQL surface. */
   val qGroupingSets = Q("q_grouping_sets",
     (s, dir) => {
@@ -1407,7 +1471,7 @@ object Queries {
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample,
     qTfidf, qVocab, qPiiScrub, qHll,
     qWindowFuncs, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
-    qGroupingSets, qStratified, qKmeans,
+    qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qCorpusPrep)
 }
