@@ -1165,14 +1165,16 @@ object Queries {
           length(col("p_name")).as("len"))
       val a = p.as("a")
       val b = p.as("b")
-      // thresholded levenshtein (banded O(n·k) DP, -1 past the bound)
-      // INSIDE the join predicate: non-matches die during the join and
-      // the 16×-larger candidate set is never materialized. The cheap
-      // |len| prune runs first; dist is recomputed only for survivors.
+      // the natural `levenshtein <= 3` predicate: BoundedLevenshteinRule
+      // rewrites it to the thresholded banded-DP form during
+      // optimization, and running it INSIDE the join predicate means
+      // non-matches die during the join — the 16×-larger candidate set
+      // is never materialized. The cheap |len| prune runs first; dist
+      // is recomputed only for survivors.
       a.join(b, col("a.p_brand") === col("b.p_brand") &&
           col("a.p_partkey") < col("b.p_partkey") &&
           abs(col("a.len") - col("b.len")) <= 3 &&
-          levenshtein(col("a.p_name"), col("b.p_name"), 3) >= 0)
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
         .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
           levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"))
     },

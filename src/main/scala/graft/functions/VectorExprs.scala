@@ -171,7 +171,7 @@ object VectorFunctions {
   * engine's native functions available in any session, including SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     VectorFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -179,4 +179,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[CosineSim].getName, name),
         b))
     }
+    e.injectOptimizerRule(_ => BoundedLevenshteinRule)
+  }
 }
