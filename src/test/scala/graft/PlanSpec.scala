@@ -60,6 +60,32 @@ class PlanSpec extends AnyFunSuite {
       "no map-side partial aggregation")
   }
 
+  test("q_cube: Expand sits above the pre-aggregation, not the scan") {
+    val p = planOf("q_cube")
+    // physical order bottom-up: Scan … HashAggregate (finest) … Expand.
+    // If Expand ran against the scan directly, it would appear below the
+    // first aggregate in the plan tree (higher index in the string).
+    val expandIdx = p.indexOf("Expand")
+    val scanIdx = p.indexOf("Scan parquet")
+    val firstAggIdx = p.indexOf("HashAggregate")
+    assert(expandIdx >= 0 && scanIdx >= 0, s"unexpected plan:\n$p")
+    assert(firstAggIdx < expandIdx && expandIdx < scanIdx,
+      s"Expand must consume the pre-aggregate, not the table:\n$p")
+  }
+
+  test("q_tfidf: doc-count side is broadcast, not shuffled into the join") {
+    val p = planOf("q_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"N (single-row aggregate) should broadcast:\n$p")
+  }
+
+  test("q_fuzzy_pairs: optimizer injects the thresholded levenshtein") {
+    val df = SparkEntry.queries("q_fuzzy_pairs")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(3)) >= 0"),
+      s"BoundedLevenshteinRule did not fire in the join predicate:\n$opt")
+  }
+
   test("merge applyBatch: updates side is broadcast, target never shuffled") {
     import spark.implicits._
     val target = Seq(("a", 1L)).toDF("pk", "v")

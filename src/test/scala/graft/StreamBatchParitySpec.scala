@@ -53,4 +53,46 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(streamed == batch,
       s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
+
+  test("session windows work in streaming mode and match the batch form") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // u1: two events 5 min apart (one session), then one 40 min later
+    // (new session); u2: single event
+    val events = Seq(
+      E("u1", 0L, 1.0), E("u1", 5 * 60 * 1000L, 2.0),
+      E("u1", 45 * 60 * 1000L, 3.0), E("u2", 1000L, 4.0))
+
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .groupBy(session_window(col("ts"), "10 minutes").as("sw"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("sw.start").as("s_start"), col("n"))
+
+    val batch = sessions(events.toDF())
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(batch.map(t => (t._1, t._3)) ==
+      Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+
+    val in = MemoryStream[ParityEvent]
+    // session_window streaming requires a watermark on the event-time col
+    val q2 = in.toDF()
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes").as("sw"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("sw.start").as("s_start"), col("n"))
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(events(0), events(3))
+    q2.processAllAvailable()
+    in.addData(events(1), events(2)) // arrives in a later micro-batch
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.table("sess_parity")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed == batch,
+      s"session-window stream/batch divergence:\n stream=$streamed\n batch=$batch")
+  }
 }
