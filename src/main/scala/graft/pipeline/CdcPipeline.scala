@@ -51,10 +51,17 @@ final class CdcPipeline(
 
   /** Process one micro-batch of raw envelope records (`value` string
     * column + optional tiebreaker column, e.g. Kafka `offset`).
+    *
+    * @return per-batch metrics; counts that would need an extra pass
+    *         over unpersisted data are -1 (dlqRows is real only when
+    *         the DLQ path is enabled — the flagged frame is persisted
+    *         then anyway, so its count is a cached-partition scan)
     */
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
+  def processBatch(batch: DataFrame, batchId: Long): CdcPipeline.BatchReport = {
+    if (batch.isEmpty)
+      return CdcPipeline.BatchReport(batchId, 0, 0, 0)
     var flagged: Option[DataFrame] = None
+    var dlqRows = -1L
     val norm = dlq match {
       case Some(writeDlq) =>
         // persist the flagged frame: the envelope parse feeds BOTH the
@@ -64,14 +71,16 @@ final class CdcPipeline(
         flagged = Some(f)
         val (good, bad) = format.splitFlagged(f, passthrough = tiebreaker.toSeq)
         writeDlq(bad, batchId)
+        dlqRows = bad.count()
         good
       case None => format.normalize(batch, passthrough = tiebreaker.toSeq)
     }
-    try processNormalized(norm, batchId)
+    try processNormalized(norm, batchId, dlqRows)
     finally flagged.foreach(_.unpersist())
   }
 
-  private def processNormalized(norm: DataFrame, batchId: Long): Unit = {
+  private def processNormalized(norm: DataFrame, batchId: Long,
+                                dlqRows: Long): CdcPipeline.BatchReport = {
     val order = Seq("ts_ms") ++ tiebreaker
     val compacted = Compaction
       .latestPerKey(norm, Seq("db_name", "tb_name", "pk"), order)
@@ -95,6 +104,7 @@ final class CdcPipeline(
         }
         Await.result(work, Duration.Inf)
       } finally pool.shutdown()
+      CdcPipeline.BatchReport(batchId, compacted.count(), dlqRows, tables.length)
     } finally compacted.unpersist()
   }
 
@@ -102,13 +112,18 @@ final class CdcPipeline(
   def start(stream: DataFrame, checkpointDir: String,
             windowSize: String = "30 seconds"): StreamingQuery =
     stream.writeStream
-      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .foreachBatch((df: DataFrame, id: Long) => { processBatch(df, id); () })
       .trigger(Trigger.ProcessingTime(windowSize))
       .option("checkpointLocation", checkpointDir)
       .start()
 }
 
 object CdcPipeline {
+
+  /** Per-batch outcome metrics (counts of -1 mean "not measured" —
+    * they'd cost an extra pass over unpersisted data). */
+  final case class BatchReport(batchId: Long, compactedRows: Long,
+                               dlqRows: Long, tables: Int)
 
   /** Kafka source per the reference's option set
     * (src/glue_pg_redshift_cdc.py:223-230) with `maxOffsetsPerTrigger`

@@ -133,7 +133,9 @@ class PipelineSpec extends AnyFunSuite {
       (pgEvent("t", 1, 10L, "c", "x"), 0L),
       (pgEvent("t", 2, 11L, "c", "y"), 1L),
       (pgEvent("t", 2, 12L, "d", "y"), 2L)).toDF("value", "offset")
-    pipeline.processBatch(batch, 0L)
+    val report = pipeline.processBatch(batch, 0L)
+    assert(report == CdcPipeline.BatchReport(0L, compactedRows = 2,
+      dlqRows = -1, tables = 1)) // 3 events compact to 2 keys, one table
     val first = spark.read.parquet(s"$root/shop/t").select("pk").as[String].collect().toSet
     pipeline.processBatch(batch, 0L) // replay after failure-before-checkpoint
     val second = spark.read.parquet(s"$root/shop/t").select("pk").as[String].collect().toSet
