@@ -47,6 +47,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("asOf equals the naive range-join argmax on random data (differential)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val keys = Seq("k1", "k2", "k3")
+      val left = (1 to 60).map(i =>
+        (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(500).toLong))
+        .toDF("lid", "k", "t")
+      // right times unique per key (the asOf tie contract)
+      val right = keys.flatMap { k =>
+        rnd.shuffle((0 until 500).toList).take(25)
+          .map(t => (k, t.toLong, s"$k@$t"))
+      }.toDF("k", "t", "tag")
+      val fast = Temporal.asOf(left, right, Seq("k"), "t", "t", Seq("tag"))
+        .select("lid", "r_tag").as[(Long, String)].collect().toMap
+      // naive model: range join + max-time pick
+      val naive = left.as("l")
+        .join(right.as("r"), col("l.k") === col("r.k") && col("r.t") <= col("l.t"))
+        .groupBy(col("l.lid").as("lid"))
+        .agg(max(struct(col("r.t"), col("r.tag"))).as("m"))
+        .select(col("lid"), col("m.tag").as("tag"))
+        .as[(Long, String)].collect().toMap
+      assert(fast == naive, "asOf diverged from the naive argmax model")
+    }
+  }
+
   test("scd2 builds contiguous validity intervals with a flagged current row") {
     val ev = Seq(("u1", 1L, 100L, "s1"), ("u1", 2L, 200L, "s2"),
       ("u2", 3L, 150L, "t1")).toDF("k", "eid", "tms", "state")
