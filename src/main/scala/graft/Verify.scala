@@ -10,9 +10,9 @@ object Verify {
       String.valueOf(Runtime.getRuntime.availableProcessors()))
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
-    // queries run 4-wide on the shared session (independent Spark jobs);
+    // queries run 6-wide on the shared session (independent Spark jobs);
     // failures are isolated per query and reported, never fatal
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val work = scala.concurrent.Future.traverse(SparkEntry.queries.toSeq) {

@@ -103,15 +103,31 @@ object Dedup {
     * the verification step after MinHash candidate generation.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double): DataFrame = {
+                   n: Int, tau: Double,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // Join on a 64-bit hash of the shingle, not the string: the (hot)
     // shuffle carries 8-byte keys. Collisions are ~|shingles|²/2^64 —
     // vanishing — and only ever merge two shingles, perturbing one
     // intersection count. The length-ratio prune is exact: J(A,B) ≤
     // min/max, so |A| ≥ τ|B| (and symmetrically) is necessary for
     // J ≥ τ; it cuts candidate pairs before the aggregate.
-    val sh = explodedShingles(df, idCol, textCol, n)
+    //
+    // `maxDocFreq` (off by default) drops shingles shared by more than
+    // that many documents — the "stop-shingle" cap. A shingle in c docs
+    // contributes c² join rows but at most 1 to any pair's intersection:
+    // at corpus scale the hottest shingles are boilerplate that
+    // dominates cost and carries no discriminative signal. With the cap
+    // the result is a (high-recall) under-approximation: intersection
+    // counts can only shrink, so reported pairs remain true J ≥ τ' for
+    // the reduced shingle space — the standard trade on 100 TB corpora.
+    val shAll = explodedShingles(df, idCol, textCol, n)
       .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64"))
+    val sh = if (maxDocFreq == Int.MaxValue) shAll else {
+      val hot = shAll.groupBy(col("sh64"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
+        .select(col("sh64"))
+      shAll.join(broadcast(hot), Seq("sh64"), "left_anti")
+    }
     val a = sh.as("a")
     val b = sh.as("b")
     a.join(b, col("a.sh64") === col("b.sh64") && col("a.id") < col("b.id") &&

@@ -121,6 +121,21 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(q >= 0 && q <= 100)
   }
 
+  test("jaccard stop-shingle cap: subset of exact pairs, no-op when loose") {
+    val docs = Tables.documents(spark, sf)
+    def pairs(cap: Int) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25, maxDocFreq = cap)
+        .select("id_a", "id_b").as[(Long, Long)](
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    val exact = pairs(Int.MaxValue)
+    assert(pairs(1000000) == exact, "loose cap must change nothing")
+    val capped = pairs(3)
+    assert(capped.subsetOf(exact),
+      "capping intersections can only shrink scores - no new pairs")
+  }
+
   test("connected components: driver union-find and distributed loop agree") {
     import spark.implicits._
     // two chains and a singleton edge: {1,2,3,4}, {10,11}, {20,21}
