@@ -108,12 +108,20 @@ final class CdcPipeline(
     } finally compacted.unpersist()
   }
 
-  /** Attach to a streaming DataFrame of raw records. */
+  /** Attach to a streaming DataFrame of raw records.
+    *
+    * @param availableNow true = backfill mode (`Trigger.AvailableNow`):
+    *        process everything currently available in rate-limited
+    *        micro-batches, then stop — same checkpoint, so a live
+    *        `ProcessingTime` run resumes where the backfill ended.
+    */
   def start(stream: DataFrame, checkpointDir: String,
-            windowSize: String = "30 seconds"): StreamingQuery =
+            windowSize: String = "30 seconds",
+            availableNow: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch((df: DataFrame, id: Long) => { processBatch(df, id); () })
-      .trigger(Trigger.ProcessingTime(windowSize))
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(windowSize))
       .option("checkpointLocation", checkpointDir)
       .start()
 }

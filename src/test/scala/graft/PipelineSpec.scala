@@ -124,6 +124,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(ledger == ledger.distinct, s"double-applied batch ids: $ledger")
   }
 
+  test("AvailableNow backfill drains the source, then a live run resumes cleanly") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_files_an").toString
+    val root = Files.createTempDirectory("graft_sink_an").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_an").toString
+    Files.writeString(java.nio.file.Paths.get(s"$src/history.json"),
+      Seq(pgEvent("logs", 1, 100L, "c", "old1"),
+          pgEvent("logs", 2, 101L, "c", "old2")).mkString("\n"))
+    val pipeline = new CdcPipeline(PgCdc, new ParquetMergeSink(root), tiebreaker = None)
+    // backfill: AvailableNow terminates by itself once the dir is drained
+    val backfill = pipeline.start(CdcPipeline.fileSource(spark, src), ckpt,
+      availableNow = true)
+    assert(backfill.awaitTermination(60000), "AvailableNow must self-terminate")
+    assert(spark.read.parquet(s"$root/shop/logs")
+      .select("pk").as[String].collect().toSet == Set("1", "2"))
+    // live tail from the same checkpoint sees only the new file
+    Files.writeString(java.nio.file.Paths.get(s"$src/live.json"),
+      pgEvent("logs", 3, 200L, "c", "new3"))
+    val live = pipeline.start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    live.processAllAvailable(); live.stop()
+    assert(spark.read.parquet(s"$root/shop/logs")
+      .select("pk").as[String].collect().toSet == Set("1", "2", "3"))
+  }
+
   test("replaying a batch through processBatch converges (idempotent merge)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_sink2").toString
