@@ -129,13 +129,19 @@ final class JdbcMergeSink(url: String, props: Properties,
   private def ensureLedger(conn: Connection): Unit =
     if (!tableExists(conn, LedgerTable)) {
       val st = conn.createStatement()
+      // per-table merges run CONCURRENTLY on the driver pool: two threads
+      // can both miss the probe on the very first batch and race the
+      // CREATE — the loser's failure is benign iff the table now exists
       try st.executeUpdate(
         s"""CREATE TABLE $LedgerTable (
            |  pipeline_id VARCHAR(128) NOT NULL,
            |  batch_id BIGINT NOT NULL,
            |  target VARCHAR(256) NOT NULL,
            |  PRIMARY KEY (pipeline_id, batch_id, target))""".stripMargin)
-      finally st.close()
+      catch {
+        case e: java.sql.SQLException =>
+          if (!tableExists(conn, LedgerTable)) throw e
+      } finally st.close()
     }
 
   private def alreadyApplied(conn: Connection, pid: String, bid: Long,

@@ -62,6 +62,27 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(rows3 == Map("1" -> "ann2", "9" -> "zoe"))
   }
 
+  test("concurrent first-batch mergeOnce to different tables survives the ledger race") {
+    import spark.implicits._
+    val freshUrl = "jdbc:derby:memory:ledgerrace;create=true"
+    val sink = new JdbcMergeSink(freshUrl, props, AnsiDialect)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val work = Future.traverse(Seq("t1", "t2", "t3", "t4")) { tb =>
+      Future {
+        val b = Seq(("1", 100L, "u", s"row-$tb")).toDF("pk", "ts_ms", "op", "payload")
+        sink.mergeOnce("race", 0L, "db", tb, b, "pk", "op", "d")
+      }
+    }
+    Await.result(work, Duration.Inf) // no thread may throw
+    Seq("t1", "t2", "t3", "t4").foreach { tb =>
+      assert(spark.read.jdbc(freshUrl, s"db_$tb", props).count() == 1)
+    }
+    assert(spark.read.jdbc(freshUrl, "graft_applied_batches", props).count() == 4)
+  }
+
   test("redshift dialect emits the reference's postactions shape") {
     val create = RedshiftDialect.createTarget("shop_users", "stage_shop_users", Seq("pk"))
     assert(create.head ==
