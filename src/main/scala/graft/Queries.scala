@@ -1104,6 +1104,32 @@ object Queries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  /** Window frames beyond running totals: a 90-day RANGE-interval frame
+    * (peer rows by VALUE, not position) plus first/last/nth_value over
+    * an explicit unbounded frame. */
+  val qWindowFrames = Q("q_window_frames",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_wf")
+      s.sql("""SELECT o_orderkey, o_custkey,
+          round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS sum90d,
+          round(first_value(o_totalprice) OVER w, 2) AS first_p,
+          round(last_value(o_totalprice) OVER w, 2) AS last_p,
+          round(nth_value(o_totalprice, 2) OVER w, 2) AS second_p
+        FROM orders_wf
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW), 2) AS sum90d,
+        round(first_value(o_totalprice) OVER w, 2) AS first_p,
+        round(last_value(o_totalprice) OVER w, 2) AS last_p,
+        round(nth_value(o_totalprice, 2) OVER w, 2) AS second_p
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+
   /** Set operations: INTERSECT / EXCEPT on yearly customer cohorts. */
   val qSetOps = Q("q_set_ops",
     (s, dir) => {
@@ -1472,7 +1498,7 @@ object Queries {
     qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample,
     qTfidf, qVocab, qPiiScrub, qHll,
-    qWindowFuncs, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
+    qWindowFuncs, qWindowFrames, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qCorpusPrep)
