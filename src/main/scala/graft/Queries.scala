@@ -1370,6 +1370,30 @@ object Queries {
         count(*) - count(DISTINCT o_orderkey) AS n_dup_key
       FROM orders"""))
 
+  /** KMV distinct sketch: unlike HLL, the k-minimum-values estimator
+    * over the portable md5 hash is bit-reproducible in any engine, so
+    * the SKETCH ITSELF is oracle-checked — the distributed-sketch
+    * correctness proof q_hll can't have. */
+  val qKmv = Q("q_kmv_distinct",
+    (s, dir) => graft.ext.Sketch.kmvDistinct(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_partkey", k = 64),
+    Some("""WITH hashed AS (
+        SELECT DISTINCT l_returnflag,
+          ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM hashed),
+      agg AS (
+        SELECT l_returnflag, max(rn) AS n_seen, max(h) AS h_k
+        FROM ranked WHERE rn <= 64 GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        CAST(CASE WHEN n_seen < 64 THEN n_seen
+             ELSE CAST(floor(63.0 * 1152921504606846976.0 / h_k) AS BIGINT)
+             END AS BIGINT) AS est_distinct
+      FROM agg"""))
+
   /** HLL sketch distinct counts (approx_count_distinct): no portable
     * oracle — DuckDB's approx_distinct uses a different sketch — so this
     * is a rows-only gate entry; accuracy vs exact is spec-asserted. */
@@ -1497,7 +1521,7 @@ object Queries {
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
     qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample,
-    qTfidf, qVocab, qPiiScrub, qHll,
+    qTfidf, qVocab, qPiiScrub, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qTimeTravel, qDataQuality,

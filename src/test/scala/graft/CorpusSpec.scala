@@ -84,6 +84,24 @@ class CorpusSpec extends AnyFunSuite {
       s"rank-range must plan as an equi-join, got:\n$plan")
   }
 
+  test("KMV distinct estimate lands near exact; small groups are exact") {
+    import graft.ext.Sketch
+    // NOTE: g and v must be independent — id%2 and id%5000 share parity,
+    // so each group sees only 2500 distinct v values
+    val df = spark.range(30000)
+      .select((col("id") % 2).as("g"), (col("id") % 5000).as("v"))
+    val est = Sketch.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .select("g", "est_distinct").as[(Long, Long)].collect().toMap
+    est.values.foreach { e =>
+      assert(math.abs(e - 2500.0) / 2500.0 < 0.4,
+        s"KMV(64) estimate $e too far from 2500") // rsd ~ 1/sqrt(64)
+    }
+    // fewer than k distinct values -> exact count
+    val tiny = spark.range(1000).select(lit(0L).as("g"), (col("id") % 10).as("v"))
+    assert(Sketch.kmvDistinct(tiny, Seq("g"), "v", k = 64)
+      .select("est_distinct").as[Long].head() == 10L)
+  }
+
   test("approx_count_distinct at rsd=0.02 stays within 6% of exact") {
     val df = spark.range(50000)
       .select((col("id") % 4).as("g"), (col("id") % 7919).as("v"))
