@@ -1509,6 +1509,73 @@ object Queries {
         CAST(sum(n_tokens) AS BIGINT) AS budget_tokens
       FROM quota GROUP BY source"""))
 
+  /** Overlapping token-window chunking (size 40, overlap 8). */
+  val qChunk = Q("q_chunk",
+    (s, dir) => Corpus.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 40, overlap = 8)
+      .select(col("id").as("doc_id"), col("chunk_no"), col("tok_start"),
+        md5(col("chunk_text")).as("chunk_fp")),
+    Some("""WITH d AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      sized AS (
+        SELECT doc_id, toks,
+          CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS n
+        FROM d),
+      chunked AS (
+        SELECT doc_id, toks,
+          greatest(CAST(ceil((n - 8) / 32.0) AS INT), 1) AS n_chunks
+        FROM sized WHERE n > 0)
+      SELECT doc_id, c.chunk_no, c.chunk_no * 32 + 1 AS tok_start,
+        md5(array_to_string(toks[c.chunk_no*32+1 : c.chunk_no*32+40], ' ')) AS chunk_fp
+      FROM chunked, LATERAL (
+        SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_no) c"""))
+
+  /** Contiguous sequence packing into 2000-token budgets. */
+  val qPack = Q("q_pack",
+    (s, dir) => Corpus.pack(t(s, dir, "documents"), "doc_id", "text",
+        budget = 2000)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens")),
+    Some("""WITH toks AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents),
+      runs AS (
+        SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks)
+      SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS pack_id,
+        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM runs GROUP BY 1"""))
+
+  /** Benchmark decontamination: flag corpus docs sharing any 5-gram with
+    * the benchmark set (stand-in: every 97th document). */
+  val qDecontam = Q("q_decontam",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Corpus.decontaminate(docs.filter(col("doc_id") % 97 =!= 0), bench,
+          "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_shared"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(
+            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-4, 0)),
+          i -> array_to_string(
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+4], ' ')))
+          AS sset
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0),
+      corpus AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 97 <> 0)
+      SELECT c.doc_id, count(*) AS n_shared
+      FROM corpus c WHERE c.shingle IN (SELECT shingle FROM bench)
+      GROUP BY c.doc_id"""))
+
   /** Every declared query, in gate order. */
   val all: Seq[Q] = Seq(
     q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats, qRollup,
@@ -1525,5 +1592,6 @@ object Queries {
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
-    qMultimodal, qMultimodalFrames, qCorpusPrep)
+    qMultimodal, qMultimodalFrames, qCorpusPrep,
+    qChunk, qPack, qDecontam)
 }

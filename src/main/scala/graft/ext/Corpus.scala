@@ -68,6 +68,62 @@ object Corpus {
     (regexp_replace(textCol, pattern, replacement),
       size(regexp_extract_all(textCol, lit(pattern), lit(0))))
 
+  /** Split documents into overlapping token-window chunks — the
+    * long-document step before tokenization-for-training. Deterministic:
+    * chunk i covers tokens [i·(size-overlap), i·(size-overlap)+size).
+    * Codegen'd lateral explode; no shuffle, no driver round-trip.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than the chunk size")
+    val stride = chunkSize - overlap
+    df.select(col(idCol).as("id"),
+        split(TextOps.normalized(col(textCol)), " ").as("toks"))
+      .withColumn("n", when(col("toks") === array(lit("")), 0)
+        .otherwise(size(col("toks"))))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        ceil((col("n") - lit(overlap)).cast("double") / stride).cast("int"))
+      .withColumn("chunk_no",
+        explode(sequence(lit(0), greatest(col("n_chunks"), lit(1)) - 1)))
+      .select(col("id"), col("chunk_no"),
+        (col("chunk_no") * stride + 1).as("tok_start"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_no") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  /** Contiguous sequence packing: in deterministic id order, documents
+    * fill fixed token budgets; a document belongs to the pack where it
+    * STARTS (streaming packing with straddle). One running-sum window —
+    * the deterministic, shuffle-light stand-in for per-bin knapsack.
+    */
+  def pack(df: DataFrame, idCol: String, textCol: String,
+           budget: Int): DataFrame = {
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"),
+        TextOps.nTokens(col(textCol)).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word n-gram with any benchmark document are flagged. Inverted-index
+    * semi-join on the shingle hash — the corpus is never joined to
+    * itself, and the benchmark side (small) drives the match.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val c = Dedup.explodedShingles(corpus, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("sh64"))
+    val b = Dedup.explodedShingles(benchmark, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("sh64")).distinct()
+    c.join(broadcast(b), Seq("sh64"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic hash sample: keep a row iff the portable 60-bit hash
     * of its key is below `pct`% of the hash space. Reproducible across
     * engines/runs (md5-based), stateless, no shuffle — unlike

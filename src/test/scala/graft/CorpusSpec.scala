@@ -84,6 +84,44 @@ class CorpusSpec extends AnyFunSuite {
       s"rank-range must plan as an equi-join, got:\n$plan")
   }
 
+  test("chunk covers every token with the requested overlap") {
+    // 11 tokens, size 5, overlap 2 -> stride 3 -> starts 1,4,7; the
+    // chunk at 7 spans tokens 7..11, so every token is covered
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11")).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs, "doc_id", "text", chunkSize = 5, overlap = 2)
+      .select("chunk_no", "tok_start", "chunk_text")
+      .as[(Int, Int, String)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1, 4, 7))
+    assert(out.head._3 == "t1 t2 t3 t4 t5")
+    assert(out(1)._3 == "t4 t5 t6 t7 t8", "2-token overlap")
+    assert(out.last._3 == "t7 t8 t9 t10 t11", "tail chunk reaches the end")
+    // short doc -> exactly one chunk; empty doc -> none
+    val edge = Seq((1L, "a b"), (2L, " ")).toDF("doc_id", "text")
+    val e = Corpus.chunk(edge, "doc_id", "text", 5, 2)
+      .select("id", "chunk_text").as[(Long, String)].collect()
+    assert(e.toSeq == Seq((1L, "a b")))
+  }
+
+  test("pack fills budgets in id order; doc belongs where it starts") {
+    val docs = Seq((1L, "a " * 50), (2L, "b " * 60), (3L, "c " * 30))
+      .toDF("doc_id", "text")
+    val out = Corpus.pack(docs, "doc_id", "text", budget = 100)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    // cum starts: doc1 at 0 -> pack 0; doc2 at 50 -> pack 0; doc3 at 110 -> pack 1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "completely unrelated content here now")).toDF("doc_id", "text")
+    val bench = Seq((100L, "xx the quick brown fox jumps yy")).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("id", "n_shared").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L), "only the overlapping doc is flagged")
+    assert(out(1L) == 1L) // shares exactly "the quick brown fox jumps"
+  }
+
   test("KMV distinct estimate lands near exact; small groups are exact") {
     import graft.ext.Sketch
     // NOTE: g and v must be independent — id%2 and id%5000 share parity,
