@@ -47,15 +47,19 @@ object Corpus {
 
   /** Corpus vocabulary: the topN tokens by (frequency desc, token asc)
     * with their counts — the building block of BPE/vocab training runs.
+    *
+    * Top-N via `orderBy(...).limit(topN)` — Spark plans TakeOrdered
+    * (per-partition top-N, then a merge of topN-sized heaps), so a
+    * web-scale corpus with 10⁸+ distinct tokens never funnels through
+    * one task. Only the topN survivors (bounded by a constant, not by
+    * data size) see the final rank window.
     */
   def vocabulary(df: DataFrame, textCol: String, topN: Int): DataFrame = {
     val counts = df.select(explode(toks(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topN)
     val w = Window.orderBy(col("cnt").desc, col("token").asc)
-    // single-partition window over vocabulary-sized data (tokens, not
-    // occurrences) — the heavy lifting happened in the count aggregate
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
+    top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("token"), col("cnt"))
   }
 
@@ -95,16 +99,17 @@ object Corpus {
 
   /** Contiguous sequence packing: in deterministic id order, documents
     * fill fixed token budgets; a document belongs to the pack where it
-    * STARTS (streaming packing with straddle). One running-sum window —
-    * the deterministic, shuffle-light stand-in for per-bin knapsack.
+    * STARTS (streaming packing with straddle). The running token sum is
+    * the distributed two-pass prefix sum ([[Prefix.globalRunningSum]]):
+    * range-partitioned by id, per-partition subtotals to the driver,
+    * partition offsets broadcast back — same deterministic result as a
+    * global window, full parallelism at any corpus size.
     */
   def pack(df: DataFrame, idCol: String, textCol: String,
            budget: Int): DataFrame = {
-    val w = Window.orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol).as("id"),
-        TextOps.nTokens(col(textCol)).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    val sized = df.select(col(idCol).as("id"),
+      TextOps.nTokens(col(textCol)).as("n_tokens"))
+    Prefix.globalRunningSum(sized, Seq(col("id")), col("n_tokens"), "cum")
       .withColumn("pack_id",
         floor((col("cum") - col("n_tokens")) / budget).cast("long"))
   }
@@ -138,15 +143,16 @@ object Corpus {
     * candidate pairs instead of the blocked join's per-block quadratic —
     * THE classic scale move for fuzzy matching when blocks are too
     * coarse. Deterministic (rank ties broken by id), so downstream
-    * distance filters stay oracle-checkable. Single global sort; at
-    * cluster scale use rangepartitioned sort (Spark's default for
-    * window-without-partition is a single partition — acceptable for
-    * key-cardinality-bounded inputs, else pre-block and apply per block).
+    * distance filters stay oracle-checkable. The global rank is the
+    * distributed two-pass scheme ([[Prefix.globalRowNumber]]): range-
+    * partitioned by the sort key, per-partition ranks plus broadcast
+    * count offsets — no single-partition sort anywhere; the successor
+    * pairing is then a parallel shuffle equi-join on the rank.
     */
   def sortedNeighborhood(df: DataFrame, sortCols: Seq[String],
                          idCol: String, window: Int): DataFrame = {
-    val w = Window.orderBy((sortCols.map(col) :+ col(idCol)).map(_.asc): _*)
-    val ranked = df.withColumn("__rn", row_number().over(w))
+    val ranked = Prefix.globalRowNumber(df,
+      (sortCols.map(col) :+ col(idCol)).map(_.asc), "__rn")
     // equi-join on (successor rank - offset), NOT a rank-range predicate:
     // a range join without an equality key plans as a nested loop
     val a = ranked.as("a")

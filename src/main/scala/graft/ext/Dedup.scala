@@ -263,25 +263,24 @@ object Dedup {
   }
 
   /** 60-bit SimHash signatures, one row per doc: per bit j, sum ±1 over
-    * the token hashes' bit j and take the sign. Relational formulation —
-    * explode tokens once, then 60 codegen'd `sum` aggregate expressions
-    * (map-side partials do nearly all the work); the earlier per-row
-    * array-lambda fold interpreted ~60×|tokens| closures per document.
+    * the token hashes' bit j and take the sign. One pass per token via
+    * the [[graft.functions.SimhashSig]] aggregate — a single int[60]
+    * counter buffer updated in a tight primitive loop, with map-side
+    * partial merge. (Round 2 used 60 separate `sum` aggregate
+    * expressions: right shape, but each row paid 60 shift/mask partial-
+    * agg updates through 60 buffer fields — a 1.7× regression.)
     * Token hash is [[TextOps.portableHash]] (60-bit md5 prefix) so the
     * full signature — and therefore the band join — is reproducible in
     * any engine with md5: this is what makes dedup_simhash oracle-checkable.
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bitSums = (0 until 60).map(j =>
-      sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+    graft.functions.VectorFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("toks"))
       .select(col("id"), explode(col("toks")).as("tok"))
       .withColumn("h", TextOps.portableHash(col("tok")))
       .groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), (0 until 60).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+      .agg(graft.functions.VectorFunctions.simhashSig(col("h")).as("sig"))
   }
 
   /** SimHash near-dup pairs within hamming distance `maxDist`, using the

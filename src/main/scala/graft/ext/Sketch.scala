@@ -1,7 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Order-independent, engine-portable sketches.
@@ -13,11 +12,15 @@ import org.apache.spark.sql.functions._
   * count as (k-1) · 2^60 / h_k (uniform order statistics), and every
   * engine computes the identical integer.
   *
-  * Scale shape: one distinct-aggregate on (group, hash) — map-side
-  * partials collapse duplicates — then a per-group bottom-k, which
-  * `WindowGroupLimit` prunes before the sort. The sketch itself (k
-  * hashes per group) is tiny and mergeable (union + re-take bottom-k),
-  * the property that makes KMV work across partitions/days.
+  * Scale shape: ONE aggregation, no distinct pass, no window. The
+  * [[graft.functions.KmvBottomK]] buffer holds the k smallest DISTINCT
+  * hashes — constant-size and mergeable (union + re-take bottom-k, the
+  * property that makes KMV work across partitions/days) — so map-side
+  * partials shuffle k longs per group, and parallelism is bounded by
+  * the map partitioning, not by group cardinality. (The earlier
+  * formulation — distinct + per-group bottom-k window — put each
+  * group's whole distinct-hash set through ONE task: with 3 groups it
+  * was the slowest bench query on a 32-core box.)
   */
 object Sketch {
 
@@ -30,17 +33,15 @@ object Sketch {
     */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int): DataFrame = {
-    val hashed = df.select((groupCols.map(col) :+
-      TextOps.portableHash(col(valueCol).cast("string")).as("h")): _*)
-      .distinct()
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h").asc)
-    val ranked = hashed.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-    ranked.groupBy(groupCols.map(col): _*)
-      .agg(max(col("rn")).as("n_seen"), max(col("h")).as("h_k"))
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val bottomK = graft.functions.VectorFunctions.kmvBottomK(
+      TextOps.portableHash(col(valueCol).cast("string")), k)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(bottomK.as("bk"))
       .select((groupCols.map(col) :+
-        when(col("n_seen") < k, col("n_seen"))
-          .otherwise(floor(lit((k - 1).toLong * HashSpace.toDouble) / col("h_k")).cast("long"))
+        when(size(col("bk")) < k, size(col("bk")))
+          .otherwise(floor(lit((k - 1).toLong * HashSpace.toDouble) /
+            element_at(col("bk"), k)).cast("long"))
           .cast("long").as("est_distinct")): _*)
   }
 }

@@ -1,0 +1,171 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Bounded buffer of the k smallest DISTINCT long values — the KMV
+  * (k minimum values) distinct sketch. Mergeable (union + re-take
+  * bottom-k), constant-size, so map-side partials shuffle k longs per
+  * group instead of the group's whole distinct-value set: the property
+  * that lets the estimator run as ONE aggregation at any group size,
+  * replacing the distinct + per-group window formulation whose
+  * parallelism was bounded by group count.
+  *
+  * Insertion keeps a sorted array: binary search + memmove — O(log k)
+  * compare, O(k) move, k is small (64) and most rows fail the
+  * `v < max` gate immediately once the buffer is warm.
+  */
+final class KmvBuffer(val k: Int) {
+  val arr = new Array[Long](k)
+  var n = 0
+
+  def add(v: Long): Unit = {
+    if (n == k && v >= arr(n - 1)) return // larger than current k-th min
+    val pos = java.util.Arrays.binarySearch(arr, 0, n, v)
+    if (pos >= 0) return // already present: DISTINCT semantics
+    val ins = -(pos + 1)
+    val last = if (n < k) n else k - 1
+    if (ins <= last) {
+      System.arraycopy(arr, ins, arr, ins + 1, last - ins)
+      arr(ins) = v
+      if (n < k) n += 1
+    }
+  }
+
+  def merge(other: KmvBuffer): Unit = {
+    var i = 0
+    while (i < other.n) { add(other.arr(i)); i += 1 }
+  }
+}
+
+/** `kmv_bottomk(h, k)`: per group, the sorted array of the k smallest
+  * distinct values of `h` (fewer if the group has fewer distinct values).
+  * `element_at(result, k)` is the k-th smallest distinct hash — the KMV
+  * estimator's order statistic; `size(result)` caps at k and is the
+  * exact distinct count below it.
+  */
+case class KmvBottomK(child: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def prettyName: String = "kmv_bottomk"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    new GenericArrayData(java.util.Arrays.copyOfRange(buf.arr, 0, buf.n))
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new KmvBuffer(k)
+    buf.n = bb.getInt
+    var i = 0
+    while (i < buf.n) { buf.arr(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvBottomK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvBottomK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): KmvBottomK =
+    copy(child = newChild)
+}
+
+/** `simhash_sig(h)`: the 60-bit SimHash signature in ONE pass — per input
+  * hash, each of the 60 bit counters moves ±1 in a tight primitive loop
+  * over an int[60] buffer; eval folds the counter signs into the
+  * signature long. Replaces 60 separate `sum` aggregate expressions,
+  * each of which re-evaluated its own shift/mask projection and its own
+  * partial-agg buffer field per row (the round-2 1.7× regression).
+  * Identical semantics: sum over ALL tokens (duplicates included) of
+  * ±1 per bit, bit j of the result set iff the sum is positive.
+  */
+case class SimhashSig(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "simhash_sig"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](60)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < 60) {
+        buf(j) += ((((h >>> j) & 1L) << 1) - 1).toInt
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < 60) { buf(j) += other(j); j += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (buf(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * 60)
+    var j = 0
+    while (j < 60) { bb.putInt(buf(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Int](60)
+    var j = 0
+    while (j < 60) { buf(j) = bb.getInt; j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimhashSig =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimhashSig =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}

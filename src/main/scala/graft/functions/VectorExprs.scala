@@ -142,7 +142,12 @@ object VectorFunctions {
 
   private[functions] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     Name -> (exprs => CosineSim(exprs(0), exprs(1))),
-    SrpName -> srpBuilder)
+    SrpName -> srpBuilder,
+    // aggregates: the analyzer wraps AggregateFunction results in an
+    // AggregateExpression automatically on resolution
+    "kmv_bottomk" -> (exprs => KmvBottomK(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].intValue())),
+    "simhash_sig" -> (exprs => SimhashSig(exprs(0))))
 
   /** Idempotent per-session registration (temp functions). Sessions built
     * through [[GraftExtensions]] get them injected; this covers foreign
@@ -164,6 +169,13 @@ object VectorFunctions {
   /** Column API for [[SrpSignature]]: dim/nBits/table must be literals. */
   def srpSig(emb: Column, dim: Int, nBits: Int, table: Int): Column =
     call_function(SrpName, emb, lit(dim), lit(nBits), lit(table))
+
+  /** Column API for [[KmvBottomK]] (aggregate; k must be a literal). */
+  def kmvBottomK(h: Column, k: Int): Column =
+    call_function("kmv_bottomk", h, lit(k))
+
+  /** Column API for [[SimhashSig]] (aggregate). */
+  def simhashSig(h: Column): Column = call_function("simhash_sig", h)
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

@@ -1,0 +1,15 @@
+package graft.tools
+object QuickBench {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local("32")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q_pack", "q_vocab", "q_fuzzy_snm", "q_kmv_distinct", "dedup_simhash")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      def once(): Double = { val t0 = System.nanoTime(); fn(spark, sf).count(); (System.nanoTime()-t0)/1e9 }
+      val cold = once(); val warm = once()
+      println(f"QUICKBENCH $n%-18s cold=$cold%6.2f warm=$warm%6.2f")
+    }
+    spark.stop()
+  }
+}

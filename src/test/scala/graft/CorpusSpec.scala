@@ -140,6 +140,40 @@ class CorpusSpec extends AnyFunSuite {
       .select("est_distinct").as[Long].head() == 10L)
   }
 
+  test("KMV bottom-k aggregate reproduces the order-statistic formula exactly") {
+    import graft.ext.{Sketch, TextOps}
+    val df = spark.range(30000)
+      .select((col("id") % 2).as("g"), (col("id") % 5000).as("v"))
+    // independent reference: full distinct hash sets, sorted on the driver
+    val hashes = df
+      .select(col("g"), TextOps.portableHash(col("v").cast("string")).as("h"))
+      .distinct().as[(Long, Long)].collect()
+    val expected = hashes.groupBy(_._1).map { case (g, hs) =>
+      val sorted = hs.map(_._2).distinct.sorted
+      val e = if (sorted.length < 64) sorted.length.toLong
+        else math.floor(63L * (1L << 60).toDouble / sorted(63)).toLong
+      g -> e
+    }
+    val got = Sketch.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .select("g", "est_distinct").as[(Long, Long)].collect().toMap
+    assert(got == expected, "aggregate must equal the exact k-th order statistic")
+  }
+
+  test("pack global running sum equals a driver-side prefix sum at scale-ish n") {
+    // enough rows to span many range partitions
+    val docs = spark.range(5000)
+      .select(col("id"), concat_ws(" ",
+        transform(sequence(lit(1), (col("id") % 17 + 1).cast("int")),
+          _ => lit("w"))).as("text"))
+    val out = Corpus.pack(docs, "id", "text", budget = 300)
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    var running = 0L
+    out.foreach { case (id, cum) =>
+      running += id % 17 + 1
+      assert(cum == running, s"prefix sum diverged at id=$id")
+    }
+  }
+
   test("approx_count_distinct at rsd=0.02 stays within 6% of exact") {
     val df = spark.range(50000)
       .select((col("id") % 4).as("g"), (col("id") % 7919).as("v"))

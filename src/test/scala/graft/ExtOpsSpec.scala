@@ -52,6 +52,28 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash signature matches an independent driver-side md5 computation") {
+    import spark.implicits._
+    val text = "the quick brown Fox  jumps over the lazy dog end"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    // reference implementation, straight from the definition
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val toks = text.toLowerCase.trim.split("\\s+").toSeq
+    val sums = new Array[Int](60)
+    toks.foreach { t =>
+      val h = hash60(t)
+      (0 until 60).foreach(j => sums(j) += (if (((h >> j) & 1L) == 1L) 1 else -1))
+    }
+    val expected = (0 until 60).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+    val got = Dedup.simhashSignatures(df, "doc_id", "text")
+      .select("sig").as[Long].head()
+    assert(got == expected, "one-pass aggregate must equal the definition")
+  }
+
   test("brute-force ANN: self-similarity 1, LSH recalls most true neighbors") {
     val e = Tables.embeddings(spark, sf)
     val corpus = e.select(col("vec_id").as("id"), col("embedding"))

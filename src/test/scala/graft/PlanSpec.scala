@@ -86,6 +86,32 @@ class PlanSpec extends AnyFunSuite {
       s"BoundedLevenshteinRule did not fire in the join predicate:\n$opt")
   }
 
+  test("no single-partition exchange in pack / vocab / snm / kmv / simhash") {
+    // round-2 verdict: these four carried Window.orderBy-without-partition
+    // plans (all data through ONE task). The rewrites must keep every
+    // exchange keyed — the only allowed unkeyed stage is q_vocab's final
+    // rank over the topN survivors of a distributed TakeOrdered (bounded
+    // by a constant, not by data size).
+    Seq("q_pack", "q_fuzzy_snm", "q_kmv_distinct", "dedup_simhash").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$n funnels data through one partition:\n$p")
+      assert(!p.contains("No Partition Defined"), s"$n has a global window:\n$p")
+    }
+    val vocab = SparkEntry.queries("q_vocab")(spark, sf)
+    val vp = vocab.queryExecution.executedPlan.toString
+    assert(vp.contains("TakeOrdered"),
+      s"vocabulary top-N must plan as distributed TakeOrdered:\n$vp")
+  }
+
+  test("q_kmv_distinct: one keyed exchange, object-hash aggregate, no window") {
+    val p = planOf("q_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate"), s"KMV must aggregate, got:\n$p")
+    assert(!p.contains("Window"), s"KMV must not use a window:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle (the group key), got $exchanges:\n$p")
+  }
+
   test("merge applyBatch: updates side is broadcast, target never shuffled") {
     import spark.implicits._
     val target = Seq(("a", 1L)).toDF("pk", "v")
