@@ -129,14 +129,27 @@ object Corpus {
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Deterministic hash sample: keep a row iff the portable 60-bit hash
-    * of its key is below `pct`% of the hash space. Reproducible across
-    * engines/runs (md5-based), stateless, no shuffle — unlike
-    * `df.sample`, which is seed- and partitioning-dependent.
+  /** Deterministic hash sample: keep a row iff a deterministic hash of
+    * its key is below `pct`% of the hash space. Stateless, no shuffle —
+    * unlike `df.sample`, which is seed- and partitioning-dependent.
+    *
+    * `portable = true` (default) uses the md5-based 60-bit hash —
+    * reproducible in any engine, which is what makes the sample
+    * oracle-checkable. `portable = false` uses codegen'd xxhash64 — the
+    * production fast path (no md5 per row; same determinism, Spark-only
+    * reproducibility).
     */
-  def hashSample(df: DataFrame, keyCols: Seq[String], pct: Int): DataFrame =
-    df.filter(TextOps.portableHash(concat_ws(":", keyCols.map(col): _*))
-      % 100 < pct)
+  def hashSample(df: DataFrame, keyCols: Seq[String], pct: Int,
+                 portable: Boolean = true): DataFrame =
+    df.filter(keyHash(keyCols, portable) % 100 < pct)
+
+  private def keyHash(keyCols: Seq[String], portable: Boolean): Column = {
+    val key = concat_ws(":", keyCols.map(col): _*)
+    if (portable) TextOps.portableHash(key)
+    // pmod keeps the value in [0, 2^60) like the portable hash, so both
+    // modes share the `% 100 < pct` / rank-order downstream logic
+    else pmod(xxhash64(key), lit(1L << 60))
+  }
 
   /** Sorted-neighborhood record linkage candidates: rank rows by a sort
     * key and pair each row with its `window` successors. O(n·window)
@@ -171,8 +184,9 @@ object Corpus {
     * quota before the final sort.
     */
   def quotaSample(df: DataFrame, strataCols: Seq[String],
-                  keyCols: Seq[String], quota: Int): DataFrame = {
-    val h = TextOps.portableHash(concat_ws(":", keyCols.map(col): _*))
+                  keyCols: Seq[String], quota: Int,
+                  portable: Boolean = true): DataFrame = {
+    val h = keyHash(keyCols, portable)
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy((h +: keyCols.map(col)).map(_.asc): _*)
     df.withColumn("sample_rank", row_number().over(w))

@@ -93,39 +93,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
   }
 
+  /** Nearest-centroid cell id (argmax cosine, lowest id breaks ties).
+    * Native [[graft.functions.NearestCentroid]]: the centroid matrix is
+    * ONE reference object and the argmax one fused codegen'd loop — the
+    * expression tree is O(1) in the centroid count, where the round-2
+    * formulation inlined one struct expression (embedding a full vector
+    * literal) per centroid: fine at k=8, a plan blowup at k≈1000.
+    */
+  private def cellOf(emb: Column, cents: Array[(Long, Array[Float])]): Column =
+    graft.functions.VectorFunctions.nearestCentroid(emb, cents)
+
+  /** The `nProbe` nearest cell ids, best first (cosine desc, id asc). */
+  private def probeCells(emb: Column, cents: Array[(Long, Array[Float])],
+                         nProbe: Int): Column =
+    graft.functions.VectorFunctions.probeCentroids(emb, cents, nProbe)
+
   /** IVF (inverted-file) approximate top-k: the other scale path.
-    * Coarse quantization: `nCentroids` centroid vectors (deterministic:
-    * the lowest-id corpus vectors, so external oracles can replicate);
-    * every corpus vector is assigned to its nearest centroid (argmax
-    * cosine, centroid id breaks ties); a query probes only the `nProbe`
-    * centroid cells nearest to it. At 100 TB the corpus is written
-    * partitioned by cell, so a query reads nProbe/nCentroids of the data.
+    * Coarse quantization: every corpus vector is assigned to its nearest
+    * centroid (argmax cosine, centroid id breaks ties); a query probes
+    * only the `nProbe` centroid cells nearest to it. At 100 TB the
+    * corpus is written partitioned by cell, so a query reads
+    * nProbe/nCentroids of the data.
+    *
+    * Centroids: `trainIters` = 0 picks the lowest-id corpus vectors —
+    * deterministic, so external oracles can replicate the full
+    * assignment; `trainIters` > 0 runs Lloyd k-means ([[kmeansCentroids]])
+    * for honest cells at scale (cell ids are then centroid indexes).
+    * Assignment cost is one shuffle-free scan either way; the centroid
+    * set rides along as a single array literal ([[centScores]]).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int): DataFrame = {
+              nCentroids: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
     ensureRegistered(corpus)
-    val cents = corpus.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("embedding").as("cent"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    def centLit(v: Seq[Float]) = lit(v.toArray)
-    // nearest centroid = max (cosine, -cid) over the centroid structs
-    def cellOf(emb: Column): Column = {
-      val scored = cents.map { case (cid, v) =>
-        struct(cosine(emb, centLit(v)).as("sim"), lit(-cid).as("ncid"))
-      }
-      -greatest(scored: _*).getField("ncid")
-    }
-    // a query's nProbe nearest cells, as exploded rows
-    def probeCells(emb: Column): Column = {
-      val arr = array(cents.map { case (cid, v) =>
-        struct(cosine(emb, centLit(v)).as("sim"), lit(-cid).as("ncid"))
-      }: _*)
-      transform(slice(reverse(array_sort(arr)), 1, nProbe), s => -s.getField("ncid"))
-    }
+    val cents: Array[(Long, Array[Float])] =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, nCentroids, trainIters)
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      else corpus.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").as("cid"), col("embedding").as("cent"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
-      .withColumn("cell", cellOf(col("c_emb")))
+      .withColumn("cell", cellOf(col("c_emb"), cents))
     val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("cell", explode(probeCells(col("q_emb"))))
+      .withColumn("cell", explode(probeCells(col("q_emb"), cents, nProbe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("c_emb"), col("q_emb")), 3))
@@ -149,21 +159,28 @@ object Similarity {
     * @return (id, embedding, cell) — final assignment
     */
   def kmeans(corpus: DataFrame, k: Int, maxIter: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, k, maxIter)
+    corpus.withColumn("cell", cellOf(col("embedding"), indexed(cents)).cast("int"))
+  }
+
+  private def indexed(cents: Array[Array[Float]]): Array[(Long, Array[Float])] =
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  /** The trained centroid matrix itself (k × dim floats — driver-sized at
+    * any corpus scale). Shared by [[kmeans]] and [[ivfTopK]]'s trained
+    * mode.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, maxIter: Int): Array[Array[Float]] = {
     ensureRegistered(corpus)
     val first = corpus.select(col("embedding")).head()
     val dim = first.getSeq[Float](0).length
     var cents: Array[Array[Float]] = corpus.orderBy(col("id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
-    def cellOf(emb: Column): Column = {
-      val scored = cents.zipWithIndex.map { case (v, i) =>
-        struct(cosine(emb, lit(v)).as("sim"), lit(-i).as("nidx"))
-      }
-      -greatest(scored.toIndexedSeq: _*).getField("nidx")
-    }
     var iter = 0
     while (iter < maxIter) {
-      val assigned = corpus.withColumn("cell", cellOf(col("embedding")))
+      val assigned = corpus.withColumn("cell",
+        cellOf(col("embedding"), indexed(cents)).cast("int"))
       val avgs = (0 until dim).map(i => avg(col("embedding")(i)).as(s"d$i"))
       val updated = assigned.groupBy(col("cell"))
         .agg(avgs.head, avgs.tail: _*).collect()
@@ -172,7 +189,7 @@ object Similarity {
       cents = Array.tabulate(k)(i => updated.getOrElse(i, cents(i)))
       iter += 1
     }
-    corpus.withColumn("cell", cellOf(col("embedding")))
+    cents
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ tau, blocked by a

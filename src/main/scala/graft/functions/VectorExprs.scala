@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.functions.{call_function, lit, typedlit}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression for cosine similarity over two
@@ -129,25 +129,178 @@ object SrpSignature {
     }
 }
 
+/** Shared scoring core for the centroid expressions: cosine of the input
+  * vector against every centroid, with the per-centroid norms
+  * precomputed once at construction (the vector's own norm is computed
+  * once per ROW, not once per centroid — half the flops of k separate
+  * [[CosineSim]] calls). Accumulation is index-order in double precision,
+  * the same IEEE sequence as [[CosineSim]], so assignments agree
+  * bit-for-bit with per-centroid cosine formulations and external
+  * oracles. `-0.0` normalizes to `0.0` to mirror SQL double ordering.
+  */
+trait CentroidScoring {
+  def cents: Array[Array[Float]]
+  def ids: Array[Long]
+  @transient protected lazy val norms: Array[Double] = cents.map { v =>
+    var nb = 0.0
+    var j = 0
+    while (j < v.length) { nb += v(j).toDouble * v(j).toDouble; j += 1 }
+    math.sqrt(nb)
+  }
+
+  protected def sims(x: ArrayData): Array[Double] = {
+    val n = math.min(x.numElements(), if (cents.isEmpty) 0 else cents(0).length)
+    var na = 0.0
+    var j = 0
+    while (j < n) { val xj = x.getFloat(j).toDouble; na += xj * xj; j += 1 }
+    val sqrtNa = math.sqrt(na)
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val v = cents(c)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * v(i); i += 1 }
+      val s = dot / (sqrtNa * norms(c))
+      out(c) = if (s == 0.0) 0.0 else s
+      c += 1
+    }
+    out
+  }
+}
+
+/** Nearest-centroid assignment (IVF coarse quantization / k-means
+  * assignment): argmax cosine over a centroid matrix carried as ONE
+  * reference object — the expression tree is O(1) in the centroid
+  * count, where the round-2 formulation inlined one struct expression
+  * (embedding a full vector literal) per centroid: fine at k=8, a plan
+  * blowup at k≈1000. Ties break to the lowest centroid id (iteration is
+  * in ascending-id order with a strict comparison; NaN compares
+  * greatest, as in SQL double ordering).
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Float]],
+                           ids: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CentroidScoring {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = sims(a.asInstanceOf[ArrayData])
+    var best = 0
+    var c = 1
+    while (c < s.length) {
+      if (java.lang.Double.compare(s(c), s(best)) > 0) best = c
+      c += 1
+    }
+    ids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val na = ctx.freshName("na")
+      val sqrtNa = ctx.freshName("sqrtNa"); val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId"); val c = ctx.freshName("c")
+      val v = ctx.freshName("v"); val dot = ctx.freshName("dot")
+      val sim = ctx.freshName("sim"); val j = ctx.freshName("j")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(),
+          $centsRef.length == 0 ? 0 : $centsRef[0].length);
+        double $na = 0.0;
+        for (int $j = 0; $j < $n; $j++) {
+          double xj = (double) $a.getFloat($j); $na += xj * xj;
+        }
+        double $sqrtNa = java.lang.Math.sqrt($na);
+        double $best = java.lang.Double.NEGATIVE_INFINITY;
+        long $bestId = $idsRef.length == 0 ? -1L : $idsRef[0];
+        for (int $c = 0; $c < $centsRef.length; $c++) {
+          float[] $v = $centsRef[$c];
+          double $dot = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            $dot += ((double) $a.getFloat($j)) * $v[$j];
+          }
+          double $sim = $dot / ($sqrtNa * $normsRef[$c]);
+          if ($sim == 0.0) $sim = 0.0;
+          if (java.lang.Double.compare($sim, $best) > 0) {
+            $best = $sim; $bestId = $idsRef[$c];
+          }
+        }
+        ${ev.value} = $bestId;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** The `nProbe` nearest centroid ids, best-first, ordered by
+  * (cosine desc, id asc) — the query-side cell probe of IVF search.
+  * Runs on the (small, broadcast) query side, so interpreted evaluation
+  * is fine; the matrix still rides as one reference object.
+  */
+case class ProbeCentroids(child: Expression, cents: Array[Array[Float]],
+                          ids: Array[Long], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CentroidScoring
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "probe_centroids"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = sims(a.asInstanceOf[ArrayData])
+    val order = Array.range(0, s.length).sortWith { (i, j) =>
+      val c = java.lang.Double.compare(s(j), s(i)) // desc by sim, NaN first
+      if (c != 0) c < 0 else ids(i) < ids(j)       // ties: id asc
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.take(nProbe).map(ids(_)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCentroids =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   val Name = "cosine_sim"
   val SrpName = "srp_sig"
 
-  private def srpBuilder(exprs: Seq[Expression]): Expression = {
-    def intArg(e: Expression): Int =
-      e.eval(null).asInstanceOf[Number].intValue()
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  private def srpBuilder(exprs: Seq[Expression]): Expression =
     SrpSignature(exprs(0),
       SrpSignature.signsFor(intArg(exprs(1)), intArg(exprs(2)), intArg(exprs(3))))
+
+  // centroid matrix / id list arrive as FOLDABLE literals (typedlit) and
+  // are folded into plain JVM arrays at resolution time — the expression
+  // carries them as reference objects, not as plan nodes
+  private def matArg(e: Expression): Array[Array[Float]] = {
+    val ad = e.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray())
   }
+  private def longsArg(e: Expression): Array[Long] =
+    e.eval(null).asInstanceOf[ArrayData].toLongArray()
 
   private[functions] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     Name -> (exprs => CosineSim(exprs(0), exprs(1))),
     SrpName -> srpBuilder,
     // aggregates: the analyzer wraps AggregateFunction results in an
     // AggregateExpression automatically on resolution
-    "kmv_bottomk" -> (exprs => KmvBottomK(exprs(0),
-      exprs(1).eval(null).asInstanceOf[Number].intValue())),
-    "simhash_sig" -> (exprs => SimhashSig(exprs(0))))
+    "kmv_bottomk" -> (exprs => KmvBottomK(exprs(0), intArg(exprs(1)))),
+    "simhash_sig" -> (exprs => SimhashSig(exprs(0))),
+    "nearest_centroid" -> (exprs =>
+      NearestCentroid(exprs(0), matArg(exprs(1)), longsArg(exprs(2)))),
+    "probe_centroids" -> (exprs =>
+      ProbeCentroids(exprs(0), matArg(exprs(1)), longsArg(exprs(2)),
+        intArg(exprs(3)))))
 
   /** Idempotent per-session registration (temp functions). Sessions built
     * through [[GraftExtensions]] get them injected; this covers foreign
@@ -169,6 +322,18 @@ object VectorFunctions {
   /** Column API for [[SrpSignature]]: dim/nBits/table must be literals. */
   def srpSig(emb: Column, dim: Int, nBits: Int, table: Int): Column =
     call_function(SrpName, emb, lit(dim), lit(nBits), lit(table))
+
+  /** Column API for [[NearestCentroid]]: cell id of the nearest centroid. */
+  def nearestCentroid(emb: Column, cents: Array[(Long, Array[Float])]): Column =
+    call_function("nearest_centroid", emb,
+      typedlit(cents.map(_._2.toSeq).toSeq), typedlit(cents.map(_._1).toSeq))
+
+  /** Column API for [[ProbeCentroids]]: the nProbe nearest cell ids. */
+  def probeCentroids(emb: Column, cents: Array[(Long, Array[Float])],
+                     nProbe: Int): Column =
+    call_function("probe_centroids", emb,
+      typedlit(cents.map(_._2.toSeq).toSeq), typedlit(cents.map(_._1).toSeq),
+      lit(nProbe))
 
   /** Column API for [[KmvBottomK]] (aggregate; k must be a literal). */
   def kmvBottomK(h: Column, k: Int): Column =

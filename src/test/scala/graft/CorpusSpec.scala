@@ -45,6 +45,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(five < a)
   }
 
+  test("xxhash64 fast-path sampling: deterministic, on-rate, no md5 in plan") {
+    val df = spark.range(10000).select(col("id"))
+    val fast = Corpus.hashSample(df, Seq("id"), 10, portable = false)
+    val a = fast.count()
+    assert(a == Corpus.hashSample(df, Seq("id"), 10, portable = false).count())
+    assert(a > 700 && a < 1300, s"~10% of 10k expected, got $a")
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64") && !plan.contains("md5"),
+      s"fast path must not pay md5:\n$plan")
+    // quota twin: exact quota per stratum in fast mode too
+    val strat = spark.range(1000)
+      .select((col("id") % 3).cast("string").as("g"), col("id"))
+    val q = Corpus.quotaSample(strat, Seq("g"), Seq("id"), 20, portable = false)
+    assert(q.groupBy("g").count().select("count").as[Long].collect().toSeq
+      == Seq(20L, 20L, 20L))
+  }
+
   test("quotaSample returns exactly the quota per stratum, deterministically") {
     val df = spark.range(1000)
       .select((col("id") % 3).cast("string").as("g"), col("id"))
