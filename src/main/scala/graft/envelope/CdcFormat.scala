@@ -38,6 +38,16 @@ trait CdcFormat {
   /** Value of `op` that marks a delete event. */
   def deleteMarker: String
 
+  /** Warehouse DDL types for the normalized columns (reference P10:
+    * `alias(name, metadata={'redshift_type': ...})`,
+    * src/glue_pg_redshift_cdc.py:139-145) — applied by the pipeline via
+    * [[graft.sink.SinkTypes.annotate]] between compaction and the sink,
+    * so the payload lands as SUPER and keys/markers get declared widths.
+    * Empty where the reference annotates nothing (DMS explodes payloads
+    * to typed relational columns instead).
+    */
+  def sinkTypes: Map[String, String] = Map.empty
+
   /** value:string → parsed envelope columns (adds `env` struct). */
   def parse(df: DataFrame): DataFrame =
     df.withColumn("env", from_json(col("value").cast(StringType), schema))
@@ -104,6 +114,14 @@ object MongoCdc extends CdcFormat {
   val name = "mongo"
   val deleteMarker = "delete"
 
+  /** reference src/glue_docdb_redshift_cdc.py:141-147 (doc_id itself is
+    * unannotated there; payload→SUPER, names/op as declared). */
+  override val sinkTypes: Map[String, String] = Map(
+    "db_name" -> "VARCHAR(120)",
+    "tb_name" -> "VARCHAR(120)",
+    "payload" -> "SUPER",
+    "op" -> "VARCHAR(64)")
+
   val schema: StructType = StructType(Seq(
     StructField("_id", StringType, nullable = false),
     StructField("operationType", StringType),
@@ -147,6 +165,14 @@ object MongoCdc extends CdcFormat {
 object PgCdc extends CdcFormat {
   val name = "pg"
   val deleteMarker = "d"
+
+  /** reference src/glue_pg_redshift_cdc.py:139-145. */
+  override val sinkTypes: Map[String, String] = Map(
+    "pk" -> "INT4",
+    "db_name" -> "VARCHAR(120)",
+    "tb_name" -> "VARCHAR(120)",
+    "payload" -> "SUPER",
+    "op" -> "CHAR(2)")
 
   val schema: StructType = StructType(Seq(
     StructField("before", StringType),

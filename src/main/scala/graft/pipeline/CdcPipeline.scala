@@ -82,9 +82,11 @@ final class CdcPipeline(
   private def processNormalized(norm: DataFrame, batchId: Long,
                                 dlqRows: Long): CdcPipeline.BatchReport = {
     val order = Seq("ts_ms") ++ tiebreaker
-    val compacted = Compaction
-      .latestPerKey(norm, Seq("db_name", "tb_name", "pk"), order)
-      .withColumn("ts_date", to_date(from_unixtime(col("ts_ms") / 1000)))
+    val compacted = graft.sink.SinkTypes.annotate(
+      Compaction
+        .latestPerKey(norm, Seq("db_name", "tb_name", "pk"), order)
+        .withColumn("ts_date", to_date(from_unixtime(col("ts_ms") / 1000))),
+      format.sinkTypes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val tables = Compaction.targets(compacted, Seq("db_name", "tb_name"))

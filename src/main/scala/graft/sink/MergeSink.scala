@@ -5,6 +5,7 @@ import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** A merge sink applies one compacted per-table batch (upserts + deletes)
   * atomically to the target table identified by (db, tb).
@@ -46,6 +47,47 @@ trait MergeDialect {
   def mergeStatements(target: String, stage: String, key: String,
                       insertCols: Seq[String], opCol: String,
                       deleteMarker: String): Seq[String]
+
+  /** Column DDL for explicit stage creation: [[SinkTypes]] metadata
+    * (reference P10, src/glue_pg_redshift_cdc.py:139-145) wins —
+    * translated for this engine — else the default type mapping.
+    * Identifiers are double-quoted to match the Spark JDBC writer.
+    */
+  def columnDdl(f: types.StructField): String =
+    "\"" + f.name + "\" " +
+      SinkTypes.of(f).map(translateSinkType).getOrElse(defaultType(f.dataType))
+
+  /** Adapt a Redshift-flavored metadata type to this engine (identity on
+    * Redshift itself). */
+  def translateSinkType(t: String): String = t
+
+  /** Fallback Spark→SQL mapping when a column carries no sink type. */
+  def defaultType(dt: types.DataType): String = dt match {
+    case types.StringType => "VARCHAR(4096)"
+    case types.IntegerType => "INTEGER"
+    case types.ShortType => "SMALLINT"
+    case types.LongType => "BIGINT"
+    case types.DoubleType => "DOUBLE PRECISION"
+    case types.FloatType => "REAL"
+    case types.BooleanType => "BOOLEAN"
+    case types.DateType => "DATE"
+    case _: types.TimestampType => "TIMESTAMP"
+    case d: types.DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _ => "VARCHAR(4096)"
+  }
+
+  /** Full stage DDL honoring sink-type metadata. The target then inherits
+    * these types through [[createTarget]]'s create-from-stage. */
+  def createStage(stage: String, schema: types.StructType): String =
+    s"CREATE TABLE $stage (${schema.fields.map(columnDdl).mkString(", ")})"
+
+  /** Bulk-load statement pulling one staged file into the stage table —
+    * the S3-COPY analogue (reference K1, src/glue_pg_redshift_cdc.py:
+    * 192-203 `tempdir`/`tempformat CSV`/`aws_iam_role`). None (default)
+    * = engine has no bulk path; the sink falls back to JDBC inserts.
+    */
+  def copyFromStaging(stage: String, file: String,
+                      iamRole: Option[String]): Option[String] = None
 }
 
 /** Redshift-flavored SQL — the reference's exact strategy (K1-K4):
@@ -58,6 +100,12 @@ object RedshiftDialect extends MergeDialect {
                       insertCols: Seq[String], opCol: String,
                       deleteMarker: String): Seq[String] =
     MergeSql.deleteInsertMerge(target, stage, key, insertCols, opCol, deleteMarker)
+  // redshift_type metadata is already Redshift DDL — verbatim (inherited
+  // translateSinkType), so SUPER/CHAR(2)/VARCHAR(120) land as declared
+  override def copyFromStaging(stage: String, file: String,
+                               iamRole: Option[String]): Option[String] =
+    Some(s"COPY $stage FROM '$file'" +
+      iamRole.map(r => s" IAM_ROLE '$r'").getOrElse("") + " FORMAT AS CSV")
 }
 
 /** Portable ANSI dialect (works on embedded Derby in tests, and any
@@ -68,6 +116,31 @@ object RedshiftDialect extends MergeDialect {
   */
 object AnsiDialect extends MergeDialect {
   private def q(id: String) = "\"" + id + "\""
+  /** Redshift-flavored metadata types mapped to portable/Derby DDL:
+    * SUPER (semi-structured) has no ANSI analogue and degrades to the
+    * widest VARCHAR; Redshift's int aliases map to standard names. */
+  override def translateSinkType(t: String): String = t.trim.toUpperCase match {
+    case "SUPER" => "VARCHAR(32672)"
+    case "INT4" => "INTEGER"
+    case "INT8" => "BIGINT"
+    case "INT2" => "SMALLINT"
+    case other => other
+  }
+
+  /** Like the base rule, but writability-aware: a numeric sink type over
+    * a STRING Spark column (the reference's `pk_id INT4` over a
+    * `get_json_object` string) only works where the loader coerces text
+    * — Redshift's CSV COPY does, row-wise JDBC inserts don't — so here
+    * it lands as text and the numeric intent stays warehouse-side. */
+  override def columnDdl(f: types.StructField): String = {
+    val resolved = SinkTypes.of(f).map(translateSinkType) match {
+      case Some("INTEGER" | "BIGINT" | "SMALLINT")
+          if f.dataType == types.StringType => "VARCHAR(64)"
+      case Some(x) => x
+      case None => defaultType(f.dataType)
+    }
+    "\"" + f.name + "\" " + resolved
+  }
   def createTarget(target: String, stage: String, cols: Seq[String]): Seq[String] =
     Seq(s"CREATE TABLE $target AS SELECT * FROM $stage WITH NO DATA")
   def mergeStatements(target: String, stage: String, key: String,
@@ -83,14 +156,32 @@ object AnsiDialect extends MergeDialect {
     s"DROP TABLE $stage")
 }
 
-/** JDBC merge sink: write the batch to a stage table with the Spark JDBC
-  * writer (parallel executors → one table), then run the merge
-  * transaction on a single driver connection — the portable equivalent
-  * of the reference's S3-COPY + postactions path (K1,
-  * src/glue_pg_redshift_cdc.py:192-203).
+/** File-staging configuration for bulk loads — the reference's
+  * `tmpdir` + `aws_iam_role` contract (config readme.md:18-19,
+  * src/glue_pg_redshift_cdc.py:170,199-202): batches are written as CSV
+  * under `tmpdir` and ingested via the dialect's COPY statement.
+  */
+final case class StagingConf(tmpdir: String, iamRole: Option[String] = None)
+
+/** JDBC merge sink: load the batch into a stage table, then run the
+  * merge transaction on a single driver connection — the reference's
+  * staged-COPY + postactions design (K1, src/glue_pg_redshift_cdc.py:
+  * 192-203).
+  *
+  * Stage loading has two paths:
+  *   - `staging` configured AND the dialect supports COPY: executors
+  *     write CSV part files under `tmpdir` in parallel, the warehouse
+  *     bulk-ingests each part — the reference's actual load mechanism
+  *     (S3 tempdir + `tempformat CSV` + `aws_iam_role`);
+  *   - otherwise the Spark JDBC writer inserts row-wise (portable
+  *     fallback; BASELINE sanctions "JDBC sink to Redshift").
+  * Either way, a batch carrying [[SinkTypes]] metadata gets its stage
+  * created from dialect-generated DDL, so SUPER/VARCHAR widths land as
+  * annotated instead of whatever the JDBC writer's default mapping picks.
   */
 final class JdbcMergeSink(url: String, props: Properties,
-                          dialect: MergeDialect) extends MergeSink {
+                          dialect: MergeDialect,
+                          staging: Option[StagingConf] = None) extends MergeSink {
 
   private def withConnection[A](f: Connection => A): A = {
     val conn = DriverManager.getConnection(url, props)
@@ -155,6 +246,34 @@ final class JdbcMergeSink(url: String, props: Properties,
     } finally ps.close()
   }
 
+  /** Stage via files + warehouse COPY: executors write CSV parts under
+    * `tmpdir` in parallel (at deployment tmpdir is an s3:// URI and this
+    * is the reference's exact load shape); the driver then runs one COPY
+    * per part file. Local paths are passed plain (Derby's import
+    * procedure wants a filesystem path), remote ones as full URIs
+    * (Redshift COPY wants s3://...).
+    */
+  private def bulkLoad(batch: DataFrame, stage: String): Unit = {
+    val conf = staging.get
+    val dir = s"${conf.tmpdir.stripSuffix("/")}/$stage-${java.util.UUID.randomUUID()}"
+    batch.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+      .csv(dir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    withConnection { conn =>
+      conn.setAutoCommit(true)
+      val st = conn.createStatement()
+      try parts.foreach { p =>
+        val loc = if (p.toUri.getScheme == "file" || p.toUri.getScheme == null)
+          p.toUri.getPath else p.toString
+        dialect.copyFromStaging(stage, loc, conf.iamRole).foreach(st.execute(_))
+      } finally st.close()
+    }
+  }
+
   private def mergeImpl(once: Option[(String, Long)], db: String, tb: String,
                         batch: DataFrame, keyCol: String, opCol: String,
                         deleteMarker: String): Unit = {
@@ -168,8 +287,23 @@ final class JdbcMergeSink(url: String, props: Properties,
       }
       if (skip) return
     }
-    // 1. stage write (executors, parallel inserts)
-    batch.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
+    // 1. stage load. Explicit dialect DDL when the batch carries
+    // sink-type metadata (P10) or when bulk-loading (COPY needs the
+    // table to pre-exist); else the JDBC writer creates the stage itself.
+    val bulk = staging.isDefined &&
+      dialect.copyFromStaging(stage, "<probe>", None).isDefined
+    if (bulk || SinkTypes.hasAny(batch.schema)) {
+      withConnection { conn =>
+        conn.setAutoCommit(true)
+        val st = conn.createStatement()
+        try {
+          if (tableExists(conn, stage)) st.executeUpdate(s"DROP TABLE $stage")
+          st.executeUpdate(dialect.createStage(stage, batch.schema))
+        } finally st.close()
+      }
+      if (bulk) bulkLoad(batch, stage)
+      else batch.write.mode(SaveMode.Append).jdbc(url, stage, props)
+    } else batch.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
     // 2. merge transaction (driver connection)
     withConnection { conn =>
       conn.setAutoCommit(false)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import graft.config.JobConfig
 import graft.envelope.{CdcFormat, DmsCdc, MongoCdc, PgCdc}
 import graft.pipeline.CdcPipeline
-import graft.sink.{JdbcMergeSink, RedshiftDialect}
+import graft.sink.{JdbcMergeSink, RedshiftDialect, StagingConf}
 
 /** Production entry point: the equivalent of the reference's three Glue
   * job scripts, collapsed into one binary parameterized by
@@ -57,7 +57,12 @@ object RunPipeline {
     val props = new Properties()
     props.setProperty("user", cfg.redshift_conf.user)
     props.setProperty("password", cfg.redshift_conf.password)
-    val sink = new JdbcMergeSink(cfg.redshift_conf.url, props, RedshiftDialect)
+    // tmpdir configured -> staged CSV + COPY bulk loads (the reference's
+    // S3-staging path, readme.md:18-19); absent -> row-wise JDBC inserts
+    val staging = cfg.redshift_conf.tmpdir
+      .map(d => StagingConf(d, cfg.redshift_conf.aws_iam_role))
+    val sink = new JdbcMergeSink(cfg.redshift_conf.url, props,
+      RedshiftDialect, staging)
 
     val pipeline = new CdcPipeline(format, sink, tableParallelism = 10,
       tiebreaker = Some("offset"))
