@@ -31,4 +31,26 @@ class ConfigSpec extends AnyFunSuite {
     assert(!c.apply_delete)
     assert(c.cdc_timestamp_format == "yyyy-MM-dd'T'HH:mm:ss'Z'") // default
   }
+
+  test("kafka reader options mirror the reference set, maxOffsetsPerTrigger wired") {
+    // the connector itself is absent from this environment (external
+    // package, zero egress), so the option CONTRACT is the testable
+    // surface — reference src/glue_pg_redshift_cdc.py:223-230 + the
+    // dead maxOffsetsPerTrigger key (readme.md:27) this rebuild fixes
+    val opts = graft.pipeline.CdcPipeline.kafkaOptions(JobConfig.fromJson(json))
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "b-1:9092",
+      "subscribe" -> "cdc",
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> "200000",
+      "kafka.consumer.commit.groupid" -> "g1",
+      "kafkaConsumer.pollTimeoutMs" -> "240000"))
+    // optional keys drop out rather than writing nulls
+    val minimal = JobConfig.fromJson(json
+      .replace(""""maxOffsetsPerTrigger": 200000, "groupId": "g1",""", "")
+      .replace(""", "pollTimeoutMs": 240000""", ""))
+    val minOpts = graft.pipeline.CdcPipeline.kafkaOptions(minimal)
+    assert(minOpts.keySet ==
+      Set("kafka.bootstrap.servers", "subscribe", "startingOffsets"))
+  }
 }
