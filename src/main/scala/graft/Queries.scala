@@ -1115,6 +1115,73 @@ object Queries {
         md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS fp_scrubbed
       FROM documents"""))
 
+  /** Full PII battery over documents with deterministic synthetic PII
+    * injected (the corpus is a clean word salad, so the scrubber must be
+    * SHOWN to fire): emails, URLs, IPv4, phone numbers, digit runs —
+    * scrubbed in specificity order, hit counts per stage, result
+    * certified by fingerprint. All regexes RE2-compatible → the whole
+    * battery replays in the oracle.
+    */
+  val qPiiFull = Q("q_pii_full",
+    (s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@ex.com http://ex.org/p/"),
+          col("doc_id"), lit(" ip 10.2."), col("doc_id") % 256,
+          lit(".7 tel +1555"), col("doc_id") + 1000000).as("s"))
+      val (scrubbed, counts) = Corpus.scrubAll(col("s"))
+      withPii.select(col("doc_id") +:
+        counts.map { case (n, c) => c.as(s"n_$n") } :+
+        md5(scrubbed).as("fp_scrubbed"): _*)
+    },
+    Some("""WITH t0 AS (
+        SELECT doc_id, text || ' contact u' || doc_id || '@ex.com http://ex.org/p/'
+          || doc_id || ' ip 10.2.' || (doc_id % 256) || '.7 tel +1555'
+          || (doc_id + 1000000) AS s
+        FROM documents),
+      s1 AS (SELECT doc_id,
+          len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g') AS s
+        FROM t0),
+      s2 AS (SELECT doc_id, n_email,
+          len(regexp_extract_all(s, 'https?://[^\s]+')) AS n_url,
+          regexp_replace(s, 'https?://[^\s]+', '<url>', 'g') AS s
+        FROM s1),
+      s3 AS (SELECT doc_id, n_email, n_url,
+          len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+          regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ip>', 'g') AS s
+        FROM s2),
+      s4 AS (SELECT doc_id, n_email, n_url, n_ipv4,
+          len(regexp_extract_all(s, '\+\d{7,15}')) AS n_phone,
+          regexp_replace(s, '\+\d{7,15}', '<phone>', 'g') AS s
+        FROM s3),
+      s5 AS (SELECT doc_id, n_email, n_url, n_ipv4, n_phone,
+          len(regexp_extract_all(s, '[0-9]+')) AS n_number,
+          regexp_replace(s, '[0-9]+', '<num>', 'g') AS s
+        FROM s4)
+      SELECT doc_id, n_email, n_url, n_ipv4, n_phone, n_number,
+        md5(s) AS fp_scrubbed
+      FROM s5"""))
+
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage/IO shrink for vector corpora — with the int8 values
+    * themselves oracle-certified (double-precision scale math + floor
+    * rounding is engine-exact; arrays serialized to strings for the
+    * hash compare).
+    */
+  val qQuantize = Q("q_quantize",
+    (s, dir) => t(s, dir, "embeddings").select(col("vec_id"),
+      concat_ws(",", transform(Similarity.quantizeInt8(col("embedding")),
+        _.cast("string"))).as("q8")),
+    Some("""WITH scaled AS (
+        SELECT vec_id, embedding,
+          list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS m
+        FROM embeddings)
+      SELECT vec_id,
+        array_to_string(list_transform(embedding,
+          x -> CAST(floor(x::DOUBLE * 127 / m + 0.5) AS INT)), ',') AS q8
+      FROM scaled"""))
+
   /** Analytic-window breadth: lag/lead/ntile/percent_rank/cume_dist in
     * one deterministic ordering (ts then event_id). Rank fractions are
     * small-integer divisions — identical IEEE results in both engines —
@@ -1623,7 +1690,7 @@ object Queries {
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
     qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnIvfTrained, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
-    qTfidf, qVocab, qPiiScrub, qHll, qKmv,
+    qTfidf, qVocab, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qTimeTravel, qDataQuality,

@@ -72,6 +72,38 @@ object Corpus {
     (regexp_replace(textCol, pattern, replacement),
       size(regexp_extract_all(textCol, lit(pattern), lit(0))))
 
+  /** Standard PII scrub battery, most-specific first (emails and URLs
+    * before bare digit runs, so an address never leaks through as its
+    * digit fragments). Every regex is RE2-compatible, so external
+    * engines reproduce the scrub byte-for-byte — what keeps the full
+    * battery oracle-checkable.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+    ("url", "https?://[^\\s]+", "<url>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<ip>"),
+    ("phone", "\\+\\d{7,15}", "<phone>"),
+    ("number", "[0-9]+", "<num>"))
+
+  /** Apply a scrub battery in order. Each stage counts its hits on the
+    * output of the PREVIOUS stage (so a digit inside an already-scrubbed
+    * email is not double-counted) and replaces them. Stateless
+    * projection — one codegen'd pass, no shuffle, scales linearly.
+    *
+    * @return (fully scrubbed text, per-pattern hit counts in order)
+    */
+  def scrubAll(textCol: Column,
+               patterns: Seq[(String, String, String)] = PiiPatterns)
+      : (Column, Seq[(String, Column)]) = {
+    var cur = textCol
+    val counts = patterns.map { case (name, pattern, replacement) =>
+      val n = size(regexp_extract_all(cur, lit(pattern), lit(0)))
+      cur = regexp_replace(cur, pattern, replacement)
+      name -> n
+    }
+    (cur, counts)
+  }
+
   /** Split documents into overlapping token-window chunks — the
     * long-document step before tokenization-for-training. Deterministic:
     * chunk i covers tokens [i·(size-overlap), i·(size-overlap)+size).

@@ -23,6 +23,37 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bin-pack a parquet directory into ~`targetBytes` files — the
+    * small-files fix. Streaming ingestion and per-table fanout produce
+    * thousands of KB-sized files per partition; at 100 TB that means
+    * listing/opening costs dominate scans and the NameNode/object-store
+    * melts. Rewrite: one pass, `ceil(bytes/target)` output files via a
+    * round-robin repartition (no key assumption), atomic swap via
+    * rename. Run it as the compaction tick of any continuously-written
+    * table; readers see either the old or the new file set.
+    *
+    * @return number of output files written
+    */
+  def compactParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        targetBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, s".compact-${path.getName}-${java.util.UUID.randomUUID()}")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(
+      path.getParent, s".old-${path.getName}-${java.util.UUID.randomUUID()}")
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * deterministic salt in [0, n); the small side is replicated n ways.
     * The shuffle key becomes (key, salt), splitting each hot key across

@@ -192,6 +192,27 @@ object Similarity {
     cents
   }
 
+  /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127 / m)
+    * with m = max|x_i| — the standard 4× storage/IO shrink for embedding
+    * columns at corpus scale (dequantize as q_i · m / 127, max error
+    * m/254). Pure builtins in double precision with floor(x+0.5)
+    * rounding, so any engine reproduces the exact int8 values — the
+    * quantizer itself is oracle-checkable. Zero vectors quantize to
+    * zeros (m = 0 guard).
+    *
+    * @return array<int> column (int8 range; int-typed for portability)
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val m = array_max(transform(emb, x => abs(x.cast("double"))))
+    when(m === 0.0, transform(emb, _ => lit(0)))
+      .otherwise(transform(emb,
+        x => floor(x.cast("double") * 127.0 / m + 0.5).cast("int")))
+  }
+
+  /** Inverse of [[quantizeInt8]] given the original max-abs scale. */
+  def dequantizeInt8(q: Column, maxAbs: Column): Column =
+    transform(q, v => (v.cast("double") * maxAbs / 127.0).cast("float"))
+
   /** Near-duplicate pairs by embedding cosine ≥ tau, blocked by a
     * category column (same-label pairs only) so the pair space is
     * per-block quadratic instead of globally quadratic. At larger scale

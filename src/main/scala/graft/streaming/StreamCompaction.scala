@@ -76,4 +76,43 @@ object StreamCompaction {
     df.withColumn("event_time", timestamp_millis(col("ts_ms")))
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("db_name", "tb_name", "pk", "ts_ms", "offset")
+
+  /** A document surviving streaming exact-dedup: first occurrence of its
+    * content fingerprint across the whole stream. */
+  final case class DedupedDoc(id: Long, fp: String, text: String)
+
+  /** Streaming corpus ingestion with CROSS-BATCH exact dedup: keyed
+    * state on the content fingerprint ([[graft.ext.TextOps.fingerprint]]
+    * — md5 of normalized text), first occurrence wins (lowest id inside
+    * a batch, arrival order across batches), every later duplicate is
+    * suppressed no matter how many triggers apart. This is the streaming
+    * complement of [[graft.ext.Dedup.exactGroups]] for continuously-
+    * arriving training data: state per unique document is ~50 bytes
+    * (fingerprint + flag), NOT the text, so a billion-doc corpus holds
+    * ~50 GB of state across the cluster — viable where re-running batch
+    * dedup per trigger is not. No timeout by default: exact dedup is
+    * global by definition; pass a watermark-based variant when the
+    * contract is bounded-window dedup.
+    */
+  def firstPerFingerprint(docs: DataFrame, idCol: String,
+                          textCol: String): Dataset[DedupedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        graft.ext.TextOps.fingerprint(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("id"),
+        col(textCol).as("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, DedupedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._2)
+            Iterator.single(DedupedDoc(first._2, fp, first._3))
+          }
+      }
+  }
 }

@@ -1,4 +1,5 @@
 package graft
+// (compaction + salting layout tools)
 
 import java.nio.file.Files
 
@@ -27,6 +28,48 @@ class LayoutSpec extends AnyFunSuite {
     val plain = orders.join(
       lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
     assert(joined.count() == plain.count())
+  }
+
+  test("compactParquetDir bin-packs small files, keeps every row, swaps atomically") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate streaming ingest: 64 tiny part files
+    spark.range(20000).select(col("id"), (col("id") % 7).as("g"))
+      .repartition(64).write.parquet(dir)
+    def partFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles() == 64)
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    val n = Layout.compactParquetDir(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1 && partFiles() == 1, s"expected 1 packed file, got ${partFiles()}")
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == before,
+      "compaction must preserve every row")
+    // target smaller than total -> multiple output files
+    val n2 = Layout.compactParquetDir(spark, dir, targetBytes = 40000L)
+    assert(n2 > 1 && partFiles() == n2)
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
+
+  test("int8 quantization round-trips within the m/254 bound") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val checked = e.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("q8"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m"))
+      .select(col("vec_id"), col("m"),
+        array_max(transform(col("q8"), v => abs(v))).as("qmax"),
+        aggregate(zip_with(col("embedding"),
+            Similarity.dequantizeInt8(col("q8"), col("m")),
+            (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, d) => greatest(acc, d)).as("max_err"))
+    import spark.implicits._
+    checked.select("m", "qmax", "max_err").as[(Double, Int, Double)].collect()
+      .foreach { case (m, qmax, err) =>
+        assert(qmax <= 127, "int8 range exceeded")
+        assert(err <= m / 254.0 + 1e-6, s"round-trip error $err > ${m / 254.0}")
+      }
   }
 
   test("salted join equals plain join, with salted shuffle keys in the plan") {

@@ -36,6 +36,27 @@ class StreamCompactionSpec extends AnyFunSuite {
     assert(rows.contains(("k3", "z")))
   }
 
+  test("streaming corpus dedup: first fingerprint wins across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamCompaction.firstPerFingerprint(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("streamdedup")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: B and its in-batch duplicate (normalization-equal) → min id
+    in.addData((2L, "THE  quick fox"), (1L, "the quick fox"), (3L, "other doc"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of A (suppressed) + a new doc
+    in.addData((9L, "the quick  FOX"), (4L, "brand new content"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("streamdedup")
+      .select("id").as[Long].collect().toSet
+    assert(rows == Set(1L, 3L, 4L),
+      s"expected first-occurrence ids, got $rows")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses exact redeliveries") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
