@@ -874,6 +874,44 @@ object Queries {
         FROM scored)
       SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
 
+  /** Label-free embedding near-dup at scale: SRP-LSH buckets as the
+    * blocking key (6 tables × 6-bit signatures), exact cosine verify
+    * within buckets. Deterministic hyperplanes (md5 parity) let the
+    * oracle rebuild the identical buckets — an APPROXIMATE operator
+    * whose exact output is still hash-certified.
+    */
+  val qEmbeddingNearDupSrp = Q("dedup_embedding_srp",
+    (s, dir) => Similarity.nearDupPairsSrp(t(s, dir, "embeddings"),
+      "vec_id", "embedding", tau = 0.4, dim = 64, nBits = 6, nTables = 6),
+    Some("""WITH signs AS (
+        SELECT t.t, i.i, j.j,
+          CASE WHEN ('0x'||substr(md5(t.t||':'||i.i||':'||j.j),1,2))::INT % 2 = 0
+               THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT unnest(generate_series(0,5)) AS t) t
+        CROSS JOIN (SELECT unnest(generate_series(0,5)) AS i) i
+        CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) j),
+      planes AS (
+        SELECT t, i, list(s ORDER BY j) AS sv FROM signs GROUP BY t, i),
+      dots AS (
+        SELECT e.vec_id, p.t, p.i,
+          list_reduce(list_transform(generate_series(1,64),
+            j -> e.embedding[j]::DOUBLE * p.sv[j]), (a,b) -> a+b) AS dot
+        FROM embeddings e CROSS JOIN planes p),
+      sigs AS (
+        SELECT vec_id, t,
+          CAST(coalesce(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) END), 0) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+      SELECT c.id_a, c.id_b,
+        round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 3) AS sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 3) >= 0.4"""))
+
   /** IVF at scale posture: 64 k-means-trained centroids (2 Lloyd
     * iterations), 8-cell probes. No portable oracle — Lloyd training
     * isn't SQL-expressible — so this is a rows-only gate entry like
@@ -1688,7 +1726,8 @@ object Queries {
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
-    qAnnBrute, qEmbeddingNearDup, qAnnIvf, qAnnIvfTrained, qAnnLsh,
+    qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qAnnIvf,
+    qAnnIvfTrained, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qVocab, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,

@@ -216,7 +216,8 @@ object Similarity {
   /** Near-duplicate pairs by embedding cosine ≥ tau, blocked by a
     * category column (same-label pairs only) so the pair space is
     * per-block quadratic instead of globally quadratic. At larger scale
-    * swap the blocking key for an SRP signature (same join shape).
+    * swap the blocking key for an SRP signature — [[nearDupPairsSrp]],
+    * same join shape.
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
                    blockCol: String, tau: Double): DataFrame = {
@@ -228,5 +229,34 @@ object Similarity {
       .withColumn("sim", round(cosine(col("a.emb"), col("b.emb")), 3))
       .filter(col("sim") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
+  /** The label-free scale path for embedding near-dup: blocking key =
+    * SRP-LSH bucket (table, signature). Cosine-close vectors land in the
+    * same bucket in SOME table with high probability, so candidate pairs
+    * come from per-bucket joins — never all-pairs, no label needed.
+    * More tables = higher recall, linearly more candidates (the standard
+    * LSH dial); within-bucket pairs are verified with exact cosine, so
+    * reported pairs are TRUE near-dups (recall<1, precision=1 wrt τ).
+    * Deterministic end-to-end (md5-derived hyperplanes), which keeps
+    * even this approximate operator oracle-checkable.
+    */
+  def nearDupPairsSrp(df: DataFrame, idCol: String, embCol: String,
+                      tau: Double, dim: Int, nBits: Int,
+                      nTables: Int = 4): DataFrame = {
+    ensureRegistered(df)
+    val t = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("tsig", explode(array((0 until nTables).map(tb =>
+        struct(lit(tb).as("t"),
+          srpSignature(col("emb"), dim, nBits, tb).as("s"))): _*)))
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.tsig") === col("b.tsig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.emb").as("ea"), col("b.emb").as("eb"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 3))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

@@ -191,6 +191,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("KmvBuffer fuzz: insert/merge in any order equals sorted-distinct-take-k") {
+    import graft.functions.KmvBuffer
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { trial =>
+      val k = 1 + rnd.nextInt(16)
+      // duplicates and a small value range force collision/dedup paths
+      val values = Array.fill(rnd.nextInt(200))(rnd.nextInt(60).toLong)
+      val expected = values.distinct.sorted.take(k).toSeq
+      // single-buffer insert order
+      val one = new KmvBuffer(k)
+      values.foreach(one.add)
+      assert(one.arr.take(one.n).toSeq == expected, s"trial $trial single")
+      // random split + merge (the map-side partial path)
+      val (l, r) = values.splitAt(rnd.nextInt(values.length + 1))
+      val bl = new KmvBuffer(k); l.foreach(bl.add)
+      val br = new KmvBuffer(k); r.foreach(br.add)
+      bl.merge(br)
+      assert(bl.arr.take(bl.n).toSeq == expected, s"trial $trial merged")
+    }
+  }
+
   test("approx_count_distinct at rsd=0.02 stays within 6% of exact") {
     val df = spark.range(50000)
       .select((col("id") % 4).as("g"), (col("id") % 7919).as("v"))
