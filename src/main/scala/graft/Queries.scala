@@ -1060,22 +1060,53 @@ object Queries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)"""))
 
-  /** Exact group percentiles: Spark `percentile` ≡ DuckDB `quantile_cont`
-    * (both linear-interpolate on the sorted set). */
+  /** Exact group percentiles. Two cross-engine IEEE traps, both fixed
+    * here by construction:
+    *  - interpolation formula: DuckDB's `quantile_cont` computes
+    *    `lo + (hi-lo)·d`, Spark's `percentile` computes
+    *    `(ceil(h)-h)·lo + (h-floor(h))·hi` — an ulp apart; the oracle
+    *    replays SPARK'S formula over the sorted list;
+    *  - rounding: Spark's `round` works on the shortest decimal repr,
+    *    DuckDB's multiplies by 10^s in doubles — they disagree when
+    *    x·100 lands exactly on .5. Both sides therefore round as
+    *    `floor(x·100 + 0.5)/100`, which is pure double arithmetic and
+    *    bit-identical everywhere.
+    */
+  private def r2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+
   val qPercentiles = Q("q_percentiles",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95")),
-    Some("""SELECT l_returnflag,
-        round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-        round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
-      FROM lineitem GROUP BY l_returnflag"""))
+        r2(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r2(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
+        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95")),
+    Some("""WITH s AS (
+        SELECT l_returnflag,
+          list(l_extendedprice ORDER BY l_extendedprice) AS xs,
+          count(*) AS n
+        FROM lineitem GROUP BY 1),
+      m AS (
+        -- p must be DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB and
+        -- the whole interpolation would run in exact decimal, not IEEE
+        SELECT l_returnflag, p.p, xs, n,
+          p.p::DOUBLE * (n - 1) AS h,
+          CAST(floor(p.p::DOUBLE * (n - 1)) AS BIGINT) AS lo,
+          ceil(p.p::DOUBLE * (n - 1)) AS hi
+        FROM s CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p) p),
+      v AS (
+        SELECT l_returnflag, p,
+          CASE WHEN hi = lo THEN xs[lo + 1]
+               ELSE (hi - h) * xs[lo + 1] + (h - lo) * xs[lo + 2]
+          END AS q
+        FROM m)
+      SELECT l_returnflag,
+        floor(max(CASE WHEN p = 0.25 THEN q END) * 100 + 0.5) / 100 AS p25,
+        floor(max(CASE WHEN p = 0.5  THEN q END) * 100 + 0.5) / 100 AS p50,
+        floor(max(CASE WHEN p = 0.75 THEN q END) * 100 + 0.5) / 100 AS p75,
+        floor(max(CASE WHEN p = 0.95 THEN q END) * 100 + 0.5) / 100 AS p95
+      FROM v GROUP BY l_returnflag"""))
 
   /** Deterministic hash sample (portable md5, no seed/partitioning
     * dependence) — the reproducible-subset primitive every training-data
