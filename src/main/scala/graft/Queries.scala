@@ -874,6 +874,30 @@ object Queries {
         FROM scored)
       SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
 
+  /** Semantic decontamination: corpus vectors cosine-close (≥0.35) to
+    * any benchmark vector (every 97th) — catches paraphrased
+    * contamination that n-gram overlap (q_decontam) misses. Broadcast
+    * benchmark, single corpus scan.
+    */
+  val qDecontamEmbedding = Q("q_decontam_embedding",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 97 =!= 0),
+        e.filter(col("vec_id") % 97 === 0),
+        "vec_id", "embedding", tau = 0.35)
+        .select(col("id").as("vec_id"), col("n_matches"), col("max_sim"))
+    },
+    Some("""WITH b AS (SELECT vec_id AS b_id, embedding AS b_emb
+              FROM embeddings WHERE vec_id % 97 = 0),
+      c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+      scored AS (
+        SELECT c.vec_id,
+          round(list_cosine_similarity(c.embedding::DOUBLE[], b.b_emb::DOUBLE[]), 3) AS sim
+        FROM c CROSS JOIN b WHERE c.vec_id <> b.b_id)
+      SELECT vec_id, count(*) AS n_matches, max(sim) AS max_sim
+      FROM scored WHERE sim >= 0.35 GROUP BY vec_id"""))
+
   /** Label-free embedding near-dup at scale: SRP-LSH buckets as the
     * blocking key (6 tables × 6-bit signatures), exact cosine verify
     * within buckets. Deterministic hyperplanes (md5 parity) let the
@@ -1757,8 +1781,8 @@ object Queries {
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
-    qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qAnnIvf,
-    qAnnIvfTrained, qAnnLsh,
+    qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
+    qAnnIvf, qAnnIvfTrained, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qVocab, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,

@@ -231,6 +231,30 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
 
+  /** Semantic benchmark decontamination: flag corpus vectors whose
+    * cosine to ANY benchmark vector reaches tau — the embedding
+    * complement of [[Corpus.decontaminate]]'s n-gram overlap (catches
+    * paraphrased contamination that shares no shingle). Benchmark sets
+    * are small by nature, so the join is a broadcast against a single
+    * corpus scan — no shuffle of the corpus, linear at any scale; at
+    * extreme benchmark sizes swap in the SRP bucket join of
+    * [[nearDupPairsSrp]].
+    *
+    * @return (id, n_matches, max_sim) — one row per contaminated doc
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, embCol: String,
+                            tau: Double): DataFrame = {
+    ensureRegistered(corpus)
+    val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val b = benchmark.select(col(idCol).as("b_id"), col(embCol).as("b_emb"))
+    c.join(broadcast(b), col("id") =!= col("b_id"))
+      .withColumn("sim", round(cosine(col("emb"), col("b_emb")), 3))
+      .filter(col("sim") >= tau)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("sim")).as("max_sim"))
+  }
+
   /** The label-free scale path for embedding near-dup: blocking key =
     * SRP-LSH bucket (table, signature). Cosine-close vectors land in the
     * same bucket in SOME table with high probability, so candidate pairs
