@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * partitioning, because the quantities depend only on the total order of
   * the keys, not on where the boundaries fall. Rows that compare equal on
   * the order keys land in the same range partition, so ties behave
-  * exactly as in the single-window formulation.
+  * exactly as in the single-window formulation — which also means the
+  * order should END IN A UNIQUE TIEBREAKER (callers use the row id):
+  * a low-cardinality key alone caps parallelism at its distinct count,
+  * since each key's rows cannot be split across range partitions.
   *
   * The ranged projection is `localCheckpoint`ed so the subtotal pass and
   * the main pass read the same materialized partitioning (and the range
