@@ -45,7 +45,20 @@ final class CdcPipeline(
     tableParallelism: Int = 10,
     tiebreaker: Option[String] = None,
     dlq: Option[(DataFrame, Long) => Unit] = None,
-    pipelineId: Option[String] = None) {
+    pipelineId: Option[String] = None,
+    /** DMS mode (reference src/glue_dms_redshift_cdc.py:159-172): explode
+      * each table slice's JSON payload into typed columns via cached
+      * runtime inference before the merge, so the warehouse table is
+      * relational, not a SUPER blob. Payload drift widens the inferred
+      * schema monotonically; the sink adds the new columns to the target
+      * (schema evolution). Payload field names must not collide with the
+      * pipeline columns (pk/op/ts_ms/ts_date/tiebreaker) — same contract
+      * as the reference. */
+    payloadExplosion: Option[SchemaInference] = None,
+    /** Config-format timestamp columns coerced after explosion
+      * (reference :165-166; absent columns skipped). */
+    tsCoerceCols: Seq[String] = Seq("gmt_created", "gmt_modified"),
+    tsCoerceFormat: String = "yyyy-MM-dd'T'HH:mm:ss'Z'") {
 
   private val pid = pipelineId.getOrElse(s"graft_${format.name}")
 
@@ -97,9 +110,17 @@ final class CdcPipeline(
       try {
         val work = Future.traverse(tables.toSeq) { case (db, tb) =>
           Future {
-            val slice = compacted
+            val base = compacted
               .filter(col("db_name") === db && col("tb_name") === tb)
               .drop("db_name", "tb_name")
+            val slice = payloadExplosion match {
+              case Some(inf) =>
+                val keep = base.columns.filterNot(_ == "payload").toSeq
+                SchemaInference.coerceTimestamps(
+                  inf.explodePayload(base, db, tb, "payload", keep),
+                  tsCoerceCols, tsCoerceFormat)
+              case None => base
+            }
             sink.mergeOnce(pid, batchId, db, tb, slice, keyCol = "pk",
               opCol = "op", deleteMarker = format.deleteMarker)
           }

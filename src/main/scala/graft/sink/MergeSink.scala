@@ -81,6 +81,12 @@ trait MergeDialect {
   def createStage(stage: String, schema: types.StructType): String =
     s"CREATE TABLE $stage (${schema.fields.map(columnDdl).mkString(", ")})"
 
+  /** Schema-evolution DDL: a column that appeared in the batch but not
+    * the target (payload drift, SURVEY §7.4#2 — the reference would
+    * break here) is added as nullable; old rows read NULL. */
+  def addColumn(target: String, f: types.StructField): String =
+    s"ALTER TABLE $target ADD COLUMN ${columnDdl(f)}"
+
   /** Bulk-load statement pulling one staged file into the stage table —
     * the S3-COPY analogue (reference K1, src/glue_pg_redshift_cdc.py:
     * 192-203 `tempdir`/`tempformat CSV`/`aws_iam_role`). None (default)
@@ -235,6 +241,20 @@ final class JdbcMergeSink(url: String, props: Properties,
       } finally st.close()
     }
 
+  /** Lower-cased column names of an existing table (JDBC metadata;
+    * tolerant of the engine's identifier case folding). */
+  private def targetColumns(conn: Connection, table: String): Set[String] = {
+    def cols(name: String): Set[String] = {
+      val rs = conn.getMetaData.getColumns(null, null, name, null)
+      val b = Set.newBuilder[String]
+      try { while (rs.next()) b += rs.getString("COLUMN_NAME").toLowerCase }
+      finally rs.close()
+      b.result()
+    }
+    val upper = cols(table.toUpperCase)
+    if (upper.nonEmpty) upper else cols(table)
+  }
+
   private def alreadyApplied(conn: Connection, pid: String, bid: Long,
                              target: String): Boolean = {
     val ps = conn.prepareStatement(
@@ -311,6 +331,16 @@ final class JdbcMergeSink(url: String, props: Properties,
       try {
         if (!tableExists(conn, target))
           dialect.createTarget(target, stage, batch.columns.toSeq).foreach(st.executeUpdate)
+        else {
+          // schema evolution: batch columns the target lacks (payload
+          // drift grew the schema — SchemaInference only ever widens)
+          // are added as nullable BEFORE the merge statements reference
+          // them; existing rows read NULL for the new columns
+          val existing = targetColumns(conn, target)
+          batch.schema.fields
+            .filterNot(f => existing.contains(f.name.toLowerCase))
+            .foreach(f => st.executeUpdate(dialect.addColumn(target, f)))
+        }
         val insertCols = batch.columns.toSeq // op column kept for audit? no:
         // the reference excludes op_type from the insert list (P13,
         // src/glue_pg_redshift_cdc.py:174-175) — but then filters on it in

@@ -65,7 +65,13 @@ object RunPipeline {
       RedshiftDialect, staging)
 
     val pipeline = new CdcPipeline(format, sink, tableParallelism = 10,
-      tiebreaker = Some("offset"))
+      tiebreaker = Some("offset"),
+      // DMS lands typed relational columns (runtime-inferred, cached);
+      // pg/mongo land the payload as an annotated SUPER column
+      payloadExplosion =
+        if (format.name == "dms") Some(new graft.pipeline.SchemaInference())
+        else None,
+      tsCoerceFormat = cfg.cdc_timestamp_format)
     val stream = CdcPipeline.kafkaSource(spark, cfg)
     val query = pipeline.start(stream,
       cfg.spark_batch_conf.checkpointLocation,

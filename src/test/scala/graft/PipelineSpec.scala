@@ -69,6 +69,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(items == Set("7"))
   }
 
+  def dmsEvent(table: String, ts: String, op: String, data: String): String =
+    s"""{"data":"${data.replace("\"", "\\\"")}",
+       |"metadata":{"timestamp":"$ts","record-type":"data",
+       |"operation":"$op","schema-name":"crm","table-name":"$table"}}"""
+      .stripMargin.replace("\n", "")
+
+  test("DMS typed path e2e: inferred explosion, timestamp coercion, schema evolution") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:dmspipe;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new graft.sink.JdbcMergeSink(url, props, graft.sink.AnsiDialect)
+    val pipeline = new CdcPipeline(graft.envelope.DmsCdc(), sink,
+      tableParallelism = 2,
+      payloadExplosion = Some(new graft.pipeline.SchemaInference()))
+
+    // batch 1: typed payload (long id, string name, ISO timestamp)
+    val b1 = Seq(
+      dmsEvent("leads", "2024-05-01T08:00:00.000001Z", "insert",
+        """{"id": 1, "name": "ann", "gmt_created": "2024-05-01T08:00:00Z"}"""),
+      dmsEvent("leads", "2024-05-01T08:00:01.000001Z", "insert",
+        """{"id": 2, "name": "bob", "gmt_created": "2024-05-01T08:00:01Z"}"""))
+      .toDF("value")
+    pipeline.processBatch(b1, 0L)
+    val t1 = spark.read.jdbc(url, "crm_leads", props)
+    assert(t1.columns.toSet.map((s: String) => s.toLowerCase)
+      .intersect(Set("id", "name", "gmt_created", "pk", "ts_ms")) ==
+      Set("id", "name", "gmt_created", "pk", "ts_ms"),
+      s"typed columns missing: ${t1.columns.mkString(",")}")
+    assert(t1.count() == 2)
+    // inferred LongType landed as a numeric column, coerced ts as TIMESTAMP
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      def typeOf(c: String): String = {
+        val rs = conn.getMetaData.getColumns(null, null, "CRM_LEADS", c)
+        try { assert(rs.next(), s"$c missing"); rs.getString("TYPE_NAME") }
+        finally rs.close()
+      }
+      assert(typeOf("id") == "BIGINT", typeOf("id"))
+      assert(typeOf("gmt_created") == "TIMESTAMP", typeOf("gmt_created"))
+    } finally conn.close()
+
+    // batch 2: payload drift — a NEW field appears; update 1, delete 2
+    val b2 = Seq(
+      dmsEvent("leads", "2024-05-01T09:00:00.000001Z", "update",
+        """{"id": 1, "name": "ann2", "gmt_created": "2024-05-01T08:00:00Z", "score": 9}"""),
+      dmsEvent("leads", "2024-05-01T09:00:01.000001Z", "delete",
+        """{"id": 2, "name": "bob", "gmt_created": "2024-05-01T08:00:01Z"}"""))
+      .toDF("value")
+    pipeline.processBatch(b2, 1L)
+    val t2 = spark.read.jdbc(url, "crm_leads", props)
+    val cols2 = t2.columns.map(_.toLowerCase).toSet
+    assert(cols2.contains("score"), s"evolved column absent: $cols2")
+    val rows = t2.selectExpr("CAST(id AS LONG) AS id", "name", "CAST(score AS LONG) AS score")
+      .as[(Long, String, Option[Long])].collect()
+      .map { case (i, n, sc) => i -> (n, sc) }.toMap
+    assert(t2.count() == 1, "delete must remove id=2")
+    assert(rows(1L)._1 == "ann2" && rows(1L)._2.contains(9L), s"got $rows")
+  }
+
   test("file-based envelope stream drives the same pipeline (Kafka-free path)") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_files").toString
