@@ -129,6 +129,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1L)._1 == "ann2" && rows(1L)._2.contains(9L), s"got $rows")
   }
 
+  test("partial table failure: batch retry applies only the failed table") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:partialfail;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val real = new graft.sink.JdbcMergeSink(url, props, graft.sink.AnsiDialect)
+    // one transient failure on the items table — the reference silently
+    // swallows per-table failures (executor.map); here the batch fails,
+    // foreachBatch replays it, and the applied-batch ledger turns the
+    // replay into "only the missing table"
+    var failures = 0
+    val flaky = new graft.sink.MergeSink {
+      def merge(db: String, tb: String, batch: org.apache.spark.sql.DataFrame,
+                keyCol: String, opCol: String, deleteMarker: String): Unit =
+        real.merge(db, tb, batch, keyCol, opCol, deleteMarker)
+      override def mergeOnce(pid: String, bid: Long, db: String, tb: String,
+                             batch: org.apache.spark.sql.DataFrame, keyCol: String,
+                             opCol: String, deleteMarker: String): Unit = {
+        if (tb == "items" && failures == 0) {
+          failures += 1
+          throw new RuntimeException("transient warehouse hiccup")
+        }
+        real.mergeOnce(pid, bid, db, tb, batch, keyCol, opCol, deleteMarker)
+      }
+    }
+    val pipeline = new CdcPipeline(PgCdc, flaky, tableParallelism = 1,
+      tiebreaker = Some("offset"), pipelineId = Some("pf"))
+    val batch = Seq(
+      (pgEvent("users", 1, 100L, "c", "ann"), 0L),
+      (pgEvent("items", 7, 100L, "c", "hammer"), 1L))
+      .toDF("value", "offset")
+    // parallelism 1 + deterministic target order is not guaranteed, so
+    // tolerate either table failing first: the invariant under test is
+    // the retry outcome, not the failure order
+    intercept[Exception](pipeline.processBatch(batch, 0L))
+    pipeline.processBatch(batch, 0L) // foreachBatch replay of batch 0
+    assert(failures == 1, "exactly one injected failure")
+    val users = spark.read.jdbc(url, "shop_users", props)
+    val items = spark.read.jdbc(url, "shop_items", props)
+    assert(users.count() == 1 && items.count() == 1)
+    val ledger = spark.read.jdbc(url, "graft_applied_batches", props)
+    assert(ledger.count() == 2, "each (batch, table) applied exactly once")
+  }
+
   test("file-based envelope stream drives the same pipeline (Kafka-free path)") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_files").toString
