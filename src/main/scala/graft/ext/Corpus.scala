@@ -172,8 +172,10 @@ object Corpus {
     * reproducibility).
     */
   def hashSample(df: DataFrame, keyCols: Seq[String], pct: Int,
-                 portable: Boolean = true): DataFrame =
+                 portable: Boolean = true): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     df.filter(keyHash(keyCols, portable) % 100 < pct)
+  }
 
   private def keyHash(keyCols: Seq[String], portable: Boolean): Column = {
     val key = concat_ws(":", keyCols.map(col): _*)
@@ -218,6 +220,7 @@ object Corpus {
   def quotaSample(df: DataFrame, strataCols: Seq[String],
                   keyCols: Seq[String], quota: Int,
                   portable: Boolean = true): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val h = keyHash(keyCols, portable)
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy((h +: keyCols.map(col)).map(_.asc): _*)

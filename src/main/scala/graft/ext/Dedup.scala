@@ -21,9 +21,10 @@ object Dedup {
 
   /** 32-bit portable hash (first 8 hex chars of md5) — small enough that
     * `a*h+b` stays within a 63-bit long for the MinHash mod-prime family.
+    * Native digest-prefix expression; see [[TextOps.portableHash]].
     */
   def portableHash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.VectorFunctions.md5Prefix(c, 8)
 
   /** Mersenne prime 2^61-1: modulus of the universal hash family. */
   val MinhashPrime: Long = (1L << 61) - 1
@@ -152,6 +153,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     // One aggregation pass: k independent `min((a_i*h+b_i) mod p)`
     // aggregate expressions over the exploded shingles, assembled into
     // the signature array. No param cross-join (k× row blowup), no

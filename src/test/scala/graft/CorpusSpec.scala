@@ -191,6 +191,20 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("native md5_prefix equals the builtin conv(substring(md5)) formula") {
+    import graft.ext.TextOps
+    val df = spark.range(5000).select(col("id").cast("string").as("s"))
+    val mismatches = df.select(
+        TextOps.portableHash(col("s")).as("native"),
+        TextOps.portableHashBuiltin(col("s")).as("builtin"),
+        graft.ext.Dedup.portableHash32(col("s")).as("n32"),
+        org.apache.spark.sql.functions.conv(
+          substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("b32"))
+      .filter(col("native") =!= col("builtin") || col("n32") =!= col("b32"))
+      .count()
+    assert(mismatches == 0, "digest-prefix fast path must be bit-identical")
+  }
+
   test("KmvBuffer fuzz: insert/merge in any order equals sorted-distinct-take-k") {
     import graft.functions.KmvBuffer
     val rnd = new scala.util.Random(7)
