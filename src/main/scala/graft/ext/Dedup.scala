@@ -123,12 +123,16 @@ object Dedup {
     // the reduced shingle space — the standard trade on 100 TB corpora.
     val shAll = explodedShingles(df, idCol, textCol, n)
       .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64"))
-    val sh = if (maxDocFreq == Int.MaxValue) shAll else {
+    val shPlan = if (maxDocFreq == Int.MaxValue) shAll else {
       val hot = shAll.groupBy(col("sh64"))
         .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
         .select(col("sh64"))
       shAll.join(broadcast(hot), Seq("sh64"), "left_anti")
     }
+    // materialize the exploded relation ONCE: a self-join evaluates its
+    // child plan per side (no exchange reuse fires here), which would run
+    // the shingle generator + hash over the corpus twice
+    val sh = shPlan.localCheckpoint()
     val a = sh.as("a")
     val b = sh.as("b")
     a.join(b, col("a.sh64") === col("b.sh64") && col("a.id") < col("b.id") &&
