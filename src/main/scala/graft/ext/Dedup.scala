@@ -179,10 +179,13 @@ object Dedup {
     */
   def minhashCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
+    // materialized once: the self-join would otherwise recompute the
+    // signature aggregation (the expensive upstream) per side
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -302,10 +305,13 @@ object Dedup {
     val bandBits = 60 / nBands
     val mask = (1L << bandBits) - 1
     val sigs = simhashSignatures(df, idCol, textCol)
+    // materialized once: per-side recomputation would tokenize + hash +
+    // aggregate the corpus twice (see jaccardPairs)
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))
           .as("key"))): _*)).as("bk"))
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

@@ -273,6 +273,7 @@ object Similarity {
       .withColumn("tsig", explode(array((0 until nTables).map(tb =>
         struct(lit(tb).as("t"),
           srpSignature(col("emb"), dim, nBits, tb).as("s"))): _*)))
+      .localCheckpoint() // self-join: compute the signatures once
     val a = t.as("a")
     val b = t.as("b")
     a.join(b, col("a.tsig") === col("b.tsig") && col("a.id") < col("b.id"))
