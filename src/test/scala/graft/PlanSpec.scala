@@ -112,6 +112,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle (the group key), got $exchanges:\n$p")
   }
 
+  test("top-k windows keep WindowGroupLimit (map-side per-group pruning)") {
+    // the rank<=k filter must stay adjacent to the window for Spark to
+    // push partial group limits below the exchange — without it, a
+    // partition-by-query window degenerates to "all scored rows through
+    // #queries tasks" at scale
+    Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "q_stratified_sample").foreach { n =>
+      val p = planOf(n)
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$n lost partial+final WindowGroupLimit:\n$p")
+    }
+  }
+
   test("merge applyBatch: updates side is broadcast, target never shuffled") {
     import spark.implicits._
     val target = Seq(("a", 1L)).toDF("pk", "v")
