@@ -191,6 +191,21 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-based operators survive degenerate inputs") {
+    import graft.ext.Sketch
+    val empty = spark.range(0).select(col("id"), lit("x").as("text"))
+    assert(Corpus.pack(empty, "id", "text", budget = 10).count() == 0)
+    assert(Corpus.sortedNeighborhood(
+      empty.withColumnRenamed("text", "name"), Seq("name"), "id", 3).count() == 0)
+    assert(Sketch.kmvDistinct(empty, Seq("text"), "id", 8).count() == 0)
+    // single row; window larger than the relation; topN larger than vocab
+    val one = Seq((1L, "solo doc")).toDF("id", "text")
+    assert(Corpus.pack(one, "id", "text", 10).select("pack_id").as[Long].head() == 0L)
+    assert(Corpus.sortedNeighborhood(
+      one.withColumnRenamed("text", "name"), Seq("name"), "id", 5).count() == 0)
+    assert(Corpus.vocabulary(one, "text", topN = 100).count() == 2)
+  }
+
   test("native md5_prefix equals the builtin conv(substring(md5)) formula") {
     import graft.ext.TextOps
     val df = spark.range(5000).select(col("id").cast("string").as("s"))
