@@ -178,6 +178,9 @@ object Dedup {
     * of Jaccard. Follows the classic MMDS banding scheme.
     */
   def minhashCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"signature width $k must divide evenly into $bands bands " +
+        "(a remainder would silently drop signature rows)")
     val rows = k / bands
     // materialized once: the self-join would otherwise recompute the
     // signature aggregation (the expensive upstream) per side
@@ -301,6 +304,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 12,
+      s"maxDist $maxDist out of range: bands need >=5 bits each " +
+        "(wider radii make band buckets non-selective — use MinHash)")
     val nBands = maxDist + 1
     val bandBits = 60 / nBands
     val mask = (1L << bandBits) - 1

@@ -62,6 +62,7 @@ object Layout {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",

@@ -65,6 +65,8 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, nBits: Int, nTables: Int = 4): DataFrame = {
+    require(nBits > 0 && nBits < 63 && nTables > 0,
+      s"nBits $nBits must fit a long signature; nTables $nTables > 0")
     ensureRegistered(corpus)
     val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
       .withColumn("tsig", explode(array((0 until nTables).map(tb =>
@@ -124,6 +126,8 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+    require(nCentroids > 0 && nProbe > 0 && nProbe <= nCentroids,
+      s"need 0 < nProbe ($nProbe) <= nCentroids ($nCentroids)")
     ensureRegistered(corpus)
     val cents: Array[(Long, Array[Float])] =
       if (trainIters > 0)
