@@ -26,6 +26,13 @@ object Sketch {
 
   private val HashSpace = 1L << 60
 
+  /** The KMV order-statistic estimate from a sorted bottom-k array —
+    * shared by the batch aggregate and the streaming state operator
+    * (identical integers by construction). */
+  def estimate(bottomK: Array[Long], k: Int): Long =
+    if (bottomK.length < k) bottomK.length.toLong
+    else math.floor((k - 1).toLong * HashSpace.toDouble / bottomK(k - 1)).toLong
+
   /** Per-group KMV distinct estimate. Exact when the group has fewer
     * than k distinct values (falls back to the true count).
     *

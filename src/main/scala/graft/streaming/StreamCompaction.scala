@@ -94,6 +94,72 @@ object StreamCompaction {
     * global by definition; pass a watermark-based variant when the
     * contract is bounded-window dedup.
     */
+  /** A document admitted by the streaming quota gate. */
+  final case class AdmittedDoc(stratum: String, id: Long)
+
+  /** Streaming per-stratum admission quota: a document is admitted only
+    * while its stratum's accepted count is below `quota` — cross-batch
+    * state is ONE counter per stratum (bytes per source/language, not
+    * per doc). The arrival-order complement of [[graft.ext.Corpus
+    * .quotaSample]]: a batch job picks the hash-min rows after seeing
+    * everything; a stream must decide at arrival. Within a trigger,
+    * admission is deterministic (lowest ids first).
+    */
+  def quotaAdmit(docs: DataFrame, strataCol: String, idCol: String,
+                 quota: Int): Dataset[AdmittedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(strataCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (stratum, rows, state: GroupState[Long]) =>
+          val accepted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, quota - accepted).toInt
+          val admitted = rows.map(_._2).toArray.sorted.take(room)
+          if (admitted.nonEmpty) state.update(accepted + admitted.length)
+          admitted.iterator.map(AdmittedDoc(stratum, _))
+      }
+  }
+
+  /** Running KMV distinct estimate per group — the streaming form of
+    * [[graft.ext.Sketch.kmvDistinct]]. State per group is the k-long
+    * bottom-k buffer (mergeable by construction), so the estimate after
+    * any number of triggers equals the batch sketch over the union of
+    * all data seen — asserted in the spec, and the property that lets a
+    * day-long stream and a backfill agree. Emits one row per group per
+    * trigger (Update mode); the row with the highest `n_values` is the
+    * current estimate.
+    */
+  final case class DistinctEstimate(group: String, n_values: Long,
+                                    est_distinct: Long)
+
+  def kmvDistinctStream(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Int): Dataset[DistinctEstimate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    df.select(col(groupCol).cast("string").as("g"),
+        graft.ext.TextOps.portableHash(col(valueCol).cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[Long]), DistinctEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, rows, state: GroupState[(Long, Array[Long])]) =>
+          val (seen, prev) = state.getOption.getOrElse((0L, Array.empty[Long]))
+          val buf = new graft.functions.KmvBuffer(k)
+          prev.foreach(buf.add)
+          var n = seen
+          rows.foreach { r => buf.add(r._2); n += 1 }
+          val bottom = java.util.Arrays.copyOfRange(buf.arr, 0, buf.n)
+          state.update((n, bottom))
+          Iterator.single(DistinctEstimate(g, n,
+            graft.ext.Sketch.estimate(bottom, k)))
+      }
+  }
+
   def firstPerFingerprint(docs: DataFrame, idCol: String,
                           textCol: String): Dataset[DedupedDoc] = {
     val spark = docs.sparkSession

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{CdcEvent, StreamCompaction}
@@ -55,6 +56,51 @@ class StreamCompactionSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(rows == Set(1L, 3L, 4L),
       s"expected first-occurrence ids, got $rows")
+  }
+
+  test("streaming quota admits per stratum across batches, lowest ids first") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val out = StreamCompaction.quotaAdmit(
+      in.toDS().toDF("src", "doc_id"), "src", "doc_id", quota = 3)
+    val q = out.writeStream.format("memory").queryName("quota")
+      .outputMode(OutputMode.Append).start()
+    in.addData(("a", 5L), ("a", 1L), ("b", 9L))   // a: room 3 -> both in
+    q.processAllAvailable()
+    in.addData(("a", 7L), ("a", 2L), ("a", 3L), ("b", 8L)) // a: 1 slot left
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("quota")
+      .as[StreamCompaction.AdmittedDoc].collect()
+      .groupBy(_.stratum).view.mapValues(_.map(_.id).toSet).toMap
+    assert(rows("a") == Set(5L, 1L, 2L), s"got $rows") // batch2 admits min id
+    assert(rows("b") == Set(9L, 8L))
+  }
+
+  test("streaming KMV estimate equals the batch sketch over the union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val out = StreamCompaction.kmvDistinctStream(
+      in.toDS().toDF("g", "v"), "g", "v", k = 32)
+    val q = out.writeStream.format("memory").queryName("kmvstream")
+      .outputMode(OutputMode.Update).start()
+    in.addData((0 until 100).map(i => ("a", i.toLong)): _*)
+    q.processAllAvailable()
+    in.addData((50 until 250).map(i => ("a", i.toLong)): _*) // overlap + new
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmvstream")
+      .as[StreamCompaction.DistinctEstimate].collect()
+      .maxBy(_.n_values)
+    val batch = graft.ext.Sketch.kmvDistinct(
+      spark.range(250).select(lit("a").as("g"), col("id").as("v")),
+      Seq("g"), "v", k = 32)
+      .select("est_distinct").as[Long].head()
+    assert(streamed.n_values == 300, s"saw ${streamed.n_values} values")
+    assert(streamed.est_distinct == batch,
+      s"stream ${streamed.est_distinct} != batch $batch — sketch must merge exactly")
   }
 
   test("dropDuplicatesWithinWatermark suppresses exact redeliveries") {
