@@ -1637,6 +1637,39 @@ object Queries {
             FROM documents),
       LATERAL (SELECT unnest(generate_series(1, n_frames, 2)) AS frame_no)"""))
 
+  /** Content-addressed frame-store dedup — the multimodal × dedup
+    * composition: media (built on a coarse 12-char clip key so real
+    * duplicates exist) explode to frames, and identical frames across
+    * media collapse to one stored copy + a refcount — the storage-dedup
+    * step of a video corpus. Frame fingerprints are md5-derived
+    * (decode stub), so the whole pipeline replays in the oracle.
+    */
+  val qFrameDedup = Q("multimodal_frame_dedup",
+    (s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(TextOps.normalized(col("text")), 1, 12).as("clip")),
+        "doc_id", "clip", "video/fake")
+      Multimodal.sampleFrames(media, step = 1)
+        .groupBy(col("frame_fp"))
+        .agg(min(col("media_id")).as("keep_media"),
+          count(lit(1)).as("n_copies"))
+    },
+    Some("""WITH media AS (
+        SELECT doc_id AS media_id,
+          substr(trim(regexp_replace(lower(text),'\s+',' ','g')), 1, 12) AS clip
+        FROM documents),
+      m2 AS (
+        SELECT media_id, md5(clip) AS checksum,
+          1 + octet_length(encode(clip)) % 16 AS n_frames
+        FROM media),
+      frames AS (
+        SELECT media_id, md5(checksum||':'||f.frame_no) AS frame_fp
+        FROM m2, LATERAL (
+          SELECT unnest(generate_series(1, n_frames, 1)) AS frame_no) f)
+      SELECT frame_fp, min(media_id) AS keep_media, count(*) AS n_copies
+      FROM frames GROUP BY frame_fp"""))
+
   /** End-to-end training-corpus preparation — the composition story:
     * language/quality gate → exact-dedup survivors → per-source quota
     * balancing (portable-hash order) → per-source token budget. Every
@@ -1788,6 +1821,6 @@ object Queries {
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
-    qMultimodal, qMultimodalFrames, qCorpusPrep,
+    qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep,
     qChunk, qPack, qDecontam)
 }
