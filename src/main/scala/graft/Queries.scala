@@ -202,6 +202,20 @@ object Queries {
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events) x WHERE rn = 1"""))
 
+  /** The aggregate-form compaction against the SAME oracle as
+    * q_cdc_latest: hash-certifies that `max_by(struct(row), struct(ord))`
+    * (map-side partials, no sort — the production pipeline's path)
+    * computes exactly the windowed latest-per-key. */
+  val qCdcLatestAgg = Q("q_cdc_latest_agg",
+    (s, dir) => Compaction.latestPerKeyAgg(
+        t(s, dir, "events").select("user_id", "event_id", "event_type", "value", "ts"),
+        Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts")),
+    Some("""SELECT user_id, event_id, event_type, value, ts FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x WHERE rn = 1"""))
+
   val qCdcMerge = Q("q_cdc_merge",
     (s, dir) => Compaction.latestPerKey(t(s, dir, "events"),
         Seq("user_id"), Seq("ts", "event_id"))
@@ -1808,7 +1822,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats, qRollup,
     qSemiAnti, qSemiJoin, qWindowRunning,
-    qCdcLatest, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
+    qCdcLatest, qCdcLatestAgg, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
     qSchemaInference, qDateFuncs, qStringFuncs, qMathFuncs, qEventsHourly,
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,

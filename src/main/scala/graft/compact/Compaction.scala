@@ -43,6 +43,29 @@ object Compaction {
       .drop("__rn")
   }
 
+  /** [[latestPerKey]] as a hash AGGREGATE — `max_by(struct(row),
+    * struct(order))` — instead of a sort window. Identical result given
+    * the same total ordering (keys + tiebreakers), but a strictly better
+    * physical shape for the CDC regime: partial (map-side) aggregation
+    * collapses a key's versions BEFORE the shuffle, so a hot key that
+    * got 10k updates in a batch ships ~one row per input partition
+    * instead of 10k rows into a sort. (The struct-valued buffer makes
+    * Spark pick SortAggregate — local sorts by the GROUP KEY flank the
+    * exchange — but both sides operate on the collapsed relation, which
+    * is the property that matters; guarded in `PlanSpec`.) The window
+    * form stays as the reference-parity surface (W1-W3); this is the
+    * production path ([[graft.pipeline.CdcPipeline]] uses it).
+    */
+  def latestPerKeyAgg(df: DataFrame, keys: Seq[String],
+                      orderDesc: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val ord = struct(orderDesc.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col).toIndexedSeq: _*), ord).as("__w"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__w.$c")).toIndexedSeq: _*)
+  }
+
   /** Distinct fanout targets, e.g. (db_name, tb_name) pairs.
     *
     * The reference implements DISTINCT with a window + row_number + filter

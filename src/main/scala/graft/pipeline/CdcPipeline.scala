@@ -95,9 +95,11 @@ final class CdcPipeline(
   private def processNormalized(norm: DataFrame, batchId: Long,
                                 dlqRows: Long): CdcPipeline.BatchReport = {
     val order = Seq("ts_ms") ++ tiebreaker
+    // aggregate-form compaction: map-side partials collapse each key's
+    // versions before the shuffle (see Compaction.latestPerKeyAgg)
     val compacted = graft.sink.SinkTypes.annotate(
       Compaction
-        .latestPerKey(norm, Seq("db_name", "tb_name", "pk"), order)
+        .latestPerKeyAgg(norm, Seq("db_name", "tb_name", "pk"), order)
         .withColumn("ts_date", to_date(from_unixtime(col("ts_ms") / 1000))),
       format.sinkTypes)
       .persist(StorageLevel.MEMORY_AND_DISK)

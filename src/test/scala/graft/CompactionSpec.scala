@@ -29,6 +29,24 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregate-form compaction is row-identical to the window form (fuzz)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { trial =>
+      val rows = Seq.fill(200)((s"k${rnd.nextInt(12)}",
+        rnd.nextInt(20).toLong, rnd.nextLong().abs, s"v${rnd.nextInt(1000)}"))
+      val df = rows.toDF("pk", "ts", "off", "v")
+      val win = Compaction.latestPerKey(df, Seq("pk"), Seq("ts", "off"))
+        .as[(String, Long, Long, String)].collect().toSet
+      val agg = Compaction.latestPerKeyAgg(df, Seq("pk"), Seq("ts", "off"))
+        .as[(String, Long, Long, String)].collect().toSet
+      assert(agg == win, s"trial $trial diverged")
+    }
+    // column order is preserved by the agg form
+    val df = Seq(("a", 1L, 2L, "x")).toDF("pk", "ts", "off", "v")
+    assert(Compaction.latestPerKeyAgg(df, Seq("pk"), Seq("ts", "off"))
+      .columns.toSeq == Seq("pk", "ts", "off", "v"))
+  }
+
   test("targets = distinct key pairs") {
     val df = Seq(("d1", "t1"), ("d1", "t1"), ("d1", "t2"), ("d2", "t1"))
       .toDF("db_name", "tb_name")

@@ -112,6 +112,21 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle (the group key), got $exchanges:\n$p")
   }
 
+  test("q_cdc_latest_agg: partial max_by collapses keys before the exchange") {
+    val p = planOf("q_cdc_latest_agg")
+    // the property that matters at scale: the shuffle input is the
+    // PARTIAL aggregate's output (≤ one row per key per partition), not
+    // every version of every key (the window form ships all rows).
+    // max_by with a struct buffer plans as SortAggregate — local sorts
+    // by the group key flank the exchange, but both operate on the
+    // collapsed relation.
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("partial_max_by")
+    assert(partialIdx >= 0, s"no map-side partial max_by:\n$p")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial aggregation must sit below the exchange:\n$p")
+  }
+
   test("top-k windows keep WindowGroupLimit (map-side per-group pruning)") {
     // the rank<=k filter must stay adjacent to the window for Spark to
     // push partial group limits below the exchange — without it, a
