@@ -1503,6 +1503,22 @@ object Queries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 
+  /** UNPIVOT (wide→long melt) via `stack`: per-part numeric attributes
+    * become (attribute, value) rows — the normalization step before
+    * generic per-metric aggregation. */
+  val qUnpivot = Q("q_unpivot",
+    (s, dir) => t(s, dir, "part")
+      .select(col("p_partkey"), expr(
+        "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (attr, val)"))
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total")),
+    Some("""SELECT attr, count(*) AS n, round(sum(val), 2) AS total
+      FROM (
+        SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+      GROUP BY attr"""))
+
   /** Explicit GROUPING SETS (beyond rollup/cube), via the SQL surface. */
   val qGroupingSets = Q("q_grouping_sets",
     (s, dir) => {
@@ -1832,7 +1848,8 @@ object Queries {
     qAnnIvf, qAnnIvfTrained, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qVocab, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
-    qWindowFuncs, qWindowFrames, qSetOps, qPivot, qCube, qFuzzyPairs, qFuzzySnm,
+    qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
+    qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep,
