@@ -23,6 +23,13 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming state on RocksDB: keyed state (cross-batch compaction,
+      // corpus dedup, quotas, sketches) must be disk-backed with bounded
+      // heap at real key cardinalities — the in-memory default holds
+      // every key on-heap. Tests run under the same provider production
+      // would use.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
