@@ -369,7 +369,12 @@ final class JdbcMergeSink(url: String, props: Properties,
   * table via anti-join + union ([[Merge.applyBatch]]) into a temp dir,
   * then swaps. At real scale the same semantics come from a
   * transactional table format; the plan shape (broadcast anti-join)
-  * is already the scalable one.
+  * is the scalable one for the CDC regime — batch ≪ target. The
+  * broadcast is explicit, so a bulk BACKFILL batch larger than driver
+  * memory should go through `Trigger.AvailableNow` rate limiting (many
+  * small batches) or a plain-join rewrite, not one giant batch.
+  * Continuous operation pairs with [[graft.ext.Layout.compactParquetDir]]
+  * as the small-file compaction tick.
   */
 final class ParquetMergeSink(rootDir: String) extends MergeSink {
 

@@ -72,6 +72,32 @@ class LayoutSpec extends AnyFunSuite {
       }
   }
 
+  test("operational loop: repeated merges then a compaction tick") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_oploop").toString
+    val sink = new graft.sink.ParquetMergeSink(root)
+    // ten micro-batches accrete files in the target dir
+    (1 to 10).foreach { i =>
+      val b = Seq((s"k$i", i.toLong, "u", s"v$i"), ("k0", i.toLong, "u", s"v0-$i"))
+        .toDF("pk", "ts", "op", "payload")
+      sink.merge("db", "t", b, "pk", "op", "d")
+    }
+    val dir = sink.targetPath("db", "t")
+    val before = spark.read.parquet(dir)
+      .select("pk", "payload").as[(String, String)].collect().toMap
+    assert(before.size == 11 && before("k0") == "v0-10", s"got $before")
+    val n = graft.ext.Layout.compactParquetDir(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1)
+    val after = spark.read.parquet(dir)
+      .select("pk", "payload").as[(String, String)].collect().toMap
+    assert(after == before, "compaction tick must not change table contents")
+    // and the merge loop keeps working on the compacted table
+    sink.merge("db", "t", Seq(("k0", 99L, "d", "x")).toDF("pk", "ts", "op", "payload"),
+      "pk", "op", "d")
+    assert(spark.read.parquet(dir).count() == 10)
+  }
+
   test("salted join equals plain join, with salted shuffle keys in the plan") {
     import spark.implicits._
     val large = (1 to 10000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
