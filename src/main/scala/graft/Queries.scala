@@ -1343,10 +1343,11 @@ object Queries {
   val qSetOps = Q("q_set_ops",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      // each cohort feeds both set ops: materialize once (localCheckpoint
-      // on the tiny distinct sets) instead of re-scanning orders 4x
-      def cohort(y: Int) = o.filter(year(col("o_orderdate")) === y)
-        .select(col("o_custkey")).distinct().localCheckpoint()
+      // each cohort feeds both set ops: materialize once (lazy cache on
+      // the tiny distinct sets) instead of re-scanning orders 4x
+      def cohort(y: Int) = ext.Materialize.multiScan(
+        o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct())
       val c95 = cohort(1995)
       val c96 = cohort(1996)
       c95.intersect(c96)

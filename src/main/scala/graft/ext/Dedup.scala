@@ -130,9 +130,9 @@ object Dedup {
       shAll.join(broadcast(hot), Seq("sh64"), "left_anti")
     }
     // materialize the exploded relation ONCE: a self-join evaluates its
-    // child plan per side (no exchange reuse fires here), which would run
-    // the shingle generator + hash over the corpus twice
-    val sh = shPlan.localCheckpoint()
+    // child plan per side (no exchange reuse fires on the raw plan),
+    // which would run the shingle generator + hash over the corpus twice
+    val sh = Materialize.multiScan(shPlan)
     val a = sh.as("a")
     val b = sh.as("b")
     a.join(b, col("a.sh64") === col("b.sh64") && col("a.id") < col("b.id") &&
@@ -184,11 +184,10 @@ object Dedup {
     val rows = k / bands
     // materialized once: the self-join would otherwise recompute the
     // signature aggregation (the expensive upstream) per side
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = Materialize.multiScan(sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
-      .localCheckpoint()
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -214,9 +213,10 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           driverLimit: Long = 500000L): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = Materialize.multiScan(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
     // Near-dup pair lists are orders of magnitude smaller than the corpus
     // (they're the output of an aggressive similarity filter). Below the
     // driver limit, union-find on the driver replaces O(diameter) Spark
@@ -313,11 +313,10 @@ object Dedup {
     val sigs = simhashSignatures(df, idCol, textCol)
     // materialized once: per-side recomputation would tokenize + hash +
     // aggregate the corpus twice (see jaccardPairs)
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = Materialize.multiScan(sigs.select(col("id"), col("sig"),
       explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))
-          .as("key"))): _*)).as("bk"))
-      .localCheckpoint()
+          .as("key"))): _*)).as("bk")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

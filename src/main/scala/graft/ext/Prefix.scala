@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   * a low-cardinality key alone caps parallelism at its distinct count,
   * since each key's rows cannot be split across range partitions.
   *
-  * The ranged projection is `localCheckpoint`ed so the subtotal pass and
-  * the main pass read the same materialized partitioning (and the range
-  * exchange runs once, not twice).
+  * The ranged projection is persisted ([[Materialize.multiScan]]) so the
+  * subtotal pass and the main pass read the same materialized
+  * partitioning (and the range exchange runs once, not twice). A cache
+  * eviction between the passes is safe: recompute replays the SAME
+  * shuffle dependency (the `RangePartitioner`'s sampled boundaries are
+  * fixed when the dependency is created), so `__pid` is stable.
   */
 object Prefix {
 
@@ -54,20 +57,39 @@ object Prefix {
     val base = value.fold(df)(v => df.withColumn("__v", v))
     // the nondeterministic-flagged spark_partition_id is bound as a real
     // attribute in a projection (legal), then grouped/windowed BY attribute
-    val ranged = base.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = Materialize.multiScan(
+      base.repartitionByRange(order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    // subtotals stay in the value's numeric family: integral sums (and
+    // row counts) in long, fractional sums in double — a long cast here
+    // would silently truncate fractional running sums. (Decimal values
+    // ride the double path; use an integral/double column where exact
+    // decimal semantics matter.)
+    val fractional = value.isDefined && (base.schema("__v").dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           (_: org.apache.spark.sql.types.DecimalType) => true
+      case _ => false
+    })
+    val subCast = if (fractional) "double" else "long"
     val subAgg = value.fold(count(lit(1)))(_ => sum(col("__v")))
-    val subtotals = ranged.groupBy(col("__pid"))
-      .agg(subAgg.cast("long").as("__sub"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = if (subtotals.isEmpty) 0 else subtotals.keys.max + 1
-    // offsets(p) = sum of subtotals of all partitions before p
-    val offsets = (0 until nParts)
-      .scanLeft(0L)((acc, p) => acc + subtotals.getOrElse(p, 0L))
-      .take(math.max(nParts, 1))
-    val offDf = offsets.zipWithIndex.map { case (o, p) => (p, o) }
-      .toDF("__pid", "__off")
+    val subRows = ranged.groupBy(col("__pid"))
+      .agg(subAgg.cast(subCast).as("__sub")).collect()
+    val nParts = if (subRows.isEmpty) 0 else subRows.map(_.getInt(0)).max + 1
+    // offsets(p) = sum of subtotals of all partitions before p —
+    // accumulated in the value's own type (long stays exact past 2^53)
+    val offDf =
+      if (fractional) {
+        val subs = subRows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        (0 until nParts).scanLeft(0.0)((acc, p) => acc + subs.getOrElse(p, 0.0))
+          .take(math.max(nParts, 1))
+          .zipWithIndex.map { case (o, p) => (p, o) }.toDF("__pid", "__off")
+      } else {
+        val subs = subRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (0 until nParts).scanLeft(0L)((acc, p) => acc + subs.getOrElse(p, 0L))
+          .take(math.max(nParts, 1))
+          .zipWithIndex.map { case (o, p) => (p, o) }.toDF("__pid", "__off")
+      }
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val local = value.fold(row_number().over(w).cast("long"))(_ =>
       sum(col("__v")).over(

@@ -273,11 +273,12 @@ object Similarity {
                       tau: Double, dim: Int, nBits: Int,
                       nTables: Int = 4): DataFrame = {
     ensureRegistered(df)
-    val t = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("tsig", explode(array((0 until nTables).map(tb =>
-        struct(lit(tb).as("t"),
-          srpSignature(col("emb"), dim, nBits, tb).as("s"))): _*)))
-      .localCheckpoint() // self-join: compute the signatures once
+    // self-join: compute the signatures once (lazy cache — see Materialize)
+    val t = Materialize.multiScan(
+      df.select(col(idCol).as("id"), col(embCol).as("emb"))
+        .withColumn("tsig", explode(array((0 until nTables).map(tb =>
+          struct(lit(tb).as("t"),
+            srpSignature(col("emb"), dim, nBits, tb).as("s"))): _*))))
     val a = t.as("a")
     val b = t.as("b")
     a.join(b, col("a.tsig") === col("b.tsig") && col("a.id") < col("b.id"))

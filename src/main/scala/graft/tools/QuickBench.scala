@@ -8,6 +8,9 @@ object QuickBench {
       val fn = graft.SparkEntry.queries(n)
       def once(): Double = { val t0 = System.nanoTime(); fn(spark, sf).count(); (System.nanoTime()-t0)/1e9 }
       val cold = once(); val warm = once()
+      // release per-query materializations, as Bench does
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       println(f"QUICKBENCH $n%-18s cold=$cold%6.2f warm=$warm%6.2f")
     }
     spark.stop()
