@@ -908,7 +908,7 @@ object Queries {
       scored AS (
         SELECT c.vec_id,
           round(list_cosine_similarity(c.embedding::DOUBLE[], b.b_emb::DOUBLE[]), 3) AS sim
-        FROM c CROSS JOIN b WHERE c.vec_id <> b.b_id)
+        FROM c CROSS JOIN b)
       SELECT vec_id, count(*) AS n_matches, max(sim) AS max_sim
       FROM scored WHERE sim >= 0.35 GROUP BY vec_id"""))
 

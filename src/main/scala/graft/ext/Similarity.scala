@@ -244,6 +244,13 @@ object Similarity {
     * extreme benchmark sizes swap in the SRP bucket join of
     * [[nearDupPairsSrp]].
     *
+    * Corpus and benchmark are treated as SEPARATE datasets: every
+    * (corpus, benchmark) vector pair is compared, including pairs whose
+    * ids happen to collide — the two id namespaces are unrelated, so an
+    * id-inequality guard would silently skip real comparisons. For
+    * self-decontamination (benchmark drawn from the corpus itself),
+    * exclude the benchmark rows from the corpus argument instead.
+    *
     * @return (id, n_matches, max_sim) — one row per contaminated doc
     */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
@@ -252,7 +259,7 @@ object Similarity {
     ensureRegistered(corpus)
     val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
     val b = benchmark.select(col(idCol).as("b_id"), col(embCol).as("b_emb"))
-    c.join(broadcast(b), col("id") =!= col("b_id"))
+    c.crossJoin(broadcast(b))
       .withColumn("sim", round(cosine(col("emb"), col("b_emb")), 3))
       .filter(col("sim") >= tau)
       .groupBy(col("id"))

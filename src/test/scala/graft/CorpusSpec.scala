@@ -88,6 +88,21 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("semanticDecontaminate compares corpus docs whose id collides with a benchmark id") {
+    import graft.ext.Similarity
+    // corpus doc id=1 is a paraphrase-identical vector of benchmark doc
+    // id=1: the two id namespaces are unrelated, so the collision must
+    // NOT suppress the comparison (round-3 advice: the old id<>b_id
+    // guard silently skipped exactly this pair)
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val bench = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, bench,
+      "id", "embedding", tau = 0.9)
+      .select("id", "n_matches").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L), s"colliding-id doc must be flagged: $out")
+  }
+
   test("sortedNeighborhood pairs each row with its w successors, equi-join plan") {
     val df = Seq((10L, "aa"), (20L, "ab"), (30L, "ac"), (40L, "zz"))
       .toDF("id", "name")
