@@ -157,8 +157,10 @@ object Similarity {
     * [[ivfTopK]]); ties in assignment break toward the lowest centroid
     * index. Each iteration is one scan + one k×dim aggregate: centroids
     * live on the driver (k·dim floats), the corpus is never shuffled —
-    * per-dimension `avg` aggregates do the update map-side, so this
-    * scales to any corpus size at O(iters · corpus · k · dim).
+    * the [[graft.functions.VecSumCount]] vector-sum aggregate does the
+    * update map-side in one double[dim] buffer per cell, so this scales
+    * to any corpus size AND to production embedding dims (1024-4096) at
+    * O(iters · corpus · k · dim).
     *
     * @return (id, embedding, cell) — final assignment
     */
@@ -185,11 +187,20 @@ object Similarity {
     while (iter < maxIter) {
       val assigned = corpus.withColumn("cell",
         cellOf(col("embedding"), indexed(cents)).cast("int"))
-      val avgs = (0 until dim).map(i => avg(col("embedding")(i)).as(s"d$i"))
+      // ONE vector-sum aggregate (double[dim] buffer + count, map-side
+      // partial merge) instead of dim separate avg(embedding[i])
+      // expressions — the expression-per-dimension form blows up the
+      // plan and the per-row update cost at production dims (1024-4096).
+      // The division happens here on the driver: k×dim doubles.
       val updated = assigned.groupBy(col("cell"))
-        .agg(avgs.head, avgs.tail: _*).collect()
-        .map(r => r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat))
-        .toMap
+        .agg(graft.functions.VectorFunctions
+          .vecSumCount(col("embedding"), dim).as("sc"))
+        .select(col("cell"), col("sc.sum"), col("sc.n")).collect()
+        .map { r =>
+          val s = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          r.getInt(0) -> Array.tabulate(dim)(i => (s(i) / n).toFloat)
+        }.toMap
       cents = Array.tabulate(k)(i => updated.getOrElse(i, cents(i)))
       iter += 1
     }

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType,
+  LongType, StructField, StructType}
 
 /** Bounded buffer of the k smallest DISTINCT long values — the KMV
   * (k minimum values) distinct sketch. Mergeable (union + re-take
@@ -98,6 +99,88 @@ case class KmvBottomK(child: Expression, k: Int,
   override def withNewInputAggBufferOffset(o: Int): KmvBottomK =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(newChild: Expression): KmvBottomK =
+    copy(child = newChild)
+}
+
+/** `vec_sum_count(emb, dim)`: per group, the element-wise double sum of a
+  * fixed-dim float/double vector column plus the row count — the k-means
+  * centroid-update aggregate (centroid = sum/n, divided on the driver).
+  * ONE double[dim+1] buffer per group replaces `dim` separate
+  * `avg(embedding[i])` aggregate expressions, each of which re-evaluated
+  * its own element extraction and carried its own partial-agg buffer
+  * field per row — fine at dim 64, a plan/update blowup at the
+  * 1024-4096 dims of production embeddings (the same disease the
+  * simhash one-pass aggregate cured). Map-side partials shuffle
+  * dim doubles + 1 count per group, so the corpus itself never moves.
+  * Rows whose vector is null or not exactly `dim` wide are skipped.
+  */
+case class VecSumCount(child: Expression, dim: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  require(dim > 0, "dim must be positive")
+
+  override def prettyName: String = "vec_sum_count"
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  private lazy val floatElems = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"vec_sum_count needs array<float|double>, got $t")
+  }
+
+  // slot `dim` holds the row count: one flat primitive buffer
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim + 1)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val ad = v.asInstanceOf[ArrayData]
+      if (ad.numElements() == dim) {
+        var i = 0
+        if (floatElems) while (i < dim) { buf(i) += ad.getFloat(i); i += 1 }
+        else while (i < dim) { buf(i) += ad.getDouble(i); i += 1 }
+        buf(dim) += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i <= dim) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    InternalRow(new GenericArrayData(java.util.Arrays.copyOfRange(buf, 0, dim)),
+      buf(dim).toLong)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * (dim + 1))
+    var i = 0
+    while (i <= dim) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Double](dim + 1)
+    var i = 0
+    while (i <= dim) { buf(i) = bb.getDouble; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumCount =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumCount =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): VecSumCount =
     copy(child = newChild)
 }
 

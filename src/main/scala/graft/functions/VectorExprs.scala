@@ -335,6 +335,7 @@ object VectorFunctions {
     // AggregateExpression automatically on resolution
     "kmv_bottomk" -> (exprs => KmvBottomK(exprs(0), intArg(exprs(1)))),
     "simhash_sig" -> (exprs => SimhashSig(exprs(0))),
+    "vec_sum_count" -> (exprs => VecSumCount(exprs(0), intArg(exprs(1)))),
     "md5_prefix" -> (exprs => Md5Prefix(exprs(0), intArg(exprs(1)))),
     "nearest_centroid" -> (exprs =>
       NearestCentroid(exprs(0), matArg(exprs(1)), longsArg(exprs(2)))),
@@ -385,6 +386,10 @@ object VectorFunctions {
 
   /** Column API for [[SimhashSig]] (aggregate). */
   def simhashSig(h: Column): Column = call_function("simhash_sig", h)
+
+  /** Column API for [[VecSumCount]] (aggregate; dim must be a literal). */
+  def vecSumCount(emb: Column, dim: Int): Column =
+    call_function("vec_sum_count", emb, lit(dim))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

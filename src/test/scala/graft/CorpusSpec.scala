@@ -88,6 +88,39 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("kmeans centroid update matches per-dim avg and holds at dim 512") {
+    import graft.ext.Similarity
+    import graft.functions.VectorFunctions
+    // agreement: the one-pass vector-sum aggregate == dim separate avgs
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding"))
+      .withColumn("cell", (col("id") % 3).cast("int"))
+    val dim = e.select(col("embedding")).head().getSeq[Float](0).length
+    val viaAgg = e.groupBy(col("cell"))
+      .agg(VectorFunctions.vecSumCount(col("embedding"), dim).as("sc"))
+      .select(col("cell"), col("sc.sum"), col("sc.n")).collect()
+      .map(r => r.getInt(0) ->
+        (r.getSeq[Double](1).map(_ / r.getLong(2)), r.getLong(2))).toMap
+    val avgs = (0 until dim).map(i => avg(col("embedding")(i)))
+    val viaAvg = e.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), avgs: _*).collect()
+      .map(r => r.getInt(0) ->
+        ((0 until dim).map(i => r.getDouble(i + 2)), r.getLong(1))).toMap
+    assert(viaAgg.keySet == viaAvg.keySet)
+    for (c <- viaAgg.keySet) {
+      assert(viaAgg(c)._2 == viaAvg(c)._2)
+      viaAgg(c)._1.zip(viaAvg(c)._1).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cell $c: $a vs $b") }
+    }
+    // scale-in-dim: training at dim 512 must stay one aggregate column,
+    // not 512 expressions (and complete quickly)
+    val wide = spark.range(300).select(col("id"),
+      transform(sequence(lit(0), lit(511)),
+        i => ((hash(col("id"), i) % 1000) / 100.0).cast("float")).as("embedding"))
+    val cents = Similarity.kmeansCentroids(wide, k = 4, maxIter = 2)
+    assert(cents.length == 4 && cents.forall(_.length == 512))
+  }
+
   test("semanticDecontaminate compares corpus docs whose id collides with a benchmark id") {
     import graft.ext.Similarity
     // corpus doc id=1 is a paraphrase-identical vector of benchmark doc
