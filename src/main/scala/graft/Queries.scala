@@ -1399,17 +1399,32 @@ object Queries {
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_name"), col("p_brand"),
           length(col("p_name")).as("len"))
-      val a = p.as("a")
-      val b = p.as("b")
+      // the probe side arrives as a single ~MB parquet split, which
+      // would run the whole pair enumeration + levenshtein in ONE task;
+      // spread it explicitly (REPARTITION_BY_NUM shuffles are exempt
+      // from AQE coalescing, which would happily fold 1 MB back into
+      // one partition). 4x cores saturates the pool even with skewed
+      // (brand, len) blocks.
+      val nSlices = s.sparkContext.defaultParallelism * 4
+      val a = p.repartition(nSlices, col("p_partkey")).as("a")
+      // the |len diff| <= 3 prune as a JOIN KEY, not a post-enumeration
+      // filter: side b probes every length within the edit radius
+      // (edit distance <= 3 forces |len(a)-len(b)| <= 3), so the equi
+      // key (brand, len) confines pair enumeration to length-compatible
+      // rows — the quadratic blowup happens per (brand, length) bucket
+      // instead of per brand, and each qualifying pair matches exactly
+      // once (b has one length; a's length hits one probe value).
+      val b = p.withColumn("probe_len",
+          explode(sequence(col("len") - 3, col("len") + 3)))
+        .as("b")
       // the natural `levenshtein <= 3` predicate: BoundedLevenshteinRule
       // rewrites it to the thresholded banded-DP form during
       // optimization, and running it INSIDE the join predicate means
-      // non-matches die during the join — the 16×-larger candidate set
-      // is never materialized. The cheap |len| prune runs first; dist
-      // is recomputed only for survivors.
+      // non-matches die during the join — the candidate set is never
+      // materialized; dist is recomputed only for survivors.
       a.join(b, col("a.p_brand") === col("b.p_brand") &&
+          col("a.len") === col("b.probe_len") &&
           col("a.p_partkey") < col("b.p_partkey") &&
-          abs(col("a.len") - col("b.len")) <= 3 &&
           levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
         .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
           levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"))
