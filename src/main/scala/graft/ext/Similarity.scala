@@ -151,6 +151,52 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
   }
 
+  /** Materialize the IVF layout: the corpus written `partitionBy("cell")`
+    * under `path`, one directory per coarse cell. This is the physical
+    * half of the 100 TB story in [[ivfTopK]]: a probe query filters on
+    * a literal cell list, so the parquet source prunes whole partition
+    * directories and reads ~nProbe/nCentroids of the data — proven by
+    * `LayoutSpec`'s numFiles assertion.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    cents: Array[(Long, Array[Float])]): Unit = {
+    ensureRegistered(corpus)
+    corpus.withColumn("cell", cellOf(col("embedding"), cents))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Driver-side probe-cell selection for ONE query vector: the `nProbe`
+    * centroid ids nearest by cosine (ties to the lower id) — the same
+    * ordering [[graft.functions.ProbeCentroids]] computes per row, here
+    * as plain Scala so the result can be used as partition-pruning
+    * literals before any job runs.
+    */
+  def probeCellsLocal(q: Array[Float], cents: Array[(Long, Array[Float])],
+                      nProbe: Int): Seq[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cents.map { case (id, c) => (id, cos(q, c)) }
+      .sortBy { case (id, s) => (-s, id) }.take(nProbe).map(_._1).toSeq
+  }
+
+  /** Partition-pruned scan of an IVF-written corpus ([[writeIvfIndex]])
+    * for one query vector: only the `nProbe` probed cell directories are
+    * read (`cell` is a partition column and the filter is a literal IN).
+    */
+  def readIvfProbes(spark: org.apache.spark.sql.SparkSession, path: String,
+                    q: Array[Float], cents: Array[(Long, Array[Float])],
+                    nProbe: Int): DataFrame = {
+    val cells = probeCellsLocal(q, cents, nProbe)
+    spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+  }
+
   /** Lloyd k-means over an embedding column with cosine assignment —
     * the clustering step behind diversity sampling / cluster-balanced
     * corpus curation. Deterministic init (lowest-id vectors, as in

@@ -51,6 +51,49 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+  test("IVF layout: a probe query reads only the probed cell directories") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/ivf"
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding")).coalesce(1)
+    val nCentroids = 8
+    val cents = e.orderBy(col("id")).limit(nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    Similarity.writeIvfIndex(e, dir, cents)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == nCentroids, s"expected $nCentroids cell dirs")
+    val totalFiles = cellDirs.map(_.listFiles()
+      .count(_.getName.endsWith(".parquet"))).sum
+    // probe with a real corpus vector, 2 of 8 cells
+    val q = e.filter(col("id") === 42).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probed = Similarity.probeCellsLocal(q, cents, nProbe = 2)
+    val pruned = Similarity.readIvfProbes(spark, dir, q, cents, nProbe = 2)
+    // execute pruned's own QueryExecution so its scan metrics populate
+    val rows = pruned.collect()
+    val cellIdx = pruned.schema.fieldIndex("cell")
+    assert(rows.nonEmpty &&
+      rows.map(_.get(cellIdx).toString.toLong).toSet == probed.toSet,
+      "pruned read must return exactly the probed cells")
+    // the scan's own metric: files touched = files of the probed dirs,
+    // i.e. ~nProbe/nCentroids of the table (the 100 TB proof-point)
+    val plan = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
+    val filesRead = scan.metrics("numFiles").value
+    val expected = cellDirs
+      .filter(d => probed.map(c => s"cell=$c").contains(d.getName))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(filesRead == expected && filesRead <= totalFiles * 2 / nCentroids,
+      s"filesRead=$filesRead expected=$expected total=$totalFiles")
+  }
+
   test("int8 quantization round-trips within the m/254 bound") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions._
