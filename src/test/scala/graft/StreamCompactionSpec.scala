@@ -103,6 +103,93 @@ class StreamCompactionSpec extends AnyFunSuite {
       s"stream ${streamed.est_distinct} != batch $batch — sketch must merge exactly")
   }
 
+  // Restart evidence: each stateful extension is stopped after batch 1
+  // and restarted FROM ITS CHECKPOINT, so the second run's output can
+  // only be correct if the keyed state survived the restart (RocksDB
+  // provider, wired in Sessions/TestSession). The sink is foreachBatch —
+  // the one production uses and the one that supports checkpoint
+  // recovery (the memory sink refuses to recover) — collecting into a
+  // per-run buffer; committed batches are not replayed, so run 2's
+  // buffer holds only post-restart output.
+
+  private def collectingSink[T](out: org.apache.spark.sql.Dataset[T],
+                                ckpt: String, mode: OutputMode,
+                                buf: scala.collection.mutable.ListBuffer[T]) =
+    out.writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[T], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt).outputMode(mode).start()
+
+  test("quotaAdmit state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_quota").toString
+    val in = MemoryStream[(String, Long)]
+    val out = StreamCompaction.quotaAdmit(
+      in.toDS().toDF("src", "doc_id"), "src", "doc_id", quota = 3)
+    val run1 = scala.collection.mutable.ListBuffer.empty[StreamCompaction.AdmittedDoc]
+    val q1 = collectingSink(out, ckpt, OutputMode.Append, run1)
+    in.addData(("a", 1L), ("a", 2L)) // admits both; 1 slot left
+    q1.processAllAvailable(); q1.stop()
+    assert(run1.map(_.id).toSet == Set(1L, 2L))
+    val run2 = scala.collection.mutable.ListBuffer.empty[StreamCompaction.AdmittedDoc]
+    val q2 = collectingSink(out, ckpt, OutputMode.Append, run2)
+    in.addData(("a", 3L), ("a", 4L), ("a", 5L))
+    q2.processAllAvailable(); q2.stop()
+    // lost state would admit all three; surviving state admits min id only
+    assert(run2.map(_.id).toSet == Set(3L),
+      s"restart must resume the stratum counter: $run2")
+  }
+
+  test("kmvDistinctStream state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_kmv").toString
+    val in = MemoryStream[(String, Long)]
+    val out = StreamCompaction.kmvDistinctStream(
+      in.toDS().toDF("g", "v"), "g", "v", k = 32)
+    val run1 = scala.collection.mutable.ListBuffer.empty[StreamCompaction.DistinctEstimate]
+    val q1 = collectingSink(out, ckpt, OutputMode.Update, run1)
+    in.addData((0 until 100).map(i => ("a", i.toLong)): _*)
+    q1.processAllAvailable(); q1.stop()
+    val run2 = scala.collection.mutable.ListBuffer.empty[StreamCompaction.DistinctEstimate]
+    val q2 = collectingSink(out, ckpt, OutputMode.Update, run2)
+    in.addData((50 until 250).map(i => ("a", i.toLong)): _*)
+    q2.processAllAvailable(); q2.stop()
+    val streamed = run2.maxBy(_.n_values)
+    val batch = graft.ext.Sketch.kmvDistinct(
+      spark.range(250).select(lit("a").as("g"), col("id").as("v")),
+      Seq("g"), "v", k = 32)
+      .select("est_distinct").as[Long].head()
+    // counts and sketch contents from before the restart must be present
+    assert(streamed.n_values == 300, s"value count lost: ${streamed.n_values}")
+    assert(streamed.est_distinct == batch,
+      s"stream ${streamed.est_distinct} != batch $batch after restart")
+  }
+
+  test("firstPerFingerprint state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_fp").toString
+    val in = MemoryStream[(Long, String)]
+    val out = StreamCompaction.firstPerFingerprint(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val run1 = scala.collection.mutable.ListBuffer.empty[StreamCompaction.DedupedDoc]
+    val q1 = collectingSink(out, ckpt, OutputMode.Append, run1)
+    in.addData((1L, "the quick fox"), (3L, "other doc"))
+    q1.processAllAvailable(); q1.stop()
+    assert(run1.map(_.id).toSet == Set(1L, 3L))
+    val run2 = scala.collection.mutable.ListBuffer.empty[StreamCompaction.DedupedDoc]
+    val q2 = collectingSink(out, ckpt, OutputMode.Append, run2)
+    // normalization-equal duplicate of a pre-restart doc + a new doc
+    in.addData((9L, "THE  quick fox"), (4L, "brand new content"))
+    q2.processAllAvailable(); q2.stop()
+    assert(run2.map(_.id).toSet == Set(4L),
+      s"restart must keep seen fingerprints (9 is a pre-restart dup): $run2")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses exact redeliveries") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
