@@ -27,10 +27,23 @@ object Layout {
     * small-files fix. Streaming ingestion and per-table fanout produce
     * thousands of KB-sized files per partition; at 100 TB that means
     * listing/opening costs dominate scans and the NameNode/object-store
-    * melts. Rewrite: one pass, `ceil(bytes/target)` output files via a
-    * round-robin repartition (no key assumption), atomic swap via
-    * rename. Run it as the compaction tick of any continuously-written
-    * table; readers see either the old or the new file set.
+    * melts. Rewrite: one pass over a SNAPSHOT of the current part files,
+    * `ceil(bytes/target)` output files via a round-robin repartition
+    * (no key assumption), then a rename swap.
+    *
+    * CONCURRENCY CONTRACT — the tick must be SERIALIZED with the
+    * table's writer AND its readers (e.g. run it inside the same
+    * foreachBatch loop that merges batches, as the operational-loop
+    * spec does; on a real deployment, a transactional table format is
+    * the concurrent-writers answer). The swap is rename-based, not
+    * atomic: between the two renames the path briefly does not exist,
+    * and the old file set is deleted immediately, so an in-flight
+    * reader of the old files can fail. As a backstop against a
+    * concurrent WRITER (which would lose data silently), the file
+    * listing is re-checked just before the swap: if part files were
+    * added or removed since the snapshot, the tick aborts cleanly —
+    * the compacted output is discarded, the live directory untouched —
+    * and throws.
     *
     * @return number of output files written
     */
@@ -38,14 +51,26 @@ object Layout {
                         targetBytes: Long = 128L << 20): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(path)
+    def partFiles(): Map[String, Long] = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getLen).sum
+      .map(f => f.getPath.getName -> f.getLen).toMap
+    val snapshot = partFiles()
+    val totalBytes = snapshot.values.sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(
       path.getParent, s".compact-${path.getName}-${java.util.UUID.randomUUID()}")
-    spark.read.parquet(dir).repartition(nFiles)
+    // read exactly the snapshot files: rows written after the snapshot
+    // are not silently folded into (or dropped from) the compacted set
+    val snapPaths = snapshot.keys.toSeq.sorted
+      .map(n => new org.apache.hadoop.fs.Path(path, n).toString)
+    spark.read.parquet(snapPaths: _*).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (partFiles() != snapshot) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"$dir changed during compaction (concurrent writer?) — tick " +
+          "aborted; serialize compactParquetDir with the table's writer")
+    }
     val old = new org.apache.hadoop.fs.Path(
       path.getParent, s".old-${path.getName}-${java.util.UUID.randomUUID()}")
     fs.rename(path, old)

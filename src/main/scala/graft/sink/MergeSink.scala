@@ -48,14 +48,19 @@ trait MergeDialect {
                       insertCols: Seq[String], opCol: String,
                       deleteMarker: String): Seq[String]
 
-  /** Column DDL for explicit stage creation: [[SinkTypes]] metadata
-    * (reference P10, src/glue_pg_redshift_cdc.py:139-145) wins —
-    * translated for this engine — else the default type mapping.
-    * Identifiers are double-quoted to match the Spark JDBC writer.
+  /** The resolved DDL type of a field: [[SinkTypes]] metadata (reference
+    * P10, src/glue_pg_redshift_cdc.py:139-145) wins — translated for
+    * this engine — else the default type mapping. The row-wise insert
+    * path consults the SAME resolution ([[JdbcMergeSink]] casts columns
+    * to match), so stage DDL and JDBC binds cannot diverge.
     */
+  def resolvedType(f: types.StructField): String =
+    SinkTypes.of(f).map(translateSinkType).getOrElse(defaultType(f.dataType))
+
+  /** Column DDL for explicit stage creation. Identifiers are
+    * double-quoted to match the Spark JDBC writer. */
   def columnDdl(f: types.StructField): String =
-    "\"" + f.name + "\" " +
-      SinkTypes.of(f).map(translateSinkType).getOrElse(defaultType(f.dataType))
+    "\"" + f.name + "\" " + resolvedType(f)
 
   /** Adapt a Redshift-flavored metadata type to this engine (identity on
     * Redshift itself). */
@@ -108,10 +113,15 @@ object RedshiftDialect extends MergeDialect {
     MergeSql.deleteInsertMerge(target, stage, key, insertCols, opCol, deleteMarker)
   // redshift_type metadata is already Redshift DDL — verbatim (inherited
   // translateSinkType), so SUPER/CHAR(2)/VARCHAR(120) land as declared
+  // NULL AS matches the staged CSV's explicit null token (see
+  // JdbcMergeSink.bulkLoad): without it Redshift loads Spark's empty
+  // null fields as empty STRINGS for character columns, so the two
+  // stage-load paths would disagree on NULL contents
   override def copyFromStaging(stage: String, file: String,
                                iamRole: Option[String]): Option[String] =
     Some(s"COPY $stage FROM '$file'" +
-      iamRole.map(r => s" IAM_ROLE '$r'").getOrElse("") + " FORMAT AS CSV")
+      iamRole.map(r => s" IAM_ROLE '$r'").getOrElse("") +
+      " FORMAT AS CSV NULL AS '\\N'")
 }
 
 /** Portable ANSI dialect (works on embedded Derby in tests, and any
@@ -135,18 +145,19 @@ object AnsiDialect extends MergeDialect {
 
   /** Like the base rule, but writability-aware: a numeric sink type over
     * a STRING Spark column (the reference's `pk_id INT4` over a
-    * `get_json_object` string) only works where the loader coerces text
-    * — Redshift's CSV COPY does, row-wise JDBC inserts don't — so here
-    * it lands as text and the numeric intent stays warehouse-side. */
-  override def columnDdl(f: types.StructField): String = {
-    val resolved = SinkTypes.of(f).map(translateSinkType) match {
+    * `get_json_object` string) lands as text here and the numeric
+    * intent stays warehouse-side — Derby's strict DML would otherwise
+    * need a lossy text-to-number cast on every load path. (Dialects
+    * that keep the numeric DDL, e.g. Redshift, instead get the batch
+    * column cast before the row-wise insert — see
+    * [[JdbcMergeSink.bindCompatible]].) */
+  override def resolvedType(f: types.StructField): String =
+    SinkTypes.of(f).map(translateSinkType) match {
       case Some("INTEGER" | "BIGINT" | "SMALLINT")
           if f.dataType == types.StringType => "VARCHAR(64)"
       case Some(x) => x
       case None => defaultType(f.dataType)
     }
-    "\"" + f.name + "\" " + resolved
-  }
   def createTarget(target: String, stage: String, cols: Seq[String]): Seq[String] =
     Seq(s"CREATE TABLE $target AS SELECT * FROM $stage WITH NO DATA")
   def mergeStatements(target: String, stage: String, key: String,
@@ -278,6 +289,11 @@ final class JdbcMergeSink(url: String, props: Properties,
     val dir = s"${conf.tmpdir.stripSuffix("/")}/$stage-${java.util.UUID.randomUUID()}"
     batch.write.mode(SaveMode.Overwrite)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+      // explicit null token, matched by the dialect's COPY (NULL AS):
+      // the CSV default writes nulls as empty fields, which Redshift
+      // loads as empty STRINGS for character columns — the staged path
+      // would then disagree with the row-wise JDBC path on NULLs
+      .option("nullValue", "\\N")
       .csv(dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
@@ -292,7 +308,29 @@ final class JdbcMergeSink(url: String, props: Properties,
         dialect.copyFromStaging(stage, loc, conf.iamRole).foreach(st.execute(_))
       } finally st.close()
     }
+    // a continuously running pipeline would otherwise accumulate one
+    // UUID directory per batch under tmpdir forever; kept on failure
+    // (any exception above skips this) for debugging the failed load
+    fs.delete(path, true)
   }
+
+  /** Row-wise JDBC binds must match the explicitly-created stage DDL: a
+    * numeric annotation over a string Spark column (the reference's
+    * `pk INT4` over `get_json_object`) loads fine through Redshift's
+    * CSV COPY, which coerces text, but a JDBC parameter bound as
+    * VARCHAR into an INT4 column is rejected — so the columns the
+    * dialect resolves to numeric DDL are cast before the insert.
+    * Under ANSI mode a non-numeric value fails loudly here instead of
+    * landing NULL in a merge key.
+    */
+  private def bindCompatible(batch: DataFrame): DataFrame =
+    batch.schema.fields.foldLeft(batch) { (df, f) =>
+      if (f.dataType != types.StringType) df
+      else SinkTypes.numericSparkType(dialect.resolvedType(f)) match {
+        case Some(t) => df.withColumn(f.name, col(f.name).cast(t))
+        case None => df
+      }
+    }
 
   private def mergeImpl(once: Option[(String, Long)], db: String, tb: String,
                         batch: DataFrame, keyCol: String, opCol: String,
@@ -322,7 +360,7 @@ final class JdbcMergeSink(url: String, props: Properties,
         } finally st.close()
       }
       if (bulk) bulkLoad(batch, stage)
-      else batch.write.mode(SaveMode.Append).jdbc(url, stage, props)
+      else bindCompatible(batch).write.mode(SaveMode.Append).jdbc(url, stage, props)
     } else batch.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
     // 2. merge transaction (driver connection)
     withConnection { conn =>

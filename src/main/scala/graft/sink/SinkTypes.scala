@@ -33,6 +33,20 @@ object SinkTypes {
   def hasAny(schema: StructType): Boolean =
     schema.fields.exists(_.metadata.contains(Key))
 
+  /** Spark cast target for a numeric warehouse DDL type (either the
+    * Redshift alias or the translated standard name), None for
+    * non-numeric DDL. Used to keep row-wise JDBC binds type-compatible
+    * with numerically-annotated stage columns.
+    */
+  def numericSparkType(ddl: String): Option[String] = ddl.trim.toUpperCase match {
+    case "INT4" | "INTEGER" | "INT" => Some("int")
+    case "INT8" | "BIGINT" => Some("long")
+    case "INT2" | "SMALLINT" => Some("short")
+    case "FLOAT8" | "DOUBLE PRECISION" => Some("double")
+    case "FLOAT4" | "REAL" => Some("float")
+    case _ => None
+  }
+
   /** Re-alias the named columns with their sink types (identity when the
     * map is empty). Applied by the pipeline between compaction and the
     * sink, mirroring the reference's annotated projection.

@@ -168,13 +168,53 @@ class JdbcSinkSpec extends AnyFunSuite {
     val rows = spark.read.jdbc(url, "bulk_users", props)
       .select("pk", "payload").as[(String, String)].collect().toMap
     assert(rows == Map("1" -> "ann", "3" -> "cat"))
-    // the staged CSV really was the load path
+    // successful COPYs clean their staged CSV directory up — a
+    // continuously running pipeline must not accumulate one UUID dir
+    // per batch under tmpdir forever
     val staged = new java.io.File(tmpdir).listFiles()
-    assert(staged != null && staged.nonEmpty, "no staged CSV directories written")
-    // Redshift flavor of the same hook carries tempdir + IAM role
+    assert(staged != null && staged.isEmpty,
+      s"staged CSV dirs must be removed after a successful COPY: ${staged.toSeq}")
+    // Redshift flavor of the same hook carries tempdir + IAM role, and
+    // the NULL token matching the staged CSV write
     assert(RedshiftDialect.copyFromStaging("stage_t", "s3://b/x/part-0.csv",
       Some("arn:aws:iam::1:role/load")) ==
-      Some("COPY stage_t FROM 's3://b/x/part-0.csv' IAM_ROLE 'arn:aws:iam::1:role/load' FORMAT AS CSV"))
+      Some("COPY stage_t FROM 's3://b/x/part-0.csv' IAM_ROLE 'arn:aws:iam::1:role/load'" +
+        " FORMAT AS CSV NULL AS '\\N'"))
+  }
+
+  test("numeric sink type over a string column survives the row-wise JDBC path") {
+    import spark.implicits._
+    // a dialect that KEEPS the numeric DDL (as Redshift does) instead of
+    // AnsiDialect's text degrade: the stage gets pk INTEGER while the
+    // Spark column is a string — the round-3 advice scenario where the
+    // JDBC fallback's varchar bind was rejected on the first batch
+    object NumericKeepingDialect extends graft.sink.MergeDialect {
+      private def q(id: String) = "\"" + id + "\""
+      override def translateSinkType(t: String): String =
+        AnsiDialect.translateSinkType(t)
+      def createTarget(target: String, stage: String, cols: Seq[String]): Seq[String] =
+        AnsiDialect.createTarget(target, stage, cols)
+      def mergeStatements(target: String, stage: String, key: String,
+                          insertCols: Seq[String], opCol: String,
+                          deleteMarker: String): Seq[String] = Seq(
+        s"DELETE FROM $target WHERE ${q(key)} IN (SELECT ${q(key)} FROM $stage)",
+        s"INSERT INTO $target (${insertCols.map(q).mkString(", ")}) " +
+          s"SELECT ${insertCols.map(q).mkString(", ")} FROM $stage " +
+          s"WHERE ${q(opCol)} <> '$deleteMarker'",
+        s"DROP TABLE $stage")
+    }
+    val sink = new JdbcMergeSink(url, props, NumericKeepingDialect)
+    def batch(rows: Seq[(String, Long, String, String)]) = SinkTypes.annotate(
+      rows.toDF("pk", "ts_ms", "op", "payload"), Map("pk" -> "INT4"))
+    sink.merge("nk", "users", batch(Seq(("7", 100L, "u", "ann"), ("8", 101L, "u", "bob"))), "pk", "op", "d")
+    sink.merge("nk", "users", batch(Seq(("8", 201L, "d", "bob"), ("9", 202L, "u", "cat"))), "pk", "op", "d")
+    val out = spark.read.jdbc(url, "nk_users", props)
+    // the stage/target really carry the annotated numeric type...
+    assert(out.schema("pk").dataType == org.apache.spark.sql.types.IntegerType,
+      s"pk landed as ${out.schema("pk").dataType}")
+    // ...and both merge batches applied through the row-wise path
+    assert(out.select("pk", "payload").as[(Int, String)].collect().toMap ==
+      Map(7 -> "ann", 9 -> "cat"))
   }
 
   test("redshift dialect emits the reference's postactions shape") {
