@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve measurement for the dedup/ANN/sketch family — the
+  * evidence behind SCALE.md's near-linear claims.
+  *
+  * Corpora are SYNTHETIC and deterministic (hash-derived, no RNG): a
+  * document is ~60 words drawn from a 2 000-word vocabulary by
+  * `hash(id, position)`; every 20th row is a near-copy of its
+  * predecessor (one token / one dimension perturbed), so every scale has
+  * the same planted near-dup rate and the TRUE pair count grows
+  * LINEARLY — unlike naively replicating a fixture corpus, where each
+  * replica is a near-dup of the original and the pair count (and any
+  * honest pair-finder's output) would grow quadratically by
+  * construction. Inputs are materialized to parquet first so generation
+  * cost is not measured.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleBench"` (optional arg: output
+  * root, default /tmp/graft-scale). Prints one markdown row per
+  * (operator, scale): cold run, warm (steady-state) run, result rows.
+  */
+object ScaleBench {
+
+  /** ~60-word documents over a 2k vocab; id%20==19 near-copies id-1
+    * with the first token mutated (shingle overlap ≈ 57/60). */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val seed = when(col("id") % 20 === 19, col("id") - 1).otherwise(col("id"))
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(59)),
+        i => when(col("id") % 20 === 19 && i === 0,
+            concat(lit("mut"), col("id")))
+          .otherwise(concat(lit("w"), pmod(hash(seed, i), lit(2000))))))
+        .as("text"))
+  }
+
+  /** 64-dim float vectors, components uniform-ish in [-1, 1);
+    * id%20==19 near-copies id-1 with dim 0 nudged (cosine ≈ 0.999,
+    * far above unrelated vectors' ~0 ± 1/8). */
+  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    val seed = when(col("id") % 20 === 19, col("id") - 1).otherwise(col("id"))
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i => {
+        val base = pmod(hash(seed, i), lit(2000)).cast("double") / 1000.0 - 1.0
+        when(col("id") % 20 === 19 && i === 0, base + 0.05)
+          .otherwise(base).cast("float")
+      }).as("embedding"))
+  }
+
+  /** (group, value) rows for the KMV sketch: 3 groups, ~1e5 distinct
+    * values, value sequence hash-scattered. */
+  def synthValues(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      pmod(col("id"), lit(3)).cast("string").as("g"),
+      pmod(col("id") * 2654435761L, lit(100000)).as("v"))
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft-scale")
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors())))
+    val scales = Seq(1, 3, 10)
+    // base sizes = the sf0.1 fixture sizes, so scale 1 is comparable to
+    // the round bench
+    val baseDocs = 5000L
+    val baseVecs = 2000L
+    val baseVals = 600000L
+
+    for (s <- scales) {
+      synthDocs(spark, baseDocs * s).write.mode("overwrite")
+        .parquet(s"$root/docs_x$s")
+      synthEmbeddings(spark, baseVecs * s).write.mode("overwrite")
+        .parquet(s"$root/vecs_x$s")
+      synthValues(spark, baseVals * s).write.mode("overwrite")
+        .parquet(s"$root/vals_x$s")
+    }
+    def docs(s: Int) = spark.read.parquet(s"$root/docs_x$s")
+    def vecs(s: Int) = spark.read.parquet(s"$root/vecs_x$s")
+    def vals(s: Int) = spark.read.parquet(s"$root/vals_x$s")
+
+    // the bench queries' own parameters (Queries.scala)
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "jaccardPairs" -> (s => graft.ext.Dedup.jaccardPairs(
+        docs(s), "doc_id", "text", n = 3, tau = 0.25)),
+      "minhashCandidates" -> (s => graft.ext.Dedup.minhashCandidates(
+        graft.ext.Dedup.minhashSignatures(docs(s), "doc_id", "text",
+          n = 3, k = 64), k = 64, bands = 16)
+        .filter(col("est_jacc") >= 0.25)),
+      "simhashPairs" -> (s => graft.ext.Dedup.simhashPairs(
+        docs(s), "doc_id", "text", maxDist = 5)),
+      // tau raised vs the bench query (0.4 -> 0.7): random 64-dim
+      // vectors concentrate at cosine 0 +- 1/8, so at 0.4 the TRUE
+      // pair count itself grows quadratically with n (a data property
+      // that would mask the operator's scaling); at 0.7 only the
+      // planted near-copies match and output stays linear
+      "nearDupPairsSrp" -> (s => graft.ext.Similarity.nearDupPairsSrp(
+        vecs(s), "vec_id", "embedding", tau = 0.7, dim = 64,
+        nBits = 6, nTables = 6)),
+      "kmvDistinct" -> (s => graft.ext.Sketch.kmvDistinct(
+        vals(s), Seq("g"), "v", k = 64)))
+
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    // one throwaway pass at scale 1 pays JVM/codegen warmup so the 1x
+    // rows aren't inflated relative to 3x/10x
+    for ((_, op) <- ops) { op(1).count(); release() }
+
+    println("| operator | scale | input rows | cold s | warm s | out rows |")
+    println("|---|---|---|---|---|---|")
+    for ((name, op) <- ops; s <- scales) {
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = op(s).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (cold, rows) = run()
+      val warm = math.min(run()._1, run()._1)
+      release()
+      val inRows = (name match {
+        case "nearDupPairsSrp" => baseVecs
+        case "kmvDistinct" => baseVals
+        case _ => baseDocs
+      }) * s
+      println(f"| $name | ${s}x | $inRows | $cold%.2f | $warm%.2f | $rows |")
+    }
+    spark.stop()
+  }
+}
