@@ -149,4 +149,23 @@ class PlanSpec extends AnyFunSuite {
       s"anti-join not broadcast:\n$p")
     assert(!p.contains("Exchange hashpartitioning"), s"target got shuffled:\n$p")
   }
+
+  test("self-join inputs are cached once and read by BOTH sides (r4 materialization)") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // the banded relations must resolve to ONE shared InMemoryRelation
+    // per operator: a side bypassing the cache would re-run the full
+    // tokenize/hash/aggregate upstream over the corpus (and an eager
+    // materialization would re-introduce the r3 cold-run extra pass)
+    for (name <- Seq("dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_srp")) {
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(name)(spark, sf)
+      val rels = df.queryExecution.withCachedData.collect {
+        case r: InMemoryRelation => r }
+      assert(rels.length == 2,
+        s"$name: expected both join sides on the cache, got ${rels.length}")
+      assert(rels(0).cacheBuilder eq rels(1).cacheBuilder,
+        s"$name: join sides use different cache entries")
+      spark.catalog.clearCache()
+    }
+  }
 }
