@@ -356,7 +356,12 @@ object Queries {
     */
   /** Synthetic Debezium-PG envelope built from the events table — shared
     * by the envelope round-trip and DLQ queries. */
-  private def pgEnvelope(ev: DataFrame): DataFrame = {
+  private def pgEnvelope(ev0: DataFrame): DataFrame = {
+    // stands in for Kafka-partition parallelism: the envelope build +
+    // parse is the CPU-heavy narrow stage, and the single-file events
+    // fixture would otherwise run it in one task (ext.Materialize.spread
+    // is a no-op on well-partitioned inputs)
+    val ev = ext.Materialize.spread(ev0)
     val payload = to_json(struct(
       col("user_id").as("id"),
       get_json_object(col("props"), "$.k").cast("int").as("k"),
@@ -393,7 +398,7 @@ object Queries {
   /** Mongo envelope round-trip incl. the merge's delete filter. */
   val qEnvelopeMongo = Q("q_envelope_mongo",
     (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = ext.Materialize.spread(t(s, dir, "events"))
       val env = ev.select(to_json(struct(
         concat(lit("rid-"), col("event_id")).as("_id"),
         when(col("event_type") === "error", lit("delete"))
@@ -442,7 +447,7 @@ object Queries {
   /** DMS envelope round-trip incl. control-record filtering. */
   val qEnvelopeDms = Q("q_envelope_dms",
     (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = ext.Materialize.spread(t(s, dir, "events"))
       val env = ev.select(to_json(struct(
         col("props").as("data"),
         struct(

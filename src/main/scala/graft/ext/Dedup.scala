@@ -83,10 +83,16 @@ object Dedup {
   /** Public column access to the compiled shingle generator. */
   def wordShinglesUdf(text: Column, n: Int): Column = shingleUdf(text, lit(n))
 
-  /** (id, m = |shingle set|, exploded shingle). */
+  /** (id, m = |shingle set|, exploded shingle). The input is spread to
+    * session parallelism first ([[Materialize.spread]], no-op on
+    * well-partitioned tables): the shingle generation + explode is the
+    * CPU-heavy narrow stage, and it would otherwise run with the scan's
+    * partitioning — one task for a single-file table.
+    */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingleUdf(col(textCol), lit(n)).as("sh"))
+    Materialize.spread(df)
+      .select(col(idCol).as("id"), shingleUdf(col(textCol), lit(n)).as("sh"))
       .select(col("id"), size(col("sh")).as("m"), explode(col("sh")).as("shingle"))
 
   /** Exact dedup groups: one row per distinct normalized content with the
@@ -287,7 +293,8 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("id"),
+    Materialize.spread(df)
+      .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("toks"))
       .select(col("id"), explode(col("toks")).as("tok"))
       .withColumn("h", TextOps.portableHash(col("tok")))

@@ -41,4 +41,21 @@ private[graft] object Materialize {
     */
   def multiScan(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Spread a pathologically under-partitioned input to the session's
+    * parallelism before a CPU-heavy narrow stage. A narrow pipeline
+    * inherits its scan's partitioning, and a single small parquet file
+    * (or a driver-built fixture) is ONE input split — so the whole
+    * tokenize/parse stage would run in one task regardless of cluster
+    * size. Inputs already carrying at least a quarter of the default
+    * parallelism pass through untouched: at real scale (thousands of
+    * splits) this is a no-op and costs no shuffle. The explicit
+    * round-robin repartition (REPARTITION_BY_NUM) is exempt from AQE
+    * coalescing, which would fold small data straight back into one
+    * partition.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
+  }
 }

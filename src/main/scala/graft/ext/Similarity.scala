@@ -339,7 +339,7 @@ object Similarity {
     ensureRegistered(df)
     // self-join: compute the signatures once (lazy cache — see Materialize)
     val t = Materialize.multiScan(
-      df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      Materialize.spread(df).select(col(idCol).as("id"), col(embCol).as("emb"))
         .withColumn("tsig", explode(array((0 until nTables).map(tb =>
           struct(lit(tb).as("t"),
             srpSignature(col("emb"), dim, nBits, tb).as("s"))): _*))))
