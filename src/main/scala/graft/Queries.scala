@@ -712,6 +712,36 @@ object Queries {
       GROUP BY a.doc_id, b.doc_id, a.m, b.m
       HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
 
+  /** Incremental dedup: an arriving batch (every 11th doc) checked
+    * against the already-admitted corpus (the rest) — A-vs-B inverted
+    * shingle index, no corpus self-pairing. The daily-ingest shape of
+    * a growing training corpus.
+    */
+  val qDedupIncremental = Q("dedup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardAgainst(
+        docs.filter(col("doc_id") % 11 === 0),
+        docs.filter(col("doc_id") % 11 =!= 0),
+        "doc_id", "text", n = 3, tau = 0.25)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+             round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) AS jacc
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+        AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0
+      GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
+
   private val minhashK = 16
   private val minhashBands = 4
   private val minhashParamsSql = Dedup.hashParams(minhashK)
@@ -1864,7 +1894,7 @@ object Queries {
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
-    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
+    qDedupExact, qDedupJaccard, qDedupIncremental, qDedupMinhash, qDedupClusters, qDedupSimhash,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,

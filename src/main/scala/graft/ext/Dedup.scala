@@ -152,6 +152,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jacc"))
   }
 
+  /** Incremental near-dup: shingle-Jaccard ≥ tau pairs between an
+    * ARRIVING batch and the EXISTING corpus — the continuously-growing-
+    * corpus complement of [[jaccardPairs]]. A training pipeline that
+    * ingests daily batches must check new documents against everything
+    * already admitted; re-running the corpus self-join per batch is
+    * O(corpus) redundant work, and a self-join over corpus ∪ batch
+    * re-pairs the corpus with itself. Here each side is scanned once
+    * and the join is A-vs-B on the 8-byte shingle hash: cost scales
+    * with the BATCH's shingle postings, not the corpus pair space.
+    * Same exact semantics as [[jaccardPairs]] (length-ratio prune,
+    * optional stop-shingle cap computed over the corpus side — the
+    * side whose hot shingles dominate the join).
+    *
+    * @return (batch_id, corpus_id, jacc)
+    */
+  def jaccardAgainst(batch: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String,
+                     n: Int, tau: Double,
+                     maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val a = explodedShingles(batch, idCol, textCol, n)
+      .select(col("id").as("batch_id"), col("m").as("m_a"),
+        xxhash64(col("shingle")).as("sh64"))
+    val bAll = explodedShingles(corpus, idCol, textCol, n)
+      .select(col("id").as("corpus_id"), col("m").as("m_b"),
+        xxhash64(col("shingle")).as("sh64"))
+    val b = if (maxDocFreq == Int.MaxValue) bAll else {
+      val hot = bAll.groupBy(col("sh64"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
+        .select(col("sh64"))
+      bAll.join(broadcast(hot), Seq("sh64"), "left_anti")
+    }
+    a.join(b, a("sh64") === b("sh64") &&
+        col("m_a") >= col("m_b") * tau && col("m_b") >= col("m_a") * tau)
+      .groupBy(col("batch_id"), col("corpus_id"), col("m_a"), col("m_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jacc", round(col("inter").cast("double") /
+        (col("m_a") + col("m_b") - col("inter")), 4))
+      .filter(col("jacc") >= tau)
+      .select(col("batch_id"), col("corpus_id"), col("jacc"))
+  }
+
   /** MinHash signatures: one row per doc with `sig` = array of k minima
     * of the universal hash family over the doc's shingle set.
     *

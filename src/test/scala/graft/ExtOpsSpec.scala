@@ -143,6 +143,35 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(q >= 0 && q <= 100)
   }
 
+  test("jaccardAgainst: batch-vs-corpus pairs only, agrees with the self-join") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // near-dup of 1 (corpus-internal)
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact dup of corpus 1
+      (11L, "alpha beta gamma delta eta"),     // near-dup of 1 and 2
+      (12L, "totally unrelated words here"),
+      (13L, "totally unrelated words here")).toDF("doc_id", "text") // dup of 12, batch-internal
+    val out = Dedup.jaccardAgainst(batch, corpus, "doc_id", "text",
+      n = 2, tau = 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // batch-vs-corpus only: the corpus-internal pair (1,2) and the
+    // batch-internal pair (12,13) must NOT appear
+    assert(out == Set((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L)), s"got $out")
+    // and each reported pair matches what the self-join over the union
+    // finds across the two sides
+    val self = Dedup.jaccardPairs(batch.unionByName(corpus), "doc_id", "text",
+      n = 2, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val crossFromSelf = self.collect {
+      case (a, b) if a <= 3 && b >= 10 => (b, a)
+      case (a, b) if b <= 3 && a >= 10 => (a, b)
+    }
+    assert(out == crossFromSelf, s"A-vs-B $out != self-join cross pairs $crossFromSelf")
+  }
+
   test("jaccard stop-shingle cap: subset of exact pairs, no-op when loose") {
     val docs = Tables.documents(spark, sf)
     def pairs(cap: Int) =
