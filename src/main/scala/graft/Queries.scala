@@ -787,6 +787,53 @@ object Queries {
       WHERE round(len(list_filter(generate_series(1, $minhashK),
                    i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
 
+  /** Incremental MinHash: the arriving batch's signatures banded against
+    * the stored corpus signature index — corpus text never re-read. */
+  val qDedupMinhashIncremental = Q("dedup_minhash_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def sigs(side: DataFrame) = Dedup.minhashSignatures(side,
+        "doc_id", "text", n = 3, k = minhashK)
+      Dedup.minhashCandidatesAgainst(
+        sigs(docs.filter(col("doc_id") % 11 === 0)),
+        sigs(docs.filter(col("doc_id") % 11 =!= 0)),
+        k = minhashK, bands = minhashBands)
+        .filter(col("est_jacc") >= 0.25)
+    },
+    Some(s"""WITH params(hidx, ha, hb) AS (VALUES $minhashParamsSql),
+      docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, hidx,
+               min((ha * (('0x'||substr(md5(shingle),1,8))::BIGINT) + hb)
+                   % 2305843009213693951) AS mh
+        FROM ex CROSS JOIN params GROUP BY doc_id, hidx),
+      sig AS (SELECT doc_id, array_agg(mh ORDER BY hidx) AS sig FROM hv GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sig, b.band,
+               sig[b.band*4+1 : b.band*4+4] AS band_sig
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0)
+      SELECT batch_id, corpus_id,
+             round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) AS est_jacc
+      FROM cand
+      WHERE round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
+
   /** Pairs → connected components → cluster assignment: the step that
     * turns near-dup pairs into "keep one per cluster" decisions. The
     * oracle replicates min-label reachability with a recursive CTE.
@@ -1894,7 +1941,8 @@ object Queries {
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
-    qDedupExact, qDedupJaccard, qDedupIncremental, qDedupMinhash, qDedupClusters, qDedupSimhash,
+    qDedupExact, qDedupJaccard, qDedupIncremental, qDedupMinhash,
+    qDedupMinhashIncremental, qDedupClusters, qDedupSimhash,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,

@@ -224,17 +224,24 @@ object Dedup {
     * pairs that collide in ≥1 band, with the signature-agreement estimate
     * of Jaccard. Follows the classic MMDS banding scheme.
     */
-  def minhashCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (id, sig, band, band_sig): the signature split into `bands` slices
+    * of `k/bands` rows — the banding projection shared by the self-join
+    * and A-vs-B candidate generators. */
+  private def bandedSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature width $k must divide evenly into $bands bands " +
         "(a remainder would silently drop signature rows)")
     val rows = k / bands
-    // materialized once: the self-join would otherwise recompute the
-    // signature aggregation (the expensive upstream) per side
-    val banded = Materialize.multiScan(sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig"))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+  }
+
+  def minhashCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    // materialized once: the self-join would otherwise recompute the
+    // signature aggregation (the expensive upstream) per side
+    val banded = Materialize.multiScan(bandedSigs(sigs, k, bands))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -246,6 +253,37 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k, 4))
       .select(col("id_a"), col("id_b"), col("est_jacc"))
+  }
+
+  /** Incremental MinHash-LSH: band-bucket candidates between an arriving
+    * batch's signatures and a STORED corpus signature index — the
+    * approximate complement of [[jaccardAgainst]] and the shape that
+    * scales to 100 TB corpora: signatures are computed once at admission
+    * (k longs per document, [[minhashSignatures]]), written bucketed by
+    * (band, band_sig), and each ingest batch joins its bands against
+    * the index — corpus text is never re-read, the corpus is never
+    * self-paired. No id-ordering condition: the two sides are distinct
+    * datasets (cf. the [[Similarity.semanticDecontaminate]] namespace
+    * lesson).
+    *
+    * @return (batch_id, corpus_id, est_jacc)
+    */
+  def minhashCandidatesAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
+                               k: Int, bands: Int): DataFrame = {
+    val a = bandedSigs(batchSigs, k, bands)
+      .select(col("id").as("batch_id"), col("sig").as("sig_a"),
+        col("band"), col("band_sig"))
+    val b = bandedSigs(corpusSigs, k, bands)
+      .select(col("id").as("corpus_id"), col("sig").as("sig_b"),
+        col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .select(col("batch_id"), col("corpus_id"),
+        col("sig_a"), col("sig_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("est_jacc", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k, 4))
+      .select(col("batch_id"), col("corpus_id"), col("est_jacc"))
   }
 
   /** Connected components over a pair list — the final step of any

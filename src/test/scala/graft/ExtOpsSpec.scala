@@ -172,6 +172,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out == crossFromSelf, s"A-vs-B $out != self-join cross pairs $crossFromSelf")
   }
 
+  test("minhashCandidatesAgainst equals the cross-side slice of the self-join") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    def sigs(side: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(side, "doc_id", "text", n = 3, k = 16)
+    val isBatch = (id: Long) => id % 7 == 0
+    val ab = Dedup.minhashCandidatesAgainst(
+      sigs(docs.filter(col("doc_id") % 7 === 0)),
+      sigs(docs.filter(col("doc_id") % 7 =!= 0)), k = 16, bands = 4)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val self = Dedup.minhashCandidates(sigs(docs), k = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val crossFromSelf = self.collect {
+      case (a, b) if isBatch(a) && !isBatch(b) => (a, b)
+      case (a, b) if isBatch(b) && !isBatch(a) => (b, a)
+    }
+    assert(ab == crossFromSelf,
+      s"A-vs-B ${ab.size} pairs != self-join cross slice ${crossFromSelf.size}")
+    assert(ab.nonEmpty, "fixture produced no cross-side candidates")
+  }
+
   test("jaccard stop-shingle cap: subset of exact pairs, no-op when loose") {
     val docs = Tables.documents(spark, sf)
     def pairs(cap: Int) =
