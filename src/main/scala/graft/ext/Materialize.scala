@@ -55,6 +55,9 @@ private[graft] object Materialize {
     * partition.
     */
   def spread(df: DataFrame): DataFrame = {
+    // streams can't be probed for partition count (and their
+    // parallelism is the source's); pass them through untouched
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
   }
