@@ -901,6 +901,44 @@ object Queries {
       SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
       FROM cand WHERE bit_count(xor(sa, sb)) <= 5"""))
 
+  /** Incremental SimHash: batch signatures vs the stored 8-byte-per-doc
+    * corpus index. */
+  val qDedupSimhashIncremental = Q("dedup_simhash_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def sigs(side: DataFrame) = Dedup.simhashSignatures(side, "doc_id", "text")
+      Dedup.simhashAgainst(
+        sigs(docs.filter(col("doc_id") % 11 === 0)),
+        sigs(docs.filter(col("doc_id") % 11 =!= 0)),
+        maxDist = 5)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h
+            FROM toks WHERE tok <> ''),
+      bits AS (
+        SELECT doc_id, j.j,
+               sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0,59)) AS j) j
+        GROUP BY doc_id, j.j),
+      sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 10)) & 1023 AS key
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,5)) AS b) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+               a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key
+          AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0)
+      SELECT batch_id, corpus_id, bit_count(xor(sa, sb)) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 5"""))
+
   // ---------------------------------------------------------------------
   // Extension: similarity search over `embeddings`.
   // ---------------------------------------------------------------------
@@ -1943,6 +1981,7 @@ object Queries {
     qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSimhash,
+    qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,

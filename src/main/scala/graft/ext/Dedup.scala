@@ -388,21 +388,30 @@ object Dedup {
     * `maxDist` small: band width 60/(maxDist+1) bits controls bucket
     * selectivity (4-bit bands ⇒ 16 buckets ⇒ quadratic blowup).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
+  private def requireSimhashRadius(maxDist: Int): Unit =
     require(maxDist >= 0 && maxDist < 12,
       s"maxDist $maxDist out of range: bands need >=5 bits each " +
         "(wider radii make band buckets non-selective — use MinHash)")
+
+  /** (id, sig, bk = struct(band, key)): the pigeonhole banding of a
+    * 60-bit signature, shared by the self-join and A-vs-B forms. */
+  private def simhashBanded(sigs: DataFrame, maxDist: Int): DataFrame = {
     val nBands = maxDist + 1
     val bandBits = 60 / nBands
     val mask = (1L << bandBits) - 1
+    sigs.select(col("id"), col("sig"),
+      explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))
+          .as("key"))): _*)).as("bk"))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    requireSimhashRadius(maxDist)
     val sigs = simhashSignatures(df, idCol, textCol)
     // materialized once: per-side recomputation would tokenize + hash +
     // aggregate the corpus twice (see jaccardPairs)
-    val banded = Materialize.multiScan(sigs.select(col("id"), col("sig"),
-      explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))
-          .as("key"))): _*)).as("bk")))
+    val banded = Materialize.multiScan(simhashBanded(sigs, maxDist))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
@@ -412,5 +421,31 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Incremental SimHash: an arriving batch's signatures banded against
+    * a STORED corpus signature index — the cheapest index of the
+    * incremental family (ONE long per admitted document). Same
+    * pigeonhole guarantee as [[simhashPairs]] (a pair within the radius
+    * agrees on ≥1 band); no id-ordering condition because the sides are
+    * distinct datasets.
+    *
+    * @param batchSigs  (id, sig) of the arriving batch ([[simhashSignatures]])
+    * @param corpusSigs (id, sig) index of the admitted corpus
+    * @return (batch_id, corpus_id, hamming)
+    */
+  def simhashAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
+                     maxDist: Int): DataFrame = {
+    requireSimhashRadius(maxDist)
+    val a = simhashBanded(batchSigs, maxDist)
+      .select(col("id").as("batch_id"), col("sig").as("sig_a"), col("bk"))
+    val b = simhashBanded(corpusSigs, maxDist)
+      .select(col("id").as("corpus_id"), col("sig").as("sig_b"), col("bk"))
+    a.join(b, Seq("bk"))
+      .select(col("batch_id"), col("corpus_id"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
   }
 }

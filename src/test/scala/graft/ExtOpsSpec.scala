@@ -193,6 +193,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(ab.nonEmpty, "fixture produced no cross-side candidates")
   }
 
+  test("simhashAgainst equals the cross-side slice of the self-join") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    def sigs(side: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashSignatures(side, "doc_id", "text")
+    val isBatch = (id: Long) => id % 7 == 0
+    val ab = Dedup.simhashAgainst(
+      sigs(docs.filter(col("doc_id") % 7 === 0)),
+      sigs(docs.filter(col("doc_id") % 7 =!= 0)), maxDist = 5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val self = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val crossFromSelf = self.collect {
+      case (a, b) if isBatch(a) && !isBatch(b) => (a, b)
+      case (a, b) if isBatch(b) && !isBatch(a) => (b, a)
+    }
+    assert(ab == crossFromSelf,
+      s"A-vs-B ${ab.size} pairs != self-join cross slice ${crossFromSelf.size}")
+  }
+
   test("jaccard stop-shingle cap: subset of exact pairs, no-op when loose") {
     val docs = Tables.documents(spark, sf)
     def pairs(cap: Int) =
