@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Prefix
+
+/** The distributed two-pass prefix scheme must be row-identical to the
+  * single-partition window formulation it replaces — including for
+  * FRACTIONAL value columns, whose subtotals a long cast silently
+  * truncated before the round-3 advice fix.
+  */
+class PrefixSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("globalRowNumber equals the single-window row_number (fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map(i => (i.toLong, rnd.nextInt(50)))
+    val df = rows.toDF("id", "k").repartition(16)
+    val got = Prefix.globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("globalRunningSum carries fractional values exactly (fuzz)") {
+    import spark.implicits._
+    // quarter-integer values are binary-exact, so the two-pass result
+    // must EQUAL the single-window running sum bit for bit — under the
+    // old long-cast subtotals every partition boundary dropped the
+    // accumulated fraction
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 4000).map(i => (i.toLong, rnd.nextInt(1000) / 4.0))
+    val df = rows.toDF("id", "v").repartition(16)
+    val got = Prefix.globalRunningSum(df, Seq(col("id")), col("v"), "rs")
+      .select("id", "rs").as[(Long, Double)].collect().toMap
+    val want = df.withColumn("rs", sum(col("v")).over(
+        Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "rs").as[(Long, Double)].collect().toMap
+    assert(got.size == want.size)
+    val bad = got.collect { case (id, v) if v != want(id) => (id, v, want(id)) }
+    assert(bad.isEmpty, s"fractional running sums diverge: ${bad.take(3)}")
+    // and the result is genuinely fractional (the old truncation would
+    // have zeroed every .25/.5/.75 tail)
+    assert(got.values.exists(v => v != math.floor(v)))
+  }
+
+  test("globalRunningSum keeps integral columns in long (type + exactness)") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "v").repartition(8)
+    val out = Prefix.globalRunningSum(df, Seq(col("id")), col("v"), "rs")
+    assert(out.schema("rs").dataType == org.apache.spark.sql.types.LongType,
+      s"integral input must stay long, got ${out.schema("rs").dataType}")
+    val got = out.select("id", "rs").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val want = (0 until 1000).map { i => acc += i % 7; i.toLong -> acc }.toMap
+    assert(got == want)
+  }
+}
