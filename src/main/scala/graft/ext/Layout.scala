@@ -48,7 +48,14 @@ object Layout {
     * @return number of output files written
     */
   def compactParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,
-                        targetBytes: Long = 128L << 20): Int = {
+                        targetBytes: Long = 128L << 20): Int =
+    compactParquetDir(spark, dir, targetBytes, () => ())
+
+  /** Test seam: `beforeSwap` runs between the compacted write and the
+    * listing re-check, where a concurrent writer would be detected. */
+  private[graft] def compactParquetDir(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String, targetBytes: Long,
+                                       beforeSwap: () => Unit): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partFiles(): Map[String, Long] = fs.listStatus(path)
@@ -65,6 +72,7 @@ object Layout {
       .map(n => new org.apache.hadoop.fs.Path(path, n).toString)
     spark.read.parquet(snapPaths: _*).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    beforeSwap()
     if (partFiles() != snapshot) {
       fs.delete(tmp, true)
       throw new IllegalStateException(

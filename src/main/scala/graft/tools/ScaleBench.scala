@@ -97,7 +97,12 @@ object ScaleBench {
         vecs(s), "vec_id", "embedding", tau = 0.7, dim = 64,
         nBits = 6, nTables = 6)),
       "kmvDistinct" -> (s => graft.ext.Sketch.kmvDistinct(
-        vals(s), Seq("g"), "v", k = 64)))
+        vals(s), Seq("g"), "v", k = 64)),
+      // incremental: every-11th-doc batch vs the rest as admitted corpus
+      "jaccardAgainst" -> (s => graft.ext.Dedup.jaccardAgainst(
+        docs(s).filter(col("doc_id") % 11 === 0),
+        docs(s).filter(col("doc_id") % 11 =!= 0),
+        "doc_id", "text", n = 3, tau = 0.25)))
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -121,6 +126,7 @@ object ScaleBench {
       val inRows = (name match {
         case "nearDupPairsSrp" => baseVecs
         case "kmvDistinct" => baseVals
+        case "jaccardAgainst" => baseDocs / 11
         case _ => baseDocs
       }) * s
       println(f"| $name | ${s}x | $inRows | $cold%.2f | $warm%.2f | $rows |")

@@ -51,6 +51,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+  test("compactParquetDir aborts cleanly when a concurrent writer slips in") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_compact_race").toString + "/t"
+    spark.range(5000).select(col("id")).repartition(8).write.parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    def partFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val nBefore = partFiles().length
+    // a "concurrent writer" lands one more part file between the
+    // compacted write and the swap — the listing re-check must abort,
+    // leave the live dir untouched, and discard the compacted output
+    val ex = intercept[IllegalStateException] {
+      Layout.compactParquetDir(spark, dir, 1L << 30, () => {
+        val src = partFiles().head.toPath
+        java.nio.file.Files.copy(src,
+          src.resolveSibling("part-concurrent-writer.parquet"))
+        ()
+      })
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    assert(partFiles().length == nBefore + 1, "live dir must be untouched")
+    assert(spark.read.parquet(dir).count() > before, "new rows must survive")
+    assert(!new java.io.File(dir).getParentFile.listFiles()
+      .exists(_.getName.startsWith(".compact-")),
+      "aborted compacted output must be cleaned up")
+  }
+
   test("IVF layout: a probe query reads only the probed cell directories") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions._
