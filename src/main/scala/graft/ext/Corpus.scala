@@ -21,16 +21,23 @@ object Corpus {
   private def toks(textCol: Column): Column =
     TextOps.tokens(TextOps.normalized(textCol))
 
-  /** Exploded (id, token) relation — duplicates preserved. */
+  /** Exploded (id, token) relation — duplicates preserved. Input spread
+    * to session parallelism first ([[Materialize.spread]], no-op on
+    * well-partitioned tables): tokenize + explode is the CPU-heavy
+    * narrow stage and would otherwise run with the scan's partitioning.
+    */
   private def tokenRel(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
+    Materialize.spread(df)
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
 
   /** Top-k TF-IDF terms per document: score = tf · ln(N/df), rounded to
     * 4dp, ranked by (score desc, token asc) so top-k cuts are total-order
     * deterministic in any engine.
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val rel = tokenRel(df, idCol, textCol)
+    // both the tf and document-frequency aggregates scan the exploded
+    // relation: materialize it once (lazy cache — see Materialize)
+    val rel = Materialize.multiScan(tokenRel(df, idCol, textCol))
     val tf = rel.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = rel.select(col("id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -55,7 +62,8 @@ object Corpus {
     * data size) see the final rank window.
     */
   def vocabulary(df: DataFrame, textCol: String, topN: Int): DataFrame = {
-    val counts = df.select(explode(toks(col(textCol))).as("token"))
+    val counts = Materialize.spread(df)
+      .select(explode(toks(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topN)
     val w = Window.orderBy(col("cnt").desc, col("token").asc)
