@@ -99,6 +99,16 @@ trait MergeDialect {
     */
   def copyFromStaging(stage: String, file: String,
                       iamRole: Option[String]): Option[String] = None
+
+  /** The NULL token the staged CSV writes, matched by this dialect's
+    * COPY statement. None (default) keeps Spark's empty-field nulls —
+    * correct for loaders that read unquoted empty as NULL (Derby's
+    * import does); Redshift needs an explicit token because its CSV
+    * COPY loads empty fields as empty STRINGS for character columns.
+    * Keeping the pair dialect-scoped is what guarantees the bulk and
+    * row-wise load paths agree on NULL contents.
+    */
+  def csvNullToken: Option[String] = None
 }
 
 /** Redshift-flavored SQL — the reference's exact strategy (K1-K4):
@@ -113,10 +123,10 @@ object RedshiftDialect extends MergeDialect {
     MergeSql.deleteInsertMerge(target, stage, key, insertCols, opCol, deleteMarker)
   // redshift_type metadata is already Redshift DDL — verbatim (inherited
   // translateSinkType), so SUPER/CHAR(2)/VARCHAR(120) land as declared
-  // NULL AS matches the staged CSV's explicit null token (see
-  // JdbcMergeSink.bulkLoad): without it Redshift loads Spark's empty
-  // null fields as empty STRINGS for character columns, so the two
-  // stage-load paths would disagree on NULL contents
+  // NULL AS matches csvNullToken: without it Redshift loads Spark's
+  // empty null fields as empty STRINGS for character columns, so the
+  // two stage-load paths would disagree on NULL contents
+  override def csvNullToken: Option[String] = Some("\\N")
   override def copyFromStaging(stage: String, file: String,
                                iamRole: Option[String]): Option[String] =
     Some(s"COPY $stage FROM '$file'" +
@@ -287,14 +297,12 @@ final class JdbcMergeSink(url: String, props: Properties,
   private def bulkLoad(batch: DataFrame, stage: String): Unit = {
     val conf = staging.get
     val dir = s"${conf.tmpdir.stripSuffix("/")}/$stage-${java.util.UUID.randomUUID()}"
-    batch.write.mode(SaveMode.Overwrite)
+    // null token paired with the dialect's COPY statement — see
+    // MergeDialect.csvNullToken
+    val writer = batch.write.mode(SaveMode.Overwrite)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
-      // explicit null token, matched by the dialect's COPY (NULL AS):
-      // the CSV default writes nulls as empty fields, which Redshift
-      // loads as empty STRINGS for character columns — the staged path
-      // would then disagree with the row-wise JDBC path on NULLs
-      .option("nullValue", "\\N")
-      .csv(dir)
+    dialect.csvNullToken.foreach(writer.option("nullValue", _))
+    writer.csv(dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(path).map(_.getPath)

@@ -159,15 +159,19 @@ class JdbcSinkSpec extends AnyFunSuite {
     }
     val sink = new JdbcMergeSink(url, props, DerbyImportDialect,
       staging = Some(StagingConf(tmpdir)))
-    val b1 = Seq(("1", 100L, "u", "ann"), ("2", 101L, "u", "bob"))
+    // row 4 carries a NULL payload (a delete event's empty body): the
+    // staged-CSV path must land SQL NULL, matching the row-wise path
+    val b1 = Seq(("1", 100L, "u", "ann"), ("2", 101L, "u", "bob"),
+        ("4", 102L, "u", null))
       .toDF("pk", "ts_ms", "op", "payload")
     sink.merge("bulk", "users", b1, "pk", "op", "d")
     val b2 = Seq(("2", 201L, "d", "bob"), ("3", 202L, "u", "cat"))
       .toDF("pk", "ts_ms", "op", "payload")
     sink.merge("bulk", "users", b2, "pk", "op", "d")
     val rows = spark.read.jdbc(url, "bulk_users", props)
-      .select("pk", "payload").as[(String, String)].collect().toMap
-    assert(rows == Map("1" -> "ann", "3" -> "cat"))
+      .select("pk", "payload").as[(String, Option[String])].collect().toMap
+    assert(rows == Map("1" -> Some("ann"), "3" -> Some("cat"), "4" -> None),
+      s"null payload must stay SQL NULL through the bulk path: $rows")
     // successful COPYs clean their staged CSV directory up — a
     // continuously running pipeline must not accumulate one UUID dir
     // per batch under tmpdir forever
