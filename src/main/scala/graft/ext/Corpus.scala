@@ -232,7 +232,13 @@ object Corpus {
     val h = keyHash(keyCols, portable)
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy((h +: keyCols.map(col)).map(_.asc): _*)
-    df.withColumn("sample_rank", row_number().over(w))
+    // spread before hashing: WindowGroupLimit prunes to `quota` rows
+    // per (partition, stratum) map-side, so the hash + prune stage
+    // should run at session parallelism, not the scan's (one task for
+    // a single-file table); the post-shuffle window only ever sees
+    // quota × partitions rows per stratum
+    Materialize.spread(df)
+      .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= quota)
   }
 }
