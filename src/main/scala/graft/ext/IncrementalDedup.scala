@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The operational loop for a continuously-admitted, near-dup-free
+  * corpus: each arriving batch is checked against a PERSISTENT SimHash
+  * signature index (8 bytes per admitted document), survivors join the
+  * corpus and their signatures join the index. Designed as a
+  * `foreachBatch` body — the batch-at-a-time complement of
+  * [[graft.streaming.StreamCompaction.firstPerFingerprint]] (exact,
+  * state-store) for NEAR duplicates, whose candidate join does not fit
+  * keyed state.
+  *
+  * Admission semantics per batch:
+  *  1. in-batch: among near-dup batch pairs ([[Dedup.simhashPairs]]),
+  *     the lowest id of each connected group survives (min-label over
+  *     the pair list, [[Dedup.connectedComponents]]);
+  *  2. cross-batch: any batch doc within `maxDist` of an INDEXED
+  *     signature ([[Dedup.simhashAgainst]]) is dropped — first
+  *     arrival wins across batches, matching the streaming exact-dedup
+  *     contract.
+  *
+  * At 100 TB the index is the scale lever: one long + one id per
+  * admitted document (write it partitioned/bucketed by band key for
+  * co-located joins); the corpus text is never re-read or self-paired
+  * by an ingest tick.
+  */
+object IncrementalDedup {
+
+  /** One admission tick. Returns (admitted, droppedInBatch,
+    * droppedVsIndex) row counts; appends survivors to `corpusDir` and
+    * their signatures to `indexDir` (both created on first use).
+    * Caller serializes ticks (foreachBatch already does).
+    */
+  def admitBatch(batch: DataFrame, idCol: String, textCol: String,
+                 corpusDir: String, indexDir: String,
+                 maxDist: Int): (Long, Long, Long) = {
+    val spark = batch.sparkSession
+    val n = batch.count()
+    // signatures are used by up to three joins below: compute once
+    val sigs = Materialize.multiScan(
+      Dedup.simhashSignatures(batch, idCol, textCol))
+    // 1. in-batch collapse: keep each near-dup group's lowest id
+    val inBatchPairs = Dedup.simhashAgainst(sigs, sigs, maxDist)
+      .filter(col("batch_id") < col("corpus_id"))
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    val inBatchDrops = Dedup.connectedComponents(inBatchPairs)
+      .filter(col("id") =!= col("cluster")) // non-minimum group members
+      .select(col("id"))
+    // 2. cross-batch: drop anything near an indexed signature
+    val vsIndexDrops = indexIfExists(spark, indexDir) match {
+      case Some(index) => Dedup.simhashAgainst(sigs, index, maxDist)
+        .select(col("batch_id").as("id")).distinct()
+      case None => inBatchDrops.limit(0)
+    }
+    val dropIds = Materialize.multiScan(
+      inBatchDrops.unionByName(vsIndexDrops).distinct())
+    val admitted = Materialize.multiScan(
+      batch.join(dropIds, batch(idCol) === dropIds("id"), "left_anti"))
+    val nAdmitted = admitted.count()
+    if (nAdmitted > 0) {
+      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
+      sigs.join(dropIds, sigs("id") === dropIds("id"), "left_anti")
+        .select(sigs("id"), col("sig"))
+        .write.mode(SaveMode.Append).parquet(indexDir)
+    }
+    val nInBatch = inBatchDrops.count()
+    Seq(sigs, dropIds, admitted).foreach(_.unpersist())
+    (nAdmitted, nInBatch, n - nAdmitted - nInBatch)
+  }
+
+  private def indexIfExists(spark: SparkSession,
+                            indexDir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(indexDir)) else None
+  }
+}

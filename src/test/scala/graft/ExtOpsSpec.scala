@@ -213,6 +213,33 @@ class ExtOpsSpec extends AnyFunSuite {
       s"A-vs-B ${ab.size} pairs != self-join cross slice ${crossFromSelf.size}")
   }
 
+  test("incremental-dedup operational loop: in-batch and cross-batch drops, index grows") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val aText = "apple banana cherry dates elder fig grape honey ice jam kiwi lemon"
+    val bText = "wolf bear lynx otter moose raven heron crane stork finch robin wren"
+    val cText = "iron zinc gold lead tin silver nickel cobalt copper chrome neon argon"
+    // tick 1: doc 3 is an in-batch duplicate of doc 1
+    val t1 = IncrementalDedup.admitBatch(
+      Seq((1L, aText), (2L, bText), (3L, aText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, maxDist = 3)
+    assert(t1 == ((2L, 1L, 0L)), s"tick1 $t1")
+    // tick 2: doc 10 duplicates the ADMITTED doc 1 (cross-batch, via the
+    // index); doc 12 duplicates doc 11 in-batch
+    val t2 = IncrementalDedup.admitBatch(
+      Seq((10L, aText), (11L, cText), (12L, cText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, maxDist = 3)
+    assert(t2 == ((1L, 1L, 1L)), s"tick2 $t2")
+    val corpus = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 11L), s"corpus $corpus")
+    val index = spark.read.parquet(indexDir)
+      .select("id").as[Long].collect().toSet
+    assert(index == corpus, "index must track exactly the admitted docs")
+  }
+
   test("jaccard stop-shingle cap: subset of exact pairs, no-op when loose") {
     val docs = Tables.documents(spark, sf)
     def pairs(cap: Int) =
