@@ -24,7 +24,7 @@ object Bench {
     }
 
     // a query's materializations (operator-internal persists, iteration
-    // localCheckpoints) must not pressure the NEXT query's run: 79
+    // localCheckpoints) must not pressure the NEXT query's run: the
     // queries share this JVM only in the bench — production jobs get
     // their own. Cache entries are released through the CacheManager
     // (clearCache), checkpoint RDDs directly; after each query, like the
