@@ -59,7 +59,9 @@ object ScaleBench {
     val root = args.headOption.getOrElse("/tmp/graft-scale")
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors())))
-    val scales = Seq(1, 3, 10)
+    val scales = sys.env.get("SCALE_POINTS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 3, 10))
     // base sizes = the sf0.1 fixture sizes, so scale 1 is comparable to
     // the round bench
     val baseDocs = 5000L
