@@ -334,6 +334,10 @@ object Dedup {
       // points the larger root at the smaller one
       val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       import spark.implicits._
+      // edges is fully consumed (count + collect): release its cache
+      // entry here rather than leaking one per call into a long-running
+      // caller (e.g. an ingest loop's per-batch clustering)
+      edges.unpersist()
       return rows.toDF("id", "cluster")
     }
     // init ≡ iteration 1 (label = min(self, neighbors)) folded into one agg
@@ -356,6 +360,9 @@ object Dedup {
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
+    // the final labels are an (eagerly materialized) localCheckpoint —
+    // independent of edges, which can therefore be released (see above)
+    edges.unpersist()
     labels
   }
 
