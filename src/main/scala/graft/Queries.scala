@@ -869,6 +869,58 @@ object Queries {
         SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""))
 
+  /** Clusters → survivor per cluster: the decision step of the dedup
+    * pipeline. Score = token count; argmax with min-id tie-break, as a
+    * map-side-collapsible aggregate (no per-cluster window).
+    */
+  val qDedupSurvivors = Q("dedup_survivors",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)
+      val clusters = Dedup.connectedComponents(pairs)
+      val scores = docs.select(col("doc_id").as("id"),
+        TextOps.nTokens(col("text")).as("score"))
+      Dedup.survivors(clusters, scores)
+        .withColumnRenamed("dropped_score", "dropped_tokens")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+          WITH docs AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+            FROM documents),
+          sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(len(w)-2, 0)),
+              i -> array_to_string(w[i:i+2], ' '))) AS sset
+            FROM docs),
+          ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.m, b.m
+          HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      clust AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      scored AS (
+        SELECT c.cluster_id, c.doc_id,
+               len(regexp_extract_all(d.text, '\S+')) AS score
+        FROM clust c JOIN documents d USING (doc_id)),
+      ranked AS (
+        SELECT cluster_id, doc_id, score,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY score DESC, doc_id ASC) AS rk,
+               sum(score) OVER (PARTITION BY cluster_id) AS total_score,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM scored)
+      SELECT cluster_id, doc_id AS survivor_id, n_members,
+             CAST(total_score - score AS BIGINT) AS dropped_tokens
+      FROM ranked WHERE rk = 1"""))
+
   /** SimHash near-dup pairs. Oracle replicates the WHOLE pipeline —
     * portable 60-bit token hash, per-bit ±1 sums, 6×10-bit pigeonhole
     * bands, hamming ≤ 5 — in SQL (md5 and bit ops are engine-portable).
@@ -1980,7 +2032,7 @@ object Queries {
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupIncremental, qDedupMinhash,
-    qDedupMinhashIncremental, qDedupClusters, qDedupSimhash,
+    qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnLsh,

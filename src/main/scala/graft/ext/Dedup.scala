@@ -366,6 +366,36 @@ object Dedup {
     labels
   }
 
+  /** Cluster survivor selection — the decision step that turns cluster
+    * assignments ([[connectedComponents]]) into "keep THIS doc, drop the
+    * rest": per cluster, the member with the highest score survives
+    * (ties broken by the smaller id, so the choice is total-order
+    * deterministic in any engine).
+    *
+    * Shape: one equi-join on the doc id + one keyed aggregation on the
+    * cluster id — the argmax is a `max(struct(score, -id))` aggregate,
+    * not a per-cluster window, so map-side partial merge collapses
+    * cluster members before the exchange and a hot cluster (boilerplate
+    * that matched a million docs) never funnels through one task's sort.
+    *
+    * @param clusters (id, cluster) as produced by [[connectedComponents]]
+    * @param scores   (id, score) — any integral quality measure
+    *                 (token count, quality points, …)
+    * @return (cluster_id, survivor_id, n_members, dropped_score) where
+    *         dropped_score = total score of the non-surviving members
+    */
+  def survivors(clusters: DataFrame, scores: DataFrame): DataFrame =
+    clusters.join(scores, "id")
+      .groupBy(col("cluster"))
+      .agg(
+        max(struct(col("score").as("score"), (-col("id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"),
+        sum(col("score")).as("total_score"))
+      .select(col("cluster").as("cluster_id"),
+        (-col("best.neg_id")).as("survivor_id"),
+        col("n_members"),
+        (col("total_score") - col("best.score")).as("dropped_score"))
+
   /** 60-bit SimHash signatures, one row per doc: per bit j, sum ±1 over
     * the token hashes' bit j and take the sign. One pass per token via
     * the [[graft.functions.SimhashSig]] aggregate — a single int[60]

@@ -255,6 +255,22 @@ class ExtOpsSpec extends AnyFunSuite {
       "capping intersections can only shrink scores - no new pairs")
   }
 
+  test("survivors: argmax score per cluster, min-id tie-break, drop accounting") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (10L, 10L), (11L, 10L)) // cluster 10
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 40), (2L, 90), (3L, 90), // tie on 90 -> keep id 2
+      (10L, 7), (11L, 7), (99L, 5)) // 99 is unclustered: ignored
+      .toDF("id", "score")
+    val out = Dedup.survivors(clusters, scores)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out == Map(
+      1L -> ((2L, 3L, 130L)), // survivor 2 (tie vs 3), dropped 40+90
+      10L -> ((10L, 2L, 7L)))) // tie on 7 -> min id 10
+  }
+
   test("connected components: driver union-find and distributed loop agree") {
     import spark.implicits._
     // two chains and a singleton edge: {1,2,3,4}, {10,11}, {20,21}
