@@ -869,6 +869,46 @@ object Queries {
         SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""))
 
+  /** Passage-level exact dedup: per-doc retention stats after dropping
+    * every non-canonical occurrence of a repeated 20-token passage.
+    * Catches cross-document boilerplate that doc-level dedup misses.
+    */
+  val qDedupPassages = Q("dedup_passages",
+    (s, dir) => Dedup.passageDedup(t(s, dir, "documents"),
+        "doc_id", "text", passageTokens = 20)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), lit(0)).otherwise(lit(1))).as("n_dup_dropped"),
+        max(col("n_occ")).as("max_occ"))
+      .select(col("id").as("doc_id"), col("n_passages"),
+        col("n_dup_dropped"), col("max_occ")),
+    Some("""WITH d AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      sized AS (
+        SELECT doc_id, toks,
+          CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS n
+        FROM d),
+      chunked AS (
+        SELECT doc_id, toks, greatest(CAST(ceil(n / 20.0) AS INT), 1) AS n_chunks
+        FROM sized WHERE n > 0),
+      pass AS (
+        SELECT doc_id, c.chunk_no,
+          md5(array_to_string(toks[c.chunk_no*20+1 : c.chunk_no*20+20], ' ')) AS fp
+        FROM chunked, LATERAL (
+          SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_no) c),
+      marked AS (
+        SELECT doc_id, chunk_no,
+          count(*) OVER (PARTITION BY fp) AS n_occ,
+          row_number() OVER (PARTITION BY fp
+            ORDER BY doc_id ASC, chunk_no ASC) AS rn
+        FROM pass)
+      SELECT doc_id, count(*) AS n_passages,
+        CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_dropped,
+        max(n_occ) AS max_occ
+      FROM marked GROUP BY doc_id"""))
+
   /** Clusters → survivor per cluster: the decision step of the dedup
     * pipeline. Score = token count; argmax with min-id tie-break, as a
     * map-side-collapsible aggregate (no per-cluster window).
@@ -2032,7 +2072,8 @@ object Queries {
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupIncremental, qDedupMinhash,
-    qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupSimhash,
+    qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
+    qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnLsh,

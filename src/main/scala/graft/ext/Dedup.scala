@@ -366,6 +366,35 @@ object Dedup {
     labels
   }
 
+  /** Passage-level exact dedup (the MassiveText/RefinedWeb paragraph-
+    * dedup shape): documents are cut into fixed token-width passages
+    * (non-overlapping [[Corpus.chunk]] windows — the stand-in for
+    * paragraph boundaries, which this corpus lacks) and every repeated
+    * passage keeps exactly its canonical FIRST occurrence (minimum
+    * (doc id, chunk no) — total-order deterministic), dropping the rest.
+    * This removes boilerplate that document-level dedup can't see: two
+    * different pages sharing a license header are distinct documents
+    * with a duplicated passage.
+    *
+    * Shape: one shuffle on the passage fingerprint (md5 of the
+    * normalized passage, 32 bytes — documents never shuffle), where a
+    * single window computes the occurrence count and the first-
+    * occurrence test; callers aggregate the flags per doc or filter
+    * `keep` to materialize the cleaned corpus. Passage fingerprints are
+    * md5, so the whole decision is reproducible in any engine.
+    *
+    * @return (id, chunk_no, fp, n_occ, keep)
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   passageTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Corpus.chunk(df, idCol, textCol, passageTokens, overlap = 0)
+      .select(col("id"), col("chunk_no"), md5(col("chunk_text")).as("fp"))
+      .withColumn("n_occ", count(lit(1)).over(w))
+      .withColumn("keep", struct(col("id"), col("chunk_no")) ===
+        min(struct(col("id"), col("chunk_no"))).over(w))
+  }
+
   /** Cluster survivor selection — the decision step that turns cluster
     * assignments ([[connectedComponents]]) into "keep THIS doc, drop the
     * rest": per cluster, the member with the highest score survives

@@ -255,6 +255,26 @@ class ExtOpsSpec extends AnyFunSuite {
       "capping intersections can only shrink scores - no new pairs")
   }
 
+  test("passage dedup: canonical first occurrence survives, later copies drop") {
+    import spark.implicits._
+    val boiler = (1 to 4).map(i => s"license$i").mkString(" ") // one 4-token passage
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma delta"), // passages: [boiler][alpha..delta]
+      (2L, s"$boiler unique words entirely here"), // shares passage 0 with doc 1
+      (3L, s"$boiler $boiler") // internal repeat: chunk 1 dups chunk 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "doc_id", "text", passageTokens = 4)
+      .select("id", "chunk_no", "n_occ", "keep")
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // boiler appears at (1,0), (2,0), (3,0), (3,1): only (1,0) survives
+    assert(out(1L -> 0) == ((4L, true)))
+    assert(out(2L -> 0) == ((4L, false)))
+    assert(out(3L -> 0) == ((4L, false)) && out(3L -> 1) == ((4L, false)))
+    // unique passages all survive
+    assert(out(1L -> 1) == ((1L, true)) && out(2L -> 1) == ((1L, true)))
+  }
+
   test("survivors: argmax score per cluster, min-id tie-break, drop accounting") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
