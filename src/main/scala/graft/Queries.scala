@@ -2062,6 +2062,34 @@ object Queries {
       FROM corpus c WHERE c.shingle IN (SELECT shingle FROM bench)
       GROUP BY c.doc_id"""))
 
+  /** Bloom-accelerated decontamination: BoomAgg-built filter prunes the
+    * corpus postings inside the scan stage, exact semi-join restores
+    * exactness — so the oracle is the SAME SQL as q_decontam, and a hash
+    * match proves the bloom path changes nothing but the plan.
+    */
+  val qDecontamBloom = Q("q_decontam_bloom",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Corpus.decontaminateBloom(docs.filter(col("doc_id") % 97 =!= 0), bench,
+          "doc_id", "text", n = 5, nBits = 1 << 20, k = 5)
+        .select(col("id").as("doc_id"), col("n_shared"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(
+            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-4, 0)),
+          i -> array_to_string(
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+4], ' ')))
+          AS sset
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0),
+      corpus AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 97 <> 0)
+      SELECT c.doc_id, count(*) AS n_shared
+      FROM corpus c WHERE c.shingle IN (SELECT shingle FROM bench)
+      GROUP BY c.doc_id"""))
+
   /** Every declared query, in gate order. */
   val all: Seq[Q] = Seq(
     q1Pricing, q3TopRevenue, q5RegionRevenue, qTopParts, qAggStats, qRollup,
@@ -2084,5 +2112,5 @@ object Queries {
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep,
-    qChunk, qPack, qDecontam)
+    qChunk, qPack, qDecontam, qDecontamBloom)
 }

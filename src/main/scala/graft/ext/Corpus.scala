@@ -169,6 +169,50 @@ object Corpus {
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-accelerated decontamination — same RESULT as [[decontaminate]]
+    * (bit-identical, which is how the oracle checks it), different scale
+    * posture: the benchmark shingle set is first collapsed into a Bloom
+    * filter ([[graft.functions.BloomAgg]], one distributed aggregation,
+    * nBits/8 bytes total) and the corpus postings are pruned by a
+    * codegen'd [[graft.functions.BloomContains]] probe INSIDE the scan
+    * stage — no shuffle, no broadcast of the exact set to get the 99%+
+    * prune. Only the handful of surviving postings (true matches plus
+    * the filter's <1% false positives) reach the exact semi-join that
+    * restores exactness.
+    *
+    * When to prefer this over [[decontaminate]]: the exact benchmark
+    * shingle set outgrows the broadcast threshold (a 10M-doc benchmark
+    * suite is ~10⁹ distinct shingle hashes = 8 GB exact vs ~1.25 GB of
+    * Bloom bits at 10 bits/key — and the prefilter means the exact join
+    * only ever shuffles the pruned sliver of the corpus, not 100 TB of
+    * postings).
+    *
+    * @param nBits filter width in bits — size for ~10 bits per distinct
+    *              benchmark shingle; @param k probes per key (5 at 10
+    *              bits/key ⇒ FPR < 1%)
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         nBits: Int = 1 << 22, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    // scanned twice (filter build + exact verify): materialize once
+    val bench = Materialize.multiScan(
+      Dedup.explodedShingles(benchmark, idCol, textCol, n)
+        .select(xxhash64(col("shingle")).as("sh64")).distinct())
+    val filter = bench
+      .agg(graft.functions.VectorFunctions.bloomAgg(col("sh64"), nBits, k))
+      .head.getAs[Array[Byte]](0)
+    Dedup.explodedShingles(corpus, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("sh64"))
+      .filter(graft.functions.VectorFunctions
+        .bloomContains(col("sh64"), filter, nBits, k))
+      // exact verify removes the false positives; un-hinted join so the
+      // planner broadcasts small benchmarks and shuffles the (pruned)
+      // postings against genuinely huge ones
+      .join(bench, Seq("sh64"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic hash sample: keep a row iff a deterministic hash of
     * its key is below `pct`% of the hash space. Stateless, no shuffle —
     * unlike `df.sample`, which is seed- and partitioning-dependent.

@@ -337,6 +337,14 @@ object VectorFunctions {
     "simhash_sig" -> (exprs => SimhashSig(exprs(0))),
     "vec_sum_count" -> (exprs => VecSumCount(exprs(0), intArg(exprs(1)))),
     "md5_prefix" -> (exprs => Md5Prefix(exprs(0), intArg(exprs(1)))),
+    "bloom_agg" -> (exprs =>
+      BloomAgg(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    // the filter arrives as a foldable binary literal, folded into a
+    // long[] reference object at resolution time (cf. the centroid matrix)
+    "bloom_contains" -> (exprs =>
+      BloomContains(exprs(0),
+        Bloom.toWords(exprs(1).eval(null).asInstanceOf[Array[Byte]]),
+        intArg(exprs(2)), intArg(exprs(3)))),
     "nearest_centroid" -> (exprs =>
       NearestCentroid(exprs(0), matArg(exprs(1)), longsArg(exprs(2)))),
     "probe_centroids" -> (exprs =>
@@ -379,6 +387,14 @@ object VectorFunctions {
   /** Column API for [[Md5Prefix]]: first `nibbles` md5 hex chars as long. */
   def md5Prefix(c: Column, nibbles: Int): Column =
     call_function("md5_prefix", c.cast("binary"), lit(nibbles))
+
+  /** Column API for [[BloomAgg]]: serialized Bloom filter of `h` values. */
+  def bloomAgg(h: Column, nBits: Int, k: Int): Column =
+    call_function("bloom_agg", h, lit(nBits), lit(k))
+
+  /** Column API for [[BloomContains]]: probe a prebuilt filter. */
+  def bloomContains(h: Column, filter: Array[Byte], nBits: Int, k: Int): Column =
+    call_function("bloom_contains", h, lit(filter), lit(nBits), lit(k))
 
   /** Column API for [[KmvBottomK]] (aggregate; k must be a literal). */
   def kmvBottomK(h: Column, k: Int): Column =

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+import graft.functions.{Bloom, VectorFunctions}
+
+/** Bloom sketch: no false negatives, bounded false positives, bit-exact
+  * determinism under repartitioning, codegen/interpreted agreement, and
+  * the decontamination guarantee — the prefilter NEVER changes results,
+  * even when deliberately undersized.
+  */
+class BloomSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  val nBits = 1 << 16
+  val k = 5
+
+  test("no false negatives; FPR near theory; merge is partition-invariant") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val keys = (1L to 4000L).map(i => i * 0x9e3779b97f4a7c15L + 17L)
+    def build(parts: Int): Array[Byte] =
+      keys.toDF("h").repartition(parts)
+        .agg(VectorFunctions.bloomAgg(col("h"), nBits, k))
+        .head.getAs[Array[Byte]](0)
+    val one = build(1)
+    val many = build(13)
+    assert(java.util.Arrays.equals(one, many),
+      "same key set must give a bit-identical filter at any partitioning")
+    val words = Bloom.toWords(one)
+    assert(keys.forall(Bloom.contains(words, nBits, k, _)),
+      "bloom filters cannot have false negatives")
+    // theory: fpr = (1 - e^(-k n / m))^k ; n=4000, m=65536 -> ~2.1%
+    val probes = (1L to 20000L).map(i => i * 0x5851f42d4c957f2dL + 3L)
+      .filterNot(keys.contains)
+    val fpr = probes.count(Bloom.contains(words, nBits, k, _)).toDouble / probes.size
+    val theory = math.pow(1 - math.exp(-k.toDouble * keys.size / nBits), k)
+    assert(fpr < theory * 2 + 0.01, s"fpr $fpr vs theory $theory")
+  }
+
+  test("codegen probe agrees with the driver-side implementation") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val keys = (1L to 500L).map(Bloom.mix)
+    val filter = keys.toDF("h")
+      .agg(VectorFunctions.bloomAgg(col("h"), nBits, k))
+      .head.getAs[Array[Byte]](0)
+    val words = Bloom.toWords(filter)
+    val probes = (1L to 3000L).map(i => Bloom.mix(i + 7777L))
+    val viaSpark = probes.toDF("h")
+      .withColumn("hit", VectorFunctions.bloomContains(col("h"), filter, nBits, k))
+      .orderBy("h").select("hit").as[Boolean].collect()
+    val viaDriver = probes.sorted.map(Bloom.contains(words, nBits, k, _))
+    assert(viaSpark.toSeq == viaDriver.toSeq)
+  }
+
+  test("bloom decontamination == exact, even with an undersized filter") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = rows(Corpus.decontaminate(corpus, bench, "doc_id", "text", n = 5))
+    val bloom = rows(Corpus.decontaminateBloom(corpus, bench, "doc_id", "text",
+      n = 5, nBits = 1 << 18, k = 5))
+    assert(bloom == exact)
+    // 64 bits for thousands of shingles: the filter is saturated (every
+    // probe hits) — the exact verify must still strip every false positive
+    val saturated = rows(Corpus.decontaminateBloom(corpus, bench, "doc_id", "text",
+      n = 5, nBits = 64, k = 2))
+    assert(saturated == exact,
+      "a saturated prefilter must not change results, only lose pruning")
+  }
+
+  test("prefilter runs below the exact join (plan shape)") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val plan = Corpus.decontaminateBloom(corpus, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    val filterIdx = plan.indexOf("bloom_contains")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(filterIdx >= 0, "bloom_contains must appear in the physical plan")
+    assert(joinIdx >= 0 && joinIdx < filterIdx,
+      "the bloom prune must sit BELOW the semi join (inside the scan side)")
+  }
+}
