@@ -1179,6 +1179,24 @@ object Queries {
     },
     None)
 
+  /** PQ-compressed ANN: trained codebooks, 8-byte codes, ADC scan with
+    * exact cosine re-rank of a 60-candidate shortlist. Rows-only gate
+    * (float-trained codebooks have no portable oracle — same documented
+    * category as ann_ivf_trained/q_kmeans); PqSpec proves recall vs
+    * brute force and kernel agreement.
+    */
+  val qAnnPq = Q("ann_pq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val books = graft.ext.Pq.train(corpus, "id", "embedding",
+        dim = 64, m = 8, nCodes = 16, iters = 2)
+      graft.ext.Pq.searchAdc(corpus,
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10, books, refine = 60)
+    },
+    None)
+
   /** Multi-table SRP LSH top-k. Approximate vs brute force, but fully
     * deterministic: hyperplane signs are md5-parity of "table:plane:dim",
     * so the oracle rebuilds the same planes, signatures, hamming-1
@@ -2104,7 +2122,7 @@ object Queries {
     qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
-    qAnnIvf, qAnnIvfTrained, qAnnLsh,
+    qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qVocab, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

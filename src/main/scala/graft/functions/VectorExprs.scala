@@ -328,6 +328,16 @@ object VectorFunctions {
   private def longsArg(e: Expression): Array[Long] =
     e.eval(null).asInstanceOf[ArrayData].toLongArray()
 
+  // PQ codebook: m sub-codebooks × nCodes codewords × subDim floats,
+  // arriving as one foldable nested-array literal
+  private def booksArg(e: Expression): Array[Array[Array[Float]]] = {
+    val ad = e.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { s =>
+      val bs = ad.getArray(s)
+      Array.tabulate(bs.numElements())(c => bs.getArray(c).toFloatArray())
+    }
+  }
+
   private[functions] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     Name -> (exprs => CosineSim(exprs(0), exprs(1))),
     SrpName -> srpBuilder,
@@ -345,6 +355,10 @@ object VectorFunctions {
       BloomContains(exprs(0),
         Bloom.toWords(exprs(1).eval(null).asInstanceOf[Array[Byte]]),
         intArg(exprs(2)), intArg(exprs(3)))),
+    "pq_encode" -> (exprs => PqEncode(exprs(0), booksArg(exprs(1)))),
+    "pq_codes" -> (exprs => PqCodes(exprs(0), booksArg(exprs(1)))),
+    "pq_dist_table" -> (exprs => PqDistTable(exprs(0), booksArg(exprs(1)))),
+    "pq_adc" -> (exprs => PqAdc(exprs(0), exprs(1), intArg(exprs(2)))),
     "nearest_centroid" -> (exprs =>
       NearestCentroid(exprs(0), matArg(exprs(1)), longsArg(exprs(2)))),
     "probe_centroids" -> (exprs =>
@@ -387,6 +401,25 @@ object VectorFunctions {
   /** Column API for [[Md5Prefix]]: first `nibbles` md5 hex chars as long. */
   def md5Prefix(c: Column, nibbles: Int): Column =
     call_function("md5_prefix", c.cast("binary"), lit(nibbles))
+
+  private def booksLit(books: Array[Array[Array[Float]]]): Column =
+    typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Column API for [[PqEncode]]: the m-byte PQ code. */
+  def pqEncode(emb: Column, books: Array[Array[Array[Float]]]): Column =
+    call_function("pq_encode", emb, booksLit(books))
+
+  /** Column API for [[PqCodes]]: the assignment as array<int>. */
+  def pqCodes(emb: Column, books: Array[Array[Array[Float]]]): Column =
+    call_function("pq_codes", emb, booksLit(books))
+
+  /** Column API for [[PqDistTable]]: the query-side ADC table. */
+  def pqDistTable(emb: Column, books: Array[Array[Array[Float]]]): Column =
+    call_function("pq_dist_table", emb, booksLit(books))
+
+  /** Column API for [[PqAdc]]: ADC distance (nCodes must be a literal). */
+  def pqAdc(code: Column, table: Column, nCodes: Int): Column =
+    call_function("pq_adc", code, table, lit(nCodes))
 
   /** Column API for [[BloomAgg]]: serialized Bloom filter of `h` values. */
   def bloomAgg(h: Column, nBits: Int, k: Int): Column =
