@@ -104,7 +104,24 @@ object ScaleBench {
       "jaccardAgainst" -> (s => graft.ext.Dedup.jaccardAgainst(
         docs(s).filter(col("doc_id") % 11 === 0),
         docs(s).filter(col("doc_id") % 11 =!= 0),
-        "doc_id", "text", n = 3, tau = 0.25)))
+        "doc_id", "text", n = 3, tau = 0.25)),
+      // planted near-copies share the aligned 20-token chunks past the
+      // mutated head token, so true dup-passage count grows linearly
+      "passageDedup" -> (s => graft.ext.Dedup.passageDedup(
+        docs(s), "doc_id", "text", passageTokens = 20)
+        .filter(!col("keep"))),
+      "decontaminateBloom" -> (s => graft.ext.Corpus.decontaminateBloom(
+        docs(s).filter(col("doc_id") % 97 =!= 0),
+        docs(s).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5, nBits = 1 << 22, k = 5)),
+      // train (2 Lloyd iterations, linear scans) + encode + ADC search
+      "pqSearchAdc" -> { s =>
+        val corpus = vecs(s).select(col("vec_id").as("id"), col("embedding"))
+        val books = graft.ext.Pq.train(corpus, "id", "embedding",
+          dim = 64, m = 8, nCodes = 16, iters = 2)
+        graft.ext.Pq.searchAdc(corpus,
+          corpus.filter(col("id") < 5), k = 10, books, refine = 60)
+      })
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -126,7 +143,7 @@ object ScaleBench {
       val warm = math.min(run()._1, run()._1)
       release()
       val inRows = (name match {
-        case "nearDupPairsSrp" => baseVecs
+        case "nearDupPairsSrp" | "pqSearchAdc" => baseVecs
         case "kmvDistinct" => baseVals
         case "jaccardAgainst" => baseDocs / 11
         case _ => baseDocs
