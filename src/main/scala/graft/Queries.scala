@@ -1197,6 +1197,25 @@ object Queries {
     },
     None)
 
+  /** Full IVF-PQ: trained coarse cells prune WHICH vectors are scored
+    * (nProbe of 16 cells), trained PQ codes shrink WHAT is scored
+    * (8 bytes/vector), exact cosine re-ranks the shortlist — the
+    * billion-scale ANN shape. Rows-only (trained floats).
+    */
+  val qAnnIvfPq = Q("ann_ivf_pq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val cents = Similarity.kmeansCentroids(corpus, k = 16, maxIter = 2)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val books = graft.ext.Pq.train(corpus, "id", "embedding",
+        dim = 64, m = 8, nCodes = 16, iters = 2)
+      graft.ext.Pq.searchIvfAdc(corpus,
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10, cents, books, nProbe = 6, refine = 60)
+    },
+    None)
+
   /** Multi-table SRP LSH top-k. Approximate vs brute force, but fully
     * deterministic: hyperplane signs are md5-parity of "table:plane:dim",
     * so the oracle rebuilds the same planes, signatures, hamming-1
@@ -2122,7 +2141,7 @@ object Queries {
     qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
-    qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnLsh,
+    qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qVocab, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

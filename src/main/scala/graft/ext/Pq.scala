@@ -98,6 +98,57 @@ object Pq {
       .select(col("id"), VectorFunctions.pqEncode(normalized(col("e")), books).as("code"))
   }
 
+  /** Full IVF-PQ: coarse cells prune WHICH vectors are scored, PQ codes
+    * shrink WHAT is scored — the standard billion-scale ANN shape. The
+    * corpus carries (id, cell, m-byte code); a query probes its `nProbe`
+    * nearest coarse cells and ADC-scores only those cells' codes, then
+    * the shortlist re-ranks with exact cosine via the id fetch-join.
+    * With the corpus written `partitionBy("cell")`
+    * ([[Similarity.writeIvfIndex]]), the probe join's cell filter prunes
+    * whole partition directories, so a query reads ~nProbe/nCentroids of
+    * an index that is itself 32× smaller than the float column.
+    *
+    * @param cents coarse centroids ((id, vector), e.g.
+    *              [[Similarity.kmeansCentroids]] output indexed)
+    */
+  def searchIvfAdc(corpus: DataFrame, queries: DataFrame, k: Int,
+                   cents: Array[(Long, Array[Float])],
+                   books: Array[Array[Array[Float]]],
+                   nProbe: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"refine $refine must be >= k $k")
+    VectorFunctions.register(corpus.sparkSession)
+    val nCodes = books(0).length
+    val codes = corpus.select(col("id").as("nn_id"), col("embedding").as("e"))
+      .select(col("nn_id"),
+        VectorFunctions.nearestCentroid(col("e"), cents).as("cell"),
+        VectorFunctions.pqEncode(normalized(col("e")), books).as("code"))
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("qe"))
+      .select(col("query_id"),
+        explode(VectorFunctions.probeCentroids(col("qe"), cents, nProbe)).as("cell"),
+        VectorFunctions.pqDistTable(normalized(col("qe")), books).as("tbl"))
+    val shortlist = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("adist", VectorFunctions.pqAdc(col("code"), col("tbl"), nCodes))
+      .withColumn("arank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adist").asc, col("nn_id").asc)))
+      .filter(col("arank") <= refine)
+      .select(col("query_id"), col("nn_id"))
+    rerank(corpus, queries, shortlist, k)
+  }
+
+  private def rerank(corpus: DataFrame, queries: DataFrame,
+                     shortlist: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
+    val qe = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    shortlist.join(c, "nn_id").join(broadcast(qe), "query_id")
+      .withColumn("sim", round(Similarity.cosine(col("c_emb"), col("q_emb")), 3))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
+  }
+
   /** ADC top-k with exact re-rank.
     *
     * @param refine shortlist size per query scored exactly (recall dial:
@@ -121,14 +172,6 @@ object Pq {
       .filter(col("arank") <= refine)
       .select(col("query_id"), col("nn_id"))
     // fetch-join: only shortlist rows (refine × queries) see float vectors
-    val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
-    val qe = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nn_id").asc)
-    shortlist.join(c, "nn_id").join(broadcast(qe), "query_id")
-      .withColumn("sim", round(Similarity.cosine(col("c_emb"), col("q_emb")), 3))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nn_id"), col("sim"))
+    rerank(corpus, queries, shortlist, k)
   }
 }

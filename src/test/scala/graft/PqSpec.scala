@@ -69,6 +69,34 @@ class PqSpec extends AnyFunSuite {
       "mean self (quantization) distance must be far below mean cross distance")
   }
 
+  test("IVF-PQ: cell pruning + codes still recall; subset of full-ADC shape") {
+    val queries = corpus.filter(col("id") < 5)
+    val cents = Similarity.kmeansCentroids(corpus, k = 16, maxIter = 2)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIvfPq = Pq.searchIvfAdc(corpus, queries, k = 10, cents, books,
+      nProbe = 8, refine = 60)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIvfPq.size == exact.size)
+    // probing half the cells: random 64-dim data has no cluster
+    // structure, so cell pruning costs some recall on TRUE neighbors —
+    // the dial is nProbe; at nProbe = nCentroids the cells prune nothing
+    val recall = exact.count(viaIvfPq.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 was $recall")
+    val allCells = Pq.searchIvfAdc(corpus, queries, k = 10, cents, books,
+      nProbe = 16, refine = 60)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullAdc = Pq.searchAdc(corpus, queries, k = 10, books, refine = 60)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allCells == fullAdc,
+      "probing every cell must degenerate to the un-pruned ADC search")
+  }
+
   test("ADC + exact re-rank recalls most of the brute-force top-10") {
     val queries = corpus.filter(col("id") < 5)
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
