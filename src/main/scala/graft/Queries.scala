@@ -1460,6 +1460,23 @@ object Queries {
       SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
       FROM counts ORDER BY rank LIMIT 100"""))
 
+  /** Heavy hitters via the Misra-Gries candidate sketch + exact recount.
+    * The oracle is the plain exact top-k SQL — a hash match proves the
+    * sketch path changes nothing (fixture vocab 31 << capacity, so the
+    * sketch is lossless here by the MG bound; FreqSketchSpec exercises
+    * real pruning at 10k distinct items).
+    */
+  val qHeavyHitters = Q("q_heavy_hitters",
+    (s, dir) => Corpus.heavyHitters(t(s, dir, "documents"), "text",
+      k = 10, capacity = 512),
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+      SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
+      FROM counts ORDER BY rank LIMIT 10"""))
+
   val qPiiScrub = Q("q_pii_scrub",
     (s, dir) => {
       val (scrubbed, hits) = Corpus.scrub(col("text"))
@@ -2143,7 +2160,7 @@ object Queries {
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
-    qTfidf, qVocab, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
+    qTfidf, qVocab, qHeavyHitters, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,

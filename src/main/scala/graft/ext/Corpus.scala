@@ -169,6 +169,41 @@ object Corpus {
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +
+    * exact recount — the heavy-hitters complement of [[vocabulary]].
+    * `vocabulary`'s groupBy shuffles EVERY distinct token (fine for
+    * vocab-sized domains); here the sketch aggregation ships at most
+    * `capacity` counters per partition regardless of how many distinct
+    * items exist (urls, hostnames, error strings at corpus scale), the
+    * surviving candidates are recounted EXACTLY in a second pass
+    * restricted by a broadcast join, and the final top-k is cut on true
+    * counts — so the result is EXACT (and oracle-checkable) whenever
+    * every true top-k item survives the sketch, which the Misra-Gries
+    * bound guarantees for items with frequency > totalTokens/capacity.
+    * Same sketch-for-candidates + exact-verify shape as
+    * [[decontaminateBloom]].
+    *
+    * @return (rank, token, cnt) — [[vocabulary]]'s schema
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int,
+                   capacity: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    // scanned twice (sketch pass + exact recount): materialize once
+    val rel = Materialize.multiScan(Materialize.spread(df)
+      .select(explode(toks(col(textCol))).as("token")))
+    val cand = rel
+      .agg(graft.functions.VectorFunctions.freqSketch(col("token"), capacity))
+      .head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    import df.sparkSession.implicits._
+    val candDf = cand.toDF("token")
+    val counts = rel.join(broadcast(candDf), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("token"), col("cnt"))
+  }
+
   /** Bloom-accelerated decontamination — same RESULT as [[decontaminate]]
     * (bit-identical, which is how the oracle checks it), different scale
     * posture: the benchmark shingle set is first collapsed into a Bloom

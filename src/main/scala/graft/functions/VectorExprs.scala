@@ -345,6 +345,7 @@ object VectorFunctions {
     // AggregateExpression automatically on resolution
     "kmv_bottomk" -> (exprs => KmvBottomK(exprs(0), intArg(exprs(1)))),
     "simhash_sig" -> (exprs => SimhashSig(exprs(0))),
+    "freq_sketch" -> (exprs => FreqSketch(exprs(0), intArg(exprs(1)))),
     "vec_sum_count" -> (exprs => VecSumCount(exprs(0), intArg(exprs(1)))),
     "md5_prefix" -> (exprs => Md5Prefix(exprs(0), intArg(exprs(1)))),
     "bloom_agg" -> (exprs =>
@@ -435,6 +436,10 @@ object VectorFunctions {
 
   /** Column API for [[SimhashSig]] (aggregate). */
   def simhashSig(h: Column): Column = call_function("simhash_sig", h)
+
+  /** Column API for [[FreqSketch]] (aggregate; capacity must be a literal). */
+  def freqSketch(item: Column, capacity: Int): Column =
+    call_function("freq_sketch", item, lit(capacity))
 
   /** Column API for [[VecSumCount]] (aggregate; dim must be a literal). */
   def vecSumCount(emb: Column, dim: Int): Column =
