@@ -46,4 +46,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(viaApi == sig)
   }
+
+  test("round-4 sketch/PQ functions are callable from SQL") {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    // bloom: build from SQL, probe from SQL — a member must hit
+    val filter = spark.sql("""
+      SELECT bloom_agg(xxhash64(text), 65536, 5) AS bf FROM docs_v""")
+      .head().getAs[Array[Byte]](0)
+    val filterHex = "X'" + filter.map("%02x".format(_)).mkString + "'"
+    val hits = spark.sql(
+      "SELECT count(*) AS n FROM docs_v WHERE " +
+        s"bloom_contains(xxhash64(text), $filterHex, 65536, 5)").head().getLong(0)
+    assert(hits == Tables.documents(spark, sf).count(),
+      "every inserted key must probe true (no false negatives via SQL)")
+    // freq_sketch from SQL
+    val top = spark.sql("""
+      SELECT freq_sketch(t.token, 64) AS s FROM (
+        SELECT explode(split(lower(text), ' ')) AS token FROM docs_v) t""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.nonEmpty && top.size <= 64)
+  }
 }
