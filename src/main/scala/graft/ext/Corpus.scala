@@ -188,9 +188,13 @@ object Corpus {
   def heavyHitters(df: DataFrame, textCol: String, k: Int,
                    capacity: Int): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    // scanned twice (sketch pass + exact recount): materialize once
-    val rel = Materialize.multiScan(Materialize.spread(df)
-      .select(explode(toks(col(textCol))).as("token")))
+    // the exploded token relation is scanned twice (sketch pass + exact
+    // recount) but deliberately NOT cached: it is the one unbounded
+    // relation here, and materializing O(total token occurrences) to
+    // executor disk would contradict the sketch's whole memory posture —
+    // re-tokenizing on the second pass is a scan-shaped cost
+    val rel = Materialize.spread(df)
+      .select(explode(toks(col(textCol))).as("token"))
     val cand = rel
       .agg(graft.functions.VectorFunctions.freqSketch(col("token"), capacity))
       .head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))

@@ -65,6 +65,8 @@ object Pq {
       .select(col("id"), normalized(col("e")).as("emb")))
     val init = base.orderBy(col("id")).limit(nCodes)
       .select(col("emb")).collect().map(_.getSeq[Float](0).toArray)
+    require(init.nonEmpty,
+      "Pq.train needs a non-empty corpus to seed its codebooks")
     var books = Array.tabulate(m)(s => Array.tabulate(nCodes)(c =>
       init(c % init.length).slice(s * subDim, (s + 1) * subDim)))
     var iter = 0
@@ -122,10 +124,14 @@ object Pq {
       .select(col("nn_id"),
         VectorFunctions.nearestCentroid(col("e"), cents).as("cell"),
         VectorFunctions.pqEncode(normalized(col("e")), books).as("code"))
+    // table computed BEFORE the cell explode: projected alongside the
+    // Generate it would re-run the O(m·nCodes·subDim) kernel (and ship a
+    // table copy) once per probed cell instead of once per query
     val q = queries.select(col("id").as("query_id"), col("embedding").as("qe"))
       .select(col("query_id"),
-        explode(VectorFunctions.probeCentroids(col("qe"), cents, nProbe)).as("cell"),
+        VectorFunctions.probeCentroids(col("qe"), cents, nProbe).as("cells"),
         VectorFunctions.pqDistTable(normalized(col("qe")), books).as("tbl"))
+      .select(col("query_id"), explode(col("cells")).as("cell"), col("tbl"))
     val shortlist = codes.join(broadcast(q), Seq("cell"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("adist", VectorFunctions.pqAdc(col("code"), col("tbl"), nCodes))

@@ -109,24 +109,30 @@ case class FreqSketch(child: Expression, capacity: Int,
   }
 
   override def serialize(buf: MgBuffer): Array[Byte] = {
+    // prune first: the shipped partial honors the "≤ capacity counters
+    // per partition" contract (the live map may sit at up to 2×capacity
+    // between amortized prunes)
+    buf.prune()
+    // ONE entrySet pass pairing each key's bytes with ITS value — a
+    // keySet pass zipped against a separate entrySet pass would lean on
+    // HashMap view iteration order, which the spec does not promise
+    val entries = new java.util.ArrayList[(Array[Byte], Long)](buf.counts.size)
     var size = 4
-    val it0 = buf.counts.keySet().iterator()
-    val items = new java.util.ArrayList[Array[Byte]](buf.counts.size)
-    while (it0.hasNext) {
-      val b = it0.next().getBytes(StandardCharsets.UTF_8)
-      items.add(b)
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(StandardCharsets.UTF_8)
+      entries.add((b, e.getValue))
       size += 4 + b.length + 8
     }
     val bb = ByteBuffer.allocate(size)
-    bb.putInt(buf.counts.size)
-    val it = buf.counts.entrySet().iterator()
+    bb.putInt(entries.size)
     var i = 0
-    while (it.hasNext) {
-      val e = it.next()
-      val b = items.get(i)
+    while (i < entries.size) {
+      val (b, v) = entries.get(i)
       bb.putInt(b.length)
       bb.put(b)
-      bb.putLong(e.getValue)
+      bb.putLong(v)
       i += 1
     }
     bb.array()

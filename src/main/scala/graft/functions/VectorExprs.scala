@@ -352,10 +352,17 @@ object VectorFunctions {
       BloomAgg(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     // the filter arrives as a foldable binary literal, folded into a
     // long[] reference object at resolution time (cf. the centroid matrix)
-    "bloom_contains" -> (exprs =>
-      BloomContains(exprs(0),
-        Bloom.toWords(exprs(1).eval(null).asInstanceOf[Array[Byte]]),
-        intArg(exprs(2)), intArg(exprs(3)))),
+    "bloom_contains" -> { exprs =>
+      val words = Bloom.toWords(exprs(1).eval(null).asInstanceOf[Array[Byte]])
+      val nBits = intArg(exprs(2))
+      // a probe nBits different from the build nBits would crash per-row
+      // (bigger) or silently probe wrong bit positions — false NEGATIVES,
+      // the one failure a Bloom filter must never have (smaller)
+      require(words.length == Bloom.nWords(nBits),
+        s"bloom_contains nBits $nBits does not match the filter " +
+          s"(${words.length * 64} bits) — probe with the build-time nBits")
+      BloomContains(exprs(0), words, nBits, intArg(exprs(3)))
+    },
     "pq_encode" -> (exprs => PqEncode(exprs(0), booksArg(exprs(1)))),
     "pq_codes" -> (exprs => PqCodes(exprs(0), booksArg(exprs(1)))),
     "pq_dist_table" -> (exprs => PqDistTable(exprs(0), booksArg(exprs(1)))),

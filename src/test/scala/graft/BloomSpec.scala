@@ -75,6 +75,22 @@ class BloomSpec extends AnyFunSuite {
       "a saturated prefilter must not change results, only lose pruning")
   }
 
+  test("probing with a different nBits than the build is rejected") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val filter = Seq(1L, 2L, 3L).toDF("h")
+      .agg(VectorFunctions.bloomAgg(col("h"), nBits, k))
+      .head.getAs[Array[Byte]](0)
+    // smaller nBits would stay in bounds but probe wrong bit positions —
+    // silent false negatives; the builder must refuse both directions
+    val e = intercept[Exception] {
+      Seq(1L).toDF("h")
+        .select(VectorFunctions.bloomContains(col("h"), filter, nBits / 2, k))
+        .collect()
+    }
+    assert(e.getMessage.contains("does not match the filter"))
+  }
+
   test("prefilter runs below the exact join (plan shape)") {
     val docs = Tables.documents(spark, sf)
     val bench = docs.filter(col("doc_id") % 7 === 0)
