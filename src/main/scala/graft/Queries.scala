@@ -909,6 +909,51 @@ object Queries {
         max(n_occ) AS max_occ
       FROM marked GROUP BY doc_id"""))
 
+  /** The passage-dedup REWRITE: reassemble each document from its kept
+    * passages (deterministic chunk order) — the corpus a training run
+    * would actually read. Hash-checked via the cleaned text's md5, so
+    * the oracle pins every byte of the reassembly.
+    */
+  val qDedupPassageRewrite = Q("dedup_passage_rewrite",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val marked = Dedup.passageDedup(docs, "doc_id", "text", passageTokens = 20)
+        .filter(col("keep")).select(col("id"), col("chunk_no"))
+      val chunks = Corpus.chunk(docs, "doc_id", "text", chunkSize = 20, overlap = 0)
+        .select(col("id"), col("chunk_no"), col("chunk_text"))
+      chunks.join(marked, Seq("id", "chunk_no"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
+            x => x.getField("chunk_text")), " ")).as("clean_fp"))
+        .select(col("id").as("doc_id"), col("n_kept"), col("clean_fp"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      sized AS (
+        SELECT doc_id, toks,
+          CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS n
+        FROM d),
+      chunked AS (
+        SELECT doc_id, toks, greatest(CAST(ceil(n / 20.0) AS INT), 1) AS n_chunks
+        FROM sized WHERE n > 0),
+      pass AS (
+        SELECT doc_id, c.chunk_no,
+          array_to_string(toks[c.chunk_no*20+1 : c.chunk_no*20+20], ' ') AS chunk_text
+        FROM chunked, LATERAL (
+          SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_no) c),
+      marked AS (
+        SELECT doc_id, chunk_no, chunk_text,
+          row_number() OVER (PARTITION BY md5(chunk_text)
+            ORDER BY doc_id ASC, chunk_no ASC) AS rn
+        FROM pass)
+      SELECT doc_id, count(*) AS n_kept,
+        md5(string_agg(chunk_text, ' ' ORDER BY chunk_no)) AS clean_fp
+      FROM marked WHERE rn = 1 GROUP BY doc_id"""))
+
   /** Clusters → survivor per cluster: the decision step of the dedup
     * pipeline. Score = token count; argmax with min-id tie-break, as a
     * map-side-collapsible aggregate (no per-cluster window).
@@ -2155,7 +2200,7 @@ object Queries {
     qCorpusCuration,
     qDedupExact, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
-    qDedupSimhash,
+    qDedupPassageRewrite, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh,

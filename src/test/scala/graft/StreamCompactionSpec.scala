@@ -58,6 +58,37 @@ class StreamCompactionSpec extends AnyFunSuite {
       s"expected first-occurrence ids, got $rows")
   }
 
+  test("bloom contamination guard composes as a stateless streaming filter") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    // benchmark filter built ONCE in batch (the admission-time guard: no
+    // state store, no shuffle — the filter rides into every micro-batch
+    // as a reference object)
+    val nBits = 1 << 16
+    val bench = Seq("leaked question one", "leaked question two")
+    val filter = bench.toDF("text")
+      .agg(graft.functions.VectorFunctions.bloomAgg(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("text")), nBits, 5))
+      .head.getAs[Array[Byte]](0)
+    val in = MemoryStream[(Long, String)]
+    val admitted = in.toDS().toDF("doc_id", "text")
+      .filter(!graft.functions.VectorFunctions.bloomContains(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("text")), filter, nBits, 5))
+    val q = admitted.writeStream.format("memory").queryName("bloomguard")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, "clean doc"), (2L, "leaked question one"))
+    q.processAllAvailable()
+    in.addData((3L, "leaked question two"), (4L, "another clean doc"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("bloomguard").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L),
+      s"contaminated docs must be blocked in every micro-batch, got $ids")
+  }
+
   test("streaming quota admits per stratum across batches, lowest ids first") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
