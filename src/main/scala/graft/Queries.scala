@@ -1505,6 +1505,30 @@ object Queries {
       SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
       FROM counts ORDER BY rank LIMIT 100"""))
 
+  /** Unigram-LM surprisal scoring (the perplexity-filter shape). Fixed-
+    * point integer surprisal per token before any unordered aggregate,
+    * so the oracle hash-matches exactly.
+    */
+  val qLmSurprisal = Q("q_lm_surprisal",
+    (s, dir) => Corpus.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tok"),
+        col("surprisal_x10k"), col("mean_surprisal_x10k")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM tok),
+      scored AS (
+        SELECT t.doc_id,
+          CAST(floor(-ln(f.cnt::DOUBLE / o.n_total) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM tok t JOIN freq f USING (token) CROSS JOIN tot o)
+      SELECT doc_id, count(*) AS n_tok,
+        CAST(sum(nat10k) AS BIGINT) AS surprisal_x10k,
+        CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
+      FROM scored GROUP BY doc_id"""))
+
   /** Heavy hitters via the Misra-Gries candidate sketch + exact recount.
     * The oracle is the plain exact top-k SQL — a hash match proves the
     * sketch path changes nothing (fixture vocab 31 << capacity, so the
@@ -2205,7 +2229,8 @@ object Queries {
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
-    qTfidf, qVocab, qHeavyHitters, qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
+    qTfidf, qVocab, qHeavyHitters, qLmSurprisal, qPiiScrub, qPiiFull,
+    qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,

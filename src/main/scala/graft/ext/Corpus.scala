@@ -169,6 +169,39 @@ object Corpus {
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Self-trained unigram LM surprisal — the CCNet/Gopher perplexity-
+    * filter shape with the LM reduced to unigrams: score each document
+    * by its mean token surprisal −ln p(token) under the corpus's own
+    * token distribution. Documents full of rare tokens (gibberish, hex
+    * dumps) score high; stopword soup scores low — both tails are what
+    * perplexity filtering trims.
+    *
+    * Shape: two token-keyed aggregations (frequencies + total) over one
+    * exploded pass, then the per-doc aggregate — the unigram table is
+    * vocabulary-sized and broadcasts. Portability: per-token surprisal
+    * is fixed-pointed to integer tenth-millinats BEFORE any unordered
+    * aggregate (`floor(−ln(p)·10⁴ + 0.5)`), so every sum is exact
+    * integer arithmetic and the result hash-matches any engine — the
+    * float-accumulation-order rule from the oracle gate.
+    *
+    * @return (id, n_tok, surprisal_x10k, mean_surprisal_x10k)
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // scanned by freq, total, and the per-doc join: materialize once
+    val rel = Materialize.multiScan(Materialize.spread(df)
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("token")))
+    val freq = rel.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = rel.agg(count(lit(1)).as("n_total"))
+    rel.join(broadcast(freq), "token").crossJoin(broadcast(tot))
+      .withColumn("nat10k",
+        floor(-log(col("cnt").cast("double") / col("n_total")) * 10000 + 0.5)
+          .cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("nat10k")).as("surprisal_x10k"))
+      .withColumn("mean_surprisal_x10k",
+        expr("surprisal_x10k div n_tok"))
+  }
+
   /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +
     * exact recount — the heavy-hitters complement of [[vocabulary]].
     * `vocabulary`'s groupBy shuffles EVERY distinct token (fine for

@@ -9,6 +9,26 @@ class CorpusSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("unigram surprisal: matches the formula; rare-token docs score higher") {
+    val docs = Seq(
+      (1L, "a a a a"), // 4 of the commonest token
+      (2L, "a a rare1 rare2")) // half rare singletons
+      .toDF("doc_id", "text")
+    val out = Corpus.unigramSurprisal(docs, "doc_id", "text")
+      .select("id", "n_tok", "surprisal_x10k", "mean_surprisal_x10k")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // corpus: a×6, rare1×1, rare2×1, total 8
+    def nat10k(cnt: Long): Long =
+      math.floor(-math.log(cnt.toDouble / 8) * 10000 + 0.5).toLong
+    val expected1 = 4 * nat10k(6)
+    val expected2 = 2 * nat10k(6) + 2 * nat10k(1)
+    assert(out(1L) == ((4L, expected1, expected1 / 4)))
+    assert(out(2L) == ((4L, expected2, expected2 / 4)))
+    assert(out(2L)._3 > out(1L)._3,
+      "the rare-token doc must carry higher mean surprisal")
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
