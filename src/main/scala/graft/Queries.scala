@@ -1224,6 +1224,33 @@ object Queries {
     },
     None)
 
+  /** Diversity sampling: per-semantic-cell quotas over the embedding
+    * space (deterministic lowest-id cells + portable-hash quota, so the
+    * whole pipeline is oracle-checkable).
+    */
+  val qDiversitySample = Q("q_diversity_sample",
+    (s, dir) => Similarity.diversitySample(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding")),
+        "id", "embedding", nCells = 8, quota = 20)
+      .select(col("cell"), col("sample_rank"), col("id").as("vec_id")),
+    Some("""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM embeddings
+        ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      ranked AS (
+        SELECT cell, vec_id,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY ('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+                          vec_id) AS sample_rank
+        FROM cell)
+      SELECT cell, sample_rank, vec_id FROM ranked WHERE sample_rank <= 20"""))
+
   /** PQ-compressed ANN: trained codebooks, 8-byte codes, ADC scan with
     * exact cosine re-rank of a 60-candidate shortlist. Rows-only gate
     * (float-trained codebooks have no portable oracle — same documented
@@ -2227,7 +2254,7 @@ object Queries {
     qDedupPassageRewrite, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
-    qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh,
+    qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qVocab, qHeavyHitters, qLmSurprisal, qPiiScrub, qPiiFull,
     qQuantize, qHll, qKmv,

@@ -197,6 +197,33 @@ object Similarity {
     spark.read.parquet(path).filter(col("cell").isin(cells: _*))
   }
 
+  /** Cluster-balanced (diversity) sampling: assign every vector to its
+    * nearest coarse cell, then take a deterministic per-cell quota — the
+    * embedding-space complement of [[Corpus.quotaSample]]'s per-source
+    * balancing. A corpus dominated by one semantic region (boilerplate,
+    * one language, one template) gets capped per REGION, which
+    * per-source strata can't see. Deterministic end-to-end: cells come
+    * from the lowest-id centroids (the [[ivfTopK]] untrained
+    * convention, so external engines replicate the assignment) and the
+    * quota is portable-hash order — fully oracle-checkable.
+    *
+    * Shape: one shuffle-free assignment scan (centroid matrix as one
+    * reference object) + the quota's single stratum shuffle with
+    * WindowGroupLimit map-side pruning. Swap the centroid list for
+    * [[kmeansCentroids]] output for trained regions at scale.
+    */
+  def diversitySample(corpus: DataFrame, idCol: String, embCol: String,
+                      nCells: Int, quota: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col(embCol).as("cent"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("cell", cellOf(col("emb"), cents))
+    Corpus.quotaSample(assigned, Seq("cell"), Seq("id"), quota)
+      .select(col("cell"), col("sample_rank"), col("id"))
+  }
+
   /** Lloyd k-means over an embedding column with cosine assignment —
     * the clustering step behind diversity sampling / cluster-balanced
     * corpus curation. Deterministic init (lowest-id vectors, as in

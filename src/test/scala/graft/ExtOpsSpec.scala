@@ -255,6 +255,21 @@ class ExtOpsSpec extends AnyFunSuite {
       "capping intersections can only shrink scores - no new pairs")
   }
 
+  test("diversity sample: per-cell cap, deterministic at any partitioning") {
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Similarity.diversitySample(df, "id", "embedding", nCells = 4, quota = 5)
+        .select("cell", "sample_rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val base = sample(e)
+    val perCell = base.groupBy(_._1).view.mapValues(_.size)
+    assert(perCell.values.forall(_ <= 5), "quota must cap every cell")
+    assert(perCell.keys.size > 1, "sampling must span multiple cells")
+    assert(sample(e.repartition(13)) == base,
+      "portable-hash quota must be partitioning-independent")
+  }
+
   test("passage dedup: canonical first occurrence survives, later copies drop") {
     import spark.implicits._
     val boiler = (1 to 4).map(i => s"license$i").mkString(" ") // one 4-token passage
