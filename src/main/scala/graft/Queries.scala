@@ -1532,6 +1532,21 @@ object Queries {
       SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
       FROM counts ORDER BY rank LIMIT 100"""))
 
+  /** Mixture sampling: per-source keep rates (the data-mixing step) —
+    * up-weight two sources, down-weight two, default the rest.
+    */
+  val qMixtureSample = Q("q_mixture_sample",
+    (s, dir) => Corpus.mixtureSample(t(s, dir, "documents"), "source",
+        Seq("doc_id"),
+        pctByStratum = Map("src0" -> 80, "src1" -> 80,
+          "src2" -> 30, "src3" -> 30),
+        defaultPct = 10)
+      .select(col("doc_id"), col("source")),
+    Some("""SELECT doc_id, source FROM documents
+      WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 <
+        CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 80
+                    WHEN 'src2' THEN 30 WHEN 'src3' THEN 30 ELSE 10 END"""))
+
   /** Unigram-LM surprisal scoring (the perplexity-filter shape). Fixed-
     * point integer surprisal per token before any unordered aggregate,
     * so the oracle hash-matches exactly.
@@ -2256,8 +2271,8 @@ object Queries {
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
-    qTfidf, qVocab, qHeavyHitters, qLmSurprisal, qPiiScrub, qPiiFull,
-    qQuantize, qHll, qKmv,
+    qTfidf, qVocab, qHeavyHitters, qLmSurprisal, qMixtureSample,
+    qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,

@@ -309,6 +309,31 @@ object Corpus {
     else pmod(xxhash64(key), lit(1L << 60))
   }
 
+  /** Deterministic mixture sampling — the data-MIXING step of a training
+    * run: each stratum (source, language, quality band) keeps its own
+    * target percentage of rows, reweighting the corpus toward the
+    * desired composition in one stateless pass. Same portable-hash
+    * mechanics as [[hashSample]] (seed- and partitioning-independent,
+    * nested rates compose: a 20% sample of a stratum is a subset of its
+    * 40% sample), so the mix is reproducible in any engine and stable
+    * across reruns — no shuffle, fully pushdown-friendly.
+    *
+    * @param pctByStratum stratum value → keep percentage (0-100); absent
+    *                     strata keep `defaultPct`
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, keyCols: Seq[String],
+                    pctByStratum: Map[String, Int], defaultPct: Int = 0,
+                    portable: Boolean = true): DataFrame = {
+    require((pctByStratum.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "keep percentages must be in 0..100")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) =>
+        when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(keyHash(keyCols, portable) % 100 < pct)
+  }
+
   /** Sorted-neighborhood record linkage candidates: rank rows by a sort
     * key and pair each row with its `window` successors. O(n·window)
     * candidate pairs instead of the blocked join's per-block quadratic —

@@ -9,6 +9,22 @@ class CorpusSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("mixture sample: per-stratum rates, nesting, zero default") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    def ids(pcts: Map[String, Int], dflt: Int = 0): Map[String, Set[Long]] =
+      Corpus.mixtureSample(docs, "source", Seq("doc_id"), pcts, dflt)
+        .as[(Long, String)].collect().groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap
+    val mix = ids(Map("src0" -> 60, "src1" -> 20))
+    // rates hit within hash noise (1000 rows/stratum, ±6%)
+    assert(math.abs(mix("src0").size - 600) < 60, s"src0 ${mix("src0").size}")
+    assert(math.abs(mix("src1").size - 200) < 60, s"src1 ${mix("src1").size}")
+    assert(!mix.contains("src2"), "default 0 must drop unlisted strata")
+    // nesting: a lower rate selects a SUBSET (same hash threshold family)
+    val tighter = ids(Map("src0" -> 20))
+    assert(tighter("src0").subsetOf(mix("src0")))
+  }
+
   test("unigram surprisal: matches the formula; rare-token docs score higher") {
     val docs = Seq(
       (1L, "a a a a"), // 4 of the commonest token
