@@ -834,18 +834,12 @@ object Queries {
       WHERE round(len(list_filter(generate_series(1, $minhashK),
                    i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
 
-  /** Pairs → connected components → cluster assignment: the step that
-    * turns near-dup pairs into "keep one per cluster" decisions. The
-    * oracle replicates min-label reachability with a recursive CTE.
+  /** Shared oracle prefix for the cluster-derived queries: trigram-
+    * Jaccard pairs (tau 0.25) → undirected edges → recursive min-label
+    * reachability. `dedup_clusters` reads it directly; `dedup_survivors`
+    * builds its survivor pick on top.
     */
-  val qDedupClusters = Q("dedup_clusters",
-    (s, dir) => {
-      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 3, tau = 0.25)
-      Dedup.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
-    },
-    Some("""WITH RECURSIVE pairs AS (
+  private val clusterReachCte = """WITH RECURSIVE pairs AS (
         SELECT id_a, id_b FROM (
           WITH docs AS (
             SELECT doc_id,
@@ -866,7 +860,20 @@ object Queries {
       reach(id, r) AS (
         SELECT src, src FROM (SELECT DISTINCT src FROM edges)
         UNION
-        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)"""
+
+  /** Pairs → connected components → cluster assignment: the step that
+    * turns near-dup pairs into "keep one per cluster" decisions. The
+    * oracle replicates min-label reachability with a recursive CTE.
+    */
+  val qDedupClusters = Q("dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, tau = 0.25)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    },
+    Some(s"""$clusterReachCte
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""))
 
   /** Passage-level exact dedup: per-doc retention stats after dropping
@@ -968,32 +975,11 @@ object Queries {
       Dedup.survivors(clusters, scores)
         .withColumnRenamed("dropped_score", "dropped_tokens")
     },
-    Some("""WITH RECURSIVE pairs AS (
-        SELECT id_a, id_b FROM (
-          WITH docs AS (
-            SELECT doc_id,
-                   string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
-            FROM documents),
-          sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-              generate_series(1, greatest(len(w)-2, 0)),
-              i -> array_to_string(w[i:i+2], ' '))) AS sset
-            FROM docs),
-          ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id, a.m, b.m
-          HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25)),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-      reach(id, r) AS (
-        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-        UNION
-        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    Some(s"""$clusterReachCte,
       clust AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
       scored AS (
         SELECT c.cluster_id, c.doc_id,
-               len(regexp_extract_all(d.text, '\S+')) AS score
+               len(regexp_extract_all(d.text, '\\S+')) AS score
         FROM clust c JOIN documents d USING (doc_id)),
       ranked AS (
         SELECT cluster_id, doc_id, score,

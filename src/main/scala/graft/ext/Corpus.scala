@@ -65,7 +65,16 @@ object Corpus {
     val counts = Materialize.spread(df)
       .select(explode(toks(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topN)
+    rankedTop(counts, topN)
+  }
+
+  /** (rank, token, cnt) top-k cut of a (token, cnt) relation: TakeOrdered
+    * `limit` first (distributed per-partition heaps), then the rank
+    * window only ever sees the k survivors. Shared by [[vocabulary]] and
+    * [[heavyHitters]].
+    */
+  private def rankedTop(counts: DataFrame, k: Int): DataFrame = {
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
     val w = Window.orderBy(col("cnt").desc, col("token").asc)
     top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("token"), col("cnt"))
@@ -235,10 +244,7 @@ object Corpus {
     val candDf = cand.toDF("token")
     val counts = rel.join(broadcast(candDf), Seq("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
-    val w = Window.orderBy(col("cnt").desc, col("token").asc)
-    top.withColumn("rank", row_number().over(w))
-      .select(col("rank"), col("token"), col("cnt"))
+    rankedTop(counts, k)
   }
 
   /** Bloom-accelerated decontamination — same RESULT as [[decontaminate]]
