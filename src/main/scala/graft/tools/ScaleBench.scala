@@ -127,9 +127,11 @@ object ScaleBench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    // one throwaway pass at scale 1 pays JVM/codegen warmup so the 1x
-    // rows aren't inflated relative to 3x/10x
-    for ((_, op) <- ops) { op(1).count(); release() }
+    // one throwaway pass at the smallest requested scale pays JVM/codegen
+    // warmup so the first measured rows aren't inflated relative to the
+    // rest (scale 1 need not exist under a custom SCALE_POINTS)
+    val warmScale = scales.min
+    for ((_, op) <- ops) { op(warmScale).count(); release() }
 
     println("| operator | scale | input rows | cold s | warm s | out rows |")
     println("|---|---|---|---|---|---|")
