@@ -150,6 +150,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"target got shuffled:\n$p")
   }
 
+  test("dedup_survivors: argmax is a partial-merged aggregate, no per-cluster window") {
+    val p = planOf("dedup_survivors")
+    assert(p.contains("partial_max(struct(score"),
+      s"survivor argmax must collapse map-side before the exchange:\n$p")
+    // the survivor pick itself must not be a window (a hot mega-cluster
+    // would funnel through one task's sort); the only windows allowed
+    // are inside the upstream pair generation (there are none today)
+    assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+  }
+
+  test("q_mixture_sample: one codegen'd filter, no shuffle, pruned scan") {
+    val p = planOf("q_mixture_sample")
+    assert(!p.contains("Exchange"), s"mixture sampling must not shuffle:\n$p")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    val scanCols = scan.substring(scan.indexOf('['), scan.indexOf(']'))
+    assert(!scanCols.contains("text"),
+      s"column pruning failed (text read for an id/source sample): $scanCols")
+  }
+
+  test("q_heavy_hitters: sketch is a partial-merged object-hash agg; recount broadcasts candidates") {
+    // the sketch phase runs eagerly inside the operator, so assert its
+    // plan on a directly-built aggregation over the same token relation
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val sketchPlan = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(graft.functions.VectorFunctions.freqSketch(col("token"), 64))
+      .queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("ObjectHashAggregate"),
+      s"freq_sketch must plan as an object-hash aggregate:\n$sketchPlan")
+    assert(sketchPlan.contains("partial_freq_sketch"),
+      s"sketch must partial-merge map-side (capacity counters per partition):\n$sketchPlan")
+    // the returned (recount) plan: candidates broadcast, count keyed on token
+    val p = planOf("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast into the recount:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a distributed TakeOrdered, not a global sort:\n$p")
+  }
+
   test("self-join inputs are cached once and read by BOTH sides (r4 materialization)") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     // the banded relations must resolve to ONE shared InMemoryRelation
