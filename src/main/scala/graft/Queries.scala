@@ -693,6 +693,27 @@ object Queries {
       FROM documents
       GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""))
 
+  /** Exact dedup keyed on the Unicode-NFC form: composed and decomposed
+    * text (é vs e+combining accent) render identically but hash
+    * differently — un-normalized fingerprints silently miss those dups.
+    * On this ASCII fixture the grouping equals dedup_exact's; the
+    * unicode collapse itself is spec-proven (NfcSpec).
+    */
+  val qDedupNfc = Q("dedup_exact_nfc",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(graft.functions.VectorFunctions.nfcNormalize(
+            TextOps.normalized(col("text")))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+    },
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY md5(nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))"""))
+
   val qDedupJaccard = Q("dedup_ngram_jaccard",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
       "doc_id", "text", n = 3, tau = 0.25),
@@ -2250,7 +2271,7 @@ object Queries {
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
-    qDedupExact, qDedupJaccard, qDedupIncremental, qDedupMinhash,
+    qDedupExact, qDedupNfc, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSimhash,
     qDedupSimhashIncremental,

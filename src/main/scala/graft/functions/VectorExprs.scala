@@ -307,6 +307,42 @@ object Md5Prefix {
   }
 }
 
+/** Unicode NFC canonicalization — the normalization pass BEFORE any
+  * fingerprint/dedup hash at corpus scale: composed "é" (U+00E9) and
+  * decomposed "e"+U+0301 render identically but hash differently, so
+  * un-normalized exact dedup silently misses visually-identical
+  * documents. Fast path: already-normalized text (all ASCII) returns
+  * the input UTF8String with no allocation.
+  */
+object TextNorm {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `nfc_normalize(text)`: Unicode NFC as a codegen'd expression (matches
+  * DuckDB's `nfc_normalize`, which is what keeps NFC-keyed dedup
+  * oracle-checkable).
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(a: Any): Any =
+    TextNorm.nfc(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextNorm.nfc($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   val Name = "cosine_sim"
   val SrpName = "srp_sig"
@@ -348,6 +384,7 @@ object VectorFunctions {
     "freq_sketch" -> (exprs => FreqSketch(exprs(0), intArg(exprs(1)))),
     "vec_sum_count" -> (exprs => VecSumCount(exprs(0), intArg(exprs(1)))),
     "md5_prefix" -> (exprs => Md5Prefix(exprs(0), intArg(exprs(1)))),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
     "bloom_agg" -> (exprs =>
       BloomAgg(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     // the filter arrives as a foldable binary literal, folded into a
@@ -405,6 +442,9 @@ object VectorFunctions {
     call_function("probe_centroids", emb,
       typedlit(cents.map(_._2.toSeq).toSeq), typedlit(cents.map(_._1).toSeq),
       lit(nProbe))
+
+  /** Column API for [[NfcNormalize]]: Unicode NFC canonicalization. */
+  def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
 
   /** Column API for [[Md5Prefix]]: first `nibbles` md5 hex chars as long. */
   def md5Prefix(c: Column, nibbles: Int): Column =

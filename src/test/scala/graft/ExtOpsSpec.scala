@@ -255,6 +255,32 @@ class ExtOpsSpec extends AnyFunSuite {
       "capping intersections can only shrink scores - no new pairs")
   }
 
+  test("NFC normalization: composed and decomposed unicode collapse to one group") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val composed = "caf\u00e9 menu" // e-acute as one codepoint
+    val decomposed = "cafe\u0301 menu" // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "cafe menu"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        md5(graft.functions.VectorFunctions.nfcNormalize(
+          TextOps.normalized(col("text")))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L),
+      "NFC must collapse composed/decomposed forms to one fingerprint")
+    assert(fps(1L) != fps(3L), "accent-free text is a DIFFERENT document")
+    // without NFC the same pair hashes apart — the gap this closes
+    val raw = df.select(col("doc_id"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(raw(1L) != raw(2L))
+    // ASCII passthrough: NFC is an identity on already-normal text
+    val ascii = df.filter(col("doc_id") === 3)
+      .select(graft.functions.VectorFunctions.nfcNormalize(col("text")))
+      .as[String].head()
+    assert(ascii == "cafe menu")
+  }
+
   test("diversity sample: per-cell cap, deterministic at any partitioning") {
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding"))
