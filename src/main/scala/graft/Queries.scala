@@ -1258,42 +1258,176 @@ object Queries {
         FROM cell)
       SELECT cell, sample_rank, vec_id FROM ranked WHERE sample_rank <= 20"""))
 
-  /** PQ-compressed ANN: trained codebooks, 8-byte codes, ADC scan with
-    * exact cosine re-rank of a 60-candidate shortlist. Rows-only gate
-    * (float-trained codebooks have no portable oracle — same documented
-    * category as ann_ivf_trained/q_kmeans); PqSpec proves recall vs
-    * brute force and kernel agreement.
+  /** PQ-compressed ANN: 8-byte codes, ADC scan with exact cosine re-rank
+    * of a 60-candidate shortlist. Deterministic codebooks (`iters = 0`:
+    * the lowest-id vectors' subvectors, the [[Similarity.ivfTopK]]
+    * untrained convention) make the FULL pipeline oracle-checkable —
+    * normalize, per-subspace argmin encode, ADC table lookups and the
+    * shortlist cut are all index-order IEEE folds the oracle replays
+    * exactly. Lloyd-trained codebooks (no portable oracle) are covered
+    * by PqSpec: codebook determinism, quantization error bound, recall
+    * vs brute force.
     */
   val qAnnPq = Q("ann_pq",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("id"), col("embedding"))
       val books = graft.ext.Pq.train(corpus, "id", "embedding",
-        dim = 64, m = 8, nCodes = 16, iters = 2)
+        dim = 64, m = 8, nCodes = 16, iters = 0)
       graft.ext.Pq.searchAdc(corpus,
         e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
         k = 10, books, refine = 60)
     },
-    None)
+    Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+      n2 AS (
+        SELECT vec_id, ed,
+          list_reduce(list_transform(ed, x -> x*x), (a,b) -> a+b) AS nn
+        FROM e),
+      normed AS (
+        SELECT vec_id,
+          CASE WHEN nn > 0 THEN
+            list_transform(ed, x -> CAST(CAST(x / sqrt(nn) AS REAL) AS DOUBLE))
+          ELSE ed END AS nv
+        FROM n2),
+      init AS (
+        SELECT nv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM normed ORDER BY vec_id LIMIT 16),
+      books AS (
+        SELECT s.s, i.c, i.nv[s.s*8+1 : s.s*8+8] AS cent
+        FROM init i CROSS JOIN (SELECT unnest(generate_series(0,7)) AS s) s),
+      vsub AS (
+        SELECT v.vec_id, b.s, b.c,
+          list_reduce(list_transform(generate_series(1,8),
+            j -> (v.nv[b.s*8 + j] - b.cent[j]) * (v.nv[b.s*8 + j] - b.cent[j])),
+            (a,x) -> a + x) AS d
+        FROM normed v CROSS JOIN books b),
+      codes AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+          FROM vsub) WHERE rn = 1),
+      adist AS (
+        SELECT qd.vec_id AS query_id, cv.vec_id AS nn_id,
+          list_reduce(list(qd.d ORDER BY qd.s), (a,b) -> a+b) AS ad
+        FROM codes cv
+        JOIN vsub qd ON qd.s = cv.s AND qd.c = cv.code
+        WHERE qd.vec_id < 5 AND cv.vec_id <> qd.vec_id
+        GROUP BY qd.vec_id, cv.vec_id),
+      short AS (
+        SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY ad ASC, nn_id ASC) AS arank
+          FROM adist) WHERE arank <= 60),
+      rer AS (
+        SELECT s.query_id, s.nn_id,
+          round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 3) AS sim
+        FROM short s
+        JOIN embeddings c ON c.vec_id = s.nn_id
+        JOIN embeddings q ON q.vec_id = s.query_id),
+      ranked AS (
+        SELECT query_id, nn_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rank
+        FROM rer)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
 
-  /** Full IVF-PQ: trained coarse cells prune WHICH vectors are scored
-    * (nProbe of 16 cells), trained PQ codes shrink WHAT is scored
-    * (8 bytes/vector), exact cosine re-ranks the shortlist — the
-    * billion-scale ANN shape. Rows-only (trained floats).
+  /** Full IVF-PQ: coarse cells prune WHICH vectors are scored (nProbe=6
+    * of 16 cells), PQ codes shrink WHAT is scored (8 bytes/vector),
+    * exact cosine re-ranks the shortlist — the billion-scale ANN shape.
+    * Deterministic parameterization (lowest-id coarse centroids — the
+    * untrained [[Similarity.ivfTopK]] convention — and `iters = 0`
+    * codebooks), so cell assignment, probes, encode, ADC and both rank
+    * cuts all replay in the oracle. The Lloyd-trained composite is
+    * covered by PqSpec's probe-all ≡ un-pruned-ADC identity and
+    * ann_ivf_trained's trained coarse path.
     */
   val qAnnIvfPq = Q("ann_ivf_pq",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("id"), col("embedding"))
-      val cents = Similarity.kmeansCentroids(corpus, k = 16, maxIter = 2)
-        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val cents = corpus.orderBy(col("id")).limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val books = graft.ext.Pq.train(corpus, "id", "embedding",
-        dim = 64, m = 8, nCodes = 16, iters = 2)
+        dim = 64, m = 8, nCodes = 16, iters = 0)
       graft.ext.Pq.searchIvfAdc(corpus,
         e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
         k = 10, cents, books, nProbe = 6, refine = 60)
     },
-    None)
+    Some("""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM embeddings
+        ORDER BY vec_id LIMIT 16),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      qprobe AS (
+        SELECT q.vec_id AS qid, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5),
+      probes AS (SELECT qid, cell FROM qprobe WHERE rn <= 6),
+      cand AS (
+        SELECT p.qid AS query_id, ce.vec_id AS nn_id
+        FROM probes p JOIN cell ce ON ce.cell = p.cell
+        WHERE ce.vec_id <> p.qid),
+      e2 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+      n2 AS (
+        SELECT vec_id, ed,
+          list_reduce(list_transform(ed, x -> x*x), (a,b) -> a+b) AS nn
+        FROM e2),
+      normed AS (
+        SELECT vec_id,
+          CASE WHEN nn > 0 THEN
+            list_transform(ed, x -> CAST(CAST(x / sqrt(nn) AS REAL) AS DOUBLE))
+          ELSE ed END AS nv
+        FROM n2),
+      init AS (
+        SELECT nv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM normed ORDER BY vec_id LIMIT 16),
+      books AS (
+        SELECT s.s, i.c, i.nv[s.s*8+1 : s.s*8+8] AS cent
+        FROM init i CROSS JOIN (SELECT unnest(generate_series(0,7)) AS s) s),
+      vsub AS (
+        SELECT v.vec_id, b.s, b.c,
+          list_reduce(list_transform(generate_series(1,8),
+            j -> (v.nv[b.s*8 + j] - b.cent[j]) * (v.nv[b.s*8 + j] - b.cent[j])),
+            (a,x) -> a + x) AS d
+        FROM normed v CROSS JOIN books b),
+      codes AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+          FROM vsub) WHERE rn = 1),
+      adist AS (
+        SELECT ca.query_id, ca.nn_id,
+          list_reduce(list(qd.d ORDER BY qd.s), (a,b) -> a+b) AS ad
+        FROM cand ca
+        JOIN codes cv ON cv.vec_id = ca.nn_id
+        JOIN vsub qd ON qd.vec_id = ca.query_id AND qd.s = cv.s AND qd.c = cv.code
+        GROUP BY ca.query_id, ca.nn_id),
+      short AS (
+        SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY ad ASC, nn_id ASC) AS arank
+          FROM adist) WHERE arank <= 60),
+      rer AS (
+        SELECT s.query_id, s.nn_id,
+          round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 3) AS sim
+        FROM short s
+        JOIN embeddings c ON c.vec_id = s.nn_id
+        JOIN embeddings q ON q.vec_id = s.query_id),
+      ranked AS (
+        SELECT query_id, nn_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rank
+        FROM rer)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
 
   /** Multi-table SRP LSH top-k. Approximate vs brute force, but fully
     * deterministic: hyperplane signs are md5-parity of "table:plane:dim",

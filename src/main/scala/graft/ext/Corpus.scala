@@ -35,12 +35,16 @@ object Corpus {
     * deterministic in any engine.
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    // both the tf and document-frequency aggregates scan the exploded
-    // relation: materialize it once (lazy cache — see Materialize)
-    val rel = Materialize.multiScan(tokenRel(df, idCol, textCol))
-    val tf = rel.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = rel.select(col("id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // ONE tokenize pass: tf is the (id, token) count aggregate, and
+    // df(token) counts the tf relation's rows (tf rows ARE the distinct
+    // (id, token) pairs) — the raw exploded postings are never cached or
+    // re-scanned. Only the aggregated tf relation (orders of magnitude
+    // smaller than the postings) is materialized for its two consumers
+    // (the score join and the df derivation).
+    val tf = Materialize.multiScan(
+      tokenRel(df, idCol, textCol).groupBy(col("id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = df.select(countDistinct(col(idCol)).as("n"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("score",
@@ -130,7 +134,11 @@ object Corpus {
             chunkSize: Int, overlap: Int): DataFrame = {
     require(overlap < chunkSize, "overlap must be smaller than the chunk size")
     val stride = chunkSize - overlap
-    df.select(col(idCol).as("id"),
+    // spread first: the split + per-chunk slice is the CPU-heavy narrow
+    // stage and would otherwise run with the scan's partitioning — one
+    // task for a single-file table (no-op on well-partitioned inputs)
+    Materialize.spread(df)
+      .select(col(idCol).as("id"),
         split(TextOps.normalized(col(textCol)), " ").as("toks"))
       .withColumn("n", when(col("toks") === array(lit("")), 0)
         .otherwise(size(col("toks"))))
@@ -280,14 +288,20 @@ object Corpus {
     val filter = bench
       .agg(graft.functions.VectorFunctions.bloomAgg(col("sh64"), nBits, k))
       .head.getAs[Array[Byte]](0)
-    Dedup.explodedShingles(corpus, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("shingle")).as("sh64"))
-      .filter(graft.functions.VectorFunctions
-        .bloomContains(col("sh64"), filter, nBits, k))
-      // exact verify removes the false positives; un-hinted join so the
-      // planner broadcasts small benchmarks and shuffles the (pruned)
-      // postings against genuinely huge ones
-      .join(bench, Seq("sh64"), "left_semi")
+    // probe + prune run INSIDE the corpus scan stage (one tokenize pass);
+    // the surviving postings — true matches plus <1% false positives,
+    // a sliver of the corpus — are materialized so a rerun of the
+    // operator (or any downstream consumer) starts from the pruned
+    // relation instead of re-tokenizing 100 TB of text
+    val pruned = Materialize.multiScan(
+      Dedup.explodedShingles(corpus, idCol, textCol, n)
+        .select(col("id"), xxhash64(col("shingle")).as("sh64"))
+        .filter(graft.functions.VectorFunctions
+          .bloomContains(col("sh64"), filter, nBits, k)))
+    // exact verify removes the false positives; un-hinted join so the
+    // planner broadcasts small benchmarks and shuffles the (pruned)
+    // postings against genuinely huge ones
+    pruned.join(bench, Seq("sh64"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 

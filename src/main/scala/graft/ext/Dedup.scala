@@ -171,19 +171,36 @@ object Dedup {
                      idCol: String, textCol: String,
                      n: Int, tau: Double,
                      maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val a = explodedShingles(batch, idCol, textCol, n)
-      .select(col("id").as("batch_id"), col("m").as("m_a"),
-        xxhash64(col("shingle")).as("sh64"))
-    val bAll = explodedShingles(corpus, idCol, textCol, n)
-      .select(col("id").as("corpus_id"), col("m").as("m_b"),
-        xxhash64(col("shingle")).as("sh64"))
+    // ONE tagged union tokenized in one pass and materialized ONCE
+    // (lazy cache, see [[Materialize]]): the batch and corpus postings
+    // are filters over the same cached 8-byte-hash relation, so neither
+    // the hot-shingle subquery nor a rerun of the operator (the stored-
+    // index steady state of an ingest loop) re-reads or re-tokenizes
+    // text. With two genuinely distinct inputs the union is still one
+    // scan of each; with two slices of the SAME table (the common
+    // batch-vs-admitted split) the text pipeline runs once, not twice.
+    val tagged = batch.select(col(idCol), col(textCol), lit(true).as("__is_batch"))
+      .unionByName(
+        corpus.select(col(idCol), col(textCol), lit(false).as("__is_batch")))
+    val sh = Materialize.multiScan(
+      Materialize.spread(tagged)
+        .select(col(idCol).as("id"), col("__is_batch"),
+          shingleUdf(col(textCol), lit(n)).as("shs"))
+        .select(col("id"), col("__is_batch"), size(col("shs")).as("m"),
+          explode(col("shs")).as("shingle"))
+        .select(col("id"), col("__is_batch"), col("m"),
+          xxhash64(col("shingle")).as("sh64")))
+    val a = sh.filter(col("__is_batch"))
+      .select(col("id").as("batch_id"), col("m").as("m_a"), col("sh64"))
+    val bAll = sh.filter(!col("__is_batch"))
+      .select(col("id").as("corpus_id"), col("m").as("m_b"), col("sh64"))
     val b = if (maxDocFreq == Int.MaxValue) bAll else {
       val hot = bAll.groupBy(col("sh64"))
         .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
         .select(col("sh64"))
       bAll.join(broadcast(hot), Seq("sh64"), "left_anti")
     }
-    a.join(b, a("sh64") === b("sh64") &&
+    a.as("ja").join(b.as("jb"), col("ja.sh64") === col("jb.sh64") &&
         col("m_a") >= col("m_b") * tau && col("m_b") >= col("m_a") * tau)
       .groupBy(col("batch_id"), col("corpus_id"), col("m_a"), col("m_b"))
       .agg(count(lit(1)).as("inter"))

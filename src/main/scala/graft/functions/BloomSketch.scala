@@ -122,12 +122,44 @@ case class BloomAgg(child: Expression, nBits: Int, k: Int,
     copy(child = newChild)
 }
 
+/** Shared codegen for the probe loop: both probe expressions inline the
+  * same k-lookup loop; only where the word array comes from differs.
+  */
+private[functions] object BloomCodegen {
+  def probeLoop(ctx: CodegenContext, ev: ExprCode, wordsVar: String,
+                a: String, nBits: Int, k: Int): String = {
+    val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+    val i = ctx.freshName("i"); val idx = ctx.freshName("idx")
+    val hit = ctx.freshName("hit")
+    s"""
+      long $h1 = graft.functions.Bloom.mix($a);
+      long $h2 = graft.functions.Bloom.mix2($a);
+      boolean $hit = true;
+      for (int $i = 0; $i < $k; $i++) {
+        int $idx = (int) ((($h1 + $i * $h2) & Long.MAX_VALUE) % ${nBits}L);
+        if (($wordsVar[$idx >>> 6] & (1L << ($idx & 63))) == 0L) {
+          $hit = false; break;
+        }
+      }
+      ${ev.value} = $hit;
+    """
+  }
+}
+
 /** `bloom_contains(h, filter, nBits, k)`: membership probe against a
   * prebuilt filter. The filter arrives as a foldable binary literal and
   * is carried as ONE reference object (shared by every codegen'd task,
   * like the IVF centroid matrix) — the plan stays O(1) in the filter
   * size, and whole-stage codegen inlines the probe loop, so the
   * prefilter runs inside the scan's codegen stage with no shuffle.
+  *
+  * SIZE LIMIT: the reference object serializes into every task binary,
+  * so this form is for filters up to ~16 MB
+  * ([[graft.ext.Corpus]]'s `BloomBroadcastBytes` switch). GB-scale
+  * filters (10⁹ benchmark shingles at 10 bits/key ≈ 1.25 GB) must ride
+  * a proper torrent broadcast instead — [[BloomContainsBcast]] — or the
+  * driver re-serializes the full array per stage and every task
+  * deserializes its own copy.
   */
 case class BloomContains(child: Expression, words: Array[Long],
                          nBits: Int, k: Int) extends UnaryExpression {
@@ -140,25 +172,69 @@ case class BloomContains(child: Expression, words: Array[Long],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
-    nullSafeCodeGen(ctx, ev, a => {
-      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
-      val i = ctx.freshName("i"); val idx = ctx.freshName("idx")
-      val hit = ctx.freshName("hit")
-      s"""
-        long $h1 = graft.functions.Bloom.mix($a);
-        long $h2 = graft.functions.Bloom.mix2($a);
-        boolean $hit = true;
-        for (int $i = 0; $i < $k; $i++) {
-          int $idx = (int) ((($h1 + $i * $h2) & Long.MAX_VALUE) % ${nBits}L);
-          if (($wordsRef[$idx >>> 6] & (1L << ($idx & 63))) == 0L) {
-            $hit = false; break;
-          }
-        }
-        ${ev.value} = $hit;
-      """
-    })
+    nullSafeCodeGen(ctx, ev, a =>
+      BloomCodegen.probeLoop(ctx, ev, wordsRef, a, nBits, k))
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomContains =
     copy(child = newChild)
+}
+
+/** [[BloomContains]] with the word array riding an explicit
+  * `Broadcast[Array[Long]]` instead of the task binary — the GB-scale
+  * form: the array ships once per executor via the torrent broadcast
+  * (executors serve chunks to each other; the driver uploads once) and
+  * is dereferenced ONCE per task instance into a local `long[]`, so the
+  * probe loop itself is the same codegen as the literal form. Results
+  * are identical by construction (same mix/probe sequence over the same
+  * words).
+  */
+case class BloomContainsBcast(child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    nBits: Int, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains_bcast"
+
+  @transient private lazy val words: Array[Long] = bcast.value
+
+  override def nullSafeEval(a: Any): Any =
+    Bloom.contains(words, nBits, k, a.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bloomBcast", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    // dereference once per task instance (generated-class init), not per row
+    val wordsVar = ctx.addMutableState("long[]", "bloomBcastWords",
+      v => s"$v = (long[]) $bRef.value();")
+    nullSafeCodeGen(ctx, ev, a =>
+      BloomCodegen.probeLoop(ctx, ev, wordsVar, a, nBits, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsBcast =
+    copy(child = newChild)
+}
+
+/** Driver-side handle registry that lets a live broadcast cross the
+  * temp-function boundary: [[VectorFunctions]] builders only receive
+  * foldable literals, so callers register the broadcast, pass the
+  * returned id as a literal, and the builder — which runs on the driver
+  * during analysis — resolves the handle back to the object. Entries
+  * live for the session (analysis may re-run per action); they hold
+  * only what the broadcast itself keeps alive anyway.
+  */
+object BloomBroadcasts {
+  private val reg = new java.util.concurrent.ConcurrentHashMap[
+    Long, org.apache.spark.broadcast.Broadcast[Array[Long]]]()
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def put(b: org.apache.spark.broadcast.Broadcast[Array[Long]]): Long = {
+    val id = ids.incrementAndGet(); reg.put(id, b); id
+  }
+  def get(id: Long): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val b = reg.get(id)
+    require(b != null, s"no registered bloom broadcast with id $id " +
+      "(register via BloomBroadcasts.put before building the column)")
+    b
+  }
 }

@@ -400,6 +400,17 @@ object VectorFunctions {
           s"(${words.length * 64} bits) — probe with the build-time nBits")
       BloomContains(exprs(0), words, nBits, intArg(exprs(3)))
     },
+    // the broadcast probe: arg 1 is a registry handle (the Broadcast
+    // itself can't ride a foldable literal), resolved on the driver
+    "bloom_contains_bcast" -> { exprs =>
+      val bcast = BloomBroadcasts.get(
+        exprs(1).eval(null).asInstanceOf[Number].longValue())
+      val nBits = intArg(exprs(2))
+      require(bcast.value.length == Bloom.nWords(nBits),
+        s"bloom_contains_bcast nBits $nBits does not match the filter " +
+          s"(${bcast.value.length * 64} bits) — probe with the build-time nBits")
+      BloomContainsBcast(exprs(0), bcast, nBits, intArg(exprs(3)))
+    },
     "pq_encode" -> (exprs => PqEncode(exprs(0), booksArg(exprs(1)))),
     "pq_codes" -> (exprs => PqCodes(exprs(0), booksArg(exprs(1)))),
     "pq_dist_table" -> (exprs => PqDistTable(exprs(0), booksArg(exprs(1)))),
@@ -476,6 +487,15 @@ object VectorFunctions {
   /** Column API for [[BloomContains]]: probe a prebuilt filter. */
   def bloomContains(h: Column, filter: Array[Byte], nBits: Int, k: Int): Column =
     call_function("bloom_contains", h, lit(filter), lit(nBits), lit(k))
+
+  /** Column API for [[BloomContainsBcast]]: probe a broadcast filter —
+    * the >16 MB form (see [[BloomContains]]'s size-limit note).
+    */
+  def bloomContainsBroadcast(h: Column,
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      nBits: Int, k: Int): Column =
+    call_function("bloom_contains_bcast", h,
+      lit(BloomBroadcasts.put(bcast)), lit(nBits), lit(k))
 
   /** Column API for [[KmvBottomK]] (aggregate; k must be a literal). */
   def kmvBottomK(h: Column, k: Int): Column =

@@ -195,7 +195,11 @@ class PlanSpec extends AnyFunSuite {
     // per operator: a side bypassing the cache would re-run the full
     // tokenize/hash/aggregate upstream over the corpus (and an eager
     // materialization would re-introduce the r3 cold-run extra pass)
-    for (name <- Seq("dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_srp")) {
+    // dedup_incremental and q_tfidf joined the policy in r5: the A-vs-B
+    // postings (tagged union) and the tf relation each materialize once
+    // and serve both consumers
+    for (name <- Seq("dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_srp",
+                     "dedup_incremental", "q_tfidf")) {
       spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sf)
       val rels = df.queryExecution.withCachedData.collect {
@@ -206,5 +210,27 @@ class PlanSpec extends AnyFunSuite {
         s"$name: join sides use different cache entries")
       spark.catalog.clearCache()
     }
+  }
+
+  test("q_decontam_bloom: returned plan reads only cached postings, never text") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // the operator's eager half (bloom filter build) runs at construction;
+    // the RETURNED job must consume the two materializations (pruned
+    // corpus postings + bench postings) and re-read no parquet — the
+    // r4 driver bench paid a full second tokenize pass here
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q_decontam_bloom")(spark, sf)
+    val cached = df.queryExecution.withCachedData
+    val rels = cached.collect { case r: InMemoryRelation => r }
+    assert(rels.length == 2,
+      s"expected pruned postings + bench postings on the cache:\n$cached")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      s"the verify join must not rescan text:\n$p")
+    // the bloom probe lives inside the cached pruned relation's build plan
+    val build = rels.map(_.cacheBuilder.cachedPlan.toString).mkString("\n")
+    assert(build.contains("bloom_contains"),
+      s"pruned postings must be built through the codegen'd probe:\n$build")
+    spark.catalog.clearCache()
   }
 }
