@@ -224,9 +224,24 @@ class PlanSpec extends AnyFunSuite {
     val rels = cached.collect { case r: InMemoryRelation => r }
     assert(rels.length == 2,
       s"expected pruned postings + bench postings on the cache:\n$cached")
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("FileScan parquet"),
-      s"the verify join must not rescan text:\n$p")
+    // structural, not string: executedPlan.toString prints each
+    // InMemoryRelation's cached BUILD plan too (which legitimately
+    // contains the text FileScan that populates the cache on first
+    // action), so grep would always fail. collect over the plan tree
+    // does NOT descend into an InMemoryTableScan's cached build plan —
+    // exactly the "what does the returned job itself read" question.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scansOf(plan: SparkPlan): Seq[SparkPlan] = plan.collect {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case m: InMemoryTableScanExec => Seq(m)
+    }.flatten
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(_.isInstanceOf[InMemoryTableScanExec]),
+      s"the verify join must read only cached relations, never text:\n" +
+        df.queryExecution.executedPlan)
     // the bloom probe lives inside the cached pruned relation's build plan
     val build = rels.map(_.cacheBuilder.cachedPlan.toString).mkString("\n")
     assert(build.contains("bloom_contains"),
