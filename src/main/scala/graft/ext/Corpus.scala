@@ -255,6 +255,18 @@ object Corpus {
     rankedTop(counts, k)
   }
 
+  /** Size switch for [[decontaminateBloom]]'s probe form: filters at or
+    * below this many bytes fold into the task binary as a literal
+    * ([[graft.functions.BloomContains]] — zero setup, but the driver
+    * re-serializes the array per stage and every task deserializes its
+    * own copy); larger filters ship once per executor via torrent
+    * broadcast ([[graft.functions.BloomContainsBcast]]). 16 MB keeps
+    * task binaries comfortably under Spark's ~1 GB task-size ceiling
+    * and the per-task deserialization cost negligible, while a 10⁹-key
+    * benchmark filter (~1.25 GB at 10 bits/key) rides the broadcast.
+    */
+  val BloomBroadcastBytes: Long = 16L << 20
+
   /** Bloom-accelerated decontamination — same RESULT as [[decontaminate]]
     * (bit-identical, which is how the oracle checks it), different scale
     * posture: the benchmark shingle set is first collapsed into a Bloom
@@ -276,10 +288,15 @@ object Corpus {
     * @param nBits filter width in bits — size for ~10 bits per distinct
     *              benchmark shingle; @param k probes per key (5 at 10
     *              bits/key ⇒ FPR < 1%)
+    * @param broadcastBytes filters above this many bytes ship via
+    *              torrent broadcast instead of the task binary
+    *              (default [[BloomBroadcastBytes]]; specs lower it to
+    *              exercise the broadcast path on small filters)
     */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int,
-                         nBits: Int = 1 << 22, k: Int = 5): DataFrame = {
+                         nBits: Int = 1 << 22, k: Int = 5,
+                         broadcastBytes: Long = BloomBroadcastBytes): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     // scanned twice (filter build + exact verify): materialize once
     val bench = Materialize.multiScan(
@@ -288,6 +305,23 @@ object Corpus {
     val filter = bench
       .agg(graft.functions.VectorFunctions.bloomAgg(col("sh64"), nBits, k))
       .head.getAs[Array[Byte]](0)
+    // the size switch the probe expressions document: a small filter
+    // rides the task binary as a foldable literal (BloomContains); a
+    // GB-scale one would be re-serialized per stage and deserialized
+    // per task that way, so above the threshold it ships ONCE per
+    // executor via torrent broadcast (BloomContainsBcast) — same probe
+    // loop, identical results by construction
+    val (probe, handle) =
+      if (filter.length <= broadcastBytes)
+        (graft.functions.VectorFunctions
+           .bloomContains(col("sh64"), filter, nBits, k), None)
+      else {
+        val bcast = corpus.sparkSession.sparkContext
+          .broadcast(graft.functions.Bloom.toWords(filter))
+        val h = graft.functions.BloomBroadcasts.put(bcast)
+        (graft.functions.VectorFunctions
+           .bloomContainsBroadcast(col("sh64"), h, nBits, k), Some(h))
+      }
     // probe + prune run INSIDE the corpus scan stage (one tokenize pass);
     // the surviving postings — true matches plus <1% false positives,
     // a sliver of the corpus — are materialized so a rerun of the
@@ -296,8 +330,11 @@ object Corpus {
     val pruned = Materialize.multiScan(
       Dedup.explodedShingles(corpus, idCol, textCol, n)
         .select(col("id"), xxhash64(col("shingle")).as("sh64"))
-        .filter(graft.functions.VectorFunctions
-          .bloomContains(col("sh64"), filter, nBits, k)))
+        .filter(probe))
+    // Dataset construction above analyzed the plan, resolving the handle
+    // into an embedded Broadcast reference — release the registry entry
+    // so the ContextCleaner can reclaim the filter once the plan dies
+    handle.foreach(graft.functions.BloomBroadcasts.remove)
     // exact verify removes the false positives; un-hinted join so the
     // planner broadcasts small benchmarks and shuffles the (pruned)
     // postings against genuinely huge ones

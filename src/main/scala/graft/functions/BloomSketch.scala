@@ -154,12 +154,13 @@ private[functions] object BloomCodegen {
   * prefilter runs inside the scan's codegen stage with no shuffle.
   *
   * SIZE LIMIT: the reference object serializes into every task binary,
-  * so this form is for filters up to ~16 MB
-  * ([[graft.ext.Corpus]]'s `BloomBroadcastBytes` switch). GB-scale
-  * filters (10⁹ benchmark shingles at 10 bits/key ≈ 1.25 GB) must ride
-  * a proper torrent broadcast instead — [[BloomContainsBcast]] — or the
-  * driver re-serializes the full array per stage and every task
-  * deserializes its own copy.
+  * so this form is for filters up to ~16 MB.
+  * [[graft.ext.Corpus.decontaminateBloom]] dispatches on
+  * [[graft.ext.Corpus.BloomBroadcastBytes]]: filters above the switch
+  * ride a proper torrent broadcast instead — [[BloomContainsBcast]] —
+  * because with a task-binary literal the driver re-serializes the full
+  * array per stage and every task deserializes its own copy (10⁹
+  * benchmark shingles at 10 bits/key ≈ 1.25 GB per task binary).
   */
 case class BloomContains(child: Expression, words: Array[Long],
                          nBits: Int, k: Int) extends UnaryExpression {
@@ -219,9 +220,16 @@ case class BloomContainsBcast(child: Expression,
   * temp-function boundary: [[VectorFunctions]] builders only receive
   * foldable literals, so callers register the broadcast, pass the
   * returned id as a literal, and the builder — which runs on the driver
-  * during analysis — resolves the handle back to the object. Entries
-  * live for the session (analysis may re-run per action); they hold
-  * only what the broadcast itself keeps alive anyway.
+  * during analysis — resolves the handle back to the object.
+  *
+  * LIFECYCLE: `put` → build the column → construct the consuming
+  * Dataset (Dataset creation eagerly analyzes, which resolves the
+  * handle and embeds the `Broadcast` object in the plan) → `remove`.
+  * A retained entry is a strong reference that defeats the
+  * `ContextCleaner`'s weak-reference broadcast cleanup — a GB-scale
+  * filter would stay pinned for the JVM lifetime — so callers MUST
+  * remove the handle once the plan holds the broadcast
+  * ([[graft.ext.Corpus.decontaminateBloom]] does).
   */
 object BloomBroadcasts {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
@@ -237,4 +245,9 @@ object BloomBroadcasts {
       "(register via BloomBroadcasts.put before building the column)")
     b
   }
+  /** Drop the handle so the broadcast's lifetime is the plan's, not the
+    * JVM's. Idempotent. */
+  def remove(id: Long): Unit = reg.remove(id)
+  /** Registry population — spec hook for leak assertions. */
+  private[graft] def size: Int = reg.size
 }

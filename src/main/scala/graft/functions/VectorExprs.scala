@@ -489,13 +489,17 @@ object VectorFunctions {
     call_function("bloom_contains", h, lit(filter), lit(nBits), lit(k))
 
   /** Column API for [[BloomContainsBcast]]: probe a broadcast filter —
-    * the >16 MB form (see [[BloomContains]]'s size-limit note).
+    * the >16 MB form (see [[BloomContains]]'s size-limit note). Takes a
+    * [[BloomBroadcasts]] handle rather than the `Broadcast` itself so
+    * the CALLER owns the registry entry's lifetime: `put` the broadcast,
+    * build the column, construct the consuming Dataset (analysis
+    * resolves the handle into the plan), then `remove` the handle —
+    * otherwise the registry pins the GB-scale filter for the JVM
+    * lifetime (see [[BloomBroadcasts]]'s lifecycle note).
     */
-  def bloomContainsBroadcast(h: Column,
-      bcast: org.apache.spark.broadcast.Broadcast[Array[Long]],
+  def bloomContainsBroadcast(h: Column, handle: Long,
       nBits: Int, k: Int): Column =
-    call_function("bloom_contains_bcast", h,
-      lit(BloomBroadcasts.put(bcast)), lit(nBits), lit(k))
+    call_function("bloom_contains_bcast", h, lit(handle), lit(nBits), lit(k))
 
   /** Column API for [[KmvBottomK]] (aggregate; k must be a literal). */
   def kmvBottomK(h: Column, k: Int): Column =

@@ -75,6 +75,65 @@ class BloomSpec extends AnyFunSuite {
       "a saturated prefilter must not change results, only lose pruning")
   }
 
+  test("broadcast probe == literal probe on a >=64 MB filter; registry released") {
+    import spark.implicits._
+    import graft.functions.BloomBroadcasts
+    VectorFunctions.register(spark)
+    // 2^29 bits = 64 MiB of words — the GB-scale form's shape, at the
+    // smallest size the switch would route to the broadcast path
+    val bigBits = 1 << 29
+    val members = (1L to 100000L).map(i => Bloom.mix(i * 31L + 5L))
+    val words = new Array[Long](Bloom.nWords(bigBits))
+    members.foreach(Bloom.add(words, bigBits, k, _))
+    val bytes = Bloom.toBytes(words)
+    assert(bytes.length >= (64 << 20))
+    val bcast = spark.sparkContext.broadcast(words)
+    val before = BloomBroadcasts.size
+    val handle = BloomBroadcasts.put(bcast)
+    val probes = members.take(2000) ++ (1L to 2000L).map(i => Bloom.mix(i - 999999L))
+    // both probe forms over the same rows: identical by construction
+    val df = probes.toDF("h").repartition(2)
+      .withColumn("lit_hit", VectorFunctions.bloomContains(col("h"), bytes, bigBits, k))
+      .withColumn("bc_hit", VectorFunctions.bloomContainsBroadcast(col("h"), handle, bigBits, k))
+    // Dataset construction analyzed the plan (handle resolved into an
+    // embedded Broadcast): the registry entry can be dropped BEFORE the
+    // action — the lifecycle decontaminateBloom relies on
+    BloomBroadcasts.remove(handle)
+    assert(BloomBroadcasts.size == before, "registry entry must be released")
+    val rows = df.select("h", "lit_hit", "bc_hit").collect()
+    assert(rows.length == probes.length)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"paths disagree on key ${r.getLong(0)}")
+    }
+    val memberSet = members.take(2000).toSet
+    rows.filter(r => memberSet(r.getLong(0))).foreach { r =>
+      assert(r.getBoolean(2), "broadcast probe lost a member (false negative)")
+    }
+    bcast.unpersist(blocking = true)
+  }
+
+  test("decontaminateBloom size switch: broadcast path gives identical results") {
+    import graft.functions.BloomBroadcasts
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaLiteral = rows(Corpus.decontaminateBloom(
+      corpus, bench, "doc_id", "text", n = 5, nBits = 1 << 18, k = 5))
+    // broadcastBytes = 0 forces every filter over the switch — the
+    // production dispatch for >16 MB filters, exercised end-to-end
+    val before = BloomBroadcasts.size
+    val viaBroadcast = rows(Corpus.decontaminateBloom(
+      corpus, bench, "doc_id", "text", n = 5, nBits = 1 << 18, k = 5,
+      broadcastBytes = 0L))
+    assert(viaBroadcast == viaLiteral)
+    assert(BloomBroadcasts.size == before,
+      "decontaminateBloom must release its registry handle")
+    spark.catalog.clearCache()
+  }
+
   test("probing with a different nBits than the build is rejected") {
     import spark.implicits._
     VectorFunctions.register(spark)
