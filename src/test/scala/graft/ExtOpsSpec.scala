@@ -240,6 +240,59 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(index == corpus, "index must track exactly the admitted docs")
   }
 
+  test("incremental-dedup streaming e2e: checkpoint restart, nothing re-admitted") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_incdedup_stream").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val ckpt = s"$root/ckpt"
+    val aText = "apple banana cherry dates elder fig grape honey ice jam kiwi lemon"
+    val bText = "wolf bear lynx otter moose raven heron crane stork finch robin wren"
+    val cText = "iron zinc gold lead tin silver nickel cobalt copper chrome neon argon"
+    val dText = "oak elm ash birch pine cedar maple willow alder rowan hazel beech"
+    val in = MemoryStream[(Long, String)]
+    // the production wiring: admitBatch as a foreachBatch body behind a
+    // real checkpoint — foreachBatch serializes ticks and replays only
+    // uncommitted batches after a restart
+    def start() = in.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        IncrementalDedup.admitBatch(batch, "doc_id", "text",
+          corpusDir, indexDir, maxDist = 3); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    in.addData((1L, aText), (2L, bText)) // batch: both admitted
+    q1.processAllAvailable()
+    in.addData((3L, aText), (4L, cText)) // 3 dups indexed 1; 4 admitted
+    q1.processAllAvailable()
+    q1.stop()
+    // restart FROM THE CHECKPOINT: the committed batches must not replay
+    val q2 = start()
+    in.addData((5L, bText), (6L, dText)) // 5 dups PRE-restart doc 2; 6 admitted
+    q2.processAllAvailable()
+    q2.stop()
+    val corpus = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 4L, 6L),
+      s"admitted set wrong after 3 ticks + restart: $corpus")
+    val index = spark.read.parquet(indexDir).select("id").as[Long].collect().toSet
+    assert(index == corpus, "index must track exactly the admitted docs")
+    // replay safety beyond the ledger: if a FAILED (uncommitted) batch is
+    // re-delivered by foreachBatch, every row's signature is already in
+    // the index at distance 0, so re-admission drops it — the dedup
+    // semantics themselves make the tick idempotent
+    val replay = IncrementalDedup.admitBatch(
+      Seq((1L, aText), (2L, bText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, maxDist = 3)
+    assert(replay == ((0L, 0L, 2L)), s"replayed batch must admit nothing: $replay")
+    assert(spark.read.parquet(corpusDir).count() == 4,
+      "replay must not append to the corpus")
+  }
+
   test("jaccard stop-shingle cap: subset of exact pairs, no-op when loose") {
     val docs = Tables.documents(spark, sf)
     def pairs(cap: Int) =
