@@ -165,35 +165,69 @@ object Dedup {
     * optional stop-shingle cap computed over the corpus side — the
     * side whose hot shingles dominate the join).
     *
+    * STEADY-STATE ROUTING: this operator re-tokenizes the corpus on
+    * every call — the right shape for a one-shot batch-vs-slice check
+    * (the oracle query) or an occasional exact audit, NOT for the
+    * per-batch admission loop of a continuous ingest pipeline. That
+    * loop should ride the stored-index family instead:
+    * [[minhashCandidatesAgainst]] joins each batch's bands against a
+    * signature index computed ONCE at admission (corpus text never
+    * re-read), and [[IncrementalDedup.admitBatch]] runs that loop
+    * end-to-end with exact [[jaccardAgainst]] verification restricted
+    * to the candidate pairs.
+    *
+    * @param cacheCorpus when true (default — the batch-vs-slice shape),
+    *        the single tagged-union postings relation (batch AND full
+    *        corpus) is materialized to executor memory/disk, so the
+    *        hot-shingle subquery and any rerun skip re-tokenizing. At
+    *        100 TB that cache is itself a cost center: pass false to
+    *        cache NOTHING — each side's postings stream straight from
+    *        its text scan into the join (batch scanned once; corpus
+    *        once, plus once more when `maxDocFreq` is dialed).
     * @return (batch_id, corpus_id, jacc)
     */
   def jaccardAgainst(batch: DataFrame, corpus: DataFrame,
                      idCol: String, textCol: String,
                      n: Int, tau: Double,
-                     maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // ONE tagged union tokenized in one pass and materialized ONCE
-    // (lazy cache, see [[Materialize]]): the batch and corpus postings
-    // are filters over the same cached 8-byte-hash relation, so neither
-    // the hot-shingle subquery nor a rerun of the operator (the stored-
-    // index steady state of an ingest loop) re-reads or re-tokenizes
-    // text. With two genuinely distinct inputs the union is still one
-    // scan of each; with two slices of the SAME table (the common
-    // batch-vs-admitted split) the text pipeline runs once, not twice.
-    val tagged = batch.select(col(idCol), col(textCol), lit(true).as("__is_batch"))
-      .unionByName(
-        corpus.select(col(idCol), col(textCol), lit(false).as("__is_batch")))
-    val sh = Materialize.multiScan(
-      Materialize.spread(tagged)
-        .select(col(idCol).as("id"), col("__is_batch"),
-          shingleUdf(col(textCol), lit(n)).as("shs"))
-        .select(col("id"), col("__is_batch"), size(col("shs")).as("m"),
-          explode(col("shs")).as("shingle"))
-        .select(col("id"), col("__is_batch"), col("m"),
-          xxhash64(col("shingle")).as("sh64")))
-    val a = sh.filter(col("__is_batch"))
-      .select(col("id").as("batch_id"), col("m").as("m_a"), col("sh64"))
-    val bAll = sh.filter(!col("__is_batch"))
-      .select(col("id").as("corpus_id"), col("m").as("m_b"), col("sh64"))
+                     maxDocFreq: Int = Int.MaxValue,
+                     cacheCorpus: Boolean = true): DataFrame = {
+    def postings(df: DataFrame, id: String, m: String): DataFrame =
+      Materialize.spread(df)
+        .select(col(idCol).as(id), shingleUdf(col(textCol), lit(n)).as("shs"))
+        .select(col(id), size(col("shs")).as(m), explode(col("shs")).as("shingle"))
+        .select(col(id), col(m), xxhash64(col("shingle")).as("sh64"))
+    val (a, bAll) = if (cacheCorpus) {
+      // ONE tagged union tokenized in one pass and materialized ONCE
+      // (lazy cache, see [[Materialize]]): the batch and corpus postings
+      // are filters over the same cached 8-byte-hash relation, so
+      // neither the hot-shingle subquery nor a rerun of the operator
+      // re-reads or re-tokenizes text. With two genuinely distinct
+      // inputs the union is still one scan of each; with two slices of
+      // the SAME table (the common batch-vs-admitted split) the text
+      // pipeline runs once, not twice.
+      val tagged = batch.select(col(idCol), col(textCol), lit(true).as("__is_batch"))
+        .unionByName(
+          corpus.select(col(idCol), col(textCol), lit(false).as("__is_batch")))
+      val sh = Materialize.multiScan(
+        Materialize.spread(tagged)
+          .select(col(idCol).as("id"), col("__is_batch"),
+            shingleUdf(col(textCol), lit(n)).as("shs"))
+          .select(col("id"), col("__is_batch"), size(col("shs")).as("m"),
+            explode(col("shs")).as("shingle"))
+          .select(col("id"), col("__is_batch"), col("m"),
+            xxhash64(col("shingle")).as("sh64")))
+      (sh.filter(col("__is_batch"))
+         .select(col("id").as("batch_id"), col("m").as("m_a"), col("sh64")),
+       sh.filter(!col("__is_batch"))
+         .select(col("id").as("corpus_id"), col("m").as("m_b"), col("sh64")))
+    } else {
+      // memory-bounded form: nothing is cached — each side is consumed
+      // exactly once by the join (the corpus side once more by the
+      // hot-shingle subquery when `maxDocFreq` is dialed), so postings
+      // stream from the text scans into the shuffle and no corpus-sized
+      // relation is ever held on executors
+      (postings(batch, "batch_id", "m_a"), postings(corpus, "corpus_id", "m_b"))
+    }
     val b = if (maxDocFreq == Int.MaxValue) bAll else {
       val hot = bAll.groupBy(col("sh64"))
         .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
@@ -307,14 +341,29 @@ object Dedup {
     * near-dup pipeline: pairs → clusters → keep one doc per cluster.
     * Iterative min-label propagation (each vertex takes the minimum label
     * among itself and its neighbors until fixpoint): per iteration one
-    * join + aggregate, O(diameter) iterations, `localCheckpoint` every
-    * round to keep lineage flat. Near-dup graphs have tiny diameters, so
-    * this converges in a handful of rounds at any corpus size.
+    * join + aggregate, O(diameter) iterations, checkpointed every round
+    * to keep lineage flat. Near-dup graphs have tiny diameters, so this
+    * converges in a handful of rounds at any corpus size.
+    *
+    * Checkpoint durability: by default each round is `localCheckpoint`
+    * (executor-local blocks — fast, but an executor lost mid-fixpoint
+    * loses its blocks AND the truncated lineage needed to recompute
+    * them, failing the job). On a real cluster pass `checkpointDir`
+    * (HDFS/S3) to write each round through the reliable `checkpoint`
+    * path instead: executor loss then costs a re-read of the last
+    * round's files, not the fixpoint. The driver fast path is unaffected
+    * (no executor state to lose).
     *
     * @return (id, cluster) where cluster = min id reachable from id
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          driverLimit: Long = 500000L): DataFrame = {
+                          driverLimit: Long = 500000L,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // eager in both modes: the loop needs the round materialized before
+    // the convergence probe anyway
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = Materialize.multiScan(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -358,9 +407,8 @@ object Dedup {
       return rows.toDF("id", "cluster")
     }
     // init ≡ iteration 1 (label = min(self, neighbors)) folded into one agg
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("cluster"))
-      .localCheckpoint()
+    var labels = ckpt(edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("cluster")))
     var iter = 1
     var done = false
     while (!done && iter < maxIter) {
@@ -368,16 +416,15 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
       // carry the shrank? flag through the checkpoint so convergence is a
       // scan of materialized partitions, not another join against `labels`
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = ckpt(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("shrank"))
-        .localCheckpoint()
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("shrank")))
       done = next.filter(col("shrank")).isEmpty
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
-    // the final labels are an (eagerly materialized) localCheckpoint —
+    // the final labels are an (eagerly materialized) checkpoint —
     // independent of edges, which can therefore be released (see above)
     edges.unpersist()
     labels

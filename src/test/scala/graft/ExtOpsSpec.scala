@@ -399,4 +399,53 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(viaDriver == expected)
     assert(viaLoop == expected)
   }
+
+  test("connected components: reliable-checkpoint mode writes rounds and agrees") {
+    import spark.implicits._
+    // executor loss mid-fixpoint with localCheckpoint loses both the
+    // blocks and the truncated lineage; the opt-in reliable path must
+    // produce the same labels while actually writing each round to the
+    // checkpoint dir
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    val out = Dedup.connectedComponents(pairs, driverLimit = 0L,
+      checkpointDir = Some(dir.toString)).as[(Long, Long)].collect().toMap
+    assert(out == expected)
+    // the rounds went through the reliable path: rdd-* checkpoint data
+    // exists under the dir (localCheckpoint writes nothing there)
+    val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+      .count(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(rddDirs > 0, s"no rdd-* checkpoint data under $dir")
+  }
+
+  test("jaccardAgainst cacheCorpus=false: same pairs, zero cached relations") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta eta"),
+      (12L, "totally unrelated words here")).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val df = Dedup.jaccardAgainst(batch, corpus, "doc_id", "text",
+      n = 2, tau = 0.5, cacheCorpus = false)
+    // the memory-bounded form holds no corpus-sized cache anywhere —
+    // postings stream from the text scans into the join
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val rels = df.queryExecution.withCachedData.collect {
+      case r: InMemoryRelation => r }
+    assert(rels.isEmpty, s"cacheCorpus=false must cache nothing, got ${rels.length}")
+    val out = df.select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val cached = Dedup.jaccardAgainst(batch, corpus, "doc_id", "text",
+      n = 2, tau = 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(out == cached, s"uncached form diverged: $out vs $cached")
+    spark.catalog.clearCache()
+  }
 }
