@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew measurement: what happens to the dedup family when
+  * the data is HOSTILE — web-corpus boilerplate (one shingle shared by
+  * 30% of documents) and a mega-cluster (30% of the corpus in ONE
+  * near-dup cluster) — and where the dial is that keeps wall-time flat.
+  *
+  * Complements [[ScaleBench]] (well-behaved corpora, scaling curves):
+  * here the INPUT SIZE is held per scale point and the adversarial
+  * structure is what varies the cost. Two demonstrations:
+  *
+  *  1. `jaccardPairs` hot-shingle blowup: a shingle present in c docs
+  *     contributes c² rows to the inverted-index self-join but at most
+  *     1 to any pair's intersection. With 30% boilerplate, un-dialed
+  *     cost grows ~(0.3n)² per hot shingle while TRUE output (planted
+  *     near-copies, disjoint from the boilerplate class) stays linear.
+  *     `maxDocFreq` drops those shingles at the index — wall-time
+  *     returns to the well-behaved curve, planted pairs all retained.
+  *
+  *  2. survivor selection on a mega-cluster: the argmax-via-
+  *     `max(struct(score,-id))` aggregate partial-merges below the
+  *     exchange, so one cluster holding 30% of the corpus ships ~1 row
+  *     per input partition. The naive window form
+  *     (`row_number() over (partition by cluster order by score)`)
+  *     funnels the whole mega-cluster through ONE task's sort — the
+  *     degradation the aggregate form exists to avoid.
+  *
+  * Run: `sbt "runMain graft.tools.SkewBench"` (optional arg: output
+  * root; `SCALE_POINTS` env as in ScaleBench, default `1,3`). Prints
+  * one markdown row per (operator, variant, scale): warm wall seconds
+  * and result rows.
+  */
+object SkewBench {
+
+  /** ~60-word docs over a 2k vocab, every 20th a near-copy of its
+    * predecessor (the TRUE pairs — ids ≡ 18,19 mod 20, disjoint from
+    * the boilerplate class below), and docs with id%10 < 3 (30%)
+    * carrying an identical 12-token boilerplate header — 10 hot
+    * 3-shingles, each in 0.3n documents. Boilerplate↔boilerplate
+    * Jaccard stays ≈ 0.09 (10 shared of ~106 union shingles), far
+    * under τ=0.25: the header adds JOIN ROWS, never true pairs.
+    */
+  def synthSkewDocs(spark: SparkSession, n: Long): DataFrame = {
+    val seed = when(col("id") % 20 === 19, col("id") - 1).otherwise(col("id"))
+    val body = transform(sequence(lit(0), lit(47)),
+      i => when(col("id") % 20 === 19 && i === 0,
+          concat(lit("mut"), col("id")))
+        .otherwise(concat(lit("w"), pmod(hash(seed, i), lit(2000)))))
+    val boiler = array((0 until 12).map(i => lit(s"bp$i")): _*)
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 10 < 3, concat(boiler, body)).otherwise(body))
+        .as("text"))
+  }
+
+  /** Mega-cluster assignment: 30% of ids in cluster 0, the rest
+    * singletons; deterministic hash scores. */
+  def synthClusters(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
+    val clusters = spark.range(n).select(col("id"),
+      when(col("id") % 10 < 3, lit(0L)).otherwise(col("id")).as("cluster"))
+    val scores = spark.range(n).select(col("id"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("score"))
+    (clusters, scores)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft-skew")
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors())))
+    val scales = sys.env.get("SCALE_POINTS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 3))
+    val baseDocs = 5000L
+
+    for (s <- scales)
+      synthSkewDocs(spark, baseDocs * s).write.mode("overwrite")
+        .parquet(s"$root/docs_x$s")
+    def docs(s: Int) = spark.read.parquet(s"$root/docs_x$s")
+
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "jaccardPairs un-dialed" -> (s => graft.ext.Dedup.jaccardPairs(
+        docs(s), "doc_id", "text", n = 3, tau = 0.25)),
+      "jaccardPairs maxDocFreq=100" -> (s => graft.ext.Dedup.jaccardPairs(
+        docs(s), "doc_id", "text", n = 3, tau = 0.25, maxDocFreq = 100)),
+      // ×400 the doc count: the mega-cluster must be millions of rows
+      // before a single task's sort visibly pays — 600k/1.8M members at
+      // the default points
+      "survivors argmax-agg" -> { s =>
+        val (clusters, scores) = synthClusters(spark, baseDocs * s * 400)
+        graft.ext.Dedup.survivors(clusters, scores)
+      },
+      "survivors naive window" -> { s =>
+        // the shape the aggregate form replaces: whole mega-cluster
+        // through one task's sort
+        val (clusters, scores) = synthClusters(spark, baseDocs * s * 400)
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("score").desc, col("id").asc)
+        clusters.join(scores, "id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      })
+
+    // warmup pass at the smallest scale
+    val warmScale = scales.min
+    for ((_, op) <- ops) { op(warmScale).count(); release() }
+
+    println("| operator | scale | input rows | cold s | warm s | out rows |")
+    println("|---|---|---|---|---|---|")
+    for ((name, op) <- ops; s <- scales) {
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = op(s).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (cold, rows) = run()
+      val warm = run()._1
+      release()
+      val inRows = baseDocs * s * (if (name.startsWith("survivors")) 400 else 1)
+      println(f"| $name | ${s}x | $inRows | $cold%.2f | $warm%.2f | $rows |")
+    }
+    spark.stop()
+  }
+}
