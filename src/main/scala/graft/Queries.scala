@@ -1663,6 +1663,40 @@ object Queries {
         FROM scored)
       SELECT doc_id, rank, token, score FROM ranked WHERE rank <= 5"""))
 
+  /** Okapi BM25 top-k retrieval for a bag-of-words query — per-(doc,
+    * term) contributions fixed-pointed to integer x10k before the
+    * per-doc sum, ranked on the total order (score desc, doc asc).
+    */
+  val qBm25 = Q("q_bm25",
+    (s, dir) => Corpus.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("hash", "join", "merge", "vector"), k = 20)
+      .select(col("id").as("doc_id"), col("score_x10k"), col("n_terms")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      stats AS (SELECT (SELECT count(*) FROM tok)::DOUBLE
+                         / (SELECT count(*) FROM documents) AS avgdl,
+                       (SELECT count(*) FROM documents) AS n_docs),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+             WHERE token IN ('hash', 'join', 'merge', 'vector')
+             GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+          CAST(floor(
+            ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            * (tf.tf * (1.2 + 1.0))
+            / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+            * 10000 + 0.5) AS BIGINT) AS contrib_x10k
+        FROM tf JOIN dfq d USING (token) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s)
+      SELECT doc_id, CAST(sum(contrib_x10k) AS BIGINT) AS score_x10k,
+             count(*) AS n_terms
+      FROM scored GROUP BY 1
+      ORDER BY score_x10k DESC, doc_id LIMIT 20"""))
+
   val qVocab = Q("q_vocab",
     (s, dir) => Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 100),
     Some("""WITH tok AS (
@@ -2412,7 +2446,7 @@ object Queries {
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
-    qTfidf, qVocab, qHeavyHitters, qLmSurprisal, qMixtureSample,
+    qTfidf, qBm25, qVocab, qHeavyHitters, qLmSurprisal, qMixtureSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,

@@ -56,6 +56,62 @@ object Corpus {
       .select(col("id"), col("rank"), col("token"), col("score"))
   }
 
+  /** BM25 relevance scoring: top-k documents for a bag-of-words query —
+    * the retrieval-ranking complement of [[tfidfTopK]] (and the lexical
+    * half of a hybrid lexical+vector pipeline; the vector half is
+    * [[Similarity]]). Okapi BM25 with the standard Robertson idf
+    * (`ln((N − df + ½)/(df + ½) + 1)`, always positive) and tf
+    * saturation/length normalization `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`.
+    *
+    * Scale shape: the query terms are a driver-side literal, so the
+    * `IN` prune folds into the corpus scan stage (codegen'd, before any
+    * shuffle) and the tf aggregate is docs×|terms| at most. Doc-length
+    * stats are a single-row scan-shaped aggregate over a narrow
+    * projection (no shuffle); df derives from the tf relation's rows
+    * (they ARE the distinct (doc, term) pairs — the [[tfidfTopK]]
+    * trick); top-k is a distributed TakeOrdered on a total order.
+    *
+    * Portability: each (doc, term) contribution is fixed-pointed to
+    * integer tenth-millipoints BEFORE the per-doc sum (the float-
+    * accumulation-order rule), so the score hash-matches any engine.
+    *
+    * @return (id, score_x10k, n_terms) — the k best documents by
+    *         (score desc, id asc)
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    // global length stats over ALL docs (including those matching no
+    // term — they still define avgdl): narrow projection + one-row agg
+    val stats = df.agg(
+      sum(size(toks(col(textCol)))).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    // one tokenize pass: dl rides the explode, the literal IN filter
+    // prunes to query-term postings inside the scan stage
+    val tf = Materialize.multiScan(
+      Materialize.spread(df)
+        .select(col(idCol).as("id"), toks(col(textCol)).as("toks"))
+        .select(col("id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib_x10k", floor(
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          * 10000 + 0.5).cast("long"))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib_x10k")).as("score_x10k"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_x10k").desc, col("id").asc).limit(k)
+  }
+
   /** Corpus vocabulary: the topN tokens by (frequency desc, token asc)
     * with their counts — the building block of BPE/vocab training runs.
     *

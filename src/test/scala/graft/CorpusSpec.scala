@@ -56,6 +56,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L) == "rare1" && out(2L) == "rare2" && out(3L) == "other")
   }
 
+  test("bm25TopK: tf saturation, length normalization, idf ordering") {
+    val docs = Seq(
+      (1L, "hash hash hash hash"),            // short, saturated tf on one term
+      (2L, "hash join"),                      // two distinct terms, shortest
+      (3L, "hash filler filler filler filler filler filler filler"), // long, tf=1
+      (4L, "filler filler")).toDF("doc_id", "text") // no match
+    val out = Corpus.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("hash", "join"), k = 10)
+      .select("id", "score_x10k", "n_terms").as[(Long, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 4 matches no query term and must not appear
+    assert(!byId.contains(4L) && out.length == 3)
+    // two distinct matching terms beat one saturated term: tf saturates
+    // at (k1+1) per term, so doc 2's two idf contributions outrank
+    // doc 1's single capped term
+    assert(byId(2L)._2 > byId(1L)._2)
+    assert(byId(2L)._3 == 2 && byId(1L)._3 == 1)
+    // same tf, longer doc scores lower (length normalization)
+    assert(byId(1L)._2 > byId(3L)._2)
+    // deterministic under re-evaluation
+    val again = Corpus.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("hash", "join"), k = 10)
+      .select("id", "score_x10k", "n_terms").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("vocabulary ranks by count desc then token asc") {
     val docs = Seq((1L, "b b a a c")).toDF("doc_id", "text")
     val out = Corpus.vocabulary(docs, "text", topN = 3)

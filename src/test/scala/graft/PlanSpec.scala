@@ -189,6 +189,18 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must be a distributed TakeOrdered, not a global sort:\n$p")
   }
 
+  test("q_bm25: term prune before the tf shuffle, distributed TakeOrdered cut") {
+    val p = planOf("q_bm25")
+    // the literal IN filter must run in the scan/explode stage (below
+    // the aggregate exchange), so only query-term postings shuffle
+    assert(p.contains("token#") && p.contains(" IN (hash,join,merge,vector)"),
+      s"query-term IN prune missing from the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a distributed TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "no map-side partial aggregation under the tf exchange")
+  }
+
   test("self-join inputs are cached once and read by BOTH sides (r4 materialization)") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     // the banded relations must resolve to ONE shared InMemoryRelation
