@@ -943,20 +943,9 @@ object Queries {
     * the oracle pins every byte of the reassembly.
     */
   val qDedupPassageRewrite = Q("dedup_passage_rewrite",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val marked = Dedup.passageDedup(docs, "doc_id", "text", passageTokens = 20)
-        .filter(col("keep")).select(col("id"), col("chunk_no"))
-      val chunks = Corpus.chunk(docs, "doc_id", "text", chunkSize = 20, overlap = 0)
-        .select(col("id"), col("chunk_no"), col("chunk_text"))
-      chunks.join(marked, Seq("id", "chunk_no"))
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_kept"),
-          md5(array_join(transform(
-            array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
-            x => x.getField("chunk_text")), " ")).as("clean_fp"))
-        .select(col("id").as("doc_id"), col("n_kept"), col("clean_fp"))
-    },
+    (s, dir) => Dedup.passageRewrite(t(s, dir, "documents"),
+        "doc_id", "text", passageTokens = 20)
+      .select(col("id").as("doc_id"), col("n_kept"), col("clean_fp")),
     Some("""WITH d AS (
         SELECT doc_id,
           string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks

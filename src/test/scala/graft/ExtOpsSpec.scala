@@ -367,6 +367,19 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out(3L -> 0) == ((4L, false)) && out(3L -> 1) == ((4L, false)))
     // unique passages all survive
     assert(out(1L -> 1) == ((1L, true)) && out(2L -> 1) == ((1L, true)))
+
+    // the rewrite reassembles each doc from its kept passages in chunk
+    // order; a doc whose every passage was dropped disappears entirely
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rw = Dedup.passageRewrite(df, "doc_id", "text", passageTokens = 4)
+      .select("id", "n_kept", "clean_fp")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rw(1L) == ((2L, md5hex(s"$boiler alpha beta gamma delta"))))
+    assert(rw(2L) == ((1L, md5hex("unique words entirely here"))))
+    assert(!rw.contains(3L), "doc with zero kept passages must vanish")
   }
 
   test("survivors: argmax score per cluster, min-id tie-break, drop accounting") {
