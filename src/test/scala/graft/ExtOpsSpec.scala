@@ -435,6 +435,39 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rddDirs > 0, s"no rdd-* checkpoint data under $dir")
   }
 
+  test("incremental-ANN loop: in-batch and cross-batch drops, cell-partitioned index") {
+    import spark.implicits._
+    import graft.ext.IncrementalAnn
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString + "/index"
+    // coarse cells = the four basis directions
+    val cents: Array[(Long, Array[Float])] = Array(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0f, 0f, 1f, 0f), 3L -> Array(0f, 0f, 0f, 1f))
+    def df(rows: (Long, Array[Float])*) =
+      rows.toSeq.toDF("vec_id", "embedding")
+    // tick 1: four distinct directions, empty index -> all admitted
+    val t1 = IncrementalAnn.admitBatch(
+      df(1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(0f, 1f, 0f, 0f),
+         3L -> Array(0f, 0f, 1f, 0f), 4L -> Array(0f, 0f, 0f, 1f)),
+      "vec_id", "embedding", dir, cents, tau = 0.95, nProbe = 2)
+    assert(t1 == ((4L, 0L, 0L)), s"tick1 $t1")
+    // the index landed partitioned by cell (one dir per coarse cell)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(cellDirs == Set("cell=0", "cell=1", "cell=2", "cell=3"), s"$cellDirs")
+    // tick 2: 10 near-dups indexed vector 1 (vs-index drop); 12 and 13
+    // are near each other (in-batch: 13 collapses into 12) AND near
+    // indexed vector 3 (so 12 also drops vs index); 11 is ~45 degrees
+    // from everything (cos ~= 0.707 < tau) and survives
+    val t2 = IncrementalAnn.admitBatch(
+      df(10L -> Array(0.99f, 0.01f, 0f, 0f), 11L -> Array(0.7f, 0.7f, 0f, 0f),
+         12L -> Array(0f, 0f, 0.99f, 0.01f), 13L -> Array(0f, 0f, 0.98f, 0.02f)),
+      "vec_id", "embedding", dir, cents, tau = 0.95, nProbe = 2)
+    assert(t2 == ((1L, 1L, 2L)), s"tick2 $t2")
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 11L), s"index holds $ids")
+  }
+
   test("jaccardAgainst cacheCorpus=false: same pairs, zero cached relations") {
     import spark.implicits._
     val corpus = Seq(
