@@ -110,6 +110,13 @@ object ScaleBench {
       "passageDedup" -> (s => graft.ext.Dedup.passageDedup(
         docs(s), "doc_id", "text", passageTokens = 20)
         .filter(!col("keep"))),
+      "passageRewrite" -> (s => graft.ext.Dedup.passageRewrite(
+        docs(s), "doc_id", "text", passageTokens = 20)),
+      // four mid-frequency vocab terms; output = top-50 per scale
+      // (constant), input postings pruned in-scan
+      "bm25TopK" -> (s => graft.ext.Corpus.bm25TopK(
+        docs(s), "doc_id", "text",
+        terms = Seq("w10", "w500", "w1000", "w1500"), k = 50)),
       "decontaminateBloom" -> (s => graft.ext.Corpus.decontaminateBloom(
         docs(s).filter(col("doc_id") % 97 =!= 0),
         docs(s).filter(col("doc_id") % 97 === 0),
