@@ -1711,6 +1711,20 @@ object Queries {
         CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 80
                     WHEN 'src2' THEN 30 WHEN 'src3' THEN 30 ELSE 10 END"""))
 
+  /** Weighted sampling without replacement (A-ES exponential keys over
+    * the portable hash): longer documents proportionally likelier, the
+    * exact sample certified by the oracle replaying the key formula.
+    */
+  val qWeightedSample = Q("q_weighted_sample",
+    (s, dir) => Corpus.weightedSample(t(s, dir, "documents"),
+        Seq("doc_id"), col("n_chars"), k = 50)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("sample_key")),
+    Some("""SELECT doc_id, source, n_chars,
+        CAST(floor(-ln((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1.0)
+          / 1152921504606846976.0) / n_chars * 1000000.0) AS BIGINT) AS sample_key
+      FROM documents WHERE n_chars > 0
+      ORDER BY sample_key, doc_id LIMIT 50"""))
+
   /** Unigram-LM surprisal scoring (the perplexity-filter shape). Fixed-
     * point integer surprisal per token before any unordered aggregate,
     * so the oracle hash-matches exactly.
@@ -2436,6 +2450,7 @@ object Queries {
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qVocab, qHeavyHitters, qLmSurprisal, qMixtureSample,
+    qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,

@@ -426,6 +426,39 @@ object Corpus {
     else pmod(xxhash64(key), lit(1L << 60))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    * Spirakis A-ES): every row draws an exponential arrival key
+    * `−ln(u)/w` from a portable-hash uniform `u ∈ (0,1]`, and the k
+    * SMALLEST keys win — inclusion odds proportional to weight, no
+    * replacement, no seed or partitioning dependence. The quality-
+    * weighted corpus-sampling primitive ("sample documents proportional
+    * to quality score") that [[hashSample]]'s uniform threshold can't
+    * express.
+    *
+    * Portability: the key is fixed-pointed to integer micro-units
+    * (`floor(−ln(u)/w · 10⁶)`) so the rank order — and therefore the
+    * exact sample — reproduces in any engine with md5 + ln (ties broken
+    * by the id columns identically everywhere). Top-k is a distributed
+    * TakeOrdered: per-partition k-heaps, no global sort. Nested by
+    * construction: the top-j (j < k) of the same keys is a subset of
+    * the top-k, so shrinking a sample never reshuffles it.
+    *
+    * @param weightCol strictly positive weight (rows with w ≤ 0 or null
+    *                  are dropped — zero weight means "never sample")
+    * @return the k sampled rows plus their `sample_key`
+    */
+  def weightedSample(df: DataFrame, keyCols: Seq[String], weightCol: Column,
+                     k: Int, portable: Boolean = true): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val u = (keyHash(keyCols, portable).cast("double") + 1.0) /
+      lit((1L << 60).toDouble)
+    val key = floor(-log(u) / weightCol * lit(1e6)).cast("long")
+    df.filter(weightCol > 0)
+      .withColumn("sample_key", key)
+      .orderBy((col("sample_key").asc +: keyCols.map(c => col(c).asc)): _*)
+      .limit(k)
+  }
+
   /** Deterministic mixture sampling — the data-MIXING step of a training
     * run: each stratum (source, language, quality band) keeps its own
     * target percentage of rows, reweighting the corpus toward the

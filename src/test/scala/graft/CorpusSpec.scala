@@ -124,6 +124,30 @@ class CorpusSpec extends AnyFunSuite {
       == Seq(20L, 20L, 20L))
   }
 
+  test("weightedSample: weight-proportional inclusion, deterministic, nested") {
+    // 100 heavy rows at weight 1000 vs 300 light rows at weight 1: the
+    // A-ES keys make heavy rows ~1000x likelier per slot, so the top-50
+    // is essentially all heavy
+    val df = (1L to 400L).map(i => (i, if (i <= 100) 1000L else 1L))
+      .toDF("id", "w")
+    def sample(k: Int) = Corpus.weightedSample(df, Seq("id"), col("w"), k)
+      .select("id").as[Long].collect()
+    val top50 = sample(50)
+    assert(top50.length == 50)
+    assert(top50.count(_ <= 100) >= 45,
+      s"heavy class underrepresented: ${top50.count(_ <= 100)}/50")
+    // deterministic (no seed, no partitioning dependence)
+    assert(sample(50).toSeq == top50.toSeq)
+    // nested: shrinking the sample never reshuffles it
+    assert(sample(10).toSet.subsetOf(top50.toSet))
+    // zero/negative weights can never be sampled
+    val withZero = df.withColumn("w",
+      when(col("id") <= 395, lit(0L)).otherwise(col("w")))
+    val z = Corpus.weightedSample(withZero, Seq("id"), col("w"), 50)
+      .select("id").as[Long].collect()
+    assert(z.length == 5 && z.forall(_ > 395))
+  }
+
   test("quotaSample returns exactly the quota per stratum, deterministically") {
     val df = spark.range(1000)
       .select((col("id") % 3).cast("string").as("g"), col("id"))
