@@ -201,6 +201,16 @@ class PlanSpec extends AnyFunSuite {
       "no map-side partial aggregation under the tf exchange")
   }
 
+  test("q_weighted_sample: pushed weight filter, no keyed shuffle, TakeOrdered") {
+    val p = planOf("q_weighted_sample")
+    assert(p.contains("GreaterThan(n_chars,0)"),
+      s"weight filter not pushed to the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must be a distributed TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a stateless sample must not shuffle on any key:\n$p")
+  }
+
   test("self-join inputs are cached once and read by BOTH sides (r4 materialization)") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     // the banded relations must resolve to ONE shared InMemoryRelation
