@@ -1749,6 +1749,35 @@ object Queries {
         CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
       FROM scored GROUP BY doc_id"""))
 
+  /** Bigram-LM surprisal: conditional −ln p(t2|t1) under the corpus's
+    * own bigram counts — context totals derived from the bigram counts,
+    * fixed-point before the per-doc sum, <2-token docs drop out.
+    */
+  val qLmBigram = Q("q_lm_bigram",
+    (s, dir) => Corpus.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        col("surprisal_x10k"), col("mean_surprisal_x10k")),
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, toks[g.i] AS t1, toks[g.i + 1] AS t2
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      c2 AS (SELECT t1, t2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT t1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      scored AS (
+        SELECT bg.doc_id,
+          CAST(floor(-ln(c2.c2::DOUBLE / c1.c1) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM bg JOIN c2 USING (t1, t2) JOIN c1 USING (t1))
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(nat10k) AS BIGINT) AS surprisal_x10k,
+        CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
+      FROM scored GROUP BY doc_id"""))
+
   /** Heavy hitters via the Misra-Gries candidate sketch + exact recount.
     * The oracle is the plain exact top-k SQL — a hash match proves the
     * sketch path changes nothing (fixture vocab 31 << capacity, so the
@@ -2449,8 +2478,8 @@ object Queries {
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
-    qTfidf, qBm25, qVocab, qHeavyHitters, qLmSurprisal, qMixtureSample,
-    qWeightedSample,
+    qTfidf, qBm25, qVocab, qHeavyHitters, qLmSurprisal, qLmBigram,
+    qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,

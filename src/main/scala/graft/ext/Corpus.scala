@@ -275,6 +275,48 @@ object Corpus {
         expr("surprisal_x10k div n_tok"))
   }
 
+  /** Self-trained BIGRAM-LM surprisal — one rung up the n-gram ladder
+    * from [[unigramSurprisal]] and the closer match to CCNet-style
+    * perplexity filtering: score each document by its mean conditional
+    * bigram surprisal −ln p(t₂|t₁) under the corpus's own bigram
+    * distribution, p(t₂|t₁) = c(t₁,t₂) / Σ_x c(t₁,x). Repetitive
+    * boilerplate (predictable continuations) scores LOW; shuffled or
+    * gibberish token streams score HIGH even when their unigrams look
+    * normal — the signal unigram surprisal can't see.
+    *
+    * Shape: bigrams come straight off each row's token array (adjacent
+    * pairs via a lambda over the bound array attribute — no window, no
+    * positional shuffle); the context totals derive from the bigram
+    * counts themselves (the [[tfidfTopK]] trick), so there is ONE
+    * unbounded aggregation, keyed by the bigram. The scoring join is
+    * un-hinted: vocabulary-sized bigram tables broadcast, web-scale
+    * ones shuffle on the 2-token key. Fixed-point surprisal before the
+    * unordered per-doc sum (the float-accumulation-order rule). Docs
+    * with fewer than two tokens have no bigrams and drop out.
+    *
+    * @return (id, n_bigrams, surprisal_x10k, mean_surprisal_x10k)
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // scanned by the count aggregate and the scoring join: materialize once
+    val bg = Materialize.multiScan(Materialize.spread(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("id"), explode(transform(sequence(lit(0), size(col("ts")) - 2),
+        i => struct(element_at(col("ts"), i + 1).as("t1"),
+          element_at(col("ts"), i + 2).as("t2")))).as("b"))
+      .select(col("id"), col("b.t1").as("t1"), col("b.t2").as("t2")))
+    val c2 = Materialize.multiScan(
+      bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2")))
+    val c1 = c2.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
+    bg.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
+      .withColumn("nat10k",
+        floor(-log(col("c2").cast("double") / col("c1")) * 10000 + 0.5)
+          .cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nat10k")).as("surprisal_x10k"))
+      .withColumn("mean_surprisal_x10k", expr("surprisal_x10k div n_bigrams"))
+  }
+
   /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +
     * exact recount — the heavy-hitters complement of [[vocabulary]].
     * `vocabulary`'s groupBy shuffles EVERY distinct token (fine for

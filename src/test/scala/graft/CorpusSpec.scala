@@ -45,6 +45,28 @@ class CorpusSpec extends AnyFunSuite {
       "the rare-token doc must carry higher mean surprisal")
   }
 
+  test("bigram surprisal: matches the conditional formula; repetition scores low") {
+    val docs = Seq(
+      (1L, "x x x x x"),     // one dominant bigram, repeated
+      (2L, "x y z x q"),     // rare continuations
+      (3L, "solo"),          // <2 tokens: no bigrams, must drop out
+      (4L, "")).toDF("doc_id", "text")
+    val out = Corpus.bigramSurprisal(docs, "doc_id", "text")
+      .select("id", "n_bigrams", "surprisal_x10k", "mean_surprisal_x10k")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // corpus bigrams: (x,x)=4, (x,y)=1, (y,z)=1, (z,x)=1, (x,q)=1
+    // contexts: x -> 6, y -> 1, z -> 1
+    def nat10k(p: Double): Long = math.floor(-math.log(p) * 10000 + 0.5).toLong
+    val d1 = 4 * nat10k(4.0 / 6)
+    val d2 = nat10k(1.0 / 6) + nat10k(1.0) + nat10k(1.0) + nat10k(1.0 / 6)
+    assert(out(1L) == ((4L, d1, d1 / 4)))
+    assert(out(2L) == ((4L, d2, d2 / 4)))
+    assert(out(1L)._3 < out(2L)._3,
+      "the repetitive doc must carry lower mean bigram surprisal")
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
