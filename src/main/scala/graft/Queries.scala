@@ -1664,8 +1664,11 @@ object Queries {
         SELECT doc_id, unnest(string_split(
           trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
         FROM documents),
-      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-      stats AS (SELECT (SELECT count(*) FROM tok)::DOUBLE
+      -- guard: string_split('') yields [''] where Spark's \S+ extract
+      -- yields []; without it an empty doc shifts avgdl corpus-wide
+      tokg AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tokg GROUP BY 1),
+      stats AS (SELECT (SELECT count(*) FROM tokg)::DOUBLE
                          / (SELECT count(*) FROM documents) AS avgdl,
                        (SELECT count(*) FROM documents) AS n_docs),
       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
@@ -1721,7 +1724,9 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_chars"), col("sample_key")),
     Some("""SELECT doc_id, source, n_chars,
         CAST(floor(-ln((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1.0)
-          / 1152921504606846976.0) / n_chars * 1000000.0) AS BIGINT) AS sample_key
+          / 1152921504606846976.0)
+          * (SELECT sum(n_chars)::DOUBLE / count(*) FROM documents WHERE n_chars > 0)
+          / n_chars * 1000000.0) AS BIGINT) AS sample_key
       FROM documents WHERE n_chars > 0
       ORDER BY sample_key, doc_id LIMIT 50"""))
 

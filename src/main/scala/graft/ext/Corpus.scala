@@ -477,13 +477,25 @@ object Corpus {
     * to quality score") that [[hashSample]]'s uniform threshold can't
     * express.
     *
-    * Portability: the key is fixed-pointed to integer micro-units
-    * (`floor(−ln(u)/w · 10⁶)`) so the rank order — and therefore the
-    * exact sample — reproduces in any engine with md5 + ln (ties broken
-    * by the id columns identically everywhere). Top-k is a distributed
-    * TakeOrdered: per-partition k-heaps, no global sort. Nested by
-    * construction: the top-j (j < k) of the same keys is a subset of
-    * the top-k, so shrinking a sample never reshuffles it.
+    * Portability: the key is fixed-pointed to integer micro-units so
+    * the rank order — and therefore the exact sample — reproduces in
+    * any engine with md5 + ln (ties broken by the id columns
+    * identically everywhere). Weights are normalized by their MEAN
+    * first (`floor(−ln(u)·w̄/w · 10⁶)`), so granularity is relative to
+    * the corpus's typical weight and the key survives any absolute
+    * scale (raw view counts, byte sizes): without the normalization, a
+    * weight ≥ 10⁶ would floor every key to 0 and the "sample" would
+    * silently degrade to lowest-id selection. Keys only saturate when
+    * the weight SPREAD itself exceeds ~10⁶ — rows that much heavier
+    * than the mean all key to 0 and tie-break by id, which is the
+    * correct degenerate answer (they would dominate any sample).
+    * Integer (or fixed-point) weights keep the mean exact: sums of
+    * integers below 2⁵³ are order-independent in doubles.
+    *
+    * Top-k is a distributed TakeOrdered: per-partition k-heaps, no
+    * global sort; the mean is one narrow single-row aggregate. Nested
+    * by construction: the top-j (j < k) of the same keys is a subset
+    * of the top-k, so shrinking a sample never reshuffles it.
     *
     * @param weightCol strictly positive weight (rows with w ≤ 0 or null
     *                  are dropped — zero weight means "never sample")
@@ -492,11 +504,15 @@ object Corpus {
   def weightedSample(df: DataFrame, keyCols: Seq[String], weightCol: Column,
                      k: Int, portable: Boolean = true): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
+    val pos = df.filter(weightCol > 0)
+    val stats = pos.agg(sum(weightCol).as("__sum_w"), count(lit(1)).as("__n_w"))
     val u = (keyHash(keyCols, portable).cast("double") + 1.0) /
       lit((1L << 60).toDouble)
-    val key = floor(-log(u) / weightCol * lit(1e6)).cast("long")
-    df.filter(weightCol > 0)
+    val key = floor(-log(u) * (col("__sum_w").cast("double") / col("__n_w"))
+      / weightCol * lit(1e6)).cast("long")
+    pos.crossJoin(broadcast(stats))
       .withColumn("sample_key", key)
+      .drop("__sum_w", "__n_w")
       .orderBy((col("sample_key").asc +: keyCols.map(c => col(c).asc)): _*)
       .limit(k)
   }

@@ -349,21 +349,41 @@ object Dedup {
     * (executor-local blocks — fast, but an executor lost mid-fixpoint
     * loses its blocks AND the truncated lineage needed to recompute
     * them, failing the job). On a real cluster pass `checkpointDir`
-    * (HDFS/S3) to write each round through the reliable `checkpoint`
-    * path instead: executor loss then costs a re-read of the last
-    * round's files, not the fixpoint. The driver fast path is unaffected
-    * (no executor state to lose).
+    * (HDFS/S3): each round is then written to `round_i` parquet under
+    * the dir and read back — same lineage truncation, but durable, so
+    * executor loss costs a file re-read instead of the fixpoint. The
+    * file lifecycle is managed here (NOT via `rdd.checkpoint`, which
+    * leaks one rdd-* directory per round unless the cleaner conf is
+    * flipped, re-computes each round to write it, and requires mutating
+    * the context-global checkpoint dir): at most TWO rounds of files
+    * exist at any moment — round i−1 is deleted once round i is on
+    * disk. The FINAL round's files back the returned DataFrame; delete
+    * the dir when done with the result. The driver fast path is
+    * unaffected (no executor state to lose).
     *
     * @return (id, cluster) where cluster = min id reachable from id
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           driverLimit: Long = 500000L,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val spark = pairs.sparkSession
     // eager in both modes: the loop needs the round materialized before
     // the convergence probe anyway
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var round = 0
+    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/round_$round")
+        val back = spark.read.parquet(s"$dir/round_$round")
+        if (round > 0) {
+          val prev = new org.apache.hadoop.fs.Path(s"$dir/round_${round - 1}")
+          prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(prev, true)
+        }
+        round += 1
+        back
+    }
     val edges = Materialize.multiScan(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

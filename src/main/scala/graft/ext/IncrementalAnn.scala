@@ -80,15 +80,22 @@ object IncrementalAnn {
     }
     val dropIds = Materialize.multiScan(
       inBatchDrops.unionByName(vsIndexDrops).distinct())
-    val admitted = probed.join(dropIds, Seq("id"), "left_anti")
-    val nAdmitted = n - dropIds.count()
+    // count ACTUAL admitted rows (not n minus drop ids): with
+    // non-unique batch ids the two differ, and the written rows are
+    // what the caller's accounting must track (IncrementalDedup's
+    // contract). The stored cell is the probe list's own best cell —
+    // cells are ordered best-first, so element 1 is the nearest
+    // centroid under the SAME (cosine desc, id asc) tie-break the
+    // lookup side uses; re-scoring with a separate argmax expression
+    // could file a tie differently than search probes it
+    val admitted = Materialize.multiScan(
+      probed.join(dropIds, Seq("id"), "left_anti")
+        .select(col("id"), col("emb"), element_at(col("cells"), 1).as("cell")))
+    val nAdmitted = admitted.count()
     if (nAdmitted > 0)
-      admitted
-        .select(col("id"), col("emb"),
-          fns.nearestCentroid(col("emb"), cents).as("cell"))
-        .write.partitionBy("cell").mode(SaveMode.Append).parquet(indexDir)
+      admitted.write.partitionBy("cell").mode(SaveMode.Append).parquet(indexDir)
     val nInBatch = inBatchDrops.count()
-    Seq(probed, dropIds).foreach(_.unpersist())
+    Seq(probed, dropIds, admitted).foreach(_.unpersist())
     (nAdmitted, nInBatch, n - nAdmitted - nInBatch)
   }
 

@@ -168,6 +168,14 @@ class CorpusSpec extends AnyFunSuite {
     val z = Corpus.weightedSample(withZero, Seq("id"), col("w"), 50)
       .select("id").as[Long].collect()
     assert(z.length == 5 && z.forall(_ > 395))
+    // mean normalization: the SAME relative weights at a 1e9 absolute
+    // scale must produce the SAME sample (pre-normalization, keys would
+    // all floor to 0 and the sample would collapse to lowest ids)
+    val big = df.withColumn("w", col("w") * 1000000000L)
+    val topBig = Corpus.weightedSample(big, Seq("id"), col("w"), 50)
+      .select("id").as[Long].collect()
+    assert(topBig.toSeq == top50.toSeq,
+      "absolute weight scale must not change the sample")
   }
 
   test("quotaSample returns exactly the quota per stratum, deterministically") {

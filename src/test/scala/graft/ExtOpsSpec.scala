@@ -464,22 +464,27 @@ class ExtOpsSpec extends AnyFunSuite {
     import spark.implicits._
     // executor loss mid-fixpoint with localCheckpoint loses both the
     // blocks and the truncated lineage; the opt-in reliable path must
-    // produce the same labels while actually writing each round to the
-    // checkpoint dir
-    import scala.jdk.CollectionConverters._
+    // produce the same labels while writing each round durably — and
+    // keep at most the final round's files (earlier rounds deleted as
+    // the loop advances, so a long ingest loop can't fill the fs)
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
       .toDF("id_a", "id_b")
     val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
-    val out = Dedup.connectedComponents(pairs, driverLimit = 0L,
-      checkpointDir = Some(dir.toString)).as[(Long, Long)].collect().toMap
+    val result = Dedup.connectedComponents(pairs, driverLimit = 0L,
+      checkpointDir = Some(dir.toString))
+    val out = result.as[(Long, Long)].collect().toMap
     assert(out == expected)
-    // the rounds went through the reliable path: rdd-* checkpoint data
-    // exists under the dir (localCheckpoint writes nothing there)
-    val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
-      .count(p => p.getFileName.toString.startsWith("rdd-"))
-    assert(rddDirs > 0, s"no rdd-* checkpoint data under $dir")
+    val roundDirs = new java.io.File(dir.toString).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("round_"))
+    assert(roundDirs.length == 1,
+      s"exactly the final round's files should remain, got ${roundDirs.toSeq}")
+    // the returned labels are backed by those durable files — a fresh
+    // read of the final round agrees
+    val reread = spark.read.parquet(s"$dir/${roundDirs.head}")
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(reread == expected)
   }
 
   test("incremental-ANN loop: in-batch and cross-batch drops, cell-partitioned index") {
