@@ -971,6 +971,33 @@ object Queries {
         md5(string_agg(chunk_text, ' ' ORDER BY chunk_no)) AS clean_fp
       FROM marked WHERE rn = 1 GROUP BY doc_id"""))
 
+  /** Char-level exact-substring duplicate spans (ExactSubstr family):
+    * 40-char windows at content-defined anchors ([[graft.ext.Dedup
+    * .substringDupSpans]]) — the alignment-free complement to the
+    * word-shingle passage dedup above. The oracle replays anchor
+    * selection (3-point char hash mod 8), window fingerprinting, and
+    * the distinct-doc cut verbatim. */
+  val qDedupSubstrings = Q("dedup_substrings",
+    (s, dir) => Dedup.substringDupSpans(t(s, dir, "documents"),
+      "doc_id", "text", winChars = 40, anchorMod = 8),
+    Some("""WITH d AS (
+        SELECT doc_id,
+          trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (
+        SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 40),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized),
+      anch AS (
+        SELECT doc_id, t, p FROM pos
+        WHERE (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+               + ascii(substr(t, p + 7, 1))) % 8 = 0),
+      wins AS (SELECT doc_id, md5(substr(t, p, 40)) AS fp FROM anch)
+      SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+             min(doc_id) AS first_doc
+      FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2"""))
+
   /** Clusters → survivor per cluster: the decision step of the dedup
     * pipeline. Score = token count; argmax with min-id tie-break, as a
     * map-side-collapsible aggregate (no per-cluster window).
@@ -2164,6 +2191,33 @@ object Queries {
     },
     None)
 
+  /** The k-means ASSIGNMENT step with a full oracle: `maxIter = 0` pins
+    * the centroids to the k lowest-id vectors (the same deterministic
+    * seeding q_kmeans's Lloyd loop starts from), so the
+    * nearest-centroid argmax — the piece every per-iteration aggregate
+    * and every IVF probe reuses — hash-checks in SQL. The float-centroid
+    * Lloyd path stays covered by q_kmeans (rows-only) + spec. */
+  val qKmeansAssign = Q("q_kmeans_assign",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.kmeans(e.select(col("vec_id").as("id"), col("embedding")),
+          k = 8, maxIter = 0)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+    },
+    Some("""WITH cents AS (
+        SELECT embedding AS cent, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, c.c,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            c.cent::DOUBLE[]) DESC,
+                     c.c ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      SELECT c AS cell, count(*) AS n, min(vec_id) AS min_id
+      FROM assign WHERE rn = 1 GROUP BY c"""))
+
   /** Point-in-time snapshot (time travel): the compacted state of the
     * keyed stream as of a cutoff — latest event per key among those at
     * or before T. The CDC read-side primitive for "what did the table
@@ -2233,6 +2287,46 @@ object Queries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n")),
     None)
+
+  /** Count-Min-sketch frequency estimates for the corpus's top-20 tokens,
+    * reported against the exact counts. The grid ([[graft.ext.Sketch
+    * .cmsCells]]) uses the portable md5 hash, so DuckDB rebuilds the
+    * identical cells and min-reads — the estimate itself is
+    * oracle-checked, not just bounded. Two tokenize passes (grid build +
+    * exact probe counts), the same audited trade as q_heavy_hitters:
+    * re-running the codegen'd tokenizer is cheaper and
+    * smaller-footprint than caching the exploded postings. */
+  val qCmsFreq = Q("q_cms_freq",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(TextOps.normalized(col("text"))))
+          .as("token"))
+      val probes = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token").asc)
+        .limit(20)
+      graft.ext.Sketch.cmsEstimate(toks, "token", probes, "token",
+        depth = 4, width = 512)
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS t
+        FROM documents),
+      cells AS (
+        SELECT d.d,
+          ('0x'||substr(md5(t || '#' || d.d),1,15))::BIGINT % 512 AS bucket,
+          count(*) AS c
+        FROM tok CROSS JOIN (SELECT unnest(generate_series(0,3)) AS d) d
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT t AS token, count(*) AS exact_n FROM tok GROUP BY 1
+        ORDER BY exact_n DESC, token ASC LIMIT 20)
+      SELECT e.token, e.exact_n, min(c.c) AS cms_n
+      FROM exact e
+      CROSS JOIN (SELECT unnest(generate_series(0,3)) AS d) d
+      JOIN cells c ON c.d = d.d
+        AND c.bucket = ('0x'||substr(md5(e.token || '#' || d.d),1,15))::BIGINT % 512
+      GROUP BY 1, 2"""))
 
   // ---------------------------------------------------------------------
   // Extension: multimodal column plumbing (decode stubbed — no codecs in
@@ -2478,17 +2572,18 @@ object Queries {
     qCorpusCuration,
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
-    qDedupPassageRewrite, qDedupSimhash,
+    qDedupPassageRewrite, qDedupSubstrings, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qVocab, qHeavyHitters, qLmSurprisal, qLmBigram,
     qMixtureSample, qWeightedSample,
-    qPiiScrub, qPiiFull, qQuantize, qHll, qKmv,
+    qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
+    qKmeansAssign,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep,
     qChunk, qPack, qDecontam, qDecontamBloom)

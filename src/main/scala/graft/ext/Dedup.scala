@@ -479,6 +479,50 @@ object Dedup {
         min(struct(col("id"), col("chunk_no"))).over(w))
   }
 
+  /** Char-level exact-substring duplicate spans — the distributed form
+    * of suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"). A global suffix array
+    * is inherently sequential to build; instead, fingerprint
+    * `winChars`-character windows starting at CONTENT-DEFINED anchor
+    * positions — every offset where a cheap 3-point char hash of the
+    * window head is ≡ 0 mod `anchorMod` — and report fingerprints
+    * occurring in ≥ 2 distinct documents. Content-defined anchors make
+    * detection alignment-free (the winnowing / CDC property): a span
+    * shared at DIFFERENT offsets in two documents anchors at the same
+    * in-span positions in both, which fixed-stride sampling only catches
+    * when the offsets happen to be congruent mod the stride. Spans whose
+    * interior contains no anchor can slip through — the standard CDC
+    * recall trade, dialed by `anchorMod`.
+    *
+    * Shape: anchor selection AND window fingerprinting run in ONE
+    * native byte pass per document ([[graft.functions.AnchorWindowMd5]]
+    * — the anchor hash samples bytes 1/4/8 of the window head,
+    * Gear-style), because every builtin formulation pays an O(p) UTF-8
+    * seek per position (`substr` walks from the string start) — the
+    * scan goes quadratic per document, measured ~5× slower at bench
+    * scale. ONE shuffle, on the 32-byte window fingerprint (expected
+    * ~n/anchorMod windows per document — document text itself never
+    * shuffles), with map-side partial counts collapsing repeated spans
+    * before the exchange. The distinct-doc count rides the same
+    * aggregation.
+    *
+    * @return (fp, n_docs, n_occ, first_doc) for spans seen in ≥ 2 docs
+    */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        winChars: Int = 40,
+                        anchorMod: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df
+      .select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
+      .select(col("id"), explode(graft.functions.VectorFunctions
+        .anchorWindowMd5(col("t"), winChars, anchorMod)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Passage-dedup REWRITE: reassemble each document from its KEPT
     * passages (canonical-first retention, deterministic chunk order) —
     * the cleaned corpus a training run would actually read, fingerprinted

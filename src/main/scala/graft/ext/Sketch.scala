@@ -51,4 +51,59 @@ object Sketch {
             element_at(col("bk"), k)).cast("long"))
           .cast("long").as("est_distinct")): _*)
   }
+
+  /** Portable Count-Min sketch grid over an item column: `depth` hash
+    * rows × `width` counters, row i addressing each item by the portable
+    * 60-bit md5 hash of `item + "#" + i` mod width. A point query reads
+    * one cell per row and takes the minimum ([[cmsEstimate]]) — always
+    * ≥ the true count, overshooting by more than 2N/width with
+    * probability at most 2^-depth (Cormode & Muthukrishnan 2005).
+    *
+    * Scale shape: the grid is an ordinary (row, bucket) count aggregate,
+    * so map-side partials bound the shuffle at partitions × depth × width
+    * rows no matter how many distinct items exist (the frequency cousin
+    * of [[kmvDistinct]]'s bounded buffer), and grids built over disjoint
+    * slices merge by cell-wise addition — the property that lets a
+    * per-day / per-partition build compose into the corpus sketch. Every
+    * cell is a deterministic function of the md5 hash, so any engine
+    * reproduces the identical grid.
+    *
+    * @return (d: int, bucket: long, c: long) — only touched cells appear;
+    *         absent cells are zero
+    */
+  def cmsCells(items: DataFrame, itemCol: String, depth: Int,
+               width: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(items.sparkSession)
+    items
+      .select(col(itemCol).cast("string").as("__it"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), cmsBucket(col("__it"), col("d"), width).as("bucket"))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  private def cmsBucket(item: org.apache.spark.sql.Column,
+                        d: org.apache.spark.sql.Column, width: Int) =
+    pmod(TextOps.portableHash(concat(item, lit("#"), d.cast("string"))),
+      lit(width.toLong))
+
+  /** CMS point estimates: for each probe row, est = min over the grid's
+    * depth rows of the addressed cell. The grid (≤ depth × width rows
+    * after aggregation — a few KB at any corpus scale) broadcasts, so
+    * probing is a map-side join: no shuffle touches the probe relation.
+    *
+    * @return probes' columns + (cms_n: long)
+    */
+  def cmsEstimate(items: DataFrame, itemCol: String, probes: DataFrame,
+                  probeCol: String, depth: Int, width: Int): DataFrame = {
+    val cells = cmsCells(items, itemCol, depth, width)
+    val keep = probes.columns.map(col)
+    probes
+      .select(keep :+ explode(sequence(lit(0), lit(depth - 1))).as("d"): _*)
+      .withColumn("bucket",
+        cmsBucket(col(probeCol).cast("string"), col("d"), width))
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy(keep: _*)
+      .agg(min(col("c")).as("cms_n"))
+  }
 }

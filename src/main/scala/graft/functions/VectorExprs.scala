@@ -307,6 +307,66 @@ object Md5Prefix {
   }
 }
 
+/** Content-defined anchor window fingerprints in ONE pass over the
+  * input bytes — the hot inner loop of
+  * [[graft.ext.Dedup.substringDupSpans]]. For every byte offset i where
+  * `(b[i]·4 + b[i+3]·2 + b[i+7]) mod anchorMod == 0` (a Gear-style
+  * 3-point content hash), emits the md5 hex of the `winBytes`-byte
+  * window starting at i. Byte-oriented: on ASCII text, byte offsets
+  * equal char offsets, so the decision replays in any engine via
+  * `ascii(substr(...))`; non-ASCII bytes still anchor deterministically
+  * but char-based replays diverge (normalize or transliterate first).
+  *
+  * Exists because the builtin formulation — explode positions, filter,
+  * `md5(substr(t, p, w))` — pays an O(p) UTF-8 seek per position
+  * (`UTF8String.substring` walks from the start), turning the scan
+  * quadratic per document; this loop is O(n · density) with zero
+  * per-position allocation. Measured ~5× on the sf0.1 corpus.
+  */
+case class AnchorWindowMd5(child: Expression, winBytes: Int, anchorMod: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(winBytes >= 8, "window must cover the 8-byte anchor head")
+  require(anchorMod > 0, "anchorMod must be positive")
+
+  // input must be binary — the Column API casts (string→binary is the
+  // UTF-8 bytes)
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "anchor_window_md5"
+
+  override def nullSafeEval(a: Any): Any =
+    AnchorWindowMd5.compute(a.asInstanceOf[Array[Byte]], winBytes, anchorMod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AnchorWindowMd5.compute($c, $winBytes, $anchorMod)")
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorWindowMd5 =
+    copy(child = newChild)
+}
+
+object AnchorWindowMd5 {
+  def compute(bytes: Array[Byte], win: Int, mod: Int): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.unsafe.types.UTF8String]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    val last = bytes.length - win
+    while (i <= last) {
+      if (((bytes(i) & 0xff) * 4 + (bytes(i + 3) & 0xff) * 2 +
+          (bytes(i + 7) & 0xff)) % mod == 0) {
+        md.reset()
+        md.update(bytes, i, win)
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(
+          org.apache.commons.codec.binary.Hex.encodeHexString(md.digest()))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Unicode NFC canonicalization — the normalization pass BEFORE any
   * fingerprint/dedup hash at corpus scale: composed "é" (U+00E9) and
   * decomposed "e"+U+0301 render identically but hash differently, so
@@ -384,6 +444,8 @@ object VectorFunctions {
     "freq_sketch" -> (exprs => FreqSketch(exprs(0), intArg(exprs(1)))),
     "vec_sum_count" -> (exprs => VecSumCount(exprs(0), intArg(exprs(1)))),
     "md5_prefix" -> (exprs => Md5Prefix(exprs(0), intArg(exprs(1)))),
+    "anchor_window_md5" -> (exprs =>
+      AnchorWindowMd5(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
     "bloom_agg" -> (exprs =>
       BloomAgg(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
@@ -460,6 +522,11 @@ object VectorFunctions {
   /** Column API for [[Md5Prefix]]: first `nibbles` md5 hex chars as long. */
   def md5Prefix(c: Column, nibbles: Int): Column =
     call_function("md5_prefix", c.cast("binary"), lit(nibbles))
+
+  /** Column API for [[AnchorWindowMd5]]: anchored window fingerprints. */
+  def anchorWindowMd5(text: Column, winBytes: Int, anchorMod: Int): Column =
+    call_function("anchor_window_md5", text.cast("binary"),
+      lit(winBytes), lit(anchorMod))
 
   private def booksLit(books: Array[Array[Array[Float]]]): Column =
     typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)

@@ -546,4 +546,49 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out == cached, s"uncached form diverged: $out vs $cached")
     spark.catalog.clearCache()
   }
+
+  test("substring dup spans: alignment-free detection, sub-window spans unseen") {
+    import spark.implicits._
+    // the shared 60-char span sits at DIFFERENT offsets in docs 1 and 2:
+    // fixed-stride sampling at stride s only matches when the offset
+    // delta ≡ 0 mod s; content-defined anchors must catch it regardless
+    val span = "the exact same sixty character long span of text appears here"
+    val df = Seq(
+      (1L, s"prefix one $span and then doc one trails off differently"),
+      (2L, s"a much longer and differently sized prefix two $span tail"),
+      (3L, "entirely unrelated content with no shared spans at all in it " +
+        "padded to clear the window length floor")).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(df, "doc_id", "text",
+        winChars = 40, anchorMod = 4)
+      .select("fp", "n_docs", "n_occ", "first_doc")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "shared span at misaligned offsets must be found")
+    assert(out.forall(r => r._2 == 2L && r._4 == 1L),
+      s"every dup span is shared by docs 1+2 with first_doc=1: ${out.toSeq}")
+    // doc 3 shares nothing: no fingerprint may involve it — implied by
+    // n_docs==2 ∧ first_doc==1 above plus this pair-level recheck
+    val withDoc3 = Dedup.substringDupSpans(
+      df.filter(col("doc_id") =!= 2L), "doc_id", "text",
+      winChars = 40, anchorMod = 4).count()
+    assert(withDoc3 == 0L, "docs 1 and 3 share no 40-char span")
+  }
+
+  test("cms: estimates always >= exact, equal when the grid is collision-free") {
+    import spark.implicits._
+    val items = Seq.tabulate(600)(i => s"tok${i % 30}").toDF("item")
+    val exact = items.groupBy(col("item")).agg(count(lit(1)).as("exact_n"))
+    // wide grid: 30 distinct items over 4x512 cells — no collisions, so
+    // every estimate equals the exact count
+    val wide = graft.ext.Sketch.cmsEstimate(items, "item", exact, "item",
+        depth = 4, width = 512)
+      .select("item", "exact_n", "cms_n").as[(String, Long, Long)].collect()
+    assert(wide.length == 30 && wide.forall(r => r._3 == r._2), wide.toSeq)
+    // tiny grid: 30 items into 4x4 cells — collisions guaranteed; the
+    // CMS one-sided error bound (est >= exact, never under) must hold
+    val tiny = graft.ext.Sketch.cmsEstimate(items, "item", exact, "item",
+        depth = 4, width = 4)
+      .select("exact_n", "cms_n").as[(Long, Long)].collect()
+    assert(tiny.forall(r => r._2 >= r._1), tiny.toSeq)
+    assert(tiny.exists(r => r._2 > r._1), "4x4 over 30 items must collide")
+  }
 }
