@@ -500,11 +500,11 @@ object Dedup {
     * Gear-style), because every builtin formulation pays an O(p) UTF-8
     * seek per position (`substr` walks from the string start) — the
     * scan goes quadratic per document, measured ~5× slower at bench
-    * scale. ONE shuffle, on the 32-byte window fingerprint (expected
-    * ~n/anchorMod windows per document — document text itself never
-    * shuffles), with map-side partial counts collapsing repeated spans
-    * before the exchange. The distinct-doc count rides the same
-    * aggregation.
+    * scale. Shuffles carry only (fingerprint, doc id) pairs — expected
+    * ~n/anchorMod windows per document, document text itself never
+    * shuffles — through the standard two-stage distinct-count shape:
+    * partial (fp, id) collapse before the first exchange, fp-final
+    * after the second, both map-side-partial.
     *
     * @return (fp, n_docs, n_occ, first_doc) for spans seen in ≥ 2 docs
     */

@@ -117,6 +117,21 @@ object ScaleBench {
       "bm25TopK" -> (s => graft.ext.Corpus.bm25TopK(
         docs(s), "doc_id", "text",
         terms = Seq("w10", "w500", "w1000", "w1500"), k = 50)),
+      // planted near-copies share the whole normalized char tail past
+      // the mutated head token, so true dup-span count grows linearly
+      "substringDupSpans" -> (s => graft.ext.Dedup.substringDupSpans(
+        docs(s), "doc_id", "text", winChars = 40, anchorMod = 8)),
+      // grid is O(depth*width) after partial agg regardless of n;
+      // probes = the 20 hottest tokens, the bench query's shape
+      "cmsEstimate" -> { s =>
+        val toks = docs(s).select(explode(graft.ext.TextOps.tokens(
+          graft.ext.TextOps.normalized(col("text")))).as("token"))
+        val probes = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("token").asc).limit(20)
+        graft.ext.Sketch.cmsEstimate(toks, "token", probes, "token",
+          depth = 4, width = 512)
+      },
       "decontaminateBloom" -> (s => graft.ext.Corpus.decontaminateBloom(
         docs(s).filter(col("doc_id") % 97 =!= 0),
         docs(s).filter(col("doc_id") % 97 === 0),

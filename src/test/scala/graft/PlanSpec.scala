@@ -270,4 +270,27 @@ class PlanSpec extends AnyFunSuite {
       s"pruned postings must be built through the codegen'd probe:\n$build")
     spark.catalog.clearCache()
   }
+
+  test("dedup_substrings: native one-pass anchor scan, digest-only shuffles") {
+    val p = planOf("dedup_substrings")
+    assert(p.contains("anchor_window_md5"),
+      s"native anchor expression not in plan:\n$p")
+    // no per-position explode survives — the Generate emits finished
+    // fingerprints, so every exchange carries (fp, id) pairs, never text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 2, // the standard two-stage distinct-count shape
+      s"expected (fp,id)-partial + fp-final exchanges, got ${exchanges.size}:\n$p")
+    assert(exchanges.forall(!_.contains("t#")), s"text crosses a shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q_cms_freq: grid broadcasts to the probe join; grid agg is partial-merged") {
+    val p = planOf("q_cms_freq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d*w cell grid must broadcast, not shuffle the probes:\n$p")
+    assert(p.contains("partial_count"),
+      s"grid cells must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere in the sketch:\n$p")
+  }
 }

@@ -95,4 +95,30 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(streamed == batch,
       s"session-window stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
+
+  test("cms grid: incremental micro-batches == one batch (cell-wise additive)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the merge property that lets a per-day/per-slice CMS build compose
+    // into the corpus sketch: the grid aggregate is an ordinary count,
+    // so streaming state IS the running cell-wise sum
+    val items = (1 to 300).map(i => s"tok${i % 23}")
+    val batch = graft.ext.Sketch
+      .cmsCells(items.toDF("item"), "item", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+
+    val in = MemoryStream[String]
+    val q = graft.ext.Sketch
+      .cmsCells(in.toDF().withColumnRenamed("value", "item"), "item",
+        depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms_parity")
+      .outputMode(OutputMode.Complete).start()
+    items.grouped(100).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("cms_parity")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"cms grid stream/batch divergence:\n stream=$streamed\n batch=$batch")
+  }
 }
