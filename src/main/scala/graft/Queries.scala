@@ -998,6 +998,64 @@ object Queries {
              min(doc_id) AS first_doc
       FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2"""))
 
+  /** Per-document duplicated-span coverage — ExactSubstr's decision
+    * step: fraction of each document covered by corpus-repeated 40-char
+    * spans, as the interval union of its duplicated windows
+    * (gaps-and-islands; overlaps never double-count). The oracle
+    * replays anchors, occurrence counts, the island pass, and the
+    * basis-point policy cut verbatim. */
+  val qDedupSubstrCoverage = Q("dedup_substr_coverage",
+    (s, dir) => Dedup.substringDupCoverage(t(s, dir, "documents"),
+      "doc_id", "text", winChars = 40, anchorMod = 8, dropAtBp = 5000),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (
+        SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 40),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized),
+      anch AS (
+        SELECT doc_id, t, p FROM pos
+        WHERE (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+               + ascii(substr(t, p + 7, 1))) % 8 = 0),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM anch),
+      occ AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS n_occ
+        FROM wins),
+      dup AS (SELECT doc_id, p FROM occ WHERE n_occ >= 2),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e, count(*) AS n_win
+        FROM isl GROUP BY 1, 2),
+      cov AS (
+        SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_chars,
+               CAST(sum(n_win) AS BIGINT) AS n_dup_windows
+        FROM spans GROUP BY 1),
+      base AS (
+        SELECT doc_id,
+          length(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS n_chars
+        FROM documents)
+      SELECT b.doc_id AS id, CAST(b.n_chars AS BIGINT) AS n_chars,
+        coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+        coalesce(c.covered_chars, 0) AS covered_chars,
+        CASE WHEN b.n_chars > 0
+          THEN (coalesce(c.covered_chars, 0) * 10000) // b.n_chars
+          ELSE 0 END AS cov_bp,
+        (CASE WHEN b.n_chars > 0
+          THEN (coalesce(c.covered_chars, 0) * 10000) // b.n_chars
+          ELSE 0 END) >= 5000 AS "drop"
+      FROM base b LEFT JOIN cov c USING (doc_id)"""))
+
   /** Clusters → survivor per cluster: the decision step of the dedup
     * pipeline. Score = token count; argmax with min-id tie-break, as a
     * map-side-collapsible aggregate (no per-cluster window).
@@ -2572,7 +2630,7 @@ object Queries {
     qCorpusCuration,
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
-    qDedupPassageRewrite, qDedupSubstrings, qDedupSimhash,
+    qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,

@@ -511,16 +511,78 @@ object Dedup {
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
                         winChars: Int = 40,
                         anchorMod: Int = 8): DataFrame = {
-    graft.functions.VectorFunctions.register(df.sparkSession)
-    df
-      .select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
-      .select(col("id"), explode(graft.functions.VectorFunctions
-        .anchorWindowMd5(col("t"), winChars, anchorMod)).as("fp"))
+    anchorWins(df, idCol, textCol, winChars, anchorMod)
       .groupBy(col("fp"))
       .agg(countDistinct(col("id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
         min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
+  }
+
+  /** (id, p, fp) anchored-window relation shared by the substring ops. */
+  private def anchorWins(df: DataFrame, idCol: String, textCol: String,
+                         winChars: Int, anchorMod: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
+      .select(col("id"), explode(graft.functions.VectorFunctions
+        .anchorWindows(col("t"), winChars, anchorMod)).as("w"))
+      .select(col("id"), col("w.p").as("p"), col("w.fp").as("fp"))
+  }
+
+  /** Per-document duplicated-span COVERAGE — the decision step of
+    * ExactSubstr dedup: how much of each document is covered by spans
+    * that repeat ANYWHERE in the corpus (other documents or the same
+    * one)? Lee et al. cut the repeated spans out; at pipeline scale the
+    * per-document score — covered chars / total chars — is what feeds
+    * the keep/drop/rewrite policy, and a document dominated by repeated
+    * material (mirrors, quote farms, licence boilerplate) scores near
+    * 10000 bp regardless of its exact-dedup fingerprint being unique.
+    *
+    * Overlapping duplicated windows must not double-count, so coverage
+    * is the INTERVAL UNION of the [p, p+win) windows: per document,
+    * order dup windows by start, open a new island when p clears the
+    * running max end ([[gaps-and-islands]], rows-frame running max —
+    * every step integer-exact and engine-portable). Shape: window
+    * occurrence counts ride one fp-keyed shuffle (counts collapse
+    * map-side); the island pass is windows partitioned BY DOCUMENT —
+    * parallelism scales with document count, no global sort anywhere;
+    * docs with no duplicated span keep coverage 0 via the left join.
+    *
+    * @return (id, n_chars, n_dup_windows, covered_chars, cov_bp, drop)
+    */
+  def substringDupCoverage(df: DataFrame, idCol: String, textCol: String,
+                           winChars: Int = 40, anchorMod: Int = 8,
+                           dropAtBp: Int = 5000): DataFrame = {
+    val wins = anchorWins(df, idCol, textCol, winChars, anchorMod)
+    val wOcc = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val dup = wins
+      .withColumn("n_occ", count(lit(1)).over(wOcc))
+      .filter(col("n_occ") >= 2)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p"))
+    val prevEnd = max(col("p") + winChars).over(
+      byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("new_isl",
+        when(col("p") > coalesce(prevEnd, lit(-1)), lit(1)).otherwise(lit(0)))
+      .withColumn("isl_id", sum(col("new_isl")).over(byDoc))
+      .groupBy(col("id"), col("isl_id"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + winChars).as("e"),
+        count(lit(1)).as("n_win"))
+    val cov = islands.groupBy(col("id"))
+      .agg(sum(col("e") - col("s")).as("covered_chars"),
+        sum(col("n_win")).as("n_dup_windows"))
+    df.select(col(idCol).as("id"),
+        length(TextOps.normalized(col(textCol))).as("n_chars"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        when(col("n_chars") > 0,
+          floor(coalesce(col("covered_chars"), lit(0L)) * 10000 / col("n_chars")))
+          .otherwise(lit(0)).cast("long").as("cov_bp"))
+      .withColumn("drop", col("cov_bp") >= dropAtBp)
   }
 
   /** Passage-dedup REWRITE: reassemble each document from its KEPT

@@ -332,8 +332,13 @@ case class AnchorWindowMd5(child: Expression, winBytes: Int, anchorMod: Int)
   // input must be binary — the Column API casts (string→binary is the
   // UTF-8 bytes)
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
-    org.apache.spark.sql.types.StringType, containsNull = false)
-  override def prettyName: String = "anchor_window_md5"
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "anchor_windows"
 
   override def nullSafeEval(a: Any): Any =
     AnchorWindowMd5.compute(a.asInstanceOf[Array[Byte]], winBytes, anchorMod)
@@ -347,9 +352,11 @@ case class AnchorWindowMd5(child: Expression, winBytes: Int, anchorMod: Int)
 }
 
 object AnchorWindowMd5 {
+  /** Array of (p, fp) structs — p is the 1-based BYTE offset (== char
+    * offset on ASCII), fp the window's md5 hex. */
   def compute(bytes: Array[Byte], win: Int, mod: Int): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.unsafe.types.UTF8String]
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     val last = bytes.length - win
@@ -358,8 +365,9 @@ object AnchorWindowMd5 {
           (bytes(i + 7) & 0xff)) % mod == 0) {
         md.reset()
         md.update(bytes, i, win)
-        out += org.apache.spark.unsafe.types.UTF8String.fromString(
-          org.apache.commons.codec.binary.Hex.encodeHexString(md.digest()))
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i + 1, org.apache.spark.unsafe.types.UTF8String.fromString(
+            org.apache.commons.codec.binary.Hex.encodeHexString(md.digest()))))
       }
       i += 1
     }
@@ -444,7 +452,7 @@ object VectorFunctions {
     "freq_sketch" -> (exprs => FreqSketch(exprs(0), intArg(exprs(1)))),
     "vec_sum_count" -> (exprs => VecSumCount(exprs(0), intArg(exprs(1)))),
     "md5_prefix" -> (exprs => Md5Prefix(exprs(0), intArg(exprs(1)))),
-    "anchor_window_md5" -> (exprs =>
+    "anchor_windows" -> (exprs =>
       AnchorWindowMd5(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
     "bloom_agg" -> (exprs =>
@@ -523,9 +531,9 @@ object VectorFunctions {
   def md5Prefix(c: Column, nibbles: Int): Column =
     call_function("md5_prefix", c.cast("binary"), lit(nibbles))
 
-  /** Column API for [[AnchorWindowMd5]]: anchored window fingerprints. */
-  def anchorWindowMd5(text: Column, winBytes: Int, anchorMod: Int): Column =
-    call_function("anchor_window_md5", text.cast("binary"),
+  /** Column API for [[AnchorWindowMd5]]: anchored (p, fp) window structs. */
+  def anchorWindows(text: Column, winBytes: Int, anchorMod: Int): Column =
+    call_function("anchor_windows", text.cast("binary"),
       lit(winBytes), lit(anchorMod))
 
   private def booksLit(books: Array[Array[Array[Float]]]): Column =

@@ -573,6 +573,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(withDoc3 == 0L, "docs 1 and 3 share no 40-char span")
   }
 
+  test("substring coverage: overlapping dup windows union, unique docs score 0") {
+    import spark.implicits._
+    val shared = "this entire document is one long repeated span of text " +
+      "that keeps going for quite a while longer than any single window"
+    val df = Seq(
+      (1L, shared), (2L, shared),
+      (3L, "a totally unique document with no repeated spans anywhere " +
+        "in the corpus and comfortably past the window length")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupCoverage(df, "doc_id", "text",
+        winChars = 40, anchorMod = 4, dropAtBp = 5000)
+      .select("id", "n_chars", "n_dup_windows", "covered_chars", "cov_bp", "drop")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 3)
+    val (_, n1, w1, c1, bp1, drop1) = out(1L)
+    // identical docs: every window is duplicated; overlapping windows
+    // must UNION, not sum — covered < n_windows * win but spans the text
+    assert(w1 >= 2 && c1 < w1 * 40, s"overlap not collapsed: $w1 wins, $c1 chars")
+    assert(c1 <= n1, "coverage cannot exceed the document")
+    assert(bp1 >= 5000 && drop1, s"near-total dup must drop: $bp1 bp")
+    assert(out(2L)._4 == c1 && out(2L)._5 == bp1, "identical docs score identically")
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0L && !out(3L)._6,
+      s"unique doc must score 0: ${out(3L)}")
+  }
+
   test("cms: estimates always >= exact, equal when the grid is collision-free") {
     import spark.implicits._
     val items = Seq.tabulate(600)(i => s"tok${i % 30}").toDF("item")

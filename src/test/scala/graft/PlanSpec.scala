@@ -273,7 +273,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_substrings: native one-pass anchor scan, digest-only shuffles") {
     val p = planOf("dedup_substrings")
-    assert(p.contains("anchor_window_md5"),
+    assert(p.contains("anchor_windows"),
       s"native anchor expression not in plan:\n$p")
     // no per-position explode survives — the Generate emits finished
     // fingerprints, so every exchange carries (fp, id) pairs, never text
