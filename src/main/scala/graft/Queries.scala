@@ -979,7 +979,7 @@ object Queries {
     * the distinct-doc cut verbatim. */
   val qDedupSubstrings = Q("dedup_substrings",
     (s, dir) => Dedup.substringDupSpans(t(s, dir, "documents"),
-      "doc_id", "text", winChars = 40, anchorMod = 8),
+      "doc_id", "text", winBytes = 40, anchorMod = 8),
     Some("""WITH d AS (
         SELECT doc_id,
           trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
@@ -1006,7 +1006,7 @@ object Queries {
     * basis-point policy cut verbatim. */
   val qDedupSubstrCoverage = Q("dedup_substr_coverage",
     (s, dir) => Dedup.substringDupCoverage(t(s, dir, "documents"),
-      "doc_id", "text", winChars = 40, anchorMod = 8, dropAtBp = 5000),
+      "doc_id", "text", winBytes = 40, anchorMod = 8, dropAtBp = 5000),
     Some("""WITH d AS (
         SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
         FROM documents),
@@ -1038,21 +1038,21 @@ object Queries {
         SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e, count(*) AS n_win
         FROM isl GROUP BY 1, 2),
       cov AS (
-        SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_chars,
+        SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_bytes,
                CAST(sum(n_win) AS BIGINT) AS n_dup_windows
         FROM spans GROUP BY 1),
       base AS (
         SELECT doc_id,
-          length(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS n_chars
+          octet_length(encode(trim(regexp_replace(lower(text),'\s+',' ','g')))) AS n_bytes
         FROM documents)
-      SELECT b.doc_id AS id, CAST(b.n_chars AS BIGINT) AS n_chars,
+      SELECT b.doc_id AS id, CAST(b.n_bytes AS BIGINT) AS n_bytes,
         coalesce(c.n_dup_windows, 0) AS n_dup_windows,
-        coalesce(c.covered_chars, 0) AS covered_chars,
-        CASE WHEN b.n_chars > 0
-          THEN (coalesce(c.covered_chars, 0) * 10000) // b.n_chars
+        coalesce(c.covered_bytes, 0) AS covered_bytes,
+        CASE WHEN b.n_bytes > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // b.n_bytes
           ELSE 0 END AS cov_bp,
-        (CASE WHEN b.n_chars > 0
-          THEN (coalesce(c.covered_chars, 0) * 10000) // b.n_chars
+        (CASE WHEN b.n_bytes > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // b.n_bytes
           ELSE 0 END) >= 5000 AS "drop"
       FROM base b LEFT JOIN cov c USING (doc_id)"""))
 
@@ -1287,6 +1287,56 @@ object Queries {
       JOIN embeddings ea ON ea.vec_id = c.id_a
       JOIN embeddings eb ON eb.vec_id = c.id_b
       WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 3) >= 0.4"""))
+
+  /** SemDeDup composite: k-means cells (deterministic lowest-id seeds
+    * for the oracle) → within-cell cosine near-dup → connected
+    * components → keep the member FARTHEST from its centroid. The
+    * oracle replays cell assignment (the q_kmeans_assign pattern),
+    * per-cell pairs (the dedup_embedding pattern), min-label
+    * reachability (the dedup_clusters recursive CTE), and the survivor
+    * argmin — the full composite hash-certified.
+    */
+  val qDedupSemantic = Q("dedup_semantic",
+    (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, tau = 0.4)
+      .select(col("id").as("vec_id"), col("cell"), col("cluster_id"),
+        col("cent_sim"), col("keep")),
+    Some("""WITH RECURSIVE cents AS (
+        SELECT embedding AS cent, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.c,
+          round(list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]), 3) AS cs,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            c.cent::DOUBLE[]) DESC,
+                     c.c ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (
+        SELECT vec_id, embedding, c AS cell, cs AS cent_sim
+        FROM assign WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 3) >= 0.4),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      clus AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      scored AS (
+        SELECT ce.vec_id, ce.cell,
+          coalesce(cl.cluster, ce.vec_id) AS cluster_id, ce.cent_sim
+        FROM cell ce LEFT JOIN clus cl ON cl.id = ce.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY cent_sim ASC, vec_id ASC) AS krn
+        FROM scored)
+      SELECT vec_id, cell, cluster_id, cent_sim, krn = 1 AS "keep"
+      FROM ranked"""))
 
   /** IVF at scale posture: 64 k-means-trained centroids (2 Lloyd
     * iterations), 8-cell probes. No portable oracle — Lloyd training
@@ -2632,7 +2682,8 @@ object Queries {
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage, qDedupSimhash,
     qDedupSimhashIncremental,
-    qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDecontamEmbedding,
+    qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
+    qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qVocab, qHeavyHitters, qLmSurprisal, qLmBigram,

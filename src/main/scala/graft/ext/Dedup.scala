@@ -483,7 +483,7 @@ object Dedup {
     * of suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"). A global suffix array
     * is inherently sequential to build; instead, fingerprint
-    * `winChars`-character windows starting at CONTENT-DEFINED anchor
+    * `winBytes`-byte windows starting at CONTENT-DEFINED anchor
     * positions — every offset where a cheap 3-point char hash of the
     * window head is ≡ 0 mod `anchorMod` — and report fingerprints
     * occurring in ≥ 2 distinct documents. Content-defined anchors make
@@ -509,9 +509,9 @@ object Dedup {
     * @return (fp, n_docs, n_occ, first_doc) for spans seen in ≥ 2 docs
     */
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
-                        winChars: Int = 40,
+                        winBytes: Int = 40,
                         anchorMod: Int = 8): DataFrame = {
-    anchorWins(df, idCol, textCol, winChars, anchorMod)
+    anchorWins(df, idCol, textCol, winBytes, anchorMod)
       .groupBy(col("fp"))
       .agg(countDistinct(col("id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
@@ -521,11 +521,11 @@ object Dedup {
 
   /** (id, p, fp) anchored-window relation shared by the substring ops. */
   private def anchorWins(df: DataFrame, idCol: String, textCol: String,
-                         winChars: Int, anchorMod: Int): DataFrame = {
+                         winBytes: Int, anchorMod: Int): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
       .select(col("id"), explode(graft.functions.VectorFunctions
-        .anchorWindows(col("t"), winChars, anchorMod)).as("w"))
+        .anchorWindows(col("t"), winBytes, anchorMod)).as("w"))
       .select(col("id"), col("w.p").as("p"), col("w.fp").as("fp"))
   }
 
@@ -533,54 +533,65 @@ object Dedup {
     * ExactSubstr dedup: how much of each document is covered by spans
     * that repeat ANYWHERE in the corpus (other documents or the same
     * one)? Lee et al. cut the repeated spans out; at pipeline scale the
-    * per-document score — covered chars / total chars — is what feeds
+    * per-document score — covered bytes / total bytes — is what feeds
     * the keep/drop/rewrite policy, and a document dominated by repeated
     * material (mirrors, quote farms, licence boilerplate) scores near
     * 10000 bp regardless of its exact-dedup fingerprint being unique.
+    *
+    * ALL units are UTF-8 BYTES of the normalized text: window positions
+    * come from [[graft.functions.AnchorWindowMd5]]'s byte scan, so the
+    * denominator is `octet_length` of the same normalized string — on
+    * non-ASCII documents a char denominator would inflate cov_bp by up
+    * to the bytes-per-char ratio (≈3× on CJK) and mis-trigger the
+    * `dropAtBp` policy on exactly the multilingual corpora this
+    * operator targets.
     *
     * Overlapping duplicated windows must not double-count, so coverage
     * is the INTERVAL UNION of the [p, p+win) windows: per document,
     * order dup windows by start, open a new island when p clears the
     * running max end ([[gaps-and-islands]], rows-frame running max —
-    * every step integer-exact and engine-portable). Shape: window
-    * occurrence counts ride one fp-keyed shuffle (counts collapse
-    * map-side); the island pass is windows partitioned BY DOCUMENT —
+    * every step integer-exact and engine-portable). Shape: per-fp
+    * occurrence counts come from `groupBy(fp).count()` — which DOES
+    * partial-aggregate map-side, unlike a count-over-window that
+    * shuffles the full (id, p, fp) relation — joined back to the
+    * windows by fp; the island pass is windows partitioned BY DOCUMENT —
     * parallelism scales with document count, no global sort anywhere;
     * docs with no duplicated span keep coverage 0 via the left join.
     *
-    * @return (id, n_chars, n_dup_windows, covered_chars, cov_bp, drop)
+    * @return (id, n_bytes, n_dup_windows, covered_bytes, cov_bp, drop)
     */
   def substringDupCoverage(df: DataFrame, idCol: String, textCol: String,
-                           winChars: Int = 40, anchorMod: Int = 8,
+                           winBytes: Int = 40, anchorMod: Int = 8,
                            dropAtBp: Int = 5000): DataFrame = {
-    val wins = anchorWins(df, idCol, textCol, winChars, anchorMod)
-    val wOcc = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val dup = wins
-      .withColumn("n_occ", count(lit(1)).over(wOcc))
+    val wins = anchorWins(df, idCol, textCol, winBytes, anchorMod)
+    val dupFps = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
+      .select(col("fp"))
+    val dup = wins.join(dupFps, Seq("fp"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("p"))
-    val prevEnd = max(col("p") + winChars).over(
+    val prevEnd = max(col("p") + winBytes).over(
       byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
     val islands = dup
       .withColumn("new_isl",
         when(col("p") > coalesce(prevEnd, lit(-1)), lit(1)).otherwise(lit(0)))
       .withColumn("isl_id", sum(col("new_isl")).over(byDoc))
       .groupBy(col("id"), col("isl_id"))
-      .agg(min(col("p")).as("s"), (max(col("p")) + winChars).as("e"),
+      .agg(min(col("p")).as("s"), (max(col("p")) + winBytes).as("e"),
         count(lit(1)).as("n_win"))
     val cov = islands.groupBy(col("id"))
-      .agg(sum(col("e") - col("s")).as("covered_chars"),
+      .agg(sum(col("e") - col("s")).as("covered_bytes"),
         sum(col("n_win")).as("n_dup_windows"))
     df.select(col(idCol).as("id"),
-        length(TextOps.normalized(col(textCol))).as("n_chars"))
+        octet_length(TextOps.normalized(col(textCol))).as("n_bytes"))
       .join(cov, Seq("id"), "left")
       .select(col("id"),
-        col("n_chars").cast("long").as("n_chars"),
+        col("n_bytes").cast("long").as("n_bytes"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
-        when(col("n_chars") > 0,
-          floor(coalesce(col("covered_chars"), lit(0L)) * 10000 / col("n_chars")))
+        coalesce(col("covered_bytes"), lit(0L)).as("covered_bytes"),
+        when(col("n_bytes") > 0,
+          floor(coalesce(col("covered_bytes"), lit(0L)) * 10000 / col("n_bytes")))
           .otherwise(lit(0)).cast("long").as("cov_bp"))
       .withColumn("drop", col("cov_bp") >= dropAtBp)
   }

@@ -360,6 +360,72 @@ object Similarity {
     * Deterministic end-to-end (md5-derived hyperplanes), which keeps
     * even this approximate operator oracle-checkable.
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster embeddings into k coarse cells, find
+    * cosine near-duplicates WITHIN each cell only, group them into
+    * connected components, and keep one survivor per component — the
+    * member FARTHEST from its cell centroid (the paper's low-centroid-
+    * similarity pick, which retains the least-typical exemplar), ties
+    * to the lowest id.
+    *
+    * Why cells first: all-pairs cosine is quadratic in the corpus; the
+    * k cells bound the pair space to Σ n_c² ≈ n²/k for balanced cells —
+    * the clustering IS the blocking key, so the near-dup join is
+    * per-cell quadratic and embarrassingly parallel across cells. A
+    * semantic duplicate pair is cosine-close by definition, so both
+    * members land in the same cell except exactly at a cell boundary —
+    * the paper's own accepted approximation.
+    *
+    * Deterministic end-to-end at `trainIters = 0` (lowest-id centroid
+    * seeds, the [[ivfTopK]] convention): cell assignment, within-cell
+    * pairs, components, and the survivor pick all replay in external
+    * SQL, so even the composite is oracle-checkable. `trainIters > 0`
+    * runs Lloyd k-means ([[kmeansCentroids]]) for honest cells at scale.
+    *
+    * Shape: one shuffle-free assignment scan (centroid matrix rides as
+    * one reference object + a broadcast join for the per-cell centroid
+    * vector), the per-cell self-join on the cached assignment, then
+    * component/survivor work on the PAIR LIST — orders of magnitude
+    * smaller than the corpus.
+    *
+    * @return (id, cell, cluster_id, cent_sim, keep) — one row per doc;
+    *         `keep` marks singletons and cluster survivors
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+                    k: Int, tau: Double, trainIters: Int = 0): DataFrame = {
+    ensureRegistered(corpus)
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val cents: Array[(Long, Array[Float])] =
+      if (trainIters > 0)
+        indexed(kmeansCentroids(
+          base.select(col("id"), col("emb").as("embedding")), k, trainIters))
+      else indexed(base.orderBy(col("id")).limit(k)
+        .select(col("emb")).collect().map(_.getSeq[Float](0).toArray))
+    import spark.implicits._
+    val centsDf = cents.toSeq.map { case (c, v) => (c.toInt, v) }
+      .toDF("cell", "cent")
+    val assigned = Materialize.multiScan(
+      base.withColumn("cell", cellOf(col("emb"), cents).cast("int"))
+        .join(broadcast(centsDf), Seq("cell"))
+        .withColumn("cent_sim", round(cosine(col("emb"), col("cent")), 3))
+        .drop("cent"))
+    val pairs = nearDupPairs(assigned, "id", "emb", "cell", tau)
+    val clusters = Dedup.connectedComponents(pairs)
+    // survivor = max score = MIN centroid similarity (ties → min id)
+    val surv = Dedup.survivors(clusters,
+      assigned.select(col("id"), (-col("cent_sim")).as("score")))
+    assigned.join(clusters.select(col("id"), col("cluster")), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col("id")))
+      .join(surv.select(col("cluster_id"), col("survivor_id")),
+        Seq("cluster_id"), "left")
+      .withColumn("keep",
+        col("survivor_id").isNull || col("survivor_id") === col("id"))
+      .select(col("id"), col("cell"), col("cluster_id"),
+        col("cent_sim"), col("keep"))
+  }
+
   def nearDupPairsSrp(df: DataFrame, idCol: String, embCol: String,
                       tau: Double, dim: Int, nBits: Int,
                       nTables: Int = 4): DataFrame = {

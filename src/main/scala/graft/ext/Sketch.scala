@@ -92,6 +92,13 @@ object Sketch {
     * after aggregation — a few KB at any corpus scale) broadcasts, so
     * probing is a map-side join: no shuffle touches the probe relation.
     *
+    * The join is LEFT so a probe addressing an untouched cell reads it
+    * as 0 — exactly the true CMS semantics, where the min ranges over
+    * all depth cells including zeros. An out-of-corpus probe (the
+    * decontamination-lookup case) therefore returns cms_n = 0 instead
+    * of overestimating from the subset of its cells that happen to
+    * collide with corpus items, and never vanishes from the output.
+    *
     * @return probes' columns + (cms_n: long)
     */
   def cmsEstimate(items: DataFrame, itemCol: String, probes: DataFrame,
@@ -102,8 +109,8 @@ object Sketch {
       .select(keep :+ explode(sequence(lit(0), lit(depth - 1))).as("d"): _*)
       .withColumn("bucket",
         cmsBucket(col(probeCol).cast("string"), col("d"), width))
-      .join(broadcast(cells), Seq("d", "bucket"))
+      .join(broadcast(cells), Seq("d", "bucket"), "left")
       .groupBy(keep: _*)
-      .agg(min(col("c")).as("cms_n"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_n"))
   }
 }

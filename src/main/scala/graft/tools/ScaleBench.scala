@@ -120,7 +120,7 @@ object ScaleBench {
       // planted near-copies share the whole normalized char tail past
       // the mutated head token, so true dup-span count grows linearly
       "substringDupSpans" -> (s => graft.ext.Dedup.substringDupSpans(
-        docs(s), "doc_id", "text", winChars = 40, anchorMod = 8)),
+        docs(s), "doc_id", "text", winBytes = 40, anchorMod = 8)),
       // grid is O(depth*width) after partial agg regardless of n;
       // probes = the 20 hottest tokens, the bench query's shape
       "cmsEstimate" -> { s =>

@@ -252,6 +252,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L), s"colliding-id doc must be flagged: $out")
   }
 
+  test("semanticDedup keeps the member farthest from its centroid per cluster") {
+    import graft.ext.Similarity
+    // k=2 deterministic seeds = lowest-id vectors: cell0=(1,0), cell1=(0,1).
+    // Cluster A = {1,3,4} (pairwise cos >= 0.9 in cell 0), cluster B =
+    // {2,5} in cell 1; 6 lands in cell 1 but is near-dup of nothing.
+    val df = Seq(
+      (1L, Array(1.00f, 0.00f)),
+      (2L, Array(0.00f, 1.00f)),
+      (3L, Array(0.99f, 0.14f)),
+      (4L, Array(0.98f, 0.20f)),
+      (5L, Array(0.10f, 0.995f)),
+      (6L, Array(0.70f, 0.714f))).toDF("id", "embedding")
+    val out = Similarity.semanticDedup(df, "id", "embedding", k = 2, tau = 0.9)
+      .select("id", "cell", "cluster_id", "cent_sim", "keep")
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 6, "one decision row per input vector")
+    assert(out.values.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 2L -> 2L, 5L -> 2L, 6L -> 6L),
+      s"components must be min-reachable-id within cells: $out")
+    assert(out(6L)._2 == 1 && out(1L)._2 == 0 && out(5L)._2 == 1)
+    // SemDeDup survivor = LOWEST centroid similarity (least typical):
+    // cluster A cent_sims 1.0 / 0.990 / 0.980 -> id 4 survives
+    assert(out.filter(_._2._5).keySet == Set(4L, 5L, 6L),
+      s"survivors must be the low-cent_sim member + the singleton: $out")
+    assert(out(4L)._4 == 0.980 && out(1L)._4 == 1.0, s"rounded cent_sim: $out")
+  }
+
+  test("semanticDedup with trained cells keeps one decision row per vector") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val n = e.count()
+    val out = Similarity.semanticDedup(e, "id", "embedding",
+      k = 4, tau = 0.5, trainIters = 2).cache()
+    assert(out.count() == n)
+    // decisions are a partition: every cluster has exactly one keeper
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"))
+      .select("n_keep").as[Long].collect()
+    assert(perCluster.forall(_ == 1L), "exactly one survivor per cluster")
+    out.unpersist()
+  }
+
   test("sortedNeighborhood pairs each row with its w successors, equi-join plan") {
     val df = Seq((10L, "aa"), (20L, "ab"), (30L, "ac"), (40L, "zz"))
       .toDF("id", "name")

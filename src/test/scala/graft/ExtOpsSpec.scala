@@ -559,7 +559,7 @@ class ExtOpsSpec extends AnyFunSuite {
       (3L, "entirely unrelated content with no shared spans at all in it " +
         "padded to clear the window length floor")).toDF("doc_id", "text")
     val out = Dedup.substringDupSpans(df, "doc_id", "text",
-        winChars = 40, anchorMod = 4)
+        winBytes = 40, anchorMod = 4)
       .select("fp", "n_docs", "n_occ", "first_doc")
       .as[(String, Long, Long, Long)].collect()
     assert(out.nonEmpty, "shared span at misaligned offsets must be found")
@@ -569,7 +569,7 @@ class ExtOpsSpec extends AnyFunSuite {
     // n_docs==2 ∧ first_doc==1 above plus this pair-level recheck
     val withDoc3 = Dedup.substringDupSpans(
       df.filter(col("doc_id") =!= 2L), "doc_id", "text",
-      winChars = 40, anchorMod = 4).count()
+      winBytes = 40, anchorMod = 4).count()
     assert(withDoc3 == 0L, "docs 1 and 3 share no 40-char span")
   }
 
@@ -583,8 +583,8 @@ class ExtOpsSpec extends AnyFunSuite {
         "in the corpus and comfortably past the window length")
     ).toDF("doc_id", "text")
     val out = Dedup.substringDupCoverage(df, "doc_id", "text",
-        winChars = 40, anchorMod = 4, dropAtBp = 5000)
-      .select("id", "n_chars", "n_dup_windows", "covered_chars", "cov_bp", "drop")
+        winBytes = 40, anchorMod = 4, dropAtBp = 5000)
+      .select("id", "n_bytes", "n_dup_windows", "covered_bytes", "cov_bp", "drop")
       .as[(Long, Long, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     assert(out.size == 3)
@@ -597,6 +597,45 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out(2L)._4 == c1 && out(2L)._5 == bp1, "identical docs score identically")
     assert(out(3L)._3 == 0L && out(3L)._4 == 0L && !out(3L)._6,
       s"unique doc must score 0: ${out(3L)}")
+  }
+
+  test("substring coverage: non-ASCII units are byte-consistent, cov_bp <= 10000") {
+    import spark.implicits._
+    // CJK is ~3 UTF-8 bytes/char: a char-counted denominator under byte
+    // positions would inflate cov_bp up to ~3x (and past 10000). Both
+    // sides must count BYTES of the normalized text.
+    val cjk = "机器学习模型的训练数据质量直接决定了模型的泛化能力和下游任务表现，" +
+      "因此大规模语料去重是预训练流程中不可或缺的一个环节，重复文本会浪费算力。"
+    val df = Seq(
+      (1L, cjk), (2L, cjk),                      // full duplicates
+      (3L, "独一无二的文档内容，与语料库中的其他任何文档都不存在共享片段，" +
+        "篇幅足以超过窗口长度下限，确保覆盖率评分路径被完整执行。"),
+      (4L, s"état café über naïve $cjk façade jalapeño résumé")  // mixed accents + CJK
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupCoverage(df, "doc_id", "text",
+        winBytes = 40, anchorMod = 4, dropAtBp = 5000)
+      .select("id", "n_bytes", "n_dup_windows", "covered_bytes", "cov_bp", "drop")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 4)
+    // denominator is the UTF-8 byte length of the normalized text, not chars
+    def normBytes(s: String): Long =
+      s.toLowerCase.trim.replaceAll("\\s+", " ").getBytes("UTF-8").length.toLong
+    assert(out(1L)._2 == normBytes(cjk), s"${out(1L)._2} vs ${normBytes(cjk)}")
+    assert(out(1L)._2 > cjk.length, "CJK must be > 1 byte/char")
+    // the unit-mix bug made cov_bp read up to ~3x true coverage (>10000
+    // on a fully-duplicated CJK doc); with consistent units it's bounded
+    out.values.foreach { r =>
+      assert(r._5 <= 10000L, s"cov_bp must be basis points: $r")
+      assert(r._4 <= r._2, s"covered bytes cannot exceed the document: $r")
+    }
+    // identical CJK docs: spans found, both score identically and drop
+    assert(out(1L)._4 > 0L, s"duplicated CJK span must be covered: ${out(1L)}")
+    assert(out(1L)._5 >= 5000L && out(1L)._6, s"full dup must drop: ${out(1L)}")
+    assert(out(2L)._4 == out(1L)._4 && out(2L)._5 == out(1L)._5)
+    // unique CJK doc scores 0; the mixed doc shares the cjk span only
+    assert(out(3L)._4 == 0L && !out(3L)._6, s"unique doc: ${out(3L)}")
+    assert(out(4L)._4 > 0L && out(4L)._4 < out(4L)._2, s"partial dup: ${out(4L)}")
   }
 
   test("cms: estimates always >= exact, equal when the grid is collision-free") {
@@ -616,5 +655,27 @@ class ExtOpsSpec extends AnyFunSuite {
       .select("exact_n", "cms_n").as[(Long, Long)].collect()
     assert(tiny.forall(r => r._2 >= r._1), tiny.toSeq)
     assert(tiny.exists(r => r._2 > r._1), "4x4 over 30 items must collide")
+  }
+
+  test("cms: out-of-corpus probes survive and read untouched cells as 0") {
+    import spark.implicits._
+    val items = Seq.tabulate(600)(i => s"tok${i % 30}").toDF("item")
+    // probes the corpus never saw: the decontamination-lookup shape.
+    // With a collision-free grid every addressed cell is untouched, so
+    // the estimate must be exactly 0 — and the row must NOT vanish
+    // (an inner join against touched cells would drop it).
+    val probes = Seq("absent_a", "absent_b", "tok0").toDF("item")
+    val out = graft.ext.Sketch.cmsEstimate(items, "item", probes, "item",
+        depth = 4, width = 2048)
+      .select("item", "cms_n").as[(String, Long)].collect().toMap
+    assert(out.size == 3, s"probe rows lost: $out")
+    assert(out("absent_a") == 0L && out("absent_b") == 0L, out)
+    assert(out("tok0") == 20L, out)
+    // tiny grid: an absent probe may collide with corpus cells, but the
+    // min over depth rows must still include any untouched (zero) cell
+    val tinyAbsent = graft.ext.Sketch.cmsEstimate(items, "item",
+        Seq("absent_a").toDF("item"), "item", depth = 4, width = 4)
+      .select("cms_n").as[Long].collect()
+    assert(tinyAbsent.length == 1 && tinyAbsent(0) >= 0L)
   }
 }

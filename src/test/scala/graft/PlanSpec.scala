@@ -280,9 +280,33 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.size == 2, // the standard two-stage distinct-count shape
       s"expected (fp,id)-partial + fp-final exchanges, got ${exchanges.size}:\n$p")
-    assert(exchanges.forall(!_.contains("t#")), s"text crosses a shuffle:\n$p")
+    // anchor to the attribute NAMED t — a bare "t#" substring would
+    // false-trip on any attribute ending in t (e.g. "count#123")
+    val textAttr = "(?<![a-zA-Z0-9_])t#\\d".r
+    assert(exchanges.forall(l => textAttr.findFirstIn(l).isEmpty),
+      s"text crosses a shuffle:\n$p")
     assert(p.contains("partial_count") || p.contains("partial"),
       s"no map-side partial aggregation:\n$p")
+  }
+
+  test("dedup_substr_coverage: fp counts partial-aggregate; windows only by doc") {
+    val p = planOf("dedup_substr_coverage")
+    assert(p.contains("anchor_windows"),
+      s"native anchor expression not in plan:\n$p")
+    // occurrence counts must come from groupBy(fp).count() — which
+    // partial-aggregates map-side — NOT count-over-Window(fp), which
+    // shuffles the whole (id, p, fp) relation with no partial collapse
+    assert(p.contains("partial_count"),
+      s"fp occurrence counts must partial-aggregate map-side:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"island pass window missing:\n$p")
+    assert(windows.forall(!_.contains("fp#")),
+      s"no window may partition by fp (island pass is by document):\n$p")
+    // document text never crosses an exchange — digests and offsets only
+    val textAttr = "(?<![a-zA-Z0-9_])t#\\d".r
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => textAttr.findFirstIn(l).isEmpty),
+      s"text crosses a shuffle:\n$p")
   }
 
   test("q_cms_freq: grid broadcasts to the probe join; grid agg is partial-merged") {
