@@ -1834,6 +1834,102 @@ object Queries {
       SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
       FROM counts ORDER BY rank LIMIT 100"""))
 
+  /** Unrolled-SQL replay of [[graft.ext.Bpe.learn]]: vocab build + one
+    * (pair-count → argmax → merge) CTE block per round. The wrapped-
+    * symbol string representation (each symbol in U+001F) makes the
+    * merge a literal `replace`, identical in both engines — which is
+    * what lets even BPE LEARNING be hash-certified.
+    */
+  private def bpeLearnCtes(nMerges: Int): String = {
+    // MATERIALIZED: each v_r is read twice (pair counts + next round)
+    // and the chain is nMerges deep — inlining would re-evaluate the
+    // whole prefix per reference (exponential); materialized it's one
+    // pass per round, exactly like the Spark loop's per-round cache
+    val base = """WITH v0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', chr(31)||'\1'||chr(31), 'g') AS s, cnt
+        FROM (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(
+              trim(regexp_replace(lower(replace(text, chr(31), '')),'\s+',' ','g')),
+              '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS w
+            FROM documents)
+          GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 65536))"""
+    val rounds = (0 until nMerges).map { r =>
+      s"""
+      p$r AS (
+        SELECT sy[ix.i] AS l, sy[ix.i+1] AS r, sum(cnt) AS c
+        FROM (SELECT cnt,
+                string_split(trim(s, chr(31)), chr(31)||chr(31)) AS sy
+              FROM v$r),
+             LATERAL (SELECT unnest(generate_series(1, len(sy)-1)) AS i) ix
+        GROUP BY 1, 2),
+      b$r AS MATERIALIZED (
+        SELECT l, r FROM p$r ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+      v${r + 1} AS MATERIALIZED (
+        SELECT replace(s,
+          (SELECT chr(31)||l||chr(31)||chr(31)||r||chr(31) FROM b$r),
+          (SELECT chr(31)||l||r||chr(31) FROM b$r)) AS s, cnt
+        FROM v$r)"""
+    }.mkString(",", ",", "")
+    base + rounds
+  }
+
+  /** BPE merge-table learning (8 rounds over the documents corpus) —
+    * the table itself is the query output, hash-matched rank by rank.
+    */
+  val qBpeLearn = Q("q_bpe_learn",
+    (s, dir) => {
+      val merges = graft.ext.Bpe.learn(t(s, dir, "documents"), "text",
+        nMerges = 8)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "lhs", "rhs")
+    },
+    Some(bpeLearnCtes(8) + "\n" +
+      (0 until 8).map(r =>
+        s"SELECT ${r + 1} AS rank, l AS lhs, r AS rhs FROM b$r")
+        .mkString("\nUNION ALL\n")))
+
+  /** Learn-then-encode: every document re-tokenized with the learned
+    * table; per-doc subword count + an md5 over the full token stream,
+    * so the oracle pins every emitted symbol of every document.
+    */
+  val qBpeEncode = Q("q_bpe_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
+      docs.select(col("doc_id"),
+          graft.ext.Bpe.encode(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          md5(concat_ws(" ", col("toks"))).as("tok_fp"))
+    },
+    Some(bpeLearnCtes(8) + s""",
+      m AS (SELECT ${(0 until 8).map(r =>
+        s"(SELECT chr(31)||l||chr(31)||chr(31)||r||chr(31) FROM b$r) AS pat$r, " +
+        s"(SELECT chr(31)||l||r||chr(31) FROM b$r) AS rep$r").mkString(", ")}),
+      dw AS (
+        SELECT doc_id, ix.i, ws[ix.i] AS w
+        FROM (
+          SELECT doc_id, regexp_extract_all(
+            trim(regexp_replace(lower(replace(text, chr(31), '')),'\\s+',' ','g')),
+            '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ws
+          FROM documents),
+          LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) ix),
+      et AS (
+        SELECT doc_id, i, string_split(trim(${(0 until 8).foldLeft(
+          "regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g')")(
+          (acc, r) => s"replace($acc, m.pat$r, m.rep$r)")},
+          chr(31)), chr(31)||chr(31)) AS toks
+        FROM dw, m),
+      agg AS (
+        SELECT doc_id, flatten(list(toks ORDER BY i)) AS all_toks
+        FROM et GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(len(a.all_toks), 0) AS BIGINT) AS n_bpe_tokens,
+        md5(coalesce(array_to_string(a.all_toks, ' '), '')) AS tok_fp
+      FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+
   /** Mixture sampling: per-source keep rates (the data-mixing step) —
     * up-weight two sources, down-weight two, default the rest.
     */
@@ -2686,7 +2782,8 @@ object Queries {
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
-    qTfidf, qBm25, qVocab, qHeavyHitters, qLmSurprisal, qLmBigram,
+    qTfidf, qBm25, qVocab, qBpeLearn, qBpeEncode, qHeavyHitters,
+    qLmSurprisal, qLmBigram,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

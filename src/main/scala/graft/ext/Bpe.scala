@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merge-table-driven byte-pair encoding (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the real
+  * tokenizer behind the "BPE-ish" segmentation heuristic in
+  * [[TextOps.bpeTokens]], so token budgets in packing / corpus-prep can
+  * count actual subword units.
+  *
+  * LEARNING runs over the distinct-word VOCABULARY, not the corpus: one
+  * corpus-wide word count (the only full-data shuffle), a deterministic
+  * top-`maxVocab` cut, then `nMerges` rounds of (adjacent-pair count →
+  * argmax → merge) over that bounded relation. Per round the driver
+  * receives exactly ONE row (the winning pair); at 100 TB the corpus is
+  * touched once and every round costs a small aggregation over ≤
+  * `maxVocab` rows. Ties break deterministically (count desc, then pair
+  * lexicographic asc) so the learned table — and everything downstream —
+  * is reproducible in any engine.
+  *
+  * SYMBOL REPRESENTATION: a word's symbol sequence is one string with
+  * every symbol wrapped in U+001F (unit separator): `[ab, c]` ⇒
+  * `␟ab␟␟c␟`. Merging pair (a, b) is then literal-string
+  * `replace(s, "␟a␟␟b␟", "␟ab␟")` — boundary-safe (a symbol ending in
+  * "a" cannot false-match, the wrap chars disagree) and left-to-right
+  * non-overlapping exactly like a sequential merge scan. This keeps
+  * BOTH learning and encoding inside builtin string functions, which is
+  * what makes the whole operator — including learning — replayable as
+  * (unrolled) SQL in an external engine. U+001F is stripped from input
+  * text first, so no document byte can forge a boundary.
+  *
+  * ENCODING applies the learned merges in rank order, one `replace` per
+  * rule, inside a single codegen'd projection — no UDF, no shuffle.
+  * That is O(table size) per word: right for oracle-sized tables, wrong
+  * for a production 30k-merge vocabulary, where the native
+  * [[graft.functions.BpeEncodeExpr]] ([[encodeNative]]) encodes at
+  * O(len · merges-applied) per word with the table riding as ONE
+  * reference object. `BpeSpec` pins the two paths to identical output.
+  */
+object Bpe {
+
+  private val US = ""
+
+  /** Input guard + canonicalization: strip the wrap char, then the
+    * standard normalize (lowercase, collapse whitespace). */
+  private def cleaned(text: Column): Column =
+    TextOps.normalized(replace(text, lit(US), lit("")))
+
+  /** Pre-tokenized words of the cleaned text (same regex as
+    * [[TextOps.bpeTokens]]: letter runs, digit runs, single marks). */
+  private def words(text: Column): Column = TextOps.bpeTokens(cleaned(text))
+
+  /** Every char wrapped: "ab" ⇒ "␟a␟␟b␟" (code-point granular). */
+  private def wrapped(word: Column): Column =
+    regexp_replace(word, "(.)", US + "$1" + US)
+
+  /** Wrapped-string ⇒ symbol array: "␟ab␟␟c␟" ⇒ [ab, c]. */
+  private def symbols(s: Column): Column = split(trim(s, US), US + US)
+
+  private def mergeOne(s: Column, a: String, b: String): Column =
+    replace(s, lit(US + a + US + US + b + US), lit(US + a + b + US))
+
+  /** Learn `nMerges` merge rules from a text column. Returns the merge
+    * table in rank order — driver-sized (the rules, not the vocab).
+    */
+  def learn(df: DataFrame, textCol: String, nMerges: Int,
+            maxVocab: Int = 1 << 16): Seq[(String, String)] = {
+    val vocab0 = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(maxVocab)
+      .select(wrapped(col("w")).as("s"), col("cnt"))
+    var vocab = Materialize.multiScan(vocab0)
+    vocab.count() // materialize the corpus-wide pass once
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val sy = symbols(col("s"))
+      val best = vocab
+        .select(col("cnt"), sy.as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("sy"), lit(1), size(col("sy")) - 1),
+          slice(col("sy"), lit(2), size(col("sy")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += ((l, r))
+        val next = Materialize.multiScan(
+          vocab.withColumn("s", mergeOne(col("s"), l, r)))
+        next.count() // settle before releasing the parent cache
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** BPE symbols of `text` under `merges` — the builtin chained-replace
+    * form (oracle-replayable; see object doc for when to prefer
+    * [[encodeNative]]). Returns `array<string>`.
+    */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(words(text), w =>
+      symbols(merges.foldLeft(wrapped(w)) {
+        case (s, (a, b)) => mergeOne(s, a, b)
+      })))
+
+  /** Native-expression encode: identical output on collision-free merge
+    * tables (all practical ones — `BpeSpec` parity), O(1) plan size and
+    * per-word cost independent of the table size. The scale path for
+    * production vocabularies.
+    */
+  def encodeNative(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.VectorFunctions.bpeEncode(cleaned(text), merges)
+
+  /** Learned-subword token count — the drop-in replacement for the
+    * whitespace/`bpeTokens` budgets in [[Corpus.pack]] /
+    * [[Corpus.prep]]-style packing.
+    */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(encode(text, merges))
+}

@@ -219,9 +219,10 @@ object Corpus {
     * global window, full parallelism at any corpus size.
     */
   def pack(df: DataFrame, idCol: String, textCol: String,
-           budget: Int): DataFrame = {
+           budget: Int,
+           tokenCounter: Column => Column = TextOps.nTokens): DataFrame = {
     val sized = df.select(col(idCol).as("id"),
-      TextOps.nTokens(col(textCol)).as("n_tokens"))
+      tokenCounter(col(textCol)).as("n_tokens"))
     Prefix.globalRunningSum(sized, Seq(col("id")), col("n_tokens"), "cum")
       .withColumn("pack_id",
         floor((col("cum") - col("n_tokens")) / budget).cast("long"))

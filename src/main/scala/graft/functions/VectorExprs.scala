@@ -432,6 +432,15 @@ object VectorFunctions {
   private def longsArg(e: Expression): Array[Long] =
     e.eval(null).asInstanceOf[ArrayData].toLongArray()
 
+  // BPE merge table: array<array<string>> literal → Array[Array[String]]
+  private def strPairsArg(e: Expression): Array[Array[String]] = {
+    val ad = e.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val p = ad.getArray(i)
+      Array.tabulate(p.numElements())(j => p.getUTF8String(j).toString)
+    }
+  }
+
   // PQ codebook: m sub-codebooks × nCodes codewords × subDim floats,
   // arriving as one foldable nested-array literal
   private def booksArg(e: Expression): Array[Array[Array[Float]]] = {
@@ -487,6 +496,10 @@ object VectorFunctions {
     "pq_adc" -> (exprs => PqAdc(exprs(0), exprs(1), intArg(exprs(2)))),
     "nearest_centroid" -> (exprs =>
       NearestCentroid(exprs(0), matArg(exprs(1)), longsArg(exprs(2)))),
+    // merge table arrives as a foldable array<array<string>> literal,
+    // folded into ONE BpeTable reference object at resolution time
+    "bpe_encode" -> (exprs =>
+      BpeEncodeExpr(exprs(0), new BpeTable(strPairsArg(exprs(1))))),
     "probe_centroids" -> (exprs =>
       ProbeCentroids(exprs(0), matArg(exprs(1)), longsArg(exprs(2)),
         intArg(exprs(3)))))
@@ -526,6 +539,14 @@ object VectorFunctions {
 
   /** Column API for [[NfcNormalize]]: Unicode NFC canonicalization. */
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  /** Column API for [[BpeEncodeExpr]]: BPE symbols of (normalized) text
+    * under a learned merge table. The table rides as one literal →
+    * reference object, so plans stay O(1) in the vocabulary size.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", text,
+      typedlit(merges.map(p => Seq(p._1, p._2))))
 
   /** Column API for [[Md5Prefix]]: first `nibbles` md5 hex chars as long. */
   def md5Prefix(c: Column, nibbles: Int): Column =
