@@ -524,7 +524,7 @@ object Dedup {
   }
 
   /** (id, p, fp) anchored-window relation shared by the substring ops. */
-  private def anchorWins(df: DataFrame, idCol: String, textCol: String,
+  private[ext] def anchorWins(df: DataFrame, idCol: String, textCol: String,
                          winBytes: Int, anchorMod: Int): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
@@ -573,6 +573,21 @@ object Dedup {
       .filter(col("n_occ") >= 2)
       .select(col("fp"))
     val dup = wins.join(dupFps, Seq("fp"))
+    val base = df.select(col(idCol).as("id"),
+      octet_length(TextOps.normalized(col(textCol))).as("n_bytes"))
+    coverageOf(dup, base, winBytes)
+      .withColumn("drop", col("cov_bp") >= dropAtBp)
+  }
+
+  /** The island pass shared by [[substringDupCoverage]] and the
+    * streaming admission guard ([[IncrementalCoverage]]): interval
+    * union of `(id, p)` dup windows → per-doc covered bytes → basis
+    * points against `base` = (id, n_bytes).
+    *
+    * @return (id, n_bytes, n_dup_windows, covered_bytes, cov_bp)
+    */
+  private[ext] def coverageOf(dup: DataFrame, base: DataFrame,
+                              winBytes: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("p"))
     val prevEnd = max(col("p") + winBytes).over(
@@ -587,8 +602,7 @@ object Dedup {
     val cov = islands.groupBy(col("id"))
       .agg(sum(col("e") - col("s")).as("covered_bytes"),
         sum(col("n_win")).as("n_dup_windows"))
-    df.select(col(idCol).as("id"),
-        octet_length(TextOps.normalized(col(textCol))).as("n_bytes"))
+    base
       .join(cov, Seq("id"), "left")
       .select(col("id"),
         col("n_bytes").cast("long").as("n_bytes"),
@@ -597,7 +611,6 @@ object Dedup {
         when(col("n_bytes") > 0,
           floor(coalesce(col("covered_bytes"), lit(0L)) * 10000 / col("n_bytes")))
           .otherwise(lit(0)).cast("long").as("cov_bp"))
-      .withColumn("drop", col("cov_bp") >= dropAtBp)
   }
 
   /** Passage-dedup REWRITE: reassemble each document from its KEPT

@@ -105,4 +105,26 @@ object IncrementalAnn {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) Some(spark.read.parquet(indexDir)) else None
   }
+
+  /** Periodic index maintenance, cell-aware: each `cell=N` partition
+    * directory is a flat parquet directory, bin-packed independently
+    * ([[Layout.compactParquetDir]]) so the partition column (borne by
+    * the directory name) survives and partition pruning is untouched.
+    * Every tick appends ≥1 file into each cell it admits to, so
+    * unattended growth is linear in ticks × touched cells. Call every N
+    * ticks INSIDE the loop's serialized window (`foreachBatch` body on
+    * `batchId % N == N - 1`) — the compaction contract requires no
+    * concurrent writer/reader, which the loop's serialization provides.
+    * Returns total part files across cells after packing.
+    */
+  def maintain(spark: SparkSession, indexDir: String,
+               targetBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(d => Layout.compactParquetDir(spark, d.getPath.toString, targetBytes))
+      .sum
+  }
 }

@@ -76,4 +76,29 @@ object IncrementalDedup {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) Some(spark.read.parquet(indexDir)) else None
   }
+
+  /** Periodic index maintenance: bin-pack the corpus and signature
+    * directories ([[Layout.compactParquetDir]]). Every tick appends at
+    * least one part file to each, so an unattended loop accumulates
+    * files linearly in tick count — the small-files failure mode that
+    * dominates scan cost at 100 TB. Call every N ticks INSIDE the same
+    * serialized window that runs [[admitBatch]] (e.g. from the
+    * `foreachBatch` body on `batchId % N == N - 1`): the compaction
+    * contract requires no concurrent writer or reader of these
+    * directories, and the loop's own serialization provides exactly
+    * that. Returns (corpus files, index files) after packing; a
+    * not-yet-created directory counts 0 and is skipped.
+    */
+  def maintain(spark: SparkSession, corpusDir: String, indexDir: String,
+               targetBytes: Long = 128L << 20): (Int, Int) =
+    (compactIfExists(spark, corpusDir, targetBytes),
+      compactIfExists(spark, indexDir, targetBytes))
+
+  private[ext] def compactIfExists(spark: SparkSession, dir: String,
+                                   targetBytes: Long): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Layout.compactParquetDir(spark, dir, targetBytes)
+    else 0
+  }
 }

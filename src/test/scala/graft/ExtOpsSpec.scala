@@ -340,6 +340,206 @@ class ExtOpsSpec extends AnyFunSuite {
       "replay must not append to the index")
   }
 
+  test("incremental-dedup maintenance: compaction bounds files across 6 ticks") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_incdedup_maint").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val rnd = new scala.util.Random(11)
+    val vocabPool = (0 until 400).map(i => s"word${i}x$i")
+    def text(): String =
+      rnd.shuffle(vocabPool).take(12).mkString(" ")
+    def parts(dir: String): Int =
+      new java.io.File(dir).listFiles().count(f =>
+        f.isFile && f.getName.startsWith("part-"))
+    val firstText = text()
+    val texts = firstText +: (1 until 12).map(_ => text())
+    // 6 ticks x 2 unique docs; compact every 2nd tick INSIDE the
+    // serialized window, exactly as a foreachBatch body would
+    (0 until 6).foreach { t =>
+      val batch = Seq((t * 10L, texts(2 * t)), (t * 10L + 1, texts(2 * t + 1)))
+        .toDF("doc_id", "text")
+      IncrementalDedup.admitBatch(batch, "doc_id", "text",
+        corpusDir, indexDir, maxDist = 0)
+      if (t % 2 == 1) IncrementalDedup.maintain(spark, corpusDir, indexDir)
+    }
+    // bounded: ticks appended >= 6 files each; maintenance packed both
+    // directories back to a single file at this size
+    assert(parts(corpusDir) == 1, s"corpus files ${parts(corpusDir)}")
+    assert(parts(indexDir) == 1, s"index files ${parts(indexDir)}")
+    // content preserved: all 12 admitted, and the compacted index still
+    // drops a cross-batch duplicate
+    val corpus = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus.size == 12, s"corpus after compaction: $corpus")
+    val replay = IncrementalDedup.admitBatch(
+      Seq((99L, firstText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, maxDist = 0)
+    assert(replay == ((0L, 0L, 1L)),
+      s"compacted index must still drop duplicates: $replay")
+  }
+
+  test("incremental-ANN maintenance: per-cell compaction keeps pruning layout") {
+    import spark.implicits._
+    import graft.ext.IncrementalAnn
+    val root = java.nio.file.Files.createTempDirectory("graft_incann_maint").toString
+    val indexDir = s"$root/index"
+    val dim = 16
+    def oneHot(k: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == k) 1f else 0f)
+    val cents: Array[(Long, Array[Float])] =
+      Array.tabulate(4)(k => k.toLong -> oneHot(k).toArray)
+    // 6 ticks x 2 pairwise-orthogonal vectors: e_0..e_3 land in their
+    // matching cells, e_4.. tie to cell 0 (lowest id)
+    (0 until 6).foreach { t =>
+      val batch = Seq((2L * t, oneHot(2 * t)), (2L * t + 1, oneHot(2 * t + 1)))
+        .toDF("vec_id", "embedding")
+      IncrementalAnn.admitBatch(batch, "vec_id", "embedding",
+        indexDir, cents, tau = 0.95, nProbe = 2)
+      if (t % 2 == 1) IncrementalAnn.maintain(spark, indexDir)
+    }
+    val cellDirs = new java.io.File(indexDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+    assert(cellDirs.map(_.getName).toSet == Set("cell=0", "cell=1", "cell=2", "cell=3"),
+      s"cells: ${cellDirs.map(_.getName)}")
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(f => f.isFile && f.getName.startsWith("part-"))
+      assert(n == 1, s"${d.getName} has $n part files after maintenance")
+    }
+    // content + pruning semantics preserved: all 12 vectors, replay drops
+    val ids = spark.read.parquet(indexDir).select("id").as[Long].collect().toSet
+    assert(ids == (0 until 12).map(_.toLong).toSet, s"ids $ids")
+    val replay = IncrementalAnn.admitBatch(
+      Seq((99L, oneHot(0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", indexDir, cents, tau = 0.95, nProbe = 2)
+    assert(replay == ((0L, 0L, 1L)),
+      s"compacted index must still drop duplicates: $replay")
+  }
+
+  test("incremental coverage guard: cross-batch span admission, checkpoint restart") {
+    import spark.implicits._
+    import graft.ext.IncrementalCoverage
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_inccov").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/spans")
+    val ckpt = s"$root/ckpt"
+    val rnd = new scala.util.Random(5)
+    val alpha = "abcdefghijklmnopqrstuvwxyz    "
+    def filler(n: Int): String =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val (aText, bText, cText, dText, eText) =
+      (filler(200), filler(200), filler(200), filler(200), filler(300))
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        IncrementalCoverage.admitBatch(batch, "doc_id", "text",
+          corpusDir, indexDir, winBytes = 40, anchorMod = 4); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    in.addData((1L, aText), (2L, bText)) // unique: both admitted
+    q1.processAllAvailable()
+    // 3 is ~83% doc-1 content -> dropped vs the SPAN INDEX; 4 unique
+    in.addData((3L, s"${filler(40)} $aText"), (4L, cText))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: span state must survive via the index
+    val q2 = start()
+    // 5 repeats PRE-restart doc 1 verbatim; 6 unique; 7 below the window
+    in.addData((5L, aText), (6L, dText), (7L, "tiny"))
+    q2.processAllAvailable()
+    q2.stop()
+    val corpus = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 4L, 6L, 7L),
+      s"admitted set wrong after 3 ticks + restart: $corpus")
+    // in-batch semantics: two copies of the same boilerplate-dominated
+    // doc BOTH fail the coverage policy (guard, not first-wins dedup)
+    val both = IncrementalCoverage.admitBatch(
+      Seq((8L, eText), (9L, eText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
+    assert(both == ((0L, 2L)), s"in-batch copies must both drop: $both")
+    // replay idempotence: a re-delivered committed batch scores 10000 bp
+    // against its own indexed spans and admits nothing
+    val replay = IncrementalCoverage.admitBatch(
+      Seq((1L, aText), (2L, bText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
+    assert(replay == ((0L, 2L)), s"replayed batch must admit nothing: $replay")
+    assert(spark.read.parquet(corpusDir).count() == 5,
+      "replay must not append to the corpus")
+    // the index stores DISTINCT fingerprints only
+    val fps = spark.read.parquet(indexDir).select("fp").as[String].collect()
+    assert(fps.length == fps.distinct.length, "span index must stay distinct")
+  }
+
+  test("non-ASCII battery: text operators keep char and byte units consistent") {
+    import spark.implicits._
+    import graft.ext.{Corpus, TextOps}
+    // mixed scripts with different UTF-8 widths: CJK 3 B/char, Cyrillic
+    // 2 B/char, accents 2 B/char — any char/byte mix shows up as a
+    // factor-of-width error somewhere below
+    val cjk = "深度学习模型需要海量高质量的训练数据支持"
+    val ru = "море волнуется раз море волнуется два"
+    val mixed = "état café über naïve 深度学习 résumé"
+    val df = Seq((1L, cjk), (2L, ru), (3L, mixed)).toDF("doc_id", "text")
+    def cp(s: String): Int = s.codePointCount(0, s.length)
+
+    val stats = df.select(col("doc_id"),
+        TextOps.nTokens(col("text")).as("nt"),
+        TextOps.nPunct(col("text")).as("np"),
+        length(col("text")).as("nc"),
+        octet_length(col("text")).as("nb"),
+        TextOps.meanTokenLen(col("text")).as("mtl"),
+        TextOps.langIdHeuristic(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // length() is CHARACTERS (code points), octet_length is BYTES —
+    // and they must differ by the script's width, not agree
+    assert(stats(1L).getInt(3) == cp(cjk), "length must count code points")
+    assert(stats(1L).getInt(4) == cjk.getBytes("UTF-8").length)
+    assert(stats(1L).getInt(4) == 3 * cp(cjk), "CJK is 3 bytes/char here")
+    assert(stats(2L).getInt(3) == cp(ru) && stats(2L).getInt(4) > cp(ru))
+    // whitespace tokenization is byte-free: unspaced CJK is ONE token,
+    // and every CJK char counts as punct-class (outside [A-Za-z0-9])
+    assert(stats(1L).getInt(1) == 1 && stats(1L).getInt(2) == cp(cjk))
+    // meanTokenLen is chars per token — for the single CJK token,
+    // exactly the code-point count, NOT the byte count
+    assert(stats(1L).getDouble(5) == cp(cjk).toDouble,
+      s"meanTokenLen must be char-based: ${stats(1L)}")
+    assert(stats(1L).getString(6) == "zh" && stats(2L).getString(6) == "ru")
+
+    // chunking is token-granular: reassembling chunks loses nothing on
+    // any script (same unit on both the split and slice sides)
+    val re = Corpus.chunk(df, "doc_id", "text", chunkSize = 3, overlap = 0)
+      .select("id", "chunk_no", "chunk_text")
+      .as[(Long, Int, String)].collect().groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).mkString(" ") }
+    val want = df.select(col("doc_id"),
+        TextOps.normalized(col("text")).as("w"))
+      .as[(Long, String)].collect().toMap
+    assert(re == want, "chunk reassembly must cover every token on every script")
+
+    // hashing operates on UTF-8 BYTES in every engine: fingerprint ==
+    // JVM md5 of the normalized string's UTF-8 bytes, and the native
+    // md5-prefix hash == its builtin (hex substring) form
+    val fps = df.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.portableHash(col("text")).as("h"),
+        TextOps.portableHashBuiltin(col("text")).as("hb"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def jvmMd5(s: String): String = org.apache.commons.codec.binary.Hex
+      .encodeHexString(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")))
+    Seq(1L -> cjk, 2L -> ru, 3L -> mixed).foreach { case (id, t0) =>
+      val want = jvmMd5(t0.toLowerCase.trim.replaceAll("\\s+", " "))
+      assert(fps(id).getString(1) == want, s"fingerprint bytes-unit: doc $id")
+      assert(fps(id).getLong(2) == fps(id).getLong(3),
+        s"native vs builtin portable hash on non-ASCII: doc $id")
+    }
+  }
+
   test("jaccard stop-shingle cap: subset of exact pairs, no-op when loose") {
     val docs = Tables.documents(spark, sf)
     def pairs(cap: Int) =
