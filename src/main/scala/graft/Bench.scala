@@ -76,6 +76,21 @@ object Bench {
     // in the `cold` map without contradicting the headline numbers.
     val failed = results.count(r => r._3.exists(_ < 0))
     val total = results.map(r => median(r._3)).filter(_ >= 0).sum
+    // load-marker protocol (stderr, so the driver's stdout JSON parse is
+    // untouched): a loaded run self-identifies. spread > 1 on a query
+    // whose code didn't change means machine noise — re-run before
+    // reading any number as a regression; see README.
+    val bySpread = results
+      .map { r =>
+        val m = median(r._3)
+        (r._1, if (m <= 0) -1.0 else (r._3.max - r._3.min) / m)
+      }
+      .sortBy(-_._2).take(3)
+    System.err.println("[bench] top warm-run spreads (load markers): " +
+      bySpread.map { case (n, s) => f"$n=$s%.2f" }.mkString(", ") +
+      (if (bySpread.exists(_._2 > 1.0))
+        " — spread > 1 present: MACHINE LOADED, numbers unreliable, re-run"
+      else " — clean run"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$WarmRuns,"queries":$qs,"cold":$colds,"warm":$warms,"spread":$spreads,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
