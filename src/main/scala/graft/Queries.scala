@@ -1930,6 +1930,69 @@ object Queries {
         md5(coalesce(array_to_string(a.all_toks, ' '), '')) AS tok_fp
       FROM documents d LEFT JOIN agg a USING (doc_id)"""))
 
+  /** Fraction-based decontamination: the published-eval policy form —
+    * per doc, bp of its distinct word bigrams that appear anywhere in
+    * the benchmark slice, with the ≥ 2500 bp drop verdict. Portable
+    * md5-prefix shingle hashes keep even collisions engine-identical.
+    */
+  val qDecontamFraction = Q("q_decontam_fraction",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminateFraction(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 2, dropAtBp = 2500)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"),
+          col("overlap_bp"), col("drop"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(
+            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-1, 0)),
+          i -> array_to_string(
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+1], ' ')))
+          AS sset
+        FROM documents),
+      ex0 AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      ex AS (SELECT doc_id,
+               ('0x'||substr(md5(shingle),1,15))::BIGINT AS h
+             FROM ex0),
+      bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0),
+      scored AS (
+        SELECT doc_id, count(*) AS n_shingles,
+          count(CASE WHEN h IN (SELECT h FROM bench) THEN 1 END) AS n_shared
+        FROM ex WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(s.n_shingles, 0) AS n_shingles,
+        coalesce(s.n_shared, 0) AS n_shared,
+        CASE WHEN coalesce(s.n_shingles, 0) > 0
+          THEN (s.n_shared * 10000) // s.n_shingles ELSE 0 END AS overlap_bp,
+        (CASE WHEN coalesce(s.n_shingles, 0) > 0
+          THEN (s.n_shared * 10000) // s.n_shingles ELSE 0 END) >= 2500 AS "drop"
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+      LEFT JOIN scored s USING (doc_id)"""))
+
+  /** Temperature resampling at alpha = 0.5 (the standard multilingual
+    * rebalance): per-source keep rate = sqrt(share ratio) in exact ppm
+    * via the integer-sqrt form, admission by portable-hash threshold —
+    * the whole mixture reweight hash-certified.
+    */
+  val qTemperatureSample = Q("q_temperature_sample",
+    (s, dir) => Corpus.temperatureSample(t(s, dir, "documents"),
+        "source", Seq("doc_id"), alpha = 0.5)
+      .select(col("doc_id"), col("source"), col("keep_rate_ppm")),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      m AS (SELECT max(n) AS nmax FROM c),
+      r AS (SELECT source,
+        CAST(floor(sqrt(
+          (((n::HUGEINT) * 1000000 * 1000000) // (SELECT nmax FROM m))::DOUBLE))
+          AS BIGINT) AS keep_rate_ppm
+        FROM c)
+      SELECT d.doc_id, d.source, r.keep_rate_ppm
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+            < r.keep_rate_ppm"""))
+
   /** Mixture sampling: per-source keep rates (the data-mixing step) —
     * up-weight two sources, down-weight two, default the rest.
     */
@@ -2792,5 +2855,6 @@ object Queries {
     qKmeansAssign,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep,
-    qChunk, qPack, qDecontam, qDecontamBloom)
+    qChunk, qPack, qDecontam, qDecontamBloom, qDecontamFraction,
+    qTemperatureSample)
 }

@@ -243,6 +243,102 @@ object Corpus {
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Fraction-based benchmark decontamination — the published-eval
+    * policy form ("remove documents with ≥ X% n-gram overlap", GPT-3 /
+    * PaLM style) on top of [[decontaminate]]'s any-match flag: per
+    * corpus document, the fraction of its DISTINCT word n-grams that
+    * appear anywhere in the benchmark, in integer basis points, plus
+    * the `dropAtBp` policy verdict. Every corpus document gets a row
+    * (0 bp when nothing overlaps or the doc is shorter than n), so the
+    * output is directly joinable as a keep/drop column.
+    *
+    * Shape: benchmark shingles (small by nature) broadcast as 8-byte
+    * portable hashes; the corpus side is one shingle scan + one
+    * id-keyed count aggregate — no shuffle ever touches shingle text.
+    * Portable md5-prefix hashing keeps the whole score — including
+    * hash collisions, identical in any engine — oracle-checkable.
+    *
+    * @return (id, n_shingles, n_shared, overlap_bp, drop)
+    */
+  def decontaminateFraction(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            dropAtBp: Int = 2500): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val c = Dedup.explodedShingles(corpus, idCol, textCol, n)
+      .select(col("id"), col("m"), TextOps.portableHash(col("shingle")).as("h"))
+    val b = Dedup.explodedShingles(benchmark, idCol, textCol, n)
+      .select(TextOps.portableHash(col("shingle")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val scored = c.join(broadcast(b), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(max(col("m")).cast("long").as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+    corpus.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_bp",
+        when(col("n_shingles") > 0,
+          floor(col("n_shared") * 10000 / col("n_shingles")))
+          .otherwise(lit(0)).cast("long"))
+      .withColumn("drop", col("overlap_bp") >= dropAtBp)
+  }
+
+  /** Temperature (power) resampling of the source mixture — the
+    * standard multilingual/multi-source rebalance (mT5, XLM-R): stratum
+    * s with corpus share p_s is sampled with probability ∝ p_s^alpha,
+    * so alpha = 1 keeps natural proportions and alpha → 0 flattens the
+    * mixture toward uniform. Per-stratum keep rates are derived in one
+    * count aggregate, fixed-pointed to parts-per-million (half-up, a
+    * single driver-side rounding per stratum), normalized so the
+    * LARGEST stratum's rate is scaled by `keepTopPpm` — the admission
+    * is then the same deterministic portable-hash threshold as
+    * [[mixtureSample]]: stateless, shuffle-free on the corpus side,
+    * reproducible in any engine.
+    *
+    * @param alpha      temperature exponent in (0, 1]
+    * @param keepTopPpm ppm of the HEAVIEST stratum to keep (the whole
+    *                   rate vector scales with it; 1000000 keeps the
+    *                   heaviest stratum whole)
+    * @return input rows + (keep_rate_ppm) for admitted rows only
+    */
+  def temperatureSample(df: DataFrame, strataCol: String,
+                        idCols: Seq[String], alpha: Double,
+                        keepTopPpm: Int = 1000000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha must be in (0, 1]")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    // one count pass; strata counts are driver-sized by nature
+    val counts = df.groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    // rate_s = (c_s / c_max)^alpha · keepTopPpm (the total cancels in
+    // the ratio), ppm-integer per stratum so the compare is exact.
+    // alpha = 0.5 — THE standard temperature — takes the integer-sqrt
+    // form floor(sqrt(c·ppm²/c_max)): the radicand is an exact integer
+    // ≤ ppm² < 2^52 and IEEE sqrt is correctly rounded, so the rate is
+    // bit-identical in any engine (oracle-checkable). Other alphas go
+    // through pow(), whose last-ulp freedom is engine-specific —
+    // rows-check territory.
+    val cMax = counts.map(_._2).max
+    val ratePpm: Map[Any, Long] = counts.map { case (s, c) =>
+      val r =
+        if (alpha == 0.5)
+          math.floor(math.sqrt(
+            (BigInt(c) * keepTopPpm * keepTopPpm / cMax).toDouble)).toLong
+        else math.floor(
+          math.pow(c.toDouble / cMax, alpha) * keepTopPpm + 0.5).toLong
+      s -> r
+    }.toMap
+    val rateCol = counts.foldLeft(lit(0L)) { case (acc, (s, _)) =>
+      when(col(strataCol) === lit(s), lit(ratePpm(s))).otherwise(acc)
+    }
+    val key = pmod(TextOps.portableHash(
+      concat_ws("|", idCols.map(col): _*)), lit(1000000L))
+    df.withColumn("keep_rate_ppm", rateCol)
+      .filter(key < col("keep_rate_ppm"))
+  }
+
   /** Self-trained unigram LM surprisal — the CCNet/Gopher perplexity-
     * filter shape with the LM reduced to unigrams: score each document
     * by its mean token surprisal −ln p(token) under the corpus's own

@@ -143,7 +143,27 @@ object ScaleBench {
           dim = 64, m = 8, nCodes = 16, iters = 2)
         graft.ext.Pq.searchAdc(corpus,
           corpus.filter(col("id") < 5), k = 10, books, refine = 60)
-      })
+      },
+      // cells bound the pair space (n²/k per balanced cell); tau as in
+      // nearDupPairsSrp so only planted near-copies pair and output
+      // stays linear
+      "semanticDedup" -> (s => graft.ext.Similarity.semanticDedup(
+        vecs(s), "vec_id", "embedding", k = 16, tau = 0.7)
+        .filter(!col("keep"))),
+      // learn once per scale (8 rounds over the distinct-word vocab,
+      // which is ~constant across scales: same 2k base vocabulary) then
+      // encode the corpus — the end-to-end tokenizer cost
+      "bpeLearnEncode" -> { s =>
+        val merges = graft.ext.Bpe.learn(docs(s), "text", nMerges = 8)
+        docs(s).select(col("doc_id"),
+          size(graft.ext.Bpe.encode(col("text"), merges)).as("n"))
+      },
+      // benchmark side constant-ish (every 97th doc); corpus side scans
+      "decontaminateFraction" -> (s => graft.ext.Corpus.decontaminateFraction(
+        docs(s).filter(col("doc_id") % 97 =!= 0),
+        docs(s).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, dropAtBp = 2500)
+        .filter(col("drop"))))
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -167,7 +187,7 @@ object ScaleBench {
       val warm = math.min(run()._1, run()._1)
       release()
       val inRows = (name match {
-        case "nearDupPairsSrp" | "pqSearchAdc" => baseVecs
+        case "nearDupPairsSrp" | "pqSearchAdc" | "semanticDedup" => baseVecs
         case "kmvDistinct" => baseVals
         case "jaccardAgainst" => baseDocs / 11
         case _ => baseDocs

@@ -252,6 +252,61 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L), s"colliding-id doc must be flagged: $out")
   }
 
+  test("decontaminateFraction scores every doc; overlap drives the verdict") {
+    // doc 1 = fully inside the benchmark (100% bigram overlap), doc 2 =
+    // half-contaminated, doc 3 = clean, doc 4 = too short for bigrams
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta zebra yak xerus walrus"),
+      (3L, "mole newt otter pika quail"),
+      (4L, "single")).toDF("doc_id", "text")
+    val out = Corpus.decontaminateFraction(corpus, bench,
+        "doc_id", "text", n = 2, dropAtBp = 2500)
+      .select("id", "n_shingles", "n_shared", "overlap_bp", "drop")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 4, "every corpus doc must get a verdict row")
+    assert(out(1L) == ((1L, 3L, 3L, 10000L, true)), out(1L).toString)
+    // doc 2: bigrams (alpha beta)(beta zebra)(zebra yak)(yak xerus)
+    // (xerus walrus) -> 1 of 5 shared -> 2000 bp, below the policy
+    assert(out(2L) == ((2L, 5L, 1L, 2000L, false)), out(2L).toString)
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0L && !out(3L)._5)
+    assert(out(4L) == ((4L, 0L, 0L, 0L, false)), out(4L).toString)
+  }
+
+  test("temperatureSample flattens the mixture; alpha=0.5 rates are exact") {
+    // 400/100/25 split: natural shares 16:4:1 -> sqrt ratio 4:2:1
+    val df = spark.range(525).select(col("id"),
+      when(col("id") < 400, "big").when(col("id") < 500, "mid")
+        .otherwise("small").as("src"))
+    val out = Corpus.temperatureSample(df, "src", Seq("id"), alpha = 0.5)
+      .select(col("src"), col("keep_rate_ppm"))
+      .as[(String, Long)].collect()
+    val rates = out.groupBy(_._1).map { case (s, r) => s -> r.head._2 }
+    // exact integer-sqrt rates: sqrt(c/cmax)*1e6
+    assert(rates == Map("big" -> 1000000L, "mid" -> 500000L, "small" -> 250000L),
+      rates.toString)
+    // kept counts reflect the rates: all of big, ~half of mid, ~quarter
+    // of small (hash-threshold admission, deterministic)
+    val kept = out.groupBy(_._1).map { case (s, r) => s -> r.size }
+    assert(kept("big") == 400, kept.toString)
+    assert(kept("mid") > 30 && kept("mid") < 70, kept.toString)
+    assert(kept("small") > 1 && kept("small") < 13, kept.toString)
+    // determinism: same admission set on re-run
+    val again = Corpus.temperatureSample(df, "src", Seq("id"), alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    val first = Corpus.temperatureSample(df, "src", Seq("id"), alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+    // general alpha path still monotone: smaller alpha -> flatter
+    val flat = Corpus.temperatureSample(df, "src", Seq("id"), alpha = 0.3)
+      .select(col("src"), col("keep_rate_ppm")).as[(String, Long)]
+      .collect().groupBy(_._1).map { case (s, r) => s -> r.head._2 }
+    assert(flat("small") > rates("small") && flat("mid") > rates("mid"),
+      s"alpha 0.3 must flatten more than 0.5: $flat vs $rates")
+  }
+
   test("semanticDedup keeps the member farthest from its centroid per cluster") {
     import graft.ext.Similarity
     // k=2 deterministic seeds = lowest-id vectors: cell0=(1,0), cell1=(0,1).

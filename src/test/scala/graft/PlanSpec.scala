@@ -317,4 +317,47 @@ class PlanSpec extends AnyFunSuite {
       s"grid cells must partial-aggregate map-side:\n$p")
     assert(!p.contains("Window"), s"no window anywhere in the sketch:\n$p")
   }
+
+  test("dedup_semantic: native assignment, centroid vectors broadcast, no cartesian") {
+    val p = planOf("dedup_semantic")
+    assert(p.contains("nearest_centroid"),
+      s"cell assignment must be the native expression (O(1) plan in k):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row centroid-vector table must broadcast:\n$p")
+    // the near-dup pair join is cell-blocked (equi-join), never all-pairs
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay a cell-blocked equi-join:\n$p")
+  }
+
+  test("q_bpe_encode: encoding is one shuffle-free codegen'd projection") {
+    val p = planOf("q_bpe_encode")
+    // learning runs as its own driver-looped jobs BEFORE this plan; the
+    // returned encode plan itself is scan -> project, no exchange at all
+    assert(!p.contains("Exchange"),
+      s"encode must be a narrow projection, no shuffle:\n$p")
+    // the scan + hash projection stages are codegen'd ("*(n)" spans);
+    // the per-word transform() lambda itself is a higher-order function
+    // — expression-interpreted inside the projection by design
+    assert(p.contains("*("),
+      s"surrounding stages must stay inside codegen:\n$p")
+  }
+
+  test("q_decontam_fraction: benchmark broadcasts; shingle text never shuffles") {
+    val p = planOf("q_decontam_fraction")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle hashes must broadcast:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("shingle#")),
+      s"shingle text crosses a shuffle (only 8-byte hashes and id counts may):\n$p")
+  }
+
+  test("q_temperature_sample: admission is a shuffle-free scan filter") {
+    val p = planOf("q_temperature_sample")
+    // rates were derived in a separate count job; the returned plan is
+    // scan -> filter -> project with zero exchanges
+    assert(!p.contains("Exchange"),
+      s"hash-threshold admission must not shuffle:\n$p")
+  }
 }
