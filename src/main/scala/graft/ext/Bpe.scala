@@ -63,13 +63,32 @@ object Bpe {
 
   /** Learn `nMerges` merge rules from a text column. Returns the merge
     * table in rank order — driver-sized (the rules, not the vocab).
+    *
+    * Two paths with IDENTICAL output (`BpeSpec` parity), split by
+    * whether the counted vocabulary fits `driverVocabLimit` — the same
+    * gated-fast-path shape as [[Dedup.connectedComponents]]:
+    *  - DRIVER (the default case): the vocab after the top-`maxVocab`
+    *    cut is at most `maxVocab` (word, count) pairs — megabytes — so
+    *    ONE collect replaces `nMerges` serial Spark jobs with an
+    *    in-memory loop. At a production 30k merges the distributed loop
+    *    would mean 30k driver round-trips; this is the only honest way
+    *    to learn real vocabularies.
+    *  - DISTRIBUTED (`driverVocabLimit = 0` forces it): one
+    *    pair-count aggregation + one-row collect per round, for vocab
+    *    relations too large to collect (huge `maxVocab`). This is also
+    *    the semantics the `q_bpe_learn` oracle replays round by round.
+    * The corpus-wide word count is one distributed pass either way.
     */
   def learn(df: DataFrame, textCol: String, nMerges: Int,
-            maxVocab: Int = 1 << 16): Seq[(String, String)] = {
-    val vocab0 = df.select(explode(words(col(textCol))).as("w"))
+            maxVocab: Int = 1 << 16,
+            driverVocabLimit: Long = 200000L): Seq[(String, String)] = {
+    val counted = df.select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(maxVocab)
-      .select(wrapped(col("w")).as("s"), col("cnt"))
+    if (maxVocab <= driverVocabLimit)
+      return learnOnDriver(
+        counted.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+    val vocab0 = counted.select(wrapped(col("w")).as("s"), col("cnt"))
     var vocab = Materialize.multiScan(vocab0)
     vocab.count() // materialize the corpus-wide pass once
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -99,6 +118,79 @@ object Bpe {
       }
     }
     vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** The in-memory learner behind [[learn]]'s driver fast path: same
+    * greedy argmax with the same (count desc, pair lexicographic asc)
+    * tie-break, over words as code-point symbol arrays. O(rounds ×
+    * vocab × avg word length) — seconds for a production 30k-merge
+    * table over a bounded vocab, zero Spark jobs per round.
+    */
+  private def learnOnDriver(vocab: Array[(String, Long)],
+                            nMerges: Int): Seq[(String, String)] = {
+    val words = vocab.map { case (w, c) =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (b, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // ties break exactly like the distributed orderBy: count desc,
+        // then pair ascending in UTF-8 BINARY order (Spark's string
+        // ordering) — Java compareTo orders by UTF-16 units, which
+        // diverges for supplementary characters
+        def utf8Less(a: String, b: String): Boolean = {
+          val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+          var i = 0
+          while (i < x.length && i < y.length) {
+            val d = (x(i) & 0xff) - (y(i) & 0xff)
+            if (d != 0) return d < 0
+            i += 1
+          }
+          x.length < y.length
+        }
+        var best: (String, String) = null
+        var bestC = -1L
+        counts.forEach { (p, c) =>
+          if (c > bestC || (c == bestC &&
+              (utf8Less(p._1, best._1) ||
+                (p._1 == best._1 && utf8Less(p._2, best._2))))) {
+            best = p; bestC = c
+          }
+        }
+        merges += best
+        words.foreach { case (syms, _) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == best._1 && syms(i + 1) == best._2) {
+              syms(i) = best._1 + best._2
+              syms.remove(i + 1)
+            }
+            // a merged symbol may immediately pair with the next one
+            // only in a LATER round — the left-to-right scan advances
+            // past it exactly like the literal-replace form
+            i += 1
+          }
+        }
+      }
+    }
     merges.toSeq
   }
 

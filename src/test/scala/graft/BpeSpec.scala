@@ -30,6 +30,20 @@ class BpeSpec extends AnyFunSuite {
       ("lo", "w"), ("e", "w")), merges.toString)
   }
 
+  test("driver fast path and distributed learning produce the same table") {
+    // driverVocabLimit = 0 forces the distributed per-round loop (the
+    // q_bpe_learn oracle's semantics); the default takes the collected
+    // in-memory learner — they must agree rule for rule
+    val viaDriver = Bpe.learn(classicCorpus, "text", nMerges = 5)
+    val viaSpark = Bpe.learn(classicCorpus, "text", nMerges = 5,
+      driverVocabLimit = 0L)
+    assert(viaDriver == viaSpark, s"$viaDriver vs $viaSpark")
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val d2 = Bpe.learn(docs, "text", nMerges = 8)
+    val s2 = Bpe.learn(docs, "text", nMerges = 8, driverVocabLimit = 0L)
+    assert(d2 == s2, s"fixture-corpus parity: $d2 vs $s2")
+  }
+
   test("encode applies merges in rank order; unseen word composes") {
     val merges = Bpe.learn(classicCorpus, "text", nMerges = 5)
     // "lowest" is NOT in the corpus: l,o,w,e,s,t -> es -> est -> lo ->
