@@ -1890,21 +1890,12 @@ object Queries {
         s"SELECT ${r + 1} AS rank, l AS lhs, r AS rhs FROM b$r")
         .mkString("\nUNION ALL\n")))
 
-  /** Learn-then-encode: every document re-tokenized with the learned
-    * table; per-doc subword count + an md5 over the full token stream,
-    * so the oracle pins every emitted symbol of every document.
+  /** The encode half of the BPE oracle, shared by `q_bpe_encode` and
+    * the `q_corpus_prep_v2` composite: merge-pattern scalars from the
+    * learned `b0..b7` + per-word replace chain + per-doc token list.
+    * Appended after [[bpeLearnCtes]]; exposes `agg(doc_id, all_toks)`.
     */
-  val qBpeEncode = Q("q_bpe_encode",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
-      docs.select(col("doc_id"),
-          graft.ext.Bpe.encode(col("text"), merges).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_bpe_tokens"),
-          md5(concat_ws(" ", col("toks"))).as("tok_fp"))
-    },
-    Some(bpeLearnCtes(8) + s""",
+  private val bpeEncodeCtes: String = s"""
       m AS (SELECT ${(0 until 8).map(r =>
         s"(SELECT chr(31)||l||chr(31)||chr(31)||r||chr(31) FROM b$r) AS pat$r, " +
         s"(SELECT chr(31)||l||r||chr(31) FROM b$r) AS rep$r").mkString(", ")}),
@@ -1924,7 +1915,23 @@ object Queries {
         FROM dw, m),
       agg AS (
         SELECT doc_id, flatten(list(toks ORDER BY i)) AS all_toks
-        FROM et GROUP BY doc_id)
+        FROM et GROUP BY doc_id)"""
+
+  /** Learn-then-encode: every document re-tokenized with the learned
+    * table; per-doc subword count + an md5 over the full token stream,
+    * so the oracle pins every emitted symbol of every document.
+    */
+  val qBpeEncode = Q("q_bpe_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
+      docs.select(col("doc_id"),
+          graft.ext.Bpe.encode(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          md5(concat_ws(" ", col("toks"))).as("tok_fp"))
+    },
+    Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + """
       SELECT d.doc_id,
         CAST(coalesce(len(a.all_toks), 0) AS BIGINT) AS n_bpe_tokens,
         md5(coalesce(array_to_string(a.all_toks, ' '), '')) AS tok_fp
@@ -2733,6 +2740,140 @@ object Queries {
         CAST(sum(n_tokens) AS BIGINT) AS budget_tokens
       FROM quota GROUP BY source"""))
 
+  /** End-to-end training-corpus preparation, round-7 edition — the
+    * composition story over THIS round's operators: duplicated-span
+    * coverage gate ([[Dedup.substringDupCoverage]]) → fraction
+    * decontamination vs a held-out benchmark
+    * ([[Corpus.decontaminateFraction]]) → exact-dedup survivors →
+    * temperature mixture rebalance at α = 0.5
+    * ([[Corpus.temperatureSample]]) → per-source budgets in LEARNED
+    * subword tokens ([[Bpe.learn]] on the raw corpus + [[Bpe.encode]]).
+    * Five stages, one hash-matched oracle: every intermediate set and
+    * the final per-source token budgets are pinned.
+    *
+    * Stage independence the oracle relies on: coverage and per-doc
+    * overlap fractions are doc-local scores (a doc's verdict does not
+    * depend on which OTHER docs survived earlier stages), so the SQL
+    * computes them over the full table and intersects the keeps —
+    * while the temperature RATES are derived from the survivors' own
+    * per-source counts, exactly as the operator does on its input.
+    */
+  val qCorpusPrepV2 = Q("q_corpus_prep_v2",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val covKeep = Dedup.substringDupCoverage(docs, "doc_id", "text",
+          winBytes = 40, anchorMod = 8, dropAtBp = 5000)
+        .filter(!col("drop")).select(col("id").as("doc_id"))
+      val afterCov = docs.join(covKeep, Seq("doc_id"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val deconKeep = Corpus.decontaminateFraction(
+          afterCov.filter(col("doc_id") % 97 =!= 0), bench,
+          "doc_id", "text", n = 2, dropAtBp = 2500)
+        .filter(!col("drop")).select(col("id").as("doc_id"))
+      val afterDecon = afterCov.join(deconKeep, Seq("doc_id"))
+      val surv = afterDecon
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+      val sampled = Corpus.temperatureSample(surv, "source",
+        Seq("doc_id"), alpha = 0.5)
+      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
+      sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.ext.Bpe.encode(col("text"), merges)))
+            .cast("long").as("bpe_tokens"))
+    },
+    Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + """,
+      cd AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      csized AS (
+        SELECT doc_id, t, length(t) AS n FROM cd WHERE length(t) >= 40),
+      cpos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM csized),
+      canch AS (
+        SELECT doc_id, t, p FROM cpos
+        WHERE (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+               + ascii(substr(t, p + 7, 1))) % 8 = 0),
+      cwins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM canch),
+      cocc AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS n_occ
+        FROM cwins),
+      cdup AS (SELECT doc_id, p FROM cocc WHERE n_occ >= 2),
+      cmarked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM cdup),
+      cisl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM cmarked),
+      cspans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e
+        FROM cisl GROUP BY 1, 2),
+      ccov AS (
+        SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_bytes
+        FROM cspans GROUP BY 1),
+      covkeep AS (
+        SELECT b.doc_id
+        FROM (SELECT doc_id,
+                octet_length(encode(trim(regexp_replace(lower(text),'\s+',' ','g')))) AS nb
+              FROM documents) b
+        LEFT JOIN ccov c USING (doc_id)
+        WHERE NOT ((CASE WHEN b.nb > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // b.nb
+          ELSE 0 END) >= 5000)),
+      fsh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(
+            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-1, 0)),
+          i -> array_to_string(
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+1], ' ')))
+          AS sset
+        FROM documents),
+      fex0 AS (SELECT doc_id, unnest(sset) AS shingle FROM fsh),
+      fex AS (SELECT doc_id,
+                ('0x'||substr(md5(shingle),1,15))::BIGINT AS h
+              FROM fex0),
+      fbench AS (SELECT DISTINCT h FROM fex WHERE doc_id % 97 = 0),
+      fscored AS (
+        SELECT doc_id, count(*) AS n_shingles,
+          count(CASE WHEN h IN (SELECT h FROM fbench) THEN 1 END) AS n_shared
+        FROM fex WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+      deconkeep AS (
+        SELECT k.doc_id
+        FROM covkeep k LEFT JOIN fscored f USING (doc_id)
+        WHERE k.doc_id % 97 <> 0
+          AND NOT ((CASE WHEN coalesce(f.n_shingles, 0) > 0
+            THEN (f.n_shared * 10000) // f.n_shingles ELSE 0 END) >= 2500)),
+      surv AS (
+        SELECT doc_id, source FROM (
+          SELECT d.doc_id, d.source,
+            min(d.doc_id) OVER (PARTITION BY
+              md5(trim(regexp_replace(lower(d.text),'\s+',' ','g')))) AS keep_id
+          FROM documents d JOIN deconkeep USING (doc_id))
+        WHERE doc_id = keep_id),
+      tc AS (SELECT source, count(*) AS n FROM surv GROUP BY source),
+      tm AS (SELECT max(n) AS nmax FROM tc),
+      tr AS (SELECT source,
+        CAST(floor(sqrt(
+          (((n::HUGEINT) * 1000000 * 1000000) // (SELECT nmax FROM tm))::DOUBLE))
+          AS BIGINT) AS rate
+        FROM tc),
+      samp AS (
+        SELECT sv.doc_id, sv.source
+        FROM surv sv JOIN tr USING (source)
+        WHERE ('0x'||substr(md5(sv.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+              < tr.rate)
+      SELECT sp.source, count(*) AS n_docs,
+        CAST(sum(coalesce(len(a.all_toks), 0)) AS BIGINT) AS bpe_tokens
+      FROM samp sp LEFT JOIN agg a USING (doc_id)
+      GROUP BY sp.source"""))
+
   /** Overlapping token-window chunking (size 40, overlap 8). */
   val qChunk = Q("q_chunk",
     (s, dir) => Corpus.chunk(t(s, dir, "documents"), "doc_id", "text",
@@ -2854,7 +2995,7 @@ object Queries {
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qKmeansAssign,
     qTimeTravel, qDataQuality,
-    qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep,
+    qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qChunk, qPack, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample)
 }

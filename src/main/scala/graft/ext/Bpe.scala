@@ -82,7 +82,11 @@ object Bpe {
   def learn(df: DataFrame, textCol: String, nMerges: Int,
             maxVocab: Int = 1 << 16,
             driverVocabLimit: Long = 200000L): Seq[(String, String)] = {
-    val counted = df.select(explode(words(col(textCol))).as("w"))
+    // spread first: pre-tokenize + explode is the CPU-heavy narrow
+    // stage and would otherwise run with the scan's partitioning (one
+    // task on a single-file table); no-op on well-partitioned inputs
+    val counted = Materialize.spread(df)
+      .select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(maxVocab)
     if (maxVocab <= driverVocabLimit)
