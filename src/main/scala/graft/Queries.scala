@@ -1824,6 +1824,76 @@ object Queries {
       FROM scored GROUP BY 1
       ORDER BY score_x10k DESC, doc_id LIMIT 20"""))
 
+  /** Hybrid retrieval: BM25 lexical top-50 fused with cosine vector
+    * top-50 (query = embedding 0) by reciprocal-rank fusion — the
+    * standard lexical+dense combiner, integer-exact so the fused list
+    * is hash-certified end to end. Docs found by BOTH modalities rise
+    * (n_lists = 2); rank-only fusion needs no score calibration.
+    */
+  val qHybridRetrieval = Q("q_hybrid_retrieval",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lexical = Corpus.bm25TopK(docs, "doc_id", "text",
+          terms = Seq("hash", "join", "merge", "vector"), k = 50)
+        .withColumn("rank", row_number().over( // 50 rows post-TakeOrdered
+          Window.orderBy(col("score_x10k").desc, col("id").asc)))
+        .select(col("id"), col("rank"))
+      val vector = Similarity.bruteForceTopK(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("id"), col("embedding")), k = 50)
+        .select(col("nn_id").as("id"), col("rank"))
+      Corpus.rrfFuse(Seq(lexical, vector), topK = 20)
+        .select(col("id").as("doc_id"), col("rrf_score"), col("n_lists"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      tokg AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tokg GROUP BY 1),
+      stats AS (SELECT (SELECT count(*) FROM tokg)::DOUBLE
+                         / (SELECT count(*) FROM documents) AS avgdl,
+                       (SELECT count(*) FROM documents) AS n_docs),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+             WHERE token IN ('hash', 'join', 'merge', 'vector')
+             GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      bscored AS (
+        SELECT tf.doc_id,
+          CAST(floor(
+            ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            * (tf.tf * (1.2 + 1.0))
+            / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+            * 10000 + 0.5) AS BIGINT) AS contrib_x10k
+        FROM tf JOIN dfq d USING (token) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s),
+      bagg AS (
+        SELECT doc_id, sum(contrib_x10k) AS score_x10k FROM bscored
+        GROUP BY 1 ORDER BY score_x10k DESC, doc_id LIMIT 50),
+      lex AS (
+        SELECT doc_id AS id,
+          row_number() OVER (ORDER BY score_x10k DESC, doc_id) AS rank
+        FROM bagg),
+      vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      vscored AS (
+        SELECT vec_id AS id,
+          round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 3) AS sim
+        FROM embeddings CROSS JOIN vq WHERE vec_id <> 0),
+      vec AS (
+        SELECT id, rank FROM (
+          SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+          FROM vscored) WHERE rank <= 50),
+      pts AS (
+        SELECT id, 1000000000 // (60 + rank) AS pts FROM lex
+        UNION ALL
+        SELECT id, 1000000000 // (60 + rank) AS pts FROM vec)
+      SELECT id AS doc_id, CAST(sum(pts) AS BIGINT) AS rrf_score,
+             count(*) AS n_lists
+      FROM pts GROUP BY id
+      ORDER BY rrf_score DESC, id LIMIT 20"""))
+
   val qVocab = Q("q_vocab",
     (s, dir) => Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 100),
     Some("""WITH tok AS (
@@ -2986,7 +3056,8 @@ object Queries {
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
-    qTfidf, qBm25, qVocab, qBpeLearn, qBpeEncode, qHeavyHitters,
+    qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
+    qHeavyHitters,
     qLmSurprisal, qLmBigram,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,

@@ -112,6 +112,38 @@ object Corpus {
       .orderBy(col("score_x10k").desc, col("id").asc).limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: given ranked lists over the same id space
+    * (lexical BM25, vector cosine, …), score each id by
+    * Σ floor(scale / (kRrf + rank)) over the lists that ranked it, and
+    * return the fused top-k. The integer point scale makes every score
+    * an exact sum of exact integers — rank-based, score-free fusion
+    * that is hash-reproducible in any engine (the double division's
+    * floor is exact here: the quotient is ≥ 1/denominator away from
+    * the next integer whenever it isn't itself exact, far beyond
+    * double rounding error at this magnitude).
+    *
+    * Shape: candidate lists are top-k-bounded by construction (k rows
+    * per list, not corpus-sized), so the union + id-keyed sum is work
+    * proportional to Σ list sizes, with the final cut a distributed
+    * TakeOrdered. The corpus itself is only touched by the upstream
+    * rankers.
+    *
+    * @param rankings (id, rank) DataFrames, rank 1-based best-first
+    * @return (id, rrf_score, n_lists) — fused top-k, ties to low id
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, kRrf: Int = 60,
+              scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "RRF needs at least one ranked list")
+    val scored = rankings.map(r =>
+      r.select(col("id"),
+        floor(lit(scale) / (lit(kRrf) + col("rank"))).cast("long").as("pts")))
+      .reduce(_ unionByName _)
+    scored.groupBy(col("id"))
+      .agg(sum(col("pts")).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id").asc).limit(topK)
+  }
+
   /** Corpus vocabulary: the topN tokens by (frequency desc, token asc)
     * with their counts — the building block of BPE/vocab training runs.
     *

@@ -252,6 +252,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L), s"colliding-id doc must be flagged: $out")
   }
 
+  test("rrfFuse: exact integer points, both-list ids rise, deterministic cut") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Corpus.rrfFuse(Seq(a, b), topK = 3)
+      .select("id", "rrf_score", "n_lists")
+      .as[(Long, Long, Long)].collect().toList
+    def pts(r: Int): Long = 1000000000L / (60 + r)
+    // 20 appears in BOTH lists and outranks every single-list id even
+    // though it tops neither; 30 falls to the topK cut
+    assert(out == List(
+      (20L, pts(2) + pts(1), 2L),
+      (10L, pts(1), 1L),
+      (40L, pts(2), 1L)), out.toString)
+  }
+
   test("decontaminateFraction scores every doc; overlap drives the verdict") {
     // doc 1 = fully inside the benchmark (100% bigram overlap), doc 2 =
     // half-contaminated, doc 3 = clean, doc 4 = too short for bigrams
@@ -333,6 +348,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.filter(_._2._5).keySet == Set(4L, 5L, 6L),
       s"survivors must be the low-cent_sim member + the singleton: $out")
     assert(out(4L)._4 == 0.980 && out(1L)._4 == 1.0, s"rounded cent_sim: $out")
+  }
+
+  test("semanticDedup exact-collapse is output-identical, incl. zero vectors") {
+    import graft.ext.Similarity
+    // the skew case the collapse exists for: most vectors IDENTICAL
+    // (boilerplate embedded n times), plus a near-dup, uniques, and
+    // zero vectors (cosine defined 0 — must never pair, so the star
+    // edges must not connect them either)
+    val hot = Array(0.6f, 0.8f)
+    val rows = (1L to 30L).map(i => (i, hot)) ++ Seq(
+      (31L, Array(0.6f, 0.79f)),
+      (32L, Array(-0.9f, 0.1f)),
+      (33L, Array(0f, 0f)), (34L, Array(0f, 0f)),
+      (35L, Array(0.1f, -0.95f)))
+    val df = rows.toDF("id", "embedding")
+    def run(collapse: Boolean) =
+      Similarity.semanticDedup(df, "id", "embedding", k = 2, tau = 0.9,
+          collapseExact = collapse)
+        .select("id", "cell", "cluster_id", "cent_sim", "keep")
+        .as[(Long, Int, Long, Double, Boolean)].collect().sortBy(_._1).toList
+    val collapsed = run(true)
+    val allPairs = run(false)
+    assert(collapsed == allPairs,
+      s"collapse changed output:\n$collapsed\nvs\n$allPairs")
+    val byId = collapsed.map(r => r._1 -> r).toMap
+    // the 30 identical + the near-dup form ONE cluster (label = min id)
+    (2L to 31L).foreach(i => assert(byId(i)._3 == 1L, s"doc $i: ${byId(i)}"))
+    // zero vectors stay singletons and keep themselves
+    Seq(33L, 34L).foreach { i =>
+      assert(byId(i)._3 == i && byId(i)._5, s"zero vec $i: ${byId(i)}")
+    }
   }
 
   test("semanticDedup with trained cells keeps one decision row per vector") {
