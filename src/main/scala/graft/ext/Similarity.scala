@@ -393,7 +393,8 @@ object Similarity {
     *         `keep` marks singletons and cluster survivors
     */
   def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
-                    k: Int, tau: Double, trainIters: Int = 0): DataFrame = {
+                    k: Int, tau: Double, trainIters: Int = 0,
+                    collapseExact: Boolean = true): DataFrame = {
     ensureRegistered(corpus)
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
@@ -411,7 +412,33 @@ object Similarity {
         .join(broadcast(centsDf), Seq("cell"))
         .withColumn("cent_sim", round(cosine(col("emb"), col("cent")), 3))
         .drop("cent"))
-    val pairs = nearDupPairs(assigned, "id", "emb", "cell", tau)
+    // Exact-duplicate pre-collapse (default): a cell dominated by
+    // IDENTICAL vectors (scraped boilerplate embedded n times) makes
+    // the within-cell pair join quadratic in the duplicate count.
+    // Identical vectors are cosine-1 pairs at any tau (zero-norm
+    // excepted: cosine is defined 0 there), so pairing ONE
+    // representative per distinct vector and star-connecting the rest
+    // yields exactly the same connected components — SkewBench measures
+    // the blowup this removes; the dedup_semantic oracle pins output
+    // identity to the all-pairs formulation.
+    val pairs =
+      if (!collapseExact) nearDupPairs(assigned, "id", "emb", "cell", tau)
+      else {
+        val withFp = Materialize.multiScan(assigned.withColumn("efp",
+          md5(concat_ws(",", col("emb").cast("array<string>")))))
+        val reps = Materialize.multiScan(
+          withFp.groupBy(col("cell"), col("efp"))
+            .agg(min(col("id")).as("id"), first(col("emb")).as("emb")))
+        val repPairs = nearDupPairs(reps, "id", "emb", "cell", tau)
+          .select(col("id_a"), col("id_b"))
+        val starPairs = withFp
+          .join(reps.select(col("cell"), col("efp"), col("id").as("rep_id")),
+            Seq("cell", "efp"))
+          .filter(col("id") =!= col("rep_id") &&
+            round(cosine(col("emb"), col("emb")), 3) >= tau)
+          .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+        repPairs.unionByName(starPairs)
+      }
     val clusters = Dedup.connectedComponents(pairs)
     // survivor = max score = MIN centroid similarity (ties → min id)
     val surv = Dedup.survivors(clusters,

@@ -35,7 +35,12 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: 0/0 = NaN, and BOTH Spark and DuckDB order NaN
+    // ABOVE every number, so an unguarded NaN >= tau is TRUE — a zero
+    // vector would "near-dup" every candidate it meets. Cosine with a
+    // zero vector is defined 0 here (the probeCellsLocal convention).
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,7 +60,8 @@ case class CosineSim(left: Expression, right: Expression)
           double $yi = (double) $b.getFloat($i);
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+          : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

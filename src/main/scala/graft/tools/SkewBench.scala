@@ -57,6 +57,19 @@ object SkewBench {
         .as("text"))
   }
 
+  /** Identical-vector skew: 30% of embeddings are ONE shared vector
+    * (the boilerplate-embedded-n-times shape), the rest hash-scattered
+    * as in ScaleBench. */
+  def synthHotVecs(spark: SparkSession, n: Long): DataFrame = {
+    val hot = col("id") % 10 < 3
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i => {
+        val base = pmod(hash(col("id"), i), lit(2000)).cast("double") / 1000.0 - 1.0
+        when(hot, when(i === 0, 1.0).otherwise(0.0)).otherwise(base)
+          .cast("float")
+      }).as("embedding"))
+  }
+
   /** Mega-cluster assignment: 30% of ids in cluster 0, the rest
     * singletons; deterministic hash scores. */
   def synthClusters(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
@@ -107,7 +120,19 @@ object SkewBench {
         clusters.join(scores, "id")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-      })
+      },
+      // semanticDedup's hostile shape: 30% of vectors IDENTICAL (one
+      // boilerplate embedding) — the within-cell pair join is quadratic
+      // in the duplicate count without the exact-duplicate pre-collapse,
+      // linear with it; output identical (oracle + spec pinned)
+      "semanticDedup all-pairs" -> (s =>
+        graft.ext.Similarity.semanticDedup(synthHotVecs(spark, 3000L * s),
+          "vec_id", "embedding", k = 16, tau = 0.7, collapseExact = false)
+          .filter(!col("keep"))),
+      "semanticDedup collapseExact" -> (s =>
+        graft.ext.Similarity.semanticDedup(synthHotVecs(spark, 3000L * s),
+          "vec_id", "embedding", k = 16, tau = 0.7)
+          .filter(!col("keep"))))
 
     // warmup pass at the smallest scale
     val warmScale = scales.min
@@ -124,7 +149,10 @@ object SkewBench {
       val (cold, rows) = run()
       val warm = run()._1
       release()
-      val inRows = baseDocs * s * (if (name.startsWith("survivors")) 400 else 1)
+      val inRows =
+        if (name.startsWith("survivors")) baseDocs * s * 400
+        else if (name.startsWith("semanticDedup")) 3000L * s
+        else baseDocs * s
       println(f"| $name | ${s}x | $inRows | $cold%.2f | $warm%.2f | $rows |")
     }
     spark.stop()

@@ -102,6 +102,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(math.abs(sqlSim - 1.0) < 1e-12)
   }
 
+  test("zero-norm vectors are cosine-0, never NaN, never near-dups of anything") {
+    import spark.implicits._
+    // unguarded 0/0 is NaN, and BOTH Spark and DuckDB order NaN above
+    // every number — NaN >= tau is TRUE, so a zero embedding would
+    // pair with every candidate it meets in every cosine operator
+    val z = Seq((Array(0f, 0f), Array(1f, 2f)),
+      (Array(0f, 0f), Array(0f, 0f))).toDF("a", "b")
+    val sims = z.select(Similarity.cosine(col("a"), col("b")))
+      .as[Double].collect()
+    assert(sims.toSeq == Seq(0.0, 0.0), s"zero-norm must be 0: ${sims.toSeq}")
+    val df = Seq(
+      (1L, Array(1f, 0f), "x"), (2L, Array(0.99f, 0.14f), "x"),
+      (3L, Array(0f, 0f), "x"), (4L, Array(0f, 0f), "x"))
+      .toDF("id", "embedding", "label")
+    val pairs = Similarity.nearDupPairs(df, "id", "embedding", "label", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"zero vectors must pair with nothing (not even each other): $pairs")
+    val flagged = Similarity.semanticDecontaminate(
+        df.filter(col("id") < 3), df.filter(col("id") >= 3),
+        "id", "embedding", tau = 0.5)
+      .select("id").as[Long].collect()
+    assert(flagged.isEmpty,
+      s"a zero-vector benchmark must contaminate nothing: ${flagged.toSeq}")
+  }
+
   test("multimodal decode path: media schema, per-partition batching, stub features") {
     import spark.implicits._
     import graft.ext.Multimodal
