@@ -1003,7 +1003,15 @@ object Queries {
     * spans, as the interval union of its duplicated windows
     * (gaps-and-islands; overlaps never double-count). The oracle
     * replays anchors, occurrence counts, the island pass, and the
-    * basis-point policy cut verbatim. */
+    * basis-point policy cut verbatim.
+    *
+    * ORACLE UNITS: the SQL replay enumerates positions and windows in
+    * CHARACTERS (DuckDB v1.0 has no BLOB substr/indexing, so a byte
+    * replay is not expressible), which equals the operator's byte scan
+    * exactly on the ASCII fixture corpus the gate runs against. The
+    * byte semantics on non-ASCII text — where char and byte replays
+    * diverge — are pinned by `ExtOpsSpec`'s CJK coverage battery
+    * against hand-computed byte counts, not by this oracle. */
   val qDedupSubstrCoverage = Q("dedup_substr_coverage",
     (s, dir) => Dedup.substringDupCoverage(t(s, dir, "documents"),
       "doc_id", "text", winBytes = 40, anchorMod = 8, dropAtBp = 5000),
@@ -2827,6 +2835,9 @@ object Queries {
     * computes them over the full table and intersects the keeps —
     * while the temperature RATES are derived from the survivors' own
     * per-source counts, exactly as the operator does on its input.
+    * The coverage block inherits `dedup_substr_coverage`'s oracle-unit
+    * caveat: char-replayed windows == the operator's byte scan on the
+    * ASCII fixture; non-ASCII byte semantics are spec-pinned.
     */
   val qCorpusPrepV2 = Q("q_corpus_prep_v2",
     (s, dir) => {

@@ -85,16 +85,24 @@ object Bpe {
     // spread first: pre-tokenize + explode is the CPU-heavy narrow
     // stage and would otherwise run with the scan's partitioning (one
     // task on a single-file table); no-op on well-partitioned inputs
-    val counted = Materialize.spread(df)
+    // cached: the gate's count and the collect/vocab0 consumer would
+    // otherwise each re-pay the corpus-wide word-count pass
+    val counted = Materialize.multiScan(Materialize.spread(df)
       .select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w").asc).limit(maxVocab)
-    if (maxVocab <= driverVocabLimit)
-      return learnOnDriver(
-        counted.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      .orderBy(col("cnt").desc, col("w").asc).limit(maxVocab))
+    // gate on the ACTUAL counted vocabulary (the connectedComponents
+    // convention), not the maxVocab cap: a small corpus under a huge
+    // cap must still take the driver path
+    if (driverVocabLimit > 0 && counted.count() <= driverVocabLimit) {
+      val vocab = counted.collect().map(r => (r.getString(0), r.getLong(1)))
+      counted.unpersist()
+      return learnOnDriver(vocab, nMerges)
+    }
     val vocab0 = counted.select(wrapped(col("w")).as("s"), col("cnt"))
     var vocab = Materialize.multiScan(vocab0)
     vocab.count() // materialize the corpus-wide pass once
+    counted.unpersist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {

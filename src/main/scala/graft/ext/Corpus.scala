@@ -362,8 +362,13 @@ object Corpus {
           math.pow(c.toDouble / cMax, alpha) * keepTopPpm + 0.5).toLong
       s -> r
     }.toMap
+    // null-safe match: a NULL stratum is a real stratum (it was counted
+    // into the rates above); plain === never matches NULL, which would
+    // silently zero-rate every null-stratum row
     val rateCol = counts.foldLeft(lit(0L)) { case (acc, (s, _)) =>
-      when(col(strataCol) === lit(s), lit(ratePpm(s))).otherwise(acc)
+      val matches =
+        if (s == null) col(strataCol).isNull else col(strataCol) === lit(s)
+      when(matches, lit(ratePpm(s))).otherwise(acc)
     }
     val key = pmod(TextOps.portableHash(
       concat_ws("|", idCols.map(col): _*)), lit(1000000L))

@@ -567,7 +567,12 @@ object Dedup {
   def substringDupCoverage(df: DataFrame, idCol: String, textCol: String,
                            winBytes: Int = 40, anchorMod: Int = 8,
                            dropAtBp: Int = 5000): DataFrame = {
-    val wins = anchorWins(df, idCol, textCol, winBytes, anchorMod)
+    // materialized: the window relation feeds BOTH the fp-count
+    // aggregate and the join side — without the cache the full
+    // normalize + anchor scan of the corpus runs twice (the subtrees
+    // differ, so neither exchange reuse nor CacheManager dedupes them)
+    val wins = Materialize.multiScan(
+      anchorWins(df, idCol, textCol, winBytes, anchorMod))
     val dupFps = wins.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)

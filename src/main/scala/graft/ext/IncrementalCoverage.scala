@@ -25,21 +25,24 @@ import org.apache.spark.sql.functions._
   * dedup ([[graft.streaming.StreamCompaction.firstPerFingerprint]] is
   * that).
   *
-  * Scale posture: state is the span-fingerprint store — 32-byte digests
-  * of admitted spans, never text — read as a semi-join side and
-  * appended per tick; per-tick cost is batch windows × one join against
-  * the store. Replay-idempotent the same way the sibling loops are: a
-  * re-delivered committed batch finds all its spans in the index,
-  * scores 10000 bp, and admits nothing. Bin-pack the two directories
-  * with [[IncrementalDedup.maintain]] every N ticks inside the same
-  * serialized window.
+  * Scale posture: state is the fingerprint store — 32-byte digests of
+  * admitted spans PLUS one whole-document fingerprint per admitted doc,
+  * never text — read as a semi-join side and appended per tick;
+  * per-tick cost is batch windows × one join against the store.
+  * Replay-idempotent for EVERY document shape: an anchor-bearing doc
+  * re-scores 10000 bp against its own indexed spans, and a doc below
+  * the window length (or whose text carries no anchor — probability
+  * (1-1/anchorMod)^(len-win+1)) is caught by its document fingerprint,
+  * which doubles as an exact-duplicate gate across batches. Bin-pack
+  * the two directories with [[IncrementalDedup.maintain]] every N
+  * ticks inside the same serialized window.
   */
 object IncrementalCoverage {
 
   /** One admission tick. Returns (admitted, dropped); appends survivors
-    * to `corpusDir` and their new span fingerprints to `spanIndexDir`
-    * (both created on first use). Caller serializes ticks (foreachBatch
-    * already does).
+    * to `corpusDir` and their new span + document fingerprints to
+    * `spanIndexDir` (both created on first use). Caller serializes
+    * ticks (foreachBatch already does).
     */
   def admitBatch(batch: DataFrame, idCol: String, textCol: String,
                  corpusDir: String, spanIndexDir: String,
@@ -48,11 +51,20 @@ object IncrementalCoverage {
     val spark = batch.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val n = batch.count()
+    val indexFps = fpsIfExist(spark, spanIndexDir)
+    // whole-document fingerprints make redelivery idempotent regardless
+    // of anchor density (and reject exact cross-batch duplicates): the
+    // doc fp lives in the same 32-byte digest store as the span fps
+    val docFps = Materialize.multiScan(batch.select(
+      col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp")))
+    val exactDrops = indexFps match {
+      case Some(idx) => docFps.join(idx, Seq("fp")).select(col("id"))
+      case None => docFps.select(col("id")).limit(0)
+    }
     val wins = Materialize.multiScan(
       Dedup.anchorWins(batch, idCol, textCol, winBytes, anchorMod))
     val batchDupFps = wins.groupBy(col("fp"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("fp"))
-    val indexFps = fpsIfExist(spark, spanIndexDir)
     val dupFps = indexFps match {
       case Some(idx) => batchDupFps.unionByName(idx).distinct()
       case None => batchDupFps
@@ -62,7 +74,8 @@ object IncrementalCoverage {
       octet_length(TextOps.normalized(col(textCol))).as("n_bytes"))
     val dropIds = Materialize.multiScan(
       Dedup.coverageOf(dup, base, winBytes)
-        .filter(col("cov_bp") >= dropAtBp).select(col("id")))
+        .filter(col("cov_bp") >= dropAtBp).select(col("id"))
+        .unionByName(exactDrops).distinct())
     val admitted = Materialize.multiScan(
       batch.join(dropIds, batch(idCol) === dropIds("id"), "left_anti"))
     val nAdmitted = admitted.count()
@@ -70,15 +83,16 @@ object IncrementalCoverage {
       admitted.write.mode(SaveMode.Append).parquet(corpusDir)
       // only NEW fingerprints append — the store stays distinct, so the
       // dup-side join never inflates
-      val admittedFps = wins
-        .join(dropIds, wins("id") === dropIds("id"), "left_anti")
+      val admittedFps = wins.select(col("id"), col("fp"))
+        .unionByName(docFps)
+        .join(dropIds, Seq("id"), "left_anti")
         .select(col("fp")).distinct()
       (indexFps match {
         case Some(idx) => admittedFps.join(idx, Seq("fp"), "left_anti")
         case None => admittedFps
       }).write.mode(SaveMode.Append).parquet(spanIndexDir)
     }
-    Seq(wins, dropIds, admitted).foreach(_.unpersist())
+    Seq(docFps, wins, dropIds, admitted).foreach(_.unpersist())
     (nAdmitted, n - nAdmitted)
   }
 

@@ -320,6 +320,18 @@ class CorpusSpec extends AnyFunSuite {
       .collect().groupBy(_._1).map { case (s, r) => s -> r.head._2 }
     assert(flat("small") > rates("small") && flat("mid") > rates("mid"),
       s"alpha 0.3 must flatten more than 0.5: $flat vs $rates")
+    // a NULL stratum is a real stratum: it is counted into the rates
+    // AND its rows must match their rate (plain === never matches null,
+    // which would silently zero-rate and drop the whole stratum)
+    val withNull = spark.range(40).select(col("id"),
+      when(col("id") < 30, "a").otherwise(lit(null)).as("src"))
+    val outN = Corpus.temperatureSample(withNull, "src", Seq("id"), alpha = 0.5)
+      .select(col("id"), col("src"), col("keep_rate_ppm"))
+      .as[(Long, Option[String], Long)].collect()
+    val nullRows = outN.filter(_._2.isEmpty)
+    assert(nullRows.nonEmpty, s"null-stratum rows all dropped: ${outN.toSeq}")
+    // rate = floor(sqrt(10/30)*1e6) via the integer-sqrt form
+    assert(nullRows.forall(_._3 == 577350L), nullRows.toSeq.toString)
   }
 
   test("semanticDedup keeps the member farthest from its centroid per cluster") {

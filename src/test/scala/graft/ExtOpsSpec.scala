@@ -496,6 +496,15 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(replay == ((0L, 2L)), s"replayed batch must admit nothing: $replay")
     assert(spark.read.parquet(corpusDir).count() == 5,
       "replay must not append to the corpus")
+    // ...including docs BELOW the window length, which have no anchor
+    // windows to score — their document fingerprint catches redelivery
+    val tinyReplay = IncrementalCoverage.admitBatch(
+      Seq((7L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
+    assert(tinyReplay == ((0L, 1L)),
+      s"sub-window replay must admit nothing: $tinyReplay")
+    assert(spark.read.parquet(corpusDir).count() == 5,
+      "sub-window replay must not append to the corpus")
     // the index stores DISTINCT fingerprints only
     val fps = spark.read.parquet(indexDir).select("fp").as[String].collect()
     assert(fps.length == fps.distinct.length, "span index must stay distinct")
