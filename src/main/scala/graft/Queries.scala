@@ -2847,9 +2847,13 @@ object Queries {
         .filter(!col("drop")).select(col("id").as("doc_id"))
       val afterCov = docs.join(covKeep, Seq("doc_id"))
       val bench = docs.filter(col("doc_id") % 97 === 0)
+      // trigrams, not bigrams: this corpus draws from a small
+      // vocabulary, and at sf0.1 the benchmark's BIGRAM set covers
+      // nearly the whole bigram space — every doc would exceed any
+      // sane overlap threshold and the stage would empty the corpus
       val deconKeep = Corpus.decontaminateFraction(
           afterCov.filter(col("doc_id") % 97 =!= 0), bench,
-          "doc_id", "text", n = 2, dropAtBp = 2500)
+          "doc_id", "text", n = 3, dropAtBp = 2500)
         .filter(!col("drop")).select(col("id").as("doc_id"))
       val afterDecon = afterCov.join(deconKeep, Seq("doc_id"))
       val surv = afterDecon
@@ -2911,9 +2915,9 @@ object Queries {
       fsh AS (
         SELECT doc_id, list_distinct(list_transform(
           generate_series(1, greatest(
-            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-1, 0)),
+            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-2, 0)),
           i -> array_to_string(
-            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+1], ' ')))
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+2], ' ')))
           AS sset
         FROM documents),
       fex0 AS (SELECT doc_id, unnest(sset) AS shingle FROM fsh),

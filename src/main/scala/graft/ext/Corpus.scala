@@ -344,6 +344,11 @@ object Corpus {
     val counts = df.groupBy(col(strataCol).as("__s"))
       .agg(count(lit(1)).as("c")).collect()
       .map(r => (r.get(0), r.getLong(1)))
+    // an empty input has no strata and no rates — return empty with the
+    // output schema instead of throwing on the max of nothing (upstream
+    // gates can legitimately empty a corpus slice)
+    if (counts.isEmpty)
+      return df.withColumn("keep_rate_ppm", lit(0L)).limit(0)
     // rate_s = (c_s / c_max)^alpha · keepTopPpm (the total cancels in
     // the ratio), ppm-integer per stratum so the compare is exact.
     // alpha = 0.5 — THE standard temperature — takes the integer-sqrt

@@ -332,6 +332,10 @@ class CorpusSpec extends AnyFunSuite {
     assert(nullRows.nonEmpty, s"null-stratum rows all dropped: ${outN.toSeq}")
     // rate = floor(sqrt(10/30)*1e6) via the integer-sqrt form
     assert(nullRows.forall(_._3 == 577350L), nullRows.toSeq.toString)
+    // an EMPTY input (an upstream gate can empty a slice) returns empty
+    // with the output schema instead of throwing on max-of-nothing
+    val none = Corpus.temperatureSample(df.limit(0), "src", Seq("id"), 0.5)
+    assert(none.columns.contains("keep_rate_ppm") && none.isEmpty)
   }
 
   test("semanticDedup keeps the member farthest from its centroid per cluster") {
