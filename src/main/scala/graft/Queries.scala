@@ -2845,7 +2845,9 @@ object Queries {
       val covKeep = Dedup.substringDupCoverage(docs, "doc_id", "text",
           winBytes = 40, anchorMod = 8, dropAtBp = 5000)
         .filter(!col("drop")).select(col("id").as("doc_id"))
-      val afterCov = docs.join(covKeep, Seq("doc_id"))
+      // cached: read by the decontamination stage AND the keep join
+      val afterCov = graft.ext.Materialize.multiScan(
+        docs.join(covKeep, Seq("doc_id")))
       val bench = docs.filter(col("doc_id") % 97 === 0)
       // trigrams, not bigrams: this corpus draws from a small
       // vocabulary, and at sf0.1 the benchmark's BIGRAM set covers
@@ -2856,11 +2858,13 @@ object Queries {
           "doc_id", "text", n = 3, dropAtBp = 2500)
         .filter(!col("drop")).select(col("id").as("doc_id"))
       val afterDecon = afterCov.join(deconKeep, Seq("doc_id"))
-      val surv = afterDecon
+      // cached: temperatureSample's rate collect and the final budget
+      // aggregation would otherwise each re-run the whole gate prefix
+      val surv = graft.ext.Materialize.multiScan(afterDecon
         .withColumn("fp", TextOps.fingerprint(col("text")))
         .withColumn("keep_id",
           min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-        .filter(col("doc_id") === col("keep_id"))
+        .filter(col("doc_id") === col("keep_id")))
       val sampled = Corpus.temperatureSample(surv, "source",
         Seq("doc_id"), alpha = 0.5)
       val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
