@@ -76,6 +76,31 @@ class BpeSpec extends AnyFunSuite {
     assert(probe._1 == probe._2, probe.toString)
   }
 
+  test("native==builtin encode parity fuzz on dense random corpora") {
+    // a 6-letter alphabet makes merge tables DENSE (many overlapping
+    // pairs, the dual-split-collision-prone regime the scaladoc
+    // documents) — the two formulations must still agree everywhere,
+    // including on words the learner never saw
+    val rnd = new scala.util.Random(123)
+    (0 until 3).foreach { trial =>
+      val letters = "abcdef"
+      def word(): String = (0 until 2 + rnd.nextInt(6))
+        .map(_ => letters(rnd.nextInt(letters.length))).mkString
+      val df = (0 until 120)
+        .map(i => (i.toLong, (0 until 8).map(_ => word()).mkString(" ")))
+        .toDF("doc_id", "text")
+      val probes = (0 until 40)
+        .map(i => (1000L + i, (0 until 6).map(_ => word()).mkString(" ")))
+        .toDF("doc_id", "text")
+      val merges = Bpe.learn(df, "text", nMerges = 12)
+      val diff = df.unionByName(probes)
+        .select(Bpe.encode(col("text"), merges).as("a"),
+          Bpe.encodeNative(col("text"), merges).as("b"))
+        .filter(not(col("a") === col("b"))).count()
+      assert(diff == 0L, s"trial $trial diverged under table $merges")
+    }
+  }
+
   test("encode is safe on non-ASCII and on the wrap char itself") {
     val merges = Seq(("e", "s"), ("es", "t"))
     // non-Latin letters pre-tokenize per character (single-char words
