@@ -1347,21 +1347,72 @@ object Queries {
       FROM ranked"""))
 
   /** IVF at scale posture: 64 k-means-trained centroids (2 Lloyd
-    * iterations), 8-cell probes. No portable oracle — Lloyd training
-    * isn't SQL-expressible — so this is a rows-only gate entry like
-    * q_kmeans; it exists to prove the centroid set rides as ONE array
-    * literal (no plan blowup at k=64, unlike the per-centroid struct
-    * expressions of round 2) and to bench the trained path.
+    * iterations), 8-cell probes. Lloyd training isn't SQL-expressible,
+    * so the trained neighbor lists have no portable oracle — instead the
+    * query is PROPERTY-CHECKED against the exact brute-force top-10
+    * (whose own query, ann_bruteforce, is hash-matched), on two
+    * invariants the oracle asserts literally TRUE:
+    *  - full_probe_exact: with nProbe = nCentroids the probe covers
+    *    every cell, so IVF MUST reproduce brute force row-for-row
+    *    (same rounding and tie-break) — a sharp machinery check that
+    *    every vector lands in exactly one cell and scoring/ranking is
+    *    identical; a lost or duplicated vector flips the hash;
+    *  - recall_floor_ok: aggregate recall@10 across the queries at the
+    *    8-of-64-cell operating point ≥ 0.6. Random probing at 8/64
+    *    cells would give ≈ 0.125; the floor certifies the TRAINED
+    *    coarse quantizer concentrates true neighbors ~5× better
+    *    (measured 0.74–0.86 at sf0.001–0.1; this synthetic embedding
+    *    table is near-isotropic, which bounds honest IVF recall — real
+    *    clustered corpora sit far higher).
+    * Also still proves the centroid set rides as ONE array literal (no
+    * plan blowup at k=64) and benches the trained path.
     */
   val qAnnIvfTrained = Q("ann_ivf_trained",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        e.select(col("vec_id").as("id"), col("embedding")),
-        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
-        k = 10, nCentroids = 64, nProbe = 8, trainIters = 2)
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cents = 64
+      val trained = Similarity.ivfTopK(corpus, queries,
+        k = 10, nCentroids = cents, nProbe = 8, trainIters = 2)
+      val full = Similarity.ivfTopK(corpus, queries,
+        k = 10, nCentroids = cents, nProbe = cents, trainIters = 2)
+      val truth = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      val hits = truth.select(col("query_id"), col("nn_id"))
+        .join(trained.select(col("query_id"), col("nn_id")),
+          Seq("query_id", "nn_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      val perQ = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      val floor = perQ.agg((sum(col("n_hits")).cast("double")
+          >= lit(0.6) * sum(col("n_true"))).as("recall_floor_ok"))
+      // full-probe result must equal truth on every (rank, nn_id, sim);
+      // renamed columns keep the self-derived join unambiguous
+      val exact = truth
+        .select(col("query_id"), col("rank"),
+          col("nn_id").as("t_nn"), col("sim").as("t_sim"))
+        .join(full.select(col("query_id"), col("rank"),
+          col("nn_id").as("f_nn"), col("sim").as("f_sim")),
+          Seq("query_id", "rank"), "full")
+        .groupBy(col("query_id")).agg(
+          (sum(when(col("t_nn") === col("f_nn")
+              && col("t_sim") === col("f_sim"), 0L).otherwise(1L)) === 0L)
+            .as("full_probe_exact"))
+      perQ.select(col("query_id"), col("n_true"))
+        .join(exact, Seq("query_id"))
+        .crossJoin(broadcast(floor))
     },
-    None)
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      ranked AS (
+        SELECT qid, row_number() OVER (PARTITION BY qid
+          ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 3) DESC,
+                   vec_id) AS rank
+        FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+      SELECT qid AS query_id, count(*) AS n_true, TRUE AS full_probe_exact,
+        TRUE AS recall_floor_ok
+      FROM ranked WHERE rank <= 10 GROUP BY qid"""))
 
   /** Diversity sampling: per-semantic-cell quotas over the embedding
     * space (deterministic lowest-id cells + portable-hash quota, so the
@@ -1757,17 +1808,28 @@ object Queries {
       GROUP BY l_returnflag"""))
 
   /** The same sample via the xxhash64 production fast path (no md5 per
-    * row). Not oracle-checkable — DuckDB has no xxhash64 — so rows-only;
-    * determinism and rate are spec-asserted, and the portable-mode twin
-    * above certifies the shared plumbing.
-    */
+    * row). DuckDB has no xxhash64, so the sample MEMBERSHIP has no
+    * portable oracle — instead the query is PROPERTY-CHECKED: the
+    * realized sample rate must sit inside a 6σ binomial interval around
+    * the requested 5% (σ = √(p(1−p)/n); xxhash64 is deterministic, so
+    * the boolean can't flap). A hash-quality or thresholding regression
+    * flips the hash; determinism and exact-rate behavior stay
+    * spec-asserted, and the portable-mode twin above certifies the
+    * shared plumbing. */
   val qSampleFast = Q("q_sample_fast",
-    (s, dir) => Corpus.hashSample(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_linenumber"), pct = 5, portable = false)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price")),
-    None)
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val total = li.agg(count(lit(1)).as("n_total"))
+      val samp = Corpus.hashSample(li,
+          Seq("l_orderkey", "l_linenumber"), pct = 5, portable = false)
+        .agg(count(lit(1)).as("n_samp"))
+      total.crossJoin(broadcast(samp))
+        .select(col("n_total"),
+          (abs(col("n_samp").cast("double") / col("n_total") - lit(0.05))
+            <= lit(6.0) * sqrt(lit(0.05 * 0.95) / col("n_total")))
+            .as("rate_in_bounds"))
+    },
+    Some("SELECT count(*) AS n_total, TRUE AS rate_in_bounds FROM lineitem"))
 
   // ---------------------------------------------------------------------
   // Extension: corpus-level text operators (TF-IDF, vocabulary, PII
@@ -2531,17 +2593,53 @@ object Queries {
                      l_orderkey, l_linenumber) AS sample_rank
         FROM lineitem) WHERE sample_rank <= 50"""))
 
-  /** K-means cluster balance (Lloyd, cosine assignment, deterministic
-    * init): float centroid means aren't portably reproducible, so this
-    * is a rows-only gate entry; behavior is spec-asserted. */
+  /** K-means (Lloyd, cosine assignment, deterministic init): float
+    * centroid means aren't portably reproducible, so the fitted cells
+    * have no portable oracle — instead the query is PROPERTY-CHECKED on
+    * two invariants the oracle asserts literally TRUE:
+    *  - per-iteration objective monotonicity (spherical-k-means: both
+    *    Lloyd half-steps are non-decreasing in Σ cos(x, c_assign(x)),
+    *    see [[Similarity.kmeansFit]]), with a relative-epsilon guard so
+    *    benign float accumulation noise can't flap the boolean;
+    *  - assignment consistency: the native [[graft.functions
+    *    .NearestCentroid]] argmax over the trained centroids agrees
+    *    row-for-row with an independent compositional argmax (explode +
+    *    window rank — the q_kmeans_assign machinery) on the same
+    *    centroids.
+    * A Lloyd-update or argmax regression flips the hash. n_points keeps
+    * an exact oracle-checkable count in the row. */
   val qKmeans = Q("q_kmeans",
     (s, dir) => {
+      import s.implicits._
       val e = t(s, dir, "embeddings")
-      Similarity.kmeans(e.select(col("vec_id").as("id"), col("embedding")),
-          k = 8, maxIter = 3)
-        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val maxIter = 3
+      val (cents, objs) = Similarity.kmeansFit(corpus, k = 8, maxIter = maxIter)
+      val monotone = objs.sliding(2).map { w =>
+        w(1) >= w(0) - 1e-9 * math.max(1.0, math.abs(w(0))) }.toSeq
+      val idx = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val native = corpus.withColumn("cell_n",
+        graft.functions.VectorFunctions.nearestCentroid(col("embedding"), idx))
+      val centsDf = idx.toSeq.toDF("c", "cent")
+      val comp = corpus.crossJoin(broadcast(centsDf))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+          .orderBy(Similarity.cosine(col("embedding"), col("cent")).desc,
+                   col("c").asc)))
+        .filter(col("rn") === 1).select(col("id"), col("c").as("cell_c"))
+      val mism = native.join(comp, "id")
+        .agg(sum(when(col("cell_n") === col("cell_c"), 0L).otherwise(1L))
+          .as("mism"))
+      val nPoints = corpus.agg(count(lit(1)).as("n_points"))
+      val iters = (1 to maxIter).map(i => (i.toLong, monotone(i - 1)))
+        .toDF("iter", "obj_nondecreasing")
+      iters.crossJoin(broadcast(nPoints)).crossJoin(broadcast(mism))
+        .select(col("iter"), col("obj_nondecreasing"),
+          (col("mism") === 0L).as("assign_consistent"), col("n_points"))
     },
-    None)
+    Some("""SELECT i AS iter, TRUE AS obj_nondecreasing,
+        TRUE AS assign_consistent,
+        (SELECT count(*) FROM embeddings) AS n_points
+      FROM range(1, 4) t(i)"""))
 
   /** The k-means ASSIGNMENT step with a full oracle: `maxIter = 0` pins
     * the centroids to the k lowest-id vectors (the same deterministic
@@ -2630,15 +2728,27 @@ object Queries {
              END AS BIGINT) AS est_distinct
       FROM agg"""))
 
-  /** HLL sketch distinct counts (approx_count_distinct): no portable
-    * oracle — DuckDB's approx_distinct uses a different sketch — so this
-    * is a rows-only gate entry; accuracy vs exact is spec-asserted. */
+  /** HLL sketch distinct counts (approx_count_distinct): DuckDB's
+    * approx_distinct uses a different sketch, so the estimate itself has
+    * no portable oracle — instead the query is PROPERTY-CHECKED: it
+    * computes the exact distinct count alongside (which the oracle CAN
+    * replay) and asserts the estimate inside 3× the sketch's configured
+    * relative standard deviation (rsd 0.05 → 15%; HLL++ is deterministic
+    * for a given dataset — register merges are max, partitioning-
+    * independent — so the boolean can't flap). An estimator regression
+    * flips the hash. */
   val qHll = Q("q_hll",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count(lit(1)).as("n")),
-    None)
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          <= lit(0.15) * col("exact_parts")).as("within_bound")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        count(*) AS n, TRUE AS within_bound
+      FROM lineitem GROUP BY l_returnflag"""))
 
   /** Count-Min-sketch frequency estimates for the corpus's top-20 tokens,
     * reported against the exact counts. The grid ([[graft.ext.Sketch

@@ -249,13 +249,34 @@ object Similarity {
     * any corpus scale). Shared by [[kmeans]] and [[ivfTopK]]'s trained
     * mode.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, maxIter: Int): Array[Array[Float]] = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, maxIter: Int): Array[Array[Float]] =
+    kmeansFit(corpus, k, maxIter, trace = false)._1
+
+  /** Lloyd fit with the per-iteration objective trace: trace(t) =
+    * Σ_x cos(x, nearest centroid under the t-th centroid set), t = 0
+    * being the deterministic lowest-id init. Spherical-k-means
+    * monotonicity — the assignment step maximizes each term, and since
+    * cosine is scale-invariant the mean update points along the
+    * normalized-sum direction, so both half-steps are non-decreasing —
+    * makes the trace a checkable correctness property of the whole
+    * Lloyd machinery (q_kmeans asserts it per iteration). The trace
+    * costs one extra aggregate scan per recorded point; `trace = false`
+    * ([[kmeansCentroids]]) skips it.
+    */
+  def kmeansFit(corpus: DataFrame, k: Int, maxIter: Int,
+                trace: Boolean = true): (Array[Array[Float]], Seq[Double]) = {
     ensureRegistered(corpus)
     val first = corpus.select(col("embedding")).head()
     val dim = first.getSeq[Float](0).length
     var cents: Array[Array[Float]] = corpus.orderBy(col("id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
+    val objs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def objective(cs: Array[Array[Float]]): Double =
+      corpus.agg(sum(graft.functions.VectorFunctions
+        .bestCentroidSim(col("embedding"), indexed(cs))).as("obj"))
+        .head().getDouble(0)
+    if (trace) objs += objective(cents)
     var iter = 0
     while (iter < maxIter) {
       val assigned = corpus.withColumn("cell",
@@ -275,9 +296,10 @@ object Similarity {
           r.getInt(0) -> Array.tabulate(dim)(i => (s(i) / n).toFloat)
         }.toMap
       cents = Array.tabulate(k)(i => updated.getOrElse(i, cents(i)))
+      if (trace) objs += objective(cents)
       iter += 1
     }
-    cents
+    (cents, objs.toSeq)
   }
 
   /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127 / m)

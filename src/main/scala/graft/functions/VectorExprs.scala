@@ -274,6 +274,37 @@ case class ProbeCentroids(child: Expression, cents: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** Cosine similarity to the NEAREST centroid — the per-point term of the
+  * spherical-k-means objective Σ cos(x, c_assign(x)). Shares
+  * [[CentroidScoring]] with [[NearestCentroid]] so the value is the exact
+  * sim the assignment maximized (same IEEE accumulation order, same
+  * `-0.0` normalization); used by the Lloyd objective trace, a
+  * once-per-iteration audit pass, so interpreted evaluation is fine.
+  */
+case class BestCentroidSim(child: Expression, cents: Array[Array[Float]],
+                           ids: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CentroidScoring
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "best_centroid_sim"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = sims(a.asInstanceOf[ArrayData])
+    var best = 0
+    var c = 1
+    while (c < s.length) {
+      if (java.lang.Double.compare(s(c), s(best)) > 0) best = c
+      c += 1
+    }
+    s(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCentroidSim =
+    copy(child = newChild)
+}
+
 /** First `nibbles` hex chars of the md5 digest as an unsigned long —
   * the engine's portable hash without the hex round-trip. Value-identical
   * to `conv(substring(md5(c), 1, nibbles), 16, 10)` (the first 4·nibbles
@@ -508,7 +539,9 @@ object VectorFunctions {
       BpeEncodeExpr(exprs(0), new BpeTable(strPairsArg(exprs(1))))),
     "probe_centroids" -> (exprs =>
       ProbeCentroids(exprs(0), matArg(exprs(1)), longsArg(exprs(2)),
-        intArg(exprs(3)))))
+        intArg(exprs(3)))),
+    "best_centroid_sim" -> (exprs =>
+      BestCentroidSim(exprs(0), matArg(exprs(1)), longsArg(exprs(2)))))
 
   /** Idempotent per-session registration (temp functions). Sessions built
     * through [[GraftExtensions]] get them injected; this covers foreign
@@ -534,6 +567,11 @@ object VectorFunctions {
   /** Column API for [[NearestCentroid]]: cell id of the nearest centroid. */
   def nearestCentroid(emb: Column, cents: Array[(Long, Array[Float])]): Column =
     call_function("nearest_centroid", emb,
+      typedlit(cents.map(_._2.toSeq).toSeq), typedlit(cents.map(_._1).toSeq))
+
+  /** Column API for [[BestCentroidSim]]: cosine to the nearest centroid. */
+  def bestCentroidSim(emb: Column, cents: Array[(Long, Array[Float])]): Column =
+    call_function("best_centroid_sim", emb,
       typedlit(cents.map(_._2.toSeq).toSeq), typedlit(cents.map(_._1).toSeq))
 
   /** Column API for [[ProbeCentroids]]: the nProbe nearest cell ids. */
