@@ -1180,7 +1180,7 @@ object Queries {
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
       scored AS (
         SELECT qid, vec_id AS nn_id,
-               round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 3) AS sim
+               round(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) END, 3) AS sim
         FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
       ranked AS (
         SELECT qid AS query_id, nn_id, sim,
@@ -1192,10 +1192,10 @@ object Queries {
     (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),
       "vec_id", "embedding", "label", tau = 0.4),
     Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
+        round(CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 3) AS sim
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.4"""))
+      WHERE round(CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 3) >= 0.4"""))
 
   val qAnnIvf = Q("ann_ivf",
     (s, dir) => {
@@ -1211,7 +1211,7 @@ object Queries {
       assign AS (
         SELECT e.vec_id, e.embedding, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                 ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
                           c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN cents c),
       cell AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
@@ -1219,13 +1219,13 @@ object Queries {
       qprobe AS (
         SELECT q.qid, q.qe, c.cid AS cell,
                row_number() OVER (PARTITION BY q.qid
-                 ORDER BY list_cosine_similarity(q.qe::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                 ORDER BY CASE WHEN list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(q.qe::DOUBLE[], c.cent::DOUBLE[]) END DESC,
                           c.cid ASC) AS rn
         FROM q CROSS JOIN cents c),
       probes AS (SELECT qid, qe, cell FROM qprobe WHERE rn <= 3),
       scored AS (
         SELECT p.qid AS query_id, ce.vec_id AS nn_id,
-               round(list_cosine_similarity(ce.embedding::DOUBLE[], p.qe::DOUBLE[]), 3) AS sim
+               round(CASE WHEN list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]) = 0 OR list_dot_product(p.qe::DOUBLE[], p.qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(ce.embedding::DOUBLE[], p.qe::DOUBLE[]) END, 3) AS sim
         FROM probes p JOIN cell ce ON ce.cell = p.cell
         WHERE ce.vec_id <> p.qid),
       ranked AS (
@@ -1253,7 +1253,7 @@ object Queries {
       c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
       scored AS (
         SELECT c.vec_id,
-          round(list_cosine_similarity(c.embedding::DOUBLE[], b.b_emb::DOUBLE[]), 3) AS sim
+          round(CASE WHEN list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 OR list_dot_product(b.b_emb::DOUBLE[], b.b_emb::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(c.embedding::DOUBLE[], b.b_emb::DOUBLE[]) END, 3) AS sim
         FROM c CROSS JOIN b)
       SELECT vec_id, count(*) AS n_matches, max(sim) AS max_sim
       FROM scored WHERE sim >= 0.35 GROUP BY vec_id"""))
@@ -1290,11 +1290,11 @@ object Queries {
         FROM sigs a JOIN sigs b
           ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
       SELECT c.id_a, c.id_b,
-        round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 3) AS sim
+        round(CASE WHEN list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0 OR list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END, 3) AS sim
       FROM cand c
       JOIN embeddings ea ON ea.vec_id = c.id_a
       JOIN embeddings eb ON eb.vec_id = c.id_b
-      WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 3) >= 0.4"""))
+      WHERE round(CASE WHEN list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0 OR list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END, 3) >= 0.4"""))
 
   /** SemDeDup composite: k-means cells (deterministic lowest-id seeds
     * for the oracle) → within-cell cosine near-dup → connected
@@ -1314,10 +1314,9 @@ object Queries {
         FROM embeddings ORDER BY vec_id LIMIT 8),
       assign AS (
         SELECT e.vec_id, e.embedding, c.c,
-          round(list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]), 3) AS cs,
+          round(CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END, 3) AS cs,
           row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                            c.cent::DOUBLE[]) DESC,
+            ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
                      c.c ASC) AS rn
         FROM embeddings e CROSS JOIN cents c),
       cell AS (
@@ -1326,8 +1325,7 @@ object Queries {
       pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                           b.embedding::DOUBLE[]), 3) >= 0.4),
+        WHERE round(CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 3) >= 0.4),
       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
       reach(id, r) AS (
@@ -1407,7 +1405,7 @@ object Queries {
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
       ranked AS (
         SELECT qid, row_number() OVER (PARTITION BY qid
-          ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 3) DESC,
+          ORDER BY round(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) END, 3) DESC,
                    vec_id) AS rank
         FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
       SELECT qid AS query_id, count(*) AS n_true, TRUE AS full_probe_exact,
@@ -1429,7 +1427,7 @@ object Queries {
       assign AS (
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                 ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
                           c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN cents c),
       cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
@@ -1505,7 +1503,7 @@ object Queries {
           FROM adist) WHERE arank <= 60),
       rer AS (
         SELECT s.query_id, s.nn_id,
-          round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 3) AS sim
+          round(CASE WHEN list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) END, 3) AS sim
         FROM short s
         JOIN embeddings c ON c.vec_id = s.nn_id
         JOIN embeddings q ON q.vec_id = s.query_id),
@@ -1543,14 +1541,14 @@ object Queries {
       assign AS (
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                 ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
                           c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN cents c),
       cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
       qprobe AS (
         SELECT q.vec_id AS qid, c.cid AS cell,
                row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cent::DOUBLE[]) DESC,
+                 ORDER BY CASE WHEN list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(q.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
                           c.cid ASC) AS rn
         FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5),
       probes AS (SELECT qid, cell FROM qprobe WHERE rn <= 6),
@@ -1602,7 +1600,7 @@ object Queries {
           FROM adist) WHERE arank <= 60),
       rer AS (
         SELECT s.query_id, s.nn_id,
-          round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 3) AS sim
+          round(CASE WHEN list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) END, 3) AS sim
         FROM short s
         JOIN embeddings c ON c.vec_id = s.nn_id
         JOIN embeddings q ON q.vec_id = s.query_id),
@@ -1656,7 +1654,7 @@ object Queries {
         WHERE cs.vec_id <> p.qid),
       scored AS (
         SELECT c.query_id, c.nn_id,
-          round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 3) AS sim
+          round(CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) END, 3) AS sim
         FROM cand c
         JOIN embeddings e ON e.vec_id = c.nn_id
         JOIN embeddings q ON q.vec_id = c.query_id),
@@ -1949,7 +1947,7 @@ object Queries {
       vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       vscored AS (
         SELECT vec_id AS id,
-          round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 3) AS sim
+          round(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) END, 3) AS sim
         FROM embeddings CROSS JOIN vq WHERE vec_id <> 0),
       vec AS (
         SELECT id, rank FROM (
@@ -2661,8 +2659,7 @@ object Queries {
       assign AS (
         SELECT e.vec_id, c.c,
           row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                            c.cent::DOUBLE[]) DESC,
+            ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
                      c.c ASC) AS rn
         FROM embeddings e CROSS JOIN cents c)
       SELECT c AS cell, count(*) AS n, min(vec_id) AS min_id

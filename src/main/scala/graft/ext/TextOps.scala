@@ -23,12 +23,21 @@ object TextOps {
   /** Whitespace token count. */
   def nTokens(text: Column): Column = size(tokens(text))
 
+  /** THE BPE pre-tokenization pattern: letter runs, digit runs, single
+    * punctuation marks. Shared by the column-level tokenizer below and
+    * the native encoder's `BpeTable.preToken` — one constant, so the
+    * certified native==builtin encode parity can't drift on a regex
+    * edit. Plain Java regex syntax (works in both Spark's codegen'd
+    * `regexp_extract_all` and `java.util.regex`).
+    */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   /** BPE-ish sub-word tokenizer: letter runs, digit runs, and single
     * punctuation marks each count as one token (a cheap, deterministic
     * stand-in for a byte-pair vocabulary's pre-tokenization pass).
     */
   def bpeTokens(text: Column): Column =
-    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
 
   def nBpeTokens(text: Column): Column = size(bpeTokens(text))
 

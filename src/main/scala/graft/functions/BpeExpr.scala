@@ -46,9 +46,9 @@ final class BpeTable(pairs: Array[Array[String]]) extends Serializable {
 
   def size: Int = pairs.length
 
-  // pre-tokenization MUST match TextOps.bpeTokens (same Java regex)
+  // pre-tokenization = TextOps.bpeTokens, by construction (shared pattern)
   private val preToken =
-    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    java.util.regex.Pattern.compile(graft.ext.TextOps.BpeTokenPattern)
 
   /** All BPE symbols of the (already-normalized) text, across words. */
   def encode(s: UTF8String): ArrayData = {
