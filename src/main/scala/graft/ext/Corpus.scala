@@ -367,17 +367,29 @@ object Corpus {
           math.pow(c.toDouble / cMax, alpha) * keepTopPpm + 0.5).toLong
       s -> r
     }.toMap
-    // null-safe match: a NULL stratum is a real stratum (it was counted
-    // into the rates above); plain === never matches NULL, which would
-    // silently zero-rate every null-stratum row
-    val rateCol = counts.foldLeft(lit(0L)) { case (acc, (s, _)) =>
-      val matches =
-        if (s == null) col(strataCol).isNull else col(strataCol) === lit(s)
-      when(matches, lit(ratePpm(s))).otherwise(acc)
-    }
+    // rates ride as a broadcast (stratum → rate) table, NOT a when-chain
+    // over the strata: a chain is O(#strata) expression depth, which
+    // blows up analysis/codegen for high-cardinality strata (per-domain
+    // rebalancing, 10⁵ domains) even though the counts fit the driver.
+    // The join is null-safe (<=>): a NULL stratum is a real stratum (it
+    // was counted into the rates above), and plain === would silently
+    // zero-rate every null-stratum row. Spark extracts <=> as an
+    // equi-join key, so this stays a BroadcastHashJoin.
+    import scala.jdk.CollectionConverters._
+    val sType = df.schema(strataCol).dataType
+    val rateRows: java.util.List[org.apache.spark.sql.Row] =
+      counts.map { case (s, _) =>
+        org.apache.spark.sql.Row(s, ratePpm(s)) }.toSeq.asJava
+    val rateDf = df.sparkSession.createDataFrame(rateRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__s", sType),
+        org.apache.spark.sql.types.StructField("__rate",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val key = pmod(TextOps.portableHash(
       concat_ws("|", idCols.map(col): _*)), lit(1000000L))
-    df.withColumn("keep_rate_ppm", rateCol)
+    df.join(broadcast(rateDf), col(strataCol) <=> col("__s"), "left")
+      .withColumn("keep_rate_ppm", coalesce(col("__rate"), lit(0L)))
+      .drop("__s", "__rate")
       .filter(key < col("keep_rate_ppm"))
   }
 

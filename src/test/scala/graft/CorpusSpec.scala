@@ -338,6 +338,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(none.columns.contains("keep_rate_ppm") && none.isEmpty)
   }
 
+  test("temperatureSample handles 10k strata: broadcast rate join, no when-chain") {
+    // per-domain rebalancing cardinality: a when-chain over 10^4 strata
+    // would be O(#strata) expression depth (analysis/codegen blowup);
+    // the broadcast rate table keeps the plan O(1) in stratum count
+    val wide = spark.range(20000).select(col("id"),
+      concat(lit("domain_"), (col("id") % 10000).cast("string")).as("src"))
+    val out = Corpus.temperatureSample(wide, "src", Seq("id"), alpha = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast-join:\n$plan")
+    assert(!plan.contains("CaseWhen"), "rate lookup must not be a when-chain")
+    // every stratum has 2 rows = c_max, so every rate is exactly 10^6
+    // and every row is admitted — exact, not probabilistic
+    val rows = out.select(col("keep_rate_ppm")).as[Long].collect()
+    assert(rows.length == 20000 && rows.forall(_ == 1000000L))
+  }
+
   test("semanticDedup keeps the member farthest from its centroid per cluster") {
     import graft.ext.Similarity
     // k=2 deterministic seeds = lowest-id vectors: cell0=(1,0), cell1=(0,1).
