@@ -2222,6 +2222,62 @@ object Queries {
         CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
       FROM scored GROUP BY doc_id"""))
 
+  /** Stupid Backoff trigram LM surprisal (Brants et al. 2007): the
+    * trigram→bigram→unigram ladder with fixed α = 0.4, count cutoff 2
+    * (without a cutoff, a self-trained corpus never backs off — every
+    * observed trigram has c ≥ 1). No normalization means no per-context
+    * discount pass, which is exactly what keeps the score one unordered
+    * aggregation and fixed-point oracle-able; backoff-level tallies make
+    * a regression visible at the level it happened.
+    */
+  val qLmBackoff = Q("q_lm_backoff",
+    (s, dir) => Corpus.backoffSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_trigrams"), col("n_tri_hits"),
+        col("n_bi_backoff"), col("n_uni_backoff"),
+        col("surprisal_x10k"), col("mean_surprisal_x10k")),
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      uni AS (SELECT t, count(*) AS cu FROM (
+          SELECT unnest(toks) AS t FROM d WHERE NOT toks = ['']) GROUP BY 1),
+      tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+      bi AS (SELECT a, b, count(*) AS cb FROM (
+          SELECT toks[g.i] AS a, toks[g.i + 1] AS b
+          FROM d, LATERAL (
+            SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+          WHERE NOT toks = ['']) GROUP BY 1, 2),
+      tg AS (
+        SELECT doc_id, toks[g.i] AS t1, toks[g.i + 1] AS t2,
+               toks[g.i + 2] AS t3
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+        WHERE NOT toks = ['']),
+      tri AS (SELECT t1, t2, t3, count(*) AS ct FROM tg GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT tg.doc_id,
+          CASE WHEN tri.ct >= 2 THEN 3 WHEN b2.cb >= 2 THEN 2
+               ELSE 1 END AS lvl,
+          CAST(floor(-ln(
+            CASE WHEN tri.ct >= 2 THEN tri.ct::DOUBLE / b1.cb
+                 WHEN b2.cb >= 2 THEN 0.4 * b2.cb / u2.cu
+                 ELSE 0.16 * u3.cu / o.n_total END) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM tg
+        JOIN tri USING (t1, t2, t3)
+        JOIN bi b1 ON b1.a = tg.t1 AND b1.b = tg.t2
+        JOIN bi b2 ON b2.a = tg.t2 AND b2.b = tg.t3
+        JOIN uni u2 ON u2.t = tg.t2
+        JOIN uni u3 ON u3.t = tg.t3
+        CROSS JOIN tot o)
+      SELECT doc_id, count(*) AS n_trigrams,
+        CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+        CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoff,
+        CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoff,
+        CAST(sum(nat10k) AS BIGINT) AS surprisal_x10k,
+        CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
+      FROM scored GROUP BY doc_id"""))
+
   /** Heavy hitters via the Misra-Gries candidate sketch + exact recount.
     * The oracle is the plain exact top-k SQL — a hash match proves the
     * sketch path changes nothing (fixture vocab 31 << capacity, so the
@@ -3184,7 +3240,7 @@ object Queries {
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,
-    qLmSurprisal, qLmBigram,
+    qLmSurprisal, qLmBigram, qLmBackoff,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

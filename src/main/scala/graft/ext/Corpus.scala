@@ -468,6 +468,92 @@ object Corpus {
       .withColumn("mean_surprisal_x10k", expr("surprisal_x10k div n_bigrams"))
   }
 
+  /** Self-trained Stupid Backoff trigram LM surprisal (Brants et al.
+    * 2007, "Large Language Models in Machine Translation") — the
+    * standard web-scale quality-filter scorer one rung above
+    * [[bigramSurprisal]]. Each trigram position (t1 t2 → t3) scores
+    *
+    *   S(t3|t1,t2) = c(t1t2t3)/c(t1t2)          if c(t1t2t3) ≥ minCount
+    *               = 0.4 · c(t2t3)/c(t2)        elif c(t2t3) ≥ minCount
+    *               = 0.4² · c(t3)/N             otherwise
+    *
+    * with Brants' fixed α = 0.4 and NO normalization — scores, not
+    * probabilities, which is exactly what makes the formula one
+    * unordered pass (no per-context discount sums). Count thresholding
+    * (`minCount`, Brants' count cutoff) is what makes backoff actually
+    * fire on a self-trained corpus: every observed trigram trivially
+    * has c ≥ 1, so without a cutoff level 3 always wins and the ladder
+    * is dead code. Denominators always use the FULL counts (contexts
+    * are never pruned — they exist for every scored position, so no
+    * null paths).
+    *
+    * Shape: ONE materialized (id, tokens) scan feeds three n-gram
+    * aggregations, each bounded by vocabulary (ⁿ), not corpus size; the
+    * scoring joins are un-hinted — vocab-sized tables broadcast under
+    * AQE, web-scale ones shuffle on their n-gram key. Per-position
+    * surprisal is fixed-pointed to integer tenth-millinats BEFORE the
+    * unordered per-doc sum (the float-accumulation-order rule), so the
+    * result hash-matches any engine. Docs with <3 tokens drop out;
+    * backoff-level tallies ride along (n_tri_hits + n_bi_backoff +
+    * n_uni_backoff = n_trigrams) so a scoring regression is visible at
+    * the level it happened.
+    *
+    * @return (id, n_trigrams, n_tri_hits, n_bi_backoff, n_uni_backoff,
+    *         surprisal_x10k, mean_surprisal_x10k)
+    */
+  def backoffSurprisal(df: DataFrame, idCol: String, textCol: String,
+                       minCount: Int = 2): DataFrame = {
+    // token arrays scanned by all three n-gram explosions: materialize once
+    val ds = Materialize.multiScan(Materialize.spread(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("ts")))
+    val uni = Materialize.multiScan(
+      ds.select(explode(col("ts")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cu")))
+    val tot = uni.agg(sum(col("cu")).as("n_total"))
+    val bi = Materialize.multiScan(ds.filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ts")) - 2),
+        i => struct(element_at(col("ts"), i + 1).as("a"),
+          element_at(col("ts"), i + 2).as("b")))).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb")))
+    val tg = Materialize.multiScan(ds.filter(size(col("ts")) >= 3)
+      .select(col("id"), explode(transform(sequence(lit(0), size(col("ts")) - 3),
+        i => struct(element_at(col("ts"), i + 1).as("t1"),
+          element_at(col("ts"), i + 2).as("t2"),
+          element_at(col("ts"), i + 3).as("t3")))).as("g"))
+      .select(col("id"), col("g.t1").as("t1"), col("g.t2").as("t2"),
+        col("g.t3").as("t3")))
+    val tri = tg.groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("ct"))
+    // every join hits (counts derive from the same corpus), so levels
+    // are decided by thresholds, never by null paths
+    tg.join(tri, Seq("t1", "t2", "t3"))
+      .join(bi.select(col("a").as("t1"), col("b").as("t2"),
+        col("cb").as("c12")), Seq("t1", "t2"))
+      .join(bi.select(col("a").as("t2"), col("b").as("t3"),
+        col("cb").as("c23")), Seq("t2", "t3"))
+      .join(uni.select(col("t").as("t2"), col("cu").as("cu2")), Seq("t2"))
+      .join(uni.select(col("t").as("t3"), col("cu").as("cu3")), Seq("t3"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lvl",
+        when(col("ct") >= minCount, lit(3))
+          .when(col("c23") >= minCount, lit(2)).otherwise(lit(1)))
+      // identical literal constants (0.4, 0.16) and operation order in
+      // the oracle SQL keep the IEEE value bit-equal cross-engine
+      .withColumn("nat10k", floor(-log(
+        when(col("lvl") === 3, col("ct").cast("double") / col("c12"))
+          .when(col("lvl") === 2, lit(0.4) * col("c23") / col("cu2"))
+          .otherwise(lit(0.16) * col("cu3") / col("n_total")))
+        * 10000 + 0.5).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi_backoff"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_backoff"),
+        sum(col("nat10k")).as("surprisal_x10k"))
+      .withColumn("mean_surprisal_x10k", expr("surprisal_x10k div n_trigrams"))
+  }
+
   /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +
     * exact recount — the heavy-hitters complement of [[vocabulary]].
     * `vocabulary`'s groupBy shuffles EVERY distinct token (fine for

@@ -67,6 +67,33 @@ class CorpusSpec extends AnyFunSuite {
       "the repetitive doc must carry lower mean bigram surprisal")
   }
 
+  test("stupid backoff: the ladder fires at every level with exact scores") {
+    // tri (a,b,c)=2 -> level 3; (b,c,d)=1 but bigram (c,d)=2 -> level 2;
+    // the rest are singleton trigrams over singleton bigrams -> level 1.
+    // <3-token docs drop out.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"),
+      (4L, "c d q"), (5L, "z")).toDF("doc_id", "text")
+    val out = Corpus.backoffSurprisal(docs, "doc_id", "text")
+      .select("id", "n_trigrams", "n_tri_hits", "n_bi_backoff",
+        "n_uni_backoff", "surprisal_x10k")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5), r._6)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 == ((2L, 1L, 1L, 0L)), out(1L).toString)
+    assert(out(2L)._1 == ((2L, 1L, 0L, 1L)), out(2L).toString)
+    assert(out(3L)._1 == ((2L, 0L, 0L, 2L)), out(3L).toString)
+    assert(out(4L)._1 == ((1L, 0L, 0L, 1L)), out(4L).toString)
+    def nat10k(s: Double): Long = math.floor(-math.log(s) * 10000 + 0.5).toLong
+    // doc1: (a,b,c) lvl3 S = 2/c(a,b)=2/2 = 1 -> 0 nats;
+    //       (b,c,d) lvl2 S = 0.4·c(c,d)/c(c) = 0.4·2/3
+    assert(out(1L)._2 == nat10k(1.0) + nat10k(0.4 * 2 / 3), out(1L).toString)
+    // doc2: (a,b,c) lvl3 0 nats; (b,c,e) lvl1 S = 0.16·c(e)/N = 0.16/16
+    // (N counts doc5's lone token too — unigram totals see every doc,
+    // even ones too short to score)
+    assert(out(2L)._2 == nat10k(0.16 * 1 / 16), out(2L).toString)
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
