@@ -2278,6 +2278,46 @@ object Queries {
         CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
       FROM scored GROUP BY doc_id"""))
 
+  /** fastText-style quality-classifier scoring: hashed unigram+bigram
+    * features, fixed integer weight table (here hash-derived so the
+    * oracle replays generation → lookup → sum end-to-end), exact
+    * integer logits. The keep verdict thresholds the MEAN weight at 0
+    * by integer cross-multiply — no float anywhere.
+    */
+  val qQualityScore = Q("q_quality_score",
+    (s, dir) => {
+      val w = s.range(1024).select(col("id").as("bucket"),
+        (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+          lit(21L)) - 10).as("w"))
+      Corpus.qualityScore(t(s, dir, "documents"), "doc_id", "text", w,
+          nBuckets = 1024, thrMilli = 0L)
+        .select(col("id").as("doc_id"), col("n_features"),
+          col("logit"), col("keep"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      w AS (SELECT i AS bucket,
+          ('0x'||substr(md5(i::VARCHAR),1,15))::BIGINT % 21 - 10 AS w
+        FROM range(0, 1024) t(i)),
+      feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM d WHERE NOT toks = ['']
+        UNION ALL
+        SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      fb AS (SELECT doc_id,
+          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM feats),
+      scored AS (
+        SELECT fb.doc_id, count(*) AS n_features,
+          CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS logit
+        FROM fb LEFT JOIN w USING (bucket) GROUP BY fb.doc_id)
+      SELECT doc_id, n_features, logit,
+        logit * 1000 >= 0 * n_features AS keep
+      FROM scored"""))
+
   /** Heavy hitters via the Misra-Gries candidate sketch + exact recount.
     * The oracle is the plain exact top-k SQL — a hash match proves the
     * sketch path changes nothing (fixture vocab 31 << capacity, so the
@@ -2981,21 +3021,21 @@ object Queries {
         CAST(sum(n_tokens) AS BIGINT) AS budget_tokens
       FROM quota GROUP BY source"""))
 
-  /** End-to-end training-corpus preparation, round-7 edition — the
-    * composition story over THIS round's operators: duplicated-span
-    * coverage gate ([[Dedup.substringDupCoverage]]) → fraction
-    * decontamination vs a held-out benchmark
-    * ([[Corpus.decontaminateFraction]]) → exact-dedup survivors →
-    * temperature mixture rebalance at α = 0.5
+  /** End-to-end training-corpus preparation — the composition story:
+    * duplicated-span coverage gate ([[Dedup.substringDupCoverage]]) +
+    * quality-classifier gate ([[Corpus.qualityScore]], mean hashed-
+    * n-gram weight ≥ −2) → fraction decontamination vs a held-out
+    * benchmark ([[Corpus.decontaminateFraction]]) → exact-dedup
+    * survivors → temperature mixture rebalance at α = 0.5
     * ([[Corpus.temperatureSample]]) → per-source budgets in LEARNED
     * subword tokens ([[Bpe.learn]] on the raw corpus + [[Bpe.encode]]).
-    * Five stages, one hash-matched oracle: every intermediate set and
+    * Six stages, one hash-matched oracle: every intermediate set and
     * the final per-source token budgets are pinned.
     *
-    * Stage independence the oracle relies on: coverage and per-doc
-    * overlap fractions are doc-local scores (a doc's verdict does not
-    * depend on which OTHER docs survived earlier stages), so the SQL
-    * computes them over the full table and intersects the keeps —
+    * Stage independence the oracle relies on: coverage, quality, and
+    * per-doc overlap fractions are doc-local scores (a doc's verdict
+    * does not depend on which OTHER docs survived earlier stages), so
+    * the SQL computes them over the full table and intersects the keeps —
     * while the temperature RATES are derived from the survivors' own
     * per-source counts, exactly as the operator does on its input.
     * The coverage block inherits `dedup_substr_coverage`'s oracle-unit
@@ -3008,9 +3048,20 @@ object Queries {
       val covKeep = Dedup.substringDupCoverage(docs, "doc_id", "text",
           winBytes = 40, anchorMod = 8, dropAtBp = 5000)
         .filter(!col("drop")).select(col("id").as("doc_id"))
+      // quality gate (fastText-style hashed-n-gram linear scorer, the
+      // q_quality_score fixture weights): mean weight >= -2 admits the
+      // bulk and trims the worst tail — doc-local like the coverage
+      // gate, so the oracle computes both over the full table and
+      // intersects the keeps
+      val wTable = s.range(1024).select(col("id").as("bucket"),
+        (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+          lit(21L)) - 10).as("w"))
+      val qualKeep = Corpus.qualityScore(docs, "doc_id", "text", wTable,
+          nBuckets = 1024, thrMilli = -2000L)
+        .filter(col("keep")).select(col("id").as("doc_id"))
       // cached: read by the decontamination stage AND the keep join
       val afterCov = graft.ext.Materialize.multiScan(
-        docs.join(covKeep, Seq("doc_id")))
+        docs.join(covKeep, Seq("doc_id")).join(qualKeep, Seq("doc_id")))
       val bench = docs.filter(col("doc_id") % 97 === 0)
       // trigrams, not bigrams: this corpus draws from a small
       // vocabulary, and at sf0.1 the benchmark's BIGRAM set covers
@@ -3037,6 +3088,28 @@ object Queries {
             .cast("long").as("bpe_tokens"))
     },
     Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + """,
+      qw AS (SELECT i AS bucket,
+          ('0x'||substr(md5(i::VARCHAR),1,15))::BIGINT % 21 - 10 AS w
+        FROM range(0, 1024) t(i)),
+      qd AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      qfeats AS (
+        SELECT doc_id, unnest(toks) AS f FROM qd WHERE NOT toks = ['']
+        UNION ALL
+        SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+        FROM qd, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      qsc AS (
+        SELECT fb.doc_id, count(*) AS nf,
+          CAST(sum(coalesce(qw.w, 0)) AS BIGINT) AS logit
+        FROM (SELECT doc_id,
+                ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket
+              FROM qfeats) fb
+        LEFT JOIN qw USING (bucket) GROUP BY fb.doc_id),
+      qkeep AS (SELECT doc_id FROM qsc WHERE logit * 1000 >= -2000 * nf),
       cd AS (
         SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
         FROM documents),
@@ -3098,7 +3171,8 @@ object Queries {
         FROM fex WHERE doc_id % 97 <> 0 GROUP BY doc_id),
       deconkeep AS (
         SELECT k.doc_id
-        FROM covkeep k LEFT JOIN fscored f USING (doc_id)
+        FROM covkeep k JOIN qkeep USING (doc_id)
+          LEFT JOIN fscored f USING (doc_id)
         WHERE k.doc_id % 97 <> 0
           AND NOT ((CASE WHEN coalesce(f.n_shingles, 0) > 0
             THEN (f.n_shared * 10000) // f.n_shingles ELSE 0 END) >= 2500)),
@@ -3148,6 +3222,37 @@ object Queries {
         md5(array_to_string(toks[c.chunk_no*32+1 : c.chunk_no*32+40], ' ')) AS chunk_fp
       FROM chunked, LATERAL (
         SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_no) c"""))
+
+  /** Contiguous sequence packing, budgeted in LEARNED BPE subword
+    * tokens instead of whitespace tokens — the form a tokenizer-aware
+    * training pipeline actually ships (context windows are subword
+    * budgets). Exercises `pack`'s pluggable tokenCounter with
+    * [[graft.ext.Bpe.encode]] on the corpus-learned table end-to-end;
+    * the oracle replays learning + encoding (the shared unrolled CTEs)
+    * and then the same running-sum pack assignment.
+    */
+  val qPackBpe = Q("q_pack_bpe",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
+      Corpus.pack(docs, "doc_id", "text", budget = 2000,
+          tokenCounter = c => size(graft.ext.Bpe.encode(c, merges)))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("pack_tokens"))
+    },
+    Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + """,
+      psized AS (
+        SELECT doc_id, coalesce(len(a.all_toks), 0) AS n_tokens
+        FROM documents LEFT JOIN agg a USING (doc_id)),
+      pruns AS (
+        SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM psized)
+      SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS pack_id,
+        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM pruns GROUP BY 1"""))
 
   /** Contiguous sequence packing into 2000-token budgets. */
   val qPack = Q("q_pack",
@@ -3240,7 +3345,7 @@ object Queries {
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,
-    qLmSurprisal, qLmBigram, qLmBackoff,
+    qLmSurprisal, qLmBigram, qLmBackoff, qQualityScore,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
@@ -3249,6 +3354,6 @@ object Queries {
     qKmeansAssign,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
-    qChunk, qPack, qDecontam, qDecontamBloom, qDecontamFraction,
+    qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample)
 }

@@ -554,6 +554,53 @@ object Corpus {
       .withColumn("mean_surprisal_x10k", expr("surprisal_x10k div n_trigrams"))
   }
 
+  /** fastText-style linear quality classifier (Joulin et al. 2016 "Bag
+    * of Tricks for Efficient Text Classification" — the standard
+    * quality-filter scorer of web-scale curation pipelines, cf. GPT-3 /
+    * PaLM data work): features are hashed word unigrams + bigrams
+    * (fastText `wordNgrams=2`) bucketed into `nBuckets`, the score is
+    * the dot product of the feature counts with a FIXED weight table.
+    * Weights are integers and the logit is their exact integer sum, so
+    * the score — and the keep verdict — hash-matches any engine: no
+    * float dot product, no sigmoid (monotone, so thresholding the logit
+    * IS thresholding the probability).
+    *
+    * The weight table is training-produced in real life (driver-sized:
+    * nBuckets rows) and rides as a broadcast join — NOT a per-bucket
+    * expression — so the plan is O(1) in table size. Buckets absent
+    * from the table weigh 0 (left join + coalesce). The keep verdict
+    * compares the MEAN weight against a milli-unit threshold by integer
+    * cross-multiply (`logit·1000 ≥ thrMilli·n_features`), fastText's
+    * mean-of-feature-scores shape without a division. Docs with no
+    * tokens have no features and drop out (same contract as the LM
+    * scorers).
+    *
+    * @param weights (bucket: Long, w: Long) table, nBuckets rows max
+    * @return (id, n_features, logit, keep)
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   weights: DataFrame, nBuckets: Int = 1024,
+                   thrMilli: Long = 0L): DataFrame = {
+    val base = Materialize.spread(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
+    // unigrams ++ space-joined bigrams, one explode; sequence() is only
+    // safe when size >= 2 (start > stop flips its step sign)
+    val feats = base.select(col("id"), explode(concat(col("ts"),
+      when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => concat_ws(" ", element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2))))
+        .otherwise(array()))).as("f"))
+    val bucketed = feats.withColumn("bucket",
+      pmod(TextOps.portableHash(col("f")), lit(nBuckets.toLong)))
+    bucketed.join(broadcast(weights), Seq("bucket"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0L)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_features"), sum(col("w")).as("logit"))
+      .withColumn("keep",
+        col("logit") * 1000 >= lit(thrMilli) * col("n_features"))
+  }
+
   /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +
     * exact recount — the heavy-hitters complement of [[vocabulary]].
     * `vocabulary`'s groupBy shuffles EVERY distinct token (fine for

@@ -94,6 +94,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L)._2 == nat10k(0.16 * 1 / 16), out(2L).toString)
   }
 
+  test("qualityScore: hashed unigram+bigram features, exact integer logits") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    // uniform +1 weights make the logit = the feature count, so the
+    // feature extraction is pinned exactly without hand-computing md5
+    val ones = spark.range(64).select(col("id").as("bucket"), lit(1L).as("w"))
+    val out = Corpus.qualityScore(docs, "doc_id", "text", ones,
+        nBuckets = 64, thrMilli = 500L)
+      .select("id", "n_features", "logit", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc1: 3 unigrams + 2 bigrams; mean 1 >= 0.5 -> keep
+    assert(out(1L) == ((5L, 5L, true)), out.toString)
+    // doc2: single token, no bigram branch (the sequence() guard)
+    assert(out(2L) == ((1L, 1L, true)), out.toString)
+    // doc3: no tokens, no features -> drops out
+    assert(!out.contains(3L))
+    // buckets absent from the table weigh 0; verdict is mean-based
+    val empty = spark.range(0).select(col("id").as("bucket"), col("id").as("w"))
+    val zeroed = Corpus.qualityScore(docs, "doc_id", "text", empty,
+        nBuckets = 64, thrMilli = 1L)
+      .select("id", "logit", "keep").as[(Long, Long, Boolean)].collect()
+    assert(zeroed.forall(r => r._2 == 0L && !r._3), zeroed.toSeq.toString)
+    // the weight lookup must be a broadcast join, not per-bucket exprs
+    val plan = Corpus.qualityScore(docs, "doc_id", "text", ones, 64, 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
