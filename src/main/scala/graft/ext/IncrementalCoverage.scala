@@ -27,49 +27,62 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: state is the fingerprint store — 32-byte digests of
   * admitted spans PLUS one whole-document fingerprint per admitted doc,
-  * never text — read as a semi-join side and appended per tick;
-  * per-tick cost is batch windows × one join against the store.
+  * never text — held as a BUCKETED external table (`CLUSTERED BY (fp)`,
+  * [[Layout.writeBucketed]]'s layout with append semantics). Every
+  * per-tick store interaction is a probe AGAINST that layout:
+  *  - the exact-duplicate membership join, the dup-span semi-join, and
+  *    the new-fingerprint anti-join all hash-join on `fp`, so the
+  *    store side needs NO exchange — only the batch side shuffles
+  *    (into the store's bucket partitioning) or broadcasts;
+  *  - nothing ever unions the store into a batch-side `distinct()`
+  *    (which would re-shuffle the ENTIRE store every tick, a cost that
+  *    grows with the admitted corpus instead of the batch).
+  * Per-tick store cost is therefore read-only and scan-shaped; batch
+  * work is batch-sized. The bucket count is part of the on-disk layout
+  * — keep `indexBuckets` constant for the lifetime of a store (the
+  * bucketed append validates this and fails loudly on a mismatch).
+  *
   * Replay-idempotent for EVERY document shape: an anchor-bearing doc
   * re-scores 10000 bp against its own indexed spans, and a doc below
   * the window length (or whose text carries no anchor — probability
   * (1-1/anchorMod)^(len-win+1)) is caught by its document fingerprint,
   * which doubles as an exact-duplicate gate across batches. Bin-pack
-  * the two directories with [[IncrementalDedup.maintain]] every N
-  * ticks inside the same serialized window.
+  * the CORPUS directory with [[IncrementalDedup.maintain]]; the span
+  * index instead uses [[maintainIndex]], which preserves the bucket
+  * layout (a plain round-robin bin-pack would scramble the
+  * bucket-id-bearing file names the layout depends on).
   */
 object IncrementalCoverage {
 
   /** One admission tick. Returns (admitted, dropped); appends survivors
-    * to `corpusDir` and their new span + document fingerprints to
-    * `spanIndexDir` (both created on first use). Caller serializes
-    * ticks (foreachBatch already does).
+    * to `corpusDir` and their new span + document fingerprints to the
+    * bucketed index at `spanIndexDir` (both created on first use).
+    * Caller serializes ticks (foreachBatch already does).
     */
   def admitBatch(batch: DataFrame, idCol: String, textCol: String,
                  corpusDir: String, spanIndexDir: String,
                  winBytes: Int = 40, anchorMod: Int = 8,
-                 dropAtBp: Int = 5000): (Long, Long) = {
+                 dropAtBp: Int = 5000, indexBuckets: Int = 32): (Long, Long) = {
     val spark = batch.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val n = batch.count()
-    val indexFps = fpsIfExist(spark, spanIndexDir)
+    val idx = indexTable(spark, spanIndexDir, indexBuckets)
     // whole-document fingerprints make redelivery idempotent regardless
     // of anchor density (and reject exact cross-batch duplicates): the
     // doc fp lives in the same 32-byte digest store as the span fps
     val docFps = Materialize.multiScan(batch.select(
       col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp")))
-    val exactDrops = indexFps match {
-      case Some(idx) => docFps.join(idx, Seq("fp")).select(col("id"))
-      case None => docFps.select(col("id")).limit(0)
-    }
+    val exactDrops = docFps.join(idx, Seq("fp")).select(col("id"))
     val wins = Materialize.multiScan(
       Dedup.anchorWins(batch, idCol, textCol, winBytes, anchorMod))
     val batchDupFps = wins.groupBy(col("fp"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("fp"))
-    val dupFps = indexFps match {
-      case Some(idx) => batchDupFps.unionByName(idx).distinct()
-      case None => batchDupFps
-    }
-    val dup = wins.join(dupFps, Seq("fp"))
+    // dup = window seen in the store OR >= 2 times in the batch. Two
+    // semi-joins + a batch-sized distinct — NOT `store union batch
+    // then distinct`, whose shuffle is store-sized every tick
+    val dup = wins.join(idx, Seq("fp"), "left_semi")
+      .unionByName(wins.join(batchDupFps, Seq("fp"), "left_semi"))
+      .distinct()
     val base = batch.select(col(idCol).as("id"),
       octet_length(TextOps.normalized(col(textCol))).as("n_bytes"))
     val dropIds = Materialize.multiScan(
@@ -82,24 +95,90 @@ object IncrementalCoverage {
     if (nAdmitted > 0) {
       admitted.write.mode(SaveMode.Append).parquet(corpusDir)
       // only NEW fingerprints append — the store stays distinct, so the
-      // dup-side join never inflates
-      val admittedFps = wins.select(col("id"), col("fp"))
-        .unionByName(docFps)
-        .join(dropIds, Seq("id"), "left_anti")
-        .select(col("fp")).distinct()
-      (indexFps match {
-        case Some(idx) => admittedFps.join(idx, Seq("fp"), "left_anti")
-        case None => admittedFps
-      }).write.mode(SaveMode.Append).parquet(spanIndexDir)
+      // dup-side join never inflates. Materialized (cache + count)
+      // BEFORE the append: no Spark job may both read and write the
+      // index — plan-time file-listing snapshots make that fragile
+      // under retries
+      val newFps = Materialize.multiScan(
+        wins.select(col("id"), col("fp"))
+          .unionByName(docFps)
+          .join(dropIds, Seq("id"), "left_anti")
+          .select(col("fp")).distinct()
+          .join(idx, Seq("fp"), "left_anti"))
+      newFps.count()
+      // coalesce(1): a bucketed append writes one file per (task ×
+      // bucket) — a batch-sized tick across N tasks would spray N·32
+      // files; one task caps it at the non-empty-bucket count
+      newFps.coalesce(1).write.mode(SaveMode.Append).format("parquet")
+        .bucketBy(indexBuckets, "fp").sortBy("fp")
+        .saveAsTable(tableName(spanIndexDir))
+      newFps.unpersist()
     }
     Seq(docFps, wins, dropIds, admitted).foreach(_.unpersist())
     (nAdmitted, n - nAdmitted)
   }
 
-  private def fpsIfExist(spark: SparkSession,
-                         dir: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
+  /** Bucket-preserving bin-pack of the span index: rewrites the store
+    * to ONE file per bucket (hash-repartitioned on `fp`, which is the
+    * same Murmur3 partitioning the bucket spec uses) via a shadow
+    * table, then swaps directories. [[Layout.compactParquetDir]] must
+    * NOT be used on the index — its round-robin rewrite scrambles the
+    * bucket-id file naming. Same serialization contract as
+    * [[IncrementalDedup.maintain]]: run inside the tick window.
+    */
+  def maintainIndex(spark: SparkSession, spanIndexDir: String,
+                    indexBuckets: Int = 32): Unit = {
+    val name = tableName(spanIndexDir)
+    val path = new org.apache.hadoop.fs.Path(spanIndexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(dir)) else None
+    if (!fs.exists(path)) return
+    indexTable(spark, spanIndexDir, indexBuckets)
+    val tmpDir = spanIndexDir + "__compact"
+    val tmpName = name + "_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    // force the BUCKETED scan (one partition per bucket, all its files)
+    // so the rewrite is a pure per-bucket file merge: 32 read tasks →
+    // 32 output files, ZERO shuffle. An explicit repartition(fp) would
+    // not work here — the optimizer drops it as redundant against the
+    // table's bucket spec while separately deciding a non-bucketed
+    // scan, leaving task × bucket file cross-products
+    val prevAuto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try spark.table(name)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(indexBuckets, "fp").sortBy("fp")
+      .option("path", tmpDir).saveAsTable(tmpName)
+    finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    // swap: drop metadata (external tables keep their files), move the
+    // compacted layout into place, re-register
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    fs.delete(path, true)
+    fs.rename(tmpPath, path)
+    indexTable(spark, spanIndexDir, indexBuckets)
+  }
+
+  /** The store's registered table (creates it on first use; idempotent,
+    * and restart-safe — re-registering attaches the bucket spec to the
+    * existing files, whose bucket ids live in their names).
+    */
+  private def indexTable(spark: SparkSession, dir: String,
+                         buckets: Int): DataFrame = {
+    val name = tableName(dir)
+    if (!spark.catalog.tableExists(name))
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $name (fp STRING) " +
+        s"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) " +
+        s"INTO $buckets BUCKETS LOCATION '$dir'")
+    spark.table(name)
+  }
+
+  /** Deterministic catalog name per store directory. */
+  private[graft] def tableName(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_span_index_$digest"
   }
 }

@@ -508,6 +508,43 @@ class ExtOpsSpec extends AnyFunSuite {
     // the index stores DISTINCT fingerprints only
     val fps = spark.read.parquet(indexDir).select("fp").as[String].collect()
     assert(fps.length == fps.distinct.length, "span index must stay distinct")
+    // --- bucketed-store contract -----------------------------------
+    // the store is a CLUSTERED BY (fp) table: a membership probe joins
+    // with NO exchange on the store side — only the probe side shuffles
+    // (forced off broadcast so the bucket path is what's proven)
+    val idx = spark.table(IncrementalCoverage.tableName(indexDir))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Seq.tabulate(64)(i => s"probe_$i").toDF("fp")
+        .join(idx, Seq("fp"), "left_semi")
+      val plan = probe.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange".r.findAllIn(plan).length
+      assert(nExchanges == 1,
+        s"store-side join must not exchange the store ($nExchanges):\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed"),
+        s"store scan must be bucket-aware:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    // per-tick appends accumulate small bucket files; maintainIndex
+    // bin-packs to one file per non-empty bucket WITHOUT scrambling the
+    // bucket layout (file names carry the bucket id)
+    val before = spark.table(IncrementalCoverage.tableName(indexDir))
+      .select("fp").as[String].collect().sorted
+    IncrementalCoverage.maintainIndex(spark, indexDir, indexBuckets = 32)
+    val idxFiles = new java.io.File(indexDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val bucketIds = idxFiles.map(_.getName.split("_")(1).take(5))
+    assert(bucketIds.length == bucketIds.distinct.length,
+      s"one file per bucket after maintenance: ${idxFiles.map(_.getName).toSeq}")
+    val after = spark.table(IncrementalCoverage.tableName(indexDir))
+      .select("fp").as[String].collect().sorted
+    assert(after.toSeq == before.toSeq, "maintenance must preserve the store")
+    // ...and the compacted store still drops a replayed batch
+    val postMaint = IncrementalCoverage.admitBatch(
+      Seq((1L, aText), (2L, bText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
+    assert(postMaint == ((0L, 2L)),
+      s"compacted index must still drop replays: $postMaint")
   }
 
   test("non-ASCII battery: text operators keep char and byte units consistent") {

@@ -355,9 +355,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_temperature_sample: admission is a shuffle-free scan filter") {
     val p = planOf("q_temperature_sample")
-    // rates were derived in a separate count job; the returned plan is
-    // scan -> filter -> project with zero exchanges
-    assert(!p.contains("Exchange"),
-      s"hash-threshold admission must not shuffle:\n$p")
+    // rates were derived in a separate count job and ride back as a
+    // BROADCAST rate table (null-safe hash join — O(1) plan depth in
+    // stratum count); the data itself never shuffles: no hash-partition
+    // exchange anywhere, and the only broadcast is the rate relation
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash-threshold admission must not shuffle the data:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must join as a broadcast table:\n$p")
   }
 }
