@@ -4,21 +4,21 @@ package graft
   * ONE JSON line for the driver.
   *
   * Each query runs once cold, then `WarmRuns` more times, and the
-  * headline `queries` map carries the MEDIAN of the warm runs — one
-  * loaded-machine outlier (GC pause, a concurrent build stealing cores)
-  * then shifts a number by at most the gap to the next-closest run,
-  * instead of fabricating a 5× "regression" the way a single timed run
-  * can (round 5's driver reported dedup_clusters at 10.3 s on a loaded
-  * machine vs 1.7 s idle, with zero code changes in its path).
-  * Alongside the median:
+  * headline `queries` map carries `[median, spread]` of the warm runs:
+  * the MEDIAN so one loaded-machine outlier (GC pause, a concurrent
+  * build stealing cores) shifts a number by at most the gap to the
+  * next-closest run instead of fabricating a 5× "regression" the way a
+  * single timed run can (round 5's driver reported dedup_clusters at
+  * 10.3 s loaded vs 1.7 s idle, zero code changes in its path); and the
+  * SPREAD ((max − min) / median, the per-query machine-load marker —
+  * clean runs sit well under 1) RIDING WITH IT, because the driver
+  * keeps only the last ~2 KB of this line — a median that survives
+  * truncation must carry its own load marker to be adjudicable.
+  * Early in the line (truncation eats these first):
   *   - `cold`: the first run — pays whole-stage codegen, JIT, parquet
   *     footer reads, the first population of operator-internal caches;
   *     kept visible so one-time costs aren't silently flattered away;
-  *   - `warm`: the fastest repeat — the steady-state floor;
-  *   - `spread`: (max − min) / median across the warm runs — a
-  *     per-query machine-load marker: a clean run sits well under 1,
-  *     a loaded one shows large spreads on queries whose code didn't
-  *     change, which is the signal to re-run rather than chase phantoms.
+  *   - `warm`: the fastest repeat — the steady-state floor.
   *
   * Caches persist across a query's runs (steady-state reruns resolving
   * to the same CacheManager entry is designed-in operator behavior) and
@@ -62,13 +62,24 @@ object Bench {
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(f: ((String, Double, Seq[Double])) => Double): String =
       results.map { r => "\"" + r._1 + "\":" + round4(f(r)) }.mkString("{", ",", "}")
-    val qs = jmap(r => median(r._3))
-    val colds = jmap(_._2)
-    val warms = jmap(r => if (r._3.exists(_ < 0)) -1.0 else r._3.min)
-    val spreads = jmap { r =>
+    // the driver keeps only the LAST ~2 KB of this line (truncates from
+    // the head, stores it unparsed as "tail") — so the numbers that
+    // adjudicate a regression must ride TOGETHER per query, as late in
+    // the line as possible: `queries` carries [median, spread] pairs
+    // (a tail window always shows a query's headline number WITH its
+    // load marker — an outlier with spread > 1 self-identifies as
+    // machine noise without a re-bench), while the cold/warm maps sit
+    // EARLY, where truncation eats them first
+    def spreadOf(r: (String, Double, Seq[Double])): Double = {
       val m = median(r._3)
       if (m <= 0) -1.0 else (r._3.max - r._3.min) / m
     }
+    val qs = results.map { r =>
+      "\"" + r._1 + "\":[" + round4(median(r._3)) + "," +
+        round4(spreadOf(r)) + "]"
+    }.mkString("{", ",", "}")
+    val colds = jmap(_._2)
+    val warms = jmap(r => if (r._3.exists(_ < 0)) -1.0 else r._3.min)
     // failed iff the headline median is unavailable (any warm run
     // failed) — consistent with `queries`/`total`, which carry exactly
     // the non-failed medians. A cold-only failure (transient first-run
@@ -91,7 +102,7 @@ object Bench {
       (if (bySpread.exists(_._2 > 1.0))
         " — spread > 1 present: MACHINE LOADED, numbers unreliable, re-run"
       else " — clean run"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$WarmRuns,"queries":$qs,"cold":$colds,"warm":$warms,"spread":$spreads,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$WarmRuns,"cold":$colds,"warm":$warms,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
