@@ -163,7 +163,60 @@ object ScaleBench {
         docs(s).filter(col("doc_id") % 97 =!= 0),
         docs(s).filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 3, dropAtBp = 2500)
-        .filter(col("drop"))))
+        .filter(col("drop"))),
+      // semanticDedup's honest scale note: fixed k turns the per-cell
+      // pair space n²/k quadratic — k ∝ n (the SemDeDup paper's own
+      // operating rule) keeps cells constant-sized and the scan the
+      // dominant cost. Both dialed forms measured side by side.
+      "semanticDedupKprop" -> (s => graft.ext.Similarity.semanticDedup(
+        vecs(s), "vec_id", "embedding", k = 16 * s, tau = 0.7)
+        .filter(!col("keep"))),
+      // the FLAGSHIP six-stage prep composite (q_corpus_prep_v2's exact
+      // chain over the synthetic corpus): coverage gate + quality gate
+      // -> fraction decontam -> exact-dedup survivors -> temperature
+      // rebalance -> budgets in learned BPE tokens. The two
+      // Materialize.multiScan reuse points ride along, so this is the
+      // memory-pressure data point for the caching choices.
+      "prepComposite" -> { s =>
+        val d = docs(s).withColumn("source",
+          pmod(hash(col("doc_id")), lit(5)).cast("string"))
+        val covKeep = graft.ext.Dedup.substringDupCoverage(d, "doc_id",
+            "text", winBytes = 40, anchorMod = 8, dropAtBp = 5000)
+          .filter(!col("drop")).select(col("id").as("doc_id"))
+        val wTable = spark.range(1024).select(col("id").as("bucket"),
+          (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+            lit(21L)) - 10).as("w"))
+        val qualKeep = graft.ext.Corpus.qualityScore(d, "doc_id", "text",
+            wTable, nBuckets = 1024, thrMilli = -2000L)
+          .filter(col("keep")).select(col("id").as("doc_id"))
+        val afterCov = graft.ext.Materialize.multiScan(
+          d.join(covKeep, Seq("doc_id")).join(qualKeep, Seq("doc_id")))
+        val deconKeep = graft.ext.Corpus.decontaminateFraction(
+            afterCov.filter(col("doc_id") % 97 =!= 0),
+            d.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 3, dropAtBp = 2500)
+          .filter(!col("drop")).select(col("id").as("doc_id"))
+        val afterDecon = afterCov.join(deconKeep, Seq("doc_id"))
+        val surv = graft.ext.Materialize.multiScan(afterDecon
+          .withColumn("fp", graft.ext.TextOps.fingerprint(col("text")))
+          .withColumn("keep_id", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .filter(col("doc_id") === col("keep_id")))
+        val sampled = graft.ext.Corpus.temperatureSample(surv, "source",
+          Seq("doc_id"), alpha = 0.5)
+        val merges = graft.ext.Bpe.learn(d, "text", nMerges = 8)
+        sampled.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(graft.ext.Bpe.encode(col("text"), merges)))
+              .cast("long").as("bpe_tokens"))
+      })
+
+    // SCALE_OPS=a,b,c restricts to named operators (local iteration on
+    // one curve without re-timing the whole family)
+    val opsRun = sys.env.get("SCALE_OPS")
+      .map(names => { val keep = names.split(",").map(_.trim).toSet
+        ops.filter(o => keep(o._1)) })
+      .getOrElse(ops)
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -173,11 +226,11 @@ object ScaleBench {
     // warmup so the first measured rows aren't inflated relative to the
     // rest (scale 1 need not exist under a custom SCALE_POINTS)
     val warmScale = scales.min
-    for ((_, op) <- ops) { op(warmScale).count(); release() }
+    for ((_, op) <- opsRun) { op(warmScale).count(); release() }
 
     println("| operator | scale | input rows | cold s | warm s | out rows |")
     println("|---|---|---|---|---|---|")
-    for ((name, op) <- ops; s <- scales) {
+    for ((name, op) <- opsRun; s <- scales) {
       def run(): (Double, Long) = {
         val t0 = System.nanoTime()
         val rows = op(s).count()
@@ -187,7 +240,8 @@ object ScaleBench {
       val warm = math.min(run()._1, run()._1)
       release()
       val inRows = (name match {
-        case "nearDupPairsSrp" | "pqSearchAdc" | "semanticDedup" => baseVecs
+        case "nearDupPairsSrp" | "pqSearchAdc" | "semanticDedup"
+           | "semanticDedupKprop" => baseVecs
         case "kmvDistinct" => baseVals
         case "jaccardAgainst" => baseDocs / 11
         case _ => baseDocs
