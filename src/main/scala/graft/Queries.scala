@@ -2318,6 +2318,104 @@ object Queries {
         logit * 1000 >= 0 * n_features AS keep
       FROM scored"""))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    * source's documents by self-trained LM surprisal and cut into
+    * head/middle/tail terciles — the standard "keep head+middle, drop
+    * tail" web-curation admission. Composes [[Corpus.unigramSurprisal]]
+    * with a fully-deterministic ntile (ties broken by doc_id), so the
+    * bucket boundaries, per-bucket counts, and surprisal ranges all
+    * hash-match the SQL replay.
+    */
+  val qPerplexityBuckets = Q("q_perplexity_buckets",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Corpus.unigramSurprisal(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("mean_surprisal_x10k"), col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("mean_surprisal_x10k")).as("min_mean_x10k"),
+          max(col("mean_surprisal_x10k")).as("max_mean_x10k"))
+        .withColumn("keep", col("bucket") <= 2)
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM tok),
+      scored AS (
+        SELECT t.doc_id,
+          CAST(floor(-ln(f.cnt::DOUBLE / o.n_total) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM tok t JOIN freq f USING (token) CROSS JOIN tot o),
+      perdoc AS (
+        SELECT doc_id, CAST(sum(nat10k) AS BIGINT) // count(*) AS m
+        FROM scored GROUP BY doc_id),
+      ranked AS (
+        SELECT d.source, p.m,
+          ntile(3) OVER (PARTITION BY d.source
+            ORDER BY p.m, p.doc_id) AS bucket
+        FROM perdoc p JOIN documents d USING (doc_id))
+      SELECT source, bucket, count(*) AS n_docs,
+        min(m) AS min_mean_x10k, max(m) AS max_mean_x10k,
+        bucket <= 2 AS keep
+      FROM ranked GROUP BY source, bucket"""))
+
+  /** DSIR data selection (Xie et al. 2023): importance-score every raw
+    * document by the smoothed hashed-n-gram log-likelihood ratio of a
+    * held-out target slice vs the raw corpus, then take the top-50 —
+    * the "make the corpus look like the target" counterpart of the
+    * quality classifier's absolute gate. Per-bucket log-ratios
+    * fixed-pointed once; doc scores are exact integer sums, so
+    * estimation → λ table → scoring → selection all hash-match.
+    */
+  val qDsirSelect = Q("q_dsir_select",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirScore(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_features"), col("dsir_x10k"))
+        .orderBy(col("dsir_x10k").desc, col("doc_id")).limit(50)
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM d WHERE NOT toks = ['']
+        UNION ALL
+        SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      fb AS (SELECT doc_id,
+          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM feats),
+      rawf AS (SELECT * FROM fb WHERE doc_id % 97 <> 0),
+      tgtf AS (SELECT * FROM fb WHERE doc_id % 97 = 0),
+      cr AS (SELECT bucket, count(*) AS cr FROM rawf GROUP BY 1),
+      ct AS (SELECT bucket, count(*) AS ct FROM tgtf GROUP BY 1),
+      nr AS (SELECT count(*) AS nr FROM rawf),
+      nt AS (SELECT count(*) AS nt FROM tgtf),
+      lam AS (
+        SELECT i AS bucket,
+          CAST(floor(ln(((coalesce(ct.ct, 0) + 1.0) * (nr.nr + 1024)) /
+                        ((coalesce(cr.cr, 0) + 1.0) * (nt.nt + 1024)))
+               * 10000 + 0.5) AS BIGINT) AS lam
+        FROM range(0, 1024) t(i)
+        LEFT JOIN cr ON cr.bucket = i LEFT JOIN ct ON ct.bucket = i
+        CROSS JOIN nr CROSS JOIN nt),
+      scored AS (
+        SELECT doc_id, count(*) AS n_features,
+          CAST(sum(lam.lam) AS BIGINT) AS dsir_x10k
+        FROM rawf JOIN lam USING (bucket) GROUP BY doc_id)
+      SELECT doc_id, n_features, dsir_x10k
+      FROM scored ORDER BY dsir_x10k DESC, doc_id LIMIT 50"""))
+
   /** Heavy hitters via the Misra-Gries candidate sketch + exact recount.
     * The oracle is the plain exact top-k SQL — a hash match proves the
     * sketch path changes nothing (fixture vocab 31 << capacity, so the
@@ -3345,7 +3443,8 @@ object Queries {
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,
-    qLmSurprisal, qLmBigram, qLmBackoff, qQualityScore,
+    qLmSurprisal, qLmBigram, qLmBackoff, qQualityScore, qDsirSelect,
+    qPerplexityBuckets,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

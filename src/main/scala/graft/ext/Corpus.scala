@@ -581,24 +581,83 @@ object Corpus {
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
                    weights: DataFrame, nBuckets: Int = 1024,
                    thrMilli: Long = 0L): DataFrame = {
-    val base = Materialize.spread(df)
-      .select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
-    // unigrams ++ space-joined bigrams, one explode; sequence() is only
-    // safe when size >= 2 (start > stop flips its step sign)
-    val feats = base.select(col("id"), explode(concat(col("ts"),
-      when(size(col("ts")) >= 2,
-        transform(sequence(lit(0), size(col("ts")) - 2),
-          i => concat_ws(" ", element_at(col("ts"), i + 1),
-            element_at(col("ts"), i + 2))))
-        .otherwise(array()))).as("f"))
-    val bucketed = feats.withColumn("bucket",
-      pmod(TextOps.portableHash(col("f")), lit(nBuckets.toLong)))
-    bucketed.join(broadcast(weights), Seq("bucket"), "left")
+    hashedFeatures(df, idCol, textCol, nBuckets)
+      .join(broadcast(weights), Seq("bucket"), "left")
       .withColumn("w", coalesce(col("w"), lit(0L)))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_features"), sum(col("w")).as("logit"))
       .withColumn("keep",
         col("logit") * 1000 >= lit(thrMilli) * col("n_features"))
+  }
+
+  /** (id, bucket) hashed bag-of-features relation shared by the linear
+    * scorers ([[qualityScore]], [[dsirScore]]): word unigrams +
+    * space-joined bigrams (fastText `wordNgrams=2`), portable-hashed
+    * into `nBuckets`. One explode; `sequence()` is only safe when
+    * size ≥ 2 (start > stop flips its step sign). Docs with no tokens
+    * produce no rows.
+    */
+  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                             nBuckets: Int): DataFrame =
+    Materialize.spread(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
+      .select(col("id"), explode(concat(col("ts"),
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(0), size(col("ts")) - 2),
+            i => concat_ws(" ", element_at(col("ts"), i + 1),
+              element_at(col("ts"), i + 2))))
+          .otherwise(array()))).as("f"))
+      .withColumn("bucket",
+        pmod(TextOps.portableHash(col("f")), lit(nBuckets.toLong)))
+
+  /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw
+    * document by how much more likely its hashed n-gram bag is under
+    * the TARGET distribution than under the RAW distribution,
+    *
+    *   log w(x) = Σ_features  ln p̂_tgt(b) − ln p̂_raw(b)
+    *
+    * with add-1-smoothed per-bucket estimates p̂(b) = (c_b+1)/(N+B).
+    * The per-bucket log-ratio is fixed-pointed to integer
+    * tenth-millinats ONCE (single-`ln` form
+    * `ln(((c_t+1)·(N_r+B)) / ((c_r+1)·(N_t+B)))` — every operand an
+    * exact integer in double range, so the value is bit-identical in
+    * any engine), and a document's score is an exact integer SUM of
+    * table lookups — the float-accumulation-order rule again. Selection
+    * is then `ORDER BY score DESC` + limit in the caller (deterministic
+    * resampling; DSIR's Gumbel-noise variant = add Gumbel keys from the
+    * portable hash, [[weightedSample]]'s machinery).
+    *
+    * Scale shape: two feature-count aggregations bounded by `nBuckets`
+    * (NOT vocabulary — the hash folds the tail), one broadcast of the
+    * nBuckets-row log-ratio table, one batch-sized sum. The target side
+    * is typically tiny (a quality reference corpus) and never joins
+    * row-to-row with the raw corpus.
+    *
+    * @return (id, n_features, dsir_x10k) for raw docs with ≥1 token
+    */
+  def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
+                textCol: String, nBuckets: Int = 1024): DataFrame = {
+    val rawFeats = Materialize.multiScan(
+      hashedFeatures(raw, idCol, textCol, nBuckets))
+    val tgtFeats = hashedFeatures(target, idCol, textCol, nBuckets)
+    val cRaw = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val cTgt = tgtFeats.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val nRaw = rawFeats.agg(count(lit(1)).as("nr"))
+    val nTgt = tgtFeats.agg(count(lit(1)).as("nt"))
+    val b = lit(nBuckets.toLong)
+    // the λ table covers every bucket (absent buckets count 0 and still
+    // carry the smoothed prior ratio)
+    val lambda = raw.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+      .join(cRaw, Seq("bucket"), "left").join(cTgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
+      .select(col("bucket"), floor(log(
+        ((coalesce(col("ct"), lit(0L)) + 1.0) * (col("nr") + b)) /
+          ((coalesce(col("cr"), lit(0L)) + 1.0) * (col("nt") + b)))
+        * 10000 + 0.5).cast("long").as("lam"))
+    rawFeats.join(broadcast(lambda), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_features"), sum(col("lam")).as("dsir_x10k"))
   }
 
   /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +

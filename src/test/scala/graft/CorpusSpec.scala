@@ -123,6 +123,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("dsirScore ranks target-like documents above off-distribution ones") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),  // pure target vocabulary
+      (2L, "zeta omega zeta omega"),  // pure off-distribution
+      (3L, "alpha beta zeta omega"),  // mixed
+      (4L, "")).toDF("doc_id", "text") // no tokens: drops out
+    val target = Seq((100L, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dsirScore(raw, target, "doc_id", "text", nBuckets = 256)
+      .select("id", "n_features", "dsir_x10k")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // 4 unigrams + 3 bigrams per 4-token doc
+    assert(out.values.forall(_._1 == 7L), out.toString)
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2,
+      s"target-likeness must order 1 > 3 > 2: $out")
+    // off-distribution features (never seen by the target) carry the
+    // full smoothed penalty: the pure off-distribution doc sits far
+    // below the pure target-like one (absolute signs depend on the
+    // smoothing prior at this tiny N — only ratios are meaningful)
+    assert(out(2L)._2 < out(1L)._2 - 50000L, out.toString)
+    // the λ table must ride as a broadcast, not shuffle the features
+    val plan = Corpus.dsirScore(raw, target, "doc_id", "text", 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
