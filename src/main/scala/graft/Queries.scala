@@ -2365,24 +2365,11 @@ object Queries {
         bucket <= 2 AS keep
       FROM ranked GROUP BY source, bucket"""))
 
-  /** DSIR data selection (Xie et al. 2023): importance-score every raw
-    * document by the smoothed hashed-n-gram log-likelihood ratio of a
-    * held-out target slice vs the raw corpus, then take the top-50 —
-    * the "make the corpus look like the target" counterpart of the
-    * quality classifier's absolute gate. Per-bucket log-ratios
-    * fixed-pointed once; doc scores are exact integer sums, so
-    * estimation → λ table → scoring → selection all hash-match.
+  /** Shared CTE block of the DSIR oracles: features → per-side counts →
+    * smoothed fixed-point λ table → exact-integer doc scores, exposing
+    * `scored(doc_id, n_features, dsir_x10k)`.
     */
-  val qDsirSelect = Q("q_dsir_select",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      Corpus.dsirScore(docs.filter(col("doc_id") % 97 =!= 0),
-          docs.filter(col("doc_id") % 97 === 0),
-          "doc_id", "text", nBuckets = 1024)
-        .select(col("id").as("doc_id"), col("n_features"), col("dsir_x10k"))
-        .orderBy(col("dsir_x10k").desc, col("doc_id")).limit(50)
-    },
-    Some("""WITH d AS (
+  private val dsirCtes: String = """WITH d AS (
         SELECT doc_id, string_split(
           trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
         FROM documents),
@@ -2412,9 +2399,50 @@ object Queries {
       scored AS (
         SELECT doc_id, count(*) AS n_features,
           CAST(sum(lam.lam) AS BIGINT) AS dsir_x10k
-        FROM rawf JOIN lam USING (bucket) GROUP BY doc_id)
+        FROM rawf JOIN lam USING (bucket) GROUP BY doc_id)"""
+
+  /** DSIR data selection (Xie et al. 2023): importance-score every raw
+    * document by the smoothed hashed-n-gram log-likelihood ratio of a
+    * held-out target slice vs the raw corpus, then take the top-50 —
+    * the "make the corpus look like the target" counterpart of the
+    * quality classifier's absolute gate. Per-bucket log-ratios
+    * fixed-pointed once; doc scores are exact integer sums, so
+    * estimation → λ table → scoring → selection all hash-match.
+    */
+  val qDsirSelect = Q("q_dsir_select",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirScore(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_features"), col("dsir_x10k"))
+        .orderBy(col("dsir_x10k").desc, col("doc_id")).limit(50)
+    },
+    Some(dsirCtes + """
       SELECT doc_id, n_features, dsir_x10k
       FROM scored ORDER BY dsir_x10k DESC, doc_id LIMIT 50"""))
+
+  /** DSIR proper — Gumbel-top-k importance RESAMPLING (the paper's
+    * selection mode, vs q_dsir_select's deterministic top-scores):
+    * P(selected) ∝ w(x) without replacement via the Gumbel-max trick,
+    * noise from the portable hash at the score's own fixed-point scale,
+    * so the stochastic sample itself is exact and hash-matched.
+    */
+  val qDsirResample = Q("q_dsir_resample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirResample(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 50, nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_features"),
+          col("dsir_x10k"), col("key_x10k"))
+    },
+    Some(dsirCtes + """
+      SELECT doc_id, n_features, dsir_x10k,
+        dsir_x10k + CAST(floor(-ln(-ln(
+          (('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1.0)
+            / 1152921504606846976.0)) * 10000 + 0.5) AS BIGINT) AS key_x10k
+      FROM scored ORDER BY key_x10k DESC, doc_id LIMIT 50"""))
 
   /** Heavy hitters via the Misra-Gries candidate sketch + exact recount.
     * The oracle is the plain exact top-k SQL — a hash match proves the
@@ -3444,7 +3472,7 @@ object Queries {
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,
     qLmSurprisal, qLmBigram, qLmBackoff, qQualityScore, qDsirSelect,
-    qPerplexityBuckets,
+    qDsirResample, qPerplexityBuckets,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

@@ -660,6 +660,32 @@ object Corpus {
       .agg(count(lit(1)).as("n_features"), sum(col("lam")).as("dsir_x10k"))
   }
 
+  /** DSIR's actual selection mode: GUMBEL-TOP-K resampling — taking the
+    * k largest `log w(x) + Gumbel_x` draws a sample WITHOUT replacement
+    * with P(x) ∝ w(x) (the Gumbel-max trick), which is the paper's
+    * importance resampling rather than deterministic top-scores (that
+    * cut would take near-duplicates of the single most target-like
+    * mode). The Gumbel noise derives from the portable hash of the id
+    * ([[weightedSample]]'s u = (h+1)/2^60 convention — deterministic,
+    * seed- and partitioning-independent, reproducible in any engine)
+    * and is fixed-pointed to the SAME tenth-millinat scale as the
+    * score, so the sort key is an exact integer sum. One stateless
+    * projection on top of [[dsirScore]]; top-k is a distributed
+    * TakeOrdered.
+    *
+    * @return the k resampled rows: (id, n_features, dsir_x10k, key_x10k)
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Int,
+                   nBuckets: Int = 1024): DataFrame = {
+    val u = (TextOps.portableHash(col("id").cast("string")).cast("double")
+      + 1.0) / lit((1L << 60).toDouble)
+    dsirScore(raw, target, idCol, textCol, nBuckets)
+      .withColumn("key_x10k", col("dsir_x10k")
+        + floor(-log(-log(u)) * 10000 + 0.5).cast("long"))
+      .orderBy(col("key_x10k").desc, col("id")).limit(k)
+  }
+
   /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +
     * exact recount — the heavy-hitters complement of [[vocabulary]].
     * `vocabulary`'s groupBy shuffles EVERY distinct token (fine for

@@ -545,6 +545,16 @@ class ExtOpsSpec extends AnyFunSuite {
       "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
     assert(postMaint == ((0L, 2L)),
       s"compacted index must still drop replays: $postMaint")
+    // JVM-restart path: the in-memory catalog loses the table but the
+    // bucketed FILES remain — re-registration from DDL must attach the
+    // bucket spec to them and keep semantics (simulated via DROP TABLE,
+    // which leaves an external table's files in place)
+    spark.sql(s"DROP TABLE ${IncrementalCoverage.tableName(indexDir)}")
+    val postRestart = IncrementalCoverage.admitBatch(
+      Seq((1L, aText), (10L, filler(220))).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
+    assert(postRestart == ((1L, 1L)),
+      s"re-registered store must drop the replay, admit the new doc: $postRestart")
   }
 
   test("non-ASCII battery: text operators keep char and byte units consistent") {
