@@ -353,6 +353,35 @@ class PlanSpec extends AnyFunSuite {
       s"shingle text crosses a shuffle (only 8-byte hashes and id counts may):\n$p")
   }
 
+  test("q_lm_backoff: only n-gram keys shuffle, never document text") {
+    val p = planOf("q_lm_backoff")
+    // the three count aggregations shuffle on vocab-bounded n-gram
+    // keys and the scoring joins broadcast the count tables; the raw
+    // `text` column must never cross an exchange (exploded token
+    // relations carry tokens, bounded by position count — fine; whole
+    // documents crossing a shuffle would not be)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected n-gram count shuffles:\n$p")
+    assert(exchanges.forall(!_.contains("text#")),
+      s"document text crosses a shuffle:\n$p")
+  }
+
+  test("q_dsir_select / q_quality_score: weight tables broadcast, features never shuffle") {
+    for (name <- Seq("q_dsir_select", "q_quality_score")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: λ/weight table must broadcast-join:\n$p")
+      // the per-feature relation joins against the broadcast table and
+      // aggregates by id — feature strings must not cross an exchange
+      // (buckets and ids may)
+      val exchanges = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.forall(l => !l.contains("f#") && !l.contains("text#")),
+        s"$name: feature text crosses a shuffle:\n$p")
+    }
+  }
+
   test("q_temperature_sample: admission is a shuffle-free scan filter") {
     val p = planOf("q_temperature_sample")
     // rates were derived in a separate count job and ride back as a
