@@ -2365,6 +2365,57 @@ object Queries {
         bucket <= 2 AS keep
       FROM ranked GROUP BY source, bucket"""))
 
+  /** Gopher rule battery (Rae et al. 2021): the canonical heuristic
+    * quality gate — word-count and mean-word-length windows,
+    * symbol-to-word and alphabetic-word ratios, ≥2 distinct stopwords —
+    * every rule an integer/boolean over normalized text, the whole
+    * battery and verdict hash-matched.
+    */
+  val qGopherRules = Q("q_gopher_rules",
+    (s, dir) => Corpus.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        stopwords = graft.ext.TextOps.Stopwords)
+      .select(col("id").as("doc_id"), col("n_words"), col("mean_len_x100"),
+        col("symbol_bp"), col("alpha_bp"), col("n_stop_distinct"),
+        col("r_wordcount"), col("r_meanlen"), col("r_symbol"),
+        col("r_alpha"), col("r_stopwords"), col("keep")),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      b AS (
+        SELECT doc_id, t, string_split(t, ' ') AS toks,
+          CASE WHEN t = '' THEN 0
+               ELSE len(string_split(t, ' ')) END AS n
+        FROM d),
+      m AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+          CASE WHEN n > 0
+            THEN ((length(t) - (n - 1)) * 100) // n ELSE 0 END AS mean_len_x100,
+          CASE WHEN n > 0 THEN
+            (((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3) * 10000) // n
+          ELSE 0 END AS symbol_bp,
+          CASE WHEN n > 0 THEN
+            (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 10000) // n
+          ELSE 0 END AS alpha_bp,
+          CAST(len(list_intersect(list_distinct(toks),
+            ['the','a','an','of','and','to','in','is','on','for','it',
+             'with','as','at','by','be','this','that','from','or'])) AS BIGINT)
+            AS n_stop_distinct
+        FROM b)
+      SELECT doc_id, n_words,
+        CAST(mean_len_x100 AS BIGINT) AS mean_len_x100,
+        CAST(symbol_bp AS BIGINT) AS symbol_bp,
+        CAST(alpha_bp AS BIGINT) AS alpha_bp, n_stop_distinct,
+        n_words BETWEEN 50 AND 100000 AS r_wordcount,
+        mean_len_x100 BETWEEN 300 AND 1000 AS r_meanlen,
+        symbol_bp <= 1000 AS r_symbol,
+        alpha_bp >= 8000 AS r_alpha,
+        n_stop_distinct >= 2 AS r_stopwords,
+        (n_words BETWEEN 50 AND 100000) AND (mean_len_x100 BETWEEN 300 AND 1000)
+          AND symbol_bp <= 1000 AND alpha_bp >= 8000
+          AND n_stop_distinct >= 2 AS keep
+      FROM m"""))
+
   /** Shared CTE block of the DSIR oracles: features → per-side counts →
     * smoothed fixed-point λ table → exact-integer doc scores, exposing
     * `scored(doc_id, n_features, dsir_x10k)`.
@@ -3472,7 +3523,7 @@ object Queries {
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,
     qLmSurprisal, qLmBigram, qLmBackoff, qQualityScore, qDsirSelect,
-    qDsirResample, qPerplexityBuckets,
+    qDsirResample, qPerplexityBuckets, qGopherRules,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

@@ -686,6 +686,65 @@ object Corpus {
       .orderBy(col("key_x10k").desc, col("id")).limit(k)
   }
 
+  /** The Gopher rule battery (Rae et al. 2021, table A1) — the canonical
+    * heuristic quality filter applied before any model-based scoring:
+    * word-count window, mean-word-length window, symbol-to-word ratio,
+    * alphabetic-word ratio, and the ≥2-distinct-stopwords fluency check.
+    * All ratios are integer basis points over the NORMALIZED text
+    * (single-spaced lowercase — so `mean·100 = (chars − (n−1)) · 100
+    * div n` is exact), making every rule and the final verdict
+    * hash-portable. One stateless projection; no shuffle, no UDFs.
+    *
+    * (The reference thresholds for the line-shape rules — bullet /
+    * ellipsis line ratios — degenerate on single-line corpora and are
+    * intentionally omitted; the five implemented rules are the
+    * document-shape core.)
+    *
+    * @return (id, n_words, mean_len_x100, symbol_bp, alpha_bp,
+    *         n_stop_distinct, r_wordcount, r_meanlen, r_symbol,
+    *         r_alpha, r_stopwords, keep)
+    */
+  /** Rae et al.'s own 8-word fluency list — [[gopherRules]]'s default;
+    * pass a corpus-appropriate list for non-English / synthetic corpora
+    * (the rule is "documents devoid of common function words are not
+    * prose", and what counts as a function word is corpus-relative). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val gopherStops = stopwords
+    df.select(col(idCol).as("id"),
+        TextOps.normalized(col(textCol)).as("t"))
+      .withColumn("ts", TextOps.tokens(col("t")))
+      .withColumn("n_words", size(col("ts")).cast("long"))
+      .withColumn("mean_len_x100", when(col("n_words") > 0,
+        expr("((length(t) - (n_words - 1)) * 100) div n_words"))
+        .otherwise(lit(0L)))
+      .withColumn("symbol_bp", when(col("n_words") > 0,
+        expr("""(((length(t) - length(replace(t, '#', '')))
+                 + (length(t) - length(replace(t, '...', ''))) div 3)
+                * 10000) div n_words""")).otherwise(lit(0L)))
+      .withColumn("__n_alpha",
+        size(filter(col("ts"), x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("alpha_bp", when(col("n_words") > 0,
+        expr("(__n_alpha * 10000) div n_words")).otherwise(lit(0L)))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(col("ts")),
+          typedlit(gopherStops))).cast("long"))
+      .withColumn("r_wordcount",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_meanlen",
+        col("mean_len_x100") >= 300 && col("mean_len_x100") <= 1000)
+      .withColumn("r_symbol", col("symbol_bp") <= 1000)
+      .withColumn("r_alpha", col("alpha_bp") >= 8000)
+      .withColumn("r_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("keep", col("r_wordcount") && col("r_meanlen")
+        && col("r_symbol") && col("r_alpha") && col("r_stopwords"))
+      .drop("t", "ts", "__n_alpha")
+  }
+
   /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +
     * exact recount — the heavy-hitters complement of [[vocabulary]].
     * `vocabulary`'s groupBy shuffles EVERY distinct token (fine for

@@ -151,6 +151,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("gopherRules: each rule fails on exactly its target pathology") {
+    def doc(parts: Seq[String]): String = parts.mkString(" ")
+    val base = Seq("the", "of") ++ Seq.fill(58)("word")
+    val docs = Seq(
+      (1L, doc(base)),                                    // clean: keep
+      (2L, doc(Seq("the", "of", "word", "word", "word"))), // too short
+      (3L, doc(Seq("the", "of") ++ Seq.fill(58)("x" * 20))), // words too long
+      (4L, doc(Seq("the", "of") ++ Seq.fill(48)("word") ++ Seq.fill(10)("#"))), // symbol-heavy
+      (5L, doc(Seq("the", "of") ++ Seq.fill(38)("word") ++ Seq.fill(20)("123"))), // non-alpha words
+      (6L, doc(Seq.fill(60)("word"))))                    // no function words
+      .toDF("doc_id", "text")
+    val out = Corpus.gopherRules(docs, "doc_id", "text")
+      .select("id", "r_wordcount", "r_meanlen", "r_symbol", "r_alpha",
+        "r_stopwords", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)), out(1L).toString)
+    assert(out(2L) == ((false, true, true, true, true, false)), out(2L).toString)
+    assert(out(3L) == ((true, false, true, true, true, false)), out(3L).toString)
+    assert(out(4L) == ((true, true, false, true, true, false)), out(4L).toString)
+    assert(out(5L) == ((true, true, true, false, true, false)), out(5L).toString)
+    assert(out(6L) == ((true, true, true, true, false, false)), out(6L).toString)
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
