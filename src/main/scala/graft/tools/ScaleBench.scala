@@ -171,6 +171,23 @@ object ScaleBench {
       "semanticDedupKprop" -> (s => graft.ext.Similarity.semanticDedup(
         vecs(s), "vec_id", "embedding", k = 16 * s, tau = 0.7)
         .filter(!col("keep"))),
+      // round-8 scorers: three vocab/bucket-bounded aggregations + a
+      // broadcast-table scoring join each — wall should track the
+      // token-scan, not the table sizes
+      "backoffSurprisal" -> (s => graft.ext.Corpus.backoffSurprisal(
+        docs(s), "doc_id", "text")),
+      "qualityScore" -> { s =>
+        val w = spark.range(1024).select(col("id").as("bucket"),
+          (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+            lit(21L)) - 10).as("w"))
+        graft.ext.Corpus.qualityScore(docs(s), "doc_id", "text", w)
+      },
+      "dsirScore" -> (s => graft.ext.Corpus.dsirScore(
+        docs(s).filter(col("doc_id") % 97 =!= 0),
+        docs(s).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")),
+      "gopherRules" -> (s => graft.ext.Corpus.gopherRules(
+        docs(s), "doc_id", "text")),
       // the FLAGSHIP six-stage prep composite (q_corpus_prep_v2's exact
       // chain over the synthetic corpus): coverage gate + quality gate
       // -> fraction decontam -> exact-dedup survivors -> temperature
