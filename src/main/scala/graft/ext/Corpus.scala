@@ -777,7 +777,7 @@ object Corpus {
       .select(explode(toks(col(textCol))).as("token"))
     val cand = rel
       .agg(graft.functions.VectorFunctions.freqSketch(col("token"), capacity))
-      .head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     import df.sparkSession.implicits._
     val candDf = cand.toDF("token")
     val counts = rel.join(broadcast(candDf), Seq("token"))
@@ -834,7 +834,7 @@ object Corpus {
         .select(xxhash64(col("shingle")).as("sh64")).distinct())
     val filter = bench
       .agg(graft.functions.VectorFunctions.bloomAgg(col("sh64"), nBits, k))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     // the size switch the probe expressions document: a small filter
     // rides the task binary as a foldable literal (BloomContains); a
     // GB-scale one would be re-serialized per stage and deserialized

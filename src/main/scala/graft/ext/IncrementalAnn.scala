@@ -71,7 +71,7 @@ object IncrementalAnn {
         val touched = probed.select(explode(col("cells")).as("cell"))
           .distinct().collect().map(_.getLong(0)) // bounded by nCentroids
         exploded.join(
-            index.filter(col("cell").isin(touched: _*))
+            index.filter(col("cell").isin(touched.toIndexedSeq: _*))
               .select(col("cell"), col("emb").as("idx_emb")),
             Seq("cell"))
           .filter(fns.cosineSim(col("emb"), col("idx_emb")) >= tau)

@@ -104,7 +104,7 @@ object Sketch {
   def cmsEstimate(items: DataFrame, itemCol: String, probes: DataFrame,
                   probeCol: String, depth: Int, width: Int): DataFrame = {
     val cells = cmsCells(items, itemCol, depth, width)
-    val keep = probes.columns.map(col)
+    val keep = probes.columns.toIndexedSeq.map(col)
     probes
       .select(keep :+ explode(sequence(lit(0), lit(depth - 1))).as("d"): _*)
       .withColumn("bucket",
