@@ -2322,9 +2322,16 @@ object Queries {
     * source's documents by self-trained LM surprisal and cut into
     * head/middle/tail terciles — the standard "keep head+middle, drop
     * tail" web-curation admission. Composes [[Corpus.unigramSurprisal]]
-    * with a fully-deterministic ntile (ties broken by doc_id), so the
+    * with a fully-deterministic tercile (ties broken by doc_id), so the
     * bucket boundaries, per-bucket counts, and surprisal ranges all
-    * hash-match the SQL replay.
+    * hash-match the SQL replay — which still uses a literal `ntile`.
+    *
+    * The Spark side deliberately does NOT use `ntile.over(partitionBy
+    * (source))`: that plan is a full single-partition sort per stratum
+    * (`ntile` gets no `WindowGroupLimit` prune), i.e. one task chewing a
+    * whole source at 100 TB. [[graft.ext.Prefix.stratifiedNtile]]
+    * reproduces ntile's exact remainder distribution from a distributed
+    * rank + a broadcast per-source (first_rank, count) table.
     */
   val qPerplexityBuckets = Q("q_perplexity_buckets",
     (s, dir) => {
@@ -2332,9 +2339,8 @@ object Queries {
       val scored = Corpus.unigramSurprisal(docs, "doc_id", "text")
         .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("mean_surprisal_x10k"), col("doc_id"))
-      scored.withColumn("bucket", ntile(3).over(w))
+      graft.ext.Prefix.stratifiedNtile(scored, Seq(col("source")),
+          Seq(col("mean_surprisal_x10k"), col("doc_id")), 3, "bucket")
         .groupBy(col("source"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("mean_surprisal_x10k")).as("min_mean_x10k"),

@@ -50,6 +50,47 @@ object Prefix {
                        out: String): DataFrame =
     core(df, order, Some(value), out)
 
+  /** `df` plus column `out` = `ntile(k).over(Window.partitionBy(strata)
+    * .orderBy(order))` — same buckets, same remainder distribution — but
+    * WITHOUT the per-stratum single-partition sort. `ntile` gets no
+    * `WindowGroupLimit` prune (every row survives to the sort, unlike
+    * rank-1 filters), so the plain window funnels each stratum through
+    * ONE task: at 100 TB that is tens of TB per task. Here the rank
+    * comes from [[globalRowNumber]] over (strata ++ order) — fully
+    * distributed because the order ends in the caller's unique
+    * tiebreaker — and the bucket is ntile's closed form applied to
+    * rank-within-stratum:
+    *
+    *   q = n div k; rem = n mod k       (first `rem` buckets get q+1)
+    *   r ≤ rem·(q+1):  bucket = (r−1) div (q+1) + 1
+    *   otherwise:      bucket = rem + (r − rem·(q+1) − 1) div q + 1
+    *
+    * The per-stratum (first_rank, count) relation is stratum-cardinality
+    * sized and broadcasts. `CaseWhen` evaluates lazily per row, so the
+    * `div q` branch is never reached when q = 0 (n < k ⇒ every rank
+    * takes the first branch, bucket = r — exactly ntile's behavior).
+    */
+  def stratifiedNtile(df: DataFrame, strata: Seq[Column], order: Seq[Column],
+                      k: Int, out: String): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val rn = "__strat_rn"
+    val ranked = core(df, strata ++ order, None, rn)
+    val stats = ranked.groupBy(strata: _*)
+      .agg(min(col(rn)).as("__first"), count(lit(1)).as("__n"))
+    val strataNames = stats.columns.dropRight(2)
+    val r = col(rn) - col("__first") + 1
+    val q = expr(s"__n div $k")
+    val rem = col("__n") % k
+    ranked.join(broadcast(stats), strataNames.toSeq)
+      .withColumn(out,
+        when(r <= rem * (q + 1),
+          expr(s"($rn - __first) div ((__n div $k) + 1) + 1"))
+          .otherwise(
+            expr(s"(__n % $k) + (($rn - __first + 1) - (__n % $k) * ((__n div $k) + 1) - 1) div (__n div $k) + 1"))
+          .cast("int"))
+      .drop(rn, "__first", "__n")
+  }
+
   private def core(df: DataFrame, order: Seq[Column], value: Option[Column],
                    out: String): DataFrame = {
     val spark = df.sparkSession

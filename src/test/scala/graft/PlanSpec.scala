@@ -382,6 +382,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_perplexity_buckets: no single-partition-per-stratum ntile sort") {
+    val p = planOf("q_perplexity_buckets")
+    // `ntile` gets no WindowGroupLimit prune — a Window partitioned only
+    // by the low-cardinality stratum would funnel each source through ONE
+    // task. The tercile must come from the distributed rank instead: no
+    // ntile anywhere, a range exchange present (the two-pass rank), and
+    // any Window partitioned by the synthetic range-partition id, never
+    // by the stratum alone.
+    assert(!p.contains("ntile("), s"ntile window is back:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"distributed rank's range exchange missing:\n$p")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("[__pid")),
+      s"a Window is partitioned by the stratum, not the range pid:\n$p")
+  }
+
   test("q_temperature_sample: admission is a shuffle-free scan filter") {
     val p = planOf("q_temperature_sample")
     // rates were derived in a separate count job and ride back as a

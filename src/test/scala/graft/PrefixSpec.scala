@@ -62,4 +62,25 @@ class PrefixSpec extends AnyFunSuite {
     val want = (0 until 1000).map { i => acc += i % 7; i.toLong -> acc }.toMap
     assert(got == want)
   }
+
+  test("stratifiedNtile equals the per-stratum ntile window (fuzz over k and skew)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // skewed strata (one huge, several tiny — including sizes < k so the
+    // n<k branch exercises) plus duplicate order keys to hit ties
+    val rows = (0 until 3000).map { i =>
+      val stratum = if (rnd.nextInt(10) < 6) "big" else s"s${rnd.nextInt(7)}"
+      (i.toLong, stratum, rnd.nextInt(40))
+    } ++ Seq((9001L, "lone", 1), (9002L, "pair", 1), (9003L, "pair", 2))
+    val df = rows.toDF("id", "src", "v").repartition(16)
+    for (k <- Seq(1, 2, 3, 4, 7)) {
+      val got = Prefix.stratifiedNtile(df, Seq(col("src")),
+          Seq(col("v"), col("id")), k, "b")
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      val want = df.withColumn("b", ntile(k).over(
+          Window.partitionBy(col("src")).orderBy(col("v"), col("id"))))
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      assert(got == want, s"k=$k: ${got.toSet.diff(want.toSet).take(5)}")
+    }
+  }
 }
