@@ -487,16 +487,33 @@ object Corpus {
     * are never pruned — they exist for every scored position, so no
     * null paths).
     *
-    * Shape: ONE materialized (id, tokens) scan feeds three n-gram
-    * aggregations, each bounded by vocabulary (ⁿ), not corpus size; the
-    * scoring joins are un-hinted — vocab-sized tables broadcast under
-    * AQE, web-scale ones shuffle on their n-gram key. Per-position
-    * surprisal is fixed-pointed to integer tenth-millinats BEFORE the
-    * unordered per-doc sum (the float-accumulation-order rule), so the
-    * result hash-matches any engine. Docs with <3 tokens drop out;
-    * backoff-level tallies ride along (n_tri_hits + n_bi_backoff +
-    * n_uni_backoff = n_trigrams) so a scoring regression is visible at
-    * the level it happened.
+    * Shape (r9 type-factored scoring): the two score tables are built
+    * on TYPE relations before any position sees them —
+    *
+    *   - trigram types at-or-above `minCount` join c(t1,t2) and carry
+    *     the level-3 score; that table is CUTOFF-BOUNDED (only repeated
+    *     trigrams survive), which is exactly the production dial for
+    *     the unique-trigram tail — a hash-random corpus whose trigram
+    *     types grow ∝ corpus never materializes them in a join input;
+    *   - sub-cutoff positions don't depend on t1 (levels 2/1 read only
+    *     (t2,t3) and t3), so the fallback score table is the BIGRAM-
+    *     type relation — vocab²-bounded on any corpus — with the level
+    *     decided by `c23 ≥ minCount` inside it.
+    *
+    * Positions then flow through ONE narrow pipeline: left-join the
+    * cutoff-bounded table, inner-join the bigram-bounded table,
+    * per-doc aggregate. The r8 form instead joined positions through
+    * all five raw count tables — five corpus-sized join inputs on the
+    * worst case, where this shape's join inputs stay bounded and the
+    * only corpus-sized shuffles are the type-count aggregation and the
+    * final per-doc aggregation. Per-type surprisal is fixed-pointed to
+    * integer tenth-millinats BEFORE the unordered per-doc sum (the
+    * float-accumulation-order rule), with the same literal constants
+    * and operation order as before — the result is row-identical to
+    * the per-position form and hash-matches any engine. Docs with <3
+    * tokens drop out; backoff-level tallies ride along (n_tri_hits +
+    * n_bi_backoff + n_uni_backoff = n_trigrams) so a scoring
+    * regression is visible at the level it happened.
     *
     * @return (id, n_trigrams, n_tri_hits, n_bi_backoff, n_uni_backoff,
     *         surprisal_x10k, mean_surprisal_x10k)
@@ -516,6 +533,8 @@ object Corpus {
           element_at(col("ts"), i + 2).as("b")))).as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb")))
+    // per-position trigram relation — scanned by the global type-count
+    // aggregate AND the scoring pipeline
     val tg = Materialize.multiScan(ds.filter(size(col("ts")) >= 3)
       .select(col("id"), explode(transform(sequence(lit(0), size(col("ts")) - 3),
         i => struct(element_at(col("ts"), i + 1).as("t1"),
@@ -523,28 +542,43 @@ object Corpus {
           element_at(col("ts"), i + 3).as("t3")))).as("g"))
       .select(col("id"), col("g.t1").as("t1"), col("g.t2").as("t2"),
         col("g.t3").as("t3")))
-    val tri = tg.groupBy(col("t1"), col("t2"), col("t3"))
+    // only types at/above the cutoff are ever scored as level 3 — the
+    // scored-trigram table is CUTOFF-BOUNDED, not corpus-bounded, even
+    // on the unique-trigram worst case; contexts are never pruned, so
+    // the c12 join always hits for triHi
+    val scoredHi = tg.groupBy(col("t1"), col("t2"), col("t3"))
       .agg(count(lit(1)).as("ct"))
-    // every join hits (counts derive from the same corpus), so levels
-    // are decided by thresholds, never by null paths
-    tg.join(tri, Seq("t1", "t2", "t3"))
+      .filter(col("ct") >= minCount)
       .join(bi.select(col("a").as("t1"), col("b").as("t2"),
         col("cb").as("c12")), Seq("t1", "t2"))
-      .join(bi.select(col("a").as("t2"), col("b").as("t3"),
-        col("cb").as("c23")), Seq("t2", "t3"))
+      // identical literal constants and operation order in the oracle
+      // SQL keep the IEEE value bit-equal cross-engine
+      .withColumn("nat3", floor(-log(col("ct").cast("double") / col("c12"))
+        * 10000 + 0.5).cast("long"))
+      .select(col("t1"), col("t2"), col("t3"), col("nat3"))
+    // levels 2/1 read only (t2,t3) and t3: the fallback score table is
+    // the bigram-type relation — vocab²-bounded on any corpus
+    val scoredLo = bi.select(col("a").as("t2"), col("b").as("t3"),
+        col("cb").as("c23"))
       .join(uni.select(col("t").as("t2"), col("cu").as("cu2")), Seq("t2"))
       .join(uni.select(col("t").as("t3"), col("cu").as("cu3")), Seq("t3"))
       .crossJoin(broadcast(tot))
-      .withColumn("lvl",
-        when(col("ct") >= minCount, lit(3))
-          .when(col("c23") >= minCount, lit(2)).otherwise(lit(1)))
-      // identical literal constants (0.4, 0.16) and operation order in
-      // the oracle SQL keep the IEEE value bit-equal cross-engine
-      .withColumn("nat10k", floor(-log(
-        when(col("lvl") === 3, col("ct").cast("double") / col("c12"))
-          .when(col("lvl") === 2, lit(0.4) * col("c23") / col("cu2"))
+      .withColumn("lvlLo",
+        when(col("c23") >= minCount, lit(2)).otherwise(lit(1)))
+      .withColumn("natLo", floor(-log(
+        when(col("lvlLo") === 2, lit(0.4) * col("c23") / col("cu2"))
           .otherwise(lit(0.16) * col("cu3") / col("n_total")))
         * 10000 + 0.5).cast("long"))
+      .select(col("t2"), col("t3"), col("lvlLo"), col("natLo"))
+    // positions flow through ONE narrow pipeline: a left join against
+    // the cutoff-bounded level-3 table, an inner join against the
+    // bigram-bounded fallback table (every (t2,t3) of a trigram IS a
+    // corpus bigram, so it always hits), then the per-doc aggregate
+    tg.join(scoredHi, Seq("t1", "t2", "t3"), "left")
+      .join(scoredLo, Seq("t2", "t3"))
+      .withColumn("lvl",
+        when(col("nat3").isNotNull, lit(3)).otherwise(col("lvlLo")))
+      .withColumn("nat10k", coalesce(col("nat3"), col("natLo")))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hits"),

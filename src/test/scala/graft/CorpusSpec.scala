@@ -701,4 +701,69 @@ class CorpusSpec extends AnyFunSuite {
       assert(math.abs(a - e).toDouble / e < 0.06, s"approx $a vs exact $e")
     }
   }
+
+  test("backoffSurprisal: type-factored form equals the per-position form (fuzz over minCount)") {
+    // The r9 factorization scores cutoff-bounded trigram TYPES (level 3)
+    // and bigram types (levels 2/1), then weights by per-doc position
+    // counts — it must be row-identical to the straightforward
+    // per-position formulation (the r8 shape, inlined here as the
+    // reference) for every minCount, including 1 (no pruning: every
+    // position scores level 3) and a cutoff high enough that everything
+    // falls through to levels 2/1.
+    val rnd = new scala.util.Random(41)
+    val phrases = Vector("the cat sat on the mat", "a dog ran fast",
+      "the cat sat", "lorem ipsum dolor sit amet", "qq ww ee")
+    val docs = (0L until 120L).map { i =>
+      val n = 1 + rnd.nextInt(4)
+      (i, Seq.fill(n)(phrases(rnd.nextInt(phrases.size))).mkString(" ") +
+        (if (rnd.nextBoolean()) s" unique${i}a unique${i}b unique${i}c" else ""))
+    }.toDF("doc_id", "text")
+    def reference(minCount: Int): Map[Long, (Long, Long, Long, Long, Long)] = {
+      val ds = docs.select(col("doc_id").as("id"),
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("ts"))
+      val uni = ds.select(explode(col("ts")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cu"))
+      val tot = uni.agg(sum(col("cu")).as("n_total"))
+      val bi = ds.filter(size(col("ts")) >= 2)
+        .select(explode(expr("transform(sequence(0, size(ts)-2), i -> struct(ts[i] as a, ts[i+1] as b))")).as("g"))
+        .select(col("g.a").as("a"), col("g.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cb"))
+      val tg = ds.filter(size(col("ts")) >= 3)
+        .select(col("id"), explode(expr("transform(sequence(0, size(ts)-3), i -> struct(ts[i] as t1, ts[i+1] as t2, ts[i+2] as t3))")).as("g"))
+        .select(col("id"), col("g.t1").as("t1"), col("g.t2").as("t2"), col("g.t3").as("t3"))
+      val tri = tg.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("ct"))
+      tg.join(tri, Seq("t1", "t2", "t3"))
+        .join(bi.select(col("a").as("t1"), col("b").as("t2"), col("cb").as("c12")), Seq("t1", "t2"))
+        .join(bi.select(col("a").as("t2"), col("b").as("t3"), col("cb").as("c23")), Seq("t2", "t3"))
+        .join(uni.select(col("t").as("t2"), col("cu").as("cu2")), Seq("t2"))
+        .join(uni.select(col("t").as("t3"), col("cu").as("cu3")), Seq("t3"))
+        .crossJoin(tot)
+        .withColumn("lvl", when(col("ct") >= minCount, lit(3))
+          .when(col("c23") >= minCount, lit(2)).otherwise(lit(1)))
+        .withColumn("nat10k", floor(-log(
+          when(col("lvl") === 3, col("ct").cast("double") / col("c12"))
+            .when(col("lvl") === 2, lit(0.4) * col("c23") / col("cu2"))
+            .otherwise(lit(0.16) * col("cu3") / col("n_total")))
+          * 10000 + 0.5).cast("long"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hits"),
+          sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi_backoff"),
+          sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_backoff"),
+          sum(col("nat10k")).as("surprisal_x10k"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    }
+    for (mc <- Seq(1, 2, 3, 1000)) {
+      val got = Corpus.backoffSurprisal(docs, "doc_id", "text", minCount = mc)
+        .select("id", "n_trigrams", "n_tri_hits", "n_bi_backoff",
+          "n_uni_backoff", "surprisal_x10k")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      val want = reference(mc)
+      assert(got == want, s"minCount=$mc diverges: " +
+        got.collect { case (k, v) if want.get(k) != Some(v) => (k, v, want.get(k)) }
+          .take(3).toString)
+    }
+  }
 }

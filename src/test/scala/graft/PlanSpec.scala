@@ -355,16 +355,29 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_lm_backoff: only n-gram keys shuffle, never document text") {
     val p = planOf("q_lm_backoff")
-    // the three count aggregations shuffle on vocab-bounded n-gram
-    // keys and the scoring joins broadcast the count tables; the raw
-    // `text` column must never cross an exchange (exploded token
-    // relations carry tokens, bounded by position count — fine; whole
-    // documents crossing a shuffle would not be)
+    // the count aggregations shuffle on vocab-bounded n-gram keys and
+    // the scoring joins have bounded build sides; the raw `text` column
+    // must never cross an exchange (exploded token relations carry
+    // tokens, bounded by position count — fine; whole documents
+    // crossing a shuffle would not be)
     val exchanges = p.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.nonEmpty, s"expected n-gram count shuffles:\n$p")
     assert(exchanges.forall(!_.contains("text#")),
       s"document text crosses a shuffle:\n$p")
+    // r9 type factorization: scoring joins read TYPE tables (cutoff-
+    // bounded level-3 scores, vocab²-bounded fallback scores), so the
+    // doc id crosses exactly ONE exchange — the final per-doc
+    // aggregate. (The type-count aggregation shuffles on the n-gram key
+    // after partial agg drops the id; r8's five per-position scoring
+    // joins are what this pins against.) Signatures dedup'd with
+    // plan_id stripped: a cached exchange prints once per scan.
+    val idKeyed = exchanges
+      .map(l => l.substring(l.indexOf("Exchange"))
+        .replaceAll("\\[plan_id=\\d+\\]", ""))
+      .filter(_.contains("id#")).toSet
+    assert(idKeyed.size == 1,
+      s"expected exactly 1 doc-keyed shuffle (the final per-doc agg), got ${idKeyed.size}:\n${idKeyed.mkString("\n")}\n$p")
   }
 
   test("q_dsir_select / q_quality_score: weight tables broadcast, features never shuffle") {
