@@ -2138,6 +2138,69 @@ object Queries {
       WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
             < r.keep_rate_ppm"""))
 
+  /** Temperature resampling at alpha = 0.25 — the exact-oracle family
+    * extended to rational alphas (r9): rate = floor((c/cmax)^(1/4)·ppm)
+    * via the DOUBLE integer-sqrt, floor(x^(1/4)) = isqrt(isqrt(⌊x⌋)).
+    * The radicand c·ppm⁴/cmax is ≤ ppm⁴ (c ≤ cmax), so the oracle's
+    * inner sqrt needs only a ±1 integer correction after the double
+    * conversion (abs error on sqrt ≤ ~2·10⁻⁴ at 10¹² scale), and the
+    * outer radicand is ≤ ppm² < 2^52 — correctly-rounded IEEE, exact.
+    */
+  val qTemperatureSampleA25 = Q("q_temperature_sample_a25",
+    (s, dir) => Corpus.temperatureSample(t(s, dir, "documents"),
+        "source", Seq("doc_id"), alpha = 0.25)
+      .select(col("doc_id"), col("source"), col("keep_rate_ppm")),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      m AS (SELECT max(n) AS nmax FROM c),
+      rad AS (SELECT source,
+          ((n::HUGEINT) * 1000000::HUGEINT * 1000000 * 1000000 * 1000000)
+            // (SELECT nmax FROM m) AS radi
+        FROM c),
+      cand AS (SELECT source, radi,
+          CAST(floor(sqrt(radi::DOUBLE)) AS HUGEINT) AS c0 FROM rad),
+      i1 AS (SELECT source,
+          CASE WHEN (c0+1)*(c0+1) <= radi THEN c0+1
+               WHEN c0*c0 <= radi THEN c0 ELSE c0-1 END AS s1
+        FROM cand),
+      r AS (SELECT source,
+          CAST(floor(sqrt(s1::DOUBLE)) AS BIGINT) AS keep_rate_ppm
+        FROM i1)
+      SELECT d.doc_id, d.source, r.keep_rate_ppm
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+            < r.keep_rate_ppm"""))
+
+  /** Temperature resampling at alpha = 0.75 — same double-isqrt family
+    * on the cubed-share radicand c³·ppm⁴/cmax³ (≤ ppm⁴). The 128-bit
+    * oracle replay needs the intermediate c³·ppm⁴ < 2^127 (per-stratum
+    * counts ≲ 5·10⁴ at ppm = 10⁶ — holds through sf0.1); the operator
+    * itself computes in BigInt and has no such bound.
+    */
+  val qTemperatureSampleA75 = Q("q_temperature_sample_a75",
+    (s, dir) => Corpus.temperatureSample(t(s, dir, "documents"),
+        "source", Seq("doc_id"), alpha = 0.75)
+      .select(col("doc_id"), col("source"), col("keep_rate_ppm")),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      m AS (SELECT max(n) AS nmax FROM c),
+      rad AS (SELECT source,
+          ((n::HUGEINT) * n * n * 1000000::HUGEINT * 1000000 * 1000000 * 1000000)
+            // ((SELECT nmax FROM m)::HUGEINT
+               * (SELECT nmax FROM m) * (SELECT nmax FROM m)) AS radi
+        FROM c),
+      cand AS (SELECT source, radi,
+          CAST(floor(sqrt(radi::DOUBLE)) AS HUGEINT) AS c0 FROM rad),
+      i1 AS (SELECT source,
+          CASE WHEN (c0+1)*(c0+1) <= radi THEN c0+1
+               WHEN c0*c0 <= radi THEN c0 ELSE c0-1 END AS s1
+        FROM cand),
+      r AS (SELECT source,
+          CAST(floor(sqrt(s1::DOUBLE)) AS BIGINT) AS keep_rate_ppm
+        FROM i1)
+      SELECT d.doc_id, d.source, r.keep_rate_ppm
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+            < r.keep_rate_ppm"""))
+
   /** Mixture sampling: per-source keep rates (the data-mixing step) —
     * up-weight two sources, down-weight two, default the rest.
     */
@@ -2426,37 +2489,48 @@ object Queries {
     * smoothed fixed-point λ table → exact-integer doc scores, exposing
     * `scored(doc_id, n_features, dsir_x10k)`.
     */
-  private val dsirCtes: String = """WITH d AS (
+  /** DSIR oracle CTE chain, name-prefixed (so composites can embed it
+    * without colliding with their other CTE blocks) and parameterized
+    * on the raw-side source (so a ladder can train λ on its own
+    * survivor pool instead of the whole corpus). `px = ""` with the
+    * default raw filter reproduces the standalone q_dsir_* oracles.
+    */
+  private def dsirCtesNamed(px: String, rawSrc: String): String = s"""${px}d AS (
         SELECT doc_id, string_split(
-          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+          trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS toks
         FROM documents),
-      feats AS (
-        SELECT doc_id, unnest(toks) AS f FROM d WHERE NOT toks = ['']
+      ${px}feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM ${px}d WHERE NOT toks = ['']
         UNION ALL
         SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
-        FROM d, LATERAL (
+        FROM ${px}d, LATERAL (
           SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
         WHERE NOT toks = ['']),
-      fb AS (SELECT doc_id,
-          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM feats),
-      rawf AS (SELECT * FROM fb WHERE doc_id % 97 <> 0),
-      tgtf AS (SELECT * FROM fb WHERE doc_id % 97 = 0),
-      cr AS (SELECT bucket, count(*) AS cr FROM rawf GROUP BY 1),
-      ct AS (SELECT bucket, count(*) AS ct FROM tgtf GROUP BY 1),
-      nr AS (SELECT count(*) AS nr FROM rawf),
-      nt AS (SELECT count(*) AS nt FROM tgtf),
-      lam AS (
+      ${px}fb AS (SELECT doc_id,
+          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM ${px}feats),
+      ${px}rawf AS ($rawSrc),
+      ${px}tgtf AS (SELECT * FROM ${px}fb WHERE doc_id % 97 = 0),
+      ${px}cr AS (SELECT bucket, count(*) AS cr FROM ${px}rawf GROUP BY 1),
+      ${px}ct AS (SELECT bucket, count(*) AS ct FROM ${px}tgtf GROUP BY 1),
+      ${px}nr AS (SELECT count(*) AS nr FROM ${px}rawf),
+      ${px}nt AS (SELECT count(*) AS nt FROM ${px}tgtf),
+      ${px}lam AS (
         SELECT i AS bucket,
           CAST(floor(ln(((coalesce(ct.ct, 0) + 1.0) * (nr.nr + 1024)) /
                         ((coalesce(cr.cr, 0) + 1.0) * (nt.nt + 1024)))
                * 10000 + 0.5) AS BIGINT) AS lam
         FROM range(0, 1024) t(i)
-        LEFT JOIN cr ON cr.bucket = i LEFT JOIN ct ON ct.bucket = i
-        CROSS JOIN nr CROSS JOIN nt),
-      scored AS (
+        LEFT JOIN ${px}cr cr ON cr.bucket = i
+        LEFT JOIN ${px}ct ct ON ct.bucket = i
+        CROSS JOIN ${px}nr nr CROSS JOIN ${px}nt nt),
+      ${px}scored AS (
         SELECT doc_id, count(*) AS n_features,
           CAST(sum(lam.lam) AS BIGINT) AS dsir_x10k
-        FROM rawf JOIN lam USING (bucket) GROUP BY doc_id)"""
+        FROM ${px}rawf rawf JOIN ${px}lam lam USING (bucket)
+        GROUP BY doc_id)"""
+
+  private val dsirCtes: String =
+    "WITH " + dsirCtesNamed("", "SELECT * FROM fb WHERE doc_id % 97 <> 0")
 
   /** DSIR data selection (Xie et al. 2023): importance-score every raw
     * document by the smoothed hashed-n-gram log-likelihood ratio of a
@@ -3383,6 +3457,162 @@ object Queries {
       FROM samp sp LEFT JOIN agg a USING (doc_id)
       GROUP BY sp.source"""))
 
+  /** Curation ladder v3 — the full published web-curation pipeline as
+    * ONE composite with ONE end-to-end oracle, chaining the round-8
+    * scorers the way a production corpus build runs them:
+    *
+    *   1. Gopher rule battery (Rae 2021) — doc-local shape gate;
+    *   2. CCNet perplexity terciles (Wenzek 2020) — unigram-LM
+    *     surprisal trained on the FULL corpus, ranked per source over
+    *     the Gopher survivors via [[graft.ext.Prefix.stratifiedNtile]]
+    *     (no ntile window — the q_perplexity_buckets scale shape),
+    *     tail tercile dropped;
+    *   3. DSIR Gumbel-top-k resampling (Xie 2023) — λ trained on the
+    *     LADDER SURVIVOR pool vs the held-out benchmark slice (the
+    *     ladder variant of [[dsirCtesNamed]]; benchmark docs are never
+    *     selectable), top-100 by the exact fixed-point Gumbel key —
+    *     a binding cut of the ~160-doc survivor pool at sf0.01, so the
+    *     stochastic selection itself is exercised and pinned;
+    *   4. temperature mixture rebalance at α = 0.5 (mT5) on the
+    *     selected set's own per-source counts;
+    *   5. contiguous packing budgeted in LEARNED BPE subword tokens
+    *     (budget 2000, merges learned on the raw corpus — the shared
+    *     unrolled CTEs).
+    *
+    * Rank-dependent stages (terciles, top-k, temperature rates) are
+    * computed over the surviving set at that rung — exactly what the
+    * oracle replays; doc-local scores (rules, surprisal, λ features)
+    * compute over their defining corpus and intersect. Output is the
+    * packed-corpus summary: every upstream admission decision moves
+    * some pack's token count, so the hash pins the whole ladder.
+    */
+  val qCorpusPrepV3 = Q("q_corpus_prep_v3",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // 1. Gopher battery — doc-local
+      val gKeep = Corpus.gopherRules(docs, "doc_id", "text",
+          stopwords = graft.ext.TextOps.Stopwords)
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      // 2. per-source surprisal terciles over the Gopher survivors
+      val surp = Corpus.unigramSurprisal(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
+      val ranked = graft.ext.Prefix.stratifiedNtile(
+        surp.join(gKeep, Seq("doc_id"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        Seq(col("source")),
+        Seq(col("mean_surprisal_x10k"), col("doc_id")), 3, "bucket")
+      val pKeep = ranked.filter(col("bucket") <= 2).select("doc_id")
+      // 3. DSIR Gumbel-top-k: λ on the survivor pool, bench never selectable
+      val sel = Corpus.dsirResample(
+          docs.join(pKeep, Seq("doc_id")).filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 100, nBuckets = 1024)
+        .select(col("id").as("doc_id"))
+      // cached: temperatureSample derives rates from this relation and
+      // then filters it — two scans of the whole gate prefix otherwise
+      val selSrc = graft.ext.Materialize.multiScan(
+        sel.join(docs.select(col("doc_id"), col("source"), col("text")),
+          Seq("doc_id")))
+      // 4. temperature rebalance on the selected set's source mix
+      val sampled = Corpus.temperatureSample(selSrc, "source",
+        Seq("doc_id"), alpha = 0.5)
+      // 5. BPE-budgeted packing (merges from the raw corpus)
+      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
+      Corpus.pack(sampled, "doc_id", "text", budget = 2000,
+          tokenCounter = c => size(graft.ext.Bpe.encode(c, merges)))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("pack_tokens"))
+    },
+    Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + """,
+      gd AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      gb AS (
+        SELECT doc_id, t, string_split(t, ' ') AS toks,
+          CASE WHEN t = '' THEN 0
+               ELSE len(string_split(t, ' ')) END AS n
+        FROM gd),
+      gm AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+          CASE WHEN n > 0
+            THEN ((length(t) - (n - 1)) * 100) // n ELSE 0 END AS mean_len_x100,
+          CASE WHEN n > 0 THEN
+            (((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3) * 10000) // n
+          ELSE 0 END AS symbol_bp,
+          CASE WHEN n > 0 THEN
+            (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 10000) // n
+          ELSE 0 END AS alpha_bp,
+          CAST(len(list_intersect(list_distinct(toks),
+            ['the','a','an','of','and','to','in','is','on','for','it',
+             'with','as','at','by','be','this','that','from','or'])) AS BIGINT)
+            AS n_stop_distinct
+        FROM gb),
+      gkeep AS (
+        SELECT doc_id FROM gm
+        WHERE (n_words BETWEEN 50 AND 100000)
+          AND (mean_len_x100 BETWEEN 300 AND 1000)
+          AND symbol_bp <= 1000 AND alpha_bp >= 8000
+          AND n_stop_distinct >= 2),
+      ptok AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      pfreq AS (SELECT token, count(*) AS cnt FROM ptok GROUP BY 1),
+      ptot AS (SELECT count(*) AS n_total FROM ptok),
+      ppd AS (
+        SELECT doc_id, CAST(sum(nat10k) AS BIGINT) // count(*) AS m
+        FROM (
+          SELECT t.doc_id,
+            CAST(floor(-ln(f.cnt::DOUBLE / o.n_total) * 10000 + 0.5) AS BIGINT)
+              AS nat10k
+          FROM ptok t JOIN pfreq f USING (token) CROSS JOIN ptot o)
+        GROUP BY doc_id),
+      pranked AS (
+        SELECT p.doc_id,
+          ntile(3) OVER (PARTITION BY d.source
+            ORDER BY p.m, p.doc_id) AS bucket
+        FROM ppd p JOIN gkeep USING (doc_id)
+          JOIN documents d USING (doc_id)),
+      pkeep AS (SELECT doc_id FROM pranked WHERE bucket <= 2),
+      """ + dsirCtesNamed("x",
+        "SELECT xfb.* FROM xfb JOIN pkeep USING (doc_id) WHERE doc_id % 97 <> 0") + """,
+      resamp AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            dsir_x10k + CAST(floor(-ln(-ln(
+              (('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1.0)
+                / 1152921504606846976.0)) * 10000 + 0.5) AS BIGINT) AS key_x10k
+          FROM xscored)
+        ORDER BY key_x10k DESC, doc_id LIMIT 100),
+      tsrc AS (
+        SELECT r.doc_id, d.source
+        FROM resamp r JOIN documents d USING (doc_id)),
+      tc AS (SELECT source, count(*) AS n FROM tsrc GROUP BY source),
+      tm AS (SELECT max(n) AS nmax FROM tc),
+      tr AS (SELECT source,
+        CAST(floor(sqrt(
+          (((n::HUGEINT) * 1000000 * 1000000) // (SELECT nmax FROM tm))::DOUBLE))
+          AS BIGINT) AS rate
+        FROM tc),
+      samp AS (
+        SELECT sv.doc_id
+        FROM tsrc sv JOIN tr USING (source)
+        WHERE ('0x'||substr(md5(sv.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+              < tr.rate),
+      psz AS (
+        SELECT s.doc_id, coalesce(len(a.all_toks), 0) AS n_tokens
+        FROM samp s LEFT JOIN agg a USING (doc_id)),
+      prn AS (
+        SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM psz)
+      SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS pack_id,
+        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM prn GROUP BY 1"""))
+
   /** Overlapping token-window chunking (size 40, overlap 8). */
   val qChunk = Q("q_chunk",
     (s, dir) => Corpus.chunk(t(s, dir, "documents"), "doc_id", "text",
@@ -3538,6 +3768,7 @@ object Queries {
     qKmeansAssign,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
+    qCorpusPrepV3,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
-    qTemperatureSample)
+    qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75)
 }

@@ -21,6 +21,22 @@ object Corpus {
   private def toks(textCol: Column): Column =
     TextOps.tokens(TextOps.normalized(textCol))
 
+  /** Exact integer square root (Newton on BigInt — no IEEE anywhere),
+    * the driver-side half of the α ∈ {0.25, 0.75} temperature-rate
+    * forms. Strata counts are driver-sized, so this runs per stratum
+    * once; magnitude is unbounded.
+    */
+  private[graft] def isqrt(n: BigInt): BigInt = {
+    require(n >= 0, s"isqrt of negative $n")
+    if (n == 0) BigInt(0)
+    else {
+      var x = BigInt(1) << ((n.bitLength + 1) / 2)
+      var y = (x + n / x) >> 1
+      while (y < x) { x = y; y = (x + n / x) >> 1 }
+      x
+    }
+  }
+
   /** Exploded (id, token) relation — duplicates preserved. Input spread
     * to session parallelism first ([[Materialize.spread]], no-op on
     * well-partitioned tables): tokenize + explode is the CPU-heavy
@@ -354,15 +370,28 @@ object Corpus {
     // alpha = 0.5 — THE standard temperature — takes the integer-sqrt
     // form floor(sqrt(c·ppm²/c_max)): the radicand is an exact integer
     // ≤ ppm² < 2^52 and IEEE sqrt is correctly rounded, so the rate is
-    // bit-identical in any engine (oracle-checkable). Other alphas go
-    // through pow(), whose last-ulp freedom is engine-specific —
-    // rows-check territory.
+    // bit-identical in any engine (oracle-checkable). alpha = 0.25 and
+    // 0.75 (r9) extend the exact family via the double integer-sqrt:
+    // floor(x^(1/4)) = isqrt(isqrt(floor(x))) (no integer 4th power can
+    // sit in (floor(x), x]), with radicands c·ppm⁴/c_max (α=.25) and
+    // c³·ppm⁴/c_max³ (α=.75) — both ≤ ppm⁴ since c ≤ c_max, computed in
+    // BigInt so the operator itself never overflows at any corpus size.
+    // (An oracle replaying the α=.75 form in 128-bit integers needs the
+    // intermediate product c³·ppm⁴ < 2^127, i.e. per-stratum counts
+    // ≲ 5·10⁴ at ppm = 10⁶ — a replay bound, not an operator bound.)
+    // Remaining alphas go through pow(), whose last-ulp freedom is
+    // engine-specific — rows-check territory.
     val cMax = counts.map(_._2).max
     val ratePpm: Map[Any, Long] = counts.map { case (s, c) =>
+      val ppm = BigInt(keepTopPpm)
       val r =
         if (alpha == 0.5)
           math.floor(math.sqrt(
             (BigInt(c) * keepTopPpm * keepTopPpm / cMax).toDouble)).toLong
+        else if (alpha == 0.25)
+          isqrt(isqrt(BigInt(c) * ppm.pow(4) / cMax)).toLong
+        else if (alpha == 0.75)
+          isqrt(isqrt(BigInt(c).pow(3) * ppm.pow(4) / BigInt(cMax).pow(3))).toLong
         else math.floor(
           math.pow(c.toDouble / cMax, alpha) * keepTopPpm + 0.5).toLong
       s -> r

@@ -226,6 +226,44 @@ object ScaleBench {
           .agg(count(lit(1)).as("n_docs"),
             sum(size(graft.ext.Bpe.encode(col("text"), merges)))
               .cast("long").as("bpe_tokens"))
+      },
+      // the r9 curation ladder (q_corpus_prep_v3's exact chain): Gopher
+      // battery -> per-source surprisal terciles (distributed rank) ->
+      // DSIR Gumbel-top-k on the survivor pool -> temperature rebalance
+      // -> BPE-budgeted packing. Stopword rule parameterized to the
+      // synthetic vocabulary (w0..w99 as the "stopword" set — the real
+      // list can't occur in hash-random text); top-k scales with n so
+      // the selection stays binding at every scale point
+      "prepCompositeV3" -> { s =>
+        val d = docs(s).withColumn("source",
+          pmod(hash(col("doc_id")), lit(5)).cast("string"))
+        val gKeep = graft.ext.Corpus.gopherRules(d, "doc_id", "text",
+            stopwords = (0 until 100).map("w" + _))
+          .filter(col("keep")).select(col("id").as("doc_id"))
+        val surp = graft.ext.Corpus.unigramSurprisal(d, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
+        val ranked = graft.ext.Prefix.stratifiedNtile(
+          surp.join(gKeep, Seq("doc_id"))
+            .join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
+          Seq(col("source")),
+          Seq(col("mean_surprisal_x10k"), col("doc_id")), 3, "bucket")
+        val pKeep = ranked.filter(col("bucket") <= 2).select("doc_id")
+        val sel = graft.ext.Corpus.dsirResample(
+            d.join(pKeep, Seq("doc_id")).filter(col("doc_id") % 97 =!= 0),
+            d.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", k = 600 * s, nBuckets = 1024)
+          .select(col("id").as("doc_id"))
+        val selSrc = graft.ext.Materialize.multiScan(
+          sel.join(d.select(col("doc_id"), col("source"), col("text")),
+            Seq("doc_id")))
+        val sampled = graft.ext.Corpus.temperatureSample(selSrc, "source",
+          Seq("doc_id"), alpha = 0.5)
+        val merges = graft.ext.Bpe.learn(d, "text", nMerges = 8)
+        graft.ext.Corpus.pack(sampled, "doc_id", "text", budget = 2000,
+            tokenCounter = c => size(graft.ext.Bpe.encode(c, merges)))
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("pack_tokens"))
       })
 
     // SCALE_OPS=a,b,c restricts to named operators (local iteration on

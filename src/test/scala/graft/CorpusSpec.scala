@@ -702,6 +702,45 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature rates at alpha 0.25/0.75: exact double-isqrt, monotone family") {
+    // strata with known counts; rates must equal the BigInt double-
+    // integer-sqrt closed form exactly, and the alpha family must order
+    // correctly per stratum: flatter alpha => higher rate for every
+    // non-heaviest stratum (heaviest pinned at ppm for all alphas)
+    val sizes = Map("a" -> 1000, "b" -> 500, "c" -> 100)
+    val docs = sizes.toSeq.flatMap { case (s, n) =>
+      (0 until n).map(i => (s"$s$i", s)) }.toDF("doc_id", "source")
+    def rates(alpha: Double): Map[String, Long] =
+      Corpus.temperatureSample(docs, "source", Seq("doc_id"), alpha)
+        .select("source", "keep_rate_ppm").distinct()
+        .as[(String, Long)].collect().toMap
+    val ppm = BigInt(1000000)
+    def isq(n: BigInt) = graft.ext.Corpus.isqrt(n)
+    def want25(c: Int, cMax: Int) =
+      isq(isq(BigInt(c) * ppm.pow(4) / cMax)).toLong
+    def want75(c: Int, cMax: Int) =
+      isq(isq(BigInt(c).pow(3) * ppm.pow(4) / BigInt(cMax).pow(3))).toLong
+    val (r25, r50, r75) = (rates(0.25), rates(0.5), rates(0.75))
+    for ((s, c) <- sizes) {
+      assert(r25(s) == want25(c, 1000), s"a25 $s: ${r25(s)}")
+      assert(r75(s) == want75(c, 1000), s"a75 $s: ${r75(s)}")
+      if (c < 1000) assert(r25(s) > r50(s) && r50(s) > r75(s),
+        s"family order at $s")
+      else assert(r25(s) == 1000000L && r75(s) == 1000000L)
+    }
+    // the closed form itself vs the real-valued power across magnitudes
+    // (floor forms may sit at most 1 below the rounded real value), and
+    // the driver isqrt is the true integer sqrt at radicand scale ppm⁴
+    for (c <- Seq(1, 7, 99, 5000, 54321); cMax <- Seq(54321, 100000)) {
+      val real25 = math.pow(c.toDouble / cMax, 0.25) * 1e6
+      assert(math.abs(want25(c, cMax) - real25) <= 1, s"a25 $c/$cMax")
+      val real75 = math.pow(c.toDouble / cMax, 0.75) * 1e6
+      assert(math.abs(want75(c, cMax) - real75) <= 1, s"a75 $c/$cMax")
+    }
+    val big = BigInt(10).pow(24) - 1
+    assert(isq(big).pow(2) <= big && (isq(big) + 1).pow(2) > big)
+  }
+
   test("backoffSurprisal: type-factored form equals the per-position form (fuzz over minCount)") {
     // The r9 factorization scores cutoff-bounded trigram TYPES (level 3)
     // and bigram types (levels 2/1), then weights by per-doc position

@@ -411,6 +411,19 @@ class PlanSpec extends AnyFunSuite {
       s"a Window is partitioned by the stratum, not the range pid:\n$p")
   }
 
+  test("q_corpus_prep_v3: ladder reuses caches, no ntile window, no cartesian") {
+    val p = planOf("q_corpus_prep_v3")
+    // the tercile rung must ride the distributed rank (same guard as
+    // q_perplexity_buckets), the selSrc/pack prefix relations must come
+    // from the cache (multiScan reuse points), and nothing in the
+    // five-stage chain may degenerate to a cartesian product (the only
+    // legal cross joins are single-row broadcast stat frames)
+    assert(!p.contains("ntile("), s"ntile window inside the ladder:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"multiScan reuse points lost (no cached scan in plan):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the ladder:\n$p")
+  }
+
   test("q_temperature_sample: admission is a shuffle-free scan filter") {
     val p = planOf("q_temperature_sample")
     // rates were derived in a separate count job and ride back as a
