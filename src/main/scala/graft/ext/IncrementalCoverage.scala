@@ -111,7 +111,7 @@ object IncrementalCoverage {
       // files; one task caps it at the non-empty-bucket count
       newFps.coalesce(1).write.mode(SaveMode.Append).format("parquet")
         .bucketBy(indexBuckets, "fp").sortBy("fp")
-        .saveAsTable(tableName(spanIndexDir))
+        .saveAsTable(tableName(spark, spanIndexDir))
       newFps.unpersist()
     }
     Seq(docFps, wins, dropIds, admitted).foreach(_.unpersist())
@@ -128,12 +128,14 @@ object IncrementalCoverage {
     */
   def maintainIndex(spark: SparkSession, spanIndexDir: String,
                     indexBuckets: Int = 32): Unit = {
-    val name = tableName(spanIndexDir)
-    val path = new org.apache.hadoop.fs.Path(spanIndexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qdir = qualify(spark, spanIndexDir)
+    val name = tableName(spark, spanIndexDir)
+    val path = new org.apache.hadoop.fs.Path(qdir)
+    val fs = fsOf(spark, path)
+    recoverSwap(fs, path)
     if (!fs.exists(path)) return
     indexTable(spark, spanIndexDir, indexBuckets)
-    val tmpDir = spanIndexDir + "__compact"
+    val tmpDir = qdir + "__compact"
     val tmpName = name + "_tmp"
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
     // force the BUCKETED scan (one partition per bucket, all its files)
@@ -152,33 +154,127 @@ object IncrementalCoverage {
     finally spark.conf.set(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
     // swap: drop metadata (external tables keep their files), move the
-    // compacted layout into place, re-register
+    // compacted layout into place crash-consistently, re-register
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
-    fs.delete(path, true)
-    fs.rename(tmpPath, path)
+    safeSwap(fs, path, new org.apache.hadoop.fs.Path(tmpDir))
     indexTable(spark, spanIndexDir, indexBuckets)
+  }
+
+  /** Replace `live` with `shadow` without any no-store window: rename
+    * the live dir ASIDE (`__old`), rename the shadow into place, then
+    * delete the old dir. A crash between any two steps leaves either
+    * the old store (recoverable by [[recoverSwap]]) or the new store on
+    * disk — never nothing. (The previous delete-then-rename ordering
+    * stranded the data in the shadow dir if the process died between
+    * the delete and the rename.)
+    */
+  private def safeSwap(fs: org.apache.hadoop.fs.FileSystem,
+                       live: org.apache.hadoop.fs.Path,
+                       shadow: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(live.toString + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(shadow, live)
+    fs.delete(old, true)
+  }
+
+  /** Heal an interrupted [[safeSwap]]: live missing + `__old` present ⇒
+    * the crash hit between the two renames — put the old store back;
+    * both present ⇒ only the final cleanup was lost — finish it.
+    */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          live: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(live.toString + "__old")
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) fs.rename(old, live)
+      else fs.delete(old, true)
+    }
   }
 
   /** The store's registered table (creates it on first use; idempotent,
     * and restart-safe — re-registering attaches the bucket spec to the
-    * existing files, whose bucket ids live in their names).
+    * existing files, whose bucket ids live in their names). A store
+    * written by the pre-bucketed plain-parquet append format is
+    * detected here (file names carry no bucket ids — a bucketed scan
+    * over them throws 'Invalid bucket file', and only SOMETIMES, since
+    * autoBucketedScan may fall back to a plain scan for non-join reads)
+    * and rewritten once into the bucketed layout before the spec is
+    * attached.
     */
   private def indexTable(spark: SparkSession, dir: String,
                          buckets: Int): DataFrame = {
-    val name = tableName(dir)
-    if (!spark.catalog.tableExists(name))
+    val qdir = qualify(spark, dir)
+    val name = tableName(spark, dir)
+    if (!spark.catalog.tableExists(name)) {
+      val path = new org.apache.hadoop.fs.Path(qdir)
+      val fs = fsOf(spark, path)
+      recoverSwap(fs, path)
+      if (fs.exists(path) && hasLegacyFiles(fs, path))
+        migrateLegacy(spark, qdir, name, buckets)
       spark.sql(s"CREATE TABLE IF NOT EXISTS $name (fp STRING) " +
         s"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) " +
-        s"INTO $buckets BUCKETS LOCATION '$dir'")
+        s"INTO $buckets BUCKETS LOCATION '$qdir'")
+    }
     spark.table(name)
   }
 
-  /** Deterministic catalog name per store directory. */
-  private[graft] def tableName(dir: String): String = {
+  /** Bucketed writer file names carry `_NNNNN` (the bucket id) before
+    * the `.c000` suffix; plain-append files don't. Any part-file
+    * without one marks a legacy store.
+    */
+  private def hasLegacyFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             path: org.apache.hadoop.fs.Path): Boolean = {
+    val parts = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.startsWith("part-"))
+    parts.nonEmpty && parts.exists(!_.matches(".*_\\d{5}\\.c\\d+.*"))
+  }
+
+  /** One-time rewrite of a legacy (plain-parquet) fingerprint store
+    * into the bucketed layout, through the same crash-consistent
+    * shadow-swap as [[maintainIndex]]. Read as plain parquet (no table
+    * spec is attached yet, so no 'Invalid bucket file' risk), written
+    * bucketed; [[maintainIndex]] later bin-packs the task × bucket
+    * files if needed.
+    */
+  private def migrateLegacy(spark: SparkSession, qdir: String,
+                            name: String, buckets: Int): Unit = {
+    val tmpDir = qdir + "__compact"
+    val tmpName = name + "_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    val path = new org.apache.hadoop.fs.Path(qdir)
+    val fs = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    spark.read.parquet(qdir).select(col("fp").cast("string").as("fp"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .option("path", tmpDir).saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    safeSwap(fs, path, new org.apache.hadoop.fs.Path(tmpDir))
+  }
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fully-qualified canonical form of a store directory (scheme +
+    * authority + absolute normalized path): "dir", "dir/", and a
+    * relative spelling of the same location must map to ONE catalog
+    * entry. Hashing the raw string would register distinct tables over
+    * one directory — and with different `indexBuckets` values the
+    * bucketed-append validation is bypassed, after which files with
+    * mixed bucket moduli land in one store and bucketed joins silently
+    * miss fingerprints (duplicates get admitted).
+    */
+  private def qualify(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fsOf(spark, p).makeQualified(p).toString
+  }
+
+  /** Deterministic catalog name per (canonicalized) store directory. */
+  private[graft] def tableName(spark: SparkSession, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      .digest(qualify(spark, dir).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     s"graft_span_index_$digest"
   }
 }

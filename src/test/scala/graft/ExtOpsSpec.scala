@@ -512,7 +512,7 @@ class ExtOpsSpec extends AnyFunSuite {
     // the store is a CLUSTERED BY (fp) table: a membership probe joins
     // with NO exchange on the store side — only the probe side shuffles
     // (forced off broadcast so the bucket path is what's proven)
-    val idx = spark.table(IncrementalCoverage.tableName(indexDir))
+    val idx = spark.table(IncrementalCoverage.tableName(spark, indexDir))
     val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -528,7 +528,7 @@ class ExtOpsSpec extends AnyFunSuite {
     // per-tick appends accumulate small bucket files; maintainIndex
     // bin-packs to one file per non-empty bucket WITHOUT scrambling the
     // bucket layout (file names carry the bucket id)
-    val before = spark.table(IncrementalCoverage.tableName(indexDir))
+    val before = spark.table(IncrementalCoverage.tableName(spark, indexDir))
       .select("fp").as[String].collect().sorted
     IncrementalCoverage.maintainIndex(spark, indexDir, indexBuckets = 32)
     val idxFiles = new java.io.File(indexDir).listFiles()
@@ -536,7 +536,7 @@ class ExtOpsSpec extends AnyFunSuite {
     val bucketIds = idxFiles.map(_.getName.split("_")(1).take(5))
     assert(bucketIds.length == bucketIds.distinct.length,
       s"one file per bucket after maintenance: ${idxFiles.map(_.getName).toSeq}")
-    val after = spark.table(IncrementalCoverage.tableName(indexDir))
+    val after = spark.table(IncrementalCoverage.tableName(spark, indexDir))
       .select("fp").as[String].collect().sorted
     assert(after.toSeq == before.toSeq, "maintenance must preserve the store")
     // ...and the compacted store still drops a replayed batch
@@ -549,12 +549,79 @@ class ExtOpsSpec extends AnyFunSuite {
     // bucketed FILES remain — re-registration from DDL must attach the
     // bucket spec to them and keep semantics (simulated via DROP TABLE,
     // which leaves an external table's files in place)
-    spark.sql(s"DROP TABLE ${IncrementalCoverage.tableName(indexDir)}")
+    spark.sql(s"DROP TABLE ${IncrementalCoverage.tableName(spark, indexDir)}")
     val postRestart = IncrementalCoverage.admitBatch(
       Seq((1L, aText), (10L, filler(220))).toDF("doc_id", "text"),
       "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
     assert(postRestart == ((1L, 1L)),
       s"re-registered store must drop the replay, admit the new doc: $postRestart")
+  }
+
+  test("incremental coverage store: legacy migration, path spellings, swap recovery") {
+    import spark.implicits._
+    import graft.ext.IncrementalCoverage
+    val root = java.nio.file.Files.createTempDirectory("graft_inccov2").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/spans")
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefghijklmnopqrstuvwxyz    "
+    def filler(n: Int): String =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val aText = filler(200)
+    // --- legacy store migration ------------------------------------
+    // a pre-bucketed store: plain-parquet appended fingerprints (file
+    // names without bucket ids). Seed it with doc 1's fingerprints by
+    // admitting through a THROWAWAY bucketed store, then re-writing the
+    // fps as a plain parquet dir — the pre-r9 on-disk format.
+    IncrementalCoverage.admitBatch(Seq((1L, aText)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/seedcorpus", s"$root/seedidx",
+      winBytes = 40, anchorMod = 4)
+    spark.read.parquet(s"$root/seedidx").select("fp")
+      .coalesce(1).write.parquet(indexDir)
+    val legacyFiles = new java.io.File(indexDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    assert(legacyFiles.nonEmpty && legacyFiles.forall(!_.matches(".*_\\d{5}\\.c\\d+.*")),
+      s"fixture must be a plain (bucket-id-less) store: ${legacyFiles.toSeq}")
+    // first registration must detect + migrate, then behave bucketed:
+    // the replayed doc drops, a fresh doc admits
+    val afterLegacy = IncrementalCoverage.admitBatch(
+      Seq((1L, aText), (2L, filler(220))).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
+    assert(afterLegacy == ((1L, 1L)),
+      s"migrated store must keep its fingerprints working: $afterLegacy")
+    val migratedFiles = new java.io.File(indexDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    assert(migratedFiles.forall(_.matches(".*_\\d{5}\\.c\\d+.*")),
+      s"store must be fully bucketed after migration: ${migratedFiles.toSeq}")
+    // a bucket-aware probe over the migrated store must not throw
+    // 'Invalid bucket file' and must stay exchange-free on the store side
+    val idx = spark.table(IncrementalCoverage.tableName(spark, indexDir))
+    assert(idx.count() > 0)
+    // --- path spelling canonicalization ----------------------------
+    // trailing-slash and scheme-qualified spellings are the SAME store:
+    // same catalog entry, and a replay through the other spelling drops
+    assert(IncrementalCoverage.tableName(spark, indexDir) ==
+      IncrementalCoverage.tableName(spark, indexDir + "/"))
+    assert(IncrementalCoverage.tableName(spark, indexDir) ==
+      IncrementalCoverage.tableName(spark, "file:" + indexDir))
+    val viaSlash = IncrementalCoverage.admitBatch(
+      Seq((1L, aText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir + "/", winBytes = 40, anchorMod = 4)
+    assert(viaSlash == ((0L, 1L)),
+      s"other spelling of the store must see the fingerprints: $viaSlash")
+    // --- interrupted-swap recovery ---------------------------------
+    // simulate a crash BETWEEN the two renames: live store moved aside,
+    // shadow never moved in. The next tick must heal (rename __old
+    // back) and keep all fingerprints.
+    spark.sql(s"DROP TABLE ${IncrementalCoverage.tableName(spark, indexDir)}")
+    val live = new java.io.File(indexDir)
+    val old = new java.io.File(indexDir + "__old")
+    assert(live.renameTo(old), "fixture rename failed")
+    val healed = IncrementalCoverage.admitBatch(
+      Seq((1L, aText), (3L, filler(240))).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, winBytes = 40, anchorMod = 4)
+    assert(healed == ((1L, 1L)),
+      s"healed store must reject the replay and admit the new doc: $healed")
+    assert(!old.exists(), "recovery must consume the __old dir")
   }
 
   test("non-ASCII battery: text operators keep char and byte units consistent") {
