@@ -703,6 +703,20 @@ object Corpus {
                 textCol: String, nBuckets: Int = 1024): DataFrame = {
     val rawFeats = Materialize.multiScan(
       hashedFeatures(raw, idCol, textCol, nBuckets))
+    scoreAgainstLambda(rawFeats,
+      trainDsirLambda(rawFeats, target, idCol, textCol, nBuckets))
+  }
+
+  /** The λ (per-bucket fixed-point log-ratio) table of [[dsirScore]],
+    * exposed so an ONLINE admission stage can train once and score
+    * every arriving batch against the FROZEN table ([[scoreAgainstLambda]])
+    * — per-tick cost stays batch-sized, estimation state stays zero.
+    * `rawFeats` is the hashed-feature relation of the training raw
+    * corpus (the shape [[dsirScore]] builds internally).
+    */
+  private def trainDsirLambda(rawFeats: DataFrame, target: DataFrame,
+                              idCol: String, textCol: String,
+                              nBuckets: Int): DataFrame = {
     val tgtFeats = hashedFeatures(target, idCol, textCol, nBuckets)
     val cRaw = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val cTgt = tgtFeats.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
@@ -711,17 +725,38 @@ object Corpus {
     val b = lit(nBuckets.toLong)
     // the λ table covers every bucket (absent buckets count 0 and still
     // carry the smoothed prior ratio)
-    val lambda = raw.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    rawFeats.sparkSession.range(nBuckets).select(col("id").as("bucket"))
       .join(cRaw, Seq("bucket"), "left").join(cTgt, Seq("bucket"), "left")
       .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
       .select(col("bucket"), floor(log(
         ((coalesce(col("ct"), lit(0L)) + 1.0) * (col("nr") + b)) /
           ((coalesce(col("cr"), lit(0L)) + 1.0) * (col("nt") + b)))
         * 10000 + 0.5).cast("long").as("lam"))
-    rawFeats.join(broadcast(lambda), Seq("bucket"))
+  }
+
+  /** Train [[dsirScore]]'s λ table from a (raw, target) corpus pair —
+    * the freeze step of a streaming admission loop.
+    * @return (bucket, lam) — nBuckets rows, broadcastable anywhere
+    */
+  def dsirLambda(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, nBuckets: Int = 1024): DataFrame =
+    trainDsirLambda(hashedFeatures(raw, idCol, textCol, nBuckets),
+      target, idCol, textCol, nBuckets)
+
+  /** Score documents against a FROZEN λ table (same contract as
+    * [[dsirScore]]'s output; the table broadcasts, so the plan is O(1)
+    * in table size and the input never shuffles for the lookup).
+    * @return (id, n_features, dsir_x10k) for docs with ≥1 token
+    */
+  def dsirScoreAgainst(df: DataFrame, lambda: DataFrame, idCol: String,
+                       textCol: String, nBuckets: Int = 1024): DataFrame =
+    scoreAgainstLambda(hashedFeatures(df, idCol, textCol, nBuckets), lambda)
+
+  private def scoreAgainstLambda(feats: DataFrame,
+                                 lambda: DataFrame): DataFrame =
+    feats.join(broadcast(lambda), Seq("bucket"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_features"), sum(col("lam")).as("dsir_x10k"))
-  }
 
   /** DSIR's actual selection mode: GUMBEL-TOP-K resampling — taking the
     * k largest `log w(x) + Gumbel_x` draws a sample WITHOUT replacement

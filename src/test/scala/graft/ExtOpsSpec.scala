@@ -624,6 +624,87 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(!old.exists(), "recovery must consume the __old dir")
   }
 
+  test("incremental quality admission: frozen tables, restart, replay, batch parity") {
+    import spark.implicits._
+    import graft.ext.{Corpus, IncrementalQuality, Materialize}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_incqual").toString
+    val (corpusDir, ckpt) = (s"$root/corpus", s"$root/ckpt")
+    // frozen tables: a hash-derived weight table (the q_quality_score
+    // fixture form) and a λ trained once on a reference pair whose
+    // target is "alpha beta" content
+    val weights = spark.range(64).select(col("id").as("bucket"),
+      (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+        lit(21L)) - 10).as("w"))
+    val refRaw = Seq((100L, "the dog is by the river delta omega"),
+      (101L, "the cat is on the mat alpha beta"),
+      (102L, "a bird in a tree gamma sigma")).toDF("doc_id", "text")
+    val refTgt = Seq((200L, "alpha beta alpha beta the alpha"),
+      (201L, "beta alpha on the beta")).toDF("doc_id", "text")
+    val lam = Materialize.multiScan(
+      Corpus.dsirLambda(refRaw, refTgt, "doc_id", "text", nBuckets = 64))
+    lam.count()
+    // docs exercising each gate: on-target english (pass), off-target
+    // english (dsir drop), stopword-less gibberish (gopher drop), plus
+    // whatever the hash weights decide (quality gate at -2000 admits
+    // the bulk — parity below is the real check)
+    def onTgt(i: Long) = (i, s"the cat and the mat of alpha beta alpha beta x$i")
+    def offTgt(i: Long) = (i, s"the dog and the river of delta omega rho x$i")
+    def gibber(i: Long) = (i, s"zzq qqw wwe eer rrt tty yyu uui x$i")
+    val ticks = Seq(
+      Seq(onTgt(1), offTgt(2), gibber(3), onTgt(4)),
+      Seq(onTgt(5), offTgt(6), gibber(7), onTgt(8)),
+      Seq(onTgt(9), offTgt(10), gibber(11), onTgt(12)))
+    def admit(b: org.apache.spark.sql.DataFrame, id: Long) =
+      IncrementalQuality.admitBatch(b, id, "doc_id", "text", corpusDir,
+        weights, nBuckets = 64, thrMilli = -2000L,
+        lambda = Some(lam), dsirThrX10k = 0L, minWords = 5)
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) => admit(b, id); () }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    in.addData(ticks(0): _*); q1.processAllAvailable()
+    in.addData(ticks(1): _*); q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: zero scorer state to rebuild — the
+    // frozen tables ARE the state
+    val q2 = start()
+    in.addData(ticks(2): _*); q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    // gates are discriminative: every gibberish doc dropped (gopher),
+    // every off-target doc dropped (dsir), on-target docs admitted
+    assert(Set(3L, 7L, 11L).intersect(streamed).isEmpty,
+      s"gopher must drop the gibberish: $streamed")
+    assert(Set(2L, 6L, 10L).intersect(streamed).isEmpty,
+      s"the frozen-lambda gate must drop off-target docs: $streamed")
+    assert(Set(1L, 4L, 5L).subsetOf(streamed),
+      s"on-target docs must be admitted: $streamed")
+    // batch parity: doc-local scores against frozen tables make the
+    // streamed admission equal the batch ladder over the union
+    val union = ticks.flatten.toDF("doc_id", "text")
+    val gB = Corpus.gopherRules(union, "doc_id", "text", minWords = 5)
+      .filter(col("keep")).select(col("id"))
+    val qB = Corpus.qualityScore(union, "doc_id", "text", weights, 64, -2000L)
+      .filter(col("keep")).select(col("id"))
+    val dB = Corpus.dsirScoreAgainst(union, lam, "doc_id", "text", 64)
+      .filter(col("dsir_x10k") >= 0L).select(col("id"))
+    val batchSet = gB.join(qB, Seq("id")).join(dB, Seq("id"))
+      .as[Long].collect().toSet
+    assert(streamed == batchSet,
+      s"stream/batch divergence: stream=$streamed batch=$batchSet")
+    // replay idempotence: a redelivered committed batch overwrites its
+    // own per-batch directory — corpus unchanged
+    val before = spark.read.parquet(corpusDir).count()
+    admit(ticks(0).toDF("doc_id", "text"), 0L)
+    val after = spark.read.parquet(corpusDir).count()
+    assert(after == before, s"replay must not grow the corpus: $before -> $after")
+  }
+
   test("non-ASCII battery: text operators keep char and byte units consistent") {
     import spark.implicits._
     import graft.ext.{Corpus, TextOps}
