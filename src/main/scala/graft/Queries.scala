@@ -2485,6 +2485,99 @@ object Queries {
           AND n_stop_distinct >= 2 AS keep
       FROM m"""))
 
+  /** Gopher repetition battery (Rae et al. 2021, table A1's other
+    * half): duplicate line/paragraph fractions by occurrence and by
+    * character mass, top-{2,3,4}-gram character coverage, duplicated-
+    * {5..10}-gram character mass — all exact integer basis points (the
+    * occurrence-mass forms documented at [[Corpus.repetitionSignals]]),
+    * whole battery + verdict hash-matched. The oracle groups units by
+    * their strings where Spark groups by xxhash64 — identical counts
+    * barring a 64-bit collision inside one document.
+    */
+  val qGopherRepetition = Q("q_gopher_repetition",
+    (s, dir) => Corpus.repetitionSignals(t(s, dir, "documents"),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id"),
+    Some("""WITH base AS (
+        SELECT doc_id, text AS raw,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      b AS (
+        SELECT doc_id, raw, t, length(t) AS tc, string_split(t, ' ') AS ts
+        FROM base WHERE t <> ''),
+      lu0 AS (
+        SELECT doc_id, unnest(string_split(raw, chr(10))) AS u0 FROM b),
+      lu AS (
+        SELECT doc_id, 0 AS k,
+          trim(regexp_replace(lower(u0), '\s+', ' ', 'g')) AS unit
+        FROM lu0),
+      pu0 AS (
+        SELECT doc_id, unnest(string_split(raw, chr(10)||chr(10))) AS u0
+        FROM b),
+      pu AS (
+        SELECT doc_id, 1 AS k,
+          trim(regexp_replace(lower(u0), '\s+', ' ', 'g')) AS unit
+        FROM pu0),
+      bn AS (
+        SELECT doc_id, ts, unnest(generate_series(2, 10)) AS n FROM b),
+      ng AS (
+        SELECT doc_id, n AS k,
+          array_to_string(ts[g.i:g.i + n - 1], ' ') AS unit
+        FROM bn,
+          LATERAL (SELECT unnest(generate_series(1, len(ts) - n + 1)) AS i) g),
+      units AS (
+        SELECT doc_id, k, unit FROM lu WHERE unit <> ''
+        UNION ALL SELECT doc_id, k, unit FROM pu WHERE unit <> ''
+        UNION ALL SELECT doc_id, k, unit FROM ng),
+      counted AS (
+        SELECT doc_id, k, unit, count(*) AS cnt, length(unit) AS chars
+        FROM units GROUP BY 1, 2, 3, length(unit)),
+      perdoc AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN k = 0 THEN cnt ELSE 0 END) AS BIGINT) AS nl,
+          CAST(sum(CASE WHEN k = 1 THEN cnt ELSE 0 END) AS BIGINT) AS np,
+          CAST(sum(CASE WHEN k = 0 AND cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dl,
+          CAST(sum(CASE WHEN k = 1 AND cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dp,
+          CAST(sum(CASE WHEN k = 0 THEN cnt * chars ELSE 0 END) AS BIGINT) AS ml,
+          CAST(sum(CASE WHEN k = 1 THEN cnt * chars ELSE 0 END) AS BIGINT) AS mp,
+          CAST(sum(CASE WHEN k = 0 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS dml,
+          CAST(sum(CASE WHEN k = 1 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS dmp,
+          CAST(max(CASE WHEN k = 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS t2,
+          CAST(max(CASE WHEN k = 3 THEN cnt * chars ELSE 0 END) AS BIGINT) AS t3,
+          CAST(max(CASE WHEN k = 4 THEN cnt * chars ELSE 0 END) AS BIGINT) AS t4,
+          CAST(sum(CASE WHEN k = 5 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d5,
+          CAST(sum(CASE WHEN k = 6 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d6,
+          CAST(sum(CASE WHEN k = 7 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d7,
+          CAST(sum(CASE WHEN k = 8 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d8,
+          CAST(sum(CASE WHEN k = 9 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d9,
+          CAST(sum(CASE WHEN k = 10 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d10
+        FROM counted GROUP BY 1),
+      bp AS (
+        SELECT p.doc_id, p.nl AS n_lines, p.np AS n_paras,
+          CAST(b.tc AS BIGINT) AS total_chars,
+          CASE WHEN p.nl > 0 THEN least(10000, (p.dl * 10000) // p.nl) ELSE 0 END AS dup_line_bp,
+          CASE WHEN p.ml > 0 THEN least(10000, (p.dml * 10000) // p.ml) ELSE 0 END AS dup_line_char_bp,
+          CASE WHEN p.np > 0 THEN least(10000, (p.dp * 10000) // p.np) ELSE 0 END AS dup_para_bp,
+          CASE WHEN p.mp > 0 THEN least(10000, (p.dmp * 10000) // p.mp) ELSE 0 END AS dup_para_char_bp,
+          least(10000, (p.t2 * 10000) // b.tc) AS top2_bp,
+          least(10000, (p.t3 * 10000) // b.tc) AS top3_bp,
+          least(10000, (p.t4 * 10000) // b.tc) AS top4_bp,
+          least(10000, (p.d5 * 10000) // b.tc) AS dup5_bp,
+          least(10000, (p.d6 * 10000) // b.tc) AS dup6_bp,
+          least(10000, (p.d7 * 10000) // b.tc) AS dup7_bp,
+          least(10000, (p.d8 * 10000) // b.tc) AS dup8_bp,
+          least(10000, (p.d9 * 10000) // b.tc) AS dup9_bp,
+          least(10000, (p.d10 * 10000) // b.tc) AS dup10_bp
+        FROM perdoc p JOIN b USING (doc_id))
+      SELECT *,
+        dup_line_bp <= 3000 AND dup_para_bp <= 3000
+          AND dup_line_char_bp <= 2000 AND dup_para_char_bp <= 2000
+          AND top2_bp <= 2000 AND top3_bp <= 1800 AND top4_bp <= 1600
+          AND dup5_bp <= 1500 AND dup6_bp <= 1400 AND dup7_bp <= 1300
+          AND dup8_bp <= 1200 AND dup9_bp <= 1100 AND dup10_bp <= 1000
+          AS keep
+      FROM bp"""))
+
   /** Shared CTE block of the DSIR oracles: features → per-side counts →
     * smoothed fixed-point λ table → exact-integer doc scores, exposing
     * `scored(doc_id, n_features, dsir_x10k)`.
@@ -3759,7 +3852,7 @@ object Queries {
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,
     qLmSurprisal, qLmBigram, qLmBackoff, qQualityScore, qDsirSelect,
-    qDsirResample, qPerplexityBuckets, qGopherRules,
+    qDsirResample, qPerplexityBuckets, qGopherRules, qGopherRepetition,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

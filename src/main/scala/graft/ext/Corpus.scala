@@ -843,6 +843,138 @@ object Corpus {
       .drop("t", "ts", "__n_alpha")
   }
 
+  /** The OTHER half of Rae et al. 2021's table A1 — the repetition
+    * filters [[gopherRules]] leaves out: duplicate-line / duplicate-
+    * paragraph fractions (by occurrence count and by character mass),
+    * the top n-gram's character coverage for n ∈ {2,3,4}, and the
+    * duplicated-n-gram character mass for n ∈ {5..10}. Together with
+    * the document-shape battery this completes the published Gopher
+    * pre-filter.
+    *
+    * Exact integer semantics (hash-portable, like the shape battery):
+    *  - a unit (line / paragraph / n-gram) is DUPLICATED when it occurs
+    *    ≥ 2 times within the document;
+    *  - line/para fractions are basis points over the document's own
+    *    unit count (occurrences belonging to a repeated unit / total
+    *    units) resp. unit character mass;
+    *  - `top{n}_bp` = max over n-grams of `count·chars` (the n-gram
+    *    covering the most characters — count ties resolve to the
+    *    longer coverage, which is the quantity the filter actually
+    *    thresholds), over the normalized text's length;
+    *  - `dup{n}_bp` = Σ `count·chars` over duplicated n-grams, over the
+    *    text length. Occurrence-weighted (overlaps count multiply),
+    *    so both are `least(10000, ·)`-capped — the paper's span-marking
+    *    variant needs per-position state; the occurrence-mass form is
+    *    a documented upper bound with identical threshold semantics,
+    *    computable as a pure aggregation in any engine.
+    *
+    * Thresholds are table A1's: 30% dup lines/paras, 20% dup char mass,
+    * 20/18/16% top-{2,3,4}-gram coverage, 15..10% dup-{5..10}-gram
+    * mass; `keep` = every rule passes.
+    *
+    * Scale shape: ONE exploded unit relation — lines and paragraphs
+    * ship as (id, xxhash64(unit), chars) so an arbitrarily long line
+    * never crosses an exchange; n-grams hash the joined token slice the
+    * same way. One (id, kind, hash) pre-aggregation (key contains the
+    * doc id, so no key is hotter than its own document) and one per-doc
+    * rollup; the relation is ~Σ(L−n+1) ≈ 9·L rows of ~32 bytes per
+    * L-token document — the inherent cost of exact n-gram counting,
+    * with `ns` the production dial.
+    *
+    * @return (id, n_lines, n_paras, total_chars, dup_line_bp,
+    *         dup_line_char_bp, dup_para_bp, dup_para_char_bp,
+    *         top2_bp..top4_bp, dup5_bp..dup10_bp, keep) — docs with
+    *         non-empty normalized text
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        topNs: Seq[Int] = Seq(2, 3, 4),
+                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
+                        topBpMax: Map[Int, Long] =
+                          Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L),
+                        dupBpMax: Map[Int, Long] =
+                          Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
+                              8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
+                       ): DataFrame = {
+    val LINE = 0
+    val PARA = 1
+    def normUnit(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+    def unitStructs(kind: Int, arr: Column): Column =
+      transform(filter(transform(arr, u => normUnit(u)), u => u =!= ""),
+        u => struct(lit(kind).as("k"), xxhash64(u).as("h"),
+          length(u).cast("long").as("chars")))
+    def ngramStructs(n: Int, ts: Column): Column =
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)), i => {
+          val g = array_join(slice(ts, i, lit(n)), " ")
+          struct(lit(n).as("k"), xxhash64(g).as("h"),
+            length(g).cast("long").as("chars"))
+        })).otherwise(array().cast("array<struct<k:int,h:bigint,chars:bigint>>"))
+
+    val base = Materialize.spread(df)
+      .select(col(idCol).as("id"), col(textCol).as("raw"),
+        TextOps.normalized(col(textCol)).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("tc", length(col("t")).cast("long"))
+      .withColumn("ts", split(col("t"), " "))
+    val units = base.select(col("id"), col("tc"), explode(concat(
+        unitStructs(LINE, split(col("raw"), "\n")) +:
+        unitStructs(PARA, split(col("raw"), "\n\n")) +:
+        (topNs ++ dupNs).map(n => ngramStructs(n, col("ts"))): _*)).as("u"))
+      .select(col("id"), col("tc"), col("u.k"), col("u.h"), col("u.chars"))
+    val counted = units.groupBy(col("id"), col("k"), col("h"))
+      .agg(count(lit(1)).as("cnt"), first(col("chars")).as("chars"),
+        first(col("tc")).as("tc"))
+    def occ(k: Int, dupOnly: Boolean): Column =
+      sum(when(col("k") === k &&
+        (if (dupOnly) col("cnt") >= 2 else lit(true)), col("cnt"))
+        .otherwise(lit(0L)))
+    def mass(k: Int, dupOnly: Boolean): Column =
+      sum(when(col("k") === k &&
+        (if (dupOnly) col("cnt") >= 2 else lit(true)),
+        col("cnt") * col("chars")).otherwise(lit(0L)))
+    // exact integer basis points — `div`, never IEEE `/` (a double
+    // quotient landing epsilon under an integer would floor one off)
+    def bp(num: String, den: String): Column =
+      expr(s"CASE WHEN $den > 0 THEN least(10000L, ($num * 10000L) div $den) " +
+        "ELSE 0L END")
+    val aggs: Seq[Column] = Seq(
+      max(col("tc")).as("total_chars"),
+      occ(LINE, dupOnly = false).as("__nl"),
+      occ(PARA, dupOnly = false).as("__np"),
+      occ(LINE, dupOnly = true).as("__dl"),
+      occ(PARA, dupOnly = true).as("__dp"),
+      mass(LINE, dupOnly = false).as("__ml"),
+      mass(PARA, dupOnly = false).as("__mp"),
+      mass(LINE, dupOnly = true).as("__dml"),
+      mass(PARA, dupOnly = true).as("__dmp")) ++
+      topNs.map(n =>
+        max(when(col("k") === n, col("cnt") * col("chars"))
+          .otherwise(lit(0L))).as(s"__top$n")) ++
+      dupNs.map(n => mass(n, dupOnly = true).as(s"__dup$n"))
+    val perDoc = counted.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val withBp = perDoc
+      .withColumn("n_lines", col("__nl"))
+      .withColumn("n_paras", col("__np"))
+      .withColumn("dup_line_bp", bp("__dl", "__nl"))
+      .withColumn("dup_line_char_bp", bp("__dml", "__ml"))
+      .withColumn("dup_para_bp", bp("__dp", "__np"))
+      .withColumn("dup_para_char_bp", bp("__dmp", "__mp"))
+    val withTop = topNs.foldLeft(withBp)((d, n) => d.withColumn(s"top${n}_bp",
+      bp(s"__top$n", "total_chars")))
+    val withDup = dupNs.foldLeft(withTop)((d, n) => d.withColumn(s"dup${n}_bp",
+      bp(s"__dup$n", "total_chars")))
+    val keep = (Seq(col("dup_line_bp") <= 3000, col("dup_para_bp") <= 3000,
+        col("dup_line_char_bp") <= 2000, col("dup_para_char_bp") <= 2000) ++
+      topNs.map(n => col(s"top${n}_bp") <= topBpMax(n)) ++
+      dupNs.map(n => col(s"dup${n}_bp") <= dupBpMax(n))).reduce(_ && _)
+    withDup.withColumn("keep", keep)
+      .select((Seq("id", "n_lines", "n_paras", "total_chars",
+        "dup_line_bp", "dup_line_char_bp", "dup_para_bp",
+        "dup_para_char_bp") ++
+        topNs.map(n => s"top${n}_bp") ++ dupNs.map(n => s"dup${n}_bp") ++
+        Seq("keep")).map(col): _*)
+  }
+
   /** Exact top-k frequent tokens via a Misra-Gries candidate sketch +
     * exact recount — the heavy-hitters complement of [[vocabulary]].
     * `vocabulary`'s groupBy shuffles EVERY distinct token (fine for

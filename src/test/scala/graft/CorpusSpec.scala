@@ -175,6 +175,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(6L) == ((true, true, true, true, false, false)), out(6L).toString)
   }
 
+  test("repetitionSignals: each repetition mode trips exactly its signal") {
+    // the parquet fixture is single-line, so the line/para modes are
+    // exercised here with crafted multi-line docs; values hand-computed
+    val docs = Seq(
+      // clean: 30 distinct 3-char words over 2 distinct lines
+      (1L, (1 to 15).map(i => f"w$i%02d").mkString(" ") + "\n" +
+           (16 to 30).map(i => f"w$i%02d").mkString(" ")),
+      // one line duplicated (2 of 4 occurrences belong to a repeat)
+      (2L, "u01 u02 u03\nsame same1 same2\nsame same1 same2\nu04 u05 u06"),
+      // one paragraph duplicated (and with it its line)
+      (3L, "p01 p02\n\np03 p04\n\np01 p02"),
+      // phrase loop: "spam ham" x4 then 10 distinct fillers
+      (4L, Seq.fill(4)("spam ham").mkString(" ") + " " +
+           (1 to 10).map(i => f"f$i%02d").mkString(" ")),
+      (5L, "   ")) // blank: excluded entirely
+      .toDF("doc_id", "text")
+    val out = Corpus.repetitionSignals(docs, "doc_id", "text")
+    val rows = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!rows.contains(5L) && rows.size == 4)
+    def f(id: Long, c: String): Long = rows(id).getAs[Long](c)
+    def keep(id: Long): Boolean = rows(id).getAs[Boolean]("keep")
+    // doc 1: t = 30*3 chars + 29 spaces = 119; longest 2/3/4-gram covers
+    // 7/11/15 chars once
+    assert(f(1L, "n_lines") == 2 && f(1L, "n_paras") == 1
+      && f(1L, "total_chars") == 119)
+    assert(f(1L, "dup_line_bp") == 0 && f(1L, "dup_para_bp") == 0)
+    assert(f(1L, "top2_bp") == 70000 / 119 && f(1L, "top3_bp") == 110000 / 119
+      && f(1L, "top4_bp") == 150000 / 119)
+    assert((5 to 10).forall(n => f(1L, s"dup${n}_bp") == 0) && keep(1L))
+    // doc 2: 2 of 4 lines are the repeat; line mass 54, repeated mass 32
+    assert(f(2L, "n_lines") == 4 && f(2L, "dup_line_bp") == 5000
+      && f(2L, "dup_line_char_bp") == 320000 / 54 && !keep(2L))
+    // doc 3: 2 of 3 paragraphs (and lines) are the repeat, mass 14 of 21
+    assert(f(3L, "n_paras") == 3 && f(3L, "dup_para_bp") == 6666
+      && f(3L, "dup_para_char_bp") == 6666 && f(3L, "dup_line_bp") == 6666
+      && !keep(3L))
+    // doc 4: t = 8 loop tokens (28 chars) + 10 fillers (30) + 17 spaces
+    // = 75; "spam ham" cnt 4 x 8 chars = 32; the two repeated 5-grams
+    // mass 44 + 42 = 86 -> capped
+    assert(f(4L, "total_chars") == 75 && f(4L, "top2_bp") == 320000 / 75
+      && f(4L, "dup5_bp") == 10000 && !keep(4L))
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
