@@ -2498,41 +2498,53 @@ object Queries {
     (s, dir) => Corpus.repetitionSignals(t(s, dir, "documents"),
         "doc_id", "text")
       .withColumnRenamed("id", "doc_id"),
-    Some("""WITH base AS (
+    Some("WITH " + repetitionCtes("") + """
+      SELECT * FROM bp"""))
+
+  /** Repetition-battery oracle CTE chain, name-prefixed so composites
+    * can embed it (the [[dsirCtesNamed]] convention). Exposes
+    * `${px}bp(doc_id, n_lines, n_paras, total_chars, *_bp, keep)` —
+    * [[Corpus.repetitionSignals]]'s exact output. Units are grouped by
+    * their strings where Spark groups by xxhash64 — identical counts
+    * barring a 64-bit collision inside one document.
+    */
+  private def repetitionCtes(px: String, top2Max: Int = 2000,
+                             top3Max: Int = 1800,
+                             top4Max: Int = 1600): String = s"""${px}base AS (
         SELECT doc_id, text AS raw,
-          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
         FROM documents),
-      b AS (
+      ${px}b AS MATERIALIZED (
         SELECT doc_id, raw, t, length(t) AS tc, string_split(t, ' ') AS ts
-        FROM base WHERE t <> ''),
-      lu0 AS (
-        SELECT doc_id, unnest(string_split(raw, chr(10))) AS u0 FROM b),
-      lu AS (
+        FROM ${px}base WHERE t <> ''),
+      ${px}lu0 AS (
+        SELECT doc_id, unnest(string_split(raw, chr(10))) AS u0 FROM ${px}b),
+      ${px}lu AS (
         SELECT doc_id, 0 AS k,
-          trim(regexp_replace(lower(u0), '\s+', ' ', 'g')) AS unit
-        FROM lu0),
-      pu0 AS (
+          trim(regexp_replace(lower(u0), '\\s+', ' ', 'g')) AS unit
+        FROM ${px}lu0),
+      ${px}pu0 AS (
         SELECT doc_id, unnest(string_split(raw, chr(10)||chr(10))) AS u0
-        FROM b),
-      pu AS (
+        FROM ${px}b),
+      ${px}pu AS (
         SELECT doc_id, 1 AS k,
-          trim(regexp_replace(lower(u0), '\s+', ' ', 'g')) AS unit
-        FROM pu0),
-      bn AS (
-        SELECT doc_id, ts, unnest(generate_series(2, 10)) AS n FROM b),
-      ng AS (
+          trim(regexp_replace(lower(u0), '\\s+', ' ', 'g')) AS unit
+        FROM ${px}pu0),
+      ${px}bn AS (
+        SELECT doc_id, ts, unnest(generate_series(2, 10)) AS n FROM ${px}b),
+      ${px}ng AS (
         SELECT doc_id, n AS k,
           array_to_string(ts[g.i:g.i + n - 1], ' ') AS unit
-        FROM bn,
+        FROM ${px}bn,
           LATERAL (SELECT unnest(generate_series(1, len(ts) - n + 1)) AS i) g),
-      units AS (
-        SELECT doc_id, k, unit FROM lu WHERE unit <> ''
-        UNION ALL SELECT doc_id, k, unit FROM pu WHERE unit <> ''
-        UNION ALL SELECT doc_id, k, unit FROM ng),
-      counted AS (
+      ${px}units AS (
+        SELECT doc_id, k, unit FROM ${px}lu WHERE unit <> ''
+        UNION ALL SELECT doc_id, k, unit FROM ${px}pu WHERE unit <> ''
+        UNION ALL SELECT doc_id, k, unit FROM ${px}ng),
+      ${px}counted AS (
         SELECT doc_id, k, unit, count(*) AS cnt, length(unit) AS chars
-        FROM units GROUP BY 1, 2, 3, length(unit)),
-      perdoc AS (
+        FROM ${px}units GROUP BY 1, 2, 3, length(unit)),
+      ${px}perdoc AS (
         SELECT doc_id,
           CAST(sum(CASE WHEN k = 0 THEN cnt ELSE 0 END) AS BIGINT) AS nl,
           CAST(sum(CASE WHEN k = 1 THEN cnt ELSE 0 END) AS BIGINT) AS np,
@@ -2551,8 +2563,8 @@ object Queries {
           CAST(sum(CASE WHEN k = 8 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d8,
           CAST(sum(CASE WHEN k = 9 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d9,
           CAST(sum(CASE WHEN k = 10 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d10
-        FROM counted GROUP BY 1),
-      bp AS (
+        FROM ${px}counted GROUP BY 1),
+      ${px}bp0 AS (
         SELECT p.doc_id, p.nl AS n_lines, p.np AS n_paras,
           CAST(b.tc AS BIGINT) AS total_chars,
           CASE WHEN p.nl > 0 THEN least(10000, (p.dl * 10000) // p.nl) ELSE 0 END AS dup_line_bp,
@@ -2568,15 +2580,17 @@ object Queries {
           least(10000, (p.d8 * 10000) // b.tc) AS dup8_bp,
           least(10000, (p.d9 * 10000) // b.tc) AS dup9_bp,
           least(10000, (p.d10 * 10000) // b.tc) AS dup10_bp
-        FROM perdoc p JOIN b USING (doc_id))
-      SELECT *,
-        dup_line_bp <= 3000 AND dup_para_bp <= 3000
-          AND dup_line_char_bp <= 2000 AND dup_para_char_bp <= 2000
-          AND top2_bp <= 2000 AND top3_bp <= 1800 AND top4_bp <= 1600
-          AND dup5_bp <= 1500 AND dup6_bp <= 1400 AND dup7_bp <= 1300
-          AND dup8_bp <= 1200 AND dup9_bp <= 1100 AND dup10_bp <= 1000
-          AS keep
-      FROM bp"""))
+        FROM ${px}perdoc p JOIN ${px}b b USING (doc_id)),
+      ${px}bp AS (
+        SELECT *,
+          dup_line_bp <= 3000 AND dup_para_bp <= 3000
+            AND dup_line_char_bp <= 2000 AND dup_para_char_bp <= 2000
+            AND top2_bp <= $top2Max AND top3_bp <= $top3Max
+            AND top4_bp <= $top4Max
+            AND dup5_bp <= 1500 AND dup6_bp <= 1400 AND dup7_bp <= 1300
+            AND dup8_bp <= 1200 AND dup9_bp <= 1100 AND dup10_bp <= 1000
+            AS keep
+        FROM ${px}bp0)"""
 
   /** Shared CTE block of the DSIR oracles: features → per-side counts →
     * smoothed fixed-point λ table → exact-integer doc scores, exposing
@@ -3554,7 +3568,9 @@ object Queries {
     * ONE composite with ONE end-to-end oracle, chaining the round-8
     * scorers the way a production corpus build runs them:
     *
-    *   1. Gopher rule battery (Rae 2021) — doc-local shape gate;
+    *   1. the FULL Gopher filter (Rae 2021) — shape battery AND
+    *     repetition battery ([[Corpus.repetitionSignals]]), both
+    *     doc-local gates;
     *   2. CCNet perplexity terciles (Wenzek 2020) — unigram-LM
     *     surprisal trained on the FULL corpus, ranked per source over
     *     the Gopher survivors via [[graft.ext.Prefix.stratifiedNtile]]
@@ -3582,10 +3598,21 @@ object Queries {
   val qCorpusPrepV3 = Q("q_corpus_prep_v3",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      // 1. Gopher battery — doc-local
+      // 1. the FULL Gopher filter — shape battery AND repetition battery,
+      // both doc-local
       val gKeep = Corpus.gopherRules(docs, "doc_id", "text",
           stopwords = graft.ext.TextOps.Stopwords)
         .filter(col("keep")).select(col("id").as("doc_id"))
+        // top-n-gram dials tightened to the corpus (the stoplist
+        // precedent): Rae's web-text 20/18/16% coverages are vacuous on
+        // a 2k-vocab synthetic corpus whose shape survivors top out
+        // near 9%, so the published dials would gate nothing here —
+        // 7/8/9% makes the rung BINDING (drops 40 of 234 at sf0.01),
+        // which is what lets the end-to-end hash pin the wiring
+        .join(Corpus.repetitionSignals(docs, "doc_id", "text",
+            topBpMax = Map(2 -> 700L, 3 -> 800L, 4 -> 900L))
+          .filter(col("keep")).select(col("id").as("doc_id")),
+          Seq("doc_id"))
       // 2. per-source surprisal terciles over the Gopher survivors
       val surp = Corpus.unigramSurprisal(docs, "doc_id", "text")
         .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
@@ -3617,7 +3644,8 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("pack_tokens"))
     },
-    Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + """,
+    Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + "," +
+      repetitionCtes("r", top2Max = 700, top3Max = 800, top4Max = 900) + """,
       gd AS (
         SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
         FROM documents),
@@ -3643,11 +3671,11 @@ object Queries {
             AS n_stop_distinct
         FROM gb),
       gkeep AS (
-        SELECT doc_id FROM gm
+        SELECT gm.doc_id FROM gm JOIN rbp USING (doc_id)
         WHERE (n_words BETWEEN 50 AND 100000)
           AND (mean_len_x100 BETWEEN 300 AND 1000)
           AND symbol_bp <= 1000 AND alpha_bp >= 8000
-          AND n_stop_distinct >= 2),
+          AND n_stop_distinct >= 2 AND rbp.keep),
       ptok AS MATERIALIZED (
         SELECT doc_id, unnest(string_split(
           trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
