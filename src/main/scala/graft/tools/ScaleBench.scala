@@ -188,6 +188,11 @@ object ScaleBench {
         "doc_id", "text")),
       "gopherRules" -> (s => graft.ext.Corpus.gopherRules(
         docs(s), "doc_id", "text")),
+      // r9 repetition battery: the exploded unit relation is ~9 rows
+      // per token position (n = 2..10 n-grams + lines/paras), hashes
+      // and counters only — wall should scale with the token scan
+      "repetitionSignals" -> (s => graft.ext.Corpus.repetitionSignals(
+        docs(s), "doc_id", "text")),
       // the FLAGSHIP six-stage prep composite (q_corpus_prep_v2's exact
       // chain over the synthetic corpus): coverage gate + quality gate
       // -> fraction decontam -> exact-dedup survivors -> temperature
@@ -240,6 +245,13 @@ object ScaleBench {
         val gKeep = graft.ext.Corpus.gopherRules(d, "doc_id", "text",
             stopwords = (0 until 100).map("w" + _))
           .filter(col("keep")).select(col("id").as("doc_id"))
+          // r9: the ladder's repetition rung rides along at published
+          // dials (hash-random text never trips them — the COST of the
+          // battery is what this curve adds, the binding cut is pinned
+          // by the sf0.01 oracle)
+          .join(graft.ext.Corpus.repetitionSignals(d, "doc_id", "text")
+            .filter(col("keep")).select(col("id").as("doc_id")),
+            Seq("doc_id"))
         val surp = graft.ext.Corpus.unigramSurprisal(d, "doc_id", "text")
           .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
         val ranked = graft.ext.Prefix.stratifiedNtile(
