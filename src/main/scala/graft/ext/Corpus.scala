@@ -902,24 +902,23 @@ object Corpus {
       transform(filter(transform(arr, u => normUnit(u)), u => u =!= ""),
         u => struct(lit(kind).as("k"), xxhash64(u).as("h"),
           length(u).cast("long").as("chars")))
-    def ngramStructs(n: Int, ts: Column): Column =
-      when(size(ts) >= n,
-        transform(sequence(lit(1), size(ts) - (n - 1)), i => {
-          val g = array_join(slice(ts, i, lit(n)), " ")
-          struct(lit(n).as("k"), xxhash64(g).as("h"),
-            length(g).cast("long").as("chars"))
-        })).otherwise(array().cast("array<struct<k:int,h:bigint,chars:bigint>>"))
 
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val base = Materialize.spread(df)
       .select(col(idCol).as("id"), col(textCol).as("raw"),
         TextOps.normalized(col(textCol)).as("t"))
       .filter(col("t") =!= "")
       .withColumn("tc", length(col("t")).cast("long"))
-      .withColumn("ts", split(col("t"), " "))
+    // lines/paras: a handful of units per doc — the lambda path is fine.
+    // n-grams: ~9 units per token position — the native one-pass
+    // NgramUnits expression (rolling polynomial over per-token XXH64s,
+    // zero string building; measured below in SCALE.md) replaces one
+    // interpreted array_join+xxhash64 transform PER n
     val units = base.select(col("id"), col("tc"), explode(concat(
-        unitStructs(LINE, split(col("raw"), "\n")) +:
-        unitStructs(PARA, split(col("raw"), "\n\n")) +:
-        (topNs ++ dupNs).map(n => ngramStructs(n, col("ts"))): _*)).as("u"))
+        unitStructs(LINE, split(col("raw"), "\n")),
+        unitStructs(PARA, split(col("raw"), "\n\n")),
+        graft.functions.VectorFunctions.ngramUnits(col("t"),
+          topNs ++ dupNs))).as("u"))
       .select(col("id"), col("tc"), col("u.k"), col("u.h"), col("u.chars"))
     val counted = units.groupBy(col("id"), col("k"), col("h"))
       .agg(count(lit(1)).as("cnt"), first(col("chars")).as("chars"),

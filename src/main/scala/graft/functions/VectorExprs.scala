@@ -448,6 +448,135 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `ngram_units(text, ns)`: every word-n-gram of the normalized text,
+  * for all n in `ns`, as (k = n, h = 64-bit identity hash, chars =
+  * character length of the joined n-gram) structs in ONE pass — the
+  * unit generator of [[graft.ext.Corpus.repetitionSignals]]'s
+  * repetition battery (Rae et al. 2021 table A1).
+  *
+  * Exists because the builtin formulation — one `transform` over
+  * positions PER n, each element `xxhash64(array_join(slice(ts,i,n)))`
+  * — materializes the n-gram STRING at every position (Σn ≈ 54 token
+  * copies per position for n ∈ 2..10) through interpreted lambdas.
+  * This loop hashes each token once (XXH64, the builtin's own hash)
+  * and forms each n-gram identity from prefix polynomial sums —
+  * O(L·|ns|) long arithmetic, zero string allocation.
+  *
+  * The hash is an IDENTITY, not a portable value: `h(i,n) = S[i+n] −
+  * S[i]·P^n (mod 2^64)` where `S` is the P-base prefix polynomial of
+  * the per-token XXH64s. Downstream only ever groups on (doc, k, h) —
+  * the battery's signals are counts and character masses, and the
+  * DuckDB oracle replays them by grouping the n-gram STRINGS — so any
+  * within-document collision-free identity yields identical output
+  * (collisions: ~2⁻⁶⁴ per n-gram pair, same as hashing the joined
+  * string). `chars` is exact: Σ token char lengths + (n−1) separators,
+  * from a prefix sum — equal to `length(array_join(slice(ts,i,n),' '))`.
+  *
+  * Input must be NORMALIZED text (single spaces, trimmed, non-empty) —
+  * [[graft.ext.TextOps.normalized]]'s contract; token boundaries are
+  * single 0x20 bytes, which no UTF-8 continuation byte can alias.
+  */
+case class NgramUnits(child: Expression, ns: Seq[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  // Seq, not Array: case-class equality on an Array field is reference
+  // equality, which breaks logical-plan equality — a re-built plan would
+  // never match its own CacheManager entry (warm runs silently recompute)
+  require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+  private lazy val nsArr: Array[Int] = ns.toArray
+
+  // input must be binary — the Column API casts (string→binary is the
+  // UTF-8 bytes)
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chars",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ngram_units"
+
+  override def nullSafeEval(a: Any): Any =
+    NgramUnits.compute(a.asInstanceOf[Array[Byte]], nsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("ns", nsArr, "int[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramUnits.compute($c, $nsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramUnits =
+    copy(child = newChild)
+}
+
+object NgramUnits {
+  // odd multiplier (2⁶⁴·φ⁻¹) — invertible mod 2^64, so S[i+n] − S[i]·Pⁿ
+  // loses no token-hash information to the modulus
+  private val P = 0x9E3779B97F4A7C15L
+  private val Seed = 42L // xxhash64's default seed
+
+  def compute(bytes: Array[Byte], ns: Array[Int]): ArrayData = {
+    import org.apache.spark.unsafe.Platform
+    val len = bytes.length
+    if (len == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    // pass 1: token count (normalized text: tokens = spaces + 1)
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    // pass 2: prefix polynomial of token hashes + prefix char counts
+    val S = new Array[Long](nTok + 1)
+    val C = new Array[Long](nTok + 1)
+    var j = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, Seed)
+        S(j + 1) = S(j) * P + h
+        // chars = non-continuation UTF-8 bytes
+        var c = 0L
+        var b = start
+        while (b < i) { if ((bytes(b) & 0xC0) != 0x80) c += 1; b += 1 }
+        C(j + 1) = C(j) + c
+        j += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    var total = 0
+    var k = 0
+    while (k < ns.length) {
+      val m = nTok - ns(k) + 1
+      if (m > 0) total += m
+      k += 1
+    }
+    val out = new Array[Any](total)
+    var o = 0
+    k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      // P^n by repeated multiply (n ≤ ~10; wraps mod 2^64 like S does)
+      var pn = 1L
+      var e = 0
+      while (e < n) { pn *= P; e += 1 }
+      i = 0
+      val m = nTok - n
+      while (i <= m) {
+        out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, S(i + n) - S(i) * pn, C(i + n) - C(i) + (n - 1)))
+        o += 1
+        i += 1
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   val Name = "cosine_sim"
   val SrpName = "srp_sig"
@@ -500,6 +629,8 @@ object VectorFunctions {
     "md5_prefix" -> (exprs => Md5Prefix(exprs(0), intArg(exprs(1)))),
     "anchor_windows" -> (exprs =>
       AnchorWindowMd5(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    "ngram_units" -> (exprs => NgramUnits(exprs(0),
+      exprs(1).eval(null).asInstanceOf[ArrayData].toIntArray().toSeq)),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
     "bloom_agg" -> (exprs =>
       BloomAgg(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
@@ -600,6 +731,12 @@ object VectorFunctions {
   def anchorWindows(text: Column, winBytes: Int, anchorMod: Int): Column =
     call_function("anchor_windows", text.cast("binary"),
       lit(winBytes), lit(anchorMod))
+
+  /** Column API for [[NgramUnits]]: all word-n-gram (k, h, chars) units
+    * of normalized text, for every n in `ns`, in one scan.
+    */
+  def ngramUnits(text: Column, ns: Seq[Int]): Column =
+    call_function("ngram_units", text.cast("binary"), typedlit(ns))
 
   private def booksLit(books: Array[Array[Array[Float]]]): Column =
     typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)

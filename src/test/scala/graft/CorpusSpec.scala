@@ -218,6 +218,39 @@ class CorpusSpec extends AnyFunSuite {
       && f(4L, "dup5_bp") == 10000 && !keep(4L))
   }
 
+  test("ngram_units: hash identity + exact chars vs the string formulation") {
+    // the native expression replaces xxhash64(array_join(slice(ts,i,n)))
+    // with a rolling polynomial identity; what must hold is EQUIVALENCE
+    // of the induced partition (equal n-grams <-> equal h) and exact
+    // chars — including multi-byte tokens, where chars are characters,
+    // not bytes
+    val ns = Seq(2, 3)
+    val docs = Seq(
+      (1L, "a b a b c"),        // positions 1,3 of the 2-grams coincide
+      (2L, "é ß 漢 é ß"),       // multi-byte: chars(é ß)=3 not 5
+      (3L, "solo")              // shorter than every n: no units
+    ).toDF("doc_id", "text")
+    val units = docs
+      .select(col("doc_id"), explode(graft.functions.VectorFunctions
+        .ngramUnits(graft.ext.TextOps.normalized(col("text")), ns)).as("u"))
+      .select(col("doc_id"), col("u.k"), col("u.h"), col("u.chars"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(!units.exists(_._1 == 3L))
+    val d1g2 = units.filter(u => u._1 == 1L && u._2 == 2).map(u => (u._3, u._4))
+    // "a b","b a","a b","b c": 4 positions, first and third identical,
+    // three distinct identities, every 2-gram 3 chars
+    assert(d1g2.length == 4 && d1g2(0) == d1g2(2)
+      && d1g2.distinct.length == 3 && d1g2.forall(_._2 == 3L))
+    val d1g3 = units.filter(u => u._1 == 1L && u._2 == 3)
+    assert(d1g3.length == 3 && d1g3.map(_._3).distinct.length == 3
+      && d1g3.forall(_._4 == 5L))
+    val d2g2 = units.filter(u => u._1 == 2L && u._2 == 2).map(u => (u._3, u._4))
+    // "é ß","ß 漢","漢 é","é ß": first and last identical, chars = 3
+    assert(d2g2.length == 4 && d2g2(0) == d2g2(3)
+      && d2g2.distinct.length == 3 && d2g2.forall(_._2 == 3L))
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
