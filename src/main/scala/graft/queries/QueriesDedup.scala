@@ -1,0 +1,1005 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.compact.Compaction
+import graft.envelope.{DmsCdc, MongoCdc, PgCdc}
+import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps}
+
+/** Deduplication (exact/NFC/n-gram/MinHash/SimHash/passage/substring/
+  * clusters) and embedding similarity — near-dup, SemDeDup, ANN
+  * brute/IVF/PQ/LSH, embedding decontamination, diversity sampling.
+  *
+  * One mixin slice of [[Queries]] — split mechanically from the former
+  * single Queries.scala (no behavior change); mixin order in `object
+  * Queries` preserves the original definition/initialization order.
+  */
+private[graft] trait QueriesDedup { this: Queries.type =>
+
+
+  // ---------------------------------------------------------------------
+  // Extension: dedup over `documents`.
+  // ---------------------------------------------------------------------
+
+  val qDedupExact = Q("dedup_exact",
+    (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("keep_id"), col("n_copies")),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""))
+
+  /** Exact dedup keyed on the Unicode-NFC form: composed and decomposed
+    * text (é vs e+combining accent) render identically but hash
+    * differently — un-normalized fingerprints silently miss those dups.
+    * On this ASCII fixture the grouping equals dedup_exact's; the
+    * unicode collapse itself is spec-proven (NfcSpec).
+    */
+  val qDedupNfc = Q("dedup_exact_nfc",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(graft.functions.VectorFunctions.nfcNormalize(
+            TextOps.normalized(col("text")))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+    },
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY md5(nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))"""))
+
+  val qDedupJaccard = Q("dedup_ngram_jaccard",
+    (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
+      "doc_id", "text", n = 3, tau = 0.25),
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) AS jacc
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
+
+  /** Incremental dedup: an arriving batch (every 11th doc) checked
+    * against the already-admitted corpus (the rest) — A-vs-B inverted
+    * shingle index, no corpus self-pairing. The daily-ingest shape of
+    * a growing training corpus.
+    */
+  val qDedupIncremental = Q("dedup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardAgainst(
+        docs.filter(col("doc_id") % 11 === 0),
+        docs.filter(col("doc_id") % 11 =!= 0),
+        "doc_id", "text", n = 3, tau = 0.25)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+             round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) AS jacc
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+        AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0
+      GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
+
+  private val minhashK = 16
+  private val minhashBands = 4
+  private val minhashParamsSql = Dedup.hashParams(minhashK)
+    .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+
+  val qDedupMinhash = Q("dedup_minhash",
+    (s, dir) => {
+      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = minhashK)
+      Dedup.minhashCandidates(sigs, k = minhashK, bands = minhashBands)
+        .filter(col("est_jacc") >= 0.25)
+    },
+    Some(s"""WITH params(hidx, ha, hb) AS (VALUES $minhashParamsSql),
+      docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, hidx,
+               min((ha * (('0x'||substr(md5(shingle),1,8))::BIGINT) + hb)
+                   % 2305843009213693951) AS mh
+        FROM ex CROSS JOIN params GROUP BY doc_id, hidx),
+      sig AS (SELECT doc_id, array_agg(mh ORDER BY hidx) AS sig FROM hv GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sig, b.band,
+               sig[b.band*4+1 : b.band*4+4] AS band_sig
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) AS est_jacc
+      FROM cand
+      WHERE round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
+
+  /** Incremental MinHash: the arriving batch's signatures banded against
+    * the stored corpus signature index — corpus text never re-read. */
+  val qDedupMinhashIncremental = Q("dedup_minhash_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def sigs(side: DataFrame) = Dedup.minhashSignatures(side,
+        "doc_id", "text", n = 3, k = minhashK)
+      Dedup.minhashCandidatesAgainst(
+        sigs(docs.filter(col("doc_id") % 11 === 0)),
+        sigs(docs.filter(col("doc_id") % 11 =!= 0)),
+        k = minhashK, bands = minhashBands)
+        .filter(col("est_jacc") >= 0.25)
+    },
+    Some(s"""WITH params(hidx, ha, hb) AS (VALUES $minhashParamsSql),
+      docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, hidx,
+               min((ha * (('0x'||substr(md5(shingle),1,8))::BIGINT) + hb)
+                   % 2305843009213693951) AS mh
+        FROM ex CROSS JOIN params GROUP BY doc_id, hidx),
+      sig AS (SELECT doc_id, array_agg(mh ORDER BY hidx) AS sig FROM hv GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sig, b.band,
+               sig[b.band*4+1 : b.band*4+4] AS band_sig
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0)
+      SELECT batch_id, corpus_id,
+             round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) AS est_jacc
+      FROM cand
+      WHERE round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
+
+  /** Shared oracle prefix for the cluster-derived queries: trigram-
+    * Jaccard pairs (tau 0.25) → undirected edges → recursive min-label
+    * reachability. `dedup_clusters` reads it directly; `dedup_survivors`
+    * builds its survivor pick on top.
+    */
+  private val clusterReachCte = """WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+          WITH docs AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+            FROM documents),
+          sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(len(w)-2, 0)),
+              i -> array_to_string(w[i:i+2], ' '))) AS sset
+            FROM docs),
+          ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.m, b.m
+          HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)"""
+
+  /** Pairs → connected components → cluster assignment: the step that
+    * turns near-dup pairs into "keep one per cluster" decisions. The
+    * oracle replicates min-label reachability with a recursive CTE.
+    */
+  val qDedupClusters = Q("dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, tau = 0.25)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    },
+    Some(s"""$clusterReachCte
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""))
+
+  /** Passage-level exact dedup: per-doc retention stats after dropping
+    * every non-canonical occurrence of a repeated 20-token passage.
+    * Catches cross-document boilerplate that doc-level dedup misses.
+    */
+  val qDedupPassages = Q("dedup_passages",
+    (s, dir) => Dedup.passageDedup(t(s, dir, "documents"),
+        "doc_id", "text", passageTokens = 20)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), lit(0)).otherwise(lit(1))).as("n_dup_dropped"),
+        max(col("n_occ")).as("max_occ"))
+      .select(col("id").as("doc_id"), col("n_passages"),
+        col("n_dup_dropped"), col("max_occ")),
+    Some("""WITH d AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      sized AS (
+        SELECT doc_id, toks,
+          CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS n
+        FROM d),
+      chunked AS (
+        SELECT doc_id, toks, greatest(CAST(ceil(n / 20.0) AS INT), 1) AS n_chunks
+        FROM sized WHERE n > 0),
+      pass AS (
+        SELECT doc_id, c.chunk_no,
+          md5(array_to_string(toks[c.chunk_no*20+1 : c.chunk_no*20+20], ' ')) AS fp
+        FROM chunked, LATERAL (
+          SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_no) c),
+      marked AS (
+        SELECT doc_id, chunk_no,
+          count(*) OVER (PARTITION BY fp) AS n_occ,
+          row_number() OVER (PARTITION BY fp
+            ORDER BY doc_id ASC, chunk_no ASC) AS rn
+        FROM pass)
+      SELECT doc_id, count(*) AS n_passages,
+        CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_dropped,
+        max(n_occ) AS max_occ
+      FROM marked GROUP BY doc_id"""))
+
+  /** The passage-dedup REWRITE: reassemble each document from its kept
+    * passages (deterministic chunk order) — the corpus a training run
+    * would actually read. Hash-checked via the cleaned text's md5, so
+    * the oracle pins every byte of the reassembly.
+    */
+  val qDedupPassageRewrite = Q("dedup_passage_rewrite",
+    (s, dir) => Dedup.passageRewrite(t(s, dir, "documents"),
+        "doc_id", "text", passageTokens = 20)
+      .select(col("id").as("doc_id"), col("n_kept"), col("clean_fp")),
+    Some("""WITH d AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      sized AS (
+        SELECT doc_id, toks,
+          CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS n
+        FROM d),
+      chunked AS (
+        SELECT doc_id, toks, greatest(CAST(ceil(n / 20.0) AS INT), 1) AS n_chunks
+        FROM sized WHERE n > 0),
+      pass AS (
+        SELECT doc_id, c.chunk_no,
+          array_to_string(toks[c.chunk_no*20+1 : c.chunk_no*20+20], ' ') AS chunk_text
+        FROM chunked, LATERAL (
+          SELECT unnest(generate_series(0, n_chunks - 1)) AS chunk_no) c),
+      marked AS (
+        SELECT doc_id, chunk_no, chunk_text,
+          row_number() OVER (PARTITION BY md5(chunk_text)
+            ORDER BY doc_id ASC, chunk_no ASC) AS rn
+        FROM pass)
+      SELECT doc_id, count(*) AS n_kept,
+        md5(string_agg(chunk_text, ' ' ORDER BY chunk_no)) AS clean_fp
+      FROM marked WHERE rn = 1 GROUP BY doc_id"""))
+
+  /** Char-level exact-substring duplicate spans (ExactSubstr family):
+    * 40-char windows at content-defined anchors ([[graft.ext.Dedup
+    * .substringDupSpans]]) — the alignment-free complement to the
+    * word-shingle passage dedup above. The oracle replays anchor
+    * selection (3-point char hash mod 8), window fingerprinting, and
+    * the distinct-doc cut verbatim. */
+  val qDedupSubstrings = Q("dedup_substrings",
+    (s, dir) => Dedup.substringDupSpans(t(s, dir, "documents"),
+      "doc_id", "text", winBytes = 40, anchorMod = 8),
+    Some("""WITH d AS (
+        SELECT doc_id,
+          trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (
+        SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 40),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized),
+      anch AS (
+        SELECT doc_id, t, p FROM pos
+        WHERE (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+               + ascii(substr(t, p + 7, 1))) % 8 = 0),
+      wins AS (SELECT doc_id, md5(substr(t, p, 40)) AS fp FROM anch)
+      SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+             min(doc_id) AS first_doc
+      FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2"""))
+
+  /** Per-document duplicated-span coverage — ExactSubstr's decision
+    * step: fraction of each document covered by corpus-repeated 40-char
+    * spans, as the interval union of its duplicated windows
+    * (gaps-and-islands; overlaps never double-count). The oracle
+    * replays anchors, occurrence counts, the island pass, and the
+    * basis-point policy cut verbatim.
+    *
+    * ORACLE UNITS: the SQL replay enumerates positions and windows in
+    * CHARACTERS (DuckDB v1.0 has no BLOB substr/indexing, so a byte
+    * replay is not expressible), which equals the operator's byte scan
+    * exactly on the ASCII fixture corpus the gate runs against. The
+    * byte semantics on non-ASCII text — where char and byte replays
+    * diverge — are pinned by `ExtOpsSpec`'s CJK coverage battery
+    * against hand-computed byte counts, not by this oracle. */
+  val qDedupSubstrCoverage = Q("dedup_substr_coverage",
+    (s, dir) => Dedup.substringDupCoverage(t(s, dir, "documents"),
+      "doc_id", "text", winBytes = 40, anchorMod = 8, dropAtBp = 5000),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (
+        SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 40),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized),
+      anch AS (
+        SELECT doc_id, t, p FROM pos
+        WHERE (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+               + ascii(substr(t, p + 7, 1))) % 8 = 0),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM anch),
+      occ AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS n_occ
+        FROM wins),
+      dup AS (SELECT doc_id, p FROM occ WHERE n_occ >= 2),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e, count(*) AS n_win
+        FROM isl GROUP BY 1, 2),
+      cov AS (
+        SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_bytes,
+               CAST(sum(n_win) AS BIGINT) AS n_dup_windows
+        FROM spans GROUP BY 1),
+      base AS (
+        SELECT doc_id,
+          octet_length(encode(trim(regexp_replace(lower(text),'\s+',' ','g')))) AS n_bytes
+        FROM documents)
+      SELECT b.doc_id AS id, CAST(b.n_bytes AS BIGINT) AS n_bytes,
+        coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+        coalesce(c.covered_bytes, 0) AS covered_bytes,
+        CASE WHEN b.n_bytes > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // b.n_bytes
+          ELSE 0 END AS cov_bp,
+        (CASE WHEN b.n_bytes > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // b.n_bytes
+          ELSE 0 END) >= 5000 AS "drop"
+      FROM base b LEFT JOIN cov c USING (doc_id)"""))
+
+  /** Clusters → survivor per cluster: the decision step of the dedup
+    * pipeline. Score = token count; argmax with min-id tie-break, as a
+    * map-side-collapsible aggregate (no per-cluster window).
+    */
+  val qDedupSurvivors = Q("dedup_survivors",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)
+      val clusters = Dedup.connectedComponents(pairs)
+      val scores = docs.select(col("doc_id").as("id"),
+        TextOps.nTokens(col("text")).as("score"))
+      Dedup.survivors(clusters, scores)
+        .withColumnRenamed("dropped_score", "dropped_tokens")
+    },
+    Some(s"""$clusterReachCte,
+      clust AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      scored AS (
+        SELECT c.cluster_id, c.doc_id,
+               len(regexp_extract_all(d.text, '\\S+')) AS score
+        FROM clust c JOIN documents d USING (doc_id)),
+      ranked AS (
+        SELECT cluster_id, doc_id, score,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY score DESC, doc_id ASC) AS rk,
+               sum(score) OVER (PARTITION BY cluster_id) AS total_score,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM scored)
+      SELECT cluster_id, doc_id AS survivor_id, n_members,
+             CAST(total_score - score AS BIGINT) AS dropped_tokens
+      FROM ranked WHERE rk = 1"""))
+
+  /** SimHash near-dup pairs. Oracle replicates the WHOLE pipeline —
+    * portable 60-bit token hash, per-bit ±1 sums, 6×10-bit pigeonhole
+    * bands, hamming ≤ 5 — in SQL (md5 and bit ops are engine-portable).
+    */
+  val qDedupSimhash = Q("dedup_simhash",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
+      "doc_id", "text", maxDist = 5),
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h
+            FROM toks WHERE tok <> ''),
+      bits AS (
+        SELECT doc_id, j.j,
+               sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0,59)) AS j) j
+        GROUP BY doc_id, j.j),
+      sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 10)) & 1023 AS key
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,5)) AS b) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 5"""))
+
+  /** Incremental SimHash: batch signatures vs the stored 8-byte-per-doc
+    * corpus index. */
+  val qDedupSimhashIncremental = Q("dedup_simhash_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def sigs(side: DataFrame) = Dedup.simhashSignatures(side, "doc_id", "text")
+      Dedup.simhashAgainst(
+        sigs(docs.filter(col("doc_id") % 11 === 0)),
+        sigs(docs.filter(col("doc_id") % 11 =!= 0)),
+        maxDist = 5)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h
+            FROM toks WHERE tok <> ''),
+      bits AS (
+        SELECT doc_id, j.j,
+               sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0,59)) AS j) j
+        GROUP BY doc_id, j.j),
+      sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 10)) & 1023 AS key
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,5)) AS b) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+               a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key
+          AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0)
+      SELECT batch_id, corpus_id, bit_count(xor(sa, sb)) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 5"""))
+
+  // ---------------------------------------------------------------------
+  // Extension: similarity search over `embeddings`.
+  // ---------------------------------------------------------------------
+
+  val qAnnBrute = Q("ann_bruteforce",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10)
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, vec_id AS nn_id,
+               round(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) END, 3) AS sim
+        FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+      ranked AS (
+        SELECT qid AS query_id, nn_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
+
+  val qEmbeddingNearDup = Q("dedup_embedding",
+    (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", tau = 0.4),
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 3) AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 3) >= 0.4"""))
+
+  val qAnnIvf = Q("ann_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10, nCentroids = 8, nProbe = 3)
+    },
+    Some("""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM embeddings
+        ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      qprobe AS (
+        SELECT q.qid, q.qe, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY CASE WHEN list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(q.qe::DOUBLE[], c.cent::DOUBLE[]) END DESC,
+                          c.cid ASC) AS rn
+        FROM q CROSS JOIN cents c),
+      probes AS (SELECT qid, qe, cell FROM qprobe WHERE rn <= 3),
+      scored AS (
+        SELECT p.qid AS query_id, ce.vec_id AS nn_id,
+               round(CASE WHEN list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]) = 0 OR list_dot_product(p.qe::DOUBLE[], p.qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(ce.embedding::DOUBLE[], p.qe::DOUBLE[]) END, 3) AS sim
+        FROM probes p JOIN cell ce ON ce.cell = p.cell
+        WHERE ce.vec_id <> p.qid),
+      ranked AS (
+        SELECT query_id, nn_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
+
+  /** Semantic decontamination: corpus vectors cosine-close (≥0.35) to
+    * any benchmark vector (every 97th) — catches paraphrased
+    * contamination that n-gram overlap (q_decontam) misses. Broadcast
+    * benchmark, single corpus scan.
+    */
+  val qDecontamEmbedding = Q("q_decontam_embedding",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 97 =!= 0),
+        e.filter(col("vec_id") % 97 === 0),
+        "vec_id", "embedding", tau = 0.35)
+        .select(col("id").as("vec_id"), col("n_matches"), col("max_sim"))
+    },
+    Some("""WITH b AS (SELECT vec_id AS b_id, embedding AS b_emb
+              FROM embeddings WHERE vec_id % 97 = 0),
+      c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+      scored AS (
+        SELECT c.vec_id,
+          round(CASE WHEN list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 OR list_dot_product(b.b_emb::DOUBLE[], b.b_emb::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(c.embedding::DOUBLE[], b.b_emb::DOUBLE[]) END, 3) AS sim
+        FROM c CROSS JOIN b)
+      SELECT vec_id, count(*) AS n_matches, max(sim) AS max_sim
+      FROM scored WHERE sim >= 0.35 GROUP BY vec_id"""))
+
+  /** Label-free embedding near-dup at scale: SRP-LSH buckets as the
+    * blocking key (6 tables × 6-bit signatures), exact cosine verify
+    * within buckets. Deterministic hyperplanes (md5 parity) let the
+    * oracle rebuild the identical buckets — an APPROXIMATE operator
+    * whose exact output is still hash-certified.
+    */
+  val qEmbeddingNearDupSrp = Q("dedup_embedding_srp",
+    (s, dir) => Similarity.nearDupPairsSrp(t(s, dir, "embeddings"),
+      "vec_id", "embedding", tau = 0.4, dim = 64, nBits = 6, nTables = 6),
+    Some("""WITH signs AS (
+        SELECT t.t, i.i, j.j,
+          CASE WHEN ('0x'||substr(md5(t.t||':'||i.i||':'||j.j),1,2))::INT % 2 = 0
+               THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT unnest(generate_series(0,5)) AS t) t
+        CROSS JOIN (SELECT unnest(generate_series(0,5)) AS i) i
+        CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) j),
+      planes AS (
+        SELECT t, i, list(s ORDER BY j) AS sv FROM signs GROUP BY t, i),
+      dots AS (
+        SELECT e.vec_id, p.t, p.i,
+          list_reduce(list_transform(generate_series(1,64),
+            j -> e.embedding[j]::DOUBLE * p.sv[j]), (a,b) -> a+b) AS dot
+        FROM embeddings e CROSS JOIN planes p),
+      sigs AS (
+        SELECT vec_id, t,
+          CAST(coalesce(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) END), 0) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+      SELECT c.id_a, c.id_b,
+        round(CASE WHEN list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0 OR list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END, 3) AS sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE round(CASE WHEN list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0 OR list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END, 3) >= 0.4"""))
+
+  /** SemDeDup composite: k-means cells (deterministic lowest-id seeds
+    * for the oracle) → within-cell cosine near-dup → connected
+    * components → keep the member FARTHEST from its centroid. The
+    * oracle replays cell assignment (the q_kmeans_assign pattern),
+    * per-cell pairs (the dedup_embedding pattern), min-label
+    * reachability (the dedup_clusters recursive CTE), and the survivor
+    * argmin — the full composite hash-certified.
+    */
+  val qDedupSemantic = Q("dedup_semantic",
+    (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, tau = 0.4)
+      .select(col("id").as("vec_id"), col("cell"), col("cluster_id"),
+        col("cent_sim"), col("keep")),
+    Some("""WITH RECURSIVE cents AS (
+        SELECT embedding AS cent, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.c,
+          round(CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END, 3) AS cs,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
+                     c.c ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (
+        SELECT vec_id, embedding, c AS cell, cs AS cent_sim
+        FROM assign WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 3) >= 0.4),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      clus AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      scored AS (
+        SELECT ce.vec_id, ce.cell,
+          coalesce(cl.cluster, ce.vec_id) AS cluster_id, ce.cent_sim
+        FROM cell ce LEFT JOIN clus cl ON cl.id = ce.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY cent_sim ASC, vec_id ASC) AS krn
+        FROM scored)
+      SELECT vec_id, cell, cluster_id, cent_sim, krn = 1 AS "keep"
+      FROM ranked"""))
+
+  /** IVF at scale posture: 64 k-means-trained centroids (2 Lloyd
+    * iterations), 8-cell probes. Lloyd training isn't SQL-expressible,
+    * so the trained neighbor lists have no portable oracle — instead the
+    * query is PROPERTY-CHECKED against the exact brute-force top-10
+    * (whose own query, ann_bruteforce, is hash-matched), on two
+    * invariants the oracle asserts literally TRUE:
+    *  - full_probe_exact: with nProbe = nCentroids the probe covers
+    *    every cell, so IVF MUST reproduce brute force row-for-row
+    *    (same rounding and tie-break) — a sharp machinery check that
+    *    every vector lands in exactly one cell and scoring/ranking is
+    *    identical; a lost or duplicated vector flips the hash;
+    *  - recall_floor_ok: aggregate recall@10 across the queries at the
+    *    8-of-64-cell operating point ≥ 0.6. Random probing at 8/64
+    *    cells would give ≈ 0.125; the floor certifies the TRAINED
+    *    coarse quantizer concentrates true neighbors ~5× better
+    *    (measured 0.74–0.86 at sf0.001–0.1; this synthetic embedding
+    *    table is near-isotropic, which bounds honest IVF recall — real
+    *    clustered corpora sit far higher).
+    * Also still proves the centroid set rides as ONE array literal (no
+    * plan blowup at k=64) and benches the trained path.
+    */
+  val qAnnIvfTrained = Q("ann_ivf_trained",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cents = 64
+      val trained = Similarity.ivfTopK(corpus, queries,
+        k = 10, nCentroids = cents, nProbe = 8, trainIters = 2)
+      val full = Similarity.ivfTopK(corpus, queries,
+        k = 10, nCentroids = cents, nProbe = cents, trainIters = 2)
+      val truth = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      val hits = truth.select(col("query_id"), col("nn_id"))
+        .join(trained.select(col("query_id"), col("nn_id")),
+          Seq("query_id", "nn_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      val perQ = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      val floor = perQ.agg((sum(col("n_hits")).cast("double")
+          >= lit(0.6) * sum(col("n_true"))).as("recall_floor_ok"))
+      // full-probe result must equal truth on every (rank, nn_id, sim);
+      // renamed columns keep the self-derived join unambiguous
+      val exact = truth
+        .select(col("query_id"), col("rank"),
+          col("nn_id").as("t_nn"), col("sim").as("t_sim"))
+        .join(full.select(col("query_id"), col("rank"),
+          col("nn_id").as("f_nn"), col("sim").as("f_sim")),
+          Seq("query_id", "rank"), "full")
+        .groupBy(col("query_id")).agg(
+          (sum(when(col("t_nn") === col("f_nn")
+              && col("t_sim") === col("f_sim"), 0L).otherwise(1L)) === 0L)
+            .as("full_probe_exact"))
+      perQ.select(col("query_id"), col("n_true"))
+        .join(exact, Seq("query_id"))
+        .crossJoin(broadcast(floor))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      ranked AS (
+        SELECT qid, row_number() OVER (PARTITION BY qid
+          ORDER BY round(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) END, 3) DESC,
+                   vec_id) AS rank
+        FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+      SELECT qid AS query_id, count(*) AS n_true, TRUE AS full_probe_exact,
+        TRUE AS recall_floor_ok
+      FROM ranked WHERE rank <= 10 GROUP BY qid"""))
+
+  /** Diversity sampling: per-semantic-cell quotas over the embedding
+    * space (deterministic lowest-id cells + portable-hash quota, so the
+    * whole pipeline is oracle-checkable).
+    */
+  val qDiversitySample = Q("q_diversity_sample",
+    (s, dir) => Similarity.diversitySample(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding")),
+        "id", "embedding", nCells = 8, quota = 20)
+      .select(col("cell"), col("sample_rank"), col("id").as("vec_id")),
+    Some("""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM embeddings
+        ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      ranked AS (
+        SELECT cell, vec_id,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY ('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+                          vec_id) AS sample_rank
+        FROM cell)
+      SELECT cell, sample_rank, vec_id FROM ranked WHERE sample_rank <= 20"""))
+
+  /** PQ-compressed ANN: 8-byte codes, ADC scan with exact cosine re-rank
+    * of a 60-candidate shortlist. Deterministic codebooks (`iters = 0`:
+    * the lowest-id vectors' subvectors, the [[Similarity.ivfTopK]]
+    * untrained convention) make the FULL pipeline oracle-checkable —
+    * normalize, per-subspace argmin encode, ADC table lookups and the
+    * shortlist cut are all index-order IEEE folds the oracle replays
+    * exactly. Lloyd-trained codebooks (no portable oracle) are covered
+    * by PqSpec: codebook determinism, quantization error bound, recall
+    * vs brute force.
+    */
+  val qAnnPq = Q("ann_pq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val books = graft.ext.Pq.train(corpus, "id", "embedding",
+        dim = 64, m = 8, nCodes = 16, iters = 0)
+      graft.ext.Pq.searchAdc(corpus,
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10, books, refine = 60)
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+      n2 AS (
+        SELECT vec_id, ed,
+          list_reduce(list_transform(ed, x -> x*x), (a,b) -> a+b) AS nn
+        FROM e),
+      normed AS (
+        SELECT vec_id,
+          CASE WHEN nn > 0 THEN
+            list_transform(ed, x -> CAST(CAST(x / sqrt(nn) AS REAL) AS DOUBLE))
+          ELSE ed END AS nv
+        FROM n2),
+      init AS (
+        SELECT nv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM normed ORDER BY vec_id LIMIT 16),
+      books AS (
+        SELECT s.s, i.c, i.nv[s.s*8+1 : s.s*8+8] AS cent
+        FROM init i CROSS JOIN (SELECT unnest(generate_series(0,7)) AS s) s),
+      vsub AS (
+        SELECT v.vec_id, b.s, b.c,
+          list_reduce(list_transform(generate_series(1,8),
+            j -> (v.nv[b.s*8 + j] - b.cent[j]) * (v.nv[b.s*8 + j] - b.cent[j])),
+            (a,x) -> a + x) AS d
+        FROM normed v CROSS JOIN books b),
+      codes AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+          FROM vsub) WHERE rn = 1),
+      adist AS (
+        SELECT qd.vec_id AS query_id, cv.vec_id AS nn_id,
+          list_reduce(list(qd.d ORDER BY qd.s), (a,b) -> a+b) AS ad
+        FROM codes cv
+        JOIN vsub qd ON qd.s = cv.s AND qd.c = cv.code
+        WHERE qd.vec_id < 5 AND cv.vec_id <> qd.vec_id
+        GROUP BY qd.vec_id, cv.vec_id),
+      short AS (
+        SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY ad ASC, nn_id ASC) AS arank
+          FROM adist) WHERE arank <= 60),
+      rer AS (
+        SELECT s.query_id, s.nn_id,
+          round(CASE WHEN list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) END, 3) AS sim
+        FROM short s
+        JOIN embeddings c ON c.vec_id = s.nn_id
+        JOIN embeddings q ON q.vec_id = s.query_id),
+      ranked AS (
+        SELECT query_id, nn_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rank
+        FROM rer)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
+
+  /** Full IVF-PQ: coarse cells prune WHICH vectors are scored (nProbe=6
+    * of 16 cells), PQ codes shrink WHAT is scored (8 bytes/vector),
+    * exact cosine re-ranks the shortlist — the billion-scale ANN shape.
+    * Deterministic parameterization (lowest-id coarse centroids — the
+    * untrained [[Similarity.ivfTopK]] convention — and `iters = 0`
+    * codebooks), so cell assignment, probes, encode, ADC and both rank
+    * cuts all replay in the oracle. The Lloyd-trained composite is
+    * covered by PqSpec's probe-all ≡ un-pruned-ADC identity and
+    * ann_ivf_trained's trained coarse path.
+    */
+  val qAnnIvfPq = Q("ann_ivf_pq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val cents = corpus.orderBy(col("id")).limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val books = graft.ext.Pq.train(corpus, "id", "embedding",
+        dim = 64, m = 8, nCodes = 16, iters = 0)
+      graft.ext.Pq.searchIvfAdc(corpus,
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10, cents, books, nProbe = 6, refine = 60)
+    },
+    Some("""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM embeddings
+        ORDER BY vec_id LIMIT 16),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      qprobe AS (
+        SELECT q.vec_id AS qid, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY CASE WHEN list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(q.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5),
+      probes AS (SELECT qid, cell FROM qprobe WHERE rn <= 6),
+      cand AS (
+        SELECT p.qid AS query_id, ce.vec_id AS nn_id
+        FROM probes p JOIN cell ce ON ce.cell = p.cell
+        WHERE ce.vec_id <> p.qid),
+      e2 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+      n2 AS (
+        SELECT vec_id, ed,
+          list_reduce(list_transform(ed, x -> x*x), (a,b) -> a+b) AS nn
+        FROM e2),
+      normed AS (
+        SELECT vec_id,
+          CASE WHEN nn > 0 THEN
+            list_transform(ed, x -> CAST(CAST(x / sqrt(nn) AS REAL) AS DOUBLE))
+          ELSE ed END AS nv
+        FROM n2),
+      init AS (
+        SELECT nv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM normed ORDER BY vec_id LIMIT 16),
+      books AS (
+        SELECT s.s, i.c, i.nv[s.s*8+1 : s.s*8+8] AS cent
+        FROM init i CROSS JOIN (SELECT unnest(generate_series(0,7)) AS s) s),
+      vsub AS (
+        SELECT v.vec_id, b.s, b.c,
+          list_reduce(list_transform(generate_series(1,8),
+            j -> (v.nv[b.s*8 + j] - b.cent[j]) * (v.nv[b.s*8 + j] - b.cent[j])),
+            (a,x) -> a + x) AS d
+        FROM normed v CROSS JOIN books b),
+      codes AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+          FROM vsub) WHERE rn = 1),
+      adist AS (
+        SELECT ca.query_id, ca.nn_id,
+          list_reduce(list(qd.d ORDER BY qd.s), (a,b) -> a+b) AS ad
+        FROM cand ca
+        JOIN codes cv ON cv.vec_id = ca.nn_id
+        JOIN vsub qd ON qd.vec_id = ca.query_id AND qd.s = cv.s AND qd.c = cv.code
+        GROUP BY ca.query_id, ca.nn_id),
+      short AS (
+        SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY ad ASC, nn_id ASC) AS arank
+          FROM adist) WHERE arank <= 60),
+      rer AS (
+        SELECT s.query_id, s.nn_id,
+          round(CASE WHEN list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) = 0 OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) END, 3) AS sim
+        FROM short s
+        JOIN embeddings c ON c.vec_id = s.nn_id
+        JOIN embeddings q ON q.vec_id = s.query_id),
+      ranked AS (
+        SELECT query_id, nn_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rank
+        FROM rer)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
+
+  /** Multi-table SRP LSH top-k. Approximate vs brute force, but fully
+    * deterministic: hyperplane signs are md5-parity of "table:plane:dim",
+    * so the oracle rebuilds the same planes, signatures, hamming-1
+    * probes and rerank in SQL. `list_reduce` folds the dot product in
+    * index order — the same IEEE accumulation sequence as [[graft.functions.SrpSignature]].
+    */
+  val qAnnLsh = Q("ann_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        k = 10, dim = 64, nBits = 6, nTables = 8)
+    },
+    Some("""WITH signs AS (
+        SELECT t.t, i.i, j.j,
+          CASE WHEN ('0x'||substr(md5(t.t||':'||i.i||':'||j.j),1,2))::INT % 2 = 0
+               THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT unnest(generate_series(0,7)) AS t) t
+        CROSS JOIN (SELECT unnest(generate_series(0,5)) AS i) i
+        CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) j),
+      planes AS (
+        SELECT t, i, list(s ORDER BY j) AS sv FROM signs GROUP BY t, i),
+      dots AS (
+        SELECT e.vec_id, p.t, p.i,
+          list_reduce(list_transform(generate_series(1,64),
+            j -> e.embedding[j]::DOUBLE * p.sv[j]), (a,b) -> a+b) AS dot
+        FROM embeddings e CROSS JOIN planes p),
+      sigs AS (
+        SELECT vec_id, t,
+          CAST(coalesce(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) END), 0) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id, t),
+      qprobe AS (
+        SELECT vec_id AS qid, t, sig AS key FROM sigs WHERE vec_id < 5
+        UNION
+        SELECT vec_id, t, xor(sig, (1::BIGINT << b.b))
+        FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,5)) AS b) b
+        WHERE vec_id < 5),
+      cand AS (
+        SELECT DISTINCT p.qid AS query_id, cs.vec_id AS nn_id
+        FROM qprobe p JOIN sigs cs ON cs.t = p.t AND cs.sig = p.key
+        WHERE cs.vec_id <> p.qid),
+      scored AS (
+        SELECT c.query_id, c.nn_id,
+          round(CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) END, 3) AS sim
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.nn_id
+        JOIN embeddings q ON q.vec_id = c.query_id),
+      ranked AS (
+        SELECT query_id, nn_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
+
+  // ---------------------------------------------------------------------
+}

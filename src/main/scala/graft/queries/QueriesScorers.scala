@@ -1,0 +1,471 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.compact.Compaction
+import graft.envelope.{DmsCdc, MongoCdc, PgCdc}
+import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps}
+
+/** LM scorers and curation filters: unigram/bigram/backoff surprisal,
+  * fastText-style quality, DSIR select/resample, CCNet perplexity
+  * buckets, Gopher rule + repetition batteries.
+  *
+  * One mixin slice of [[Queries]] — split mechanically from the former
+  * single Queries.scala (no behavior change); mixin order in `object
+  * Queries` preserves the original definition/initialization order.
+  */
+private[graft] trait QueriesScorers { this: Queries.type =>
+
+  /** Unigram-LM surprisal scoring (the perplexity-filter shape). Fixed-
+    * point integer surprisal per token before any unordered aggregate,
+    * so the oracle hash-matches exactly.
+    */
+  val qLmSurprisal = Q("q_lm_surprisal",
+    (s, dir) => Corpus.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tok"),
+        col("surprisal_x10k"), col("mean_surprisal_x10k")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM tok),
+      scored AS (
+        SELECT t.doc_id,
+          CAST(floor(-ln(f.cnt::DOUBLE / o.n_total) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM tok t JOIN freq f USING (token) CROSS JOIN tot o)
+      SELECT doc_id, count(*) AS n_tok,
+        CAST(sum(nat10k) AS BIGINT) AS surprisal_x10k,
+        CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
+      FROM scored GROUP BY doc_id"""))
+
+  /** Bigram-LM surprisal: conditional −ln p(t2|t1) under the corpus's
+    * own bigram counts — context totals derived from the bigram counts,
+    * fixed-point before the per-doc sum, <2-token docs drop out.
+    */
+  val qLmBigram = Q("q_lm_bigram",
+    (s, dir) => Corpus.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        col("surprisal_x10k"), col("mean_surprisal_x10k")),
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, toks[g.i] AS t1, toks[g.i + 1] AS t2
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      c2 AS (SELECT t1, t2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT t1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      scored AS (
+        SELECT bg.doc_id,
+          CAST(floor(-ln(c2.c2::DOUBLE / c1.c1) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM bg JOIN c2 USING (t1, t2) JOIN c1 USING (t1))
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(nat10k) AS BIGINT) AS surprisal_x10k,
+        CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
+      FROM scored GROUP BY doc_id"""))
+
+  /** Stupid Backoff trigram LM surprisal (Brants et al. 2007): the
+    * trigram→bigram→unigram ladder with fixed α = 0.4, count cutoff 2
+    * (without a cutoff, a self-trained corpus never backs off — every
+    * observed trigram has c ≥ 1). No normalization means no per-context
+    * discount pass, which is exactly what keeps the score one unordered
+    * aggregation and fixed-point oracle-able; backoff-level tallies make
+    * a regression visible at the level it happened.
+    */
+  val qLmBackoff = Q("q_lm_backoff",
+    (s, dir) => Corpus.backoffSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_trigrams"), col("n_tri_hits"),
+        col("n_bi_backoff"), col("n_uni_backoff"),
+        col("surprisal_x10k"), col("mean_surprisal_x10k")),
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      uni AS (SELECT t, count(*) AS cu FROM (
+          SELECT unnest(toks) AS t FROM d WHERE NOT toks = ['']) GROUP BY 1),
+      tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+      bi AS (SELECT a, b, count(*) AS cb FROM (
+          SELECT toks[g.i] AS a, toks[g.i + 1] AS b
+          FROM d, LATERAL (
+            SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+          WHERE NOT toks = ['']) GROUP BY 1, 2),
+      tg AS (
+        SELECT doc_id, toks[g.i] AS t1, toks[g.i + 1] AS t2,
+               toks[g.i + 2] AS t3
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+        WHERE NOT toks = ['']),
+      tri AS (SELECT t1, t2, t3, count(*) AS ct FROM tg GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT tg.doc_id,
+          CASE WHEN tri.ct >= 2 THEN 3 WHEN b2.cb >= 2 THEN 2
+               ELSE 1 END AS lvl,
+          CAST(floor(-ln(
+            CASE WHEN tri.ct >= 2 THEN tri.ct::DOUBLE / b1.cb
+                 WHEN b2.cb >= 2 THEN 0.4 * b2.cb / u2.cu
+                 ELSE 0.16 * u3.cu / o.n_total END) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM tg
+        JOIN tri USING (t1, t2, t3)
+        JOIN bi b1 ON b1.a = tg.t1 AND b1.b = tg.t2
+        JOIN bi b2 ON b2.a = tg.t2 AND b2.b = tg.t3
+        JOIN uni u2 ON u2.t = tg.t2
+        JOIN uni u3 ON u3.t = tg.t3
+        CROSS JOIN tot o)
+      SELECT doc_id, count(*) AS n_trigrams,
+        CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+        CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoff,
+        CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoff,
+        CAST(sum(nat10k) AS BIGINT) AS surprisal_x10k,
+        CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
+      FROM scored GROUP BY doc_id"""))
+
+  /** fastText-style quality-classifier scoring: hashed unigram+bigram
+    * features, fixed integer weight table (here hash-derived so the
+    * oracle replays generation → lookup → sum end-to-end), exact
+    * integer logits. The keep verdict thresholds the MEAN weight at 0
+    * by integer cross-multiply — no float anywhere.
+    */
+  val qQualityScore = Q("q_quality_score",
+    (s, dir) => {
+      val w = s.range(1024).select(col("id").as("bucket"),
+        (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+          lit(21L)) - 10).as("w"))
+      Corpus.qualityScore(t(s, dir, "documents"), "doc_id", "text", w,
+          nBuckets = 1024, thrMilli = 0L)
+        .select(col("id").as("doc_id"), col("n_features"),
+          col("logit"), col("keep"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      w AS (SELECT i AS bucket,
+          ('0x'||substr(md5(i::VARCHAR),1,15))::BIGINT % 21 - 10 AS w
+        FROM range(0, 1024) t(i)),
+      feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM d WHERE NOT toks = ['']
+        UNION ALL
+        SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      fb AS (SELECT doc_id,
+          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM feats),
+      scored AS (
+        SELECT fb.doc_id, count(*) AS n_features,
+          CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS logit
+        FROM fb LEFT JOIN w USING (bucket) GROUP BY fb.doc_id)
+      SELECT doc_id, n_features, logit,
+        logit * 1000 >= 0 * n_features AS keep
+      FROM scored"""))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    * source's documents by self-trained LM surprisal and cut into
+    * head/middle/tail terciles — the standard "keep head+middle, drop
+    * tail" web-curation admission. Composes [[Corpus.unigramSurprisal]]
+    * with a fully-deterministic tercile (ties broken by doc_id), so the
+    * bucket boundaries, per-bucket counts, and surprisal ranges all
+    * hash-match the SQL replay — which still uses a literal `ntile`.
+    *
+    * The Spark side deliberately does NOT use `ntile.over(partitionBy
+    * (source))`: that plan is a full single-partition sort per stratum
+    * (`ntile` gets no `WindowGroupLimit` prune), i.e. one task chewing a
+    * whole source at 100 TB. [[graft.ext.Prefix.stratifiedNtile]]
+    * reproduces ntile's exact remainder distribution from a distributed
+    * rank + a broadcast per-source (first_rank, count) table.
+    */
+  val qPerplexityBuckets = Q("q_perplexity_buckets",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Corpus.unigramSurprisal(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.ext.Prefix.stratifiedNtile(scored, Seq(col("source")),
+          Seq(col("mean_surprisal_x10k"), col("doc_id")), 3, "bucket")
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("mean_surprisal_x10k")).as("min_mean_x10k"),
+          max(col("mean_surprisal_x10k")).as("max_mean_x10k"))
+        .withColumn("keep", col("bucket") <= 2)
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM tok),
+      scored AS (
+        SELECT t.doc_id,
+          CAST(floor(-ln(f.cnt::DOUBLE / o.n_total) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM tok t JOIN freq f USING (token) CROSS JOIN tot o),
+      perdoc AS (
+        SELECT doc_id, CAST(sum(nat10k) AS BIGINT) // count(*) AS m
+        FROM scored GROUP BY doc_id),
+      ranked AS (
+        SELECT d.source, p.m,
+          ntile(3) OVER (PARTITION BY d.source
+            ORDER BY p.m, p.doc_id) AS bucket
+        FROM perdoc p JOIN documents d USING (doc_id))
+      SELECT source, bucket, count(*) AS n_docs,
+        min(m) AS min_mean_x10k, max(m) AS max_mean_x10k,
+        bucket <= 2 AS keep
+      FROM ranked GROUP BY source, bucket"""))
+
+  /** Gopher rule battery (Rae et al. 2021): the canonical heuristic
+    * quality gate — word-count and mean-word-length windows,
+    * symbol-to-word and alphabetic-word ratios, ≥2 distinct stopwords —
+    * every rule an integer/boolean over normalized text, the whole
+    * battery and verdict hash-matched.
+    */
+  val qGopherRules = Q("q_gopher_rules",
+    (s, dir) => Corpus.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        stopwords = graft.ext.TextOps.Stopwords)
+      .select(col("id").as("doc_id"), col("n_words"), col("mean_len_x100"),
+        col("symbol_bp"), col("alpha_bp"), col("n_stop_distinct"),
+        col("r_wordcount"), col("r_meanlen"), col("r_symbol"),
+        col("r_alpha"), col("r_stopwords"), col("keep")),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      b AS (
+        SELECT doc_id, t, string_split(t, ' ') AS toks,
+          CASE WHEN t = '' THEN 0
+               ELSE len(string_split(t, ' ')) END AS n
+        FROM d),
+      m AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+          CASE WHEN n > 0
+            THEN ((length(t) - (n - 1)) * 100) // n ELSE 0 END AS mean_len_x100,
+          CASE WHEN n > 0 THEN
+            (((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3) * 10000) // n
+          ELSE 0 END AS symbol_bp,
+          CASE WHEN n > 0 THEN
+            (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 10000) // n
+          ELSE 0 END AS alpha_bp,
+          CAST(len(list_intersect(list_distinct(toks),
+            ['the','a','an','of','and','to','in','is','on','for','it',
+             'with','as','at','by','be','this','that','from','or'])) AS BIGINT)
+            AS n_stop_distinct
+        FROM b)
+      SELECT doc_id, n_words,
+        CAST(mean_len_x100 AS BIGINT) AS mean_len_x100,
+        CAST(symbol_bp AS BIGINT) AS symbol_bp,
+        CAST(alpha_bp AS BIGINT) AS alpha_bp, n_stop_distinct,
+        n_words BETWEEN 50 AND 100000 AS r_wordcount,
+        mean_len_x100 BETWEEN 300 AND 1000 AS r_meanlen,
+        symbol_bp <= 1000 AS r_symbol,
+        alpha_bp >= 8000 AS r_alpha,
+        n_stop_distinct >= 2 AS r_stopwords,
+        (n_words BETWEEN 50 AND 100000) AND (mean_len_x100 BETWEEN 300 AND 1000)
+          AND symbol_bp <= 1000 AND alpha_bp >= 8000
+          AND n_stop_distinct >= 2 AS keep
+      FROM m"""))
+
+  /** Gopher repetition battery (Rae et al. 2021, table A1's other
+    * half): duplicate line/paragraph fractions by occurrence and by
+    * character mass, top-{2,3,4}-gram character coverage, duplicated-
+    * {5..10}-gram character mass — all exact integer basis points (the
+    * occurrence-mass forms documented at [[Corpus.repetitionSignals]]),
+    * whole battery + verdict hash-matched. The oracle groups units by
+    * their strings where Spark groups by xxhash64 — identical counts
+    * barring a 64-bit collision inside one document.
+    */
+  val qGopherRepetition = Q("q_gopher_repetition",
+    (s, dir) => Corpus.repetitionSignals(t(s, dir, "documents"),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id"),
+    Some("WITH " + repetitionCtes("") + """
+      SELECT * FROM bp"""))
+
+  /** Repetition-battery oracle CTE chain, name-prefixed so composites
+    * can embed it (the [[dsirCtesNamed]] convention). Exposes
+    * `${px}bp(doc_id, n_lines, n_paras, total_chars, *_bp, keep)` —
+    * [[Corpus.repetitionSignals]]'s exact output. Units are grouped by
+    * their strings where Spark groups by xxhash64 — identical counts
+    * barring a 64-bit collision inside one document.
+    */
+  private[graft] def repetitionCtes(px: String, top2Max: Int = 2000,
+                             top3Max: Int = 1800,
+                             top4Max: Int = 1600): String = s"""${px}base AS (
+        SELECT doc_id, text AS raw,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents),
+      ${px}b AS MATERIALIZED (
+        SELECT doc_id, raw, t, length(t) AS tc, string_split(t, ' ') AS ts
+        FROM ${px}base WHERE t <> ''),
+      ${px}lu0 AS (
+        SELECT doc_id, unnest(string_split(raw, chr(10))) AS u0 FROM ${px}b),
+      ${px}lu AS (
+        SELECT doc_id, 0 AS k,
+          trim(regexp_replace(lower(u0), '\\s+', ' ', 'g')) AS unit
+        FROM ${px}lu0),
+      ${px}pu0 AS (
+        SELECT doc_id, unnest(string_split(raw, chr(10)||chr(10))) AS u0
+        FROM ${px}b),
+      ${px}pu AS (
+        SELECT doc_id, 1 AS k,
+          trim(regexp_replace(lower(u0), '\\s+', ' ', 'g')) AS unit
+        FROM ${px}pu0),
+      ${px}bn AS (
+        SELECT doc_id, ts, unnest(generate_series(2, 10)) AS n FROM ${px}b),
+      ${px}ng AS (
+        SELECT doc_id, n AS k,
+          array_to_string(ts[g.i:g.i + n - 1], ' ') AS unit
+        FROM ${px}bn,
+          LATERAL (SELECT unnest(generate_series(1, len(ts) - n + 1)) AS i) g),
+      ${px}units AS (
+        SELECT doc_id, k, unit FROM ${px}lu WHERE unit <> ''
+        UNION ALL SELECT doc_id, k, unit FROM ${px}pu WHERE unit <> ''
+        UNION ALL SELECT doc_id, k, unit FROM ${px}ng),
+      ${px}counted AS (
+        SELECT doc_id, k, unit, count(*) AS cnt, length(unit) AS chars
+        FROM ${px}units GROUP BY 1, 2, 3, length(unit)),
+      ${px}perdoc AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN k = 0 THEN cnt ELSE 0 END) AS BIGINT) AS nl,
+          CAST(sum(CASE WHEN k = 1 THEN cnt ELSE 0 END) AS BIGINT) AS np,
+          CAST(sum(CASE WHEN k = 0 AND cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dl,
+          CAST(sum(CASE WHEN k = 1 AND cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dp,
+          CAST(sum(CASE WHEN k = 0 THEN cnt * chars ELSE 0 END) AS BIGINT) AS ml,
+          CAST(sum(CASE WHEN k = 1 THEN cnt * chars ELSE 0 END) AS BIGINT) AS mp,
+          CAST(sum(CASE WHEN k = 0 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS dml,
+          CAST(sum(CASE WHEN k = 1 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS dmp,
+          CAST(max(CASE WHEN k = 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS t2,
+          CAST(max(CASE WHEN k = 3 THEN cnt * chars ELSE 0 END) AS BIGINT) AS t3,
+          CAST(max(CASE WHEN k = 4 THEN cnt * chars ELSE 0 END) AS BIGINT) AS t4,
+          CAST(sum(CASE WHEN k = 5 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d5,
+          CAST(sum(CASE WHEN k = 6 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d6,
+          CAST(sum(CASE WHEN k = 7 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d7,
+          CAST(sum(CASE WHEN k = 8 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d8,
+          CAST(sum(CASE WHEN k = 9 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d9,
+          CAST(sum(CASE WHEN k = 10 AND cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS d10
+        FROM ${px}counted GROUP BY 1),
+      ${px}bp0 AS (
+        SELECT p.doc_id, p.nl AS n_lines, p.np AS n_paras,
+          CAST(b.tc AS BIGINT) AS total_chars,
+          CASE WHEN p.nl > 0 THEN least(10000, (p.dl * 10000) // p.nl) ELSE 0 END AS dup_line_bp,
+          CASE WHEN p.ml > 0 THEN least(10000, (p.dml * 10000) // p.ml) ELSE 0 END AS dup_line_char_bp,
+          CASE WHEN p.np > 0 THEN least(10000, (p.dp * 10000) // p.np) ELSE 0 END AS dup_para_bp,
+          CASE WHEN p.mp > 0 THEN least(10000, (p.dmp * 10000) // p.mp) ELSE 0 END AS dup_para_char_bp,
+          least(10000, (p.t2 * 10000) // b.tc) AS top2_bp,
+          least(10000, (p.t3 * 10000) // b.tc) AS top3_bp,
+          least(10000, (p.t4 * 10000) // b.tc) AS top4_bp,
+          least(10000, (p.d5 * 10000) // b.tc) AS dup5_bp,
+          least(10000, (p.d6 * 10000) // b.tc) AS dup6_bp,
+          least(10000, (p.d7 * 10000) // b.tc) AS dup7_bp,
+          least(10000, (p.d8 * 10000) // b.tc) AS dup8_bp,
+          least(10000, (p.d9 * 10000) // b.tc) AS dup9_bp,
+          least(10000, (p.d10 * 10000) // b.tc) AS dup10_bp
+        FROM ${px}perdoc p JOIN ${px}b b USING (doc_id)),
+      ${px}bp AS (
+        SELECT *,
+          dup_line_bp <= 3000 AND dup_para_bp <= 3000
+            AND dup_line_char_bp <= 2000 AND dup_para_char_bp <= 2000
+            AND top2_bp <= $top2Max AND top3_bp <= $top3Max
+            AND top4_bp <= $top4Max
+            AND dup5_bp <= 1500 AND dup6_bp <= 1400 AND dup7_bp <= 1300
+            AND dup8_bp <= 1200 AND dup9_bp <= 1100 AND dup10_bp <= 1000
+            AS keep
+        FROM ${px}bp0)"""
+
+  /** Shared CTE block of the DSIR oracles: features → per-side counts →
+    * smoothed fixed-point λ table → exact-integer doc scores, exposing
+    * `scored(doc_id, n_features, dsir_x10k)`.
+    */
+  /** DSIR oracle CTE chain, name-prefixed (so composites can embed it
+    * without colliding with their other CTE blocks) and parameterized
+    * on the raw-side source (so a ladder can train λ on its own
+    * survivor pool instead of the whole corpus). `px = ""` with the
+    * default raw filter reproduces the standalone q_dsir_* oracles.
+    */
+  private[graft] def dsirCtesNamed(px: String, rawSrc: String): String = s"""${px}d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      ${px}feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM ${px}d WHERE NOT toks = ['']
+        UNION ALL
+        SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+        FROM ${px}d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      ${px}fb AS (SELECT doc_id,
+          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM ${px}feats),
+      ${px}rawf AS ($rawSrc),
+      ${px}tgtf AS (SELECT * FROM ${px}fb WHERE doc_id % 97 = 0),
+      ${px}cr AS (SELECT bucket, count(*) AS cr FROM ${px}rawf GROUP BY 1),
+      ${px}ct AS (SELECT bucket, count(*) AS ct FROM ${px}tgtf GROUP BY 1),
+      ${px}nr AS (SELECT count(*) AS nr FROM ${px}rawf),
+      ${px}nt AS (SELECT count(*) AS nt FROM ${px}tgtf),
+      ${px}lam AS (
+        SELECT i AS bucket,
+          CAST(floor(ln(((coalesce(ct.ct, 0) + 1.0) * (nr.nr + 1024)) /
+                        ((coalesce(cr.cr, 0) + 1.0) * (nt.nt + 1024)))
+               * 10000 + 0.5) AS BIGINT) AS lam
+        FROM range(0, 1024) t(i)
+        LEFT JOIN ${px}cr cr ON cr.bucket = i
+        LEFT JOIN ${px}ct ct ON ct.bucket = i
+        CROSS JOIN ${px}nr nr CROSS JOIN ${px}nt nt),
+      ${px}scored AS (
+        SELECT doc_id, count(*) AS n_features,
+          CAST(sum(lam.lam) AS BIGINT) AS dsir_x10k
+        FROM ${px}rawf rawf JOIN ${px}lam lam USING (bucket)
+        GROUP BY doc_id)"""
+
+  private[graft] val dsirCtes: String =
+    "WITH " + dsirCtesNamed("", "SELECT * FROM fb WHERE doc_id % 97 <> 0")
+
+  /** DSIR data selection (Xie et al. 2023): importance-score every raw
+    * document by the smoothed hashed-n-gram log-likelihood ratio of a
+    * held-out target slice vs the raw corpus, then take the top-50 —
+    * the "make the corpus look like the target" counterpart of the
+    * quality classifier's absolute gate. Per-bucket log-ratios
+    * fixed-pointed once; doc scores are exact integer sums, so
+    * estimation → λ table → scoring → selection all hash-match.
+    */
+  val qDsirSelect = Q("q_dsir_select",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirScore(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_features"), col("dsir_x10k"))
+        .orderBy(col("dsir_x10k").desc, col("doc_id")).limit(50)
+    },
+    Some(dsirCtes + """
+      SELECT doc_id, n_features, dsir_x10k
+      FROM scored ORDER BY dsir_x10k DESC, doc_id LIMIT 50"""))
+
+  /** DSIR proper — Gumbel-top-k importance RESAMPLING (the paper's
+    * selection mode, vs q_dsir_select's deterministic top-scores):
+    * P(selected) ∝ w(x) without replacement via the Gumbel-max trick,
+    * noise from the portable hash at the score's own fixed-point scale,
+    * so the stochastic sample itself is exact and hash-matched.
+    */
+  val qDsirResample = Q("q_dsir_resample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirResample(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 50, nBuckets = 1024)
+        .select(col("id").as("doc_id"), col("n_features"),
+          col("dsir_x10k"), col("key_x10k"))
+    },
+    Some(dsirCtes + """
+      SELECT doc_id, n_features, dsir_x10k,
+        dsir_x10k + CAST(floor(-ln(-ln(
+          (('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1.0)
+            / 1152921504606846976.0)) * 10000 + 0.5) AS BIGINT) AS key_x10k
+      FROM scored ORDER BY key_x10k DESC, doc_id LIMIT 50"""))
+
+}

@@ -1,0 +1,657 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.compact.Compaction
+import graft.envelope.{DmsCdc, MongoCdc, PgCdc}
+import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps}
+
+/** Heavy hitters, PII, quantization, sketches (HLL/KMV/CMS), the
+  * window/set/pivot/cube/grouping-sets SQL surface, fuzzy linkage,
+  * k-means, data quality, multimodal.
+  *
+  * One mixin slice of [[Queries]] — split mechanically from the former
+  * single Queries.scala (no behavior change); mixin order in `object
+  * Queries` preserves the original definition/initialization order.
+  */
+private[graft] trait QueriesSqlMisc { this: Queries.type =>
+
+  /** Heavy hitters via the Misra-Gries candidate sketch + exact recount.
+    * The oracle is the plain exact top-k SQL — a hash match proves the
+    * sketch path changes nothing (fixture vocab 31 << capacity, so the
+    * sketch is lossless here by the MG bound; FreqSketchSpec exercises
+    * real pruning at 10k distinct items).
+    */
+  val qHeavyHitters = Q("q_heavy_hitters",
+    (s, dir) => Corpus.heavyHitters(t(s, dir, "documents"), "text",
+      k = 10, capacity = 512),
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+      SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
+      FROM counts ORDER BY rank LIMIT 10"""))
+
+  val qPiiScrub = Q("q_pii_scrub",
+    (s, dir) => {
+      val (scrubbed, hits) = Corpus.scrub(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        hits.as("n_hits"), md5(scrubbed).as("fp_scrubbed"))
+    },
+    Some("""SELECT doc_id,
+        len(regexp_extract_all(text, '[0-9]+')) AS n_hits,
+        md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS fp_scrubbed
+      FROM documents"""))
+
+  /** Full PII battery over documents with deterministic synthetic PII
+    * injected (the corpus is a clean word salad, so the scrubber must be
+    * SHOWN to fire): emails, URLs, IPv4, phone numbers, digit runs —
+    * scrubbed in specificity order, hit counts per stage, result
+    * certified by fingerprint. All regexes RE2-compatible → the whole
+    * battery replays in the oracle.
+    */
+  val qPiiFull = Q("q_pii_full",
+    (s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@ex.com http://ex.org/p/"),
+          col("doc_id"), lit(" ip 10.2."), col("doc_id") % 256,
+          lit(".7 tel +1555"), col("doc_id") + 1000000).as("s"))
+      val (scrubbed, counts) = Corpus.scrubAll(col("s"))
+      withPii.select(col("doc_id") +:
+        counts.map { case (n, c) => c.as(s"n_$n") } :+
+        md5(scrubbed).as("fp_scrubbed"): _*)
+    },
+    Some("""WITH t0 AS (
+        SELECT doc_id, text || ' contact u' || doc_id || '@ex.com http://ex.org/p/'
+          || doc_id || ' ip 10.2.' || (doc_id % 256) || '.7 tel +1555'
+          || (doc_id + 1000000) AS s
+        FROM documents),
+      s1 AS (SELECT doc_id,
+          len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g') AS s
+        FROM t0),
+      s2 AS (SELECT doc_id, n_email,
+          len(regexp_extract_all(s, 'https?://[^\s]+')) AS n_url,
+          regexp_replace(s, 'https?://[^\s]+', '<url>', 'g') AS s
+        FROM s1),
+      s3 AS (SELECT doc_id, n_email, n_url,
+          len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+          regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ip>', 'g') AS s
+        FROM s2),
+      s4 AS (SELECT doc_id, n_email, n_url, n_ipv4,
+          len(regexp_extract_all(s, '\+\d{7,15}')) AS n_phone,
+          regexp_replace(s, '\+\d{7,15}', '<phone>', 'g') AS s
+        FROM s3),
+      s5 AS (SELECT doc_id, n_email, n_url, n_ipv4, n_phone,
+          len(regexp_extract_all(s, '[0-9]+')) AS n_number,
+          regexp_replace(s, '[0-9]+', '<num>', 'g') AS s
+        FROM s4)
+      SELECT doc_id, n_email, n_url, n_ipv4, n_phone, n_number,
+        md5(s) AS fp_scrubbed
+      FROM s5"""))
+
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage/IO shrink for vector corpora — with the int8 values
+    * themselves oracle-certified (double-precision scale math + floor
+    * rounding is engine-exact; arrays serialized to strings for the
+    * hash compare).
+    */
+  val qQuantize = Q("q_quantize",
+    (s, dir) => t(s, dir, "embeddings").select(col("vec_id"),
+      concat_ws(",", transform(Similarity.quantizeInt8(col("embedding")),
+        _.cast("string"))).as("q8")),
+    Some("""WITH scaled AS (
+        SELECT vec_id, embedding,
+          list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS m
+        FROM embeddings)
+      SELECT vec_id,
+        array_to_string(list_transform(embedding,
+          x -> CAST(floor(x::DOUBLE * 127 / m + 0.5) AS INT)), ',') AS q8
+      FROM scaled"""))
+
+  /** Analytic-window breadth: lag/lead/ntile/percent_rank/cume_dist in
+    * one deterministic ordering (ts then event_id). Rank fractions are
+    * small-integer divisions — identical IEEE results in both engines —
+    * rounded at 6dp for safety. */
+  val qWindowFuncs = Q("q_window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_v"),
+        lead(col("value"), 1).over(w).as("next_v"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    },
+    Some("""SELECT user_id, event_id,
+        lag(value) OVER w AS prev_v, lead(value) OVER w AS next_v,
+        ntile(4) OVER w AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
+  /** Window frames beyond running totals: a 90-day RANGE-interval frame
+    * (peer rows by VALUE, not position) plus first/last/nth_value over
+    * an explicit unbounded frame. */
+  val qWindowFrames = Q("q_window_frames",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_wf")
+      s.sql("""SELECT o_orderkey, o_custkey,
+          round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS sum90d,
+          round(first_value(o_totalprice) OVER w, 2) AS first_p,
+          round(last_value(o_totalprice) OVER w, 2) AS last_p,
+          round(nth_value(o_totalprice, 2) OVER w, 2) AS second_p
+        FROM orders_wf
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW), 2) AS sum90d,
+        round(first_value(o_totalprice) OVER w, 2) AS first_p,
+        round(last_value(o_totalprice) OVER w, 2) AS last_p,
+        round(nth_value(o_totalprice, 2) OVER w, 2) AS second_p
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+
+  /** Set operations: INTERSECT / EXCEPT on yearly customer cohorts. */
+  val qSetOps = Q("q_set_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      // each cohort feeds both set ops: materialize once (lazy cache on
+      // the tiny distinct sets) instead of re-scanning orders 4x
+      def cohort(y: Int) = ext.Materialize.multiScan(
+        o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct())
+      val c95 = cohort(1995)
+      val c96 = cohort(1996)
+      c95.intersect(c96)
+        .select(lit("both").as("tag"), col("o_custkey"))
+        .unionByName(c95.except(c96)
+          .select(lit("only95").as("tag"), col("o_custkey")))
+    },
+    Some("""WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+      UNION ALL
+      SELECT 'only95' AS tag, o_custkey FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)"""))
+
+  /** Pivot: per-user event-type counts as columns. */
+  val qPivot = Q("q_pivot",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count().na.fill(0L),
+    Some("""SELECT user_id,
+        count(CASE WHEN event_type='click' THEN 1 END) AS click,
+        count(CASE WHEN event_type='error' THEN 1 END) AS error,
+        count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+        count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+        count(CASE WHEN event_type='view' THEN 1 END) AS view
+      FROM events GROUP BY user_id"""))
+
+  /** CUBE aggregation (all grouping-set combinations). Two-phase: the
+    * raw relation is aggregated to the finest grouping ONCE, and cube's
+    * Expand (which multiplies its input by the number of grouping sets)
+    * runs over those few rows instead of the full table — sums of sums
+    * and sums of counts are exact, and at 100 TB this is the difference
+    * between scanning the table once and four times. */
+  val qCube = Q("q_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("sq")), 2).as("qty"), sum(col("cnt")).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity),2) AS qty, count(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
+  /** Fuzzy (edit-distance) matching: near-identical part names within a
+    * brand block — the classic blocked record-linkage shape; the block
+    * key bounds the pair space, levenshtein is unit-cost in both engines. */
+  val qFuzzyPairs = Q("q_fuzzy_pairs",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          length(col("p_name")).as("len"))
+      // the probe side arrives as a single ~MB parquet split, which
+      // would run the whole pair enumeration + levenshtein in ONE task;
+      // spread it explicitly (REPARTITION_BY_NUM shuffles are exempt
+      // from AQE coalescing, which would happily fold 1 MB back into
+      // one partition). 4x cores saturates the pool even with skewed
+      // (brand, len) blocks.
+      val nSlices = s.sparkContext.defaultParallelism * 4
+      val a = p.repartition(nSlices, col("p_partkey")).as("a")
+      // the |len diff| <= 3 prune as a JOIN KEY, not a post-enumeration
+      // filter: side b probes every length within the edit radius
+      // (edit distance <= 3 forces |len(a)-len(b)| <= 3), so the equi
+      // key (brand, len) confines pair enumeration to length-compatible
+      // rows — the quadratic blowup happens per (brand, length) bucket
+      // instead of per brand, and each qualifying pair matches exactly
+      // once (b has one length; a's length hits one probe value).
+      val b = p.withColumn("probe_len",
+          explode(sequence(col("len") - 3, col("len") + 3)))
+        .as("b")
+      // the natural `levenshtein <= 3` predicate: BoundedLevenshteinRule
+      // rewrites it to the thresholded banded-DP form during
+      // optimization, and running it INSIDE the join predicate means
+      // non-matches die during the join — the candidate set is never
+      // materialized; dist is recomputed only for survivors.
+      a.join(b, col("a.p_brand") === col("b.p_brand") &&
+          col("a.len") === col("b.probe_len") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"))
+    },
+    Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
+
+  /** Sorted-neighborhood linkage: candidates are the 5 successors in
+    * p_name order — O(n·w) pairs instead of per-block quadratic, the
+    * scale path when blocks are too coarse (cf. q_fuzzy_pairs). */
+  val qFuzzySnm = Q("q_fuzzy_snm",
+    (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      Corpus.sortedNeighborhood(p, Seq("p_name"), "p_partkey", window = 5)
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"))
+        .filter(col("dist") >= 0)
+    },
+    Some("""WITH ranked AS (
+        SELECT p_partkey, p_name,
+               row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        FROM part)
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 5
+      WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
+
+  /** Array-function breadth over tokenized documents (arrays serialized
+    * to strings for the hash compare: engines stringify arrays
+    * differently, joined strings identically). */
+  val qArrayFuncs = Q("q_array_funcs",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(TextOps.normalized(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        concat_ws(",", slice(sort_array(col("toks")), 1, 3)).as("first3_sorted"),
+        array_contains(col("toks"), "the").cast("int").as("has_the"),
+        concat_ws(",", slice(col("toks"), 1, 2)).as("first2"),
+        element_at(col("toks"), -1).as("last_tok")),
+    Some("""WITH b AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents)
+      SELECT doc_id, len(toks) AS n,
+        len(list_distinct(toks)) AS n_uniq,
+        array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+        CAST(list_contains(toks, 'the') AS INT) AS has_the,
+        array_to_string(toks[1:2], ',') AS first2,
+        toks[-1] AS last_tok
+      FROM b"""))
+
+  /** Correlated subqueries (EXISTS + scalar) through the SQL surface —
+    * Catalyst rewrites these to semi-joins / single-row aggregates. */
+  val qSubqueries = Q("q_subqueries",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      s.sql("""
+        SELECT c.c_custkey, c.c_mktsegment,
+          (SELECT count(*) FROM orders_sq o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""")
+    },
+    Some("""SELECT c.c_custkey, c.c_mktsegment,
+        (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)"""))
+
+  /** Salted skew join ≡ plain join (the oracle is the unsalted SQL):
+    * correctness certificate for the explicit skew tool in
+    * [[graft.ext.Layout.saltedJoin]]. */
+  val qSaltedJoin = Q("q_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ext.Layout.saltedJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
+  /** UNPIVOT (wide→long melt) via `stack`: per-part numeric attributes
+    * become (attribute, value) rows — the normalization step before
+    * generic per-metric aggregation. */
+  val qUnpivot = Q("q_unpivot",
+    (s, dir) => t(s, dir, "part")
+      .select(col("p_partkey"), expr(
+        "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (attr, val)"))
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total")),
+    Some("""SELECT attr, count(*) AS n, round(sum(val), 2) AS total
+      FROM (
+        SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+      GROUP BY attr"""))
+
+  /** Explicit GROUPING SETS (beyond rollup/cube), via the SQL surface. */
+  val qGroupingSets = Q("q_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity), 2) AS qty, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS qty, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""))
+
+  /** Stratified quota sample: exactly 50 rows per returnflag, selected
+    * by portable-hash order — deterministic balanced subsetting. */
+  val qStratified = Q("q_stratified_sample",
+    (s, dir) => Corpus.quotaSample(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), Seq("l_orderkey", "l_linenumber"), quota = 50)
+      .select(col("l_returnflag"), col("sample_rank"),
+        col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_returnflag, sample_rank, l_orderkey, l_linenumber FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY ('0x'||substr(md5(l_orderkey||':'||l_linenumber),1,15))::BIGINT,
+                     l_orderkey, l_linenumber) AS sample_rank
+        FROM lineitem) WHERE sample_rank <= 50"""))
+
+  /** K-means (Lloyd, cosine assignment, deterministic init): float
+    * centroid means aren't portably reproducible, so the fitted cells
+    * have no portable oracle — instead the query is PROPERTY-CHECKED on
+    * two invariants the oracle asserts literally TRUE:
+    *  - per-iteration objective monotonicity (spherical-k-means: both
+    *    Lloyd half-steps are non-decreasing in Σ cos(x, c_assign(x)),
+    *    see [[Similarity.kmeansFit]]), with a relative-epsilon guard so
+    *    benign float accumulation noise can't flap the boolean;
+    *  - assignment consistency: the native [[graft.functions
+    *    .NearestCentroid]] argmax over the trained centroids agrees
+    *    row-for-row with an independent compositional argmax (explode +
+    *    window rank — the q_kmeans_assign machinery) on the same
+    *    centroids.
+    * A Lloyd-update or argmax regression flips the hash. n_points keeps
+    * an exact oracle-checkable count in the row. */
+  val qKmeans = Q("q_kmeans",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val maxIter = 3
+      val (cents, objs) = Similarity.kmeansFit(corpus, k = 8, maxIter = maxIter)
+      val monotone = objs.sliding(2).map { w =>
+        w(1) >= w(0) - 1e-9 * math.max(1.0, math.abs(w(0))) }.toSeq
+      val idx = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val native = corpus.withColumn("cell_n",
+        graft.functions.VectorFunctions.nearestCentroid(col("embedding"), idx))
+      val centsDf = idx.toSeq.toDF("c", "cent")
+      val comp = corpus.crossJoin(broadcast(centsDf))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+          .orderBy(Similarity.cosine(col("embedding"), col("cent")).desc,
+                   col("c").asc)))
+        .filter(col("rn") === 1).select(col("id"), col("c").as("cell_c"))
+      val mism = native.join(comp, "id")
+        .agg(sum(when(col("cell_n") === col("cell_c"), 0L).otherwise(1L))
+          .as("mism"))
+      val nPoints = corpus.agg(count(lit(1)).as("n_points"))
+      val iters = (1 to maxIter).map(i => (i.toLong, monotone(i - 1)))
+        .toDF("iter", "obj_nondecreasing")
+      iters.crossJoin(broadcast(nPoints)).crossJoin(broadcast(mism))
+        .select(col("iter"), col("obj_nondecreasing"),
+          (col("mism") === 0L).as("assign_consistent"), col("n_points"))
+    },
+    Some("""SELECT i AS iter, TRUE AS obj_nondecreasing,
+        TRUE AS assign_consistent,
+        (SELECT count(*) FROM embeddings) AS n_points
+      FROM range(1, 4) t(i)"""))
+
+  /** The k-means ASSIGNMENT step with a full oracle: `maxIter = 0` pins
+    * the centroids to the k lowest-id vectors (the same deterministic
+    * seeding q_kmeans's Lloyd loop starts from), so the
+    * nearest-centroid argmax — the piece every per-iteration aggregate
+    * and every IVF probe reuses — hash-checks in SQL. The float-centroid
+    * Lloyd path stays covered by q_kmeans (rows-only) + spec. */
+  val qKmeansAssign = Q("q_kmeans_assign",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.kmeans(e.select(col("vec_id").as("id"), col("embedding")),
+          k = 8, maxIter = 0)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+    },
+    Some("""WITH cents AS (
+        SELECT embedding AS cent, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, c.c,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
+                     c.c ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      SELECT c AS cell, count(*) AS n, min(vec_id) AS min_id
+      FROM assign WHERE rn = 1 GROUP BY c"""))
+
+  /** Point-in-time snapshot (time travel): the compacted state of the
+    * keyed stream as of a cutoff — latest event per key among those at
+    * or before T. The CDC read-side primitive for "what did the table
+    * look like on the 15th?". */
+  val qTimeTravel = Q("q_time_travel",
+    (s, dir) => {
+      val cutoffMs = 1705276800000L // 2024-01-15T00:00:00Z
+      val ev = t(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .filter(col("ts_ms") <= cutoffMs)
+      Compaction.latestPerKey(ev, Seq("user_id"), Seq("ts_ms", "event_id"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_id, ts_ms, event_type FROM (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE epoch_ms(ts) <= 1705276800000) WHERE rn = 1"""))
+
+  /** Data-quality audit: all expectations in one scan/aggregate. */
+  val qDataQuality = Q("q_data_quality",
+    (s, dir) => DataQuality.audit(t(s, dir, "orders"),
+      Seq(
+        DataQuality.notNull("n_null_cust", col("o_custkey")),
+        DataQuality.inRange("n_bad_price", col("o_totalprice"), 0.01, 1e9),
+        DataQuality.matches("n_bad_status", col("o_orderstatus"), "^[A-Z]$")),
+      uniqueKeyCols = Seq("o_orderkey")),
+    Some("""SELECT count(*) AS n_rows,
+        count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_cust,
+        count(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.01
+                     OR o_totalprice > 1e9 THEN 1 END) AS n_bad_price,
+        count(CASE WHEN o_orderstatus IS NULL
+                     OR NOT regexp_matches(o_orderstatus, '^[A-Z]$') THEN 1 END) AS n_bad_status,
+        count(*) - count(DISTINCT o_orderkey) AS n_dup_key
+      FROM orders"""))
+
+  /** KMV distinct sketch: unlike HLL, the k-minimum-values estimator
+    * over the portable md5 hash is bit-reproducible in any engine, so
+    * the SKETCH ITSELF is oracle-checked — the distributed-sketch
+    * correctness proof q_hll can't have. */
+  val qKmv = Q("q_kmv_distinct",
+    (s, dir) => graft.ext.Sketch.kmvDistinct(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_partkey", k = 64),
+    Some("""WITH hashed AS (
+        SELECT DISTINCT l_returnflag,
+          ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM hashed),
+      agg AS (
+        SELECT l_returnflag, max(rn) AS n_seen, max(h) AS h_k
+        FROM ranked WHERE rn <= 64 GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        CAST(CASE WHEN n_seen < 64 THEN n_seen
+             ELSE CAST(floor(63.0 * 1152921504606846976.0 / h_k) AS BIGINT)
+             END AS BIGINT) AS est_distinct
+      FROM agg"""))
+
+  /** HLL sketch distinct counts (approx_count_distinct): DuckDB's
+    * approx_distinct uses a different sketch, so the estimate itself has
+    * no portable oracle — instead the query is PROPERTY-CHECKED: it
+    * computes the exact distinct count alongside (which the oracle CAN
+    * replay) and asserts the estimate inside 3× the sketch's configured
+    * relative standard deviation (rsd 0.05 → 15%; HLL++ is deterministic
+    * for a given dataset — register merges are max, partitioning-
+    * independent — so the boolean can't flap). An estimator regression
+    * flips the hash. */
+  val qHll = Q("q_hll",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          <= lit(0.15) * col("exact_parts")).as("within_bound")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        count(*) AS n, TRUE AS within_bound
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Count-Min-sketch frequency estimates for the corpus's top-20 tokens,
+    * reported against the exact counts. The grid ([[graft.ext.Sketch
+    * .cmsCells]]) uses the portable md5 hash, so DuckDB rebuilds the
+    * identical cells and min-reads — the estimate itself is
+    * oracle-checked, not just bounded. Two tokenize passes (grid build +
+    * exact probe counts), the same audited trade as q_heavy_hitters:
+    * re-running the codegen'd tokenizer is cheaper and
+    * smaller-footprint than caching the exploded postings. */
+  val qCmsFreq = Q("q_cms_freq",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(TextOps.normalized(col("text"))))
+          .as("token"))
+      val probes = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token").asc)
+        .limit(20)
+      graft.ext.Sketch.cmsEstimate(toks, "token", probes, "token",
+        depth = 4, width = 512)
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS t
+        FROM documents),
+      cells AS (
+        SELECT d.d,
+          ('0x'||substr(md5(t || '#' || d.d),1,15))::BIGINT % 512 AS bucket,
+          count(*) AS c
+        FROM tok CROSS JOIN (SELECT unnest(generate_series(0,3)) AS d) d
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT t AS token, count(*) AS exact_n FROM tok GROUP BY 1
+        ORDER BY exact_n DESC, token ASC LIMIT 20)
+      SELECT e.token, e.exact_n, min(c.c) AS cms_n
+      FROM exact e
+      CROSS JOIN (SELECT unnest(generate_series(0,3)) AS d) d
+      JOIN cells c ON c.d = d.d
+        AND c.bucket = ('0x'||substr(md5(e.token || '#' || d.d),1,15))::BIGINT % 512
+      GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------------
+  // Extension: multimodal column plumbing (decode stubbed — no codecs in
+  // this environment; schema/batching/partitioning are real).
+  // ---------------------------------------------------------------------
+
+  val qMultimodal = Q("multimodal_meta",
+    (s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      media.select(
+        col("media_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.checksum").as("checksum"),
+        Multimodal.fakeDecodeMeta(col("content")).as("dec"))
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.n_frames").as("n_frames"))
+    },
+    Some("""SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+      md5(text) AS checksum,
+      64 + octet_length(encode(text)) % 512 AS width,
+      64 + (octet_length(encode(text)) * 7) % 512 AS height,
+      1 + octet_length(encode(text)) % 16 AS n_frames
+      FROM documents"""))
+
+  /** Frame sampling over media columns: every 2nd frame of each media
+    * row (frame count from the decode stub), one row per sampled frame
+    * with a content-derived fingerprint. */
+  val qMultimodalFrames = Q("multimodal_frames",
+    (s, dir) => Multimodal.sampleFrames(
+      Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text/plain"),
+      step = 2),
+    Some("""SELECT media_id, n_frames, frame_no,
+        md5(checksum||':'||frame_no) AS frame_fp
+      FROM (SELECT doc_id AS media_id, md5(text) AS checksum,
+              1 + octet_length(encode(text)) % 16 AS n_frames
+            FROM documents),
+      LATERAL (SELECT unnest(generate_series(1, n_frames, 2)) AS frame_no)"""))
+
+  /** Content-addressed frame-store dedup — the multimodal × dedup
+    * composition: media (built on a coarse 12-char clip key so real
+    * duplicates exist) explode to frames, and identical frames across
+    * media collapse to one stored copy + a refcount — the storage-dedup
+    * step of a video corpus. Frame fingerprints are md5-derived
+    * (decode stub), so the whole pipeline replays in the oracle.
+    */
+  val qFrameDedup = Q("multimodal_frame_dedup",
+    (s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(TextOps.normalized(col("text")), 1, 12).as("clip")),
+        "doc_id", "clip", "video/fake")
+      Multimodal.sampleFrames(media, step = 1)
+        .groupBy(col("frame_fp"))
+        .agg(min(col("media_id")).as("keep_media"),
+          count(lit(1)).as("n_copies"))
+    },
+    Some("""WITH media AS (
+        SELECT doc_id AS media_id,
+          substr(trim(regexp_replace(lower(text),'\s+',' ','g')), 1, 12) AS clip
+        FROM documents),
+      m2 AS (
+        SELECT media_id, md5(clip) AS checksum,
+          1 + octet_length(encode(clip)) % 16 AS n_frames
+        FROM media),
+      frames AS (
+        SELECT media_id, md5(checksum||':'||f.frame_no) AS frame_fp
+        FROM m2, LATERAL (
+          SELECT unnest(generate_series(1, n_frames, 1)) AS frame_no) f)
+      SELECT frame_fp, min(media_id) AS keep_media, count(*) AS n_copies
+      FROM frames GROUP BY frame_fp"""))
+
+}

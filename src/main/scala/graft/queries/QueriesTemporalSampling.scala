@@ -1,0 +1,587 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.compact.Compaction
+import graft.envelope.{DmsCdc, MongoCdc, PgCdc}
+import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps}
+
+/** Temporal operators (as-of, range, SCD2), percentiles, sampling,
+  * retrieval (TF-IDF/BM25/RRF hybrid), vocabulary, BPE learn/encode.
+  *
+  * One mixin slice of [[Queries]] — split mechanically from the former
+  * single Queries.scala (no behavior change); mixin order in `object
+  * Queries` preserves the original definition/initialization order.
+  */
+private[graft] trait QueriesTemporalSampling { this: Queries.type =>
+
+  // Extension: temporal relational operators (as-of join, range join,
+  // SCD2 history reconstruction) — see graft.operators.Temporal.
+  // ---------------------------------------------------------------------
+
+  /** As-of join: each purchase event gets the user's most recent view
+    * event at-or-before it. Spark side is the single-shuffle
+    * union+carry-forward plan; oracle is DuckDB's native ASOF JOIN over
+    * the same tie-compacted right side.
+    */
+  val qAsofJoin = Q("q_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = Compaction.latestPerKey(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        Seq("user_id", "ts"), Seq("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.Temporal.asOf(purchases, views, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          carry = Seq("event_id", "value"), prefix = "view_")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("view_event_id"), col("view_value"))
+    },
+    Some("""WITH views AS (
+        SELECT user_id, ts, event_id, value FROM (
+          SELECT user_id, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, ts
+                   ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'view') WHERE rn = 1),
+      p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+             v.event_id AS view_event_id, v.value AS view_value
+      FROM p ASOF JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts"""))
+
+  /** Range (interval) join: events within one hour after each signup. */
+  val qRangeJoin = Q("q_range_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val sgn = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+      val e = ev.select(col("event_id").as("e_id"),
+        col("user_id").as("e_user"), col("ts").as("e_ts"))
+      sgn.join(e, col("e_user") === col("s_user") &&
+          col("e_ts") > col("s_ts") &&
+          col("e_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("s_id"), col("s_user"))
+        .agg(count(col("e_id")).as("n_follow"))
+        .select(col("s_id").as("event_id"), col("s_user").as("user_id"),
+          col("n_follow"))
+    },
+    Some("""SELECT s.event_id, s.user_id, count(e.event_id) AS n_follow
+      FROM (SELECT * FROM events WHERE event_type='signup') s
+      LEFT JOIN events e ON e.user_id = s.user_id AND e.ts > s.ts
+        AND e.ts <= s.ts + INTERVAL 1 HOUR
+      GROUP BY s.event_id, s.user_id"""))
+
+  /** SCD2 reconstruction: the event stream becomes validity intervals. */
+  val qScd2 = Q("q_scd2",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Temporal.scd2(ev, Seq("user_id"),
+          timeMs = unix_millis(col("ts")), tiebreak = col("event_id"))
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"),
+          col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+    },
+    Some("""SELECT user_id, event_id, event_type AS state,
+        epoch_ms(ts) AS valid_from_ms,
+        coalesce(lead(epoch_ms(ts)) OVER w, 253402300799999) AS valid_to_ms,
+        CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)"""))
+
+  /** Exact group percentiles. Two cross-engine IEEE traps, both fixed
+    * here by construction:
+    *  - interpolation formula: DuckDB's `quantile_cont` computes
+    *    `lo + (hi-lo)·d`, Spark's `percentile` computes
+    *    `(ceil(h)-h)·lo + (h-floor(h))·hi` — an ulp apart; the oracle
+    *    replays SPARK'S formula over the sorted list;
+    *  - rounding: Spark's `round` works on the shortest decimal repr,
+    *    DuckDB's multiplies by 10^s in doubles — they disagree when
+    *    x·100 lands exactly on .5. Both sides therefore round as
+    *    `floor(x·100 + 0.5)/100`, which is pure double arithmetic and
+    *    bit-identical everywhere.
+    */
+  private def r2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+
+  val qPercentiles = Q("q_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r2(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r2(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
+        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95")),
+    Some("""WITH s AS (
+        SELECT l_returnflag,
+          list(l_extendedprice ORDER BY l_extendedprice) AS xs,
+          count(*) AS n
+        FROM lineitem GROUP BY 1),
+      m AS (
+        -- p must be DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB and
+        -- the whole interpolation would run in exact decimal, not IEEE
+        SELECT l_returnflag, p.p, xs, n,
+          p.p::DOUBLE * (n - 1) AS h,
+          CAST(floor(p.p::DOUBLE * (n - 1)) AS BIGINT) AS lo,
+          ceil(p.p::DOUBLE * (n - 1)) AS hi
+        FROM s CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p) p),
+      v AS (
+        SELECT l_returnflag, p,
+          CASE WHEN hi = lo THEN xs[lo + 1]
+               ELSE (hi - h) * xs[lo + 1] + (h - lo) * xs[lo + 2]
+          END AS q
+        FROM m)
+      SELECT l_returnflag,
+        floor(max(CASE WHEN p = 0.25 THEN q END) * 100 + 0.5) / 100 AS p25,
+        floor(max(CASE WHEN p = 0.5  THEN q END) * 100 + 0.5) / 100 AS p50,
+        floor(max(CASE WHEN p = 0.75 THEN q END) * 100 + 0.5) / 100 AS p75,
+        floor(max(CASE WHEN p = 0.95 THEN q END) * 100 + 0.5) / 100 AS p95
+      FROM v GROUP BY l_returnflag"""))
+
+  /** Deterministic hash sample (portable md5, no seed/partitioning
+    * dependence) — the reproducible-subset primitive every training-data
+    * pipeline needs. Aggregated so the oracle certifies the exact sample.
+    */
+  val qSample = Q("q_sample",
+    (s, dir) => Corpus.hashSample(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"), pct = 5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price")),
+    Some("""SELECT l_returnflag, count(*) AS n,
+        round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      WHERE ('0x'||substr(md5(l_orderkey||':'||l_linenumber),1,15))::BIGINT % 100 < 5
+      GROUP BY l_returnflag"""))
+
+  /** The same sample via the xxhash64 production fast path (no md5 per
+    * row). DuckDB has no xxhash64, so the sample MEMBERSHIP has no
+    * portable oracle — instead the query is PROPERTY-CHECKED: the
+    * realized sample rate must sit inside a 6σ binomial interval around
+    * the requested 5% (σ = √(p(1−p)/n); xxhash64 is deterministic, so
+    * the boolean can't flap). A hash-quality or thresholding regression
+    * flips the hash; determinism and exact-rate behavior stay
+    * spec-asserted, and the portable-mode twin above certifies the
+    * shared plumbing. */
+  val qSampleFast = Q("q_sample_fast",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val total = li.agg(count(lit(1)).as("n_total"))
+      val samp = Corpus.hashSample(li,
+          Seq("l_orderkey", "l_linenumber"), pct = 5, portable = false)
+        .agg(count(lit(1)).as("n_samp"))
+      total.crossJoin(broadcast(samp))
+        .select(col("n_total"),
+          (abs(col("n_samp").cast("double") / col("n_total") - lit(0.05))
+            <= lit(6.0) * sqrt(lit(0.05 * 0.95) / col("n_total")))
+            .as("rate_in_bounds"))
+    },
+    Some("SELECT count(*) AS n_total, TRUE AS rate_in_bounds FROM lineitem"))
+
+  // ---------------------------------------------------------------------
+  // Extension: corpus-level text operators (TF-IDF, vocabulary, PII
+  // scrub) — see graft.ext.Corpus.
+  // ---------------------------------------------------------------------
+
+  val qTfidf = Q("q_tfidf",
+    (s, dir) => Corpus.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("rank"), col("token"), col("score")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(n.n::DOUBLE / dfq.df), 4) AS score
+        FROM tf JOIN dfq USING (token) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token) AS rank
+        FROM scored)
+      SELECT doc_id, rank, token, score FROM ranked WHERE rank <= 5"""))
+
+  /** Okapi BM25 top-k retrieval for a bag-of-words query — per-(doc,
+    * term) contributions fixed-pointed to integer x10k before the
+    * per-doc sum, ranked on the total order (score desc, doc asc).
+    */
+  val qBm25 = Q("q_bm25",
+    (s, dir) => Corpus.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("hash", "join", "merge", "vector"), k = 20)
+      .select(col("id").as("doc_id"), col("score_x10k"), col("n_terms")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      -- guard: string_split('') yields [''] where Spark's \S+ extract
+      -- yields []; without it an empty doc shifts avgdl corpus-wide
+      tokg AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tokg GROUP BY 1),
+      stats AS (SELECT (SELECT count(*) FROM tokg)::DOUBLE
+                         / (SELECT count(*) FROM documents) AS avgdl,
+                       (SELECT count(*) FROM documents) AS n_docs),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+             WHERE token IN ('hash', 'join', 'merge', 'vector')
+             GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+          CAST(floor(
+            ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            * (tf.tf * (1.2 + 1.0))
+            / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+            * 10000 + 0.5) AS BIGINT) AS contrib_x10k
+        FROM tf JOIN dfq d USING (token) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s)
+      SELECT doc_id, CAST(sum(contrib_x10k) AS BIGINT) AS score_x10k,
+             count(*) AS n_terms
+      FROM scored GROUP BY 1
+      ORDER BY score_x10k DESC, doc_id LIMIT 20"""))
+
+  /** Hybrid retrieval: BM25 lexical top-50 fused with cosine vector
+    * top-50 (query = embedding 0) by reciprocal-rank fusion — the
+    * standard lexical+dense combiner, integer-exact so the fused list
+    * is hash-certified end to end. Docs found by BOTH modalities rise
+    * (n_lists = 2); rank-only fusion needs no score calibration.
+    */
+  val qHybridRetrieval = Q("q_hybrid_retrieval",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lexical = Corpus.bm25TopK(docs, "doc_id", "text",
+          terms = Seq("hash", "join", "merge", "vector"), k = 50)
+        .withColumn("rank", row_number().over( // 50 rows post-TakeOrdered
+          Window.orderBy(col("score_x10k").desc, col("id").asc)))
+        .select(col("id"), col("rank"))
+      val vector = Similarity.bruteForceTopK(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("id"), col("embedding")), k = 50)
+        .select(col("nn_id").as("id"), col("rank"))
+      Corpus.rrfFuse(Seq(lexical, vector), topK = 20)
+        .select(col("id").as("doc_id"), col("rrf_score"), col("n_lists"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      tokg AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tokg GROUP BY 1),
+      stats AS (SELECT (SELECT count(*) FROM tokg)::DOUBLE
+                         / (SELECT count(*) FROM documents) AS avgdl,
+                       (SELECT count(*) FROM documents) AS n_docs),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+             WHERE token IN ('hash', 'join', 'merge', 'vector')
+             GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      bscored AS (
+        SELECT tf.doc_id,
+          CAST(floor(
+            ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            * (tf.tf * (1.2 + 1.0))
+            / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+            * 10000 + 0.5) AS BIGINT) AS contrib_x10k
+        FROM tf JOIN dfq d USING (token) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s),
+      bagg AS (
+        SELECT doc_id, sum(contrib_x10k) AS score_x10k FROM bscored
+        GROUP BY 1 ORDER BY score_x10k DESC, doc_id LIMIT 50),
+      lex AS (
+        SELECT doc_id AS id,
+          row_number() OVER (ORDER BY score_x10k DESC, doc_id) AS rank
+        FROM bagg),
+      vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      vscored AS (
+        SELECT vec_id AS id,
+          round(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) END, 3) AS sim
+        FROM embeddings CROSS JOIN vq WHERE vec_id <> 0),
+      vec AS (
+        SELECT id, rank FROM (
+          SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+          FROM vscored) WHERE rank <= 50),
+      pts AS (
+        SELECT id, 1000000000 // (60 + rank) AS pts FROM lex
+        UNION ALL
+        SELECT id, 1000000000 // (60 + rank) AS pts FROM vec)
+      SELECT id AS doc_id, CAST(sum(pts) AS BIGINT) AS rrf_score,
+             count(*) AS n_lists
+      FROM pts GROUP BY id
+      ORDER BY rrf_score DESC, id LIMIT 20"""))
+
+  val qVocab = Q("q_vocab",
+    (s, dir) => Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 100),
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents),
+      counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+      SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
+      FROM counts ORDER BY rank LIMIT 100"""))
+
+  /** Unrolled-SQL replay of [[graft.ext.Bpe.learn]]: vocab build + one
+    * (pair-count → argmax → merge) CTE block per round. The wrapped-
+    * symbol string representation (each symbol in U+001F) makes the
+    * merge a literal `replace`, identical in both engines — which is
+    * what lets even BPE LEARNING be hash-certified.
+    */
+  private[graft] def bpeLearnCtes(nMerges: Int): String = {
+    // MATERIALIZED: each v_r is read twice (pair counts + next round)
+    // and the chain is nMerges deep — inlining would re-evaluate the
+    // whole prefix per reference (exponential); materialized it's one
+    // pass per round, exactly like the Spark loop's per-round cache
+    val base = """WITH v0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', chr(31)||'\1'||chr(31), 'g') AS s, cnt
+        FROM (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(
+              trim(regexp_replace(lower(replace(text, chr(31), '')),'\s+',' ','g')),
+              '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS w
+            FROM documents)
+          GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 65536))"""
+    val rounds = (0 until nMerges).map { r =>
+      s"""
+      p$r AS (
+        SELECT sy[ix.i] AS l, sy[ix.i+1] AS r, sum(cnt) AS c
+        FROM (SELECT cnt,
+                string_split(trim(s, chr(31)), chr(31)||chr(31)) AS sy
+              FROM v$r),
+             LATERAL (SELECT unnest(generate_series(1, len(sy)-1)) AS i) ix
+        GROUP BY 1, 2),
+      b$r AS MATERIALIZED (
+        SELECT l, r FROM p$r ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+      v${r + 1} AS MATERIALIZED (
+        SELECT replace(s,
+          (SELECT chr(31)||l||chr(31)||chr(31)||r||chr(31) FROM b$r),
+          (SELECT chr(31)||l||r||chr(31) FROM b$r)) AS s, cnt
+        FROM v$r)"""
+    }.mkString(",", ",", "")
+    base + rounds
+  }
+
+  /** BPE merge-table learning (8 rounds over the documents corpus) —
+    * the table itself is the query output, hash-matched rank by rank.
+    */
+  val qBpeLearn = Q("q_bpe_learn",
+    (s, dir) => {
+      val merges = graft.ext.Bpe.learn(t(s, dir, "documents"), "text",
+        nMerges = 8)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "lhs", "rhs")
+    },
+    Some(bpeLearnCtes(8) + "\n" +
+      (0 until 8).map(r =>
+        s"SELECT ${r + 1} AS rank, l AS lhs, r AS rhs FROM b$r")
+        .mkString("\nUNION ALL\n")))
+
+  /** The encode half of the BPE oracle, shared by `q_bpe_encode` and
+    * the `q_corpus_prep_v2` composite: merge-pattern scalars from the
+    * learned `b0..b7` + per-word replace chain + per-doc token list.
+    * Appended after [[bpeLearnCtes]]; exposes `agg(doc_id, all_toks)`.
+    */
+  private[graft] val bpeEncodeCtes: String = s"""
+      m AS (SELECT ${(0 until 8).map(r =>
+        s"(SELECT chr(31)||l||chr(31)||chr(31)||r||chr(31) FROM b$r) AS pat$r, " +
+        s"(SELECT chr(31)||l||r||chr(31) FROM b$r) AS rep$r").mkString(", ")}),
+      dw AS (
+        SELECT doc_id, ix.i, ws[ix.i] AS w
+        FROM (
+          SELECT doc_id, regexp_extract_all(
+            trim(regexp_replace(lower(replace(text, chr(31), '')),'\\s+',' ','g')),
+            '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ws
+          FROM documents),
+          LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) ix),
+      et AS (
+        SELECT doc_id, i, string_split(trim(${(0 until 8).foldLeft(
+          "regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g')")(
+          (acc, r) => s"replace($acc, m.pat$r, m.rep$r)")},
+          chr(31)), chr(31)||chr(31)) AS toks
+        FROM dw, m),
+      agg AS (
+        SELECT doc_id, flatten(list(toks ORDER BY i)) AS all_toks
+        FROM et GROUP BY doc_id)"""
+
+  /** Learn-then-encode: every document re-tokenized with the learned
+    * table; per-doc subword count + an md5 over the full token stream,
+    * so the oracle pins every emitted symbol of every document.
+    */
+  val qBpeEncode = Q("q_bpe_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
+      docs.select(col("doc_id"),
+          graft.ext.Bpe.encode(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          md5(concat_ws(" ", col("toks"))).as("tok_fp"))
+    },
+    Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + """
+      SELECT d.doc_id,
+        CAST(coalesce(len(a.all_toks), 0) AS BIGINT) AS n_bpe_tokens,
+        md5(coalesce(array_to_string(a.all_toks, ' '), '')) AS tok_fp
+      FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+
+  /** Fraction-based decontamination: the published-eval policy form —
+    * per doc, bp of its distinct word bigrams that appear anywhere in
+    * the benchmark slice, with the ≥ 2500 bp drop verdict. Portable
+    * md5-prefix shingle hashes keep even collisions engine-identical.
+    */
+  val qDecontamFraction = Q("q_decontam_fraction",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminateFraction(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 2, dropAtBp = 2500)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"),
+          col("overlap_bp"), col("drop"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(
+            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-1, 0)),
+          i -> array_to_string(
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+1], ' ')))
+          AS sset
+        FROM documents),
+      ex0 AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      ex AS (SELECT doc_id,
+               ('0x'||substr(md5(shingle),1,15))::BIGINT AS h
+             FROM ex0),
+      bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0),
+      scored AS (
+        SELECT doc_id, count(*) AS n_shingles,
+          count(CASE WHEN h IN (SELECT h FROM bench) THEN 1 END) AS n_shared
+        FROM ex WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(s.n_shingles, 0) AS n_shingles,
+        coalesce(s.n_shared, 0) AS n_shared,
+        CASE WHEN coalesce(s.n_shingles, 0) > 0
+          THEN (s.n_shared * 10000) // s.n_shingles ELSE 0 END AS overlap_bp,
+        (CASE WHEN coalesce(s.n_shingles, 0) > 0
+          THEN (s.n_shared * 10000) // s.n_shingles ELSE 0 END) >= 2500 AS "drop"
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+      LEFT JOIN scored s USING (doc_id)"""))
+
+  /** Temperature resampling at alpha = 0.5 (the standard multilingual
+    * rebalance): per-source keep rate = sqrt(share ratio) in exact ppm
+    * via the integer-sqrt form, admission by portable-hash threshold —
+    * the whole mixture reweight hash-certified.
+    */
+  val qTemperatureSample = Q("q_temperature_sample",
+    (s, dir) => Corpus.temperatureSample(t(s, dir, "documents"),
+        "source", Seq("doc_id"), alpha = 0.5)
+      .select(col("doc_id"), col("source"), col("keep_rate_ppm")),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      m AS (SELECT max(n) AS nmax FROM c),
+      r AS (SELECT source,
+        CAST(floor(sqrt(
+          (((n::HUGEINT) * 1000000 * 1000000) // (SELECT nmax FROM m))::DOUBLE))
+          AS BIGINT) AS keep_rate_ppm
+        FROM c)
+      SELECT d.doc_id, d.source, r.keep_rate_ppm
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+            < r.keep_rate_ppm"""))
+
+  /** Temperature resampling at alpha = 0.25 — the exact-oracle family
+    * extended to rational alphas (r9): rate = floor((c/cmax)^(1/4)·ppm)
+    * via the DOUBLE integer-sqrt, floor(x^(1/4)) = isqrt(isqrt(⌊x⌋)).
+    * The radicand c·ppm⁴/cmax is ≤ ppm⁴ (c ≤ cmax), so the oracle's
+    * inner sqrt needs only a ±1 integer correction after the double
+    * conversion (abs error on sqrt ≤ ~2·10⁻⁴ at 10¹² scale), and the
+    * outer radicand is ≤ ppm² < 2^52 — correctly-rounded IEEE, exact.
+    */
+  val qTemperatureSampleA25 = Q("q_temperature_sample_a25",
+    (s, dir) => Corpus.temperatureSample(t(s, dir, "documents"),
+        "source", Seq("doc_id"), alpha = 0.25)
+      .select(col("doc_id"), col("source"), col("keep_rate_ppm")),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      m AS (SELECT max(n) AS nmax FROM c),
+      rad AS (SELECT source,
+          ((n::HUGEINT) * 1000000::HUGEINT * 1000000 * 1000000 * 1000000)
+            // (SELECT nmax FROM m) AS radi
+        FROM c),
+      cand AS (SELECT source, radi,
+          CAST(floor(sqrt(radi::DOUBLE)) AS HUGEINT) AS c0 FROM rad),
+      i1 AS (SELECT source,
+          CASE WHEN (c0+1)*(c0+1) <= radi THEN c0+1
+               WHEN c0*c0 <= radi THEN c0 ELSE c0-1 END AS s1
+        FROM cand),
+      r AS (SELECT source,
+          CAST(floor(sqrt(s1::DOUBLE)) AS BIGINT) AS keep_rate_ppm
+        FROM i1)
+      SELECT d.doc_id, d.source, r.keep_rate_ppm
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+            < r.keep_rate_ppm"""))
+
+  /** Temperature resampling at alpha = 0.75 — same double-isqrt family
+    * on the cubed-share radicand c³·ppm⁴/cmax³ (≤ ppm⁴). The 128-bit
+    * oracle replay needs the intermediate c³·ppm⁴ < 2^127 (per-stratum
+    * counts ≲ 5·10⁴ at ppm = 10⁶ — holds through sf0.1); the operator
+    * itself computes in BigInt and has no such bound.
+    */
+  val qTemperatureSampleA75 = Q("q_temperature_sample_a75",
+    (s, dir) => Corpus.temperatureSample(t(s, dir, "documents"),
+        "source", Seq("doc_id"), alpha = 0.75)
+      .select(col("doc_id"), col("source"), col("keep_rate_ppm")),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      m AS (SELECT max(n) AS nmax FROM c),
+      rad AS (SELECT source,
+          ((n::HUGEINT) * n * n * 1000000::HUGEINT * 1000000 * 1000000 * 1000000)
+            // ((SELECT nmax FROM m)::HUGEINT
+               * (SELECT nmax FROM m) * (SELECT nmax FROM m)) AS radi
+        FROM c),
+      cand AS (SELECT source, radi,
+          CAST(floor(sqrt(radi::DOUBLE)) AS HUGEINT) AS c0 FROM rad),
+      i1 AS (SELECT source,
+          CASE WHEN (c0+1)*(c0+1) <= radi THEN c0+1
+               WHEN c0*c0 <= radi THEN c0 ELSE c0-1 END AS s1
+        FROM cand),
+      r AS (SELECT source,
+          CAST(floor(sqrt(s1::DOUBLE)) AS BIGINT) AS keep_rate_ppm
+        FROM i1)
+      SELECT d.doc_id, d.source, r.keep_rate_ppm
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 1000000
+            < r.keep_rate_ppm"""))
+
+  /** Mixture sampling: per-source keep rates (the data-mixing step) —
+    * up-weight two sources, down-weight two, default the rest.
+    */
+  val qMixtureSample = Q("q_mixture_sample",
+    (s, dir) => Corpus.mixtureSample(t(s, dir, "documents"), "source",
+        Seq("doc_id"),
+        pctByStratum = Map("src0" -> 80, "src1" -> 80,
+          "src2" -> 30, "src3" -> 30),
+        defaultPct = 10)
+      .select(col("doc_id"), col("source")),
+    Some("""SELECT doc_id, source FROM documents
+      WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 <
+        CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 80
+                    WHEN 'src2' THEN 30 WHEN 'src3' THEN 30 ELSE 10 END"""))
+
+  /** Weighted sampling without replacement (A-ES exponential keys over
+    * the portable hash): longer documents proportionally likelier, the
+    * exact sample certified by the oracle replaying the key formula.
+    */
+  val qWeightedSample = Q("q_weighted_sample",
+    (s, dir) => Corpus.weightedSample(t(s, dir, "documents"),
+        Seq("doc_id"), col("n_chars"), k = 50)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("sample_key")),
+    Some("""SELECT doc_id, source, n_chars,
+        CAST(floor(-ln((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1.0)
+          / 1152921504606846976.0)
+          * (SELECT sum(n_chars)::DOUBLE / count(*) FROM documents WHERE n_chars > 0)
+          / n_chars * 1000000.0) AS BIGINT) AS sample_key
+      FROM documents WHERE n_chars > 0
+      ORDER BY sample_key, doc_id LIMIT 50"""))
+
+}
