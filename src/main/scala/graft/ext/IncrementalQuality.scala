@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *   2. the fastText-style linear quality classifier
   *      ([[Corpus.qualityScore]]) against a fixed hashed-n-gram weight
   *      table;
-  *   3. optionally, a DSIR importance threshold
+  *   3. optionally, the Gopher REPETITION battery
+  *      ([[Corpus.repetitionSignals]]) — also stateless and doc-local
+  *      (all signals are within-document counts), so it freezes to its
+  *      dials alone; the same rung-1 pairing the batch ladder
+  *      (`q_corpus_prep_v3`) gates on;
+  *   4. optionally, a DSIR importance threshold
   *      ([[Corpus.dsirScoreAgainst]]) against a λ table trained ONCE
   *      ([[Corpus.dsirLambda]]) on a reference (raw, target) pair.
   *
@@ -56,6 +61,9 @@ object IncrementalQuality {
     *                    per feature, [[Corpus.qualityScore]]'s contract)
     * @param minWords    Gopher word-count window lower edge (the other
     *                    rules keep their published defaults)
+    * @param repetition  gate on [[Corpus.repetitionSignals]] too (dials
+    *                    below; published-default maps), completing the
+    *                    batch ladder's rung-1 pairing
     */
   def admitBatch(batch: DataFrame, batchId: Long, idCol: String,
                  textCol: String, corpusDir: String,
@@ -63,9 +71,15 @@ object IncrementalQuality {
                  thrMilli: Long = 0L,
                  lambda: Option[DataFrame] = None, dsirThrX10k: Long = 0L,
                  minWords: Int = 50,
-                 stopwords: Seq[String] = Corpus.GopherStopwords): (Long, Long) = {
+                 stopwords: Seq[String] = Corpus.GopherStopwords,
+                 repetition: Boolean = false,
+                 repTopBpMax: Map[Int, Long] =
+                   Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L),
+                 repDupBpMax: Map[Int, Long] =
+                   Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
+                       8 -> 1200L, 9 -> 1100L, 10 -> 1000L)): (Long, Long) = {
     val n = batch.count()
-    // all three scores are doc-local: compute over the batch, intersect
+    // all scores are doc-local: compute over the batch, intersect
     // the keeps — same composition contract as the batch ladder
     val gKeep = Corpus.gopherRules(batch, idCol, textCol,
         minWords = minWords, stopwords = stopwords)
@@ -73,7 +87,14 @@ object IncrementalQuality {
     val qKeep = Corpus.qualityScore(batch, idCol, textCol, weights,
         nBuckets, thrMilli)
       .filter(col("keep")).select(col("id"))
-    val keep0 = gKeep.join(qKeep, Seq("id"))
+    val keepGq = gKeep.join(qKeep, Seq("id"))
+    val keep0 =
+      if (!repetition) keepGq
+      else keepGq.join(
+        Corpus.repetitionSignals(batch, idCol, textCol,
+            topBpMax = repTopBpMax, dupBpMax = repDupBpMax)
+          .filter(col("keep")).select(col("id")),
+        Seq("id"))
     val keepIds = lambda.fold(keep0) { lam =>
       keep0.join(
         Corpus.dsirScoreAgainst(batch, lam, idCol, textCol, nBuckets)

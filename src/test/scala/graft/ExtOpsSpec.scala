@@ -652,14 +652,23 @@ class ExtOpsSpec extends AnyFunSuite {
     def onTgt(i: Long) = (i, s"the cat and the mat of alpha beta alpha beta x$i")
     def offTgt(i: Long) = (i, s"the dog and the river of delta omega rho x$i")
     def gibber(i: Long) = (i, s"zzq qqw wwe eer rrt tty yyu uui x$i")
+    // on-target content that loops one phrase: passes every other gate,
+    // trips ONLY the repetition battery's dup-5-gram mass. The battery's
+    // dials are frozen FIXTURE-appropriate (published dials assume
+    // real-length documents: on an 11-token doc ANY repeated bigram
+    // covers >20% of chars) — the dial-freezing contract itself
+    val repTop = Map(2 -> 5000L, 3 -> 5000L, 4 -> 5000L)
+    val repDup = (5 to 10).map(_ -> 3000L).toMap
+    def loopy(i: Long) = (i, ("the cat is alpha beta " * 5) + s"x$i")
     val ticks = Seq(
       Seq(onTgt(1), offTgt(2), gibber(3), onTgt(4)),
-      Seq(onTgt(5), offTgt(6), gibber(7), onTgt(8)),
-      Seq(onTgt(9), offTgt(10), gibber(11), onTgt(12)))
+      Seq(onTgt(5), offTgt(6), gibber(7), loopy(8)),
+      Seq(onTgt(9), offTgt(10), gibber(11), loopy(12)))
     def admit(b: org.apache.spark.sql.DataFrame, id: Long) =
       IncrementalQuality.admitBatch(b, id, "doc_id", "text", corpusDir,
         weights, nBuckets = 64, thrMilli = -2000L,
-        lambda = Some(lam), dsirThrX10k = 0L, minWords = 5)
+        lambda = Some(lam), dsirThrX10k = 0L, minWords = 5,
+        repetition = true, repTopBpMax = repTop, repDupBpMax = repDup)
     val in = MemoryStream[(Long, String)]
     def start() = in.toDS().toDF("doc_id", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -682,6 +691,8 @@ class ExtOpsSpec extends AnyFunSuite {
       s"gopher must drop the gibberish: $streamed")
     assert(Set(2L, 6L, 10L).intersect(streamed).isEmpty,
       s"the frozen-lambda gate must drop off-target docs: $streamed")
+    assert(Set(8L, 12L).intersect(streamed).isEmpty,
+      s"the repetition battery must drop the phrase-loop docs: $streamed")
     assert(Set(1L, 4L, 5L).subsetOf(streamed),
       s"on-target docs must be admitted: $streamed")
     // batch parity: doc-local scores against frozen tables make the
@@ -689,12 +700,15 @@ class ExtOpsSpec extends AnyFunSuite {
     val union = ticks.flatten.toDF("doc_id", "text")
     val gB = Corpus.gopherRules(union, "doc_id", "text", minWords = 5)
       .filter(col("keep")).select(col("id"))
+    val rB = Corpus.repetitionSignals(union, "doc_id", "text",
+        topBpMax = repTop, dupBpMax = repDup)
+      .filter(col("keep")).select(col("id"))
     val qB = Corpus.qualityScore(union, "doc_id", "text", weights, 64, -2000L)
       .filter(col("keep")).select(col("id"))
     val dB = Corpus.dsirScoreAgainst(union, lam, "doc_id", "text", 64)
       .filter(col("dsir_x10k") >= 0L).select(col("id"))
-    val batchSet = gB.join(qB, Seq("id")).join(dB, Seq("id"))
-      .as[Long].collect().toSet
+    val batchSet = gB.join(rB, Seq("id")).join(qB, Seq("id"))
+      .join(dB, Seq("id")).as[Long].collect().toSet
     assert(streamed == batchSet,
       s"stream/batch divergence: stream=$streamed batch=$batchSet")
     // replay idempotence: a redelivered committed batch overwrites its
