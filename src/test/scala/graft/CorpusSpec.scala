@@ -251,6 +251,43 @@ class CorpusSpec extends AnyFunSuite {
       && d2g2.distinct.length == 3 && d2g2.forall(_._2 == 3L))
   }
 
+  test("ngram_units: randomized partition equivalence vs a string reference") {
+    // 200 docs over a 6-token vocab (dense within-doc n-gram repeats) +
+    // jagged lengths 0..24: the induced (count, chars) multiset per
+    // (doc, n) must equal the joined-string grouping's — any rolling-
+    // hash boundary bug (wrong P^n, off-by-one prefix, char miscount)
+    // breaks some multiset
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("a", "bb", "ccc", "déjà", "e", "ffff")
+    val ns = Seq(2, 3, 5)
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").filter(col("text") =!= "")
+    val got = df.select(col("doc_id"), explode(
+        graft.functions.VectorFunctions.ngramUnits(col("text"), ns)).as("u"))
+      .groupBy(col("doc_id"), col("u.k"), col("u.h"))
+      .agg(count(lit(1)).as("cnt"), first(col("u.chars")).as("chars"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getInt(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(3), r.getLong(4))).sorted.toSeq }
+    val want = (for {
+      (id, text) <- docs if text.nonEmpty
+      toks = text.split(" ").toSeq
+      n <- ns if toks.size >= n
+    } yield {
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      (id, n) -> grams.groupBy(identity).values
+        .map(g => (g.size.toLong, g.head.length.toLong)).toSeq.sorted
+    }).toMap
+    assert(got.keySet == want.keySet,
+      s"coverage mismatch: ${got.keySet.size} vs ${want.keySet.size}")
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"multiset mismatch at $k: $v vs ${want(k)}") }
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),
