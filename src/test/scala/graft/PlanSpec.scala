@@ -380,6 +380,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 doc-keyed shuffle (the final per-doc agg), got ${idKeyed.size}:\n${idKeyed.mkString("\n")}\n$p")
   }
 
+  test("q_gopher_repetition: native unit generator, hash-only shuffles") {
+    val p = planOf("q_gopher_repetition")
+    // the unit relation must come from the native one-pass ngram_units
+    // expression (a regression to the per-n lambda formulation was a
+    // 17x wall at the 10x scale point — SCALE.md)
+    assert(p.contains("ngram_units"),
+      s"expected the native ngram_units generator:\n$p")
+    // both exchanges — the (id, kind, hash) pre-aggregation and the
+    // per-doc rollup — carry hashes and counters only; unit text,
+    // normalized text, and the raw document must never cross a shuffle
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected the unit-count shuffles:\n$p")
+    Seq("text#", "raw#", "t#", "ts#", "unit").foreach { colName =>
+      assert(exchanges.forall(!_.contains(colName)),
+        s"$colName crosses a shuffle:\n${exchanges.mkString("\n")}") }
+  }
+
   test("q_dsir_select / q_quality_score: weight tables broadcast, features never shuffle") {
     for (name <- Seq("q_dsir_select", "q_quality_score")) {
       val p = planOf(name)
