@@ -455,6 +455,51 @@ object Corpus {
         expr("surprisal_x10k div n_tok"))
   }
 
+  /** The FREEZE step of [[unigramSurprisal]]: the corpus's unigram LM
+    * as a (token, nat10k) table — per-token surprisal in the same
+    * integer tenth-millinat fixed point, computed with the same
+    * arithmetic — for [[surprisalAgainst]] to score OTHER data against.
+    * Vocabulary-sized: broadcasts wherever it's used.
+    */
+  def unigramLm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rel = Materialize.multiScan(Materialize.spread(df)
+      .select(explode(toks(col(textCol))).as("token")))
+    val freq = rel.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = rel.agg(count(lit(1)).as("n_total"))
+    freq.crossJoin(broadcast(tot))
+      .select(col("token"),
+        floor(-log(col("cnt").cast("double") / col("n_total")) * 10000 + 0.5)
+          .cast("long").as("nat10k"))
+  }
+
+  /** [[unigramSurprisal]]'s scoring pass against a FROZEN
+    * [[unigramLm]] table — the streaming/decoupled form: the LM is
+    * estimated ONCE (on a training corpus) and arriving data is scored
+    * doc-locally against the broadcast table, so the score of a
+    * document never depends on what it arrives with. On the training
+    * corpus itself this reproduces [[unigramSurprisal]] exactly (same
+    * fixed point, same integer sums — pinned by spec).
+    *
+    * @param unseenNat10k surprisal assigned to tokens absent from the
+    *                     LM (a frozen vocabulary can't score novel
+    *                     tokens; CCNet prices them as rare — default
+    *                     ≈ 20 nats, p ≈ 2·10⁻⁹, above any token an
+    *                     LM trained on < 10⁸ tokens can produce)
+    * @return (id, n_tok, surprisal_x10k, mean_surprisal_x10k) — docs
+    *         with ≥ 1 token
+    */
+  def surprisalAgainst(df: DataFrame, lm: DataFrame, idCol: String,
+                       textCol: String,
+                       unseenNat10k: Long = 200000L): DataFrame =
+    Materialize.spread(df)
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
+      .join(broadcast(lm), Seq("token"), "left")
+      .withColumn("nat10k", coalesce(col("nat10k"), lit(unseenNat10k)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("nat10k")).as("surprisal_x10k"))
+      .withColumn("mean_surprisal_x10k",
+        expr("surprisal_x10k div n_tok"))
+
   /** Self-trained BIGRAM-LM surprisal — one rung up the n-gram ladder
     * from [[unigramSurprisal]] and the closer match to CCNet-style
     * perplexity filtering: score each document by its mean conditional

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   *      (`q_corpus_prep_v3`) gates on;
   *   4. optionally, a DSIR importance threshold
   *      ([[Corpus.dsirScoreAgainst]]) against a λ table trained ONCE
-  *      ([[Corpus.dsirLambda]]) on a reference (raw, target) pair.
+  *      ([[Corpus.dsirLambda]]) on a reference (raw, target) pair;
+  *   5. optionally, the perplexity gate ([[Corpus.surprisalAgainst]])
+  *      against a unigram LM trained ONCE ([[Corpus.unigramLm]]) —
+  *      the streamable form of the batch ladder's tercile rung: the
+  *      tercile BOUNDARY observed on the training corpus freezes into
+  *      `maxMeanSurprisalX10k`, and scoring is doc-local against the
+  *      broadcast LM (unseen tokens priced as rare).
   *
   * Scale posture — the whole point of freezing: the weight and λ
   * tables are nBuckets-row broadcasts regardless of corpus size, every
@@ -64,6 +70,11 @@ object IncrementalQuality {
     * @param repetition  gate on [[Corpus.repetitionSignals]] too (dials
     *                    below; published-default maps), completing the
     *                    batch ladder's rung-1 pairing
+    * @param lm          optional frozen (token, nat10k) unigram LM
+    *                    ([[Corpus.unigramLm]]); docs with mean
+    *                    surprisal at/below `maxMeanSurprisalX10k` pass
+    *                    (the frozen tercile boundary — CCNet keeps the
+    *                    head+middle)
     */
   def admitBatch(batch: DataFrame, batchId: Long, idCol: String,
                  textCol: String, corpusDir: String,
@@ -77,7 +88,10 @@ object IncrementalQuality {
                    Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L),
                  repDupBpMax: Map[Int, Long] =
                    Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
-                       8 -> 1200L, 9 -> 1100L, 10 -> 1000L)): (Long, Long) = {
+                       8 -> 1200L, 9 -> 1100L, 10 -> 1000L),
+                 lm: Option[DataFrame] = None,
+                 maxMeanSurprisalX10k: Long = Long.MaxValue,
+                 unseenNat10k: Long = 200000L): (Long, Long) = {
     val n = batch.count()
     // all scores are doc-local: compute over the batch, intersect
     // the keeps — same composition contract as the batch ladder
@@ -95,10 +109,17 @@ object IncrementalQuality {
             topBpMax = repTopBpMax, dupBpMax = repDupBpMax)
           .filter(col("keep")).select(col("id")),
         Seq("id"))
-    val keepIds = lambda.fold(keep0) { lam =>
+    val keep1 = lambda.fold(keep0) { lam =>
       keep0.join(
         Corpus.dsirScoreAgainst(batch, lam, idCol, textCol, nBuckets)
           .filter(col("dsir_x10k") >= dsirThrX10k).select(col("id")),
+        Seq("id"))
+    }
+    val keepIds = lm.fold(keep1) { table =>
+      keep1.join(
+        Corpus.surprisalAgainst(batch, table, idCol, textCol, unseenNat10k)
+          .filter(col("mean_surprisal_x10k") <= maxMeanSurprisalX10k)
+          .select(col("id")),
         Seq("id"))
     }
     val admitted = Materialize.multiScan(

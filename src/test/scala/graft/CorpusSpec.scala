@@ -288,6 +288,33 @@ class CorpusSpec extends AnyFunSuite {
       assert(v == want(k), s"multiset mismatch at $k: $v vs ${want(k)}") }
   }
 
+  test("surprisalAgainst: frozen LM reproduces self-trained surprisal; unseen priced") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ate the bone"),
+      (3L, "cat dog cat dog")).toDF("doc_id", "text")
+    val lm = graft.ext.Materialize.multiScan(
+      Corpus.unigramLm(docs, "doc_id", "text"))
+    lm.count()
+    // exactness on the training corpus: same fixed point, same integer
+    // sums — scoring against the frozen table must be bit-identical to
+    // the self-trained pass
+    val self = Corpus.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val frozen = Corpus.surprisalAgainst(docs, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(self == frozen, s"self=$self frozen=$frozen")
+    // unseen tokens priced at the configured surprisal, not joined away
+    val novel = Seq((9L, "zzz qqq")).toDF("doc_id", "text")
+    val scored = Corpus.surprisalAgainst(novel, lm, "doc_id", "text",
+        unseenNat10k = 12345L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(scored.toSeq == Seq((2L, 24690L, 12345L)), scored.toSeq.toString)
+    lm.unpersist()
+  }
+
   test("tfidfTopK ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common"),

@@ -645,6 +645,15 @@ class ExtOpsSpec extends AnyFunSuite {
     val lam = Materialize.multiScan(
       Corpus.dsirLambda(refRaw, refTgt, "doc_id", "text", nBuckets = 64))
     lam.count()
+    // unigram LM frozen on the same reference corpus; the admission
+    // boundary plays the ladder's frozen tercile edge. Margins are
+    // bound-safe: reference n_total = 24 tokens => any SEEN token's
+    // surprisal <= ln(24)*1e4 ~ 31800, so an on-target doc (3 unseen of
+    // 11 tokens) means at most (3*200000 + 8*31800)/11 ~ 77700 < 120000,
+    // while the surprisal-trip doc (8 unseen of 10) means >= 160000
+    val lmTable = Materialize.multiScan(Corpus.unigramLm(
+      refRaw.union(refTgt), "doc_id", "text"))
+    lmTable.count()
     // docs exercising each gate: on-target english (pass), off-target
     // english (dsir drop), stopword-less gibberish (gopher drop), plus
     // whatever the hash weights decide (quality gate at -2000 admits
@@ -660,15 +669,19 @@ class ExtOpsSpec extends AnyFunSuite {
     val repTop = Map(2 -> 5000L, 3 -> 5000L, 4 -> 5000L)
     val repDup = (5 to 10).map(_ -> 3000L).toMap
     def loopy(i: Long) = (i, ("the cat is alpha beta " * 5) + s"x$i")
+    // stopworded enough for Gopher, on-vocab enough for nothing: 8 of
+    // 10 tokens unknown to the frozen LM — trips ONLY the surprisal gate
+    def weird(i: Long) = (i, s"the of zzq wwx qqv ppu uut rrw eez t$i")
     val ticks = Seq(
       Seq(onTgt(1), offTgt(2), gibber(3), onTgt(4)),
       Seq(onTgt(5), offTgt(6), gibber(7), loopy(8)),
-      Seq(onTgt(9), offTgt(10), gibber(11), loopy(12)))
+      Seq(onTgt(9), offTgt(10), weird(11), loopy(12)))
     def admit(b: org.apache.spark.sql.DataFrame, id: Long) =
       IncrementalQuality.admitBatch(b, id, "doc_id", "text", corpusDir,
         weights, nBuckets = 64, thrMilli = -2000L,
         lambda = Some(lam), dsirThrX10k = 0L, minWords = 5,
-        repetition = true, repTopBpMax = repTop, repDupBpMax = repDup)
+        repetition = true, repTopBpMax = repTop, repDupBpMax = repDup,
+        lm = Some(lmTable), maxMeanSurprisalX10k = 120000L)
     val in = MemoryStream[(Long, String)]
     def start() = in.toDS().toDF("doc_id", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -687,12 +700,14 @@ class ExtOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     // gates are discriminative: every gibberish doc dropped (gopher),
     // every off-target doc dropped (dsir), on-target docs admitted
-    assert(Set(3L, 7L, 11L).intersect(streamed).isEmpty,
+    assert(Set(3L, 7L).intersect(streamed).isEmpty,
       s"gopher must drop the gibberish: $streamed")
     assert(Set(2L, 6L, 10L).intersect(streamed).isEmpty,
       s"the frozen-lambda gate must drop off-target docs: $streamed")
     assert(Set(8L, 12L).intersect(streamed).isEmpty,
       s"the repetition battery must drop the phrase-loop docs: $streamed")
+    assert(!streamed.contains(11L),
+      s"the frozen-LM surprisal gate must drop the off-vocab doc: $streamed")
     assert(Set(1L, 4L, 5L).subsetOf(streamed),
       s"on-target docs must be admitted: $streamed")
     // batch parity: doc-local scores against frozen tables make the
@@ -707,8 +722,10 @@ class ExtOpsSpec extends AnyFunSuite {
       .filter(col("keep")).select(col("id"))
     val dB = Corpus.dsirScoreAgainst(union, lam, "doc_id", "text", 64)
       .filter(col("dsir_x10k") >= 0L).select(col("id"))
+    val sB = Corpus.surprisalAgainst(union, lmTable, "doc_id", "text")
+      .filter(col("mean_surprisal_x10k") <= 120000L).select(col("id"))
     val batchSet = gB.join(rB, Seq("id")).join(qB, Seq("id"))
-      .join(dB, Seq("id")).as[Long].collect().toSet
+      .join(dB, Seq("id")).join(sB, Seq("id")).as[Long].collect().toSet
     assert(streamed == batchSet,
       s"stream/batch divergence: stream=$streamed batch=$batchSet")
     // replay idempotence: a redelivered committed batch overwrites its
