@@ -338,6 +338,10 @@ object ScaleBench {
         docs(1).filter(col("doc_id") % 7 === 0),
         "doc_id", "text", nBuckets = 1024))
       lam.count()
+      // unigram LM frozen once on the 1x corpus (vocab-sized broadcast)
+      val lmT = Materialize.multiScan(Corpus.unigramLm(
+        docs(1), "doc_id", "text"))
+      lmT.count()
       val stops = (0 until 100).map("w" + _)
       println("| op | batch | tick | batch rows | tick s | admitted |")
       println("|---|---|---|---|---|---|")
@@ -353,7 +357,8 @@ object ScaleBench {
           batchId = s.toLong * 100 + tick, "doc_id", "text",
           s"$qroot/corpus", weights, nBuckets = 1024, thrMilli = -2000L,
           lambda = Some(lam), dsirThrX10k = -100000L,
-          stopwords = stops, repetition = true)
+          stopwords = stops, repetition = true,
+          lm = Some(lmT), maxMeanSurprisalX10k = 500000L)
         val wall = (System.nanoTime() - t0) / 1e9
         batch.unpersist()
         println(f"| qualityTick | ${s}x | $tick | ${baseDocs * s} | $wall%.2f | $adm |")
