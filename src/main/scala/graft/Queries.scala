@@ -49,7 +49,8 @@ object Queries
     qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,
-    qLmSurprisal, qLmBigram, qLmBackoff, qQualityScore, qDsirSelect,
+    qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
+    qDsirSelect,
     qDsirResample, qPerplexityBuckets, qGopherRules, qGopherRepetition,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,

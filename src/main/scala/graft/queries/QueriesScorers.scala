@@ -42,6 +42,47 @@ private[graft] trait QueriesScorers { this: Queries.type =>
         CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
       FROM scored GROUP BY doc_id"""))
 
+  /** Frozen-LM surprisal — [[Corpus.surprisalAgainst]] as an oracle
+    * row: the LM is trained on one slice (doc_id % 3 ≠ 0) and a
+    * DISJOINT slice is scored against it, so the score of a document
+    * provably does not depend on what it is scored with — the
+    * decoupling the streaming admission loop relies on. Unseen tokens
+    * (the scored slice's vocabulary tail) take the configured rare
+    * price, exercised here by construction.
+    */
+  val qSurprisalFrozen = Q("q_surprisal_frozen",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = Corpus.unigramLm(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+      Corpus.surprisalAgainst(docs.filter(col("doc_id") % 3 === 0), lm,
+          "doc_id", "text", unseenNat10k = 200000L)
+        .select(col("id").as("doc_id"), col("n_tok"),
+          col("surprisal_x10k"), col("mean_surprisal_x10k"))
+    },
+    Some("""WITH ttok AS (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents WHERE doc_id % 3 <> 0),
+      freq AS (SELECT token, count(*) AS cnt FROM ttok GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM ttok),
+      lm AS (
+        SELECT token,
+          CAST(floor(-ln(cnt::DOUBLE / n_total) * 10000 + 0.5) AS BIGINT)
+            AS nat10k
+        FROM freq CROSS JOIN tot),
+      stok AS (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS token
+        FROM documents WHERE doc_id % 3 = 0),
+      scored AS (
+        SELECT s.doc_id, coalesce(lm.nat10k, 200000) AS nat10k
+        FROM stok s LEFT JOIN lm USING (token))
+      SELECT doc_id, count(*) AS n_tok,
+        CAST(sum(nat10k) AS BIGINT) AS surprisal_x10k,
+        CAST(sum(nat10k) AS BIGINT) // count(*) AS mean_surprisal_x10k
+      FROM scored GROUP BY doc_id"""))
+
   /** Bigram-LM surprisal: conditional −ln p(t2|t1) under the corpus's
     * own bigram counts — context totals derived from the bigram counts,
     * fixed-point before the per-doc sum, <2-token docs drop out.
