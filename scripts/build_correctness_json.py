@@ -5,9 +5,10 @@ per query spark_rows / oracle_rows / rows_match / schema_match / hash_match
 
 Usage: build_correctness_json.py <sf_dir> <verify_out_dir> <out.json> <note>
 """
-import sys, json, glob
+import sys, os, json, glob
 import duckdb
 import pandas as pd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check_oracle import TABLES, compare
 
 def main():
