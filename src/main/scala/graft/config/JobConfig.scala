@@ -37,6 +37,39 @@ final case class SparkConfKnobs(
     defaultParallelism: Option[Int] = None,
     speculation: Option[String] = None)
 
+/** Config for the optional streaming QUALITY admission stage between
+  * compaction and the sink fanout (an extension beyond the reference's
+  * surface — see [[graft.ext.IncrementalQuality]]): every non-delete
+  * change record whose extracted document text fails the frozen curation
+  * gates is turned away before it reaches the warehouse. Frozen tables
+  * are parquet paths loaded ONCE at startup (they are nBuckets- /
+  * vocabulary-sized and broadcast into every batch); thresholds are the
+  * gates' integer fixed-point dials.
+  */
+final case class AdmissionConf(
+    /** SQL expression over the compacted relation producing the document
+      * text to score, e.g. a column name or
+      * `get_json_object(payload, '$.text')`. Rows where it evaluates
+      * NULL (deletes, non-document tables) bypass the gates. */
+    text_expr: String,
+    /** Frozen (bucket, w) quality-classifier weight table (parquet). */
+    weights_path: String,
+    n_buckets: Int = 1024,
+    thr_milli: Long = 0L,
+    min_words: Int = 50,
+    /** Gate on the Gopher repetition battery too (published dials). */
+    repetition: Boolean = false,
+    /** Frozen (bucket, lam) DSIR table (parquet); absent = gate off. */
+    dsir_lambda_path: Option[String] = None,
+    dsir_thr_x10k: Long = 0L,
+    /** Frozen (token, nat10k) unigram LM (parquet); absent = gate off. */
+    lm_path: Option[String] = None,
+    max_mean_surprisal_x10k: Option[Long] = None,
+    unseen_nat10k: Long = 200000L,
+    /** Audit trail: rejected rows land in `<dir>/batch=<id>` (Overwrite —
+      * replay-idempotent, like the admission corpus layout). */
+    rejected_dir: Option[String] = None)
+
 final case class JobConfig(
     redshift_conf: RedshiftConf,
     msk_conf: MskConf,
@@ -45,7 +78,9 @@ final case class JobConfig(
     // DMS-only extras (src/glue_dms_redshift_cdc.py:36-38,63-69)
     record_id_key: String = "id",
     apply_delete: Boolean = true,
-    cdc_timestamp_format: String = "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    cdc_timestamp_format: String = "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    // extension beyond the reference: streaming quality admission
+    admission_conf: Option[AdmissionConf] = None)
 
 object JobConfig {
   private implicit val formats: Formats = DefaultFormats

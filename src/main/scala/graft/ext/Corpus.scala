@@ -491,8 +491,15 @@ object Corpus {
   def surprisalAgainst(df: DataFrame, lm: DataFrame, idCol: String,
                        textCol: String,
                        unseenNat10k: Long = 200000L): DataFrame =
-    Materialize.spread(df)
-      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
+    surprisalAgainstOn(Materialize.spread(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("ts")),
+      lm, unseenNat10k)
+
+  /** [[surprisalAgainst]] from a pre-tokenized (id, ts) relation (extra
+    * columns ignored) — the single-tokenize share point. */
+  private[graft] def surprisalAgainstOn(pre: DataFrame, lm: DataFrame,
+                                        unseenNat10k: Long): DataFrame =
+    pre.select(col("id"), explode(col("ts")).as("token"))
       .join(broadcast(lm), Seq("token"), "left")
       .withColumn("nat10k", coalesce(col("nat10k"), lit(unseenNat10k)))
       .groupBy(col("id"))
@@ -575,8 +582,10 @@ object Corpus {
     *     decided by `c23 ≥ minCount` inside it.
     *
     * Positions then flow through ONE narrow pipeline: left-join the
-    * cutoff-bounded table, inner-join the bigram-bounded table,
-    * per-doc aggregate. The r8 form instead joined positions through
+    * cutoff-bounded table, split on hit/miss, inner-join ONLY the
+    * misses against the bigram-bounded table (r10: level-3 hits — the
+    * majority class on a natural corpus — no longer pay the fallback
+    * shuffle), union, per-doc aggregate. The r8 form instead joined positions through
     * all five raw count tables — five corpus-sized join inputs on the
     * worst case, where this shape's join inputs stay bounded and the
     * only corpus-sized shuffles are the type-count aggregation and the
@@ -644,15 +653,25 @@ object Corpus {
           .otherwise(lit(0.16) * col("cu3") / col("n_total")))
         * 10000 + 0.5).cast("long"))
       .select(col("t2"), col("t3"), col("lvlLo"), col("natLo"))
-    // positions flow through ONE narrow pipeline: a left join against
-    // the cutoff-bounded level-3 table, an inner join against the
-    // bigram-bounded fallback table (every (t2,t3) of a trigram IS a
-    // corpus bigram, so it always hits), then the per-doc aggregate
-    tg.join(scoredHi, Seq("t1", "t2", "t3"), "left")
+    // positions make ONE pass through the cutoff-bounded level-3 left
+    // join; the fallback join then sees ONLY the misses — on a natural
+    // corpus the majority class is level-3 hits, which previously paid
+    // the (t2,t3) shuffle into the vocab²-bounded fallback join for
+    // nothing. The narrow (id,t2,t3,nat3) post-join relation is
+    // persisted (spill-safe MEMORY_AND_DISK, same budget class as the
+    // already-cached position relation) so the hit/miss branches split
+    // one materialization instead of re-running the join per branch.
+    val withHi = Materialize.multiScan(
+      tg.join(scoredHi, Seq("t1", "t2", "t3"), "left")
+        .select(col("id"), col("t2"), col("t3"), col("nat3")))
+    val hits = withHi.filter(col("nat3").isNotNull)
+      .select(col("id"), lit(3).as("lvl"), col("nat3").as("nat10k"))
+    val misses = withHi.filter(col("nat3").isNull)
+      .select(col("id"), col("t2"), col("t3"))
+      // every (t2,t3) of a trigram IS a corpus bigram, so it always hits
       .join(scoredLo, Seq("t2", "t3"))
-      .withColumn("lvl",
-        when(col("nat3").isNotNull, lit(3)).otherwise(col("lvlLo")))
-      .withColumn("nat10k", coalesce(col("nat3"), col("natLo")))
+      .select(col("id"), col("lvlLo").as("lvl"), col("natLo").as("nat10k"))
+    hits.unionByName(misses)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hits"),
@@ -688,15 +707,23 @@ object Corpus {
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
                    weights: DataFrame, nBuckets: Int = 1024,
-                   thrMilli: Long = 0L): DataFrame = {
-    hashedFeatures(df, idCol, textCol, nBuckets)
-      .join(broadcast(weights), Seq("bucket"), "left")
+                   thrMilli: Long = 0L): DataFrame =
+    qualityScoreFeats(hashedFeatures(df, idCol, textCol, nBuckets),
+      weights, thrMilli)
+
+  /** [[qualityScore]] over an already-built (id, bucket) feature
+    * relation — the share point for a single-tokenize admission stage
+    * ([[IncrementalQuality.admitBatch]]): quality and DSIR read ONE
+    * cached feature relation instead of re-hashing the batch each.
+    */
+  private[graft] def qualityScoreFeats(feats: DataFrame, weights: DataFrame,
+                                       thrMilli: Long): DataFrame =
+    feats.join(broadcast(weights), Seq("bucket"), "left")
       .withColumn("w", coalesce(col("w"), lit(0L)))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_features"), sum(col("w")).as("logit"))
       .withColumn("keep",
         col("logit") * 1000 >= lit(thrMilli) * col("n_features"))
-  }
 
   /** (id, bucket) hashed bag-of-features relation shared by the linear
     * scorers ([[qualityScore]], [[dsirScore]]): word unigrams +
@@ -707,9 +734,15 @@ object Corpus {
     */
   private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
                              nBuckets: Int): DataFrame =
-    Materialize.spread(df)
-      .select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
-      .select(col("id"), explode(concat(col("ts"),
+    hashedFeaturesOn(Materialize.spread(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("ts")), nBuckets)
+
+  /** [[hashedFeatures]] from a pre-tokenized (id, ts) relation (extra
+    * columns ignored) — lets a caller that already holds the token
+    * arrays skip the tokenize. */
+  private[graft] def hashedFeaturesOn(pre: DataFrame,
+                                      nBuckets: Int): DataFrame =
+    pre.select(col("id"), explode(concat(col("ts"),
         when(size(col("ts")) >= 2,
           transform(sequence(lit(0), size(col("ts")) - 2),
             i => concat_ws(" ", element_at(col("ts"), i + 1),
@@ -797,8 +830,8 @@ object Corpus {
                        textCol: String, nBuckets: Int = 1024): DataFrame =
     scoreAgainstLambda(hashedFeatures(df, idCol, textCol, nBuckets), lambda)
 
-  private def scoreAgainstLambda(feats: DataFrame,
-                                 lambda: DataFrame): DataFrame =
+  private[graft] def scoreAgainstLambda(feats: DataFrame,
+                                        lambda: DataFrame): DataFrame =
     feats.join(broadcast(lambda), Seq("bucket"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_features"), sum(col("lam")).as("dsir_x10k"))
@@ -856,11 +889,20 @@ object Corpus {
 
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   minWords: Int = 50, maxWords: Int = 100000,
-                  stopwords: Seq[String] = GopherStopwords): DataFrame = {
-    val gopherStops = stopwords
-    df.select(col(idCol).as("id"),
+                  stopwords: Seq[String] = GopherStopwords): DataFrame =
+    gopherRulesOn(df.select(col(idCol).as("id"),
         TextOps.normalized(col(textCol)).as("t"))
-      .withColumn("ts", TextOps.tokens(col("t")))
+      .withColumn("ts", TextOps.tokens(col("t"))),
+      minWords, maxWords, stopwords)
+
+  /** [[gopherRules]] from a pre-normalized/tokenized (id, t, ts)
+    * relation (extra columns pass through) — the single-tokenize share
+    * point for the admission stage. */
+  private[graft] def gopherRulesOn(pre: DataFrame,
+                  minWords: Int, maxWords: Int,
+                  stopwords: Seq[String]): DataFrame = {
+    val gopherStops = stopwords
+    pre
       .withColumn("n_words", size(col("ts")).cast("long"))
       .withColumn("mean_len_x100", when(col("n_words") > 0,
         expr("((length(t) - (n_words - 1)) * 100) div n_words"))
@@ -939,7 +981,18 @@ object Corpus {
                         dupBpMax: Map[Int, Long] =
                           Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
                               8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
-                       ): DataFrame = {
+                       ): DataFrame =
+    repetitionSignalsOn(Materialize.spread(df)
+      .select(col(idCol).as("id"), col(textCol).as("raw"),
+        TextOps.normalized(col(textCol)).as("t")),
+      topNs, dupNs, topBpMax, dupBpMax)
+
+  /** [[repetitionSignals]] from a pre-normalized (id, raw, t) relation
+    * (extra columns ignored) — the single-tokenize share point. */
+  private[graft] def repetitionSignalsOn(pre: DataFrame,
+                        topNs: Seq[Int], dupNs: Seq[Int],
+                        topBpMax: Map[Int, Long],
+                        dupBpMax: Map[Int, Long]): DataFrame = {
     val LINE = 0
     val PARA = 1
     def normUnit(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
@@ -948,10 +1001,8 @@ object Corpus {
         u => struct(lit(kind).as("k"), xxhash64(u).as("h"),
           length(u).cast("long").as("chars")))
 
-    graft.functions.VectorFunctions.register(df.sparkSession)
-    val base = Materialize.spread(df)
-      .select(col(idCol).as("id"), col(textCol).as("raw"),
-        TextOps.normalized(col(textCol)).as("t"))
+    graft.functions.VectorFunctions.register(pre.sparkSession)
+    val base = pre
       .filter(col("t") =!= "")
       .withColumn("tc", length(col("t")).cast("long"))
     // lines/paras: a handful of units per doc — the lambda path is fine.

@@ -172,11 +172,20 @@ object IncrementalCoverage {
   private def safeSwap(fs: org.apache.hadoop.fs.FileSystem,
                        live: org.apache.hadoop.fs.Path,
                        shadow: org.apache.hadoop.fs.Path): Unit = {
+    // Hadoop FileSystem.rename signals failure by returning FALSE, not by
+    // throwing — an unchecked rename here could fall through to the final
+    // delete and remove the only registered copy of the store. Any failed
+    // step aborts with `old` left in place, which recoverSwap can heal.
+    def mustRename(src: org.apache.hadoop.fs.Path,
+                   dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"safeSwap: rename $src -> $dst failed")
     val old = new org.apache.hadoop.fs.Path(live.toString + "__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(shadow, live)
-    fs.delete(old, true)
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"safeSwap: could not clear stale $old")
+    if (fs.exists(live)) mustRename(live, old)
+    mustRename(shadow, live)
+    fs.delete(old, true) // best-effort: a lost cleanup is healed by recoverSwap
   }
 
   /** Heal an interrupted [[safeSwap]]: live missing + `__old` present ⇒

@@ -92,43 +92,91 @@ object IncrementalQuality {
                  lm: Option[DataFrame] = None,
                  maxMeanSurprisalX10k: Long = Long.MaxValue,
                  unseenNat10k: Long = 200000L): (Long, Long) = {
-    val n = batch.count()
+    val g = gate(batch, idCol, textCol, weights, nBuckets, thrMilli,
+      lambda, dsirThrX10k, minWords, stopwords, repetition,
+      repTopBpMax, repDupBpMax, lm, maxMeanSurprisalX10k, unseenNat10k)
+    val n = g.pre.count()
+    val nAdmitted = g.admitted.count()
+    // per-batch directory + Overwrite = replay-idempotent without state
+    g.admitted.write.mode(SaveMode.Overwrite)
+      .parquet(s"$corpusDir/batch=$batchId")
+    g.release()
+    (nAdmitted, n - nAdmitted)
+  }
+
+  /** The five-gate admission decision over one batch with its caches
+    * still live — the share point between [[admitBatch]] (standalone
+    * corpus-building loop) and the CDC pipeline's admission stage
+    * ([[graft.pipeline.QualityAdmission]]). `admitted` = the batch's
+    * surviving rows (original columns). Call [[Gate.release]] only
+    * after every read of `pre`/`admitted` has been materialized
+    * (counted, written, or persisted downstream).
+    */
+  private[graft] final case class Gate(pre: DataFrame, admitted: DataFrame,
+                                       cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
+
+  private[graft] def gate(batch: DataFrame, idCol: String, textCol: String,
+                 weights: DataFrame, nBuckets: Int,
+                 thrMilli: Long,
+                 lambda: Option[DataFrame], dsirThrX10k: Long,
+                 minWords: Int,
+                 stopwords: Seq[String],
+                 repetition: Boolean,
+                 repTopBpMax: Map[Int, Long],
+                 repDupBpMax: Map[Int, Long],
+                 lm: Option[DataFrame],
+                 maxMeanSurprisalX10k: Long,
+                 unseenNat10k: Long): Gate = {
+    // ONE tokenize pass: the batch is scanned (and normalized+tokenized)
+    // once into a spill-safe cache carrying every original column plus
+    // the normalized text and token array; the up-to-five gates and the
+    // final semi-join all read the cache — the r9 form instead started
+    // each gate from `batch`, ~7 source scans (each re-tokenizing) per
+    // tick. The count() populates the cache inside the first job.
+    val pre = Materialize.multiScan(Materialize.spread(batch)
+      .withColumn("__iq_t", TextOps.normalized(col(textCol)))
+      .withColumn("__iq_ts", TextOps.tokens(col("__iq_t"))))
+    // canonical (id, raw, t, ts) projection the Corpus *On variants read
+    val canon = pre.select(col(idCol).as("id"), col(textCol).as("raw"),
+      col("__iq_t").as("t"), col("__iq_ts").as("ts"))
     // all scores are doc-local: compute over the batch, intersect
     // the keeps — same composition contract as the batch ladder
-    val gKeep = Corpus.gopherRules(batch, idCol, textCol,
-        minWords = minWords, stopwords = stopwords)
+    val gKeep = Corpus.gopherRulesOn(canon, minWords = minWords,
+        maxWords = 100000, stopwords = stopwords)
       .filter(col("keep")).select(col("id"))
-    val qKeep = Corpus.qualityScore(batch, idCol, textCol, weights,
-        nBuckets, thrMilli)
+    // quality and DSIR score the SAME hashed-feature relation: cache it
+    // only when both read it
+    val feats0 = Corpus.hashedFeaturesOn(canon, nBuckets)
+    val feats = if (lambda.isDefined) Materialize.multiScan(feats0) else feats0
+    val qKeep = Corpus.qualityScoreFeats(feats, weights, thrMilli)
       .filter(col("keep")).select(col("id"))
     val keepGq = gKeep.join(qKeep, Seq("id"))
     val keep0 =
       if (!repetition) keepGq
       else keepGq.join(
-        Corpus.repetitionSignals(batch, idCol, textCol,
+        Corpus.repetitionSignalsOn(canon,
+            topNs = Seq(2, 3, 4), dupNs = Seq(5, 6, 7, 8, 9, 10),
             topBpMax = repTopBpMax, dupBpMax = repDupBpMax)
           .filter(col("keep")).select(col("id")),
         Seq("id"))
     val keep1 = lambda.fold(keep0) { lam =>
       keep0.join(
-        Corpus.dsirScoreAgainst(batch, lam, idCol, textCol, nBuckets)
+        Corpus.scoreAgainstLambda(feats, lam)
           .filter(col("dsir_x10k") >= dsirThrX10k).select(col("id")),
         Seq("id"))
     }
     val keepIds = lm.fold(keep1) { table =>
       keep1.join(
-        Corpus.surprisalAgainst(batch, table, idCol, textCol, unseenNat10k)
+        Corpus.surprisalAgainstOn(canon, table, unseenNat10k)
           .filter(col("mean_surprisal_x10k") <= maxMeanSurprisalX10k)
           .select(col("id")),
         Seq("id"))
     }
-    val admitted = Materialize.multiScan(
-      batch.join(keepIds, batch(idCol) === keepIds("id"), "left_semi"))
-    val nAdmitted = admitted.count()
-    // per-batch directory + Overwrite = replay-idempotent without state
-    admitted.write.mode(SaveMode.Overwrite)
-      .parquet(s"$corpusDir/batch=$batchId")
-    admitted.unpersist()
-    (nAdmitted, n - nAdmitted)
+    val admitted = pre.join(keepIds, pre(idCol) === keepIds("id"), "left_semi")
+      .drop("__iq_t", "__iq_ts")
+    Gate(pre, admitted,
+      (if (lambda.isDefined) Seq(feats) else Nil) :+ pre)
   }
 }

@@ -81,7 +81,18 @@ object Prefix {
     val r = col(rn) - col("__first") + 1
     val q = expr(s"__n div $k")
     val rem = col("__n") % k
-    ranked.join(broadcast(stats), strataNames.toSeq)
+    // Null-safe (<=>) join: window partitionBy groups NULL strata into
+    // their own bucket set; a plain equality join would silently drop
+    // those rows instead. Stats columns are renamed so the join condition
+    // is unambiguous, then dropped.
+    val statsR = broadcast(strataNames.zipWithIndex.foldLeft(stats) {
+      case (d, (c, i)) => d.withColumnRenamed(c, s"__s$i")
+    })
+    val cond = strataNames.zipWithIndex
+      .map { case (c, i) => ranked(c) <=> statsR(s"__s$i") }
+      .reduce(_ && _)
+    ranked.join(statsR, cond)
+      .drop(strataNames.indices.map(i => s"__s$i"): _*)
       .withColumn(out,
         when(r <= rem * (q + 1),
           expr(s"($rn - __first) div ((__n div $k) + 1) + 1"))

@@ -58,7 +58,14 @@ final class CdcPipeline(
     /** Config-format timestamp columns coerced after explosion
       * (reference :165-166; absent columns skipped). */
     tsCoerceCols: Seq[String] = Seq("gmt_created", "gmt_modified"),
-    tsCoerceFormat: String = "yyyy-MM-dd'T'HH:mm:ss'Z'") {
+    tsCoerceFormat: String = "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    /** Optional streaming QUALITY admission stage between compaction and
+      * the sink fanout ([[QualityAdmission]], an extension beyond the
+      * reference): (compacted batch, batchId) → admitted subset. The
+      * hook returns a PERSISTED, materialized frame; the pipeline
+      * unpersists it when the batch completes. Same plug-in shape as
+      * `dlq`/`payloadExplosion`. */
+    admission: Option[(DataFrame, Long) => DataFrame] = None) {
 
   private val pid = pipelineId.getOrElse(s"graft_${format.name}")
 
@@ -103,8 +110,14 @@ final class CdcPipeline(
         .withColumn("ts_date", to_date(from_unixtime(col("ts_ms") / 1000))),
       format.sinkTypes)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // admission (when configured) gates the compacted batch before any
+    // table sees it; the hook's output is persisted by contract, so the
+    // per-table slices scan the admitted cache, not the gate's joins
+    var gated: Option[DataFrame] = None
     try {
-      val tables = Compaction.targets(compacted, Seq("db_name", "tb_name"))
+      gated = admission.map(f => f(compacted, batchId))
+      val work0 = gated.getOrElse(compacted)
+      val tables = Compaction.targets(work0, Seq("db_name", "tb_name"))
         .collect()
         .map(r => (r.getString(0), r.getString(1)))
       val pool = Executors.newFixedThreadPool(math.max(1, math.min(tableParallelism, tables.length)))
@@ -112,7 +125,7 @@ final class CdcPipeline(
       try {
         val work = Future.traverse(tables.toSeq) { case (db, tb) =>
           Future {
-            val base = compacted
+            val base = work0
               .filter(col("db_name") === db && col("tb_name") === tb)
               .drop("db_name", "tb_name")
             val slice = payloadExplosion match {
@@ -129,8 +142,13 @@ final class CdcPipeline(
         }
         Await.result(work, Duration.Inf)
       } finally pool.shutdown()
-      CdcPipeline.BatchReport(batchId, compacted.count(), dlqRows, tables.length)
-    } finally compacted.unpersist()
+      val compactedRows = compacted.count()
+      CdcPipeline.BatchReport(batchId, compactedRows, dlqRows, tables.length,
+        admittedRows = gated.map(_.count()).getOrElse(-1L))
+    } finally {
+      gated.foreach(_.unpersist())
+      compacted.unpersist()
+    }
   }
 
   /** Attach to a streaming DataFrame of raw records.
@@ -154,9 +172,11 @@ final class CdcPipeline(
 object CdcPipeline {
 
   /** Per-batch outcome metrics (counts of -1 mean "not measured" —
-    * they'd cost an extra pass over unpersisted data). */
+    * they'd cost an extra pass over unpersisted data; `admittedRows`
+    * is real only when the admission stage is configured). */
   final case class BatchReport(batchId: Long, compactedRows: Long,
-                               dlqRows: Long, tables: Int)
+                               dlqRows: Long, tables: Int,
+                               admittedRows: Long = -1L)
 
   /** The Kafka reader option set per the reference
     * (src/glue_pg_redshift_cdc.py:223-230) with `maxOffsetsPerTrigger`

@@ -71,7 +71,12 @@ object RunPipeline {
       payloadExplosion =
         if (format.name == "dms") Some(new graft.pipeline.SchemaInference())
         else None,
-      tsCoerceFormat = cfg.cdc_timestamp_format)
+      tsCoerceFormat = cfg.cdc_timestamp_format,
+      // optional frozen-table quality admission between compaction and
+      // the sink fanout (config-driven; frozen tables load once here)
+      admission = cfg.admission_conf.map(a =>
+        graft.pipeline.QualityAdmission.fromConfig(spark, a,
+          format.deleteMarker)))
     val stream = CdcPipeline.kafkaSource(spark, cfg)
     val query = pipeline.start(stream,
       cfg.spark_batch_conf.checkpointLocation,

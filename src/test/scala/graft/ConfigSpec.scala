@@ -30,6 +30,28 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.record_id_key == "order_id")
     assert(!c.apply_delete)
     assert(c.cdc_timestamp_format == "yyyy-MM-dd'T'HH:mm:ss'Z'") // default
+    assert(c.admission_conf.isEmpty) // extension key absent = stage off
+  }
+
+  test("admission_conf parses with defaults and optional frozen tables") {
+    val withAdm = json.replace(""""apply_delete": false""",
+      """"apply_delete": false,
+        "admission_conf": {
+          "text_expr": "get_json_object(payload, '$.text')",
+          "weights_path": "s3://frozen/weights",
+          "min_words": 20, "repetition": true,
+          "lm_path": "s3://frozen/lm", "max_mean_surprisal_x10k": 120000,
+          "rejected_dir": "s3://audit/rejected"
+        }""")
+    val a = JobConfig.fromJson(withAdm).admission_conf.get
+    assert(a.text_expr.contains("$.text"))
+    assert(a.weights_path == "s3://frozen/weights")
+    assert(a.n_buckets == 1024 && a.thr_milli == 0L) // defaults
+    assert(a.min_words == 20 && a.repetition)
+    assert(a.dsir_lambda_path.isEmpty, "unconfigured gate stays off")
+    assert(a.lm_path.contains("s3://frozen/lm"))
+    assert(a.max_mean_surprisal_x10k.contains(120000L))
+    assert(a.rejected_dir.contains("s3://audit/rejected"))
   }
 
   test("kafka reader options mirror the reference set, maxOffsetsPerTrigger wired") {

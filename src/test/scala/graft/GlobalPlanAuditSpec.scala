@@ -2,20 +2,45 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.catalyst.expressions.NTile
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{CollectLimitExec, InputAdapter,
+  LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+  ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
 /** Whole-surface physical-plan audit: every declared query — current and
-  * FUTURE — is swept for the two unconditional scale-killers, so a new
+  * FUTURE — is swept for the unconditional scale-killers, so a new
   * query can't ship one unnoticed (the per-query guards in [[PlanSpec]]
   * pin richer, query-specific properties):
   *
-  *  - `CartesianProduct`: never acceptable on unbounded relations, and
-  *    the bounded cross-joins this library uses (single-row stats
+  *  - `CartesianProductExec`: never acceptable on unbounded relations,
+  *    and the bounded cross-joins this library uses (single-row stats
   *    frames) plan as broadcast joins, so the operator's appearance at
   *    all is a bug;
-  *  - `Exchange SinglePartition`: acceptable ONLY when its child
-  *    produces boundedly many rows — a partial aggregate (one
+  *  - a `ShuffleExchangeExec` to `SinglePartition`: acceptable ONLY when
+  *    its child produces boundedly many rows — a partial aggregate (one
   *    accumulator row per upstream partition), a TakeOrdered/limit
   *    (≤ k rows) — because everything below one of those funnels the
-  *    full relation through a single task.
+  *    full relation through a single task;
+  *  - an `ntile` window ([[NTile]] inside a [[WindowExec]]): ntile gets
+  *    NO `WindowGroupLimit` prune (every row survives to the sort,
+  *    unlike rank-1 filters), so each partition of the window — or the
+  *    whole relation, when the partition spec is empty — is one
+  *    unbounded per-task sort. The r8 round shipped exactly this shape
+  *    (perplexity terciles partitioned by a 3-value stratum column);
+  *    the scale-safe replacement is `Prefix.stratifiedNtile`, so an
+  *    ntile surviving to a physical plan fails the audit unless its
+  *    partition key is on the explicit scaling-cardinality allowlist.
+  *
+  * The audit WALKS the executed-plan tree (descending into AQE wrappers
+  * and subquery plans) rather than matching printed lines — the r9 form
+  * assumed "the next printed line is the exchange's child", which
+  * breaks on reused-exchange and subquery print layouts.
   *
   * Building a plan does not run the query, but composite queries do
   * driver-side estimation (centroid seeding, BPE rounds, strata counts)
@@ -26,32 +51,71 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  // bounded-output producers: a SinglePartition exchange directly above
-  // one of these ships partition-count-many (or ≤ k) rows, never the
-  // relation
-  private val boundedChildren = Seq(
-    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
-    "TakeOrderedAndProject", "LocalLimit", "CollectLimit")
+  /** Strip codegen wrappers so the exchange-child check sees the real
+    * operator. */
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => unwrap(w.child)
+    case i: InputAdapter => unwrap(i.child)
+    case _ => p
+  }
 
-  test("all declared queries: no CartesianProduct; SinglePartition exchanges bounded") {
+  /** A SinglePartition exchange directly above one of these ships
+    * partition-count-many (or ≤ k) rows, never the relation. */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case _: HashAggregateExec | _: SortAggregateExec |
+         _: ObjectHashAggregateExec | _: TakeOrderedAndProjectExec |
+         _: LocalLimitExec | _: CollectLimitExec => true
+    case _ => false
+  }
+
+  /** ntile windows whose partition key PROVABLY scales with the
+    * relation (per-key row count stays bounded as data grows), so the
+    * per-partition sort is not a funnel. Any NEW ntile query must either
+    * use `Prefix.stratifiedNtile` or be added here with the same
+    * cardinality argument — the audit's job is to force that judgment
+    * to be made explicitly, never shipped by accident (the r8 weak was
+    * ntile over a 3-value stratum column).
+    */
+  private val ntileScalingPartitionKeys: Map[String, String] = Map(
+    "q_window_funcs" -> "user_id" // events per user bounded; users grow with SF
+  )
+
+  /** Pre-order walk of the physical tree, descending into AQE wrappers
+    * (leaf nodes holding the real plan) and subquery plans. */
+  private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+      case _ => p.children.foreach(walk(_)(f))
+    }
+    p.subqueries.foreach(walk(_)(f))
+  }
+
+  test("all declared queries: no CartesianProduct; SinglePartition exchanges bounded; no ntile windows") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for (q <- Queries.all) {
-      val plan =
-        try q.fn(spark, sf).queryExecution.executedPlan.toString
-        catch { case e: Exception =>
-          offenders += s"${q.name}: plan build failed: ${e.getMessage}"; "" }
-      if (plan.contains("CartesianProduct"))
-        offenders += s"${q.name}: CartesianProduct in plan"
-      val lines = plan.linesIterator.toVector
-      lines.zipWithIndex.foreach { case (l, i) =>
-        if (l.contains("Exchange SinglePartition")) {
-          // Exchange is unary: in tree print the next line is its child
-          val child = lines.lift(i + 1).getOrElse("")
-          if (!boundedChildren.exists(child.contains))
-            offenders += s"${q.name}: SinglePartition exchange over " +
-              s"unbounded child: ${child.trim.take(90)}"
+      try {
+        val plan = q.fn(spark, sf).queryExecution.executedPlan
+        walk(plan) {
+          case _: CartesianProductExec =>
+            offenders += s"${q.name}: CartesianProduct in plan"
+          case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+            val child = unwrap(e.child)
+            if (!bounded(child))
+              offenders += s"${q.name}: SinglePartition exchange over " +
+                s"unbounded child: ${child.nodeName}"
+          case w: WindowExec
+              if w.windowExpression.exists(
+                _.collectFirst { case _: NTile => () }.nonEmpty) &&
+                !ntileScalingPartitionKeys.get(q.name).exists(k =>
+                  w.partitionSpec.exists(_.references.exists(_.name == k))) =>
+            offenders += s"${q.name}: un-prunable ntile window " +
+              s"(partitionSpec=${w.partitionSpec.mkString(",").take(60)}) — " +
+              "use Prefix.stratifiedNtile or allowlist a scaling partition key"
+          case _ => ()
         }
-      }
+      } catch { case e: Exception =>
+        offenders += s"${q.name}: plan build failed: ${e.getMessage}" }
     }
     assert(offenders.isEmpty,
       s"${offenders.size} scale-killer plan shapes:\n${offenders.mkString("\n")}")

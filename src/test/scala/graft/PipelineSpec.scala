@@ -252,6 +252,77 @@ class PipelineSpec extends AnyFunSuite {
       .select("pk").as[String].collect().toSet == Set("1", "2", "3"))
   }
 
+  test("quality admission stage e2e: envelope stream → compact → admit → merge, checkpoint restart") {
+    import spark.implicits._
+    // documents carry a text field in the row payload; admission scores
+    // get_json_object(payload, '$.text') against the frozen gates
+    def docEvent(table: String, id: Int, ts: Long, op: String, text: String): String = {
+      val row = s"""{\\"id\\": $id, \\"text\\": \\"$text\\"}"""
+      val after = if (op == "d") "null" else s""""$row""""
+      val before = if (op == "d") s""""$row"""" else "null"
+      s"""{"before":$before,"after":$after,
+         |"source":{"ts_ms":$ts,"db":"shop","table":"$table"},
+         |"op":"$op","ts_ms":$ts}""".stripMargin.replace("\n", "")
+    }
+    val goodText = "the quick brown fox jumps over that lazy dog of mine"
+    val src = Files.createTempDirectory("graft_adm_src").toString
+    val ckpt = Files.createTempDirectory("graft_adm_ckpt").toString
+    val rejectDir = Files.createTempDirectory("graft_adm_rej").toString
+    val weightsDir = Files.createTempDirectory("graft_adm_w").toString + "/weights"
+    // frozen weight table: all-zero weights + thr 0 → quality gate passes
+    // everything; the Gopher shape gate (min_words=5) does the turning away
+    Seq((0L, 0L)).toDF("bucket", "w").write.parquet(weightsDir)
+    val cfg = graft.config.AdmissionConf(
+      text_expr = "get_json_object(payload, '$.text')",
+      weights_path = weightsDir,
+      min_words = 5,
+      rejected_dir = Some(rejectDir))
+    val url = "jdbc:derby:memory:admitpipe;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new graft.sink.JdbcMergeSink(url, props, graft.sink.AnsiDialect)
+    def newPipeline() = new CdcPipeline(PgCdc, sink, tiebreaker = None,
+      pipelineId = Some("adm"),
+      admission = Some(graft.pipeline.QualityAdmission.fromConfig(
+        spark, cfg, PgCdc.deleteMarker)))
+
+    // batch 1: doc 1 passes the gates; doc 2 is too short (turned away);
+    // a non-document table row (no text field → NULL) passes through
+    Files.writeString(java.nio.file.Paths.get(s"$src/b1.json"),
+      Seq(docEvent("docs", 1, 100L, "c", goodText),
+          docEvent("docs", 2, 101L, "c", "ok go"),
+          pgEvent("items", 7, 102L, "c", "hammer")).mkString("\n"))
+    val q1 = newPipeline().start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    q1.processAllAvailable(); q1.stop()
+
+    val docs1 = spark.read.jdbc(url, "shop_docs", props)
+      .select("pk").as[String].collect().toSet
+    assert(docs1 == Set("1"), s"low-quality doc must be turned away, got $docs1")
+    assert(spark.read.jdbc(url, "shop_items", props).count() == 1,
+      "NULL-text rows bypass the gates")
+    val rejected1 = spark.read.parquet(s"$rejectDir/batch=0")
+      .select("pk").as[String].collect().toSet
+    assert(rejected1 == Set("2"), s"audit trail records the turn-away: $rejected1")
+
+    // batch 2 lands while the query is DOWN; restart from the same
+    // checkpoint: the DELETE of doc 1 must pass the gates (deletes are
+    // never scored) and doc 3 is admitted
+    Files.writeString(java.nio.file.Paths.get(s"$src/b2.json"),
+      Seq(docEvent("docs", 1, 200L, "d", goodText),
+          docEvent("docs", 3, 201L, "c", goodText)).mkString("\n"))
+    val q2 = newPipeline().start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    q2.processAllAvailable(); q2.stop()
+
+    val docs2 = spark.read.jdbc(url, "shop_docs", props)
+      .select("pk").as[String].collect().toSet
+    assert(docs2 == Set("3"), s"delete passed + new doc admitted, got $docs2")
+    // ledger: no double-apply across the restart — one row per
+    // (batch, target); batch 0 legitimately touched two tables
+    val ledger = spark.read.jdbc(url, "graft_applied_batches", props)
+      .select("batch_id", "target").as[(Long, String)].collect().toSeq.sorted
+    assert(ledger == ledger.distinct, s"double-applied (batch, target): $ledger")
+  }
+
   test("replaying a batch through processBatch converges (idempotent merge)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_sink2").toString

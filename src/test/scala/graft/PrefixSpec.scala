@@ -67,9 +67,14 @@ class PrefixSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
     // skewed strata (one huge, several tiny — including sizes < k so the
-    // n<k branch exercises) plus duplicate order keys to hit ties
+    // n<k branch exercises) plus duplicate order keys to hit ties, plus a
+    // NULL stratum: window partitionBy buckets the NULL partition, so the
+    // helper's join must be null-safe or those rows silently vanish
     val rows = (0 until 3000).map { i =>
-      val stratum = if (rnd.nextInt(10) < 6) "big" else s"s${rnd.nextInt(7)}"
+      val stratum =
+        if (rnd.nextInt(20) == 0) null
+        else if (rnd.nextInt(10) < 6) "big"
+        else s"s${rnd.nextInt(7)}"
       (i.toLong, stratum, rnd.nextInt(40))
     } ++ Seq((9001L, "lone", 1), (9002L, "pair", 1), (9003L, "pair", 2))
     val df = rows.toDF("id", "src", "v").repartition(16)
