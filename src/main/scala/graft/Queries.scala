@@ -41,7 +41,8 @@ object Queries
     qCorpusCuration,
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
-    qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage, qDedupSimhash,
+    qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
+    qDedupSubstrCoverageUtf8, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
     qDecontamEmbedding,

@@ -104,7 +104,9 @@ private[graft] trait QueriesComposites { this: Queries.type =>
     * per-source counts, exactly as the operator does on its input.
     * The coverage block inherits `dedup_substr_coverage`'s oracle-unit
     * caveat: char-replayed windows == the operator's byte scan on the
-    * ASCII fixture; non-ASCII byte semantics are spec-pinned.
+    * ASCII fixture; non-ASCII byte semantics are oracle-replayed
+    * byte-for-byte by `dedup_substr_coverage_utf8` (hex-view windows)
+    * and spec-pinned by the CJK battery.
     */
   val qCorpusPrepV2 = Q("q_corpus_prep_v2",
     (s, dir) => {

@@ -347,8 +347,9 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     * replay is not expressible), which equals the operator's byte scan
     * exactly on the ASCII fixture corpus the gate runs against. The
     * byte semantics on non-ASCII text — where char and byte replays
-    * diverge — are pinned by `ExtOpsSpec`'s CJK coverage battery
-    * against hand-computed byte counts, not by this oracle. */
+    * diverge — are pinned by `ExtOpsSpec`'s CJK coverage battery AND
+    * oracle-replayed byte-for-byte by [[qDedupSubstrCoverageUtf8]]
+    * (hex-view byte windows over an injected two-byte-char fixture). */
   val qDedupSubstrCoverage = Q("dedup_substr_coverage",
     (s, dir) => Dedup.substringDupCoverage(t(s, dir, "documents"),
       "doc_id", "text", winBytes = 40, anchorMod = 8, dropAtBp = 5000),
@@ -400,6 +401,77 @@ private[graft] trait QueriesDedup { this: Queries.type =>
           THEN (coalesce(c.covered_bytes, 0) * 10000) // b.n_bytes
           ELSE 0 END) >= 5000 AS "drop"
       FROM base b LEFT JOIN cov c USING (doc_id)"""))
+
+  /** [[qDedupSubstrCoverage]] on a NON-ASCII projection of the corpus —
+    * the r9 verdict's "char-replayed windows == byte scan only on the
+    * ASCII fixture" caveat turned into a checked row. The fixture
+    * injects two-byte characters deterministically (a→ä, o→ø — char and
+    * byte offsets diverge on essentially every document), and the
+    * oracle replays the operator's BYTE scan exactly: `hex(encode(t))`
+    * is a char-indexable view of the UTF-8 bytes (2 hex chars per
+    * byte), so byte values (the anchor rule at offsets p, p+3, p+7),
+    * 40-byte windows (80 hex chars), and 1-based byte positions are
+    * all expressible without BLOB indexing (which DuckDB v1.0 lacks).
+    * The window identity is md5 of the HEX slice — the grouping only
+    * needs a collision-free identity; the operator's raw-byte md5
+    * never reaches the output. Byte-window starts that fall mid-
+    * codepoint are exercised by construction (the anchor scan is
+    * codepoint-blind on both sides).
+    */
+  val qDedupSubstrCoverageUtf8 = Q("dedup_substr_coverage_utf8",
+    (s, dir) => Dedup.substringDupCoverage(
+      t(s, dir, "documents").select(col("doc_id"),
+        expr("replace(replace(text, 'a', 'ä'), 'o', 'ø')").as("text")),
+      "doc_id", "text", winBytes = 40, anchorMod = 8, dropAtBp = 5000),
+    Some("""WITH d AS (
+        SELECT doc_id,
+          trim(regexp_replace(lower(replace(replace(text, 'a', 'ä'), 'o', 'ø')),
+               '\s+', ' ', 'g')) AS t
+        FROM documents),
+      hexed AS (
+        SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS n
+        FROM d),
+      sized AS (SELECT * FROM hexed WHERE n >= 40),
+      pos AS (
+        SELECT doc_id, h, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized),
+      anch AS (
+        SELECT doc_id, h, p FROM pos
+        WHERE (('0x' || substr(h, 2*p - 1, 2))::INT * 4
+             + ('0x' || substr(h, 2*p + 5, 2))::INT * 2
+             + ('0x' || substr(h, 2*p + 13, 2))::INT) % 8 = 0),
+      wins AS (SELECT doc_id, p, md5(substr(h, 2*p - 1, 80)) AS fp FROM anch),
+      occ AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS n_occ
+        FROM wins),
+      dup AS (SELECT doc_id, p FROM occ WHERE n_occ >= 2),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e, count(*) AS n_win
+        FROM isl GROUP BY 1, 2),
+      cov AS (
+        SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_bytes,
+               CAST(sum(n_win) AS BIGINT) AS n_dup_windows
+        FROM spans GROUP BY 1)
+      SELECT x.doc_id AS id, CAST(x.n AS BIGINT) AS n_bytes,
+        coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+        coalesce(c.covered_bytes, 0) AS covered_bytes,
+        CASE WHEN x.n > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // x.n
+          ELSE 0 END AS cov_bp,
+        (CASE WHEN x.n > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // x.n
+          ELSE 0 END) >= 5000 AS "drop"
+      FROM hexed x LEFT JOIN cov c USING (doc_id)"""))
 
   /** Clusters → survivor per cluster: the decision step of the dedup
     * pipeline. Score = token count; argmax with min-id tie-break, as a
