@@ -42,7 +42,7 @@ object Queries
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
-    qDedupSubstrCoverageUtf8, qDedupSimhash,
+    qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
     qDecontamEmbedding,

@@ -96,11 +96,14 @@ object IncrementalQuality {
       lambda, dsirThrX10k, minWords, stopwords, repetition,
       repTopBpMax, repDupBpMax, lm, maxMeanSurprisalX10k, unseenNat10k)
     val n = g.pre.count()
-    val nAdmitted = g.admitted.count()
     // per-batch directory + Overwrite = replay-idempotent without state
     g.admitted.write.mode(SaveMode.Overwrite)
       .parquet(s"$corpusDir/batch=$batchId")
     g.release()
+    // count the survivors from the written files' parquet footers —
+    // metadata-only, instead of re-running the admission join
+    val nAdmitted = batch.sparkSession.read
+      .parquet(s"$corpusDir/batch=$batchId").count()
     (nAdmitted, n - nAdmitted)
   }
 
@@ -146,12 +149,28 @@ object IncrementalQuality {
     val gKeep = Corpus.gopherRulesOn(canon, minWords = minWords,
         maxWords = 100000, stopwords = stopwords)
       .filter(col("keep")).select(col("id"))
-    // quality and DSIR score the SAME hashed-feature relation: cache it
-    // only when both read it
-    val feats0 = Corpus.hashedFeaturesOn(canon, nBuckets)
-    val feats = if (lambda.isDefined) Materialize.multiScan(feats0) else feats0
-    val qKeep = Corpus.qualityScoreFeats(feats, weights, thrMilli)
-      .filter(col("keep")).select(col("id"))
+    // quality and DSIR read ONE hashed-feature stream and collapse in
+    // ONE aggregation: both frozen tables are bucket-keyed broadcasts,
+    // so the per-feature weight and λ ride the same exploded row and
+    // the per-doc sums share a single shuffle — the same integer sums
+    // the separate scorers produce, so the verdicts are identical
+    val feats = Corpus.hashedFeaturesOn(canon, nBuckets)
+    val qKeep = lambda match {
+      case None =>
+        Corpus.qualityScoreFeats(feats, weights, thrMilli)
+          .filter(col("keep")).select(col("id"))
+      case Some(lam) =>
+        feats.join(broadcast(weights), Seq("bucket"), "left")
+          .withColumn("w", coalesce(col("w"), lit(0L)))
+          // λ covers every bucket (inner join always hits)
+          .join(broadcast(lam), Seq("bucket"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_features"), sum(col("w")).as("logit"),
+            sum(col("lam")).as("dsir_x10k"))
+          .filter(col("logit") * 1000 >= lit(thrMilli) * col("n_features") &&
+            col("dsir_x10k") >= dsirThrX10k)
+          .select(col("id"))
+    }
     val keepGq = gKeep.join(qKeep, Seq("id"))
     val keep0 =
       if (!repetition) keepGq
@@ -161,14 +180,8 @@ object IncrementalQuality {
             topBpMax = repTopBpMax, dupBpMax = repDupBpMax)
           .filter(col("keep")).select(col("id")),
         Seq("id"))
-    val keep1 = lambda.fold(keep0) { lam =>
+    val keepIds = lm.fold(keep0) { table =>
       keep0.join(
-        Corpus.scoreAgainstLambda(feats, lam)
-          .filter(col("dsir_x10k") >= dsirThrX10k).select(col("id")),
-        Seq("id"))
-    }
-    val keepIds = lm.fold(keep1) { table =>
-      keep1.join(
         Corpus.surprisalAgainstOn(canon, table, unseenNat10k)
           .filter(col("mean_surprisal_x10k") <= maxMeanSurprisalX10k)
           .select(col("id")),
@@ -176,7 +189,6 @@ object IncrementalQuality {
     }
     val admitted = pre.join(keepIds, pre(idCol) === keepIds("id"), "left_semi")
       .drop("__iq_t", "__iq_ts")
-    Gate(pre, admitted,
-      (if (lambda.isDefined) Seq(feats) else Nil) :+ pre)
+    Gate(pre, admitted, Seq(pre))
   }
 }

@@ -473,6 +473,46 @@ private[graft] trait QueriesDedup { this: Queries.type =>
           ELSE 0 END) >= 5000 AS "drop"
       FROM hexed x LEFT JOIN cov c USING (doc_id)"""))
 
+  /** EXACT duplicated-span extraction ([[Dedup.exactDupSpans]] — the
+    * recall=1, anchorMod=1 complement of the anchor-window
+    * approximation; Lee et al. 2022's ExactSubstr output shape): one
+    * row per maximal region covered by ≥40-byte substrings repeating
+    * anywhere in the corpus. The oracle enumerates EVERY window
+    * position (no anchor filter) and replays the island pass — so the
+    * recall=1 claim itself is what the hash pins: a missed or split
+    * span changes the row set.
+    */
+  val qDedupSubstrExact = Q("dedup_substr_exact",
+    (s, dir) => Dedup.exactDupSpans(t(s, dir, "documents"),
+      "doc_id", "text", minLen = 40),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (
+        SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 40),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM pos),
+      occ AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS n_occ
+        FROM wins),
+      dup AS (SELECT doc_id, p FROM occ WHERE n_occ >= 2),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked)
+      SELECT doc_id AS id, CAST(min(p) AS BIGINT) AS s,
+        CAST(max(p) + 40 AS BIGINT) AS e,
+        CAST(max(p) + 40 - min(p) AS BIGINT) AS span_bytes
+      FROM isl GROUP BY doc_id, isl_id"""))
+
   /** Clusters → survivor per cluster: the decision step of the dedup
     * pipeline. Score = token count; argmax with min-id tie-break, as a
     * map-side-collapsible aggregate (no per-cluster window).

@@ -55,6 +55,96 @@ object ScaleBench {
       pmod(col("id"), lit(3)).cast("string").as("g"),
       pmod(col("id") * 2654435761L, lit(100000)).as("v"))
 
+  /** The FLAGSHIP six-stage prep composite (q_corpus_prep_v2's exact
+    * chain over a synthetic corpus): coverage gate + quality gate →
+    * fraction decontam → exact-dedup survivors → temperature rebalance
+    * → budgets in learned BPE tokens. The two Materialize.multiScan
+    * reuse points ride along, so this is the memory-pressure data
+    * point for the caching choices. Shared by the scaling-curve runs
+    * here and [[Sf1EqBench]]'s committed sf1-equivalent artifact.
+    */
+  def prepCompositeOp(spark: SparkSession, docsDf: DataFrame): DataFrame = {
+    val d = docsDf.withColumn("source",
+      pmod(hash(col("doc_id")), lit(5)).cast("string"))
+    val covKeep = graft.ext.Dedup.substringDupCoverage(d, "doc_id",
+        "text", winBytes = 40, anchorMod = 8, dropAtBp = 5000)
+      .filter(!col("drop")).select(col("id").as("doc_id"))
+    val wTable = spark.range(1024).select(col("id").as("bucket"),
+      (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+        lit(21L)) - 10).as("w"))
+    val qualKeep = graft.ext.Corpus.qualityScore(d, "doc_id", "text",
+        wTable, nBuckets = 1024, thrMilli = -2000L)
+      .filter(col("keep")).select(col("id").as("doc_id"))
+    val afterCov = graft.ext.Materialize.multiScan(
+      d.join(covKeep, Seq("doc_id")).join(qualKeep, Seq("doc_id")))
+    val deconKeep = graft.ext.Corpus.decontaminateFraction(
+        afterCov.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, dropAtBp = 2500)
+      .filter(!col("drop")).select(col("id").as("doc_id"))
+    val afterDecon = afterCov.join(deconKeep, Seq("doc_id"))
+    val surv = graft.ext.Materialize.multiScan(afterDecon
+      .withColumn("fp", graft.ext.TextOps.fingerprint(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id")))
+    val sampled = graft.ext.Corpus.temperatureSample(surv, "source",
+      Seq("doc_id"), alpha = 0.5)
+    val merges = graft.ext.Bpe.learn(d, "text", nMerges = 8)
+    sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.ext.Bpe.encode(col("text"), merges)))
+          .cast("long").as("bpe_tokens"))
+  }
+
+  /** The r9 curation ladder (q_corpus_prep_v3's exact chain): Gopher
+    * battery (shape + repetition) → per-source surprisal terciles
+    * (distributed rank) → DSIR Gumbel-top-k on the survivor pool →
+    * temperature rebalance → BPE-budgeted packing. Stopword rule
+    * parameterized to the synthetic vocabulary (w0..w99 as the
+    * "stopword" set — the real list can't occur in hash-random text);
+    * `kSel` scales with the corpus so the selection stays binding at
+    * every scale point. The repetition rung rides along at published
+    * dials (hash-random text never trips them — the COST of the
+    * battery is what this curve adds; the binding cut is pinned by the
+    * sf0.01 oracle).
+    */
+  def prepCompositeV3Op(spark: SparkSession, docsDf: DataFrame,
+                        kSel: Int): DataFrame = {
+    val d = docsDf.withColumn("source",
+      pmod(hash(col("doc_id")), lit(5)).cast("string"))
+    val gKeep = graft.ext.Corpus.gopherRules(d, "doc_id", "text",
+        stopwords = (0 until 100).map("w" + _))
+      .filter(col("keep")).select(col("id").as("doc_id"))
+      .join(graft.ext.Corpus.repetitionSignals(d, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id")),
+        Seq("doc_id"))
+    val surp = graft.ext.Corpus.unigramSurprisal(d, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
+    val ranked = graft.ext.Prefix.stratifiedNtile(
+      surp.join(gKeep, Seq("doc_id"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
+      Seq(col("source")),
+      Seq(col("mean_surprisal_x10k"), col("doc_id")), 3, "bucket")
+    val pKeep = ranked.filter(col("bucket") <= 2).select("doc_id")
+    val sel = graft.ext.Corpus.dsirResample(
+        d.join(pKeep, Seq("doc_id")).filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = kSel, nBuckets = 1024)
+      .select(col("id").as("doc_id"))
+    val selSrc = graft.ext.Materialize.multiScan(
+      sel.join(d.select(col("doc_id"), col("source"), col("text")),
+        Seq("doc_id")))
+    val sampled = graft.ext.Corpus.temperatureSample(selSrc, "source",
+      Seq("doc_id"), alpha = 0.5)
+    val merges = graft.ext.Bpe.learn(d, "text", nMerges = 8)
+    graft.ext.Corpus.pack(sampled, "doc_id", "text", budget = 2000,
+        tokenCounter = c => size(graft.ext.Bpe.encode(c, merges)))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"))
+  }
+
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft-scale")
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -199,39 +289,7 @@ object ScaleBench {
       // rebalance -> budgets in learned BPE tokens. The two
       // Materialize.multiScan reuse points ride along, so this is the
       // memory-pressure data point for the caching choices.
-      "prepComposite" -> { s =>
-        val d = docs(s).withColumn("source",
-          pmod(hash(col("doc_id")), lit(5)).cast("string"))
-        val covKeep = graft.ext.Dedup.substringDupCoverage(d, "doc_id",
-            "text", winBytes = 40, anchorMod = 8, dropAtBp = 5000)
-          .filter(!col("drop")).select(col("id").as("doc_id"))
-        val wTable = spark.range(1024).select(col("id").as("bucket"),
-          (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
-            lit(21L)) - 10).as("w"))
-        val qualKeep = graft.ext.Corpus.qualityScore(d, "doc_id", "text",
-            wTable, nBuckets = 1024, thrMilli = -2000L)
-          .filter(col("keep")).select(col("id").as("doc_id"))
-        val afterCov = graft.ext.Materialize.multiScan(
-          d.join(covKeep, Seq("doc_id")).join(qualKeep, Seq("doc_id")))
-        val deconKeep = graft.ext.Corpus.decontaminateFraction(
-            afterCov.filter(col("doc_id") % 97 =!= 0),
-            d.filter(col("doc_id") % 97 === 0),
-            "doc_id", "text", n = 3, dropAtBp = 2500)
-          .filter(!col("drop")).select(col("id").as("doc_id"))
-        val afterDecon = afterCov.join(deconKeep, Seq("doc_id"))
-        val surv = graft.ext.Materialize.multiScan(afterDecon
-          .withColumn("fp", graft.ext.TextOps.fingerprint(col("text")))
-          .withColumn("keep_id", min(col("doc_id")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-          .filter(col("doc_id") === col("keep_id")))
-        val sampled = graft.ext.Corpus.temperatureSample(surv, "source",
-          Seq("doc_id"), alpha = 0.5)
-        val merges = graft.ext.Bpe.learn(d, "text", nMerges = 8)
-        sampled.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(size(graft.ext.Bpe.encode(col("text"), merges)))
-              .cast("long").as("bpe_tokens"))
-      },
+      "prepComposite" -> (s => prepCompositeOp(spark, docs(s))),
       // the r9 curation ladder (q_corpus_prep_v3's exact chain): Gopher
       // battery -> per-source surprisal terciles (distributed rank) ->
       // DSIR Gumbel-top-k on the survivor pool -> temperature rebalance
@@ -239,44 +297,8 @@ object ScaleBench {
       // synthetic vocabulary (w0..w99 as the "stopword" set — the real
       // list can't occur in hash-random text); top-k scales with n so
       // the selection stays binding at every scale point
-      "prepCompositeV3" -> { s =>
-        val d = docs(s).withColumn("source",
-          pmod(hash(col("doc_id")), lit(5)).cast("string"))
-        val gKeep = graft.ext.Corpus.gopherRules(d, "doc_id", "text",
-            stopwords = (0 until 100).map("w" + _))
-          .filter(col("keep")).select(col("id").as("doc_id"))
-          // r9: the ladder's repetition rung rides along at published
-          // dials (hash-random text never trips them — the COST of the
-          // battery is what this curve adds, the binding cut is pinned
-          // by the sf0.01 oracle)
-          .join(graft.ext.Corpus.repetitionSignals(d, "doc_id", "text")
-            .filter(col("keep")).select(col("id").as("doc_id")),
-            Seq("doc_id"))
-        val surp = graft.ext.Corpus.unigramSurprisal(d, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
-        val ranked = graft.ext.Prefix.stratifiedNtile(
-          surp.join(gKeep, Seq("doc_id"))
-            .join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
-          Seq(col("source")),
-          Seq(col("mean_surprisal_x10k"), col("doc_id")), 3, "bucket")
-        val pKeep = ranked.filter(col("bucket") <= 2).select("doc_id")
-        val sel = graft.ext.Corpus.dsirResample(
-            d.join(pKeep, Seq("doc_id")).filter(col("doc_id") % 97 =!= 0),
-            d.filter(col("doc_id") % 97 === 0),
-            "doc_id", "text", k = 600 * s, nBuckets = 1024)
-          .select(col("id").as("doc_id"))
-        val selSrc = graft.ext.Materialize.multiScan(
-          sel.join(d.select(col("doc_id"), col("source"), col("text")),
-            Seq("doc_id")))
-        val sampled = graft.ext.Corpus.temperatureSample(selSrc, "source",
-          Seq("doc_id"), alpha = 0.5)
-        val merges = graft.ext.Bpe.learn(d, "text", nMerges = 8)
-        graft.ext.Corpus.pack(sampled, "doc_id", "text", budget = 2000,
-            tokenCounter = c => size(graft.ext.Bpe.encode(c, merges)))
-          .groupBy(col("pack_id"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).cast("long").as("pack_tokens"))
-      })
+      "prepCompositeV3" -> (s => prepCompositeV3Op(spark, docs(s),
+        kSel = 600 * s)))
 
     // SCALE_OPS=a,b,c restricts to named operators (local iteration on
     // one curve without re-timing the whole family)

@@ -1099,6 +1099,44 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out(4L)._4 > 0L && out(4L)._4 < out(4L)._2, s"partial dup: ${out(4L)}")
   }
 
+  test("exactDupSpans: planted spans recovered exactly (recall 1, byte-precise bounds)") {
+    import spark.implicits._
+    // pre-normalized docs (lowercase, single-spaced) so byte offsets are
+    // knowable; filler tokens carry a doc-unique prefix so NO window
+    // repeats except inside the planted span; the chars flanking the
+    // span DIFFER between the two docs, so the recovered island must be
+    // exactly [a, a+len) — one byte of slop either way fails
+    def filler(doc: Int, n: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < n) { sb.append(s"d${doc}w$i "); i += 1 }
+      sb.toString.substring(0, n)
+    }
+    val span = (0 until 6).map(i => s"sharedspanword$i").mkString(" ")
+    assert(span.length == 95)
+    // every filler stream gets its own doc index — reusing one would
+    // plant a SELF-duplicated region
+    val pre1 = filler(11, 100); val pre2 = filler(21, 150)
+    val doc1 = pre1 + "1" + span + "2" + filler(12, 80)
+    val doc2 = pre2 + "3" + span + "4" + filler(22, 60)
+    val doc3 = filler(33, 300) // nothing shared
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val spans = Dedup.exactDupSpans(df, "doc_id", "text", minLen = 40)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val a1 = pre1.length + 2 // 1-based start of span in doc1 (after the '1')
+    val a2 = pre2.length + 2
+    assert(spans == Set(
+      (1L, a1, a1 + span.length, span.length),
+      (2L, a2, a2 + span.length, span.length)),
+      s"expected exact planted spans, got $spans")
+    // consistency: interval mass == substringDupCoverage at anchorMod=1
+    val cov = Dedup.substringDupCoverage(df, "doc_id", "text",
+        winBytes = 40, anchorMod = 1, dropAtBp = 5000)
+      .select("id", "covered_bytes").as[(Long, Long)].collect().toMap
+    assert(cov(1L) == span.length && cov(2L) == span.length && cov(3L) == 0L,
+      s"coverage must equal the exact span mass: $cov")
+  }
+
   test("cms: estimates always >= exact, equal when the grid is collision-free") {
     import spark.implicits._
     val items = Seq.tabulate(600)(i => s"tok${i % 30}").toDF("item")
