@@ -21,18 +21,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]), so
-    * the column arrives as nanos-since-epoch LongType; convert to a real
-    * timestamp with integer division (no double round-trip — 2^62 ns
-    * doesn't fit a double mantissa).
+  /** `events.ts` normalization — the fixture's encoding has varied
+    * across driver generations and none of the query code should care:
+    *  - TIMESTAMP(NANOS) parquet (early rounds): Spark's reader rejects
+    *    it outright; Sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]),
+    *    so the column arrives as nanos-since-epoch LongType — convert
+    *    with integer division (no double round-trip — 2^62 ns doesn't
+    *    fit a double mantissa);
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false (round-10
+    *    regeneration): Spark 4 infers TIMESTAMP_NTZ, which
+    *    `unix_millis`/`to_utc_timestamp` & friends reject. The stored
+    *    values are UTC wall times and the session timezone is pinned
+    *    UTC, so the cast to the instant type is an identity on the
+    *    stored micros (and matches DuckDB's naive `epoch_ms` read).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
