@@ -42,7 +42,8 @@ object Queries
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
-    qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSimhash,
+    qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrRewrite,
+    qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
     qDecontamEmbedding,

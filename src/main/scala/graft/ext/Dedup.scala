@@ -669,6 +669,88 @@ object Dedup {
         (col("e") - col("s")).as("span_bytes"))
   }
 
+  /** EXACT duplicated-span REWRITE — Lee et al. 2022's actual dedup
+    * ACTION (§4.2: remove all but one occurrence of each duplicated
+    * substring), byte-true: every document is reassembled from the
+    * bytes OUTSIDE its redundant duplicated spans, where a window
+    * occurrence is redundant iff its fingerprint repeats in the corpus
+    * AND it is not the fingerprint's canonical (lexicographic-min
+    * (id, p)) occurrence. Canonical-first retention makes the choice
+    * total-order deterministic in any engine and keeps exactly ONE copy
+    * of every duplicated region corpus-wide; an exact duplicate
+    * document degenerates to a full-span cut (empty rewrite) with the
+    * canonical copy untouched — whole-document dedup falls out as the
+    * boundary case.
+    *
+    * Shape: the [[exactDupSpans]] machinery (every-offset native byte
+    * scan, digest-only shuffles) with the canonical pick as a
+    * `min(struct(id, p))` AGGREGATE on the fp key — map-side
+    * collapsible, never a per-fp window sort — then the shared
+    * [[islandsOf]] interval union over the REDUNDANT windows only, a
+    * per-doc `lag` complement into kept segments, and an ordered
+    * BINARY stitch (sorted higher-order concat over byte slices — a
+    * cut boundary may split a multibyte char, so re-encoding through
+    * strings would corrupt the digest; bytes never do). Parallelism
+    * scales with document count throughout; nothing ever sorts
+    * globally.
+    *
+    * @return (id, n_bytes, n_spans_cut, cut_bytes, clean_bytes,
+    *         clean_fp) — clean_fp = md5 of the surviving bytes;
+    *         clean_bytes ≡ n_bytes − cut_bytes by construction
+    */
+  def exactSpanRewrite(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 40): DataFrame = {
+    val wins = Materialize.multiScan(
+      anchorWins(df, idCol, textCol, minLen, anchorMod = 1))
+    val canon = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("id"), col("p"))).as("canon"))
+      .filter(col("n_occ") >= 2)
+      .select(col("fp"), col("canon"))
+    val redundant = wins.join(canon, Seq("fp"))
+      .filter(struct(col("id"), col("p")) =!= col("canon"))
+      .select(col("id"), col("p"))
+    val spans = islandsOf(redundant, minLen)
+    val base = df.select(col(idCol).as("id"),
+      encode(TextOps.normalized(col(textCol)), "UTF-8").as("bin"))
+      .withColumn("n", length(col("bin")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"))
+    val headSegs = spans
+      .withColumn("seg_s", coalesce(lag(col("e"), 1).over(byDoc), lit(1)))
+      .select(col("id"), col("seg_s"), col("s").as("seg_e"))
+    val cuts = spans.groupBy(col("id"))
+      .agg(max(col("e")).as("last_e"), count(lit(1)).as("n_spans_cut"),
+        sum(col("e") - col("s")).as("cut_bytes"))
+    val tailSegs = cuts.join(base.select(col("id"), col("n")), Seq("id"))
+      .select(col("id"), col("last_e").as("seg_s"), (col("n") + 1).as("seg_e"))
+    val stitched = headSegs.unionByName(tailSegs)
+      .filter(col("seg_e") > col("seg_s"))
+      .join(base, Seq("id"))
+      .select(col("id"), col("seg_s"),
+        expr("substring(bin, seg_s, seg_e - seg_s)").as("seg"))
+      .groupBy(col("id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("seg_s"), col("seg")))),
+          x => x.getField("seg")),
+        lit(Array.emptyByteArray),
+        (acc, s) => concat(acc, s)).as("clean_bin"))
+    base
+      .join(cuts, Seq("id"), "left")
+      .join(stitched, Seq("id"), "left")
+      .select(col("id"), col("n").cast("long").as("n_bytes"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("cut_bytes"), lit(0L)).cast("long").as("cut_bytes"),
+        // no cut spans -> the whole document survives; cut spans but no
+        // surviving segment -> the EMPTY rewrite (fully duplicated doc)
+        when(col("n_spans_cut").isNull, col("bin"))
+          .otherwise(coalesce(col("clean_bin"), lit(Array.emptyByteArray)))
+          .as("clean_bin"))
+      .select(col("id"), col("n_bytes"), col("n_spans_cut"), col("cut_bytes"),
+        length(col("clean_bin")).cast("long").as("clean_bytes"),
+        md5(col("clean_bin")).as("clean_fp"))
+  }
+
   /** Passage-dedup REWRITE: reassemble each document from its KEPT
     * passages (canonical-first retention, deterministic chunk order) —
     * the cleaned corpus a training run would actually read, fingerprinted

@@ -513,6 +513,80 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         CAST(max(p) + 40 - min(p) AS BIGINT) AS span_bytes
       FROM isl GROUP BY doc_id, isl_id"""))
 
+  /** EXACT duplicated-span REWRITE ([[Dedup.exactSpanRewrite]] — Lee
+    * et al. 2022's cut action: remove all but the canonical occurrence
+    * of every duplicated ≥40-byte region, canonical = lexicographic-min
+    * (doc, position)). The oracle enumerates EVERY window position,
+    * picks the same canonical via `row_number` (≡ the operator's
+    * min-struct aggregate under (doc_id, p) order), replays the island
+    * pass over the REDUNDANT occurrences, rebuilds each document's
+    * surviving text by stitching the complement segments in order, and
+    * hash-pins its md5 — so the rewrite is checked byte-for-byte
+    * (ASCII fixture: char positions ≡ byte positions; the byte-true
+    * machinery itself is pinned by `dedup_substr_coverage_utf8`).
+    * A fully duplicated document must rewrite to the EMPTY string
+    * (md5('')), not survive whole — the CASE distinguishes "no spans
+    * cut" from "no segment survived".
+    */
+  val qDedupSubstrRewrite = Q("dedup_substr_rewrite",
+    (s, dir) => Dedup.exactSpanRewrite(t(s, dir, "documents"),
+      "doc_id", "text", minLen = 40),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (SELECT doc_id, t, length(t) AS n FROM d),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized WHERE n >= 40),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM pos),
+      occ AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS n_occ,
+               row_number() OVER (PARTITION BY fp
+                 ORDER BY doc_id, p) AS rn
+        FROM wins),
+      dup AS (SELECT doc_id, p FROM occ WHERE n_occ >= 2 AND rn > 1),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e
+        FROM isl GROUP BY 1, 2),
+      head AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS seg_s,
+          s AS seg_e
+        FROM spans),
+      cuts AS (
+        SELECT doc_id, max(e) AS last_e, count(*) AS n_spans_cut,
+               CAST(sum(e - s) AS BIGINT) AS cut_bytes
+        FROM spans GROUP BY 1),
+      tail AS (
+        SELECT c.doc_id, c.last_e AS seg_s, z.n + 1 AS seg_e
+        FROM cuts c JOIN sized z USING (doc_id)),
+      segs AS (SELECT * FROM head UNION ALL SELECT * FROM tail),
+      clean AS (
+        SELECT g.doc_id,
+          string_agg(substr(z.t, g.seg_s, g.seg_e - g.seg_s), ''
+            ORDER BY g.seg_s) AS ct
+        FROM segs g JOIN sized z USING (doc_id)
+        WHERE g.seg_e > g.seg_s GROUP BY g.doc_id)
+      SELECT d.doc_id AS id, CAST(length(d.t) AS BIGINT) AS n_bytes,
+        coalesce(c.n_spans_cut, 0) AS n_spans_cut,
+        coalesce(c.cut_bytes, 0) AS cut_bytes,
+        CAST(length(CASE WHEN c.doc_id IS NOT NULL
+          THEN coalesce(cl.ct, '') ELSE d.t END) AS BIGINT) AS clean_bytes,
+        md5(CASE WHEN c.doc_id IS NOT NULL
+          THEN coalesce(cl.ct, '') ELSE d.t END) AS clean_fp
+      FROM d LEFT JOIN cuts c USING (doc_id)
+      LEFT JOIN clean cl ON cl.doc_id = d.doc_id"""))
+
   /** Clusters → survivor per cluster: the decision step of the dedup
     * pipeline. Score = token count; argmax with min-id tie-break, as a
     * map-side-collapsible aggregate (no per-cluster window).

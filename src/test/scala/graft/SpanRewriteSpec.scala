@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** [[Dedup.exactSpanRewrite]] — the cut semantics the oracle can't
+  * isolate: canonical doc untouched, the sharer loses EXACTLY the
+  * maximal common byte region (including its boundary spaces — they sit
+  * inside duplicated 40-byte windows too), an exact copy rewrites to
+  * the empty string, and the byte-accounting invariant holds row-by-row.
+  */
+class SpanRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // already normalized form (lowercase, single spaces) so the operator's
+  // normalization is the identity and expected cuts are byte-exact.
+  // Suffixes start with different letters (q/r) and prefixes END with
+  // different bytes (...a7a vs ...b7b), so the maximal common region
+  // between A and B is exactly ' ' + shared + ' ' (43 bytes >= the
+  // 40-byte window).
+  val shared = (0 until 13).map(i => s"s$i").mkString(" ") // 41 bytes
+  val prefA = (0 until 8).map(i => s"a${i}a").mkString(" ")
+  val sufA = (0 until 8).map(i => s"qa$i").mkString(" ")
+  val prefB = (0 until 8).map(i => s"b${i}b").mkString(" ")
+  val sufB = (0 until 8).map(i => s"rb$i").mkString(" ")
+  val docA = s"$prefA $shared $sufA"
+  val docB = s"$prefB $shared $sufB"
+
+  test("canonical untouched; sharer loses exactly the common region; copy empties") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docA))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSpanRewrite(docs, "doc_id", "text", minLen = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))))
+      .toMap
+    // A: every window's canonical occurrence is A's own
+    assert(out(1L) == ((docA.length.toLong, 0L, 0L, docA.length.toLong,
+      md5hex(docA))))
+    // B: the interval union of B's redundant windows is the maximal
+    // common region ' ' + shared + ' '; surviving text = prefB ++ sufB
+    // stitched DIRECTLY (both boundary spaces were duplicated bytes)
+    val commonLen = shared.length + 2
+    assert(out(2L)._2 == 1L, "one maximal span cut")
+    assert(out(2L)._3 == commonLen.toLong, "cut_bytes == |common region|")
+    assert(out(2L)._4 == (docB.length - commonLen).toLong)
+    assert(out(2L)._5 == md5hex(prefB + sufB))
+    // C: exact copy of A -> one maximal span covers the whole doc
+    assert(out(3L) == ((docA.length.toLong, 1L, docA.length.toLong, 0L,
+      md5hex(""))))
+  }
+
+  test("multibyte corpus: byte accounting exact, canonical untouched, copy empties") {
+    // 3-byte CJK chars: windows land mid-char, so the cut boundaries
+    // split multibyte sequences — the BINARY stitch must keep byte
+    // accounting exact anyway (a string round-trip would mojibake)
+    // prefixes end in different bytes (o/a... 'alpha' vs 'bravo' end
+    // a/o) and suffixes start differently (o/p), so the maximal common
+    // region is exactly ' ' + shared + ' ' = 98 bytes
+    val cjkShared = (0x4e00 until 0x4e20).map(_.toChar).mkString // 96 bytes
+    val cjkA = "alpha " + cjkShared + " omega"
+    val cjkB = "bravo " + cjkShared + " psi"
+    val docs = Seq((1L, cjkA), (2L, cjkB), (3L, cjkA)).toDF("doc_id", "text")
+    val out = Dedup.exactSpanRewrite(docs, "doc_id", "text", minLen = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    val nA = cjkA.getBytes("UTF-8").length.toLong
+    val nB = cjkB.getBytes("UTF-8").length.toLong
+    assert(out(1L) == ((nA, 0L, 0L, nA, md5hex(cjkA))), "canonical untouched")
+    assert(out(3L)._3 == nA && out(3L)._4 == 0L && out(3L)._5 == md5hex(""),
+      "copy rewrites to empty")
+    // sharer loses exactly the 98-byte common region; surviving bytes
+    // stitch to "bravopsi" (both boundary spaces were duplicated bytes)
+    assert(out(2L) == ((nB, 1L, 98L, nB - 98L, md5hex("bravopsi"))))
+  }
+
+  test("unique corpus unchanged; invariant clean_bytes == n_bytes - cut_bytes; partition-invariant") {
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(i =>
+        concat(lit(s"w$i"), pmod(hash(col("id"), lit(i)), lit(100000))))
+        : _*).as("text"))
+    val out1 = Dedup.exactSpanRewrite(docs, "doc_id", "text").collect()
+    assert(out1.length == 60)
+    assert(out1.forall(r => r.getLong(2) == 0L), "no cuts in a unique corpus")
+    assert(out1.forall(r => r.getLong(4) == r.getLong(1) - r.getLong(3)))
+    val mixed = Seq((1000L, docA), (1001L, docB), (1002L, docA))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.exactSpanRewrite(mixed, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    val r2 = Dedup.exactSpanRewrite(mixed.repartition(7), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    assert(r1 == r2, "partitioning must not change the rewrite")
+    assert(r1.forall(r => r.getLong(4) == r.getLong(1) - r.getLong(3)))
+  }
+}
