@@ -33,9 +33,21 @@ object Bench {
       String.valueOf(Runtime.getRuntime.availableProcessors()))
     val spark = Sessions.local(cpus)
 
+    // Execute the query's OWN physical plan (toRdd) and count rows,
+    // rather than stacking .count() on top: a count-only consumer lets
+    // Catalyst column-prune to nothing and then ELIMINATE row-preserving
+    // left joins over unique-keyed aggregates — the span-coverage /
+    // rewrite family (base LEFT JOIN per-doc aggregate) would be
+    // "measured" as its input scan, flat in corpus size (caught r10 when
+    // exactSpanRewrite benched 19x faster than the strictly-smaller
+    // exactDupSpans). toRdd executes exactly what a consumer writing the
+    // result out would execute. (r1-r9 BENCH artifacts used .count() —
+    // totals are comparable for aggregate/filter-final queries, and
+    // the coverage family's r10 numbers are the first honest ones.)
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -90,11 +90,21 @@ object TextOps {
     * ratio gate for Latin-script text. Returns a language code string.
     */
   def langIdHeuristic(text: Column): Column =
+    langIdFromCounts(text, nStopwords(text), nTokens(text))
+
+  /** Same, from precomputed stopword/token counts — so a scoring
+    * projection that already tokenized (bind the token array as an
+    * attribute, derive every count from it) doesn't pay the two
+    * wholesale re-tokenizations hidden in [[langIdHeuristic]]. The
+    * script regexes stay on the raw text: they short-circuit on the
+    * first matching char and cost nothing on Latin-script corpora.
+    */
+  def langIdFromCounts(text: Column, nStop: Column, nTok: Column): Column =
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(text.rlike("[\\u0400-\\u04ff]"), lit("ru"))
       .when(text.rlike("[\\u0600-\\u06ff]"), lit("ar"))
       .when(text.rlike("[\\u0900-\\u097f]"), lit("hi"))
-      .when(nStopwords(text) * 8 >= nTokens(text), lit("en"))
+      .when(nStop * 8 >= nTok, lit("en"))
       .otherwise(lit("und"))
 
   /** Canonical form used for fingerprinting: lowercase, collapse all

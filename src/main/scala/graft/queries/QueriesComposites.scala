@@ -25,27 +25,8 @@ private[graft] trait QueriesComposites { this: Queries.type =>
     * oracle-checked as one unit.
     */
   val qCorpusPrep = Q("q_corpus_prep",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = docs.select(
-        col("doc_id"), col("source"),
-        TextOps.nTokens(col("text")).as("n_tokens"),
-        TextOps.nStopwords(col("text")).as("n_stop"),
-        TextOps.nPunct(col("text")).as("n_punct"),
-        length(col("text")).as("n_chars"),
-        TextOps.langIdHeuristic(col("text")).as("lang_pred"),
-        TextOps.fingerprint(col("text")).as("fp"))
-        .withColumn("quality", TextOps.qualityFromCounts(col("n_tokens"),
-          col("n_stop"), col("n_punct"), col("n_chars")))
-      val kept = scored.filter(col("lang_pred") === "en" && col("quality") >= 55)
-      val surv = kept.withColumn("keep_id",
-          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-        .filter(col("doc_id") === col("keep_id"))
-      Corpus.quotaSample(surv, Seq("source"), Seq("doc_id"), quota = 30)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).cast("long").as("budget_tokens"))
-    },
+    (s, dir) => Corpus.prepV1(t(s, dir, "documents"),
+      "doc_id", "source", "text", quota = 30),
     Some(s"""WITH scored AS (
         SELECT doc_id, source,
           len(regexp_extract_all(text, '\\S+')) AS n_tokens,

@@ -211,6 +211,16 @@ object ScaleBench {
       // the mutated head token, so true dup-span count grows linearly
       "substringDupSpans" -> (s => graft.ext.Dedup.substringDupSpans(
         docs(s), "doc_id", "text", winBytes = 40, anchorMod = 8)),
+      // the recall=1 exact pass (anchorMod=1): ~8x the anchored window
+      // count — the honest price of exactness; the curve shows the
+      // constant, not a blowup (planted near-copies share whole tails,
+      // so true span count grows linearly)
+      "exactDupSpans" -> (s => graft.ext.Dedup.exactDupSpans(
+        docs(s), "doc_id", "text", minLen = 40)),
+      // ... and the cut action on top: canonical pick + island pass +
+      // byte-stitch; adds two doc-keyed exchanges over exactDupSpans
+      "exactSpanRewrite" -> (s => graft.ext.Dedup.exactSpanRewrite(
+        docs(s), "doc_id", "text", minLen = 40)),
       // grid is O(depth*width) after partial agg regardless of n;
       // probes = the 20 hottest tokens, the bench query's shape
       "cmsEstimate" -> { s =>
@@ -315,14 +325,20 @@ object ScaleBench {
     // warmup so the first measured rows aren't inflated relative to the
     // rest (scale 1 need not exist under a custom SCALE_POINTS)
     val warmScale = scales.min
-    for ((_, op) <- opsRun) { op(warmScale).count(); release() }
+    for ((_, op) <- opsRun) {
+      op(warmScale).queryExecution.toRdd.count(); release()
+    }
 
     println("| operator | scale | input rows | cold s | warm s | out rows |")
     println("|---|---|---|---|---|---|")
     for ((name, op) <- opsRun; s <- scales) {
+      // toRdd: execute the operator's own plan — a stacked .count()
+      // would let Catalyst eliminate the coverage/rewrite family's
+      // final row-preserving left joins and measure only the scan
+      // (see graft.Bench.once)
       def run(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val rows = op(s).count()
+        val rows = op(s).queryExecution.toRdd.count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val (cold, rows) = run()

@@ -75,34 +75,14 @@ object Sf1EqBench {
       })).as("text"))
   }
 
-  /** q_corpus_prep's exact chain (QueriesComposites.qCorpusPrep) over a
-    * synthetic corpus: doc-local scoring (tokens / stopwords / punct /
-    * chars / lang-ID / fingerprint) → language + quality gate → exact-
-    * dedup survivors → per-source hash-order quota (constant output —
-    * binding at every scale) → per-source token budgets.
+  /** q_corpus_prep's exact chain over a synthetic corpus — the SAME
+    * code path as the declared query ([[graft.ext.Corpus.prepV1]]:
+    * one-tokenize scoring → language + quality gate → exact-dedup
+    * survivors → per-source hash-order quota (constant output —
+    * binding at every scale) → per-source token budgets).
     */
-  def prepCompositeV1Op(docs: DataFrame): DataFrame = {
-    import graft.ext.{Corpus, TextOps}
-    val scored = docs.select(
-      col("doc_id"), col("source"),
-      TextOps.nTokens(col("text")).as("n_tokens"),
-      TextOps.nStopwords(col("text")).as("n_stop"),
-      TextOps.nPunct(col("text")).as("n_punct"),
-      length(col("text")).as("n_chars"),
-      TextOps.langIdHeuristic(col("text")).as("lang_pred"),
-      TextOps.fingerprint(col("text")).as("fp"))
-      .withColumn("quality", TextOps.qualityFromCounts(col("n_tokens"),
-        col("n_stop"), col("n_punct"), col("n_chars")))
-    val kept = scored.filter(col("lang_pred") === "en" && col("quality") >= 55)
-    val surv = kept.withColumn("keep_id",
-        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keep_id"))
-    Corpus.quotaSample(surv, Seq("source"), Seq("doc_id"), quota = 30)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast("long").as("budget_tokens"))
-  }
+  def prepCompositeV1Op(docs: DataFrame): DataFrame =
+    graft.ext.Corpus.prepV1(docs, "doc_id", "source", "text", quota = 30)
 
   /** `k` replicas of the sf-dir events table: replica r offsets
     * `event_id` by r · (max_id rounded up to a multiple of 4850 =
@@ -158,8 +138,11 @@ object Sf1EqBench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    // one throwaway 1× pass pays JVM / codegen warmup
-    for ((_, op) <- ops) { op(1).count(); release() }
+    // one throwaway 1× pass pays JVM / codegen warmup. toRdd here and
+    // below: execute the query's own plan — a stacked .count() lets
+    // Catalyst eliminate the final row-preserving left joins of the
+    // coverage/rewrite family and measure only the scan (graft.Bench)
+    for ((_, op) <- ops) { op(1).queryExecution.toRdd.count(); release() }
 
     def round4(v: Double): String =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -169,11 +152,11 @@ object Sf1EqBench {
       val per = for (s <- scales) yield {
         def run(): Double = {
           val t0 = System.nanoTime()
-          op(s).count()
+          op(s).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         }
         val t0 = System.nanoTime()
-        val n = op(s).count()
+        val n = op(s).queryExecution.toRdd.count()
         val cold = (System.nanoTime() - t0) / 1e9
         val warms = (1 to graft.Bench.WarmRuns).map(_ => run()).sorted
         release()
