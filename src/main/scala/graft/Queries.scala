@@ -53,7 +53,8 @@ object Queries
     qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
     qDsirSelect,
-    qDsirResample, qPerplexityBuckets, qGopherRules, qGopherRepetition,
+    qDsirResample, qPerplexityBuckets, qGopherRules, qC4Rules,
+    qGopherRepetition,
     qMixtureSample, qWeightedSample,
     qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,

@@ -930,6 +930,66 @@ object Corpus {
       .drop("t", "ts", "__n_alpha")
   }
 
+  /** The C4 cleaning battery (Raffel et al. 2020, §2.2) — the OTHER
+    * published pre-filter next to Gopher's, LINE-granular where
+    * Gopher's is document-statistical:
+    *
+    *  line level (a kept page is REASSEMBLED from its surviving lines):
+    *   - keep only lines ending in terminal punctuation (. ! ? ");
+    *   - keep only lines with ≥ `minWordsPerLine` words (paper: 5);
+    *   - drop lines containing the word "javascript" (case-insensitive);
+    *  page level (on the raw page resp. the reassembled text):
+    *   - drop pages containing '{' (code);
+    *   - drop pages containing "lorem ipsum";
+    *   - drop pages whose surviving text has < `minSentences` terminal
+    *     punctuation marks (paper: 3 sentences);
+    *   - drop pages containing any of `badWords` at word boundaries
+    *     (the paper's blocklist; parameterized — pass your list. Plain
+    *     word tokens, not regexes).
+    *
+    * The paper's remaining step — three-sentence-span dedup — is the
+    * passage family ([[graft.ext.Dedup.passageDedup]] /
+    * `passageRewrite`), already first-class.
+    *
+    * Everything is a stateless per-document projection (split → lambda
+    * filter → reassemble → integer counts + digest): no shuffle, no
+    * state, scan-parallel — the same 100 TB posture as [[gopherRules]].
+    * `clean_fp` (md5 of the reassembled text) pins every byte of the
+    * line surgery, so the oracle checks the REWRITE, not just the
+    * verdict.
+    *
+    * @return (id, n_lines, n_kept_lines, n_sentences, keep, clean_len,
+    *         clean_fp)
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+              badWords: Seq[String] = Seq.empty,
+              minWordsPerLine: Int = 5,
+              minSentences: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(TextOps.tokens(l)) >= minWordsPerLine &&
+        !contains(lower(l), lit("javascript")))
+    val badRe = "\\b(" + badWords.mkString("|") + ")\\b"
+    df.select(col(idCol).as("id"), col(textCol).as("__raw"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        array_join(kept, "\n").as("__clean"))
+      .select(col("id"), col("n_lines"), col("n_kept_lines"),
+        col("__raw"), col("__clean"),
+        size(regexp_extract_all(col("__clean"), lit("[.!?]"), lit(0)))
+          .cast("long").as("n_sentences"))
+      .select(col("id"), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"),
+        (col("n_sentences") >= minSentences &&
+          !contains(col("__raw"), lit("{")) &&
+          !contains(lower(col("__clean")), lit("lorem ipsum")) &&
+          (if (badWords.isEmpty) lit(true)
+           else !lower(col("__clean")).rlike(badRe))).as("keep"),
+        length(col("__clean")).cast("long").as("clean_len"),
+        md5(col("__clean")).as("clean_fp"))
+  }
+
   /** The OTHER half of Rae et al. 2021's table A1 — the repetition
     * filters [[gopherRules]] leaves out: duplicate-line / duplicate-
     * paragraph fractions (by occurrence count and by character mass),

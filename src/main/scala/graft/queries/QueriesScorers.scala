@@ -261,6 +261,87 @@ private[graft] trait QueriesScorers { this: Queries.type =>
         bucket <= 2 AS keep
       FROM ranked GROUP BY source, bucket"""))
 
+  /** C4 cleaning battery ([[Corpus.c4Rules]], Raffel 2020 §2.2) over a
+    * deterministic PUNCTUATED projection of the corpus (the fixture
+    * text has no newlines or sentence punctuation, so the line rules
+    * would be vacuous on it raw — same pattern as the UTF-8 coverage
+    * row): token i gets '.' + newline every 24th position, '.' every
+    * 8th, building 3-sentence lines; planted rule-trippers keep every
+    * rule binding — doc_id%43==11 truncates to 20 tokens (< 3
+    * sentences), %31==5 appends '{' (code page), %37==7 appends a
+    * 5-word line containing "javascript" (line-level drop, page
+    * survives), %41==9 appends a line with a blocklist word (page
+    * drop). The tail fragment after the last newline usually lacks
+    * terminal punctuation, so the line filter binds on nearly every
+    * document; `clean_fp` hash-pins every byte of the reassembly.
+    */
+  val qC4Rules = Q("q_c4_rules",
+    (s, dir) => {
+      val toks0 = TextOps.tokens(col("text"))
+      val built = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 43 === 11, slice(toks0, 1, 20))
+            .otherwise(toks0).as("tk"))
+        .select(col("doc_id"), concat(
+          rtrim(array_join(transform(sequence(lit(1), size(col("tk"))), i =>
+            concat(element_at(col("tk"), i),
+              when(i % 24 === 0, lit(".\n"))
+                .when(i % 8 === 0, lit(". "))
+                .otherwise(lit(" ")))), "")),
+          when(col("doc_id") % 31 === 5, lit(" {")).otherwise(lit("")),
+          when(col("doc_id") % 37 === 7,
+            lit("\njavascript is inline here ok.")).otherwise(lit("")),
+          when(col("doc_id") % 41 === 9,
+            lit("\nthis page has verybadword inside it."))
+            .otherwise(lit(""))).as("built"))
+      Corpus.c4Rules(built, "doc_id", "built",
+        badWords = Seq("verybadword"))
+    },
+    Some("""WITH tk0 AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+      tk1 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 43 = 11 THEN tk[1:20] ELSE tk END AS tk
+        FROM tk0),
+      built AS (
+        SELECT doc_id,
+          rtrim(array_to_string(list_transform(generate_series(1, len(tk)),
+            i -> tk[i] || CASE WHEN i % 24 = 0 THEN '.' || chr(10)
+                               WHEN i % 8 = 0 THEN '. '
+                               ELSE ' ' END), ''))
+          || CASE WHEN doc_id % 31 = 5 THEN ' {' ELSE '' END
+          || CASE WHEN doc_id % 37 = 7
+               THEN chr(10) || 'javascript is inline here ok.' ELSE '' END
+          || CASE WHEN doc_id % 41 = 9
+               THEN chr(10) || 'this page has verybadword inside it.'
+               ELSE '' END AS b
+        FROM tk1),
+      split_ AS (
+        SELECT doc_id, b, string_split(b, chr(10)) AS ls FROM built),
+      kept AS (
+        SELECT doc_id, b, len(ls) AS n_lines,
+          list_filter(ls, l ->
+            regexp_matches(rtrim(l), '[.!?"]$')
+            AND len(regexp_extract_all(l, '\S+')) >= 5
+            AND NOT contains(lower(l), 'javascript')) AS kl
+        FROM split_),
+      agg AS (
+        SELECT doc_id, b, n_lines, len(kl) AS n_kept_lines,
+          -- DuckDB: array_to_string of an EMPTY list is NULL; Spark's
+          -- array_join is '' — the all-lines-dropped doc must md5('')
+          coalesce(array_to_string(kl, chr(10)), '') AS clean
+        FROM kept)
+      SELECT doc_id AS id, CAST(n_lines AS BIGINT) AS n_lines,
+        CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+        CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+          AS n_sentences,
+        (len(regexp_extract_all(clean, '[.!?]')) >= 3
+         AND NOT contains(b, '{')
+         AND NOT contains(lower(clean), 'lorem ipsum')
+         AND NOT regexp_matches(lower(clean), '\b(verybadword)\b')) AS keep,
+        CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_fp
+      FROM agg"""))
+
   /** Gopher rule battery (Rae et al. 2021): the canonical heuristic
     * quality gate — word-count and mean-word-length windows,
     * symbol-to-word and alphabetic-word ratios, ≥2 distinct stopwords —

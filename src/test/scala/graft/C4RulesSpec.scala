@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+
+/** [[Corpus.c4Rules]] — each published rule exercised in isolation on
+  * real multi-line pages (the oracle query runs the battery on a
+  * punctuated projection; here the line surgery itself is pinned).
+  */
+class C4RulesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def run(docs: Seq[(Long, String)], bad: Seq[String] = Seq("spam")) =
+    Corpus.c4Rules(docs.toDF("doc_id", "text"), "doc_id", "text", bad)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getLong(5), r.getString(6)))).toMap
+
+  val good1 = "this line has six words total."
+  val good2 = "does this line have five words?"
+  val good3 = "a quoted line ends \"like this.\""
+
+  test("line rules: terminal punctuation, min words, javascript") {
+    val page = Seq(good1, "no terminal punctuation here", "too short.",
+      "this javascript line is dropped entirely.", good2).mkString("\n")
+    val out = run(Seq((1L, page)))(1L)
+    val clean = Seq(good1, good2).mkString("\n")
+    assert(out == ((5L, 2L, 2L, false, clean.length.toLong, md5hex(clean))))
+    // keep=false only because 2 sentences < 3 — add a third good line
+    val out3 = run(Seq((2L, page + "\n" + good3)))(2L)
+    val clean3 = Seq(good1, good2, good3).mkString("\n")
+    assert(out3 == ((6L, 3L, 3L, true, clean3.length.toLong, md5hex(clean3))))
+  }
+
+  test("page rules: brace, lorem ipsum, bad words at word boundaries") {
+    val base = Seq(good1, good2, good3).mkString("\n")
+    val out = run(Seq(
+      (1L, base),
+      (2L, base + "\nint f() { return 0; }"), // brace page (line also dies)
+      (3L, base + "\nthis page quotes Lorem Ipsum dolor sit."),
+      (4L, base + "\nthis line contains spam right here."),
+      (5L, base + "\nnothing wrong with spamless compounds here.")))
+    assert(out(1L)._4 === true)
+    assert(out(2L)._4 === false, "page with '{' dropped")
+    assert(out(3L)._4 === false, "lorem ipsum page dropped (case-insensitive)")
+    assert(out(4L)._4 === false, "blocklist word at word boundary drops page")
+    assert(out(5L)._4 === true, "substring inside a longer word does NOT match")
+    // the brace page's kept lines are unchanged (the brace line fails
+    // the terminal-punct rule anyway) — only the verdict differs
+    assert(out(2L)._6 == out(1L)._6 && out(2L)._2 == 3L)
+  }
+
+  test("empty rewrite: zero kept lines, md5(''), keep=false") {
+    val out = run(Seq((9L, "no punct line\nanother bare line")))(9L)
+    assert(out == ((2L, 0L, 0L, false, 0L, md5hex(""))))
+  }
+}
