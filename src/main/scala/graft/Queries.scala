@@ -43,7 +43,7 @@ object Queries
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrRewrite,
-    qDedupSimhash,
+    qDedupSubstrAttribution, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
     qDecontamEmbedding,

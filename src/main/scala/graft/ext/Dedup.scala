@@ -751,6 +751,48 @@ object Dedup {
         md5(col("clean_bin")).as("clean_fp"))
   }
 
+  /** Duplicated-span PROVENANCE — the audit trail of
+    * [[exactSpanRewrite]]'s cuts: for every redundant maximal span,
+    * where does the canonical copy live? One row per span with
+    * `(src_id, src_p)` = the canonical (lexicographic-min (id, p))
+    * occurrence of the span's LEADING window — deterministic, and the
+    * right single answer for the dominant cases (mirrored documents,
+    * license boilerplate, quote farms share whole regions). A merged
+    * island can interleave windows whose canonical occurrences differ
+    * (A's head overlaps doc X, its tail doc Y) — the leading-window
+    * attribution is the documented tie-break; per-window provenance is
+    * the `wins ⋈ canon` relation itself if a consumer needs it all.
+    *
+    * Shape: [[exactSpanRewrite]]'s machinery plus ONE equi-join of the
+    * island heads back to the redundant-window relation on (id, p = s)
+    * — digests and integers only, nothing new shuffles document text.
+    *
+    * @return (id, s, e, span_bytes, src_id, src_p): byte span [s, e) of
+    *         doc `id` duplicates content whose canonical copy begins at
+    *         byte `src_p` of doc `src_id`
+    */
+  def spanAttribution(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 40): DataFrame = {
+    val wins = Materialize.multiScan(
+      anchorWins(df, idCol, textCol, minLen, anchorMod = 1))
+    val canon = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("id"), col("p"))).as("canon"))
+      .filter(col("n_occ") >= 2)
+      .select(col("fp"), col("canon"))
+    val redundant = Materialize.multiScan(wins.join(canon, Seq("fp"))
+      .filter(struct(col("id"), col("p")) =!= col("canon"))
+      .select(col("id"), col("p"), col("canon")))
+    val spans = islandsOf(redundant.select(col("id"), col("p")), minLen)
+    val heads = redundant.select(col("id").as("__rid"), col("p").as("__rp"),
+      col("canon"))
+    spans.join(heads,
+        col("id") === col("__rid") && col("s") === col("__rp"))
+      .select(col("id"), col("s"), col("e"),
+        (col("e") - col("s")).as("span_bytes"),
+        col("canon.id").as("src_id"), col("canon.p").as("src_p"))
+  }
+
   /** Passage-dedup REWRITE: reassemble each document from its KEPT
     * passages (canonical-first retention, deterministic chunk order) —
     * the cleaned corpus a training run would actually read, fingerprinted

@@ -587,6 +587,58 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       FROM d LEFT JOIN cuts c USING (doc_id)
       LEFT JOIN clean cl ON cl.doc_id = d.doc_id"""))
 
+  /** Duplicated-span PROVENANCE ([[Dedup.spanAttribution]]): for every
+    * span the exact rewrite cuts, the canonical (doc, byte offset) its
+    * LEADING window points to. The oracle replays the same chain —
+    * every-offset windows, `first_value` canonical per fingerprint
+    * (≡ the operator's min-struct under (doc_id, p) order), island
+    * pass, then the island head's canonical — so each provenance
+    * pointer is value-pinned, not just counted.
+    */
+  val qDedupSubstrAttribution = Q("dedup_substr_attribution",
+    (s, dir) => Dedup.spanAttribution(t(s, dir, "documents"),
+      "doc_id", "text", minLen = 40),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (SELECT doc_id, t, length(t) AS n FROM d),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized WHERE n >= 40),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM pos),
+      occ AS (
+        SELECT doc_id, p,
+               count(*) OVER (PARTITION BY fp) AS n_occ,
+               row_number() OVER (PARTITION BY fp
+                 ORDER BY doc_id, p) AS rn,
+               first_value(doc_id) OVER (PARTITION BY fp
+                 ORDER BY doc_id, p) AS src_id,
+               first_value(p) OVER (PARTITION BY fp
+                 ORDER BY doc_id, p) AS src_p
+        FROM wins),
+      dup AS (
+        SELECT doc_id, p, src_id, src_p FROM occ
+        WHERE n_occ >= 2 AND rn > 1),
+      marked AS (
+        SELECT doc_id, p, src_id, src_p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p, src_id, src_p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e
+        FROM isl GROUP BY 1, 2)
+      SELECT i.doc_id AS id, CAST(i.p AS BIGINT) AS s,
+        CAST(sp.e AS BIGINT) AS e,
+        CAST(sp.e - i.p AS BIGINT) AS span_bytes,
+        i.src_id, CAST(i.src_p AS BIGINT) AS src_p
+      FROM isl i JOIN spans sp
+        ON sp.doc_id = i.doc_id AND sp.isl_id = i.isl_id AND i.p = sp.s"""))
+
   /** Clusters → survivor per cluster: the decision step of the dedup
     * pipeline. Score = token count; argmax with min-id tie-break, as a
     * map-side-collapsible aggregate (no per-cluster window).

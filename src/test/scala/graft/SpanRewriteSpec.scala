@@ -57,6 +57,24 @@ class SpanRewriteSpec extends AnyFunSuite {
       md5hex(""))))
   }
 
+  test("attribution: sharer's span points into the canonical doc; copy points at (canon, 1)") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docA))
+      .toDF("doc_id", "text")
+    val rows = Dedup.spanAttribution(docs, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(4), r.getInt(5))).sortBy(_._1)
+    // A (canonical everywhere) contributes no spans; B's one span leads
+    // at its common-region start and points at A's; C's whole-doc span
+    // points at (A, 1)
+    val pA = prefA.length // common region ' '+shared+' ' starts at pA+1
+    assert(rows.map(_._1).toSeq == Seq(2L, 3L))
+    val b = rows(0)
+    assert(b == ((2L, prefB.length + 1, prefB.length + 1 + shared.length + 2,
+      1L, pA + 1)))
+    val c = rows(1)
+    assert(c == ((3L, 1, docA.length + 1, 1L, 1)))
+  }
+
   test("multibyte corpus: byte accounting exact, canonical untouched, copy empties") {
     // 3-byte CJK chars: windows land mid-char, so the cut boundaries
     // split multibyte sequences — the BINARY stitch must keep byte
