@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on: runtime partition coalescing + skew-join splitting is the
   *    posture we want at 100 TB, so we test under it;
   *  - UTC session timezone for oracle parity;
-  *  - nanosAsLong: the events table ships TIMESTAMP(NANOS) parquet,
-  *    which Spark's reader otherwise rejects (see [[Tables.events]]).
+  *  - nanosAsLong: early fixture generations shipped events.ts as
+  *    TIMESTAMP(NANOS) parquet, which Spark's reader otherwise rejects;
+  *    [[Tables.events]] normalizes every encoding the driver has used
+  *    (nanos-long AND the round-10 TIMESTAMP(MICROS)/NTZ form).
   */
 object Sessions {
   def local(cpus: String): SparkSession = {

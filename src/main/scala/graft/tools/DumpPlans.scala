@@ -80,7 +80,12 @@ object DumpPlans {
       // round-10 (cont.): the byte-true coverage oracle projection —
       // review point: identical plan shape to dedup_substr_coverage
       // (the non-ASCII projection is a scan-stage expression)
-      "dedup_substr_coverage_utf8")
+      "dedup_substr_coverage_utf8",
+      // round-10 (cont.): span provenance (island heads equi-join the
+      // redundant-window relation on (id, p=s) — no per-doc explode)
+      // and the C4 battery (stateless scan-parallel projection, zero
+      // exchanges)
+      "dedup_substr_attribution", "q_c4_rules")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append(s"Generated by `graft.tools.DumpPlans` against `$sfDir`.\n")
