@@ -66,6 +66,10 @@ final case class AdmissionConf(
     lm_path: Option[String] = None,
     max_mean_surprisal_x10k: Option[Long] = None,
     unseen_nat10k: Long = 200000L,
+    /** Gate on the C4 cleaning battery too (line rules + page verdicts
+      * on the raw text; `c4_bad_words` = the blocklist, plain words). */
+    c4_rules: Boolean = false,
+    c4_bad_words: Option[List[String]] = None,
     /** Audit trail: rejected rows land in `<dir>/batch=<id>` (Overwrite —
       * replay-idempotent, like the admission corpus layout). */
     rejected_dir: Option[String] = None)

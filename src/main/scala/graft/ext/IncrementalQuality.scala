@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *      the streamable form of the batch ladder's tercile rung: the
   *      tercile BOUNDARY observed on the training corpus freezes into
   *      `maxMeanSurprisalX10k`, and scoring is doc-local against the
-  *      broadcast LM (unseen tokens priced as rare).
+  *      broadcast LM (unseen tokens priced as rare);
+  *   6. optionally, the C4 cleaning battery ([[Corpus.c4Rules]]) on
+  *      the RAW text — line-structure rules + page verdicts, frozen to
+  *      its dials and `c4BadWords` blocklist; doc-local and stateless
+  *      like the rest.
   *
   * Scale posture — the whole point of freezing: the weight and λ
   * tables are nBuckets-row broadcasts regardless of corpus size, every
@@ -91,10 +95,13 @@ object IncrementalQuality {
                        8 -> 1200L, 9 -> 1100L, 10 -> 1000L),
                  lm: Option[DataFrame] = None,
                  maxMeanSurprisalX10k: Long = Long.MaxValue,
-                 unseenNat10k: Long = 200000L): (Long, Long) = {
+                 unseenNat10k: Long = 200000L,
+                 c4: Boolean = false,
+                 c4BadWords: Seq[String] = Seq.empty): (Long, Long) = {
     val g = gate(batch, idCol, textCol, weights, nBuckets, thrMilli,
       lambda, dsirThrX10k, minWords, stopwords, repetition,
-      repTopBpMax, repDupBpMax, lm, maxMeanSurprisalX10k, unseenNat10k)
+      repTopBpMax, repDupBpMax, lm, maxMeanSurprisalX10k, unseenNat10k,
+      c4, c4BadWords)
     val n = g.pre.count()
     // per-batch directory + Overwrite = replay-idempotent without state
     g.admitted.write.mode(SaveMode.Overwrite)
@@ -131,7 +138,9 @@ object IncrementalQuality {
                  repDupBpMax: Map[Int, Long],
                  lm: Option[DataFrame],
                  maxMeanSurprisalX10k: Long,
-                 unseenNat10k: Long): Gate = {
+                 unseenNat10k: Long,
+                 c4: Boolean = false,
+                 c4BadWords: Seq[String] = Seq.empty): Gate = {
     // ONE tokenize pass: the batch is scanned (and normalized+tokenized)
     // once into a spill-safe cache carrying every original column plus
     // the normalized text and token array; the up-to-five gates and the
@@ -180,13 +189,22 @@ object IncrementalQuality {
             topBpMax = repTopBpMax, dupBpMax = repDupBpMax)
           .filter(col("keep")).select(col("id")),
         Seq("id"))
-    val keepIds = lm.fold(keep0) { table =>
+    val keepLm = lm.fold(keep0) { table =>
       keep0.join(
         Corpus.surprisalAgainstOn(canon, table, unseenNat10k)
           .filter(col("mean_surprisal_x10k") <= maxMeanSurprisalX10k)
           .select(col("id")),
         Seq("id"))
     }
+    // optional SIXTH gate: the C4 line/page battery — doc-local on the
+    // RAW text (line structure matters, so not the normalized form),
+    // frozen to its dials + blocklist like every other gate
+    val keepIds =
+      if (!c4) keepLm
+      else keepLm.join(
+        Corpus.c4Rules(canon, "id", "raw", c4BadWords)
+          .filter(col("keep")).select(col("id")),
+        Seq("id"))
     val admitted = pre.join(keepIds, pre(idCol) === keepIds("id"), "left_semi")
       .drop("__iq_t", "__iq_ts")
     Gate(pre, admitted, Seq(pre))

@@ -80,7 +80,8 @@ object QualityAdmission {
       Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
           8 -> 1200L, 9 -> 1100L, 10 -> 1000L),
       lm, cfg.max_mean_surprisal_x10k.getOrElse(Long.MaxValue),
-      cfg.unseen_nat10k)
+      cfg.unseen_nat10k,
+      cfg.c4_rules, cfg.c4_bad_words.getOrElse(Nil))
     val admittedDocs = g.admitted.drop("__adm_text", "__adm_id")
     val out = Materialize.multiScan(admittedDocs.unionByName(bypass))
     out.count() // materialize while the gate's caches are live

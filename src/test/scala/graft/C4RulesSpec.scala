@@ -23,7 +23,9 @@ class C4RulesSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
           r.getLong(5), r.getString(6)))).toMap
 
-  val good1 = "this line has six words total."
+  // 'the' + 'have' give the admission test's always-on Gopher gate its
+  // >= 2 distinct stopwords (Corpus.GopherStopwords, Rae's 8-word set)
+  val good1 = "the line here has six words total."
   val good2 = "does this line have five words?"
   val good3 = "a quoted line ends \"like this.\""
 
@@ -60,5 +62,32 @@ class C4RulesSpec extends AnyFunSuite {
   test("empty rewrite: zero kept lines, md5(''), keep=false") {
     val out = run(Seq((9L, "no punct line\nanother bare line")))(9L)
     assert(out == ((2L, 0L, 0L, false, 0L, md5hex(""))))
+  }
+
+  test("streaming admission: C4 as the sixth gate, off by default") {
+    import graft.ext.IncrementalQuality
+    val dir = java.nio.file.Files.createTempDirectory("c4adm").toString
+    // neutral weight table: the quality gate admits everything at this
+    // threshold — the C4 verdict is the only discriminator under test
+    val weights = spark.range(64).select(col("id").as("bucket"),
+      lit(0L).as("w"))
+    val base = Seq(good1, good2, good3).mkString("\n")
+    val docs = Seq(
+      (1L, base), // clean 3-sentence page
+      (2L, base + "\nint f() { return 0; }"), // brace page
+      (3L, "the line without punct of note\nthe other bare line stays here"))
+      .toDF("doc_id", "text") // gopher-passing, zero C4-keepable lines
+    val (adm, drop) = IncrementalQuality.admitBatch(docs, 0L, "doc_id",
+      "text", s"$dir/corpus", weights, nBuckets = 64, thrMilli = -100000L,
+      minWords = 5, c4 = true, c4BadWords = Seq("spam"))
+    assert((adm, drop) == ((1L, 2L)))
+    val ids = spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+    // same batch, gate off: page structure goes unchecked
+    val (adm2, _) = IncrementalQuality.admitBatch(docs, 1L, "doc_id",
+      "text", s"$dir/corpus", weights, nBuckets = 64, thrMilli = -100000L,
+      minWords = 5)
+    assert(adm2 == 3L)
   }
 }

@@ -41,7 +41,8 @@ class ConfigSpec extends AnyFunSuite {
           "weights_path": "s3://frozen/weights",
           "min_words": 20, "repetition": true,
           "lm_path": "s3://frozen/lm", "max_mean_surprisal_x10k": 120000,
-          "rejected_dir": "s3://audit/rejected"
+          "rejected_dir": "s3://audit/rejected",
+          "c4_rules": true, "c4_bad_words": ["spamword", "junkword"]
         }""")
     val a = JobConfig.fromJson(withAdm).admission_conf.get
     assert(a.text_expr.contains("$.text"))
@@ -52,6 +53,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(a.lm_path.contains("s3://frozen/lm"))
     assert(a.max_mean_surprisal_x10k.contains(120000L))
     assert(a.rejected_dir.contains("s3://audit/rejected"))
+    assert(a.c4_rules && a.c4_bad_words.contains(List("spamword", "junkword")))
   }
 
   test("kafka reader options mirror the reference set, maxOffsetsPerTrigger wired") {
