@@ -221,6 +221,10 @@ object ScaleBench {
       // byte-stitch; adds two doc-keyed exchanges over exactDupSpans
       "exactSpanRewrite" -> (s => graft.ext.Dedup.exactSpanRewrite(
         docs(s), "doc_id", "text", minLen = 40)),
+      // provenance: rewrite machinery minus the stitch, plus the island
+      // head join — output rows (cut spans) grow linearly by planting
+      "spanAttribution" -> (s => graft.ext.Dedup.spanAttribution(
+        docs(s), "doc_id", "text", minLen = 40)),
       // grid is O(depth*width) after partial agg regardless of n;
       // probes = the 20 hottest tokens, the bench query's shape
       "cmsEstimate" -> { s =>
