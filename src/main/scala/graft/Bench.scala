@@ -41,9 +41,13 @@ object Bench {
     // "measured" as its input scan, flat in corpus size (caught r10 when
     // exactSpanRewrite benched 19x faster than the strictly-smaller
     // exactDupSpans). toRdd executes exactly what a consumer writing the
-    // result out would execute. (r1-r9 BENCH artifacts used .count() —
-    // totals are comparable for aggregate/filter-final queries, and
-    // the coverage family's r10 numbers are the first honest ones.)
+    // result out would execute. (r1-r9 BENCH artifacts used .count(),
+    // which under-measured ANY query whose final-operator expressions a
+    // count-only consumer can prune — row-preserving joins AND unused
+    // aggregate/projection expressions: q_percentiles 18x, q_math_funcs
+    // 5x, q_hll 4x, q_quantize 5.6x all moved in r10 despite being
+    // aggregate/projection-final. Do not trust r1-r9 per-query history
+    // where the honest protocol contradicts it; r10+ numbers govern.)
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }

@@ -102,6 +102,77 @@ object Prefix {
       .drop(rn, "__first", "__n")
   }
 
+  /** Exact per-group percentiles WITHOUT the value-buffering funnel.
+    *
+    * Spark's `percentile` aggregate is an ObjectHashAggregate whose
+    * buffer is a value→count map of the group's entire distinct-value
+    * set, and whose final merge has exactly as many tasks as there are
+    * groups: over a low-cardinality group key (`l_returnflag` has 3
+    * values) that is a 3-task memory funnel whose per-task state grows
+    * with the corpus. This computes the identical result from the
+    * group-wise ORDER STATISTICS instead:
+    *
+    *   1. global rank over (strata ++ value ++ tiebreak) via
+    *      [[globalRowNumber]] — fully distributed (range partition,
+    *      per-partition window, broadcast offsets);
+    *   2. per-group `(first_rank, n)` — a map-side-combinable count,
+    *      group-cardinality rows, broadcast back (null-safe, so NULL
+    *      strata keep percentile's per-group behavior);
+    *   3. for each requested p, h = p·(n−1); only the rows at
+    *      within-group ranks floor(h)+1 and ceil(h)+1 survive the
+    *      filter — ≤ 2·|ps| rows per group;
+    *   4. one tiny final aggregate applies Spark's own interpolation
+    *      `(ceil(h)−h)·lo + (h−floor(h))·hi` (with the lo==hi
+    *      special case, which the subtraction form gets wrong at
+    *      integral h).
+    *
+    * Bit-compatible with `percentile(value, p)`: identical IEEE ops in
+    * the same order (p·(n−1) in double, long ranks, double
+    * interpolation), NULL values excluded before ranking exactly as the
+    * aggregate excludes them. Rows per task stay bounded by the range
+    * partitioning at any corpus size; the only per-group state anywhere
+    * is two longs and |ps| accumulators.
+    */
+  def groupPercentiles(df: DataFrame, strata: Seq[String], value: Column,
+                       tiebreak: Seq[Column],
+                       ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty, "at least one percentile required")
+    require(ps.forall { case (p, _) => p >= 0 && p <= 1 },
+      s"percentages must be in [0,1], got ${ps.map(_._1)}")
+    val rn = "__pct_rn"
+    val v = "__pct_v"
+    val base = df.withColumn(v, value.cast("double")).filter(col(v).isNotNull)
+    val ranked = globalRowNumber(
+      base, strata.map(col) ++ Seq(col(v)) ++ tiebreak, rn)
+    val stats = ranked.groupBy(strata.map(col): _*)
+      .agg(min(col(rn)).as("__first"), count(lit(1)).as("__n"))
+    val statsR = broadcast(strata.zipWithIndex.foldLeft(stats) {
+      case (d, (c, i)) => d.withColumnRenamed(c, s"__s$i")
+    })
+    val cond = strata.zipWithIndex
+      .map { case (c, i) => ranked(c) <=> statsR(s"__s$i") }
+      .reduce(_ && _)
+    val joined = ranked.join(statsR, cond)
+      .drop(strata.indices.map(i => s"__s$i"): _*)
+    val r = col(rn) - col("__first") + 1 // 1-based rank within group
+    def h(n: Column, p: Double) = lit(p) * (n - 1).cast("double")
+    val needed = ps.map(_._1).map { p =>
+      val hh = h(col("__n"), p)
+      r === floor(hh) + 1 || r === ceil(hh) + 1
+    }.reduce(_ || _)
+    val cand = joined.filter(needed)
+    val aggs = ps.map { case (p, out) =>
+      val hh = h(max(col("__n")), p)
+      val lo = floor(hh)
+      val hi = ceil(hh)
+      val loV = max(when(r === floor(h(col("__n"), p)) + 1, col(v)))
+      val hiV = max(when(r === ceil(h(col("__n"), p)) + 1, col(v)))
+      when(lo === hi, loV)
+        .otherwise((hi - hh) * loV + (hh - lo) * hiV).as(out)
+    }
+    cand.groupBy(strata.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   private def core(df: DataFrame, order: Seq[Column], value: Option[Column],
                    out: String): DataFrame = {
     val spark = df.sparkSession

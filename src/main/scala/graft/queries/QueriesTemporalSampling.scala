@@ -108,13 +108,21 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
   private def r2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
 
   val qPercentiles = Q("q_percentiles",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        r2(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        r2(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
-        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95")),
+    (s, dir) => {
+      // Distributed exact percentiles (Prefix.groupPercentiles), NOT the
+      // `percentile` aggregate: that one buffers each group's whole
+      // value→count map and final-merges in |groups| tasks — a 3-task
+      // memory funnel over l_returnflag whose state grows with the
+      // corpus. Same bits out (the helper replays Spark's interpolation
+      // formula, which the oracle below also replays).
+      val p = graft.ext.Prefix.groupPercentiles(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"),
+        tiebreak = Seq(col("l_orderkey"), col("l_linenumber")),
+        ps = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.95 -> "q95"))
+      p.select(col("l_returnflag"),
+        r2(col("q25")).as("p25"), r2(col("q50")).as("p50"),
+        r2(col("q75")).as("p75"), r2(col("q95")).as("p95"))
+    },
     Some("""WITH s AS (
         SELECT l_returnflag,
           list(l_extendedprice ORDER BY l_extendedprice) AS xs,

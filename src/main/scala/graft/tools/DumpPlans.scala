@@ -4,10 +4,18 @@ import java.nio.file.{Files, Paths}
 
 import graft.{Queries, Sessions}
 
-/** Writes PLANS.md: the formatted physical plan of each headline query —
+/** Writes PLANS.md: the formatted physical plan of EVERY declared query —
   * the artifact backing the "is this the plan you'd want at 100 TB"
   * review (pushed filters, pruned schemas, broadcast vs shuffle joins,
   * codegen spans).
+  *
+  * Since round 11 the dump covers the full gate, not a curated headline
+  * list: the r10 `q_percentiles` weak (a 3-task value-buffering
+  * percentile merge) sat outside the curated list for nine rounds, so
+  * the human-auditable artifact could not catch what the in-test audit
+  * missed. Headline queries (the `headline` set below, each with its
+  * review point) are dumped FIRST in curated order, then every
+  * remaining query alphabetically.
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
@@ -85,31 +93,48 @@ object DumpPlans {
       // redundant-window relation on (id, p=s) — no per-doc explode)
       // and the C4 battery (stateless scan-parallel projection, zero
       // exchanges)
-      "dedup_substr_attribution", "q_c4_rules")
+      "dedup_substr_attribution", "q_c4_rules",
+      // round-11: distributed exact group percentiles — review point:
+      // no ObjectHashAggregate percentile buffer anywhere; the rank is
+      // range-partitioned, stats broadcast, final agg sees ≤ 2·|ps|
+      // rows per group
+      "q_percentiles")
     val sb = new StringBuilder
-    sb.append("# PLANS — formatted physical plans of headline queries\n\n")
+    sb.append("# PLANS — formatted physical plans of ALL declared queries\n\n")
     sb.append(s"Generated by `graft.tools.DumpPlans` against `$sfDir`.\n")
     sb.append("Reviewed properties: filters/columns pushed into the parquet ")
     sb.append("scan, small sides broadcast, partial aggregation before every ")
     sb.append("exchange, whole-stage codegen in hot paths.\n")
+    sb.append("Headline queries first (curated order, each with a review ")
+    sb.append("point in DumpPlans.scala), then the remainder of the gate ")
+    sb.append("alphabetically — full coverage, so a scale-weak plan can't ")
+    sb.append("hide outside the curated set.\n")
     // FormattedMode re-prints a cached subtree's entire child plan at every
     // InMemoryRelation site, so a composite that reuses two cached stages
     // across six rungs explodes to ~10k lines of repeated text while the
     // runtime plan reuses one TableCacheQueryStage per cache. Cap the dump:
     // the head (the composite's own operator spine) is the review surface.
     val maxSectionLines = 1500
-    Queries.all.filter(q => headline.contains(q.name)).foreach { q =>
-      val df = q.fn(spark, sfDir)
+    val byName = Queries.all.map(q => q.name -> q).toMap
+    val ordered =
+      headline.flatMap(byName.get) ++
+        Queries.all.filterNot(q => headline.contains(q.name)).sortBy(_.name)
+    ordered.foreach { q =>
       sb.append(s"\n## ${q.name}\n\n```\n")
-      val full = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      val lines = full.linesIterator.toVector
-      if (lines.size <= maxSectionLines) sb.append(full)
-      else {
-        sb.append(lines.take(maxSectionLines).mkString("\n"))
-        sb.append(s"\n... [truncated: ${lines.size} lines total; " +
-          "cached subtrees re-print in full at each reuse site in " +
-          "FormattedMode — execution reuses one TableCacheQueryStage each]\n")
+      try {
+        val df = q.fn(spark, sfDir)
+        val full = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val lines = full.linesIterator.toVector
+        if (lines.size <= maxSectionLines) sb.append(full)
+        else {
+          sb.append(lines.take(maxSectionLines).mkString("\n"))
+          sb.append(s"\n... [truncated: ${lines.size} lines total; " +
+            "cached subtrees re-print in full at each reuse site in " +
+            "FormattedMode — execution reuses one TableCacheQueryStage each]\n")
+        }
+      } catch { case e: Exception =>
+        sb.append(s"PLAN BUILD FAILED: ${e.getMessage}\n")
       }
       sb.append("```\n")
     }

@@ -6,7 +6,9 @@ object QuickBench {
     val names = if (args.nonEmpty) args.toSeq else Seq("q_pack", "q_vocab", "q_fuzzy_snm", "q_kmv_distinct", "dedup_simhash")
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      def once(): Double = { val t0 = System.nanoTime(); fn(spark, sf).count(); (System.nanoTime()-t0)/1e9 }
+      // same honest protocol as Bench: execute the query's OWN plan
+      // (toRdd), never a stacked .count() Catalyst can prune into
+      def once(): Double = { val t0 = System.nanoTime(); fn(spark, sf).queryExecution.toRdd.count(); (System.nanoTime()-t0)/1e9 }
       val cold = once(); val warm = once()
       // release per-query materializations, as Bench does
       spark.catalog.clearCache()

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.catalyst.expressions.NTile
+import org.apache.spark.sql.catalyst.expressions.aggregate.PercentileBase
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution.{CollectLimitExec, InputAdapter,
   LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
@@ -80,6 +81,18 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q_window_funcs" -> "user_id" // events per user bounded; users grow with SF
   )
 
+  /** Value-buffering percentile aggregates (`percentile`, `median` —
+    * Catalyst [[PercentileBase]]) whose group key PROVABLY scales with
+    * the relation. The aggregate's buffer is the group's whole
+    * value→count map and its final merge has |groups| tasks, so over a
+    * non-scaling key (the r10 weak: `l_returnflag`, 3 values) it is a
+    * fixed-task memory funnel whose per-task state grows with the
+    * corpus. The scale-safe replacement is `Prefix.groupPercentiles`;
+    * any NEW percentile aggregate must either use that or be allowlisted
+    * here with a cardinality argument.
+    */
+  private val percentileScalingGroupKeys: Map[String, String] = Map.empty
+
   /** Pre-order walk of the physical tree, descending into AQE wrappers
     * (leaf nodes holding the real plan) and subquery plans. */
   private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
@@ -104,6 +117,15 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
             if (!bounded(child))
               offenders += s"${q.name}: SinglePartition exchange over " +
                 s"unbounded child: ${child.nodeName}"
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+              if a.aggregateExpressions.exists(
+                _.aggregateFunction.isInstanceOf[PercentileBase]) &&
+                !percentileScalingGroupKeys.get(q.name).exists(k =>
+                  a.groupingExpressions.exists(
+                    _.references.exists(_.name == k))) =>
+            offenders += s"${q.name}: value-buffering percentile aggregate " +
+              s"(grouping=${a.groupingExpressions.mkString(",").take(60)}) — " +
+              "use Prefix.groupPercentiles or allowlist a scaling group key"
           case w: WindowExec
               if w.windowExpression.exists(
                 _.collectFirst { case _: NTile => () }.nonEmpty) &&

@@ -88,4 +88,38 @@ class PrefixSpec extends AnyFunSuite {
       assert(got == want, s"k=$k: ${got.toSet.diff(want.toSet).take(5)}")
     }
   }
+
+  test("groupPercentiles equals the percentile aggregate bit-for-bit (fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // skewed groups (one huge, tiny ones incl. n=1 so h=0 for every p),
+    // duplicate values (rank ties), NULL values (aggregate skips them —
+    // the helper must too), and a NULL group (percentile groups NULLs
+    // together; the helper's stats join must be null-safe)
+    val rows = (0 until 4000).map { i =>
+      val g =
+        if (rnd.nextInt(25) == 0) null
+        else if (rnd.nextInt(10) < 6) "big"
+        else s"g${rnd.nextInt(5)}"
+      val v: java.lang.Double =
+        if (rnd.nextInt(30) == 0) null
+        else rnd.nextInt(50) + rnd.nextDouble()
+      (i.toLong, g, v)
+    } ++ Seq((9001L, "lone", java.lang.Double.valueOf(3.25)))
+    val df = rows.toDF("id", "g", "v").repartition(16)
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val got = Prefix.groupPercentiles(df, Seq("g"), col("v"),
+        tiebreak = Seq(col("id")), ps = ps.map(p => p -> s"p$p"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ps.indices.map(i => r.getDouble(i + 1)).toList).toMap
+    val want = df.groupBy(col("g"))
+      .agg(expr(s"percentile(v, 0.0)"), expr(s"percentile(v, 0.25)"),
+        expr(s"percentile(v, 0.5)"), expr(s"percentile(v, 0.75)"),
+        expr(s"percentile(v, 0.95)"), expr(s"percentile(v, 1.0)"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ps.indices.map(i => r.getDouble(i + 1)).toList).toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(got(k) == want(k), s"group $k: got ${got(k)} want ${want(k)}")
+  }
 }
