@@ -938,14 +938,21 @@ object Corpus {
     *   - keep only lines ending in terminal punctuation (. ! ? ");
     *   - keep only lines with ≥ `minWordsPerLine` words (paper: 5);
     *   - drop lines containing the word "javascript" (case-insensitive);
-    *  page level (on the raw page resp. the reassembled text):
+    *  page level (brace, lorem-ipsum, and bad-word verdicts all on the
+    *  RAW page, before line filtering — Raffel et al. drop a page when
+    *  the trigger appears anywhere on it, so a phrase sitting on a line
+    *  the line rules discard still condemns the page; only the sentence
+    *  count is over the surviving text by construction):
     *   - drop pages containing '{' (code);
     *   - drop pages containing "lorem ipsum";
     *   - drop pages whose surviving text has < `minSentences` terminal
     *     punctuation marks (paper: 3 sentences);
     *   - drop pages containing any of `badWords` at word boundaries
-    *     (the paper's blocklist; parameterized — pass your list. Plain
-    *     word tokens, not regexes).
+    *     (the paper's blocklist; parameterized — pass your list. Words
+    *     are lowercased and regex-quoted here, so tokens with
+    *     metacharacters ("c++", ".net") never corrupt the alternation —
+    *     though a token EDGED by non-word chars matches only where a
+    *     `\b` boundary exists, the inherent word-boundary semantics).
     *
     * The paper's remaining step — three-sentence-span dedup — is the
     * passage family ([[graft.ext.Dedup.passageDedup]] /
@@ -970,7 +977,8 @@ object Corpus {
       rtrim(l).rlike("[.!?\"]$") &&
         size(TextOps.tokens(l)) >= minWordsPerLine &&
         !contains(lower(l), lit("javascript")))
-    val badRe = "\\b(" + badWords.mkString("|") + ")\\b"
+    val badRe = "\\b(" + badWords.map(w =>
+      java.util.regex.Pattern.quote(w.toLowerCase)).mkString("|") + ")\\b"
     df.select(col(idCol).as("id"), col(textCol).as("__raw"),
         size(lines).cast("long").as("n_lines"),
         size(kept).cast("long").as("n_kept_lines"),
@@ -983,9 +991,9 @@ object Corpus {
         col("n_sentences"),
         (col("n_sentences") >= minSentences &&
           !contains(col("__raw"), lit("{")) &&
-          !contains(lower(col("__clean")), lit("lorem ipsum")) &&
+          !contains(lower(col("__raw")), lit("lorem ipsum")) &&
           (if (badWords.isEmpty) lit(true)
-           else !lower(col("__clean")).rlike(badRe))).as("keep"),
+           else !lower(col("__raw")).rlike(badRe))).as("keep"),
         length(col("__clean")).cast("long").as("clean_len"),
         md5(col("__clean")).as("clean_fp"))
   }

@@ -676,11 +676,17 @@ object Dedup {
     * occurrence is redundant iff its fingerprint repeats in the corpus
     * AND it is not the fingerprint's canonical (lexicographic-min
     * (id, p)) occurrence. Canonical-first retention makes the choice
-    * total-order deterministic in any engine and keeps exactly ONE copy
-    * of every duplicated region corpus-wide; an exact duplicate
+    * total-order deterministic in any engine; an exact duplicate
     * document degenerates to a full-span cut (empty rewrite) with the
     * canonical copy untouched — whole-document dedup falls out as the
-    * boundary case.
+    * boundary case. Overlap corner case: the interval union cuts WHOLE
+    * islands of redundant windows, so when a canonical window sits
+    * inside a doc whose NEIGHBORING windows are redundant (the island
+    * engulfs it), that canonical occurrence's bytes are cut along with
+    * the island and all copies of that particular window can vanish —
+    * "one retained copy per duplicated region" holds for regions whose
+    * canonical occurrence is not itself engulfed (Lee et al.'s cut has
+    * the same property; the oracle replays identical semantics).
     *
     * Shape: the [[exactDupSpans]] machinery (every-offset native byte
     * scan, digest-only shuffles) with the canonical pick as a

@@ -169,7 +169,7 @@ object IncrementalCoverage {
     * stranded the data in the shadow dir if the process died between
     * the delete and the rename.)
     */
-  private def safeSwap(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def safeSwap(fs: org.apache.hadoop.fs.FileSystem,
                        live: org.apache.hadoop.fs.Path,
                        shadow: org.apache.hadoop.fs.Path): Unit = {
     // Hadoop FileSystem.rename signals failure by returning FALSE, not by
@@ -192,7 +192,7 @@ object IncrementalCoverage {
     * the crash hit between the two renames — put the old store back;
     * both present ⇒ only the final cleanup was lost — finish it.
     */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
                           live: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(live.toString + "__old")
     if (fs.exists(old)) {

@@ -283,11 +283,15 @@ private[graft] trait QueriesScorers { this: Queries.type =>
           when(col("doc_id") % 43 === 11, slice(toks0, 1, 20))
             .otherwise(toks0).as("tk"))
         .select(col("doc_id"), concat(
-          rtrim(array_join(transform(sequence(lit(1), size(col("tk"))), i =>
-            concat(element_at(col("tk"), i),
-              when(i % 24 === 0, lit(".\n"))
-                .when(i % 8 === 0, lit(". "))
-                .otherwise(lit(" ")))), "")),
+          // sequence(1, 0) is the DESCENDING [1, 0] in Spark (DuckDB's
+          // generate_series(1, 0) is empty) and element_at(tk, 0) throws
+          // — guard the zero-token document explicitly
+          when(size(col("tk")) === 0, lit("")).otherwise(
+            rtrim(array_join(transform(sequence(lit(1), size(col("tk"))), i =>
+              concat(element_at(col("tk"), i),
+                when(i % 24 === 0, lit(".\n"))
+                  .when(i % 8 === 0, lit(". "))
+                  .otherwise(lit(" ")))), ""))),
           when(col("doc_id") % 31 === 5, lit(" {")).otherwise(lit("")),
           when(col("doc_id") % 37 === 7,
             lit("\njavascript is inline here ok.")).otherwise(lit("")),
@@ -337,8 +341,8 @@ private[graft] trait QueriesScorers { this: Queries.type =>
           AS n_sentences,
         (len(regexp_extract_all(clean, '[.!?]')) >= 3
          AND NOT contains(b, '{')
-         AND NOT contains(lower(clean), 'lorem ipsum')
-         AND NOT regexp_matches(lower(clean), '\b(verybadword)\b')) AS keep,
+         AND NOT contains(lower(b), 'lorem ipsum')
+         AND NOT regexp_matches(lower(b), '\b(verybadword)\b')) AS keep,
         CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_fp
       FROM agg"""))
 

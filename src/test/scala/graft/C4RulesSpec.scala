@@ -59,6 +59,41 @@ class C4RulesSpec extends AnyFunSuite {
     assert(out(2L)._6 == out(1L)._6 && out(2L)._2 == 3L)
   }
 
+  test("page verdicts run on the RAW page: a trigger on a dropped line still condemns it") {
+    val base = Seq(good1, good2, good3).mkString("\n")
+    // both trigger lines lack terminal punctuation -> the LINE filter
+    // discards them, but Raffel's page rules check the raw page, so the
+    // verdict must still be keep=false; the rewrite is untouched
+    val out = run(Seq(
+      (1L, base + "\nlorem ipsum placeholder junk with no punct"),
+      (2L, base + "\nbare spam mention with no punct"),
+      (3L, base)))
+    assert(out(1L)._4 === false, "lorem ipsum on a dropped line condemns the page")
+    assert(out(2L)._4 === false, "blocklist word on a dropped line condemns the page")
+    assert(out(1L)._6 == out(3L)._6 && out(2L)._6 == out(3L)._6,
+      "the rewrite keeps only surviving lines regardless of the verdict")
+  }
+
+  test("blocklist words with regex metacharacters are quoted, case-folded") {
+    val base = Seq(good1, good2, good3).mkString("\n")
+    // unquoted, "c++" would compile to c followed by "one-or-more of
+    // one-or-more" (a PatternSyntaxException in Java); quoted it is the
+    // literal token. "a.b" unquoted would also match "axb".
+    val out = run(Seq(
+      (1L, base + "\nwe write some c++ code daily here."),
+      (2L, base + "\nthe axb token must not trip a dotted word."),
+      (3L, base + "\nthe a.b literal should trip the rule here."),
+      (4L, base + "\nSPAM shouts but still matches lowercase.")),
+      bad = Seq("c++", "a.b", "SpAm"))
+    assert(out(2L)._4 === true, "quoted '.' must not match 'axb'")
+    assert(out(3L)._4 === false, "literal 'a.b' matches")
+    assert(out(4L)._4 === false, "blocklist is case-folded both sides")
+    // "c++" edge caveat: \b after '+' needs a word char, so the token
+    // inside a sentence does NOT match — the documented boundary
+    // semantics; the point is the pattern never corrupts the alternation
+    assert(out(1L)._4 === true)
+  }
+
   test("empty rewrite: zero kept lines, md5(''), keep=false") {
     val out = run(Seq((9L, "no punct line\nanother bare line")))(9L)
     assert(out == ((2L, 0L, 0L, false, 0L, md5hex(""))))
