@@ -42,7 +42,8 @@ object Queries
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
-    qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrRewrite,
+    qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,
+    qDedupSubstrRewrite,
     qDedupSubstrAttribution, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
@@ -63,7 +64,7 @@ object Queries
     qKmeansAssign,
     qTimeTravel, qDataQuality,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
-    qCorpusPrepV3,
+    qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75)
 }

@@ -1446,6 +1446,36 @@ object Corpus {
         sum(col("n_tokens")).cast("long").as("budget_tokens"))
   }
 
+  /** The v4 curation composite (`q_corpus_prep_v4`'s exact chain,
+    * shared with its scale bench) — Lee et al. 2022's deployment shape
+    * for the exact-substring cut: Gopher shape battery FIRST (the
+    * policy filter), the recall=1 every-offset cut
+    * ([[graft.ext.Dedup.exactSpanRewrite]]) on the surviving slice
+    * only — the exact pass's n-windows-per-n-bytes price is paid on
+    * the reduced corpus — then byte-budget packing of the REWRITTEN
+    * bytes via [[graft.ext.Prefix.globalRunningSum]] (no
+    * single-partition window). The rewrite relation is cached once
+    * and read by both the pack sizing and the per-pack cut audit.
+    *
+    * @return (pack_id, n_docs, pack_bytes, cut_bytes)
+    */
+  def prepV4(df: DataFrame, idCol: String, textCol: String,
+             stopwords: Seq[String], minLen: Int = 40,
+             budgetBytes: Int = 4000): DataFrame = {
+    val keep = gopherRules(df, idCol, textCol, stopwords = stopwords)
+      .filter(col("keep")).select(col("id").as(idCol))
+    val rewritten = Materialize.multiScan(
+      Dedup.exactSpanRewriteBin(df.join(keep, Seq(idCol)),
+        idCol, textCol, minLen))
+    pack(rewritten, "id", "clean_bin", budget = budgetBytes,
+        tokenCounter = c => length(c).cast("long"))
+      .join(rewritten.select(col("id"), col("cut_bytes")), Seq("id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_bytes"),
+        sum(col("cut_bytes")).cast("long").as("cut_bytes"))
+  }
+
   def quotaSample(df: DataFrame, strataCols: Seq[String],
                   keyCols: Seq[String], quota: Int,
                   portable: Boolean = true): DataFrame = {

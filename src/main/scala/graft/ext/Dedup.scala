@@ -669,6 +669,123 @@ object Dedup {
         (col("e") - col("s")).as("span_bytes"))
   }
 
+  /** EXACT duplicated-span extraction via DISTRIBUTED PREFIX DOUBLING —
+    * Manber & Myers' suffix-array construction (the data structure
+    * Lee et al. 2022 actually build for ExactSubstr, §4.1) re-expressed
+    * as ⌈log₂ 2^⌊log₂ minLen⌋⌉ rounds of rank refinement over
+    * DataFrames, producing BYTE-IDENTICAL output to [[exactDupSpans]]
+    * (same maximal-island relation; a spec pins equality and the
+    * declared query shares `dedup_substr_exact`'s oracle):
+    *
+    *   1. the corpus explodes to one row per byte position (id, p, n)
+    *      with rank r₀ = dense rank of the byte value (≤ 256 classes);
+    *   2. round k: rank_{k}(p) = dense rank of the pair
+    *      (rank_{k−1}(p), rank_{k−1}(p + 2^{k−1})), absent second
+    *      component ⇒ sentinel 0 (the truncated suffix sorts first,
+    *      and a truncated suffix can never share a rank with a full
+    *      one — the sentinel pair differs). Dense ranks come from
+    *      [[Prefix.globalRowNumber]] over the DISTINCT pair relation —
+    *      fully distributed, no single-partition sort anywhere;
+    *   3. after reaching width w = 2^⌊log₂ minLen⌋, a length-minLen
+    *      window duplicates iff its OVERLAPPING rank pair
+    *      (rank(p), rank(p + minLen − w)) repeats (the standard
+    *      two-anchor trick for non-power-of-two lengths);
+    *   4. the shared [[islandsOf]] interval union yields the maximal
+    *      spans.
+    *
+    * WHY THIS EXISTS next to [[exactDupSpans]]: the window-hash pass
+    * shuffles one (16-byte fp, id, p) digest per byte offset — ~32
+    * bytes × corpus bytes, ONE shuffle. Prefix doubling shuffles
+    * (id, p, 8-byte rank) triples per round (join + distinct + rank ≈
+    * 3 exchanges of ~24 bytes × corpus bytes, × ⌊log₂ minLen⌋ rounds)
+    * — measured 5.2× the window-hash pass's wall at equal input
+    * (15.9 s vs 3.0 s warm, sf0.1 documents, 1.5 MB corpus — SCALE.md). Its value is as the VALIDATED reference
+    * implementation of the published algorithm (and the shape you'd
+    * extend for suffix-array uses the window hash can't serve:
+    * longest-common-prefix statistics, arbitrary-length maximal
+    * matches without fixing minLen up front). Production guidance
+    * unchanged: [[exactDupSpans]] for the fixed-minLen cut.
+    *
+    * Each round is CHECKPOINTED (the [[connectedComponents]] contract,
+    * same dial): iterative rank refinement nests round k−1's plan
+    * inside round k's, so without lineage truncation the plan TREE —
+    * and every plan string the UI or an explain renders — grows
+    * exponentially in rounds (the unchecked form OOMs in
+    * `explainString` before any data moves). `localCheckpoint` by
+    * default (executor-local blocks; an executor lost mid-build fails
+    * the job); pass `checkpointDir` on a real cluster for durable
+    * round files (two rounds of files at most, lifecycle managed
+    * here).
+    *
+    * @return (id, s, e, span_bytes) — identical to [[exactDupSpans]]
+    */
+  def exactDupSpansSA(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 40,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val spark = df.sparkSession
+    var round = 0
+    def ckpt(d: DataFrame): DataFrame = checkpointDir match {
+      case None => d.localCheckpoint()
+      case Some(dir) =>
+        d.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/round_$round")
+        val back = spark.read.parquet(s"$dir/round_$round")
+        if (round > 0) {
+          val prev = new org.apache.hadoop.fs.Path(s"$dir/round_${round - 1}")
+          prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(prev, true)
+        }
+        round += 1
+        back
+    }
+    val base = df.select(col(idCol).as("id"),
+        encode(TextOps.normalized(col(textCol)), "UTF-8").as("bin"))
+      .withColumn("n", length(col("bin")))
+    // one row per byte position; the 1-byte slice is projected in the
+    // generate stage and dropped before anything shuffles
+    val bytes = base.filter(col("n") >= minLen)
+      .select(col("id"), col("n"), col("bin"),
+        explode(sequence(lit(1), col("n"))).as("p"))
+      .select(col("id"), col("n"), col("p"),
+        substring(col("bin"), col("p"), lit(1)).as("b"))
+    val byteRanks = Prefix.globalRowNumber(
+      bytes.select(col("b")).distinct(), Seq(col("b")), "r")
+    var ranked = ckpt(bytes.join(broadcast(byteRanks), Seq("b"))
+      .select(col("id"), col("n"), col("p"), col("r")))
+    val width = Integer.highestOneBit(minLen) // 2^floor(log2 minLen)
+    var len = 1
+    while (len < width) {
+      val shifted = ranked.select(col("id"), (col("p") - len).as("p"),
+        col("r").as("r2"))
+      val paired = ranked.join(shifted, Seq("id", "p"), "left")
+        .select(col("id"), col("n"), col("p"), col("r"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      val pairRanks = Prefix.globalRowNumber(
+        paired.select(col("r"), col("r2")).distinct(),
+        Seq(col("r"), col("r2")), "nr")
+      ranked = ckpt(paired.join(pairRanks, Seq("r", "r2"))
+        .select(col("id"), col("n"), col("p"), col("nr").as("r")))
+      len *= 2
+    }
+    // two-anchor window identity for length minLen (shift 0 when minLen
+    // is a power of two: the pair degenerates to (r, r), still correct)
+    val shift = minLen - width
+    val anchor2 = ranked.select(col("id"), (col("p") - shift).as("p"),
+      col("r").as("r2"))
+    val wins = ranked.filter(col("p") <= col("n") - minLen + 1)
+      .join(anchor2, Seq("id", "p"))
+      .select(col("id"), col("p"), col("r"), col("r2"))
+    val dupPairs = wins.groupBy(col("r"), col("r2"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("r"), col("r2"))
+    islandsOf(wins.join(dupPairs, Seq("r", "r2"))
+        .select(col("id"), col("p")), minLen)
+      .select(col("id"), col("s"), col("e"),
+        (col("e") - col("s")).as("span_bytes"))
+  }
+
   /** EXACT duplicated-span REWRITE — Lee et al. 2022's actual dedup
     * ACTION (§4.2: remove all but one occurrence of each duplicated
     * substring), byte-true: every document is reassembled from the
@@ -705,7 +822,20 @@ object Dedup {
     *         clean_bytes ≡ n_bytes − cut_bytes by construction
     */
   def exactSpanRewrite(df: DataFrame, idCol: String, textCol: String,
-                       minLen: Int = 40): DataFrame = {
+                       minLen: Int = 40): DataFrame =
+    exactSpanRewriteBin(df, idCol, textCol, minLen)
+      .select(col("id"), col("n_bytes"), col("n_spans_cut"), col("cut_bytes"),
+        length(col("clean_bin")).cast("long").as("clean_bytes"),
+        md5(col("clean_bin")).as("clean_fp"))
+
+  /** [[exactSpanRewrite]] up to the stitched surviving BYTES — the
+    * consumable rewrite (curation ladder v4 packs these) rather than
+    * its fingerprint summary.
+    * @return (id, n_bytes, n_spans_cut, cut_bytes, clean_bin)
+    */
+  private[graft] def exactSpanRewriteBin(df: DataFrame, idCol: String,
+                                         textCol: String,
+                                         minLen: Int): DataFrame = {
     val wins = Materialize.multiScan(
       anchorWins(df, idCol, textCol, minLen, anchorMod = 1))
     val canon = wins.groupBy(col("fp"))
@@ -752,9 +882,6 @@ object Dedup {
         when(col("n_spans_cut").isNull, col("bin"))
           .otherwise(coalesce(col("clean_bin"), lit(Array.emptyByteArray)))
           .as("clean_bin"))
-      .select(col("id"), col("n_bytes"), col("n_spans_cut"), col("cut_bytes"),
-        length(col("clean_bin")).cast("long").as("clean_bytes"),
-        md5(col("clean_bin")).as("clean_fp"))
   }
 
   /** Duplicated-span PROVENANCE — the audit trail of

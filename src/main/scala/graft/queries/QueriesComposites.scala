@@ -417,6 +417,118 @@ private[graft] trait QueriesComposites { this: Queries.type =>
         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
       FROM prn GROUP BY 1"""))
 
+  /** Curation ladder v4 — Lee et al. 2022's actual DEPLOYMENT shape for
+    * the exact-substring cut ([[graft.ext.Dedup.exactSpanRewrite]]):
+    * policy-filter FIRST (the Gopher shape battery, doc-local), run the
+    * recall=1 every-offset cut on the SURVIVING slice only (the exact
+    * pass's honest n-windows-per-n-bytes price is paid on the
+    * policy-filtered corpus, not the raw one — SCALE.md's prescribed
+    * operating point), then pack the REWRITTEN bytes into fixed byte
+    * budgets for training. One end-to-end hash row: the oracle replays
+    * the shape gates, the every-offset canonical-first rewrite, and the
+    * byte-budget packing, so the composite's wiring — filter feeding
+    * cut feeding pack — is what the hash pins.
+    *
+    * Scale shape: rung 1 is a stateless scan; rung 2 is the documented
+    * exact-pass machinery (digest-only shuffles, parallelism ∝ docs) on
+    * the reduced slice; rung 3 is [[graft.ext.Prefix.globalRunningSum]]
+    * — no single-partition window. The rewrite relation is cached once
+    * and read by both the pack sizing and the per-pack cut audit.
+    */
+  val qCorpusPrepV4 = Q("q_corpus_prep_v4",
+    (s, dir) => Corpus.prepV4(t(s, dir, "documents"), "doc_id", "text",
+      stopwords = graft.ext.TextOps.Stopwords),
+    Some("""WITH gd AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      gb AS (
+        SELECT doc_id, t, string_split(t, ' ') AS toks,
+          CASE WHEN t = '' THEN 0
+               ELSE len(string_split(t, ' ')) END AS n
+        FROM gd),
+      gm AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+          CASE WHEN n > 0
+            THEN ((length(t) - (n - 1)) * 100) // n ELSE 0 END AS mean_len_x100,
+          CASE WHEN n > 0 THEN
+            (((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3) * 10000) // n
+          ELSE 0 END AS symbol_bp,
+          CASE WHEN n > 0 THEN
+            (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 10000) // n
+          ELSE 0 END AS alpha_bp,
+          CAST(len(list_intersect(list_distinct(toks),
+            ['the','a','an','of','and','to','in','is','on','for','it',
+             'with','as','at','by','be','this','that','from','or'])) AS BIGINT)
+            AS n_stop_distinct
+        FROM gb),
+      gkeep AS (
+        SELECT doc_id FROM gm
+        WHERE (n_words BETWEEN 50 AND 100000)
+          AND (mean_len_x100 BETWEEN 300 AND 1000)
+          AND symbol_bp <= 1000 AND alpha_bp >= 8000
+          AND n_stop_distinct >= 2),
+      d AS (SELECT gd.doc_id, gd.t FROM gd JOIN gkeep USING (doc_id)),
+      sized AS (SELECT doc_id, t, length(t) AS n FROM d),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized WHERE n >= 40),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM pos),
+      occ AS (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS n_occ,
+               row_number() OVER (PARTITION BY fp
+                 ORDER BY doc_id, p) AS rn
+        FROM wins),
+      dup AS (SELECT doc_id, p FROM occ WHERE n_occ >= 2 AND rn > 1),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e
+        FROM isl GROUP BY 1, 2),
+      head AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS seg_s,
+          s AS seg_e
+        FROM spans),
+      cuts AS (
+        SELECT doc_id, max(e) AS last_e, count(*) AS n_spans_cut,
+               CAST(sum(e - s) AS BIGINT) AS cut_bytes
+        FROM spans GROUP BY 1),
+      tail AS (
+        SELECT c.doc_id, c.last_e AS seg_s, z.n + 1 AS seg_e
+        FROM cuts c JOIN sized z USING (doc_id)),
+      segs AS (SELECT * FROM head UNION ALL SELECT * FROM tail),
+      clean AS (
+        SELECT g.doc_id,
+          string_agg(substr(z.t, g.seg_s, g.seg_e - g.seg_s), ''
+            ORDER BY g.seg_s) AS ct
+        FROM segs g JOIN sized z USING (doc_id)
+        WHERE g.seg_e > g.seg_s GROUP BY g.doc_id),
+      rw AS (
+        SELECT d.doc_id,
+          coalesce(c.cut_bytes, 0) AS cut_bytes,
+          CAST(length(CASE WHEN c.doc_id IS NOT NULL
+            THEN coalesce(cl.ct, '') ELSE d.t END) AS BIGINT) AS clean_bytes
+        FROM d LEFT JOIN cuts c USING (doc_id)
+        LEFT JOIN clean cl ON cl.doc_id = d.doc_id),
+      prn AS (
+        SELECT doc_id, cut_bytes, clean_bytes,
+          sum(clean_bytes) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rw)
+      SELECT CAST((cum - clean_bytes) // 4000 AS BIGINT) AS pack_id,
+        count(*) AS n_docs, CAST(sum(clean_bytes) AS BIGINT) AS pack_bytes,
+        CAST(sum(cut_bytes) AS BIGINT) AS cut_bytes
+      FROM prn GROUP BY 1"""))
+
   /** Overlapping token-window chunking (size 40, overlap 8). */
   val qChunk = Q("q_chunk",
     (s, dir) => Corpus.chunk(t(s, dir, "documents"), "doc_id", "text",

@@ -485,7 +485,23 @@ private[graft] trait QueriesDedup { this: Queries.type =>
   val qDedupSubstrExact = Q("dedup_substr_exact",
     (s, dir) => Dedup.exactDupSpans(t(s, dir, "documents"),
       "doc_id", "text", minLen = 40),
-    Some("""WITH d AS (
+    Some(substrExactOracle))
+
+  /** The SAME exact duplicated-span relation computed by the
+    * distributed suffix-array construction
+    * ([[Dedup.exactDupSpansSA]] — Manber-Myers prefix doubling, the
+    * data structure Lee et al. 2022 actually build): byte-identical
+    * output to `dedup_substr_exact`, checked against the IDENTICAL
+    * oracle (every window position enumerated in SQL), so the
+    * algorithmic equivalence of the two recall=1 passes is itself a
+    * hash-pinned row, not a claim.
+    */
+  val qDedupSubstrExactSa = Q("dedup_substr_exact_sa",
+    (s, dir) => Dedup.exactDupSpansSA(t(s, dir, "documents"),
+      "doc_id", "text", minLen = 40),
+    Some(substrExactOracle))
+
+  private lazy val substrExactOracle: String = """WITH d AS (
         SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
         FROM documents),
       sized AS (
@@ -511,7 +527,7 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       SELECT doc_id AS id, CAST(min(p) AS BIGINT) AS s,
         CAST(max(p) + 40 AS BIGINT) AS e,
         CAST(max(p) + 40 - min(p) AS BIGINT) AS span_bytes
-      FROM isl GROUP BY doc_id, isl_id"""))
+      FROM isl GROUP BY doc_id, isl_id"""
 
   /** EXACT duplicated-span REWRITE ([[Dedup.exactSpanRewrite]] — Lee
     * et al. 2022's cut action: remove all but the canonical occurrence

@@ -98,7 +98,11 @@ object DumpPlans {
       // no ObjectHashAggregate percentile buffer anywhere; the rank is
       // range-partitioned, stats broadcast, final agg sees ≤ 2·|ps|
       // rows per group
-      "q_percentiles")
+      "q_percentiles",
+      // round-11: ladder v4 (policy-filter → exact cut → byte packing)
+      // — review point: the every-offset window relation is built from
+      // the FILTERED slice only; rewrite cached once, read twice
+      "q_corpus_prep_v4")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of ALL declared queries\n\n")
     sb.append(s"Generated by `graft.tools.DumpPlans` against `$sfDir`.\n")

@@ -103,6 +103,55 @@ object Sf1EqBench {
     }.reduce(_ union _)
   }
 
+  /** The six-gate streaming admission tick ([[graft.pipeline
+    * .QualityAdmission]]) as an sf1-eq op: a compacted-batch-shaped
+    * relation over [[synthDocsEn]] (4% deletes, 2% NULL-text rows — the
+    * bypass paths stay on), scored against frozen tables built ONCE
+    * (weights, DSIR λ, unigram LM) with every gate configured
+    * (quality, DSIR, Gopher shape, repetition, surprisal, C4). Docs get
+    * a three-sentence terminal suffix so the C4 line rules keep rather
+    * than vacuously empty the page — every gate does full work. The op
+    * runs the production hook (`fromConfig` admit), which eagerly
+    * materializes its persisted output INSIDE the timed region — tick
+    * cost is what's measured, exactly as the pipeline pays it.
+    */
+  def admissionHook(spark: SparkSession, root: String):
+      (DataFrame, Long) => DataFrame = {
+    import graft.config.AdmissionConf
+    val ref = synthDocsEn(spark, 500L)
+    graft.ext.Corpus.dsirLambda(
+        ref.filter(col("doc_id") < 250),
+        ref.filter(col("doc_id") >= 250), "doc_id", "text", nBuckets = 64)
+      .write.mode("overwrite").parquet(s"$root/frozen/lambda")
+    graft.ext.Corpus.unigramLm(ref, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/frozen/lm")
+    spark.range(64).select(col("id").as("bucket"),
+        (pmod(hash(col("id")), lit(21)) - 10).cast("long").as("w"))
+      .write.mode("overwrite").parquet(s"$root/frozen/weights")
+    val cfg = AdmissionConf(
+      text_expr = "text",
+      weights_path = s"$root/frozen/weights",
+      n_buckets = 64, thr_milli = -100000L, min_words = 50,
+      repetition = true,
+      dsir_lambda_path = Some(s"$root/frozen/lambda"),
+      dsir_thr_x10k = -1000000L,
+      lm_path = Some(s"$root/frozen/lm"),
+      max_mean_surprisal_x10k = Some(200000L),
+      c4_rules = true, c4_bad_words = Some(List("verybadword")))
+    graft.pipeline.QualityAdmission.fromConfig(spark, cfg, "D")
+  }
+
+  /** Compacted-batch shape over [[synthDocsEn]] for the admission op. */
+  def admissionBatch(docs: DataFrame): DataFrame =
+    docs.select(
+      lit("bench_db").as("db_name"), lit("documents").as("tb_name"),
+      col("doc_id").cast("string").as("pk"),
+      when(col("doc_id") % 25 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      when(col("doc_id") % 50 === 1, lit(null).cast("string"))
+        .otherwise(concat(col("text"),
+          lit(". first tail period. second tail period. third one.")))
+        .as("text"))
+
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft-sf1eq")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,6 +172,12 @@ object Sf1EqBench {
     def docs(s: Int) = spark.read.parquet(s"$root/docs_x$s")
     def docsEn(s: Int) = spark.read.parquet(s"$root/docsEn_x$s")
 
+    for (s <- scales)
+      admissionBatch(docsEn(s)).write.mode("overwrite")
+        .parquet(s"$root/adm_x$s")
+    val admit = admissionHook(spark, root)
+    def admBatch(s: Int) = spark.read.parquet(s"$root/adm_x$s")
+
     val envelope = Seq(
       graft.Queries.qEnvelopePg, graft.Queries.qEnvelopeMongo,
       graft.Queries.qEnvelopeDms, graft.Queries.qEnvelopeDlq)
@@ -132,7 +187,15 @@ object Sf1EqBench {
         "q_corpus_prep" -> (s => prepCompositeV1Op(docsEn(s))),
         "q_corpus_prep_v2" -> (s => ScaleBench.prepCompositeOp(spark, docs(s))),
         "q_corpus_prep_v3" -> (s => ScaleBench.prepCompositeV3Op(spark, docs(s),
-          kSel = 600 * s)))
+          kSel = 600 * s)),
+        // v4 = policy-filter -> exact cut on survivors -> byte packing;
+        // docsEn: the stopword-bearing corpus the Gopher gate can pass,
+        // with planted near-copies so the exact cut binds
+        "q_corpus_prep_v4" -> (s => graft.ext.Corpus.prepV4(docsEn(s),
+          "doc_id", "text", stopwords = graft.ext.TextOps.Stopwords)),
+        // the six-gate streaming admission tick: fromConfig hook, all
+        // work inside the timed call (it materializes its output)
+        "admission_tick" -> (s => admit(admBatch(s), 0L)))
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -148,16 +211,39 @@ object Sf1EqBench {
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     System.err.println("| query | scale | cold s | median s | spread | rows |")
     System.err.println("|---|---|---|---|---|---|")
+    // the admission op's output contract is a PERSISTED frame (the
+    // pipeline unpersists it when the batch completes) — and its plan
+    // is identical across runs, so Spark's CacheManager would serve
+    // run N's result to run N+1 and "warm" would measure a cache READ,
+    // flat in batch size, not a tick. Unpersist between runs exactly
+    // like the pipeline does; the frozen tables stay cached (loaded
+    // once at startup), matching the production warm state.
+    val unpersistBetweenRuns = Set("admission_tick")
+    // v4's cost lives almost entirely in its internal rewrite cache —
+    // across same-plan runs Spark's CacheManager serves run N's cache
+    // to run N+1 and "warm" would measure a cache read (0.8 s) instead
+    // of the composite (26 s at 10×). Unlike admission there is no
+    // frozen-table warm state to preserve: clear ALL caches between
+    // runs, so its [median, spread] is over FRESH executions — the
+    // number that answers "what does one v4 run cost".
+    val freshRuns = Set("q_corpus_prep_v4")
     val rows = for ((name, op) <- ops) yield {
       val per = for (s <- scales) yield {
         def run(): Double = {
           val t0 = System.nanoTime()
-          op(s).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
+          val df = op(s)
+          df.queryExecution.toRdd.count()
+          val t = (System.nanoTime() - t0) / 1e9
+          if (unpersistBetweenRuns(name)) df.unpersist(true)
+          if (freshRuns(name)) release()
+          t
         }
         val t0 = System.nanoTime()
-        val n = op(s).queryExecution.toRdd.count()
+        val df0 = op(s)
+        val n = df0.queryExecution.toRdd.count()
         val cold = (System.nanoTime() - t0) / 1e9
+        if (unpersistBetweenRuns(name)) df0.unpersist(true)
+        if (freshRuns(name)) release()
         val warms = (1 to graft.Bench.WarmRuns).map(_ => run()).sorted
         release()
         val med = warms(warms.size / 2)

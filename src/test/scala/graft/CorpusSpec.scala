@@ -945,4 +945,68 @@ class CorpusSpec extends AnyFunSuite {
           .take(3).toString)
     }
   }
+
+  test("prepV4: the exact cut sees only the policy-filtered slice") {
+    // Lee et al.'s deployment shape means filter-THEN-cut: a duplicated
+    // span whose only other copy lives in a policy-REJECTED document
+    // must NOT be cut (that copy never reaches the exact pass), while a
+    // span shared by two SURVIVING documents is cut from the
+    // non-canonical one. Both scenarios in one corpus.
+    val stop = "the and of to in is on for it with"
+    // 60 words, mean length in Gopher's window, two distinct stopwords
+    def goodDoc(tag: String): String =
+      (1 to 50).map(i => s"word$i").mkString(" ") + " " + stop + " " + tag
+    val sharedAB = "unique shared passage spanning well over forty bytes " +
+      "of text for the cut to bind on"
+    // stopword-free (doc 3 must fail Gopher's >=2-distinct-stopwords rule)
+    val sharedAX = "other shared passage also spanning well over forty " +
+      "bytes exclusively inside rejected doc copy"
+    val docs = Seq(
+      (1L, goodDoc("alpha") + " " + sharedAB + " " + sharedAX), // survivor
+      (2L, goodDoc("beta") + " " + sharedAB),                   // survivor
+      // shares sharedAX with doc 1 but has ZERO stopwords -> Gopher
+      // rejects it, so sharedAX must survive in doc 1 uncut
+      (3L, (1 to 55).map(i => s"zz$i").mkString(" ") + " " + sharedAX))
+      .toDF("doc_id", "text")
+    val out = Corpus.prepV4(docs, "doc_id", "text",
+        stopwords = graft.ext.TextOps.Stopwords, budgetBytes = 1000000)
+      .collect()
+    assert(out.length == 1, s"one pack expected: ${out.toSeq}")
+    val r = out(0)
+    val (nDocs, packBytes, cutBytes) =
+      (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDocs == 2L, "doc 3 is policy-rejected before the cut")
+    // docs 1 and 2 share their goodDoc prefix AND sharedAB; doc 1 is
+    // canonical throughout (lower id), so the cut falls entirely on
+    // doc 2. Crucially sharedAX is NOT cut from doc 1 — its only other
+    // copy lives in the policy-rejected doc 3, which never reaches the
+    // exact pass. A driver-side replica replays windows + islands over
+    // the two surviving texts.
+    val norm = (s: String) =>
+      s.toLowerCase.replaceAll("\\s+", " ").trim
+    def expectedCut: Long = {
+      val t1 = norm(goodDoc("alpha") + " " + sharedAB + " " + sharedAX)
+      val t2 = norm(goodDoc("beta") + " " + sharedAB)
+      val w1 = (0 to t1.length - 40).map(p => t1.substring(p, p + 40)).toSet
+      val dupPs = (0 to t2.length - 40)
+        .filter(p => w1.contains(t2.substring(p, p + 40)))
+      // island pass (the operator's rule: a window joins the current
+      // island unless it starts past the island's end)
+      var cut = 0L; var s = -1; var e = -1
+      for (p <- dupPs) {
+        if (s < 0 || p > e) { if (s >= 0) cut += e - s; s = p }
+        e = p + 40
+      }
+      if (s >= 0) cut += e - s
+      cut
+    }
+    assert(cutBytes == expectedCut,
+      s"cut=$cutBytes expected=$expectedCut — the cut must bind on the " +
+        "survivor-shared regions only, never on the rejected doc's sharedAX")
+    assert(cutBytes >= 40L, "the planted duplicate spans must be cut")
+    val totalClean = norm(goodDoc("alpha") + " " + sharedAB + " " +
+      sharedAX).length + norm(goodDoc("beta") + " " + sharedAB).length -
+      cutBytes
+    assert(packBytes == totalClean.toLong)
+  }
 }

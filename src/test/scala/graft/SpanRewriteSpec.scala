@@ -118,4 +118,51 @@ class SpanRewriteSpec extends AnyFunSuite {
     assert(r1 == r2, "partitioning must not change the rewrite")
     assert(r1.forall(r => r.getLong(4) == r.getLong(1) - r.getLong(3)))
   }
+
+  test("suffix-array pass (prefix doubling) == window-hash pass (fuzz, both minLen parities, ckpt dir)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // corpus with planted structure: shared boilerplate headers, full
+    // copies, partial copies at random offsets, short docs (< minLen),
+    // and pure-random docs; ~80 docs keeps the byte relation small
+    // while every code path binds
+    val header = "common license header boilerplate shared across many docs "
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def randText(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(10))).mkString(" ")
+    val bodies = (0 until 60).map(i => randText(20 + rnd.nextInt(40)))
+    val docs = (0 until 60).map { i =>
+      val withHeader = if (i % 3 == 0) header + bodies(i) else bodies(i)
+      val t =
+        if (i % 11 == 7) bodies(i - 1)                        // full copy
+        else if (i % 13 == 9) bodies(i - 2).drop(25) + " tail" + i // partial
+        else withHeader
+      (i.toLong, t)
+    } ++ Seq((900L, "short doc"), (901L, ""))
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    for (minLen <- Seq(32, 40)) { // power-of-two (degenerate pair) and not
+      def spans(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("id").cast("long"), col("s").cast("long"),
+          col("e").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = spans(Dedup.exactDupSpans(df, "doc_id", "text", minLen))
+      val got = spans(Dedup.exactDupSpansSA(df, "doc_id", "text", minLen))
+      assert(got == want, s"minLen=$minLen: SA diverges — " +
+        s"only-SA=${(got -- want).take(3)} only-win=${(want -- got).take(3)}")
+      assert(want.nonEmpty, "fixture must actually plant duplicated spans")
+    }
+    // durable-checkpoint mode: same result, round files cleaned to ≤ 1
+    val dir = java.nio.file.Files.createTempDirectory("sa_ckpt").toString
+    def spans40(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id").cast("long"), col("s").cast("long"),
+        col("e").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got2 = spans40(Dedup.exactDupSpansSA(df, "doc_id", "text", 40,
+      checkpointDir = Some(dir)))
+    val want2 = spans40(Dedup.exactDupSpans(df, "doc_id", "text", 40))
+    assert(got2 == want2)
+    val rounds = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("round_"))
+    assert(rounds.length <= 1, s"stale round files: ${rounds.toSeq}")
+  }
 }
