@@ -678,7 +678,12 @@ object Dedup {
     * declared query shares `dedup_substr_exact`'s oracle):
     *
     *   1. the corpus explodes to one row per byte position (id, p, n)
-    *      with rank r₀ = dense rank of the byte value (≤ 256 classes);
+    *      with rank r₀ = dense rank of the 4-BYTE slice at p (the
+    *      textbook radix shortcut: seeding with width-4 classes skips
+    *      the first two doubling rounds — 3 rounds to width 32 instead
+    *      of 5; a slice truncated by the doc end is a shorter binary,
+    *      which sorts and ranks distinctly from every full slice, the
+    *      same argument as the sentinel in step 2);
     *   2. round k: rank_{k}(p) = dense rank of the pair
     *      (rank_{k−1}(p), rank_{k−1}(p + 2^{k−1})), absent second
     *      component ⇒ sentinel 0 (the truncated suffix sorts first,
@@ -697,9 +702,10 @@ object Dedup {
     * shuffles one (16-byte fp, id, p) digest per byte offset — ~32
     * bytes × corpus bytes, ONE shuffle. Prefix doubling shuffles
     * (id, p, 8-byte rank) triples per round (join + distinct + rank ≈
-    * 3 exchanges of ~24 bytes × corpus bytes, × ⌊log₂ minLen⌋ rounds)
-    * — measured 5.2× the window-hash pass's wall at equal input
-    * (15.9 s vs 3.0 s warm, sf0.1 documents, 1.5 MB corpus — SCALE.md). Its value is as the VALIDATED reference
+    * 3 exchanges of ~24 bytes × corpus bytes, × ⌊log₂ minLen⌋ − 2
+    * rounds after the width-4 seed) — measured 4.1× the window-hash
+    * pass's wall at equal input (12.3 s vs 3.0 s warm, sf0.1
+    * documents, 1.5 MB corpus — SCALE.md). Its value is as the VALIDATED reference
     * implementation of the published algorithm (and the shape you'd
     * extend for suffix-array uses the window hash can't serve:
     * longest-common-prefix statistics, arbitrary-length maximal
@@ -742,19 +748,22 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
         encode(TextOps.normalized(col(textCol)), "UTF-8").as("bin"))
       .withColumn("n", length(col("bin")))
-    // one row per byte position; the 1-byte slice is projected in the
-    // generate stage and dropped before anything shuffles
+    val width = Integer.highestOneBit(minLen) // 2^floor(log2 minLen)
+    val seed = math.min(4, width) // initial rank width (radix shortcut)
+    // one row per byte position; the seed-width slice is projected in
+    // the generate stage and dropped before anything shuffles
     val bytes = base.filter(col("n") >= minLen)
       .select(col("id"), col("n"), col("bin"),
         explode(sequence(lit(1), col("n"))).as("p"))
       .select(col("id"), col("n"), col("p"),
-        substring(col("bin"), col("p"), lit(1)).as("b"))
-    val byteRanks = Prefix.globalRowNumber(
+        substring(col("bin"), col("p"), lit(seed)).as("b"))
+    val seedRanks = Prefix.globalRowNumber(
       bytes.select(col("b")).distinct(), Seq(col("b")), "r")
-    var ranked = ckpt(bytes.join(broadcast(byteRanks), Seq("b"))
+    // no broadcast hint: distinct seed-width slices are corpus-sized in
+    // the worst case (4-grams, not bytes) — AQE broadcasts when small
+    var ranked = ckpt(bytes.join(seedRanks, Seq("b"))
       .select(col("id"), col("n"), col("p"), col("r")))
-    val width = Integer.highestOneBit(minLen) // 2^floor(log2 minLen)
-    var len = 1
+    var len = seed
     while (len < width) {
       val shifted = ranked.select(col("id"), (col("p") - len).as("p"),
         col("r").as("r2"))

@@ -93,6 +93,22 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     */
   private val percentileScalingGroupKeys: Map[String, String] = Map.empty
 
+  /** Queries whose UNKEYED window (empty partitionSpec — the whole
+    * relation through ONE task's sort) is provably bounded: every entry
+    * must name the bounding operator that cuts the input to O(k) rows
+    * BEFORE the window. Spark only inserts `WindowGroupLimitExec` for
+    * rank-filter patterns, so these plans carry a bare WindowExec and
+    * the audit cannot see the bound structurally — the allowlist forces
+    * the argument to be written. Any NEW unkeyed window must either
+    * restructure (Prefix machinery / TakeOrdered-then-rank) or be
+    * argued here.
+    */
+  private val unkeyedWindowBounded: Map[String, String] = Map(
+    "q_vocab" -> "rankedTop: orderBy.limit(k) TakeOrdered precedes the rank window (k=100)",
+    "q_heavy_hitters" -> "rankedTop: same TakeOrdered-then-rank shape over the sketch's recount",
+    "q_hybrid_retrieval" -> "rrfFuse: inputs are per-ranking top-k cuts; the fused relation is <= 2k rows"
+  )
+
   /** Pre-order walk of the physical tree, descending into AQE wrappers
     * (leaf nodes holding the real plan) and subquery plans. */
   private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
@@ -104,7 +120,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     p.subqueries.foreach(walk(_)(f))
   }
 
-  test("all declared queries: no CartesianProduct; SinglePartition exchanges bounded; no ntile windows") {
+  test("all declared queries: no CartesianProduct; SinglePartition exchanges bounded; no ntile / unkeyed / value-buffering-percentile funnels") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for (q <- Queries.all) {
       try {
@@ -126,6 +142,12 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
             offenders += s"${q.name}: value-buffering percentile aggregate " +
               s"(grouping=${a.groupingExpressions.mkString(",").take(60)}) — " +
               "use Prefix.groupPercentiles or allowlist a scaling group key"
+          case w: WindowExec
+              if w.partitionSpec.isEmpty &&
+                !unkeyedWindowBounded.contains(q.name) =>
+            offenders += s"${q.name}: UNKEYED window (whole relation " +
+              "through one task's sort) with no written boundedness " +
+              "argument — restructure or allowlist with the bounding operator"
           case w: WindowExec
               if w.windowExpression.exists(
                 _.collectFirst { case _: NTile => () }.nonEmpty) &&
