@@ -70,6 +70,15 @@ object SkewBench {
       }).as("embedding"))
   }
 
+  /** 3-group priced relation: group = id mod 3 (the l_returnflag
+    * shape), values hash-scattered doubles (mostly distinct — the
+    * worst case for a value-buffering percentile accumulator). */
+  def synthPriced(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id"),
+      pmod(col("id"), lit(3)).cast("string").as("g"),
+      (pmod(hash(col("id")), lit(1000000000)).cast("double") / 1000.0)
+        .as("v"))
+
   /** Mega-cluster assignment: 30% of ids in cluster 0, the rest
     * singletons; deterministic hash scores. */
   def synthClusters(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
@@ -132,7 +141,27 @@ object SkewBench {
       "semanticDedup collapseExact" -> (s =>
         graft.ext.Similarity.semanticDedup(synthHotVecs(spark, 3000L * s),
           "vec_id", "embedding", k = 16, tau = 0.7)
-          .filter(!col("keep"))))
+          .filter(!col("keep"))),
+      // r11: exact group percentiles under the low-cardinality-group
+      // shape (3 groups over millions of mostly-distinct doubles). The
+      // value-buffering `percentile` aggregate final-merges in exactly
+      // 3 tasks, each holding its group's ENTIRE value→count map; the
+      // distributed rank form range-partitions and its final aggregate
+      // sees ≤ 8 rows per group. Same results (PrefixSpec pins bits).
+      "percentiles value-buffering" -> { s =>
+        synthPriced(spark, baseDocs * s * 400).groupBy(col("g")).agg(
+          expr("percentile(v, 0.25)").as("p25"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.75)").as("p75"),
+          expr("percentile(v, 0.95)").as("p95"))
+      },
+      "percentiles distributed rank" -> { s =>
+        graft.ext.Prefix.groupPercentiles(
+          synthPriced(spark, baseDocs * s * 400), Seq("g"), col("v"),
+          tiebreak = Seq(col("id")),
+          ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
+            0.95 -> "p95"))
+      })
 
     // warmup pass at the smallest scale
     val warmScale = scales.min
@@ -143,14 +172,19 @@ object SkewBench {
     for ((name, op) <- ops; s <- scales) {
       def run(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val rows = op(s).count()
+        // the honest protocol (graft.Bench): execute the query's OWN
+        // plan — a stacked .count() lets Catalyst drop unused final
+        // aggregate expressions (the argmax and percentile variants
+        // would be "measured" without their aggregates)
+        val rows = op(s).queryExecution.toRdd.count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val (cold, rows) = run()
       val warm = run()._1
       release()
       val inRows =
-        if (name.startsWith("survivors")) baseDocs * s * 400
+        if (name.startsWith("survivors") ||
+          name.startsWith("percentiles")) baseDocs * s * 400
         else if (name.startsWith("semanticDedup")) 3000L * s
         else baseDocs * s
       println(f"| $name | ${s}x | $inRows | $cold%.2f | $warm%.2f | $rows |")
