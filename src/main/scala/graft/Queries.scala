@@ -43,8 +43,8 @@ object Queries
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,
-    qDedupSubstrRewrite,
-    qDedupSubstrAttribution, qDedupSimhash,
+    qDedupSubstrExactLcp, qDedupSubstrRewrite,
+    qDedupSubstrAttribution, qDedupLcpLongest, qDedupSpectrum, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
     qDecontamEmbedding,

@@ -709,7 +709,10 @@ object Dedup {
     * implementation of the published algorithm (and the shape you'd
     * extend for suffix-array uses the window hash can't serve:
     * longest-common-prefix statistics, arbitrary-length maximal
-    * matches without fixing minLen up front). Production guidance
+    * matches without fixing minLen up front — since realized as
+    * [[lcpPerPosition]] and [[exactDupSpansLcp]], which also replaces
+    * this pass as the practical form of the published algorithm:
+    * 2.2 s warm vs 15.5 s here at equal input). Production guidance
     * unchanged: [[exactDupSpans]] for the fixed-minLen cut.
     *
     * Each round is CHECKPOINTED (the [[connectedComponents]] contract,
@@ -1082,5 +1085,157 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("batch_id"), col("corpus_id"), col("hamming"))
+  }
+
+  /** Per-position LONGEST DUPLICATED PREFIX (capped) — the LCP statistic
+    * the suffix-array literature computes from the LCP array (Manber &
+    * Myers 1993; the structure Lee et al. 2022 §4.1 walk for ExactSubstr),
+    * re-expressed as ONE distributed range sort plus a codegen'd byte
+    * loop — no fixed minLen, no per-round iteration:
+    *
+    *   1. every byte position projects its cap-TRUNCATED suffix slice
+    *      (binary comparison is bytewise-unsigned with shorter-prefix-
+    *      first, i.e. exactly lexicographic suffix order truncated at
+    *      `cap`); the doc binary is dropped before anything shuffles;
+    *   2. [[Prefix.adjacentPairs]] over (slice, id, p) walks the suffix
+    *      array truncated at cap — ONE range sort, fully distributed,
+    *      ties on the slice split across partitions by the unique
+    *      (id, p) tiebreaker; successors come from a per-partition
+    *      window `lead` plus a broadcast boundary relation, never a
+    *      rank self-join re-shuffling the slices;
+    *   3. for each ADJACENT pair in that order, the LCP is the common-
+    *      prefix byte length of the two slices ([[graft.functions.BinaryLcp]],
+    *      one fused early-exit loop); ℓ(p) = max over p's ≤2 neighbors.
+    *
+    * Correctness at cap resolution: for true ℓ(p) < cap the classic SA
+    * adjacency argument applies (LCP between any two suffixes is the min
+    * of adjacent LCPs between them, and truncation at cap preserves the
+    * order of any two suffixes whose LCP < cap); for ℓ(p) ≥ cap, p's
+    * ≥cap-partner shares its full slice, lands in the same tie run, and
+    * every adjacent pair inside the run reports exactly cap. Tie-run
+    * INTERNAL order is irrelevant: lcp(p, ·) is constant across members
+    * of any other tie run (they agree beyond the point where p diverges),
+    * so the neighbor max is permutation-invariant — which is also why
+    * this matches an oracle that sorts full suffixes.
+    *
+    * 100 TB posture: the one shuffle carries (≤cap)-byte slices — cap ×
+    * corpus bytes of shuffle volume, the same "sort the first k bytes of
+    * every suffix" shape Lee et al. run on their corpus, and the honest
+    * price of LCP statistics (vs. the 16-byte digests of the fixed-minLen
+    * window pass). Parallelism ∝ corpus bytes throughout; no per-doc or
+    * per-fingerprint funnel; the neighbor self-join is an integer
+    * equi-join on the dense suffix rank.
+    *
+    * Positions whose suffix participates in no adjacent pair (a corpus
+    * with a single byte position) simply drop out — consumers treat
+    * absent as ℓ = 0.
+    *
+    * @param cap LCP values are exact up to `cap` and clamp there
+    * @return (id, p, l): 1-based byte position, capped LCP in bytes
+    */
+  def lcpPerPosition(df: DataFrame, idCol: String, textCol: String,
+                     cap: Int = 128): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"),
+        encode(TextOps.normalized(col(textCol)), "UTF-8").as("bin"))
+      .withColumn("n", length(col("bin")))
+    val suf = base.filter(col("n") >= 1)
+      .select(col("id"), col("bin"),
+        explode(sequence(lit(1), col("n"))).as("p"))
+      .select(col("id"), col("p"),
+        substring(col("bin"), col("p"), lit(cap)).as("k"))
+    // the `out` projection runs BEFORE adjacentPairs materializes its
+    // pair relation: two cap-byte slices reduce to one int per pair, so
+    // the only thing ever stored or re-scanned is (id, p, id_b, p_b, lcp)
+    val pairs = Prefix.adjacentPairs(suf,
+      Seq(col("k"), col("id"), col("p")), Seq("id", "p", "k"),
+      out = Seq(col("id"), col("p"), col("id_b"), col("p_b"),
+        graft.functions.VectorFunctions.binLcp(col("k"), col("k_b"))
+          .as("lcp")))
+    pairs.select(col("id"), col("p"), col("lcp"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("p_b").as("p"),
+        col("lcp")))
+      .groupBy(col("id"), col("p"))
+      .agg(max(col("lcp")).as("l"))
+  }
+
+  /** Longest duplicated substring PER DOCUMENT (exact, capped at `cap`
+    * bytes): max over the doc's positions of [[lcpPerPosition]]'s ℓ —
+    * the per-doc curation signal ("how much of this doc's longest run
+    * exists elsewhere?") that no fixed-minLen pass can report. Documents
+    * whose normalized text is empty, or whose every byte is corpus-unique,
+    * report 0.
+    *
+    * @return (id, longest_dup): longest_dup in bytes, ≤ cap
+    */
+  def longestDupPerDoc(df: DataFrame, idCol: String, textCol: String,
+                       cap: Int = 128): DataFrame = {
+    val perDoc = lcpPerPosition(df, idCol, textCol, cap)
+      .groupBy(col("id")).agg(max(col("l")).as("ld"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ld"), lit(0)).cast("long").as("longest_dup"))
+  }
+
+  /** EXACT duplicated-span extraction via the SUFFIX-ORDER pass — the
+    * third route to [[exactDupSpans]]'s relation, and the one that is
+    * literally Lee et al. 2022 §4.1's deployment shape (sort the
+    * suffixes, scan neighbors): a position starts a duplicated
+    * minLen-window iff its longest duplicated prefix reaches minLen
+    * (ℓ(p) ≥ minLen ⟺ some other suffix shares ≥ minLen bytes ⟺ the
+    * window repeats; ℓ(p) ≥ minLen also implies the window fits the
+    * doc), so the dup-position relation is [[lcpPerPosition]] at
+    * cap = minLen filtered to the clamp value, and the shared
+    * [[islandsOf]] union yields the identical maximal spans.
+    *
+    * Measured (sf0.1 documents, 1.5M positions, local[32], fresh runs):
+    * 16.0 s vs the window-hash pass's 4.5 s — the two slice exchanges
+    * plus the suffix sort cost ~3.5× the single digest shuffle, so
+    * [[exactDupSpans]] REMAINS the production form for a fixed minLen.
+    * What this route buys: it replaces the prefix-doubling pass as the
+    * practical form of the published algorithm (2.2 s warm vs
+    * `exactDupSpansSA`'s 15.5 s — no iteration, no checkpoints, no md5
+    * anywhere), and when the LCP relation is being computed anyway
+    * (longest-dup / spectrum reporting), the span set is an incremental
+    * filter+islands on top of it. Declared as `dedup_substr_exact_lcp`
+    * against the SAME oracle as the other two — three algorithms, one
+    * hash.
+    *
+    * @return (id, s, e, span_bytes) — identical to [[exactDupSpans]]
+    */
+  def exactDupSpansLcp(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 40): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    islandsOf(lcpPerPosition(df, idCol, textCol, cap = minLen)
+        .filter(col("l") === minLen).select(col("id"), col("p")), minLen)
+      .select(col("id"), col("s"), col("e"),
+        (col("e") - col("s")).as("span_bytes"))
+  }
+
+  /** Corpus DUPLICATION SPECTRUM: for each threshold L, how many byte
+    * positions start a duplicated run of at least L bytes — the one-pass
+    * answer to "what would ExactSubstr cut at minLen = L?" for a whole
+    * grid of Ls (each threshold row of this relation counts exactly the
+    * dup-window START positions [[exactDupSpans]] would mark at that
+    * minLen), where the fixed-minLen pass must re-run per L.
+    *
+    * @param thresholds must each be ≤ cap (ℓ clamps at cap, so a larger
+    *                   threshold would silently read as "≥ cap", not
+    *                   "≥ threshold" — rejected loudly instead)
+    * @return (th, n_pos), one row per threshold, 0-count rows kept
+    */
+  def dupSpectrum(df: DataFrame, idCol: String, textCol: String,
+                  thresholds: Seq[Int], cap: Int = 128): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= cap),
+      s"thresholds must be in [1, cap=$cap], got $thresholds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val l = lcpPerPosition(df, idCol, textCol, cap)
+    val counts = l.select(explode(typedlit(thresholds)).as("th"), col("l"))
+      .filter(col("l") >= col("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("n_pos"))
+    thresholds.toDF("th").join(counts, Seq("th"), "left")
+      .select(col("th"), coalesce(col("n_pos"), lit(0L)).as("n_pos"))
   }
 }

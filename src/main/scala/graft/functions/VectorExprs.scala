@@ -448,6 +448,49 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `bin_lcp(a, b)`: common-prefix length IN BYTES of two binary values —
+  * the adjacent-pair LCP primitive of the suffix-order dedup statistics
+  * ([[graft.ext.Dedup.lcpPerPosition]]).
+  *
+  * The composable form (`filter(sequence(1, n), i -> substring(a,i,1) <>
+  * substring(b,i,1))` then `element_at(..,1) - 1`) allocates a position
+  * array plus two 1-byte binaries per probed index and cannot early-exit
+  * past the first mismatch; this is one fused byte loop that stops at
+  * the first differing byte, with whole-stage codegen emitting the same
+  * loop inline.
+  */
+case class BinaryLcp(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "bin_lcp"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n && x(i) == y(i)) i += 1
+    i
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+        int $n = java.lang.Math.min($a.length, $b.length);
+        int $i = 0;
+        while ($i < $n && $a[$i] == $b[$i]) $i++;
+        ${ev.value} = $i;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BinaryLcp =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `ngram_units(text, ns)`: every word-n-gram of the normalized text,
   * for all n in `ns`, as (k = n, h = 64-bit identity hash, chars =
   * character length of the joined n-gram) structs in ONE pass — the
@@ -632,6 +675,7 @@ object VectorFunctions {
     "ngram_units" -> (exprs => NgramUnits(exprs(0),
       exprs(1).eval(null).asInstanceOf[ArrayData].toIntArray().toSeq)),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
+    "bin_lcp" -> (exprs => BinaryLcp(exprs(0), exprs(1))),
     "bloom_agg" -> (exprs =>
       BloomAgg(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     // the filter arrives as a foldable binary literal, folded into a
@@ -714,6 +758,9 @@ object VectorFunctions {
 
   /** Column API for [[NfcNormalize]]: Unicode NFC canonicalization. */
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  /** Column API for [[BinaryLcp]]: common-prefix byte length. */
+  def binLcp(a: Column, b: Column): Column = call_function("bin_lcp", a, b)
 
   /** Column API for [[BpeEncodeExpr]]: BPE symbols of (normalized) text
     * under a learned merge table. The table rides as one literal →

@@ -501,6 +501,111 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       "doc_id", "text", minLen = 40),
     Some(substrExactOracle))
 
+  /** The THIRD route to the same relation ([[Dedup.exactDupSpansLcp]] —
+    * suffix-order pass: ℓ(p) ≥ minLen ⟺ dup window start), again
+    * against the identical oracle: three algorithms (window hash,
+    * prefix doubling, suffix order), one hash.
+    */
+  val qDedupSubstrExactLcp = Q("dedup_substr_exact_lcp",
+    (s, dir) => Dedup.exactDupSpansLcp(t(s, dir, "documents"),
+      "doc_id", "text", minLen = 40),
+    Some(substrExactOracle))
+
+  /** Longest duplicated substring per document (exact, capped at 128
+    * bytes) — the LCP statistic from the suffix-order pass
+    * ([[Dedup.longestDupPerDoc]]): one distributed range sort of
+    * cap-truncated suffix slices, adjacent-pair LCP via the codegen'd
+    * [[graft.functions.BinaryLcp]] byte loop. The oracle is
+    * ALGORITHMICALLY INDEPENDENT: DuckDB sorts the full suffixes as
+    * strings and scans adjacent pairs character-by-character — no
+    * truncated keys, no binary slices — so the hash row pins the
+    * truncation-correctness argument (lcp < cap ⇒ order preserved;
+    * lcp ≥ cap ⇒ clamped) against a from-scratch reformulation.
+    */
+  val qDedupLcpLongest = Q("dedup_lcp_longest",
+    (s, dir) => Dedup.longestDupPerDoc(t(s, dir, "documents"),
+      "doc_id", "text", cap = 128),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      sized AS (SELECT doc_id, t, length(t) AS n FROM d),
+      suf AS (
+        SELECT doc_id, p, substr(t, p, 128) AS s
+        FROM (SELECT doc_id, t, n, unnest(generate_series(1, n)) AS p
+              FROM sized WHERE n >= 1)),
+      ord AS (
+        SELECT doc_id, p, s, row_number() OVER (ORDER BY s, doc_id, p) AS rk
+        FROM suf),
+      pairs AS (
+        SELECT a.doc_id AS da, a.p AS pa, a.s AS sa,
+               b.doc_id AS db, b.p AS pb, b.s AS sb
+        FROM ord a JOIN ord b ON b.rk = a.rk + 1),
+      probes AS (
+        SELECT da, pa, db, pb, least(length(sa), length(sb)) AS m, sa, sb,
+               unnest(generate_series(1, least(length(sa), length(sb)))) AS k
+        FROM pairs),
+      lcps AS (
+        SELECT da, pa, db, pb,
+               coalesce(min(CASE WHEN substr(sa, k, 1) <> substr(sb, k, 1)
+                                 THEN k END) - 1, any_value(m)) AS lcp
+        FROM probes GROUP BY da, pa, db, pb),
+      perpos AS (
+        SELECT doc_id, p, max(lcp) AS l FROM (
+          SELECT da AS doc_id, pa AS p, lcp FROM lcps
+          UNION ALL
+          SELECT db AS doc_id, pb AS p, lcp FROM lcps) u
+        GROUP BY doc_id, p),
+      perdoc AS (SELECT doc_id, max(l) AS longest_dup FROM perpos
+                 GROUP BY doc_id)
+      SELECT s.doc_id AS id, coalesce(perdoc.longest_dup, 0) AS longest_dup
+      FROM sized s LEFT JOIN perdoc USING (doc_id)"""))
+
+  /** Corpus duplication spectrum ([[Dedup.dupSpectrum]]): how many byte
+    * positions start a duplicated run of ≥ L bytes, for L ∈ {40, 64,
+    * 128} — the whole minLen-sweep ("what would ExactSubstr cut at
+    * minLen = L?") from ONE suffix-sort pass, where the window pass
+    * re-runs per L. Same independent full-suffix oracle as
+    * `dedup_lcp_longest`, aggregated per threshold.
+    */
+  val qDedupSpectrum = Q("dedup_lcp_spectrum",
+    (s, dir) => Dedup.dupSpectrum(t(s, dir, "documents"),
+      "doc_id", "text", thresholds = Seq(40, 64, 128), cap = 128),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      sized AS (SELECT doc_id, t, length(t) AS n FROM d),
+      suf AS (
+        SELECT doc_id, p, substr(t, p, 128) AS s
+        FROM (SELECT doc_id, t, n, unnest(generate_series(1, n)) AS p
+              FROM sized WHERE n >= 1)),
+      ord AS (
+        SELECT doc_id, p, s, row_number() OVER (ORDER BY s, doc_id, p) AS rk
+        FROM suf),
+      pairs AS (
+        SELECT a.doc_id AS da, a.p AS pa, a.s AS sa,
+               b.doc_id AS db, b.p AS pb, b.s AS sb
+        FROM ord a JOIN ord b ON b.rk = a.rk + 1),
+      probes AS (
+        SELECT da, pa, db, pb, least(length(sa), length(sb)) AS m, sa, sb,
+               unnest(generate_series(1, least(length(sa), length(sb)))) AS k
+        FROM pairs),
+      lcps AS (
+        SELECT da, pa, db, pb,
+               coalesce(min(CASE WHEN substr(sa, k, 1) <> substr(sb, k, 1)
+                                 THEN k END) - 1, any_value(m)) AS lcp
+        FROM probes GROUP BY da, pa, db, pb),
+      perpos AS (
+        SELECT doc_id, p, max(lcp) AS l FROM (
+          SELECT da AS doc_id, pa AS p, lcp FROM lcps
+          UNION ALL
+          SELECT db AS doc_id, pb AS p, lcp FROM lcps) u
+        GROUP BY doc_id, p),
+      th AS (SELECT CAST(unnest([40, 64, 128]) AS INTEGER) AS th),
+      cnt AS (SELECT th.th, count(*) AS n_pos
+              FROM perpos JOIN th ON perpos.l >= th.th GROUP BY th.th)
+      SELECT th.th, coalesce(cnt.n_pos, 0) AS n_pos
+      FROM th LEFT JOIN cnt USING (th)"""))
+
   private lazy val substrExactOracle: String = """WITH d AS (
         SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
         FROM documents),

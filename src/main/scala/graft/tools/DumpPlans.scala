@@ -102,7 +102,18 @@ object DumpPlans {
       // round-11: ladder v4 (policy-filter → exact cut → byte packing)
       // — review point: the every-offset window relation is built from
       // the FILTERED slice only; rewrite cached once, read twice
-      "q_corpus_prep_v4")
+      "q_corpus_prep_v4",
+      // round-11: suffix-order LCP statistics — review point: exactly
+      // TWO exchanges carry the cap-byte slices (the range sort + the
+      // __pid re-clustering every two-pass Prefix window pays, a
+      // pass-through shuffle); lead + row_number fuse into a single
+      // WindowExec; the materialized pair relation is (id, p, id_b,
+      // p_b, lcp) ints (the out-projection ran before the persist);
+      // boundary stitch is a broadcast of nPartitions rows
+      "dedup_lcp_longest", "dedup_lcp_spectrum",
+      // ...and the exact route: the same relation + clamp filter +
+      // doc-keyed islands
+      "dedup_substr_exact_lcp")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of ALL declared queries\n\n")
     sb.append(s"Generated by `graft.tools.DumpPlans` against `$sfDir`.\n")

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The committed sf1-equivalent benchmark artifact (`BENCH_sf1eq.json`)
-  * for the composite family — prep v1/v2/v3 — and the four envelope
-  * round-trips, the queries whose 100 TB posture claims ride the
-  * ScaleBench curves but whose perf gate only ran at sf0.1.
+  * for the composite family — prep v1/v2/v3/v4 — the four envelope
+  * round-trips, the six-gate admission tick, and the suffix-order LCP
+  * pass: the queries whose 100 TB posture claims ride the ScaleBench
+  * curves but whose perf gate only ran at sf0.1.
   *
   * Protocol = the round bench's own ([[graft.Bench]]): per (query,
   * scale) one cold run + `WarmRuns` warm runs, `[median, spread]` of
@@ -195,7 +196,12 @@ object Sf1EqBench {
           "doc_id", "text", stopwords = graft.ext.TextOps.Stopwords)),
         // the six-gate streaming admission tick: fromConfig hook, all
         // work inside the timed call (it materializes its output)
-        "admission_tick" -> (s => admit(admBatch(s), 0L)))
+        "admission_tick" -> (s => admit(admBatch(s), 0L)),
+        // suffix-order LCP statistics: ONE range sort of cap-byte
+        // suffix slices (shuffle volume = cap × corpus bytes — the
+        // honest suffix-ORDER price, documented in SCALE.md)
+        "dedup_lcp_longest" -> (s => graft.ext.Dedup.longestDupPerDoc(
+          docs(s), "doc_id", "text", cap = 128)))
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -226,7 +232,12 @@ object Sf1EqBench {
     // frozen-table warm state to preserve: clear ALL caches between
     // runs, so its [median, spread] is over FRESH executions — the
     // number that answers "what does one v4 run cost".
-    val freshRuns = Set("q_corpus_prep_v4")
+    // dedup_lcp_longest caches its internal pair relation
+    // (Prefix.adjacentPairs materializes post-projection pairs), so the
+    // same fresh-run protocol applies: the committed number answers
+    // "what does one LCP pass cost", not "what does re-reading its
+    // cache cost"
+    val freshRuns = Set("q_corpus_prep_v4", "dedup_lcp_longest")
     val rows = for ((name, op) <- ops) yield {
       val per = for (s <- scales) yield {
         def run(): Double = {

@@ -122,4 +122,21 @@ class PrefixSpec extends AnyFunSuite {
     for (k <- got.keySet)
       assert(got(k) == want(k), s"group $k: got ${got(k)} want ${want(k)}")
   }
+
+  test("adjacentPairs equals the sorted-sequence zip (fuzz over partitionings)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // duplicate keys force boundary ties; the unique id breaks them
+    val rows = (0 until 3000).map(i => (i.toLong, rnd.nextInt(40)))
+    val want = rows.sortBy(r => (r._2, r._1)).sliding(2).collect {
+      case Seq((ida, ka), (idb, kb)) => (ida, ka, idb, kb)
+    }.toSet
+    for (np <- Seq(1, 7, 64)) {
+      val df = rows.toDF("id", "k").repartition(np)
+      val got = Prefix.adjacentPairs(df, Seq(col("k"), col("id")),
+          Seq("id", "k"))
+        .as[(Long, Int, Long, Int)].collect().toSet
+      assert(got == want, s"np=$np")
+    }
+  }
 }
