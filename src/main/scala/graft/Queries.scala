@@ -39,7 +39,8 @@ object Queries
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration,
-    qDedupExact, qDedupNfc, qDedupJaccard, qDedupIncremental, qDedupMinhash,
+    qDedupExact, qDedupNfc, qDedupJaccard, qDedupContainment,
+    qDedupContainmentIncremental, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,

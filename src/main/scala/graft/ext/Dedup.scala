@@ -152,6 +152,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jacc"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — C(A→B) = |S(A) ∩ S(B)| / |S(A)|
+    * ≥ tau: the doc-inside-doc relation symmetric Jaccard structurally
+    * misses (Broder 1997's resemblance-vs-containment distinction). A
+    * 200-word passage quoted inside a 5,000-word page has J ≈ 0.04 at
+    * any shingle width — invisible to every resemblance pass at any
+    * usable τ — while its containment in the page is ≈ 1; a curation
+    * pipeline that only scores resemblance keeps every such embedded
+    * copy.
+    *
+    * Same inverted shingle index as [[jaccardPairs]] (8-byte hashes,
+    * optional stop-shingle cap). NO length-ratio prune exists for this
+    * relation: containment of the smaller side in the larger is never
+    * size-bounded (|S(B)| ≥ τ·|S(A)| holds trivially when B is the
+    * bigger doc), so join cost is driven entirely by shingle
+    * co-occurrence — at corpus scale `maxDocFreq` is the dial that
+    * matters (boilerplate shingles dominate postings and carry no
+    * containment signal).
+    *
+    * @return (src_id, host_id, cont): src's shingle set is
+    *         cont-contained in host's; one row per ORDERED direction
+    *         with cont ≥ tau, both directions scored from the single
+    *         unordered intersection count
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double,
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val shAll = explodedShingles(df, idCol, textCol, n)
+      .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64"))
+    val shPlan = if (maxDocFreq == Int.MaxValue) shAll else {
+      val hot = shAll.groupBy(col("sh64"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
+        .select(col("sh64"))
+      shAll.join(broadcast(hot), Seq("sh64"), "left_anti")
+    }
+    val sh = Materialize.multiScan(shPlan)
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val pairs = a.join(b,
+        col("a.sh64") === col("b.sh64") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.m").as("m_a"), col("b.m").as("m_b"))
+      .agg(count(lit(1)).as("inter"))
+    val ab = pairs.select(col("id_a").as("src_id"),
+      col("id_b").as("host_id"),
+      round(col("inter").cast("double") / col("m_a"), 4).as("cont"))
+    val ba = pairs.select(col("id_b").as("src_id"),
+      col("id_a").as("host_id"),
+      round(col("inter").cast("double") / col("m_b"), 4).as("cont"))
+    ab.unionAll(ba).filter(col("cont") >= tau)
+  }
+
   /** Incremental near-dup: shingle-Jaccard ≥ tau pairs between an
     * ARRIVING batch and the EXISTING corpus — the continuously-growing-
     * corpus complement of [[jaccardPairs]]. A training pipeline that
@@ -191,6 +243,60 @@ object Dedup {
                      n: Int, tau: Double,
                      maxDocFreq: Int = Int.MaxValue,
                      cacheCorpus: Boolean = true): DataFrame = {
+    val (a, b) = againstPostings(batch, corpus, idCol, textCol, n,
+      maxDocFreq, cacheCorpus)
+    a.as("ja").join(b.as("jb"), col("ja.sh64") === col("jb.sh64") &&
+        col("m_a") >= col("m_b") * tau && col("m_b") >= col("m_a") * tau)
+      .groupBy(col("batch_id"), col("corpus_id"), col("m_a"), col("m_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jacc", round(col("inter").cast("double") /
+        (col("m_a") + col("m_b") - col("inter")), 4))
+      .filter(col("jacc") >= tau)
+      .select(col("batch_id"), col("corpus_id"), col("jacc"))
+  }
+
+  /** Batch-vs-corpus CONTAINMENT — the admission-loop complement of
+    * [[containmentPairs]], postings-shaped exactly like
+    * [[jaccardAgainst]] (shared builder): did an arriving doc's content
+    * already land inside an admitted doc (cont_batch — the embedded-
+    * quote admission signal), and does the arriving doc swallow an
+    * admitted one (cont_corpus — the superset signal that may justify
+    * replacing the admitted doc)? Both directions score from the one
+    * A-vs-B intersection count; a pair survives if EITHER reaches tau.
+    * No length-ratio prune exists for containment (see
+    * [[containmentPairs]]), so `maxDocFreq` is the scale dial.
+    *
+    * @return (batch_id, corpus_id, cont_batch, cont_corpus)
+    */
+  def containmentAgainst(batch: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, tau: Double,
+                         maxDocFreq: Int = Int.MaxValue,
+                         cacheCorpus: Boolean = true): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val (a, b) = againstPostings(batch, corpus, idCol, textCol, n,
+      maxDocFreq, cacheCorpus)
+    a.as("ja").join(b.as("jb"), col("ja.sh64") === col("jb.sh64"))
+      .groupBy(col("batch_id"), col("corpus_id"), col("m_a"), col("m_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_batch",
+        round(col("inter").cast("double") / col("m_a"), 4))
+      .withColumn("cont_corpus",
+        round(col("inter").cast("double") / col("m_b"), 4))
+      .filter(greatest(col("cont_batch"), col("cont_corpus")) >= tau)
+      .select(col("batch_id"), col("corpus_id"), col("cont_batch"),
+        col("cont_corpus"))
+  }
+
+  /** Shared postings builder for the batch-vs-corpus family: (a, b) =
+    * (batch postings (batch_id, m_a, sh64), corpus postings (corpus_id,
+    * m_b, sh64)), with the corpus-side stop-shingle cap applied. See
+    * [[jaccardAgainst]] for the cacheCorpus contract.
+    */
+  private def againstPostings(batch: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String, n: Int,
+                              maxDocFreq: Int,
+                              cacheCorpus: Boolean): (DataFrame, DataFrame) = {
     def postings(df: DataFrame, id: String, m: String): DataFrame =
       Materialize.spread(df)
         .select(col(idCol).as(id), shingleUdf(col(textCol), lit(n)).as("shs"))
@@ -234,14 +340,7 @@ object Dedup {
         .select(col("sh64"))
       bAll.join(broadcast(hot), Seq("sh64"), "left_anti")
     }
-    a.as("ja").join(b.as("jb"), col("ja.sh64") === col("jb.sh64") &&
-        col("m_a") >= col("m_b") * tau && col("m_b") >= col("m_a") * tau)
-      .groupBy(col("batch_id"), col("corpus_id"), col("m_a"), col("m_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jacc", round(col("inter").cast("double") /
-        (col("m_a") + col("m_b") - col("inter")), 4))
-      .filter(col("jacc") >= tau)
-      .select(col("batch_id"), col("corpus_id"), col("jacc"))
+    (a, b)
   }
 
   /** MinHash signatures: one row per doc with `sig` = array of k minima

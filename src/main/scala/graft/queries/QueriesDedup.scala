@@ -70,6 +70,38 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       GROUP BY a.doc_id, b.doc_id, a.m, b.m
       HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
 
+  /** Asymmetric shingle containment ([[Dedup.containmentPairs]]): the
+    * doc-inside-doc relation resemblance misses — C(A→B) = |S(A)∩S(B)|
+    * / |S(A)|, both ordered directions per intersecting pair. On this
+    * fixture every dup pair is a near-full copy (cont ≈ jacc ≈ 1); the
+    * jaccard-invisible embedded-quote case is spec-planted
+    * (`LcpSpec`-style fixture in `ExtOpsSpec`).
+    */
+  val qDedupContainment = Q("dedup_containment",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+      "doc_id", "text", n = 3, tau = 0.5),
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.m AS m_a, b.m AS m_b,
+               count(*) AS c
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      dirs AS (
+        SELECT id_a AS src_id, id_b AS host_id,
+               round(c::DOUBLE / m_a, 4) AS cont FROM inter
+        UNION ALL
+        SELECT id_b, id_a, round(c::DOUBLE / m_b, 4) FROM inter)
+      SELECT src_id, host_id, cont FROM dirs WHERE cont >= 0.5"""))
+
   /** Incremental dedup: an arriving batch (every 11th doc) checked
     * against the already-admitted corpus (the rest) — A-vs-B inverted
     * shingle index, no corpus self-pairing. The daily-ingest shape of
@@ -99,6 +131,38 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0
       GROUP BY a.doc_id, b.doc_id, a.m, b.m
       HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
+
+  /** Incremental containment: the batch-vs-admitted embedded-quote /
+    * superset check ([[Dedup.containmentAgainst]]), same batch split as
+    * `dedup_incremental`; both ordered directions from one A-vs-B
+    * intersection, pair kept when either reaches τ.
+    */
+  val qDedupContainmentIncremental = Q("dedup_containment_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containmentAgainst(
+        docs.filter(col("doc_id") % 11 === 0),
+        docs.filter(col("doc_id") % 11 =!= 0),
+        "doc_id", "text", n = 3, tau = 0.5)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+             round(count(*)::DOUBLE / a.m, 4) AS cont_batch,
+             round(count(*)::DOUBLE / b.m, 4) AS cont_corpus
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+        AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0
+      GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      HAVING greatest(round(count(*)::DOUBLE / a.m, 4),
+                      round(count(*)::DOUBLE / b.m, 4)) >= 0.5"""))
 
   private val minhashK = 16
   private val minhashBands = 4

@@ -195,6 +195,13 @@ object ScaleBench {
         docs(s).filter(col("doc_id") % 11 === 0),
         docs(s).filter(col("doc_id") % 11 =!= 0),
         "doc_id", "text", n = 3, tau = 0.25)),
+      // containment: NO length-ratio prune exists (the smaller-in-larger
+      // direction is never size-bounded), so this curve pins the
+      // co-occurrence-driven join cost next to jaccardPairs' pruned one;
+      // planted near-copies (~57/60 shingle overlap) keep the true pair
+      // count linear
+      "containmentPairs" -> (s => graft.ext.Dedup.containmentPairs(
+        docs(s), "doc_id", "text", n = 3, tau = 0.5)),
       // planted near-copies share the aligned 20-token chunks past the
       // mutated head token, so true dup-passage count grows linearly
       "passageDedup" -> (s => graft.ext.Dedup.passageDedup(

@@ -34,6 +34,47 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(cands.nonEmpty)
   }
 
+  test("containment catches the embedded quote that jaccard misses") {
+    import spark.implicits._
+    // host: 120 distinct words with a 20-word passage embedded; src: the
+    // passage alone. J = 18/(118+18-18) ≈ 0.15 (3-shingles) — invisible
+    // at τ=0.25 — while C(src→host) = 1.0.
+    val passage = (0 until 20).map(i => s"quote$i").mkString(" ")
+    val host = ((0 until 50).map(i => s"pre$i") ++ Seq(passage) ++
+      (0 until 50).map(i => s"post$i")).mkString(" ")
+    val other = (0 until 40).map(i => s"alien$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, passage), (3L, other))
+      .toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)
+      .collect()
+    assert(jac.isEmpty, "resemblance must NOT see the embedded quote")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.keySet == Set((2L, 1L)), s"got ${cont.keySet}")
+    assert(cont((2L, 1L)) == 1.0, "every src shingle occurs in the host")
+    // direction matters: the host is NOT contained in the quote
+    val both = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      tau = 0.1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both.contains((1L, 2L)) && both.contains((2L, 1L)))
+    // stop-shingle cap: capping at docFreq 1 removes the shared
+    // postings entirely -> no pairs (under-approximation, never a
+    // false positive)
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      tau = 0.5, maxDocFreq = 1).collect().isEmpty)
+    // batch-vs-corpus form: arriving quote flagged against the admitted
+    // host in the cont_batch direction, host NOT contained in the quote
+    for (cache <- Seq(true, false)) {
+      val adm = Dedup.containmentAgainst(
+          docs.filter(col("doc_id") === 2L), docs.filter(col("doc_id") =!= 2L),
+          "doc_id", "text", n = 3, tau = 0.5, cacheCorpus = cache)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(adm.keySet == Set((2L, 1L)), s"cache=$cache: ${adm.keySet}")
+      assert(adm((2L, 1L))._1 == 1.0 && adm((2L, 1L))._2 < 0.5)
+    }
+  }
+
   test("identical texts: simhash distance 0, fingerprints equal, exact dedup groups") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox"), (2L, "THE  Quick brown FOX"),
