@@ -113,6 +113,14 @@ object SkewBench {
         docs(s), "doc_id", "text", n = 3, tau = 0.25)),
       "jaccardPairs maxDocFreq=100" -> (s => graft.ext.Dedup.jaccardPairs(
         docs(s), "doc_id", "text", n = 3, tau = 0.25, maxDocFreq = 100)),
+      // containment has NO length-ratio prune (see containmentPairs
+      // scaladoc), so the hot-shingle c² blowup hits it with nothing
+      // else in the way — the dial is not an optimization here but the
+      // only defense
+      "containmentPairs un-dialed" -> (s => graft.ext.Dedup.containmentPairs(
+        docs(s), "doc_id", "text", n = 3, tau = 0.5)),
+      "containmentPairs maxDocFreq=100" -> (s => graft.ext.Dedup.containmentPairs(
+        docs(s), "doc_id", "text", n = 3, tau = 0.5, maxDocFreq = 100)),
       // ×400 the doc count: the mega-cluster must be millions of rows
       // before a single task's sort visibly pays — 600k/1.8M members at
       // the default points
