@@ -778,11 +778,15 @@ object Dedup {
     *
     *   1. the corpus explodes to one row per byte position (id, p, n)
     *      with rank r₀ = dense rank of the 4-BYTE slice at p (the
-    *      textbook radix shortcut: seeding with width-4 classes skips
-    *      the first two doubling rounds — 3 rounds to width 32 instead
-    *      of 5; a slice truncated by the doc end is a shorter binary,
-    *      which sorts and ranks distinctly from every full slice, the
-    *      same argument as the sentinel in step 2);
+    *      textbook radix shortcut: seeding with width-8 classes skips
+    *      the first three doubling rounds — 2 rounds to width 32
+    *      instead of 5, the widest seed that still leaves ≥ 2 genuine
+    *      doubling rounds at the default minLen (a wider seed would
+    *      degenerate the construction into the plain suffix sort that
+    *      [[exactDupSpansLcp]] already is); a slice truncated by the
+    *      doc end is a shorter binary, which sorts and ranks
+    *      distinctly from every full slice, the same argument as the
+    *      sentinel in step 2);
     *   2. round k: rank_{k}(p) = dense rank of the pair
     *      (rank_{k−1}(p), rank_{k−1}(p + 2^{k−1})), absent second
     *      component ⇒ sentinel 0 (the truncated suffix sorts first,
@@ -801,8 +805,8 @@ object Dedup {
     * shuffles one (16-byte fp, id, p) digest per byte offset — ~32
     * bytes × corpus bytes, ONE shuffle. Prefix doubling shuffles
     * (id, p, 8-byte rank) triples per round (join + distinct + rank ≈
-    * 3 exchanges of ~24 bytes × corpus bytes, × ⌊log₂ minLen⌋ − 2
-    * rounds after the width-4 seed) — measured 4.1× the window-hash
+    * 3 exchanges of ~24 bytes × corpus bytes, × ⌊log₂ minLen⌋ − 3
+    * rounds after the width-8 seed) — measured 4.1× the window-hash
     * pass's wall at equal input (12.3 s vs 3.0 s warm, sf0.1
     * documents, 1.5 MB corpus — SCALE.md). Its value is as the VALIDATED reference
     * implementation of the published algorithm (and the shape you'd
@@ -851,7 +855,7 @@ object Dedup {
         encode(TextOps.normalized(col(textCol)), "UTF-8").as("bin"))
       .withColumn("n", length(col("bin")))
     val width = Integer.highestOneBit(minLen) // 2^floor(log2 minLen)
-    val seed = math.min(4, width) // initial rank width (radix shortcut)
+    val seed = math.min(8, width) // initial rank width (radix shortcut)
     // one row per byte position; the seed-width slice is projected in
     // the generate stage and dropped before anything shuffles
     val bytes = base.filter(col("n") >= minLen)
