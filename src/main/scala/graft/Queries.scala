@@ -38,7 +38,7 @@ object Queries
     qSchemaInference, qDateFuncs, qStringFuncs, qMathFuncs, qEventsHourly,
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
-    qCorpusCuration,
+    qCorpusCuration, qCorpusCard,
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupContainment,
     qDedupContainmentIncremental, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
@@ -50,7 +50,8 @@ object Queries
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
-    qAsofJoin, qRangeJoin, qScd2, qPercentiles, qSample, qSampleFast,
+    qAsofJoin, qRangeJoin, qScd2, qFunnel, qPercentiles, qSample,
+    qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,

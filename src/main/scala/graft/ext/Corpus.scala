@@ -1492,4 +1492,67 @@ object Corpus {
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= quota)
   }
+
+  /** Per-source CORPUS CARD — the data-documentation summary a training
+    * corpus release ships (Gebru et al. 2021, "Datasheets for
+    * Datasets"): one row per source with volume, exact-duplicate rate,
+    * the dominant language and its share, token volume, and EXACT
+    * document-length percentiles. Every statistic is the scale-safe
+    * form of machinery this library already owns: dup rate groups
+    * 32-byte md5 fingerprints (documents never shuffle), the language
+    * mode is a max-struct aggregate (map-side collapsible — no
+    * per-source window sort; count ties break to the
+    * lexicographically larger lang, documented), and the percentiles
+    * come from [[Prefix.groupPercentiles]] (distributed rank — no
+    * value-buffering percentile aggregate, no |sources|-task final
+    * merge). The per-source relations the final joins combine are
+    * source-cardinality sized, so they broadcast at any corpus size.
+    *
+    * All rounding is the portable floor(x·10^s + 0.5)/10^s (the
+    * q_percentiles convention) so every figure is bit-identical across
+    * engines; mean_toks divides the exact long sum by the doc count
+    * rather than using an engine `avg` (whose accumulation order is
+    * not portable).
+    *
+    * @return (source, n_docs, total_chars, dup_rate, top_lang,
+    *         top_lang_share, total_tokens, mean_toks, p50_chars,
+    *         p90_chars)
+    */
+  def corpusCard(df: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String = "source", langCol: String = "lang",
+                 charsCol: String = "n_chars"): DataFrame = {
+    def r(c: Column, s: Int): Column = {
+      val f = math.pow(10, s)
+      floor(c * f + 0.5) / f
+    }
+    val base = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      col(idCol).as("id"), col(charsCol).as("chars"),
+      TextOps.fingerprint(col(textCol)).as("fp"),
+      TextOps.nTokens(col(textCol)).as("toks"))
+    val agg = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("chars")).as("total_chars"),
+      countDistinct(col("fp")).as("distinct_docs"),
+      sum(col("toks")).as("total_tokens"))
+    val topLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("c"), col("lang"))).as("t"))
+      .select(col("source"), col("t.lang").as("top_lang"),
+        col("t.c").as("top_c"))
+    val pct = Prefix.groupPercentiles(base, Seq("source"), col("chars"),
+      tiebreak = Seq(col("id")), ps = Seq(0.5 -> "p50x", 0.9 -> "p90x"))
+    agg.join(topLang, Seq("source")).join(pct, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        r((col("n_docs") - col("distinct_docs")).cast("double") /
+          col("n_docs"), 4).as("dup_rate"),
+        col("top_lang"),
+        r(col("top_c").cast("double") / col("n_docs"), 4)
+          .as("top_lang_share"),
+        col("total_tokens"),
+        r(col("total_tokens").cast("double") / col("n_docs"), 2)
+          .as("mean_toks"),
+        r(col("p50x"), 2).as("p50_chars"),
+        r(col("p90x"), 2).as("p90_chars"))
+  }
 }

@@ -76,4 +76,57 @@ object Temporal {
       .withColumn("is_current",
         when(lead(timeMs, 1).over(w).isNull, lit(1)).otherwise(lit(0)))
   }
+
+  /** Ordered-sequence FUNNEL: for each entity, the earliest completion
+    * time of every prefix of an ordered step pattern — step k completes
+    * at the earliest event of type `steps(k-1)` STRICTLY AFTER step
+    * k−1's completion (and, when `windowMs` is set, within that window
+    * of step 1's time). FIRST-TOUCH semantics: the anchor is the
+    * entity's EARLIEST step-1 event. Unwindowed, greedy earliest-match
+    * is optimal for sequence containment (matching each step as early
+    * as possible maximizes the time available to every later step —
+    * exchange argument), so completion is anchor-independent; WITH a
+    * window the anchor choice is part of the metric's definition (a
+    * later signup could complete where the first one stalls — this
+    * operator deliberately reports the first-touch funnel, the
+    * standard product-analytics convention).
+    *
+    * Shape: one filtered min-aggregate for step 1, then one
+    * (join + conditional min-aggregate) round PER STEP — all keyed on
+    * the entity, so the rounds reuse one hash partitioning and the
+    * per-round state is one timestamp per entity. No per-entity event
+    * arrays are ever collected (the collect_list formulation holds a
+    * hot entity's whole history in one row — this never does), no
+    * window sorts.
+    *
+    * @param timeMs  event time as epoch millis
+    * @param steps   ordered event-type pattern (≥ 1 step)
+    * @param windowMs optional max total span: step k counts only if
+    *                 t_k ≤ t_1 + windowMs
+    * @return (entity, t_1 .. t_n, steps_completed): t_k = epoch-ms
+    *         completion time of step k (null once stalled); one row
+    *         per entity that completed at least step 1
+    */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+             timeMs: Column, steps: Seq[String],
+             windowMs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(entityCol).as("entity")).agg(min(timeMs).as("t_1"))
+    for (k <- 2 to steps.length) {
+      val ev = events.filter(col(typeCol) === steps(k - 1))
+        .select(col(entityCol).as("entity"), timeMs.as("__tk"))
+      val prev = col(s"t_${k - 1}")
+      val inWindow = windowMs.fold(lit(true))(w =>
+        col("__tk") <= col("t_1") + w)
+      val carried = (1 to (k - 1)).map(i => col(s"t_$i"))
+      reached = reached.join(ev, Seq("entity"), "left")
+        .groupBy((col("entity") +: carried): _*)
+        .agg(min(when(col("__tk") > prev && inWindow, col("__tk")))
+          .as(s"t_$k"))
+    }
+    reached.withColumn("steps_completed",
+      (1 to steps.length).map(i =>
+        when(col(s"t_$i").isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
 }

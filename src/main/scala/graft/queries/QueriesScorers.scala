@@ -594,4 +594,65 @@ private[graft] trait QueriesScorers { this: Queries.type =>
             / 1152921504606846976.0)) * 10000 + 0.5) AS BIGINT) AS key_x10k
       FROM scored ORDER BY key_x10k DESC, doc_id LIMIT 50"""))
 
+  /** Per-source corpus card ([[Corpus.corpusCard]]): the datasheet
+    * summary — volume, exact-dup rate, dominant language + share,
+    * token volume, exact length percentiles — with every rounded
+    * figure in the portable floor-form and the percentile values
+    * replaying Spark's interpolation formula (the q_percentiles
+    * oracle pattern).
+    */
+  val qCorpusCard = Q("q_corpus_card",
+    (s, dir) => Corpus.corpusCard(t(s, dir, "documents"),
+      "doc_id", "text"),
+    Some("""WITH b AS (
+        SELECT source, lang, doc_id, n_chars,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          len(regexp_extract_all(text, '\S+')) AS toks
+        FROM documents),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          count(DISTINCT fp) AS distinct_docs,
+          CAST(sum(toks) AS BIGINT) AS total_tokens
+        FROM b GROUP BY 1),
+      lc AS (SELECT source, lang, count(*) AS c FROM b GROUP BY 1, 2),
+      tl AS (
+        SELECT source, lang AS top_lang, c,
+          row_number() OVER (PARTITION BY source
+            ORDER BY c DESC, lang DESC) AS rn
+        FROM lc),
+      s AS (
+        SELECT source, list(n_chars ORDER BY n_chars, doc_id) AS xs,
+          count(*) AS n
+        FROM b GROUP BY 1),
+      m AS (
+        SELECT source, p.p, xs, n, p.p::DOUBLE * (n - 1) AS h,
+          CAST(floor(p.p::DOUBLE * (n - 1)) AS BIGINT) AS lo,
+          ceil(p.p::DOUBLE * (n - 1)) AS hi
+        FROM s CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p) p),
+      v AS (
+        SELECT source, p,
+          CASE WHEN hi = lo THEN xs[lo + 1]::DOUBLE
+               ELSE (hi - h) * xs[lo + 1] + (h - lo) * xs[lo + 2]
+          END AS q
+        FROM m),
+      pct AS (
+        SELECT source,
+          max(CASE WHEN p = 0.5 THEN q END) AS p50x,
+          max(CASE WHEN p = 0.9 THEN q END) AS p90x
+        FROM v GROUP BY 1)
+      SELECT a.source, a.n_docs, a.total_chars,
+        floor((a.n_docs - a.distinct_docs)::DOUBLE / a.n_docs * 10000
+          + 0.5) / 10000 AS dup_rate,
+        t.top_lang,
+        floor(t.c::DOUBLE / a.n_docs * 10000 + 0.5) / 10000
+          AS top_lang_share,
+        a.total_tokens,
+        floor(a.total_tokens::DOUBLE / a.n_docs * 100 + 0.5) / 100
+          AS mean_toks,
+        floor(pct.p50x * 100 + 0.5) / 100 AS p50_chars,
+        floor(pct.p90x * 100 + 0.5) / 100 AS p90_chars
+      FROM agg a
+      JOIN tl t ON t.source = a.source AND t.rn = 1
+      JOIN pct ON pct.source = a.source"""))
 }

@@ -93,6 +93,53 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)"""))
 
+  /** First-touch funnel over the event stream
+    * ([[graft.operators.Temporal.funnel]]): signup → view → click →
+    * purchase within one hour of the FIRST signup, greedy
+    * earliest-match per step, one conditional-min round per step — no
+    * per-user event arrays, no window sorts. The full per-entity
+    * relation (each step's completion ms + steps_completed) is the
+    * gate row, not just the summary counts.
+    */
+  val qFunnel = Q("q_funnel",
+    (s, dir) => graft.operators.Temporal.funnel(t(s, dir, "events"),
+      "user_id", "event_type", unix_millis(col("ts")),
+      Seq("signup", "view", "click", "purchase"),
+      windowMs = Some(3600000L)),
+    Some("""WITH s1 AS (
+        SELECT user_id AS entity, min(epoch_ms(ts)) AS t_1
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT s1.entity, s1.t_1,
+          min(CASE WHEN epoch_ms(e.ts) > s1.t_1
+                    AND epoch_ms(e.ts) <= s1.t_1 + 3600000
+                   THEN epoch_ms(e.ts) END) AS t_2
+        FROM s1 LEFT JOIN events e
+          ON e.user_id = s1.entity AND e.event_type = 'view'
+        GROUP BY 1, 2),
+      s3 AS (
+        SELECT s2.entity, s2.t_1, s2.t_2,
+          min(CASE WHEN epoch_ms(e.ts) > s2.t_2
+                    AND epoch_ms(e.ts) <= s2.t_1 + 3600000
+                   THEN epoch_ms(e.ts) END) AS t_3
+        FROM s2 LEFT JOIN events e
+          ON e.user_id = s2.entity AND e.event_type = 'click'
+        GROUP BY 1, 2, 3),
+      s4 AS (
+        SELECT s3.entity, s3.t_1, s3.t_2, s3.t_3,
+          min(CASE WHEN epoch_ms(e.ts) > s3.t_3
+                    AND epoch_ms(e.ts) <= s3.t_1 + 3600000
+                   THEN epoch_ms(e.ts) END) AS t_4
+        FROM s3 LEFT JOIN events e
+          ON e.user_id = s3.entity AND e.event_type = 'purchase'
+        GROUP BY 1, 2, 3, 4)
+      SELECT entity, t_1, t_2, t_3, t_4,
+        (CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN t_4 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed
+      FROM s4"""))
+
   /** Exact group percentiles. Two cross-engine IEEE traps, both fixed
     * here by construction:
     *  - interpolation formula: DuckDB's `quantile_cont` computes

@@ -113,7 +113,16 @@ object DumpPlans {
       "dedup_lcp_longest", "dedup_lcp_spectrum",
       // ...and the exact route: the same relation + clamp filter +
       // doc-keyed islands
-      "dedup_substr_exact_lcp")
+      "dedup_substr_exact_lcp",
+      // round-11 (cont.): containment (no length prune EXISTS — review
+      // point: the join is bare shingle-hash equality, both directions
+      // scored from one aggregate), the corpus card (review point:
+      // per-source relations joined are source-cardinality — every
+      // join broadcast; percentiles via the Prefix rank machinery, no
+      // ObjectHashAggregate), and the funnel (review point: every
+      // round keyed on the entity — reused hash partitioning, no
+      // per-entity arrays, no window sorts)
+      "dedup_containment", "q_corpus_card", "q_funnel")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of ALL declared queries\n\n")
     sb.append(s"Generated by `graft.tools.DumpPlans` against `$sfDir`.\n")

@@ -1009,4 +1009,33 @@ class CorpusSpec extends AnyFunSuite {
       cutBytes
     assert(packBytes == totalClean.toLong)
   }
+
+  test("corpusCard: dup rate, lang mode tiebreak, exact percentiles, portable rounding") {
+    // src A: 4 docs, two exact copies (normalization collapses case /
+    // whitespace) -> dup_rate 0.25; langs en,en,de,de -> count tie,
+    // mode = lexicographically LARGER lang = "en"... (e < d is false:
+    // "en" > "de") -> "en"; chars 10,20,30,40 -> p50 = 25.0, p90 = 37.0
+    // (h = .9*3 = 2.7 -> .3*30 + .7*40)
+    val rows = Seq(
+      (1L, "Alpha  Beta", "en", "A", 10L),
+      (2L, "alpha beta", "en", "A", 20L), // exact dup of 1 after norm
+      (3L, "gamma delta words", "de", "A", 30L),
+      (4L, "epsilon zeta eta", "de", "A", 40L),
+      (5L, "unique content here", "fr", "B", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = Corpus.corpusCard(rows, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = card("A")
+    assert(a.getLong(1) == 4L && a.getLong(2) == 100L) // n_docs, chars
+    assert(a.getDouble(3) == 0.25, "one of four is an exact dup")
+    assert(a.getString(4) == "en" && a.getDouble(5) == 0.5,
+      "2-2 lang tie breaks to the lexicographically larger lang")
+    assert(a.getLong(6) == 2L + 2L + 3L + 3L) // total tokens
+    assert(a.getDouble(7) == 2.5) // mean_toks
+    assert(a.getDouble(8) == 25.0 && a.getDouble(9) == 37.0,
+      s"percentiles: got ${a.getDouble(8)}, ${a.getDouble(9)}")
+    val b = card("B")
+    assert(b.getLong(1) == 1L && b.getDouble(3) == 0.0 &&
+      b.getString(4) == "fr" && b.getDouble(8) == 7.0)
+  }
 }

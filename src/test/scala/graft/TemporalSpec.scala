@@ -90,4 +90,39 @@ class TemporalSpec extends AnyFunSuite {
       .select("eid", "is_current").as[(Long, Int)].collect().toMap
     assert(out == Map(1L -> 0, 2L -> 1))
   }
+
+  test("funnel: greedy order, strict after, window stall, first-touch anchor, repeated steps") {
+    import spark.implicits._
+    // u1 completes in order; u2 has the 'b' BEFORE its 'a' (order
+    // violated -> stalls at step 1); u3's 'b' is outside the window;
+    // u4 has TWO 'a's — first-touch anchors at t=0 so the window
+    // excludes its late 'b' even though anchoring at the second 'a'
+    // would admit it (documented first-touch semantics); u5 tests a
+    // repeated step type needing two distinct 'a' events, strictly
+    // increasing (its single 'a' must NOT satisfy both steps)
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 20L),
+      (2L, "b", 5L), (2L, "a", 10L),
+      (3L, "a", 0L), (3L, "b", 500L),
+      (4L, "a", 0L), (4L, "a", 400L), (4L, "b", 450L),
+      (5L, "a", 10L)).toDF("u", "et", "tms")
+    def run(steps: Seq[String], w: Option[Long]) =
+      Temporal.funnel(ev, "u", "et", col("tms"), steps, w)
+        .collect().map(r => r.getLong(0) ->
+          ((1 to steps.length).map(i =>
+            if (r.isNullAt(i)) None else Some(r.getLong(i))),
+            r.getInt(steps.length + 1))).toMap
+    val f = run(Seq("a", "b"), Some(100L))
+    assert(f(1L) == ((Seq(Some(10L), Some(20L)), 2)))
+    assert(f(2L) == ((Seq(Some(10L), None), 1)), "b before a never counts")
+    assert(f(3L) == ((Seq(Some(0L), None), 1)), "outside window")
+    assert(f(4L) == ((Seq(Some(0L), None), 1)),
+      "first-touch anchor: the 2nd 'a' would admit b@450, but the funnel anchors at 0")
+    // unwindowed: u3 completes (greedy is anchor-independent without a window)
+    assert(run(Seq("a", "b"), None)(3L) == ((Seq(Some(0L), Some(500L)), 2)))
+    // repeated step type: u5's one 'a' cannot be both steps; u4's two can
+    val rep = run(Seq("a", "a"), None)
+    assert(rep(5L) == ((Seq(Some(10L), None), 1)))
+    assert(rep(4L) == ((Seq(Some(0L), Some(400L)), 2)))
+  }
 }
