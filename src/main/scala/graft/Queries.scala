@@ -50,6 +50,7 @@ object Queries
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
+    qEmbeddingCard,
     qAsofJoin, qRangeJoin, qScd2, qFunnel, qPercentiles, qSample,
     qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
@@ -64,7 +65,7 @@ object Queries
     qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qKmeansAssign,
-    qTimeTravel, qDataQuality,
+    qTimeTravel, qDataQuality, qPsiDrift,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,

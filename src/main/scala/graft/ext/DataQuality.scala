@@ -32,4 +32,74 @@ object DataQuality {
         countDistinct(uniqueKeyCols.head, uniqueKeyCols.tail: _*)).as("n_dup_key")
     df.agg(all.head, all.tail: _*)
   }
+
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * snapshot of a numeric column — the standard production drift
+    * monitor (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 major shift):
+    *
+    *   PSI = Σ_b (p_cur(b) − p_ref(b)) · ln(p_cur(b) / p_ref(b))
+    *
+    * Buckets are the REFERENCE quantiles (the convention that makes the
+    * reference distribution uniform over buckets), computed EXACTLY by
+    * [[Prefix.groupPercentiles]] — distributed rank, Spark's
+    * interpolation formula, no value-buffering percentile aggregate —
+    * so an oracle replaying that formula over the sorted reference
+    * reproduces the edges bit-for-bit. The nBuckets−1 edge values
+    * (tiny at any scale) come to the driver and fold into a literal
+    * when-chain, so bucket assignment is a stateless scan projection
+    * on both snapshots; everything after is nBuckets-row arithmetic.
+    *
+    * Empty buckets (possible under heavy drift or duplicated edge
+    * values) are clamped: fractions floor at `epsilon` before the log,
+    * the standard PSI guard — deterministic, documented, mirrored by
+    * the oracle. Per-bucket contributions are reported in integer
+    * MICRO-units (floor(x·10⁶ + 0.5)) so the cross-engine sum is exact
+    * integer arithmetic, never an accumulation-order-sensitive double
+    * sum.
+    *
+    * @return one row per bucket 1..nBuckets (0-count buckets kept):
+    *         (bucket, n_ref, n_cur, psi_x1e6); total PSI =
+    *         Σ psi_x1e6 / 1e6
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: Column,
+          nBuckets: Int = 10, epsilon: Double = 1e-6): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val spark = ref.sparkSession
+    val r1 = ref.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val c1 = cur.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ps = (1 until nBuckets).map(k => (k.toDouble / nBuckets) -> s"e$k")
+    // any unique tiebreak works: the values picked at the quantile
+    // ranks depend only on the sorted value order, not on how ties are
+    // broken within equal values
+    val edgeRow = Prefix.groupPercentiles(
+      r1.withColumn("__g", lit(1)).withColumn("__t",
+        monotonically_increasing_id()),
+      Seq("__g"), col("v"), tiebreak = Seq(col("__t")), ps = ps)
+      .collect()(0)
+    val edges = (1 until nBuckets).map(k => edgeRow.getAs[Double](s"e$k"))
+    def bucketOf(v: Column): Column =
+      edges.foldLeft(lit(1))((acc, e) =>
+        acc + when(v > lit(e), 1).otherwise(0))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(bucketOf(col("v")).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val buckets = spark.range(1, nBuckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = buckets
+      .join(counts(r1, "n_ref"), Seq("bucket"), "left")
+      .join(counts(c1, "n_cur"), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_cur")).as("tc"))
+    val fr = greatest(col("n_ref").cast("double") / col("tr"), lit(epsilon))
+    val fc = greatest(col("n_cur").cast("double") / col("tc"), lit(epsilon))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        floor((fc - fr) * log(fc / fr) * 1e6 + 0.5).cast("long")
+          .as("psi_x1e6"))
+  }
 }

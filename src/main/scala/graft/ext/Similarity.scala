@@ -495,4 +495,47 @@ object Similarity {
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Per-label EMBEDDING CARD — the vector-space sibling of
+    * [[Corpus.corpusCard]]: one row per label with volume, dimension
+    * consistency (a mixed-dim label is an ingestion bug every
+    * downstream ANN index would hit), zero-vector count (cosine is
+    * defined 0 against them — they poison near-dup verification),
+    * and the norm distribution (mean + exact p50/p90 via
+    * [[Prefix.groupPercentiles]] — no value-buffering percentile
+    * aggregate). The mean norm crosses engines as an INTEGER: each
+    * row's norm rounds to 1e-4 units first and the longs sum exactly,
+    * so no accumulation-order-sensitive double sum exists anywhere
+    * (the per-row norm itself is an index-order fold, the same
+    * accumulation [[graft.functions.CosineSim]] uses, which DuckDB's
+    * `list_dot_product` reproduces).
+    *
+    * @return (label, n_vecs, dim, n_dims, zero_vecs, mean_norm_x1e4,
+    *         p50_norm, p90_norm)
+    */
+  def embeddingCard(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    def r(c: Column, s: Int): Column = {
+      val f = math.pow(10, s)
+      floor(c * f + 0.5) / f
+    }
+    val base = df.select(col(labelCol).as("label"), col(idCol).as("id"),
+      size(col(vecCol)).as("dim"),
+      sqrt(aggregate(col(vecCol), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+    val agg = base.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      max(col("dim")).as("dim"),
+      countDistinct(col("dim")).as("n_dims"),
+      count(when(col("nrm") === 0.0, 1)).as("zero_vecs"),
+      sum(floor(col("nrm") * 1e4 + 0.5).cast("long")).as("__s"))
+    val pct = Prefix.groupPercentiles(base, Seq("label"), col("nrm"),
+      tiebreak = Seq(col("id")), ps = Seq(0.5 -> "p50x", 0.9 -> "p90x"))
+    agg.join(pct, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("dim"), col("n_dims"),
+        col("zero_vecs"),
+        floor(col("__s").cast("double") / col("n_vecs") + 0.5).cast("long")
+          .as("mean_norm_x1e4"),
+        r(col("p50x"), 4).as("p50_norm"), r(col("p90x"), 4).as("p90_norm"))
+  }
 }

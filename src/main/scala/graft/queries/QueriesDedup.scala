@@ -1424,5 +1424,51 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         FROM scored)
       SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
 
+  /** Per-label embedding card ([[Similarity.embeddingCard]]): the
+    * vector-space datasheet — volume, dim consistency, zero vectors,
+    * norm distribution with exact percentiles. The mean norm crosses
+    * engines as an integer (per-row 1e-4 rounding, exact long sum);
+    * the oracle replays Spark's percentile interpolation per label.
+    */
+  val qEmbeddingCard = Q("q_embedding_card",
+    (s, dir) => Similarity.embeddingCard(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label"),
+    Some("""WITH b AS (
+        SELECT label, vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            AS nrm
+        FROM embeddings),
+      agg AS (
+        SELECT label, count(*) AS n_vecs, max(dim) AS dim,
+          count(DISTINCT dim) AS n_dims,
+          count(CASE WHEN nrm = 0 THEN 1 END) AS zero_vecs,
+          CAST(sum(CAST(floor(nrm * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        FROM b GROUP BY 1),
+      srt AS (
+        SELECT label, list(nrm ORDER BY nrm, vec_id) AS xs, count(*) AS n
+        FROM b GROUP BY 1),
+      m AS (
+        SELECT label, p.p, xs, n, p.p::DOUBLE * (n - 1) AS h,
+          CAST(floor(p.p::DOUBLE * (n - 1)) AS BIGINT) AS lo,
+          ceil(p.p::DOUBLE * (n - 1)) AS hi
+        FROM srt CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p) p),
+      v AS (
+        SELECT label, p,
+          CASE WHEN hi = lo THEN xs[lo + 1]
+               ELSE (hi - h) * xs[lo + 1] + (h - lo) * xs[lo + 2]
+          END AS q
+        FROM m),
+      pct AS (
+        SELECT label,
+          max(CASE WHEN p = 0.5 THEN q END) AS p50x,
+          max(CASE WHEN p = 0.9 THEN q END) AS p90x
+        FROM v GROUP BY 1)
+      SELECT a.label, a.n_vecs, a.dim, a.n_dims, a.zero_vecs,
+        CAST(floor(a.s::DOUBLE / a.n_vecs + 0.5) AS BIGINT)
+          AS mean_norm_x1e4,
+        floor(pct.p50x * 10000 + 0.5) / 10000 AS p50_norm,
+        floor(pct.p90x * 10000 + 0.5) / 10000 AS p90_norm
+      FROM agg a JOIN pct ON pct.label = a.label"""))
+
   // ---------------------------------------------------------------------
 }

@@ -497,6 +497,59 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
         count(*) - count(DISTINCT o_orderkey) AS n_dup_key
       FROM orders"""))
 
+  /** PSI drift between two event-stream snapshots
+    * ([[DataQuality.psi]]): reference = even event ids, current = odd;
+    * buckets are the exact reference deciles (Spark's interpolation
+    * formula, replayed by the oracle over the sorted reference list),
+    * per-bucket contributions in integer micro-units so no
+    * accumulation-order-sensitive double sum crosses the engines.
+    */
+  val qPsiDrift = Q("q_psi_drift",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      DataQuality.psi(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), col("value"), nBuckets = 10)
+    },
+    Some("""WITH r AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      c AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      s AS (SELECT list(v ORDER BY v) AS xs, count(*) AS n FROM r),
+      m AS (
+        SELECT k.k, xs, n, (k.k / 10.0) * (n - 1) AS h,
+          CAST(floor((k.k / 10.0) * (n - 1)) AS BIGINT) AS lo,
+          ceil((k.k / 10.0) * (n - 1)) AS hi
+        FROM s CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) k),
+      e AS (
+        SELECT k, CASE WHEN hi = lo THEN xs[lo + 1]
+                       ELSE (hi - h) * xs[lo + 1] + (h - lo) * xs[lo + 2]
+                  END AS edge
+        FROM m),
+      rb AS (SELECT 1 + (SELECT count(*) FROM e WHERE r.v > e.edge)
+               AS bucket FROM r),
+      cb AS (SELECT 1 + (SELECT count(*) FROM e WHERE c.v > e.edge)
+               AS bucket FROM c),
+      nr AS (SELECT bucket, count(*) AS n_ref FROM rb GROUP BY 1),
+      nc AS (SELECT bucket, count(*) AS n_cur FROM cb GROUP BY 1),
+      b AS (SELECT CAST(unnest(generate_series(1, 10)) AS INTEGER)
+              AS bucket),
+      j AS (
+        SELECT b.bucket, coalesce(nr.n_ref, 0) AS n_ref,
+               coalesce(nc.n_cur, 0) AS n_cur
+        FROM b LEFT JOIN nr ON nr.bucket = b.bucket
+               LEFT JOIN nc ON nc.bucket = b.bucket),
+      tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+      SELECT j.bucket, CAST(j.n_ref AS BIGINT) AS n_ref,
+        CAST(j.n_cur AS BIGINT) AS n_cur,
+        CAST(floor((greatest(j.n_cur::DOUBLE / tot.tc, 1e-6)
+                    - greatest(j.n_ref::DOUBLE / tot.tr, 1e-6))
+          * ln(greatest(j.n_cur::DOUBLE / tot.tc, 1e-6)
+               / greatest(j.n_ref::DOUBLE / tot.tr, 1e-6))
+          * 1e6 + 0.5) AS BIGINT) AS psi_x1e6
+      FROM j CROSS JOIN tot"""))
+
   /** KMV distinct sketch: unlike HLL, the k-minimum-values estimator
     * over the portable md5 hash is bit-reproducible in any engine, so
     * the SKETCH ITSELF is oracle-checked — the distributed-sketch

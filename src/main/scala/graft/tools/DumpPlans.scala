@@ -122,7 +122,13 @@ object DumpPlans {
       // ObjectHashAggregate), and the funnel (review point: every
       // round keyed on the entity — reused hash partitioning, no
       // per-entity arrays, no window sorts)
-      "dedup_containment", "q_corpus_card", "q_funnel")
+      "dedup_containment", "q_corpus_card", "q_funnel",
+      // round-11 (cont.): PSI (review point: bucket assignment is a
+      // literal when-chain scan projection on both snapshots; all
+      // post-bucket arithmetic is nBuckets rows) and the embedding
+      // card (review point: same broadcast-joined source-cardinality
+      // shape as the corpus card; Prefix rank percentiles)
+      "q_psi_drift", "q_embedding_card")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of ALL declared queries\n\n")
     sb.append(s"Generated by `graft.tools.DumpPlans` against `$sfDir`.\n")

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.DataQuality
+
+/** [[DataQuality.psi]] — drift semantics the oracle row can't isolate:
+  * zero drift is exactly zero, total mass displacement hits the
+  * closed-form PSI, edge values bucket left (strict >), empty buckets
+  * take the epsilon clamp, and the guards reject bad dials.
+  */
+class DataQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def run(ref: Seq[Double], cur: Seq[Double], nBuckets: Int = 10) =
+    DataQuality.psi(ref.toDF("x"), cur.toDF("x"), col("x"), nBuckets)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("identical snapshots: every bucket's contribution is exactly 0") {
+    val vals = (1 to 100).map(_.toDouble)
+    val out = run(vals, vals)
+    assert(out.keySet == (1 to 10).toSet)
+    assert(out.values.forall { case (nr, nc, psi) =>
+      nr == 10L && nc == 10L && psi == 0L })
+  }
+
+  test("total displacement: closed-form PSI with the epsilon clamp") {
+    val ref = (1 to 100).map(_.toDouble)
+    val cur = Seq.fill(50)(1000.0) // all mass beyond the last edge
+    val out = run(ref, cur)
+    val eps = 1e-6
+    def micro(fc: Double, fr: Double): Long =
+      math.floor((fc - fr) * math.log(fc / fr) * 1e6 + 0.5).toLong
+    for (b <- 1 to 9)
+      assert(out(b) == ((10L, 0L, micro(eps, 0.1))), s"bucket $b")
+    assert(out(10) == ((10L, 50L, micro(1.0, 0.1))))
+  }
+
+  test("edge values bucket LEFT (strict >); guards reject bad dials") {
+    // ref 1..4 with nBuckets=2: the single edge is the median 2.5;
+    // cur values AT 2.5 belong to bucket 1
+    val out = run(Seq(1, 2, 3, 4).map(_.toDouble),
+      Seq(2.5, 2.5, 3.0), nBuckets = 2)
+    assert(out(1)._2 == 2L && out(2)._2 == 1L)
+    intercept[IllegalArgumentException] {
+      DataQuality.psi(Seq(1.0).toDF("x"), Seq(1.0).toDF("x"), col("x"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.psi(Seq(1.0).toDF("x"), Seq(1.0).toDF("x"), col("x"),
+        10, epsilon = 0.0)
+    }
+  }
+}

@@ -75,6 +75,30 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingCard: norms, zero vectors, dim mismatch, exact percentiles") {
+    import spark.implicits._
+    // label 1: norms 3,4,5 (3-4-5 triangles) -> p50 = 4.0, p90 = 4.8,
+    // mean_x1e4 = (30000+40000+50000)/3 = 40000; label 2: a zero vector
+    // and a 2-dim stray among 3-dim rows -> n_dims = 2, zero_vecs = 1
+    val rows = Seq(
+      (1L, Seq(3f, 0f, 0f), 1),
+      (2L, Seq(0f, 4f, 0f), 1),
+      (3L, Seq(0f, 0f, 5f), 1),
+      (4L, Seq(0f, 0f, 0f), 2),
+      (5L, Seq(1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val card = graft.ext.Similarity
+      .embeddingCard(rows, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val a = card(1)
+    assert(a.getLong(1) == 3L && a.getInt(2) == 3 && a.getLong(3) == 1L)
+    assert(a.getLong(4) == 0L && a.getLong(5) == 40000L)
+    assert(a.getDouble(6) == 4.0 && a.getDouble(7) == 4.8)
+    val b = card(2)
+    assert(b.getLong(1) == 2L && b.getLong(3) == 2L && b.getLong(4) == 1L,
+      "mixed dims and the zero vector are both flagged")
+  }
+
   test("identical texts: simhash distance 0, fingerprints equal, exact dedup groups") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox"), (2L, "THE  Quick brown FOX"),
