@@ -60,7 +60,7 @@ object Queries
     qDsirResample, qPerplexityBuckets, qGopherRules, qC4Rules,
     qGopherRepetition,
     qMixtureSample, qWeightedSample,
-    qPiiScrub, qPiiFull, qQuantize, qHll, qKmv, qCmsFreq,
+    qPiiScrub, qPiiFull, qQuantize, qHll, qApproxPercentile, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,

@@ -596,6 +596,55 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
         count(*) AS n, TRUE AS within_bound
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Spark's builtin `percentile_approx` (Greenwald-Khanna sketch — the
+    * BOUNDED-state alternative to the value-buffering exact aggregate:
+    * O(accuracy·log n) buffer instead of the per-group value→count map
+    * q_percentiles' rewrite removed) property-checked against its rank
+    * contract: the returned value's true rank (counted Spark-side) must
+    * sit within n/accuracy of the target rank. The exact p50 rides
+    * along from [[graft.ext.Prefix.groupPercentiles]] so the row also
+    * certifies the exact value; the approx value itself is NOT output
+    * (GK merge order varies across partitionings — only its bounded
+    * error is the contract).
+    */
+  val qApproxPercentile = Q("q_approx_percentile",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val acc = 100 // rank error <= n/100
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
+          .as("ap50"), count(lit(1)).as("n"))
+      val ranked = li.join(broadcast(ap), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("ap50"), col("n"))
+        .agg(count(when(col("l_extendedprice") <= col("ap50"), 1))
+          .as("rank_le"))
+      val exact = graft.ext.Prefix.groupPercentiles(li, Seq("l_returnflag"),
+        col("l_extendedprice"),
+        tiebreak = Seq(col("l_orderkey"), col("l_linenumber")),
+        ps = Seq(0.5 -> "ex50"))
+      ranked.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          (floor(col("ex50") * 100 + 0.5) / 100).as("p50"),
+          (abs(col("rank_le").cast("double") - col("n") * 0.5)
+            <= col("n").cast("double") / acc + 1).as("within_bound"))
+    },
+    Some("""WITH s AS (
+        SELECT l_returnflag,
+          list(l_extendedprice ORDER BY l_extendedprice) AS xs,
+          count(*) AS n
+        FROM lineitem GROUP BY 1),
+      m AS (
+        SELECT l_returnflag, xs, n, 0.5::DOUBLE * (n - 1) AS h,
+          CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT) AS lo,
+          ceil(0.5::DOUBLE * (n - 1)) AS hi
+        FROM s)
+      SELECT l_returnflag, n,
+        floor((CASE WHEN hi = lo THEN xs[lo + 1]
+                    ELSE (hi - h) * xs[lo + 1] + (h - lo) * xs[lo + 2]
+               END) * 100 + 0.5) / 100 AS p50,
+        TRUE AS within_bound
+      FROM m"""))
+
   /** Count-Min-sketch frequency estimates for the corpus's top-20 tokens,
     * reported against the exact counts. The grid ([[graft.ext.Sketch
     * .cmsCells]]) uses the portable md5 hash, so DuckDB rebuilds the
