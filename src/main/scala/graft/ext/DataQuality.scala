@@ -61,6 +61,77 @@ object DataQuality {
     *         (bucket, n_ref, n_cur, psi_x1e6); total PSI =
     *         Σ psi_x1e6 / 1e6
     */
+  /** Frozen reference profile for the STREAMING drift monitor: the
+    * reference deciles and fractions computed ONCE (at stream startup,
+    * like the admission stage's frozen score tables), then applied to
+    * every micro-batch by [[psiTick]] as a stateless scan + one tiny
+    * aggregate — no store, no state growth, per-tick cost = batch scan.
+    * The edge list is nBuckets−1 doubles: it broadcasts trivially at
+    * any scale.
+    */
+  final case class PsiProfile(edges: Seq[Double], refFrac: Seq[Double],
+                              epsilon: Double) {
+    require(refFrac.length == edges.length + 1,
+      "profile shape: nBuckets fractions, nBuckets-1 edges")
+  }
+
+  /** Build a [[PsiProfile]] from the reference snapshot — the same
+    * exact-decile edges as [[psi]] (Spark's interpolation formula via
+    * [[Prefix.groupPercentiles]]) plus the reference bucket fractions.
+    */
+  def psiProfile(ref: DataFrame, valueCol: Column, nBuckets: Int = 10,
+                 epsilon: Double = 1e-6): PsiProfile = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val r1 = ref.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ps = (1 until nBuckets).map(k => (k.toDouble / nBuckets) -> s"e$k")
+    val edgeRow = Prefix.groupPercentiles(
+      r1.withColumn("__g", lit(1)).withColumn("__t",
+        monotonically_increasing_id()),
+      Seq("__g"), col("v"), tiebreak = Seq(col("__t")), ps = ps)
+      .collect()(0)
+    val edges = (1 until nBuckets).map(k => edgeRow.getAs[Double](s"e$k"))
+    val bucket = edges.foldLeft(lit(1))((acc, e) =>
+      acc + when(col("v") > lit(e), 1).otherwise(0))
+    val aggCols = count(lit(1)).as("n") +: (0 until nBuckets).map(i =>
+      count(when(col("b") === i + 1, 1)).as(s"c$i"))
+    val counts = r1.select(bucket.as("b")).groupBy()
+      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val total = counts.getLong(0).toDouble
+    PsiProfile(edges,
+      (0 until nBuckets).map(i => counts.getLong(i + 1) / total), epsilon)
+  }
+
+  /** One drift TICK of the streaming monitor: PSI of a micro-batch
+    * against the frozen [[PsiProfile]]. Stateless — bucket assignment
+    * is a literal when-chain scan projection over the batch, the
+    * aggregate is nBuckets conditional counts in ONE pass, and the PSI
+    * arithmetic runs on the driver over nBuckets numbers. Returns NaN
+    * for an empty batch (no distribution to compare — callers skip the
+    * alert rather than reading drift into nothing).
+    */
+  def psiTick(profile: PsiProfile, batch: DataFrame,
+              valueCol: Column): Double = {
+    val v = valueCol.cast("double")
+    val bucket = profile.edges.foldLeft(lit(1))((acc, e) =>
+      acc + when(v > lit(e), 1).otherwise(0))
+    val aggCols = count(lit(1)).as("n") +:
+      profile.refFrac.indices.map(i =>
+        count(when(col("b") === i + 1, 1)).as(s"c$i"))
+    val counts = batch.filter(v.isNotNull)
+      .select(bucket.as("b"))
+      .groupBy().agg(aggCols.head, aggCols.tail: _*)
+      .collect()(0)
+    val n = counts.getLong(0)
+    if (n == 0L) Double.NaN
+    else profile.refFrac.indices.map { i =>
+      val fc = math.max(counts.getLong(i + 1).toDouble / n, profile.epsilon)
+      val fr = math.max(profile.refFrac(i), profile.epsilon)
+      (fc - fr) * math.log(fc / fr)
+    }.sum
+  }
+
   def psi(ref: DataFrame, cur: DataFrame, valueCol: Column,
           nBuckets: Int = 10, epsilon: Double = 1e-6): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")

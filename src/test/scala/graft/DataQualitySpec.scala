@@ -39,6 +39,46 @@ class DataQualitySpec extends AnyFunSuite {
     assert(out(10) == ((10L, 50L, micro(1.0, 0.1))))
   }
 
+  test("streaming drift monitor: frozen profile, per-tick PSI, batch == snapshot form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ref = (1 to 100).map(_.toDouble)
+    val profile = DataQuality.psiProfile(ref.toDF("x"), col("x"), 10)
+    assert(profile.edges.length == 9 &&
+      profile.refFrac.forall(_ == 0.1), "uniform reference deciles")
+    // a batch drawn from the reference distribution drifts exactly 0
+    assert(DataQuality.psiTick(profile, ref.toDF("x"), col("x")) == 0.0)
+    // tick == the batch-form psi on the same snapshot pair (micro-units)
+    val shifted = (51 to 150).map(_.toDouble)
+    val tick = DataQuality.psiTick(profile, shifted.toDF("x"), col("x"))
+    val batchForm = DataQuality.psi(ref.toDF("x"), shifted.toDF("x"),
+        col("x"), 10)
+      .agg(sum(col("psi_x1e6"))).collect()(0).getLong(0) / 1e6
+    assert(math.abs(tick - batchForm) < 1e-5, s"$tick vs $batchForm")
+    assert(tick > 0.25, "half the mass moved: major-shift territory")
+    // empty batch: NaN, not a spurious zero-drift signal
+    assert(DataQuality.psiTick(profile,
+      Seq.empty[Double].toDF("x"), col("x")).isNaN)
+    // the production wiring: one drift number per micro-batch from a
+    // foreachBatch body, profile frozen at stream start
+    val in = MemoryStream[Double]
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = in.toDS().toDF("x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        ticks.synchronized {
+          ticks += id -> DataQuality.psiTick(profile, batch, col("x"))
+        }; ()
+      }.start()
+    in.addData(ref: _*)
+    q.processAllAvailable()
+    in.addData(shifted: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byId = ticks.toMap
+    assert(byId(0L) == 0.0 && math.abs(byId(1L) - batchForm) < 1e-5)
+  }
+
   test("edge values bucket LEFT (strict >); guards reject bad dials") {
     // ref 1..4 with nBuckets=2: the single edge is the median 2.5;
     // cur values AT 2.5 belong to bucket 1
