@@ -59,7 +59,15 @@ object DataQuality {
     *
     * @return one row per bucket 1..nBuckets (0-count buckets kept):
     *         (bucket, n_ref, n_cur, psi_x1e6); total PSI =
-    *         Σ psi_x1e6 / 1e6
+    *         Σ psi_x1e6 / 1e6. An EMPTY current snapshot yields NULL
+    *         psi_x1e6 in every bucket — the batch analogue of
+    *         [[psiTick]]'s NaN: with no current distribution there is
+    *         no drift signal, and reporting 0 (what the unguarded
+    *         0/0 → NaN → floor-cast arithmetic produced) would be the
+    *         spurious all-clear a monitor must never emit. An empty
+    *         (or all-null) REFERENCE throws: a drift monitor without a
+    *         reference distribution is a configuration error, not a
+    *         measurement.
     */
   /** Frozen reference profile for the STREAMING drift monitor: the
     * reference deciles and fractions computed ONCE (at stream startup,
@@ -90,7 +98,9 @@ object DataQuality {
       r1.withColumn("__g", lit(1)).withColumn("__t",
         monotonically_increasing_id()),
       Seq("__g"), col("v"), tiebreak = Seq(col("__t")), ps = ps)
-      .collect()(0)
+      .collect().headOption.getOrElse(throw new IllegalArgumentException(
+        "psiProfile: reference snapshot has no non-null values — " +
+          "a drift monitor needs a populated reference distribution"))
     val edges = (1 until nBuckets).map(k => edgeRow.getAs[Double](s"e$k"))
     val bucket = edges.foldLeft(lit(1))((acc, e) =>
       acc + when(col("v") > lit(e), 1).otherwise(0))
@@ -149,7 +159,9 @@ object DataQuality {
       r1.withColumn("__g", lit(1)).withColumn("__t",
         monotonically_increasing_id()),
       Seq("__g"), col("v"), tiebreak = Seq(col("__t")), ps = ps)
-      .collect()(0)
+      .collect().headOption.getOrElse(throw new IllegalArgumentException(
+        "psi: reference snapshot has no non-null values — " +
+          "a drift monitor needs a populated reference distribution"))
     val edges = (1 until nBuckets).map(k => edgeRow.getAs[Double](s"e$k"))
     def bucketOf(v: Column): Column =
       edges.foldLeft(lit(1))((acc, e) =>
@@ -170,7 +182,13 @@ object DataQuality {
     val fc = greatest(col("n_cur").cast("double") / col("tc"), lit(epsilon))
     joined.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_ref"), col("n_cur"),
-        floor((fc - fr) * log(fc / fr) * 1e6 + 0.5).cast("long")
+        // tc=0 (empty current) would make n_cur/tc NaN, and
+        // greatest(NaN, eps) is NaN in Spark, whose floor-cast is 0 —
+        // exactly the spurious zero-drift signal psiTick guards
+        // against with NaN. NULL is the batch-form equivalent.
+        when(col("tc") === 0, lit(null).cast("long"))
+          .otherwise(floor((fc - fr) * log(fc / fr) * 1e6 + 0.5)
+            .cast("long"))
           .as("psi_x1e6"))
   }
 }

@@ -600,8 +600,14 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
     * BOUNDED-state alternative to the value-buffering exact aggregate:
     * O(accuracy·log n) buffer instead of the per-group value→count map
     * q_percentiles' rewrite removed) property-checked against its rank
-    * contract: the returned value's true rank (counted Spark-side) must
-    * sit within n/accuracy of the target rank. The exact p50 rides
+    * contract: the returned value's rank INTERVAL (counted Spark-side)
+    * must intersect the n/accuracy band around the target rank. A
+    * value with duplicates occupies the whole rank range
+    * [count(< v) + 1, count(<= v)]; GK only guarantees SOME rank of
+    * the returned value is within n/accuracy of the target, so the
+    * check passes iff that interval meets the band — checking only
+    * count(<= v) (the MAXIMUM rank) would flakily fail on heavy ties
+    * even when the sketch meets its contract. The exact p50 rides
     * along from [[graft.ext.Prefix.groupPercentiles]] so the row also
     * certifies the exact value; the approx value itself is NOT output
     * (GK merge order varies across partitionings — only its bounded
@@ -617,16 +623,23 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
       val ranked = li.join(broadcast(ap), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"), col("ap50"), col("n"))
         .agg(count(when(col("l_extendedprice") <= col("ap50"), 1))
-          .as("rank_le"))
+          .as("rank_le"),
+          count(when(col("l_extendedprice") < col("ap50"), 1))
+            .as("rank_lt"))
       val exact = graft.ext.Prefix.groupPercentiles(li, Seq("l_returnflag"),
         col("l_extendedprice"),
         tiebreak = Seq(col("l_orderkey"), col("l_linenumber")),
         ps = Seq(0.5 -> "ex50"))
+      // the value's rank interval is [rank_lt + 1, rank_le]; pass iff
+      // it intersects [n/2 - n/acc, n/2 + n/acc] (+1 slop preserved
+      // from the single-rank form)
+      val err = col("n").cast("double") / acc + 1
       ranked.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"),
           (floor(col("ex50") * 100 + 0.5) / 100).as("p50"),
-          (abs(col("rank_le").cast("double") - col("n") * 0.5)
-            <= col("n").cast("double") / acc + 1).as("within_bound"))
+          (col("rank_lt").cast("double") + 1 <= col("n") * 0.5 + err &&
+            col("rank_le").cast("double") >= col("n") * 0.5 - err)
+            .as("within_bound"))
     },
     Some("""WITH s AS (
         SELECT l_returnflag,

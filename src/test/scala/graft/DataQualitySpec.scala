@@ -93,4 +93,32 @@ class DataQualitySpec extends AnyFunSuite {
         10, epsilon = 0.0)
     }
   }
+
+  test("empty snapshots: empty current -> NULL psi (no spurious all-clear); empty reference throws") {
+    val ref = (1 to 100).map(_.toDouble)
+    // empty current: every bucket's psi_x1e6 is NULL — the batch
+    // analogue of psiTick's NaN. The unguarded arithmetic (0/0 -> NaN,
+    // greatest(NaN, eps) = NaN, floor-cast 0) reported exactly-zero
+    // drift for a snapshot that carries no signal at all.
+    val out = DataQuality.psi(ref.toDF("x"),
+        Seq.empty[Double].toDF("x"), col("x"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.isNullAt(3)))
+    assert(out.length == 10)
+    assert(out.forall { case (_, nCur, psiNull) => nCur == 0L && psiNull })
+    // all-null current is the same empty distribution
+    val outNull = DataQuality.psi(ref.toDF("x"),
+        Seq[Option[Double]](None, None).toDF("x"), col("x"), 10)
+      .collect()
+    assert(outNull.forall(_.isNullAt(3)))
+    // empty / all-null reference: loud, specific configuration error
+    val eRef = intercept[IllegalArgumentException] {
+      DataQuality.psi(Seq.empty[Double].toDF("x"), ref.toDF("x"),
+        col("x"), 10)
+    }
+    assert(eRef.getMessage.contains("reference"))
+    val eProf = intercept[IllegalArgumentException] {
+      DataQuality.psiProfile(Seq[Option[Double]](None).toDF("x"), col("x"))
+    }
+    assert(eProf.getMessage.contains("reference"))
+  }
 }

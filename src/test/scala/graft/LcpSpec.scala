@@ -72,7 +72,8 @@ class LcpSpec extends AnyFunSuite {
         .foldLeft(0)(math.max).toLong
     }.toMap
     assert(got == wantDoc)
-    // the shared 26-byte region ("a1 " + run + " ", maximal common run
+    // the shared 24-byte region (" " + 22-byte run + " " — the "aa1"/
+    // "bb2" prefixes differ between the docs; maximal common run
     // exceeds cap) clamps to exactly cap for docs 1 and 2
     assert(got(1L) == 16L && got(2L) == 16L)
     assert(got(4L) == 0L, "whitespace-only doc reports 0")
