@@ -66,7 +66,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
-    val results = Queries.all.map { q =>
+    // the slow tier is CORRECTNESS-only (sf0.01 hash rows + specs):
+    // routes kept for cross-validation but documented-superseded for
+    // timing purposes are not re-timed every round — see Queries.slowTier
+    val (skipped, benched) = Queries.all.partition(q =>
+      Queries.slowTier(q.name))
+    if (skipped.nonEmpty)
+      System.err.println("[bench] slow-tier queries excluded from timing " +
+        "(still in the correctness gate): " +
+        skipped.map(_.name).mkString(", "))
+    val results = benched.map { q =>
       val cold = once(q.fn)
       val warms = (1 to WarmRuns).map(_ => once(q.fn))
       release()

@@ -70,4 +70,19 @@ object Queries
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75)
+
+  /** SLOW TIER: queries the timed bench (`graft.Bench`) skips. Still in
+    * `all`, so the CORRECTNESS gate (graft.Verify, sf0.01) runs every
+    * one of them — only the per-round sf0.1 TIMING run excludes them.
+    *
+    * `dedup_substr_exact_sa` is the prefix-doubling suffix-array route
+    * to the exact-span relation: deliberately kept for three-route
+    * cross-validation (it hash-matches the same oracle as the
+    * window-hash and suffix-order-LCP routes at sf0.01), but
+    * documented-superseded by [[graft.ext.Dedup.exactDupSpansLcp]] as
+    * the practical form (2.2 s vs 15.5 s warm at sf0.1) — timing a
+    * superseded route every round cost 13% of the bench wall and added
+    * nothing a sf0.01 hash row doesn't already prove.
+    */
+  val slowTier: Set[String] = Set("dedup_substr_exact_sa")
 }
