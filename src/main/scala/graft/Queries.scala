@@ -40,7 +40,8 @@ object Queries
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard,
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupContainment,
-    qDedupContainmentIncremental, qDedupIncremental, qDedupMinhash,
+    qDedupContainmentIncremental, qDedupContainmentSteady,
+    qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,

@@ -226,7 +226,10 @@ object Dedup {
     * signature index computed ONCE at admission (corpus text never
     * re-read), and [[IncrementalDedup.admitBatch]] runs that loop
     * end-to-end with exact [[jaccardAgainst]] verification restricted
-    * to the candidate pairs.
+    * to the candidate pairs. The CONTAINMENT member of the stored-index
+    * family is [[containmentProbe]] over a persisted
+    * [[shinglePostings]] index, run end-to-end by
+    * [[IncrementalDedup.admitBatchContainment]].
     *
     * @param cacheCorpus when true (default — the batch-vs-slice shape),
     *        the single tagged-union postings relation (batch AND full
@@ -276,6 +279,17 @@ object Dedup {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     val (a, b) = againstPostings(batch, corpus, idCol, textCol, n,
       maxDocFreq, cacheCorpus)
+    containmentJoin(a, b, tau)
+  }
+
+  /** The containment join+score shared by [[containmentAgainst]] (text
+    * inputs, tokenized per call) and [[containmentProbe]] (stored
+    * postings) — one A-vs-B intersection count scoring both ordered
+    * directions. Sides arrive as postings (batch_id, m_a, sh64) /
+    * (corpus_id, m_b, sh64).
+    */
+  private def containmentJoin(a: DataFrame, b: DataFrame,
+                              tau: Double): DataFrame =
     a.as("ja").join(b.as("jb"), col("ja.sh64") === col("jb.sh64"))
       .groupBy(col("batch_id"), col("corpus_id"), col("m_a"), col("m_b"))
       .agg(count(lit(1)).as("inter"))
@@ -286,6 +300,60 @@ object Dedup {
       .filter(greatest(col("cont_batch"), col("cont_corpus")) >= tau)
       .select(col("batch_id"), col("corpus_id"), col("cont_batch"),
         col("cont_corpus"))
+
+  /** The STORABLE shingle-postings relation — containment's analogue of
+    * the MinHash signature index ([[minhashCandidatesAgainst]]'s storage
+    * pattern): (id, m = |shingle set|, sh64 = 64-bit shingle hash),
+    * computed ONCE at admission time and persisted (parquet, ideally
+    * bucketed by sh64 for co-located probes), so the steady-state
+    * admission loop never re-reads or re-tokenizes corpus text. Unlike
+    * the k-longs-per-doc signature index this one is postings-sized
+    * (~|distinct shingles| rows/doc of 20 bytes) — the price of EXACT
+    * containment, which no fixed-width sketch preserves (resemblance
+    * sketches can't see the doc-inside-doc relation at any τ; see
+    * [[containmentPairs]]).
+    */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    explodedShingles(df, idCol, textCol, n)
+      .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64"))
+
+  /** Steady-state containment PROBE: score an arriving batch's postings
+    * against a STORED corpus postings index ([[shinglePostings]]) —
+    * the stored-index member of the containment family the per-batch
+    * admission loop rides, closing the routing note above
+    * ([[jaccardAgainst]]): per-tick cost is batch-postings × probed
+    * slice, corpus text is never re-tokenized. Scoring is IDENTICAL to
+    * [[containmentAgainst]] (shared join), so probe-over-stored-index
+    * ≡ recompute-from-text row for row — the equivalence the
+    * `dedup_containment_steady` oracle row and `IncrementalDedupSpec`'s
+    * multi-batch ingest both pin.
+    *
+    * `maxDocFreq` (the essential containment scale dial — no
+    * length-ratio prune exists, see [[containmentPairs]]) is applied to
+    * the INDEX side at probe time, so the stored index stays exact and
+    * the dial can be tightened per probe without rebuilding it.
+    *
+    * @param batchPostings (id, m, sh64) for the arriving batch
+    * @param indexPostings (id, m, sh64) as persisted at admission
+    * @return (batch_id, corpus_id, cont_batch, cont_corpus), either
+    *         direction ≥ tau
+    */
+  def containmentProbe(batchPostings: DataFrame, indexPostings: DataFrame,
+                       tau: Double,
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val a = batchPostings.select(col("id").as("batch_id"),
+      col("m").as("m_a"), col("sh64"))
+    val bAll = indexPostings.select(col("id").as("corpus_id"),
+      col("m").as("m_b"), col("sh64"))
+    val b = if (maxDocFreq == Int.MaxValue) bAll else {
+      val hot = bAll.groupBy(col("sh64"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
+        .select(col("sh64"))
+      bAll.join(broadcast(hot), Seq("sh64"), "left_anti")
+    }
+    containmentJoin(a, b, tau)
   }
 
   /** Shared postings builder for the batch-vs-corpus family: (a, b) =

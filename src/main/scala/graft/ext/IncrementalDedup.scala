@@ -70,6 +70,86 @@ object IncrementalDedup {
     (nAdmitted, nInBatch, n - nAdmitted - nInBatch)
   }
 
+  /** One CONTAINMENT admission tick — the steady-state form of the
+    * embedded-quote check: each arriving batch is probed against a
+    * PERSISTENT shingle-postings index ([[Dedup.shinglePostings]], 20
+    * bytes per distinct shingle per admitted doc) so corpus text is
+    * never re-read or re-tokenized; survivors join the corpus and
+    * their postings join the index ([[Dedup.containmentProbe]] scores
+    * probes with the exact [[Dedup.containmentAgainst]] join, so the
+    * stored path is row-for-row the recompute-from-text path).
+    *
+    * Admission semantics per batch (first arrival wins, like
+    * [[admitBatch]]):
+    *  1. in-batch: a doc x is dropped when its shingle set is
+    *     τ-contained in ANOTHER batch doc y — unless the containment
+    *     is MUTUAL (near-identical docs) and x is the lower id, which
+    *     keeps exactly one survivor per mutual group while embedded
+    *     docs (one-directional containment) always drop. A containment
+    *     CHAIN (a ⊂ b ⊂ c) keeps its maximal host: every non-maximal
+    *     member has an outgoing one-directional edge.
+    *  2. cross-batch: a batch doc τ-contained in an INDEXED doc
+    *     (cont_batch ≥ τ) is dropped — the embedded-quote admission
+    *     signal. The reverse direction (batch doc SWALLOWS an admitted
+    *     doc, cont_corpus ≥ τ) does NOT drop: the arriving doc carries
+    *     novel content; replacing the admitted subset doc is a
+    *     compaction policy, not an admission one.
+    *
+    * At 100 TB: the index is postings-sized — the honest price of
+    * exact containment (no fixed-width sketch preserves the
+    * doc-inside-doc relation); write it bucketed by sh64 for
+    * co-located probes, and dial `maxDocFreq` (applied to the index
+    * side AT PROBE TIME, so the stored index stays exact) to keep
+    * boilerplate shingles out of the join — the measured 43.7 s → 2 s
+    * defense, see SCALE.md.
+    *
+    * @return (admitted, droppedInBatch, droppedVsIndex) row counts;
+    *         survivors appended to `corpusDir`, their postings to
+    *         `postingsDir` (both created on first use). Caller
+    *         serializes ticks (foreachBatch already does).
+    */
+  def admitBatchContainment(batch: DataFrame, idCol: String,
+                            textCol: String, corpusDir: String,
+                            postingsDir: String, n: Int, tau: Double,
+                            maxDocFreq: Int = Int.MaxValue): (Long, Long, Long) = {
+    val spark = batch.sparkSession
+    val nRows = batch.count()
+    // postings feed up to three joins below: compute once
+    val posts = Materialize.multiScan(
+      Dedup.shinglePostings(batch, idCol, textCol, n))
+    // 1. in-batch collapse. The self-probe emits each unordered pair in
+    // both orders (no id-ordering condition exists in the A-vs-B join),
+    // which is exactly what the asymmetric drop rule consumes: from the
+    // (x=batch_id, y=corpus_id) orientation, x drops iff x ⊂τ y and NOT
+    // (mutual ∧ x < y).
+    val inBatchDrops = Dedup.containmentProbe(posts, posts, tau)
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .filter(col("cont_batch") >= tau &&
+        !(col("cont_corpus") >= tau && col("batch_id") < col("corpus_id")))
+      .select(col("batch_id").as("id")).distinct()
+    // 2. cross-batch: drop batch docs contained in an indexed doc
+    val vsIndexDrops = indexIfExists(spark, postingsDir) match {
+      case Some(index) => Dedup.containmentProbe(posts, index, tau, maxDocFreq)
+        .filter(col("cont_batch") >= tau)
+        .select(col("batch_id").as("id")).distinct()
+      case None => inBatchDrops.limit(0)
+    }
+    val dropIds = Materialize.multiScan(
+      inBatchDrops.unionByName(vsIndexDrops).distinct())
+    val admitted = Materialize.multiScan(
+      batch.join(dropIds, batch(idCol) === dropIds("id"), "left_anti"))
+    val nAdmitted = admitted.count()
+    if (nAdmitted > 0) {
+      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
+      posts.join(dropIds, posts("id") === dropIds("id"), "left_anti")
+        .select(posts("id"), col("m"), col("sh64"))
+        .write.mode(SaveMode.Append).parquet(postingsDir)
+    }
+    val nInBatch = inBatchDrops.count()
+    Seq(posts, dropIds, admitted).foreach(_.unpersist())
+    (nAdmitted, nInBatch, nRows - nAdmitted - nInBatch)
+  }
+
   private def indexIfExists(spark: SparkSession,
                             indexDir: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(indexDir)

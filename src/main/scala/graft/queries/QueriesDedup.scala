@@ -164,6 +164,47 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       HAVING greatest(round(count(*)::DOUBLE / a.m, 4),
                       round(count(*)::DOUBLE / b.m, 4)) >= 0.5"""))
 
+  /** STEADY-STATE containment: the same batch-vs-admitted check as
+    * `dedup_containment_incremental`, but scored by
+    * [[Dedup.containmentProbe]] over the STORABLE shingle-postings
+    * relation ([[Dedup.shinglePostings]] — what
+    * [[graft.ext.IncrementalDedup.admitBatchContainment]] persists at
+    * admission and probes per batch, never re-tokenizing corpus text).
+    * Probe and recompute-from-text share one join, and this row pins
+    * the equivalence: SAME oracle as `dedup_containment_incremental`,
+    * so index-probe ≡ containmentAgainst hash-for-hash. The
+    * parquet-persisted multi-batch loop itself (write postings, read
+    * back, probe, append survivors) is exercised end-to-end in
+    * `IncrementalDedupSpec`.
+    */
+  val qDedupContainmentSteady = Q("dedup_containment_steady",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batchPosts = Dedup.shinglePostings(
+        docs.filter(col("doc_id") % 11 === 0), "doc_id", "text", n = 3)
+      val indexPosts = Dedup.shinglePostings(
+        docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", n = 3)
+      Dedup.containmentProbe(batchPosts, indexPosts, tau = 0.5)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+             round(count(*)::DOUBLE / a.m, 4) AS cont_batch,
+             round(count(*)::DOUBLE / b.m, 4) AS cont_corpus
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+        AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0
+      GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      HAVING greatest(round(count(*)::DOUBLE / a.m, 4),
+                      round(count(*)::DOUBLE / b.m, 4)) >= 0.5"""))
+
   private val minhashK = 16
   private val minhashBands = 4
   private val minhashParamsSql = Dedup.hashParams(minhashK)

@@ -331,6 +331,74 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(index == corpus, "index must track exactly the admitted docs")
   }
 
+  test("containment admission loop: stored postings index, embedded quotes turned away, probe == recompute") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_inccont").toString
+    val (corpusDir, postingsDir) = (s"$root/corpus", s"$root/postings")
+    // host page H: 30 words; quotes are 10-word contiguous passages of
+    // it — 8 of H's 28 3-shingles, so cont(quote→H) = 1.0 while
+    // J = 8/28 ≈ 0.29: invisible to any resemblance pass at τ=0.5
+    val hWords = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi",
+      "psi", "omega", "one", "two", "three", "four", "five", "six")
+    val hText = hWords.mkString(" ")
+    val quote1 = hWords.slice(2, 12).mkString(" ")
+    val quote2 = hWords.slice(15, 25).mkString(" ")
+    val bText = "wolf bear lynx otter moose raven heron crane stork finch robin wren"
+    val cText = "iron zinc gold lead tin silver nickel cobalt copper chrome neon argon"
+    // superset of B: contains every B shingle (cont_corpus = 1.0) but is
+    // long enough that cont_batch = 10/28 < τ — novel content, admitted
+    val superB = (bText.split(" ").toSeq ++ Seq("oak", "elm", "ash",
+      "birch", "pine", "cedar", "maple", "willow", "alder", "rowan",
+      "hazel", "beech", "fir", "yew", "holly", "plane", "lime", "box"))
+      .mkString(" ")
+    // tick 1: 3 is an embedded quote of in-batch host 1 (one-directional
+    // → drops regardless of id); 4 is a mutual near-copy of 2 (min id
+    // survives)
+    val t1 = IncrementalDedup.admitBatchContainment(
+      Seq((1L, hText), (2L, bText), (3L, quote1), (4L, bText))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5)
+    assert(t1 == ((2L, 2L, 0L)), s"tick1 $t1")
+    // tick 2: 10 quotes the ADMITTED host 1 (cross-batch, via the stored
+    // postings index — turned away); 11 is novel; 12 SWALLOWS admitted
+    // doc 2 (cont_corpus = 1.0): the reverse direction must NOT drop
+    val t2 = IncrementalDedup.admitBatchContainment(
+      Seq((10L, quote2), (11L, cText), (12L, superB))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5)
+    assert(t2 == ((2L, 0L, 1L)), s"tick2 $t2")
+    val corpus = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 11L, 12L), s"corpus $corpus")
+    val index = spark.read.parquet(postingsDir)
+    assert(index.select("id").distinct().as[Long].collect().toSet == corpus,
+      "postings index must track exactly the admitted docs")
+    // THE steady-state equivalence: probing the PERSISTED index scores
+    // row-for-row what recompute-from-text scores against the admitted
+    // corpus — the stored path loses nothing
+    val probeBatch = Seq((20L, quote1), (21L, cText), (22L, "brand new words entirely"))
+      .toDF("doc_id", "text")
+    val viaIndex = Dedup.containmentProbe(
+      Dedup.shinglePostings(probeBatch, "doc_id", "text", 3),
+      index, tau = 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val viaText = Dedup.containmentAgainst(probeBatch,
+      spark.read.parquet(corpusDir), "doc_id", "text", n = 3, tau = 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(viaIndex == viaText, s"index probe $viaIndex != recompute $viaText")
+    assert(viaIndex.exists { case (b, c, cb, _) => b == 20L && c == 1L && cb == 1.0 },
+      "quote1 must be fully contained in the admitted host")
+    // replay safety: a re-delivered committed batch re-probes the index,
+    // finds itself at containment 1.0, and admits nothing
+    val replay = IncrementalDedup.admitBatchContainment(
+      Seq((1L, hText), (2L, bText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5)
+    assert(replay == ((0L, 0L, 2L)), s"replayed batch must admit nothing: $replay")
+  }
+
   test("incremental-dedup streaming e2e: checkpoint restart, nothing re-admitted") {
     import spark.implicits._
     import graft.ext.IncrementalDedup
