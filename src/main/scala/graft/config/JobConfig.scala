@@ -70,6 +70,22 @@ final case class AdmissionConf(
       * on the raw text; `c4_bad_words` = the blocklist, plain words). */
     c4_rules: Boolean = false,
     c4_bad_words: Option[List[String]] = None,
+    /** Seventh gate — steady-state CONTAINMENT: turn away documents
+      * whose shingle set is τ-contained in an ALREADY-ADMITTED document
+      * (the embedded-quote signal, [[graft.ext.Dedup.containmentProbe]]
+      * over the persisted [[graft.ext.Dedup.shinglePostings]] index
+      * rooted here); absent = gate off. Survivors' postings append under
+      * `<dir>/batch=<id>` (Overwrite — replay-idempotent), and a replay
+      * probes only PRIOR batches' partitions, so a failed attempt's own
+      * postings can never turn its replay away. */
+    containment_index_dir: Option[String] = None,
+    containment_n: Int = 3,
+    /** τ in 1e-4 units (integer-dial convention): 5000 = 0.5. */
+    containment_tau_x10k: Long = 5000L,
+    /** Stop-shingle cap applied to the INDEX side at probe time — the
+      * essential containment scale dial (no length-ratio prune exists;
+      * see [[graft.ext.Dedup.containmentPairs]]). */
+    containment_max_doc_freq: Option[Int] = None,
     /** Audit trail: rejected rows land in `<dir>/batch=<id>` (Overwrite —
       * replay-idempotent, like the admission corpus layout). */
     rejected_dir: Option[String] = None)

@@ -31,6 +31,19 @@ import graft.ext.{Corpus, IncrementalQuality, Materialize}
   * cost is batch-sized. The batch makes ONE tokenize pass (the gates
   * read a shared spill-safe cache).
   *
+  * A SEVENTH, optional gate breaks the doc-local rule deliberately:
+  * steady-state CONTAINMENT (`containment_index_dir`) turns away
+  * documents τ-contained in an already-admitted one (the embedded-quote
+  * signal resemblance can't see), probing a persisted shingle-postings
+  * index and appending survivors' postings per batch — the
+  * [[graft.ext.IncrementalDedup.admitBatchContainment]] storage pattern
+  * under the admission stage's replay discipline (per-batch Overwrite
+  * partitions; a replay probes only PRIOR batches' partitions, so a
+  * failed attempt's own postings can never turn its replay away). This
+  * gate's state DOES grow (postings-sized, the honest price of exact
+  * containment) and its per-tick cost is batch-postings × index, dialed
+  * by `containment_max_doc_freq`.
+  *
   * Exactly-once: admission is deterministic in (row, frozen tables), so
   * a checkpoint replay admits the identical subset — the merge sink's
   * ledger semantics are untouched. The optional rejected-row audit
@@ -82,17 +95,71 @@ object QualityAdmission {
       lm, cfg.max_mean_surprisal_x10k.getOrElse(Long.MaxValue),
       cfg.unseen_nat10k,
       cfg.c4_rules, cfg.c4_bad_words.getOrElse(Nil))
-    val admittedDocs = g.admitted.drop("__adm_text", "__adm_id")
+    // seventh gate (optional): steady-state containment — documents
+    // τ-contained in an ALREADY-ADMITTED doc (embedded quotes) are
+    // turned away, probed against the persisted shingle-postings index;
+    // survivors' postings join the index. Runs AFTER the doc-local
+    // gates so only text that cleared them pays the tokenize+probe.
+    // In-batch containment is deliberately NOT checked here: the
+    // compacted batch is unique per (db, tb, pk), and cross-document
+    // in-batch collapse is the dedup loop's job
+    // ([[graft.ext.IncrementalDedup.admitBatchContainment]]).
+    val admittedScored = cfg.containment_index_dir match {
+      case None => g.admitted
+      case Some(dir) =>
+        val tau = cfg.containment_tau_x10k.toDouble / 10000
+        val posts = Materialize.multiScan(graft.ext.Dedup.shinglePostings(
+          g.admitted, "__adm_id", "__adm_text", cfg.containment_n))
+        val drops = priorPostings(g.admitted.sparkSession, dir, batchId) match {
+          case Some(index) => graft.ext.Dedup.containmentProbe(posts, index,
+              tau, cfg.containment_max_doc_freq.getOrElse(Int.MaxValue))
+            .filter(col("cont_batch") >= tau)
+            .select(col("batch_id").as("__adm_id")).distinct()
+          case None => posts.limit(0).select(col("id").as("__adm_id"))
+        }
+        val survivors = Materialize.multiScan(
+          g.admitted.join(drops, Seq("__adm_id"), "left_anti"))
+        // per-batch Overwrite partition: a replayed batch rewrites its
+        // own postings instead of appending a duplicate set
+        posts.join(survivors.select(col("__adm_id")),
+            posts("id") === col("__adm_id"), "left_semi")
+          .select(col("id"), col("m"), col("sh64"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+        posts.unpersist()
+        survivors
+    }
+    val admittedDocs = admittedScored.drop("__adm_text", "__adm_id")
     val out = Materialize.multiScan(admittedDocs.unionByName(bypass))
     out.count() // materialize while the gate's caches are live
     // audit trail of turned-away rows, replay-idempotent per-batch dir
     cfg.rejected_dir.foreach { dir =>
-      docs.join(g.admitted.select(col("__adm_id")), Seq("__adm_id"),
+      docs.join(admittedScored.select(col("__adm_id")), Seq("__adm_id"),
           "left_anti")
         .drop("__adm_text", "__adm_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
     }
+    if (admittedScored ne g.admitted) admittedScored.unpersist()
     g.release()
     out
+  }
+
+  /** The containment index visible to batch `batchId`: every PRIOR
+    * batch's postings partition, excluding the current batch's own —
+    * a failed attempt may have written `batch=<id>` before the sink
+    * committed, and a replay that probed its own postings would turn
+    * away every row at containment 1.0. Returns None when the index
+    * directory doesn't exist yet (first batch).
+    */
+  private def priorPostings(spark: SparkSession, dir: String,
+                            batchId: Long): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path) || fs.listStatus(path).isEmpty) None
+    else {
+      val ix = spark.read.parquet(dir)
+      val prior = if (ix.columns.contains("batch"))
+        ix.filter(col("batch") =!= batchId) else ix
+      Some(prior.select(col("id"), col("m"), col("sh64")))
+    }
   }
 }

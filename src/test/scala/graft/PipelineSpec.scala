@@ -323,6 +323,95 @@ class PipelineSpec extends AnyFunSuite {
     assert(ledger == ledger.distinct, s"double-applied (batch, target): $ledger")
   }
 
+  test("containment admission gate e2e: quoted passage turned away vs the admitted index, replay probes prior batches only") {
+    import spark.implicits._
+    def docEvent(table: String, id: Int, ts: Long, op: String, text: String): String = {
+      val row = s"""{\\"id\\": $id, \\"text\\": \\"$text\\"}"""
+      val after = if (op == "d") "null" else s""""$row""""
+      val before = if (op == "d") s""""$row"""" else "null"
+      s"""{"before":$before,"after":$after,
+         |"source":{"ts_ms":$ts,"db":"shop","table":"$table"},
+         |"op":"$op","ts_ms":$ts}""".stripMargin.replace("\n", "")
+    }
+    // host page: 30 words of prose (every doc here must CLEAR the
+    // doc-local gates — ≥2 distinct Gopher stopwords, mean-length
+    // window — so the turn-away is attributable to containment alone);
+    // the quote is a 10-word contiguous passage: cont(quote→host) = 1.0
+    // while J ≈ 0.29 — a resemblance gate at any usable τ admits it,
+    // the containment gate must not
+    val hostWords = Seq("the", "storm", "rolled", "over", "that",
+      "quiet", "harbor", "and", "every", "boat", "strained", "with",
+      "the", "tide", "while", "old", "sailors", "watched", "from",
+      "that", "long", "pier", "under", "dark", "clouds", "gathered",
+      "over", "distant", "water", "tonight")
+    val hostText = hostWords.mkString(" ")
+    val quoteText = hostWords.slice(10, 20).mkString(" ")
+    val novelText = "a hungry wolf and the brown bear wandered near that frozen river"
+    val src = Files.createTempDirectory("graft_cont_src").toString
+    val ckpt = Files.createTempDirectory("graft_cont_ckpt").toString
+    val rejectDir = Files.createTempDirectory("graft_cont_rej").toString
+    val ixDir = Files.createTempDirectory("graft_cont_ix").toString + "/postings"
+    val weightsDir = Files.createTempDirectory("graft_cont_w").toString + "/weights"
+    Seq((0L, 0L)).toDF("bucket", "w").write.parquet(weightsDir)
+    val cfg = graft.config.AdmissionConf(
+      text_expr = "get_json_object(payload, '$.text')",
+      weights_path = weightsDir,
+      min_words = 5,
+      containment_index_dir = Some(ixDir),
+      containment_n = 3,
+      containment_tau_x10k = 5000L,
+      rejected_dir = Some(rejectDir))
+    val url = "jdbc:derby:memory:contpipe;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new graft.sink.JdbcMergeSink(url, props, graft.sink.AnsiDialect)
+    def newPipeline() = new CdcPipeline(PgCdc, sink, tiebreaker = None,
+      pipelineId = Some("cont"),
+      admission = Some(graft.pipeline.QualityAdmission.fromConfig(
+        spark, cfg, PgCdc.deleteMarker)))
+
+    // batch 0: the host is admitted (empty index — nothing to contain it)
+    Files.writeString(java.nio.file.Paths.get(s"$src/b1.json"),
+      docEvent("docs", 1, 100L, "c", hostText))
+    val q1 = newPipeline().start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.jdbc(url, "shop_docs", props)
+      .select("pk").as[String].collect().toSet == Set("1"))
+
+    // batch 1 (restart from checkpoint): the quote clears every doc-local
+    // gate but is contained in the ADMITTED host → turned away; the
+    // novel doc is admitted and its postings join the index
+    Files.writeString(java.nio.file.Paths.get(s"$src/b2.json"),
+      Seq(docEvent("docs", 2, 200L, "c", quoteText),
+          docEvent("docs", 3, 201L, "c", novelText)).mkString("\n"))
+    val q2 = newPipeline().start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    q2.processAllAvailable(); q2.stop()
+    val docs2 = spark.read.jdbc(url, "shop_docs", props)
+      .select("pk").as[String].collect().toSet
+    assert(docs2 == Set("1", "3"), s"quote must be turned away: $docs2")
+    assert(spark.read.parquet(s"$rejectDir/batch=1")
+      .select("pk").as[String].collect().toSet == Set("2"),
+      "containment turn-away lands in the same audit trail as the gates'")
+    // the index tracks exactly the admitted docs, one partition per batch
+    val ix = spark.read.parquet(ixDir)
+    assert(ix.select("batch").distinct().as[Long].collect().toSet == Set(0L, 1L))
+    assert(ix.select("id").distinct().count() == 2,
+      "postings for host + novel doc only — the rejected quote writes none")
+
+    // replay discipline: re-admitting batch 1 (failed-attempt shape: its
+    // own batch=1 postings are ALREADY on disk) must not turn the novel
+    // doc away against its own prior write
+    val compacted = Seq(("shop", "docs", "3", "c",
+        s"""{"id": 3, "text": "$novelText"}"""))
+      .toDF("db_name", "tb_name", "pk", "op", "payload")
+    val weights = spark.read.parquet(weightsDir)
+    val replayed = graft.pipeline.QualityAdmission.admit(compacted, 1L,
+      cfg, PgCdc.deleteMarker, weights, None, None)
+    assert(replayed.select("pk").as[String].collect().toSet == Set("3"),
+      "replay must probe PRIOR batches only, never its own failed write")
+    replayed.unpersist()
+  }
+
   test("replaying a batch through processBatch converges (idempotent merge)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_sink2").toString
