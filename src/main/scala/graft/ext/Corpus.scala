@@ -1497,7 +1497,11 @@ object Corpus {
     * corpus release ships (Gebru et al. 2021, "Datasheets for
     * Datasets"): one row per source with volume, exact-duplicate rate,
     * the dominant language and its share, token volume, and EXACT
-    * document-length percentiles. Every statistic is the scale-safe
+    * document-length percentiles. NOTE `dup_rate` is WITHIN-source
+    * only (distinct fingerprints grouped per source) — two sources
+    * sharing a crawl each show 0% here; the cross-source view is
+    * [[crossSourceDup]], the matrix a release datasheet pairs with
+    * this card. Every statistic is the scale-safe
     * form of machinery this library already owns: dup rate groups
     * 32-byte md5 fingerprints (documents never shuffle), the language
     * mode is a max-struct aggregate (map-side collapsible — no
@@ -1554,5 +1558,61 @@ object Corpus {
           .as("mean_toks"),
         r(col("p50x"), 2).as("p50_chars"),
         r(col("p90x"), 2).as("p90_chars"))
+  }
+
+  /** CROSS-source duplication matrix — the datasheet statistic
+    * [[corpusCard]]'s within-source `dup_rate` structurally can't see:
+    * two sources that crawled the same pages each report a clean 0%
+    * internal dup rate while massively overlapping each other. One row
+    * per ORDERED (source, other_source) with ≥1 dup pair between them:
+    * how many of `source`'s documents have at least one duplicate
+    * partner in `other_source`, and what share of the source that is.
+    * The DIAGONAL (source = other_source) is the within-source rate
+    * under the same pair relation — comparable on sight with the
+    * off-diagonal contamination entries.
+    *
+    * Generic over the PAIR RELATION: pass any (id_a, id_b) dup-pair
+    * frame — [[Dedup.jaccardPairs]] / [[Dedup.minhashCandidates]]
+    * (near-dup overlap), [[Dedup.containmentPairs]] (quote-level
+    * overlap), or exact-fingerprint pairs — so one matrix operator
+    * serves every duplication notion the library computes; the
+    * heavy lifting (candidate generation) stays in the pair
+    * generators with their scale dials.
+    *
+    * Scale: the pair relation is already banded/pruned by its
+    * generator; the two id-keyed joins attach 8-byte source keys; the
+    * per-source totals are source-cardinality (broadcast). Nothing
+    * here touches document text.
+    *
+    * @param pairs (id_a, id_b) dup pairs, each unordered pair once
+    * @param docSources (id, source) — EVERY corpus doc (totals come
+    *        from here, so docs with no dup partner count in the
+    *        denominator)
+    * @return (source, other_source, n_docs_dup, dup_share):
+    *         n_docs_dup = distinct docs of `source` with a partner in
+    *         `other_source`; dup_share = n_docs_dup / |source| in the
+    *         portable floor-rounded 4dp form
+    */
+  def crossSourceDup(pairs: DataFrame, docSources: DataFrame): DataFrame = {
+    val src = docSources.select(col("id"), col("source"))
+    val tot = src.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val withSrc = pairs.select(col("id_a"), col("id_b"))
+      .join(src.select(col("id").as("id_a"), col("source").as("src_a")),
+        Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("source").as("src_b")),
+        Seq("id_b"))
+    // both orientations of each unordered pair: (A's doc vs B) and
+    // (B's doc vs A) — the diagonal folds naturally (a within-source
+    // pair contributes both its docs to the (S, S) row)
+    val directed = withSrc.select(col("src_a").as("source"),
+        col("src_b").as("other_source"), col("id_a").as("doc"))
+      .unionAll(withSrc.select(col("src_b").as("source"),
+        col("src_a").as("other_source"), col("id_b").as("doc")))
+    directed.groupBy(col("source"), col("other_source"))
+      .agg(countDistinct(col("doc")).as("n_docs_dup"))
+      .join(tot, Seq("source"))
+      .select(col("source"), col("other_source"), col("n_docs_dup"),
+        (floor(col("n_docs_dup").cast("double") / col("n_total") * 10000
+          + 0.5) / 10000).as("dup_share"))
   }
 }

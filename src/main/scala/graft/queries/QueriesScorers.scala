@@ -655,4 +655,52 @@ private[graft] trait QueriesScorers { this: Queries.type =>
       FROM agg a
       JOIN tl t ON t.source = a.source AND t.rn = 1
       JOIN pct ON pct.source = a.source"""))
+
+  /** Cross-source duplication matrix ([[Corpus.crossSourceDup]]): the
+    * datasheet statistic the card's within-source dup_rate can't see,
+    * here over the n-gram-Jaccard pair relation (τ=0.25, the
+    * dedup_ngram_jaccard dial — this fixture's duplicate copies land
+    * in DIFFERENT sources as near-dups, and carry ZERO exact-fp
+    * overlap at any SF, so the near-dup relation is the one with
+    * signal; the operator itself takes any (id_a, id_b) pair frame,
+    * exact-fingerprint pairs included). Ordered directions: the
+    * (A, B) row reads "n_docs_dup of A's docs have a near-dup in B,
+    * dup_share of A's volume"; the diagonal is the within-source
+    * near-dup rate.
+    */
+  val qCorpusCardXsource = Q("q_corpus_card_xsource",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.crossSourceDup(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25),
+        docs.select(col("doc_id").as("id"), col("source")))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, source, len(sset) AS m, unnest(sset) AS shingle FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.source AS src_a, b.source AS src_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.source, b.source, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25),
+      directed AS (
+        SELECT src_a AS source, src_b AS other_source, id_a AS doc FROM pairs
+        UNION ALL
+        SELECT src_b, src_a, id_b FROM pairs),
+      tot AS (SELECT source, count(*) AS n_total FROM docs GROUP BY 1),
+      agg AS (
+        SELECT source, other_source, count(DISTINCT doc) AS n_docs_dup
+        FROM directed GROUP BY 1, 2)
+      SELECT a.source, a.other_source, a.n_docs_dup,
+        floor(a.n_docs_dup::DOUBLE / t.n_total * 10000 + 0.5) / 10000
+          AS dup_share
+      FROM agg a JOIN tot t ON t.source = a.source"""))
 }
