@@ -142,6 +142,120 @@ object DataQuality {
     }.sum
   }
 
+  /** CATEGORICAL PSI — the same frozen-profile drift monitor over a
+    * STRING column. Text pipelines drift first in categorical space
+    * (language mix, source mix, vocabulary) long before any numeric
+    * column moves; this is the drift signal a corpus monitor must see
+    * first. Buckets are the reference's top-K categories (by count,
+    * ties broken to the lexicographically SMALLER category —
+    * deterministic, oracle-replayable) plus one OTHER bucket rolling
+    * up the tail, so the bucket count is bounded regardless of
+    * category cardinality — the property that makes the monitor safe
+    * over open vocabularies at any scale. Same epsilon clamp and
+    * integer-micro convention as the numeric [[psi]]; same empty-
+    * snapshot semantics (empty current → NULL psi, empty reference →
+    * throw). NULL category rows are excluded like NULL values.
+    */
+  final case class CatPsiProfile(categories: Seq[String],
+                                 refFrac: Seq[Double], epsilon: Double) {
+    require(refFrac.length == categories.length + 1,
+      "profile shape: one fraction per category plus OTHER")
+  }
+
+  /** The OTHER-bucket label: reference top-K membership is frozen into
+    * the profile, so anything else — including categories unseen at
+    * profile time — lands here. */
+  val CatOther = "__other__"
+
+  private def catTopK(ref: DataFrame, catCol: Column,
+                      topK: Int): (DataFrame, Seq[String]) = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val r1 = ref.select(catCol.cast("string").as("c"))
+      .filter(col("c").isNotNull)
+    val cats = r1.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("c").asc).limit(topK)
+      .collect().map(_.getString(0)).toSeq
+    require(cats.nonEmpty,
+      "catPsi: reference snapshot has no non-null categories — " +
+        "a drift monitor needs a populated reference distribution")
+    (r1, cats)
+  }
+
+  private def catBucket(c: Column, cats: Seq[String]): Column =
+    when(c.isin(cats: _*), c).otherwise(lit(CatOther))
+
+  /** Build a [[CatPsiProfile]] (stream-startup freeze, like
+    * [[psiProfile]]): top-K categories + their reference fractions +
+    * the OTHER fraction. */
+  def catPsiProfile(ref: DataFrame, catCol: Column, topK: Int = 20,
+                    epsilon: Double = 1e-6): CatPsiProfile = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val (r1, cats) = catTopK(ref, catCol, topK)
+    val aggCols = count(lit(1)).as("n") +: (cats :+ CatOther).map(c =>
+      count(when(col("b") === c, 1)).as(s"c_$c"))
+    val counts = r1.select(catBucket(col("c"), cats).as("b"))
+      .groupBy().agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val total = counts.getLong(0).toDouble
+    CatPsiProfile(cats,
+      (1 to cats.length + 1).map(i => counts.getLong(i) / total), epsilon)
+  }
+
+  /** One categorical drift TICK against the frozen profile — stateless
+    * scan + one tiny aggregate per micro-batch, NaN on an empty batch
+    * (mirror of [[psiTick]]). */
+  def catPsiTick(profile: CatPsiProfile, batch: DataFrame,
+                 catCol: Column): Double = {
+    val buckets = profile.categories :+ CatOther
+    val aggCols = count(lit(1)).as("n") +: buckets.map(c =>
+      count(when(col("b") === c, 1)).as(s"c_$c"))
+    val counts = batch.select(catCol.cast("string").as("c"))
+      .filter(col("c").isNotNull)
+      .select(catBucket(col("c"), profile.categories).as("b"))
+      .groupBy().agg(aggCols.head, aggCols.tail: _*)
+      .collect()(0)
+    val n = counts.getLong(0)
+    if (n == 0L) Double.NaN
+    else profile.refFrac.indices.map { i =>
+      val fc = math.max(counts.getLong(i + 1).toDouble / n, profile.epsilon)
+      val fr = math.max(profile.refFrac(i), profile.epsilon)
+      (fc - fr) * math.log(fc / fr)
+    }.sum
+  }
+
+  /** Batch-form categorical PSI (the oracle-shaped sibling of [[psi]]):
+    * one row per bucket — the reference's top-K categories in frequency
+    * order plus OTHER — with counts from both snapshots and the
+    * integer-micro contribution. */
+  def catPsi(ref: DataFrame, cur: DataFrame, catCol: Column,
+             topK: Int = 20, epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val (r1, cats) = catTopK(ref, catCol, topK)
+    val c1 = cur.select(catCol.cast("string").as("c"))
+      .filter(col("c").isNotNull)
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(catBucket(col("c"), cats).as("category"))
+        .agg(count(lit(1)).as(out))
+    val buckets = (cats :+ CatOther).toDF("category")
+    val joined = buckets
+      .join(counts(r1, "n_ref"), Seq("category"), "left")
+      .join(counts(c1, "n_cur"), Seq("category"), "left")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_cur")).as("tc"))
+    val fr = greatest(col("n_ref").cast("double") / col("tr"), lit(epsilon))
+    val fc = greatest(col("n_cur").cast("double") / col("tc"), lit(epsilon))
+    joined.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        when(col("tc") === 0, lit(null).cast("long"))
+          .otherwise(floor((fc - fr) * log(fc / fr) * 1e6 + 0.5)
+            .cast("long"))
+          .as("psi_x1e6"))
+  }
+
   def psi(ref: DataFrame, cur: DataFrame, valueCol: Column,
           nBuckets: Int = 10, epsilon: Double = 1e-6): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")

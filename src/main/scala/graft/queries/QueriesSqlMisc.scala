@@ -550,6 +550,56 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
           * 1e6 + 0.5) AS BIGINT) AS psi_x1e6
       FROM j CROSS JOIN tot"""))
 
+  /** CATEGORICAL PSI drift ([[DataQuality.catPsi]]): language-mix
+    * drift between two document snapshots — the categorical-space
+    * signal a text-pipeline monitor must see first. Buckets are the
+    * reference's top-3 languages (count desc, lexicographic asc on
+    * ties — deterministic, replayed by the oracle) plus the `__other__`
+    * roll-up; same epsilon clamp and integer-micro convention as
+    * q_psi_drift.
+    */
+  val qPsiDriftCat = Q("q_psi_drift_cat",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      DataQuality.catPsi(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), col("lang"), topK = 3)
+    },
+    Some("""WITH r AS (
+        SELECT lang AS c FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      cu AS (
+        SELECT lang AS c FROM documents
+        WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
+      top AS (
+        SELECT c AS category FROM (
+          SELECT c, row_number() OVER (ORDER BY count(*) DESC, c ASC)
+            AS rn
+          FROM r GROUP BY c) WHERE rn <= 3),
+      buckets AS (
+        SELECT category FROM top UNION ALL SELECT '__other__'),
+      rb AS (
+        SELECT CASE WHEN c IN (SELECT category FROM top) THEN c
+                    ELSE '__other__' END AS category FROM r),
+      cb AS (
+        SELECT CASE WHEN c IN (SELECT category FROM top) THEN c
+                    ELSE '__other__' END AS category FROM cu),
+      nr AS (SELECT category, count(*) AS n_ref FROM rb GROUP BY 1),
+      nc AS (SELECT category, count(*) AS n_cur FROM cb GROUP BY 1),
+      j AS (
+        SELECT b.category, coalesce(nr.n_ref, 0) AS n_ref,
+               coalesce(nc.n_cur, 0) AS n_cur
+        FROM buckets b LEFT JOIN nr ON nr.category = b.category
+               LEFT JOIN nc ON nc.category = b.category),
+      tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+      SELECT j.category, CAST(j.n_ref AS BIGINT) AS n_ref,
+        CAST(j.n_cur AS BIGINT) AS n_cur,
+        CAST(floor((greatest(j.n_cur::DOUBLE / tot.tc, 1e-6)
+                    - greatest(j.n_ref::DOUBLE / tot.tr, 1e-6))
+          * ln(greatest(j.n_cur::DOUBLE / tot.tc, 1e-6)
+               / greatest(j.n_ref::DOUBLE / tot.tr, 1e-6))
+          * 1e6 + 0.5) AS BIGINT) AS psi_x1e6
+      FROM j CROSS JOIN tot"""))
+
   /** KMV distinct sketch: unlike HLL, the k-minimum-values estimator
     * over the portable md5 hash is bit-reproducible in any engine, so
     * the SKETCH ITSELF is oracle-checked — the distributed-sketch

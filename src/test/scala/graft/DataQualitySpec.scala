@@ -94,6 +94,69 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("categorical drift monitor: frozen top-K profile, OTHER roll-up, tick == batch form, streaming wiring") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // reference mix: en 50, de 30, fr 15, es 4, zh 1 — topK=3 freezes
+    // {en, de, fr}; es+zh roll into __other__
+    val ref = (Seq.fill(50)("en") ++ Seq.fill(30)("de") ++
+      Seq.fill(15)("fr") ++ Seq.fill(4)("es") ++ Seq("zh"))
+    val profile = DataQuality.catPsiProfile(ref.toDF("lang"),
+      col("lang"), topK = 3)
+    assert(profile.categories == Seq("en", "de", "fr"),
+      s"top-K by count: ${profile.categories}")
+    assert(profile.refFrac == Seq(0.5, 0.3, 0.15, 0.05),
+      s"fractions incl. OTHER: ${profile.refFrac}")
+    // a batch drawn from the reference mix drifts exactly 0
+    assert(DataQuality.catPsiTick(profile, ref.toDF("lang"),
+      col("lang")) == 0.0)
+    // tick == batch form on the same snapshot pair (micro-units) —
+    // including a category UNSEEN at profile time ("ja" → __other__)
+    val shifted = (Seq.fill(20)("en") ++ Seq.fill(10)("de") ++
+      Seq.fill(40)("ja") ++ Seq.fill(30)("zh"))
+    val tick = DataQuality.catPsiTick(profile, shifted.toDF("lang"),
+      col("lang"))
+    val batchForm = DataQuality.catPsi(ref.toDF("lang"),
+        shifted.toDF("lang"), col("lang"), topK = 3)
+      .agg(sum(col("psi_x1e6"))).collect()(0).getLong(0) / 1e6
+    assert(math.abs(tick - batchForm) < 1e-5, s"$tick vs $batchForm")
+    assert(tick > 0.25, "70% of the mass left the frozen buckets: major shift")
+    // empty batch: NaN, not a spurious zero-drift signal
+    assert(DataQuality.catPsiTick(profile,
+      Seq.empty[String].toDF("lang"), col("lang")).isNaN)
+    // batch form mirrors the numeric guards: empty current -> NULL psi,
+    // empty reference -> loud error
+    assert(DataQuality.catPsi(ref.toDF("lang"),
+        Seq.empty[String].toDF("lang"), col("lang"), topK = 3)
+      .collect().forall(_.isNullAt(3)))
+    intercept[IllegalArgumentException] {
+      DataQuality.catPsi(Seq.empty[String].toDF("lang"),
+        ref.toDF("lang"), col("lang"))
+    }
+    // deterministic tie-break: equal counts -> lexicographically
+    // smaller category takes the slot
+    val tied = DataQuality.catPsiProfile(
+      Seq("b", "b", "a", "a", "c", "c").toDF("x"), col("x"), topK = 2)
+    assert(tied.categories == Seq("a", "b"))
+    // production wiring: one categorical drift number per micro-batch
+    val in = MemoryStream[String]
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = in.toDS().toDF("lang").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        ticks.synchronized {
+          ticks += id -> DataQuality.catPsiTick(profile, batch, col("lang"))
+        }; ()
+      }.start()
+    in.addData(ref: _*)
+    q.processAllAvailable()
+    in.addData(shifted: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byId = ticks.toMap
+    assert(byId(0L) == 0.0 && math.abs(byId(1L) - batchForm) < 1e-5)
+  }
+
   test("empty snapshots: empty current -> NULL psi (no spurious all-clear); empty reference throws") {
     val ref = (1 to 100).map(_.toDouble)
     // empty current: every bucket's psi_x1e6 is NULL — the batch
