@@ -52,7 +52,7 @@ object Queries
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qEmbeddingCard,
-    qAsofJoin, qRangeJoin, qScd2, qFunnel, qPercentiles, qSample,
+    qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qPercentiles, qSample,
     qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qHeavyHitters,

@@ -91,6 +91,14 @@ object Temporal {
     * operator deliberately reports the first-touch funnel, the
     * standard product-analytics convention).
     *
+    * CAVEAT (windowed runs): first-touch anchoring means a reported
+    * incomplete does NOT prove no qualifying chain exists — an entity
+    * whose completing chain starts at a LATER step-1 event is reported
+    * incomplete here even though a within-window chain exists
+    * (`TemporalSpec` pins the divergent case). When the question is
+    * "does ANY qualifying chain exist" (conversion-eligibility rather
+    * than first-touch attribution), use [[funnelAnyTouch]].
+    *
     * Shape: one filtered min-aggregate for step 1, then one
     * (join + conditional min-aggregate) round PER STEP — all keyed on
     * the entity, so the rounds reuse one hash partitioning and the
@@ -128,5 +136,61 @@ object Temporal {
     reached.withColumn("steps_completed",
       (1 to steps.length).map(i =>
         when(col(s"t_$i").isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
+  /** ANY-TOUCH windowed funnel: does ANY qualifying chain of the
+    * ordered step pattern exist for the entity (strictly increasing
+    * times, total span ≤ `windowMs`), and when does the earliest one
+    * complete? The existence question [[funnel]]'s first-touch
+    * anchoring cannot answer (see its caveat).
+    *
+    * Algorithm — latest-feasible-anchor dynamic programming in ONE
+    * window pass, no per-anchor re-matching and no event-array
+    * collection: for an event e of type step_k at time t, define
+    * L_k(e) = the LATEST step-1 time over all chains step_1 < … <
+    * step_k ending at e. Then L_1(e) = t, and L_k(e) = max of
+    * L_(k−1) over STRICTLY-earlier step_(k−1) events — a running
+    * `max` with a RANGE frame ending 1ms before the current row
+    * (strictly-before in TIME, matching [[funnel]]'s strict `>`;
+    * equal-timestamp events cannot chain in either operator). A chain
+    * ending at e fits the window iff t − L_n(e) ≤ windowMs: since t_n
+    * is the chain's maximum, the span constraint reduces to the
+    * endpoints, and maximizing the anchor maximizes feasibility —
+    * so the check is exact, not heuristic.
+    *
+    * Shape: one shuffle on the entity, one sort, n−1 stacked running
+    * maxes over the SAME window spec (single Window sort, no extra
+    * exchanges), then a min-struct aggregate. Scales like any keyed
+    * window: no anchor × event blowup (the naive any-touch form
+    * re-runs the funnel per step-1 event).
+    *
+    * @return one row per entity with ≥1 qualifying chain:
+    *         (entity, anchor_ms, t_complete_ms) — the earliest
+    *         qualifying completion and THAT completion's
+    *         latest-feasible anchor
+    */
+  def funnelAnyTouch(events: DataFrame, entityCol: String,
+                     typeCol: String, timeMs: Column, steps: Seq[String],
+                     windowMs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("__e")).orderBy(col("__t"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var df = events.select(col(entityCol).as("__e"),
+        col(typeCol).as("__ty"), timeMs.as("__t"))
+      .withColumn("__a1", when(col("__ty") === steps.head, col("__t")))
+    for (k <- 2 to steps.length) {
+      df = df
+        .withColumn(s"__m${k - 1}", max(col(s"__a${k - 1}")).over(w))
+        .withColumn(s"__a$k",
+          when(col("__ty") === steps(k - 1), col(s"__m${k - 1}")))
+    }
+    val anchor = col(s"__a${steps.length}")
+    val inWindow = windowMs.fold(lit(true))(wm =>
+      col("__t") - anchor <= wm)
+    df.filter(anchor.isNotNull && inWindow)
+      .groupBy(col("__e").as("entity"))
+      .agg(min(struct(col("__t").as("tc"), anchor.as("anc"))).as("__b"))
+      .select(col("entity"), col("__b.anc").as("anchor_ms"),
+        col("__b.tc").as("t_complete_ms"))
   }
 }

@@ -140,6 +140,49 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
         + (CASE WHEN t_4 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed
       FROM s4"""))
 
+  /** ANY-TOUCH windowed funnel ([[graft.operators.Temporal
+    * .funnelAnyTouch]]): does ANY strictly-ordered signup→view→click→
+    * purchase chain fit in one hour — the existence question
+    * q_funnel's first-touch anchoring can't answer. The oracle replays
+    * the same latest-feasible-anchor DP with DuckDB window functions
+    * (running max over a strictly-before RANGE frame), and the
+    * earliest qualifying completion is cut identically in both engines
+    * (t asc, anchor asc).
+    */
+  val qFunnelAny = Q("q_funnel_any",
+    (s, dir) => graft.operators.Temporal.funnelAnyTouch(
+      t(s, dir, "events"), "user_id", "event_type",
+      unix_millis(col("ts")),
+      Seq("signup", "view", "click", "purchase"),
+      windowMs = Some(3600000L)),
+    Some("""WITH ev AS (
+        SELECT user_id AS e, event_type AS ty, epoch_ms(ts) AS t
+        FROM events),
+      x1 AS (
+        SELECT e, ty, t, CASE WHEN ty = 'signup' THEN t END AS a1
+        FROM ev),
+      x2 AS (
+        SELECT *, CASE WHEN ty = 'view' THEN max(a1) OVER w END AS a2
+        FROM x1
+        WINDOW w AS (PARTITION BY e ORDER BY t
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      x3 AS (
+        SELECT *, CASE WHEN ty = 'click' THEN max(a2) OVER w END AS a3
+        FROM x2
+        WINDOW w AS (PARTITION BY e ORDER BY t
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      x4 AS (
+        SELECT *, CASE WHEN ty = 'purchase' THEN max(a3) OVER w END AS a4
+        FROM x3
+        WINDOW w AS (PARTITION BY e ORDER BY t
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      q AS (
+        SELECT e AS entity, a4 AS anchor_ms, t AS t_complete_ms,
+          row_number() OVER (PARTITION BY e ORDER BY t ASC, a4 ASC)
+            AS rn
+        FROM x4 WHERE a4 IS NOT NULL AND t - a4 <= 3600000)
+      SELECT entity, anchor_ms, t_complete_ms FROM q WHERE rn = 1"""))
+
   /** Exact group percentiles. Two cross-engine IEEE traps, both fixed
     * here by construction:
     *  - interpolation formula: DuckDB's `quantile_cont` computes

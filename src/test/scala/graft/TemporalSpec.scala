@@ -125,4 +125,49 @@ class TemporalSpec extends AnyFunSuite {
     assert(rep(5L) == ((Seq(Some(10L), None), 1)))
     assert(rep(4L) == ((Seq(Some(0L), Some(400L)), 2)))
   }
+
+  test("funnelAnyTouch: any qualifying chain, latest-feasible anchor, strict time, earliest completion") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), // plain completion
+      (2L, "b", 5L), (2L, "a", 10L), // order violated: no chain
+      (3L, "a", 0L), (3L, "b", 500L), // outside window from ANY anchor
+      // THE divergent case the first-touch spec pins as incomplete:
+      // anchoring at the second 'a' admits b@450 — any-touch finds it
+      (4L, "a", 0L), (4L, "a", 400L), (4L, "b", 450L),
+      (5L, "a", 10L), // stalls at step 1
+      (6L, "a", 10L), (6L, "b", 10L), // equal time: strictly-after fails
+      (7L, "a", 10L), (7L, "b", 30L), (7L, "b", 90L) // two completions
+    ).toDF("u", "et", "tms")
+    def run(steps: Seq[String], w: Option[Long]) =
+      Temporal.funnelAnyTouch(ev, "u", "et", col("tms"), steps, w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    val f = run(Seq("a", "b"), Some(100L))
+    assert(f(1L) == ((10L, 20L)))
+    assert(!f.contains(2L) && !f.contains(3L) && !f.contains(5L),
+      s"no qualifying chain may be invented: $f")
+    assert(!f.contains(6L), "equal timestamps cannot chain (strict >)")
+    assert(f(4L) == ((400L, 450L)),
+      "the existence answer first-touch anchoring misses")
+    assert(f(7L) == ((10L, 30L)), "earliest qualifying completion wins")
+    // latest-FEASIBLE anchor, not latest step-1: a@80 is later but only
+    // becomes feasible once a 'v' follows it — the DP threads
+    // a@80 → v@90 → c@120 (span 40); anchoring at a@0 would not fit
+    val ev3 = Seq((9L, "a", 0L), (9L, "v", 10L), (9L, "a", 80L),
+      (9L, "v", 90L), (9L, "c", 120L)).toDF("u", "et", "tms")
+    val g = Temporal.funnelAnyTouch(ev3, "u", "et", col("tms"),
+      Seq("a", "v", "c"), Some(100L)).collect()
+    assert(g.length == 1 && g(0).getLong(1) == 80L &&
+      g(0).getLong(2) == 120L, s"got ${g.toSeq}")
+    // remove the late 'v': the late anchor loses feasibility and no
+    // chain fits the window at all
+    val ev4 = Seq((9L, "a", 0L), (9L, "v", 10L), (9L, "a", 80L),
+      (9L, "c", 120L)).toDF("u", "et", "tms")
+    assert(Temporal.funnelAnyTouch(ev4, "u", "et", col("tms"),
+      Seq("a", "v", "c"), Some(100L)).isEmpty)
+    // unwindowed: existence agrees with the first-touch funnel (greedy
+    // is anchor-independent without a window)
+    assert(run(Seq("a", "b"), None)(3L) == ((0L, 500L)))
+  }
 }
