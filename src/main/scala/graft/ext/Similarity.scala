@@ -513,6 +513,108 @@ object Similarity {
     * @return (label, n_vecs, dim, n_dims, zero_vecs, mean_norm_x1e4,
     *         p50_norm, p90_norm)
     */
+  /** Frozen reference for the EMBEDDING-space streaming drift monitor —
+    * [[embeddingCard]] wired into the [[DataQuality.PsiProfile]]
+    * freeze-then-tick shape: per label, the reference centroid and
+    * dispersion (mean Euclidean distance to the centroid), computed
+    * ONCE at stream startup and applied to every micro-batch by
+    * [[embeddingDriftTick]]. The profile is label-cardinality ×
+    * dim doubles — broadcastable at any corpus scale.
+    */
+  final case class LabelDriftRef(n: Long, centroid: Seq[Double],
+                                 dispersion: Double)
+  final case class EmbeddingDriftProfile(dim: Int,
+                                         labels: Map[String, LabelDriftRef])
+
+  /** Build an [[EmbeddingDriftProfile]]: one vector-sum aggregate pass
+    * for the per-label centroids ([[graft.functions.VectorFunctions
+    * .vecSumCount]] — double[dim] buffer, map-side partial merge, NOT
+    * dim separate avg() expressions), then one distance pass for the
+    * dispersions (centroids broadcast back). Vectors must share one
+    * dimension — mixed-dim labels are the ingestion bug
+    * [[embeddingCard]]'s `n_dims` column exists to flag; run the card
+    * first.
+    */
+  def embeddingDriftProfile(ref: DataFrame, vecCol: String,
+                            labelCol: String): EmbeddingDriftProfile = {
+    ensureRegistered(ref)
+    val r1 = ref.filter(col(vecCol).isNotNull)
+    val head = r1.select(col(vecCol)).take(1)
+    require(head.nonEmpty,
+      "embeddingDriftProfile: reference snapshot has no non-null " +
+        "vectors — a drift monitor needs a populated reference")
+    val dim = head(0).getSeq[Float](0).length
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val cents = r1.groupBy(col(labelCol).cast("string").as("label"))
+      .agg(graft.functions.VectorFunctions
+        .vecSumCount(col(vecCol), dim).as("sc"))
+      .select(col("label"), col("sc.sum"), col("sc.n")).collect()
+      .map { r =>
+        val s = r.getSeq[Double](1); val n = r.getLong(2)
+        (r.getString(0), s.map(_ / n), n)
+      }
+    val centDf = cents.toSeq.map { case (l, c, _) => (l, c) }
+      .toDF("label", "__cent")
+    val disp = r1
+      .select(col(labelCol).cast("string").as("label"),
+        col(vecCol).as("__v"))
+      .join(broadcast(centDf), Seq("label"))
+      .select(col("label"),
+        sqrt(aggregate(
+          zip_with(col("__v"), col("__cent"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, z) => acc + z)).as("__d"))
+      .groupBy(col("label"))
+      .agg(sum(col("__d")).as("sd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        r.getDouble(1) / r.getLong(2)).toMap
+    EmbeddingDriftProfile(dim, cents.map { case (l, c, n) =>
+      l -> LabelDriftRef(n, c, disp(l)) }.toMap)
+  }
+
+  /** One embedding-drift TICK against the frozen profile: per label in
+    * the batch, the batch-centroid's distance to the frozen centroid in
+    * DISPERSION units — score s means "the batch mean sits s reference
+    * mean-radii away from where this label lived at freeze time" (a
+    * same-distribution batch of b vectors concentrates near
+    * dispersion/√b, so scores ≪ 1; a real mean shift scores ≥ 1
+    * regardless of batch size). Stateless: ONE vector-sum aggregate
+    * over the batch, then label-cardinality driver arithmetic — the
+    * [[DataQuality.psiTick]] posture for vector columns.
+    *
+    * @return label → (n_vecs, score); a label UNSEEN at freeze time
+    *         scores NaN (no reference — callers alert on new-label
+    *         rather than reading a distance into nothing); a
+    *         zero-dispersion reference label (degenerate single point)
+    *         scores 0 at distance 0 and +∞ otherwise; an empty batch
+    *         returns an empty map
+    */
+  def embeddingDriftTick(profile: EmbeddingDriftProfile, batch: DataFrame,
+                         vecCol: String,
+                         labelCol: String): Map[String, (Long, Double)] = {
+    ensureRegistered(batch)
+    batch.filter(col(vecCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("label"))
+      .agg(graft.functions.VectorFunctions
+        .vecSumCount(col(vecCol), profile.dim).as("sc"))
+      .select(col("label"), col("sc.sum"), col("sc.n")).collect()
+      .map { r =>
+        val label = r.getString(0)
+        val s = r.getSeq[Double](1); val n = r.getLong(2)
+        val score = profile.labels.get(label) match {
+          case None => Double.NaN
+          case Some(ref) =>
+            val dist = math.sqrt(ref.centroid.indices.map { i =>
+              val d = s(i) / n - ref.centroid(i); d * d }.sum)
+            if (ref.dispersion == 0.0) {
+              if (dist == 0.0) 0.0 else Double.PositiveInfinity
+            } else dist / ref.dispersion
+        }
+        label -> ((n, score))
+      }.toMap
+  }
+
   def embeddingCard(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String): DataFrame = {
     def r(c: Column, s: Int): Column = {

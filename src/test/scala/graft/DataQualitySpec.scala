@@ -157,6 +157,83 @@ class DataQualitySpec extends AnyFunSuite {
     assert(byId(0L) == 0.0 && math.abs(byId(1L) - batchForm) < 1e-5)
   }
 
+  test("embedding drift monitor: frozen per-label centroid/dispersion, shifted batch alerts, unshifted doesn't") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // label A lives at (1,0,0,0) ± 0.1 on axis 2 (dispersion exactly
+    // 0.1); label B at (0,1,0,0) ± 0.2 (dispersion 0.2); label C is a
+    // degenerate single point
+    def vecs(center: Array[Float], jitterAxis: Int, jitter: Float,
+             n: Int): Seq[Array[Float]] =
+      (0 until n).map { i =>
+        val v = center.clone()
+        v(jitterAxis) = v(jitterAxis) + (if (i % 2 == 0) jitter else -jitter)
+        v
+      }
+    val a = vecs(Array(1f, 0f, 0f, 0f), 1, 0.1f, 10).map(("A", _))
+    val b = vecs(Array(0f, 1f, 0f, 0f), 2, 0.2f, 10).map(("B", _))
+    val c = Seq(("C", Array(0f, 0f, 0f, 1f)))
+    val ref = (a ++ b ++ c).toDF("label", "emb")
+    val profile = Similarity.embeddingDriftProfile(ref, "emb", "label")
+    assert(profile.dim == 4)
+    assert(math.abs(profile.labels("A").dispersion - 0.1) < 1e-7)
+    assert(math.abs(profile.labels("B").dispersion - 0.2) < 1e-7)
+    assert(profile.labels("C").dispersion == 0.0)
+    assert(profile.labels("A").centroid.zip(Seq(1.0, 0.0, 0.0, 0.0))
+      .forall { case (x, y) => math.abs(x - y) < 1e-7 })
+    // unshifted batch: the batch centroid coincides with the frozen one
+    val same = Similarity.embeddingDriftTick(profile, ref, "emb", "label")
+    assert(same("A")._2 < 1e-7 && same("B")._2 < 1e-7 && same("C")._2 == 0.0,
+      s"same-distribution batch must not alert: $same")
+    // label A's mean moved 0.5 along axis 0 = 5 dispersion units;
+    // label B unshifted in the same batch stays quiet
+    val shifted = (vecs(Array(1.5f, 0f, 0f, 0f), 1, 0.1f, 10).map(("A", _))
+      ++ vecs(Array(0f, 1f, 0f, 0f), 2, 0.2f, 10).map(("B", _)))
+      .toDF("label", "emb")
+    val tick = Similarity.embeddingDriftTick(profile, shifted, "emb", "label")
+    assert(math.abs(tick("A")._2 - 5.0) < 1e-6,
+      s"0.5 shift over 0.1 dispersion = 5 units: ${tick("A")}")
+    assert(tick("A")._1 == 10L)
+    assert(tick("B")._2 < 1e-7, "co-batched unshifted label stays quiet")
+    // degenerate reference label: any movement is +inf, none is 0
+    val cShift = Seq(("C", Array(0f, 0f, 0.5f, 1f))).toDF("label", "emb")
+    assert(Similarity.embeddingDriftTick(profile, cShift, "emb",
+      "label")("C")._2.isPosInfinity)
+    // a label unseen at freeze time: NaN (new-label alert, not a distance)
+    val newLabel = Seq(("D", Array(1f, 1f, 1f, 1f))).toDF("label", "emb")
+    assert(Similarity.embeddingDriftTick(profile, newLabel, "emb",
+      "label")("D")._2.isNaN)
+    // empty batch: empty map, no spurious signal
+    assert(Similarity.embeddingDriftTick(profile,
+      ref.limit(0), "emb", "label").isEmpty)
+    // empty reference: loud configuration error
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingDriftProfile(ref.limit(0), "emb", "label")
+    }
+    // production wiring: per-micro-batch scores from foreachBatch,
+    // profile frozen at stream start — same posture as psiTick
+    val in = MemoryStream[(String, Array[Float])]
+    val ticks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, (Long, Double)])]
+    val q = in.toDS().toDF("label", "emb").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        ticks.synchronized {
+          ticks += id -> Similarity.embeddingDriftTick(profile, batch,
+            "emb", "label")
+        }; ()
+      }.start()
+    in.addData(a ++ b: _*)
+    q.processAllAvailable()
+    in.addData(vecs(Array(1.5f, 0f, 0f, 0f), 1, 0.1f, 10).map(("A", _)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val byId = ticks.toMap
+    assert(byId(0L)("A")._2 < 1e-7 && byId(0L)("B")._2 < 1e-7)
+    assert(math.abs(byId(1L)("A")._2 - 5.0) < 1e-6)
+  }
+
   test("empty snapshots: empty current -> NULL psi (no spurious all-clear); empty reference throws") {
     val ref = (1 to 100).map(_.toDouble)
     // empty current: every bucket's psi_x1e6 is NULL — the batch
