@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Measures the steady-state containment claim behind
+  * `IncrementalDedup.admitBatchContainment` / SCALE.md: probing a
+  * STORED shingle-postings index costs the batch's tokenize + the
+  * postings join, while the recompute-from-text form
+  * (`containmentAgainst`) re-tokenizes the whole corpus every tick —
+  * so the probe's advantage must GROW with corpus scale while the two
+  * answers stay row-for-row identical (asserted here, not assumed).
+  *
+  * Corpus/batch are the ScaleBench synthetic documents (deterministic,
+  * planted near-dup rate), split batch = doc_id % 11 == 0 like the
+  * gate's incremental rows; the postings index is written ONCE per
+  * scale (admission-time cost, amortized over every later tick) and
+  * each timed run reads it back from parquet — the actual steady-state
+  * IO path, not a cache.
+  *
+  * Run: `sbt "runMain graft.tools.SteadyContainmentBench"` (optional
+  * arg: output root, default /tmp/graft-steadycont). Prints one
+  * markdown row per (variant, scale): cold, warm (min of 2), out rows.
+  */
+object SteadyContainmentBench {
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft-steadycont")
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val scales = Seq(1, 3)
+    val baseDocs = 40000L
+
+    for (s <- scales) {
+      val all = ScaleBench.synthDocs(spark, baseDocs * s)
+      all.filter(col("doc_id") % 11 === 0)
+        .write.mode("overwrite").parquet(s"$root/batch_x$s")
+      all.filter(col("doc_id") % 11 =!= 0)
+        .write.mode("overwrite").parquet(s"$root/corpus_x$s")
+      // admission-time index build (once, NOT a per-tick cost)
+      Dedup.shinglePostings(
+          spark.read.parquet(s"$root/corpus_x$s"), "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$root/postings_x$s")
+    }
+    def batch(s: Int) = spark.read.parquet(s"$root/batch_x$s")
+    def corpus(s: Int) = spark.read.parquet(s"$root/corpus_x$s")
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
+    val variants: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
+      "containmentAgainst (re-tokenizes corpus per tick)" -> (s =>
+        Dedup.containmentAgainst(batch(s), corpus(s), "doc_id", "text",
+          n = 3, tau = 0.5)),
+      "containmentProbe (stored postings index)" -> (s =>
+        Dedup.containmentProbe(
+          Dedup.shinglePostings(batch(s), "doc_id", "text", 3),
+          spark.read.parquet(s"$root/postings_x$s"), tau = 0.5)))
+
+    // identical answers first (the equivalence the oracle row pins at
+    // sf0.01, re-checked here on the synthetic corpus at both scales)
+    for (s <- scales) {
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      val a = key(variants(0)._2(s))
+      val b = key(variants(1)._2(s))
+      require(a == b, s"probe != recompute at ${s}x: ${a.size} vs ${b.size}")
+      release()
+    }
+
+    // JVM/codegen warmup at the smallest scale
+    for ((_, op) <- variants) {
+      op(scales.min).queryExecution.toRdd.count(); release()
+    }
+    println("| variant | scale | batch rows | corpus rows | cold s | warm s | out rows |")
+    println("|---|---|---|---|---|---|---|")
+    for ((name, op) <- variants; s <- scales) {
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = op(s).queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (cold, rows) = run()
+      val warm = math.min(run()._1, run()._1)
+      release()
+      println(f"| $name | ${s}x | ${baseDocs * s / 11} | ${baseDocs * s * 10 / 11} | $cold%.2f | $warm%.2f | $rows |")
+    }
+    spark.stop()
+  }
+}
