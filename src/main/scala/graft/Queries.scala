@@ -38,7 +38,7 @@ object Queries
     qSchemaInference, qDateFuncs, qStringFuncs, qMathFuncs, qEventsHourly,
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
     qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
-    qCorpusCuration, qCorpusCard, qCorpusCardXsource,
+    qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupIncremental, qDedupMinhash,

@@ -1615,4 +1615,40 @@ object Corpus {
         (floor(col("n_docs_dup").cast("double") / col("n_total") * 10000
           + 0.5) / 10000).as("dup_share"))
   }
+
+  /** The DIRECTED, containment-weighted companion of [[crossSourceDup]]:
+    * "how much of source A is QUOTED INSIDE source B". [[crossSourceDup]]
+    * treats its pair relation as unordered (both orientations folded),
+    * which is right for resemblance but erases exactly what containment
+    * carries — direction. Feed it [[Dedup.containmentPairs]]'s ordered
+    * (src_id = the contained doc, host_id = the doc containing it) rows
+    * and each matrix entry reads: n_docs_quoted of `quoted_source`'s
+    * documents are τ-contained in some `host_source` document,
+    * quoted_share of that source's volume. The diagonal is within-source
+    * quoting. Same scale shape as the unordered matrix: two id-keyed
+    * joins, totals broadcast, digests only.
+    *
+    * @param contPairs (src_id, host_id) with cont ≥ τ, one row per
+    *        ORDERED direction (containmentPairs' output contract)
+    * @param docSources (id, source) for EVERY corpus doc
+    * @return (quoted_source, host_source, n_docs_quoted, quoted_share)
+    */
+  def crossSourceQuotes(contPairs: DataFrame,
+                        docSources: DataFrame): DataFrame = {
+    val src = docSources.select(col("id"), col("source"))
+    val tot = src.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    contPairs.select(col("src_id"), col("host_id"))
+      .join(src.select(col("id").as("src_id"),
+        col("source").as("quoted_source")), Seq("src_id"))
+      .join(src.select(col("id").as("host_id"),
+        col("source").as("host_source")), Seq("host_id"))
+      .groupBy(col("quoted_source"), col("host_source"))
+      .agg(countDistinct(col("src_id")).as("n_docs_quoted"))
+      .join(tot.withColumnRenamed("source", "quoted_source"),
+        Seq("quoted_source"))
+      .select(col("quoted_source"), col("host_source"),
+        col("n_docs_quoted"),
+        (floor(col("n_docs_quoted").cast("double") / col("n_total")
+          * 10000 + 0.5) / 10000).as("quoted_share"))
+  }
 }

@@ -703,4 +703,49 @@ private[graft] trait QueriesScorers { this: Queries.type =>
         floor(a.n_docs_dup::DOUBLE / t.n_total * 10000 + 0.5) / 10000
           AS dup_share
       FROM agg a JOIN tot t ON t.source = a.source"""))
+
+  /** Directed containment quote matrix ([[Corpus.crossSourceQuotes]]):
+    * "how much of source A is quoted inside source B" — the direction
+    * the unordered matrix (q_corpus_card_xsource) folds away, fed by
+    * [[Dedup.containmentPairs]]'s ordered (contained → host) relation
+    * at τ=0.5; diagonal = within-source quoting.
+    */
+  val qCorpusCardXsourceCont = Q("q_corpus_card_xsource_cont",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.crossSourceQuotes(
+        Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.5),
+        docs.select(col("doc_id").as("id"), col("source")))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, source, len(sset) AS m, unnest(sset) AS shingle FROM sh),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.source AS s_a, b.source AS s_b,
+               a.m AS m_a, b.m AS m_b, count(*) AS c
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      dirs AS (
+        SELECT id_a AS src_id, s_a AS quoted_source, s_b AS host_source,
+               round(c::DOUBLE / m_a, 4) AS cont FROM inter
+        UNION ALL
+        SELECT id_b, s_b, s_a, round(c::DOUBLE / m_b, 4) FROM inter),
+      q AS (SELECT * FROM dirs WHERE cont >= 0.5),
+      tot AS (SELECT source, count(*) AS n_total FROM docs GROUP BY 1),
+      agg AS (
+        SELECT quoted_source, host_source,
+               count(DISTINCT src_id) AS n_docs_quoted
+        FROM q GROUP BY 1, 2)
+      SELECT a.quoted_source, a.host_source, a.n_docs_quoted,
+        floor(a.n_docs_quoted::DOUBLE / t.n_total * 10000 + 0.5) / 10000
+          AS quoted_share
+      FROM agg a JOIN tot t ON t.source = a.quoted_source"""))
 }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** The committed sf1-equivalent benchmark artifact (`BENCH_sf1eq.json`)
   * for the composite family — prep v1/v2/v3/v4 — the four envelope
-  * round-trips, the six-gate admission tick, and the suffix-order LCP
-  * pass: the queries whose 100 TB posture claims ride the ScaleBench
-  * curves but whose perf gate only ran at sf0.1.
+  * round-trips, the six-gate admission tick, the suffix-order LCP
+  * pass, and (r12) the steady-state containment probe tick: the
+  * queries whose 100 TB posture claims ride the ScaleBench curves but
+  * whose perf gate only ran at sf0.1.
   *
   * Protocol = the round bench's own ([[graft.Bench]]): per (query,
   * scale) one cold run + `WarmRuns` warm runs, `[median, spread]` of
@@ -179,6 +180,20 @@ object Sf1EqBench {
     val admit = admissionHook(spark, root)
     def admBatch(s: Int) = spark.read.parquet(s"$root/adm_x$s")
 
+    // steady-state containment inputs: the doc_id % 11 batch/corpus
+    // split over the synthetic corpus (the gate's incremental shape);
+    // the postings index is written ONCE per scale — admission-time
+    // cost, amortized over every later tick, exactly like the frozen
+    // admission tables above — and each timed run reads it back from
+    // parquet (the real steady-state IO path)
+    for (s <- scales) {
+      docs(s).filter(col("doc_id") % 11 === 0)
+        .write.mode("overwrite").parquet(s"$root/contbatch_x$s")
+      graft.ext.Dedup.shinglePostings(
+          docs(s).filter(col("doc_id") % 11 =!= 0), "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$root/contpost_x$s")
+    }
+
     val envelope = Seq(
       graft.Queries.qEnvelopePg, graft.Queries.qEnvelopeMongo,
       graft.Queries.qEnvelopeDms, graft.Queries.qEnvelopeDlq)
@@ -201,7 +216,16 @@ object Sf1EqBench {
         // suffix slices (shuffle volume = cap × corpus bytes — the
         // honest suffix-ORDER price, documented in SCALE.md)
         "dedup_lcp_longest" -> (s => graft.ext.Dedup.longestDupPerDoc(
-          docs(s), "doc_id", "text", cap = 128)))
+          docs(s), "doc_id", "text", cap = 128)),
+        // the steady-state containment tick (r12): batch postings
+        // tokenized per tick, corpus side READ from the stored index —
+        // both batch AND index scale 10× (a 10× pipeline has 10×
+        // batches against a 10× admitted corpus), so the budget line
+        // checks the full per-tick shape, not just one side
+        "containment_probe_tick" -> (s => graft.ext.Dedup.containmentProbe(
+          graft.ext.Dedup.shinglePostings(
+            spark.read.parquet(s"$root/contbatch_x$s"), "doc_id", "text", 3),
+          spark.read.parquet(s"$root/contpost_x$s"), tau = 0.5)))
 
     def release(): Unit = {
       spark.catalog.clearCache()

@@ -1038,4 +1038,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(b.getLong(1) == 1L && b.getDouble(3) == 0.0 &&
       b.getString(4) == "fr" && b.getDouble(8) == 7.0)
   }
+
+  test("crossSourceDup / crossSourceQuotes: pair-relation-generic matrix, diagonal, direction") {
+    // sources: A = {1, 2, 3}, B = {10, 11}, C = {20}. Dup pairs
+    // (unordered, id_a < id_b): (1,10) cross A-B, (2,3) within A.
+    // Doc 20 (source C) has no partner.
+    val srcRows = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (10L, "B"), (11L, "B"), (20L, "C")).toDF("id", "source")
+    val pairs = Seq((1L, 10L), (2L, 3L)).toDF("id_a", "id_b")
+    val m = Corpus.crossSourceDup(pairs, srcRows)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // ordered rows: (A,B) sees doc 1 of A's 3 -> share 1/3 rounded;
+    // (B,A) sees doc 10 of B's 2; diagonal (A,A) holds docs 2 AND 3
+    assert(m(("A", "B")) == ((1L, 0.3333)))
+    assert(m(("B", "A")) == ((1L, 0.5)))
+    assert(m(("A", "A")) == ((2L, 0.6667)),
+      "a within-source pair contributes BOTH its docs to the diagonal")
+    assert(!m.keySet.exists { case (s, o) => s == "C" || o == "C" },
+      "sources with no partner produce no row (sparse matrix)")
+    // directed quotes: doc 1 (A) quoted inside doc 10 (B); doc 11 (B)
+    // quoted inside doc 2 (A) — the two directions must NOT fold
+    val cont = Seq((1L, 10L), (11L, 2L)).toDF("src_id", "host_id")
+    val q = Corpus.crossSourceQuotes(cont, srcRows)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(q(("A", "B")) == ((1L, 0.3333)), "A quoted in B")
+    assert(q(("B", "A")) == ((1L, 0.5)), "B quoted in A — distinct entry")
+    assert(q.size == 2, s"no orientation folding: $q")
+    // n_docs de-dupes: one doc quoted in TWO hosts of a source counts once
+    val multi = Seq((1L, 10L), (1L, 11L)).toDF("src_id", "host_id")
+    val qm = Corpus.crossSourceQuotes(multi, srcRows)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(qm(("A", "B")) == 1L)
+  }
 }
