@@ -399,6 +399,66 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(replay == ((0L, 0L, 2L)), s"replayed batch must admit nothing: $replay")
   }
 
+  test("containment admission in-batch rule fuzz: survivors == pair-relation rule, one survivor per mutual group") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    // The declared in-batch semantics, computed from containmentPairs —
+    // the id-ordered SELF-JOIN path, not the probe the loop itself
+    // uses: doc x drops iff ∃ y with cont(x→y) ≥ τ and NOT (mutual ∧
+    // x < y). Random doc mix: exact copies (mutual groups), contiguous
+    // quotes (one-directional), fresh docs.
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 5) {
+      val base = (0 until 6).map { _ =>
+        (0 until (12 + rnd.nextInt(10))).map(_ =>
+          vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val docs = (0 until 12).map { i =>
+        val t = rnd.nextInt(10) match {
+          case 0 | 1 => base(rnd.nextInt(base.length)) // exact copy
+          case 2 | 3 => // contiguous quote of a base doc
+            val w = base(rnd.nextInt(base.length)).split(" ")
+            val s = rnd.nextInt(math.max(1, w.length - 6))
+            w.slice(s, s + 6 + rnd.nextInt(3)).mkString(" ")
+          case _ => (0 until 10 + rnd.nextInt(8)).map(_ =>
+            vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        }
+        (i.toLong, t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val tau = 0.5
+      val pairs = Dedup.containmentPairs(df, "doc_id", "text", 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // cont(x→y) keyed both ways from the ordered output
+      val cont = pairs.map { case (s, h, c) => (s, h) -> c }.toMap
+      val expectDrop = docs.map(_._1).filter { x =>
+        docs.map(_._1).exists { y =>
+          y != x && cont.getOrElse((x, y), 0.0) >= tau &&
+            !(cont.getOrElse((y, x), 0.0) >= tau && x < y)
+        }
+      }.toSet
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_contfuzz$trial").toString
+      val (adm, inBatch, vsIndex) = IncrementalDedup.admitBatchContainment(
+        df, "doc_id", "text", s"$root/c", s"$root/p", n = 3, tau = tau)
+      assert(vsIndex == 0L, "no index yet: nothing can drop cross-batch")
+      val admitted = spark.read.parquet(s"$root/c")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == docs.map(_._1).toSet -- expectDrop,
+        s"trial $trial: admitted $admitted, expected drops $expectDrop")
+      assert(adm == admitted.size.toLong && inBatch == expectDrop.size.toLong)
+      // every mutual-containment (near-identical) group keeps EXACTLY
+      // its minimum member
+      val mutual = pairs.collect { case (s, h, c)
+        if c >= tau && cont.getOrElse((h, s), 0.0) >= tau => Set(s, h) }
+      mutual.foreach { g =>
+        assert(admitted.intersect(g).subsetOf(Set(g.min)),
+          s"trial $trial: mutual group $g kept ${admitted.intersect(g)}")
+      }
+    }
+  }
+
   test("incremental-dedup streaming e2e: checkpoint restart, nothing re-admitted") {
     import spark.implicits._
     import graft.ext.IncrementalDedup

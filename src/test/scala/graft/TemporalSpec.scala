@@ -170,4 +170,53 @@ class TemporalSpec extends AnyFunSuite {
     // is anchor-independent without a window)
     assert(run(Seq("a", "b"), None)(3L) == ((0L, 500L)))
   }
+
+  test("funnelAnyTouch fuzz: DP == brute-force chain enumeration on random event sets") {
+    import spark.implicits._
+    // Reference semantics, enumerated directly: per entity, a chain is
+    // a strictly-time-increasing event sequence matching the step
+    // types; L(e) = max anchor over chains ending at e; e qualifies
+    // iff t_e − L(e) ≤ W; report (max anchor at the earliest
+    // qualifying completion time, that time).
+    def brute(evs: Seq[(Long, String, Long)], steps: Seq[String],
+              w: Option[Long]): Map[Long, (Long, Long)] =
+      evs.groupBy(_._1).flatMap { case (ent, rows) =>
+        val tv = rows.map(r => (r._2, r._3))
+        def chains(k: Int): Seq[(Long, Long)] = // (t_k, best anchor)
+          if (k == 1) tv.filter(_._1 == steps.head).map(r => (r._2, r._2))
+          else {
+            val prev = chains(k - 1)
+            tv.filter(_._1 == steps(k - 1)).flatMap { r =>
+              val anchors = prev.filter(_._1 < r._2).map(_._2)
+              if (anchors.isEmpty) Nil else Seq((r._2, anchors.max))
+            }
+          }
+        val qual = chains(steps.length)
+          .filter { case (t, a) => w.forall(t - a <= _) }
+        if (qual.isEmpty) None
+        else {
+          val tStar = qual.map(_._1).min
+          Some(ent -> ((qual.filter(_._1 == tStar).map(_._2).max, tStar)))
+        }
+      }
+    val rnd = new scala.util.Random(20260814L)
+    val types = Seq("a", "b", "c")
+    for (trial <- 1 to 25) {
+      // small time range on purpose: equal timestamps (strict-> edges)
+      // and dense interleavings are the hazardous shapes
+      val evs = for {
+        ent <- 0L until 5L
+        _ <- 0 until (3 + rnd.nextInt(8))
+      } yield (ent, types(rnd.nextInt(3)), rnd.nextInt(15).toLong)
+      val steps = if (trial % 3 == 0) Seq("a", "b") else Seq("a", "b", "c")
+      val w = if (trial % 4 == 0) None else Some(2L + rnd.nextInt(8))
+      val got = Temporal.funnelAnyTouch(evs.toDF("u", "et", "tms"),
+          "u", "et", col("tms"), steps, w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val want = brute(evs, steps, w)
+      assert(got == want,
+        s"trial $trial (steps=$steps w=$w): DP $got != brute $want\nevents: $evs")
+    }
+  }
 }
