@@ -143,6 +143,80 @@ object QualityAdmission {
     out
   }
 
+  /** Postings-index maintenance: fold COMMITTED per-batch partitions
+    * into one consolidated `batch=-1` partition. The containment gate
+    * writes one `batch=<id>` partition per micro-batch (the
+    * replay-idempotent Overwrite layout) — an unattended stream
+    * accumulates partition directories linearly in tick count, the
+    * small-files failure mode that dominates scan cost at 100 TB
+    * ([[graft.ext.IncrementalDedup.maintain]]'s concern, at partition
+    * rather than file granularity).
+    *
+    * Only partitions with `0 ≤ batch < committedBelow` (plus any prior
+    * `batch=-1` fold) are touched: foreachBatch never replays a
+    * committed batch, so those rows can never need per-batch Overwrite
+    * again — and the fold target `batch=-1` is a value no real batch id
+    * takes, so the replay exclusion in [[priorPostings]]
+    * (`batch =!= currentId`, ids ≥ 0) always keeps folded rows, exactly
+    * right for committed postings. Pass `committedBelow` = the last
+    * batch id the SINK's ledger shows committed (not merely written).
+    *
+    * Same serialization contract and swap discipline as
+    * [[graft.ext.Layout.compactParquetDir]]: call from the serialized
+    * window that runs the ticks (no concurrent tick), sources are
+    * snapshot-listed and re-checked before the swap, the consolidated
+    * data is written to a hidden temp dir first, and the crash window
+    * is the same two-rename gap (hidden `.fold-old-*` dirs preserve the
+    * data for manual recovery).
+    *
+    * @return number of partition directories folded (0 = nothing to do)
+    */
+  def maintainPostingsIndex(spark: SparkSession, dir: String,
+                            committedBelow: Long,
+                            targetBytes: Long = 128L << 20): Int = {
+    require(committedBelow >= 0, s"committedBelow must be >= 0")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    def sourceDirs(): Seq[String] = fs.listStatus(path)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter { n =>
+        n.startsWith("batch=") &&
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+            .exists(b => b == -1L || (b >= 0L && b < committedBelow))
+      }.sorted.toSeq
+    val snapshot = sourceDirs()
+    if (snapshot.isEmpty || snapshot == Seq("batch=-1")) return 0
+    val srcPaths = snapshot.map(n => new org.apache.hadoop.fs.Path(path, n))
+    val totalBytes = srcPaths.flatMap(p =>
+      fs.listStatus(p).filter(_.isFile).map(_.getLen)).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s".fold-${java.util.UUID.randomUUID()}")
+    // reading the partition dirs directly drops the `batch` column —
+    // wanted: the fold target's value comes from its directory name
+    spark.read.parquet(srcPaths.map(_.toString): _*)
+      .select(col("id"), col("m"), col("sh64"))
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (sourceDirs() != snapshot) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"$dir changed during postings fold (concurrent tick?) — " +
+          "serialize maintainPostingsIndex with the admission ticks")
+    }
+    val old = srcPaths.map { p =>
+      val o = new org.apache.hadoop.fs.Path(path,
+        s".fold-old-${p.getName}-${java.util.UUID.randomUUID()}")
+      require(fs.rename(p, o), s"rename $p failed")
+      o
+    }
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "batch=-1")),
+      "rename of folded partition failed")
+    old.foreach(fs.delete(_, true))
+    snapshot.size
+  }
+
   /** The containment index visible to batch `batchId`: every PRIOR
     * batch's postings partition, excluding the current batch's own —
     * a failed attempt may have written `batch=<id>` before the sink

@@ -412,6 +412,41 @@ class PipelineSpec extends AnyFunSuite {
     replayed.unpersist()
   }
 
+  test("postings-index maintenance: committed partitions fold to batch=-1, rows preserved, uncommitted untouched") {
+    import spark.implicits._
+    import graft.pipeline.QualityAdmission
+    val dir = Files.createTempDirectory("graft_postfold").toString + "/ix"
+    def rows(b: Int) = (0 until 5).map(i =>
+      (s"doc${b}_$i", 10L + i, b * 1000L + i))
+    for (b <- 0 to 2)
+      rows(b).toDF("id", "m", "sh64").write.parquet(s"$dir/batch=$b")
+    def layout() = spark.read.parquet(dir)
+      .select("batch").distinct().as[Long].collect().toSet
+    def all() = spark.read.parquet(dir)
+      .select("id", "m", "sh64").as[(String, Long, Long)].collect().toSet
+    val before = all()
+    // batches 0 and 1 are committed; 2 may still replay — untouched
+    assert(QualityAdmission.maintainPostingsIndex(spark, dir, 2L) == 2)
+    assert(layout() == Set(-1L, 2L), s"got ${layout()}")
+    assert(all() == before, "fold must preserve every row")
+    // idempotent: nothing newly committed -> nothing to fold (a lone
+    // prior batch=-1 is not re-folded)
+    assert(QualityAdmission.maintainPostingsIndex(spark, dir, 2L) == 0)
+    // batch 2 commits; the next fold absorbs it AND the prior fold
+    assert(QualityAdmission.maintainPostingsIndex(spark, dir, 3L) == 2)
+    assert(layout() == Set(-1L) && all() == before)
+    // a fresh tick after maintenance lands beside the fold and the
+    // replay exclusion semantics still hold: folded rows (batch=-1)
+    // can never match a real batch id >= 0
+    rows(7).toDF("id", "m", "sh64").write.parquet(s"$dir/batch=7")
+    assert(layout() == Set(-1L, 7L))
+    assert(spark.read.parquet(dir).filter(col("batch") =!= 7L).count() == 15,
+      "a batch-7 replay probes exactly the folded committed rows")
+    // missing dir: no-op
+    assert(QualityAdmission.maintainPostingsIndex(spark,
+      dir + "_nope", 5L) == 0)
+  }
+
   test("replaying a batch through processBatch converges (idempotent merge)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_sink2").toString
