@@ -55,7 +55,7 @@ object Queries
     qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qPercentiles, qSample,
     qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
-    qHeavyHitters,
+    qBpeFertility, qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
     qDsirSelect,
     qDsirResample, qPerplexityBuckets, qGopherRules, qC4Rules,

@@ -525,6 +525,45 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
         md5(coalesce(array_to_string(a.all_toks, ' '), '')) AS tok_fp
       FROM documents d LEFT JOIN agg a USING (doc_id)"""))
 
+  /** Per-language tokenizer FERTILITY under the LEARNED merge table —
+    * the multilingual data-mix statistic a tokenizer report ships:
+    * subword tokens per word, per language. Scripts the merge table
+    * under-serves burn more tokens per word (high fertility), which
+    * silently shrinks their effective context and inflates their
+    * training cost — the number to watch when balancing a multilingual
+    * mix. Distinct from q_token_count's REGEX pre-token count: this is
+    * fertility under the actual learned vocabulary (the same
+    * learn+encode machinery as q_bpe_encode, whose oracle CTEs are
+    * reused verbatim), so a merge-table change moves it.
+    */
+  val qBpeFertility = Q("q_bpe_fertility",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
+      docs.select(col("lang"),
+          graft.ext.TextOps.nTokens(col("text")).cast("long").as("__w"),
+          size(graft.ext.Bpe.encode(col("text"), merges)).cast("long")
+            .as("__b"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("total_words"),
+          sum(col("__b")).as("total_bpe"))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+          col("total_bpe"),
+          (floor(col("total_bpe").cast("double") / col("total_words")
+            * 10000 + 0.5) / 10000).as("fertility"))
+    },
+    Some(bpeLearnCtes(8) + "," + bpeEncodeCtes + """
+      SELECT d.lang, count(*) AS n_docs,
+        CAST(sum(len(regexp_extract_all(d.text, '\S+'))) AS BIGINT)
+          AS total_words,
+        CAST(sum(coalesce(len(a.all_toks), 0)) AS BIGINT) AS total_bpe,
+        floor(sum(coalesce(len(a.all_toks), 0))::DOUBLE
+          / sum(len(regexp_extract_all(d.text, '\S+'))) * 10000 + 0.5)
+          / 10000 AS fertility
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      GROUP BY d.lang"""))
+
   /** Fraction-based decontamination: the published-eval policy form —
     * per doc, bp of its distinct word bigrams that appear anywhere in
     * the benchmark slice, with the ≥ 2500 bp drop verdict. Portable
