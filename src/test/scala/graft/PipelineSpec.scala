@@ -410,6 +410,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(replayed.select("pk").as[String].collect().toSet == Set("3"),
       "replay must probe PRIOR batches only, never its own failed write")
     replayed.unpersist()
+
+    // maintenance mid-stream: fold batches 0 and 1 (both committed) and
+    // keep ingesting — the gate must keep turning quotes away against
+    // the FOLDED index (batch=-1 rows survive every replay exclusion)
+    assert(graft.pipeline.QualityAdmission.maintainPostingsIndex(
+      spark, ixDir, committedBelow = 2L) == 2)
+    val quote2Text = hostWords.slice(0, 10).mkString(" ")
+    Files.writeString(java.nio.file.Paths.get(s"$src/b3.json"),
+      Seq(docEvent("docs", 4, 300L, "c", quote2Text),
+          docEvent("docs", 5, 301L, "c",
+            "every tired fox slept near the old stone wall with that grey cat"))
+        .mkString("\n"))
+    val q3 = newPipeline().start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    q3.processAllAvailable(); q3.stop()
+    val docs3 = spark.read.jdbc(url, "shop_docs", props)
+      .select("pk").as[String].collect().toSet
+    assert(docs3 == Set("1", "3", "5"),
+      s"quote vs the folded index must still be turned away: $docs3")
+    val ixAfter = spark.read.parquet(ixDir)
+    assert(ixAfter.select("batch").distinct().as[Long].collect().toSet
+      == Set(-1L, 2L), "folded partition + the new batch's own")
   }
 
   test("postings-index maintenance: committed partitions fold to batch=-1, rows preserved, uncommitted untouched") {
