@@ -89,6 +89,58 @@ object SteadyContainmentBench {
       release()
       println(f"| $name | ${s}x | ${baseDocs * s / 11} | ${baseDocs * s * 10 / 11} | $cold%.2f | $warm%.2f | $rows |")
     }
+
+    // ---- adversarial skew: the probe under boilerplate hot shingles --
+    // The steady-state loop is where hot-shingle skew bites REPEATEDLY
+    // (every tick re-joins the batch against the same hot postings), so
+    // the probe-side `maxDocFreq` dial — applied to the INDEX at probe
+    // time, stored index stays exact — needs its own measured row, not
+    // just containmentPairs' (SCALE.md adversarial-skew section).
+    // SkewBench's corpus: 30% of docs share a 12-token boilerplate
+    // header (10 hot 3-shingles, each in 0.3n docs); planted near-copy
+    // pairs are disjoint from the boilerplate class and share only
+    // df=2 shingles, so the cap provably cannot change the output —
+    // asserted below, not assumed.
+    val skewBase = 20000L
+    for (s <- scales) {
+      val all = SkewBench.synthSkewDocs(spark, skewBase * s)
+      all.filter(col("doc_id") % 11 === 0)
+        .write.mode("overwrite").parquet(s"$root/skewbatch_x$s")
+      Dedup.shinglePostings(
+          all.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$root/skewpost_x$s")
+    }
+    def skewProbe(s: Int, cap: Int) = Dedup.containmentProbe(
+      Dedup.shinglePostings(
+        spark.read.parquet(s"$root/skewbatch_x$s"), "doc_id", "text", 3),
+      spark.read.parquet(s"$root/skewpost_x$s"), tau = 0.5,
+      maxDocFreq = cap)
+    for (s <- scales) {
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      val un = key(skewProbe(s, Int.MaxValue)); release()
+      val dialed = key(skewProbe(s, 100)); release()
+      require(un == dialed,
+        s"maxDocFreq=100 changed the skew-corpus output at ${s}x: " +
+          s"${un.size} vs ${dialed.size}")
+    }
+    println()
+    println("| skew variant (30% boilerplate) | scale | batch rows | corpus rows | cold s | warm s | out rows |")
+    println("|---|---|---|---|---|---|---|")
+    for (cap <- Seq(Int.MaxValue, 100); s <- scales) {
+      val name = if (cap == Int.MaxValue) "probe un-dialed"
+        else s"probe maxDocFreq=$cap"
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = skewProbe(s, cap).queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (cold, rows) = run()
+      val warm = math.min(run()._1, run()._1)
+      release()
+      println(f"| $name | ${s}x | ${skewBase * s / 11} | ${skewBase * s * 10 / 11} | $cold%.2f | $warm%.2f | $rows |")
+    }
     spark.stop()
   }
 }
