@@ -164,7 +164,14 @@ object DataQuality {
 
   /** The OTHER-bucket label: reference top-K membership is frozen into
     * the profile, so anything else — including categories unseen at
-    * profile time — lands here. */
+    * profile time — lands here. SENTINEL COLLISION: a real category
+    * whose value IS this string conflates with the roll-up — in both
+    * engines identically (the oracle uses the same CASE), so hashes
+    * never diverge, but the monitor then can't tell that category's
+    * drift from tail drift. Rename the sentinel via the data (or
+    * prefix the column) if your category space can contain it;
+    * `DataQualitySpec` pins the conflation so the behavior is a
+    * documented contract, not a surprise. */
   val CatOther = "__other__"
 
   private def catTopK(ref: DataFrame, catCol: Column,

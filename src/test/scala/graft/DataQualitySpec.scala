@@ -138,6 +138,16 @@ class DataQualitySpec extends AnyFunSuite {
     val tied = DataQuality.catPsiProfile(
       Seq("b", "b", "a", "a", "c", "c").toDF("x"), col("x"), topK = 2)
     assert(tied.categories == Seq("a", "b"))
+    // sentinel collision is a documented contract: a REAL category
+    // named "__other__" conflates with the roll-up bucket (identically
+    // in both engines — see CatOther's scaladoc), here visible as the
+    // bucket holding its 2 rows plus the tail's 1
+    val coll = DataQuality.catPsi(
+      Seq("a", "a", "a", "__other__", "__other__", "z").toDF("x"),
+      Seq("a", "a", "a", "__other__", "__other__", "z").toDF("x"),
+      col("x"), topK = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(coll == Map("a" -> 3L, DataQuality.CatOther -> 3L))
     // production wiring: one categorical drift number per micro-batch
     val in = MemoryStream[String]
     val ticks = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
