@@ -538,7 +538,12 @@ object Similarity {
   def embeddingDriftProfile(ref: DataFrame, vecCol: String,
                             labelCol: String): EmbeddingDriftProfile = {
     ensureRegistered(ref)
-    val r1 = ref.filter(col(vecCol).isNotNull)
+    // null labels are excluded like null vectors (a NULL group would
+    // survive the centroid aggregate but never match the dispersion
+    // join — SQL null equality — and crash the profile assembly);
+    // monitor labeled data, or constant-label the column first
+    val r1 = ref.filter(col(vecCol).isNotNull &&
+      col(labelCol).isNotNull)
     val head = r1.select(col(vecCol)).take(1)
     require(head.nonEmpty,
       "embeddingDriftProfile: reference snapshot has no non-null " +
@@ -594,7 +599,7 @@ object Similarity {
                          vecCol: String,
                          labelCol: String): Map[String, (Long, Double)] = {
     ensureRegistered(batch)
-    batch.filter(col(vecCol).isNotNull)
+    batch.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(labelCol).cast("string").as("label"))
       .agg(graft.functions.VectorFunctions
         .vecSumCount(col(vecCol), profile.dim).as("sc"))

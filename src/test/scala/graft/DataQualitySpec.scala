@@ -217,6 +217,15 @@ class DataQualitySpec extends AnyFunSuite {
     // empty batch: empty map, no spurious signal
     assert(Similarity.embeddingDriftTick(profile,
       ref.limit(0), "emb", "label").isEmpty)
+    // null labels excluded like null vectors (a null group would skip
+    // the dispersion join and crash profile assembly — guarded)
+    val withNull = ref.unionByName(
+      Seq((null.asInstanceOf[String], Array(9f, 9f, 9f, 9f)))
+        .toDF("label", "emb"))
+    val pNull = Similarity.embeddingDriftProfile(withNull, "emb", "label")
+    assert(pNull.labels.keySet == Set("A", "B", "C"))
+    assert(Similarity.embeddingDriftTick(pNull, withNull, "emb", "label")
+      .keySet == Set("A", "B", "C"))
     // empty reference: loud configuration error
     intercept[IllegalArgumentException] {
       Similarity.embeddingDriftProfile(ref.limit(0), "emb", "label")
