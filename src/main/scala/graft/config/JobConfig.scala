@@ -86,6 +86,15 @@ final case class AdmissionConf(
       * essential containment scale dial (no length-ratio prune exists;
       * see [[graft.ext.Dedup.containmentPairs]]). */
     containment_max_doc_freq: Option[Int] = None,
+    /** Auto-fold the postings index every N batches
+      * ([[graft.pipeline.QualityAdmission.maintainPostingsIndex]] with
+      * `committedBelow` = the current batch id — safe because
+      * foreachBatch serializes batches: batch N starts only after
+      * batch N−1's body completed AND its offsets committed, so every
+      * partition below the current id is committed by construction; a
+      * FAILED batch replays under its own id, which the fold never
+      * touches). Absent = manual maintenance only. */
+    containment_maintain_every: Option[Long] = None,
     /** Audit trail: rejected rows land in `<dir>/batch=<id>` (Overwrite —
       * replay-idempotent, like the admission corpus layout). */
     rejected_dir: Option[String] = None)

@@ -126,6 +126,15 @@ object QualityAdmission {
           .select(col("id"), col("m"), col("sh64"))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
         posts.unpersist()
+        // auto-maintenance: foreachBatch serialization means every
+        // partition below the CURRENT id is committed (batch N starts
+        // only after N−1 committed; a failed batch replays under its
+        // own id, never folded here) — so folding < batchId needs no
+        // ledger lookup
+        cfg.containment_maintain_every.foreach { k =>
+          if (k > 0 && batchId % k == k - 1)
+            maintainPostingsIndex(compacted.sparkSession, dir, batchId)
+        }
         survivors
     }
     val admittedDocs = admittedScored.drop("__adm_text", "__adm_id")

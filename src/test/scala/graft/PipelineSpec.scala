@@ -468,6 +468,52 @@ class PipelineSpec extends AnyFunSuite {
       dir + "_nope", 5L) == 0)
   }
 
+  test("auto-maintenance cadence: containment_maintain_every folds committed partitions from inside the tick") {
+    import spark.implicits._
+    import graft.pipeline.QualityAdmission
+    val weightsDir = Files.createTempDirectory("graft_amw").toString + "/w"
+    Seq((0L, 0L)).toDF("bucket", "w").write.parquet(weightsDir)
+    val ixDir = Files.createTempDirectory("graft_amix").toString + "/ix"
+    val cfg = graft.config.AdmissionConf(
+      text_expr = "payload",
+      weights_path = weightsDir,
+      min_words = 3,
+      containment_index_dir = Some(ixDir),
+      containment_n = 2,
+      containment_maintain_every = Some(2L))
+    val weights = spark.read.parquet(weightsDir)
+    def batch(id: Int, text: String) =
+      Seq(("db", "t", s"$id", "c", text))
+        .toDF("db_name", "tb_name", "pk", "op", "payload")
+    def admit(b: org.apache.spark.sql.DataFrame, id: Long) = {
+      val out = QualityAdmission.admit(b, id, cfg, "d", weights, None, None)
+      val pks = out.select("pk").as[String].collect().toSet
+      out.unpersist(); pks
+    }
+    def layout() = spark.read.parquet(ixDir)
+      .select("batch").distinct().as[Long].collect().toSet
+    val host = "the quick brown fox jumps over that lazy dog of mine today"
+    assert(admit(batch(1, host), 0L) == Set("1"))
+    assert(layout() == Set(0L), "batch 0: no fold yet (0 % 2 != 1)")
+    val other = "a completely different and quite unrelated piece of text here"
+    assert(admit(batch(2, other), 1L) == Set("2"))
+    assert(layout() == Set(-1L, 1L),
+      s"batch 1 triggers the fold of batch 0: ${layout()}")
+    // the folded index still gates: a quote of the FOLDED host doc.
+    // Slice 4..9 ("jumps over that lazy dog of") keeps >= 2 distinct
+    // Gopher stopwords (that, of), so the doc-local gates PASS it and
+    // the turn-away is attributable to containment alone
+    val quote = host.split(" ").slice(4, 10).mkString(" ")
+    assert(admit(batch(3, quote), 2L).isEmpty,
+      "quote of a folded-partition host must still be turned away")
+    assert(layout() == Set(-1L, 1L),
+      "a fully-rejected batch writes an empty partition set worth of postings")
+    // next cadence point folds everything below it
+    assert(admit(batch(4, "yet another body of text with plenty of fresh words"),
+      3L) == Set("4"))
+    assert(layout() == Set(-1L, 3L), s"batch 3 refolds: ${layout()}")
+  }
+
   test("replaying a batch through processBatch converges (idempotent merge)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_sink2").toString
