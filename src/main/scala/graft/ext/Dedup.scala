@@ -334,6 +334,12 @@ object Dedup {
     * the INDEX side at probe time, so the stored index stays exact and
     * the dial can be tightened per probe without rebuilding it.
     *
+    * LAYOUT LEVER: the index is the BIG side — write it bucketed by
+    * sh64 ([[Layout.writeBucketed]]) and the probe's shuffle volume is
+    * the batch's postings alone; the index never moves. `LayoutSpec`
+    * proves it on the plan (bucketing removes exactly the index-side
+    * exchange, output identical).
+    *
     * @param batchPostings (id, m, sh64) for the arriving batch
     * @param indexPostings (id, m, sh64) as persisted at admission
     * @return (batch_id, corpus_id, cont_batch, cont_corpus), either

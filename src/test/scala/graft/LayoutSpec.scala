@@ -30,6 +30,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(joined.count() == plain.count())
   }
 
+  test("bucketed postings index: the containment probe shuffles ONLY the batch side") {
+    import graft.ext.Dedup
+    // the steady-state claim at 100 TB: the stored index is the BIG
+    // side — bucket it by the join key (sh64) at admission time and a
+    // probe's shuffle volume is the batch's postings alone, the index
+    // never moves. Proven relatively: same probe against the bucketed
+    // table plans exactly ONE fewer hash exchange than against the
+    // flat parquet, with identical output. Broadcast is disabled so
+    // the fixture-scale optimizer can't hide the exchange being
+    // asserted about.
+    val wh = Files.createTempDirectory("graft_bpost").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 11 =!= 0)
+    val batch = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 11 === 0)
+    val posts = Dedup.shinglePostings(corpus, "doc_id", "text", 3)
+    posts.write.parquet(s"$wh/flat")
+    Layout.writeBucketed(posts, "b_postings", s"$wh/b_postings", 8, Seq("sh64"))
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def probe(index: org.apache.spark.sql.DataFrame) =
+        Dedup.containmentProbe(
+          Dedup.shinglePostings(batch, "doc_id", "text", 3), index, 0.5)
+      val flat = probe(spark.read.parquet(s"$wh/flat"))
+      val bucketed = probe(spark.table("b_postings"))
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(exchanges(bucketed) == exchanges(flat) - 1,
+        s"bucketing must remove exactly the index-side exchange: " +
+          s"flat=${exchanges(flat)} bucketed=${exchanges(bucketed)}")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      val (rf, rb) = (rows(flat), rows(bucketed))
+      assert(rf == rb && rf.nonEmpty,
+        s"layout must never change the answer: ${rf.size} vs ${rb.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("compactParquetDir bin-packs small files, keeps every row, swaps atomically") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
