@@ -41,7 +41,7 @@ object Queries
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
-    qDedupIncremental, qDedupMinhash,
+    qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,

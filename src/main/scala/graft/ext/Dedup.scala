@@ -204,6 +204,40 @@ object Dedup {
     ab.unionAll(ba).filter(col("cont") >= tau)
   }
 
+  /** Containment-driven SURVIVOR selection — the one-shot batch form of
+    * [[IncrementalDedup.admitBatchContainment]]'s in-batch rule, and
+    * the RETROACTIVE compaction pass that rule's docstring defers
+    * ("replacing the admitted subset doc is a compaction policy"):
+    * over a static corpus, drop every document τ-contained in another
+    * (embedded quotes), keeping exactly the minimum id of each MUTUAL
+    * (near-identical) group — so a corpus that admitted a quote before
+    * its host arrived (first-arrival-wins lets both coexist) can be
+    * cleaned offline with the identical decision rule. Rule per doc x:
+    * drop iff ∃ y with cont(x→y) ≥ τ and NOT (cont(y→x) ≥ τ ∧ x < y).
+    * `ExtOpsSpec` fuzz-pins batch-form ≡ tick-form on random corpora;
+    * the oracle row pins the rule against an independent SQL replay.
+    *
+    * Scale: [[containmentPairs]]' inverted-index machinery (and its
+    * `maxDocFreq` dial) generates the pair relation; the rule itself
+    * is one self-join of the (src, host) pairs (mutual lookup) + an
+    * anti-join — pair-relation-sized, never corpus².
+    *
+    * @return the surviving rows of `df`, schema unchanged
+    */
+  def containmentSurvivors(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, tau: Double,
+                           maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val ab = containmentPairs(df, idCol, textCol, n, tau, maxDocFreq)
+      .select(col("src_id"), col("host_id"))
+    val drops = ab.as("p").join(ab.as("q"),
+        col("q.src_id") === col("p.host_id") &&
+          col("q.host_id") === col("p.src_id"), "left")
+      .filter(col("q.src_id").isNull ||
+        !(col("p.src_id") < col("p.host_id")))
+      .select(col("p.src_id").as("__drop_id")).distinct()
+    df.join(drops, df(idCol) === drops("__drop_id"), "left_anti")
+  }
+
   /** Incremental near-dup: shingle-Jaccard ≥ tau pairs between an
     * ARRIVING batch and the EXISTING corpus — the continuously-growing-
     * corpus complement of [[jaccardPairs]]. A training pipeline that

@@ -205,6 +205,45 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       HAVING greatest(round(count(*)::DOUBLE / a.m, 4),
                       round(count(*)::DOUBLE / b.m, 4)) >= 0.5"""))
 
+  /** Containment survivor selection ([[Dedup.containmentSurvivors]]):
+    * the retroactive corpus-cleanup form of the admission drop rule —
+    * drop every doc τ-contained in another, mutual groups keep min id.
+    * The oracle replays the rule from scratch (NOT EXISTS over the
+    * both-direction containment relation), independently of the Spark
+    * join formulation.
+    */
+  val qDedupContainmentDrop = Q("dedup_containment_drop",
+    (s, dir) => Dedup.containmentSurvivors(t(s, dir, "documents"),
+      "doc_id", "text", n = 3, tau = 0.5)
+      .select(col("doc_id")),
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.m AS m_a, b.m AS m_b,
+               count(*) AS c
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      q AS (
+        SELECT src_id, host_id FROM (
+          SELECT id_a AS src_id, id_b AS host_id,
+                 round(c::DOUBLE / m_a, 4) AS cont FROM inter
+          UNION ALL
+          SELECT id_b, id_a, round(c::DOUBLE / m_b, 4) FROM inter)
+        WHERE cont >= 0.5)
+      SELECT d.doc_id FROM documents d WHERE NOT EXISTS (
+        SELECT 1 FROM q p WHERE p.src_id = d.doc_id AND NOT (
+          EXISTS (SELECT 1 FROM q r
+                  WHERE r.src_id = p.host_id AND r.host_id = p.src_id)
+          AND d.doc_id < p.host_id))"""))
+
   private val minhashK = 16
   private val minhashBands = 4
   private val minhashParamsSql = Dedup.hashParams(minhashK)

@@ -456,6 +456,12 @@ class ExtOpsSpec extends AnyFunSuite {
         assert(admitted.intersect(g).subsetOf(Set(g.min)),
           s"trial $trial: mutual group $g kept ${admitted.intersect(g)}")
       }
+      // the offline batch form applies the IDENTICAL rule: survivors
+      // of the retroactive pass == the tick's admitted set
+      val offline = Dedup.containmentSurvivors(df, "doc_id", "text",
+          3, tau).select("doc_id").as[Long].collect().toSet
+      assert(offline == admitted,
+        s"trial $trial: containmentSurvivors $offline != tick $admitted")
     }
   }
 
