@@ -20,7 +20,7 @@ import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps}
   *    engines cut top-k identically.
   */
 object Queries
-    extends QueriesRelational with QueriesDedup with QueriesTemporalSampling with QueriesScorers with QueriesSqlMisc with QueriesComposites {
+    extends QueriesRelational with QueriesDedup with QueriesTemporalSampling with QueriesScorers with QueriesSqlMisc with QueriesComposites with QueriesSplits {
 
   final case class Q(name: String,
                      fn: (SparkSession, String) => DataFrame,
@@ -70,7 +70,9 @@ object Queries
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
-    qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75)
+    qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
+    qSplitAssign, qSplitExact, qSplitCluster, qSplitLeakage, qShardExport,
+    qCorpusDiff)
 
   /** SLOW TIER: queries the timed bench (`graft.Bench`) skips. Still in
     * `all`, so the CORRECTNESS gate (graft.Verify, sf0.01) runs every

@@ -1651,4 +1651,60 @@ object Corpus {
         (floor(col("n_docs_quoted").cast("double") / col("n_total")
           * 10000 + 0.5) / 10000).as("quoted_share"))
   }
+
+  /** Release-to-release corpus diff — the datasheet delta a versioned
+    * corpus publishes alongside [[corpusCard]]: per source, how many
+    * documents were ADDED (id only in the new snapshot), REMOVED (id
+    * only in the old), CHANGED (id in both, content fingerprint
+    * differs), UNCHANGED, and the net UTF-8 byte delta. "What moved
+    * between v1 and v2" is the first question a training team asks
+    * before re-mixing on a new release, and none of the point-in-time
+    * cards can answer it.
+    *
+    * Identity is the id column; change detection is the md5 CONTENT
+    * fingerprint (the exact-dedup convention — whitespace-identical
+    * re-crawls count as unchanged only if byte-identical). Both
+    * snapshots are projected to (id, source, fp, bytes) BEFORE the
+    * join, so document text never shuffles — the full-outer join
+    * carries 32-byte digests and two longs per row. Per-source output
+    * is source-cardinality (broadcastable anywhere downstream).
+    *
+    * A renamed id with identical content reports as one removal plus
+    * one addition — id is identity by contract here; content-level
+    * movement across ids is [[crossSourceDup]]'s domain (exact-fp pair
+    * relation between the two snapshots).
+    *
+    * @return (source, n_added, n_removed, n_changed, n_unchanged,
+    *         bytes_delta) — source = the new snapshot's source when
+    *         present, else the old one's
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String, sourceCol: String = "source"): DataFrame = {
+    def proj(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as(s"${tag}_id"),
+        col(sourceCol).as(s"${tag}_src"),
+        md5(col(textCol)).as(s"${tag}_fp"),
+        octet_length(col(textCol)).cast("long").as(s"${tag}_b"))
+    val o = proj(oldDf, "o")
+    val n = proj(newDf, "n")
+    val status = when(col("o_id").isNull, lit("added"))
+      .when(col("n_id").isNull, lit("removed"))
+      .when(col("n_fp") =!= col("o_fp"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("n_src"), col("o_src")).as("source"),
+        status.as("__st"),
+        (coalesce(col("n_b"), lit(0L)) - coalesce(col("o_b"), lit(0L)))
+          .as("__db"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("__st") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("__st") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("__st") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("__st") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(col("__db")).as("bytes_delta"))
+  }
 }

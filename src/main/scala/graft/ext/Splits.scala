@@ -1,0 +1,266 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/validation/test splits and training-shard export — the step
+  * between a curated corpus and a training run.
+  *
+  * Everything here is DETERMINISTIC and seed-free: assignment depends
+  * only on row content (via the portable md5 hash family the sampling
+  * operators use), never on partitioning, execution order, or a driver
+  * RNG — so a split computed on the 1000-executor cluster is
+  * byte-identical to one computed on a laptop, and re-running a job
+  * cannot silently reshuffle which documents the eval set contains.
+  *
+  * The reference system (Moonlight-CL/cdc-redshift) stops at loading
+  * warehouse tables; splitting/sharding is part of the mandated
+  * LLM-pipeline extension surface, not reference parity.
+  *
+  * Three split strengths, increasing cost:
+  *
+  *  - [[hashSplit]]: stateless scan projection, proportions hold in
+  *    EXPECTATION (binomial around each weight). Zero shuffles — the
+  *    100 TB default.
+  *  - [[exactSplit]]: proportions hold EXACTLY (to the floor of
+  *    n·weight) per stratum, via a distributed rank over the hash
+  *    order. One range exchange.
+  *  - [[clusterSplit]]: leakage-free — near-duplicate CLUSTERS are
+  *    assigned atomically, so no eval document has a near-dup in
+  *    train. The split-boundary complement of dedup: deduplication
+  *    removes redundancy, cluster-splitting ensures the redundancy
+  *    that remains cannot straddle the train/eval boundary
+  *    (train-test contamination, Lee et al. 2022 §6).
+  *
+  * [[crossSplitPairs]] is the leakage CERTIFICATE: the near-dup pairs
+  * whose endpoints landed in different splits — empty for
+  * [[clusterSplit]] by construction, and the audit row a dataset
+  * release should publish either way.
+  */
+object Splits {
+
+  private val Ppm = 1000000L
+
+  /** Hash of the concatenated key columns, shared with
+    * [[Corpus.hashSample]]'s convention (`:`-separated, md5-prefix
+    * portable form or the xxhash64 fast path — both land in [0, 2^60)).
+    */
+  private def keyHash(keyCols: Seq[String], portable: Boolean): Column = {
+    val key = concat_ws(":", keyCols.map(col): _*)
+    if (portable) TextOps.portableHash(key)
+    else pmod(xxhash64(key), lit(1L << 60))
+  }
+
+  private def checkSplits(splits: Seq[(String, Int)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names in ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0),
+      s"split weights must be positive ppm, got $splits")
+    require(splits.map(_._2.toLong).sum == Ppm,
+      s"split weights must sum to 1000000 ppm, got ${splits.map(_._2).sum}")
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    splits.map(_._1).zip(cum)
+  }
+
+  /** `when`-chain over cumulative ppm thresholds: the first split whose
+    * cumulative weight exceeds `bucket` wins. The last threshold is
+    * exactly `Ppm`, so every bucket value in [0, Ppm) is covered.
+    */
+  private def splitFor(bucket: Column, cum: Seq[(String, Long)]): Column =
+    cum.init.foldRight(lit(cum.last._1)) { case ((name, c), rest) =>
+      when(bucket < c, lit(name)).otherwise(rest)
+    }
+
+  /** Deterministic hash split: `out` = the split whose cumulative
+    * ppm-weight interval contains `hash(key) mod 1e6`.
+    *
+    * Proportions hold in expectation (each realized count is binomial
+    * around n·w/1e6); membership is a pure function of the key, so a
+    * document keeps its split across corpus versions — the property
+    * that lets incremental corpus releases grow train and eval
+    * consistently without ever moving a document across the boundary
+    * (a train→eval move is retroactive contamination of every model
+    * trained so far).
+    *
+    * Scale: stateless scan projection — no shuffle, no state, no
+    * driver participation. The 100 TB default.
+    *
+    * @param splits (name, ppm-weight) pairs; weights sum to 1e6
+    */
+  def hashSplit(df: DataFrame, keyCols: Seq[String],
+                splits: Seq[(String, Int)], out: String = "split",
+                portable: Boolean = true): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val cum = checkSplits(splits)
+    df.withColumn(out, splitFor(keyHash(keyCols, portable) % Ppm, cum))
+  }
+
+  /** Exact-proportion split: within each stratum of `strata`, rows are
+    * ranked by the portable hash (key columns as tiebreaker) and split
+    * `i` takes ranks (floor(n·c_{i-1}/1e6), floor(n·c_i/1e6)] — realized
+    * counts are exact to the floor, not binomial. The hash ORDER makes
+    * the rank cut deterministic and content-addressed like
+    * [[hashSplit]], but membership is no longer stable under corpus
+    * growth (adding a row shifts ranks after it) — use this for frozen
+    * releases, [[hashSplit]] for growing ones.
+    *
+    * Scale: one distributed rank ([[Prefix.globalRowNumber]] — range
+    * exchange, per-partition windows, no single-partition sort; the
+    * same machinery as [[Prefix.stratifiedNtile]]) plus a broadcast of
+    * the stratum-cardinality (first-rank, count) relation. All
+    * arithmetic is integer (n·cum ≤ rows·1e6 fits a long), so the cut
+    * is bit-identical in any engine.
+    */
+  def exactSplit(df: DataFrame, keyCols: Seq[String],
+                 splits: Seq[(String, Int)], strata: Seq[String] = Nil,
+                 out: String = "split", portable: Boolean = true): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val cum = checkSplits(splits)
+    val h = "__split_h"
+    val rn = "__split_rn"
+    val hashed = df.withColumn(h, keyHash(keyCols, portable))
+    val order = strata.map(col) ++ (col(h) +: keyCols.map(col))
+    val ranked = Prefix.globalRowNumber(hashed, order, rn)
+    val withStats =
+      if (strata.isEmpty) {
+        // one global stratum: (first, n) is a single broadcast row
+        val stats = ranked.agg(min(col(rn)).as("__first"),
+          count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(stats))
+      } else {
+        // per-stratum stats, null-safe joined back (NULL strata form
+        // their own stratum, mirroring stratifiedNtile)
+        val stats = ranked.groupBy(strata.map(col): _*)
+          .agg(min(col(rn)).as("__first"), count(lit(1)).as("__n"))
+        val statsR = broadcast(strata.zipWithIndex.foldLeft(stats) {
+          case (d, (c, i)) => d.withColumnRenamed(c, s"__ss$i")
+        })
+        val cond = strata.zipWithIndex
+          .map { case (c, i) => ranked(c) <=> statsR(s"__ss$i") }
+          .reduce(_ && _)
+        ranked.join(statsR, cond)
+          .drop(strata.indices.map(i => s"__ss$i"): _*)
+      }
+    val r = col(rn) - col("__first") + 1
+    val assigned = cum.init.foldRight(lit(cum.last._1)) {
+      case ((name, c), rest) =>
+        when(r <= expr(s"(__n * ${c}L) div ${Ppm}L"), lit(name))
+          .otherwise(rest)
+    }
+    withStats.withColumn(out, assigned).drop(h, rn, "__first", "__n")
+  }
+
+  /** Leakage-free split: near-dup CLUSTERS are the unit of assignment.
+    *
+    * `pairs` is any (id_a, id_b) near-dup relation — Jaccard, MinHash,
+    * SimHash, containment, exact-fingerprint — so candidate generation
+    * and its scale dials stay in the generators (the
+    * [[Corpus.crossSourceDup]] convention). Components come from
+    * [[Dedup.connectedComponents]] (min-label propagation); documents
+    * in no pair are their own singleton cluster; the split is
+    * [[hashSplit]]'s ppm chain over the hash of the CLUSTER id, so
+    * every member of a component lands in the same split and
+    * [[crossSplitPairs]] over the same relation is empty by
+    * construction.
+    *
+    * Why not split first and audit after: a 0.1% leakage rate at
+    * 100 TB is still millions of contaminated eval documents, and
+    * post-hoc eviction biases the eval set toward low-duplication
+    * content. Atomic cluster assignment has neither problem.
+    *
+    * Scale: the pair relation is the dominant cost and lives in the
+    * generator; components are the bounded-driver union-find with
+    * distributed fallback; the assignment itself is one id-keyed join
+    * (digests only) + a stateless projection.
+    *
+    * @return `df` + `clusterOut` (min-id component, own id for
+    *         singletons) + `out` (split name)
+    */
+  def clusterSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)],
+                   clusterOut: String = "cluster_id", out: String = "split",
+                   portable: Boolean = true,
+                   ccCheckpointDir: Option[String] = None): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val cum = checkSplits(splits)
+    val cc = Dedup.connectedComponents(pairs, checkpointDir = ccCheckpointDir)
+      .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
+    val joined = df.join(cc, df(idCol) === cc("__cc_id"), "left")
+      .withColumn(clusterOut, coalesce(col("__cc_cluster"), df(idCol)))
+      .drop("__cc_id", "__cc_cluster")
+    val key = if (portable) TextOps.portableHash(col(clusterOut).cast("string"))
+              else pmod(xxhash64(col(clusterOut).cast("string")), lit(1L << 60))
+    joined.withColumn(out, splitFor(key % Ppm, cum))
+  }
+
+  /** Leakage certificate: the rows of `pairs` whose endpoints sit in
+    * DIFFERENT splits of `assign` — the near-dup relations that
+    * straddle the train/eval boundary. Empty for [[clusterSplit]] over
+    * the same pair relation (by construction); for any other split,
+    * the publishable audit statistic.
+    *
+    * Scale: two id-keyed joins of the pair relation against the
+    * (id, split) assignment — pair-relation-sized, digests only.
+    */
+  def crossSplitPairs(pairs: DataFrame, assign: DataFrame, idCol: String,
+                      splitCol: String, idA: String = "id_a",
+                      idB: String = "id_b"): DataFrame = {
+    val a = assign.select(col(idCol).as("__xa_id"),
+      col(splitCol).as("split_a"))
+    val b = assign.select(col(idCol).as("__xb_id"),
+      col(splitCol).as("split_b"))
+    pairs.join(a, pairs(idA) === col("__xa_id"))
+      .join(b, pairs(idB) === col("__xb_id"))
+      .filter(col("split_a") =!= col("split_b"))
+      .drop("__xa_id", "__xb_id")
+  }
+
+  /** Deterministic global shuffle + fixed-size training-shard
+    * assignment: rows are totally ordered by the portable hash of the
+    * key (key columns as tiebreaker — a content-addressed permutation,
+    * the "global shuffle" a training run needs so consecutive examples
+    * are not corpus-order-correlated), then shard `k` takes ranks
+    * [k·shardSize, (k+1)·shardSize) — every shard exactly `shardSize`
+    * rows except the last.
+    *
+    * Scale: ONE distributed rank ([[Prefix.globalRowNumber]] — range
+    * exchange on the hash, no single-partition sort). Shard count
+    * grows with the corpus at fixed shard size, so downstream
+    * parallelism scales; a fixed shard COUNT (size growing with data)
+    * would be the anti-pattern.
+    *
+    * @return `df` + `shardCol` (0-based) + `posCol` (0-based position
+    *         within the shard)
+    */
+  def shardExport(df: DataFrame, keyCols: Seq[String], shardSize: Long,
+                  shardCol: String = "shard", posCol: String = "pos",
+                  portable: Boolean = true): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val h = "__shard_h"
+    val rn = "__shard_rn"
+    val hashed = df.withColumn(h, keyHash(keyCols, portable))
+    Prefix.globalRowNumber(hashed, col(h) +: keyCols.map(col), rn)
+      .withColumn(shardCol,
+        expr(s"($rn - 1) div ${shardSize}L").cast("long"))
+      .withColumn(posCol, ((col(rn) - 1) % shardSize).cast("long"))
+      .drop(h, rn)
+  }
+
+  /** Materialize a [[shardExport]] assignment as one `shard=K`
+    * directory per shard with rows in `pos` order — the on-disk layout
+    * a training data loader consumes shard-by-shard.
+    *
+    * `repartition(shardCol)` puts each shard wholly in one task (many
+    * shards per task is fine — rows are sorted by (shard, pos) within
+    * the task), so each shard directory gets ONE part file and the
+    * file's row order IS the shard order. Parallelism = distinct
+    * shards, which grows with the corpus at fixed shard size.
+    */
+  def writeShards(assigned: DataFrame, path: String,
+                  shardCol: String = "shard", posCol: String = "pos"): Unit =
+    assigned.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+}

@@ -341,7 +341,7 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     * reachability. `dedup_clusters` reads it directly; `dedup_survivors`
     * builds its survivor pick on top.
     */
-  private val clusterReachCte = """WITH RECURSIVE pairs AS (
+  private[graft] val clusterReachCte = """WITH RECURSIVE pairs AS (
         SELECT id_a, id_b FROM (
           WITH docs AS (
             SELECT doc_id,

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Corpus, Dedup, Splits}
+
+/** Train/eval splits, training-shard export, and the release diff card
+  * — the corpus → training-run boundary operators ([[graft.ext.Splits]]
+  * + [[Corpus.corpusDiff]]).
+  *
+  * One mixin slice of [[Queries]], same conventions as the rest: every
+  * computed column aliased identically in Spark and SQL, integer
+  * arithmetic wherever a float could round differently across engines.
+  */
+private[graft] trait QueriesSplits { this: Queries.type =>
+
+  /** The shared 80/10/10 ppm weights every split query uses. */
+  private val splitWeights =
+    Seq("train" -> 800000, "val" -> 100000, "test" -> 100000)
+
+  /** DuckDB replay of [[graft.ext.Splits]]' ppm `when`-chain over the
+    * portable hash of `key` (a SQL expression).
+    */
+  private def splitCaseSql(key: String): String =
+    s"""CASE WHEN ('0x'||substr(md5($key),1,15))::BIGINT % 1000000 < 800000
+          THEN 'train'
+        WHEN ('0x'||substr(md5($key),1,15))::BIGINT % 1000000 < 900000
+          THEN 'val'
+        ELSE 'test' END"""
+
+  /** Deterministic hash split: the stateless 80/10/10 assignment every
+    * doc keeps across corpus versions (membership is a pure function of
+    * the id — growing the corpus never moves a document over the
+    * train/eval boundary). The full per-doc map is pinned, not just
+    * counts.
+    */
+  val qSplitAssign = Q("q_split_assign",
+    (s, dir) => Splits.hashSplit(t(s, dir, "documents"), Seq("doc_id"),
+        splitWeights)
+      .select(col("doc_id"), col("split")),
+    Some(s"""SELECT doc_id, ${splitCaseSql("doc_id::VARCHAR")} AS split
+      FROM documents"""))
+
+  /** Exact-proportion split, stratified by language: within each lang,
+    * rows ranked by the portable hash take split boundaries at
+    * floor(n·cum/1e6) — realized counts exact, not binomial. The
+    * oracle replays the rank (row_number over (hash, id)) and the
+    * integer threshold arithmetic from scratch.
+    */
+  val qSplitExact = Q("q_split_exact",
+    (s, dir) => Splits.exactSplit(t(s, dir, "documents"), Seq("doc_id"),
+        splitWeights, strata = Seq("lang"))
+      .select(col("doc_id"), col("split")),
+    Some("""WITH h AS (
+        SELECT doc_id, lang,
+               ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS r,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM h)
+      SELECT doc_id,
+        CASE WHEN r <= (n * 800000) // 1000000 THEN 'train'
+             WHEN r <= (n * 900000) // 1000000 THEN 'val'
+             ELSE 'test' END AS split
+      FROM r"""))
+
+  /** Leakage-free split: near-dup clusters (Jaccard pairs → connected
+    * components; singletons are their own cluster) assigned atomically
+    * by the hash of the CLUSTER id. The oracle rebuilds components via
+    * recursive-CTE reachability and replays the cluster-keyed ppm
+    * chain — pinning both the component structure and the assignment.
+    */
+  val qSplitCluster = Q("q_split_cluster",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.25)
+      Splits.clusterSplit(d, pairs, "doc_id", splitWeights)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    },
+    Some(s"""$clusterReachCte,
+      cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+      SELECT d.doc_id, coalesce(cl.c, d.doc_id) AS cluster_id,
+        ${splitCaseSql("coalesce(cl.c, d.doc_id)::VARCHAR")} AS split
+      FROM documents d LEFT JOIN cl ON cl.id = d.doc_id"""))
+
+  /** The leakage certificate: near-dup pairs straddling the train/eval
+    * boundary, for the naive hash split vs the cluster split over the
+    * SAME pair relation. The cluster row is 0 BY CONSTRUCTION — the
+    * hash pins that the guarantee actually holds on real data, and
+    * pins the naive split's nonzero leakage count next to it.
+    */
+  val qSplitLeakage = Q("q_split_leakage",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.25)
+        .select(col("id_a"), col("id_b"))
+      val naive = Splits.hashSplit(d, Seq("doc_id"), splitWeights)
+        .select(col("doc_id"), col("split"))
+      val clustered = Splits.clusterSplit(d, pairs, "doc_id", splitWeights)
+        .select(col("doc_id"), col("split"))
+      def leak(assign: org.apache.spark.sql.DataFrame, method: String) =
+        Splits.crossSplitPairs(pairs, assign, "doc_id", "split")
+          .agg(count(lit(1)).as("cross_pairs"))
+          .select(lit(method).as("method"), col("cross_pairs"))
+      leak(naive, "hash_split").unionAll(leak(clustered, "cluster_split"))
+    },
+    Some(s"""$clusterReachCte,
+      cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+      na AS (SELECT doc_id, ${splitCaseSql("doc_id::VARCHAR")} AS s
+             FROM documents),
+      ca AS (SELECT d.doc_id,
+               ${splitCaseSql("coalesce(cl.c, d.doc_id)::VARCHAR")} AS s
+             FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+      SELECT 'hash_split' AS method, count(*) AS cross_pairs
+      FROM pairs p JOIN na x ON x.doc_id = p.id_a
+                   JOIN na y ON y.doc_id = p.id_b
+      WHERE x.s <> y.s
+      UNION ALL
+      SELECT 'cluster_split', count(*)
+      FROM pairs p JOIN ca x ON x.doc_id = p.id_a
+                   JOIN ca y ON y.doc_id = p.id_b
+      WHERE x.s <> y.s"""))
+
+  /** Deterministic global shuffle + fixed-size shard assignment: the
+    * full (doc → shard, pos) permutation pinned — rank order by
+    * (hash, id), shard = rank div 64, pos = rank mod 64. A rank or
+    * boundary regression anywhere moves rows and flips the hash.
+    */
+  val qShardExport = Q("q_shard_export",
+    (s, dir) => Splits.shardExport(t(s, dir, "documents"), Seq("doc_id"),
+        shardSize = 64L)
+      .select(col("doc_id"), col("shard"), col("pos")),
+    Some("""WITH h AS (
+        SELECT doc_id,
+               ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv
+        FROM documents),
+      r AS (SELECT doc_id,
+              row_number() OVER (ORDER BY hv, doc_id) AS rn FROM h)
+      SELECT doc_id, (rn - 1) // 64 AS shard, (rn - 1) % 64 AS pos
+      FROM r"""))
+
+  /** Release-to-release diff card ([[Corpus.corpusDiff]]): two
+    * deterministic snapshot projections of the fixture (old drops
+    * id % 10 = 0 — those become ADDED; new drops id % 9 = 0 — those
+    * become REMOVED; id % 7 = 0 gets a ' v2' suffix in new — CHANGED
+    * where surviving) diffed per source on md5 content fingerprints
+    * with the net UTF-8 byte delta. Both engines build both snapshots
+    * from scratch.
+    */
+  val qCorpusDiff = Q("q_corpus_diff",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 9 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Corpus.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+    },
+    Some("""WITH o AS (
+        SELECT doc_id, source, md5(text) AS fp, strlen(text) AS b
+        FROM documents WHERE doc_id % 10 <> 0),
+      n AS (
+        SELECT doc_id, source, md5(t) AS fp, strlen(t) AS b FROM (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS t
+          FROM documents WHERE doc_id % 9 <> 0)),
+      j AS (
+        SELECT coalesce(n.source, o.source) AS source,
+          CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN n.fp <> o.fp THEN 'changed'
+               ELSE 'unchanged' END AS st,
+          coalesce(n.b, 0) - coalesce(o.b, 0) AS db
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT source,
+        count(*) FILTER (WHERE st = 'added') AS n_added,
+        count(*) FILTER (WHERE st = 'removed') AS n_removed,
+        count(*) FILTER (WHERE st = 'changed') AS n_changed,
+        count(*) FILTER (WHERE st = 'unchanged') AS n_unchanged,
+        CAST(sum(db) AS BIGINT) AS bytes_delta
+      FROM j GROUP BY source"""))
+}

@@ -1,0 +1,211 @@
+package graft
+// (train/eval splits, shard export, corpus diff)
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Corpus, Dedup, Splits}
+
+class SplitsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private val w801010 =
+    Seq("train" -> 800000, "val" -> 100000, "test" -> 100000)
+
+  test("hashSplit: deterministic, partitioning-invariant, stateless plan") {
+    val docs = Tables.documents(spark, sf)
+    val a = Splits.hashSplit(docs, Seq("doc_id"), w801010)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Splits.hashSplit(docs.repartition(13), Seq("doc_id"), w801010)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment depends on partitioning")
+    // realized proportions: binomial around each weight (6 sigma)
+    val n = a.size.toDouble
+    w801010.foreach { case (name, ppm) =>
+      val p = ppm / 1e6
+      val got = a.values.count(_ == name) / n
+      val sigma = math.sqrt(p * (1 - p) / n)
+      assert(math.abs(got - p) <= 6 * sigma,
+        s"$name: realized $got vs expected $p (sigma $sigma)")
+    }
+    // stateless: no exchange anywhere in the plan
+    val plan = Splits.hashSplit(docs, Seq("doc_id"), w801010)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSplit shuffles:\n$plan")
+  }
+
+  test("hashSplit: membership is stable under corpus growth") {
+    val docs = Tables.documents(spark, sf)
+    val subset = docs.filter(col("doc_id") % 3 === 0)
+    val full = Splits.hashSplit(docs, Seq("doc_id"), w801010)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sub = Splits.hashSplit(subset, Seq("doc_id"), w801010)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, s) =>
+      assert(full(id) == s, s"doc $id moved split when the corpus grew")
+    }
+  }
+
+  test("hashSplit: weight validation") {
+    val docs = Tables.documents(spark, sf)
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(docs, Seq("doc_id"), Seq("a" -> 500000, "b" -> 400000))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(docs, Seq("doc_id"),
+        Seq("a" -> 500000, "a" -> 500000))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(docs, Seq("doc_id"),
+        Seq("a" -> 1100000, "b" -> -100000))
+    }
+  }
+
+  test("exactSplit: per-stratum counts are exact to the floor") {
+    val docs = Tables.documents(spark, sf)
+    val assigned = Splits.exactSplit(docs, Seq("doc_id"), w801010,
+      strata = Seq("lang"))
+    val counts = assigned.groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val train = counts.getOrElse((lang, "train"), 0L)
+      val vl = counts.getOrElse((lang, "val"), 0L)
+      val ts = counts.getOrElse((lang, "test"), 0L)
+      assert(train == n * 800000L / 1000000L,
+        s"$lang train: $train of $n")
+      assert(train + vl == n * 900000L / 1000000L,
+        s"$lang train+val: ${train + vl} of $n")
+      assert(train + vl + ts == n, s"$lang total")
+    }
+  }
+
+  test("exactSplit: global (strata-free) form and null strata") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val global = Splits.exactSplit(docs, Seq("doc_id"), w801010)
+    assert(global.filter(col("split") === "train").count()
+      == n * 800000L / 1000000L)
+    // NULL stratum rows form their own stratum (null-safe join), like
+    // stratifiedNtile
+    import spark.implicits._
+    val withNull = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("id", "s")
+    val out = Splits.exactSplit(withNull, Seq("id"),
+      Seq("x" -> 500000, "y" -> 500000), strata = Seq("s"))
+    assert(out.count() == 4, "null-stratum rows dropped by the stats join")
+    val nullRows = out.filter(col("s").isNull)
+    assert(nullRows.filter(col("split") === "x").count() == 1)
+    assert(nullRows.filter(col("split") === "y").count() == 1)
+  }
+
+  test("clusterSplit: near-dup clusters are atomic; certificate is empty") {
+    import spark.implicits._
+    // 3 near-dup groups + singletons: group members share a long base
+    // string with a tiny suffix tweak (Jaccard >= 0.25 at n=3)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (
+      Seq((1L, s"$base alpha"), (2L, s"$base beta"), (3L, s"$base gamma")) ++
+      Seq((10L, s"other $base x"), (11L, s"other $base y")) ++
+      Seq((20L, "completely different text entirely"),
+          (21L, "nothing shared here at all today"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)
+      .select("id_a", "id_b")
+    assert(pairs.count() >= 4, "fixture must produce near-dup pairs")
+    val assigned = Splits.clusterSplit(docs, pairs, "doc_id", w801010)
+    // every cluster maps to exactly one split
+    val perCluster = assigned.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k"))
+    assert(perCluster.filter(col("k") > 1).count() == 0,
+      "a cluster straddles splits")
+    // singletons are their own cluster
+    val singletons = assigned.filter(col("doc_id").isin(20L, 21L))
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    singletons.foreach { case (id, c) => assert(id == c, s"singleton $id") }
+    // the certificate: empty for clusterSplit over the same relation
+    assert(Splits.crossSplitPairs(pairs,
+      assigned.select("doc_id", "split"), "doc_id", "split").count() == 0)
+    // ...and NOT empty for an adversarial assignment separating a pair
+    val forced = docs.select(col("doc_id"),
+      when(col("doc_id") === 1L, "test").otherwise("train").as("split"))
+    assert(Splits.crossSplitPairs(pairs, forced, "doc_id", "split")
+      .count() > 0)
+  }
+
+  test("shardExport: exact shard sizes and a true permutation") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val size = 32L
+    val out = Splits.shardExport(docs, Seq("doc_id"), size)
+    val ranks = out.select(col("shard") * size + col("pos"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (0L until n).toSeq,
+      "shard*size+pos is not a permutation of 0..n-1")
+    val sizes = out.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = n / size
+    (0L until full).foreach(s => assert(sizes(s) == size, s"shard $s"))
+    if (n % size != 0) assert(sizes(full) == n % size, "last shard")
+    // deterministic under input partitioning
+    val again = Splits.shardExport(docs.repartition(7), Seq("doc_id"), size)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == first)
+  }
+
+  test("writeShards: one file per shard directory, rows in pos order") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val out = Splits.shardExport(docs, Seq("doc_id"), 16L)
+    val dir = Files.createTempDirectory("graft_shards").toString
+    Splits.writeShards(out, dir)
+    val root = new java.io.File(dir)
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName}: ${parts.length} part files, want 1")
+    }
+    // reading one shard back yields pos order (single file => file order)
+    val one = spark.read.parquet(s"$dir/shard=1")
+      .select("pos").collect().map(_.getLong(0)).toSeq
+    assert(one == one.sorted, "shard rows not in pos order")
+    // nothing lost
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
+  test("corpusDiff: planted classes, byte delta, source moves") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "unchanged text", "s1"),
+      (2L, "will change", "s1"),
+      (3L, "will be removed", "s2"),
+      (4L, "moves source", "s2")
+    ).toDF("doc_id", "text", "source")
+    val newSnap = Seq(
+      (1L, "unchanged text", "s1"),
+      (2L, "has changed!", "s1"),
+      (4L, "moves source", "s3"),   // same content, new source
+      (5L, "brand new doc", "s3")
+    ).toDF("doc_id", "text", "source")
+    val diff = Corpus.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // s1: one unchanged, one changed (byte delta: 12 - 11 = 1)
+    assert(diff("s1") == ((0L, 0L, 1L, 1L, 1L)), s"s1: ${diff("s1")}")
+    // s2: doc 3 removed (-15 bytes); doc 4 now reports under s3
+    assert(diff("s2") == ((0L, 1L, 0L, 0L, -15L)), s"s2: ${diff("s2")}")
+    // s3: doc 4 (unchanged content, arrived from s2: delta 0) + doc 5
+    // added (+13)
+    assert(diff("s3") == ((1L, 0L, 0L, 1L, 13L)), s"s3: ${diff("s3")}")
+  }
+}
