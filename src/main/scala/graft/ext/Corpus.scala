@@ -1707,4 +1707,63 @@ object Corpus {
           .as("n_unchanged"),
         sum(col("__db")).as("bytes_delta"))
   }
+
+  /** Data-mixing plan — the per-source table a training mix publishes
+    * (the "sampling proportion / epochs" card of the LLaMA and Pile
+    * reports): given target mixture weights and a total token budget,
+    * how many tokens each source must contribute and how many EPOCHS
+    * of the source that is (epochs > 1 = the source repeats; < 1 = it
+    * is subsampled — [[temperatureSample]] / [[mixtureSample]] execute
+    * that subsampling, this operator PLANS it).
+    *
+    * All integer arithmetic: target_tokens = budget·ppm/1e6 computed
+    * as `(budget div 1e6)·ppm + ((budget mod 1e6)·ppm) div 1e6` — no
+    * long overflow at any budget (both factors stay < 2^63 / 1e6), no
+    * float rounding, bit-identical in any engine. Epochs is the one
+    * ratio, in the portable floor-4dp form.
+    *
+    * Targets drive the output rows: a target naming a source absent
+    * from the corpus reports NULL avail_tokens/epochs (the "you
+    * planned a mix for data you don't have" alert) rather than
+    * silently dropping.
+    *
+    * Scale: one per-source aggregate of the corpus (map-side
+    * collapsible sum) joined to a target-cardinality literal relation
+    * — broadcast at any scale; document text is never read.
+    *
+    * @param tokensCol per-document token count column (whitespace
+    *        tokens, learned-BPE counts via [[Bpe.encode]], or bytes —
+    *        the budget's unit follows)
+    * @param targets (source, ppm-weight), weights sum to 1e6
+    * @param budget total training tokens to plan for
+    */
+  def mixingPlan(df: DataFrame, sourceCol: String, tokensCol: String,
+                 targets: Seq[(String, Int)], budget: Long): DataFrame = {
+    require(targets.nonEmpty, "at least one target source required")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate target sources in ${targets.map(_._1)}")
+    require(targets.forall(_._2 > 0),
+      s"target weights must be positive ppm, got $targets")
+    require(targets.map(_._2.toLong).sum == 1000000L,
+      s"target weights must sum to 1000000 ppm, got ${targets.map(_._2).sum}")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokensCol)).cast("long").as("avail_tokens"))
+    val t = targets.toDF("source", "target_ppm")
+    val bq = budget / 1000000L
+    val br = budget % 1000000L
+    // avail is source-cardinality (broadcastable at any scale); it is
+    // also the only broadcastable side of a left join preserving t
+    t.join(broadcast(avail), Seq("source"), "left")
+      .withColumn("target_tokens",
+        expr(s"${bq}L * target_ppm + (${br}L * target_ppm) div 1000000L"))
+      .withColumn("epochs",
+        when(col("avail_tokens") > 0,
+          floor(col("target_tokens").cast("double")
+            / col("avail_tokens") * 10000 + 0.5) / 10000))
+      .select(col("source"), col("target_ppm"), col("avail_tokens"),
+        col("target_tokens"), col("epochs"))
+  }
 }

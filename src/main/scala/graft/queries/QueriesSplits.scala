@@ -182,4 +182,34 @@ private[graft] trait QueriesSplits { this: Queries.type =>
         count(*) FILTER (WHERE st = 'unchanged') AS n_unchanged,
         CAST(sum(db) AS BIGINT) AS bytes_delta
       FROM j GROUP BY source"""))
+
+  /** Data-mixing plan ([[Corpus.mixingPlan]]): per-source target
+    * tokens and epochs for a 25/25/40/10 mix over a 10,000,123-unit
+    * budget (the odd budget exercises the overflow-free
+    * div/mod-composed integer arithmetic; the fourth target names a
+    * source absent from the corpus, pinning the NULL-avail alert
+    * path). Unit here is n_chars — the operator is generic over the
+    * token column.
+    */
+  val qMixingPlan = Q("q_mixing_plan",
+    (s, dir) => Corpus.mixingPlan(t(s, dir, "documents"),
+      "source", "n_chars",
+      Seq("src1" -> 250000, "src2" -> 250000, "src3" -> 400000,
+        "src_missing" -> 100000),
+      budget = 10000123L),
+    Some("""WITH avail AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source),
+      t(source, target_ppm) AS (VALUES
+        ('src1', 250000), ('src2', 250000), ('src3', 400000),
+        ('src_missing', 100000))
+      SELECT t.source, t.target_ppm, a.avail_tokens,
+        10::BIGINT * target_ppm
+          + (123::BIGINT * target_ppm) // 1000000 AS target_tokens,
+        CASE WHEN a.avail_tokens > 0 THEN
+          floor((10::BIGINT * target_ppm
+                 + (123::BIGINT * target_ppm) // 1000000)::DOUBLE
+                / a.avail_tokens * 10000 + 0.5) / 10000
+        END AS epochs
+      FROM t LEFT JOIN avail a USING (source)"""))
 }

@@ -319,7 +319,15 @@ object ScaleBench {
       // list can't occur in hash-random text); top-k scales with n so
       // the selection stays binding at every scale point
       "prepCompositeV3" -> (s => prepCompositeV3Op(spark, docs(s),
-        kSel = 600 * s)))
+        kSel = 600 * s)),
+      // r12 split/shard family: the posture claims are ONE distributed
+      // rank each (range exchange + per-partition windows, driver sees
+      // one long per partition) — wall should track the corpus scan
+      "exactSplit" -> (s => graft.ext.Splits.exactSplit(docs(s),
+        Seq("doc_id"), Seq("train" -> 800000, "val" -> 100000,
+          "test" -> 100000))),
+      "shardExport" -> (s => graft.ext.Splits.shardExport(docs(s),
+        Seq("doc_id"), shardSize = 1024L)))
 
     // SCALE_OPS=a,b,c restricts to named operators (local iteration on
     // one curve without re-timing the whole family)

@@ -182,6 +182,30 @@ class SplitsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == docs.count())
   }
 
+  test("mixingPlan: exact integer targets, epochs, missing-source alert") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 600L), ("a", 400L),   // avail 1000
+      ("b", 250L)                 // avail 250
+    ).toDF("source", "toks")
+    // budget 2_500_007: bq = 2, br = 500007
+    val plan = Corpus.mixingPlan(docs, "source", "toks",
+      Seq("a" -> 600000, "b" -> 300000, "ghost" -> 100000), 2500007L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a: 2*600000 + (500007*600000) div 1e6 = 1200000 + 300004
+    assert(plan("a").getLong(3) == 1500004L)
+    assert(plan("a").getDouble(4) == 1500.004, "epochs = target/avail 4dp")
+    // b: 2*300000 + (500007*300000) div 1e6 = 600000 + 150002
+    assert(plan("b").getLong(3) == 750002L)
+    assert(plan("b").getDouble(4) == 3000.008)
+    // ghost: target computed, avail/epochs NULL — the alert path
+    assert(plan("ghost").getLong(3) == 250000L)
+    assert(plan("ghost").isNullAt(2) && plan("ghost").isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Corpus.mixingPlan(docs, "source", "toks", Seq("a" -> 999999), 1L)
+    }
+  }
+
   test("corpusDiff: planted classes, byte delta, source moves") {
     import spark.implicits._
     val oldSnap = Seq(
