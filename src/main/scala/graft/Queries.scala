@@ -72,7 +72,7 @@ object Queries
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qSplitCluster, qSplitLeakage, qShardExport,
-    qCorpusDiff, qMixingPlan)
+    qCorpusDiff, qCorpusDiffNovelty, qMixingPlan)
 
   /** SLOW TIER: queries the timed bench (`graft.Bench`) skips. Still in
     * `all`, so the CORRECTNESS gate (graft.Verify, sf0.01) runs every

@@ -1766,4 +1766,45 @@ object Corpus {
       .select(col("source"), col("target_ppm"), col("avail_tokens"),
         col("target_tokens"), col("epochs"))
   }
+
+  /** Novelty of a release's ADDITIONS — the statistic [[corpusDiff]]'s
+    * id-keyed classes structurally can't see: a v2 that "adds 10M
+    * documents" of which 40% are near-duplicates of v1 content (same
+    * pages re-crawled under new ids, syndicated copies) has added far
+    * less training signal than the diff card suggests. Per source of
+    * the ADDED slice (ids in new only): how many added docs have a
+    * near-dup (shingle-Jaccard ≥ tau) ANYWHERE in the old corpus, how
+    * many are genuinely novel, and the novel share.
+    *
+    * Scale: the added slice comes from one id-keyed anti-join (ids
+    * only); the near-dup check is [[Dedup.jaccardAgainst]] — the
+    * batch-vs-corpus inverted index with its `maxDocFreq` skew dial,
+    * never a corpus self-join; the aggregate is source-cardinality.
+    * Exactly the shape of an admission tick, run retrospectively over
+    * a release pair.
+    *
+    * @return (source, n_added, n_added_neardup, n_added_novel,
+    *         novel_share) — source from the NEW snapshot, floor-4dp
+    *         share
+    */
+  def diffNovelty(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                  textCol: String, sourceCol: String = "source",
+                  n: Int = 3, tau: Double = 0.25,
+                  maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val added = newDf.join(oldDf.select(col(idCol)), Seq(idCol), "left_anti")
+    val nearDup = Dedup.jaccardAgainst(added, oldDf, idCol, textCol,
+        n, tau, maxDocFreq)
+      .select(col("batch_id").as(idCol)).distinct()
+      .withColumn("__nd", lit(1L))
+    added.select(col(idCol), col(sourceCol).as("source"))
+      .join(nearDup, Seq(idCol), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_added"),
+        sum(when(col("__nd").isNotNull, 1L).otherwise(0L))
+          .as("n_added_neardup"))
+      .withColumn("n_added_novel", col("n_added") - col("n_added_neardup"))
+      .withColumn("novel_share",
+        floor(col("n_added_novel").cast("double") / col("n_added")
+          * 10000 + 0.5) / 10000)
+  }
 }

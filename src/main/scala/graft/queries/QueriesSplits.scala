@@ -212,4 +212,51 @@ private[graft] trait QueriesSplits { this: Queries.type =>
                 / a.avail_tokens * 10000 + 0.5) / 10000
         END AS epochs
       FROM t LEFT JOIN avail a USING (source)"""))
+
+  /** Release-addition novelty ([[Corpus.diffNovelty]]): of the docs the
+    * new snapshot ADDED (ids absent from old: id % 10 = 0 surviving
+    * the new snapshot's % 9 cut), how many are near-dups
+    * (Jaccard ≥ 0.25, n = 3) of ANY old-corpus doc vs genuinely novel,
+    * per source. The oracle replays the anti-join slice, the full
+    * inverted-index near-dup relation, and the floor-4dp share.
+    */
+  val qCorpusDiffNovelty = Q("q_corpus_diff_novelty",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.diffNovelty(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 9 =!= 0),
+        "doc_id", "text")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh),
+      nd AS (
+        SELECT DISTINCT a.doc_id FROM (
+          SELECT a.doc_id
+          FROM ex a JOIN ex b ON a.shingle = b.shingle
+            AND a.doc_id % 10 = 0 AND a.doc_id % 9 <> 0
+            AND b.doc_id % 10 <> 0
+          GROUP BY a.doc_id, b.doc_id, a.m, b.m
+          HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4)
+            >= 0.25) a),
+      ad AS (
+        SELECT doc_id, source FROM documents
+        WHERE doc_id % 10 = 0 AND doc_id % 9 <> 0)
+      SELECT source, count(*) AS n_added,
+        count(*) FILTER (WHERE ad.doc_id IN (SELECT doc_id FROM nd))
+          AS n_added_neardup,
+        count(*) - count(*) FILTER (
+          WHERE ad.doc_id IN (SELECT doc_id FROM nd)) AS n_added_novel,
+        floor((count(*) - count(*) FILTER (
+            WHERE ad.doc_id IN (SELECT doc_id FROM nd)))::DOUBLE
+          / count(*) * 10000 + 0.5) / 10000 AS novel_share
+      FROM ad GROUP BY source"""))
 }

@@ -206,6 +206,26 @@ class SplitsSpec extends AnyFunSuite {
     }
   }
 
+  test("diffNovelty: added near-dups of old content vs genuinely novel") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val oldSnap = Seq(
+      (1L, s"$base original", "s1"),
+      (2L, "some entirely separate old doc", "s1")
+    ).toDF("doc_id", "text", "source")
+    val newSnap = Seq(
+      (1L, s"$base original", "s1"),       // kept: not an addition
+      (10L, s"$base recrawl", "s1"),       // added, near-dup of old 1
+      (11L, "fresh new content never seen before today", "s1"), // novel
+      (12L, "another brand new document entirely here", "s2")   // novel
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.diffNovelty(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("s1") == ((2L, 1L, 1L, 0.5)), s"s1: ${out("s1")}")
+    assert(out("s2") == ((1L, 0L, 1L, 1.0)), s"s2: ${out("s2")}")
+  }
+
   test("corpusDiff: planted classes, byte delta, source moves") {
     import spark.implicits._
     val oldSnap = Seq(
