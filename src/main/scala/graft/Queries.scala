@@ -66,7 +66,7 @@ object Queries
     qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qKmeansAssign,
-    qTimeTravel, qDataQuality, qPsiDrift, qPsiDriftCat,
+    qTimeTravel, qDataQuality, qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,

@@ -142,6 +142,58 @@ object DataQuality {
     }.sum
   }
 
+  /** Drift TIME SERIES against the frozen profile — the batch/backfill
+    * complement of [[psiTick]]: one PSI per PERIOD of `periodCol`
+    * (hour, day — any grouping expression), answering "WHEN did the
+    * distribution move" over historical data, where the tick only
+    * answers "is this batch drifted now". Same frozen-edges bucket
+    * chain, epsilon clamp, and integer-micro convention as [[psi]],
+    * so a SQL replay of the profile build + the per-period formula
+    * hash-matches.
+    *
+    * Scale: ONE scan — bucket assignment is the stateless literal
+    * when-chain, then a single groupBy(period) with nBuckets+1
+    * conditional counts (map-side collapsible); the PSI arithmetic is
+    * a projection over the period-cardinality aggregate, with the
+    * frozen reference fractions embedded as literals. No join, no
+    * second pass over the data.
+    *
+    * Periods with zero non-null rows produce NO row (there is no
+    * distribution to score — the series analogue of [[psiTick]]'s
+    * NaN; emitting psi=0 would be the spurious all-clear).
+    *
+    * Pick the period so each slice holds enough rows: PSI over a
+    * handful of samples is sampling noise, not drift (a period with
+    * n ≈ nBuckets rows cannot populate the buckets evenly even when
+    * nothing moved). `n_cur` rides along per row precisely so alert
+    * rules can gate on it.
+    *
+    * @return (period, n_cur, psi_x1e6) — total PSI of the period's
+    *         slice in integer micro-units
+    */
+  def psiSeries(profile: PsiProfile, df: DataFrame, valueCol: Column,
+                periodCol: Column,
+                periodName: String = "period"): DataFrame = {
+    val nB = profile.refFrac.length
+    val base = df.select(periodCol.as(periodName),
+        valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bucket = profile.edges.foldLeft(lit(1))((acc, e) =>
+      acc + when(col("__v") > lit(e), 1).otherwise(0))
+    val aggCols = count(lit(1)).as("n_cur") +: (0 until nB).map(i =>
+      count(when(bucket === i + 1, 1)).as(s"__c$i"))
+    val grouped = base.groupBy(col(periodName))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val contribs = (0 until nB).map { i =>
+      val fc = greatest(col(s"__c$i").cast("double") / col("n_cur"),
+        lit(profile.epsilon))
+      val fr = lit(math.max(profile.refFrac(i), profile.epsilon))
+      floor((fc - fr) * log(fc / fr) * 1e6 + 0.5).cast("long")
+    }
+    grouped.select(col(periodName), col("n_cur"),
+      contribs.reduce(_ + _).as("psi_x1e6"))
+  }
+
   /** CATEGORICAL PSI — the same frozen-profile drift monitor over a
     * STRING column. Text pipelines drift first in categorical space
     * (language mix, source mix, vocabulary) long before any numeric

@@ -550,6 +550,67 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
           * 1e6 + 0.5) AS BIGINT) AS psi_x1e6
       FROM j CROSS JOIN tot"""))
 
+  /** PSI drift TIME SERIES ([[DataQuality.psiSeries]]): the frozen
+    * profile (even event_ids — same reference as q_psi_drift) applied
+    * per HOUR of the odd slice — "when did the distribution move", the
+    * backfill complement of the streaming tick. The oracle rebuilds
+    * the profile (exact-decile edges + reference fractions) and
+    * replays the per-period clamp + ln + integer-micro sum from
+    * scratch.
+    */
+  val qPsiDriftSeries = Q("q_psi_drift_series",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val prof = DataQuality.psiProfile(
+        ev.filter(col("event_id") % 2 === 0), col("value"), nBuckets = 10)
+      DataQuality.psiSeries(prof, ev.filter(col("event_id") % 2 === 1),
+        col("value"), date_trunc("hour", col("ts")))
+    },
+    Some("""WITH r AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      c AS (
+        SELECT date_trunc('hour', ts) AS period, CAST(value AS DOUBLE) AS v
+        FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      s AS (SELECT list(v ORDER BY v) AS xs, count(*) AS n FROM r),
+      m AS (
+        SELECT k.k, xs, n, (k.k / 10.0) * (n - 1) AS h,
+          CAST(floor((k.k / 10.0) * (n - 1)) AS BIGINT) AS lo,
+          ceil((k.k / 10.0) * (n - 1)) AS hi
+        FROM s CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) k),
+      e AS (
+        SELECT k, CASE WHEN hi = lo THEN xs[lo + 1]
+                       ELSE (hi - h) * xs[lo + 1] + (h - lo) * xs[lo + 2]
+                  END AS edge
+        FROM m),
+      rb AS (SELECT 1 + (SELECT count(*) FROM e WHERE r.v > e.edge)
+               AS bucket FROM r),
+      nr AS (SELECT bucket, count(*) AS n_ref FROM rb GROUP BY 1),
+      b AS (SELECT CAST(unnest(generate_series(1, 10)) AS INTEGER)
+              AS bucket),
+      tr AS (SELECT sum(n_ref) AS t FROM nr),
+      fr AS (
+        SELECT b.bucket,
+               greatest(coalesce(nr.n_ref, 0)::DOUBLE / tr.t, 1e-6) AS f
+        FROM b LEFT JOIN nr ON nr.bucket = b.bucket CROSS JOIN tr),
+      cb AS (SELECT period,
+               1 + (SELECT count(*) FROM e WHERE c.v > e.edge) AS bucket
+             FROM c),
+      pt AS (SELECT period, count(*) AS n_cur FROM cb GROUP BY 1),
+      pc AS (SELECT period, bucket, count(*) AS cnt FROM cb GROUP BY 1, 2),
+      grid AS (SELECT pt.period, pt.n_cur, b.bucket FROM pt CROSS JOIN b),
+      j AS (
+        SELECT grid.period, grid.n_cur, grid.bucket,
+               coalesce(pc.cnt, 0) AS cnt
+        FROM grid LEFT JOIN pc
+          ON pc.period = grid.period AND pc.bucket = grid.bucket)
+      SELECT j.period, CAST(max(j.n_cur) AS BIGINT) AS n_cur,
+        CAST(sum(CAST(floor((greatest(cnt::DOUBLE / n_cur, 1e-6) - fr.f)
+            * ln(greatest(cnt::DOUBLE / n_cur, 1e-6) / fr.f)
+            * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS psi_x1e6
+      FROM j JOIN fr ON fr.bucket = j.bucket
+      GROUP BY j.period"""))
+
   /** CATEGORICAL PSI drift ([[DataQuality.catPsi]]): language-mix
     * drift between two document snapshots — the categorical-space
     * signal a text-pipeline monitor must see first. Buckets are the

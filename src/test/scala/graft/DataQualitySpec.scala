@@ -79,6 +79,29 @@ class DataQualitySpec extends AnyFunSuite {
     assert(byId(0L) == 0.0 && math.abs(byId(1L) - batchForm) < 1e-5)
   }
 
+  test("psiSeries: per-period PSI == per-slice tick; quiet and drifted periods side by side") {
+    val ref = (1 to 100).map(_.toDouble)
+    val profile = DataQuality.psiProfile(ref.toDF("x"), col("x"), 10)
+    // period 1 matches the reference, period 2 is half-shifted, period
+    // 3 has only NULL values (must be ABSENT, not zero-drift)
+    val cur = ref.map(v => (1, Some(v))) ++
+      (51 to 150).map(v => (2, Some(v.toDouble))) ++
+      Seq((3, None: Option[Double]))
+    val out = DataQuality.psiSeries(profile, cur.toDF("p", "x"),
+        col("x"), col("p"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.keySet == Set(1, 2), "null-only period must be absent")
+    assert(out(1) == ((100L, 0L)), "reference-identical period: PSI 0")
+    // the drifted period agrees with the tick on the same slice
+    // (micro-floor per bucket: within nBuckets/2 micro of the raw sum)
+    val tick = DataQuality.psiTick(profile,
+      (51 to 150).map(_.toDouble).toDF("x"), col("x"))
+    assert(math.abs(out(2)._2 / 1e6 - tick) < 1e-5,
+      s"series ${out(2)._2 / 1e6} vs tick $tick")
+    assert(out(2)._2 > 250000L, "half the mass moved: major shift")
+  }
+
   test("edge values bucket LEFT (strict >); guards reject bad dials") {
     // ref 1..4 with nBuckets=2: the single edge is the median 2.5;
     // cur values AT 2.5 belong to bucket 1
