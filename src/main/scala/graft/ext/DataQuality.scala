@@ -281,6 +281,39 @@ object DataQuality {
     }.sum
   }
 
+  /** Categorical drift TIME SERIES — [[psiSeries]]' sibling over a
+    * STRING column against the frozen [[CatPsiProfile]]: one PSI per
+    * period, buckets = the frozen top-K categories + OTHER (unseen
+    * categories land in OTHER, so a period full of brand-new
+    * categories reads as the major shift it is). Same one-scan shape
+    * as the numeric series (stateless bucket CASE, one
+    * groupBy(period) of conditional counts, literal-embedded reference
+    * fractions), same absent-period and small-n semantics.
+    */
+  def catPsiSeries(profile: CatPsiProfile, df: DataFrame, catCol: Column,
+                   periodCol: Column,
+                   periodName: String = "period"): DataFrame = {
+    val buckets = profile.categories :+ CatOther
+    val base = df.select(periodCol.as(periodName),
+        catCol.cast("string").as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col(periodName), catBucket(col("__c"), profile.categories)
+        .as("__b"))
+    val aggCols = count(lit(1)).as("n_cur") +: buckets.zipWithIndex.map {
+      case (c, i) => count(when(col("__b") === c, 1)).as(s"__c$i")
+    }
+    val grouped = base.groupBy(col(periodName))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val contribs = profile.refFrac.indices.map { i =>
+      val fc = greatest(col(s"__c$i").cast("double") / col("n_cur"),
+        lit(profile.epsilon))
+      val fr = lit(math.max(profile.refFrac(i), profile.epsilon))
+      floor((fc - fr) * log(fc / fr) * 1e6 + 0.5).cast("long")
+    }
+    grouped.select(col(periodName), col("n_cur"),
+      contribs.reduce(_ + _).as("psi_x1e6"))
+  }
+
   /** Batch-form categorical PSI (the oracle-shaped sibling of [[psi]]):
     * one row per bucket — the reference's top-K categories in frequency
     * order plus OTHER — with counts from both snapshots and the

@@ -661,6 +661,66 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
           * 1e6 + 0.5) AS BIGINT) AS psi_x1e6
       FROM j CROSS JOIN tot"""))
 
+  /** Categorical PSI drift TIME SERIES ([[DataQuality.catPsiSeries]]):
+    * the frozen top-3 event-type profile (even event_ids) applied per
+    * DAY of the odd slice — when did the category MIX move; the two
+    * below-top-K types exercise a populated OTHER bucket in every
+    * period. Oracle rebuilds the top-K profile (count desc, category
+    * asc tie-break) and replays the per-period arithmetic.
+    */
+  val qPsiDriftCatSeries = Q("q_psi_drift_cat_series",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val prof = DataQuality.catPsiProfile(
+        ev.filter(col("event_id") % 2 === 0), col("event_type"), topK = 3)
+      DataQuality.catPsiSeries(prof, ev.filter(col("event_id") % 2 === 1),
+        col("event_type"), date_trunc("day", col("ts")))
+    },
+    Some("""WITH r AS (
+        SELECT event_type AS c FROM events
+        WHERE event_id % 2 = 0 AND event_type IS NOT NULL),
+      cu AS (
+        SELECT date_trunc('day', ts) AS period, event_type AS c
+        FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL),
+      top AS (
+        SELECT c AS category FROM (
+          SELECT c, row_number() OVER (ORDER BY count(*) DESC, c ASC)
+            AS rn
+          FROM r GROUP BY c)
+        WHERE rn <= 3),
+      buckets AS (
+        SELECT category FROM top UNION ALL SELECT '__other__'),
+      rb AS (
+        SELECT CASE WHEN c IN (SELECT category FROM top) THEN c
+                    ELSE '__other__' END AS category FROM r),
+      nr AS (SELECT category, count(*) AS n_ref FROM rb GROUP BY 1),
+      tr AS (SELECT sum(n_ref) AS t FROM nr),
+      fr AS (
+        SELECT b.category,
+               greatest(coalesce(nr.n_ref, 0)::DOUBLE / tr.t, 1e-6) AS f
+        FROM buckets b LEFT JOIN nr ON nr.category = b.category
+        CROSS JOIN tr),
+      cb AS (
+        SELECT period,
+               CASE WHEN c IN (SELECT category FROM top) THEN c
+                    ELSE '__other__' END AS category FROM cu),
+      pt AS (SELECT period, count(*) AS n_cur FROM cb GROUP BY 1),
+      pc AS (SELECT period, category, count(*) AS cnt
+             FROM cb GROUP BY 1, 2),
+      grid AS (SELECT pt.period, pt.n_cur, b.category
+               FROM pt CROSS JOIN buckets b),
+      j AS (
+        SELECT grid.period, grid.n_cur, grid.category,
+               coalesce(pc.cnt, 0) AS cnt
+        FROM grid LEFT JOIN pc
+          ON pc.period = grid.period AND pc.category = grid.category)
+      SELECT j.period, CAST(max(j.n_cur) AS BIGINT) AS n_cur,
+        CAST(sum(CAST(floor((greatest(cnt::DOUBLE / n_cur, 1e-6) - fr.f)
+            * ln(greatest(cnt::DOUBLE / n_cur, 1e-6) / fr.f)
+            * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS psi_x1e6
+      FROM j JOIN fr ON fr.category = j.category
+      GROUP BY j.period"""))
+
   /** KMV distinct sketch: unlike HLL, the k-minimum-values estimator
     * over the portable md5 hash is bit-reproducible in any engine, so
     * the SKETCH ITSELF is oracle-checked — the distributed-sketch

@@ -102,6 +102,24 @@ class DataQualitySpec extends AnyFunSuite {
     assert(out(2)._2 > 250000L, "half the mass moved: major shift")
   }
 
+  test("catPsiSeries: per-period mix drift; unseen categories land in OTHER") {
+    val ref = Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr")
+    val profile = DataQuality.catPsiProfile(ref.toDF("c"), col("c"), topK = 2)
+    // period 1 = the reference mix; period 2 = all brand-new categories
+    // (every row in OTHER — the biggest categorical shift there is)
+    val cur = ref.map(c => (1, c)) ++ (1 to 100).map(i => (2, s"xx$i"))
+    val out = DataQuality.catPsiSeries(profile, cur.toDF("p", "c"),
+        col("c"), col("p"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1) == ((100L, 0L)), "reference-identical period: PSI 0")
+    val tick = DataQuality.catPsiTick(profile,
+      (1 to 100).map(i => s"xx$i").toDF("c"), col("c"))
+    assert(math.abs(out(2)._2 / 1e6 - tick) < 1e-5,
+      s"series ${out(2)._2 / 1e6} vs tick $tick")
+    assert(out(2)._2 > 250000L, "all-new mix: major shift")
+  }
+
   test("edge values bucket LEFT (strict >); guards reject bad dials") {
     // ref 1..4 with nBuckets=2: the single edge is the median 2.5;
     // cur values AT 2.5 belong to bucket 1
