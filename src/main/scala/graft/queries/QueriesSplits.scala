@@ -94,8 +94,11 @@ private[graft] trait QueriesSplits { this: Queries.type =>
   val qSplitLeakage = Q("q_split_leakage",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.25)
-        .select(col("id_a"), col("id_b"))
+      // the pair relation feeds the component build AND four
+      // certificate joins — one materialization, five scans
+      val pairs = graft.ext.Materialize.multiScan(
+        Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.25)
+          .select(col("id_a"), col("id_b")))
       val naive = Splits.hashSplit(d, Seq("doc_id"), splitWeights)
         .select(col("doc_id"), col("split"))
       val clustered = Splits.clusterSplit(d, pairs, "doc_id", splitWeights)
