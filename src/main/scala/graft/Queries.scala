@@ -42,7 +42,8 @@ object Queries
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,
-    qDedupMinhashIncremental, qDedupClusters, qDedupSurvivors, qDedupPassages,
+    qDedupMinhashIncremental, qDedupClusters, qDedupClusterSpectrum,
+    qDedupSurvivors, qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,
     qDedupSubstrExactLcp, qDedupSubstrRewrite,
@@ -73,7 +74,7 @@ object Queries
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qSplitCluster, qSplitLeakage, qShardExport,
-    qCorpusDiff, qCorpusDiffNovelty, qMixingPlan)
+    qCorpusDiff, qCorpusDiffNovelty, qMixingPlan, qEpochExpand)
 
   /** SLOW TIER: queries the timed bench (`graft.Bench`) skips. Still in
     * `all`, so the CORRECTNESS gate (graft.Verify, sf0.01) runs every

@@ -1767,6 +1767,58 @@ object Corpus {
         col("target_tokens"), col("epochs"))
   }
 
+  /** EXECUTE a mixing plan — the epoch-expansion step between
+    * [[mixingPlan]]'s table and a training run: per source with target
+    * epochs e (in exact ppm), every document is replicated
+    * floor(e) times and gets one further copy with probability
+    * frac(e), decided by the portable hash (salted with ":ep" so the
+    * fractional admission is independent of [[hashSample]]-family
+    * decisions on the same keys). The expanded corpus hits the
+    * planned token budget in expectation exactly; e < 1e6 ppm
+    * degenerates to deterministic subsampling (some docs get zero
+    * copies and vanish), e ≥ 1e6 to repetition with a deterministic
+    * fractional remainder — one operator for both sides of the mix.
+    *
+    * Sources absent from `epochsPpm` are NOT in the mix and are
+    * dropped (the mirror of [[mixingPlan]]'s NULL-avail alert for the
+    * opposite mismatch).
+    *
+    * Scale: stateless — a broadcast of the source-cardinality rate
+    * table, a per-row hash, and a lateral explode of at most
+    * ceil(e) copy indices. No shuffle, no state; the output order
+    * column `copyCol` (0-based) lets a loader interleave epochs.
+    *
+    * @param epochsPpm (source, epochs in ppm: 2_500_000 = 2.5 epochs)
+    * @return input rows × their copy count, + `copyCol` (0-based)
+    */
+  def expandEpochs(df: DataFrame, sourceCol: String, keyCols: Seq[String],
+                   epochsPpm: Seq[(String, Long)],
+                   copyCol: String = "epoch_copy",
+                   portable: Boolean = true): DataFrame = {
+    require(epochsPpm.nonEmpty, "at least one source rate required")
+    require(epochsPpm.map(_._1).distinct.size == epochsPpm.size,
+      s"duplicate sources in ${epochsPpm.map(_._1)}")
+    require(epochsPpm.forall(_._2 >= 0),
+      s"epochs must be >= 0 ppm, got $epochsPpm")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = epochsPpm.toDF("__ep_src", "__ep_ppm")
+    val key = concat(concat_ws(":", keyCols.map(col): _*), lit(":ep"))
+    val h =
+      if (portable) TextOps.portableHash(key)
+      else pmod(xxhash64(key), lit(1L << 60))
+    val nCopies = expr("__ep_ppm div 1000000L") +
+      when(h % 1000000L < col("__ep_ppm") % 1000000L, 1L).otherwise(0L)
+    df.join(broadcast(rates), df(sourceCol) === col("__ep_src"))
+      .withColumn("__ep_n", nCopies)
+      .withColumn(copyCol,
+        explode(when(col("__ep_n") > 0,
+          sequence(lit(0L), col("__ep_n") - 1, lit(1L)))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__ep_src", "__ep_ppm", "__ep_n")
+  }
+
   /** Novelty of a release's ADDITIONS — the statistic [[corpusDiff]]'s
     * id-keyed classes structurally can't see: a v2 that "adds 10M
     * documents" of which 40% are near-duplicates of v1 content (same

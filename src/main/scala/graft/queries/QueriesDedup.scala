@@ -378,6 +378,34 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     Some(s"""$clusterReachCte
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""))
 
+  /** Duplication profile: the cluster-SIZE histogram over the whole
+    * corpus (singletons included as size-1 clusters) — the one-glance
+    * answer to "how duplicated is this corpus": a heavy tail here
+    * means survivor selection will cut deep; all-singletons means
+    * dedup is a no-op. The corpus-level roll-up of the per-cluster
+    * relation `dedup_clusters` pins.
+    */
+  val qDedupClusterSpectrum = Q("dedup_cluster_spectrum",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.25))
+        .select(col("id").as("doc_id"), col("cluster"))
+      d.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    },
+    Some(s"""$clusterReachCte,
+      cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+      sz AS (
+        SELECT coalesce(cl.c, d.doc_id) AS cluster, count(*) AS sz
+        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+        GROUP BY 1)
+      SELECT sz AS cluster_size, count(*) AS n_clusters
+      FROM sz GROUP BY sz"""))
+
   /** Passage-level exact dedup: per-doc retention stats after dropping
     * every non-canonical occurrence of a repeated 20-token passage.
     * Catches cross-document boilerplate that doc-level dedup misses.

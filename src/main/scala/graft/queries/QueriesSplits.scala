@@ -216,6 +216,31 @@ private[graft] trait QueriesSplits { this: Queries.type =>
         END AS epochs
       FROM t LEFT JOIN avail a USING (source)"""))
 
+  /** Mixing-plan EXECUTION ([[Corpus.expandEpochs]]): 2.5 epochs of
+    * src1 (every doc twice + a hash-chosen half once more), 0.5 of
+    * src2 (deterministic subsample), exactly 1.0 of src3, everything
+    * else out of the mix. The full (doc, copy) multiset is pinned —
+    * replication counts, fractional admission, and the salted hash all
+    * replayed in SQL.
+    */
+  val qEpochExpand = Q("q_epoch_expand",
+    (s, dir) => Corpus.expandEpochs(t(s, dir, "documents"), "source",
+        Seq("doc_id"),
+        Seq("src1" -> 2500000L, "src2" -> 500000L, "src3" -> 1000000L))
+      .select(col("doc_id"), col("epoch_copy")),
+    Some("""WITH t(source, ppm) AS (VALUES
+        ('src1', 2500000), ('src2', 500000), ('src3', 1000000)),
+      d AS (
+        SELECT doc_id,
+          ppm::BIGINT // 1000000
+            + CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':ep'),1,15))::BIGINT
+                     % 1000000 < ppm % 1000000
+                   THEN 1 ELSE 0 END AS n
+        FROM documents dd JOIN t ON t.source = dd.source)
+      SELECT doc_id,
+        unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS epoch_copy
+      FROM d WHERE n > 0"""))
+
   /** Release-addition novelty ([[Corpus.diffNovelty]]): of the docs the
     * new snapshot ADDED (ids absent from old: id % 10 = 0 surviving
     * the new snapshot's % 9 cut), how many are near-dups

@@ -206,6 +206,42 @@ class SplitsSpec extends AnyFunSuite {
     }
   }
 
+  test("expandEpochs: replication + fractional admission, both mix sides") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 20) "rep" else "sub")).toDF("doc_id", "source")
+    val out = Corpus.expandEpochs(docs, "source", Seq("doc_id"),
+      Seq("rep" -> 2500000L, "sub" -> 500000L, "ghost" -> 3000000L))
+      .select("doc_id", "epoch_copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySrc = out.groupBy { case (id, _) => if (id <= 20) "rep" else "sub" }
+    // rep: every doc 2 or 3 copies, contiguous 0..k-1
+    val repCounts = bySrc("rep").groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    repCounts.foreach { case (id, copies) =>
+      assert(copies == (0L until copies.size).toSeq, s"doc $id: $copies")
+      assert(copies.size == 2 || copies.size == 3, s"doc $id: $copies")
+    }
+    // expectation 2.5: realized total within the binomial band
+    val repTotal = bySrc("rep").size
+    assert(repTotal >= 20 * 2 && repTotal <= 20 * 3)
+    // sub: 0 or 1 copies each; some docs absent (subsample), none > 1
+    val subIds = bySrc.getOrElse("sub", Array.empty).map(_._1)
+    assert(subIds.distinct.size == subIds.size, "sub doc duplicated")
+    assert(subIds.size < 20 && subIds.nonEmpty, "0.5 epochs must drop some")
+    // ghost rate targets no docs; docs with no rate (none here) drop —
+    // and determinism under repartition
+    val again = Corpus.expandEpochs(docs.repartition(7), "source",
+      Seq("doc_id"),
+      Seq("rep" -> 2500000L, "sub" -> 500000L, "ghost" -> 3000000L))
+      .select("doc_id", "epoch_copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // a source absent from the rate table is out of the mix
+    val dropped = Corpus.expandEpochs(docs, "source", Seq("doc_id"),
+      Seq("rep" -> 1000000L))
+    assert(dropped.count() == 20L)
+  }
+
   test("diffNovelty: added near-dups of old content vs genuinely novel") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
