@@ -1281,13 +1281,8 @@ object Corpus {
     df.filter(keyHash(keyCols, portable) % 100 < pct)
   }
 
-  private def keyHash(keyCols: Seq[String], portable: Boolean): Column = {
-    val key = concat_ws(":", keyCols.map(col): _*)
-    if (portable) TextOps.portableHash(key)
-    // pmod keeps the value in [0, 2^60) like the portable hash, so both
-    // modes share the `% 100 < pct` / rank-order downstream logic
-    else pmod(xxhash64(key), lit(1L << 60))
-  }
+  private def keyHash(keyCols: Seq[String], portable: Boolean): Column =
+    TextOps.keyHash(keyCols, portable)
 
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
     * Spirakis A-ES): every row draws an exponential arrival key
@@ -1687,9 +1682,13 @@ object Corpus {
         octet_length(col(textCol)).cast("long").as(s"${tag}_b"))
     val o = proj(oldDf, "o")
     val n = proj(newDf, "n")
+    // null-SAFE fingerprint compare: a text transitioning to/from NULL
+    // is a CHANGE (md5(NULL) = NULL would make <> fall through to
+    // 'unchanged' while bytes_delta reports the shrink — the oracle
+    // mirrors with IS DISTINCT FROM)
     val status = when(col("o_id").isNull, lit("added"))
       .when(col("n_id").isNull, lit("removed"))
-      .when(col("n_fp") =!= col("o_fp"), lit("changed"))
+      .when(!(col("n_fp") <=> col("o_fp")), lit("changed"))
       .otherwise(lit("unchanged"))
     o.join(n, col("o_id") === col("n_id"), "full_outer")
       .select(coalesce(col("n_src"), col("o_src")).as("source"),
@@ -1843,7 +1842,10 @@ object Corpus {
                   textCol: String, sourceCol: String = "source",
                   n: Int = 3, tau: Double = 0.25,
                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val added = newDf.join(oldDf.select(col(idCol)), Seq(idCol), "left_anti")
+    // the added slice feeds BOTH the near-dup postings build and the
+    // final aggregate — materialize once
+    val added = Materialize.multiScan(
+      newDf.join(oldDf.select(col(idCol)), Seq(idCol), "left_anti"))
     val nearDup = Dedup.jaccardAgainst(added, oldDf, idCol, textCol,
         n, tau, maxDocFreq)
       .select(col("batch_id").as(idCol)).distinct()

@@ -75,24 +75,10 @@ object Prefix {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     val rn = "__strat_rn"
     val ranked = core(df, strata ++ order, None, rn)
-    val stats = ranked.groupBy(strata: _*)
-      .agg(min(col(rn)).as("__first"), count(lit(1)).as("__n"))
-    val strataNames = stats.columns.dropRight(2)
     val r = col(rn) - col("__first") + 1
     val q = expr(s"__n div $k")
     val rem = col("__n") % k
-    // Null-safe (<=>) join: window partitionBy groups NULL strata into
-    // their own bucket set; a plain equality join would silently drop
-    // those rows instead. Stats columns are renamed so the join condition
-    // is unambiguous, then dropped.
-    val statsR = broadcast(strataNames.zipWithIndex.foldLeft(stats) {
-      case (d, (c, i)) => d.withColumnRenamed(c, s"__s$i")
-    })
-    val cond = strataNames.zipWithIndex
-      .map { case (c, i) => ranked(c) <=> statsR(s"__s$i") }
-      .reduce(_ && _)
-    ranked.join(statsR, cond)
-      .drop(strataNames.indices.map(i => s"__s$i"): _*)
+    attachStratumStats(ranked, strata, rn)
       .withColumn(out,
         when(r <= rem * (q + 1),
           expr(s"($rn - __first) div ((__n div $k) + 1) + 1"))
@@ -100,6 +86,31 @@ object Prefix {
             expr(s"(__n % $k) + (($rn - __first + 1) - (__n % $k) * ((__n div $k) + 1) - 1) div (__n div $k) + 1"))
           .cast("int"))
       .drop(rn, "__first", "__n")
+  }
+
+  /** Attach per-stratum `__first` (min of `rn`) and `__n` (count) to a
+    * ranked relation: the stratum-cardinality stats are broadcast and
+    * joined back NULL-SAFELY (`<=>`) — window `partitionBy` groups NULL
+    * strata into their own bucket set, and a plain equality join would
+    * silently drop those rows instead. Stats columns are renamed so the
+    * join condition is unambiguous, then dropped. Shared by
+    * [[stratifiedNtile]] and `Splits.exactSplit` — one definition of
+    * the null-stratum semantics on purpose.
+    */
+  private[graft] def attachStratumStats(ranked: DataFrame,
+                                        strata: Seq[Column],
+                                        rn: String): DataFrame = {
+    val stats = ranked.groupBy(strata: _*)
+      .agg(min(col(rn)).as("__first"), count(lit(1)).as("__n"))
+    val strataNames = stats.columns.dropRight(2)
+    val statsR = broadcast(strataNames.zipWithIndex.foldLeft(stats) {
+      case (d, (c, i)) => d.withColumnRenamed(c, s"__ss$i")
+    })
+    val cond = strataNames.zipWithIndex
+      .map { case (c, i) => ranked(c) <=> statsR(s"__ss$i") }
+      .reduce(_ && _)
+    ranked.join(statsR, cond)
+      .drop(strataNames.indices.map(i => s"__ss$i"): _*)
   }
 
   /** Exact per-group percentiles WITHOUT the value-buffering funnel.

@@ -41,15 +41,12 @@ object Splits {
 
   private val Ppm = 1000000L
 
-  /** Hash of the concatenated key columns, shared with
-    * [[Corpus.hashSample]]'s convention (`:`-separated, md5-prefix
-    * portable form or the xxhash64 fast path — both land in [0, 2^60)).
+  /** Hash of the concatenated key columns — [[TextOps.keyHash]], the
+    * ONE convention shared with the sampling family so cross-operator
+    * determinism claims hold by construction.
     */
-  private def keyHash(keyCols: Seq[String], portable: Boolean): Column = {
-    val key = concat_ws(":", keyCols.map(col): _*)
-    if (portable) TextOps.portableHash(key)
-    else pmod(xxhash64(key), lit(1L << 60))
-  }
+  private def keyHash(keyCols: Seq[String], portable: Boolean): Column =
+    TextOps.keyHash(keyCols, portable)
 
   private def checkSplits(splits: Seq[(String, Int)]): Seq[(String, Long)] = {
     require(splits.nonEmpty, "at least one split required")
@@ -130,17 +127,8 @@ object Splits {
         ranked.crossJoin(broadcast(stats))
       } else {
         // per-stratum stats, null-safe joined back (NULL strata form
-        // their own stratum, mirroring stratifiedNtile)
-        val stats = ranked.groupBy(strata.map(col): _*)
-          .agg(min(col(rn)).as("__first"), count(lit(1)).as("__n"))
-        val statsR = broadcast(strata.zipWithIndex.foldLeft(stats) {
-          case (d, (c, i)) => d.withColumnRenamed(c, s"__ss$i")
-        })
-        val cond = strata.zipWithIndex
-          .map { case (c, i) => ranked(c) <=> statsR(s"__ss$i") }
-          .reduce(_ && _)
-        ranked.join(statsR, cond)
-          .drop(strata.indices.map(i => s"__ss$i"): _*)
+        // their own stratum) — stratifiedNtile's shared machinery
+        Prefix.attachStratumStats(ranked, strata.map(col), rn)
       }
     val r = col(rn) - col("__first") + 1
     val assigned = cum.init.foldRight(lit(cum.last._1)) {
@@ -189,9 +177,10 @@ object Splits {
     val joined = df.join(cc, df(idCol) === cc("__cc_id"), "left")
       .withColumn(clusterOut, coalesce(col("__cc_cluster"), df(idCol)))
       .drop("__cc_id", "__cc_cluster")
-    val key = if (portable) TextOps.portableHash(col(clusterOut).cast("string"))
-              else pmod(xxhash64(col(clusterOut).cast("string")), lit(1L << 60))
-    joined.withColumn(out, splitFor(key % Ppm, cum))
+    // concat_ws of the single cluster column IS its string cast, so
+    // this is the same convention as hashing any other key
+    joined.withColumn(out,
+      splitFor(keyHash(Seq(clusterOut), portable) % Ppm, cum))
   }
 
   /** Leakage certificate: the rows of `pairs` whose endpoints sit in

@@ -140,4 +140,21 @@ object TextOps {
     */
   def portableHashBuiltin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** THE key-hash convention shared by every sampling / splitting /
+    * sharding operator (`hashSample`, `hashSplit`, `exactSplit`,
+    * `clusterSplit`, `shardExport`): the `:`-joined key columns through
+    * [[portableHash]] (oracle-checkable md5 form) or codegen'd
+    * xxhash64 (production fast path) — both landing in [0, 2^60) so
+    * downstream `% N` / rank logic is mode-independent. ONE definition
+    * on purpose: cross-operator determinism claims (a split decision
+    * independent of a sample decision, a doc keeping its split across
+    * corpus versions) rest on every operator hashing keys identically.
+    */
+  private[graft] def keyHash(keyCols: Seq[String],
+                             portable: Boolean): Column = {
+    val key = concat_ws(":", keyCols.map(col): _*)
+    if (portable) portableHash(key)
+    else pmod(xxhash64(key), lit(1L << 60))
+  }
 }

@@ -174,7 +174,7 @@ private[graft] trait QueriesSplits { this: Queries.type =>
         SELECT coalesce(n.source, o.source) AS source,
           CASE WHEN o.doc_id IS NULL THEN 'added'
                WHEN n.doc_id IS NULL THEN 'removed'
-               WHEN n.fp <> o.fp THEN 'changed'
+               WHEN n.fp IS DISTINCT FROM o.fp THEN 'changed'
                ELSE 'unchanged' END AS st,
           coalesce(n.b, 0) - coalesce(o.b, 0) AS db
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)

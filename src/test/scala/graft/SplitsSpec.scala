@@ -268,13 +268,15 @@ class SplitsSpec extends AnyFunSuite {
       (1L, "unchanged text", "s1"),
       (2L, "will change", "s1"),
       (3L, "will be removed", "s2"),
-      (4L, "moves source", "s2")
+      (4L, "moves source", "s2"),
+      (6L, "nulled out", "s4")      // text becomes NULL in new
     ).toDF("doc_id", "text", "source")
     val newSnap = Seq(
       (1L, "unchanged text", "s1"),
       (2L, "has changed!", "s1"),
       (4L, "moves source", "s3"),   // same content, new source
-      (5L, "brand new doc", "s3")
+      (5L, "brand new doc", "s3"),
+      (6L, null.asInstanceOf[String], "s4")
     ).toDF("doc_id", "text", "source")
     val diff = Corpus.corpusDiff(oldSnap, newSnap, "doc_id", "text")
       .collect().map(r => r.getString(0) ->
@@ -287,5 +289,7 @@ class SplitsSpec extends AnyFunSuite {
     // s3: doc 4 (unchanged content, arrived from s2: delta 0) + doc 5
     // added (+13)
     assert(diff("s3") == ((1L, 0L, 0L, 1L, 13L)), s"s3: ${diff("s3")}")
+    // s4: text -> NULL is a CHANGE (null-safe fp compare), delta -10
+    assert(diff("s4") == ((0L, 0L, 1L, 0L, -10L)), s"s4: ${diff("s4")}")
   }
 }
