@@ -74,7 +74,8 @@ object Queries
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qSplitCluster, qSplitLeakage, qShardExport,
-    qCorpusDiff, qCorpusDiffNovelty, qMixingPlan, qEpochExpand)
+    qCorpusDiff, qCorpusDiffNovelty, qMixingPlan, qEpochExpand,
+    qTrainingExport)
 
   /** SLOW TIER: queries the timed bench (`graft.Bench`) skips. Still in
     * `all`, so the CORRECTNESS gate (graft.Verify, sf0.01) runs every

@@ -241,6 +241,42 @@ private[graft] trait QueriesSplits { this: Queries.type =>
         unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS epoch_copy
       FROM d WHERE n > 0"""))
 
+  /** The corpus→training-artifact capstone COMPOSITE: execute the mix
+    * ([[Corpus.expandEpochs]] — replication + fractional admission)
+    * then globally shuffle and shard the EXPANDED stream
+    * ([[Splits.shardExport]] keyed on (doc, copy) so repeats of a doc
+    * scatter across shards rather than clumping). One hash pins the
+    * whole path: rates → copy multiset → permutation → shard/pos.
+    */
+  val qTrainingExport = Q("q_training_export",
+    (s, dir) => Splits.shardExport(
+        Corpus.expandEpochs(t(s, dir, "documents"), "source",
+          Seq("doc_id"),
+          Seq("src1" -> 2500000L, "src2" -> 500000L, "src3" -> 1000000L)),
+        Seq("doc_id", "epoch_copy"), shardSize = 64L)
+      .select(col("doc_id"), col("epoch_copy"), col("shard"), col("pos")),
+    Some("""WITH t(source, ppm) AS (VALUES
+        ('src1', 2500000), ('src2', 500000), ('src3', 1000000)),
+      d AS (
+        SELECT doc_id,
+          ppm::BIGINT // 1000000
+            + CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':ep'),1,15))::BIGINT
+                     % 1000000 < ppm % 1000000
+                   THEN 1 ELSE 0 END AS n
+        FROM documents dd JOIN t ON t.source = dd.source),
+      ex AS (
+        SELECT doc_id,
+          unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS epoch_copy
+        FROM d WHERE n > 0),
+      r AS (
+        SELECT doc_id, epoch_copy, row_number() OVER (ORDER BY
+            ('0x'||substr(md5(doc_id::VARCHAR || ':' || epoch_copy::VARCHAR),1,15))::BIGINT,
+            doc_id, epoch_copy) AS rn
+        FROM ex)
+      SELECT doc_id, epoch_copy,
+        (rn - 1) // 64 AS shard, (rn - 1) % 64 AS pos
+      FROM r"""))
+
   /** Release-addition novelty ([[Corpus.diffNovelty]]): of the docs the
     * new snapshot ADDED (ids absent from old: id % 10 = 0 surviving
     * the new snapshot's % 9 cut), how many are near-dups
