@@ -206,6 +206,38 @@ class SplitsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashSplit at admission time: streaming assignment == batch assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the growth-stability property makes hashSplit the admission-time
+    // split: whatever micro-batch a doc arrives in, it gets the split
+    // the batch form would give it over the full corpus
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = in.toDS().toDF("doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val rows = Splits.hashSplit(batch, Seq("doc_id"), w801010)
+          .select("doc_id", "split").collect()
+          .map(r => r.getLong(0) -> r.getString(1))
+        got.synchronized { got ++= rows }; ()
+      }.start()
+    in.addData(1L to 40L: _*)
+    q.processAllAvailable()
+    in.addData(41L to 80L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batchForm = Splits.hashSplit((1L to 80L).toDF("doc_id"),
+        Seq("doc_id"), w801010)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 80)
+    got.foreach { case (id, s) =>
+      assert(batchForm(id) == s, s"doc $id: stream $s vs batch ${batchForm(id)}")
+    }
+  }
+
   test("expandEpochs: replication + fractional admission, both mix sides") {
     import spark.implicits._
     val docs = (1L to 40L).map(i =>
