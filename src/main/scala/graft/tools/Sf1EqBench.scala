@@ -225,7 +225,19 @@ object Sf1EqBench {
         "containment_probe_tick" -> (s => graft.ext.Dedup.containmentProbe(
           graft.ext.Dedup.shinglePostings(
             spark.read.parquet(s"$root/contbatch_x$s"), "doc_id", "text", 3),
-          spark.read.parquet(s"$root/contpost_x$s"), tau = 0.5)))
+          spark.read.parquet(s"$root/contpost_x$s"), tau = 0.5)),
+        // the corpus→training-artifact capstone (r12): execute a
+        // 2.5/0.5/1.0-epoch mix (lateral explode + salted fractional
+        // admission) then shard the EXPANDED stream — cost is ONE
+        // distributed rank of ~n·Σepochs rows; the budget line checks
+        // that the whole export path stays rank-bound as data scales
+        "training_export" -> (s => graft.ext.Splits.shardExport(
+          graft.ext.Corpus.expandEpochs(
+            docs(s).withColumn("source",
+              pmod(col("doc_id"), lit(4)).cast("string")),
+            "source", Seq("doc_id"),
+            Seq("0" -> 2500000L, "1" -> 500000L, "2" -> 1000000L)),
+          Seq("doc_id", "epoch_copy"), shardSize = 1024L)))
 
     def release(): Unit = {
       spark.catalog.clearCache()
