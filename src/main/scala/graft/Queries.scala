@@ -73,7 +73,8 @@ object Queries
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
-    qSplitAssign, qSplitExact, qSplitCluster, qSplitLeakage, qShardExport,
+    qSplitAssign, qSplitExact, qKfold, qSplitCluster, qSplitLeakage,
+    qShardExport,
     qCorpusDiff, qCorpusDiffNovelty, qMixingPlan, qEpochExpand,
     qTrainingExport)
 

@@ -139,6 +139,34 @@ object Splits {
     withStats.withColumn(out, assigned).drop(h, rn, "__first", "__n")
   }
 
+  /** Exact k-FOLD assignment for cross-validation: fold = ntile(k)
+    * over the portable-hash order (per stratum when `strata` given) —
+    * fold sizes differ by at most one row, deterministic and
+    * content-addressed like [[exactSplit]] (and like it, not stable
+    * under corpus growth — freeze the corpus before folding).
+    * [[Prefix.stratifiedNtile]] does the work: distributed rank +
+    * ntile's closed form, no per-stratum single-partition sort.
+    *
+    * @return `df` + `out` (fold 1..k)
+    */
+  def kFold(df: DataFrame, keyCols: Seq[String], k: Int,
+            strata: Seq[String] = Nil, out: String = "fold",
+            portable: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val h = "__fold_h"
+    // stratifiedNtile needs >= 1 stratum column (its null-safe stats
+    // join reduces over them) — a constant stands in for "global"
+    val g = "__fold_g"
+    val (base, strataCols) =
+      if (strata.isEmpty) (df.withColumn(g, lit(1)), Seq(col(g)))
+      else (df, strata.map(col))
+    Prefix.stratifiedNtile(
+      base.withColumn(h, keyHash(keyCols, portable)),
+      strataCols, col(h) +: keyCols.map(col), k, out)
+      .drop(h, g)
+  }
+
   /** Leakage-free split: near-dup CLUSTERS are the unit of assignment.
     *
     * `pairs` is any (id_a, id_b) near-dup relation — Jaccard, MinHash,

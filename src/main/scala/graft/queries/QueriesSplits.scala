@@ -66,6 +66,24 @@ private[graft] trait QueriesSplits { this: Queries.type =>
              ELSE 'test' END AS split
       FROM r"""))
 
+  /** Exact k-fold CV assignment ([[Splits.kFold]]): ntile(5) over the
+    * hash order per language — fold sizes within one row, oracle
+    * replays with DuckDB's native ntile (boundary semantics must agree
+    * exactly for the full per-doc map to hash-match).
+    */
+  val qKfold = Q("q_kfold",
+    (s, dir) => Splits.kFold(t(s, dir, "documents"), Seq("doc_id"),
+        k = 5, strata = Seq("lang"))
+      .select(col("doc_id"), col("fold")),
+    Some("""WITH h AS (
+        SELECT doc_id, lang,
+               ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv
+        FROM documents)
+      SELECT doc_id,
+        CAST(ntile(5) OVER (PARTITION BY lang ORDER BY hv, doc_id)
+             AS INTEGER) AS fold
+      FROM h"""))
+
   /** Leakage-free split: near-dup clusters (Jaccard pairs → connected
     * components; singletons are their own cluster) assigned atomically
     * by the hash of the CLUSTER id. The oracle rebuilds components via

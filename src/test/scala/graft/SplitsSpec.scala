@@ -103,6 +103,31 @@ class SplitsSpec extends AnyFunSuite {
     assert(nullRows.filter(col("split") === "y").count() == 1)
   }
 
+  test("kFold: balanced folds, global form, determinism") {
+    val docs = Tables.documents(spark, sf)
+    val folded = Splits.kFold(docs, Seq("doc_id"), k = 4,
+      strata = Seq("lang"))
+    val byLang = folded.groupBy("lang", "fold").count()
+      .collect().groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val counts = rows.map(_.getLong(2))
+      assert(rows.map(_.getInt(1)).toSet.subsetOf((1 to 4).toSet))
+      assert(counts.max - counts.min <= 1, s"$lang folds: ${counts.toSeq}")
+    }
+    // global (strata-free) form balances over the whole corpus
+    val global = Splits.kFold(docs, Seq("doc_id"), k = 3)
+    assert(!global.columns.contains("__fold_g"))
+    val gc = global.groupBy("fold").count().collect().map(_.getLong(1))
+    assert(gc.max - gc.min <= 1, s"global folds: ${gc.toSeq}")
+    // deterministic under input partitioning
+    val a = folded.select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Splits.kFold(docs.repartition(9), Seq("doc_id"), k = 4,
+        strata = Seq("lang")).select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
   test("clusterSplit: near-dup clusters are atomic; certificate is empty") {
     import spark.implicits._
     // 3 near-dup groups + singletons: group members share a long base
