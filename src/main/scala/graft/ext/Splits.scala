@@ -161,10 +161,13 @@ object Splits {
     val (base, strataCols) =
       if (strata.isEmpty) (df.withColumn(g, lit(1)), Seq(col(g)))
       else (df, strata.map(col))
-    Prefix.stratifiedNtile(
+    val folded = Prefix.stratifiedNtile(
       base.withColumn(h, keyHash(keyCols, portable)),
       strataCols, col(h) +: keyCols.map(col), k, out)
-      .drop(h, g)
+      .drop(h)
+    // drop the synthetic stratum only when WE added it — a caller
+    // column of the same name in the stratified branch survives
+    if (strata.isEmpty) folded.drop(g) else folded
   }
 
   /** Leakage-free split: near-dup CLUSTERS are the unit of assignment.
@@ -206,7 +209,11 @@ object Splits {
       .withColumn(clusterOut, coalesce(col("__cc_cluster"), df(idCol)))
       .drop("__cc_id", "__cc_cluster")
     // concat_ws of the single cluster column IS its string cast, so
-    // this is the same convention as hashing any other key
+    // this is the same convention as hashing any other key — including
+    // the family-wide NULL rule: a NULL id (⇒ NULL cluster) hashes as
+    // the empty string, exactly as hashSample/hashSplit treat NULL key
+    // columns, so a null-id row gets a deterministic split instead of
+    // falling through the when-chain
     joined.withColumn(out,
       splitFor(keyHash(Seq(clusterOut), portable) % Ppm, cum))
   }

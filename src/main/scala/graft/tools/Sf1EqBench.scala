@@ -227,10 +227,12 @@ object Sf1EqBench {
             spark.read.parquet(s"$root/contbatch_x$s"), "doc_id", "text", 3),
           spark.read.parquet(s"$root/contpost_x$s"), tau = 0.5)),
         // the corpus→training-artifact capstone (r12): execute a
-        // 2.5/0.5/1.0-epoch mix (lateral explode + salted fractional
-        // admission) then shard the EXPANDED stream — cost is ONE
-        // distributed rank of ~n·Σepochs rows; the budget line checks
-        // that the whole export path stays rank-bound as data scales
+        // 2.5/0.5/1.0-epoch mix over four uniform sources — source "3"
+        // is deliberately UNRATED, exercising the out-of-mix drop path
+        // — then shard the EXPANDED stream. Expected expansion is
+        // (2.5+0.5+1.0+0)/4 = 1.0× the corpus, so the cost is ONE
+        // distributed rank of ~n rows; the budget line checks the
+        // whole export path stays rank-bound as data scales
         "training_export" -> (s => graft.ext.Splits.shardExport(
           graft.ext.Corpus.expandEpochs(
             docs(s).withColumn("source",
