@@ -343,6 +343,33 @@ class PlanSpec extends AnyFunSuite {
       s"surrounding stages must stay inside codegen:\n$p")
   }
 
+  test("q_corpus_diff: both snapshots project to digests BELOW the join — text never shuffles") {
+    val p = planOf("q_corpus_diff")
+    val textAttr = "(?<![a-zA-Z0-9_])text#\\d".r
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"full-outer join must shuffle on id:\n$p")
+    assert(exchanges.forall(l => textAttr.findFirstIn(l).isEmpty),
+      s"document text crosses the diff join (only id/fp/bytes may):\n$p")
+  }
+
+  test("q_epoch_expand: rate table broadcasts; expansion is shuffle-free") {
+    val p = planOf("q_epoch_expand")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the source-cardinality rate table must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"epoch expansion must be a narrow scan (join + explode only):\n$p")
+  }
+
+  test("q_corpus_diff_novelty: near-dup check shuffles hashes, never text") {
+    val p = planOf("q_corpus_diff_novelty")
+    val textAttr = "(?<![a-zA-Z0-9_])text#\\d".r
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => textAttr.findFirstIn(l).isEmpty),
+      s"document text crosses a shuffle (8-byte shingle hashes only):\n$p")
+  }
+
   test("q_decontam_fraction: benchmark broadcasts; shingle text never shuffles") {
     val p = planOf("q_decontam_fraction")
     assert(p.contains("BroadcastHashJoin"),
