@@ -287,4 +287,78 @@ object Splits {
     assigned.repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(posCol))
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+
+  /** INCREMENTAL shard maintenance: append a batch to an existing
+    * [[writeShards]] layout without rewriting anything — the release-
+    * over-release form of the export. Re-running [[shardExport]] over
+    * the grown corpus re-ranks EVERYTHING (every doc can change shard
+    * — a full 100 TB rewrite per release, the anti-pattern); here the
+    * committed layout is the frozen prefix of the global order: the
+    * batch is ranked among itself (same content-addressed hash order)
+    * and takes positions starting at the existing tail — first
+    * topping up the last partial shard, then opening new ones.
+    *
+    * Committed FULL shards are never touched (byte-identical,
+    * spec-asserted). The topped-up tail shard gains a second part
+    * file, so across an append the one-file-per-shard property holds
+    * for all shards except tails that were partial at an append
+    * boundary — `pos` is the authoritative within-shard order
+    * everywhere (loaders sort by it; for single-file shards file
+    * order and pos order coincide).
+    *
+    * Replay is the CALLER's contract, like every sink here: pair the
+    * append with a batch ledger (the `foreachBatch` + applied-batch
+    * pattern `sink/JdbcMergeSink.mergeOnce` uses) — appending the
+    * same batch twice duplicates it.
+    *
+    * Scale: one shard-column aggregate of the existing layout (a
+    * partition-column-only scan — row counts come from parquet
+    * footers, data pages never read) + one distributed rank of the
+    * BATCH. Per-release cost is batch-sized, committed data never
+    * moves.
+    *
+    * @return (firstShard, lastShard) touched by this append
+    */
+  def appendShards(path: String, batch: DataFrame, keyCols: Seq[String],
+                   shardSize: Long, shardCol: String = "shard",
+                   posCol: String = "pos",
+                   portable: Boolean = true): (Long, Long) = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    val spark = batch.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    // existing tail: highest shard + its fill (shard-cardinality rows,
+    // counted from footers — no data columns read)
+    val tail: Option[(Long, Long)] =
+      try {
+        // the partition column comes back from directory names as an
+        // INT — normalize to long before touching it
+        spark.read.parquet(path)
+          .groupBy(col(shardCol).cast("long").as(shardCol))
+          .agg(count(lit(1)).as("__n"))
+          .orderBy(col(shardCol).desc).limit(1)
+          .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val offset = tail match {
+      case Some((maxShard, fill)) => maxShard * shardSize + fill
+      case None                   => 0L
+    }
+    require(tail.forall(_._2 <= shardSize),
+      s"existing tail shard overfull: $tail at shardSize $shardSize")
+    val h = "__shard_h"
+    val rn = "__shard_rn"
+    val ranked = Prefix.globalRowNumber(
+      batch.withColumn(h, keyHash(keyCols, portable)),
+      col(h) +: keyCols.map(col), rn)
+    val assigned = ranked
+      .withColumn(shardCol,
+        expr(s"($rn - 1 + ${offset}L) div ${shardSize}L").cast("long"))
+      .withColumn(posCol, ((col(rn) - 1 + offset) % shardSize).cast("long"))
+      .drop(h, rn)
+    val n = batch.count()
+    if (n == 0L) return (offset / shardSize, offset / shardSize)
+    assigned.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode("append").partitionBy(shardCol).parquet(path)
+    (offset / shardSize, (offset + n - 1) / shardSize)
+  }
 }

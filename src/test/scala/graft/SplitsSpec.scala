@@ -231,6 +231,58 @@ class SplitsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendShards: committed shards untouched, tail tops up, append continues") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 5 =!= 0)
+    val b = docs.filter(col("doc_id") % 5 === 0)
+    val size = 24L
+    val nA = a.count(); val nB = b.count()
+    assert(nA % size != 0, "fixture must leave a partial tail shard")
+    val dir = Files.createTempDirectory("graft_appsh").toString
+    Splits.writeShards(Splits.shardExport(a, Seq("doc_id"), size), dir)
+    def snapshot(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard="))
+        .map(d => d.getName -> d.listFiles
+          .filter(_.getName.endsWith(".parquet")).toSeq
+          .map(f => f.getName -> f.length).sortBy(_._1)).toMap
+    def shardCounts(): Map[Long, Long] = spark.read.parquet(dir)
+      .groupBy(col("shard").cast("long").as("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = snapshot()
+    val (from1, to1) = Splits.appendShards(dir, b, Seq("doc_id"), size)
+    assert((from1, to1) == ((nA / size, (nA + nB - 1) / size)))
+    val after = snapshot()
+    // every pre-existing part file untouched (same name, same bytes)
+    before.foreach { case (shard, files) =>
+      files.foreach { case (name, len) =>
+        assert(after(shard).contains(name -> len),
+          s"$shard/$name rewritten by append") }
+    }
+    val total = nA + nB
+    val expected = ((0L until total / size).map(_ -> size) ++
+      (if (total % size != 0) Seq((total / size) -> total % size)
+       else Nil)).toMap
+    assert(shardCounts() == expected, s"shard sizes: ${shardCounts()}")
+    // the topped-up tail shard's pos is contiguous across its part files
+    val tailShard = nA / size
+    val tailN = expected(tailShard)
+    val posTail = spark.read.parquet(s"$dir/shard=$tailShard")
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(posTail == (0L until tailN).toSeq, s"tail pos: $posTail")
+    // a second append continues from the new tail, old files untouched
+    val more = (9001L to 9005L).map(i => (i, s"extra doc $i"))
+      .toDF("doc_id", "text")
+    val beforeTwo = snapshot()
+    val (from2, to2) = Splits.appendShards(dir, more, Seq("doc_id"), size)
+    assert((from2, to2) == ((total / size, (total + 4) / size)))
+    beforeTwo.foreach { case (shard, files) =>
+      files.foreach { case (name, len) =>
+        assert(snapshot()(shard).contains(name -> len)) }
+    }
+    assert(spark.read.parquet(dir).count() == total + 5)
+  }
+
   test("hashSplit at admission time: streaming assignment == batch assignment") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
