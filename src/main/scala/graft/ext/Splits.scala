@@ -261,14 +261,27 @@ object Splits {
                   shardCol: String = "shard", posCol: String = "pos",
                   portable: Boolean = true): DataFrame = {
     require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    assignShards(df, keyCols, shardSize, 0L, shardCol, posCol, portable)
+  }
+
+  /** The one definition of the shard-assignment arithmetic: rank by
+    * (hash, keys), global positions start at `offset` — [[shardExport]]
+    * is the offset-0 form, [[appendShards]] continues from the
+    * committed tail. ONE copy on purpose: the hash order and the
+    * div/mod boundary arithmetic must stay identical between the fresh
+    * and incremental paths.
+    */
+  private def assignShards(df: DataFrame, keyCols: Seq[String],
+                           shardSize: Long, offset: Long, shardCol: String,
+                           posCol: String, portable: Boolean): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val h = "__shard_h"
     val rn = "__shard_rn"
     val hashed = df.withColumn(h, keyHash(keyCols, portable))
     Prefix.globalRowNumber(hashed, col(h) +: keyCols.map(col), rn)
       .withColumn(shardCol,
-        expr(s"($rn - 1) div ${shardSize}L").cast("long"))
-      .withColumn(posCol, ((col(rn) - 1) % shardSize).cast("long"))
+        expr(s"($rn - 1 + ${offset}L) div ${shardSize}L").cast("long"))
+      .withColumn(posCol, ((col(rn) - 1 + offset) % shardSize).cast("long"))
       .drop(h, rn)
   }
 
@@ -284,9 +297,18 @@ object Splits {
     */
   def writeShards(assigned: DataFrame, path: String,
                   shardCol: String = "shard", posCol: String = "pos"): Unit =
+    writeShardLayout(assigned, path, shardCol, posCol, "overwrite")
+
+  /** The one definition of the on-disk layout discipline (shard-whole
+    * tasks, (shard, pos) sort, `shard=` partition dirs) — shared by the
+    * fresh writer (Overwrite) and the incremental appender (Append).
+    */
+  private def writeShardLayout(assigned: DataFrame, path: String,
+                               shardCol: String, posCol: String,
+                               mode: String): Unit =
     assigned.repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(posCol))
-      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+      .write.mode(mode).partitionBy(shardCol).parquet(path)
 
   /** INCREMENTAL shard maintenance: append a batch to an existing
     * [[writeShards]] layout without rewriting anything — the release-
@@ -317,48 +339,60 @@ object Splits {
     * BATCH. Per-release cost is batch-sized, committed data never
     * moves.
     *
-    * @return (firstShard, lastShard) touched by this append
+    * Like [[Layout.compactParquetDir]], the append must be SERIALIZED
+    * with other writers of the directory and with readers that need a
+    * consistent snapshot — parquet directory appends are not atomic
+    * across part files (run it inside the ingest loop's serialized
+    * window, as the maintenance ops do).
+    *
+    * @return Some((firstShard, lastShard)) touched by this append;
+    *         None for an empty batch (nothing written)
     */
   def appendShards(path: String, batch: DataFrame, keyCols: Seq[String],
                    shardSize: Long, shardCol: String = "shard",
                    posCol: String = "pos",
-                   portable: Boolean = true): (Long, Long) = {
+                   portable: Boolean = true): Option[(Long, Long)] = {
     require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
     val spark = batch.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    // existing tail: highest shard + its fill (shard-cardinality rows,
-    // counted from footers — no data columns read)
-    val tail: Option[(Long, Long)] =
-      try {
-        // the partition column comes back from directory names as an
-        // INT — normalize to long before touching it
-        spark.read.parquet(path)
-          .groupBy(col(shardCol).cast("long").as(shardCol))
-          .agg(count(lit(1)).as("__n"))
-          .orderBy(col(shardCol).desc).limit(1)
-          .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val offset = tail match {
+    // one evaluation of the batch source for count AND rank
+    val b = Materialize.multiScan(batch)
+    val n = b.count()
+    if (n == 0L) { b.unpersist(); return None }
+    // a fresh export vs an append is a FILESYSTEM question, not an
+    // exception to swallow — a broad AnalysisException catch would
+    // also eat wrong-column errors and silently write shard 0 on top
+    // of committed data
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // existing top TWO shards + fills (shard-cardinality rows, counted
+    // from footers — no data columns read; the partition column comes
+    // back from directory names as an INT, normalize to long)
+    val tail: Seq[(Long, Long)] =
+      if (!fs.exists(hPath)) Nil
+      else spark.read.parquet(path)
+        .groupBy(col(shardCol).cast("long").as(shardCol))
+        .agg(count(lit(1)).as("__n"))
+        .orderBy(col(shardCol).desc).limit(2)
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val offset = tail.headOption match {
       case Some((maxShard, fill)) => maxShard * shardSize + fill
       case None                   => 0L
     }
-    require(tail.forall(_._2 <= shardSize),
-      s"existing tail shard overfull: $tail at shardSize $shardSize")
-    val h = "__shard_h"
-    val rn = "__shard_rn"
-    val ranked = Prefix.globalRowNumber(
-      batch.withColumn(h, keyHash(keyCols, portable)),
-      col(h) +: keyCols.map(col), rn)
-    val assigned = ranked
-      .withColumn(shardCol,
-        expr(s"($rn - 1 + ${offset}L) div ${shardSize}L").cast("long"))
-      .withColumn(posCol, ((col(rn) - 1 + offset) % shardSize).cast("long"))
-      .drop(h, rn)
-    val n = batch.count()
-    if (n == 0L) return (offset / shardSize, offset / shardSize)
-    assigned.repartition(col(shardCol))
-      .sortWithinPartitions(col(shardCol), col(posCol))
-      .write.mode("append").partitionBy(shardCol).parquet(path)
-    (offset / shardSize, (offset + n - 1) / shardSize)
+    require(tail.headOption.forall(_._2 <= shardSize),
+      s"existing tail shard overfull: ${tail.headOption} at shardSize " +
+        s"$shardSize — was the layout written with a different shardSize?")
+    // every non-tail shard is exactly full BY CONSTRUCTION, so the
+    // second-highest shard doubles as a shardSize fingerprint: a
+    // mismatched dial would otherwise silently corrupt the layout
+    require(tail.drop(1).forall(_._2 == shardSize),
+      s"shard ${tail.drop(1).headOption} is not exactly $shardSize rows " +
+        "— the layout was written with a different shardSize")
+    writeShardLayout(
+      assignShards(b, keyCols, shardSize, offset, shardCol, posCol,
+        portable),
+      path, shardCol, posCol, "append")
+    b.unpersist()
+    Some((offset / shardSize, (offset + n - 1) / shardSize))
   }
 }

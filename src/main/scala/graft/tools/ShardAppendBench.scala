@@ -48,8 +48,9 @@ object ShardAppendBench {
           graft.ext.Splits.appendShards(dir, batch, Seq("doc_id"),
             shardSize)
         }
+        val touched = range.map { case (a, b) => s"$a-$b" }.getOrElse("-")
         System.err.println(
-          f"| $n | appendShards | $tick | $wall%.2f | ${range._1}-${range._2} |")
+          f"| $n | appendShards | $tick | $wall%.2f | $touched |")
       }
       // the naive alternative at this size: re-rank AND rewrite
       // everything (what a per-release fresh export actually pays)

@@ -241,22 +241,27 @@ class SplitsSpec extends AnyFunSuite {
     assert(nA % size != 0, "fixture must leave a partial tail shard")
     val dir = Files.createTempDirectory("graft_appsh").toString
     Splits.writeShards(Splits.shardExport(a, Seq("doc_id"), size), dir)
-    def snapshot(): Map[String, Seq[(String, Long)]] =
+    def snapshot(): Map[String, Seq[(String, String)]] =
       new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard="))
         .map(d => d.getName -> d.listFiles
           .filter(_.getName.endsWith(".parquet")).toSeq
-          .map(f => f.getName -> f.length).sortBy(_._1)).toMap
+          .map(f => f.getName -> java.util.Base64.getEncoder.encodeToString(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(Files.readAllBytes(f.toPath))))
+          .sortBy(_._1)).toMap
     def shardCounts(): Map[Long, Long] = spark.read.parquet(dir)
       .groupBy(col("shard").cast("long").as("shard")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val before = snapshot()
-    val (from1, to1) = Splits.appendShards(dir, b, Seq("doc_id"), size)
+    val Some((from1, to1)) =
+      Splits.appendShards(dir, b, Seq("doc_id"), size)
     assert((from1, to1) == ((nA / size, (nA + nB - 1) / size)))
     val after = snapshot()
-    // every pre-existing part file untouched (same name, same bytes)
+    // every pre-existing part file untouched (same name, same CONTENT
+    // — md5 of the bytes, so a same-length rewrite can't slip through)
     before.foreach { case (shard, files) =>
-      files.foreach { case (name, len) =>
-        assert(after(shard).contains(name -> len),
+      files.foreach { case (name, digest) =>
+        assert(after(shard).contains(name -> digest),
           s"$shard/$name rewritten by append") }
     }
     val total = nA + nB
@@ -274,13 +279,23 @@ class SplitsSpec extends AnyFunSuite {
     val more = (9001L to 9005L).map(i => (i, s"extra doc $i"))
       .toDF("doc_id", "text")
     val beforeTwo = snapshot()
-    val (from2, to2) = Splits.appendShards(dir, more, Seq("doc_id"), size)
+    val Some((from2, to2)) =
+      Splits.appendShards(dir, more, Seq("doc_id"), size)
     assert((from2, to2) == ((total / size, (total + 4) / size)))
+    val afterTwo = snapshot()
     beforeTwo.foreach { case (shard, files) =>
-      files.foreach { case (name, len) =>
-        assert(snapshot()(shard).contains(name -> len)) }
+      files.foreach { case (name, digest) =>
+        assert(afterTwo(shard).contains(name -> digest)) }
     }
     assert(spark.read.parquet(dir).count() == total + 5)
+    // empty batch: None, nothing written
+    assert(Splits.appendShards(dir, more.filter(lit(false)),
+      Seq("doc_id"), size).isEmpty)
+    assert(snapshot() == afterTwo, "empty append must write nothing")
+    // a mismatched shardSize is refused, not silently corrupting
+    intercept[IllegalArgumentException] {
+      Splits.appendShards(dir, more, Seq("doc_id"), size / 2)
+    }
   }
 
   test("hashSplit at admission time: streaming assignment == batch assignment") {
