@@ -82,12 +82,20 @@ object IncrementalDedup {
     * Admission semantics per batch (first arrival wins, like
     * [[admitBatch]]):
     *  1. in-batch: a doc x is dropped when its shingle set is
-    *     τ-contained in ANOTHER batch doc y — unless the containment
-    *     is MUTUAL (near-identical docs) and x is the lower id, which
-    *     keeps exactly one survivor per mutual group while embedded
-    *     docs (one-directional containment) always drop. A containment
+    *     τ-contained in ANOTHER batch doc y that itself SURVIVES the
+    *     cross-batch index probe — unless the containment is MUTUAL
+    *     (near-identical docs) and x is the lower id, which keeps
+    *     exactly one survivor per mutual group while embedded docs
+    *     (one-directional containment) always drop. A containment
     *     CHAIN (a ⊂ b ⊂ c) keeps its maximal host: every non-maximal
-    *     member has an outgoing one-directional edge.
+    *     member has an outgoing one-directional edge. The
+    *     host-must-survive condition matters because τ-containment is
+    *     NOT transitive for τ < 1: if y is turned away by the index
+    *     (y ⊂τ indexed doc) but x ⊄τ that indexed doc, dropping x "for
+    *     y" would silently lose x's content — no admitted or indexed
+    *     doc would τ-contain it. Restricting hosts to index survivors
+    *     closes that cascade: x drops only when something that is (or
+    *     will be) in the corpus τ-contains it.
     *  2. cross-batch: a batch doc τ-contained in an INDEXED doc
     *     (cont_batch ≥ τ) is dropped — the embedded-quote admission
     *     signal. The reverse direction (batch doc SWALLOWS an admitted
@@ -117,23 +125,32 @@ object IncrementalDedup {
     // postings feed up to three joins below: compute once
     val posts = Materialize.multiScan(
       Dedup.shinglePostings(batch, idCol, textCol, n))
-    // 1. in-batch collapse. The self-probe emits each unordered pair in
-    // both orders (no id-ordering condition exists in the A-vs-B join),
-    // which is exactly what the asymmetric drop rule consumes: from the
+    // 1. cross-batch FIRST: drop batch docs contained in an indexed doc.
+    // Computed before the in-batch pass because its drops also disqualify
+    // docs from serving as in-batch HOSTS (used twice below).
+    val vsIndexDrops = Materialize.multiScan(
+      indexIfExists(spark, postingsDir) match {
+        case Some(index) => Dedup.containmentProbe(posts, index, tau, maxDocFreq)
+          .filter(col("cont_batch") >= tau)
+          .select(col("batch_id").as("id")).distinct()
+        case None => posts.select(col("id")).limit(0)
+      })
+    // 2. in-batch collapse, hosts restricted to index SURVIVORS: a drop
+    // of x must be justified by a y whose content actually reaches the
+    // corpus (τ-containment is not transitive for τ < 1 — an index-
+    // dropped y cannot vouch for x, see the admission-semantics doc).
+    // The probe emits each unordered pair in both orders (no
+    // id-ordering condition exists in the A-vs-B join), which is
+    // exactly what the asymmetric drop rule consumes: from the
     // (x=batch_id, y=corpus_id) orientation, x drops iff x ⊂τ y and NOT
     // (mutual ∧ x < y).
-    val inBatchDrops = Dedup.containmentProbe(posts, posts, tau)
+    val hostPosts = posts.join(vsIndexDrops,
+      posts("id") === vsIndexDrops("id"), "left_anti")
+    val inBatchDrops = Dedup.containmentProbe(posts, hostPosts, tau)
       .filter(col("batch_id") =!= col("corpus_id"))
       .filter(col("cont_batch") >= tau &&
         !(col("cont_corpus") >= tau && col("batch_id") < col("corpus_id")))
       .select(col("batch_id").as("id")).distinct()
-    // 2. cross-batch: drop batch docs contained in an indexed doc
-    val vsIndexDrops = indexIfExists(spark, postingsDir) match {
-      case Some(index) => Dedup.containmentProbe(posts, index, tau, maxDocFreq)
-        .filter(col("cont_batch") >= tau)
-        .select(col("batch_id").as("id")).distinct()
-      case None => inBatchDrops.limit(0)
-    }
     val dropIds = Materialize.multiScan(
       inBatchDrops.unionByName(vsIndexDrops).distinct())
     val admitted = Materialize.multiScan(
@@ -146,16 +163,18 @@ object IncrementalDedup {
         .write.mode(SaveMode.Append).parquet(postingsDir)
     }
     val nInBatch = inBatchDrops.count()
-    Seq(posts, dropIds, admitted).foreach(_.unpersist())
+    Seq(posts, vsIndexDrops, dropIds, admitted).foreach(_.unpersist())
     (nAdmitted, nInBatch, nRows - nAdmitted - nInBatch)
   }
 
   private def indexIfExists(spark: SparkSession,
-                            indexDir: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(indexDir)) else None
-  }
+                            indexDir: String): Option[DataFrame] =
+    // data-file probe, not a bare directory probe: a footer-less tree
+    // (all-rejected first batch) must read as "no index yet", not
+    // throw 'Unable to infer schema' forever after
+    if (Layout.hasParquetData(spark, indexDir))
+      Some(spark.read.parquet(indexDir))
+    else None
 
   /** Periodic index maintenance: bin-pack the corpus and signature
     * directories ([[Layout.compactParquetDir]]). Every tick appends at

@@ -23,6 +23,30 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** True iff at least one parquet DATA file exists under `dir`
+    * (recursive). A directory can exist and be non-empty while holding
+    * zero footers — e.g. a `batch=K` partition dir from a first batch
+    * whose rows were all rejected — and schema inference over such a
+    * tree throws `Unable to infer schema`, permanently failing every
+    * later read. Existence probes that gate a `spark.read.parquet`
+    * must therefore look for data files, not just the directory.
+    */
+  private[graft] def hasParquetData(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
+  }
+
   /** Bin-pack a parquet directory into ~`targetBytes` files — the
     * small-files fix. Streaming ingestion and per-table fanout produce
     * thousands of KB-sized files per partition; at 100 TB that means

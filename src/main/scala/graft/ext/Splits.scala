@@ -294,10 +294,49 @@ object Splits {
     * the task), so each shard directory gets ONE part file and the
     * file's row order IS the shard order. Parallelism = distinct
     * shards, which grows with the corpus at fixed shard size.
+    *
+    * `shardSize` (the dial the assignment was computed with) is
+    * persisted in a `_graft_shards.json` manifest next to the shard
+    * dirs; [[appendShards]] requires manifest equality before touching
+    * the layout — the authoritative mismatched-dial guard (content
+    * fingerprints can't see the dial when only one shard exists).
     */
-  def writeShards(assigned: DataFrame, path: String,
-                  shardCol: String = "shard", posCol: String = "pos"): Unit =
+  def writeShards(assigned: DataFrame, path: String, shardSize: Long,
+                  shardCol: String = "shard", posCol: String = "pos"): Unit = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
     writeShardLayout(assigned, path, shardCol, posCol, "overwrite")
+    writeManifest(assigned.sparkSession, path, shardSize)
+  }
+
+  private val ManifestName = "_graft_shards.json"
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+                            path: String, shardSize: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"shardSize": $shardSize}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifestShardSize(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var r = in.read(chunk)
+        while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      """"shardSize"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    }
+  }
 
   /** The one definition of the on-disk layout discipline (shard-whole
     * tasks, (shard, pos) sort, `shard=` partition dirs) — shared by the
@@ -355,44 +394,65 @@ object Splits {
     require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
     val spark = batch.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    // one evaluation of the batch source for count AND rank
+    // one evaluation of the batch source for count AND rank; unpersist
+    // on EVERY exit (a refused append must not leak the cached batch
+    // in the block manager for the rest of the session)
     val b = Materialize.multiScan(batch)
-    val n = b.count()
-    if (n == 0L) { b.unpersist(); return None }
-    // a fresh export vs an append is a FILESYSTEM question, not an
-    // exception to swallow — a broad AnalysisException catch would
-    // also eat wrong-column errors and silently write shard 0 on top
-    // of committed data
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // existing top TWO shards + fills (shard-cardinality rows, counted
-    // from footers — no data columns read; the partition column comes
-    // back from directory names as an INT, normalize to long)
-    val tail: Seq[(Long, Long)] =
-      if (!fs.exists(hPath)) Nil
-      else spark.read.parquet(path)
-        .groupBy(col(shardCol).cast("long").as(shardCol))
-        .agg(count(lit(1)).as("__n"))
-        .orderBy(col(shardCol).desc).limit(2)
-        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
-    val offset = tail.headOption match {
-      case Some((maxShard, fill)) => maxShard * shardSize + fill
-      case None                   => 0L
-    }
-    require(tail.headOption.forall(_._2 <= shardSize),
-      s"existing tail shard overfull: ${tail.headOption} at shardSize " +
-        s"$shardSize — was the layout written with a different shardSize?")
-    // every non-tail shard is exactly full BY CONSTRUCTION, so the
-    // second-highest shard doubles as a shardSize fingerprint: a
-    // mismatched dial would otherwise silently corrupt the layout
-    require(tail.drop(1).forall(_._2 == shardSize),
-      s"shard ${tail.drop(1).headOption} is not exactly $shardSize rows " +
-        "— the layout was written with a different shardSize")
-    writeShardLayout(
-      assignShards(b, keyCols, shardSize, offset, shardCol, posCol,
-        portable),
-      path, shardCol, posCol, "append")
-    b.unpersist()
-    Some((offset / shardSize, (offset + n - 1) / shardSize))
+    try {
+      val n = b.count()
+      if (n == 0L) return None
+      // a fresh export vs an append is a FILESYSTEM question, not an
+      // exception to swallow — a broad AnalysisException catch would
+      // also eat wrong-column errors and silently write shard 0 on top
+      // of committed data
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(hPath)
+      // the authoritative dial guard: the manifest [[writeShards]]
+      // persisted. Content fingerprints below stay as defense-in-depth
+      // but CANNOT see a mismatched dial when the layout holds a single
+      // partial shard (50 rows at dial 64 also passes "tail <= 100"),
+      // so manifest equality is REQUIRED, not best-effort.
+      if (exists) readManifestShardSize(spark, path) match {
+        case Some(written) => require(written == shardSize,
+          s"shardSize $shardSize does not match the layout's manifest " +
+            s"($written) at $path — appending with a different dial " +
+            "would corrupt shard/pos arithmetic")
+        case None => throw new IllegalArgumentException(
+          s"no $ManifestName manifest at $path — not a writeShards " +
+            "layout (or a pre-manifest export); re-export with " +
+            "writeShards, which persists the shardSize dial")
+      }
+      // existing top TWO shards + fills (shard-cardinality rows, counted
+      // from footers — no data columns read; the partition column comes
+      // back from directory names as an INT, normalize to long)
+      val tail: Seq[(Long, Long)] =
+        if (!exists) Nil
+        else spark.read.parquet(path)
+          .groupBy(col(shardCol).cast("long").as(shardCol))
+          .agg(count(lit(1)).as("__n"))
+          .orderBy(col(shardCol).desc).limit(2)
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      val offset = tail.headOption match {
+        case Some((maxShard, fill)) => maxShard * shardSize + fill
+        case None                   => 0L
+      }
+      require(tail.headOption.forall(_._2 <= shardSize),
+        s"existing tail shard overfull: ${tail.headOption} at shardSize " +
+          s"$shardSize — was the layout written with a different shardSize?")
+      // every non-tail shard is exactly full BY CONSTRUCTION, so the
+      // second-highest shard doubles as a shardSize fingerprint —
+      // defense-in-depth behind the manifest check above
+      require(tail.drop(1).forall(_._2 == shardSize),
+        s"shard ${tail.drop(1).headOption} is not exactly $shardSize rows " +
+          "— the layout was written with a different shardSize")
+      writeShardLayout(
+        assignShards(b, keyCols, shardSize, offset, shardCol, posCol,
+          portable),
+        path, shardCol, posCol, "append")
+      // an append that CREATES the layout must leave it appendable
+      if (!exists) writeManifest(spark, path, shardSize)
+      Some((offset / shardSize, (offset + n - 1) / shardSize))
+    } finally b.unpersist()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.AdmissionConf
-import graft.ext.{Corpus, IncrementalQuality, Materialize}
+import graft.ext.{Corpus, IncrementalQuality, Layout, Materialize}
 
 /** The streaming QUALITY admission stage of the CDC pipeline — the
   * frozen five-gate curation battery ([[graft.ext.IncrementalQuality]])
@@ -231,13 +231,15 @@ object QualityAdmission {
     * a failed attempt may have written `batch=<id>` before the sink
     * committed, and a replay that probed its own postings would turn
     * away every row at containment 1.0. Returns None when the index
-    * directory doesn't exist yet (first batch).
+    * directory doesn't exist yet (first batch) — or exists but holds
+    * no parquet DATA file: a first batch whose rows were all rejected
+    * writes a footer-less `batch=0` partition dir, and a bare
+    * directory probe would then hand `spark.read.parquet` a tree it
+    * cannot infer a schema from, failing every subsequent batch.
     */
   private def priorPostings(spark: SparkSession, dir: String,
                             batchId: Long): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path) || fs.listStatus(path).isEmpty) None
+    if (!Layout.hasParquetData(spark, dir)) None
     else {
       val ix = spark.read.parquet(dir)
       val prior = if (ix.columns.contains("batch"))

@@ -38,7 +38,8 @@ object ShardAppendBench {
       // setup (untimed): the existing export
       val corpus = ScaleBench.synthDocs(spark, n).select("doc_id", "text")
       graft.ext.Splits.writeShards(
-        graft.ext.Splits.shardExport(corpus, Seq("doc_id"), shardSize), dir)
+        graft.ext.Splits.shardExport(corpus, Seq("doc_id"), shardSize), dir,
+        shardSize)
       // three real appends, each a DISTINCT id range — the export grows
       for (tick <- 0 until 3) {
         val batch = ScaleBench.synthDocs(spark, batchRows)
@@ -58,7 +59,7 @@ object ShardAppendBench {
       val (reWall, _) = time {
         graft.ext.Splits.writeShards(
           graft.ext.Splits.shardExport(grown, Seq("doc_id"), shardSize),
-          s"$root/rewrite_x$s")
+          s"$root/rewrite_x$s", shardSize)
       }
       System.err.println(
         f"| ${n + 3 * batchRows} | full re-export (rank + rewrite) | - | $reWall%.2f | all |")

@@ -399,6 +399,46 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(replay == ((0L, 0L, 2L)), s"replayed batch must admit nothing: $replay")
   }
 
+  test("containment admission: an index-dropped doc cannot vouch for an in-batch drop (no recall-loss cascade)") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    // τ-containment is not transitive for τ < 1: y ⊂τ H and x ⊂τ y do
+    // NOT imply x ⊂τ H. Construct exactly that: H admitted in tick 1;
+    // tick 2 brings y = half-H ++ novel-run (cont(y→H) = 0.5, dropped
+    // by the index) and x = the novel-run alone (cont(x→y) = 1.0,
+    // cont(x→H) = 0). Dropping x "for y" would lose x's content with
+    // nothing admitted containing it — x must be ADMITTED.
+    val w = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi",
+      "psi", "omega", "one", "two", "three", "four", "five", "six")
+    val nov = Seq("wolf", "bear", "lynx", "otter", "moose", "raven",
+      "heron", "crane", "stork", "finch")
+    val hText = w.mkString(" ")                       // 28 3-shingles
+    val yText = (w.take(12) ++ nov).mkString(" ")     // 20 shingles: 10 H + 2 boundary + 8 novel
+    val xText = nov.mkString(" ")                     // 8 shingles, all ⊂ y, none ⊂ H
+    val root = java.nio.file.Files.createTempDirectory("graft_cascade").toString
+    val (c, p) = (s"$root/corpus", s"$root/postings")
+    val t1 = IncrementalDedup.admitBatchContainment(
+      Seq((1L, hText)).toDF("doc_id", "text"),
+      "doc_id", "text", c, p, n = 3, tau = 0.5)
+    assert(t1 == ((1L, 0L, 0L)), s"tick1 $t1")
+    val t2 = IncrementalDedup.admitBatchContainment(
+      Seq((10L, yText), (11L, xText)).toDF("doc_id", "text"),
+      "doc_id", "text", c, p, n = 3, tau = 0.5)
+    assert(t2 == ((1L, 0L, 1L)),
+      s"y drops vs index, x must be admitted (not cascade-dropped): $t2")
+    val corpus = spark.read.parquet(c).select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 11L), s"corpus $corpus")
+    // INVARIANT behind the rule: every dropped doc is τ-contained in
+    // some ADMITTED doc (recall safety)
+    val viaText = Dedup.containmentAgainst(
+      Seq((10L, yText)).toDF("doc_id", "text"),
+      spark.read.parquet(c), "doc_id", "text", n = 3, tau = 0.5)
+    assert(viaText.filter(col("cont_batch") >= 0.5).count() >= 1,
+      "the index-dropped y must itself be contained in an admitted doc")
+  }
+
   test("containment admission in-batch rule fuzz: survivors == pair-relation rule, one survivor per mutual group") {
     import spark.implicits._
     import graft.ext.IncrementalDedup

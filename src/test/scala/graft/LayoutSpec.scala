@@ -91,6 +91,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+  test("hasParquetData: footer-less trees read as no-data, real data (even nested) as data") {
+    val root = Files.createTempDirectory("graft_haspq").toString
+    assert(!Layout.hasParquetData(spark, s"$root/never_created"))
+    // exists but empty
+    val empty = s"$root/empty"; new java.io.File(empty).mkdirs()
+    assert(!Layout.hasParquetData(spark, empty))
+    // the all-rejected-first-batch shape: a batch=0 partition dir
+    // holding only a _SUCCESS marker — non-empty by listStatus, zero
+    // parquet footers; a bare-directory probe would hand this to
+    // spark.read.parquet and die on schema inference
+    val marker = s"$root/ix/batch=0"; new java.io.File(marker).mkdirs()
+    Files.createFile(java.nio.file.Paths.get(s"$root/ix/batch=0/_SUCCESS"))
+    assert(!Layout.hasParquetData(spark, s"$root/ix"))
+    // real data nested one level down IS found
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$root/ix/batch=1")
+    assert(Layout.hasParquetData(spark, s"$root/ix"))
+  }
+
   test("compactParquetDir aborts cleanly when a concurrent writer slips in") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_compact_race").toString + "/t"

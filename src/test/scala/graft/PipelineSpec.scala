@@ -433,6 +433,37 @@ class PipelineSpec extends AnyFunSuite {
       == Set(-1L, 2L), "folded partition + the new batch's own")
   }
 
+  test("containment gate: a footer-less prior postings partition reads as 'no index yet', not a poisoned stream") {
+    import spark.implicits._
+    // the all-rejected-first-batch shape: batch 0 committed only a
+    // _SUCCESS marker under its postings partition (no parquet footer
+    // anywhere) — every later batch's prior-index probe must treat the
+    // tree as empty instead of dying on schema inference forever
+    val ixDir = Files.createTempDirectory("graft_cont_hollow").toString + "/postings"
+    new java.io.File(s"$ixDir/batch=0").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$ixDir/batch=0/_SUCCESS"), "")
+    val weightsDir = Files.createTempDirectory("graft_cont_hw").toString + "/w"
+    Seq((0L, 0L)).toDF("bucket", "w").write.parquet(weightsDir)
+    val cfg = graft.config.AdmissionConf(
+      text_expr = "get_json_object(payload, '$.text')",
+      weights_path = weightsDir,
+      min_words = 5,
+      containment_index_dir = Some(ixDir),
+      containment_n = 3,
+      containment_tau_x10k = 5000L)
+    val compacted = Seq(("shop", "docs", "9", "c",
+      """{"id": 9, "text": "a hungry wolf and the brown bear wandered near that frozen river"}"""))
+      .toDF("db_name", "tb_name", "pk", "op", "payload")
+    val weights = spark.read.parquet(weightsDir)
+    val out = graft.pipeline.QualityAdmission.admit(compacted, 1L, cfg,
+      PgCdc.deleteMarker, weights, None, None)
+    assert(out.select("pk").as[String].collect().toSet == Set("9"),
+      "an empty prior partition must admit the batch, not fail it")
+    out.unpersist()
+    // this batch's own postings landed, so the index recovers normally
+    assert(spark.read.parquet(s"$ixDir/batch=1").count() > 0)
+  }
+
   test("postings-index maintenance: committed partitions fold to batch=-1, rows preserved, uncommitted untouched") {
     import spark.implicits._
     import graft.pipeline.QualityAdmission

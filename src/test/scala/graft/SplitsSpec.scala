@@ -190,7 +190,7 @@ class SplitsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val out = Splits.shardExport(docs, Seq("doc_id"), 16L)
     val dir = Files.createTempDirectory("graft_shards").toString
-    Splits.writeShards(out, dir)
+    Splits.writeShards(out, dir, 16L)
     val root = new java.io.File(dir)
     val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
     assert(shardDirs.nonEmpty)
@@ -240,7 +240,7 @@ class SplitsSpec extends AnyFunSuite {
     val nA = a.count(); val nB = b.count()
     assert(nA % size != 0, "fixture must leave a partial tail shard")
     val dir = Files.createTempDirectory("graft_appsh").toString
-    Splits.writeShards(Splits.shardExport(a, Seq("doc_id"), size), dir)
+    Splits.writeShards(Splits.shardExport(a, Seq("doc_id"), size), dir, size)
     def snapshot(): Map[String, Seq[(String, String)]] =
       new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard="))
         .map(d => d.getName -> d.listFiles
@@ -296,6 +296,43 @@ class SplitsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Splits.appendShards(dir, more, Seq("doc_id"), size / 2)
     }
+  }
+
+  test("appendShards: manifest catches a mismatched dial even on a single-shard layout") {
+    import spark.implicits._
+    // 50 rows at dial 64 → ONE partial shard. An append at dial 100
+    // passes every content fingerprint (tail fill 50 <= 100, no second
+    // shard to check) — only the persisted manifest can refuse it.
+    val a = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_shdial").toString
+    Splits.writeShards(Splits.shardExport(a, Seq("doc_id"), 64L), dir, 64L)
+    val b = (100L to 104L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Splits.appendShards(dir, b, Seq("doc_id"), 100L)
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+    // the matching dial still appends fine
+    assert(Splits.appendShards(dir, b, Seq("doc_id"), 64L).nonEmpty)
+    assert(spark.read.parquet(dir).count() == 55L)
+    // a legacy layout without a manifest is refused outright, not
+    // silently dial-inferred
+    val legacy = Files.createTempDirectory("graft_shlegacy").toString
+    Splits.writeShards(Splits.shardExport(a, Seq("doc_id"), 64L), legacy, 64L)
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(legacy, "_graft_shards.json"), false)
+    val e2 = intercept[IllegalArgumentException] {
+      Splits.appendShards(legacy, b, Seq("doc_id"), 64L)
+    }
+    assert(e2.getMessage.contains("manifest"), e2.getMessage)
+    // an append that CREATES the layout writes the manifest too, so the
+    // next append is guarded the same way
+    val fresh = Files.createTempDirectory("graft_shfresh").toString + "/sub"
+    assert(Splits.appendShards(fresh, a, Seq("doc_id"), 64L).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Splits.appendShards(fresh, b, Seq("doc_id"), 100L)
+    }
+    assert(Splits.appendShards(fresh, b, Seq("doc_id"), 64L).nonEmpty)
   }
 
   test("hashSplit at admission time: streaming assignment == batch assignment") {
