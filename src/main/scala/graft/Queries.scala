@@ -68,7 +68,7 @@ object Queries
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qKmeansAssign,
     qTimeTravel, qDataQuality, qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
-    qPsiDriftCatSeries,
+    qPsiDriftCatSeries, qZorderValue, qZorderPrune,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,

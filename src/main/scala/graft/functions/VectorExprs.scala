@@ -675,6 +675,8 @@ object VectorFunctions {
     "ngram_units" -> (exprs => NgramUnits(exprs(0),
       exprs(1).eval(null).asInstanceOf[ArrayData].toIntArray().toSeq)),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
+    "hilbert2d" -> (exprs =>
+      Hilbert2D(exprs(0), exprs(1), intArg(exprs(2)))),
     "bin_lcp" -> (exprs => BinaryLcp(exprs(0), exprs(1))),
     "bloom_agg" -> (exprs =>
       BloomAgg(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
@@ -758,6 +760,10 @@ object VectorFunctions {
 
   /** Column API for [[NfcNormalize]]: Unicode NFC canonicalization. */
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  /** Column API for [[Hilbert2D]]: order must be a literal. */
+  def hilbert2d(x: Column, y: Column, order: Int): Column =
+    call_function("hilbert2d", x, y, lit(order))
 
   /** Column API for [[BinaryLcp]]: common-prefix byte length. */
   def binLcp(a: Column, b: Column): Column = call_function("bin_lcp", a, b)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.compact.Compaction
 import graft.envelope.{DmsCdc, MongoCdc, PgCdc}
-import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps, ZOrder}
 
 /** Heavy hitters, PII, quantization, sketches (HLL/KMV/CMS), the
   * window/set/pivot/cube/grouping-sets SQL surface, fuzzy linkage,
@@ -939,5 +939,58 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
           SELECT unnest(generate_series(1, n_frames, 1)) AS frame_no) f)
       SELECT frame_fp, min(media_id) AS keep_media, count(*) AS n_copies
       FROM frames GROUP BY frame_fp"""))
+
+  /** Z-order curve value ([[ZOrder.zValue]]): the multi-dimensional
+    * clustering key behind `OPTIMIZE ... ZORDER BY`-style layouts —
+    * grid cells by offset-and-shift, bit interleave by the standard
+    * mask-doubling rounds, all integer builtins. Bounds are FIXED
+    * documented constants (user grid 2^12 up-shifted 4, a 2^32 ms
+    * window from 2024-01-01 down-shifted 16) so the oracle replays the
+    * identical shifts at any SF; clamping makes out-of-range rows safe.
+    */
+  val qZorderValue = Q("q_zorder_value",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      ev.select(col("event_id"),
+        ZOrder.zValue(col("user_id"), 0L, 4095L,
+          col("ts_ms"), 1704067200000L, 1704067200000L + 4294967295L)
+          .as("zv"))
+    },
+    Some("""WITH e AS (
+        SELECT event_id,
+          (least(greatest(user_id, 0), 4095) << 4) AS x,
+          (least(greatest(epoch_ms(ts) - 1704067200000, 0), 4294967295) >> 16) AS y
+        FROM events),
+      s1 AS (SELECT event_id, ((x | (x << 8)) & 16711935) AS x,
+                    ((y | (y << 8)) & 16711935) AS y FROM e),
+      s2 AS (SELECT event_id, ((x | (x << 4)) & 252645135) AS x,
+                    ((y | (y << 4)) & 252645135) AS y FROM s1),
+      s3 AS (SELECT event_id, ((x | (x << 2)) & 858993459) AS x,
+                    ((y | (y << 2)) & 858993459) AS y FROM s2),
+      s4 AS (SELECT event_id, ((x | (x << 1)) & 1431655765) AS x,
+                    ((y | (y << 1)) & 1431655765) AS y FROM s3)
+      SELECT event_id, (x | (y << 1)) AS zv FROM s4"""))
+
+  /** File-skipping certificate ([[ZOrder.zorderWrite]] +
+    * [[ZOrder.prunedRead]]): cluster events on the (user_id, ts) curve
+    * with a per-file min/max manifest, answer a 2-D box query reading
+    * ONLY intersecting files, and prove row-for-row equality with the
+    * oracle's full-scan filter — file skipping must lose nothing. The
+    * files-kept-vs-total structural claim is the ZOrderSpec
+    * certificate; this row pins the correctness half at the gate.
+    */
+  val qZorderPrune = Q("q_zorder_prune",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_zorder_q").toString + "/layout"
+      ZOrder.zorderWrite(ev, tmp, "user_id", "ts_ms", nFiles = 16)
+      ZOrder.prunedRead(s, tmp, 10L, 30L, 1704500000000L, 1705500000000L)
+    },
+    Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        WHERE user_id BETWEEN 10 AND 30
+          AND epoch_ms(ts) BETWEEN 1704500000000 AND 1705500000000"""))
 
 }
