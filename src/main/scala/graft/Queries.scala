@@ -53,8 +53,8 @@ object Queries
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qEmbeddingCard,
-    qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qPercentiles, qSample,
-    qSampleFast,
+    qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qRetention,
+    qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qBpeFertility, qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
@@ -73,7 +73,8 @@ object Queries
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
-    qSplitAssign, qSplitExact, qKfold, qSplitCluster, qSplitLeakage,
+    qSplitAssign, qSplitExact, qKfold, qGroupKfold, qSplitCluster,
+    qSplitLeakage,
     qShardExport,
     qCorpusDiff, qCorpusDiffNovelty, qMixingPlan, qEpochExpand,
     qTrainingExport)

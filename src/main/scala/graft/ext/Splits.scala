@@ -170,6 +170,28 @@ object Splits {
     if (strata.isEmpty) folded.drop(g) else folded
   }
 
+  /** Grouped k-fold: every row of a GROUP (domain, author, near-dup
+    * cluster id — any column whose members must not straddle a
+    * train/eval boundary) lands in ONE fold; folds balance group
+    * counts, differing by at most one group. The grouped-CV form
+    * (scikit-learn's `GroupKFold` shape) of [[kFold]], and the k-fold
+    * complement of [[clusterSplit]]'s fixed-ratio split.
+    *
+    * Scale: fold assignment runs over the DISTINCT groups relation —
+    * group cardinality, not row cardinality — through the same
+    * content-addressed ntile as [[kFold]] (ONE distributed rank, no
+    * single-partition sort), then one group-keyed join attaches folds
+    * back; with the usual groups ≪ rows the join side broadcasts.
+    *
+    * @return `df` + `out` (fold 1..k, identical for all rows of a group)
+    */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int,
+                 out: String = "fold", portable: Boolean = true): DataFrame = {
+    val groups = df.select(col(groupCol)).distinct()
+    val folds = kFold(groups, Seq(groupCol), k, Nil, out, portable)
+    df.join(folds, Seq(groupCol))
+  }
+
   /** Leakage-free split: near-dup CLUSTERS are the unit of assignment.
     *
     * `pairs` is any (id_a, id_b) near-dup relation — Jaccard, MinHash,

@@ -193,4 +193,54 @@ object Temporal {
       .select(col("entity"), col("__b.anc").as("anchor_ms"),
         col("__b.tc").as("t_complete_ms"))
   }
+
+  /** Cohort retention matrix: entities are cohorted by the absolute
+    * period of their FIRST activity (`period = ts div periodMs`, epoch
+    * periods — no calendar arithmetic to diverge between engines), and
+    * each (cohort, offset) cell reports how many of that cohort were
+    * active `offset` periods after their first touch, plus the
+    * retention fraction against the cohort's size. The classic
+    * product-analytics operator (triangular cohort chart); the
+    * reference's surface has nothing temporal beyond per-row timestamp
+    * parses, so this extends the `events` family ([[funnel]], SCD2,
+    * sessionize).
+    *
+    * Shape: distinct (entity, period) first — ONE shuffle keyed on the
+    * pair collapses per-period event volume (the 100 TB lever: everything
+    * after operates on entity×period cardinality, not event cardinality)
+    * — then a min-per-entity aggregate, an entity-keyed join attaching
+    * cohorts, and a tiny (cohort, offset) aggregate. No windows, no
+    * single-partition funnel; output cardinality is cohorts × offsets.
+    *
+    * Retention is rounded to 4dp (the library's cross-engine float
+    * convention) and `offset = 0` rows are retained (always 1.0) as the
+    * matrix diagonal.
+    *
+    * @return (cohort_period, period_offset, n_active, cohort_size,
+    *         retention)
+    */
+  def retentionMatrix(events: DataFrame, entityCol: String, timeMs: Column,
+                      periodMs: Long): DataFrame = {
+    require(periodMs >= 1, s"periodMs must be >= 1, got $periodMs")
+    val up = events.select(col(entityCol).as("__e"),
+        timeMs.cast("long").as("__t"))
+      // SQL `div` (exact integral division) — Column `/` is double
+      // division, which rounds near period boundaries above 2^53
+      .select(col("__e"), expr(s"__t div ${periodMs}L").as("__p"))
+      .distinct()
+    val cohorts = up.groupBy(col("__e"))
+      .agg(min(col("__p")).as("__cohort"))
+    val sizes = cohorts.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    up.join(cohorts, "__e")
+      .groupBy(col("__cohort"),
+        (col("__p") - col("__cohort")).as("period_offset"))
+      // (entity, period) is unique after the distinct, so count(*) IS
+      // distinct entities — no second count-distinct expansion
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "__cohort")
+      .select(col("__cohort").as("cohort_period"), col("period_offset"),
+        col("n_active"), col("cohort_size"),
+        round(col("n_active") / col("cohort_size"), 4).as("retention"))
+  }
 }

@@ -84,6 +84,27 @@ private[graft] trait QueriesSplits { this: Queries.type =>
              AS INTEGER) AS fold
       FROM h"""))
 
+  /** Grouped k-fold ([[Splits.groupKFold]]): whole groups per fold —
+    * the grouped-CV assignment. The oracle replays fold assignment
+    * over the DISTINCT groups (hash order + ntile) and joins back,
+    * pinning both the group-atomicity and the balance.
+    */
+  val qGroupKfold = Q("q_group_kfold",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("grp", expr("doc_id div 7L"))
+      Splits.groupKFold(d, "grp", k = 4)
+        .select(col("doc_id"), col("grp"), col("fold"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id // 7 AS grp FROM documents),
+      g AS (SELECT DISTINCT grp FROM d),
+      h AS (SELECT grp,
+          ('0x'||substr(md5(grp::VARCHAR),1,15))::BIGINT AS hv FROM g),
+      f AS (SELECT grp,
+          CAST(ntile(4) OVER (ORDER BY hv, grp) AS INTEGER) AS fold
+        FROM h)
+      SELECT d.doc_id, d.grp, f.fold FROM d JOIN f ON d.grp = f.grp"""))
+
   /** Leakage-free split: near-dup clusters (Jaccard pairs → connected
     * components; singletons are their own cluster) assigned atomically
     * by the hash of the CLUSTER id. The oracle rebuilds components via

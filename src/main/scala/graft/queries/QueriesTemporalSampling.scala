@@ -183,6 +183,32 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
         FROM x4 WHERE a4 IS NOT NULL AND t - a4 <= 3600000)
       SELECT entity, anchor_ms, t_complete_ms FROM q WHERE rn = 1"""))
 
+  /** Weekly cohort retention over the event stream
+    * ([[graft.operators.Temporal.retentionMatrix]]): users cohorted by
+    * the epoch week of their first activity, one cell per
+    * (cohort, offset) with the surviving fraction — the triangular
+    * retention chart. Epoch weeks (`ts div 604800000`) on purpose: no
+    * calendar/timezone seam between engines.
+    */
+  val qRetention = Q("q_retention",
+    (s, dir) => graft.operators.Temporal.retentionMatrix(
+      t(s, dir, "events"), "user_id", unix_millis(col("ts")),
+      periodMs = 604800000L),
+    Some("""WITH up AS (
+        SELECT DISTINCT user_id AS e, epoch_ms(ts) // 604800000 AS p
+        FROM events),
+      coh AS (SELECT e, min(p) AS cohort FROM up GROUP BY e),
+      sizes AS (SELECT cohort, count(*) AS cohort_size FROM coh
+        GROUP BY cohort),
+      cells AS (
+        SELECT c.cohort, up.p - c.cohort AS period_offset,
+          count(*) AS n_active
+        FROM up JOIN coh c ON up.e = c.e GROUP BY 1, 2)
+      SELECT cells.cohort AS cohort_period, period_offset, n_active,
+        cohort_size,
+        round(n_active::DOUBLE / cohort_size, 4) AS retention
+      FROM cells JOIN sizes ON cells.cohort = sizes.cohort"""))
+
   /** Exact group percentiles. Two cross-engine IEEE traps, both fixed
     * here by construction:
     *  - interpolation formula: DuckDB's `quantile_cont` computes

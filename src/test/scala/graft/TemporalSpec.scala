@@ -219,4 +219,53 @@ class TemporalSpec extends AnyFunSuite {
         s"trial $trial (steps=$steps w=$w): DP $got != brute $want\nevents: $evs")
     }
   }
+
+  test("retentionMatrix: diagonal is 1.0, cells match a brute-force cohort count, inactive periods absent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val period = 10L
+    val evs = for {
+      u <- 0L until 20L
+      _ <- 0 until (1 + rnd.nextInt(8))
+    } yield (u, rnd.nextInt(50).toLong)
+    val got = Temporal.retentionMatrix(evs.toDF("u", "tms"), "u",
+        col("tms"), period)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // brute force
+    val byUser = evs.groupBy(_._1).view.mapValues(_.map(_._2 / period).toSet)
+    val cohort = byUser.mapValues(_.min).toMap
+    val sizes = cohort.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = byUser.toSeq.flatMap { case (u, ps) =>
+      ps.map(p => (cohort(u), p - cohort(u)))
+    }.groupBy(identity).map { case ((c, off), hits) =>
+      val n = hits.size.toLong
+      (c, off) -> ((n, sizes(c),
+        BigDecimal(n.toDouble / sizes(c))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // every cohort's offset-0 cell exists and retains everyone
+    sizes.keys.foreach { c =>
+      assert(got((c, 0L)) == ((sizes(c), sizes(c), 1.0)), s"diagonal of $c")
+    }
+  }
+
+  test("groupKFold: groups are atomic, fold group-counts differ by at most one") {
+    import spark.implicits._
+    import graft.ext.Splits
+    val df = (0L until 500L).map(i => (i, i % 37)).toDF("id", "grp")
+    val folded = Splits.groupKFold(df, "grp", k = 5)
+      .select(col("grp"), col("fold"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val perGroup = folded.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    perGroup.foreach { case (g, fs) =>
+      assert(fs.size == 1, s"group $g straddles folds $fs")
+    }
+    val groupsPerFold = perGroup.toSeq.map(_._2.head)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(groupsPerFold.keySet == (1 to 5).toSet)
+    assert(groupsPerFold.values.max - groupsPerFold.values.min <= 1,
+      s"unbalanced folds: $groupsPerFold")
+  }
 }
