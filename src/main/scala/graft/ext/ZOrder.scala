@@ -153,7 +153,16 @@ object ZOrder {
       .sortWithinPartitions(zv)
       .write.mode("overwrite").parquet(dir)
     // stats pass: per-file boxes from the files just written
-    val boxes = spark.read.parquet(dir)
+    val boxes = fileBoxes(spark, Seq(dir), dimA, dimB)
+    writeManifest(spark, dir, dimA, dimB, curve, boxes)
+    bounds
+  }
+
+  /** Per-file min/max boxes for the given paths — file-local
+    * aggregation keyed on `input_file_name`, no data-column shuffle. */
+  private def fileBoxes(spark: SparkSession, paths: Seq[String],
+                        dimA: String, dimB: String): Seq[FileBox] =
+    spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(min(col(dimA)).cast("long").as("la"),
         max(col(dimA)).cast("long").as("ha"),
@@ -164,8 +173,81 @@ object ZOrder {
         val base = row.getString(0).split('/').last
         FileBox(base, row.getLong(1), row.getLong(2),
           row.getLong(3), row.getLong(4), row.getLong(5))
-      }.sortBy(_.file)
-    writeManifest(spark, dir, dimA, dimB, curve, boxes)
+      }.toSeq.sortBy(_.file)
+
+  private def listParts(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Set[String] =
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")).toSet
+
+  /** INCREMENTAL maintenance: append a batch to an existing layout
+    * without re-clustering — the ingest half of the transactional-
+    * format loop (appends land immediately, a periodic OPTIMIZE
+    * re-tightens). The batch is curve-sorted among ITSELF (batch-local
+    * bounds) into `nFiles` new part files and their true min/max boxes
+    * join the manifest, so pruning stays CORRECT from the first read
+    * — every file is covered by its actual box — it just degrades in
+    * selectivity as appended batches overlap committed files' key
+    * ranges; [[recluster]] restores the tight layout. Committed files
+    * are never touched.
+    *
+    * Same serialization contract as [[Layout.compactParquetDir]]:
+    * no concurrent writer of `dir`; the manifest/disk consistency
+    * check refuses a directory that changed outside this protocol.
+    *
+    * @return the appended files' boxes (empty batch appends nothing)
+    */
+  def appendToLayout(batch: DataFrame, dir: String,
+                     nFiles: Int = 1): Seq[FileBox] = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val spark = batch.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val m = readManifest(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = listParts(fs, p)
+    require(before == m.boxes.map(_.file).toSet,
+      s"manifest/file-set mismatch at $dir (concurrent writer?)")
+    val r = batch.agg(min(col(m.dimA)).cast("long"),
+      max(col(m.dimA)).cast("long"), min(col(m.dimB)).cast("long"),
+      max(col(m.dimB)).cast("long")).head()
+    if (r.isNullAt(0)) return Nil // empty batch (or all-null dims)
+    val zv =
+      if (m.curve == "z")
+        zValue(col(m.dimA), r.getLong(0), r.getLong(1),
+          col(m.dimB), r.getLong(2), r.getLong(3))
+      else hValue(col(m.dimA), r.getLong(0), r.getLong(1),
+        col(m.dimB), r.getLong(2), r.getLong(3))
+    batch.repartitionByRange(nFiles, zv)
+      .sortWithinPartitions(zv)
+      .write.mode("append").parquet(dir)
+    val newFiles = (listParts(fs, p) -- before).toSeq.sorted
+    val newBoxes = fileBoxes(spark, newFiles.map(f => s"$dir/$f"),
+      m.dimA, m.dimB)
+    writeManifest(spark, dir, m.dimA, m.dimB, m.curve, m.boxes ++ newBoxes)
+    newBoxes
+  }
+
+  /** The OPTIMIZE half of the loop: re-cluster the layout's current
+    * rows into `nFiles` tight files (temp-dir write + rename swap, so
+    * a crash mid-way leaves either the old or the new layout, never a
+    * half-rewritten one). Serialization contract as above: no
+    * concurrent reader or writer during the swap.
+    */
+  def recluster(spark: SparkSession, dir: String, nFiles: Int): Bounds = {
+    val m = readManifest(spark, dir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = s"$dir.recluster-$uuid"
+    val bounds = zorderWrite(spark.read.parquet(dir), tmp,
+      m.dimA, m.dimB, nFiles, m.curve)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"$dir.old-$uuid")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(p, old), s"rename $dir aside failed")
+    require(fs.rename(t, p), s"rename of reclustered layout failed")
+    fs.delete(old, true)
     bounds
   }
 
@@ -188,9 +270,12 @@ object ZOrder {
     ("""\{"file": "([^"]+)", "loA": (-?\d+), "hiA": (-?\d+),""" +
       """ "loB": (-?\d+), "hiB": (-?\d+), "rows": (\d+)\}""").r
 
-  /** (clustered dims, per-file boxes) from a layout's manifest. */
-  def readManifest(spark: SparkSession,
-                   dir: String): ((String, String), Seq[FileBox]) = {
+  /** A layout's manifest: the clustered dims, the curve it was
+    * clustered with, and one min/max box per part file. */
+  final case class LayoutManifest(dimA: String, dimB: String,
+                                  curve: String, boxes: Seq[FileBox])
+
+  def readManifest(spark: SparkSession, dir: String): LayoutManifest = {
     val p = new org.apache.hadoop.fs.Path(dir, ManifestName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no $ManifestName at $dir — not a zorderWrite layout")
@@ -203,18 +288,18 @@ object ZOrder {
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
     val lines = text.split('\n')
-    val dims = ("""\{"dimA": "([^"]+)", "dimB": "([^"]+)"""".r
-      .findFirstMatchIn(lines.head)
-      .map(m => (m.group(1), m.group(2)))
-      .getOrElse(throw new IllegalArgumentException(
-        s"malformed $ManifestName header: ${lines.head}")))
+    val header =
+      """\{"dimA": "([^"]+)", "dimB": "([^"]+)", "curve": "([^"]+)"\}""".r
+        .findFirstMatchIn(lines.head)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed $ManifestName header: ${lines.head}"))
     val boxes = lines.tail.toSeq.map {
       case BoxRe(f, la, ha, lb, hb, n) =>
         FileBox(f, la.toLong, ha.toLong, lb.toLong, hb.toLong, n.toLong)
       case bad => throw new IllegalArgumentException(
         s"malformed $ManifestName line: $bad")
     }
-    (dims, boxes)
+    LayoutManifest(header.group(1), header.group(2), header.group(3), boxes)
   }
 
   /** The part files whose box intersects the query box, plus the total
@@ -225,12 +310,10 @@ object ZOrder {
   def pruneFiles(spark: SparkSession, dir: String,
                  loA: Long, hiA: Long, loB: Long,
                  hiB: Long): (Seq[String], Int) = {
-    val (_, boxes) = readManifest(spark, dir)
+    val boxes = readManifest(spark, dir).boxes
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val onDisk = fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
-        !n.startsWith(".")).toSet
+    val onDisk = listParts(fs, p)
     require(onDisk == boxes.map(_.file).toSet,
       s"manifest/file-set mismatch at $dir (concurrent rewrite?): " +
         s"manifest ${boxes.size} files, disk ${onDisk.size}")
@@ -247,7 +330,8 @@ object ZOrder {
     */
   def prunedRead(spark: SparkSession, dir: String,
                  loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame = {
-    val ((dimA, dimB), _) = readManifest(spark, dir)
+    val m = readManifest(spark, dir)
+    val (dimA, dimB) = (m.dimA, m.dimB)
     val (kept, _) = pruneFiles(spark, dir, loA, hiA, loB, hiB)
     val cond = col(dimA).between(loA, hiA) && col(dimB).between(loB, hiB)
     if (kept.isEmpty) spark.read.parquet(dir).filter(cond).limit(0)

@@ -143,6 +143,57 @@ class ZOrderSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("operational loop: appends stay correct immediately, recluster restores selectivity") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    val root = Files.createTempDirectory("graft_zloop").toString + "/t"
+    // initial layout: the first 60% of events; three appends of ~13% each
+    val base = ev.filter(col("event_id") % 10 < 6)
+    val zb = ZOrder.zorderWrite(base, root, "user_id", "ts_ms", 16)
+    def stripe = {
+      val sa = zb.hiA - zb.loA
+      (zb.loA + sa * 7 / 16, zb.loA + sa * 8 / 16, zb.loB, zb.hiB)
+    }
+    val (ua, ub, ta, tb) = stripe
+    def expectFor(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("user_id").between(ua, ub) && col("ts_ms").between(ta, tb))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got() = ZOrder.prunedRead(spark, root, ua, ub, ta, tb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (kept0, total0) = ZOrder.pruneFiles(spark, root, ua, ub, ta, tb)
+    assert(got() == expectFor(base))
+    var appended = base
+    for (m <- 6 to 8) {
+      val batch = ev.filter(col("event_id") % 10 === m)
+      val newBoxes = ZOrder.appendToLayout(batch, root, nFiles = 2)
+      assert(newBoxes.size == 2)
+      appended = appended.unionByName(batch)
+      // correctness holds IMMEDIATELY after each append, before any
+      // re-optimize — the new files' true boxes cover them
+      assert(got() == expectFor(appended), s"append $m diverged")
+    }
+    val (keptApp, totalApp) = ZOrder.pruneFiles(spark, root, ua, ub, ta, tb)
+    assert(totalApp == total0 + 6)
+    // appended batches are curve-sorted only among themselves: each
+    // append's files span wide user ranges, so the stripe now keeps
+    // MORE files (the degradation recluster exists to fix)
+    assert(keptApp.size > kept0.size,
+      s"fixture: appends should degrade pruning (${kept0.size} -> ${keptApp.size})")
+    // recluster: same rows, tight layout again
+    ZOrder.recluster(spark, root, 16)
+    assert(got() == expectFor(appended), "recluster changed query results")
+    val (keptOpt, totalOpt) = ZOrder.pruneFiles(spark, root, ua, ub, ta, tb)
+    assert(totalOpt == 16)
+    assert(keptOpt.size < keptApp.size,
+      s"recluster must restore selectivity (${keptApp.size} -> ${keptOpt.size})")
+    info(s"files kept for the stripe: fresh ${kept0.size}/$total0, " +
+      s"after 3 appends ${keptApp.size}/$totalApp, " +
+      s"reclustered ${keptOpt.size}/$totalOpt")
+    // empty batch: no files, no manifest growth
+    assert(ZOrder.appendToLayout(ev.filter(lit(false)), root).isEmpty)
+    assert(ZOrder.readManifest(spark, root).boxes.size == 16)
+  }
+
   test("pruneFiles refuses a manifest that no longer matches the directory") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
