@@ -67,7 +67,8 @@ object Queries
     qFuzzyPairs, qFuzzySnm,
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
     qKmeansAssign,
-    qTimeTravel, qDataQuality, qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
+    qTimeTravel, qDataQuality, qRefIntegrity, qOutliersMad, qCusum,
+    qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
     qPsiDriftCatSeries, qZorderValue, qZorderPrune,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,

@@ -397,4 +397,144 @@ object DataQuality {
             .cast("long"))
           .as("psi_x1e6"))
   }
+
+  /** Referential-integrity audit between a child (foreign-key) and a
+    * parent (primary-key) relation — the constraint class [[audit]]'s
+    * row-local checks cannot express (a violation here is the ABSENCE
+    * of a matching row elsewhere). One row per call:
+    * (relation, n_child, n_null_fk, n_orphan, orphan_ppm) where
+    * `n_orphan` counts child rows whose non-null key has no parent and
+    * `n_null_fk` counts null keys separately (a null FK is a
+    * completeness question, not a dangling reference — conflating them
+    * hides which problem you have).
+    *
+    * Scale: the child collapses to per-key counts FIRST (map-side
+    * partial aggregate — the shuffle carries distinct keys, never child
+    * rows), joins the parent's distinct keys, and folds to one row via
+    * a partial-then-merge aggregate. Nothing wider than a key ever
+    * crosses an exchange. `orphan_ppm` is exact integer arithmetic
+    * (floor(n_orphan·10⁶ / n_child)) so the row hash-matches any
+    * engine.
+    */
+  def refIntegrity(child: DataFrame, childKey: Column,
+                   parent: DataFrame, parentKey: Column,
+                   relation: String): DataFrame = {
+    val fkCounts = child.select(childKey.as("__fk"))
+      .groupBy(col("__fk")).agg(count(lit(1)).as("__n"))
+    val pks = parent.select(parentKey.as("__pk")).distinct()
+    fkCounts.join(pks, col("__fk") === col("__pk"), "left")
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("__fk").isNull, col("__n"))
+          .otherwise(lit(0L))), lit(0L)).as("n_null_fk"),
+        coalesce(sum(when(col("__fk").isNotNull && col("__pk").isNull,
+          col("__n")).otherwise(lit(0L))), lit(0L)).as("n_orphan"))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_null_fk"), col("n_orphan"),
+        // SQL `div`: exact integer division (double `/`+floor rounds
+        // once the numerator passes 2^53 — reachable at real scale)
+        when(col("n_child") > 0,
+          expr("(n_orphan * 1000000) div n_child"))
+          .otherwise(lit(0)).cast("long").as("orphan_ppm"))
+  }
+
+  /** Robust per-group outlier summary via the median absolute deviation
+    * — the standard-deviation rule's heavy-tail-safe replacement (one
+    * extreme value drags a mean/stddev fence toward itself; the median
+    * and MAD are 50%-breakdown estimators, so the fence holds):
+    * a row is an outlier when |x − median| > k·MAD.
+    *
+    * Both the median and the MAD are EXACT distributed percentiles
+    * ([[Prefix.groupPercentiles]] — range-partitioned rank, Spark's
+    * interpolation formula, no value-buffering aggregate), so the whole
+    * summary replays bit-for-bit in any engine that reproduces the
+    * interpolation. Two rank passes over the data (median, then the
+    * deviations' median) — the honest price of an exact MAD; the
+    * per-group medians ride between passes as a group-cardinality
+    * broadcast join. Rows with a NULL value are excluded from both
+    * estimation and outlier counting (a missing measurement is a
+    * completeness finding for [[audit]], not a distance).
+    *
+    * @return one row per group: (strata..., n, med, mad, n_outliers) —
+    *         `med`/`mad` unrounded (callers round for hashing)
+    */
+  def madOutliers(df: DataFrame, strata: Seq[String], value: Column,
+                  tiebreak: Seq[Column], k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val v = df.filter(value.isNotNull)
+    val med = Prefix.groupPercentiles(v, strata, value.cast("double"),
+      tiebreak, ps = Seq(0.5 -> "med"))
+    val dev = v.join(broadcast(med), strata)
+      .withColumn("__dev", abs(value.cast("double") - col("med")))
+    val mad = Prefix.groupPercentiles(dev, strata, col("__dev"),
+      tiebreak, ps = Seq(0.5 -> "mad"))
+    dev.join(broadcast(mad), strata)
+      .groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        count(when(col("__dev") > lit(k) * col("mad"), 1))
+          .as("n_outliers"))
+  }
+
+  /** Tabular CUSUM changepoint detection over an already-aggregated
+    * integer period series — the sequential-detection complement of
+    * [[psiSeries]] (PSI asks "did the DISTRIBUTION move vs a frozen
+    * profile"; CUSUM asks "did the LEVEL sustain a shift, and when",
+    * accumulating small persistent deviations a per-period threshold
+    * test misses). Standard two-sided form (Page 1954): with drift
+    * allowance κ around target μ,
+    *
+    *   s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − κ)),  alarm when s⁺ > h
+    *   s⁻_t = max(0, s⁻_{t−1} + (μ − x_t − κ))   (downward twin)
+    *
+    * The recursion is computed by its CLOSED FORM
+    * s_t = S_t − min(0, min_{j≤t} S_j) over prefix sums
+    * S_t = Σ_{i≤t} d_i — two stacked running aggregates instead of a
+    * sequential fold, so the whole detector is window arithmetic. All
+    * quantities are exact integers (μ, κ, h are integer dials in the
+    * metric's own units), so the series hash-matches any engine.
+    *
+    * Scale: the input is a per-period AGGREGATE — cardinality is the
+    * number of periods (time-bounded), not the row count — so the
+    * unkeyed windows here sort a bounded relation by construction.
+    * [[cusumCounts]] builds that aggregate from an event stream in one
+    * map-side-collapsible pass.
+    *
+    * @return the series plus (cusum_pos, cusum_neg, alarm_up,
+    *         alarm_down)
+    */
+  def cusum(series: DataFrame, orderCol: Column, value: Column,
+            mu: Long, kappa: Long, h: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kappa >= 0, s"kappa must be >= 0, got $kappa")
+    require(h > 0, s"h must be > 0, got $h")
+    val w = Window.orderBy(orderCol)
+    val v = value.cast("long")
+    val s1 = series
+      .withColumn("__sp", sum(v - lit(mu) - lit(kappa)).over(w))
+      .withColumn("__sn", sum(lit(mu) - v - lit(kappa)).over(w))
+    s1.withColumn("cusum_pos",
+        col("__sp") - least(min(col("__sp")).over(w), lit(0L)))
+      .withColumn("cusum_neg",
+        col("__sn") - least(min(col("__sn")).over(w), lit(0L)))
+      .withColumn("alarm_up", col("cusum_pos") > h)
+      .withColumn("alarm_down", col("cusum_neg") > h)
+      .drop("__sp", "__sn")
+  }
+
+  /** [[cusum]] over per-period event counts: one map-side-collapsible
+    * count aggregate (epoch periods — no calendar seam between
+    * engines), then the closed-form recursion over the bounded period
+    * series. */
+  def cusumCounts(df: DataFrame, tsMs: Column, periodMs: Long,
+                  mu: Long, kappa: Long, h: Long): DataFrame = {
+    require(periodMs > 0, s"periodMs must be > 0, got $periodMs")
+    // SQL `div` (exact integral division) — Column `/` is double
+    // division, which rounds near period boundaries above 2^53
+    val series = df.select(tsMs.cast("long").as("__t"))
+      .groupBy(expr(s"__t div ${periodMs}L").as("period"))
+      .agg(count(lit(1)).as("n"))
+    cusum(series, col("period"), col("n"), mu, kappa, h)
+  }
 }

@@ -497,6 +497,138 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
         count(*) - count(DISTINCT o_orderkey) AS n_dup_key
       FROM orders"""))
 
+  /** Referential-integrity audit ([[DataQuality.refIntegrity]]): the
+    * cross-relation constraint class `q_data_quality`'s row-local
+    * checks can't express. Two relationships in one result: orders →
+    * customer (clean on TPC-H-shaped data — the zero row is itself the
+    * assertion) and lineitem → a SLICED orders parent (every 7th order
+    * removed) so the orphan-counting path is exercised with a non-zero
+    * answer, not just compiled.
+    */
+  val qRefIntegrity = Q("q_ref_integrity",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      DataQuality.refIntegrity(li, col("l_orderkey"),
+          ord.filter(col("o_orderkey") % 7 =!= 0), col("o_orderkey"),
+          "lineitem->orders_sliced")
+        .unionByName(DataQuality.refIntegrity(ord, col("o_custkey"),
+          cust, col("c_custkey"), "orders->customer"))
+    },
+    Some("""WITH r1 AS (
+        SELECT 'lineitem->orders_sliced' AS relation,
+          count(*) AS n_child,
+          count(CASE WHEN l.l_orderkey IS NULL THEN 1 END) AS n_null_fk,
+          count(CASE WHEN l.l_orderkey IS NOT NULL
+                      AND o.o_orderkey IS NULL THEN 1 END) AS n_orphan
+        FROM lineitem l
+        LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0) o
+          ON l.l_orderkey = o.o_orderkey),
+      r2 AS (
+        SELECT 'orders->customer' AS relation,
+          count(*) AS n_child,
+          count(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS n_null_fk,
+          count(CASE WHEN o.o_custkey IS NOT NULL
+                      AND c.c_custkey IS NULL THEN 1 END) AS n_orphan
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      SELECT relation, n_child, n_null_fk, n_orphan,
+        CASE WHEN n_child > 0 THEN (n_orphan * 1000000) // n_child
+             ELSE 0 END AS orphan_ppm
+      FROM u"""))
+
+  /** Robust MAD outlier summary ([[DataQuality.madOutliers]]) per
+    * event type: |x − median| > 3·MAD. Median and MAD are EXACT
+    * distributed percentiles (Spark's interpolation formula —
+    * the oracle replays it over the sorted value list, then again over
+    * the sorted absolute deviations), so even the outlier COUNTS are
+    * engine-exact; med/mad are hashed at the portable 2dp rounding.
+    */
+  val qOutliersMad = Q("q_outliers_mad",
+    (s, dir) => {
+      def r2c(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+      DataQuality.madOutliers(t(s, dir, "events"), Seq("event_type"),
+          col("value"), tiebreak = Seq(col("event_id")), k = 3.0)
+        .select(col("event_type"), col("n"), r2c(col("med")).as("med"),
+          r2c(col("mad")).as("mad"), col("n_outliers"))
+    },
+    Some("""WITH s AS (
+        SELECT event_type, list(CAST(value AS DOUBLE) ORDER BY value) AS xs,
+          count(*) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      med AS (
+        SELECT event_type, n,
+          CASE WHEN ceil(0.5::DOUBLE * (n-1)) = floor(0.5::DOUBLE * (n-1))
+            THEN xs[CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT) + 1]
+            ELSE (ceil(0.5::DOUBLE * (n-1)) - 0.5::DOUBLE * (n-1))
+                   * xs[CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT) + 1]
+               + (0.5::DOUBLE * (n-1) - floor(0.5::DOUBLE * (n-1)))
+                   * xs[CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT) + 2]
+          END AS med
+        FROM s),
+      dev AS (
+        SELECT e.event_type, abs(CAST(e.value AS DOUBLE) - m.med) AS d
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL),
+      s2 AS (
+        SELECT event_type, list(d ORDER BY d) AS xs, count(*) AS n
+        FROM dev GROUP BY 1),
+      mad AS (
+        SELECT event_type,
+          CASE WHEN ceil(0.5::DOUBLE * (n-1)) = floor(0.5::DOUBLE * (n-1))
+            THEN xs[CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT) + 1]
+            ELSE (ceil(0.5::DOUBLE * (n-1)) - 0.5::DOUBLE * (n-1))
+                   * xs[CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT) + 1]
+               + (0.5::DOUBLE * (n-1) - floor(0.5::DOUBLE * (n-1)))
+                   * xs[CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT) + 2]
+          END AS mad
+        FROM s2),
+      outl AS (
+        SELECT d.event_type,
+          count(CASE WHEN d.d > 3.0::DOUBLE * m.mad THEN 1 END) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type) GROUP BY 1)
+      SELECT m2.event_type, s.n,
+        floor(m2.med * 100 + 0.5) / 100 AS med,
+        floor(m3.mad * 100 + 0.5) / 100 AS mad,
+        o.n_outliers
+      FROM med m2 JOIN s USING (event_type)
+      JOIN mad m3 ON m3.event_type = m2.event_type
+      JOIN outl o ON o.event_type = m2.event_type"""))
+
+  /** Two-sided CUSUM changepoint series ([[DataQuality.cusumCounts]])
+    * over hourly event counts: did the arrival RATE sustain a shift,
+    * and when — the sequential-detection complement of the PSI series
+    * (which watches the value distribution, not the level). μ=14, κ=2,
+    * h=10 around the fixture's ~14/hour mean fire both alarm
+    * directions at sf0.01 without saturating. The recursion's closed
+    * form (prefix sum minus its running minimum) is replayed exactly —
+    * all-integer arithmetic, no float seam.
+    */
+  val qCusum = Q("q_cusum",
+    (s, dir) => DataQuality.cusumCounts(t(s, dir, "events"),
+      unix_millis(col("ts")), periodMs = 3600000L,
+      mu = 14L, kappa = 2L, h = 10L),
+    Some("""WITH s AS (
+        SELECT epoch_ms(ts) // 3600000 AS period, count(*) AS n
+        FROM events GROUP BY 1),
+      w1 AS (
+        SELECT period, n,
+          sum(n - 14 - 2) OVER (ORDER BY period) AS sp,
+          sum(14 - n - 2) OVER (ORDER BY period) AS sn
+        FROM s),
+      w AS (
+        SELECT period, n, sp, sn,
+          min(sp) OVER (ORDER BY period) AS msp,
+          min(sn) OVER (ORDER BY period) AS msn
+        FROM w1)
+      SELECT period, n,
+        CAST(sp - least(msp, 0) AS BIGINT) AS cusum_pos,
+        CAST(sn - least(msn, 0) AS BIGINT) AS cusum_neg,
+        (sp - least(msp, 0)) > 10 AS alarm_up,
+        (sn - least(msn, 0)) > 10 AS alarm_down
+      FROM w"""))
+
   /** PSI drift between two event-stream snapshots
     * ([[DataQuality.psi]]): reference = even event ids, current = odd;
     * buckets are the exact reference deciles (Spark's interpolation

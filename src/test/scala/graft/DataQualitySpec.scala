@@ -321,4 +321,98 @@ class DataQualitySpec extends AnyFunSuite {
     }
     assert(eProf.getMessage.contains("reference"))
   }
+
+  test("refIntegrity: orphans, null FKs, and duplicate child keys counted; clean relation reports zero") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    // fk=9 twice (orphan rows counted per ROW, not per key), fk=null
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val r = DataQuality.refIntegrity(child, col("fk"), parent, col("pk"),
+      "child->parent").collect().head
+    assert(r.getAs[String]("relation") == "child->parent")
+    assert(r.getAs[Long]("n_child") == 6L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)
+    assert(r.getAs[Long]("n_orphan") == 2L)
+    assert(r.getAs[Long]("orphan_ppm") == 2L * 1000000L / 6L)
+    // clean: every fk resolved, no nulls
+    val clean = DataQuality.refIntegrity(
+      Seq(1L, 2L).toDF("fk"), col("fk"), parent, col("pk"), "ok")
+      .collect().head
+    assert(clean.getAs[Long]("n_orphan") == 0L &&
+      clean.getAs[Long]("n_null_fk") == 0L &&
+      clean.getAs[Long]("orphan_ppm") == 0L)
+    // duplicate PARENT keys must not multiply child rows (distinct pks)
+    val dupParent = Seq(1L, 1L, 2L).toDF("pk")
+    val d = DataQuality.refIntegrity(
+      Seq(1L, 2L).toDF("fk"), col("fk"), dupParent, col("pk"), "dup")
+      .collect().head
+    assert(d.getAs[Long]("n_child") == 2L && d.getAs[Long]("n_orphan") == 0L)
+  }
+
+  test("madOutliers: hand-computed median/MAD, fence binds, nulls excluded") {
+    // group a: values 1..9 + one wild point. med of (1..9, 100) =
+    // (5+6)/2 = 5.5; devs = (4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5)
+    // sorted -> med of devs = (2.5+2.5)/2 = 2.5; fence 3*2.5 = 7.5 ->
+    // only 94.5 is out.
+    val df = ((1 to 9).map(v => ("a", Some(v.toDouble))) ++
+      Seq(("a", Some(100.0)), ("a", None),
+        ("b", Some(10.0)), ("b", Some(10.0)), ("b", Some(10.0))))
+      .toDF("g", "v")
+      .withColumn("id", monotonically_increasing_id())
+    val out = DataQuality.madOutliers(df, Seq("g"), col("v"),
+      tiebreak = Seq(col("id")), k = 3.0)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 10L) // the NULL row is excluded
+    assert(a.getAs[Double]("med") == 5.5)
+    assert(a.getAs[Double]("mad") == 2.5)
+    assert(a.getAs[Long]("n_outliers") == 1L)
+    // constant group: MAD = 0, nothing strictly exceeds 0 -> no outliers
+    val b = out("b")
+    assert(b.getAs[Double]("mad") == 0.0 &&
+      b.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("cusum: closed form == the sequential recursion; planted shift alarms, quiet series doesn't") {
+    // quiet around mu=10, then a sustained +5 shift
+    val xs = Seq(10L, 11L, 9L, 10L, 10L, 15L, 15L, 15L, 15L, 10L)
+    val series = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("t", "x")
+    val out = DataQuality.cusum(series, col("t"), col("x"),
+        mu = 10L, kappa = 1L, h = 8L)
+      .orderBy("t").collect()
+    // reference: the literal recursion
+    var sp = 0L; var sn = 0L
+    xs.zipWithIndex.foreach { case (x, i) =>
+      sp = math.max(0L, sp + (x - 10L - 1L))
+      sn = math.max(0L, sn + (10L - x - 1L))
+      val r = out(i)
+      assert(r.getAs[Long]("cusum_pos") == sp, s"pos at $i")
+      assert(r.getAs[Long]("cusum_neg") == sn, s"neg at $i")
+      assert(r.getAs[Boolean]("alarm_up") == (sp > 8L), s"alarm at $i")
+    }
+    // the shift fires the upward alarm; nothing before it does
+    assert(out.take(5).forall(!_.getAs[Boolean]("alarm_up")))
+    assert(out.drop(7).take(2).exists(_.getAs[Boolean]("alarm_up")))
+    assert(out.forall(!_.getAs[Boolean]("alarm_down")))
+    // dial guards
+    intercept[IllegalArgumentException] {
+      DataQuality.cusum(series, col("t"), col("x"), 10L, -1L, 8L)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.cusumCounts(series, col("t"), 0L, 10L, 1L, 8L)
+    }
+  }
+
+  test("cusumCounts: per-period counts feed the detector; epoch-div period arithmetic") {
+    // 3 events in period 0, 1 in period 1, 4 in period 2 (periodMs=100)
+    val ev = Seq(10L, 20L, 99L, 150L, 200L, 210L, 220L, 290L).toDF("ts")
+    val out = DataQuality.cusumCounts(ev, col("ts"), periodMs = 100L,
+        mu = 2L, kappa = 0L, h = 100L)
+      .orderBy("period").collect()
+    assert(out.map(r => (r.getAs[Long]("period"), r.getAs[Long]("n")))
+      .toSeq == Seq((0L, 3L), (1L, 1L), (2L, 4L)))
+    // recursion over counts: d = n-2 -> sp: 1, 0, 2
+    assert(out.map(_.getAs[Long]("cusum_pos")).toSeq == Seq(1L, 0L, 2L))
+  }
 }

@@ -106,7 +106,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
   private val unkeyedWindowBounded: Map[String, String] = Map(
     "q_vocab" -> "rankedTop: orderBy.limit(k) TakeOrdered precedes the rank window (k=100)",
     "q_heavy_hitters" -> "rankedTop: same TakeOrdered-then-rank shape over the sketch's recount",
-    "q_hybrid_retrieval" -> "rrfFuse: inputs are per-ranking top-k cuts; the fused relation is <= 2k rows"
+    "q_hybrid_retrieval" -> "rrfFuse: inputs are per-ranking top-k cuts; the fused relation is <= 2k rows",
+    "q_cusum" -> "cusum: the window's child is the per-period count aggregate — cardinality = distinct periods (time-bounded), never event rows; the prefix-sum/running-min recursion is over that bounded series by construction"
   )
 
   /** Pre-order walk of the physical tree, descending into AQE wrappers
