@@ -37,7 +37,8 @@ object Queries
     qCdcLatest, qCdcLatestAgg, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
     qSchemaInference, qDateFuncs, qStringFuncs, qMathFuncs, qEventsHourly,
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
-    qTextStats, qTokenCount, qLangId, qRepetition, qSessionize, qFingerprint,
+    qTextStats, qTokenCount, qLangId, qScriptMix, qCharEntropy,
+    qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupJaccard, qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
@@ -73,6 +74,7 @@ object Queries
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
+    qDecontamContainment,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qKfold, qGroupKfold, qSplitCluster,
     qSplitLeakage,

@@ -333,6 +333,56 @@ object Corpus {
       .withColumn("drop", col("overlap_bp") >= dropAtBp)
   }
 
+  /** Containment-based benchmark decontamination — the BENCHMARK-side
+    * direction [[decontaminateFraction]] structurally misses. The
+    * fraction form denominates on the DOCUMENT's shingles, so a short
+    * eval item quoted inside a long page scores a few bp of the page
+    * and clears any fraction threshold — yet the whole eval item
+    * leaked. Here each benchmark ITEM's distinct n-gram set is the
+    * denominator (Broder's containment, C(b→d) = |S(b)∩S(d)| / |S(b)|
+    * — [[Dedup.containmentPairs]]' asymmetry specialized to
+    * eval-leak detection), and a document is flagged when ANY item is
+    * τ-contained in it. Run BOTH directions in a release gate: the
+    * fraction form catches the mostly-benchmark document, this form
+    * catches the benchmark-inside-document quote.
+    *
+    * Shape: benchmark shingles broadcast as 8-byte portable hashes
+    * with their per-item set size; the corpus side is one shingle scan
+    * + one (doc, item)-keyed count + one per-doc argmax aggregate —
+    * document text never shuffles. `worst_bench` ties break to the
+    * smallest item id (max-struct on (cont_bp, −bid)), and the score
+    * is exact integer arithmetic — every column engine-portable.
+    *
+    * @return (id, max_cont_bp, worst_bench, drop) — every corpus doc
+    *         gets a row (0 bp / NULL worst_bench when nothing matches)
+    */
+  def decontaminateContainment(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               dropAtBp: Int = 8000): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val c = Dedup.explodedShingles(corpus, idCol, textCol, n)
+      .select(col("id"), TextOps.portableHash(col("shingle")).as("h"))
+    val b = Dedup.explodedShingles(benchmark, idCol, textCol, n)
+      .select(col("id").as("bid"), col("m").cast("long").as("mb"),
+        TextOps.portableHash(col("shingle")).as("h"))
+    val best = c.join(broadcast(b), Seq("h"))
+      .groupBy(col("id"), col("bid"), col("mb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id"),
+        expr("(inter * 10000) div mb").cast("long").as("cont_bp"),
+        col("bid"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cont_bp"), (-col("bid")).as("nbid"))).as("b"))
+      .select(col("id"), col("b.cont_bp").as("max_cont_bp"),
+        (-col("b.nbid")).cast("long").as("worst_bench"))
+    corpus.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("max_cont_bp"), lit(0L)).as("max_cont_bp"),
+        col("worst_bench"),
+        (coalesce(col("max_cont_bp"), lit(0L)) >= dropAtBp).as("drop"))
+  }
+
   /** Temperature (power) resampling of the source mixture — the
     * standard multilingual/multi-source rebalance (mT5, XLM-R): stratum
     * s with corpus share p_s is sampled with probability ∝ p_s^alpha,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -156,5 +156,103 @@ object TextOps {
     val key = concat_ws(":", keyCols.map(col): _*)
     if (portable) portableHash(key)
     else pmod(xxhash64(key), lit(1L << 60))
+  }
+
+  /** The Unicode-script classes [[scriptMix]] counts, in DECLARED
+    * order — the order is the dominant-script tie-break (first class
+    * at the max count wins), so it is part of the operator's contract.
+    * Character classes are explicit codepoint ranges (no `\p{...}`
+    * names — Java and RE2 disagree on those), so any RE2-compatible
+    * engine replays the counts exactly. `\s` is avoided for the same
+    * reason: Java's default `\s` includes `\x0B`, RE2's does not.
+    */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\u0400-\\u04ff]",
+    "greek" -> "[\\u0370-\\u03ff]",
+    "cjk" -> "[\\u4e00-\\u9fff]",
+    "arabic" -> "[\\u0600-\\u06ff]",
+    "digit" -> "[0-9]",
+    "space" -> "[ \\t\\n\\r\\f]")
+
+  /** Per-document Unicode-script mix — the script-level companion of
+    * [[langIdHeuristic]] (language-ID answers "which language"; this
+    * answers "which WRITING SYSTEMS, in what proportion" — the
+    * mixed-script page, the transliteration artifact, and the
+    * wrong-script-for-claimed-language ingestion bug are all invisible
+    * to a single dominant-language label). Counts per class come from
+    * the length drop under `regexp_replace(class, "")` — one stateless
+    * scan projection, zero shuffles, codegen-friendly; `other` is the
+    * remainder, so the eight counts always sum to the char length.
+    * Basis points are exact integer division (SQL `div`), and the
+    * dominant script breaks ties by [[scriptClasses]] order — both
+    * deterministic, so every column hash-matches any engine.
+    *
+    * @return (id, n_chars, n_<class>... , <class>_bp..., dominant) —
+    *         dominant = "none" for empty text
+    */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counted = df.select(
+      (col(idCol).as("id") +: length(t).cast("long").as("n_chars") +:
+        scriptClasses.map { case (name, cls) =>
+          (length(t) - length(regexp_replace(t, cls, "")))
+            .cast("long").as(s"n_$name")
+        }): _*)
+      .withColumn("n_other",
+        col("n_chars") - scriptClasses.map(c => col(s"n_${c._1}"))
+          .reduce(_ + _))
+    val names = scriptClasses.map(_._1) :+ "other"
+    val maxC = greatest(names.map(n => col(s"n_$n")): _*)
+    val dominant = names.reverse.foldLeft(lit("none")) { (acc, n) =>
+      when(col(s"n_$n") === maxC, lit(n)).otherwise(acc)
+    }
+    val bps = names.map(n =>
+      when(col("n_chars") > 0, expr(s"(n_$n * 10000) div n_chars"))
+        .otherwise(lit(0)).cast("long").as(s"${n}_bp"))
+    counted.select(
+      (col("id") +: col("n_chars") +: names.map(n => col(s"n_$n"))) ++
+        bps :+
+        when(col("n_chars") === 0, lit("none")).otherwise(dominant)
+          .as("dominant"): _*)
+  }
+
+  /** Per-document character-level Shannon entropy in integer
+    * MICRO-NATS — the classic low-entropy gibberish/boilerplate signal
+    * (a page of one repeated character scores 0; natural-language text
+    * sits around 3·10⁶; random base64 near ln 64 ≈ 4.16·10⁶). Computed
+    * by the identity H = ln N − (Σ n_c·ln n_c)/N with per-character
+    * contributions fixed-pointed BEFORE the unordered sum
+    * (floor(n_c·ln n_c·10⁶ + 0.5), then an exact integer `div N`), so
+    * no accumulation-order-sensitive double sum crosses engines — the
+    * [[DataQuality.psi]] integer-micro convention.
+    *
+    * Shape: one char explode + two keyed aggregates; the shuffle
+    * carries (id, char, count) — bounded by each document's distinct
+    * alphabet, not its length, after the map-side partial collapse.
+    * Characters are Unicode BMP codepoints (`split` on the empty
+    * pattern); every input doc gets a row (empty text → n=0,
+    * entropy 0).
+    *
+    * @return (id, n, entropy_micro)
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = Materialize.spread(df)
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), "")).as("c"))
+      .filter(col("c") =!= "") // Spark split keeps a trailing empty token
+    val agg = chars.groupBy(col("id"), col("c"))
+      .agg(count(lit(1)).as("nc"))
+      .groupBy(col("id"))
+      .agg(sum(col("nc")).as("n"),
+        sum(floor(col("nc").cast("double") *
+          log(col("nc").cast("double")) * 1e6 + 0.5).cast("long"))
+          .as("__t"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n") > 0,
+          floor(log(col("n").cast("double")) * 1e6 + 0.5).cast("long") -
+            expr("__t div n"))
+          .otherwise(lit(0L)).cast("long").as("entropy_micro"))
   }
 }

@@ -748,4 +748,99 @@ private[graft] trait QueriesScorers { this: Queries.type =>
         floor(a.n_docs_quoted::DOUBLE / t.n_total * 10000 + 0.5) / 10000
           AS quoted_share
       FROM agg a JOIN tot t ON t.source = a.quoted_source"""))
+
+  /** Per-document Unicode-script mix ([[TextOps.scriptMix]]): counts +
+    * basis points per script class and the dominant script. The fixture
+    * text is pure ASCII, so lang-keyed mixed-script suffixes are
+    * planted in the projection (the `dedup_substr_coverage_utf8`
+    * pattern) — every class column binds for some slice instead of
+    * hashing a table of zeros.
+    */
+  val qScriptMix = Q("q_script_mix",
+    (s, dir) => {
+      val proj = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("lang") === "zh", lit(" 这是中文注释 2024"))
+            .when(col("lang") === "de", lit(" αβγδ ελληνικά"))
+            .when(col("lang") === "es", lit(" кириллица тест"))
+            .when(col("lang") === "fr", lit(" نص عربي €§"))
+            .otherwise(lit(""))).as("t"))
+      val names = TextOps.scriptClasses.map(_._1) :+ "other"
+      TextOps.scriptMix(proj, "doc_id", "t")
+        .select((col("id").as("doc_id") +: col("n_chars") +:
+          names.map(n => col(s"n_$n"))) ++
+          names.map(n => col(s"${n}_bp")) :+ col("dominant"): _*)
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, text || CASE lang
+            WHEN 'zh' THEN ' 这是中文注释 2024'
+            WHEN 'de' THEN ' αβγδ ελληνικά'
+            WHEN 'es' THEN ' кириллица тест'
+            WHEN 'fr' THEN ' نص عربي €§'
+            ELSE '' END AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id, length(t) AS n_chars,
+          length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS n_latin,
+          length(t) - length(regexp_replace(t, '[\x{0400}-\x{04ff}]', '', 'g')) AS n_cyrillic,
+          length(t) - length(regexp_replace(t, '[\x{0370}-\x{03ff}]', '', 'g')) AS n_greek,
+          length(t) - length(regexp_replace(t, '[\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+          length(t) - length(regexp_replace(t, '[\x{0600}-\x{06ff}]', '', 'g')) AS n_arabic,
+          length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+          length(t) - length(regexp_replace(t, '[ \t\n\r\f]', '', 'g')) AS n_space
+        FROM p),
+      c2 AS (
+        SELECT *, n_chars - n_latin - n_cyrillic - n_greek - n_cjk
+            - n_arabic - n_digit - n_space AS n_other,
+          greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+            n_digit, n_space,
+            n_chars - n_latin - n_cyrillic - n_greek - n_cjk
+              - n_arabic - n_digit - n_space) AS mx
+        FROM c)
+      SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_cjk,
+        n_arabic, n_digit, n_space, n_other,
+        CASE WHEN n_chars > 0 THEN (n_latin * 10000) // n_chars ELSE 0 END AS latin_bp,
+        CASE WHEN n_chars > 0 THEN (n_cyrillic * 10000) // n_chars ELSE 0 END AS cyrillic_bp,
+        CASE WHEN n_chars > 0 THEN (n_greek * 10000) // n_chars ELSE 0 END AS greek_bp,
+        CASE WHEN n_chars > 0 THEN (n_cjk * 10000) // n_chars ELSE 0 END AS cjk_bp,
+        CASE WHEN n_chars > 0 THEN (n_arabic * 10000) // n_chars ELSE 0 END AS arabic_bp,
+        CASE WHEN n_chars > 0 THEN (n_digit * 10000) // n_chars ELSE 0 END AS digit_bp,
+        CASE WHEN n_chars > 0 THEN (n_space * 10000) // n_chars ELSE 0 END AS space_bp,
+        CASE WHEN n_chars > 0 THEN (n_other * 10000) // n_chars ELSE 0 END AS other_bp,
+        CASE WHEN n_chars = 0 THEN 'none'
+             WHEN n_latin = mx THEN 'latin'
+             WHEN n_cyrillic = mx THEN 'cyrillic'
+             WHEN n_greek = mx THEN 'greek'
+             WHEN n_cjk = mx THEN 'cjk'
+             WHEN n_arabic = mx THEN 'arabic'
+             WHEN n_digit = mx THEN 'digit'
+             WHEN n_space = mx THEN 'space'
+             ELSE 'other' END AS dominant
+      FROM c2"""))
+
+  /** Character-level Shannon entropy per document
+    * ([[TextOps.charEntropy]]) in integer micro-nats — the low-entropy
+    * gibberish/boilerplate quality signal. Per-character contributions
+    * are fixed-pointed before the unordered sum and the 1/N scaling is
+    * an exact integer division, so the score replays in any engine
+    * computing the same ln values.
+    */
+  val qCharEntropy = Q("q_char_entropy",
+    (s, dir) => TextOps.charEntropy(t(s, dir, "documents"),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n"), col("entropy_micro")),
+    Some("""WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents),
+      cc AS (SELECT doc_id, c, count(*) AS nc FROM ch GROUP BY 1, 2),
+      ag AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(nc * ln(nc::DOUBLE) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS t
+        FROM cc GROUP BY 1)
+      SELECT d.doc_id, coalesce(a.n, 0) AS n,
+        CASE WHEN a.n > 0
+          THEN CAST(floor(ln(a.n::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               - (a.t // a.n)
+          ELSE 0 END AS entropy_micro
+      FROM documents d LEFT JOIN ag a USING (doc_id)"""))
 }

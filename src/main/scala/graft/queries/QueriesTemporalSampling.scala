@@ -632,6 +632,57 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
       FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
       LEFT JOIN scored s USING (doc_id)"""))
 
+  /** Containment-direction decontamination
+    * ([[Corpus.decontaminateContainment]]): per doc, the MAX fraction
+    * of any benchmark ITEM's bigrams present in the doc — catches the
+    * short-eval-item-inside-long-page leak the fraction form (which
+    * denominates on the doc) structurally dilutes below threshold.
+    * Benchmark slice `% 31` so the ≥ 8000 bp verdict actually fires at
+    * sf0.01 (one full 10000 bp containment in the fixture).
+    */
+  val qDecontamContainment = Q("q_decontam_containment",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminateContainment(
+        docs.filter(col("doc_id") % 31 =!= 0),
+        docs.filter(col("doc_id") % 31 === 0),
+        "doc_id", "text", n = 2, dropAtBp = 8000)
+        .select(col("id").as("doc_id"), col("max_cont_bp"),
+          col("worst_bench"), col("drop"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(
+            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-1, 0)),
+          i -> array_to_string(
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+1], ' ')))
+          AS sset
+        FROM documents),
+      ex0 AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      ex AS (SELECT doc_id,
+               ('0x'||substr(md5(shingle),1,15))::BIGINT AS h
+             FROM ex0),
+      bm AS (SELECT doc_id AS bid, len(sset) AS mb FROM sh
+             WHERE doc_id % 31 = 0),
+      be AS (SELECT doc_id AS bid, h FROM ex WHERE doc_id % 31 = 0),
+      inter AS (
+        SELECT c.doc_id, b.bid, m.mb, count(*) AS i
+        FROM ex c JOIN be b ON c.h = b.h JOIN bm m ON m.bid = b.bid
+        WHERE c.doc_id % 31 <> 0 GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT doc_id, (i * 10000) // mb AS cont_bp, bid FROM inter),
+      best AS (
+        SELECT doc_id, cont_bp, bid,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY cont_bp DESC, bid ASC) AS rn
+        FROM scored)
+      SELECT d.doc_id,
+        coalesce(b.cont_bp, 0) AS max_cont_bp,
+        b.bid AS worst_bench,
+        coalesce(b.cont_bp, 0) >= 8000 AS "drop"
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""))
+
   /** Temperature resampling at alpha = 0.5 (the standard multilingual
     * rebalance): per-source keep rate = sqrt(share ratio) in exact ppm
     * via the integer-sqrt form, admission by portable-hash threshold —

@@ -1073,4 +1073,88 @@ class CorpusSpec extends AnyFunSuite {
         r.getLong(2)).toMap
     assert(qm(("A", "B")) == 1L)
   }
+
+  test("decontaminateContainment: benchmark-side denominator catches the quote the fraction form dilutes") {
+    // bench item 100: 5 words -> 4 distinct bigrams. doc 1 embeds the
+    // item verbatim inside 40 filler words; doc 2 is clean.
+    val item = "alpha beta gamma delta epsilon"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $item"),
+      (2L, filler)).toDF("doc_id", "text")
+    val bench = Seq((100L, item)).toDF("doc_id", "text")
+    val out = Corpus.decontaminateContainment(corpus, bench,
+      "doc_id", "text", n = 2, dropAtBp = 8000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // all 4 of the item's bigrams are inside doc 1 -> containment 10000
+    assert(out(1L).getAs[Long]("max_cont_bp") == 10000L)
+    assert(out(1L).getAs[Long]("worst_bench") == 100L)
+    assert(out(1L).getAs[Boolean]("drop"))
+    assert(out(2L).getAs[Long]("max_cont_bp") == 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("worst_bench")))
+    assert(!out(2L).getAs[Boolean]("drop"))
+    // the FRACTION form scores the same leak at ~4/44 of the doc's
+    // bigrams — far under its own default threshold: the structural gap
+    val frac = Corpus.decontaminateFraction(corpus, bench,
+      "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!frac(1L).getAs[Boolean]("drop"))
+    assert(frac(1L).getAs[Long]("overlap_bp") < 2500)
+    // tie on cont_bp -> smallest bench id wins worst_bench
+    val bench2 = Seq((100L, item), (50L, item)).toDF("doc_id", "text")
+    val tied = Corpus.decontaminateContainment(corpus, bench2,
+      "doc_id", "text", n = 2, dropAtBp = 8000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(tied(1L).getAs[Long]("worst_bench") == 50L)
+  }
+
+  test("scriptMix: planted mixed-script text counts every class; dominant ties break by declared order") {
+    val df = Seq(
+      (1L, "abc где 12 ."),          // latin 3, cyrillic 3, digit 2, space 3, other 1
+      (2L, "你好世界"),               // pure cjk
+      (3L, ""),                      // empty -> none
+      (4L, "ab 12")                  // latin 2 == digit 2 tie -> latin (declared order)
+    ).toDF("doc_id", "t")
+    val out = graft.ext.TextOps.scriptMix(df, "doc_id", "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_chars") == 12L)
+    assert(r1.getAs[Long]("n_latin") == 3L)
+    assert(r1.getAs[Long]("n_cyrillic") == 3L)
+    assert(r1.getAs[Long]("n_digit") == 2L)
+    assert(r1.getAs[Long]("n_space") == 3L)
+    assert(r1.getAs[Long]("n_other") == 1L)
+    assert(r1.getAs[Long]("latin_bp") == 3L * 10000L / 12L)
+    assert(r1.getAs[String]("dominant") == "latin") // 3 == 3 tie -> latin first
+    assert(out(2L).getAs[String]("dominant") == "cjk")
+    assert(out(2L).getAs[Long]("cjk_bp") == 10000L)
+    assert(out(3L).getAs[String]("dominant") == "none")
+    assert(out(3L).getAs[Long]("n_chars") == 0L)
+    assert(out(4L).getAs[String]("dominant") == "latin")
+  }
+
+  test("charEntropy: closed-form values, empty doc, repeated-char floor") {
+    val df = Seq(
+      (1L, "aaaa"),      // one symbol -> H = 0
+      (2L, "ab"),        // two equiprobable -> H = ln 2
+      (3L, "aabb"),      // H = ln 2 again (2+2)
+      (4L, "")           // empty -> n = 0, entropy 0
+    ).toDF("doc_id", "t")
+    val out = graft.ext.TextOps.charEntropy(df, "doc_id", "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def expected(counts: Seq[Long]): Long = {
+      val n = counts.sum
+      val t = counts.map(c =>
+        math.floor(c.toDouble * math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+      math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong - t / n
+    }
+    assert(out(1L).getAs[Long]("entropy_micro") == 0L)
+    assert(out(1L).getAs[Long]("n") == 4L)
+    assert(out(2L).getAs[Long]("entropy_micro") == expected(Seq(1L, 1L)))
+    // ln 2 in micro-nats
+    assert(math.abs(out(2L).getAs[Long]("entropy_micro") - 693147L) <= 1L)
+    assert(out(3L).getAs[Long]("entropy_micro") == expected(Seq(2L, 2L)))
+    assert(out(4L).getAs[Long]("n") == 0L &&
+      out(4L).getAs[Long]("entropy_micro") == 0L)
+  }
 }
