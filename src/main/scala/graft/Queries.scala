@@ -55,6 +55,7 @@ object Queries
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qEmbeddingCard,
     qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qRetention,
+    qTransitions,
     qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qBpeFertility, qHeavyHitters,
@@ -73,12 +74,12 @@ object Queries
     qPsiDriftCatSeries, qZorderValue, qZorderPrune,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,
-    qChunk, qPack, qPackBpe, qDecontam, qDecontamBloom, qDecontamFraction,
-    qDecontamContainment,
+    qChunk, qPack, qPackStats, qPackBpe, qDecontam, qDecontamBloom,
+    qDecontamFraction, qDecontamContainment,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qKfold, qGroupKfold, qSplitCluster,
     qSplitLeakage,
-    qShardExport,
+    qShardExport, qCurriculumExport,
     qCorpusDiff, qCorpusDiffNovelty, qMixingPlan, qEpochExpand,
     qTrainingExport)
 

@@ -276,6 +276,38 @@ object Corpus {
         floor((col("cum") - col("n_tokens")) / budget).cast("long"))
   }
 
+  /** Packing-efficiency card over a [[pack]] assignment — the
+    * utilization statistic a context-window pipeline reports before
+    * committing a budget: how full the sequences actually are
+    * (`fill_bp` = total tokens over total capacity), how many packs
+    * OVERFLOW the budget (a doc is assigned to the pack where it
+    * STARTS, so straddling docs push their pack past the budget — the
+    * loader must truncate or the budget must grow), and how many
+    * single docs exceed the whole budget (can never fit, whatever the
+    * packing). One keyed aggregate + one global fold; exact integer
+    * arithmetic throughout.
+    *
+    * @return one row: (n_docs, n_packs, total_tokens, fill_bp,
+    *         n_over_budget, n_oversize_docs)
+    */
+  def packStats(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    packed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(col("n_tokens")).as("__tok"),
+        count(when(col("n_tokens") > budget, 1)).as("__oversize"))
+      .agg(sum(col("__docs")).as("n_docs"),
+        count(lit(1)).as("n_packs"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(when(col("__tok") > budget, lit(1L)).otherwise(lit(0L)))
+          .as("n_over_budget"),
+        sum(col("__oversize")).as("n_oversize_docs"))
+      .select(col("n_docs"), col("n_packs"), col("total_tokens"),
+        expr(s"(total_tokens * 10000) div (n_packs * ${budget}L)")
+          .cast("long").as("fill_bp"),
+        col("n_over_budget"), col("n_oversize_docs"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word n-gram with any benchmark document are flagged. Inverted-index
     * semi-join on the shingle hash — the corpus is never joined to

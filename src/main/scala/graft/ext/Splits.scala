@@ -286,6 +286,37 @@ object Splits {
     assignShards(df, keyCols, shardSize, 0L, shardCol, posCol, portable)
   }
 
+  /** Curriculum shard export — [[shardExport]] with the hash order
+    * replaced by an explicit SCORE order (difficulty ascending: length,
+    * surprisal, quality — curriculum learning's easy-to-hard schedule;
+    * descending columns flip the curriculum). Shard 0 holds the
+    * easiest `shardSize` examples, so a loader reading shards in order
+    * IS the curriculum; within a shard, `pos` preserves the score
+    * order. Key columns are the deterministic tiebreak, making the
+    * export content-addressed like the hash form. Same single
+    * distributed rank ([[Prefix.globalRowNumber]] — range exchange, no
+    * single-partition sort) and the same div/mod boundary arithmetic.
+    *
+    * Deliberately NOT unified with [[appendShards]]: a curriculum is a
+    * total order over the CURRENT corpus — new easy examples belong
+    * before old hard ones, so append-without-re-rank would corrupt the
+    * schedule. Re-export per release (or switch to the hash form if
+    * incremental append matters more than ordering).
+    */
+  def curriculumExport(df: DataFrame, orderCols: Seq[Column],
+                       keyCols: Seq[String], shardSize: Long,
+                       shardCol: String = "shard",
+                       posCol: String = "pos"): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    require(orderCols.nonEmpty, "curriculumExport needs a score order")
+    val rn = "__curr_rn"
+    Prefix.globalRowNumber(df, orderCols ++ keyCols.map(col), rn)
+      .withColumn(shardCol,
+        expr(s"($rn - 1) div ${shardSize}L").cast("long"))
+      .withColumn(posCol, ((col(rn) - 1) % shardSize).cast("long"))
+      .drop(rn)
+  }
+
   /** The one definition of the shard-assignment arithmetic: rank by
     * (hash, keys), global positions start at `offset` — [[shardExport]]
     * is the offset-0 form, [[appendShards]] continues from the

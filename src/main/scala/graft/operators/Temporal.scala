@@ -243,4 +243,36 @@ object Temporal {
         col("n_active"), col("cohort_size"),
         round(col("n_active") / col("cohort_size"), 4).as("retention"))
   }
+
+  /** First-order event transition matrix: for each ordered (from, to)
+    * pair of consecutive event types within an entity's timeline, the
+    * transition count and probability — the Markov-chain summary of
+    * "what users do NEXT", the single-step structure [[funnel]]'s fixed
+    * step list doesn't survey. Consecutive = `lead` over
+    * (tsCol, tiebreak) per entity (ONE entity-keyed window — the sort
+    * is per-entity, scale-safe); an entity's LAST event has no
+    * successor and contributes no pair (no synthetic end state — the
+    * row counts then sum to events − entities, which is the checkable
+    * invariant). Probability is exact integer ppm,
+    * floor(n·10⁶ / n_from), so the matrix hash-matches any engine.
+    *
+    * @return (from_type, to_type, n, p_ppm) — p_ppm normalized over
+    *         each from_type's outgoing transitions
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String,
+                       typeCol: String, tsCol: Column,
+                       tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(tsCol +: tiebreak: _*)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div __n_from").cast("long").as("p_ppm"))
+  }
 }

@@ -602,6 +602,38 @@ private[graft] trait QueriesComposites { this: Queries.type =>
         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
       FROM runs GROUP BY 1"""))
 
+  /** Packing-efficiency card ([[Corpus.packStats]]) over the same
+    * 2000-token pack run as `q_pack`: global fill rate, packs pushed
+    * past the budget by straddling docs, docs that can never fit. The
+    * utilization answer a pipeline wants BEFORE committing a context
+    * budget.
+    */
+  val qPackStats = Q("q_pack_stats",
+    (s, dir) => Corpus.packStats(
+      Corpus.pack(t(s, dir, "documents"), "doc_id", "text",
+        budget = 2000), budget = 2000),
+    Some("""WITH toks AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents),
+      runs AS (
+        SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks),
+      packs AS (
+        SELECT (cum - n_tokens) // 2000 AS pack_id, count(*) AS docs,
+          sum(n_tokens) AS tok,
+          count(CASE WHEN n_tokens > 2000 THEN 1 END) AS oversize
+        FROM runs GROUP BY 1)
+      SELECT CAST(sum(docs) AS BIGINT) AS n_docs,
+        count(*) AS n_packs,
+        CAST(sum(tok) AS BIGINT) AS total_tokens,
+        CAST((sum(tok) * 10000) // (count(*) * 2000) AS BIGINT) AS fill_bp,
+        CAST(count(CASE WHEN tok > 2000 THEN 1 END) AS BIGINT)
+          AS n_over_budget,
+        CAST(sum(oversize) AS BIGINT) AS n_oversize_docs
+      FROM packs"""))
+
   /** Benchmark decontamination: flag corpus docs sharing any 5-gram with
     * the benchmark set (stand-in: every 97th document). */
   val qDecontam = Q("q_decontam",

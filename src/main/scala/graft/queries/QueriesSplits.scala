@@ -362,4 +362,21 @@ private[graft] trait QueriesSplits { this: Queries.type =>
             WHERE ad.doc_id IN (SELECT doc_id FROM nd)))::DOUBLE
           / count(*) * 10000 + 0.5) / 10000 AS novel_share
       FROM ad GROUP BY source"""))
+
+  /** Curriculum shard export ([[graft.ext.Splits.curriculumExport]]):
+    * the hash permutation replaced by an explicit difficulty order —
+    * short-to-long here (length is the classic curriculum-learning
+    * proxy), doc_id tiebreak. Shard 0 = the 64 easiest docs; the full
+    * (shard, pos) assignment is pinned, not just the boundary
+    * arithmetic.
+    */
+  val qCurriculumExport = Q("q_curriculum_export",
+    (s, dir) => graft.ext.Splits.curriculumExport(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      orderCols = Seq(col("n_chars")), keyCols = Seq("doc_id"),
+      shardSize = 64),
+    Some("""SELECT doc_id, n_chars,
+        (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 64 AS shard,
+        (row_number() OVER (ORDER BY n_chars, doc_id) - 1) % 64 AS pos
+      FROM documents"""))
 }

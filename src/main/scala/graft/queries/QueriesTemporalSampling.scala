@@ -209,6 +209,30 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
         round(n_active::DOUBLE / cohort_size, 4) AS retention
       FROM cells JOIN sizes ON cells.cohort = sizes.cohort"""))
 
+  /** First-order event transition matrix
+    * ([[graft.operators.Temporal.transitionMatrix]]): consecutive
+    * event-type pairs per user with exact integer-ppm probabilities —
+    * the Markov summary of what users do next. Terminal events
+    * contribute no pair (rows sum to events − users).
+    */
+  val qTransitions = Q("q_transitions",
+    (s, dir) => graft.operators.Temporal.transitionMatrix(
+      t(s, dir, "events"), "user_id", "event_type",
+      unix_millis(col("ts")), tiebreak = Seq(col("event_id"))),
+    Some("""WITH seq AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts), event_id) AS next_type
+        FROM events),
+      pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+          count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, sum(n) AS nf FROM pairs GROUP BY 1)
+      SELECT p.from_type, p.to_type, p.n,
+        CAST((p.n * 1000000) // t.nf AS BIGINT) AS p_ppm
+      FROM pairs p JOIN tot t USING (from_type)"""))
+
   /** Exact group percentiles. Two cross-engine IEEE traps, both fixed
     * here by construction:
     *  - interpolation formula: DuckDB's `quantile_cont` computes

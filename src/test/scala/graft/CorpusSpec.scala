@@ -1133,6 +1133,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L).getAs[String]("dominant") == "latin")
   }
 
+  test("packStats: hand-computed fill, straddle overflow, oversize doc") {
+    // budget 10. docs in id order: 6, 6, 10, 25. cum: 6,12,22,47.
+    // pack of doc = (cum - n) // 10 -> 0, 0, 1, 2.
+    // pack 0: 12 tok (overflows), pack 1: 10, pack 2: 25 (overflows,
+    // and the doc itself is oversize). fill = 47 / 30.
+    val docs = Seq(
+      (1L, (1 to 6).map(_ => "w").mkString(" ")),
+      (2L, (1 to 6).map(_ => "w").mkString(" ")),
+      (3L, (1 to 10).map(_ => "w").mkString(" ")),
+      (4L, (1 to 25).map(_ => "w").mkString(" "))).toDF("doc_id", "t")
+    val r = Corpus.packStats(
+      Corpus.pack(docs, "doc_id", "t", budget = 10), budget = 10)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_packs") == 3L)
+    assert(r.getAs[Long]("total_tokens") == 47L)
+    assert(r.getAs[Long]("fill_bp") == 47L * 10000L / 30L)
+    assert(r.getAs[Long]("n_over_budget") == 2L)
+    assert(r.getAs[Long]("n_oversize_docs") == 1L)
+  }
+
   test("charEntropy: closed-form values, empty doc, repeated-char floor") {
     val df = Seq(
       (1L, "aaaa"),      // one symbol -> H = 0

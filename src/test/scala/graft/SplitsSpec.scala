@@ -453,4 +453,33 @@ class SplitsSpec extends AnyFunSuite {
     // s4: text -> NULL is a CHANGE (null-safe fp compare), delta -10
     assert(diff("s4") == ((0L, 0L, 1L, 0L, -10L)), s"s4: ${diff("s4")}")
   }
+
+  test("curriculumExport: score order drives shards, tiebreak deterministic, partitioning-invariant") {
+    import spark.implicits._
+    // scores descending by id so hash-order and score-order differ
+    val df = (1L to 10L).map(i => (i, 100L - i)).toDF("id", "score")
+    val out = Splits.curriculumExport(df, Seq(col("score")), Seq("id"),
+        shardSize = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
+    // score asc = id DESC: id 10 (score 90) is rank 1 -> shard 0 pos 0
+    assert(out(10L) == ((0L, 0L)))
+    assert(out(8L) == ((0L, 2L)))
+    assert(out(7L) == ((1L, 0L)))
+    assert(out(1L) == ((3L, 0L))) // 10 rows / 3 -> last shard partial
+    // ties on score: key tiebreak decides, repartitioning doesn't
+    val tied = (1L to 9L).map(i => (i, 5L)).toDF("id", "score")
+    val a = Splits.curriculumExport(tied, Seq(col("score")), Seq("id"), 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
+    val b = Splits.curriculumExport(tied.repartition(7), Seq(col("score")),
+        Seq("id"), 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
+    assert(a == b)
+    assert(a(1L) == ((0L, 0L)) && a(9L) == ((2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Splits.curriculumExport(df, Seq.empty, Seq("id"), 3)
+    }
+  }
 }

@@ -268,4 +268,43 @@ class TemporalSpec extends AnyFunSuite {
     assert(groupsPerFold.values.max - groupsPerFold.values.min <= 1,
       s"unbalanced folds: $groupsPerFold")
   }
+
+  test("transitionMatrix: hand-computed pairs, terminal events dropped, ppm normalization, tiebreak order") {
+    // u1: a -> b -> a ; u2: a -> b ; u3: b (terminal only, no pair)
+    // pairs: (a,b) x2, (b,a) x1. from a: 2 total; from b: 1 total.
+    val ev = Seq(
+      (1L, "a", 10L, 100L), (1L, "b", 20L, 101L), (1L, "a", 30L, 102L),
+      (2L, "a", 10L, 103L), (2L, "b", 20L, 104L),
+      (3L, "b", 10L, 105L))
+      .toDF("u", "ty", "ts", "eid")
+    val m = graft.operators.Temporal.transitionMatrix(
+      ev, "u", "ty", col("ts"), tiebreak = Seq(col("eid")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("p_ppm")))).toMap
+    assert(m(("a", "b")) == ((2L, 1000000L)))
+    assert(m(("b", "a")) == ((1L, 1000000L)))
+    assert(m.size == 2, s"terminal events must not produce pairs: $m")
+    // invariant: pair rows sum to events - entities
+    assert(m.values.map(_._1).sum == 6L - 3L)
+    // equal timestamps: the tiebreak column decides the successor
+    val tied = Seq(
+      (1L, "x", 10L, 1L), (1L, "y", 10L, 2L), (1L, "z", 10L, 3L))
+      .toDF("u", "ty", "ts", "eid")
+    val mt = graft.operators.Temporal.transitionMatrix(
+      tied, "u", "ty", col("ts"), tiebreak = Seq(col("eid")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mt == Set(("x", "y"), ("y", "z")))
+    // branching entity: ppm splits exactly with integer floor
+    val br = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L),
+      (2L, "a", 1L, 3L), (2L, "b", 2L, 4L),
+      (3L, "a", 1L, 5L), (3L, "c", 2L, 6L))
+      .toDF("u", "ty", "ts", "eid")
+    val mb = graft.operators.Temporal.transitionMatrix(
+      br, "u", "ty", col("ts"), tiebreak = Seq(col("eid")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("p_ppm")).toMap
+    assert(mb(("a", "b")) == 666666L) // floor(2e6/3)
+    assert(mb(("a", "c")) == 333333L) // floor(1e6/3)
+  }
 }
