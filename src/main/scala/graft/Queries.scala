@@ -67,7 +67,8 @@ object Queries
     qPiiScrub, qPiiFull, qQuantize, qHll, qApproxPercentile, qKmv, qCmsFreq,
     qWindowFuncs, qWindowFrames, qSetOps, qPivot, qUnpivot, qCube,
     qFuzzyPairs, qFuzzySnm,
-    qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qStratified, qKmeans,
+    qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qSkewCard,
+    qStratified, qKmeans,
     qKmeansAssign,
     qTimeTravel, qDataQuality, qRefIntegrity, qOutliersMad, qCusum,
     qPsiDrift, qPsiDriftSeries, qPsiDriftCat,

@@ -523,6 +523,39 @@ object DataQuality {
       .drop("__sp", "__sn")
   }
 
+  /** Streaming CUSUM accumulator — the ENTIRE cross-tick state of the
+    * detector is these two longs, carried by the caller across
+    * foreachBatch invocations (a driver var for a session-scoped
+    * monitor; alongside the batch ledger for a restart-safe one —
+    * either way, nothing resembling a state store). */
+  final case class CusumState(sp: Long, sn: Long) {
+    require(sp >= 0 && sn >= 0, "CUSUM accumulators are never negative")
+  }
+
+  /** One CUSUM step — the streaming member of the [[cusum]] family,
+    * completing the monitor matrix the PSI family set (batch / series /
+    * tick): per micro-batch, the caller reduces the batch to its period
+    * metric (a count, an error tally — ONE aggregate) and advances the
+    * recursion in O(1). Unlike [[psiTick]], the state is not a frozen
+    * profile but the live accumulator pair — CUSUM's memory IS the
+    * detector, which is why it catches slow sustained shifts a
+    * stateless per-batch threshold never accumulates.
+    *
+    * Exactly the recursion [[cusum]] computes in closed form, so a
+    * fold of ticks over the period series reproduces the batch
+    * column-for-column (spec-pinned).
+    *
+    * @return (advanced state, alarm_up, alarm_down)
+    */
+  def cusumTick(state: CusumState, x: Long, mu: Long, kappa: Long,
+                h: Long): (CusumState, Boolean, Boolean) = {
+    require(kappa >= 0, s"kappa must be >= 0, got $kappa")
+    require(h > 0, s"h must be > 0, got $h")
+    val sp = math.max(0L, state.sp + (x - mu - kappa))
+    val sn = math.max(0L, state.sn + (mu - x - kappa))
+    (CusumState(sp, sn), sp > h, sn > h)
+  }
+
   /** [[cusum]] over per-period event counts: one map-side-collapsible
     * count aggregate (epoch periods — no calendar seam between
     * engines), then the closed-form recursion over the bounded period

@@ -126,4 +126,54 @@ object Layout {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew diagnostic card — the measurement that DECIDES between a
+    * plain shuffle join, AQE's adaptive skew split, and [[saltedJoin]]
+    * (the r-series precedent: measure, then reach for the dial).
+    * One row summarizing the per-key row-count distribution of a
+    * prospective shuffle key:
+    *
+    *  - `top1_share_ppm`: the hottest key's share of all rows — the
+    *    fraction of the shuffle ONE reducer will absorb; at 10⁵+ ppm a
+    *    thousand-way cluster is effectively serialized on that key
+    *  - `p50_key_n` / `p99_key_n`: exact percentiles of the per-key
+    *    count distribution ([[Prefix.groupPercentiles]] — no
+    *    value-buffering aggregate)
+    *  - `skew_ratio`: hottest key over the median key — the headroom
+    *    multiplier a salt count must cover
+    *
+    * Cost: one key-count aggregate (map-side collapsible — the shuffle
+    * carries distinct keys) + one distributed rank over the KEY
+    * cardinality, not the row count. The hot keys themselves (for a
+    * literal-list salting or filter) come from the
+    * [[graft.ext.Corpus.heavyHitters]] sketch, which never shuffles
+    * full key counts at all.
+    *
+    * @return (n_rows, n_keys, max_key_n, top1_share_ppm, p50_key_n,
+    *         p99_key_n, skew_ratio) — percentiles/ratio floor-rounded
+    *         to 2dp, shares exact integer ppm
+    */
+  def skewCard(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewCard needs at least one key column")
+    def r2(c: Column) = floor(c * 100 + 0.5) / 100
+    // "__kn", not "__n": groupPercentiles binds its own "__n" internally
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__kn"))
+    val pct = Prefix.groupPercentiles(
+      counts.withColumn("__g", lit(1)), Seq("__g"),
+      col("__kn").cast("double"), tiebreak = keyCols.map(col),
+      ps = Seq(0.5 -> "__p50", 0.99 -> "__p99"))
+    counts.agg(
+        sum(col("__kn")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__kn")).as("max_key_n"))
+      .crossJoin(broadcast(pct.select(col("__p50"), col("__p99"))))
+      .select(col("n_rows"), col("n_keys"), col("max_key_n"),
+        expr("(max_key_n * 1000000) div n_rows").cast("long")
+          .as("top1_share_ppm"),
+        r2(col("__p50")).as("p50_key_n"),
+        r2(col("__p99")).as("p99_key_n"),
+        r2(col("max_key_n").cast("double") / col("__p50"))
+          .as("skew_ratio"))
+  }
 }

@@ -343,6 +343,45 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 
+  /** Key-skew diagnostic card ([[graft.ext.Layout.skewCard]]) over the
+    * event stream's user key — the measurement that decides between a
+    * plain join, AQE skew handling, and `saltedJoin`. Percentiles of
+    * the per-key count distribution replay Spark's interpolation
+    * formula; shares are exact integer ppm.
+    */
+  val qSkewCard = Q("q_skew_card",
+    (s, dir) => graft.ext.Layout.skewCard(t(s, dir, "events"),
+      Seq("user_id")),
+    Some("""WITH c AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      s AS (SELECT list(CAST(n AS DOUBLE) ORDER BY n) AS xs,
+              count(*) AS nk, CAST(sum(n) AS BIGINT) AS nr,
+              CAST(max(n) AS BIGINT) AS mx
+            FROM c),
+      m AS (
+        SELECT p.p, xs, nk, nr, mx, p.p::DOUBLE * (nk - 1) AS h,
+          CAST(floor(p.p::DOUBLE * (nk - 1)) AS BIGINT) AS lo,
+          ceil(p.p::DOUBLE * (nk - 1)) AS hi
+        FROM s CROSS JOIN (SELECT unnest([0.5, 0.99]) AS p) p),
+      v AS (
+        SELECT p, nk, nr, mx,
+          CASE WHEN hi = lo THEN xs[lo + 1]
+               ELSE (hi - h) * xs[lo + 1] + (h - lo) * xs[lo + 2]
+          END AS q
+        FROM m),
+      w AS (
+        SELECT any_value(nr) AS n_rows, any_value(nk) AS n_keys,
+          any_value(mx) AS max_key_n,
+          max(CASE WHEN p = 0.5 THEN q END) AS p50,
+          max(CASE WHEN p = 0.99 THEN q END) AS p99
+        FROM v)
+      SELECT n_rows, n_keys, max_key_n,
+        (max_key_n * 1000000) // n_rows AS top1_share_ppm,
+        floor(p50 * 100 + 0.5) / 100 AS p50_key_n,
+        floor(p99 * 100 + 0.5) / 100 AS p99_key_n,
+        floor(max_key_n::DOUBLE / p50 * 100 + 0.5) / 100 AS skew_ratio
+      FROM w"""))
+
   /** UNPIVOT (wide→long melt) via `stack`: per-part numeric attributes
     * become (attribute, value) rows — the normalization step before
     * generic per-metric aggregation. */

@@ -77,6 +77,29 @@ object StreamCompaction {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("db_name", "tb_name", "pk", "ts_ms", "offset")
 
+  /** Streaming sessionization — the watermarked stream form of the
+    * batch `session_window` aggregate (`q_sessionize`): per-entity
+    * gap-based sessions over a live event stream, emitted in Append
+    * mode once the watermark passes a session's gap-extended end (a
+    * session only FINALIZES when no in-delay event can still extend
+    * it). State is one open-session range per (entity, session) in the
+    * state store — Spark merges overlapping windows natively — and
+    * eviction is watermark-driven, so state is bounded by the number
+    * of OPEN sessions, never the stream's history. Same boundary
+    * semantics as the batch form (an event at exactly prev + gap still
+    * merges), so a closed stream session equals the batch session over
+    * the same events — the stream/batch parity the spec pins.
+    */
+  def sessionizeStream(events: DataFrame, tsCol: String,
+                       entityCol: String, gap: String = "30 minutes",
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(entityCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(entityCol), col("n_events"))
+
   /** A document surviving streaming exact-dedup: first occurrence of its
     * content fingerprint across the whole stream. */
   final case class DedupedDoc(id: Long, fp: String, text: String)

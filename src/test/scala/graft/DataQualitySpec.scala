@@ -404,6 +404,45 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("cusumTick: tick fold == batch closed form; one alarm per micro-batch from foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val xs = Seq(10L, 11L, 9L, 15L, 15L, 15L, 10L, 2L, 2L, 2L)
+    // fold the tick over the series
+    var st = DataQuality.CusumState(0L, 0L)
+    val folded = xs.map { x =>
+      val (s, up, down) = DataQuality.cusumTick(st, x, 10L, 1L, 8L)
+      st = s
+      (s.sp, s.sn, up, down)
+    }
+    // == the batch closed form, column for column
+    val series = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("t", "x")
+    val batch = DataQuality.cusum(series, col("t"), col("x"), 10L, 1L, 8L)
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("cusum_pos"), r.getAs[Long]("cusum_neg"),
+        r.getAs[Boolean]("alarm_up"), r.getAs[Boolean]("alarm_down")))
+    assert(folded == batch.toSeq)
+    // the downward ramp at the end fires the downward alarm
+    assert(folded.last._4 && !folded.last._3)
+    // production wiring: one period per micro-batch, metric = count
+    val in = MemoryStream[Long]
+    var wst = DataQuality.CusumState(0L, 0L)
+    val alarms = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = in.toDS().toDF("v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        val (s, up, _) = DataQuality.cusumTick(wst, b.count(), 3L, 0L, 7L)
+        alarms.synchronized { wst = s; alarms += up }; ()
+      }.start()
+    in.addData(1L, 2L, 3L); q.processAllAvailable()   // x=3, sp=0
+    in.addData(1L to 9L: _*); q.processAllAvailable() // x=9, sp=6 <= 7
+    in.addData(1L to 9L: _*); q.processAllAvailable() // x=9, sp=12 > 7
+    q.stop()
+    assert(alarms.toSeq == Seq(false, false, true))
+    assert(wst == DataQuality.CusumState(12L, 0L))
+  }
+
   test("cusumCounts: per-period counts feed the detector; epoch-div period arithmetic") {
     // 3 events in period 0, 1 in period 1, 4 in period 2 (periodMs=100)
     val ev = Seq(10L, 20L, 99L, 150L, 200L, 210L, 220L, 290L).toDF("ts")

@@ -239,4 +239,27 @@ class LayoutSpec extends AnyFunSuite {
     val p = salted.queryExecution.executedPlan.toString
     assert(p.contains("__salt"), "salt key absent from the plan")
   }
+
+  test("skewCard: hand-computed shares, exact percentiles of the key-count distribution") {
+    import spark.implicits._
+    // one hot key with 8 rows, seven singletons: counts sorted
+    // [1,1,1,1,1,1,1,8]; p50 = 1.0; p99 at h = 6.93 interpolates
+    // (7-6.93)*1 + (6.93-6)*8; skew_ratio = 8/1
+    val df = (Seq.fill(8)("hot") ++ Seq("a", "b", "c", "d", "e", "f", "g"))
+      .toDF("k")
+    val r = Layout.skewCard(df, Seq("k")).collect().head
+    assert(r.getAs[Long]("n_rows") == 15L)
+    assert(r.getAs[Long]("n_keys") == 8L)
+    assert(r.getAs[Long]("max_key_n") == 8L)
+    assert(r.getAs[Long]("top1_share_ppm") == 8L * 1000000L / 15L)
+    assert(r.getAs[Double]("p50_key_n") == 1.0)
+    val h = 0.99 * 7
+    val p99 = (math.ceil(h) - h) * 1.0 + (h - math.floor(h)) * 8.0
+    assert(r.getAs[Double]("p99_key_n") ==
+      math.floor(p99 * 100 + 0.5) / 100)
+    assert(r.getAs[Double]("skew_ratio") == 8.0)
+    intercept[IllegalArgumentException] {
+      Layout.skewCard(df, Seq.empty)
+    }
+  }
 }

@@ -235,4 +235,50 @@ class StreamCompactionSpec extends AnyFunSuite {
     q.stop()
     assert(spark.table("deduped").count() == 1)
   }
+
+  test("streaming sessionization: closed sessions equal the batch session_window over the same events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{session_window, timestamp_millis, count, lit}
+    implicit val sq = spark.sqlContext
+    val min = 60000L
+    val in = MemoryStream[(Long, Long)] // (user, ts_ms)
+    val events = in.toDF().toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val out = StreamCompaction.sessionizeStream(events, "ts", "user_id",
+      gap = "30 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    // u1: two bursts 40 min apart -> two sessions; a 30-min-exactly gap
+    // MERGES (boundary semantics); u2: one session
+    val data = Seq(
+      (1L, 0L), (1L, 10 * min), (1L, 40 * min),     // merges: 30-min gap
+      (1L, 90 * min),                               // 50 min later: new
+      (2L, 5 * min), (2L, 20 * min))
+    in.addData(data: _*)
+    q.processAllAvailable()
+    // nothing can close until the watermark passes session end + gap
+    // — push it far past everything with a late marker event
+    in.addData((99L, 1000 * min))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    // batch form over the SAME closed events
+    val batch = data.toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start"),
+        col("session_window.end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(batch.subsetOf(streamed), s"stream $streamed vs batch $batch")
+    // the 30-min-exact gap merged: u1's first session spans 0..40min+gap
+    assert(streamed.exists { case (u, s, e, n) =>
+      u == 1L && s == 0L && n == 3L })
+    assert(streamed.count(_._1 == 1L) == 2, "u1 has exactly two sessions")
+  }
 }
