@@ -71,7 +71,7 @@ object Queries
     qStratified, qKmeans,
     qKmeansAssign,
     qTimeTravel, qDataQuality, qRefIntegrity, qOutliersMad, qCusum,
-    qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
+    qKsTest, qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
     qPsiDriftCatSeries, qZorderValue, qZorderPrune,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,

@@ -523,6 +523,71 @@ object DataQuality {
       .drop("__sp", "__sn")
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between a reference
+    * and a current snapshot — the distribution test with no dials at
+    * all, completing the monitor family (PSI needs a bucket count and
+    * an epsilon; KS is D = sup_x |F_ref(x) − F_cur(x)|, parameter-free
+    * and sensitive to ANY distributional difference, not just
+    * bucket-visible mass moves).
+    *
+    * Exactness: the sup over the pooled distinct values of
+    * |C_ref·n_cur − C_cur·n_ref| — cross-multiplied integer CDF
+    * numerators, so no float division happens before the final scaled
+    * report. Computed as ONE range-partitioned running sum over the
+    * per-distinct-value signed jump d_v = n_ref(v)·n_cur − n_cur(v)·n_ref
+    * ([[Prefix.globalRunningSum]] — the running total IS
+    * C_ref·n_cur − C_cur·n_ref, evaluated after each value's whole
+    * jump, which is where the sup of a right-continuous step
+    * difference lives; ties jump both CDFs together by construction).
+    * Shape: one distinct-value aggregate (map-side collapsible) + one
+    * range exchange over DISTINCT values + one max — nothing buffers a
+    * sample.
+    *
+    * `ks_x1e6` = floor(ks_num·10⁶ / (n_ref·n_cur)) in DECIMAL(38)
+    * arithmetic (exact to n_ref·n_cur ~ 10³⁰ — long arithmetic would
+    * overflow at ~3·10⁶ rows per side). D > 1.63·√((n1+n2)/(n1·n2))
+    * rejects at α=0.01 under the classical asymptotic, but as with
+    * [[psi]] the operator reports the statistic and leaves the alert
+    * threshold to the caller.
+    *
+    * Empty/all-null current snapshot → NULL ks columns (the
+    * no-spurious-all-clear convention shared with [[psi]]); empty
+    * reference throws.
+    *
+    * @return one row: (n_ref, n_cur, ks_num, ks_x1e6)
+    */
+  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: Column): DataFrame = {
+    val r = ref.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(1L).as("__r"), lit(0L).as("__c"))
+    val c = cur.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(0L).as("__r"), lit(1L).as("__c"))
+    val byV = r.unionByName(c).groupBy(col("v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    val tot = byV.agg(coalesce(sum(col("nr")), lit(0L)),
+      coalesce(sum(col("nc")), lit(0L))).head()
+    val (n1, n2) = (tot.getLong(0), tot.getLong(1))
+    require(n1 > 0, "ksTest: reference snapshot has no non-null values" +
+      " — a drift monitor needs a populated reference distribution")
+    if (n2 == 0) {
+      val spark = ref.sparkSession
+      import spark.implicits._
+      return Seq((n1, 0L)).toDF("n_ref", "n_cur")
+        .select(col("n_ref"), col("n_cur"),
+          lit(null).cast("long").as("ks_num"),
+          lit(null).cast("long").as("ks_x1e6"))
+    }
+    val signed = byV.select(col("v"),
+      (col("nr") * n2 - col("nc") * n1).as("__d"))
+    Prefix.globalRunningSum(signed, Seq(col("v")), col("__d"), "__s")
+      .agg(max(abs(col("__s"))).as("ks_num"))
+      .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"), col("ks_num"),
+        expr(s"CAST((CAST(ks_num AS DECIMAL(38,0)) * 1000000) DIV " +
+          s"(CAST(${n1}L AS DECIMAL(38,0)) * ${n2}L) AS BIGINT)")
+          .as("ks_x1e6"))
+  }
+
   /** Streaming CUSUM accumulator — the ENTIRE cross-tick state of the
     * detector is these two longs, carried by the caller across
     * foreachBatch invocations (a driver var for a session-scoped

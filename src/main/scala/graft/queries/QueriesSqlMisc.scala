@@ -668,6 +668,47 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
         (sn - least(msn, 0)) > 10 AS alarm_down
       FROM w"""))
 
+  /** Exact two-sample Kolmogorov–Smirnov ([[DataQuality.ksTest]])
+    * between the same even/odd event-stream snapshots as `q_psi_drift`
+    * — the dial-free member of the drift family. The statistic is the
+    * max of cross-multiplied integer CDF numerators over pooled
+    * distinct values, so the oracle replays it with window sums in
+    * pure integer arithmetic; the scaled form divides in
+    * DECIMAL/HUGEINT (exact in both engines).
+    */
+  val qKsTest = Q("q_ks_test",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      DataQuality.ksTest(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), col("value"))
+    },
+    Some("""WITH r AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      c AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      u AS (
+        SELECT v, count(*) AS nr, 0 AS nc FROM r GROUP BY v
+        UNION ALL
+        SELECT v, 0, count(*) FROM c GROUP BY v),
+      byv AS (
+        SELECT v, CAST(sum(nr) AS BIGINT) AS nr,
+          CAST(sum(nc) AS BIGINT) AS nc
+        FROM u GROUP BY v),
+      t AS (SELECT CAST(sum(nr) AS BIGINT) AS n1,
+              CAST(sum(nc) AS BIGINT) AS n2 FROM byv),
+      run AS (
+        SELECT sum(nr * (SELECT n2 FROM t) - nc * (SELECT n1 FROM t))
+          OVER (ORDER BY v) AS s
+        FROM byv)
+      SELECT (SELECT n1 FROM t) AS n_ref, (SELECT n2 FROM t) AS n_cur,
+        CAST(max(abs(s)) AS BIGINT) AS ks_num,
+        CAST((CAST(max(abs(s)) AS HUGEINT) * 1000000)
+          // ((SELECT n1 FROM t)::HUGEINT * (SELECT n2 FROM t))
+          AS BIGINT) AS ks_x1e6
+      FROM run"""))
+
   /** PSI drift between two event-stream snapshots
     * ([[DataQuality.psi]]): reference = even event ids, current = odd;
     * buckets are the exact reference deciles (Spark's interpolation

@@ -322,6 +322,46 @@ class DataQualitySpec extends AnyFunSuite {
     assert(eProf.getMessage.contains("reference"))
   }
 
+  test("ksTest: brute-force parity, identical snapshots score 0, disjoint score max, ties jump together") {
+    def brute(a: Seq[Double], b: Seq[Double]): Long = {
+      // literal sup over pooled points of |C1*n2 - C2*n1|
+      val pts = (a ++ b).distinct.sorted
+      pts.map { x =>
+        val c1 = a.count(_ <= x).toLong * b.length
+        val c2 = b.count(_ <= x).toLong * a.length
+        math.abs(c1 - c2)
+      }.max
+    }
+    def run(a: Seq[Double], b: Seq[Double]) =
+      DataQuality.ksTest(a.toDF("x"), b.toDF("x"), col("x"))
+        .collect().head
+    // identical -> 0
+    val same = (1 to 50).map(_.toDouble)
+    assert(run(same, same).getAs[Long]("ks_num") == 0L)
+    // disjoint supports -> D = 1 (num = n1*n2, scaled = 1e6)
+    val lo = (1 to 30).map(_.toDouble)
+    val hi = (100 to 119).map(_.toDouble)
+    val d = run(lo, hi)
+    assert(d.getAs[Long]("ks_num") == 30L * 20L)
+    assert(d.getAs[Long]("ks_x1e6") == 1000000L)
+    // random-ish mixed fixtures == the literal brute force
+    val a1 = Seq(1.0, 2.0, 2.0, 3.0, 7.0, 9.0)
+    val b1 = Seq(2.0, 2.0, 4.0, 8.0)
+    assert(run(a1, b1).getAs[Long]("ks_num") == brute(a1, b1))
+    val a2 = (1 to 40).map(i => (i * 37 % 11).toDouble)
+    val b2 = (1 to 25).map(i => (i * 53 % 13).toDouble)
+    assert(run(a2, b2).getAs[Long]("ks_num") == brute(a2, b2))
+    // empty current -> NULL statistic (no spurious all-clear)
+    val e = run(same, Seq.empty)
+    assert(e.getAs[Long]("n_cur") == 0L &&
+      e.isNullAt(e.fieldIndex("ks_num")))
+    // empty reference -> loud error
+    intercept[IllegalArgumentException] {
+      DataQuality.ksTest(Seq.empty[Double].toDF("x"),
+        same.toDF("x"), col("x")).collect()
+    }
+  }
+
   test("refIntegrity: orphans, null FKs, and duplicate child keys counted; clean relation reports zero") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     // fk=9 twice (orphan rows counted per ROW, not per key), fk=null

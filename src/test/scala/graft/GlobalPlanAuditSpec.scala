@@ -61,11 +61,17 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
   }
 
   /** A SinglePartition exchange directly above one of these ships
-    * partition-count-many (or ≤ k) rows, never the relation. */
+    * partition-count-many (or ≤ k) rows, never the relation. A
+    * `Project` is transparent (r13): projection never changes
+    * cardinality, so an exchange above Project(aggregate) is exactly
+    * as bounded as one above the aggregate (q_cusum's per-period
+    * arithmetic projection exposed the gap). */
   private def bounded(p: SparkPlan): Boolean = p match {
     case _: HashAggregateExec | _: SortAggregateExec |
          _: ObjectHashAggregateExec | _: TakeOrderedAndProjectExec |
          _: LocalLimitExec | _: CollectLimitExec => true
+    case pr: org.apache.spark.sql.execution.ProjectExec =>
+      bounded(unwrap(pr.child))
     case _ => false
   }
 
