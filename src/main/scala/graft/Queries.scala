@@ -71,17 +71,18 @@ object Queries
     qStratified, qKmeans,
     qKmeansAssign,
     qTimeTravel, qDataQuality, qRefIntegrity, qOutliersMad, qCusum,
-    qKsTest, qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
+    qKsTest, qKsBySlice, qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
     qPsiDriftCatSeries, qZorderValue, qZorderPrune,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,
-    qChunk, qPack, qPackStats, qPackBpe, qDecontam, qDecontamBloom,
-    qDecontamFraction, qDecontamContainment,
+    qChunk, qPack, qPackSorted, qPackStats, qPackBpe, qDecontam,
+    qDecontamBloom, qDecontamFraction, qDecontamContainment,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qKfold, qGroupKfold, qSplitCluster,
     qSplitLeakage,
     qShardExport, qCurriculumExport,
-    qCorpusDiff, qCorpusDiffNovelty, qMixingPlan, qEpochExpand,
+    qCorpusDiff, qCorpusDiffNovelty, qCorpusDigest, qMixingPlan,
+    qEpochExpand,
     qTrainingExport)
 
   /** SLOW TIER: queries the timed bench (`graft.Bench`) skips. Still in

@@ -268,12 +268,63 @@ object Corpus {
     */
   def pack(df: DataFrame, idCol: String, textCol: String,
            budget: Int,
-           tokenCounter: Column => Column = TextOps.nTokens): DataFrame = {
+           tokenCounter: Column => Column = TextOps.nTokens): DataFrame =
+    packOrdered(df, idCol, textCol, budget, Seq(col("id")), tokenCounter)
+
+  /** [[pack]] with a caller-chosen fill ORDER over the sized relation
+    * (columns `id`, `n_tokens`; the order must end in a unique
+    * tiebreak) — the length-grouped-batching hook: filling in
+    * (n_tokens desc, id) order packs similar-length documents
+    * together, which cuts straddle truncation at pack boundaries
+    * relative to arrival order; a score order gives curriculum-ordered
+    * packs ([[Splits.curriculumExport]]'s schedule at sequence
+    * granularity). Same distributed two-pass prefix sum — the order is
+    * a range-exchange key, never a single-partition sort.
+    */
+  def packOrdered(df: DataFrame, idCol: String, textCol: String,
+                  budget: Int, order: Seq[Column],
+                  tokenCounter: Column => Column = TextOps.nTokens): DataFrame = {
+    require(order.nonEmpty, "packOrdered needs a fill order")
     val sized = df.select(col(idCol).as("id"),
       tokenCounter(col(textCol)).as("n_tokens"))
-    Prefix.globalRunningSum(sized, Seq(col("id")), col("n_tokens"), "cum")
+    Prefix.globalRunningSum(sized, order, col("n_tokens"), "cum")
       .withColumn("pack_id",
         floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+  }
+
+  /** Content-SET digest per source — the O(1) release-equality check:
+    * two snapshots have the same digest, distinct-count, AND doc count
+    * ⟺ (up to hash collision) the same multiset of normalized
+    * contents per source, without a row-level diff ([[corpusDiff]] is
+    * the row-level answer when they differ). The digest is the XOR of
+    * the distinct contents' 60-bit portable hashes — incremental set
+    * hashing (Bellare–Micciancio's XHASH shape): adding or removing a
+    * distinct content TOGGLES its bits, so the next release's digest
+    * is computable from the delta alone, no corpus re-read. Stated
+    * honestly: this guards against ACCIDENTAL divergence (a lost
+    * partition, a double-applied batch, an engine migration); XOR set
+    * hashes are forgeable by an adversary who controls content — use
+    * a cryptographic accumulator for that threat model.
+    *
+    * Shape: documents collapse to (source, fp) digests map-side;
+    * nothing wider than 32 bytes shuffles.
+    *
+    * @return one row per source: (source, n_docs, n_distinct,
+    *         digest60)
+    */
+  def corpusDigest(df: DataFrame, textCol: String,
+                   sourceCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.select(col(sourceCol).as("source"),
+        TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("source"), col("__n"),
+        TextOps.portableHash(col("fp")).as("__h"))
+      .groupBy(col("source"))
+      .agg(sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        expr("bit_xor(__h)").as("digest60"))
   }
 
   /** Packing-efficiency card over a [[pack]] assignment — the

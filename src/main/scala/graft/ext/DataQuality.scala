@@ -588,6 +588,53 @@ object DataQuality {
           .as("ks_x1e6"))
   }
 
+  /** Per-slice [[ksTest]] — the drift RANKING card: one exact KS
+    * statistic per slice (source, language, event type), each slice's
+    * current distribution against the SAME slice's reference
+    * distribution, so "which slice drifted" is answered in one pass
+    * instead of one job per slice. The aggregate-level monitors can
+    * miss a drift confined to a small slice (diluted below any global
+    * threshold); this is where it shows first.
+    *
+    * Same exact cross-multiplied integer form as [[ksTest]], with the
+    * running sum as a SLICE-KEYED window (each slice's sort is
+    * per-partition work — scale-safe, no unkeyed sort) and per-slice
+    * totals riding a broadcast join. Slices empty on either side
+    * report NULL ks (a vanished or brand-new slice is an alert, not a
+    * zero — the shared no-spurious-all-clear convention).
+    *
+    * @return one row per slice: (slice, n_ref, n_cur, ks_num, ks_x1e6)
+    */
+  def ksBySlice(ref: DataFrame, cur: DataFrame, valueCol: Column,
+                sliceCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, r: Long, c: Long) =
+      df.select(sliceCol.cast("string").as("slice"),
+        valueCol.cast("double").as("v"))
+        .filter(col("slice").isNotNull && col("v").isNotNull)
+        .select(col("slice"), col("v"), lit(r).as("__r"), lit(c).as("__c"))
+    val byV = side(ref, 1L, 0L).unionByName(side(cur, 0L, 1L))
+      .groupBy(col("slice"), col("v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    val totals = byV.groupBy(col("slice"))
+      .agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
+    val w = Window.partitionBy(col("slice")).orderBy(col("v"))
+    byV.join(broadcast(totals), Seq("slice"))
+      .withColumn("__s",
+        sum(col("nr") * col("n_cur") - col("nc") * col("n_ref")).over(w))
+      .groupBy(col("slice"))
+      .agg(first(col("n_ref")).as("n_ref"),
+        first(col("n_cur")).as("n_cur"),
+        max(abs(col("__s"))).as("__num"))
+      .select(col("slice"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0, col("__num"))
+          .cast("long").as("ks_num"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          expr("CAST((CAST(__num AS DECIMAL(38,0)) * 1000000) DIV " +
+            "(CAST(n_ref AS DECIMAL(38,0)) * n_cur) AS BIGINT)"))
+          .as("ks_x1e6"))
+  }
+
   /** Streaming CUSUM accumulator — the ENTIRE cross-tick state of the
     * detector is these two longs, carried by the caller across
     * foreachBatch invocations (a driver var for a session-scoped

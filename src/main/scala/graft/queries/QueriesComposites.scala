@@ -634,6 +634,46 @@ private[graft] trait QueriesComposites { this: Queries.type =>
         CAST(sum(oversize) AS BIGINT) AS n_oversize_docs
       FROM packs"""))
 
+  /** Score-ordered packing ([[Corpus.packOrdered]]): the q_pack run
+    * refilled in (n_tokens desc, doc_id) order — length-grouped
+    * batching at pack granularity. Same budget arithmetic, different
+    * permutation; the full per-pack relation is pinned.
+    */
+  val qPackSorted = Q("q_pack_sorted",
+    (s, dir) => Corpus.packOrdered(t(s, dir, "documents"), "doc_id",
+        "text", budget = 2000,
+        order = Seq(col("n_tokens").desc, col("id")))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens")),
+    Some("""WITH toks AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents),
+      runs AS (
+        SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks)
+      SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS pack_id,
+        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM runs GROUP BY 1"""))
+
+  /** Content-set digest per source ([[Corpus.corpusDigest]]): XOR of
+    * distinct 60-bit content hashes + counts — the O(1)
+    * release-equality check, incremental under adds/removes. */
+  val qCorpusDigest = Q("q_corpus_digest",
+    (s, dir) => Corpus.corpusDigest(t(s, dir, "documents"),
+      "text", "source"),
+    Some("""WITH f AS (
+        SELECT source,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      g AS (SELECT source, fp, count(*) AS n FROM f GROUP BY 1, 2)
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        count(*) AS n_distinct,
+        bit_xor(('0x'||substr(md5(fp),1,15))::BIGINT) AS digest60
+      FROM g GROUP BY source"""))
+
   /** Benchmark decontamination: flag corpus docs sharing any 5-gram with
     * the benchmark set (stand-in: every 97th document). */
   val qDecontam = Q("q_decontam",

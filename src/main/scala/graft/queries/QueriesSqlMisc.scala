@@ -709,6 +709,48 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
           AS BIGINT) AS ks_x1e6
       FROM run"""))
 
+  /** Per-slice KS drift ranking ([[DataQuality.ksBySlice]]): one exact
+    * KS statistic per event type, each slice's current vs the SAME
+    * slice's reference — "which slice drifted" in one pass, with the
+    * running sum as a slice-keyed window (no unkeyed sort).
+    */
+  val qKsBySlice = Q("q_ks_by_slice",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      DataQuality.ksBySlice(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), col("value"),
+        col("event_type"))
+    },
+    Some("""WITH r AS (
+        SELECT event_type AS slice, CAST(value AS DOUBLE) AS v
+        FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      c AS (
+        SELECT event_type AS slice, CAST(value AS DOUBLE) AS v
+        FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      u AS (
+        SELECT slice, v, count(*) AS nr, 0 AS nc FROM r GROUP BY 1, 2
+        UNION ALL
+        SELECT slice, v, 0, count(*) FROM c GROUP BY 1, 2),
+      byv AS (
+        SELECT slice, v, CAST(sum(nr) AS BIGINT) AS nr,
+          CAST(sum(nc) AS BIGINT) AS nc
+        FROM u GROUP BY 1, 2),
+      t AS (SELECT slice, CAST(sum(nr) AS BIGINT) AS n_ref,
+              CAST(sum(nc) AS BIGINT) AS n_cur FROM byv GROUP BY 1),
+      run AS (
+        SELECT b.slice,
+          sum(b.nr * t.n_cur - b.nc * t.n_ref)
+            OVER (PARTITION BY b.slice ORDER BY b.v) AS s
+        FROM byv b JOIN t USING (slice)),
+      m AS (SELECT slice, CAST(max(abs(s)) AS BIGINT) AS num
+            FROM run GROUP BY 1)
+      SELECT m.slice, t.n_ref, t.n_cur,
+        CASE WHEN t.n_ref > 0 AND t.n_cur > 0 THEN m.num END AS ks_num,
+        CASE WHEN t.n_ref > 0 AND t.n_cur > 0 THEN
+          CAST((m.num::HUGEINT * 1000000)
+            // (t.n_ref::HUGEINT * t.n_cur) AS BIGINT) END AS ks_x1e6
+      FROM m JOIN t USING (slice)"""))
+
   /** PSI drift between two event-stream snapshots
     * ([[DataQuality.psi]]): reference = even event ids, current = odd;
     * buckets are the exact reference deciles (Spark's interpolation

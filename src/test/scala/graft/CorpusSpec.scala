@@ -1133,6 +1133,62 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L).getAs[String]("dominant") == "latin")
   }
 
+  test("corpusDigest: equal sets match, any difference moves the digest, incremental XOR toggle") {
+    val a = Seq((1L, "x", "doc one"), (2L, "x", "doc two"),
+      (3L, "y", "doc three")).toDF("id", "src", "t")
+    // same contents, different ids/order, plus an exact dup (multiset
+    // grows, SET digest unchanged, n_docs catches it)
+    val b = Seq((9L, "x", "doc two"), (8L, "x", "doc one"),
+      (7L, "x", "doc one"), (5L, "y", "doc three")).toDF("id", "src", "t")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Corpus.corpusDigest(df, "t", "src").collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct"),
+            r.getAs[Long]("digest60")))).toMap
+    val (da, db) = (dig(a), dig(b))
+    assert(da("x")._3 == db("x")._3, "same content set, same digest")
+    assert(da("y") == db("y"))
+    assert(da("x")._1 == 2L && db("x")._1 == 3L,
+      "doc count catches the duplicate the set digest ignores")
+    assert(da("x")._2 == 2L && db("x")._2 == 2L)
+    // removing one distinct content toggles exactly its hash (XHASH)
+    val c = dig(a.filter(col("id") =!= 2L))
+    val h2 = graft.ext.TextOps.portableHash(
+      graft.ext.TextOps.fingerprint(lit("doc two")))
+    val h2v = a.sparkSession.range(1).select(h2).collect()(0).getLong(0)
+    assert((da("x")._3 ^ h2v) == c("x")._3,
+      "digest is incrementally maintainable by XOR of the delta")
+    // a changed byte moves the digest
+    val d = dig(a.withColumn("t",
+      when(col("id") === 1L, lit("doc one!")).otherwise(col("t"))))
+    assert(d("x")._3 != da("x")._3)
+  }
+
+  test("packOrdered: fill order respected, same doc multiset as arrival-order pack") {
+    val docs = Seq(
+      (1L, (1 to 3).map(_ => "w").mkString(" ")),   // 3 tokens
+      (2L, (1 to 9).map(_ => "w").mkString(" ")),   // 9
+      (3L, (1 to 9).map(_ => "w").mkString(" ")),   // 9
+      (4L, (1 to 2).map(_ => "w").mkString(" "))    // 2
+    ).toDF("doc_id", "t")
+    val out = Corpus.packOrdered(docs, "doc_id", "t", budget = 10,
+        order = Seq(col("n_tokens").desc, col("id")))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("pack_id"), r.getAs[Long]("cum")))).toMap
+    // fill order: 9(id2), 9(id3), 3(id1), 2(id4); cums 9, 18, 21, 23
+    // packs: (cum-n)//10 -> 0, 0, 1, 2
+    assert(out(2L) == ((0L, 9L)))
+    assert(out(3L) == ((0L, 18L)))
+    assert(out(1L) == ((1L, 21L)))
+    assert(out(4L) == ((2L, 23L)))
+    // same docs, same total — only the permutation differs from pack()
+    val plain = Corpus.pack(docs, "doc_id", "t", budget = 10)
+    assert(plain.agg(sum(col("n_tokens"))).collect()(0).getLong(0) == 23L)
+    intercept[IllegalArgumentException] {
+      Corpus.packOrdered(docs, "doc_id", "t", 10, Seq.empty)
+    }
+  }
+
   test("packStats: hand-computed fill, straddle overflow, oversize doc") {
     // budget 10. docs in id order: 6, 6, 10, 25. cum: 6,12,22,47.
     // pack of doc = (cum - n) // 10 -> 0, 0, 1, 2.

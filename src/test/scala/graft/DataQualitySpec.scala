@@ -362,6 +362,35 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ksBySlice: per-slice statistics match per-slice ksTest; one-sided slices report NULL") {
+    val refDf = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 11.0),
+      ("gone", 5.0)).toDF("s", "x") // slice absent from current
+    val curDf = Seq(
+      ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 10.0), ("b", 11.0),
+      ("new", 7.0)).toDF("s", "x")  // slice absent from reference
+    val out = DataQuality.ksBySlice(refDf, curDf, col("x"), col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // each two-sided slice equals the single-pair ksTest on its slice
+    for (sl <- Seq("a", "b")) {
+      val single = DataQuality.ksTest(
+        refDf.filter(col("s") === sl), curDf.filter(col("s") === sl),
+        col("x")).collect().head
+      assert(out(sl).getAs[Long]("ks_num") ==
+        single.getAs[Long]("ks_num"), sl)
+      assert(out(sl).getAs[Long]("ks_x1e6") ==
+        single.getAs[Long]("ks_x1e6"), sl)
+    }
+    // identical slice -> 0; one-sided slices -> NULL alert, not zero
+    assert(out("b").getAs[Long]("ks_num") == 0L)
+    assert(out("gone").isNullAt(out("gone").fieldIndex("ks_num")))
+    assert(out("gone").getAs[Long]("n_cur") == 0L)
+    assert(out("new").isNullAt(out("new").fieldIndex("ks_num")))
+    assert(out("new").getAs[Long]("n_ref") == 0L)
+  }
+
   test("refIntegrity: orphans, null FKs, and duplicate child keys counted; clean relation reports zero") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     // fk=9 twice (orphan rows counted per ROW, not per key), fk=null
