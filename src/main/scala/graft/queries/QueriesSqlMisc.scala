@@ -638,23 +638,43 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
   /** Two-sided CUSUM changepoint series ([[DataQuality.cusumCounts]])
     * over hourly event counts: did the arrival RATE sustain a shift,
     * and when — the sequential-detection complement of the PSI series
-    * (which watches the value distribution, not the level). μ=14, κ=2,
-    * h=10 around the fixture's ~14/hour mean fire both alarm
-    * directions at sf0.01 without saturating. The recursion's closed
-    * form (prefix sum minus its running minimum) is replayed exactly —
-    * all-integer arithmetic, no float seam.
+    * (which watches the value distribution, not the level). Dials are
+    * SELF-TUNED to the series so the gate stays meaningful at every
+    * scale factor (a fixed μ saturates the alarms the moment the rate
+    * grows 10×): μ = ⌊total/periods⌋, and since counting noise scales
+    * as √μ (Poisson), κ = ⌊√μ⌋ ≈ 1σ and h = 3⌊√μ⌋ ≈ 3σ — the
+    * textbook half-σ-per-step/3σ-threshold shape in integer form.
+    * Exact integer arithmetic end to end (integer mean, IEEE sqrt of
+    * an integer-valued double floors identically in any engine — the
+    * temperature-sample isqrt precedent), replayed by the oracle from
+    * scratch. Alarms fire without saturating at BOTH gate SFs (17 up
+    * at sf0.01; 1 up + 2 down at sf0.1).
     */
   val qCusum = Q("q_cusum",
-    (s, dir) => DataQuality.cusumCounts(t(s, dir, "events"),
-      unix_millis(col("ts")), periodMs = 3600000L,
-      mu = 14L, kappa = 2L, h = 10L),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val st = ev
+        .select(expr("unix_millis(ts) div 3600000").as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("np")).head()
+      val mu = st.getLong(0) / st.getLong(1)
+      val sig = math.floor(math.sqrt(mu.toDouble)).toLong
+      DataQuality.cusumCounts(ev, unix_millis(col("ts")),
+        periodMs = 3600000L, mu = mu, kappa = sig,
+        h = math.max(1L, 3L * sig))
+    },
     Some("""WITH s AS (
         SELECT epoch_ms(ts) // 3600000 AS period, count(*) AS n
         FROM events GROUP BY 1),
+      m AS (SELECT CAST(sum(n) AS BIGINT) // count(*) AS mu FROM s),
+      m2 AS (SELECT mu,
+          CAST(floor(sqrt(mu::DOUBLE)) AS BIGINT) AS sig FROM m),
       w1 AS (
         SELECT period, n,
-          sum(n - 14 - 2) OVER (ORDER BY period) AS sp,
-          sum(14 - n - 2) OVER (ORDER BY period) AS sn
+          sum(n - (SELECT mu FROM m2) - (SELECT sig FROM m2))
+            OVER (ORDER BY period) AS sp,
+          sum((SELECT mu FROM m2) - n - (SELECT sig FROM m2))
+            OVER (ORDER BY period) AS sn
         FROM s),
       w AS (
         SELECT period, n, sp, sn,
@@ -664,8 +684,10 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
       SELECT period, n,
         CAST(sp - least(msp, 0) AS BIGINT) AS cusum_pos,
         CAST(sn - least(msn, 0) AS BIGINT) AS cusum_neg,
-        (sp - least(msp, 0)) > 10 AS alarm_up,
-        (sn - least(msn, 0)) > 10 AS alarm_down
+        (sp - least(msp, 0)) > greatest(1, 3 * (SELECT sig FROM m2))
+          AS alarm_up,
+        (sn - least(msn, 0)) > greatest(1, 3 * (SELECT sig FROM m2))
+          AS alarm_down
       FROM w"""))
 
   /** Exact two-sample Kolmogorov–Smirnov ([[DataQuality.ksTest]])

@@ -239,7 +239,14 @@ object Sf1EqBench {
               pmod(col("doc_id"), lit(4)).cast("string")),
             "source", Seq("doc_id"),
             Seq("0" -> 2500000L, "1" -> 500000L, "2" -> 1000000L)),
-          Seq("doc_id", "epoch_copy"), shardSize = 1024L)))
+          Seq("doc_id", "epoch_copy"), shardSize = 1024L)),
+        // r13: char-level entropy — the round's heaviest new scan
+        // shape (per-char explode); the shuffle carries (id, char,
+        // count), bounded by each doc's alphabet after the map-side
+        // collapse, so the budget line checks the explode stays
+        // scan-proportional
+        "char_entropy" -> (s => graft.ext.TextOps.charEntropy(
+          docs(s), "doc_id", "text")))
 
     def release(): Unit = {
       spark.catalog.clearCache()
