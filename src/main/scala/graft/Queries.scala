@@ -54,8 +54,8 @@ object Queries
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qEmbeddingCard,
-    qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qRetention,
-    qTransitions,
+    qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qFunnelSummary,
+    qSessionStats, qRetention, qTransitions,
     qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
     qBpeFertility, qHeavyHitters,

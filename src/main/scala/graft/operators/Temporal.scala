@@ -259,6 +259,72 @@ object Temporal {
     * @return (from_type, to_type, n, p_ppm) — p_ppm normalized over
     *         each from_type's outgoing transitions
     */
+  /** Conversion card over a [[funnel]] (or [[funnelAnyTouch]]-shaped)
+    * relation: one row per step with how many entities reached it and
+    * the step-over-step conversion in exact integer ppm — the summary
+    * a dashboard shows above the per-entity relation. Step 1's
+    * "previous" is itself (conversion 10⁶ when anyone enters), so the
+    * column is never NULL on a populated funnel. One conditional-count
+    * aggregate + a constant-size `stack` — cost is one pass over the
+    * (already entity-sized) funnel relation.
+    */
+  def funnelSummary(funnel: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSummary needs the step list")
+    val aggs = steps.indices.map(i =>
+      count(when(col("steps_completed") >= i + 1, 1)).as(s"__n${i + 1}"))
+    val row = funnel.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = steps.indices.map { i =>
+      val prev = if (i == 0) "__n1" else s"__n$i"
+      s"${i + 1}, '${steps(i).replace("'", "''")}', __n${i + 1}, $prev"
+    }.mkString(", ")
+    row.select(expr(s"stack(${steps.length}, $stackArgs) " +
+        "AS (step, step_name, n_reached, __n_prev)"))
+      .select(col("step").cast("int").as("step"), col("step_name"),
+        col("n_reached"),
+        when(col("__n_prev") > 0,
+          expr("(n_reached * 1000000) div __n_prev"))
+          .otherwise(lit(0)).cast("long").as("conv_from_prev_ppm"))
+  }
+
+  /** Session summary card over gap-based sessions: volume plus EXACT
+    * median events-per-session and median session SPAN (last event −
+    * first event; `session_window`'s end is last + gap, so the gap is
+    * subtracted back out). Medians via
+    * [[graft.ext.Prefix.groupPercentiles]] — distributed rank over the
+    * session relation, no value-buffering aggregate — rounded 2dp in
+    * the portable floor form so the card hash-matches any engine
+    * replaying the interpolation.
+    *
+    * @param gap   the `session_window` gap expression (e.g.
+    *              "30 minutes")
+    * @param gapMs the same gap in ms (subtracted from window end)
+    * @return one row: (n_sessions, n_entities, p50_events,
+    *         p50_span_ms)
+    */
+  def sessionStats(events: DataFrame, entityCol: String, tsCol: Column,
+                   gap: String, gapMs: Long): DataFrame = {
+    // "__ev", not "__n": groupPercentiles binds its own "__n" internally
+    val sessions = events
+      .groupBy(session_window(tsCol, gap), col(entityCol).as("__e"))
+      .agg(count(lit(1)).as("__ev"))
+      .select(col("__e"), col("__ev"),
+        (unix_millis(col("session_window.end")) - gapMs -
+          unix_millis(col("session_window.start"))).as("__span"))
+    def p50(value: Column, out: String) =
+      graft.ext.Prefix.groupPercentiles(
+        sessions.withColumn("__g", lit(1)), Seq("__g"), value,
+        tiebreak = Seq(col("__e"), col("__span"), col("__ev")),
+        ps = Seq(0.5 -> out)).select(col(out))
+    def r2(c: Column) = floor(c * 100 + 0.5) / 100
+    sessions.agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("__e")).as("n_entities"))
+      .crossJoin(broadcast(p50(col("__ev").cast("double"), "p50_events")))
+      .crossJoin(broadcast(p50(col("__span").cast("double"), "p50_span_ms")))
+      .select(col("n_sessions"), col("n_entities"),
+        r2(col("p50_events")).as("p50_events"),
+        r2(col("p50_span_ms")).as("p50_span_ms"))
+  }
+
   def transitionMatrix(events: DataFrame, entityCol: String,
                        typeCol: String, tsCol: Column,
                        tiebreak: Seq[Column]): DataFrame = {

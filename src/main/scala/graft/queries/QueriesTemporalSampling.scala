@@ -140,6 +140,113 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
         + (CASE WHEN t_4 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed
       FROM s4"""))
 
+  /** Conversion card over the q_funnel relation
+    * ([[graft.operators.Temporal.funnelSummary]]): per step, entities
+    * reaching it + step-over-step conversion in exact integer ppm.
+    */
+  val qFunnelSummary = Q("q_funnel_summary",
+    (s, dir) => graft.operators.Temporal.funnelSummary(
+      graft.operators.Temporal.funnel(t(s, dir, "events"),
+        "user_id", "event_type", unix_millis(col("ts")),
+        Seq("signup", "view", "click", "purchase"),
+        windowMs = Some(3600000L)),
+      Seq("signup", "view", "click", "purchase")),
+    Some("""WITH s1 AS (
+        SELECT user_id AS entity, min(epoch_ms(ts)) AS t_1
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT s1.entity, s1.t_1,
+          min(CASE WHEN epoch_ms(e.ts) > s1.t_1
+                    AND epoch_ms(e.ts) <= s1.t_1 + 3600000
+                   THEN epoch_ms(e.ts) END) AS t_2
+        FROM s1 LEFT JOIN events e
+          ON e.user_id = s1.entity AND e.event_type = 'view'
+        GROUP BY 1, 2),
+      s3 AS (
+        SELECT s2.entity, s2.t_1, s2.t_2,
+          min(CASE WHEN epoch_ms(e.ts) > s2.t_2
+                    AND epoch_ms(e.ts) <= s2.t_1 + 3600000
+                   THEN epoch_ms(e.ts) END) AS t_3
+        FROM s2 LEFT JOIN events e
+          ON e.user_id = s2.entity AND e.event_type = 'click'
+        GROUP BY 1, 2, 3),
+      s4 AS (
+        SELECT s3.entity, s3.t_1, s3.t_2, s3.t_3,
+          min(CASE WHEN epoch_ms(e.ts) > s3.t_3
+                    AND epoch_ms(e.ts) <= s3.t_1 + 3600000
+                   THEN epoch_ms(e.ts) END) AS t_4
+        FROM s3 LEFT JOIN events e
+          ON e.user_id = s3.entity AND e.event_type = 'purchase'
+        GROUP BY 1, 2, 3, 4),
+      card AS (
+        SELECT
+          count(CASE WHEN t_1 IS NOT NULL THEN 1 END) AS n1,
+          count(CASE WHEN t_2 IS NOT NULL THEN 1 END) AS n2,
+          count(CASE WHEN t_3 IS NOT NULL THEN 1 END) AS n3,
+          count(CASE WHEN t_4 IS NOT NULL THEN 1 END) AS n4
+        FROM s4),
+      u AS (
+        SELECT 1 AS step, 'signup' AS step_name, n1 AS n_reached,
+          n1 AS n_prev FROM card
+        UNION ALL SELECT 2, 'view', n2, n1 FROM card
+        UNION ALL SELECT 3, 'click', n3, n2 FROM card
+        UNION ALL SELECT 4, 'purchase', n4, n3 FROM card)
+      SELECT step, step_name, CAST(n_reached AS BIGINT) AS n_reached,
+        CASE WHEN n_prev > 0 THEN (n_reached * 1000000) // n_prev
+             ELSE 0 END AS conv_from_prev_ppm
+      FROM u"""))
+
+  /** Session summary card ([[graft.operators.Temporal.sessionStats]])
+    * over the q_sessionize 30-minute sessions: volume + EXACT median
+    * events-per-session and session span (the oracle rebuilds the
+    * sessions gaps-and-islands style and replays Spark's percentile
+    * interpolation over both sorted lists).
+    */
+  val qSessionStats = Q("q_session_stats",
+    (s, dir) => graft.operators.Temporal.sessionStats(
+      t(s, dir, "events"), "user_id", col("ts"),
+      gap = "30 minutes", gapMs = 1800000L),
+    Some("""WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS brk
+        FROM events),
+      s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM x),
+      sess AS (
+        SELECT user_id, count(*) AS n,
+          epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span
+        FROM s GROUP BY user_id, sid),
+      le AS (SELECT list(CAST(n AS DOUBLE) ORDER BY n) AS xs,
+               count(*) AS nn FROM sess),
+      ls AS (SELECT list(CAST(span AS DOUBLE) ORDER BY span) AS xs,
+               count(*) AS nn FROM sess),
+      pe AS (
+        SELECT CASE WHEN ceil(0.5::DOUBLE * (nn-1)) = floor(0.5::DOUBLE * (nn-1))
+          THEN xs[CAST(floor(0.5::DOUBLE * (nn-1)) AS BIGINT) + 1]
+          ELSE (ceil(0.5::DOUBLE * (nn-1)) - 0.5::DOUBLE * (nn-1))
+                 * xs[CAST(floor(0.5::DOUBLE * (nn-1)) AS BIGINT) + 1]
+             + (0.5::DOUBLE * (nn-1) - floor(0.5::DOUBLE * (nn-1)))
+                 * xs[CAST(floor(0.5::DOUBLE * (nn-1)) AS BIGINT) + 2]
+          END AS q FROM le),
+      ps AS (
+        SELECT CASE WHEN ceil(0.5::DOUBLE * (nn-1)) = floor(0.5::DOUBLE * (nn-1))
+          THEN xs[CAST(floor(0.5::DOUBLE * (nn-1)) AS BIGINT) + 1]
+          ELSE (ceil(0.5::DOUBLE * (nn-1)) - 0.5::DOUBLE * (nn-1))
+                 * xs[CAST(floor(0.5::DOUBLE * (nn-1)) AS BIGINT) + 1]
+             + (0.5::DOUBLE * (nn-1) - floor(0.5::DOUBLE * (nn-1)))
+                 * xs[CAST(floor(0.5::DOUBLE * (nn-1)) AS BIGINT) + 2]
+          END AS q FROM ls)
+      SELECT (SELECT count(*) FROM sess) AS n_sessions,
+        (SELECT count(DISTINCT user_id) FROM sess) AS n_entities,
+        floor((SELECT q FROM pe) * 100 + 0.5) / 100 AS p50_events,
+        floor((SELECT q FROM ps) * 100 + 0.5) / 100 AS p50_span_ms"""))
+
   /** ANY-TOUCH windowed funnel ([[graft.operators.Temporal
     * .funnelAnyTouch]]): does ANY strictly-ordered signup→view→click→
     * purchase chain fit in one hour — the existence question

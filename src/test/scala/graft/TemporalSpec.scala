@@ -269,6 +269,50 @@ class TemporalSpec extends AnyFunSuite {
       s"unbalanced folds: $groupsPerFold")
   }
 
+  test("funnelSummary: reach counts, step-over-step ppm, empty funnel zeros") {
+    val f = Seq(
+      (1L, 4), (2L, 4), (3L, 2), (4L, 1), (5L, 0))
+      .toDF("entity", "steps_completed")
+    val out = graft.operators.Temporal.funnelSummary(
+      f, Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getAs[Long]("n_reached"),
+          r.getAs[Long]("conv_from_prev_ppm")))).toMap
+    // reached: >=1: 4, >=2: 3, >=3: 2, >=4: 2
+    assert(out(1) == (("a", 4L, 1000000L)))
+    assert(out(2) == (("b", 3L, 750000L)))
+    assert(out(3) == (("c", 2L, 666666L)))
+    assert(out(4) == (("d", 2L, 1000000L)))
+    // nobody enters: all counts and conversions are 0, no division blowup
+    val empty = graft.operators.Temporal.funnelSummary(
+      Seq((1L, 0)).toDF("entity", "steps_completed"), Seq("a", "b"))
+      .collect()
+    assert(empty.forall(r => r.getAs[Long]("n_reached") == 0L &&
+      r.getAs[Long]("conv_from_prev_ppm") == 0L))
+  }
+
+  test("sessionStats: hand-computed card over planted sessions") {
+    // u1: 3 sessions (3 events spanning 10 min, 1 event, 2 events
+    // spanning 5 min); u2: 1 session of 1 event. gap 30 min.
+    val min = 60000L
+    val ev = Seq(
+      (1L, 0L), (1L, 5 * min), (1L, 10 * min),
+      (1L, 120 * min),
+      (1L, 240 * min), (1L, 245 * min),
+      (2L, 0L))
+      .toDF("u", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val r = graft.operators.Temporal.sessionStats(
+      ev, "u", col("ts"), gap = "30 minutes", gapMs = 1800000L)
+      .collect().head
+    assert(r.getAs[Long]("n_sessions") == 4L)
+    assert(r.getAs[Long]("n_entities") == 2L)
+    // events per session sorted: 1,1,2,3 -> p50 = 1.5
+    assert(r.getAs[Double]("p50_events") == 1.5)
+    // spans sorted: 0, 0, 5min, 10min -> p50 = 2.5 min
+    assert(r.getAs[Double]("p50_span_ms") == 2.5 * min)
+  }
+
   test("transitionMatrix: hand-computed pairs, terminal events dropped, ppm normalization, tiebreak order") {
     // u1: a -> b -> a ; u2: a -> b ; u3: b (terminal only, no pair)
     // pairs: (a,b) x2, (b,a) x1. from a: 2 total; from b: 1 total.
