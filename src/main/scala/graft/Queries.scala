@@ -70,7 +70,8 @@ object Queries
     qGroupingSets, qArrayFuncs, qSubqueries, qSaltedJoin, qSkewCard,
     qStratified, qKmeans,
     qKmeansAssign,
-    qTimeTravel, qDataQuality, qRefIntegrity, qOutliersMad, qCusum,
+    qTimeTravel, qDataQuality, qProfile, qRefIntegrity, qOutliersMad,
+    qCusum,
     qKsTest, qKsBySlice, qPsiDrift, qPsiDriftSeries, qPsiDriftCat,
     qPsiDriftCatSeries, qZorderValue, qZorderPrune,
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,

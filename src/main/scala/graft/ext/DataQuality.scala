@@ -523,6 +523,48 @@ object DataQuality {
       .drop("__sp", "__sn")
   }
 
+  /** Table profiling card — per-column completeness and cardinality in
+    * ONE scan (the summary every DQ tool opens with, and the input to
+    * choosing keys, partition columns, and [[refIntegrity]] targets):
+    * one row per column with exact null count/ppm and the distinct
+    * count.
+    *
+    * Two modes, because exact multi-column distincts have a real
+    * plan cost: `approx = false` (default, the oracle-matched gate
+    * mode) uses exact `countDistinct` per column — Spark plans n
+    * distinct aggregates as an Expand of the scan (each row
+    * replicated once per distinct-aggregate, partially aggregated
+    * map-side), an n_cols× scan-side blowup that is fine for a
+    * profiling pass over a handful of columns but is the documented
+    * price; `approx = true` swaps in `approx_count_distinct`
+    * (HLL++, rsd 5%) — regular single-pass aggregates, no Expand,
+    * the 100 TB mode (estimates are engine-internal, so that mode is
+    * spec-checked against the exact mode's counts within the rsd
+    * bound rather than oracle-hashed — the q_hll convention).
+    *
+    * @return one row per column, in the given order: (column, n_rows,
+    *         n_null, null_ppm, n_distinct) — n_distinct counts
+    *         non-null values
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        (if (approx) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__nd_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'${c.replace("'", "''")}', __null_$c, __nd_$c").mkString(", ")
+    row.select(expr(s"stack(${cols.length}, $stackArgs) " +
+        "AS (column, n_null, n_distinct)"), col("__rows"))
+      .select(col("column"), col("__rows").as("n_rows"), col("n_null"),
+        when(col("__rows") > 0, expr("(n_null * 1000000) div __rows"))
+          .otherwise(lit(0)).cast("long").as("null_ppm"),
+        col("n_distinct"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov statistic between a reference
     * and a current snapshot — the distribution test with no dials at
     * all, completing the monitor family (PSI needs a bucket count and

@@ -536,6 +536,40 @@ private[graft] trait QueriesSqlMisc { this: Queries.type =>
         count(*) - count(DISTINCT o_orderkey) AS n_dup_key
       FROM orders"""))
 
+  /** Table profiling card ([[DataQuality.profile]], exact mode): per
+    * column, exact null count/ppm and distinct count in ONE scan (the
+    * approx HLL mode is the 100 TB path, spec-checked against this
+    * one's counts).
+    */
+  val qProfile = Q("q_profile",
+    (s, dir) => DataQuality.profile(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")),
+    Some("""WITH n AS (SELECT count(*) AS r FROM orders),
+      u AS (
+        SELECT 1 AS ord, 'o_orderkey' AS col,
+          count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_null,
+          count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL SELECT 2, 'o_custkey',
+          count(CASE WHEN o_custkey IS NULL THEN 1 END),
+          count(DISTINCT o_custkey) FROM orders
+        UNION ALL SELECT 3, 'o_orderstatus',
+          count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+          count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL SELECT 4, 'o_totalprice',
+          count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+          count(DISTINCT o_totalprice) FROM orders
+        UNION ALL SELECT 5, 'o_orderpriority',
+          count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+          count(DISTINCT o_orderpriority) FROM orders)
+      SELECT u.col AS "column", (SELECT r FROM n) AS n_rows,
+        CAST(u.n_null AS BIGINT) AS n_null,
+        CASE WHEN (SELECT r FROM n) > 0
+          THEN (u.n_null * 1000000) // (SELECT r FROM n)
+          ELSE 0 END AS null_ppm,
+        CAST(u.n_distinct AS BIGINT) AS n_distinct
+      FROM u"""))
+
   /** Referential-integrity audit ([[DataQuality.refIntegrity]]): the
     * cross-relation constraint class `q_data_quality`'s row-local
     * checks can't express. Two relationships in one result: orders →

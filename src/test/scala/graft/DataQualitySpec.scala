@@ -362,6 +362,37 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("profile: exact per-column card; approx mode agrees within the HLL bound") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None),
+      (None, Some("b"))).toDF("k", "s")
+    val out = DataQuality.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Long]("n_rows") == 4L)
+    assert(out("k").getAs[Long]("n_null") == 1L)
+    assert(out("k").getAs[Long]("null_ppm") == 250000L)
+    assert(out("k").getAs[Long]("n_distinct") == 2L)
+    assert(out("s").getAs[Long]("n_null") == 1L)
+    assert(out("s").getAs[Long]("n_distinct") == 2L)
+    // approx mode: regular aggregates (no Expand), estimates within
+    // 3x the 5% default rsd of the exact counts on a larger fixture
+    val big = spark.range(10000)
+      .selectExpr("id % 997 AS k", "CAST(id % 37 AS STRING) AS s")
+    val exact = DataQuality.profile(big, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val est = DataQuality.profile(big, Seq("k", "s"), approx = true)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    for (c <- Seq("k", "s"))
+      assert(math.abs(est(c) - exact(c)) <= math.max(1L,
+        (0.15 * exact(c)).toLong), s"$c: ${est(c)} vs ${exact(c)}")
+    val plan = DataQuality.profile(big, Seq("k", "s"), approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx mode must not Expand the scan")
+    intercept[IllegalArgumentException] {
+      DataQuality.profile(df, Seq.empty)
+    }
+  }
+
   test("ksBySlice: per-slice statistics match per-slice ksTest; one-sided slices report NULL") {
     val refDf = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),

@@ -240,6 +240,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt key absent from the plan")
   }
 
+  test("fileSizeCard: counts, percentile, small-file threshold; refuses an empty dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fszcard").toString
+    // 5 part files of very different row counts -> different byte sizes
+    (1L to 4000L).toDF("id")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+      .write.mode("overwrite").parquet(dir)
+    spark.range(1).toDF("id").write.mode("append").parquet(dir)
+    val r = Layout.fileSizeCard(spark, dir, smallBytes = 1L << 20)
+      .collect().head
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length).sorted
+    assert(r.getAs[Long]("n_files") == sizes.length.toLong)
+    assert(r.getAs[Long]("total_bytes") == sizes.sum)
+    assert(r.getAs[Long]("p50_bytes") == sizes(sizes.length / 2))
+    assert(r.getAs[Long]("max_bytes") == sizes.last)
+    // every local test file is far under 1 MB -> all "small"
+    assert(r.getAs[Long]("n_small") == sizes.length.toLong)
+    assert(r.getAs[Long]("small_ppm") == 1000000L)
+    // a generous threshold flips none small
+    val r2row = Layout.fileSizeCard(spark, dir, smallBytes = 1L)
+      .collect().head
+    assert(r2row.getAs[Long]("n_small") == 0L &&
+      r2row.getAs[Long]("small_ppm") == 0L)
+    val empty = java.nio.file.Files.createTempDirectory("fszempty").toString
+    intercept[IllegalArgumentException] {
+      Layout.fileSizeCard(spark, empty)
+    }
+  }
+
   test("skewCard: hand-computed shares, exact percentiles of the key-count distribution") {
     import spark.implicits._
     // one hot key with 8 rows, seven singletons: counts sorted
