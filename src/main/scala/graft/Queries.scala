@@ -40,11 +40,13 @@ object Queries
     qTextStats, qTokenCount, qLangId, qScriptMix, qCharEntropy,
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
-    qDedupExact, qDedupNfc, qDedupJaccard, qDedupContainment,
+    qDedupExact, qDedupNfc, qDedupJaccard, qDedupJaccardPrefix,
+    qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupClusterSpectrum,
-    qDedupSurvivors, qDedupPassages,
+    qDedupSurvivors, qGraphDegreeCard, qGraphPagerank, qGraphCentral,
+    qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,
     qDedupSubstrExactLcp, qDedupSubstrRewrite,
@@ -53,7 +55,8 @@ object Queries
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
-    qEmbeddingCard,
+    qEmbeddingCard, qLabelAgreement, qLabelAgreementCells,
+    qLabelAgreementCard,
     qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qFunnelSummary,
     qSessionStats, qRetention, qTransitions,
     qPercentiles, qSample, qSampleFast,

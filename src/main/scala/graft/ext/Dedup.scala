@@ -152,6 +152,144 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jacc"))
   }
 
+  /** [[jaccardPairs]] with PREFIX FILTERING (Bayardo/Ma/Srikant 2007
+    * "Scaling Up All Pairs Similarity Search"; positional refinement
+    * from Xiao et al. 2008 PPJoin) — same output relation, structurally
+    * cheaper candidate generation.
+    *
+    * The plain inverted-index route joins EVERY posting of every
+    * shingle: a shingle shared by c documents contributes c² join rows,
+    * and a true near-dup pair meets once per shared shingle — ~τ·m
+    * redundant rows per pair that the aggregate then collapses. Prefix
+    * filtering keeps the exactness but indexes only a PREFIX of each
+    * document's shingle set under one global token order: if
+    * J(A,B) ≥ τ then |A∩B| ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉ = α, and two sets
+    * with |A∩B| ≥ α must collide inside their first |x|−α+1 tokens —
+    * so indexing the first |x|−⌈τ·|x|⌉+1 tokens (α ≥ τ·|x| for every
+    * length-eligible partner) generates a candidate superset with NO
+    * recall loss. The global order is ascending document frequency
+    * (rarest shingle first, df then hash as tiebreak): prefixes are
+    * made of the rarest tokens, exactly the ones with the fewest
+    * postings collisions — Bayardo's measured big win, and it also
+    * starves boilerplate shingles out of every prefix, giving much of
+    * the `maxDocFreq` benefit without dropping signal.
+    *
+    * Candidates are then refined by the PPJoin positional bound before
+    * verification: the first common token in the global order sits at
+    * positions (pa, pb), every later common token sits strictly after
+    * it in BOTH sets, so |A∩B| ≤ 1 + min(m_a−pa, m_b−pb); pairs whose
+    * bound cannot reach α are discarded without touching their shingle
+    * sets. Verification joins the surviving pairs to per-document
+    * sorted hash arrays and computes the EXACT intersection with
+    * `array_intersect` — no approximation anywhere, so the result is
+    * row-identical to [[jaccardPairs]] (modulo the same vanishing
+    * within-document 64-bit collision caveat both routes share:
+    * posting-count vs distinct-array intersection could differ only if
+    * two distinct shingles of one doc collide in xxhash64).
+    *
+    * All threshold comparisons use float slack (±1e-9) on the SAFE
+    * side — a fuzzed ⌈·⌉ can only widen the prefix or weaken the
+    * bound, never drop a true pair.
+    *
+    * Scale shape: the hot self-join now carries only prefix postings
+    * (≈(1−τ) of the exploded relation, concentrated on RARE shingles),
+    * verification shuffles each doc's hash array once per surviving
+    * candidate. `maxDocFreq` composes as in [[jaccardPairs]] (same
+    * under-approximation semantics) but is no longer the load-bearing
+    * skew dial — the df-ordered prefix already refuses to index hot
+    * shingles unless a doc consists of almost nothing else.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, tau: Double,
+                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val shAll = explodedShingles(df, idCol, textCol, n)
+      .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64"))
+    val shPlan = if (maxDocFreq == Int.MaxValue) shAll else {
+      val hot = shAll.groupBy(col("sh64"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
+        .select(col("sh64"))
+      shAll.join(broadcast(hot), Seq("sh64"), "left_anti")
+    }
+    // one materialization, three consumers: docfreq, the ranked prefix,
+    // and the verification arrays
+    val sh = Materialize.multiScan(shPlan)
+    val dfreq = sh.groupBy(col("sh64")).agg(count(lit(1)).as("df_c"))
+    // global token order = (document frequency asc, hash asc): total and
+    // deterministic. row_number over the per-doc keyed window assigns
+    // each posting its position in the doc's ordered shingle set.
+    val ranked = sh.join(dfreq, Seq("sh64"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df_c"), col("sh64"))))
+    // prefix length m − ⌈τm⌉ + 1, float-slacked UP (longer prefix =
+    // more candidates, never fewer)
+    val prefix = Materialize.multiScan(ranked
+      .filter(col("pos") <= col("m") - lit(tau) * col("m") + lit(1.0 + 1e-9))
+      .select(col("id"), col("m"), col("sh64"), col("pos")))
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    // candidate = prefix collision + exact length-ratio prune, refined
+    // by the positional bound at the FIRST shared prefix token (min pos
+    // on both sides is realized by the same token — the global order is
+    // shared). α = ⌈τ/(1+τ)(m_a+m_b)⌉, compared with slack DOWN.
+    val cands = a.join(b,
+        col("a.sh64") === col("b.sh64") && col("a.id") < col("b.id") &&
+        col("a.m") >= col("b.m") * tau && col("b.m") >= col("a.m") * tau)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.m").as("m_a"), col("b.m").as("m_b"))
+      .agg(min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"))
+      .filter(lit(1) + least(col("m_a") - col("pa"), col("m_b") - col("pb"))
+        >= lit(tau / (1.0 + tau)) * (col("m_a") + col("m_b")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"), col("m_a"), col("m_b"))
+    // exact verification: sorted hash arrays per doc, intersection via
+    // array_intersect (codegen'd, hash-set per row)
+    val arrays = Materialize.multiScan(sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("sh64"))).as("arr")))
+    cands
+      .join(arrays.select(col("id").as("id_a"), col("arr").as("arr_a")), Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jacc", round(col("inter").cast("double") /
+        (col("m_a") + col("m_b") - col("inter")), 4))
+      .filter(col("jacc") >= tau)
+      .select(col("id_a"), col("id_b"), col("jacc"))
+  }
+
+  /** Candidate-pair counts for the two exact-Jaccard routes on the same
+    * input — the measured fact behind [[jaccardPairsPrefix]]'s existence:
+    * (full-index candidate pairs, prefix-index candidate pairs surviving
+    * the positional bound). Both counts are of DISTINCT (id_a, id_b)
+    * pairs entering verification; the true-pair count is the same for
+    * both (exactness), so the ratio is pure wasted-verification work.
+    */
+  def jaccardCandidateCounts(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, tau: Double): (Long, Long) = {
+    val shAll = Materialize.multiScan(
+      explodedShingles(df, idCol, textCol, n)
+        .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64")))
+    val full = shAll.as("a").join(shAll.as("b"),
+        col("a.sh64") === col("b.sh64") && col("a.id") < col("b.id") &&
+        col("a.m") >= col("b.m") * tau && col("b.m") >= col("a.m") * tau)
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val dfreq = shAll.groupBy(col("sh64")).agg(count(lit(1)).as("df_c"))
+    val prefix = Materialize.multiScan(shAll.join(dfreq, Seq("sh64"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df_c"), col("sh64"))))
+      .filter(col("pos") <= col("m") - lit(tau) * col("m") + lit(1.0 + 1e-9)))
+    val pref = prefix.as("a").join(prefix.as("b"),
+        col("a.sh64") === col("b.sh64") && col("a.id") < col("b.id") &&
+        col("a.m") >= col("b.m") * tau && col("b.m") >= col("a.m") * tau)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.m").as("m_a"), col("b.m").as("m_b"))
+      .agg(min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"))
+      .filter(lit(1) + least(col("m_a") - col("pa"), col("m_b") - col("pb"))
+        >= lit(tau / (1.0 + tau)) * (col("m_a") + col("m_b")) - lit(1e-9))
+      .count()
+    shAll.unpersist(); prefix.unpersist()
+    (full, pref)
+  }
+
   /** Asymmetric CONTAINMENT pairs — C(A→B) = |S(A) ∩ S(B)| / |S(A)|
     * ≥ tau: the doc-inside-doc relation symmetric Jaccard structurally
     * misses (Broder 1997's resemblance-vs-containment distinction). A

@@ -620,6 +620,108 @@ object Similarity {
       }.toMap
   }
 
+  /** kNN LABEL AGREEMENT — the confident-learning-style label-noise
+    * audit (Northcutt et al.'s intuition, reduced to its distributed
+    * core): for each audited vector, the fraction of its k nearest
+    * neighbors (cosine, self excluded) sharing its label, in integer
+    * basis points. A correctly-labeled point in a coherent class sits
+    * among same-label neighbors; agreement ≪ 50% marks a likely
+    * mislabel or a class-boundary straddler — the rows a training-set
+    * audit reads FIRST, because label noise is invisible to every
+    * text/dedup signal in this library.
+    *
+    * This is the EXACT probe-audit form: `probes` (the audit slice) is
+    * broadcast against the full corpus — linear in corpus × |probes|,
+    * the [[bruteForceTopK]] shape. Auditing the ENTIRE corpus this way
+    * is the n² trap; use [[labelAgreementCells]] for the full-corpus
+    * scale path.
+    *
+    * Denominator is the ACTUAL neighbor count (min(k, n−1)), so a
+    * smaller-than-k corpus still yields honest basis points; all
+    * arithmetic integer (floor `div`), oracle-replayable.
+    *
+    * @return (vec_id, label, n_same, n_nbrs, agreement_bp)
+    */
+  def labelAgreement(corpus: DataFrame, idCol: String, embCol: String,
+                     labelCol: String, k: Int,
+                     probes: DataFrame): DataFrame = {
+    val topk = bruteForceTopK(
+      corpus.select(col(idCol).as("id"), col(embCol).as("embedding")),
+      probes.select(col(idCol).as("id"), col(embCol).as("embedding")), k)
+    agreementOf(topk
+      .select(col("query_id"), col("nn_id")), corpus, idCol, labelCol)
+  }
+
+  /** Full-corpus label agreement restricted to IVF cells: every vector
+    * is assigned to its nearest of `nCells` deterministic centroids
+    * (lowest-id vectors, cosine ties to the lower centroid id — the
+    * [[diversitySample]] convention) and neighbors are searched WITHIN
+    * the cell only. Approximate where a true neighbor lives across a
+    * cell boundary, but the audit signal survives: a mislabeled point's
+    * cell-mates are still overwhelmingly the other class. Cost is
+    * Σ|cell|² — run with nCells ∝ n (the IVF √n rule) so cells stay
+    * bounded and the join linear-ish; no broadcast of the corpus
+    * anywhere. Vectors alone in their cell have no neighbors and are
+    * absent from the output (no evidence either way).
+    *
+    * @return (vec_id, label, n_same, n_nbrs, agreement_bp)
+    */
+  def labelAgreementCells(corpus: DataFrame, idCol: String, embCol: String,
+                          labelCol: String, k: Int,
+                          nCells: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col(embCol).as("cent"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = Materialize.multiScan(
+      corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+        .withColumn("cell", cellOf(col("emb"), cents)))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val scored = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("nn_id"),
+        round(cosine(col("a.emb"), col("b.emb")), 3).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    agreementOf(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id")), corpus, idCol, labelCol)
+  }
+
+  /** (query_id, nn_id) neighbor relation → per-query agreement stats
+    * against the corpus labels: two id-keyed label joins + one keyed
+    * aggregate, integer basis points.
+    */
+  private def agreementOf(nbrs: DataFrame, corpus: DataFrame,
+                          idCol: String, labelCol: String): DataFrame = {
+    val labels = corpus.select(col(idCol).as("id"), col(labelCol).as("l"))
+    nbrs
+      .join(labels.select(col("id").as("query_id"), col("l").as("label")),
+        Seq("query_id"))
+      .join(labels.select(col("id").as("nn_id"), col("l").as("nn_label")),
+        Seq("nn_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(when(col("nn_label") === col("label"), 1L).otherwise(0L))
+          .as("n_same"),
+        count(lit(1)).as("n_nbrs"))
+      .select(col("query_id").as("vec_id"), col("label"), col("n_same"),
+        col("n_nbrs"),
+        expr("(10000 * n_same) div n_nbrs").as("agreement_bp"))
+  }
+
+  /** Per-label roll-up of [[labelAgreementCells]]: audited count, mean
+    * agreement (integer bp), and the suspect count (< 50% agreement) —
+    * the one-glance "which class has dirty labels" card.
+    *
+    * @return (label, n_audited, mean_agreement_bp, n_suspect)
+    */
+  def labelAgreementCard(agreement: DataFrame): DataFrame =
+    agreement.groupBy(col("label")).agg(
+      count(lit(1)).as("n_audited"),
+      expr("sum(agreement_bp) div count(1)").as("mean_agreement_bp"),
+      sum(when(col("agreement_bp") < 5000, 1L).otherwise(0L)).as("n_suspect"))
+
   def embeddingCard(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String): DataFrame = {
     def r(c: Column, s: Int): Column = {

@@ -70,6 +70,20 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       GROUP BY a.doc_id, b.doc_id, a.m, b.m
       HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
 
+  /** Prefix-filtered route to the SAME relation as `dedup_ngram_jaccard`
+    * ([[Dedup.jaccardPairsPrefix]], Bayardo 2007 AllPairs + PPJoin
+    * positional bound): candidates from a document-frequency-ordered
+    * shingle prefix instead of the full inverted index, exact
+    * verification over per-doc hash arrays. Oracle is the identical
+    * full-join SQL — hash-matching it IS the losslessness proof on this
+    * fixture; the structural candidate reduction is measured in
+    * `ExtOpsSpec`/SCALE.md via [[Dedup.jaccardCandidateCounts]].
+    */
+  val qDedupJaccardPrefix = Q("dedup_jaccard_prefix",
+    (s, dir) => Dedup.jaccardPairsPrefix(t(s, dir, "documents"),
+      "doc_id", "text", n = 3, tau = 0.25),
+    qDedupJaccard.oracle)
+
   /** Asymmetric shingle containment ([[Dedup.containmentPairs]]): the
     * doc-inside-doc relation resemblance misses — C(A→B) = |S(A)∩S(B)|
     * / |S(A)|, both ordered directions per intersecting pair. On this
@@ -377,6 +391,73 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     },
     Some(s"""$clusterReachCte
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""))
+
+  /** Degree histogram of the near-dup pair graph ([[Graph.degreeCard]]):
+    * the one-glance template detector — near-all mass at degree 1-2 is
+    * pairwise copies; a heavy tail is boilerplate pairing across the
+    * corpus that the shingle dials missed.
+    */
+  val qGraphDegreeCard = Q("graph_degree_card",
+    (s, dir) => graft.ext.Graph.degreeCard(Dedup.jaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.25)),
+    Some(s"""$clusterReachCte,
+      deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+      SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree"""))
+
+  /** Unrolled integer-micro PageRank iterations r1..rN for the oracle:
+    * same floor-`div` recurrence as [[Graph.pageRank]], `//` in DuckDB.
+    * DuckDB sums BIGINT into HUGEINT, hence the ::BIGINT cast back.
+    */
+  private def pagerankCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT e.dst AS id,
+               (150000 + (850000 * sum(r${i - 1}.r // d.deg)) // 1000000)::BIGINT AS r
+        FROM edges e JOIN r${i - 1} ON r${i - 1}.id = e.src
+        JOIN deg d ON d.id = e.src
+        GROUP BY e.dst)"""
+    }.mkString(",\n      ")
+    s"""deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+      r0 AS (SELECT id, 1000000::BIGINT AS r FROM deg),
+      $rounds"""
+  }
+
+  /** Fixed-iteration PageRank over the pair graph ([[Graph.pageRank]],
+    * 5 rounds, damping 0.85, integer micros end to end): hub documents
+    * of the duplication structure. Exactly replayed by the oracle's
+    * unrolled `//` recurrence — possible only because the Spark side is
+    * integer arithmetic (long sums commute; a floating-point power
+    * iteration could not promise bit equality across engines).
+    */
+  val qGraphPagerank = Q("graph_pagerank",
+    (s, dir) => graft.ext.Graph.pageRank(Dedup.jaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.25), iters = 5),
+    Some(s"""$clusterReachCte,
+      ${pagerankCtes(5)}
+      SELECT id, r AS rank_micro FROM r5"""))
+
+  /** Centrality-based canonical pick ([[Graph.centralSurvivors]]): per
+    * dup cluster keep the highest-PageRank member (min id on ties) —
+    * the "most representative" survivor policy next to
+    * `dedup_survivors`' external-quality argmax.
+    */
+  val qGraphCentral = Q("graph_central",
+    (s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, tau = 0.25)
+      graft.ext.Graph.centralSurvivors(
+        Dedup.connectedComponents(pairs),
+        graft.ext.Graph.pageRank(pairs, iters = 5))
+    },
+    Some(s"""$clusterReachCte,
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      ${pagerankCtes(5)},
+      sel AS (
+        SELECT cl.cluster, r5.id, r5.r,
+               row_number() OVER (PARTITION BY cl.cluster
+                 ORDER BY r5.r DESC, r5.id ASC) AS rn
+        FROM cl JOIN r5 ON r5.id = cl.id)
+      SELECT cluster, id AS keep_id, r AS rank_micro FROM sel WHERE rn = 1"""))
 
   /** Duplication profile: the cluster-SIZE histogram over the whole
     * corpus (singletons included as size-1 clusters) — the one-glance
@@ -1055,6 +1136,88 @@ private[graft] trait QueriesDedup { this: Queries.type =>
                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS rank
         FROM scored)
       SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 10"""))
+
+  /** kNN label-noise audit ([[Similarity.labelAgreement]], exact
+    * probe-audit form): every 7th vector scored for k-nearest-neighbor
+    * label agreement against the full corpus — the confident-learning
+    * signal no text/dedup operator can see. Integer basis points,
+    * actual-neighbor denominator.
+    */
+  val qLabelAgreement = Q("label_agreement",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.labelAgreement(e, "vec_id", "embedding", "label", k = 5,
+        probes = e.filter(col("vec_id") % 7 === 0))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS ql
+        FROM embeddings WHERE vec_id % 7 = 0),
+      scored AS (
+        SELECT qid, ql, vec_id AS nn_id, label AS nl,
+               round(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) END, 3) AS sim
+        FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+      ranked AS (
+        SELECT qid, ql, nl,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS rank
+        FROM scored)
+      SELECT qid AS vec_id, ql AS label,
+             sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::BIGINT AS n_same,
+             count(*)::BIGINT AS n_nbrs,
+             ((10000 * sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)) // count(*))::BIGINT AS agreement_bp
+      FROM ranked WHERE rank <= 5 GROUP BY qid, ql"""))
+
+  /** Shared CTE: cell-restricted kNN agreement rows (the
+    * [[Similarity.labelAgreementCells]] relation) — centroid assignment
+    * exactly as `q_diversity_sample`'s oracle, then within-cell ranking.
+    */
+  private val labelAgreementCellsSql = """WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM embeddings
+        ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.cent::DOUBLE[]) END DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cell AS (SELECT vec_id, label, embedding, cid AS cell FROM assign WHERE rn = 1),
+      scored AS (
+        SELECT a.vec_id AS qid, a.label AS ql, b.vec_id AS nn_id, b.label AS nl,
+               round(CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 3) AS sim
+        FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT qid, ql, nl,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS rank
+        FROM scored),
+      agreement AS (
+        SELECT qid AS vec_id, ql AS label,
+               sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::BIGINT AS n_same,
+               count(*)::BIGINT AS n_nbrs,
+               ((10000 * sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)) // count(*))::BIGINT AS agreement_bp
+        FROM ranked WHERE rank <= 5 GROUP BY qid, ql)"""
+
+  /** Full-corpus label audit on the IVF-cell scale path
+    * ([[Similarity.labelAgreementCells]]): neighbors within the
+    * vector's own deterministic cell — no corpus broadcast, Σ|cell|²
+    * join cost, the form that survives nCells ∝ n.
+    */
+  val qLabelAgreementCells = Q("label_agreement_cells",
+    (s, dir) => Similarity.labelAgreementCells(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", k = 5, nCells = 8),
+    Some(s"""$labelAgreementCellsSql
+      SELECT vec_id, label, n_same, n_nbrs, agreement_bp FROM agreement"""))
+
+  /** Per-label label-noise card ([[Similarity.labelAgreementCard]]):
+    * which class has dirty labels, in one glance.
+    */
+  val qLabelAgreementCard = Q("label_agreement_card",
+    (s, dir) => Similarity.labelAgreementCard(
+      Similarity.labelAgreementCells(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 5, nCells = 8)),
+    Some(s"""$labelAgreementCellsSql
+      SELECT label, count(*)::BIGINT AS n_audited,
+             (sum(agreement_bp) // count(*))::BIGINT AS mean_agreement_bp,
+             sum(CASE WHEN agreement_bp < 5000 THEN 1 ELSE 0 END)::BIGINT AS n_suspect
+      FROM agreement GROUP BY label"""))
 
   val qEmbeddingNearDup = Q("dedup_embedding",
     (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),

@@ -174,6 +174,11 @@ object ScaleBench {
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "jaccardPairs" -> (s => graft.ext.Dedup.jaccardPairs(
         docs(s), "doc_id", "text", n = 3, tau = 0.25)),
+      // prefix-filtered route to the identical relation (AllPairs +
+      // positional bound): same tau, same output rows — the wall/row
+      // delta vs jaccardPairs is pure candidate-generation structure
+      "jaccardPrefix" -> (s => graft.ext.Dedup.jaccardPairsPrefix(
+        docs(s), "doc_id", "text", n = 3, tau = 0.25)),
       "minhashCandidates" -> (s => graft.ext.Dedup.minhashCandidates(
         graft.ext.Dedup.minhashSignatures(docs(s), "doc_id", "text",
           n = 3, k = 64), k = 64, bands = 16)

@@ -113,6 +113,13 @@ object SkewBench {
         docs(s), "doc_id", "text", n = 3, tau = 0.25)),
       "jaccardPairs maxDocFreq=100" -> (s => graft.ext.Dedup.jaccardPairs(
         docs(s), "doc_id", "text", n = 3, tau = 0.25, maxDocFreq = 100)),
+      // the prefix-filtered route needs NO dial here and stays EXACT:
+      // document-frequency order ranks the 10 hot shingles LAST in
+      // every document, outside every prefix (length (1-τ)m+1), so the
+      // c² postings never enter the candidate join — the structural
+      // answer to the shape maxDocFreq answers by under-approximating
+      "jaccardPrefix un-dialed (exact)" -> (s => graft.ext.Dedup
+        .jaccardPairsPrefix(docs(s), "doc_id", "text", n = 3, tau = 0.25)),
       // containment has NO length-ratio prune (see containmentPairs
       // scaladoc), so the hot-shingle c² blowup hits it with nothing
       // else in the way — the dial is not an optimization here but the

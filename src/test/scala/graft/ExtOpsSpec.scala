@@ -34,6 +34,73 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(cands.nonEmpty)
   }
 
+  test("prefix-filtered jaccard route is row-identical to the full index") {
+    val docs = Tables.documents(spark, sf)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (tau <- Seq(0.25, 0.5, 0.8)) {
+      val full = rows(Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = tau))
+      val pref = rows(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 3, tau = tau))
+      assert(pref == full, s"tau=$tau: prefix route diverged " +
+        s"(only-full=${(full -- pref).take(3)}, only-prefix=${(pref -- full).take(3)})")
+    }
+    // maxDocFreq composes with the same under-approximation semantics
+    val fullCap = rows(Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      tau = 0.25, maxDocFreq = 5))
+    val prefCap = rows(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 3,
+      tau = 0.25, maxDocFreq = 5))
+    assert(prefCap == fullCap)
+  }
+
+  test("prefix filter keeps pairs sitting exactly on the threshold") {
+    import spark.implicits._
+    // 1-shingles = words: set overlaps are constructed exactly.
+    // J({a,b,c},{a,b,d}) = 2/4 = 0.5 — equality at tau must survive the
+    // float-slacked prefix length and positional bound.
+    // J({a,b},{a,b,c,d}) = 0.5 hits the length-ratio boundary m_a = tau*m_b.
+    // {x1} vs {x1} (J=1, m=1: prefix length 1-1+1=1) pins the tiny-set path.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"),
+      (3L, "a b"), (4L, "a b c d"),
+      (5L, "x1"), (6L, "x1"),
+      (7L, "q r s t u v w x")).toDF("doc_id", "text")
+    for (tau <- Seq(0.5, 0.25, 0.75, 1.0)) {
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 1, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == full, s"tau=$tau: $pref vs $full")
+    }
+    // fuzz: seeded random word-sets across a vocabulary small enough to
+    // force heavy overlap — route equivalence on adversarial densities
+    val rnd = new scala.util.Random(7)
+    val fuzz = (0L until 60L).map { i =>
+      val sz = 1 + rnd.nextInt(12)
+      (i, Seq.fill(sz)(s"w${rnd.nextInt(20)}").distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.6, 0.9)) {
+      val full = Dedup.jaccardPairs(fuzz, "doc_id", "text", n = 1, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsPrefix(fuzz, "doc_id", "text", n = 1, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == full, s"fuzz tau=$tau diverged")
+    }
+  }
+
+  test("prefix candidate generation strictly undercuts the full index") {
+    val docs = Tables.documents(spark, sf)
+    val (full, pref) = Dedup.jaccardCandidateCounts(docs, "doc_id", "text",
+      n = 3, tau = 0.25)
+    // exactness means both candidate sets contain every true pair; the
+    // reduction is pure avoided verification work
+    val truePairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)
+      .count()
+    assert(pref >= truePairs, "candidates must cover every true pair")
+    assert(pref <= full, "prefix candidates are a subset relation in count")
+    assert(pref < full,
+      s"fixture must show a real reduction (full=$full pref=$pref)")
+  }
+
   test("containment catches the embedded quote that jaccard misses") {
     import spark.implicits._
     // host: 120 distinct words with a 20-word passage embedded; src: the

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Graph}
+
+/** Similarity-graph analytics: degrees, integer-micro PageRank
+  * (bit-checked against an independent in-test simulation of the same
+  * recurrence), centrality survivors.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def pairsDf(es: (Long, Long)*) =
+    es.toDF("id_a", "id_b").withColumn("jacc", lit(1.0))
+
+  /** Independent reimplementation of the pageRank recurrence on the
+    * driver (plain Scala longs): r'(u) = 150000 +
+    * (850000 * Σ_{v∼u} (r(v) / deg(v))) / 1e6, floor division
+    * throughout. The Spark result must match BIT FOR BIT — that is the
+    * integer-determinism contract the oracle replay relies on.
+    */
+  private def simulate(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (es ++ es.map(e => (e._2, e._1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var r = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters)
+      r = adj.keys.map { u =>
+        val s = adj(u).map(v => r(v) / deg(v)).sum
+        u -> (150000L + (850000L * s) / 1000000L)
+      }.toMap
+    r
+  }
+
+  test("degrees and degree card on a star graph") {
+    val p = pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val deg = Graph.degrees(p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg == Map(0L -> 4L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val card = Graph.degreeCard(p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(card == Map(4L -> 1L, 1L -> 4L))
+    // duplicate + reversed pair rows do not double edges
+    val noisy = pairsDf((0L, 1L), (1L, 0L), (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    assert(Graph.degrees(noisy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == deg)
+  }
+
+  test("pageRank matches the driver-side integer recurrence bit for bit") {
+    // star + triangle + isolated pair: hubs, symmetry, and a 2-cycle
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Graph.pageRank(pairsDf(es: _*), iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == simulate(es, iters), s"iters=$iters")
+    }
+    val r5 = Graph.pageRank(pairsDf(es: _*), 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // structure: star center above its leaves; leaves identical by
+    // symmetry; triangle members identical; 2-cycle at the fixpoint
+    // value 1_000_000 (each node forwards its whole rank)
+    assert(r5(0L) > r5(1L))
+    assert(Set(r5(1L), r5(2L), r5(3L), r5(4L)).size == 1)
+    assert(Set(r5(10L), r5(11L), r5(12L)).size == 1)
+    assert(r5(20L) == 1000000L && r5(21L) == 1000000L)
+  }
+
+  test("centralSurvivors keeps the hub, min id on rank ties") {
+    val p = pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (20L, 21L))
+    val cc = Dedup.connectedComponents(p)
+    val picks = Graph.centralSurvivors(cc, Graph.pageRank(p, 5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // star cluster (label 0): the center wins on rank; the symmetric
+    // 2-cycle (label 20) ties at 1_000_000 -> min id
+    assert(picks == Map(0L -> 0L, 20L -> 20L))
+  }
+
+  test("graph family runs end-to-end on the fixture pair relation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)
+    val ranks = Graph.pageRank(pairs, 5)
+    val nodes = Graph.degrees(pairs).count()
+    assert(ranks.count() == nodes, "one rank per graph node")
+    // ranks are positive and the card partitions the node set
+    assert(ranks.filter(col("rank_micro") <= 0).isEmpty)
+    assert(Graph.degreeCard(pairs).agg(sum("n_nodes")).as[Long].head() == nodes)
+    val surv = Graph.centralSurvivors(Dedup.connectedComponents(pairs), ranks)
+    assert(surv.count() > 0)
+    // exactly one survivor per cluster
+    assert(surv.groupBy("cluster").count().filter(col("count") =!= 1).isEmpty)
+  }
+}
