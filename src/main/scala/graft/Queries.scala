@@ -46,6 +46,7 @@ object Queries
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupClusters, qDedupClusterSpectrum,
     qDedupSurvivors, qGraphDegreeCard, qGraphPagerank, qGraphCentral,
+    qGraphTriangles, qGraphCard,
     qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,
@@ -56,7 +57,7 @@ object Queries
     qDecontamEmbedding,
     qAnnIvf, qAnnIvfTrained, qAnnPq, qAnnIvfPq, qAnnLsh, qDiversitySample,
     qEmbeddingCard, qLabelAgreement, qLabelAgreementCells,
-    qLabelAgreementCard,
+    qLabelAgreementCard, qLabelConfusion, qLabelKappa,
     qAsofJoin, qRangeJoin, qScd2, qFunnel, qFunnelAny, qFunnelSummary,
     qSessionStats, qRetention, qTransitions,
     qPercentiles, qSample, qSampleFast,

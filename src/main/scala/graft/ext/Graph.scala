@@ -91,6 +91,103 @@ object Graph {
     ranks
   }
 
+  /** Triangle enumeration via the degree-ordered "forward" algorithm
+    * (Chiba & Nishizeki 1985's edge-orientation idea in the form given
+    * by Schank & Wagner 2005): orient every canonical edge from its
+    * (degree, id)-SMALLER endpoint to the larger, enumerate wedges only
+    * at the smaller endpoint, and close a wedge iff the oriented edge
+    * between its two larger nodes exists. Each triangle is produced
+    * exactly once (its (degree, id)-minimal vertex owns it), and —
+    * the scale point — out-degrees under this orientation are bounded
+    * by O(√m), so a hub of degree d contributes O(√m · something)
+    * wedges instead of the d² an id-ordered self-join would enumerate
+    * at it: the orientation IS the skew defense, pushing hub wedges
+    * down to their low-degree neighbors. The closing-edge probe is an
+    * equi-join on (node, (degree,id) struct) — no inequality-only join
+    * anywhere.
+    *
+    * @return one row per triangle (id_x, id_y, id_z), x the owning
+    *         (degree,id)-minimal vertex
+    */
+  def triangles(pairs: DataFrame, idA: String = "id_a",
+                idB: String = "id_b"): DataFrame = {
+    val deg = degrees(pairs, idA, idB)
+    // canonicalize BEFORE distinct: a reversed duplicate row (b, a)
+    // must not survive as a second copy of the edge
+    val canon = pairs.select(least(col(idA), col(idB)).as("a"),
+      greatest(col(idA), col(idB)).as("b")).distinct()
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), Seq("b"))
+    val aKey = struct(col("da").as("d"), col("a").as("id"))
+    val bKey = struct(col("db").as("d"), col("b").as("id"))
+    val fwd = aKey < bKey
+    val oriented = Materialize.multiScan(withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, bKey).otherwise(aKey).as("v")))
+    oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("v1"), col("e2.v").as("v2"))
+      .join(oriented.as("e3"),
+        col("v1.id") === col("e3.u") && col("v2") === col("e3.v"))
+      .select(col("x").as("id_x"), col("v1.id").as("id_y"),
+        col("v2.id").as("id_z"))
+  }
+
+  /** Per-node triangle counts: (id, n_tri) — nodes in no triangle are
+    * absent (join with [[degrees]] via [[clusteringCard]] for zeros).
+    */
+  def triangleCounts(pairs: DataFrame, idA: String = "id_a",
+                     idB: String = "id_b"): DataFrame =
+    triangles(pairs, idA, idB)
+      .select(explode(array(col("id_x"), col("id_y"), col("id_z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+
+  /** Per-node local clustering coefficient card: (id, degree, n_tri,
+    * coef_bp) with coef_bp = ⌊10⁴ · 2·tri / (deg·(deg−1))⌋ (0 for
+    * degree-1 nodes). The local-structure complement of [[degreeCard]]:
+    * a hub with coef_bp near 10⁴ anchors a CLIQUE (one template family,
+    * safe to collapse to a single survivor); a hub near 0 is a STAR —
+    * a boilerplate fragment pairing with many otherwise-unrelated
+    * documents, where collapsing the whole component would destroy
+    * distinct content. Integer basis points, oracle-replayable.
+    */
+  def clusteringCard(pairs: DataFrame, idA: String = "id_a",
+                     idB: String = "id_b"): DataFrame =
+    degrees(pairs, idA, idB)
+      .join(triangleCounts(pairs, idA, idB), Seq("id"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("id"), col("degree"), col("n_tri"),
+        when(col("degree") >= 2,
+          expr("(10000 * 2 * n_tri) div (degree * (degree - 1))"))
+          .otherwise(0L).as("coef_bp"))
+
+  /** One-row whole-graph summary: node/edge/triangle/wedge counts and
+    * the global clustering coefficient ⌊10⁴ · 3·triangles / wedges⌋
+    * (transitivity). Wedges = Σ C(deg, 2), exact integer (deg·(deg−1)
+    * is even). The single-row output is three partial aggregates
+    * cross-joined — each SinglePartition sits above a bounded child.
+    */
+  def graphCard(pairs: DataFrame, idA: String = "id_a",
+                idB: String = "id_b"): DataFrame = {
+    val p = Materialize.multiScan(
+      pairs.select(least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b")).distinct())
+    val nodes = degrees(p, "a", "b").agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(expr("sum(degree * (degree - 1)) div 2"), lit(0L))
+        .as("n_wedges"))
+    val edges = p.agg(count(lit(1)).as("n_edges"))
+    val tris = triangles(p, "a", "b").agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(edges).crossJoin(tris)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          expr("(10000 * 3 * n_triangles) div n_wedges"))
+          .otherwise(0L).as("global_coef_bp"))
+  }
+
   /** Centrality-based canonical pick: per cluster keep the member with
     * the highest PageRank (min id on ties) — the "most representative"
     * policy, vs [[Dedup.survivors]]'s external quality-score argmax.

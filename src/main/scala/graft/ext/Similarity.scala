@@ -668,7 +668,19 @@ object Similarity {
     */
   def labelAgreementCells(corpus: DataFrame, idCol: String, embCol: String,
                           labelCol: String, k: Int,
-                          nCells: Int): DataFrame = {
+                          nCells: Int): DataFrame =
+    agreementOf(cellNeighbors(corpus, idCol, embCol, k, nCells),
+      corpus, idCol, labelCol)
+
+  /** The cell-restricted kNN relation shared by [[labelAgreementCells]]
+    * and [[labelConfusion]]: deterministic lowest-id centroids, cosine
+    * cell assignment, within-cell top-k by (rounded sim desc, id asc).
+    *
+    * @return (query_id, nn_id)
+    */
+  private def cellNeighbors(corpus: DataFrame, idCol: String,
+                            embCol: String, k: Int,
+                            nCells: Int): DataFrame = {
     ensureRegistered(corpus)
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(embCol).as("cent"))
@@ -684,9 +696,73 @@ object Similarity {
         round(cosine(col("a.emb"), col("b.emb")), 3).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)
-    agreementOf(scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id")), corpus, idCol, labelCol)
+      .select(col("query_id"), col("nn_id"))
+  }
+
+  /** kNN-predicted-label CONFUSION MATRIX on the cell-restricted scale
+    * path: each vector's predicted label is the MAJORITY label of its
+    * k within-cell neighbors (ties to the highest count, then the
+    * smaller label — fully deterministic), cross-tabulated against the
+    * given label. Where [[labelAgreement]] scores points one at a time,
+    * the confusion matrix shows the STRUCTURE of the noise: a hot
+    * off-diagonal cell (i, j) means class i systematically bleeds into
+    * class j — a merge candidate or an annotation-guideline defect, not
+    * random noise. Vectors alone in their cell have no neighbors and
+    * are absent (consistent with [[labelAgreementCells]]).
+    *
+    * @return (label, predicted_label, n)
+    */
+  def labelConfusion(corpus: DataFrame, idCol: String, embCol: String,
+                     labelCol: String, k: Int, nCells: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).as("id"), col(labelCol).as("l"))
+    val voted = cellNeighbors(corpus, idCol, embCol, k, nCells)
+      .join(labels.select(col("id").as("query_id"), col("l").as("label")),
+        Seq("query_id"))
+      .join(labels.select(col("id").as("nn_id"), col("l").as("nn_label")),
+        Seq("nn_id"))
+      .groupBy(col("query_id"), col("label"), col("nn_label"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("nn_label").asc)
+    voted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("nn_label").as("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cohen's kappa over a [[labelConfusion]] matrix, integer micros end
+    * to end: po = observed agreement, pe = chance agreement from the
+    * row×column margins, κ = (po − pe)/(1 − pe). All divisions are
+    * integral (`div`, truncation toward zero — DuckDB's `//` agrees on
+    * negatives, so a worse-than-chance negative κ replays exactly);
+    * κ is clamped to 10⁶ when pe saturates (single-class degenerate
+    * matrix, where κ is undefined and agreement is trivially perfect).
+    * κ corrects the "accuracy looks fine because one class dominates"
+    * failure of a raw agreement rate — the number to gate a labeled
+    * corpus on. Long arithmetic bounds the audited count at
+    * n ≤ ~3·10⁶ (10⁶·n² must fit a long); audit a sample beyond that.
+    *
+    * @return one row (n_total, n_agree, po_micro, pe_micro, kappa_micro)
+    */
+  def labelKappaCard(conf: DataFrame): DataFrame = {
+    val tot = conf.agg(sum(col("n")).as("n_total"),
+      sum(when(col("label") === col("predicted_label"), col("n"))
+        .otherwise(0L)).as("n_agree"))
+    val rowm = conf.groupBy(col("label")).agg(sum(col("n")).as("rn_"))
+    val colm = conf.groupBy(col("predicted_label").as("label"))
+      .agg(sum(col("n")).as("cn_"))
+    val rc = rowm.join(colm, Seq("label"))
+      .agg(coalesce(sum(expr("rn_ * cn_")), lit(0L)).as("rc"))
+    tot.crossJoin(rc)
+      .withColumn("po_micro", expr("(1000000 * n_agree) div n_total"))
+      .withColumn("pe_micro", expr("(1000000 * rc) div (n_total * n_total)"))
+      .select(col("n_total"), col("n_agree"), col("po_micro"),
+        col("pe_micro"),
+        when(col("pe_micro") >= 1000000L, lit(1000000L))
+          .otherwise(expr(
+            "(1000000 * (po_micro - pe_micro)) div (1000000 - pe_micro)"))
+          .as("kappa_micro"))
   }
 
   /** (query_id, nn_id) neighbor relation → per-query agreement stats

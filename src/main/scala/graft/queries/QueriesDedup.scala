@@ -459,6 +459,67 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         FROM cl JOIN r5 ON r5.id = cl.id)
       SELECT cluster, id AS keep_id, r AS rank_micro FROM sel WHERE rn = 1"""))
 
+  /** Shared oracle tail for the triangle queries: id-ordered 3-way
+    * enumeration over the canonical `pairs` relation (a<b<c — each
+    * triangle once) and per-node unnest. The Spark side enumerates
+    * under the DEGREE order instead ([[Graph.triangles]], the O(√m)
+    * out-degree bound); the triangle SET is orientation-invariant, so
+    * the hash match across the two enumeration orders is itself a
+    * cross-validation of the forward algorithm.
+    */
+  private val triangleCtes = """tri AS (
+        SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+        FROM pairs p1
+        JOIN pairs p2 ON p2.id_a = p1.id_b
+        JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+      tcnt AS (
+        SELECT id, count(*)::BIGINT AS n_tri FROM (
+          SELECT a AS id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY id),
+      deg AS (SELECT src AS id, count(*)::BIGINT AS degree
+              FROM edges GROUP BY 1)"""
+
+  /** Per-node local clustering coefficients over the near-dup pair
+    * graph ([[Graph.clusteringCard]]): clique hubs (coef→10⁴, one
+    * template family, safe to collapse) vs star hubs (coef→0, a shared
+    * boilerplate fragment across unrelated documents, where collapsing
+    * the component destroys content) — the distinction [[qGraphDegreeCard]]
+    * alone cannot make.
+    */
+  val qGraphTriangles = Q("graph_triangles",
+    (s, dir) => graft.ext.Graph.clusteringCard(Dedup.jaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.25)),
+    Some(s"""$clusterReachCte,
+      $triangleCtes
+      SELECT d.id, d.degree, coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+             CASE WHEN d.degree >= 2
+               THEN ((10000 * 2 * coalesce(t.n_tri, 0))
+                     // (d.degree * (d.degree - 1)))::BIGINT
+               ELSE 0::BIGINT END AS coef_bp
+      FROM deg d LEFT JOIN tcnt t ON t.id = d.id"""))
+
+  /** One-row whole-graph card ([[Graph.graphCard]]): nodes, edges,
+    * triangles, wedges, global transitivity in basis points.
+    */
+  val qGraphCard = Q("graph_card",
+    (s, dir) => graft.ext.Graph.graphCard(Dedup.jaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.25)),
+    Some(s"""$clusterReachCte,
+      $triangleCtes,
+      card AS (
+        SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+               (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+               (SELECT count(*) FROM tri)::BIGINT AS n_triangles,
+               ((SELECT coalesce(sum(degree * (degree - 1)), 0)
+                 FROM deg) // 2)::BIGINT AS n_wedges)
+      SELECT n_nodes, n_edges, n_triangles, n_wedges,
+             CASE WHEN n_wedges > 0
+               THEN ((10000 * 3 * n_triangles) // n_wedges)::BIGINT
+               ELSE 0::BIGINT END AS global_coef_bp
+      FROM card"""))
+
   /** Duplication profile: the cluster-SIZE histogram over the whole
     * corpus (singletons included as size-1 clusters) — the one-glance
     * answer to "how duplicated is this corpus": a heavy tail here
@@ -1218,6 +1279,65 @@ private[graft] trait QueriesDedup { this: Queries.type =>
              (sum(agreement_bp) // count(*))::BIGINT AS mean_agreement_bp,
              sum(CASE WHEN agreement_bp < 5000 THEN 1 ELSE 0 END)::BIGINT AS n_suspect
       FROM agreement GROUP BY label"""))
+
+  /** Shared oracle tail: majority-vote predicted labels from the
+    * cell-restricted kNN relation, cross-tabulated against the given
+    * label — the [[Similarity.labelConfusion]] relation.
+    */
+  private val labelConfusionSql = s"""$labelAgreementCellsSql,
+      votes AS (
+        SELECT qid, ql, nl, count(*) AS c FROM ranked WHERE rank <= 5
+        GROUP BY qid, ql, nl),
+      pick AS (
+        SELECT qid, ql AS label, nl AS predicted_label,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY c DESC, nl ASC) AS rn
+        FROM votes),
+      conf AS (
+        SELECT label, predicted_label, count(*)::BIGINT AS n
+        FROM pick WHERE rn = 1 GROUP BY 1, 2)"""
+
+  /** kNN-predicted-label confusion matrix ([[Similarity.labelConfusion]]):
+    * the STRUCTURE of the label noise — a hot off-diagonal (i, j) cell
+    * is class i systematically bleeding into class j.
+    */
+  val qLabelConfusion = Q("label_confusion",
+    (s, dir) => Similarity.labelConfusion(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", k = 5, nCells = 8),
+    Some(s"""$labelConfusionSql
+      SELECT label, predicted_label, n FROM conf"""))
+
+  /** Cohen's kappa over the confusion matrix
+    * ([[Similarity.labelKappaCard]], integer micros, truncation-
+    * toward-zero division in BOTH engines so even a negative kappa
+    * replays exactly): chance-corrected label quality in one number.
+    */
+  val qLabelKappa = Q("label_kappa",
+    (s, dir) => Similarity.labelKappaCard(
+      Similarity.labelConfusion(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 5, nCells = 8)),
+    Some(s"""$labelConfusionSql,
+      tot AS (
+        SELECT sum(n)::BIGINT AS n_total,
+               sum(CASE WHEN label = predicted_label THEN n
+                   ELSE 0 END)::BIGINT AS n_agree
+        FROM conf),
+      marg AS (
+        SELECT coalesce(sum(r.rn_ * c.cn_), 0)::BIGINT AS rc FROM
+          (SELECT label, sum(n) AS rn_ FROM conf GROUP BY 1) r
+          JOIN (SELECT predicted_label AS label, sum(n) AS cn_
+                FROM conf GROUP BY 1) c USING (label)),
+      pre AS (
+        SELECT n_total, n_agree,
+               ((1000000 * n_agree) // n_total)::BIGINT AS po_micro,
+               ((1000000 * rc) // (n_total * n_total))::BIGINT AS pe_micro
+        FROM tot, marg)
+      SELECT n_total, n_agree, po_micro, pe_micro,
+             (CASE WHEN pe_micro >= 1000000 THEN 1000000
+                   ELSE (1000000 * (po_micro - pe_micro))
+                        // (1000000 - pe_micro)
+              END)::BIGINT AS kappa_micro
+      FROM pre"""))
 
   val qEmbeddingNearDup = Q("dedup_embedding",
     (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),

@@ -79,6 +79,64 @@ class GraphSpec extends AnyFunSuite {
     assert(picks == Map(0L -> 0L, 20L -> 20L))
   }
 
+  test("triangles: clique, star, and pendant structures count exactly") {
+    // K4 clique: C(4,3) = 4 triangles, every node in 3, coef 10000
+    val k4 = pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(Graph.triangles(k4).count() == 4L)
+    val card = Graph.clusteringCard(k4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(card.values.toSet == Set((3L, 3L, 10000L)))
+    // star: zero triangles, hub coef 0, leaves degree-1 -> coef 0
+    val star = pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    assert(Graph.triangles(star).isEmpty)
+    val starCard = Graph.clusteringCard(star).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(starCard(0L) == ((4L, 0L, 0L)))
+    assert(starCard(1L) == ((1L, 0L, 0L)))
+    // triangle + pendant: the pendant edge joins one triangle node;
+    // that node has deg 3, 1 triangle -> coef 2/6 -> 3333 bp (floor)
+    val tp = pairsDf((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val tpCard = Graph.clusteringCard(tp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(tpCard(2L) == ((3L, 1L, 3333L)))
+    assert(tpCard(0L) == ((2L, 1L, 10000L)))
+    assert(tpCard(3L) == ((1L, 0L, 0L)))
+    // duplicate + reversed pair rows do not create phantom triangles
+    val noisy = pairsDf((0L, 1L), (1L, 0L), (1L, 2L), (0L, 2L), (2L, 0L), (2L, 3L))
+    assert(Graph.triangles(noisy).count() == 1L)
+  }
+
+  test("graphCard: counts and global transitivity on known shapes") {
+    // triangle + pendant: 4 nodes, 4 edges, 1 triangle,
+    // wedges = C(2,2)*2... deg = (2,2,3,1) -> sum d(d-1)/2 = (2+2+6+0)/2 = 5
+    // global = 3*1/5 -> 6000 bp
+    val tp = pairsDf((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val row = Graph.graphCard(tp).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((4L, 4L, 1L, 5L, 6000L)))
+    // star: wedges C(4,2)=6, zero triangles -> transitivity 0
+    val star = Graph.graphCard(pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+      .collect().head
+    assert((star.getLong(2), star.getLong(3), star.getLong(4)) == ((0L, 6L, 0L)))
+  }
+
+  test("degree-ordered enumeration agrees with id-ordered on the fixture") {
+    // the oracle enumerates triangles a<b<c by ID; the Spark side by
+    // the (degree, id) orientation — the triangle SET must be identical
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)
+      .select(col("id_a"), col("id_b")).cache()
+    val byDegree = Graph.triangles(pairs).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byId = for {
+      (a, b) <- p; (b2, c) <- p
+      if b2 == b && p.contains((a, c))
+    } yield Set(a, b, c)
+    assert(byDegree == byId)
+    pairs.unpersist()
+  }
+
   test("graph family runs end-to-end on the fixture pair relation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)

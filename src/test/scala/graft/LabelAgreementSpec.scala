@@ -72,6 +72,40 @@ class LabelAgreementSpec extends AnyFunSuite {
       "label", k = 3, nCells = 1).collect().isEmpty)
   }
 
+  test("confusion matrix isolates the mislabel's off-diagonal cell") {
+    val conf = Similarity.labelConfusion(fixture, "vec_id", "embedding",
+        "label", k = 4, nCells = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // id 5 carries label 1 but its cell-mates are all cluster A ->
+    // majority-vote prediction 0: the single (1, 0) cell. id 0 seeds
+    // centroid 0 and every other point sits closer to centroid 1
+    // (id 1's vector), so id 0 is a singleton cell and absent — 11
+    // audited of 12
+    assert(conf == Map((0, 0) -> 4L, (1, 0) -> 1L, (1, 1) -> 6L), s"got $conf")
+  }
+
+  test("kappa card: exact integer micros, clamps, and negative kappa") {
+    import spark.implicits._
+    val card = Similarity.labelKappaCard(
+      Similarity.labelConfusion(fixture, "vec_id", "embedding",
+        "label", k = 4, nCells = 2)).collect().head
+    // n=11 (id 0 is a singleton cell), agree=10 -> po = 10e6/11 =
+    // 909090 (floor); margins rows (4,7) x cols (5,6) -> rc = 4*5+7*6
+    // = 62, pe = 62e6/121 = 512396; kappa = 396694e6 div 487604 = 813557
+    assert((card.getLong(0), card.getLong(1), card.getLong(2),
+      card.getLong(3), card.getLong(4)) == ((11L, 10L, 909090L, 512396L, 813557L)))
+    // degenerate single-class matrix: pe saturates -> clamp to 1e6
+    val degen = Similarity.labelKappaCard(
+      Seq((0, 0, 10L)).toDF("label", "predicted_label", "n")).collect().head
+    assert(degen.getLong(4) == 1000000L)
+    // perfectly anti-diagonal: worse than chance, kappa = -1e6 exactly
+    // (truncation-toward-zero division agrees across engines)
+    val anti = Similarity.labelKappaCard(
+      Seq((0, 1, 5L), (1, 0, 5L)).toDF("label", "predicted_label", "n"))
+      .collect().head
+    assert(anti.getLong(4) == -1000000L)
+  }
+
   test("card rolls up per label with floor-div mean") {
     val e = fixture
     val card = Similarity.labelAgreementCard(
