@@ -44,9 +44,11 @@ object Queries
     qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,
-    qDedupMinhashIncremental, qDedupClusters, qDedupClusterSpectrum,
+    qDedupMinhashIncremental, qDedupMinhashOph, qDedupMinhashBbit,
+    qLshPlan,
+    qDedupClusters, qDedupClusterSpectrum,
     qDedupSurvivors, qGraphDegreeCard, qGraphPagerank, qGraphCentral,
-    qGraphTriangles, qGraphCard,
+    qGraphTriangles, qGraphCard, qGraphKcore, qGraphAssortativity,
     qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,

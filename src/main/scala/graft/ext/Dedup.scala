@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -615,6 +615,56 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
+  /** ONE-PERMUTATION MinHash signatures (Li, Owen & Zhang 2012) with
+    * rotation densification (Shrivastava & Li 2014): ONE portable hash
+    * evaluation per shingle instead of k. The 32-bit hash is split into
+    * a bin (h mod k — which signature position the shingle competes
+    * for) and a value (h div k — what it competes with); each bin keeps
+    * its minimum, and empty bins borrow cyclically via the codegen'd
+    * [[graft.functions.OphDensify]] expression (offset hop·C, C above
+    * any native value, so borrowed and native values never alias across
+    * different hops).
+    *
+    * Why this exists next to [[minhashSignatures]]: at corpus scale
+    * minhashing is HASH-dominated — the classic form evaluates k
+    * universal-hash expressions per exploded shingle (k multiply-mods
+    * per shingle per row even with the single-pass aggregate), OPH
+    * evaluates one md5 + one divmod. The price is one extra keyed
+    * exchange of ≤ k (bin, min) longs per document between the two
+    * aggregations — rows already collapsed k×-to-bins by the map-side
+    * partial min, the textbook trade when per-byte CPU is the
+    * bottleneck. Collision semantics: position-wise collision
+    * probability is Jaccard within each bin (same fixed permutation by
+    * h order), densified positions inherit it from the borrowed bin —
+    * the standard OPH estimator, banded by the SAME
+    * [[minhashCandidates]] machinery (signatures are interchangeable
+    * array<long>).
+    *
+    * Variance caveat (honest): OPH bins WITHOUT replacement — for
+    * documents with ≪ k shingles most positions are densified copies,
+    * so the per-pair estimate variance is higher than k independent
+    * permutations at equal k (Shrivastava & Li quantify this; the
+    * recall spec measures it on the fixture). Prefer classic signatures
+    * when documents are tiny relative to k; prefer OPH when hashing
+    * cost dominates (long documents, large k, 100 TB corpora).
+    */
+  def minhashSignaturesOph(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val c = (1L << 32) / k + 1
+    val binMins = explodedShingles(df, idCol, textCol, n)
+      .withColumn("h", portableHash32(col("shingle")))
+      .groupBy(col("id"), (col("h") % k).cast("int").as("bin"))
+      .agg(min(expr(s"h div $k")).as("mv"))
+    binMins.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("mv"))))
+        .as("bm"))
+      .select(col("id"),
+        graft.functions.VectorFunctions.ophDensify(
+          transform(sequence(lit(0), lit(k - 1)),
+            i => element_at(col("bm"), i)), c).as("sig"))
+  }
+
   /** MinHash-LSH candidate pairs: band the signature into `bands` groups
     * of `k/bands` rows, bucket on (band index, band slice), and emit
     * pairs that collide in ≥1 band, with the signature-agreement estimate
@@ -649,6 +699,92 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k, 4))
       .select(col("id_a"), col("id_b"), col("est_jacc"))
+  }
+
+  /** b-BIT minwise signatures (Li & König 2010, "b-Bit Minwise
+    * Hashing"): keep only the lowest b bits of each of the k minhash
+    * values. The STORAGE story for the steady-state signature index —
+    * at b=1, k=64 a document's estimation signature is 64 BITS instead
+    * of 64 longs (64×); Li & König show the variance lost to bit
+    * collisions is bought back by raising k at a fraction of the
+    * storage (their Thm 2: ~3× k at b=1 for J≈0.5 vs full-width
+    * values — far cheaper than 64× space).
+    *
+    * DEPLOYMENT SHAPE (and why there is no `bbitCandidates`): b-bit
+    * signatures are for ESTIMATION, not for band keys. A single bit
+    * agrees between two UNRELATED documents with probability ≥ 1/2, so
+    * a band of r one-bit rows collides at ≥ 2^−r for every pair in the
+    * corpus — at sf0.1 a direct 1-bit banding run measured 304 s warm
+    * against 0.28 s for full-width banding, a pure candidate flood
+    * with no recall gain (the S-curve b-bit banding gives cannot be
+    * steepened: more rows per band kills true-pair recall long before
+    * random collisions die). Candidates therefore come from the
+    * full-width LSH ([[minhashCandidates]], whose stored index is k
+    * band-key hashes per doc), and the b-bit signature replaces the
+    * full signature only where the bulk storage goes — the
+    * per-document verification payload ([[bbitEstimates]]).
+    */
+  def bbitSignatures(sigs: DataFrame, b: Int): DataFrame = {
+    require(b >= 1 && b <= 16, s"b must be in [1,16], got $b")
+    val mask = (1L << b) - 1
+    sigs.select(col("id"),
+      transform(col("sig"), x => x.bitwiseAND(lit(mask))).as("bsig"))
+  }
+
+  /** Chance-corrected b-bit similarity estimates over a candidate-pair
+    * relation: Ê = (â − C) / (1 − C) with â the bit-agreement fraction
+    * and C = 2^−b the random-collision floor (the sparse-set
+    * approximation of Li & König's C, exact when shingle sets are ≪
+    * the hash space — stated, not hidden). Ê is noisier than
+    * full-width agreement at equal k; the dial is k, bought back at
+    * b/64 of the storage. Negative Ê is possible for far pairs —
+    * callers filter.
+    *
+    * @param cands    (id_a, id_b) — from [[minhashCandidates]] (ids
+    *                 only; any extra columns are dropped)
+    * @param bbitSigs (id, bsig) from [[bbitSignatures]]
+    * @return (id_a, id_b, est_jacc)
+    */
+  def bbitEstimates(cands: DataFrame, bbitSigs: DataFrame, k: Int,
+                    b: Int): DataFrame = {
+    val c = 1.0 / (1L << b)
+    cands.select(col("id_a"), col("id_b"))
+      .join(bbitSigs.select(col("id").as("id_a"), col("bsig").as("sa")),
+        Seq("id_a"))
+      .join(bbitSigs.select(col("id").as("id_b"), col("bsig").as("sb")),
+        Seq("id_b"))
+      .withColumn("agree",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          v => v)))
+      .withColumn("est_jacc", round(
+        (col("agree").cast("double") / k - lit(c)) / lit(1.0 - c), 4))
+      .select(col("id_a"), col("id_b"), col("est_jacc"))
+  }
+
+  /** MinHash-LSH parameter planner card: for every (bands, rows)
+    * factorization of the signature width k, the banding S-curve facts
+    * a deployment decision needs (MMDS ch. 3 closed forms) — the
+    * threshold s50 ≈ (1/b)^(1/r) where a pair's collision probability
+    * crosses ~1/2, and the collision probability 1 − (1 − s^r)^b at
+    * reference similarities 0.3/0.5/0.7/0.9. Read it as: pick the row
+    * whose s50 sits just UNDER your target τ, then check p at the
+    * similarities you must not miss (recall) and must not flood
+    * (candidate volume). Pure closed-form math — no data scanned; the
+    * value is having the whole design space as one auditable relation
+    * next to the operators it parameterizes.
+    */
+  def lshPlan(spark: SparkSession, k: Int): DataFrame = {
+    require(k >= 1, s"signature width must be >= 1, got $k")
+    import spark.implicits._
+    val base = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      .toDF("n_bands", "n_rows")
+    def pAt(s: Double) = round(lit(1.0) -
+      pow(lit(1.0) - pow(lit(s), col("n_rows")), col("n_bands")), 4)
+    base.select(col("n_bands"), col("n_rows"),
+      round(pow(lit(1.0) / col("n_bands"), lit(1.0) / col("n_rows")), 4)
+        .as("s50"),
+      pAt(0.3).as("p030"), pAt(0.5).as("p050"),
+      pAt(0.7).as("p070"), pAt(0.9).as("p090"))
   }
 
   /** Incremental MinHash-LSH: band-bucket candidates between an arriving

@@ -188,6 +188,90 @@ object Graph {
           .otherwise(0L).as("global_coef_bp"))
   }
 
+  /** Degree-assortativity card (Newman 2002): the Pearson correlation
+    * of endpoint degrees over the directed symmetric edge list. The
+    * sign is the diagnostic — near-dup graphs from template mass are
+    * strongly DISassortative (hubs pair with degree-1 leaves: star
+    * shape), while crawl-duplicate families (cliques) sit near 0 from
+    * degree-regularity. Symmetry makes Σx = Σy and Σx² = Σy², so
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²); every sum is exact long
+    * arithmetic (deterministic, oracle-replayable) and only the final
+    * ratio is a rounded double. Degree-regular graphs have zero
+    * variance — r is defined 0 there (stated, matched by the oracle's
+    * CASE). Long overflow bounds m·Σxy at ~9·10¹⁸: safe for any graph
+    * with Σdeg² ≲ 3·10⁹ — far beyond a reduced pair relation.
+    *
+    * @return one row (n_edges_directed, sum_x, sum_xy, sum_x2,
+    *         assortativity)
+    */
+  def assortativityCard(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b"): DataFrame = {
+    val e = edgesOf(pairs, idA, idB)
+    val deg = degrees(pairs, idA, idB)
+    e.join(deg.select(col("id").as("src"), col("degree").as("x")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("degree").as("y")), Seq("dst"))
+      .agg(count(lit(1)).as("n_edges_directed"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .select(col("n_edges_directed"), col("sum_x"), col("sum_xy"),
+        col("sum_x2"),
+        when(col("n_edges_directed") * col("sum_x2") -
+             col("sum_x") * col("sum_x") === 0, lit(0.0))
+          .otherwise(round(
+            (col("n_edges_directed") * col("sum_xy") -
+             col("sum_x") * col("sum_x")).cast("double") /
+            (col("n_edges_directed") * col("sum_x2") -
+             col("sum_x") * col("sum_x")).cast("double"), 4))
+          .as("assortativity"))
+  }
+
+  /** k-CORE of the pair graph by bounded-round peeling: repeatedly
+    * delete nodes of degree < k (Seidman 1983; the peel is the standard
+    * sequential algorithm's set-parallel form — deleting ALL sub-k
+    * nodes of a round at once reaches the same fixpoint, since removal
+    * only ever lowers degrees). The 2-core is the curation read:
+    * pendant and chain structure (one-off pairwise copies) peels away,
+    * what remains is CYCLIC template mass — the boilerplate families
+    * worth a dedicated rule rather than pairwise dedup.
+    *
+    * Semantics are "peel at most `maxRounds` rounds, stop early at the
+    * fixpoint" — defined this way so the DuckDB oracle (which unrolls
+    * exactly `maxRounds` rounds) computes the SAME relation whether or
+    * not the graph converges: peeling is idempotent at the fixpoint, so
+    * extra unrolled rounds are no-ops, and if the bound binds first
+    * both sides stop at the identical intermediate. Each round is one
+    * keyed aggregate + two id-keyed semi-joins, localCheckpointed to
+    * keep the plan tree flat; the fixpoint probe costs one count per
+    * round (bounded driver work, O(maxRounds) actions total).
+    *
+    * @return (id, core_deg) — surviving nodes with their degree inside
+    *         the peeled subgraph
+    */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 16,
+            idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var edges = edgesOf(pairs, idA, idB)
+    var round = 0
+    var removed = 1L
+    while (round < maxRounds && removed > 0) {
+      val deg = Materialize.multiScan(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      removed = deg.filter(col("deg") < k).count()
+      if (removed > 0) {
+        val keep = deg.filter(col("deg") >= k).select(col("src"))
+        edges = edges
+          .join(keep, Seq("src"))
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
+          .select(col("src"), col("dst")).localCheckpoint()
+      }
+      deg.unpersist()
+      round += 1
+    }
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Centrality-based canonical pick: per cluster keep the member with
     * the highest PageRank (min id on ties) — the "most representative"
     * policy, vs [[Dedup.survivors]]'s external quality-score argmax.

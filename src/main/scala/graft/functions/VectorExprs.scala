@@ -313,6 +313,77 @@ case class BestCentroidSim(child: Expression, cents: Array[Array[Float]],
   * sampling/sketch/minhash hot paths. The digest itself is unchanged, so
   * external engines still reproduce every value from md5.
   */
+/** Rotation densification for one-permutation MinHash signatures
+  * (Shrivastava & Li 2014, "Densifying One Permutation Hashing via
+  * Rotation"): an EMPTY bin i (null element) borrows the value of the
+  * first non-empty bin at cyclic distance `hop` to its right, offset
+  * by hop·C (C strictly greater than any native bin value, so a
+  * borrowed value can only collide with a value borrowed over the
+  * SAME hop). Both documents of a pair densify from the same relative
+  * positions, so the per-position collision probability the LSH
+  * banding relies on is preserved for empty bins too — the property
+  * plain "rehash the empty bin" filling would destroy. Early-exit
+  * scan: O(k) typical, O(k²) worst case for a nearly-empty signature
+  * (short documents), never data-size dependent. An all-null input
+  * (no shingles at all — a row that upstream grouping cannot actually
+  * produce) densifies to zeros rather than failing.
+  */
+case class OphDensify(child: Expression, c: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "oph_densify"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      if (!arr.isNullAt(i)) out(i) = arr.getLong(i)
+      else {
+        var hop = 1
+        var done = false
+        while (hop < k && !done) {
+          val j = (i + hop) % k
+          if (!arr.isNullAt(j)) { out(i) = arr.getLong(j) + hop * c; done = true }
+          hop += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val k = ctx.freshName("k"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val hop = ctx.freshName("hop")
+      val j = ctx.freshName("j"); val done = ctx.freshName("done")
+      s"""
+        int $k = $a.numElements();
+        long[] $out = new long[$k];
+        for (int $i = 0; $i < $k; $i++) {
+          if (!$a.isNullAt($i)) { $out[$i] = $a.getLong($i); continue; }
+          boolean $done = false;
+          for (int $hop = 1; $hop < $k && !$done; $hop++) {
+            int $j = ($i + $hop) % $k;
+            if (!$a.isNullAt($j)) {
+              $out[$i] = $a.getLong($j) + $hop * ${c}L;
+              $done = true;
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OphDensify =
+    copy(child = newChild)
+}
+
 case class Md5Prefix(child: Expression, nibbles: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -670,6 +741,8 @@ object VectorFunctions {
     "freq_sketch" -> (exprs => FreqSketch(exprs(0), intArg(exprs(1)))),
     "vec_sum_count" -> (exprs => VecSumCount(exprs(0), intArg(exprs(1)))),
     "md5_prefix" -> (exprs => Md5Prefix(exprs(0), intArg(exprs(1)))),
+    "oph_densify" -> (exprs => OphDensify(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].longValue())),
     "anchor_windows" -> (exprs =>
       AnchorWindowMd5(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "ngram_units" -> (exprs => NgramUnits(exprs(0),
@@ -779,6 +852,10 @@ object VectorFunctions {
   /** Column API for [[Md5Prefix]]: first `nibbles` md5 hex chars as long. */
   def md5Prefix(c: Column, nibbles: Int): Column =
     call_function("md5_prefix", c.cast("binary"), lit(nibbles))
+
+  /** Column API for [[OphDensify]]: rotation-densified OPH signature. */
+  def ophDensify(sig: Column, c: Long): Column =
+    call_function("oph_densify", sig, lit(c))
 
   /** Column API for [[AnchorWindowMd5]]: anchored (p, fp) window structs. */
   def anchorWindows(text: Column, winBytes: Int, anchorMod: Int): Column =

@@ -350,6 +350,152 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       WHERE round(len(list_filter(generate_series(1, $minhashK),
                    i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
 
+  /** One-permutation MinHash ([[Dedup.minhashSignaturesOph]]): one
+    * hash per shingle split into (bin, value), min per bin, empty bins
+    * rotation-densified with offset hop·C — then the SAME
+    * [[Dedup.minhashCandidates]] banding as `dedup_minhash`. The oracle
+    * replays bin-min and the cyclic borrow exactly (hop-ordered
+    * row_number over a doc × position × hop grid), so the hash match
+    * covers the densification path, not just full bins.
+    */
+  val qDedupMinhashOph = Q("dedup_minhash_oph",
+    (s, dir) => {
+      val sigs = Dedup.minhashSignaturesOph(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = minhashK)
+      Dedup.minhashCandidates(sigs, k = minhashK, bands = minhashBands)
+        .filter(col("est_jacc") >= 0.25)
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      hv AS (SELECT doc_id,
+               ('0x'||substr(md5(shingle),1,8))::BIGINT AS h FROM ex),
+      bm AS (SELECT doc_id, h % $minhashK AS bin, min(h // $minhashK) AS mv
+             FROM hv GROUP BY 1, 2),
+      grid AS (
+        SELECT p.doc_id, i.i, hop.hop
+        FROM (SELECT DISTINCT doc_id FROM bm) p
+        CROSS JOIN (SELECT unnest(generate_series(0, ${minhashK - 1})) AS i) i
+        CROSS JOIN (SELECT unnest(generate_series(0, ${minhashK - 1})) AS hop) hop),
+      pick AS (
+        SELECT g.doc_id, g.i, bm.mv + g.hop * ${(1L << 32) / minhashK + 1} AS val,
+               row_number() OVER (PARTITION BY g.doc_id, g.i
+                 ORDER BY g.hop) AS rn
+        FROM grid g JOIN bm ON bm.doc_id = g.doc_id
+          AND bm.bin = ((g.i + g.hop) % $minhashK)),
+      sig AS (SELECT doc_id, array_agg(val ORDER BY i) AS sig
+              FROM pick WHERE rn = 1 GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sig, b.band,
+               sig[b.band*4+1 : b.band*4+4] AS band_sig
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) AS est_jacc
+      FROM cand
+      WHERE round(len(list_filter(generate_series(1, $minhashK),
+                   i -> sa[i] = sb[i]))::DOUBLE / $minhashK, 4) >= 0.25"""))
+
+  private val bbitK = 64
+  private val minhashParams64Sql = Dedup.hashParams(bbitK)
+    .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+
+  /** b-bit minwise estimation ([[Dedup.bbitSignatures]] +
+    * [[Dedup.bbitEstimates]], b=1, k=64): candidates from the
+    * FULL-WIDTH k=16 LSH (the published deployment shape — banding on
+    * raw bits floods, see the scaladoc's measured 304 s flood), the
+    * bulk verification payload a 64-BIT signature per document. Oracle
+    * replays both signature families, the banding, the masking, and
+    * the chance-corrected estimator Ê = (â − ½)/½ exactly.
+    */
+  val qDedupMinhashBbit = Q("dedup_minhash_bbit",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = minhashK),
+        k = minhashK, bands = minhashBands)
+      val bsigs = Dedup.bbitSignatures(
+        Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = bbitK),
+        b = 1)
+      Dedup.bbitEstimates(cands, bsigs, k = bbitK, b = 1)
+        .filter(col("est_jacc") >= 0.25)
+    },
+    Some(s"""WITH params(hidx, ha, hb) AS (VALUES $minhashParamsSql),
+      params64(hidx, ha, hb) AS (VALUES $minhashParams64Sql),
+      docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS MATERIALIZED (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, hidx,
+               min((ha * (('0x'||substr(md5(shingle),1,8))::BIGINT) + hb)
+                   % 2305843009213693951) AS mh
+        FROM ex CROSS JOIN params GROUP BY doc_id, hidx),
+      sig AS (SELECT doc_id, array_agg(mh ORDER BY hidx) AS sig
+              FROM hv GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b.band, sig[b.band*4+1 : b.band*4+4] AS band_sig
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+      hv64 AS (
+        SELECT doc_id, hidx,
+               min((ha * (('0x'||substr(md5(shingle),1,8))::BIGINT) + hb)
+                   % 2305843009213693951) AS mh
+        FROM ex CROSS JOIN params64 GROUP BY doc_id, hidx),
+      bsig AS (SELECT doc_id, array_agg(mh & 1 ORDER BY hidx) AS bsig
+               FROM hv64 GROUP BY doc_id),
+      est AS (
+        SELECT c.id_a, c.id_b,
+               round((len(list_filter(generate_series(1, $bbitK),
+                     i -> x.bsig[i] = y.bsig[i]))::DOUBLE / $bbitK - 0.5)
+                     / 0.5, 4) AS est_jacc
+        FROM cand c
+        JOIN bsig x ON x.doc_id = c.id_a
+        JOIN bsig y ON y.doc_id = c.id_b)
+      SELECT id_a, id_b, est_jacc FROM est WHERE est_jacc >= 0.25"""))
+
+  /** LSH banding parameter planner ([[Dedup.lshPlan]]): the closed-form
+    * S-curve card over every (bands, rows) factorization of the
+    * signature width — s50 threshold and collision probabilities at
+    * reference similarities. Data-free math; oracle replays the same
+    * formulas in SQL.
+    */
+  val qLshPlan = Q("q_lsh_plan",
+    (s, _) => Dedup.lshPlan(s, k = minhashK),
+    Some(s"""WITH f AS (
+        SELECT b AS n_bands, ($minhashK // b) AS n_rows
+        FROM (SELECT unnest(generate_series(1, $minhashK)) AS b)
+        WHERE $minhashK % b = 0)
+      SELECT n_bands, n_rows,
+             round(pow(1.0 / n_bands, 1.0 / n_rows), 4) AS s50,
+             round(1.0 - pow(1.0 - pow(0.3, n_rows), n_bands), 4) AS p030,
+             round(1.0 - pow(1.0 - pow(0.5, n_rows), n_bands), 4) AS p050,
+             round(1.0 - pow(1.0 - pow(0.7, n_rows), n_bands), 4) AS p070,
+             round(1.0 - pow(1.0 - pow(0.9, n_rows), n_bands), 4) AS p090
+      FROM f"""))
+
   /** Shared oracle prefix for the cluster-derived queries: trigram-
     * Jaccard pairs (tau 0.25) → undirected edges → recursive min-label
     * reachability. `dedup_clusters` reads it directly; `dedup_survivors`
@@ -519,6 +665,69 @@ private[graft] trait QueriesDedup { this: Queries.type =>
                THEN ((10000 * 3 * n_triangles) // n_wedges)::BIGINT
                ELSE 0::BIGINT END AS global_coef_bp
       FROM card"""))
+
+  /** Degree assortativity of the near-dup graph
+    * ([[graft.ext.Graph.assortativityCard]]): strongly negative =
+    * star/template structure, near 0 = degree-regular clique families.
+    */
+  val qGraphAssortativity = Q("graph_assortativity",
+    (s, dir) => graft.ext.Graph.assortativityCard(Dedup.jaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.25)),
+    Some(s"""$clusterReachCte,
+      deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY 1),
+      j AS (
+        SELECT d1.degree AS x, d2.degree AS y FROM edges e
+        JOIN deg d1 ON d1.id = e.src JOIN deg d2 ON d2.id = e.dst),
+      agg AS (
+        SELECT count(*)::BIGINT AS n_edges_directed,
+               sum(x)::BIGINT AS sum_x, sum(x*y)::BIGINT AS sum_xy,
+               sum(x*x)::BIGINT AS sum_x2
+        FROM j)
+      SELECT n_edges_directed, sum_x, sum_xy, sum_x2,
+             CASE WHEN n_edges_directed*sum_x2 - sum_x*sum_x = 0 THEN 0.0
+                  ELSE round((n_edges_directed*sum_xy - sum_x*sum_x)::DOUBLE
+                       / (n_edges_directed*sum_x2 - sum_x*sum_x)::DOUBLE, 4)
+             END AS assortativity
+      FROM agg"""))
+
+  /** Unrolled set-parallel peel rounds for the k-core oracle: each
+    * round keeps edges whose BOTH endpoints had degree ≥ k in the
+    * previous round's subgraph — the same recurrence
+    * [[graft.ext.Graph.kCore]] iterates, bounded at the same
+    * `maxRounds` on both sides (fixpoint idempotence makes extra
+    * rounds no-ops, so the bound never has to bind for the relation to
+    * match — but if it does bind, both sides stop at the identical
+    * intermediate).
+    */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each peel round is referenced three times by the
+    // next; letting DuckDB inline would re-expand the base scan 3^rounds
+    // times (measured as a too-many-open-files planner explosion)
+    val rs = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src FROM peel${i - 1} GROUP BY src
+             HAVING count(*) >= $k),
+      peel$i AS MATERIALIZED (
+        SELECT e.src, e.dst FROM peel${i - 1} e
+        JOIN k$i a ON a.src = e.src
+        JOIN k$i b ON b.src = e.dst)"""
+    }.mkString(",\n      ")
+    s"""peel0 AS MATERIALIZED (SELECT src, dst FROM edges),
+      $rs"""
+  }
+
+  /** 2-core of the near-dup graph ([[graft.ext.Graph.kCore]], 8 peel
+    * rounds): pendant/chain structure (one-off pairwise copies) peels
+    * away; what survives is CYCLIC template mass worth a dedicated
+    * curation rule.
+    */
+  val qGraphKcore = Q("graph_kcore",
+    (s, dir) => graft.ext.Graph.kCore(Dedup.jaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.25),
+      k = 2, maxRounds = 8),
+    Some(s"""$clusterReachCte,
+      ${kcoreCtes(2, 8)}
+      SELECT src AS id, count(*)::BIGINT AS core_deg
+      FROM peel8 GROUP BY 1"""))
 
   /** Duplication profile: the cluster-SIZE histogram over the whole
     * corpus (singletons included as size-1 clusters) — the one-glance

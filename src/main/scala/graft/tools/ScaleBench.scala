@@ -183,6 +183,13 @@ object ScaleBench {
         graft.ext.Dedup.minhashSignatures(docs(s), "doc_id", "text",
           n = 3, k = 64), k = 64, bands = 16)
         .filter(col("est_jacc") >= 0.25)),
+      // one-permutation variant of the row above: identical banding,
+      // one hash eval per shingle instead of k=64 universal-hash
+      // multiply-mods — the wall delta is the hashing cost
+      "minhashCandidatesOph" -> (s => graft.ext.Dedup.minhashCandidates(
+        graft.ext.Dedup.minhashSignaturesOph(docs(s), "doc_id", "text",
+          n = 3, k = 64), k = 64, bands = 16)
+        .filter(col("est_jacc") >= 0.25)),
       "simhashPairs" -> (s => graft.ext.Dedup.simhashPairs(
         docs(s), "doc_id", "text", maxDist = 5)),
       // tau raised vs the bench query (0.4 -> 0.7): random 64-dim

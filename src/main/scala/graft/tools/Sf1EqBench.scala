@@ -170,9 +170,15 @@ object Sf1EqBench {
         .parquet(s"$root/docs_x$s")
       synthDocsEn(spark, baseDocs * s).write.mode("overwrite")
         .parquet(s"$root/docsEn_x$s")
+      // r13 label-audit fixture: ScaleBench embeddings + a 16-class
+      // label derived from the id (planted near-copies share labels)
+      ScaleBench.synthEmbeddings(spark, 2000L * s)
+        .withColumn("label", pmod(col("vec_id"), lit(16)).cast("int"))
+        .write.mode("overwrite").parquet(s"$root/vecs_x$s")
     }
     def docs(s: Int) = spark.read.parquet(s"$root/docs_x$s")
     def docsEn(s: Int) = spark.read.parquet(s"$root/docsEn_x$s")
+    def vecs(s: Int) = spark.read.parquet(s"$root/vecs_x$s")
 
     for (s <- scales)
       admissionBatch(docsEn(s)).write.mode("overwrite")
@@ -246,7 +252,29 @@ object Sf1EqBench {
         // collapse, so the budget line checks the explode stays
         // scan-proportional
         "char_entropy" -> (s => graft.ext.TextOps.charEntropy(
-          docs(s), "doc_id", "text")))
+          docs(s), "doc_id", "text")),
+        // r13: the exact prefix-filtered Jaccard route — the budget
+        // line checks the df-ordered prefix keeps candidate volume
+        // linear on the planted corpus as both sides scale 10×
+        "dedup_jaccard_prefix" -> (s => graft.ext.Dedup.jaccardPairsPrefix(
+          docs(s), "doc_id", "text", n = 3, tau = 0.25)),
+        // r13: the full dup-graph chain (pairs → CC + integer-micro
+        // PageRank → centrality survivors) — all steps keyed by node
+        // id, graph size ∝ planted pairs (linear), so the budget line
+        // checks the iteration chain stays graph-proportional
+        "graph_central" -> { s =>
+          val pairs = graft.ext.Dedup.jaccardPairs(
+            docs(s), "doc_id", "text", n = 3, tau = 0.25)
+          graft.ext.Graph.centralSurvivors(
+            graft.ext.Dedup.connectedComponents(pairs),
+            graft.ext.Graph.pageRank(pairs, iters = 5))
+        },
+        // r13: full-corpus kNN label audit on the cell path, with
+        // nCells ∝ n (the IVF rule the scaladoc mandates) so per-cell
+        // pair spaces stay constant-sized as the corpus scales
+        "label_agreement_cells" -> (s => graft.ext.Similarity
+          .labelAgreementCells(vecs(s), "vec_id", "embedding", "label",
+            k = 5, nCells = 16 * s)))
 
     def release(): Unit = {
       spark.catalog.clearCache()

@@ -34,6 +34,99 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(cands.nonEmpty)
   }
 
+  test("OPH signatures: identical docs collide, densification is exact") {
+    import spark.implicits._
+    val k = 16
+    val c = (1L << 32) / k + 1
+    // identical text -> identical signature (the property banding needs)
+    val twins = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here entirely unrelated"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesOph(twins, "doc_id", "text", n = 3, k = k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs.values.forall(_.length == k))
+    // single-shingle doc: ONE native bin j holds mv, every other
+    // position borrows cyclically -> the value set is EXACTLY
+    // {mv + h*C : h in 0..k-1} (each borrow distance occurs once)
+    val solo = Seq((9L, "one two three")).toDF("doc_id", "text") // 1 trigram
+    val s = Dedup.minhashSignaturesOph(solo, "doc_id", "text", n = 3, k = k)
+      .collect().head.getSeq[Long](1).toVector
+    val mv = s.min
+    assert(s.toSet == (0 until k).map(h => mv + h * c).toSet,
+      s"densified value set wrong: $s")
+    // OPH signatures run through the SAME banding machinery and recall
+    // high-jaccard pairs on the fixture
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignaturesOph(docs, "doc_id", "text", n = 3, k = k),
+      k = k, bands = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.count(cands.contains).toDouble / exact.size
+      assert(recall >= 0.7, s"OPH-LSH recall $recall over ${exact.size} true pairs")
+    }
+    assert(cands.nonEmpty)
+  }
+
+  test("b-bit minwise: twins estimate 1.0, chance correction, recall") {
+    import spark.implicits._
+    val twins = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here entirely unrelated"))
+      .toDF("doc_id", "text")
+    val bsigs = Dedup.bbitSignatures(
+      Dedup.minhashSignatures(twins, "doc_id", "text", n = 3, k = 64), b = 1)
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val est = Dedup.bbitEstimates(cands, bsigs, k = 64, b = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: all 64 bits agree -> corrected estimate exactly 1
+    assert(est((1L, 2L)) == 1.0)
+    // unrelated pair: raw bit agreement ~1/2 corrects to ~0
+    assert(est((1L, 3L)) < 0.6, s"far pair too similar: ${est((1L, 3L))}")
+    // signatures are b-bit: every value in {0, 1}
+    assert(bsigs.collect().forall(_.getSeq[Long](1).forall(v => v == 0L || v == 1L)))
+    // full pipeline recall on the fixture: full-width LSH candidates,
+    // b-bit estimate filter, vs exact pairs at tau=0.5 (deterministic)
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshCands = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 16),
+      k = 16, bands = 4)
+    val kept = Dedup.bbitEstimates(lshCands,
+      Dedup.bbitSignatures(
+        Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 64), b = 1),
+      k = 64, b = 1)
+      .filter(col("est_jacc") >= 0.25)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.count(kept.contains).toDouble / exact.size
+      assert(recall >= 0.6, s"b-bit recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("lshPlan: factorization completeness and S-curve monotonicity") {
+    val plan = Dedup.lshPlan(spark, 16).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(6))).toMap
+    assert(plan.keySet == Set((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)))
+    // more bands (fewer rows) -> lower threshold, higher p everywhere
+    val byBands = plan.toSeq.sortBy(_._1._1)
+    assert(byBands.map(_._2._1) == byBands.map(_._2._1).sorted.reverse,
+      "s50 must fall as bands grow")
+    assert(byBands.map(_._2._2) == byBands.map(_._2._2).sorted,
+      "p(0.3) must rise as bands grow")
+    // hand-checked corners: b=16,r=1 -> p = 1-(1-s)^16; at s=0.9 ~ 1.0
+    assert(plan((16, 1))._3 == 1.0)
+    // b=4,r=4: s50 = (1/4)^(1/4) = 0.7071
+    assert(math.abs(plan((4, 4))._1 - 0.7071) < 1e-9)
+  }
+
   test("prefix-filtered jaccard route is row-identical to the full index") {
     val docs = Tables.documents(spark, sf)
     def rows(d: org.apache.spark.sql.DataFrame) = d.collect()

@@ -137,6 +137,52 @@ class GraphSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("kCore: multi-round peel, fixpoint early exit, bounded rounds") {
+    // triangle + 2-chain tail (2-3-... wait): 0-1-2 triangle, 2-3, 3-4
+    // chain. 2-core: round 1 peels 4 (deg 1), round 2 peels 3 (deg
+    // fell to 1) -> triangle remains, every member core_deg 2. The
+    // chain forces MULTIPLE rounds (degree cascades).
+    val g = pairsDf((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val core = Graph.kCore(g, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // K4 survives the 3-core intact; its 4-core is empty
+    val k4 = pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(Graph.kCore(k4, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(Graph.kCore(k4, k = 4).isEmpty)
+    // a long path peels from both ends, one layer per round: with
+    // maxRounds too small the BOUNDED intermediate is returned (the
+    // defined semantics the oracle unrolls to)
+    val path = pairsDf((0L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq: _*)
+    assert(Graph.kCore(path, k = 2, maxRounds = 1).count() == 7L,
+      "one round peels exactly the two endpoints (ids 0 and 8)")
+    assert(Graph.kCore(path, k = 2, maxRounds = 16).isEmpty,
+      "a path has no 2-core once rounds suffice")
+  }
+
+  test("assortativity: star is maximally disassortative, regular is 0") {
+    // star K1,4: directed edges (hub,leaf)x4 + (leaf,hub)x4;
+    // x values {4,1}: Pearson r = -1 exactly
+    val star = pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val s = Graph.assortativityCard(star).collect().head
+    assert(s.getLong(0) == 8L)
+    assert(s.getDouble(4) == -1.0)
+    // triangle: every degree 2 -> zero variance -> defined 0
+    val tri = Graph.assortativityCard(pairsDf((0L, 1L), (1L, 2L), (0L, 2L)))
+      .collect().head
+    assert(tri.getDouble(4) == 0.0)
+    // hand-computed mixed shape (triangle + pendant, degrees 2,2,3,1):
+    // directed (x,y) list (2,2)x2,(2,3)x2,(3,2)x2,(3,1),(1,3) ->
+    // m=8, sx=18, sxy=38, sx2=44;
+    // r = (8*38 - 324)/(8*44 - 324) = -20/28 = -0.7143 (round 4)
+    val tp = Graph.assortativityCard(
+      pairsDf((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))).collect().head
+    assert((tp.getLong(0), tp.getLong(1), tp.getLong(2), tp.getLong(3),
+      tp.getDouble(4)) == ((8L, 18L, 38L, 44L, -0.7143)))
+  }
+
   test("graph family runs end-to-end on the fixture pair relation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.25)
