@@ -667,20 +667,34 @@ object Similarity {
     * @return (vec_id, label, n_same, n_nbrs, agreement_bp)
     */
   def labelAgreementCells(corpus: DataFrame, idCol: String, embCol: String,
-                          labelCol: String, k: Int,
-                          nCells: Int): DataFrame =
-    agreementOf(cellNeighbors(corpus, idCol, embCol, k, nCells),
+                          labelCol: String, k: Int, nCells: Int,
+                          maxCellPool: Int = Int.MaxValue): DataFrame =
+    agreementOf(cellNeighbors(corpus, idCol, embCol, k, nCells, maxCellPool),
       corpus, idCol, labelCol)
 
   /** The cell-restricted kNN relation shared by [[labelAgreementCells]]
     * and [[labelConfusion]]: deterministic lowest-id centroids, cosine
     * cell assignment, within-cell top-k by (rounded sim desc, id asc).
     *
+    * `maxCellPool` is the MEGA-CELL skew dial: nCells ∝ n keeps
+    * BALANCED cells bounded, but no centroid count splits a blob of
+    * near-identical vectors (the boilerplate-embedded-n-times shape) —
+    * one cell holds the blob and Σ|cell|² goes quadratic. The dial
+    * caps each cell's CANDIDATE POOL at the `maxCellPool` members with
+    * the smallest (xxhash64(id), id) — a deterministic sample; every
+    * vector is still audited (the query side is never restricted), its
+    * neighbors are just drawn from the sampled pool. In exactly the
+    * mega-cell case the sample is statistically safe: pool members are
+    * near-identical to the excluded ones, so the k nearest from the
+    * pool carry the same labels a full search would return.
+    * Cost: |cell|·min(|cell|, maxCellPool) instead of |cell|². A
+    * loose dial (≥ max cell size) is a measured NO-OP (spec'd).
+    *
     * @return (query_id, nn_id)
     */
   private def cellNeighbors(corpus: DataFrame, idCol: String,
-                            embCol: String, k: Int,
-                            nCells: Int): DataFrame = {
+                            embCol: String, k: Int, nCells: Int,
+                            maxCellPool: Int = Int.MaxValue): DataFrame = {
     ensureRegistered(corpus)
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(embCol).as("cent"))
@@ -688,8 +702,14 @@ object Similarity {
     val assigned = Materialize.multiScan(
       corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
         .withColumn("cell", cellOf(col("emb"), cents)))
+    val pool = if (maxCellPool == Int.MaxValue) assigned else {
+      val pw = Window.partitionBy(col("cell"))
+        .orderBy(xxhash64(col("id")), col("id"))
+      assigned.withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= maxCellPool).drop("pr")
+    }
     val a = assigned.as("a")
-    val b = assigned.as("b")
+    val b = pool.as("b")
     val scored = a.join(b,
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("nn_id"),
@@ -715,9 +735,10 @@ object Similarity {
     * @return (label, predicted_label, n)
     */
   def labelConfusion(corpus: DataFrame, idCol: String, embCol: String,
-                     labelCol: String, k: Int, nCells: Int): DataFrame = {
+                     labelCol: String, k: Int, nCells: Int,
+                     maxCellPool: Int = Int.MaxValue): DataFrame = {
     val labels = corpus.select(col(idCol).as("id"), col(labelCol).as("l"))
-    val voted = cellNeighbors(corpus, idCol, embCol, k, nCells)
+    val voted = cellNeighbors(corpus, idCol, embCol, k, nCells, maxCellPool)
       .join(labels.select(col("id").as("query_id"), col("l").as("label")),
         Seq("query_id"))
       .join(labels.select(col("id").as("nn_id"), col("l").as("nn_label")),

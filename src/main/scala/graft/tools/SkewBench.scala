@@ -98,10 +98,18 @@ object SkewBench {
       .getOrElse(Seq(1, 3))
     val baseDocs = 5000L
 
-    for (s <- scales)
+    for (s <- scales) {
       synthSkewDocs(spark, baseDocs * s).write.mode("overwrite")
         .parquet(s"$root/docs_x$s")
+      // 30% identical-direction vectors -> ONE mega-cell no centroid
+      // count can split (the labelAgreement hostile shape); 16-class
+      // labels so the audit output stays meaningful
+      synthHotVecs(spark, 8000L * s)
+        .withColumn("label", pmod(col("vec_id"), lit(16)).cast("int"))
+        .write.mode("overwrite").parquet(s"$root/vecs_x$s")
+    }
     def docs(s: Int) = spark.read.parquet(s"$root/docs_x$s")
+    def vecs(s: Int) = spark.read.parquet(s"$root/vecs_x$s")
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -124,6 +132,18 @@ object SkewBench {
       // scaladoc), so the hot-shingle c² blowup hits it with nothing
       // else in the way — the dial is not an optimization here but the
       // only defense
+      // the identical-vector mega-cell: nCells ∝ n keeps BALANCED cells
+      // bounded but cannot split a blob of near-identical vectors, so
+      // the within-cell pair space goes quadratic; maxCellPool caps
+      // each cell's candidate pool at a deterministic hash sample
+      // (statistically safe exactly here — pool members are
+      // near-identical to the excluded ones)
+      "labelAgreementCells un-dialed" -> (s => graft.ext.Similarity
+        .labelAgreementCells(vecs(s), "vec_id", "embedding", "label",
+          k = 5, nCells = 16 * s)),
+      "labelAgreementCells maxCellPool=200" -> (s => graft.ext.Similarity
+        .labelAgreementCells(vecs(s), "vec_id", "embedding", "label",
+          k = 5, nCells = 16 * s, maxCellPool = 200)),
       "containmentPairs un-dialed" -> (s => graft.ext.Dedup.containmentPairs(
         docs(s), "doc_id", "text", n = 3, tau = 0.5)),
       "containmentPairs maxDocFreq=100" -> (s => graft.ext.Dedup.containmentPairs(

@@ -106,6 +106,29 @@ class LabelAgreementSpec extends AnyFunSuite {
     assert(anti.getLong(4) == -1000000L)
   }
 
+  test("maxCellPool: loose dial is a no-op, capped still flags mislabel") {
+    val e = fixture
+    def audit(pool: Int) = Similarity.labelAgreementCells(e, "vec_id",
+        "embedding", "label", k = 4, nCells = 2, maxCellPool = pool)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // dial >= max cell size: output identical to the un-dialed run
+    val unDialed = Similarity.labelAgreementCells(e, "vec_id", "embedding",
+        "label", k = 4, nCells = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(audit(100) == unDialed)
+    // capped pool: every queried vector still audited, the planted
+    // mislabel still scores low (its pool-mates remain cluster A)
+    val capped = audit(4).map(r => (r._1, r._5)).toMap
+    // under the suspect line (50%): the 4-member hash pool of id 5's
+    // cell can include a label-1 B vector, so 2500 is reachable — the
+    // audit signal (suspect vs clean) survives the cap
+    assert(capped(5L) < 5000L, s"mislabel must stay low, got ${capped(5L)}")
+    assert(capped.keySet.size >= unDialed.size - 1,
+      "query side is never restricted by the pool cap")
+  }
+
   test("card rolls up per label with floor-div mean") {
     val e = fixture
     val card = Similarity.labelAgreementCard(
