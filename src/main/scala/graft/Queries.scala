@@ -47,7 +47,8 @@ object Queries
     qDedupMinhashIncremental, qDedupMinhashOph, qDedupMinhashBbit,
     qLshPlan,
     qDedupClusters, qDedupClusterSpectrum,
-    qDedupSurvivors, qGraphDegreeCard, qGraphPagerank, qGraphCentral,
+    qDedupSurvivors, qGraphDegreeCard, qGraphPagerank,
+    qGraphPagerankWeighted, qGraphCentral,
     qGraphTriangles, qGraphCard, qGraphKcore, qGraphAssortativity,
     qDedupPassages,
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,

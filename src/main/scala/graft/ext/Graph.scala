@@ -188,6 +188,49 @@ object Graph {
           .otherwise(0L).as("global_coef_bp"))
   }
 
+  /** Weight-proportional PageRank: like [[pageRank]] but each neighbor
+    * receives rank in proportion to the EDGE WEIGHT (similarity basis
+    * points from the pair relation) instead of 1/deg — a near-dup hub
+    * tied to its cluster by J≈0.9 edges outranks one tied by J≈0.25
+    * boilerplate overlap, which is exactly the canonical-pick signal
+    * [[centralSurvivors]] wants. Same integer-micro discipline:
+    * contribution (r(v)·w_vu) div W(v) with W(v)=Σw (long bp sums),
+    * floor `div` everywhere, bit-deterministic and oracle-replayable.
+    * With uniform weights this reduces EXACTLY to [[pageRank]]
+    * (⌊r·w/(deg·w)⌋ = ⌊r/deg⌋ — floors of equal rationals; spec'd).
+    * Long bound: 850000·Σc must fit a long — safe to ~10⁶ graph nodes,
+    * far beyond a reduced pair relation.
+    *
+    * @param weightCol LONG weights > 0 (basis points by convention)
+    * @return (id, rank_micro)
+    */
+  def pageRankWeighted(pairs: DataFrame, weightCol: String, iters: Int = 5,
+                       idA: String = "id_a",
+                       idB: String = "id_b"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = Materialize.multiScan(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"),
+          col(weightCol).cast("long").as("w"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst"),
+          col(weightCol).cast("long").as("w")))
+        .distinct())
+    val wdeg = Materialize.multiScan(
+      edges.groupBy(col("src").as("id")).agg(sum(col("w")).as("wd")))
+    var ranks = wdeg.select(col("id"), lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(wdeg.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("(rank_micro * w) div wd").as("c"))
+      ranks = contrib.groupBy(col("id"))
+        .agg(expr("150000 + (850000 * sum(c)) div 1000000")
+          .as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Degree-assortativity card (Newman 2002): the Pearson correlation
     * of endpoint degrees over the directed symmetric edge list. The
     * sign is the diagnostic — near-dup graphs from template mass are

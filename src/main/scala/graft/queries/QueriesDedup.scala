@@ -582,6 +582,60 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       ${pagerankCtes(5)}
       SELECT id, r AS rank_micro FROM r5"""))
 
+  /** Unrolled integer-micro WEIGHTED PageRank rounds over the
+    * jacc-weighted edge relation: contribution (r·w) // W(v), the
+    * [[graft.ext.Graph.pageRankWeighted]] recurrence.
+    */
+  private def pagerankWeightedCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""rw$i AS (
+        SELECT e.dst AS id,
+               (150000 + (850000 * sum((rw${i - 1}.r * e.w) // d.wd))
+                // 1000000)::BIGINT AS r
+        FROM ew e JOIN rw${i - 1} ON rw${i - 1}.id = e.src
+        JOIN wdeg d ON d.id = e.src
+        GROUP BY e.dst)"""
+    }.mkString(",\n      ")
+    s"""ew AS (SELECT id_a AS src, id_b AS dst, wbp AS w FROM pairsw
+              UNION SELECT id_b, id_a, wbp FROM pairsw),
+      wdeg AS (SELECT src AS id, sum(w)::BIGINT AS wd FROM ew GROUP BY 1),
+      rw0 AS (SELECT id, 1000000::BIGINT AS r FROM wdeg),
+      $rounds"""
+  }
+
+  /** Similarity-weighted PageRank ([[Graph.pageRankWeighted]], weights
+    * = Jaccard basis points): rank flows in proportion to how SIMILAR
+    * the neighbor is, so a J≈0.9 cluster hub outranks a J≈0.25
+    * boilerplate hub of equal degree — the canonical-pick refinement of
+    * `graph_pagerank`. Integer micros end to end.
+    */
+  val qGraphPagerankWeighted = Q("graph_pagerank_weighted",
+    (s, dir) => graft.ext.Graph.pageRankWeighted(
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, tau = 0.25)
+        .withColumn("wbp", round(col("jacc") * 10000, 0).cast("long")),
+      "wbp", iters = 5),
+    Some(s"""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh),
+      pairsw AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4)
+                     * 10000)::BIGINT AS wbp
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25),
+      ${pagerankWeightedCtes(5)}
+      SELECT id, r AS rank_micro FROM rw5"""))
+
   /** Centrality-based canonical pick ([[Graph.centralSurvivors]]): per
     * dup cluster keep the highest-PageRank member (min id on ties) —
     * the "most representative" survivor policy next to

@@ -69,6 +69,38 @@ class GraphSpec extends AnyFunSuite {
     assert(r5(20L) == 1000000L && r5(21L) == 1000000L)
   }
 
+  test("pageRankWeighted: uniform weights reduce exactly to pageRank, " +
+      "heavier edges pull rank") {
+    import org.apache.spark.sql.functions.lit
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    // uniform weights: floor((r*w)/(deg*w)) = floor(r/deg) exactly
+    val uni = pairsDf(es: _*).withColumn("wbp", lit(7777L))
+    val got = Graph.pageRankWeighted(uni, "wbp", iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRank(pairsDf(es: _*), iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == plain)
+    // path 1-0-2 where edge (0,1) is 9× heavier than (0,2): node 1
+    // receives most of node 0's rank, node 2 starves
+    val skewed = Seq((0L, 1L, 9000L), (0L, 2L, 1000L))
+      .toDF("id_a", "id_b", "wbp")
+    val r = Graph.pageRankWeighted(skewed, "wbp", iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L), s"heavy edge must outrank: $r")
+    // driver-side recurrence bit-check (the oracle-replay contract)
+    val adj = Map(0L -> Seq((1L, 9000L), (2L, 1000L)),
+      1L -> Seq((0L, 9000L)), 2L -> Seq((0L, 1000L)))
+    val wd = adj.view.mapValues(_.map(_._2).sum).toMap
+    var sim = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5)
+      sim = adj.keys.map { u =>
+        val s = adj(u).map { case (v, w) => sim(v) * w / wd(v) }.sum
+        u -> (150000L + 850000L * s / 1000000L)
+      }.toMap
+    assert(r == sim)
+  }
+
   test("centralSurvivors keeps the hub, min id on rank ties") {
     val p = pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (20L, 21L))
     val cc = Dedup.connectedComponents(p)
