@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Distinct-stratum count past which the driver-collecting mixture
+    * operators ([[temperatureSample]], [[mixingPlan]]) log a warning:
+    * they are contracts over source/domain/language-style strata
+    * (10²-10⁶ values, a few MB collected + a literal rate table per
+    * task), and a per-key column passed as the stratum would pressure
+    * driver memory and bloat every task closure. Warn, don't fail —
+    * the operator is still correct, just mis-applied.
+    */
+  private[graft] val StrataDriverWarn = 1000000
+
+  private def warnStrataCardinality(op: String, col: String,
+                                    n: Int): Unit =
+    if (n > StrataDriverWarn)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$op: $n distinct '$col' strata exceed the driver-sized " +
+          s"assumption ($StrataDriverWarn); the per-stratum rate table " +
+          "is collected to the driver and shipped into every task — " +
+          "use a source/domain-cardinality stratum column")
+
   private def toks(textCol: Column): Column =
     TextOps.tokens(TextOps.normalized(textCol))
 
@@ -478,6 +497,15 @@ object Corpus {
     * [[mixtureSample]]: stateless, shuffle-free on the corpus side,
     * reproducible in any engine.
     *
+    * Driver-cardinality assumption (the [[Dedup.connectedComponents]]
+    * explicit-gate discipline): the per-stratum count table IS
+    * collected to the driver — `strataCol` must be a source/domain/
+    * language-style column with ≤ ~10⁶ distinct values, NOT a per-key
+    * id. Beyond [[StrataDriverWarn]] distinct strata a warning is
+    * logged (the rate table also rides into tasks as a literal map, so
+    * a per-key stratum column would bloat every task closure, not just
+    * the driver).
+    *
     * @param alpha      temperature exponent in (0, 1]
     * @param keepTopPpm ppm of the HEAVIEST stratum to keep (the whole
     *                   rate vector scales with it; 1000000 keeps the
@@ -489,10 +517,12 @@ object Corpus {
                         keepTopPpm: Int = 1000000): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha $alpha must be in (0, 1]")
     graft.functions.VectorFunctions.register(df.sparkSession)
-    // one count pass; strata counts are driver-sized by nature
+    // one count pass; strata counts are driver-sized BY ASSUMPTION —
+    // source/domain/language cardinality, warned-on past the gate
     val counts = df.groupBy(col(strataCol).as("__s"))
       .agg(count(lit(1)).as("c")).collect()
       .map(r => (r.get(0), r.getLong(1)))
+    warnStrataCardinality("temperatureSample", strataCol, counts.length)
     // an empty input has no strata and no rates — return empty with the
     // output schema instead of throwing on the max of nothing (upstream
     // gates can legitimately empty a corpus slice)
@@ -1862,6 +1892,10 @@ object Corpus {
     * Scale: one per-source aggregate of the corpus (map-side
     * collapsible sum) joined to a target-cardinality literal relation
     * — broadcast at any scale; document text is never read.
+    * Cardinality assumption (the explicit-gate discipline): `sourceCol`
+    * is a source/domain-style column (≤ ~[[StrataDriverWarn]] distinct
+    * values) — the per-source table is BROADCAST, so a per-key column
+    * here would blow the broadcast, exactly as at [[temperatureSample]].
     *
     * @param tokensCol per-document token count column (whitespace
     *        tokens, learned-BPE counts via [[Bpe.encode]], or bytes —

@@ -36,6 +36,26 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Loud long-overflow guard for the integer-micro PageRank
+    * recurrences. Rank mass is conserved-or-contracting (Σ r' ≤
+    * 150000·n + 0.85·Σ r, started at n·10⁶), so every per-node rank and
+    * every per-node Σc is ≤ n·10⁶; the widest intermediate in the plain
+    * form is 850000·Σc ≤ 8.5·10¹¹·n, which fits a long iff
+    * n ≤ Long.MaxValue/(850000·10⁶) ≈ 1.08·10⁷. Beyond that the sum
+    * silently wraps negative, so the bound is ENFORCED here rather than
+    * documented — at one extra count() on the already-materialized
+    * degree table, paid once per call, not per round. 10⁷ nodes is far
+    * beyond any reduced near-dup pair relation; a graph that large
+    * should flow through [[Dedup.connectedComponents]]' contraction
+    * path, not a micro-exact power iteration.
+    */
+  private val MaxRankNodes: Long = Long.MaxValue / 850000L / 1000000L
+
+  private def requireRankBound(n: Long): Unit =
+    require(n <= MaxRankNodes,
+      s"pageRank integer-micro arithmetic overflows a long beyond " +
+        s"$MaxRankNodes nodes (got $n): 850000 * sum(contrib) wraps")
+
   private def edgesOf(pairs: DataFrame, idA: String, idB: String) =
     Materialize.multiScan(
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -74,6 +94,7 @@ object Graph {
     val edges = edgesOf(pairs, idA, idB)
     val deg = Materialize.multiScan(
       edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    requireRankBound(deg.count())
     var ranks = deg.select(col("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       // per-edge contribution r(src) div deg(src), re-keyed on dst:
@@ -198,8 +219,11 @@ object Graph {
     * floor `div` everywhere, bit-deterministic and oracle-replayable.
     * With uniform weights this reduces EXACTLY to [[pageRank]]
     * (⌊r·w/(deg·w)⌋ = ⌊r/deg⌋ — floors of equal rationals; spec'd).
-    * Long bound: 850000·Σc must fit a long — safe to ~10⁶ graph nodes,
-    * far beyond a reduced pair relation.
+    * Long bounds are ENFORCED, not documented: the node count must sit
+    * under [[MaxRankNodes]] (so 850000·Σc fits, as in [[pageRank]]) and
+    * additionally max(w) ≤ Long.MaxValue/(n·10⁶) so the rank·weight
+    * product fits — both checked loudly up front from the materialized
+    * edge/degree tables instead of wrapping negative mid-iteration.
     *
     * @param weightCol LONG weights > 0 (basis points by convention)
     * @return (id, rank_micro)
@@ -216,6 +240,16 @@ object Graph {
         .distinct())
     val wdeg = Materialize.multiScan(
       edges.groupBy(col("src").as("id")).agg(sum(col("w")).as("wd")))
+    val n = wdeg.count()
+    if (n > 0) {
+      requireRankBound(n)
+      val b = edges.agg(min(col("w")).as("mn"), max(col("w")).as("mx")).head()
+      val (minW, maxW) = (b.getLong(0), b.getLong(1))
+      require(minW >= 1L, s"edge weights must be >= 1, got $minW")
+      require(maxW <= Long.MaxValue / n / 1000000L,
+        s"max edge weight $maxW overflows rank*weight for $n nodes " +
+          s"(need <= ${Long.MaxValue / n / 1000000L})")
+    }
     var ranks = wdeg.select(col("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       val contrib = edges

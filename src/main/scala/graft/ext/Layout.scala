@@ -127,6 +127,44 @@ object Layout {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** File-size layout card for a parquet directory — the measurement
+    * BEFORE [[compactParquetDir]] (the r-series discipline: measure,
+    * then reach for the tool): file count, byte volume, size
+    * percentiles, and how many files sit under a small-file threshold.
+    * Listing/open cost is the silent killer of large scans — a
+    * directory averaging 2 MB/file costs ~64× the task/scheduler/open
+    * overhead of 128 MB files for the same bytes. Driver-side listing
+    * only (one RECURSIVE filesystem listing — the same walk every scan
+    * planning pass already makes — so partitioned/nested layouts with
+    * data files in subdirectories are measured too); no Spark job runs.
+    *
+    * @return (n_files, total_bytes, p50_bytes, max_bytes,
+    *         n_small, small_ppm) — n_small counts files strictly under
+    *         `smallBytes`
+    */
+  def fileSizeCard(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   smallBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true) // recursive: partition dirs count
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && name.endsWith(".parquet") &&
+        !name.startsWith("_") && !name.startsWith(".")) buf += s.getLen
+    }
+    val sizes = buf.toSeq.sorted
+    require(sizes.nonEmpty, s"no parquet data files under $dir")
+    val n = sizes.length
+    val nSmall = sizes.count(_ < smallBytes).toLong
+    Seq((n.toLong, sizes.sum, sizes(n / 2), sizes.last, nSmall,
+      nSmall * 1000000L / n))
+      .toDF("n_files", "total_bytes", "p50_bytes", "max_bytes",
+        "n_small", "small_ppm")
+  }
+
   /** Key-skew diagnostic card — the measurement that DECIDES between a
     * plain shuffle join, AQE's adaptive skew split, and [[saltedJoin]]
     * (the r-series precedent: measure, then reach for the dial).
@@ -153,39 +191,6 @@ object Layout {
     *         p99_key_n, skew_ratio) — percentiles/ratio floor-rounded
     *         to 2dp, shares exact integer ppm
     */
-  /** File-size layout card for a parquet directory — the measurement
-    * BEFORE [[compactParquetDir]] (the r-series discipline: measure,
-    * then reach for the tool): file count, byte volume, size
-    * percentiles, and how many files sit under a small-file threshold.
-    * Listing/open cost is the silent killer of large scans — a
-    * directory averaging 2 MB/file costs ~64× the task/scheduler/open
-    * overhead of 128 MB files for the same bytes. Driver-side listing
-    * only (one filesystem listStatus — the same call every scan
-    * planning pass already makes); no Spark job runs.
-    *
-    * @return (n_files, total_bytes, p50_bytes, max_bytes,
-    *         n_small, small_ppm) — n_small counts files strictly under
-    *         `smallBytes`
-    */
-  def fileSizeCard(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   smallBytes: Long = 32L * 1024 * 1024): DataFrame = {
-    import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sizes = fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(_.getLen).sorted
-    require(sizes.nonEmpty, s"no parquet data files under $dir")
-    val n = sizes.length
-    val nSmall = sizes.count(_ < smallBytes).toLong
-    Seq((n.toLong, sizes.sum, sizes(n / 2), sizes.last, nSmall,
-      nSmall * 1000000L / n))
-      .toDF("n_files", "total_bytes", "p50_bytes", "max_bytes",
-        "n_small", "small_ppm")
-  }
-
   def skewCard(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewCard needs at least one key column")
     def r2(c: Column) = floor(c * 100 + 0.5) / 100

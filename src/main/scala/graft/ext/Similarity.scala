@@ -658,11 +658,20 @@ object Similarity {
     * [[diversitySample]] convention) and neighbors are searched WITHIN
     * the cell only. Approximate where a true neighbor lives across a
     * cell boundary, but the audit signal survives: a mislabeled point's
-    * cell-mates are still overwhelmingly the other class. Cost is
-    * Σ|cell|² — run with nCells ∝ n (the IVF √n rule) so cells stay
-    * bounded and the join linear-ish; no broadcast of the corpus
-    * anywhere. Vectors alone in their cell have no neighbors and are
-    * absent from the output (no evidence either way).
+    * cell-mates are still overwhelmingly the other class.
+    *
+    * Scale rule — nCells ∝ √n, the true IVF rule (same as [[ivfTopK]]):
+    * the centroid table is a bounded O(√n) driver collect that rides
+    * into every task as ONE array literal (at 10⁹ vectors that is ~3·10⁴
+    * centroids, a few MB — the corpus itself is never collected or
+    * broadcast), and assignment is one shuffle-free fused-codegen scan
+    * at O(n·√n·dim). Balanced cells then hold ~√n members, so the
+    * un-dialed within-cell join is Σ|cell|² ≈ n·√n — at scale SET
+    * `maxCellPool`, which caps it at O(n·maxCellPool) = linear and
+    * doubles as the mega-cell skew defense (see [[cellNeighbors]]).
+    * Do NOT run nCells ∝ n: that makes the driver collect O(n) and the
+    * assignment scan quadratic. Vectors alone in their cell have no
+    * neighbors and are absent from the output (no evidence either way).
     *
     * @return (vec_id, label, n_same, n_nbrs, agreement_bp)
     */
@@ -676,8 +685,10 @@ object Similarity {
     * and [[labelConfusion]]: deterministic lowest-id centroids, cosine
     * cell assignment, within-cell top-k by (rounded sim desc, id asc).
     *
-    * `maxCellPool` is the MEGA-CELL skew dial: nCells ∝ n keeps
-    * BALANCED cells bounded, but no centroid count splits a blob of
+    * `maxCellPool` is the MEGA-CELL skew dial AND the linearity dial at
+    * scale: under the nCells ∝ √n rule balanced cells hold ~√n members
+    * (so the dial turns n·√n pair work into n·pool), and regardless of
+    * the centroid count no split breaks up a blob of
     * near-identical vectors (the boilerplate-embedded-n-times shape) —
     * one cell holds the blob and Σ|cell|² goes quadratic. The dial
     * caps each cell's CANDIDATE POOL at the `maxCellPool` members with

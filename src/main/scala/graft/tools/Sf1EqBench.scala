@@ -269,12 +269,14 @@ object Sf1EqBench {
             graft.ext.Dedup.connectedComponents(pairs),
             graft.ext.Graph.pageRank(pairs, iters = 5))
         },
-        // r13: full-corpus kNN label audit on the cell path, with
-        // nCells ∝ n (the IVF rule the scaladoc mandates) so per-cell
-        // pair spaces stay constant-sized as the corpus scales
+        // r13/r14: full-corpus kNN label audit on the cell path, run at
+        // the scale contract the scaladoc mandates — nCells ∝ √n (the
+        // true IVF rule: O(√n) driver collect, n·√n assignment) with
+        // maxCellPool making the within-cell join O(n·pool) linear
         "label_agreement_cells" -> (s => graft.ext.Similarity
           .labelAgreementCells(vecs(s), "vec_id", "embedding", "label",
-            k = 5, nCells = 16 * s)))
+            k = 5, nCells = (16 * math.sqrt(s.toDouble)).round.toInt,
+            maxCellPool = 200)))
 
     def release(): Unit = {
       spark.catalog.clearCache()

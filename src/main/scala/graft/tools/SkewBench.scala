@@ -132,18 +132,19 @@ object SkewBench {
       // scaladoc), so the hot-shingle c² blowup hits it with nothing
       // else in the way — the dial is not an optimization here but the
       // only defense
-      // the identical-vector mega-cell: nCells ∝ n keeps BALANCED cells
-      // bounded but cannot split a blob of near-identical vectors, so
-      // the within-cell pair space goes quadratic; maxCellPool caps
-      // each cell's candidate pool at a deterministic hash sample
-      // (statistically safe exactly here — pool members are
-      // near-identical to the excluded ones)
+      // the identical-vector mega-cell: no centroid count (the scale
+      // contract is nCells ∝ √n — the true IVF rule) can split a blob
+      // of near-identical vectors, so the blob cell's pair space goes
+      // quadratic; maxCellPool caps each cell's candidate pool at a
+      // deterministic hash sample (statistically safe exactly here —
+      // pool members are near-identical to the excluded ones)
       "labelAgreementCells un-dialed" -> (s => graft.ext.Similarity
         .labelAgreementCells(vecs(s), "vec_id", "embedding", "label",
-          k = 5, nCells = 16 * s)),
+          k = 5, nCells = (16 * math.sqrt(s.toDouble)).round.toInt)),
       "labelAgreementCells maxCellPool=200" -> (s => graft.ext.Similarity
         .labelAgreementCells(vecs(s), "vec_id", "embedding", "label",
-          k = 5, nCells = 16 * s, maxCellPool = 200)),
+          k = 5, nCells = (16 * math.sqrt(s.toDouble)).round.toInt,
+          maxCellPool = 200)),
       "containmentPairs un-dialed" -> (s => graft.ext.Dedup.containmentPairs(
         docs(s), "doc_id", "text", n = 3, tau = 0.5)),
       "containmentPairs maxDocFreq=100" -> (s => graft.ext.Dedup.containmentPairs(

@@ -101,6 +101,29 @@ class GraphSpec extends AnyFunSuite {
     assert(r == sim)
   }
 
+  test("pageRankWeighted overflow/positivity guards fail loudly") {
+    import org.apache.spark.sql.functions.lit
+    // weight 0 violates the >= 1 contract (silent div-by-zero-ish
+    // starvation otherwise)
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(
+        pairsDf((0L, 1L)).withColumn("wbp", lit(0L)), "wbp", iters = 1)
+        .collect()
+    }
+    // a weight that makes rank*weight exceed Long.MaxValue/(n*1e6)
+    // must be refused up front, not wrap negative mid-iteration
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(
+        pairsDf((0L, 1L), (1L, 2L))
+          .withColumn("wbp", lit(Long.MaxValue / 1000000L)), "wbp", iters = 1)
+        .collect()
+    }
+    // in-bounds weights still run after the guards
+    assert(Graph.pageRankWeighted(
+      pairsDf((0L, 1L)).withColumn("wbp", lit(5000L)), "wbp", iters = 1)
+      .count() == 2L)
+  }
+
   test("centralSurvivors keeps the hub, min id on rank ties") {
     val p = pairsDf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (20L, 21L))
     val cc = Dedup.connectedComponents(p)

@@ -272,6 +272,19 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("fileSizeCard: recurses into partitioned (nested) layouts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fszpart").toString
+    (1L to 100L).map(i => (i, i % 3)).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    // data files live under p=0/, p=1/, p=2/ — a flat listStatus sees
+    // only directories and would refuse a valid table
+    val r = Layout.fileSizeCard(spark, dir).collect().head
+    assert(r.getAs[Long]("n_files") >= 3L,
+      s"expected >=3 nested part files, card saw ${r}")
+    assert(r.getAs[Long]("total_bytes") > 0L)
+  }
+
   test("skewCard: hand-computed shares, exact percentiles of the key-count distribution") {
     import spark.implicits._
     // one hot key with 8 rows, seven singletons: counts sorted
