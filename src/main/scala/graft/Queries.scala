@@ -40,7 +40,7 @@ object Queries
     qTextStats, qTokenCount, qLangId, qScriptMix, qCharEntropy,
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
-    qDedupExact, qDedupNfc, qDedupJaccard, qDedupJaccardPrefix,
+    qDedupExact, qDedupNfc, qDedupUrl, qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,

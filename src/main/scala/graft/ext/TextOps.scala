@@ -113,6 +113,54 @@ object TextOps {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Canonical URL key — the FIRST dedup rung of published web-corpus
+    * pipelines (RefinedWeb runs URL dedup before any content pass;
+    * CCNet dedups per-snapshot URLs): two crawls of the same page
+    * differ in scheme, case, tracking decoration, and slash/fragment
+    * noise long before their bodies differ. Syntax-based normalization
+    * (RFC 3986 §6.2.2 case/port rules + the tracking-param strip), in
+    * order:
+    *
+    *  1. trim; drop the fragment (`#...`);
+    *  2. drop the scheme (any `name://` — the key is scheme-insensitive,
+    *     so http/https crawls of one page collide);
+    *  3. lowercase the AUTHORITY only (host[:port] — path and query are
+    *     case-SENSITIVE per RFC and preserved);
+    *  4. drop the original scheme's default port (`:80` http, `:443`
+    *     https; other ports — and ports on other schemes — preserved);
+    *  5. drop tracking params wherever they sit in the query string
+    *     (`utm_*`, `gclid`, `fbclid`, `igshid`, `mc_cid`, `mc_eid` —
+    *     lowercase names, the published convention; other params
+    *     preserved in their original order);
+    *  6. drop one trailing path slash (before end-of-string or the
+    *     query), so `/p/7/` ≡ `/p/7` and `/p/7/?id=1` ≡ `/p/7?id=1`.
+    *
+    * IDN policy: hosts are compared AS-IS — no punycode/IDNA mapping
+    * (a corpus mixing `münchen.example` with `xn--mnchen-3ya.example`
+    * needs an explicit IDNA pass upstream; silently folding here would
+    * hide that decision). Pure builtin composition: codegen'd
+    * end-to-end, replayable in any engine with RE2-class regexes.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPart = regexp_extract(noScheme, "^[^/?]*", 0)
+    val rest = noScheme.substr(length(hostPart) + 1, length(noScheme))
+    val hostNoPort =
+      when(scheme === "http", regexp_replace(lower(hostPart), ":80$", ""))
+        .when(scheme === "https", regexp_replace(lower(hostPart), ":443$", ""))
+        .otherwise(lower(hostPart))
+    val track = "(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)"
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(concat(hostNoPort, rest),
+          "&" + track + "=[^&#]*", ""),
+        "\\?" + track + "=[^&#]*&", "?"),
+      "\\?" + track + "=[^&#]*$", "")
+    regexp_replace(regexp_replace(noTrack, "/\\?", "?"), "/$", "")
+  }
+
   /** Content fingerprint = md5 of the normalized text. Stable across
     * engines (md5 is bit-identical everywhere), used for exact-dedup at
     * scale: group by a 32-byte digest instead of multi-KB text, so the

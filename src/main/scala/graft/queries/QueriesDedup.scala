@@ -51,6 +51,73 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       FROM documents
       GROUP BY md5(nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))"""))
 
+  /** URL-canonical-key dedup ([[Dedup.urlGroups]]) — the first rung of
+    * published web pipelines, exercised over a synthetic URL column
+    * derived deterministically from doc_id: six adversarial variants of
+    * the same logical page address (case-shifted scheme+host, https vs
+    * http, explicit default ports, utm tracking decoration in leading
+    * and trailing positions, fragment, trailing path slash before the
+    * query) that must all collapse onto one canonical key per page.
+    * The oracle replays BOTH the construction and every normalization
+    * step in DuckDB SQL.
+    */
+  val qDedupUrl = Q("dedup_url",
+    (s, dir) => {
+      val m = col("doc_id") % 6
+      val ps = (col("doc_id") % 200).cast("string")
+      val hs = ((col("doc_id") % 200) % 50).cast("string")
+      val url =
+        when(m === 0, concat(lit("http://example"), hs, lit(".com/p/"),
+          ps, lit("?id="), ps))
+        .when(m === 1, concat(lit("HTTPS://EXAMPLE"), hs, lit(".COM/p/"),
+          ps, lit("?id="), ps))
+        .when(m === 2, concat(lit("https://example"), hs, lit(".com:443/p/"),
+          ps, lit("?id="), ps))
+        .when(m === 3, concat(lit("http://example"), hs, lit(".com:80/p/"),
+          ps, lit("?utm_source=feed&id="), ps, lit("&utm_campaign=x")))
+        .when(m === 4, concat(lit("http://example"), hs, lit(".com/p/"),
+          ps, lit("?id="), ps, lit("#frag")))
+        .otherwise(concat(lit("http://example"), hs, lit(".com/p/"),
+          ps, lit("/?id="), ps))
+      Dedup.urlGroups(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, CAST(doc_id % 200 AS STRING) AS p,
+               CAST((doc_id % 200) % 50 AS STRING) AS h FROM documents),
+      urls AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 6 AS INT)
+            WHEN 0 THEN 'http://example' || h || '.com/p/' || p || '?id=' || p
+            WHEN 1 THEN 'HTTPS://EXAMPLE' || h || '.COM/p/' || p || '?id=' || p
+            WHEN 2 THEN 'https://example' || h || '.com:443/p/' || p || '?id=' || p
+            WHEN 3 THEN 'http://example' || h || '.com:80/p/' || p
+                        || '?utm_source=feed&id=' || p || '&utm_campaign=x'
+            WHEN 4 THEN 'http://example' || h || '.com/p/' || p || '?id=' || p || '#frag'
+            ELSE 'http://example' || h || '.com/p/' || p || '/?id=' || p
+          END AS url
+        FROM base),
+      s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM urls),
+      s2 AS (SELECT doc_id,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS v FROM s1),
+      s3 AS (SELECT doc_id, scheme, regexp_extract(v, '^[^/?]*') AS hostp,
+               substr(v, length(regexp_extract(v, '^[^/?]*')) + 1) AS rest FROM s2),
+      s4 AS (SELECT doc_id,
+               (CASE WHEN scheme = 'http' THEN regexp_replace(lower(hostp), ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(lower(hostp), ':443$', '')
+                     ELSE lower(hostp) END) || rest AS w FROM s3),
+      s5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(w,
+               '&(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)=[^&#]*', '', 'g'),
+               '\?(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)=[^&#]*&', '?'),
+               '\?(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)=[^&#]*$', '') AS x
+             FROM s4),
+      s6 AS (SELECT doc_id,
+               regexp_replace(regexp_replace(x, '/\?', '?'), '/$', '') AS url_key FROM s5)
+      SELECT url_key, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM s6 GROUP BY url_key"""))
+
   val qDedupJaccard = Q("dedup_ngram_jaccard",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
       "doc_id", "text", n = 3, tau = 0.25),

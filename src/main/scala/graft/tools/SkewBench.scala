@@ -178,6 +178,19 @@ object SkewBench {
         graft.ext.Similarity.semanticDedup(synthHotVecs(spark, 3000L * s),
           "vec_id", "embedding", k = 16, tau = 0.7)
           .filter(!col("keep"))),
+      // r14: the long-chain hostile graph — diameter = n, the shape
+      // that defeats O(diameter) label propagation outright (the r13
+      // fallback would have needed 500k rounds at 1× and silently
+      // stopped wrong at 25); large-star/small-star contraction
+      // collapses any chain in ~log n rounds. driverLimit=0 forces the
+      // distributed path.
+      "connectedComponents long chain" -> { s =>
+        val n = baseDocs * s * 100
+        graft.ext.Dedup.connectedComponents(
+          spark.range(1, n).select(col("id").as("id_a"),
+            (col("id") + 1).as("id_b")),
+          driverLimit = 0L)
+      },
       // r11: exact group percentiles under the low-cardinality-group
       // shape (3 groups over millions of mostly-distinct doubles). The
       // value-buffering `percentile` aggregate final-merges in exactly
@@ -221,6 +234,7 @@ object SkewBench {
       val inRows =
         if (name.startsWith("survivors") ||
           name.startsWith("percentiles")) baseDocs * s * 400
+        else if (name.startsWith("connectedComponents")) baseDocs * s * 100
         else if (name.startsWith("semanticDedup")) 3000L * s
         else baseDocs * s
       println(f"| $name | ${s}x | $inRows | $cold%.2f | $warm%.2f | $rows |")

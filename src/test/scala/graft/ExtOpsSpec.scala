@@ -1356,6 +1356,110 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(viaLoop == expected)
   }
 
+  test("canonicalUrl: adversarial forms normalize per the documented rules") {
+    import spark.implicits._
+    val cases = Seq(
+      // case-shifted scheme+host; path case preserved
+      ("HTTP://ExAmPlE.CoM/Path/X", "example.com/Path/X"),
+      // default ports stripped per original scheme; others kept
+      ("http://a.com:80/x", "a.com/x"),
+      ("https://a.com:443/x", "a.com/x"),
+      ("http://a.com:8080/x", "a.com:8080/x"),
+      ("https://a.com:80/x", "a.com:80/x"), // 80 is NOT https' default
+      // scheme-insensitive key: http and https crawls collide
+      ("https://a.com/x", "a.com/x"),
+      ("ftp://A.com/x", "a.com/x"), // any scheme strips; no port rule
+      // tracking params in every position; kept params keep order
+      ("http://a.com/x?utm_source=f&id=1&utm_campaign=c", "a.com/x?id=1"),
+      ("http://a.com/x?id=1&gclid=abc", "a.com/x?id=1"),
+      ("http://a.com/x?utm_a=1&utm_b=2", "a.com/x"),
+      ("http://a.com/x?fbclid=9", "a.com/x"),
+      ("http://a.com/x?b=2&a=1", "a.com/x?b=2&a=1"),
+      // fragment, trailing slash (also before the query), both
+      ("http://a.com/x#sec", "a.com/x"),
+      ("http://a.com/x/", "a.com/x"),
+      ("http://a.com/x/?id=1", "a.com/x?id=1"),
+      ("http://a.com/", "a.com"),
+      // scheme-less input: no port strip (unknown scheme), host lowered
+      ("A.com/X", "a.com/X"),
+      // IDN policy: compared as-is, no punycode folding
+      ("http://münchen.example/x", "münchen.example/x"),
+      ("  http://a.com/x ", "a.com/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("k"))
+      .as[String].collect()
+    cases.zip(got).foreach { case ((in, want), k) =>
+      assert(k == want, s"canonicalUrl('$in') = '$k', want '$want'")
+    }
+  }
+
+  test("urlGroups: six crawl variants of one page collapse to one key") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://site7.com/p/9?id=9"),
+      (2L, "HTTPS://SITE7.COM/p/9?id=9"),
+      (3L, "https://site7.com:443/p/9?id=9"),
+      (4L, "http://site7.com:80/p/9?utm_source=feed&id=9&utm_campaign=x"),
+      (5L, "http://site7.com/p/9?id=9#frag"),
+      (6L, "http://site7.com/p/9/?id=9"),
+      (7L, "http://site7.com/p/10?id=10")).toDF("doc_id", "url")
+    val g = Dedup.urlGroups(docs, "doc_id", "url")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, i, n) => k -> ((i, n)) }.toMap
+    assert(g == Map("site7.com/p/9?id=9" -> (1L, 6L),
+      "site7.com/p/10?id=10" -> (7L, 1L)))
+  }
+
+  test("connected components: star contraction collapses a 3000-link " +
+      "chain (diameter >> 25 — the shape label propagation cannot finish)") {
+    import spark.implicits._
+    // a chain is the hostile graph for any propagation scheme: its
+    // diameter equals its length, so the r13 min-label loop needed
+    // 2999 rounds and would have stopped silently wrong at maxIter=25.
+    // Star contraction is O(log n) rounds: default maxIter must succeed.
+    val n = 3000L
+    val pairs = spark.range(1, n)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val labels = Dedup.connectedComponents(pairs, driverLimit = 0L)
+      .as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 1L),
+      s"all chain nodes must label to min id 1, got ${labels.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
+  test("connected components: star contraction fuzz-agrees with the " +
+      "driver union-find on random graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random edge sets of varying density — the
+    // equivalence oracle is the driver fast path itself
+    for (seed <- Seq(1, 2, 3)) {
+      val nNodes = 120L
+      val nEdges = 150
+      val es = (0 until nEdges).map { i =>
+        val a = math.abs((i * 2654435761L + seed * 40503L) % nNodes)
+        val b = math.abs((i * 1597334677L + seed * 69069L) % nNodes)
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      val pairs = es.toDF("id_a", "id_b")
+      val viaDriver = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val viaStars = Dedup.connectedComponents(pairs, driverLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaDriver, s"seed $seed mismatch")
+    }
+  }
+
+  test("connected components: star contraction handles string ids " +
+      "(generic orderable key, no integral fast path)") {
+    import spark.implicits._
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, driverLimit = 0L)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("connected components: reliable-checkpoint mode writes rounds and agrees") {
     import spark.implicits._
     // executor loss mid-fixpoint with localCheckpoint loses both the
