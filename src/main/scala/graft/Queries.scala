@@ -37,7 +37,7 @@ object Queries
     qCdcLatest, qCdcLatestAgg, qCdcMerge, qCdcTargets, qJsonExtract, qVariant,
     qSchemaInference, qDateFuncs, qStringFuncs, qMathFuncs, qEventsHourly,
     qEnvelopePg, qEnvelopeMongo, qEnvelopeDms, qEnvelopeDlq,
-    qTextStats, qTokenCount, qLangId, qScriptMix, qCharEntropy,
+    qTextStats, qTokenCount, qLangId, qLangIdModel, qScriptMix, qCharEntropy,
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupUrl, qDedupJaccard, qDedupJaccardPrefix,

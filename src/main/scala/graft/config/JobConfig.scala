@@ -97,7 +97,17 @@ final case class AdmissionConf(
     containment_maintain_every: Option[Long] = None,
     /** Audit trail: rejected rows land in `<dir>/batch=<id>` (Overwrite —
       * replay-idempotent, like the admission corpus layout). */
-    rejected_dir: Option[String] = None)
+    rejected_dir: Option[String] = None,
+    /** Frozen learned language-id model (parquet,
+      * [[graft.ext.Corpus.langIdTrain]] layout: (bucket, lang, w) with
+      * the reserved -1/-2 bucket rows); absent = gate off. When set,
+      * only documents whose argmax language is in `allowed_langs` are
+      * admitted — the learned alternative to the stopword/script
+      * heuristic, doc-local and frozen like every other gate. */
+    lang_model_path: Option[String] = None,
+    allowed_langs: List[String] = List("en"),
+    lang_n: Int = 3,
+    lang_n_buckets: Int = 4096)
 
 final case class JobConfig(
     redshift_conf: RedshiftConf,

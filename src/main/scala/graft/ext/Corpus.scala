@@ -914,6 +914,113 @@ object Corpus {
       .withColumn("bucket",
         pmod(TextOps.portableHash(col("f")), lit(nBuckets.toLong)))
 
+  /** LEARNED language identification, training half — the published
+    * replacement for stopword/script heuristics (CCNet gates on a
+    * fastText lid model; the heuristic [[TextOps.langIdHeuristic]]
+    * stays as the zero-table fallback): a hashed char-n-gram naive
+    * Bayes. Features are character n-grams of the normalized text
+    * ([[TextOps.charNgrams]] — char-level, so the model SEES script
+    * identity through the bytes themselves where the word-level
+    * heuristic needs hand-listed ranges), portable-hashed into
+    * `nBuckets`; per (bucket, lang) the weight is the add-1-smoothed
+    * log-likelihood floor(ln((c+1)/(N_lang+nBuckets))·10⁴ + 0.5) in
+    * integer tenth-millinats — the [[dsirScore]] fixed-point
+    * discipline: every ln argument is a ratio of exact integers, so
+    * scores replay bit-identically in any engine.
+    *
+    * The model table is DENSE over observed-buckets × languages
+    * (≤ nBuckets·L rows — broadcast-sized like the [[qualityScore]]
+    * weight table) plus two reserved-bucket row families:
+    * bucket = -1 carries each language's unseen-feature default
+    * ln(1/(N_lang+nBuckets)), bucket = -2 its log-prior
+    * ln(n_docs_lang/n_docs). Training is two feature aggregates plus
+    * language-cardinality joins — no driver state, any corpus size.
+    *
+    * @return (bucket, lang, w) — frozen model for [[langIdPredict]]
+    */
+  def langIdTrain(labeled: DataFrame, textCol: String, langCol: String,
+                  n: Int = 3, nBuckets: Int = 4096): DataFrame = {
+    require(n >= 1 && nBuckets >= 2, s"bad langIdTrain dials: n=$n, nBuckets=$nBuckets")
+    graft.functions.VectorFunctions.register(labeled.sparkSession)
+    val feats = Materialize.spread(labeled)
+      .select(col(langCol).as("lang"),
+        explode(TextOps.charNgrams(col(textCol), n)).as("g"))
+      .select(col("lang"),
+        pmod(TextOps.portableHash(col("g")), lit(nBuckets.toLong)).as("bucket"))
+    val counts = feats.groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val ltot = feats.groupBy(col("lang")).agg(count(lit(1)).as("nfeat"))
+    val obs = counts.select(col("bucket")).distinct()
+    val dense = obs.crossJoin(broadcast(ltot))
+      .join(counts, Seq("bucket", "lang"), "left")
+      .select(col("bucket"), col("lang"),
+        floor(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("nfeat") + lit(nBuckets)).cast("double")) * 10000 + 0.5)
+          .cast("long").as("w"))
+    val w0 = ltot.select(lit(-1L).as("bucket"), col("lang"),
+      floor(log(lit(1.0) /
+        (col("nfeat") + lit(nBuckets)).cast("double")) * 10000 + 0.5)
+        .cast("long").as("w"))
+    val docCounts = labeled.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("ndoc"))
+    val pri = docCounts
+      .crossJoin(broadcast(docCounts.agg(sum(col("ndoc")).as("ntot"))))
+      .select(lit(-2L).as("bucket"), col("lang"),
+        floor(log(col("ndoc").cast("double") / col("ntot").cast("double"))
+          * 10000 + 0.5).cast("long").as("w"))
+    dense.unionByName(w0).unionByName(pri)
+  }
+
+  /** LEARNED language identification, inference half: score every
+    * document against every language in the frozen [[langIdTrain]]
+    * model and keep the argmax (ties break to the lexicographically
+    * smallest language — deterministic, oracle-replayable). Features
+    * the model never saw score each language's reserved unseen default;
+    * the log-prior is added once per language. Documents shorter than
+    * n characters have no features and are absent from the output (the
+    * scorer-family contract).
+    *
+    * Scale shape: one stateless char-n-gram explode over the corpus,
+    * one BROADCAST join against the ≤ nBuckets·L model, one keyed
+    * aggregation on (doc, lang), one keyed window for the argmax — no
+    * corpus shuffle wider than (doc, lang) rows, L-bounded fan-out.
+    *
+    * @return (id, pred_lang, logit, n_features)
+    */
+  def langIdPredict(df: DataFrame, idCol: String, textCol: String,
+                    model: DataFrame, n: Int = 3,
+                    nBuckets: Int = 4096): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val feats = Materialize.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextOps.charNgrams(col(textCol), n)).as("g"))
+      .select(col("id"),
+        pmod(TextOps.portableHash(col("g")), lit(nBuckets.toLong)).as("bucket"))
+    val obs = model.filter(col("bucket") >= 0)
+    val w0 = model.filter(col("bucket") === -1).select(col("lang"), col("w"))
+    val pri = model.filter(col("bucket") === -2)
+      .select(col("lang"), col("w").as("wp"))
+    val matched = feats.join(broadcast(obs), Seq("bucket"))
+      .select(col("id"), col("lang"), col("w"))
+    val unmatched = feats
+      .join(broadcast(obs.select(col("bucket")).distinct()),
+        Seq("bucket"), "left_anti")
+      .crossJoin(broadcast(w0))
+      .select(col("id"), col("lang"), col("w"))
+    val scores = matched.unionByName(unmatched)
+      .groupBy(col("id"), col("lang"))
+      .agg(count(lit(1)).as("nf"), sum(col("w")).as("s"))
+      .join(broadcast(pri), Seq("lang"))
+      .select(col("id"), col("lang"), (col("s") + col("wp")).as("logit"),
+        col("nf"))
+    val wnd = Window.partitionBy(col("id"))
+      .orderBy(col("logit").desc, col("lang").asc)
+    scores.withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("lang").as("pred_lang"), col("logit"),
+        col("nf").as("n_features"))
+  }
+
   /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each raw
     * document by how much more likely its hashed n-gram bag is under

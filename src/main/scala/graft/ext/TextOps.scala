@@ -113,6 +113,22 @@ object TextOps {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Character n-grams of the [[normalized]] text (sliding window over
+    * CHARACTERS, so multi-byte scripts window correctly) — the feature
+    * space of published language-id classifiers (fastText lid uses char
+    * 2-4-grams; n=3 is the cost/signal sweet spot at corpus scale).
+    * Texts shorter than n characters produce an empty array (the
+    * `sequence()` start>stop sign-flip guard, same as the word-bigram
+    * feature builder).
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = normalized(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Canonical URL key — the FIRST dedup rung of published web-corpus
     * pipelines (RefinedWeb runs URL dedup before any content pass;
     * CCNet dedups per-snapshot URLs): two crawls of the same page

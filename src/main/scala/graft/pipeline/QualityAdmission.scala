@@ -31,6 +31,12 @@ import graft.ext.{Corpus, IncrementalQuality, Layout, Materialize}
   * cost is batch-sized. The batch makes ONE tokenize pass (the gates
   * read a shared spill-safe cache).
   *
+  * An optional LEARNED-LANGUAGE gate (r14) admits only documents whose
+  * argmax language under a frozen hashed-char-ngram model
+  * ([[graft.ext.Corpus.langIdPredict]]) is in `allowed_langs` — the
+  * CCNet placement of a lid model inside the curation battery; doc-local
+  * and frozen like the five, so the replay guarantee is unchanged.
+  *
   * A SEVENTH, optional gate breaks the doc-local rule deliberately:
   * steady-state CONTAINMENT (`containment_index_dir`) turns away
   * documents τ-contained in an already-admitted one (the embedded-quote
@@ -65,8 +71,11 @@ object QualityAdmission {
     val lambda = cfg.dsir_lambda_path.map(p =>
       Materialize.multiScan(spark.read.parquet(p)))
     val lm = cfg.lm_path.map(p => Materialize.multiScan(spark.read.parquet(p)))
+    val langModel = cfg.lang_model_path.map(p =>
+      Materialize.multiScan(spark.read.parquet(p)))
     (compacted, batchId) =>
-      admit(compacted, batchId, cfg, deleteMarker, weights, lambda, lm)
+      admit(compacted, batchId, cfg, deleteMarker, weights, lambda, lm,
+        langModel)
   }
 
   /** One admission pass over a compacted batch (the hook body).
@@ -75,7 +84,8 @@ object QualityAdmission {
     */
   def admit(compacted: DataFrame, batchId: Long, cfg: AdmissionConf,
             deleteMarker: String, weights: DataFrame,
-            lambda: Option[DataFrame], lm: Option[DataFrame]): DataFrame = {
+            lambda: Option[DataFrame], lm: Option[DataFrame],
+            langModel: Option[DataFrame] = None): DataFrame = {
     val withText = compacted.withColumn("__adm_text", expr(cfg.text_expr))
     val bypassCond = col("op") === lit(deleteMarker) ||
       col("__adm_text").isNull
@@ -95,6 +105,25 @@ object QualityAdmission {
       lm, cfg.max_mean_surprisal_x10k.getOrElse(Long.MaxValue),
       cfg.unseen_nat10k,
       cfg.c4_rules, cfg.c4_bad_words.getOrElse(Nil))
+    // optional LEARNED LANGUAGE gate (the CCNet shape: admit only the
+    // target languages, judged by a frozen hashed-char-ngram model —
+    // [[graft.ext.Corpus.langIdPredict]] — instead of the stopword
+    // heuristic): doc-local and deterministic in (row, frozen model),
+    // so replay admits the identical subset. Documents shorter than
+    // `lang_n` characters have no features, no prediction, and are NOT
+    // admitted while this gate is on (a doc too short to identify is
+    // below any curation floor anyway). Runs before the containment
+    // gate so off-language text never pays the postings probe.
+    val langFiltered = langModel match {
+      case None => g.admitted
+      case Some(m) =>
+        val keep = Corpus.langIdPredict(g.admitted, "__adm_id",
+            "__adm_text", m, cfg.lang_n, cfg.lang_n_buckets)
+          .filter(col("pred_lang").isin(cfg.allowed_langs: _*))
+          .select(col("id").as("__adm_id"))
+        Materialize.multiScan(
+          g.admitted.join(keep, Seq("__adm_id"), "left_semi"))
+    }
     // seventh gate (optional): steady-state containment — documents
     // τ-contained in an ALREADY-ADMITTED doc (embedded quotes) are
     // turned away, probed against the persisted shingle-postings index;
@@ -105,12 +134,12 @@ object QualityAdmission {
     // in-batch collapse is the dedup loop's job
     // ([[graft.ext.IncrementalDedup.admitBatchContainment]]).
     val admittedScored = cfg.containment_index_dir match {
-      case None => g.admitted
+      case None => langFiltered
       case Some(dir) =>
         val tau = cfg.containment_tau_x10k.toDouble / 10000
         val posts = Materialize.multiScan(graft.ext.Dedup.shinglePostings(
-          g.admitted, "__adm_id", "__adm_text", cfg.containment_n))
-        val drops = priorPostings(g.admitted.sparkSession, dir, batchId) match {
+          langFiltered, "__adm_id", "__adm_text", cfg.containment_n))
+        val drops = priorPostings(langFiltered.sparkSession, dir, batchId) match {
           case Some(index) => graft.ext.Dedup.containmentProbe(posts, index,
               tau, cfg.containment_max_doc_freq.getOrElse(Int.MaxValue))
             .filter(col("cont_batch") >= tau)
@@ -118,7 +147,7 @@ object QualityAdmission {
           case None => posts.limit(0).select(col("id").as("__adm_id"))
         }
         val survivors = Materialize.multiScan(
-          g.admitted.join(drops, Seq("__adm_id"), "left_anti"))
+          langFiltered.join(drops, Seq("__adm_id"), "left_anti"))
         // per-batch Overwrite partition: a replayed batch rewrites its
         // own postings instead of appending a duplicate set
         posts.join(survivors.select(col("__adm_id")),
@@ -147,7 +176,8 @@ object QualityAdmission {
         .drop("__adm_text", "__adm_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
     }
-    if (admittedScored ne g.admitted) admittedScored.unpersist()
+    if (admittedScored ne langFiltered) admittedScored.unpersist()
+    if (langFiltered ne g.admitted) langFiltered.unpersist()
     g.release()
     out
   }

@@ -532,6 +532,56 @@ private[graft] trait QueriesRelational { this: Queries.type =>
            ELSE 'und' END AS lang_pred
       FROM documents"""))
 
+  /** LEARNED language-id ([[Corpus.langIdTrain]]/[[Corpus.langIdPredict]],
+    * the hashed char-trigram naive Bayes): trained on the documents
+    * table's own labels, argmax-predicted back over it — the FULL
+    * feature-hash → per-language fixed-point log-likelihood → logit-sum
+    * → argmax pipeline replayed in DuckDB SQL (training CTEs included).
+    * Resubstitution means every inference bucket is observed, so the
+    * unseen-feature default path contributes nothing here — that branch
+    * (and the model-beats-heuristic claim) is spec-pinned on planted
+    * fixtures (`CorpusSpec`).
+    */
+  val qLangIdModel = Q("lang_id_model",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.langIdPredict(d, "doc_id", "text",
+          Corpus.langIdTrain(d, "text", "lang"))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH norm AS (SELECT doc_id, lang,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      grams AS (SELECT doc_id, lang,
+          unnest(list_transform(generate_series(1, length(t) - 2),
+            i -> substr(t, i, 3))) AS g
+        FROM norm WHERE length(t) >= 3),
+      feats AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket FROM grams),
+      counts AS (SELECT bucket, lang, count(*) AS c FROM feats GROUP BY 1, 2),
+      ltot AS (SELECT lang, count(*) AS nfeat FROM feats GROUP BY 1),
+      obs AS (SELECT DISTINCT bucket FROM counts),
+      dense AS (SELECT o.bucket, l.lang,
+          CAST(floor(ln((coalesce(c.c, 0) + 1)::DOUBLE /
+            (l.nfeat + 4096)::DOUBLE) * 10000 + 0.5) AS BIGINT) AS w
+        FROM obs o CROSS JOIN ltot l
+        LEFT JOIN counts c ON c.bucket = o.bucket AND c.lang = l.lang),
+      pri AS (SELECT d.lang,
+          CAST(floor(ln(d.ndoc::DOUBLE / t.ntot::DOUBLE) * 10000 + 0.5) AS BIGINT) AS wp
+        FROM (SELECT lang, count(*) AS ndoc FROM documents GROUP BY 1) d
+        CROSS JOIN (SELECT count(*) AS ntot FROM documents) t),
+      matched AS (SELECT f.doc_id, d.lang, d.w FROM feats f JOIN dense d USING (bucket)),
+      sc AS (SELECT doc_id, lang, count(*) AS nf,
+          CAST(sum(w) AS BIGINT) AS s
+        FROM matched GROUP BY 1, 2),
+      logits AS (SELECT sc.doc_id, sc.lang, sc.s + p.wp AS logit, sc.nf
+        FROM sc JOIN pri p ON p.lang = sc.lang),
+      pick AS (SELECT doc_id, lang, logit, nf,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY logit DESC, lang ASC) AS rn
+        FROM logits)
+      SELECT doc_id, lang AS pred_lang, logit, nf AS n_features
+      FROM pick WHERE rn = 1"""))
+
   /** Within-document repetition (duplicate 5-gram ratio) — the classic
     * boilerplate/spam signal in pretraining-data quality filtering.
     * Integer basis points for engine-exact parity.

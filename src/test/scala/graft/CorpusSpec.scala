@@ -1234,4 +1234,97 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("n") == 0L &&
       out(4L).getAs[Long]("entropy_micro") == 0L)
   }
+
+  // shared training seeds for the learned language-id family: a few
+  // sentences per language, the shape a frozen lid model is built from
+  private lazy val langSeeds = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog and then it runs away into the green forest with all of the other animals"),
+    ("en", "it is a truth universally acknowledged that a single man in possession of a good fortune must be in want of a wife"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund und läuft dann in den grünen wald zu den anderen tieren davon"),
+    ("de", "es ist eine allgemein anerkannte wahrheit dass ein alleinstehender mann im besitz eines guten vermögens eine frau braucht"),
+    ("fr", "le rapide renard brun saute par dessus le chien paresseux et court ensuite dans la forêt verte avec tous les autres animaux"),
+    ("fr", "c'est une vérité universellement reconnue qu'un célibataire pourvu d'une belle fortune doit avoir envie de se marier"),
+    ("es", "el rápido zorro marrón salta sobre el perro perezoso y luego corre hacia el bosque verde con todos los demás animales"),
+    ("es", "es una verdad mundialmente reconocida que un hombre soltero poseedor de una gran fortuna necesita una esposa"),
+    ("zh", "敏捷的棕色狐狸跳过了懒惰的狗然后跑进绿色的森林和其他动物在一起"),
+    ("zh", "众所周知单身汉拥有大笔财富就必然需要一位妻子这是一条举世公认的真理"))
+    .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+
+  test("langIdModel: beats the stopword/script heuristic on short " +
+      "Latin-script docs the heuristic can only call 'und'") {
+    val train = langSeeds.toDF("doc_id", "lang", "text")
+    val model = Corpus.langIdTrain(train, "text", "lang")
+    // short probes: no CJK script, near-zero English stopwords — the
+    // heuristic's only possible verdicts here are 'en' or 'und'
+    val probes = Seq(
+      (100L, "de", "der faule hund springt über den braunen fuchs"),
+      (101L, "fr", "le chien paresseux saute par dessus le renard brun"),
+      (102L, "es", "el perro perezoso salta sobre el zorro marrón"),
+      (103L, "en", "the lazy dog jumps over the brown fox"),
+      (104L, "zh", "懒惰的狗跳过了棕色的狐狸")).toDF("doc_id", "truth", "text")
+    val pred = Corpus.langIdPredict(probes, "doc_id", "text", model)
+      .select(col("id"), col("pred_lang")).as[(Long, String)].collect().toMap
+    val truth = Map(100L -> "de", 101L -> "fr", 102L -> "es",
+      103L -> "en", 104L -> "zh")
+    assert(pred == truth, s"model predictions $pred != $truth")
+    val heur = probes.select(col("doc_id"),
+        graft.ext.TextOps.langIdHeuristic(col("text")))
+      .as[(Long, String)].collect().toMap
+    // the heuristic gets zh (script) and en (stopwords) but CANNOT name
+    // de/fr/es — the misclassifications the learned model exists to fix
+    assert(Seq(100L, 101L, 102L).forall(id => heur(id) != truth(id)),
+      s"fixture must be heuristic-hostile, got $heur")
+    assert(heur(103L) == "en" && heur(104L) == "zh")
+  }
+
+  test("langIdModel: driver replay of logits — matched, unseen-default, " +
+      "and prior terms bit-exact; sub-n docs absent") {
+    val train = langSeeds.toDF("doc_id", "lang", "text")
+    val nBuckets = 4096
+    val modelDf = Corpus.langIdTrain(train, "text", "lang", 3, nBuckets)
+      .cache()
+    val model = modelDf.as[(Long, String, Long)].collect()
+    val dense = model.filter(_._1 >= 0)
+      .map { case (b, l, w) => (b, l) -> w }.toMap
+    val w0 = model.filter(_._1 == -1L).map { case (_, l, w) => l -> w }.toMap
+    val pri = model.filter(_._1 == -2L).map { case (_, l, w) => l -> w }.toMap
+    val obs = dense.keys.map(_._1).toSet
+    val langs = w0.keys.toSeq.sorted
+    // one doc of seen text, one of gibberish trigrams (unseen default
+    // path), one shorter than n=3 chars (must be absent)
+    val probes = Seq((1L, "der schnelle fuchs"), (2L, "qqqq zzzz xxxx"),
+      (3L, "ab")).toDF("doc_id", "text")
+    def grams(t: String): Seq[String] = {
+      val n = t.toLowerCase.trim.replaceAll("\\s+", " ")
+      if (n.length < 3) Seq.empty
+      else (0 to n.length - 3).map(i => n.substring(i, i + 3))
+    }
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % nBuckets
+    }
+    def expect(t: String): Option[(String, Long)] = {
+      val bs = grams(t).map(bucket)
+      if (bs.isEmpty) None
+      else Some(langs.map { l =>
+        val s = bs.map(b =>
+          if (obs.contains(b)) dense((b, l)) else w0(l)).sum
+        (l, s + pri(l))
+      }.maxBy { case (l, s) => (s, -langs.indexOf(l)) } match {
+        case (l, s) => (l, s)
+      })
+    }
+    val got = Corpus.langIdPredict(probes, "doc_id", "text", modelDf,
+        3, nBuckets)
+      .select(col("id"), col("pred_lang"), col("logit"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    modelDf.unpersist()
+    assert(!got.contains(3L), "sub-n doc must be absent")
+    for (id <- Seq(1L, 2L)) {
+      val t = Seq("der schnelle fuchs", "qqqq zzzz xxxx")(id.toInt - 1)
+      assert(got(id) == expect(t).get,
+        s"doc $id: spark ${got(id)} != driver ${expect(t).get}")
+    }
+  }
 }

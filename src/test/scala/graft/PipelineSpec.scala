@@ -464,6 +464,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$ixDir/batch=1").count() > 0)
   }
 
+  test("learned-language admission gate: off-language docs turned away, " +
+      "deletes and null-text rows still bypass, replay identical") {
+    import spark.implicits._
+    // frozen model trained on two-language seeds; zero-weight quality
+    // table so the lang gate is the only discriminating gate
+    val weightsDir = Files.createTempDirectory("graft_lgw").toString + "/w"
+    Seq((0L, 0L)).toDF("bucket", "w").write.parquet(weightsDir)
+    val modelDir = Files.createTempDirectory("graft_lgm").toString + "/m"
+    graft.ext.Corpus.langIdTrain(Seq(
+        ("en", "the quick brown fox jumps over the lazy dog and runs into the forest with the other animals of the green hills"),
+        ("de", "der schnelle braune fuchs springt über den faulen hund und läuft in den grünen wald zu den anderen tieren davon"))
+        .toDF("lang", "text"), "text", "lang")
+      .write.parquet(modelDir)
+    val cfg = graft.config.AdmissionConf(
+      text_expr = "payload",
+      weights_path = weightsDir,
+      min_words = 3,
+      lang_model_path = Some(modelDir),
+      allowed_langs = List("en"))
+    val weights = spark.read.parquet(weightsDir)
+    val model = spark.read.parquet(modelDir)
+    // every doc carries >= 2 distinct Gopher stopwords so the gopher
+    // gate passes and the LANG gate is the only discriminator (the
+    // German doc embeds 'the'/'of' tokens — trigram mass still names
+    // it de, which is exactly the short-mixed-doc case the stopword
+    // heuristic gets wrong)
+    val compacted = Seq(
+      ("db", "t", "1", "c", "the lazy dog sleeps near the brown fox and waits in the forest of the hills"),
+      ("db", "t", "2", "c", "der faule hund the schläft neben dem of braunen fuchs im wald und den tieren"),
+      ("db", "t", "3", "d", null), // delete: bypasses (null text)
+      ("db", "t", "4", "c", "the green animals run over the quick hills and jump with the dog of the forest"))
+      .toDF("db_name", "tb_name", "pk", "op", "payload")
+    def run() = {
+      val out = graft.pipeline.QualityAdmission.admit(compacted, 0L, cfg,
+        "d", weights, None, None, Some(model))
+      val pks = out.select("pk").as[String].collect().toSet
+      out.unpersist(); pks
+    }
+    val admitted = run()
+    assert(admitted == Set("1", "3", "4"),
+      s"en docs + delete bypass expected, got $admitted")
+    assert(run() == admitted, "replay must admit the identical subset")
+  }
+
   test("postings-index maintenance: committed partitions fold to batch=-1, rows preserved, uncommitted untouched") {
     import spark.implicits._
     import graft.pipeline.QualityAdmission
