@@ -65,7 +65,7 @@ object Queries
     qSessionStats, qRetention, qTransitions,
     qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
-    qBpeFertility, qHeavyHitters,
+    qBpeFertility, qUnigramLearn, qUnigramEncode, qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
     qDsirSelect,
     qDsirResample, qPerplexityBuckets, qGopherRules, qC4Rules,

@@ -787,6 +787,13 @@ object VectorFunctions {
     // folded into ONE BpeTable reference object at resolution time
     "bpe_encode" -> (exprs =>
       BpeEncodeExpr(exprs(0), new BpeTable(strPairsArg(exprs(1))))),
+    // unigram vocab arrives as array<array<string>> of [piece, cost]
+    // rows (cost = integer tenth-millinats as a string), folded into
+    // ONE UnigramTable reference object at resolution time
+    "unigram_encode" -> (exprs =>
+      UnigramEncodeExpr(exprs(0),
+        new UnigramTable(strPairsArg(exprs(1)),
+          exprs(2).eval(null).asInstanceOf[Number].longValue()))),
     "probe_centroids" -> (exprs =>
       ProbeCentroids(exprs(0), matArg(exprs(1)), longsArg(exprs(2)),
         intArg(exprs(3)))),
@@ -848,6 +855,16 @@ object VectorFunctions {
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_encode", text,
       typedlit(merges.map(p => Seq(p._1, p._2))))
+
+  /** Column API for [[UnigramEncodeExpr]]: unigram-LM pieces of
+    * (normalized) text under a frozen (piece, cost-nat10k) vocabulary.
+    * The table rides as one literal → reference object, O(1) plan size
+    * in the vocabulary.
+    */
+  def unigramEncode(text: Column, vocab: Seq[(String, Long)],
+                    unkNat10k: Long): Column =
+    call_function("unigram_encode", text,
+      typedlit(vocab.map(p => Seq(p._1, p._2.toString))), lit(unkNat10k))
 
   /** Column API for [[Md5Prefix]]: first `nibbles` md5 hex chars as long. */
   def md5Prefix(c: Column, nibbles: Int): Column =

@@ -721,6 +721,119 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
       FROM documents d LEFT JOIN agg a USING (doc_id)
       GROUP BY d.lang"""))
 
+  /** Shared oracle CTEs for the unigram-LM tokenizer family
+    * ([[graft.ext.Unigram]]): seed vocabulary (within-word substrings
+    * ≤ 4 chars, top-200 + all singles, ⌊−ln(cnt/C)·10⁴+0.5⌋ costs) and
+    * the per-word Viterbi DP replayed as a RECURSIVE CTE over
+    * character positions — dp/backpointer lists accumulate per
+    * iteration, candidate lengths 1..4 are vocab LEFT-JOIN lookups
+    * (unknown singles cost 200000, the operator's default), cost ties
+    * break to the LONGEST piece via the longer-length-first CASE
+    * cascade (provably the operator's upward-scan-with-≤ rule), and a
+    * second recursion walks the backpointers into the piece list.
+    * Exposes `wtok(doc_id, w)`, `vocab(piece, cnt, nat10k)`,
+    * `segs(w, wc, pieces)`. Requires `WITH RECURSIVE` (prepended here).
+    */
+  private[graft] val unigramSegCtes: String = """WITH RECURSIVE
+      norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      wtok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm WHERE t <> ''),
+      wcnt AS (SELECT w, count(*) AS wc FROM wtok GROUP BY 1),
+      sub AS (SELECT w, wc, unnest(flatten(list_transform(generate_series(1, length(w)),
+                s -> list_transform(generate_series(1, least(4, length(w) - s + 1)),
+                     l -> substr(w, s, l))))) AS piece FROM wcnt),
+      cnts AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM sub GROUP BY 1),
+      top AS (SELECT piece, cnt FROM cnts ORDER BY cnt DESC, piece ASC LIMIT 200),
+      vocab0 AS (SELECT DISTINCT * FROM (
+        SELECT piece, cnt FROM top
+        UNION ALL SELECT piece, cnt FROM cnts WHERE length(piece) = 1)),
+      vocab AS (SELECT piece, cnt,
+          CAST(floor(-ln(cnt::DOUBLE / tt.ctot::DOUBLE) * 10000 + 0.5) AS BIGINT) AS nat10k
+        FROM vocab0, (SELECT CAST(sum(cnt) AS BIGINT) AS ctot FROM vocab0) tt),
+      dw AS (SELECT w, wc, length(w) AS L FROM wcnt),
+      seg AS (
+        SELECT w, wc, L, 0 AS i, [CAST(0 AS BIGINT)] AS dp,
+               CAST([] AS BIGINT[]) AS bp FROM dw
+        UNION ALL
+        SELECT w, wc, L, i + 1,
+               list_append(dp, least(c1, c2, c3, c4)),
+               list_append(bp, CASE WHEN c4 <= c3 AND c4 <= c2 AND c4 <= c1 THEN 4
+                                    WHEN c3 <= c2 AND c3 <= c1 THEN 3
+                                    WHEN c2 <= c1 THEN 2 ELSE 1 END)
+        FROM (
+          SELECT s.w, s.wc, s.L, s.i, s.dp, s.bp,
+            s.dp[s.i + 1] + coalesce(v1.nat10k, 200000) AS c1,
+            coalesce(CASE WHEN s.i >= 1 THEN s.dp[s.i] + v2.nat10k END,
+              4611686018427387904) AS c2,
+            coalesce(CASE WHEN s.i >= 2 THEN s.dp[s.i - 1] + v3.nat10k END,
+              4611686018427387904) AS c3,
+            coalesce(CASE WHEN s.i >= 3 THEN s.dp[s.i - 2] + v4.nat10k END,
+              4611686018427387904) AS c4
+          FROM seg s
+          LEFT JOIN vocab v1 ON v1.piece = substr(s.w, s.i + 1, 1)
+          LEFT JOIN vocab v2 ON s.i >= 1 AND v2.piece = substr(s.w, s.i, 2)
+          LEFT JOIN vocab v3 ON s.i >= 2 AND v3.piece = substr(s.w, s.i - 1, 3)
+          LEFT JOIN vocab v4 ON s.i >= 3 AND v4.piece = substr(s.w, s.i - 2, 4)
+          WHERE s.i < s.L
+        )
+      ),
+      segf AS (SELECT w, wc, L, bp FROM seg WHERE i = L),
+      back AS (
+        SELECT w, wc, CAST(L AS BIGINT) AS pos, bp,
+               CAST([] AS VARCHAR[]) AS pieces FROM segf
+        UNION ALL
+        SELECT w, wc, pos - bp[CAST(pos AS INT)], bp,
+               list_prepend(substr(w, CAST(pos - bp[CAST(pos AS INT)] + 1 AS INT),
+                 CAST(bp[CAST(pos AS INT)] AS INT)), pieces)
+        FROM back WHERE pos > 0
+      ),
+      segs AS (SELECT w, wc, pieces FROM back WHERE pos = 0)"""
+
+  /** Unigram-LM tokenizer, LEARN surface ([[graft.ext.Unigram]]): one
+    * hard-EM round over the seed vocabulary — segment the corpus by
+    * Viterbi under seed costs, count piece usage over word occurrences,
+    * re-estimate costs from the usage mass (Viterbi-unused seeds prune
+    * out). The oracle replays seeding, the full per-word Viterbi DP,
+    * AND the re-estimation in DuckDB (see [[unigramSegCtes]]).
+    */
+  val qUnigramLearn = Q("q_unigram_learn",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Unigram.emRound(docs, "text",
+        graft.ext.Unigram.seedVocab(docs, "text"))
+    },
+    Some(unigramSegCtes + """,
+      usage AS (SELECT wc, unnest(pieces) AS piece FROM segs),
+      ucnt AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM usage GROUP BY 1)
+      SELECT piece, cnt,
+        CAST(floor(-ln(cnt::DOUBLE / tt.ctot::DOUBLE) * 10000 + 0.5) AS BIGINT) AS nat10k
+      FROM ucnt, (SELECT CAST(sum(cnt) AS BIGINT) AS ctot FROM ucnt) tt"""))
+
+  /** Unigram-LM tokenizer, ENCODE surface: per-document fertility under
+    * the seed vocabulary ([[graft.ext.Unigram.fertility]]) — the
+    * tokenizer-family sibling of `q_bpe_fertility`, so BPE-vs-unigram
+    * pieces-per-word compare on identical text. Every Viterbi
+    * segmentation decision is oracle-replayed per distinct word and
+    * joined back over the document token stream.
+    */
+  val qUnigramEncode = Q("q_unigram_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Unigram.fertility(docs, "doc_id", "text",
+          graft.ext.Unigram.seedVocab(docs, "text"))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some(unigramSegCtes + """,
+      wp AS (SELECT w, len(pieces) AS np FROM segs),
+      agg AS (SELECT tk.doc_id, count(*) AS n_words,
+              CAST(sum(p.np) AS BIGINT) AS n_pieces
+              FROM wtok tk JOIN wp p USING (w) GROUP BY 1)
+      SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+             coalesce(a.n_pieces, 0) AS n_pieces,
+             CASE WHEN coalesce(a.n_words, 0) > 0
+                  THEN a.n_pieces * 10000 // a.n_words ELSE 0 END AS fertility_bp
+      FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+
   /** Fraction-based decontamination: the published-eval policy form —
     * per doc, bp of its distinct word bigrams that appear anywhere in
     * the benchmark slice, with the ≥ 2500 bp drop verdict. Portable

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.Unigram
+
+/** Unigram-LM tokenizer: Viterbi parity vs an independent driver-side
+  * reference, seed/EM semantics, fertility card.
+  */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Independent reference Viterbi (same contract: min total cost,
+    * ties to the longest piece, unknown singles cost `unk`).
+    */
+  private def refEncode(text: String, vocab: Map[String, Long],
+                        unk: Long): Seq[String] = {
+    val maxLen = (vocab.keys.map(_.length) ++ Seq(1)).max
+    text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      .filter(_.nonEmpty).toSeq.flatMap { w =>
+        val n = w.length
+        val dp = Array.fill(n + 1)(Long.MaxValue)
+        val bp = new Array[Int](n + 1)
+        dp(0) = 0L
+        for (i <- 1 to n; len <- 1 to math.min(maxLen, i)) {
+          val piece = w.substring(i - len, i)
+          val c = vocab.get(piece)
+            .orElse(if (len == 1) Some(unk) else None)
+          c.foreach { cost =>
+            if (dp(i - len) != Long.MaxValue && dp(i - len) + cost <= dp(i)) {
+              dp(i) = dp(i - len) + cost; bp(i) = len
+            }
+          }
+        }
+        var pos = n
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (pos > 0) { acc += w.substring(pos - bp(pos), pos); pos -= bp(pos) }
+        acc.reverse.toSeq
+      }
+  }
+
+  test("native Viterbi encode agrees with the driver reference on " +
+      "ties, unknowns, and multi-word text") {
+    val vocab = Seq[(String, Long)](
+      ("a", 30000L), ("b", 30000L), ("c", 35000L),
+      ("ab", 45000L), ("bc", 45000L), ("abc", 80000L),
+      ("abcd", 60000L), ("d", 40000L))
+    val unk = 200000L
+    val cases = Seq(
+      "abc",       // dp ties: a+bc = ab+c? 30+45=75 vs 45+35=80 vs abc=80
+      "abcd",      // whole-word piece wins
+      "abcabc",
+      "ax",        // unknown single 'x'
+      "xyz",       // all unknown
+      "ab abc a",  // multi-word
+      "aabbcc", "dcba", "abcdabcd")
+    val got = cases.toDF("t")
+      .select(Unigram.encode(col("t"), vocab, unk).as("p"))
+      .as[Seq[String]].collect()
+    cases.zip(got).foreach { case (t, g) =>
+      val want = refEncode(t, vocab.toMap, unk)
+      assert(g == want, s"encode('$t') = $g, reference $want")
+    }
+    // the documented tie rule concretely: 'abcd' must be ONE piece
+    // (cost 60000) not a+bc+d (30+45+40=115) etc.
+    assert(got(1) == Seq("abcd"))
+  }
+
+  test("seedVocab: substring counts, top-k cut, singles always kept, " +
+      "cost formula exact") {
+    val docs = Seq((1L, "ab ab b")).toDF("id", "t")
+    // word occurrences: ab, ab, b -> substrings: a(2), b(3), ab(2)
+    val v = Unigram.seedVocab(docs, "t", maxPieceLen = 4, maxVocab = 1)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // top-1 by (cnt desc, piece asc) = b(3); singles a, b forced in;
+    // ab (not single, not top-1) is cut
+    assert(v.keySet == Set("a", "b"), s"got ${v.keySet}")
+    val ctot = 2L + 3L
+    def cost(c: Long) =
+      math.floor(-math.log(c.toDouble / ctot) * 10000 + 0.5).toLong
+    assert(v("a") == ((2L, cost(2L))) && v("b") == ((3L, cost(3L))))
+  }
+
+  test("emRound: unused pieces prune out, costs re-estimated from " +
+      "usage mass") {
+    val docs = Seq((1L, "abab abab ab")).toDF("id", "t")
+    val seed = Unigram.seedVocab(docs, "t", maxPieceLen = 4, maxVocab = 50)
+    // 'abab' and 'ab' are both seeded; Viterbi under seed costs picks
+    // the whole-word pieces, so singles a/b get ZERO usage and prune
+    val em = Unigram.emRound(docs, "t", seed)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(em.keySet == Set("abab", "ab"), s"got ${em.keySet}")
+    assert(em("abab")._1 == 2L && em("ab")._1 == 1L)
+    def cost(c: Long) =
+      math.floor(-math.log(c.toDouble / 3L) * 10000 + 0.5).toLong
+    assert(em("abab")._2 == cost(2L) && em("ab")._2 == cost(1L))
+  }
+
+  test("fertility: per-doc pieces/words, zero-word doc reports zeros") {
+    val docs = Seq((1L, "abab ab"), (2L, "")).toDF("id", "t")
+    val vocab = Unigram.seedVocab(docs, "t")
+    val f = Unigram.fertility(docs, "id", "t", vocab)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // both words are single pieces under the seed (whole-word substrings
+    // are in the vocab and cheapest)
+    assert(f(1L) == ((2L, 2L, 10000L)), s"got ${f(1L)}")
+    assert(f(2L) == ((0L, 0L, 0L)))
+  }
+}
