@@ -91,7 +91,7 @@ object Queries
     qShardExport, qCurriculumExport,
     qCorpusDiff, qCorpusDiffNovelty, qCorpusDigest, qMixingPlan,
     qEpochExpand,
-    qTrainingExport)
+    qTrainingExport, qRelease)
 
   /** SLOW TIER: queries the timed bench (`graft.Bench`) skips. Still in
     * `all`, so the CORRECTNESS gate (graft.Verify, sf0.01) runs every

@@ -363,6 +363,167 @@ private[graft] trait QueriesSplits { this: Queries.type =>
           / count(*) * 10000 + 0.5) / 10000 AS novel_share
       FROM ad GROUP BY source"""))
 
+  /** RELEASE CAPSTONE composite — the publishable "cut a release" path
+    * the separate release-tooling oracle rows exercise one at a time,
+    * composed the way a data team actually ships: over the new
+    * snapshot (the `q_corpus_diff` fixture: doc_id % 9 survivors with
+    * the % 7 ' v2' mutation), produce in ONE pinned relation
+    *
+    *  - `card`      per source: doc/char/token counts,
+    *  - `digest`    per source: the O(1) XOR content-set digest
+    *                ([[Corpus.corpusDigest]]) + distinct/doc counts,
+    *  - `diff`      per source vs the prior snapshot (% 10 survivors):
+    *                added/removed/changed ([[Corpus.corpusDiff]]),
+    *  - `split`     per split: leakage-free cluster-split sizes +
+    *                cluster counts ([[Splits.clusterSplit]] over the
+    *                snapshot's own near-dup pairs),
+    *  - `leakage`   the certificate: cross-split near-dup pairs for
+    *                the naive hash split (nonzero) vs the cluster
+    *                split (0 BY CONSTRUCTION),
+    *  - `shards`    the train slice sharded for export
+    *                ([[Splits.shardExport]]): shard count, rows, last
+    *                fill.
+    *
+    * Long format (section, k, v1, v2, v3) so one hash pins the whole
+    * composition. The snapshot and its pair relation are each
+    * materialized ONCE and read by every section (PlanSpec guards the
+    * reuse); the oracle replays all six sections from scratch,
+    * including recursive-CTE connected components.
+    */
+  val qRelease = Q("q_release",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val rel = graft.ext.Materialize.multiScan(
+        d.filter(col("doc_id") % 9 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+      val prior = d.filter(col("doc_id") % 10 =!= 0)
+      val pairs = graft.ext.Materialize.multiScan(
+        Dedup.jaccardPairs(rel, "doc_id", "text", n = 3, tau = 0.25)
+          .select(col("id_a"), col("id_b")))
+      val assign = graft.ext.Materialize.multiScan(
+        Splits.clusterSplit(rel, pairs, "doc_id", splitWeights))
+      def sec(n: String) = lit(n).as("section")
+      val card = rel.groupBy(col("source"))
+        .agg(count(lit(1)).as("v1"),
+          sum(length(col("text"))).cast("long").as("v2"),
+          sum(graft.ext.TextOps.nTokens(col("text"))).cast("long").as("v3"))
+        .select(sec("card"), col("source").as("k"),
+          col("v1"), col("v2"), col("v3"))
+      val digest = Corpus.corpusDigest(rel, "text", "source")
+        .select(sec("digest"), col("source").as("k"),
+          col("digest60").as("v1"), col("n_distinct").as("v2"),
+          col("n_docs").as("v3"))
+      val diff = Corpus.corpusDiff(prior, rel, "doc_id", "text")
+        .select(sec("diff"), col("source").as("k"),
+          col("n_added").as("v1"), col("n_removed").as("v2"),
+          col("n_changed").as("v3"))
+      val splitRows = assign.groupBy(col("split"))
+        .agg(count(lit(1)).as("v1"),
+          countDistinct(col("cluster_id")).as("v2"))
+        .select(sec("split"), col("split").as("k"), col("v1"), col("v2"),
+          lit(0L).as("v3"))
+      def leak(a: org.apache.spark.sql.DataFrame, m: String) =
+        Splits.crossSplitPairs(pairs, a, "doc_id", "split")
+          .agg(count(lit(1)).as("v1"))
+          .select(sec("leakage"), lit(m).as("k"), col("v1"),
+            lit(0L).as("v2"), lit(0L).as("v3"))
+      val naive = Splits.hashSplit(rel, Seq("doc_id"), splitWeights)
+        .select(col("doc_id"), col("split"))
+      val shards = Splits.shardExport(
+          assign.filter(col("split") === "train").select(col("doc_id")),
+          Seq("doc_id"), shardSize = 64L)
+        .agg(max(col("shard")).as("ms"), count(lit(1)).as("n"))
+        .select(sec("shards"), lit("train").as("k"),
+          (col("ms") + 1).as("v1"), col("n").as("v2"),
+          (col("n") - col("ms") * 64).as("v3"))
+      card.unionByName(digest).unionByName(diff).unionByName(splitRows)
+        .unionByName(leak(naive, "hash_split"))
+        .unionByName(
+          leak(assign.select(col("doc_id"), col("split")), "cluster_split"))
+        .unionByName(shards)
+    },
+    Some(s"""WITH RECURSIVE rel AS (
+        SELECT doc_id, source,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 9 <> 0),
+      docs AS (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM rel),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+      asg AS (SELECT rel.doc_id, coalesce(cl.c, rel.doc_id) AS cluster_id,
+          ${splitCaseSql("coalesce(cl.c, rel.doc_id)::VARCHAR")} AS split
+        FROM rel LEFT JOIN cl ON cl.id = rel.doc_id),
+      na AS (SELECT doc_id, ${splitCaseSql("doc_id::VARCHAR")} AS split
+        FROM rel),
+      prior AS (SELECT doc_id, source, text FROM documents
+        WHERE doc_id % 10 <> 0),
+      dgf AS (SELECT source,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM rel),
+      dgg AS (SELECT source, fp, count(*) AS n FROM dgf GROUP BY 1, 2),
+      dfo AS (SELECT doc_id, source, md5(text) AS fp FROM prior),
+      dfn AS (SELECT doc_id, source, md5(text) AS fp FROM rel),
+      dfj AS (SELECT coalesce(n.source, o.source) AS source,
+          CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN n.fp IS DISTINCT FROM o.fp THEN 'changed'
+               ELSE 'unchanged' END AS st
+        FROM dfo o FULL OUTER JOIN dfn n ON o.doc_id = n.doc_id),
+      tr AS (SELECT doc_id FROM asg WHERE split = 'train'),
+      trr AS (SELECT doc_id, row_number() OVER (ORDER BY
+            ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rn
+        FROM tr)
+      SELECT 'card' AS section, source AS k, count(*) AS v1,
+        CAST(sum(length(text)) AS BIGINT) AS v2,
+        CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS v3
+      FROM rel GROUP BY source
+      UNION ALL
+      SELECT 'digest', source,
+        bit_xor(('0x'||substr(md5(fp),1,15))::BIGINT),
+        count(*), CAST(sum(n) AS BIGINT)
+      FROM dgg GROUP BY source
+      UNION ALL
+      SELECT 'diff', source,
+        count(*) FILTER (WHERE st = 'added'),
+        count(*) FILTER (WHERE st = 'removed'),
+        count(*) FILTER (WHERE st = 'changed')
+      FROM dfj GROUP BY source
+      UNION ALL
+      SELECT 'split', split, count(*), count(DISTINCT cluster_id),
+        CAST(0 AS BIGINT)
+      FROM asg GROUP BY split
+      UNION ALL
+      SELECT 'leakage', 'hash_split', count(*), CAST(0 AS BIGINT),
+        CAST(0 AS BIGINT)
+      FROM pairs p JOIN na x ON x.doc_id = p.id_a
+                   JOIN na y ON y.doc_id = p.id_b
+      WHERE x.split <> y.split
+      UNION ALL
+      SELECT 'leakage', 'cluster_split', count(*), CAST(0 AS BIGINT),
+        CAST(0 AS BIGINT)
+      FROM pairs p JOIN asg x ON x.doc_id = p.id_a
+                   JOIN asg y ON y.doc_id = p.id_b
+      WHERE x.split <> y.split
+      UNION ALL
+      SELECT 'shards', 'train', max((rn - 1) // 64) + 1, count(*),
+        count(*) - max((rn - 1) // 64) * 64
+      FROM trr"""))
+
   /** Curriculum shard export ([[graft.ext.Splits.curriculumExport]]):
     * the hash permutation replaced by an explicit difficulty order —
     * short-to-long here (length is the classic curriculum-learning

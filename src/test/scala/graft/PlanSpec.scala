@@ -469,6 +469,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in the ladder:\n$p")
   }
 
+  test("q_release: snapshot/pairs/assignment caches shared across all " +
+      "six sections, no cartesian") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q_release")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the release snapshot, its near-dup pair relation, and the
+    // cluster-split assignment are each materialized ONCE and read by
+    // every section that needs them (card/digest/diff read the
+    // snapshot; split/leakage/shards read the assignment; both leakage
+    // certificates read the pairs) — a section bypassing the cache
+    // would re-run jaccardPairs or connected components per section
+    val builders = df.queryExecution.withCachedData.collect {
+      case r: InMemoryRelation => r.cacheBuilder }
+    // four distinct entries: snapshot, pairs, assignment, plus
+    // jaccardPairs' own exploded-postings reuse point
+    assert(builders.distinct.length <= 4,
+      s"q_release: more than the four shared caches: ${builders.distinct.length}")
+    assert(builders.length >= 8,
+      s"q_release: sections bypass the caches (${builders.length} cached scans)")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the release cut:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q_temperature_sample: admission is a shuffle-free scan filter") {
     val p = planOf("q_temperature_sample")
     // rates were derived in a separate count job and ride back as a
