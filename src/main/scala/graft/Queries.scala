@@ -40,7 +40,8 @@ object Queries
     qTextStats, qTokenCount, qLangId, qLangIdModel, qScriptMix, qCharEntropy,
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
-    qDedupExact, qDedupNfc, qDedupUrl, qDedupJaccard, qDedupJaccardPrefix,
+    qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qDedupJaccard,
+    qDedupJaccardPrefix,
     qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,
@@ -65,7 +66,8 @@ object Queries
     qSessionStats, qRetention, qTransitions,
     qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
-    qBpeFertility, qUnigramLearn, qUnigramEncode, qHeavyHitters,
+    qBpeFertility, qUnigramLearn, qUnigramEncode, qTokenizerFertility,
+    qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
     qDsirSelect,
     qDsirResample, qPerplexityBuckets, qGopherRules, qC4Rules,

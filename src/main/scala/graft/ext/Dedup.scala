@@ -124,6 +124,36 @@ object Dedup {
       .groupBy(col("url_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-HOST rollup of the canonical-URL relation — the DOMAIN-level
+    * curation rung published pipelines run ABOVE page-level URL dedup
+    * (RefinedWeb blocklists whole hosts; CCNet reports per-domain
+    * shares): host = the canonical key's authority with any explicit
+    * port stripped (hostname-level scope — a registered-domain rollup
+    * needs a public-suffix table and is deliberately out of contract),
+    * and per host the card reports crawl rows, distinct pages, and the
+    * duplication ratio in basis points — the one-glance signal for
+    * mirror/session-id/farm hosts whose crawl mass is re-serves of a
+    * few pages (candidates for host-level blocking before any content
+    * pass runs).
+    *
+    * Shape: the [[urlGroups]] shuffle (canonical key) then one
+    * host-keyed aggregate of page-level rows — host cardinality is
+    * tiny next to pages, so the second exchange is cheap and the
+    * map-side partials collapse it further.
+    *
+    * @return (host, n_crawls, n_pages, dup_bp) with
+    *         dup_bp = ⌊10⁴·(crawls − pages)/crawls⌋
+    */
+  def urlHostCard(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    urlGroups(df, idCol, urlCol)
+      .select(regexp_replace(regexp_extract(col("url_key"), "^[^/?]*", 0),
+          ":[0-9]+$", "").as("host"),
+        col("n_copies"))
+      .groupBy(col("host"))
+      .agg(sum(col("n_copies")).as("n_crawls"), count(lit(1)).as("n_pages"))
+      .select(col("host"), col("n_crawls"), col("n_pages"),
+        expr("((n_crawls - n_pages) * 10000) div n_crawls").as("dup_bp"))
+
   /** All document pairs with shingle-Jaccard ≥ tau, via an inverted
     * shingle index (explode → self-join on shingle → count common).
     * Exact (no approximation): used directly at moderate scale and as

@@ -61,29 +61,29 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     * The oracle replays BOTH the construction and every normalization
     * step in DuckDB SQL.
     */
-  val qDedupUrl = Q("dedup_url",
-    (s, dir) => {
-      val m = col("doc_id") % 6
-      val ps = (col("doc_id") % 200).cast("string")
-      val hs = ((col("doc_id") % 200) % 50).cast("string")
-      val url =
-        when(m === 0, concat(lit("http://example"), hs, lit(".com/p/"),
-          ps, lit("?id="), ps))
-        .when(m === 1, concat(lit("HTTPS://EXAMPLE"), hs, lit(".COM/p/"),
-          ps, lit("?id="), ps))
-        .when(m === 2, concat(lit("https://example"), hs, lit(".com:443/p/"),
-          ps, lit("?id="), ps))
-        .when(m === 3, concat(lit("http://example"), hs, lit(".com:80/p/"),
-          ps, lit("?utm_source=feed&id="), ps, lit("&utm_campaign=x")))
-        .when(m === 4, concat(lit("http://example"), hs, lit(".com/p/"),
-          ps, lit("?id="), ps, lit("#frag")))
-        .otherwise(concat(lit("http://example"), hs, lit(".com/p/"),
-          ps, lit("/?id="), ps))
-      Dedup.urlGroups(
-        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
-        "doc_id", "url")
-    },
-    Some("""WITH base AS (
+  /** The shared synthetic-URL fixture (Spark side): six adversarial
+    * crawl variants of one logical page per doc, keyed on doc_id. */
+  private def syntheticUrl: org.apache.spark.sql.Column = {
+    val m = col("doc_id") % 6
+    val ps = (col("doc_id") % 200).cast("string")
+    val hs = ((col("doc_id") % 200) % 50).cast("string")
+    when(m === 0, concat(lit("http://example"), hs, lit(".com/p/"),
+      ps, lit("?id="), ps))
+      .when(m === 1, concat(lit("HTTPS://EXAMPLE"), hs, lit(".COM/p/"),
+        ps, lit("?id="), ps))
+      .when(m === 2, concat(lit("https://example"), hs, lit(".com:443/p/"),
+        ps, lit("?id="), ps))
+      .when(m === 3, concat(lit("http://example"), hs, lit(".com:80/p/"),
+        ps, lit("?utm_source=feed&id="), ps, lit("&utm_campaign=x")))
+      .when(m === 4, concat(lit("http://example"), hs, lit(".com/p/"),
+        ps, lit("?id="), ps, lit("#frag")))
+      .otherwise(concat(lit("http://example"), hs, lit(".com/p/"),
+        ps, lit("/?id="), ps))
+  }
+
+  /** SQL half of the fixture + the full normalization chain: exposes
+    * `urls(doc_id, url)` and `s6(doc_id, url_key)`. */
+  private val urlCanonCtes: String = """WITH base AS (
         SELECT doc_id, CAST(doc_id % 200 AS STRING) AS p,
                CAST((doc_id % 200) % 50 AS STRING) AS h FROM documents),
       urls AS (
@@ -114,9 +114,37 @@ private[graft] trait QueriesDedup { this: Queries.type =>
                '\?(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)=[^&#]*$', '') AS x
              FROM s4),
       s6 AS (SELECT doc_id,
-               regexp_replace(regexp_replace(x, '/\?', '?'), '/$', '') AS url_key FROM s5)
+               regexp_replace(regexp_replace(x, '/\?', '?'), '/$', '') AS url_key FROM s5)"""
+
+  val qDedupUrl = Q("dedup_url",
+    (s, dir) => Dedup.urlGroups(
+      t(s, dir, "documents").select(col("doc_id"),
+        syntheticUrl.as("url")),
+      "doc_id", "url"),
+    Some(urlCanonCtes + """
       SELECT url_key, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM s6 GROUP BY url_key"""))
+
+  /** Host-level duplication card ([[Dedup.urlHostCard]]) — the
+    * domain rung above page dedup: per hostname (port-stripped
+    * canonical authority), crawl rows vs distinct pages and the
+    * duplication share in bp. Every normalization step plus the host
+    * extraction and the rollup replay in DuckDB.
+    */
+  val qUrlHostCard = Q("q_url_host_card",
+    (s, dir) => Dedup.urlHostCard(
+      t(s, dir, "documents").select(col("doc_id"),
+        syntheticUrl.as("url")),
+      "doc_id", "url"),
+    Some(urlCanonCtes + """,
+      g AS (SELECT url_key, count(*) AS n_copies FROM s6 GROUP BY url_key),
+      hh AS (SELECT regexp_replace(regexp_extract(url_key, '^[^/?]*'),
+               ':[0-9]+$', '') AS host, n_copies FROM g)
+      SELECT host, CAST(sum(n_copies) AS BIGINT) AS n_crawls,
+             count(*) AS n_pages,
+             (CAST(sum(n_copies) AS BIGINT) - count(*)) * 10000
+               // CAST(sum(n_copies) AS BIGINT) AS dup_bp
+      FROM hh GROUP BY host"""))
 
   val qDedupJaccard = Q("dedup_ngram_jaccard",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),

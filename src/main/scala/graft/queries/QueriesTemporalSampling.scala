@@ -750,10 +750,10 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
       vocab AS (SELECT piece, cnt,
           CAST(floor(-ln(cnt::DOUBLE / tt.ctot::DOUBLE) * 10000 + 0.5) AS BIGINT) AS nat10k
         FROM vocab0, (SELECT CAST(sum(cnt) AS BIGINT) AS ctot FROM vocab0) tt),
-      dw AS (SELECT w, wc, length(w) AS L FROM wcnt),
+      udw AS (SELECT w, wc, length(w) AS L FROM wcnt),
       seg AS (
         SELECT w, wc, L, 0 AS i, [CAST(0 AS BIGINT)] AS dp,
-               CAST([] AS BIGINT[]) AS bp FROM dw
+               CAST([] AS BIGINT[]) AS bp FROM udw
         UNION ALL
         SELECT w, wc, L, i + 1,
                list_append(dp, least(c1, c2, c3, c4)),
@@ -833,6 +833,66 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
              CASE WHEN coalesce(a.n_words, 0) > 0
                   THEN a.n_pieces * 10000 // a.n_words ELSE 0 END AS fertility_bp
       FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+
+  /** TOKENIZER-FAMILY fertility card — the comparison the two fertility
+    * surfaces exist for, in one relation: per (lang, family), words vs
+    * pieces under the LEARNED BPE table (8 merges, `q_bpe_fertility`'s
+    * machinery) and under the unigram-LM seed vocabulary
+    * ([[graft.ext.Unigram.fertility]]). A language one family
+    * under-serves shows as a fertility gap in the same row group — the
+    * number that decides a tokenizer family for a multilingual mix.
+    * The oracle replays BOTH tokenizers end to end (BPE learn+encode
+    * CTEs and the recursive-CTE Viterbi) in one SQL.
+    */
+  val qTokenizerFertility = Q("q_tokenizer_fertility",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
+      val bpe = docs.select(col("lang"),
+          TextOps.nTokens(col("text")).cast("long").as("__w"),
+          size(graft.ext.Bpe.encode(col("text"), merges)).cast("long")
+            .as("__p"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("total_words"),
+          sum(col("__p")).as("total_pieces"))
+      val fert = graft.ext.Unigram.fertility(docs, "doc_id", "text",
+          graft.ext.Unigram.seedVocab(docs, "text"))
+        .withColumnRenamed("id", "doc_id")
+      val uni = docs.select(col("doc_id"), col("lang"))
+        .join(fert, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"),
+          sum(col("n_pieces")).as("total_pieces"))
+      def shaped(df: DataFrame, family: String) = df.select(col("lang"),
+        lit(family).as("family"), col("n_docs"), col("total_words"),
+        col("total_pieces"),
+        (floor(col("total_pieces").cast("double") / col("total_words")
+          * 10000 + 0.5) / 10000).as("fertility"))
+      shaped(bpe, "bpe").unionByName(shaped(uni, "unigram"))
+    },
+    Some(unigramSegCtes + "," +
+      bpeLearnCtes(8).stripPrefix("WITH ") + "," + bpeEncodeCtes + """,
+      uwp AS (SELECT w, len(pieces) AS np FROM segs),
+      uagg AS (SELECT tk.doc_id, count(*) AS n_words,
+              CAST(sum(p.np) AS BIGINT) AS n_pieces
+              FROM wtok tk JOIN uwp p USING (w) GROUP BY 1)
+      SELECT d.lang, 'bpe' AS family, count(*) AS n_docs,
+        CAST(sum(len(regexp_extract_all(d.text, '\S+'))) AS BIGINT)
+          AS total_words,
+        CAST(sum(coalesce(len(a.all_toks), 0)) AS BIGINT) AS total_pieces,
+        floor(sum(coalesce(len(a.all_toks), 0))::DOUBLE
+          / sum(len(regexp_extract_all(d.text, '\S+'))) * 10000 + 0.5)
+          / 10000 AS fertility
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      GROUP BY d.lang
+      UNION ALL
+      SELECT d.lang, 'unigram', count(*),
+        CAST(sum(coalesce(a.n_words, 0)) AS BIGINT),
+        CAST(sum(coalesce(a.n_pieces, 0)) AS BIGINT),
+        floor(sum(coalesce(a.n_pieces, 0))::DOUBLE
+          / sum(coalesce(a.n_words, 0)) * 10000 + 0.5) / 10000
+      FROM documents d LEFT JOIN uagg a USING (doc_id)
+      GROUP BY d.lang"""))
 
   /** Fraction-based decontamination: the published-eval policy form —
     * per doc, bp of its distinct word bigrams that appear anywhere in

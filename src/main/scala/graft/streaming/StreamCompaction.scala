@@ -204,4 +204,43 @@ object StreamCompaction {
           }
       }
   }
+
+  /** Streaming URL-FIRST-SEEN dedup — the crawl-frontier form of
+    * [[firstPerFingerprint]], and the streaming half of the r14 URL
+    * rung ([[graft.ext.Dedup.urlGroups]] is the batch half): state is
+    * keyed on the CANONICAL URL ([[graft.ext.TextOps.canonicalUrl]]),
+    * so the first crawl of a page is emitted and every later crawl —
+    * under ANY of the syntactic variants the canonicalizer collapses
+    * (scheme/case/port/tracking/fragment/slash) — is dropped before it
+    * costs a content pass. Within one batch the minimum id wins
+    * (deterministic replay, the [[firstPerFingerprint]] convention).
+    *
+    * State: one boolean per distinct canonical URL (key ≈ the URL
+    * string); the state store shards on the canonical key, so a
+    * 10¹⁰-page frontier scales horizontally like any keyed state.
+    *
+    * @return one row per first-seen page: (id, url_key, url — the
+    *         ORIGINAL form that won, for the fetch log)
+    */
+  def firstPerCanonicalUrl(docs: DataFrame, idCol: String,
+                           urlCol: String): Dataset[DedupedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        graft.ext.TextOps.canonicalUrl(col(urlCol)).as("fp"),
+        col(idCol).cast("long").as("id"),
+        col(urlCol).as("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, DedupedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._2)
+            Iterator.single(DedupedDoc(first._2, key, first._3))
+          }
+      }
+  }
 }

@@ -1410,6 +1410,27 @@ class ExtOpsSpec extends AnyFunSuite {
       "site7.com/p/10?id=10" -> (7L, 1L)))
   }
 
+  test("urlHostCard: hostname rollup strips ports, counts crawls vs " +
+      "pages, flags the mirror host") {
+    import spark.implicits._
+    val docs = Seq(
+      // mirror.com: 4 crawls of ONE page (variants) -> dup_bp 7500
+      (1L, "http://mirror.com/p/1"),
+      (2L, "HTTP://MIRROR.COM/p/1"),
+      (3L, "http://mirror.com:80/p/1"),
+      (4L, "http://mirror.com/p/1/"),
+      // healthy.com: 2 crawls, 2 pages -> dup 0; port 8080 is PART of
+      // the authority but NOT of the host rollup
+      (5L, "http://healthy.com/a"),
+      (6L, "http://healthy.com:8080/b")).toDF("doc_id", "url")
+    val card = Dedup.urlHostCard(docs, "doc_id", "url")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(card == Map(
+      "mirror.com" -> ((4L, 1L, 7500L)),
+      "healthy.com" -> ((2L, 2L, 0L))), s"got $card")
+  }
+
   test("connected components: star contraction collapses a 3000-link " +
       "chain (diameter >> 25 — the shape label propagation cannot finish)") {
     import spark.implicits._

@@ -58,6 +58,32 @@ class StreamCompactionSpec extends AnyFunSuite {
       s"expected first-occurrence ids, got $rows")
   }
 
+  test("streaming URL dedup: first canonical-url wins across batches " +
+      "and across syntactic crawl variants") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamCompaction.firstPerCanonicalUrl(
+      in.toDS().toDF("doc_id", "url"), "doc_id", "url")
+    val q = out.writeStream.format("memory").queryName("urldedup")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two variants of one page (min id wins) + another page
+    in.addData((5L, "HTTP://Site.COM/p/1?id=1"),
+      (2L, "https://site.com:443/p/1?id=1"),
+      (3L, "http://site.com/p/2"))
+    q.processAllAvailable()
+    // batch 2: yet more variants of page 1 (tracking junk, trailing
+    // slash) — all suppressed — plus one genuinely new page
+    in.addData((9L, "http://site.com:80/p/1?utm_source=x&id=1"),
+      (10L, "http://site.com/p/2/"), (11L, "http://site.com/p/3"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("urldedup")
+      .select("id", "fp").as[(Long, String)].collect().toMap
+    assert(rows == Map(2L -> "site.com/p/1?id=1", 3L -> "site.com/p/2",
+      11L -> "site.com/p/3"), s"got $rows")
+  }
+
   test("bloom contamination guard composes as a stateless streaming filter") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
