@@ -99,6 +99,17 @@ object Unigram {
     graft.functions.VectorFunctions.unigramEncode(
       TextOps.normalized(text), vocab, unkNat10k)
 
+  /** Piece-usage counts of one Viterbi segmentation pass over the
+    * corpus — the E-step's sufficient statistic. */
+  private def usageCounts(df: DataFrame, textCol: String,
+                          vocab: Seq[(String, Long)],
+                          unkNat10k: Long): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    Materialize.spread(df)
+      .select(explode(encode(col(textCol), vocab, unkNat10k)).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** One HARD-EM round: segment the corpus under the current costs,
     * count piece usage (over word occurrences), re-estimate costs from
     * the usage mass. Pieces the Viterbi never uses DROP OUT — the EM
@@ -108,13 +119,64 @@ object Unigram {
     * @return (piece, cnt, nat10k) re-estimated
     */
   def emRound(df: DataFrame, textCol: String, vocab: DataFrame,
-              unkNat10k: Long = 200000L): DataFrame = {
-    val v = collectVocab(vocab)
-    graft.functions.VectorFunctions.register(df.sparkSession)
-    val used = Materialize.spread(df)
-      .select(explode(encode(col(textCol), v, unkNat10k)).as("piece"))
-      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
-    costed(used)
+              unkNat10k: Long = 200000L): DataFrame =
+    costed(usageCounts(df, textCol, collectVocab(vocab), unkNat10k))
+
+  /** The FULL learn loop — seed → (segment → count → prune → re-cost)
+    * to fixpoint or `maxRounds`: the hard-EM reduction of
+    * SentencePiece's train procedure (Kudo 2018 §3.2 trains soft-EM
+    * with a likelihood-loss prune; the hard variant keeps the
+    * `targetVocab` pieces carrying the LARGEST Viterbi usage mass —
+    * count desc, piece asc, deterministic — which is the same signal
+    * the likelihood loss ranks when posteriors concentrate, and stays
+    * bit-replayable).
+    *
+    * Feasibility floor: single-character pieces NEVER leave the
+    * vocabulary. A single the Viterbi stopped using (always absorbed
+    * into longer pieces) keeps a count floor of 1 — the smoothing
+    * convention that gives unseen-at-train-time arrangements a finite
+    * cost instead of the unk penalty.
+    *
+    * Convergence: the loop stops when a round's pruned (piece, cnt)
+    * table equals the previous round's — vocabularies are driver-sized
+    * ([[collectVocab]]'s gate), so the fixpoint test is an exact
+    * in-memory compare, not another Spark job. Per round: ONE encode
+    * pass + one piece-count aggregate.
+    *
+    * @return (piece, cnt, nat10k) — the frozen tokenizer table
+    */
+  def learn(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+            seedMax: Int = 200, targetVocab: Int = 100,
+            maxRounds: Int = 4, unkNat10k: Long = 200000L): DataFrame = {
+    require(maxRounds >= 1 && targetVocab >= 1,
+      s"bad learn dials: maxRounds=$maxRounds targetVocab=$targetVocab")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seed = seedVocab(df, textCol, maxPieceLen, seedMax)
+    val singles = collectVocab(seed.filter(length(col("piece")) === 1))
+      .map(_._1).toSet
+    // counts as a driver table per round (vocab-sized by the gate)
+    def vocabOf(counts: Seq[(String, Long)]): DataFrame =
+      costed(counts.toDF("piece", "cnt"))
+    var cur: Seq[(String, Long)] = Nil
+    var vocab = seed
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val usage = usageCounts(df, textCol, collectVocab(vocab), unkNat10k)
+        .as[(String, Long)].collect().toMap
+      val kept = usage.toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(targetVocab)
+      val keptSet = kept.map(_._1).toSet
+      val next = (kept ++ singles.diff(keptSet).toSeq.sorted
+          .map(s => (s, math.max(usage.getOrElse(s, 0L), 1L))))
+        .sortBy(_._1)
+      done = next == cur
+      cur = next
+      vocab = vocabOf(next)
+      rounds += 1
+    }
+    vocab
   }
 
   /** Per-document tokenizer-fertility card under a unigram vocabulary

@@ -98,6 +98,33 @@ class UnigramSpec extends AnyFunSuite {
     assert(em("abab")._2 == cost(2L) && em("ab")._2 == cost(1L))
   }
 
+  test("learn: reaches a fixpoint, respects targetVocab + singles " +
+      "floor, and never tokenizes worse than the seed") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "alphabet alpha beta beta"),
+      (3L, "gamma gamma alpha")).toDF("id", "t")
+    val learned = Unigram.learn(docs, "t", targetVocab = 8, maxRounds = 6)
+    val rows = learned.as[(String, Long, Long)].collect()
+    val pieces = rows.map(_._1).toSet
+    // singles feasibility floor: every observed char still present
+    val chars = "alphabetgamma".toSet.map((c: Char) => c.toString)
+    assert(chars.subsetOf(pieces), s"missing singles: ${chars.diff(pieces)}")
+    // prune bound: at most targetVocab + |singles| pieces
+    assert(rows.length <= 8 + chars.size, s"vocab too big: ${rows.length}")
+    // fixpoint: more rounds change nothing
+    val more = Unigram.learn(docs, "t", targetVocab = 8, maxRounds = 12)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(more == rows.sortBy(_._1).toSeq, "learn did not converge")
+    // compression: learned vocabulary never needs MORE pieces than the
+    // raw seed on the corpus it was trained on
+    def totalPieces(v: org.apache.spark.sql.DataFrame) =
+      Unigram.fertility(docs, "id", "t", v)
+        .agg(sum(col("n_pieces"))).as[Long].collect().head
+    assert(totalPieces(learned) <= totalPieces(Unigram.seedVocab(docs, "t")),
+      "learned vocab tokenizes worse than the seed")
+  }
+
   test("fertility: per-doc pieces/words, zero-word doc reports zeros") {
     val docs = Seq((1L, "abab ab"), (2L, "")).toDF("id", "t")
     val vocab = Unigram.seedVocab(docs, "t")
