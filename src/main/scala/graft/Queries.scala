@@ -46,7 +46,7 @@ object Queries
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupMinhashOph, qDedupMinhashBbit,
-    qLshPlan,
+    qLshPlan, qLshRecall,
     qDedupClusters, qDedupClusterSpectrum,
     qDedupSurvivors, qGraphDegreeCard, qGraphPagerank,
     qGraphPagerankWeighted, qGraphCentral,

@@ -154,6 +154,46 @@ object Dedup {
       .select(col("host"), col("n_crawls"), col("n_pages"),
         expr("((n_crawls - n_pages) * 10000) div n_crawls").as("dup_bp"))
 
+  /** Candidate-quality card: recall and precision of an APPROXIMATE
+    * pair generator (LSH bands, SimHash buckets, SRP blocks — any
+    * (id_a, id_b) relation) against the EXACT pair relation on the
+    * same corpus, in integer basis points. This is the measurement
+    * that TUNES the recall/cost dials (bands × rows, nBits, nTables):
+    * recall_bp is what the dedup pass silently loses; precision_bp is
+    * the share of candidate pairs the exact verification step won't
+    * throw away — i.e. the verification cost multiplier. The published
+    * S-curve planner ([[lshPlan]]) predicts these; this card MEASURES
+    * them, closing the loop on real data.
+    *
+    * Shape: both relations canonicalize to (min, max) pairs and
+    * deduplicate (one shuffle each on the pair key), the hit count is
+    * a pair-keyed semi-join, and the three one-row aggregates
+    * cross-join — nothing wider than two ids moves.
+    *
+    * @return one row: (n_true, n_approx, n_hit, recall_bp,
+    *         precision_bp) — empty-side conventions: recall 10000 when
+    *         there are no true pairs, precision 10000 when there are
+    *         no candidates (nothing was missed / nothing was wasted)
+    */
+  def pairRecallCard(exact: DataFrame, approx: DataFrame,
+                     idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    def canon(df: DataFrame) = Materialize.multiScan(
+      df.select(least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b")).distinct())
+    val e = canon(exact)
+    val c = canon(approx)
+    val hits = e.join(c, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    e.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_approx"))))
+      .crossJoin(broadcast(hits))
+      .select(col("n_true"), col("n_approx"), col("n_hit"),
+        when(col("n_true") > 0, expr("(n_hit * 10000) div n_true"))
+          .otherwise(10000L).as("recall_bp"),
+        when(col("n_approx") > 0, expr("(n_hit * 10000) div n_approx"))
+          .otherwise(10000L).as("precision_bp"))
+  }
+
   /** All document pairs with shingle-Jaccard ≥ tau, via an inverted
     * shingle index (explode → self-join on shingle → count common).
     * Exact (no approximation): used directly at moderate scale and as

@@ -18,6 +18,12 @@ import graft.ext.{Corpus, DataQuality, Dedup, Multimodal, Similarity, TextOps}
   */
 private[graft] trait QueriesDedup { this: Queries.type =>
 
+  // MinHash family dials, shared by signatures/banding/recall queries.
+  private val minhashK = 16
+  private val minhashBands = 4
+  private val minhashParamsSql = Dedup.hashParams(minhashK)
+    .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+
 
   // ---------------------------------------------------------------------
   // Extension: dedup over `documents`.
@@ -164,6 +170,66 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.m, b.m
       HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
+
+  /** LSH candidate-quality card ([[Dedup.pairRecallCard]]): measured
+    * recall/precision of the raw MinHash banding candidates (k=16,
+    * bands=4 — `dedup_minhash`'s exact dials) against the exact
+    * Jaccard ≥ 0.5 relation, in integer bp — the measurement that
+    * closes the loop on the `q_lsh_plan` S-curve predictions. The
+    * oracle replays BOTH generators (full LSH pipeline + exact
+    * inverted-index join) and the bp arithmetic.
+    */
+  val qLshRecall = Q("q_lsh_recall",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val exact = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val approx = Dedup.minhashCandidates(
+          Dedup.minhashSignatures(d, "doc_id", "text", n = 3, k = minhashK),
+          k = minhashK, bands = minhashBands)
+        .select(col("id_a"), col("id_b"))
+      Dedup.pairRecallCard(exact, approx)
+    },
+    Some(s"""WITH params(hidx, ha, hb) AS (VALUES $minhashParamsSql),
+      docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      exm AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh),
+      tp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM exm a JOIN exm b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.5),
+      ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+      hv AS (
+        SELECT doc_id, hidx,
+               min((ha * (('0x'||substr(md5(shingle),1,8))::BIGINT) + hb)
+                   % 2305843009213693951) AS mh
+        FROM ex CROSS JOIN params GROUP BY doc_id, hidx),
+      sig AS (SELECT doc_id, array_agg(mh ORDER BY hidx) AS sig FROM hv GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b.band, sig[b.band*4+1 : b.band*4+4] AS band_sig
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band) b),
+      cd AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      ns AS (SELECT
+        (SELECT count(*) FROM tp) AS n_true,
+        (SELECT count(*) FROM cd) AS n_approx,
+        (SELECT count(*) FROM tp JOIN cd USING (id_a, id_b)) AS n_hit)
+      SELECT n_true, n_approx, n_hit,
+        CASE WHEN n_true > 0 THEN (n_hit * 10000) // n_true
+             ELSE CAST(10000 AS BIGINT) END AS recall_bp,
+        CASE WHEN n_approx > 0 THEN (n_hit * 10000) // n_approx
+             ELSE CAST(10000 AS BIGINT) END AS precision_bp
+      FROM ns"""))
 
   /** Prefix-filtered route to the SAME relation as `dedup_ngram_jaccard`
     * ([[Dedup.jaccardPairsPrefix]], Bayardo 2007 AllPairs + PPJoin
@@ -353,10 +419,6 @@ private[graft] trait QueriesDedup { this: Queries.type =>
                   WHERE r.src_id = p.host_id AND r.host_id = p.src_id)
           AND d.doc_id < p.host_id))"""))
 
-  private val minhashK = 16
-  private val minhashBands = 4
-  private val minhashParamsSql = Dedup.hashParams(minhashK)
-    .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
 
   val qDedupMinhash = Q("dedup_minhash",
     (s, dir) => {
