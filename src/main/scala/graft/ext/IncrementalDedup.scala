@@ -167,6 +167,61 @@ object IncrementalDedup {
     (nAdmitted, nInBatch, nRows - nAdmitted - nInBatch)
   }
 
+  /** One URL-FIRST-SEEN admission tick — the steady-state BATCH form of
+    * the crawl frontier. The state-store streaming form
+    * ([[graft.streaming.StreamCompaction.firstPerCanonicalUrl]]) keys
+    * per-URL state in the stream's store; this is the parquet-index
+    * form whose state a 10¹⁰-page frontier actually holds: the index is
+    * one (url_key, keep_id) row per admitted page (tens of bytes),
+    * probed by an id-keyed anti-join — no text is ever read, making
+    * this the CHEAPEST rung of the admission ladder, run before any
+    * content pass.
+    *
+    * Admission per batch (first arrival wins, the [[admitBatch]]
+    * contract): in-batch, syntactic crawl variants of one page
+    * ([[TextOps.canonicalUrl]] collapses them) keep the minimum id;
+    * cross-batch, any canonical key already in the index drops.
+    *
+    * @return (admitted, droppedInBatch, droppedVsIndex) row counts;
+    *         survivors appended to `corpusDir`, their (url_key,
+    *         keep_id) rows to `indexDir` (created on first use).
+    *         Caller serializes ticks (foreachBatch already does).
+    */
+  def admitBatchUrl(batch: DataFrame, idCol: String, urlCol: String,
+                    corpusDir: String, indexDir: String): (Long, Long, Long) = {
+    val spark = batch.sparkSession
+    val nRows = batch.count()
+    val keyed = Materialize.multiScan(
+      batch.withColumn("__url_key", TextOps.canonicalUrl(col(urlCol))))
+    // in-batch collapse: one row per canonical key, minimum id
+    val firsts = Materialize.multiScan(
+      keyed.groupBy(col("__url_key")).agg(min(col(idCol)).as("__keep")))
+    // cross-batch: keys already admitted drop whole
+    val admittedFirsts = Materialize.multiScan(
+      indexIfExists(spark, indexDir) match {
+        case Some(ix) => firsts.join(
+          ix.select(col("url_key").as("__url_key")), Seq("__url_key"),
+          "left_anti")
+        case None => firsts
+      })
+    val admitted = Materialize.multiScan(
+      keyed.join(admittedFirsts,
+          keyed("__url_key") === admittedFirsts("__url_key") &&
+            keyed(idCol) === admittedFirsts("__keep"), "left_semi")
+        .drop("__url_key"))
+    val nAdmitted = admitted.count()
+    if (nAdmitted > 0) {
+      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
+      admittedFirsts.select(col("__url_key").as("url_key"),
+          col("__keep").as("keep_id"))
+        .write.mode(SaveMode.Append).parquet(indexDir)
+    }
+    val nKeys = firsts.count()
+    Seq(keyed, firsts, admittedFirsts, admitted).foreach(_.unpersist())
+    // every batch row beyond its key's first is an in-batch variant
+    (nAdmitted, nRows - nKeys, nKeys - nAdmitted)
+  }
+
   private def indexIfExists(spark: SparkSession,
                             indexDir: String): Option[DataFrame] =
     // data-file probe, not a bare directory probe: a footer-less tree

@@ -491,6 +491,34 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(index == corpus, "index must track exactly the admitted docs")
   }
 
+  test("URL admission loop: stored canonical-key index, variants " +
+      "collapse in-batch, seen pages turned away cross-batch") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_incurl").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    // tick 1: docs 1 and 3 are crawl variants of ONE page (min id wins)
+    val t1 = IncrementalDedup.admitBatchUrl(
+      Seq((1L, "http://a.com/p/1"), (2L, "http://a.com/p/2"),
+        (3L, "HTTPS://A.COM/p/1/")).toDF("doc_id", "url"),
+      "doc_id", "url", corpusDir, indexDir)
+    assert(t1 == ((2L, 1L, 0L)), s"tick1 $t1")
+    // tick 2: doc 10 re-crawls page 1 with tracking junk (index drop);
+    // docs 11+12 are in-batch variants of a new page
+    val t2 = IncrementalDedup.admitBatchUrl(
+      Seq((10L, "http://a.com:80/p/1?utm_source=x"),
+        (11L, "http://a.com/p/3?id=3"),
+        (12L, "http://a.com/p/3/?id=3#frag")).toDF("doc_id", "url"),
+      "doc_id", "url", corpusDir, indexDir)
+    assert(t2 == ((1L, 1L, 1L)), s"tick2 $t2")
+    val corpus = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 11L), s"corpus $corpus")
+    val index = spark.read.parquet(indexDir)
+      .select("keep_id").as[Long].collect().toSet
+    assert(index == corpus, "index must track exactly the admitted pages")
+  }
+
   test("containment admission loop: stored postings index, embedded quotes turned away, probe == recompute") {
     import spark.implicits._
     import graft.ext.IncrementalDedup
