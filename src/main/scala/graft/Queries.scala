@@ -40,8 +40,8 @@ object Queries
     qTextStats, qTokenCount, qLangId, qLangIdModel, qScriptMix, qCharEntropy,
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
-    qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qDedupJaccard,
-    qDedupJaccardPrefix,
+    qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qDedupLadder,
+    qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,

@@ -996,9 +996,16 @@ object Corpus {
         explode(TextOps.charNgrams(col(textCol), n)).as("g"))
       .select(col("id"),
         pmod(TextOps.portableHash(col("g")), lit(nBuckets.toLong)).as("bucket"))
-    val obs = model.filter(col("bucket") >= 0)
-    val w0 = model.filter(col("bucket") === -1).select(col("lang"), col("w"))
-    val pri = model.filter(col("bucket") === -2)
+    // the model is read by FOUR downstream branches (matched join,
+    // unmatched anti-join probe, unseen defaults, priors): materialize
+    // it once — when the caller passes a freshly-TRAINED model (the
+    // gate query's shape, vs the production frozen-parquet read), an
+    // uncached pass would re-run the training aggregates over the
+    // corpus per branch (measured: 9.4 s → 2.5 s warm on the gate row)
+    val m = Materialize.multiScan(model)
+    val obs = m.filter(col("bucket") >= 0)
+    val w0 = m.filter(col("bucket") === -1).select(col("lang"), col("w"))
+    val pri = m.filter(col("bucket") === -2)
       .select(col("lang"), col("w").as("wp"))
     val matched = feats.join(broadcast(obs), Seq("bucket"))
       .select(col("id"), col("lang"), col("w"))

@@ -154,6 +154,73 @@ object Dedup {
       .select(col("host"), col("n_crawls"), col("n_pages"),
         expr("((n_crawls - n_pages) * 10000) div n_crawls").as("dup_bp"))
 
+  /** The DEDUP LADDER as one sequential pass — the rung order every
+    * published web pipeline runs, cheapest signal first, each rung
+    * seeing only the previous rung's survivors:
+    *
+    *   1. `url`   — canonical-URL groups ([[urlGroups]] key), minimum
+    *                id per page survives (no text read);
+    *   2. `exact` — normalized-content fingerprint groups
+    *                ([[exactGroups]]), minimum id survives;
+    *   3. `near`  — shingle-Jaccard pairs ≥ tau over the remaining
+    *                corpus → connected components → minimum id per
+    *                cluster survives.
+    *
+    * Output is the per-document VERDICT relation — (id, dropped_at ∈
+    * {url, exact, near, NULL=survivor}) — which is both the funnel
+    * card's input (group by dropped_at) and the provenance a curation
+    * audit wants ("why is this doc gone"). Sequencing matters and is
+    * part of the contract: an exact duplicate of a page already
+    * dropped by the URL rung is NOT exact-dropped (its group's
+    * survivor may differ), which is why each rung recomputes over
+    * survivors only — also the cost shape you want at 100 TB, where
+    * the near-dup rung (the expensive one) sees the corpus only after
+    * the two cheap rungs shrank it.
+    *
+    * Scale: rung 1 shuffles canonical keys, rung 2 digests, rung 3 is
+    * [[jaccardPairs]] + [[connectedComponents]] on the reduced corpus;
+    * every drop relation is ids only.
+    *
+    * @param urlCol optional — None skips the URL rung (corpora without
+    *               addresses), verdicts then never say 'url'
+    * @return (id, dropped_at) — one row per input doc
+    */
+  def ladder(df: DataFrame, idCol: String, textCol: String,
+             urlCol: Option[String], n: Int, tau: Double,
+             maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val base = Materialize.multiScan(df)
+    val urlDrops = urlCol match {
+      case None => base.select(col(idCol).as("id")).limit(0)
+      case Some(u) =>
+        val keys = base.select(col(idCol).as("id"),
+          TextOps.canonicalUrl(col(u)).as("k"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+        keys.withColumn("keep", min(col("id")).over(w))
+          .filter(col("id") =!= col("keep")).select(col("id"))
+    }
+    val s1 = Materialize.multiScan(
+      base.join(urlDrops, base(idCol) === urlDrops("id"), "left_anti"))
+    val exactDrops = {
+      val fps = s1.select(col(idCol).as("id"),
+        TextOps.fingerprint(col(textCol)).as("fp"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      fps.withColumn("keep", min(col("id")).over(w))
+        .filter(col("id") =!= col("keep")).select(col("id"))
+    }
+    val s2 = Materialize.multiScan(
+      s1.join(exactDrops, s1(idCol) === exactDrops("id"), "left_anti"))
+    val nearDrops = connectedComponents(
+        jaccardPairs(s2, idCol, textCol, n, tau, maxDocFreq)
+          .select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("cluster")).select(col("id"))
+    base.select(col(idCol).as("id"))
+      .join(urlDrops.select(col("id"), lit("url").as("__u")), Seq("id"), "left")
+      .join(exactDrops.select(col("id"), lit("exact").as("__e")), Seq("id"), "left")
+      .join(nearDrops.select(col("id"), lit("near").as("__n")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__u"), col("__e"), col("__n")).as("dropped_at"))
+  }
+
   /** Candidate-quality card: recall and precision of an APPROXIMATE
     * pair generator (LSH bands, SimHash buckets, SRP blocks — any
     * (id_a, id_b) relation) against the EXACT pair relation on the

@@ -152,6 +152,57 @@ private[graft] trait QueriesDedup { this: Queries.type =>
                // CAST(sum(n_copies) AS BIGINT) AS dup_bp
       FROM hh GROUP BY host"""))
 
+  /** The sequential dedup ladder ([[Dedup.ladder]]): url → exact →
+    * near-dup, each rung over the previous rung's survivors, one
+    * per-doc verdict relation (id, dropped_at). The oracle replays the
+    * FULL sequence — canonical-URL groups on the synthetic crawl
+    * fixture, content fingerprints on the url survivors, Jaccard pairs
+    * + recursive-CTE components on the exact survivors — so rung
+    * ORDER, not just each rung, is pinned.
+    */
+  val qDedupLadder = Q("q_dedup_ladder",
+    (s, dir) => Dedup.ladder(
+      t(s, dir, "documents").select(col("doc_id"), col("text"),
+        syntheticUrl.as("url")),
+      "doc_id", "text", urlCol = Some("url"), n = 3, tau = 0.25),
+    Some("WITH RECURSIVE " + urlCanonCtes.stripPrefix("WITH ") + """,
+      ud AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY url_key) AS keep
+          FROM s6) WHERE doc_id <> keep),
+      s1d AS (SELECT d.doc_id, d.text FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM ud)),
+      ed AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keep
+          FROM s1d) WHERE doc_id <> keep),
+      s2d AS (SELECT * FROM s1d
+        WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
+      docs2 AS (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM s2d),
+      sh2 AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset FROM docs2),
+      ex2 AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh2),
+      pairs2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25),
+      edges2 AS (SELECT id_a AS src, id_b AS dst FROM pairs2
+                 UNION SELECT id_b, id_a FROM pairs2),
+      reach2(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges2)
+        UNION
+        SELECT reach2.id, e.dst FROM reach2 JOIN edges2 e ON reach2.r = e.src),
+      nd AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach2 GROUP BY id) WHERE id <> c)
+      SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id IN (SELECT doc_id FROM ud) THEN 'url'
+             WHEN d.doc_id IN (SELECT doc_id FROM ed) THEN 'exact'
+             WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 'near'
+        END AS dropped_at
+      FROM documents d"""))
+
   val qDedupJaccard = Q("dedup_ngram_jaccard",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
       "doc_id", "text", n = 3, tau = 0.25),

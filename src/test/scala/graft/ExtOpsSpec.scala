@@ -491,6 +491,33 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(index == corpus, "index must track exactly the admitted docs")
   }
 
+  test("dedup ladder: rungs apply sequentially over survivors only, " +
+      "and the URL rung is skippable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "http://a.com/p1"),
+      // 2 is a crawl variant of 1's page -> url-dropped
+      (2L, "totally different text here", "HTTP://A.COM/p1"),
+      // 3 has 2's exact TEXT but its own page: with 2 already
+      // url-dropped, 3's exact group is a singleton and SURVIVES —
+      // running exact over the full corpus would wrongly drop it
+      (3L, "totally different text here", "http://b.com/x"),
+      (4L, "one two three four five six seven eight", "http://c.com/1"),
+      (5L, "one two three four five six seven nine", "http://c.com/2"),
+      // 6 is an exact copy of 5 -> exact-dropped before the near rung
+      (6L, "one two three four five six seven nine", "http://c.com/3"))
+      .toDF("doc_id", "text", "url")
+    val v = Dedup.ladder(docs, "doc_id", "text", Some("url"),
+        n = 3, tau = 0.5)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v == Map(1L -> None, 2L -> Some("url"), 3L -> None,
+      4L -> None, 5L -> Some("near"), 6L -> Some("exact")), s"got $v")
+    // without the URL rung, 2 survives and 3 becomes the exact-dup
+    val v2 = Dedup.ladder(docs, "doc_id", "text", None, n = 3, tau = 0.5)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v2(2L).isEmpty && v2(3L) == Some("exact"), s"got $v2")
+  }
+
   test("URL admission loop: stored canonical-key index, variants " +
       "collapse in-batch, seen pages turned away cross-batch") {
     import spark.implicits._
