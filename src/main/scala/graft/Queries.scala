@@ -86,7 +86,7 @@ object Queries
     qMultimodal, qMultimodalFrames, qFrameDedup, qCorpusPrep, qCorpusPrepV2,
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackSorted, qPackStats, qPackBpe, qDecontam,
-    qDecontamBloom, qDecontamFraction, qDecontamContainment,
+    qDecontamBloom, qDecontamFraction, qDecontamContainment, qDecontamSpans,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qKfold, qGroupKfold, qSplitCluster,
     qSplitLeakage,

@@ -485,6 +485,49 @@ object Corpus {
         (coalesce(col("max_cont_bp"), lit(0L)) >= dropAtBp).as("drop"))
   }
 
+  /** SPAN-level decontamination — the VERBATIM-QUOTE leakage check the
+    * n-gram forms under-report: [[decontaminateFraction]] dilutes a
+    * short eval item quoted inside a long page (tiny shared-shingle
+    * fraction) and [[decontaminateContainment]] needs the whole
+    * benchmark doc's shingle set to be contained; a 60-byte exact
+    * quote of one benchmark ANSWER inside a 10 KB page trips neither
+    * hard. This form flags exact ≥ `winBytes`-byte shared SPANS:
+    * content-defined anchored window fingerprints
+    * ([[Dedup.substringDupSpans]]'s machinery — alignment-free, recall
+    * dialed by `anchorMod` with the measured (1−1/mod)^(L−win+1) miss
+    * law) equi-joined corpus-vs-benchmark, with per-doc covered-byte
+    * accounting (interval union of hit windows) and the drop policy in
+    * basis points of the document's normalized bytes.
+    *
+    * Shape: benchmark windows BROADCAST (eval suites are tiny next to
+    * the corpus); corpus text never shuffles — only (fp, id, p)
+    * window rows move; coverage is the per-doc island pass.
+    *
+    * @return (id, n_bytes, n_dup_windows, covered_bytes, cov_bp,
+    *         n_bench_docs, drop) — every corpus doc gets a row
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         winBytes: Int = 40, anchorMod: Int = 8,
+                         dropAtBp: Int = 2500): DataFrame = {
+    val cw = Materialize.multiScan(
+      Dedup.anchorWins(corpus, idCol, textCol, winBytes, anchorMod))
+    val bw = Dedup.anchorWins(benchmark, idCol, textCol, winBytes, anchorMod)
+      .select(col("fp"), col("id").as("bid")).distinct()
+    val hits = Materialize.multiScan(cw.join(broadcast(bw), Seq("fp")))
+    val dup = hits.select(col("id"), col("p")).distinct()
+    val base = corpus.select(col(idCol).as("id"),
+      octet_length(TextOps.normalized(col(textCol))).as("n_bytes"))
+    val nb = hits.groupBy(col("id"))
+      .agg(countDistinct(col("bid")).as("n_bench_docs"))
+    Dedup.coverageOf(dup, base, winBytes)
+      .join(nb, Seq("id"), "left")
+      .select(col("id"), col("n_bytes"), col("n_dup_windows"),
+        col("covered_bytes"), col("cov_bp"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (col("cov_bp") >= dropAtBp).as("drop"))
+  }
+
   /** Temperature (power) resampling of the source mixture — the
     * standard multilingual/multi-source rebalance (mT5, XLM-R): stratum
     * s with corpus share p_s is sampled with probability ∝ p_s^alpha,

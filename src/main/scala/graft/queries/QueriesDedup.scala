@@ -222,6 +222,76 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       GROUP BY a.doc_id, b.doc_id, a.m, b.m
       HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
 
+  /** Span-level decontamination ([[Corpus.decontaminateSpans]]): exact
+    * ≥ 40-byte spans shared with the benchmark slice (doc_id % 10 = 0
+    * here — the % 97 slice shares no long verbatim span on this
+    * fixture, which is itself informative: span leakage is a different
+    * signal than shingle overlap), per-doc covered bytes via the
+    * interval union, benchmark-doc fan-in, drop at 2500 bp. The oracle
+    * replays anchor selection, the A-vs-B window join, islands, and
+    * the policy.
+    */
+  val qDecontamSpans = Q("q_decontam_spans",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.decontaminateSpans(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", winBytes = 40, anchorMod = 8, dropAtBp = 2500)
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (
+        SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 40),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized),
+      anch AS (
+        SELECT doc_id, t, p FROM pos
+        WHERE (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+               + ascii(substr(t, p + 7, 1))) % 8 = 0),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM anch),
+      cw AS (SELECT doc_id, p, fp FROM wins WHERE doc_id % 10 <> 0),
+      bw AS (SELECT DISTINCT fp, doc_id AS bid FROM wins WHERE doc_id % 10 = 0),
+      hits AS (SELECT c.doc_id, c.p, b.bid FROM cw c JOIN bw b USING (fp)),
+      dup AS (SELECT DISTINCT doc_id, p FROM hits),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e, count(*) AS n_win
+        FROM isl GROUP BY 1, 2),
+      cov AS (
+        SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_bytes,
+               CAST(sum(n_win) AS BIGINT) AS n_dup_windows
+        FROM spans GROUP BY 1),
+      nb AS (SELECT doc_id, count(DISTINCT bid) AS n_bench_docs
+             FROM hits GROUP BY 1),
+      base AS (
+        SELECT doc_id,
+          octet_length(encode(trim(regexp_replace(lower(text),'\s+',' ','g')))) AS n_bytes
+        FROM documents WHERE doc_id % 10 <> 0)
+      SELECT b.doc_id AS id, CAST(b.n_bytes AS BIGINT) AS n_bytes,
+        coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+        coalesce(c.covered_bytes, 0) AS covered_bytes,
+        CASE WHEN b.n_bytes > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // b.n_bytes
+          ELSE 0 END AS cov_bp,
+        coalesce(nb.n_bench_docs, 0) AS n_bench_docs,
+        (CASE WHEN b.n_bytes > 0
+          THEN (coalesce(c.covered_bytes, 0) * 10000) // b.n_bytes
+          ELSE 0 END) >= 2500 AS "drop"
+      FROM base b LEFT JOIN cov c USING (doc_id)
+      LEFT JOIN nb USING (doc_id)"""))
+
   /** LSH candidate-quality card ([[Dedup.pairRecallCard]]): measured
     * recall/precision of the raw MinHash banding candidates (k=16,
     * bands=4 — `dedup_minhash`'s exact dials) against the exact

@@ -1250,6 +1250,31 @@ class CorpusSpec extends AnyFunSuite {
     ("zh", "众所周知单身汉拥有大笔财富就必然需要一位妻子这是一条举世公认的真理"))
     .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
 
+  test("decontaminateSpans: a short verbatim quote inside a long page " +
+      "is caught at full strength where the fraction form dilutes it") {
+    val quote = "the seventeen quick brown foxes jumped over the lazy sleeping dogs"
+    val filler = (1 to 120).map(i => s"fill$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $quote $filler"), // long page embedding the quote
+      (2L, s"completely unrelated page $filler")).toDF("doc_id", "text")
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val r = Corpus.decontaminateSpans(corpus, bench, "doc_id", "text",
+        winBytes = 40, anchorMod = 4, dropAtBp = 100)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val hit = r(1L)
+    assert(hit.getAs[Long]("n_dup_windows") > 0 &&
+      hit.getAs[Long]("covered_bytes") > 0 &&
+      hit.getAs[Long]("n_bench_docs") == 1L &&
+      hit.getAs[Boolean]("drop"), s"quote page must flag: $hit")
+    // the quote is ~66 of ~1600 bytes -> the FRACTION form sees a tiny
+    // overlap share; the span form flags the exact leak regardless
+    assert(hit.getAs[Long]("cov_bp") < 1000,
+      "fixture must be the small-quote-in-long-page shape")
+    val clean = r(2L)
+    assert(clean.getAs[Long]("n_dup_windows") == 0L &&
+      !clean.getAs[Boolean]("drop"), s"clean page must pass: $clean")
+  }
+
   test("langIdModel: beats the stopword/script heuristic on short " +
       "Latin-script docs the heuristic can only call 'und'") {
     val train = langSeeds.toDF("doc_id", "lang", "text")
