@@ -276,7 +276,25 @@ object Sf1EqBench {
         "label_agreement_cells" -> (s => graft.ext.Similarity
           .labelAgreementCells(vecs(s), "vec_id", "embedding", "label",
             k = 5, nCells = (16 * math.sqrt(s.toDouble)).round.toInt,
-            maxCellPool = 200)))
+            maxCellPool = 200)),
+        // r14: learned lang-id, train+predict in one pass — the budget
+        // line checks the char-trigram explode + broadcast-model
+        // scoring stays scan-proportional (model ≤ nBuckets·L rows at
+        // any corpus size; labels synthetic — cost, not accuracy,
+        // is measured here)
+        "lang_id_model" -> { s =>
+          val d = docsEn(s).withColumn("lang",
+            pmod(hash(col("doc_id")), lit(5)).cast("string"))
+          graft.ext.Corpus.langIdPredict(d, "doc_id", "text",
+            graft.ext.Corpus.langIdTrain(d, "text", "lang"))
+        },
+        // r14: unigram tokenizer seed + Viterbi fertility — the budget
+        // line checks the substring-seed shuffle and the native encode
+        // scan stay corpus-proportional (vocab is a fixed-size
+        // reference object at every scale)
+        "unigram_fertility" -> (s => graft.ext.Unigram.fertility(
+          docs(s), "doc_id", "text",
+          graft.ext.Unigram.seedVocab(docs(s), "text"))))
 
     def release(): Unit = {
       spark.catalog.clearCache()
