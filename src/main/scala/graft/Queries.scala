@@ -52,7 +52,8 @@ object Queries
     qGraphPagerankWeighted, qGraphCentral,
     qGraphTriangles, qGraphCard, qGraphKcore, qGraphAssortativity,
     qDedupPassages,
-    qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrCoverage,
+    qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrWinnow,
+    qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,
     qDedupSubstrExactLcp, qDedupSubstrRewrite,
     qDedupSubstrAttribution, qDedupLcpLongest, qDedupSpectrum, qDedupSimhash,

@@ -1234,6 +1234,40 @@ object Dedup {
       .select(col("id"), col("w.p").as("p"), col("w.fp").as("fp"))
   }
 
+  /** Winnow-selected (id, p, fp) window relation — the
+    * [[anchorWins]] sibling with Schleimer-Wilkerson-Aiken 2003
+    * selection (see [[graft.functions.WinnowWindowMd5]]). */
+  private[ext] def winnowWins(df: DataFrame, idCol: String, textCol: String,
+                              winBytes: Int, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
+      .select(col("id"), explode(graft.functions.VectorFunctions
+        .winnowWindows(col("t"), winBytes, k)).as("w"))
+      .select(col("id"), col("w.p").as("p"), col("w.fp").as("fp"))
+  }
+
+  /** [[substringDupSpans]] under WINNOWING selection instead of
+    * content-defined anchors: detection of any cross-document span of
+    * ≥ winBytes + k − 1 bytes is GUARANTEED (both documents must
+    * select a common in-span fingerprint — the winnowing theorem),
+    * where the anchor scheme's recall follows the probabilistic
+    * (1−1/mod)^(L−win+1) law and can miss spans barely longer than the
+    * window at ANY mod. Density ~2/(k+1) per position plays anchorMod's
+    * cost role, so k≈2·mod−1 is the like-for-like dial. Same shuffle
+    * shape (only (fp, id) pairs move).
+    *
+    * @return (fp, n_docs, n_occ, first_doc) for spans seen in ≥ 2 docs
+    */
+  def substringDupSpansWinnowed(df: DataFrame, idCol: String,
+                                textCol: String, winBytes: Int = 40,
+                                k: Int = 15): DataFrame =
+    winnowWins(df, idCol, textCol, winBytes, k)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** Per-document duplicated-span COVERAGE — the decision step of
     * ExactSubstr dedup: how much of each document is covered by spans
     * that repeat ANYWHERE in the corpus (other documents or the same

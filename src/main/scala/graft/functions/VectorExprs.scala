@@ -459,6 +459,101 @@ case class AnchorWindowMd5(child: Expression, winBytes: Int, anchorMod: Int)
     copy(child = newChild)
 }
 
+/** `winnow_windows(bytes, winBytes, k)`: WINNOWING fingerprint
+  * selection (Schleimer, Wilkerson, Aiken 2003, "Winnowing: Local
+  * Algorithms for Document Fingerprinting") — the GUARANTEED-recall
+  * alternative to [[AnchorWindowMd5]]'s content-defined anchors: in
+  * every window of `k` consecutive positions select the position with
+  * the minimum cheap hash (ties to the RIGHTMOST — the paper's rule),
+  * fingerprint only the selected windows. Any two documents sharing an
+  * exact span of ≥ winBytes + k − 1 bytes share at least one SELECTED
+  * fingerprint — a deterministic floor where the anchor scheme's
+  * recall is the probabilistic (1−1/mod)^(L−win+1) law. Density is
+  * ~2/(k+1) selections per position (the paper's bound), so k plays
+  * anchorMod's cost role. The selection hash is the same 3-point byte
+  * hash the anchor rule uses (replayable in SQL); md5 runs only at
+  * selected positions. Documents shorter than a full selection window
+  * but holding ≥ 1 fingerprint position select their global
+  * rightmost-min (one fingerprint — nothing silently unfingerprinted).
+  */
+case class WinnowWindowMd5(child: Expression, winBytes: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(winBytes >= 8, "window must cover the 8-byte selection-hash head")
+  require(k >= 1, "selection window k must be positive")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_windows"
+
+  override def nullSafeEval(a: Any): Any =
+    WinnowWindowMd5.compute(a.asInstanceOf[Array[Byte]], winBytes, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowWindowMd5.compute($c, $winBytes, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowWindowMd5 =
+    copy(child = newChild)
+}
+
+object WinnowWindowMd5 {
+  /** Array of (p, fp) structs at the winnow-SELECTED positions; p is
+    * the 1-based byte offset, fp the winBytes-window md5 hex. */
+  def compute(bytes: Array[Byte], win: Int, k: Int): ArrayData = {
+    val nPos = bytes.length - win + 1
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    if (nPos <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    val h = new Array[Int](nPos)
+    var i = 0
+    while (i < nPos) {
+      h(i) = (bytes(i) & 0xff) * 4 + (bytes(i + 3) & 0xff) * 2 +
+        (bytes(i + 7) & 0xff)
+      i += 1
+    }
+    val selected = new Array[Boolean](nPos)
+    // rightmost-min argmin over [lo, hi] (<= so later positions win ties)
+    def argmin(lo: Int, hi: Int): Int = {
+      var best = lo; var j = lo + 1
+      while (j <= hi) { if (h(j) <= h(best)) best = j; j += 1 }
+      best
+    }
+    if (nPos <= k) selected(argmin(0, nPos - 1)) = true
+    else {
+      var minIdx = argmin(0, k - 1)
+      selected(minIdx) = true
+      var j = 1
+      while (j <= nPos - k) {
+        val hi = j + k - 1
+        if (minIdx < j) minIdx = argmin(j, hi) // old min slid out: rescan
+        else if (h(hi) <= h(minIdx)) minIdx = hi // new entrant wins ties
+        selected(minIdx) = true
+        j += 1
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    i = 0
+    while (i < nPos) {
+      if (selected(i)) {
+        md.reset()
+        md.update(bytes, i, win)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i + 1, org.apache.spark.unsafe.types.UTF8String.fromString(
+            org.apache.commons.codec.binary.Hex.encodeHexString(md.digest()))))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object AnchorWindowMd5 {
   /** Array of (p, fp) structs — p is the 1-based BYTE offset (== char
     * offset on ASCII), fp the window's md5 hex. */
@@ -745,6 +840,8 @@ object VectorFunctions {
       exprs(1).eval(null).asInstanceOf[Number].longValue())),
     "anchor_windows" -> (exprs =>
       AnchorWindowMd5(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    "winnow_windows" -> (exprs =>
+      WinnowWindowMd5(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "ngram_units" -> (exprs => NgramUnits(exprs(0),
       exprs(1).eval(null).asInstanceOf[ArrayData].toIntArray().toSeq)),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
@@ -878,6 +975,13 @@ object VectorFunctions {
   def anchorWindows(text: Column, winBytes: Int, anchorMod: Int): Column =
     call_function("anchor_windows", text.cast("binary"),
       lit(winBytes), lit(anchorMod))
+
+  /** Column API for [[WinnowWindowMd5]]: winnow-selected (p, fp)
+    * window structs — guaranteed detection of spans ≥ winBytes+k−1.
+    */
+  def winnowWindows(text: Column, winBytes: Int, k: Int): Column =
+    call_function("winnow_windows", text.cast("binary"),
+      lit(winBytes), lit(k))
 
   /** Column API for [[NgramUnits]]: all word-n-gram (k, h, chars) units
     * of normalized text, for every n in `ns`, in one scan.

@@ -1169,6 +1169,52 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     * word-shingle passage dedup above. The oracle replays anchor
     * selection (3-point char hash mod 8), window fingerprinting, and
     * the distinct-doc cut verbatim. */
+  /** Winnowing-selected duplicate spans
+    * ([[Dedup.substringDupSpansWinnowed]], Schleimer et al. 2003):
+    * the guaranteed-recall alternative to the CDC anchor rule — every
+    * cross-doc span ≥ win+k−1 bytes is detected BY THEOREM (the spec
+    * fuzzes the guarantee over alignments where anchors provably
+    * miss). The oracle replays the selection hash, the
+    * rightmost-min-per-window rule (struct min over a rows window),
+    * the short-doc global pick, and the dup aggregate.
+    */
+  val qDedupSubstrWinnow = Q("dedup_substr_winnow",
+    (s, dir) => Dedup.substringDupSpansWinnowed(t(s, dir, "documents"),
+      "doc_id", "text", winBytes = 40, k = 15),
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (
+        SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 40),
+      pos AS (
+        SELECT doc_id, p,
+          (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+           + ascii(substr(t, p + 7, 1))) AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+              FROM sized)),
+      npos AS (SELECT doc_id, max(p) AS np FROM pos GROUP BY 1),
+      fullw AS (
+        SELECT doc_id, p,
+          min(struct_pack(h := h, mp := -p)) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS m
+        FROM pos),
+      sel1 AS (
+        SELECT DISTINCT f.doc_id, -(f.m).mp AS sp
+        FROM fullw f JOIN npos s USING (doc_id)
+        WHERE s.np >= 15 AND f.p <= s.np - 15 + 1),
+      sel2 AS (
+        SELECT doc_id, -(min(struct_pack(h := h, mp := -p))).mp AS sp
+        FROM pos
+        WHERE doc_id IN (SELECT doc_id FROM npos WHERE np < 15)
+        GROUP BY doc_id),
+      sel AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+      wins AS (
+        SELECT s.doc_id, md5(substr(d2.t, CAST(s.sp AS INT), 40)) AS fp
+        FROM sel s JOIN sized d2 USING (doc_id))
+      SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+             min(doc_id) AS first_doc
+      FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2"""))
+
   val qDedupSubstrings = Q("dedup_substrings",
     (s, dir) => Dedup.substringDupSpans(t(s, dir, "documents"),
       "doc_id", "text", winBytes = 40, anchorMod = 8),

@@ -491,6 +491,57 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(index == corpus, "index must track exactly the admitted docs")
   }
 
+  test("winnowing: selection matches an independent reference (ties " +
+      "rightmost), and the span guarantee holds where anchors miss") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // reference winnow over the same 3-point hash, O(n*k) brute force
+    def refSelect(t: String, win: Int, k: Int): Set[Int] = {
+      val b = t.getBytes("UTF-8")
+      val nPos = b.length - win + 1
+      if (nPos <= 0) return Set.empty
+      def h(p: Int) = (b(p) & 0xff) * 4 + (b(p + 3) & 0xff) * 2 + (b(p + 7) & 0xff)
+      def amin(lo: Int, hi: Int) =
+        (lo to hi).foldLeft(lo)((best, j) => if (h(j) <= h(best)) j else best)
+      if (nPos <= k) Set(amin(0, nPos - 1) + 1)
+      else (0 to nPos - k).map(j => amin(j, j + k - 1) + 1).toSet
+    }
+    // low-alphabet strings force hash ties; lengths straddle nPos<k
+    val cases = (1 to 12).map(i =>
+      (1 to (30 + i * 7)).map(j => "ab".charAt((i * j * 2654435761L % 2).toInt)).mkString +
+        "cdefgh".take(i % 6 + 1))
+    for (t <- cases) {
+      val got = Seq(t).toDF("t")
+        .select(explode(graft.functions.VectorFunctions
+          .winnowWindows(col("t"), 20, 7)).as("w"))
+        .select(col("w.p")).as[Int].collect().toSet
+      assert(got == refSelect(t, 20, 7), s"selection mismatch on '$t'")
+    }
+    // the guarantee: a shared span of win+k-1 bytes is detected at
+    // EVERY alignment; the anchor scheme misses some of these
+    val win = 40; val k = 15
+    val span = "qwertyuiopasdfghjklzxcvbnmqwertyuiopasdfghjklzxcvbnmqw" // 54 = win+k-1
+    assert(span.length == win + k - 1)
+    def filler(seed: Int, n: Int) =
+      (1 to n).map(j => "mno".charAt((seed * 31 + j * 7) % 3)).mkString
+    var anchorHits = 0
+    for (off <- 0 until 12) {
+      val docs = Seq(
+        (1L, filler(off, 60 + off) + span + filler(off + 1, 55)),
+        (2L, filler(off + 2, 90 - off) + span + filler(off + 3, 50)))
+        .toDF("doc_id", "text")
+      val w = Dedup.substringDupSpansWinnowed(docs, "doc_id", "text", win, k)
+      assert(w.count() >= 1,
+        s"winnowing must detect the ${span.length}-byte span at offset $off")
+      if (Dedup.substringDupSpans(docs, "doc_id", "text", win, 8).count() >= 1)
+        anchorHits += 1
+    }
+    // contrast, not luck: the CDC rule's probabilistic recall actually
+    // misses at least one of these alignments on this fixture
+    assert(anchorHits < 12,
+      "fixture must exhibit an anchor miss for the guarantee contrast")
+  }
+
   test("dedup ladder: rungs apply sequentially over survivors only, " +
       "and the URL rung is skippable") {
     import spark.implicits._
