@@ -163,6 +163,9 @@ object Unigram {
     var rounds = 0
     var done = false
     while (rounds < maxRounds && !done) {
+      // bounded driver collect: Viterbi only ever emits vocab pieces or
+      // single characters, so |usage| ≤ |vocab| + |alphabet| — and the
+      // vocab side passed through collectVocab's explicit gate above
       val usage = usageCounts(df, textCol, collectVocab(vocab), unkNat10k)
         .as[(String, Long)].collect().toMap
       val kept = usage.toSeq
