@@ -146,7 +146,9 @@ object Dedup {
     */
   def urlHostCard(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     urlGroups(df, idCol, urlCol)
-      .select(regexp_replace(regexp_extract(col("url_key"), "^[^/?]*", 0),
+      .select(regexp_replace(regexp_replace(
+            regexp_extract(col("url_key"), "^[^/?]*", 0),
+            "^[^@]*@", ""),
           ":[0-9]+$", "").as("host"),
         col("n_copies"))
       .groupBy(col("host"))
@@ -689,6 +691,49 @@ object Dedup {
       bAll.join(broadcast(hot), Seq("sh64"), "left_anti")
     }
     containmentJoin(a, b, tau)
+  }
+
+  /** Steady-state JACCARD probe: score an arriving batch's postings
+    * against a STORED corpus postings index — [[containmentProbe]]'s
+    * resemblance sibling, and the near rung of the composed admission
+    * ladder ([[IncrementalDedup.admitBatchLadder]]). Scoring is
+    * IDENTICAL to [[jaccardPairs]] (same m-from-postings, same
+    * length-ratio prune — exact, since J(A,B) ≤ min/max — same 4dp
+    * rounding before the τ cut), so probe-over-stored-index ≡
+    * recompute-from-text row for row; a SELF-probe of one postings set
+    * filtered to `batch_id < corpus_id` is exactly the [[jaccardPairs]]
+    * relation, which is how the ladder's in-batch pass reuses this.
+    *
+    * `maxDocFreq` is applied to the INDEX side at probe time (the
+    * stored index stays exact; the dial tightens per probe), matching
+    * [[containmentProbe]].
+    *
+    * @param batchPostings (id, m, sh64) for the arriving batch
+    * @param indexPostings (id, m, sh64) as persisted at admission
+    * @return (batch_id, corpus_id, jacc) with jacc ≥ tau
+    */
+  def jaccardProbe(batchPostings: DataFrame, indexPostings: DataFrame,
+                   tau: Double,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val a = batchPostings.select(col("id").as("batch_id"),
+      col("m").as("m_a"), col("sh64"))
+    val bAll = indexPostings.select(col("id").as("corpus_id"),
+      col("m").as("m_b"), col("sh64"))
+    val b = if (maxDocFreq == Int.MaxValue) bAll else {
+      val hot = bAll.groupBy(col("sh64"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
+        .select(col("sh64"))
+      bAll.join(broadcast(hot), Seq("sh64"), "left_anti")
+    }
+    a.as("ja").join(b.as("jb"), col("ja.sh64") === col("jb.sh64") &&
+        col("m_a") >= col("m_b") * tau && col("m_b") >= col("m_a") * tau)
+      .groupBy(col("batch_id"), col("corpus_id"), col("m_a"), col("m_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jacc", round(col("inter").cast("double") /
+        (col("m_a") + col("m_b") - col("inter")), 4))
+      .filter(col("jacc") >= tau)
+      .select(col("batch_id"), col("corpus_id"), col("jacc"))
   }
 
   /** Shared postings builder for the batch-vs-corpus family: (a, b) =

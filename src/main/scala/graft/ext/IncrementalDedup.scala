@@ -182,13 +182,26 @@ object IncrementalDedup {
     * ([[TextOps.canonicalUrl]] collapses them) keep the minimum id;
     * cross-batch, any canonical key already in the index drops.
     *
+    * REPLAY IDEMPOTENCE: survivors and their keys land under per-batch
+    * partitions (`corpusDir/batch=<batchId>`, `indexDir/batch=<batchId>`)
+    * written with Overwrite — the [[IncrementalQuality.admitBatch]]
+    * layout. Two separate non-atomic Appends would leave a crashed tick
+    * half-applied: pages in the corpus whose keys never reached the
+    * index, so the redelivered batch re-admits and re-appends the same
+    * rows — duplicate documents, the exact thing the rung exists to
+    * prevent. With per-batch Overwrite a replayed tick recomputes the
+    * same admitted set (the probe reads only OTHER batches' index rows)
+    * and overwrites both partitions in place.
+    *
     * @return (admitted, droppedInBatch, droppedVsIndex) row counts;
-    *         survivors appended to `corpusDir`, their (url_key,
-    *         keep_id) rows to `indexDir` (created on first use).
-    *         Caller serializes ticks (foreachBatch already does).
+    *         survivors written to `corpusDir/batch=<batchId>`, their
+    *         (url_key, keep_id) rows to `indexDir/batch=<batchId>`.
+    *         Caller serializes ticks (foreachBatch already does) and
+    *         passes its monotone batch id.
     */
   def admitBatchUrl(batch: DataFrame, idCol: String, urlCol: String,
-                    corpusDir: String, indexDir: String): (Long, Long, Long) = {
+                    corpusDir: String, indexDir: String,
+                    batchId: Long): (Long, Long, Long) = {
     val spark = batch.sparkSession
     val nRows = batch.count()
     val keyed = Materialize.multiScan(
@@ -196,11 +209,15 @@ object IncrementalDedup {
     // in-batch collapse: one row per canonical key, minimum id
     val firsts = Materialize.multiScan(
       keyed.groupBy(col("__url_key")).agg(min(col(idCol)).as("__keep")))
-    // cross-batch: keys already admitted drop whole
+    // cross-batch: keys already admitted drop whole. A replayed tick's
+    // own half-written partition must NOT count as "already admitted"
+    // (that would turn the whole redelivered batch away and lose it),
+    // so the probe reads only OTHER batches' index rows.
     val admittedFirsts = Materialize.multiScan(
       indexIfExists(spark, indexDir) match {
         case Some(ix) => firsts.join(
-          ix.select(col("url_key").as("__url_key")), Seq("__url_key"),
+          ix.filter(col("batch") =!= batchId)
+            .select(col("url_key").as("__url_key")), Seq("__url_key"),
           "left_anti")
         case None => firsts
       })
@@ -210,16 +227,194 @@ object IncrementalDedup {
             keyed(idCol) === admittedFirsts("__keep"), "left_semi")
         .drop("__url_key"))
     val nAdmitted = admitted.count()
-    if (nAdmitted > 0) {
-      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
-      admittedFirsts.select(col("__url_key").as("url_key"),
-          col("__keep").as("keep_id"))
-        .write.mode(SaveMode.Append).parquet(indexDir)
-    }
+    // index partition FIRST, then corpus: if the tick dies between the
+    // two writes, replay sees its own index rows (excluded from the
+    // probe above) and simply overwrites both partitions.
+    admittedFirsts.select(col("__url_key").as("url_key"),
+        col("__keep").as("keep_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$batchId")
+    admitted.write.mode(SaveMode.Overwrite)
+      .parquet(s"$corpusDir/batch=$batchId")
     val nKeys = firsts.count()
     Seq(keyed, firsts, admittedFirsts, admitted).foreach(_.unpersist())
     // every batch row beyond its key's first is an in-batch variant
     (nAdmitted, nRows - nKeys, nKeys - nAdmitted)
+  }
+
+  /** The COMPOSED steady-state admission ladder — the streaming twin of
+    * [[Dedup.ladder]], and the shape a 100 TB crawl actually ingests
+    * through: ONE batch pass chains the three rungs over their
+    * PERSISTENT indexes, cheapest signal first, each rung seeing only
+    * the previous rung's survivors, and emits the batch's per-doc
+    * VERDICT relation (id, dropped_at ∈ {url, exact, near, NULL}) at
+    * ingest time — the provenance a curation audit replays later is
+    * written when the decision is made, not reconstructed.
+    *
+    * Rungs, per batch (first arrival wins across batches, minimum id
+    * within one):
+    *  1. `url`   — canonical-key collapse ([[TextOps.canonicalUrl]]):
+    *               in-batch non-minimum variants drop; any key already
+    *               in the url index drops whole. No text is read.
+    *  2. `exact` — content-fingerprint collapse
+    *               ([[TextOps.fingerprint]]) over url survivors:
+    *               in-batch non-minimum copies drop; fingerprints
+    *               already in the fp index drop. 32-byte digests move,
+    *               never documents.
+    *  3. `near`  — shingle-Jaccard over exact survivors: cross-batch
+    *               FIRST ([[Dedup.jaccardProbe]] vs the stored postings
+    *               index, J ≥ τ drops — first arrival wins), then
+    *               in-batch pairs among the PROBE SURVIVORS
+    *               (a self-[[Dedup.jaccardProbe]]) → connected
+    *               components → non-minimum members drop. Hosts are
+    *               probe survivors only — the
+    *               [[admitBatchContainment]] discipline: a drop must be
+    *               vouched for by content that actually reaches the
+    *               corpus.
+    *
+    * What each index stores (the rung's own survivors, one level up
+    * from finally-admitted — this is what makes rung PROVENANCE stable
+    * across batches):
+    *  - url index: canonical keys that passed the url rung. A later
+    *    crawl of that key is redundant even if the page itself was
+    *    dropped at a deeper rung — its content is (or is duplicated by)
+    *    corpus content.
+    *  - fp index: fingerprints that passed the exact rung, same logic
+    *    (an exact copy of a near-dropped doc would re-drop at near;
+    *    the fp index drops it one rung earlier, before tokenization).
+    *  - postings index: (id, m, sh64) of ADMITTED docs only — the near
+    *    rung's τ-similarity justification must point at corpus content
+    *    ([[admitBatch]]'s contract).
+    *
+    * BATCH-vs-COMPOSED equivalence (spec-pinned both ways): feeding the
+    * corpus as ONE batch through this ladder is verdict-identical to
+    * [[Dedup.ladder]] (empty indexes make every rung's in-batch pass
+    * exactly the batch rung). Across MULTIPLE ticks with ids assigned
+    * in arrival order, verdicts still match the batch ladder rung for
+    * rung UNLESS a near-dup chain crosses ticks THROUGH a dropped doc
+    * (x←tick1 admitted, y~x dropped, z~y in tick 2 but z≁x): the batch
+    * ladder's connected components drop z transitively, while this
+    * ladder ADMITS z — only corpus content can vouch for a drop, and
+    * nothing in the corpus resembles z. That divergence is the
+    * documented admission semantics, not an approximation.
+    *
+    * REPLAY IDEMPOTENCE: every output (corpus slice, three index
+    * slices, verdict slice) lands under `<root>/<name>/batch=<batchId>`
+    * with Overwrite, and every cross-batch probe excludes the tick's
+    * own partition — the [[admitBatchUrl]] recovery contract: a
+    * redelivered batch recomputes the same verdicts and overwrites in
+    * place, never duplicating corpus rows or turning itself away.
+    *
+    * At 100 TB: rung 1 shuffles tens-of-byte url keys, rung 2 32-byte
+    * digests, and only rung 3 touches postings — over the corpus AFTER
+    * the cheap rungs shrank it, probed against an index that never
+    * re-reads text (bucket it by sh64, dial `maxDocFreq` at probe
+    * time). Verdicts are ids + a tag.
+    *
+    * @param root    layout root: `corpus/`, `url_index/`, `fp_index/`,
+    *                `postings/`, `verdicts/` subtrees, each partitioned
+    *                by batch
+    * @param urlCol  None skips the url rung (corpora without addresses)
+    * @return the batch's verdict relation (id, dropped_at), read back
+    *         from its just-written partition (durable provenance; no
+    *         cache-lifetime contract for the caller)
+    */
+  def admitBatchLadder(batch: DataFrame, idCol: String, textCol: String,
+                       urlCol: Option[String], root: String,
+                       n: Int, tau: Double, batchId: Long,
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+    val base = Materialize.multiScan(batch)
+    def others(dir: String): Option[DataFrame] =
+      indexIfExists(spark, dir).map(_.filter(col("batch") =!= batchId))
+    def empty: DataFrame = base.select(col(idCol).as("id")).limit(0)
+
+    // rung 1: url — key collapse + stored-key probe, no text read
+    val (urlDrops, urlKeysKept) = urlCol match {
+      case None => (Materialize.multiScan(empty), None)
+      case Some(u) =>
+        val keyed = base.select(col(idCol).as("id"),
+          TextOps.canonicalUrl(col(u)).as("url_key"))
+        val withKeep = keyed.withColumn("keep",
+          min(col("id")).over(w.partitionBy(col("url_key"))))
+        val seen = others(s"$root/url_index") match {
+          case Some(ix) => keyed.join(ix.select(col("url_key")),
+            Seq("url_key"), "left_semi").select(col("id"))
+          case None => empty
+        }
+        val drops = Materialize.multiScan(
+          withKeep.filter(col("id") =!= col("keep")).select(col("id"))
+            .unionByName(seen).distinct())
+        val kept = withKeep.filter(col("id") === col("keep"))
+          .join(drops, Seq("id"), "left_anti")
+          .select(col("url_key"), col("id").as("keep_id"))
+        (drops, Some(kept))
+    }
+    val s1 = Materialize.multiScan(
+      base.join(urlDrops, base(idCol) === urlDrops("id"), "left_anti"))
+
+    // rung 2: exact — fingerprint collapse + stored-fp probe
+    val fps = s1.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val withKeepFp = fps.withColumn("keep",
+      min(col("id")).over(w.partitionBy(col("fp"))))
+    val seenFp = others(s"$root/fp_index") match {
+      case Some(ix) => fps.join(ix.select(col("fp")), Seq("fp"),
+        "left_semi").select(col("id"))
+      case None => empty
+    }
+    val exactDrops = Materialize.multiScan(
+      withKeepFp.filter(col("id") =!= col("keep")).select(col("id"))
+        .unionByName(seenFp).distinct())
+    val fpKept = withKeepFp.filter(col("id") === col("keep"))
+      .join(exactDrops, Seq("id"), "left_anti")
+      .select(col("fp"), col("id").as("keep_id"))
+    val s2 = Materialize.multiScan(
+      s1.join(exactDrops, s1(idCol) === exactDrops("id"), "left_anti"))
+
+    // rung 3: near — stored-postings probe first (first arrival wins),
+    // then in-batch components among the probe survivors
+    val posts = Materialize.multiScan(
+      Dedup.shinglePostings(s2, idCol, textCol, n))
+    val vsIndexNear = Materialize.multiScan(
+      others(s"$root/postings") match {
+        case Some(ix) => Dedup.jaccardProbe(posts,
+            ix.select(col("id"), col("m"), col("sh64")), tau, maxDocFreq)
+          .select(col("batch_id").as("id")).distinct()
+        case None => empty
+      })
+    val hostPosts = posts.join(vsIndexNear,
+      posts("id") === vsIndexNear("id"), "left_anti")
+    val inBatchNear = Dedup.connectedComponents(
+        Dedup.jaccardProbe(hostPosts, hostPosts, tau)
+          .filter(col("batch_id") < col("corpus_id"))
+          .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")))
+      .filter(col("id") =!= col("cluster")).select(col("id"))
+    val nearDrops = Materialize.multiScan(
+      inBatchNear.unionByName(vsIndexNear.select(col("id"))).distinct())
+    val admitted = Materialize.multiScan(
+      s2.join(nearDrops, s2(idCol) === nearDrops("id"), "left_anti"))
+
+    // persist: verdicts FIRST (pure provenance), then indexes, then the
+    // corpus — any interruption replays idempotently (own partitions
+    // are excluded from every probe above and overwritten here)
+    def part(sub: String) = s"$root/$sub/batch=$batchId"
+    val verdicts = base.select(col(idCol).as("id"))
+      .join(urlDrops.select(col("id"), lit("url").as("__u")), Seq("id"), "left")
+      .join(exactDrops.select(col("id"), lit("exact").as("__e")), Seq("id"), "left")
+      .join(nearDrops.select(col("id"), lit("near").as("__n")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__u"), col("__e"), col("__n")).as("dropped_at"))
+    verdicts.write.mode(SaveMode.Overwrite).parquet(part("verdicts"))
+    urlKeysKept.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(part("url_index")))
+    fpKept.write.mode(SaveMode.Overwrite).parquet(part("fp_index"))
+    posts.join(admitted, posts("id") === admitted(idCol), "left_semi")
+      .write.mode(SaveMode.Overwrite).parquet(part("postings"))
+    admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
+    Seq(base, urlDrops, s1, exactDrops, s2, posts, vsIndexNear, nearDrops,
+      admitted).foreach(_.unpersist())
+    spark.read.parquet(part("verdicts"))
   }
 
   private def indexIfExists(spark: SparkSession,

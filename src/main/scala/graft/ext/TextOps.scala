@@ -140,16 +140,23 @@ object TextOps {
     *  1. trim; drop the fragment (`#...`);
     *  2. drop the scheme (any `name://` — the key is scheme-insensitive,
     *     so http/https crawls of one page collide);
-    *  3. lowercase the AUTHORITY only (host[:port] — path and query are
-    *     case-SENSITIVE per RFC and preserved);
+    *  3. lowercase the HOST[:port] only — userinfo is case-SENSITIVE
+    *     per RFC 3986 §3.2.1 and preserved, as are path and query;
     *  4. drop the original scheme's default port (`:80` http, `:443`
     *     https; other ports — and ports on other schemes — preserved);
-    *  5. drop tracking params wherever they sit in the query string
+    *  5. drop tracking params inside the QUERY component only
     *     (`utm_*`, `gclid`, `fbclid`, `igshid`, `mc_cid`, `mc_eid` —
     *     lowercase names, the published convention; other params
     *     preserved in their original order);
-    *  6. drop one trailing path slash (before end-of-string or the
-    *     query), so `/p/7/` ≡ `/p/7` and `/p/7/?id=1` ≡ `/p/7?id=1`.
+    *  6. drop one trailing slash from the PATH component, so
+    *     `/p/7/` ≡ `/p/7` and `/p/7/?id=1` ≡ `/p/7?id=1`.
+    *
+    * Rules 5 and 6 are COMPONENT-ANCHORED (split at the first `?`):
+    * a literal `&utm_x=` sequence inside a path segment, or a `/?` /
+    * trailing `/` inside a query VALUE (`a.com/x?next=/p/?y=1`), is
+    * someone else's page identity and must NOT be rewritten — an
+    * unanchored rewrite makes two genuinely different pages collide on
+    * one key, and the URL rung drops by address alone.
     *
     * IDN policy: hosts are compared AS-IS — no punycode/IDNA mapping
     * (a corpus mixing `münchen.example` with `xn--mnchen-3ya.example`
@@ -161,20 +168,25 @@ object TextOps {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPart = regexp_extract(noScheme, "^[^/?]*", 0)
-    val rest = noScheme.substr(length(hostPart) + 1, length(noScheme))
+    val auth = regexp_extract(noScheme, "^[^/?]*", 0)
+    val rest = noScheme.substr(length(auth) + 1, length(noScheme))
+    // '@' cannot appear unencoded elsewhere in the authority, so the
+    // first-'@' split is exact; no userinfo => empty string.
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val hostPort = regexp_replace(auth, "^[^@]*@", "")
     val hostNoPort =
-      when(scheme === "http", regexp_replace(lower(hostPart), ":80$", ""))
-        .when(scheme === "https", regexp_replace(lower(hostPart), ":443$", ""))
-        .otherwise(lower(hostPart))
+      when(scheme === "http", regexp_replace(lower(hostPort), ":80$", ""))
+        .when(scheme === "https", regexp_replace(lower(hostPort), ":443$", ""))
+        .otherwise(lower(hostPort))
+    val path = regexp_extract(rest, "^[^?]*", 0)
+    val query = rest.substr(length(path) + 1, length(rest)) // incl. '?'
     val track = "(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)"
     val noTrack = regexp_replace(
       regexp_replace(
-        regexp_replace(concat(hostNoPort, rest),
-          "&" + track + "=[^&#]*", ""),
+        regexp_replace(query, "&" + track + "=[^&#]*", ""),
         "\\?" + track + "=[^&#]*&", "?"),
       "\\?" + track + "=[^&#]*$", "")
-    regexp_replace(regexp_replace(noTrack, "/\\?", "?"), "/$", "")
+    concat(userinfo, hostNoPort, regexp_replace(path, "/$", ""), noTrack)
   }
 
   /** Content fingerprint = md5 of the normalized text. Stable across

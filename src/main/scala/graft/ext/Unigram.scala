@@ -141,13 +141,31 @@ object Unigram {
     * table equals the previous round's — vocabularies are driver-sized
     * ([[collectVocab]]'s gate), so the fixpoint test is an exact
     * in-memory compare, not another Spark job. Per round: ONE encode
-    * pass + one piece-count aggregate.
+    * pass + one piece-count aggregate. Hitting `maxRounds` BEFORE the
+    * fixpoint logs a loud warning (the [[Dedup.connectedComponents]]
+    * loud-non-convergence discipline — but a pre-fixpoint vocabulary
+    * is a usable tokenizer, not wrong labels, so this warns rather
+    * than throws); callers that must distinguish converged from
+    * truncated use [[learnWithStatus]].
     *
     * @return (piece, cnt, nat10k) — the frozen tokenizer table
     */
   def learn(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
             seedMax: Int = 200, targetVocab: Int = 100,
-            maxRounds: Int = 4, unkNat10k: Long = 200000L): DataFrame = {
+            maxRounds: Int = 4, unkNat10k: Long = 200000L): DataFrame =
+    learnWithStatus(df, textCol, maxPieceLen, seedMax, targetVocab,
+      maxRounds, unkNat10k)._1
+
+  /** [[learn]] plus its convergence status: (vocab, roundsUsed,
+    * converged). `converged = false` means the hard-EM loop was
+    * truncated at `maxRounds` before reaching the fixpoint — the
+    * vocabulary is the last round's (usable, deterministic) table, but
+    * one more round would still change it.
+    */
+  def learnWithStatus(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                      seedMax: Int = 200, targetVocab: Int = 100,
+                      maxRounds: Int = 4,
+                      unkNat10k: Long = 200000L): (DataFrame, Int, Boolean) = {
     require(maxRounds >= 1 && targetVocab >= 1,
       s"bad learn dials: maxRounds=$maxRounds targetVocab=$targetVocab")
     val spark = df.sparkSession
@@ -179,7 +197,13 @@ object Unigram {
       vocab = vocabOf(next)
       rounds += 1
     }
-    vocab
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Unigram.learn: hard-EM loop truncated at maxRounds=$maxRounds " +
+          "before the (piece, cnt) fixpoint — the returned vocabulary " +
+          "is the last round's table, NOT converged; raise maxRounds " +
+          "or use learnWithStatus to observe this programmatically")
+    (vocab, rounds, done)
   }
 
   /** Per-document tokenizer-fertility card under a unigram vocabulary

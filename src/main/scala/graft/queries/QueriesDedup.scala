@@ -108,19 +108,25 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       s2 AS (SELECT doc_id,
                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS v FROM s1),
-      s3 AS (SELECT doc_id, scheme, regexp_extract(v, '^[^/?]*') AS hostp,
+      s3 AS (SELECT doc_id, scheme, regexp_extract(v, '^[^/?]*') AS auth,
                substr(v, length(regexp_extract(v, '^[^/?]*')) + 1) AS rest FROM s2),
+      s3u AS (SELECT doc_id, scheme,
+               regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+               regexp_replace(auth, '^[^@]*@', '') AS hostp, rest FROM s3),
       s4 AS (SELECT doc_id,
+               userinfo ||
                (CASE WHEN scheme = 'http' THEN regexp_replace(lower(hostp), ':80$', '')
                      WHEN scheme = 'https' THEN regexp_replace(lower(hostp), ':443$', '')
-                     ELSE lower(hostp) END) || rest AS w FROM s3),
-      s5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(w,
+                     ELSE lower(hostp) END) AS hostkey,
+               regexp_extract(rest, '^[^?]*') AS path,
+               substr(rest, length(regexp_extract(rest, '^[^?]*')) + 1) AS query FROM s3u),
+      s5 AS (SELECT doc_id, hostkey, regexp_replace(path, '/$', '') AS path,
+               regexp_replace(regexp_replace(regexp_replace(query,
                '&(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)=[^&#]*', '', 'g'),
                '\?(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)=[^&#]*&', '?'),
-               '\?(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)=[^&#]*$', '') AS x
+               '\?(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)=[^&#]*$', '') AS query
              FROM s4),
-      s6 AS (SELECT doc_id,
-               regexp_replace(regexp_replace(x, '/\?', '?'), '/$', '') AS url_key FROM s5)"""
+      s6 AS (SELECT doc_id, hostkey || path || query AS url_key FROM s5)"""
 
   val qDedupUrl = Q("dedup_url",
     (s, dir) => Dedup.urlGroups(
@@ -144,7 +150,8 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       "doc_id", "url"),
     Some(urlCanonCtes + """,
       g AS (SELECT url_key, count(*) AS n_copies FROM s6 GROUP BY url_key),
-      hh AS (SELECT regexp_replace(regexp_extract(url_key, '^[^/?]*'),
+      hh AS (SELECT regexp_replace(regexp_replace(
+               regexp_extract(url_key, '^[^/?]*'), '^[^@]*@', ''),
                ':[0-9]+$', '') AS host, n_copies FROM g)
       SELECT host, CAST(sum(n_copies) AS BIGINT) AS n_crawls,
              count(*) AS n_pages,

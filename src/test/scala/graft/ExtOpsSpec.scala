@@ -579,15 +579,15 @@ class ExtOpsSpec extends AnyFunSuite {
     val t1 = IncrementalDedup.admitBatchUrl(
       Seq((1L, "http://a.com/p/1"), (2L, "http://a.com/p/2"),
         (3L, "HTTPS://A.COM/p/1/")).toDF("doc_id", "url"),
-      "doc_id", "url", corpusDir, indexDir)
+      "doc_id", "url", corpusDir, indexDir, batchId = 0L)
     assert(t1 == ((2L, 1L, 0L)), s"tick1 $t1")
     // tick 2: doc 10 re-crawls page 1 with tracking junk (index drop);
     // docs 11+12 are in-batch variants of a new page
+    val batch2 = Seq((10L, "http://a.com:80/p/1?utm_source=x"),
+      (11L, "http://a.com/p/3?id=3"),
+      (12L, "http://a.com/p/3/?id=3#frag")).toDF("doc_id", "url")
     val t2 = IncrementalDedup.admitBatchUrl(
-      Seq((10L, "http://a.com:80/p/1?utm_source=x"),
-        (11L, "http://a.com/p/3?id=3"),
-        (12L, "http://a.com/p/3/?id=3#frag")).toDF("doc_id", "url"),
-      "doc_id", "url", corpusDir, indexDir)
+      batch2, "doc_id", "url", corpusDir, indexDir, batchId = 1L)
     assert(t2 == ((1L, 1L, 1L)), s"tick2 $t2")
     val corpus = spark.read.parquet(corpusDir)
       .select("doc_id").as[Long].collect().toSet
@@ -595,6 +595,17 @@ class ExtOpsSpec extends AnyFunSuite {
     val index = spark.read.parquet(indexDir)
       .select("keep_id").as[Long].collect().toSet
     assert(index == corpus, "index must track exactly the admitted pages")
+    // REPLAY of tick 2 (redelivered batch, same batch id — the failure-
+    // recovery path): the per-batch Overwrite partitions make the tick
+    // idempotent — same verdict counts, no duplicate corpus rows, and
+    // the batch's own index partition does not turn its replay away
+    val replay = IncrementalDedup.admitBatchUrl(
+      batch2, "doc_id", "url", corpusDir, indexDir, batchId = 1L)
+    assert(replay == t2, s"replay $replay != $t2")
+    val corpusR = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(corpusR == Seq(1L, 2L, 11L),
+      s"replayed tick must not duplicate corpus rows: $corpusR")
   }
 
   test("containment admission loop: stored postings index, embedded quotes turned away, probe == recompute") {
@@ -1486,6 +1497,15 @@ class ExtOpsSpec extends AnyFunSuite {
       ("http://a.com/x/", "a.com/x"),
       ("http://a.com/x/?id=1", "a.com/x?id=1"),
       ("http://a.com/", "a.com"),
+      // COMPONENT ANCHORING: a literal '&utm_x=' inside a PATH segment
+      // and '/?' or trailing '/' inside a query VALUE are page identity,
+      // not decoration — rewriting them would collide distinct pages
+      ("http://a.com/x&utm_source=1/y", "a.com/x&utm_source=1/y"),
+      ("http://a.com/x?next=/p/?y=1", "a.com/x?next=/p/?y=1"),
+      ("http://a.com/x?next=/", "a.com/x?next=/"),
+      // userinfo is case-sensitive (RFC 3986 §3.2.1): kept verbatim
+      // while host folds and the default port strips
+      ("http://UsEr:Pw@A.com:80/x", "UsEr:Pw@a.com/x"),
       // scheme-less input: no port strip (unknown scheme), host lowered
       ("A.com/X", "a.com/X"),
       // IDN policy: compared as-is, no punycode folding

@@ -125,6 +125,31 @@ class UnigramSpec extends AnyFunSuite {
       "learned vocab tokenizes worse than the seed")
   }
 
+  test("learnWithStatus: converged flag distinguishes a fixpoint from " +
+      "a maxRounds truncation; learn returns the same table either way") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "alphabet alpha beta beta"),
+      (3L, "gamma gamma alpha")).toDF("id", "t")
+    // generous rounds: must converge, and rounds-used must be honest
+    val (vOk, usedOk, convOk) =
+      Unigram.learnWithStatus(docs, "t", targetVocab = 8, maxRounds = 12)
+    assert(convOk, "expected fixpoint within 12 rounds")
+    assert(usedOk <= 12 && usedOk >= 1)
+    // one round is not enough on this corpus (the fixpoint needs the
+    // prune to settle): the flag must say TRUNCATED, not silently pass
+    val (vCut, usedCut, convCut) =
+      Unigram.learnWithStatus(docs, "t", targetVocab = 8, maxRounds = 1)
+    assert(!convCut && usedCut == 1,
+      s"1-round learn must report truncation, got ($usedCut, $convCut)")
+    // learn (the status-less form) returns exactly the status form's table
+    val viaLearn = Unigram.learn(docs, "t", targetVocab = 8, maxRounds = 1)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaLearn == vCut.as[(String, Long, Long)].collect()
+      .sortBy(_._1).toSeq)
+    assert(vOk.columns.toSeq == Seq("piece", "cnt", "nat10k"))
+  }
+
   test("fertility: per-doc pieces/words, zero-word doc reports zeros") {
     val docs = Seq((1L, "abab ab"), (2L, "")).toDF("id", "t")
     val vocab = Unigram.seedVocab(docs, "t")
