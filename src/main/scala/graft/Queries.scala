@@ -41,6 +41,7 @@ object Queries
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qDedupLadder,
+    qAdmissionLadder,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,

@@ -210,6 +210,129 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         END AS dropped_at
       FROM documents d"""))
 
+  /** The COMPOSED steady-state admission ladder
+    * ([[graft.ext.IncrementalDedup.admitBatchLadder]]): two ingest
+    * ticks (doc_id % 3 = 0 arrives first, the rest second) through the
+    * persistent url-key / fingerprint / postings indexes, emitting the
+    * per-doc verdict at ingest time. The oracle replays BOTH ticks in
+    * DuckDB — tick 1 is the batch ladder on its slice (empty indexes);
+    * tick 2's url and exact rungs probe tick 1's rung-survivor keys
+    * and fingerprints, and its near rung probes tick 1's ADMITTED
+    * docs' shingle sets first (first arrival wins), then runs
+    * components among the probe survivors only — so the composed
+    * semantics (rung-survivor indexes, host-must-reach-corpus) are
+    * pinned end to end, not just per rung.
+    */
+  val qAdmissionLadder = Q("q_admission_ladder",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_admladder").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        syntheticUrl.as("url"))
+      val v1 = graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.25, batchId = 0L)
+      val v2 = graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.25, batchId = 1L)
+      v1.unionByName(v2).select(col("id"), col("dropped_at"))
+    },
+    Some("WITH RECURSIVE " + urlCanonCtes.stripPrefix("WITH ") + """,
+      fps AS (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      docsw AS (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      shs AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset FROM docsw),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM shs),
+      -- ============ tick 1: doc_id % 3 = 0, empty indexes ============
+      u1 AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY url_key) AS keep
+          FROM s6 WHERE doc_id % 3 = 0) WHERE doc_id <> keep),
+      s11 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM u1)),
+      e1 AS (SELECT doc_id FROM (
+          SELECT f.doc_id, min(f.doc_id) OVER (PARTITION BY f.fp) AS keep
+          FROM fps f JOIN s11 USING (doc_id)) WHERE doc_id <> keep),
+      s21 AS (SELECT doc_id FROM s11
+          WHERE doc_id NOT IN (SELECT doc_id FROM e1)),
+      p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN s21 sa ON sa.doc_id = a.doc_id
+        JOIN s21 sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25),
+      edges1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+                 UNION SELECT id_b, id_a FROM p1),
+      reach1(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges1)
+        UNION
+        SELECT reach1.id, e.dst FROM reach1 JOIN edges1 e ON reach1.r = e.src),
+      n1 AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach1 GROUP BY id) WHERE id <> c),
+      adm1 AS (SELECT doc_id FROM s21
+          WHERE doc_id NOT IN (SELECT doc_id FROM n1)),
+      -- indexes after tick 1: url keys of url-rung survivors (= the
+      -- slice's distinct keys), fps of exact-rung survivors (= the url
+      -- survivors' distinct fps), postings of ADMITTED docs only
+      k1 AS (SELECT DISTINCT url_key FROM s6 WHERE doc_id % 3 = 0),
+      f1 AS (SELECT DISTINCT f.fp FROM fps f JOIN s11 USING (doc_id)),
+      -- ============ tick 2: the rest, probing tick 1 ============
+      u2 AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY url_key) AS keep
+          FROM s6 WHERE doc_id % 3 <> 0) WHERE doc_id <> keep
+        UNION
+        SELECT k.doc_id FROM s6 k JOIN k1 USING (url_key)
+        WHERE k.doc_id % 3 <> 0),
+      s12 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM u2)),
+      e2 AS (SELECT doc_id FROM (
+          SELECT f.doc_id, min(f.doc_id) OVER (PARTITION BY f.fp) AS keep
+          FROM fps f JOIN s12 USING (doc_id)) WHERE doc_id <> keep
+        UNION
+        SELECT f.doc_id FROM fps f JOIN s12 USING (doc_id)
+        JOIN f1 ON f.fp = f1.fp),
+      s22 AS (SELECT doc_id FROM s12
+          WHERE doc_id NOT IN (SELECT doc_id FROM e2)),
+      n2i AS (SELECT DISTINCT id_a AS doc_id FROM (
+          SELECT a.doc_id AS id_a
+          FROM ex a JOIN ex b ON a.shingle = b.shingle
+          JOIN s22 sa ON sa.doc_id = a.doc_id
+          JOIN adm1 ab ON ab.doc_id = b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.m, b.m
+          HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25)),
+      hosts AS (SELECT doc_id FROM s22
+          WHERE doc_id NOT IN (SELECT doc_id FROM n2i)),
+      p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN hosts sa ON sa.doc_id = a.doc_id
+        JOIN hosts sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25),
+      edges2 AS (SELECT id_a AS src, id_b AS dst FROM p2
+                 UNION SELECT id_b, id_a FROM p2),
+      reach2(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges2)
+        UNION
+        SELECT reach2.id, e.dst FROM reach2 JOIN edges2 e ON reach2.r = e.src),
+      n2b AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach2 GROUP BY id) WHERE id <> c),
+      n2 AS (SELECT doc_id FROM n2i UNION SELECT doc_id FROM n2b)
+      SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id % 3 = 0 THEN
+          CASE WHEN d.doc_id IN (SELECT doc_id FROM u1) THEN 'url'
+               WHEN d.doc_id IN (SELECT doc_id FROM e1) THEN 'exact'
+               WHEN d.doc_id IN (SELECT doc_id FROM n1) THEN 'near' END
+        ELSE
+          CASE WHEN d.doc_id IN (SELECT doc_id FROM u2) THEN 'url'
+               WHEN d.doc_id IN (SELECT doc_id FROM e2) THEN 'exact'
+               WHEN d.doc_id IN (SELECT doc_id FROM n2) THEN 'near' END
+        END AS dropped_at
+      FROM documents d"""))
+
   val qDedupJaccard = Q("dedup_ngram_jaccard",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
       "doc_id", "text", n = 3, tau = 0.25),

@@ -569,6 +569,124 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(v2(2L).isEmpty && v2(3L) == Some("exact"), s"got $v2")
   }
 
+  test("composed admission ladder: one batch through admitBatchLadder " +
+      "is verdict-identical to Dedup.ladder") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_lad1").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "http://a.com/p1"),
+      (2L, "totally different text here", "HTTP://A.COM/p1"),
+      (3L, "totally different text here", "http://b.com/x"),
+      (4L, "one two three four five six seven eight", "http://c.com/1"),
+      (5L, "one two three four five six seven nine", "http://c.com/2"),
+      (6L, "one two three four five six seven nine", "http://c.com/3"))
+      .toDF("doc_id", "text", "url")
+    val composed = IncrementalDedup.admitBatchLadder(docs, "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.5, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    val batch = Dedup.ladder(docs, "doc_id", "text", Some("url"),
+        n = 3, tau = 0.5)
+      .as[(Long, Option[String])].collect().toMap
+    assert(composed == batch, s"composed $composed != batch $batch")
+    assert(composed == Map(1L -> None, 2L -> Some("url"), 3L -> None,
+      4L -> None, 5L -> Some("near"), 6L -> Some("exact")))
+  }
+
+  test("composed admission ladder: two ticks match the batch ladder " +
+      "rung for rung; indexes give rung-stable provenance; replay is " +
+      "idempotent") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_lad2").toString
+    val tick1 = Seq(
+      (1L, "alpha beta gamma delta", "http://a.com/p1"),
+      (2L, "totally different text here", "HTTP://A.COM/p1"),
+      (3L, "totally different text here", "http://b.com/x"),
+      (4L, "one two three four five six seven eight", "http://c.com/1"),
+      (5L, "one two three four five six seven nine", "http://c.com/2"),
+      (6L, "one two three four five six seven nine", "http://c.com/3"))
+      .toDF("doc_id", "text", "url")
+    val tick2 = Seq(
+      // near-dup of ADMITTED 4 -> postings probe drops it at 'near'
+      (11L, "one two three four five six seven ten", "http://d.com/1"),
+      // re-crawl of doc 5's page: 5 was near-DROPPED but its key passed
+      // the url rung, so the url index still turns the re-crawl away
+      (12L, "whatever the mirror serves today", "HTTP://C.COM/2"),
+      // exact copy of ADMITTED 3's text on a fresh url -> fp index
+      (13L, "totally different text here", "http://d.com/2"),
+      // exact copy of near-dropped 5's text: fp passed the exact rung
+      // in tick 1, so it drops at 'exact' (one rung before 'near')
+      (14L, "one two three four five six seven nine", "http://d.com/3"),
+      (15L, "red green blue yellow purple orange pink black", "http://d.com/4"),
+      // in-batch near pair with 15 (both probe survivors, min id keeps)
+      (16L, "red green blue yellow purple orange pink white", "http://d.com/5"))
+      .toDF("doc_id", "text", "url")
+    val v1 = IncrementalDedup.admitBatchLadder(tick1, "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.5, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    val v2 = IncrementalDedup.admitBatchLadder(tick2, "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.5, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    // the batch ladder over the UNION (ids are arrival-ordered, no
+    // near chain crosses ticks through a dropped doc) must agree
+    val batch = Dedup.ladder(tick1.unionByName(tick2), "doc_id", "text",
+        Some("url"), n = 3, tau = 0.5)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v1 ++ v2 == batch, s"composed ${v1 ++ v2} != batch $batch")
+    assert(v2 == Map(11L -> Some("near"), 12L -> Some("url"),
+      13L -> Some("exact"), 14L -> Some("exact"), 15L -> None,
+      16L -> Some("near")), s"tick2 verdicts $v2")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 3L, 4L, 15L), s"corpus $corpus")
+    // REPLAY of tick 2 (same batch id): same verdicts, no corpus dups,
+    // verdict partition overwritten in place
+    val r2 = IncrementalDedup.admitBatchLadder(tick2, "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.5, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(r2 == v2, s"replay $r2 != $v2")
+    val corpusR = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(corpusR == Seq(1L, 3L, 4L, 15L), s"replay dup'd corpus: $corpusR")
+    // verdicts are durable provenance: re-read from disk, both ticks
+    val stored = spark.read.parquet(s"$root/verdicts")
+      .select("id", "dropped_at")
+      .as[(Long, Option[String])].collect().toMap
+    assert(stored == v1 ++ v2)
+  }
+
+  test("composed admission ladder: documented divergence — a cross-" +
+      "tick near chain through a DROPPED doc admits the tail (only " +
+      "corpus content can vouch for a drop)") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_lad3").toString
+    // x (1) admitted; y (2) ~ x dropped near; z (11) ~ y but z !~ x:
+    // overlap windows of 8-word texts — y shares 5/7 shingles with x
+    // and with z, x and z share only 3 words (2 redundant shingles)
+    val tick1 = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val tick2 = Seq(
+      (11L, "w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text")
+    val v1 = IncrementalDedup.admitBatchLadder(tick1, "doc_id", "text",
+        None, root, n = 3, tau = 0.5, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    val v2 = IncrementalDedup.admitBatchLadder(tick2, "doc_id", "text",
+        None, root, n = 3, tau = 0.5, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v1 == Map(1L -> None, 2L -> Some("near")), s"tick1 $v1")
+    // batch ladder would CC {1,2,11} and drop 11; the composed ladder
+    // ADMITS 11 — nothing in the corpus is within τ of it
+    assert(v2 == Map(11L -> None), s"tick2 $v2")
+    val batch = Dedup.ladder(tick1.unionByName(tick2), "doc_id", "text",
+        None, n = 3, tau = 0.5)
+      .as[(Long, Option[String])].collect().toMap
+    assert(batch(11L) == Some("near"),
+      "fixture must make the batch ladder drop 11 transitively")
+  }
+
   test("URL admission loop: stored canonical-key index, variants " +
       "collapse in-batch, seen pages turned away cross-batch") {
     import spark.implicits._
