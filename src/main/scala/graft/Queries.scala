@@ -40,8 +40,8 @@ object Queries
     qTextStats, qTokenCount, qLangId, qLangIdModel, qScriptMix, qCharEntropy,
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
-    qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qDedupLadder,
-    qAdmissionLadder,
+    qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
+    qDedupLadder, qAdmissionLadder,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupContainmentIncremental, qDedupContainmentSteady,

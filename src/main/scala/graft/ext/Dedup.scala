@@ -156,6 +156,103 @@ object Dedup {
       .select(col("host"), col("n_crawls"), col("n_pages"),
         expr("((n_crawls - n_pages) * 10000) div n_crawls").as("dup_bp"))
 
+  /** Embedded PUBLIC-SUFFIX fixture — a curated subset of the Mozilla
+    * Public Suffix List (publicsuffix.org, public data: the list every
+    * published registered-domain rollup resolves against), covering the
+    * common ICANN TLDs, the multi-label country registries that make
+    * hostname-level rollups wrong (`co.uk`-style), and the big private
+    * hosting suffixes (each `github.io` subdomain is a different
+    * registrant — exactly the case where eTLD+1 ≠ "last two labels").
+    * Production swaps in the full ~9k-rule list (same shape, one string
+    * per rule); the matching logic ([[registeredDomain]]) is list-size
+    * agnostic. Wildcard (`*.ck`) and exception (`!www.ck`) rules are
+    * deliberately out of contract — they cover a handful of registries
+    * and need the full list anyway.
+    */
+  val publicSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai",
+    "app", "dev", "info", "biz", "name", "mobi",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "jp", "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "br", "com.br", "net.br", "org.br",
+    "in", "co.in", "net.in", "org.in", "ac.in",
+    "cn", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "nz", "co.nz", "net.nz", "org.nz",
+    "za", "co.za", "org.za",
+    "de", "fr", "nl", "it", "es", "ru", "pl", "se", "ch", "at", "be",
+    "dk", "no", "fi", "cz", "eu", "us", "ca", "mx", "ar", "kr", "tw",
+    "hk", "sg",
+    "github.io", "blogspot.com", "cloudfront.net", "amazonaws.com",
+    "s3.amazonaws.com", "herokuapp.com", "netlify.app", "vercel.app",
+    "pages.dev", "web.app")
+
+  /** Registered domain (eTLD+1) of a hostname under a public-suffix
+    * table: the label immediately before the LONGEST matching suffix,
+    * plus the suffix — `a.b.site.co.uk` → `site.co.uk`,
+    * `proj.github.io` → `proj.github.io` (private registry suffix),
+    * while a naive last-two-labels rule would merge every `co.uk`
+    * registrant into one bucket. PSL edge conventions: a host that IS
+    * a public suffix has no registrable part and maps to itself; a
+    * host matching NO rule takes the PSL's implicit `*` rule (TLD =
+    * last label, eTLD+1 = last two; a single-label host maps to
+    * itself).
+    *
+    * Shape: a PURE scalar builtin composition — the suffix table rides
+    * as one array literal, candidates are the host's label-suffixes
+    * longest-first, and the first table hit is the longest match (no
+    * join, no shuffle: the rollup stays a scan + one keyed aggregate).
+    * With the full 9k-rule list the per-row `array_contains` scan is
+    * the trade to revisit (a broadcast map lookup wins there); at the
+    * fixture's scale the literal is strictly cheaper and the whole
+    * expression replays in DuckDB list builtins.
+    */
+  def registeredDomain(host: Column,
+                       suffixes: Seq[String] = publicSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val cands = transform(sequence(lit(1), n),
+      i => array_join(slice(labels, i, n), "."))
+    val table = lit(suffixes.toArray)
+    // `get` (0-based), not `element_at`: ANSI mode throws on the empty
+    // no-match array; get returns the NULL the fallback branch needs
+    val suf = get(filter(cands, c => array_contains(table, c)), lit(0))
+    val sufN = size(split(suf, "\\."))
+    when(suf.isNull,
+        when(n >= 2, array_join(slice(labels, n - 1, lit(2)), "."))
+          .otherwise(host))
+      .when(sufN === n, host)
+      .otherwise(array_join(slice(labels, n - sufN, sufN + 1), "."))
+  }
+
+  /** Registered-domain (eTLD+1) rollup of the canonical-URL relation —
+    * the rung [[urlHostCard]] documents out of its own contract: a
+    * mirror FARM serves one corpus from many HOSTNAMES
+    * (`s0.farm.co.uk` … `s7.farm.co.uk`), so the host-level card shows
+    * N unremarkable rows while the registrant-level view concentrates
+    * the crawl mass into one row — the signal a domain blocklist
+    * decision actually needs. Per eTLD+1: distinct hostnames, crawl
+    * rows, distinct pages, duplication share in basis points.
+    *
+    * Shape: the [[urlHostCard]] pipeline (page-key shuffle, host-keyed
+    * aggregate) plus ONE more keyed aggregate over host-cardinality
+    * rows with [[registeredDomain]] as a scalar projection — the
+    * suffix table never joins, hosts never re-shuffle wide.
+    *
+    * @return (reg_domain, n_hosts, n_crawls, n_pages, dup_bp)
+    */
+  def urlRegisteredDomainCard(df: DataFrame, idCol: String, urlCol: String,
+                              suffixes: Seq[String] = publicSuffixes): DataFrame =
+    urlHostCard(df, idCol, urlCol)
+      .select(registeredDomain(col("host"), suffixes).as("reg_domain"),
+        col("n_crawls"), col("n_pages"))
+      .groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("n_hosts"), sum(col("n_crawls")).as("n_crawls"),
+        sum(col("n_pages")).as("n_pages"))
+      .select(col("reg_domain"), col("n_hosts"), col("n_crawls"),
+        col("n_pages"),
+        expr("((n_crawls - n_pages) * 10000) div n_crawls").as("dup_bp"))
+
   /** The DEDUP LADDER as one sequential pass — the rung order every
     * published web pipeline runs, cheapest signal first, each rung
     * seeing only the previous rung's survivors:

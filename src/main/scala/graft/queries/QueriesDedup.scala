@@ -159,6 +159,76 @@ private[graft] trait QueriesDedup { this: Queries.type =>
                // CAST(sum(n_copies) AS BIGINT) AS dup_bp
       FROM hh GROUP BY host"""))
 
+  /** Registered-domain (eTLD+1) rollup ([[Dedup.urlRegisteredDomainCard]])
+    * over a subdomain-heavy synthetic crawl: mirror-farm shards
+    * (`s{0..7}.farm{0..1}.co.uk` — multi-label registry suffix), a www
+    * site family, hosts matching NO suffix rule (implicit `*`
+    * fallback), and a host that IS a public suffix. Plain lowercase
+    * URLs so the row pins the SUFFIX-MATCH logic (candidate label
+    * suffixes longest-first, first table hit, the three PSL edge
+    * branches), which DuckDB replays with list builtins over the same
+    * embedded suffix table.
+    */
+  private val suffixListSql: String =
+    graft.ext.Dedup.publicSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val qUrlDomainCard = Q("q_url_domain_card",
+    (s, dir) => {
+      val m = col("doc_id") % 4
+      val p = (col("doc_id") % 200).cast("string")
+      val u = when(m === 0, concat(lit("http://s"),
+          (col("doc_id") % 8).cast("string"), lit(".farm"),
+          (col("doc_id") % 2).cast("string"), lit(".co.uk/p/"), p))
+        .when(m === 1, concat(lit("http://www.site"),
+          (col("doc_id") % 5).cast("string"), lit(".com/a/"), p))
+        .when(m === 2, concat(lit("http://node"),
+          (col("doc_id") % 3).cast("string"), lit(".cluster.internal/x/"), p))
+        .otherwise(concat(lit("http://co.uk/odd/"), p))
+      Dedup.urlRegisteredDomainCard(
+        t(s, dir, "documents").select(col("doc_id"), u.as("url")),
+        "doc_id", "url")
+    },
+    Some(s"""WITH urls AS (
+        SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'http://s' || CAST(doc_id % 8 AS STRING) || '.farm'
+                      || CAST(doc_id % 2 AS STRING) || '.co.uk/p/'
+                      || CAST(doc_id % 200 AS STRING)
+          WHEN 1 THEN 'http://www.site' || CAST(doc_id % 5 AS STRING)
+                      || '.com/a/' || CAST(doc_id % 200 AS STRING)
+          WHEN 2 THEN 'http://node' || CAST(doc_id % 3 AS STRING)
+                      || '.cluster.internal/x/' || CAST(doc_id % 200 AS STRING)
+          ELSE 'http://co.uk/odd/' || CAST(doc_id % 200 AS STRING)
+        END AS url FROM documents),
+      k AS (SELECT doc_id, regexp_replace(url, '^http://', '') AS url_key
+            FROM urls),
+      g AS (SELECT url_key, count(*) AS n_copies FROM k GROUP BY url_key),
+      hh AS (SELECT regexp_extract(url_key, '^[^/?]*') AS host, n_copies
+             FROM g),
+      hc AS (SELECT host, CAST(sum(n_copies) AS BIGINT) AS n_crawls,
+               count(*) AS n_pages FROM hh GROUP BY host),
+      rd AS (SELECT host, n_crawls, n_pages, string_split(host, '.') AS ls,
+               list_filter(list_transform(
+                   generate_series(1, len(string_split(host, '.'))),
+                   i -> array_to_string(string_split(host, '.')[i:], '.')),
+                 c -> list_contains($suffixListSql, c))[1] AS suf
+             FROM hc),
+      rd2 AS (SELECT n_crawls, n_pages,
+               CASE WHEN suf IS NULL THEN
+                      CASE WHEN len(ls) >= 2
+                           THEN array_to_string(ls[len(ls)-1:], '.')
+                           ELSE host END
+                    WHEN len(string_split(suf, '.')) = len(ls) THEN host
+                    ELSE array_to_string(
+                           ls[len(ls) - len(string_split(suf, '.')):], '.')
+               END AS reg_domain
+              FROM rd)
+      SELECT reg_domain, count(*) AS n_hosts,
+             CAST(sum(n_crawls) AS BIGINT) AS n_crawls,
+             CAST(sum(n_pages) AS BIGINT) AS n_pages,
+             (CAST(sum(n_crawls) AS BIGINT) - CAST(sum(n_pages) AS BIGINT))
+               * 10000 // CAST(sum(n_crawls) AS BIGINT) AS dup_bp
+      FROM rd2 GROUP BY reg_domain"""))
+
   /** The sequential dedup ladder ([[Dedup.ladder]]): url → exact →
     * near-dup, each rung over the previous rung's survivors, one
     * per-doc verdict relation (id, dropped_at). The oracle replays the

@@ -569,6 +569,60 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(v2(2L).isEmpty && v2(3L) == Some("exact"), s"got $v2")
   }
 
+  test("registeredDomain: longest-suffix match, private registries, " +
+      "PSL edge conventions") {
+    import spark.implicits._
+    val cases = Seq(
+      // multi-label registry suffix: last-two-labels would say 'co.uk'
+      ("a.b.site.co.uk", "site.co.uk"),
+      ("site.co.uk", "site.co.uk"),
+      // plain TLD
+      ("www.example.com", "example.com"),
+      ("example.com", "example.com"),
+      // private hosting suffix: every subdomain a different registrant
+      ("proj.github.io", "proj.github.io"),
+      ("deep.proj.github.io", "proj.github.io"),
+      // host IS a public suffix: no registrable part, maps to itself
+      ("co.uk", "co.uk"),
+      ("com", "com"),
+      // no rule matches: implicit '*' rule, eTLD+1 = last two labels
+      ("node1.cluster.internal", "cluster.internal"),
+      ("localhost", "localhost"))
+    val got = cases.map(_._1).toDF("h")
+      .select(Dedup.registeredDomain(col("h")).as("d")).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), d) =>
+      assert(d == want, s"registeredDomain('$in') = '$d', want '$want'")
+    }
+  }
+
+  test("urlRegisteredDomainCard: the mirror farm host-level rollups " +
+      "miss concentrates into one eTLD+1 row") {
+    import spark.implicits._
+    // farm.co.uk serves 3 pages from each of 4 subdomain shards (12
+    // crawl rows, every host-level row unremarkable); one normal site
+    val urls = (0 until 4).flatMap(s => (0 until 3).map(p =>
+        s"http://s$s.farm.co.uk/p/$p")) ++
+      Seq("http://www.site.com/a", "http://www.site.com/a?utm_source=x")
+    val docs = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val hostCard = Dedup.urlHostCard(docs, "doc_id", "url")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // host level: four farm hosts, each 3 crawls / 3 pages, dup_bp 0 —
+    // nothing to block
+    (0 until 4).foreach { s =>
+      assert(hostCard(s"s$s.farm.co.uk") == ((s"s$s.farm.co.uk", 3L, 3L, 0L)))
+    }
+    val domCard = Dedup.urlRegisteredDomainCard(docs, "doc_id", "url")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // eTLD+1 level: the farm is ONE row with all the mass and 4 hosts
+    assert(domCard("farm.co.uk") == (("farm.co.uk", 4L, 12L, 12L, 0L)),
+      s"got ${domCard.get("farm.co.uk")}")
+    // the normal site: utm variant collapsed at the page level first
+    assert(domCard("site.com") == (("site.com", 1L, 2L, 1L, 5000L)))
+    assert(domCard.size == 2, s"got ${domCard.keySet}")
+  }
+
   test("composed admission ladder: one batch through admitBatchLadder " +
       "is verdict-identical to Dedup.ladder") {
     import spark.implicits._
