@@ -56,7 +56,7 @@ object Queries
     qDedupPassageRewrite, qDedupSubstrings, qDedupSubstrWinnow,
     qDedupSubstrCoverage,
     qDedupSubstrCoverageUtf8, qDedupSubstrExact, qDedupSubstrExactSa,
-    qDedupSubstrExactLcp, qDedupSubstrRewrite,
+    qDedupSubstrExactLcp, qDedupSubstrRewrite, qDedupSubstrRewriteWinnow,
     qDedupSubstrAttribution, qDedupLcpLongest, qDedupSpectrum, qDedupSimhash,
     qDedupSimhashIncremental,
     qAnnBrute, qEmbeddingNearDup, qEmbeddingNearDupSrp, qDedupSemantic,

@@ -1721,6 +1721,59 @@ object Dedup {
         length(col("clean_bin")).cast("long").as("clean_bytes"),
         md5(col("clean_bin")).as("clean_fp"))
 
+  /** [[exactSpanRewrite]] behind a WINNOWED candidate pass — the
+    * guaranteed-recall form of a SAMPLED-density rewrite. The
+    * every-offset pass above fingerprints one window per byte, which
+    * is exact but pays ~32 shuffle bytes per corpus byte; the cheap
+    * alternatives sample fingerprints, and sampling choices split two
+    * ways: CDC anchors miss spans by the probabilistic
+    * (1−1/mod)^(L−win+1) law at ANY length, while winnowing
+    * (Schleimer et al. 2003) detects EVERY duplicated span of
+    * ≥ minLen+k−1 bytes by theorem. This operator makes that guarantee
+    * carry through to the CUT, not just detection, in two passes:
+    *
+    *  1. WINNOW pass (density ~2/(k+1)) over the whole corpus flags
+    *     candidate docs — owners of any winnow-selected fingerprint
+    *     occurring ≥ 2 times (cross-doc or self-repeat, the same cut
+    *     rule as the exact pass);
+    *  2. EXACT pass: [[exactSpanRewrite]]'s every-offset machinery
+    *     over the candidate docs only; everything else passes through
+    *     uncut (and owes that to the theorem: an unflagged doc
+    *     provably shares no span of ≥ minLen+k−1 bytes with ANY doc).
+    *
+    * CONTRACT: byte-identical to [[exactSpanRewrite]] whenever every
+    * duplicated region in the corpus is ≥ minLen+k−1 bytes (the spec
+    * pins this on fixtures where the CDC anchor rule provably misses).
+    * Regions in [minLen, minLen+k−1) may escape the candidate pass —
+    * or lose an occurrence for the canonical pick when one of their
+    * docs is unflagged — so the recall floor is the EXPLICIT
+    * deterministic minLen+k−1, dialed by k, instead of the anchor
+    * law's "any length, with probability". At 100 TB the cost shape is
+    * the point: the sparse pass reads everything once at ~2/(k+1)
+    * density, and the expensive every-offset pass runs only over the
+    * duplication-bearing minority of documents.
+    *
+    * @return (id, n_bytes, n_spans_cut, cut_bytes, clean_bytes,
+    *         clean_fp) — the [[exactSpanRewrite]] schema
+    */
+  def exactSpanRewriteWinnowed(df: DataFrame, idCol: String,
+                               textCol: String, minLen: Int = 40,
+                               k: Int = 15): DataFrame = {
+    val winW = Materialize.multiScan(
+      winnowWins(df, idCol, textCol, minLen, k))
+    val dupFps = winW.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
+      .select(col("fp"))
+    val candIds = winW.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("id")).distinct()
+    val cands = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+    spanRewriteBinFrom(df, idCol, textCol, minLen,
+        anchorWins(cands, idCol, textCol, minLen, anchorMod = 1))
+      .select(col("id"), col("n_bytes"), col("n_spans_cut"), col("cut_bytes"),
+        length(col("clean_bin")).cast("long").as("clean_bytes"),
+        md5(col("clean_bin")).as("clean_fp"))
+  }
+
   /** [[exactSpanRewrite]] up to the stitched surviving BYTES — the
     * consumable rewrite (curation ladder v4 packs these) rather than
     * its fingerprint summary.
@@ -1728,9 +1781,22 @@ object Dedup {
     */
   private[graft] def exactSpanRewriteBin(df: DataFrame, idCol: String,
                                          textCol: String,
-                                         minLen: Int): DataFrame = {
-    val wins = Materialize.multiScan(
+                                         minLen: Int): DataFrame =
+    spanRewriteBinFrom(df, idCol, textCol, minLen,
       anchorWins(df, idCol, textCol, minLen, anchorMod = 1))
+
+  /** The rewrite machinery shared by [[exactSpanRewriteBin]] (every-
+    * offset windows over the whole corpus) and
+    * [[exactSpanRewriteWinnowed]] (every-offset windows over the
+    * winnow-flagged candidate docs only): canonical pick, island
+    * union, complement stitch. `winsIn` is the (id, p, fp) window
+    * relation to cut from; docs absent from it pass through uncut via
+    * the left joins.
+    */
+  private def spanRewriteBinFrom(df: DataFrame, idCol: String,
+                                 textCol: String, minLen: Int,
+                                 winsIn: DataFrame): DataFrame = {
+    val wins = Materialize.multiScan(winsIn)
     val canon = wins.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("id"), col("p"))).as("canon"))

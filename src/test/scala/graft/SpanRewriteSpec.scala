@@ -119,6 +119,65 @@ class SpanRewriteSpec extends AnyFunSuite {
     assert(r1.forall(r => r.getLong(4) == r.getLong(1) - r.getLong(3)))
   }
 
+  test("winnowed rewrite: byte-identical to the every-offset rewrite " +
+      "when every duplicated region >= minLen+k-1, at every alignment, " +
+      "on a fixture where the CDC anchor rule misses") {
+    val win = 40; val k = 15
+    // exactly win+k-1 bytes: the guarantee boundary itself
+    val span = "qwertyuiopasdfghjklzxcvbnmqwertyuiopasdfghjklzxcvbnmqw"
+    assert(span.length == win + k - 1)
+    // DISJOINT filler alphabets: the span is the corpus's ONLY
+    // duplicated region, so the byte-identity contract applies in full
+    def filler(alpha: String, seed: Int, n: Int) =
+      (1 to n).map(j => alpha.charAt((seed * 31 + j * 7) % 3)).mkString
+    var anchorHits = 0
+    for (off <- 0 until 8) {
+      val docs = Seq(
+        (1L, filler("mno", off, 60 + off) + span + filler("uvw", off + 1, 55)),
+        (2L, filler("xyz", off + 2, 90 - off) + span + filler("123", off + 3, 50)),
+        (3L, filler("789", off + 5, 120)))
+        .toDF("doc_id", "text")
+      val exact = Dedup.exactSpanRewrite(docs, "doc_id", "text", win)
+        .collect().map(_.toSeq).toSet
+      val winn = Dedup.exactSpanRewriteWinnowed(docs, "doc_id", "text",
+        win, k).collect().map(_.toSeq).toSet
+      assert(winn == exact, s"divergence at alignment $off")
+      // sanity: the cut is real (doc 2 loses the span's bytes)
+      assert(exact.exists(r => r(0) == 2L && r(3).asInstanceOf[Long] > 0L),
+        s"fixture must actually cut at alignment $off")
+      if (Dedup.substringDupSpans(docs, "doc_id", "text", win, 8)
+          .count() >= 1) anchorHits += 1
+    }
+    assert(anchorHits < 8,
+      "fixture must exhibit an anchor miss for the guarantee contrast")
+  }
+
+  test("winnowed rewrite: exact full copy still empties (whole-doc " +
+      "region >= the guarantee); sub-guarantee regions keep the " +
+      "byte-accounting invariant") {
+    // docA is ~100 bytes: the full-copy duplicated region is way past
+    // minLen+k-1, so the winnowed route must equal the exact one
+    val docs = Seq((1L, docA), (2L, docA)).toDF("doc_id", "text")
+    val exact = Dedup.exactSpanRewrite(docs, "doc_id", "text", 40)
+      .collect().map(_.toSeq).toSet
+    val winn = Dedup.exactSpanRewriteWinnowed(docs, "doc_id", "text", 40, 15)
+      .collect().map(_.toSeq).toSet
+    assert(winn == exact)
+    assert(winn.exists(r => r(0) == 2L && r(5) == md5hex("")),
+      "the copy must rewrite to the empty string")
+    // A/B share only 43 bytes — inside [minLen, minLen+k-1), where the
+    // candidate pass is NOT guaranteed to flag: whatever it decides,
+    // the output must stay well-formed (clean_bytes == n_bytes -
+    // cut_bytes, canonical semantics when it does cut)
+    val sub = Dedup.exactSpanRewriteWinnowed(
+      Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"),
+      "doc_id", "text", 40, 15).collect()
+    sub.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(3),
+        s"invariant broken: $r")
+    }
+  }
+
   test("suffix-array pass (prefix doubling) == window-hash pass (fuzz, both minLen parities, ckpt dir)") {
     import spark.implicits._
     val rnd = new scala.util.Random(47)
