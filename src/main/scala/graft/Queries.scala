@@ -68,7 +68,7 @@ object Queries
     qSessionStats, qRetention, qTransitions,
     qPercentiles, qSample, qSampleFast,
     qTfidf, qBm25, qHybridRetrieval, qVocab, qBpeLearn, qBpeEncode,
-    qBpeFertility, qUnigramLearn, qUnigramEncode, qTokenizerFertility,
+    qBpeFertility, qUnigramLearn, qUnigramEncode, qUnigramSample, qTokenizerFertility,
     qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
     qDsirSelect,

@@ -206,6 +206,53 @@ object Unigram {
     (vocab, rounds, done)
   }
 
+  /** SUBWORD-REGULARIZATION encode (Kudo 2018 §3.2 — the reason the
+    * unigram model exists): one draw per word occurrence from the
+    * word's `nBest` lowest-cost segmentations, P^α-weighted
+    * (alpha10k = α·10⁴) and seeded — bit-replayable because the k-best
+    * DP is integer, the weights are fixed-point, and the draw is a
+    * portable md5-prefix hash of (word, occurrence index, seed). See
+    * [[graft.functions.UnigramSampler]] for the exact contract;
+    * α → ∞ or nBest = 1 degenerates to [[encode]].
+    */
+  def sampleEncode(text: Column, vocab: Seq[(String, Long)],
+                   unkNat10k: Long = 200000L, nBest: Int = 3,
+                   alpha10k: Long = 5000L,
+                   seed: String = "graft"): Column =
+    graft.functions.VectorFunctions.unigramSample(
+      TextOps.normalized(text), vocab, unkNat10k, nBest, alpha10k, seed)
+
+  /** [[fertility]] under SAMPLED segmentation — the per-doc card that
+    * quantifies what regularization adds: sampled pieces per word vs
+    * the 1-best floor. One fixed draw (the seed) per run: a training
+    * export re-draws per epoch by changing the seed, and every epoch's
+    * draw is independently replayable.
+    *
+    * @return (id, n_words, n_pieces, n_pieces_sampled, fertility_bp,
+    *         fertility_sampled_bp)
+    */
+  def fertilitySampled(df: DataFrame, idCol: String, textCol: String,
+                       vocab: DataFrame, unkNat10k: Long = 200000L,
+                       nBest: Int = 3, alpha10k: Long = 5000L,
+                       seed: String = "graft"): DataFrame = {
+    val v = collectVocab(vocab)
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    Materialize.spread(df).select(col(idCol).as("id"),
+        size(TextOps.tokens(TextOps.normalized(col(textCol)))).cast("long")
+          .as("n_words"),
+        size(encode(col(textCol), v, unkNat10k)).cast("long").as("n_pieces"),
+        size(sampleEncode(col(textCol), v, unkNat10k, nBest, alpha10k, seed))
+          .cast("long").as("n_pieces_sampled"))
+      .select(col("id"), col("n_words"), col("n_pieces"),
+        col("n_pieces_sampled"),
+        when(col("n_words") > 0,
+          expr("(n_pieces * 10000) div n_words")).otherwise(0L)
+          .as("fertility_bp"),
+        when(col("n_words") > 0,
+          expr("(n_pieces_sampled * 10000) div n_words")).otherwise(0L)
+          .as("fertility_sampled_bp"))
+  }
+
   /** Per-document tokenizer-fertility card under a unigram vocabulary
     * — the [[Bpe]] fertility card's family sibling, so a corpus can
     * compare BPE vs unigram pieces-per-word on identical text:

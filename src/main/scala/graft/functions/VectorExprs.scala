@@ -891,6 +891,16 @@ object VectorFunctions {
       UnigramEncodeExpr(exprs(0),
         new UnigramTable(strPairsArg(exprs(1)),
           exprs(2).eval(null).asInstanceOf[Number].longValue()))),
+    // subword-regularization draw: same table literal + (nbest,
+    // alpha10k, seed) dials, folded into one sampler reference object
+    "unigram_sample" -> (exprs =>
+      UnigramSampleExpr(exprs(0), new UnigramSampler(
+        new UnigramTable(strPairsArg(exprs(1)),
+          exprs(2).eval(null).asInstanceOf[Number].longValue()),
+        intArg(exprs(3)),
+        exprs(4).eval(null).asInstanceOf[Number].longValue(),
+        exprs(5).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString))),
     "probe_centroids" -> (exprs =>
       ProbeCentroids(exprs(0), matArg(exprs(1)), longsArg(exprs(2)),
         intArg(exprs(3)))),
@@ -962,6 +972,17 @@ object VectorFunctions {
                     unkNat10k: Long): Column =
     call_function("unigram_encode", text,
       typedlit(vocab.map(p => Seq(p._1, p._2.toString))), lit(unkNat10k))
+
+  /** Column API for [[UnigramSampleExpr]]: one deterministic
+    * subword-regularization draw per word occurrence from the k-best
+    * list, P^α-weighted (alpha10k = α·10⁴), seeded.
+    */
+  def unigramSample(text: Column, vocab: Seq[(String, Long)],
+                    unkNat10k: Long, nBest: Int, alpha10k: Long,
+                    seed: String): Column =
+    call_function("unigram_sample", text,
+      typedlit(vocab.map(p => Seq(p._1, p._2.toString))), lit(unkNat10k),
+      lit(nBest), lit(alpha10k), lit(seed))
 
   /** Column API for [[Md5Prefix]]: first `nibbles` md5 hex chars as long. */
   def md5Prefix(c: Column, nibbles: Int): Column =

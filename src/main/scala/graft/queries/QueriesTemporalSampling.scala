@@ -834,6 +834,134 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
                   THEN a.n_pieces * 10000 // a.n_words ELSE 0 END AS fertility_bp
       FROM documents d LEFT JOIN agg a USING (doc_id)"""))
 
+  /** SUBWORD-REGULARIZATION sampling ([[graft.ext.Unigram.sampleEncode]],
+    * Kudo 2018 §3.2 — the n-best draw SentencePiece ships as
+    * `nbest_size > 1`): per word occurrence, one P^α-weighted draw from
+    * the word's 3-best segmentations, bit-replayable (integer k-best
+    * DP, fixed-point weights, md5-prefix draw). The oracle replays the
+    * ENTIRE path in DuckDB: the k-best DP as a recursive CTE carrying
+    * per-position rank lists (costs + (len, prevRank) backpointers,
+    * candidate order (cost, −len, rank)), the per-rank backtrack, the
+    * ⌊exp(−α·Δnat)·10⁶+0.5⌋ weights, and the
+    * hash("word:occ:seed") mod Σw draw — alongside the 1-best columns
+    * (the existing Viterbi CTEs), so the sampled-vs-1-best fertility
+    * gap is value-pinned per document.
+    */
+  val qUnigramSample = Q("q_unigram_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Unigram.fertilitySampled(docs, "doc_id", "text",
+          graft.ext.Unigram.seedVocab(docs, "text"),
+          nBest = 3, alpha10k = 5000L, seed = "r15")
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some(unigramSegCtes + """,
+      wp AS (SELECT w, len(pieces) AS np FROM segs),
+      agg AS (SELECT tk.doc_id, count(*) AS n_words,
+              CAST(sum(p.np) AS BIGINT) AS n_pieces
+              FROM wtok tk JOIN wp p USING (w) GROUP BY 1),
+      -- ===== k-best DP (k = 3): dpz[p+1] = rank costs at position p,
+      -- bpz[p+1] = (len, prevRank) per rank, candidate order
+      -- (cost asc, len desc [nl = -len], rank asc) =====
+      kseg AS (
+        SELECT w, L, 0 AS i,
+               [[CAST(0 AS BIGINT)]] AS dpz,
+               [CAST([] AS STRUCT(l BIGINT, r BIGINT)[])] AS bpz
+        FROM udw
+        UNION ALL
+        SELECT w, L, i + 1,
+               list_append(dpz, list_transform(top3,
+                 x -> struct_extract(x, 'c'))),
+               list_append(bpz, list_transform(top3,
+                 x -> struct_pack(l := -struct_extract(x, 'nl'),
+                                  r := struct_extract(x, 'r'))))
+        FROM (
+          SELECT w, L, i, dpz, bpz,
+                 list_sort(flatten([c1l, c2l, c3l, c4l]))[1:3] AS top3
+          FROM (
+            SELECT s.w, s.L, s.i, s.dpz, s.bpz,
+              list_transform(generate_series(1, len(s.dpz[s.i + 1])), r ->
+                struct_pack(c := s.dpz[s.i + 1][r]
+                              + coalesce(v1.nat10k, 200000),
+                            nl := CAST(-1 AS BIGINT), r := r)) AS c1l,
+              CASE WHEN s.i >= 1 AND v2.nat10k IS NOT NULL THEN
+                list_transform(generate_series(1, len(s.dpz[s.i])), r ->
+                  struct_pack(c := s.dpz[s.i][r] + v2.nat10k,
+                              nl := CAST(-2 AS BIGINT), r := r))
+                ELSE CAST([] AS STRUCT(c BIGINT, nl BIGINT, r BIGINT)[])
+              END AS c2l,
+              CASE WHEN s.i >= 2 AND v3.nat10k IS NOT NULL THEN
+                list_transform(generate_series(1, len(s.dpz[s.i - 1])), r ->
+                  struct_pack(c := s.dpz[s.i - 1][r] + v3.nat10k,
+                              nl := CAST(-3 AS BIGINT), r := r))
+                ELSE CAST([] AS STRUCT(c BIGINT, nl BIGINT, r BIGINT)[])
+              END AS c3l,
+              CASE WHEN s.i >= 3 AND v4.nat10k IS NOT NULL THEN
+                list_transform(generate_series(1, len(s.dpz[s.i - 2])), r ->
+                  struct_pack(c := s.dpz[s.i - 2][r] + v4.nat10k,
+                              nl := CAST(-4 AS BIGINT), r := r))
+                ELSE CAST([] AS STRUCT(c BIGINT, nl BIGINT, r BIGINT)[])
+              END AS c4l
+            FROM kseg s
+            LEFT JOIN vocab v1 ON v1.piece = substr(s.w, s.i + 1, 1)
+            LEFT JOIN vocab v2 ON s.i >= 1 AND v2.piece = substr(s.w, s.i, 2)
+            LEFT JOIN vocab v3 ON s.i >= 2 AND v3.piece = substr(s.w, s.i - 1, 3)
+            LEFT JOIN vocab v4 ON s.i >= 3 AND v4.piece = substr(s.w, s.i - 2, 4)
+            WHERE s.i < s.L
+          )
+        )
+      ),
+      ksegf AS (SELECT w, L, dpz[L + 1] AS kc, bpz FROM kseg WHERE i = L),
+      -- per-rank backtrack: piece count of the j-th best segmentation
+      kback AS (
+        SELECT w, j, CAST(L AS BIGINT) AS pos, CAST(j AS BIGINT) AS r,
+               bpz, 0 AS np
+        FROM ksegf, LATERAL (
+          SELECT unnest(generate_series(1, len(kc))) AS j)
+        UNION ALL
+        SELECT w, j,
+               pos - struct_extract(
+                 bpz[CAST(pos AS INT) + 1][CAST(r AS INT)], 'l'),
+               struct_extract(
+                 bpz[CAST(pos AS INT) + 1][CAST(r AS INT)], 'r'),
+               bpz, np + 1
+        FROM kback WHERE pos > 0
+      ),
+      knp AS (SELECT w, j, np FROM kback WHERE pos = 0),
+      -- P^alpha weights in fixed point (alpha10k = 5000) + the draw
+      kw AS (SELECT w,
+               list_transform(generate_series(1, len(kc)), j ->
+                 CAST(floor(exp(-(kc[j] - kc[1])::DOUBLE * 5000
+                   / 100000000) * 1000000 + 0.5) AS BIGINT)) AS wt
+             FROM ksegf),
+      wtoki AS (SELECT doc_id, i, ws[CAST(i AS INT)] AS w FROM (
+          SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+          WHERE t <> ''), LATERAL (
+          SELECT unnest(generate_series(1, len(ws))) AS i)),
+      chosen AS (SELECT doc_id, i, w,
+               1 + len(list_filter(generate_series(1, len(wt)), j ->
+                 list_aggregate(wt[1:CAST(j AS INT)], 'sum') <= t)) AS j
+             FROM (SELECT o.doc_id, o.i, o.w, k.wt,
+                     ('0x' || substr(md5(o.w || ':'
+                       || CAST(o.i - 1 AS STRING) || ':r15'), 1, 15))::BIGINT
+                       % list_aggregate(k.wt, 'sum') AS t
+                   FROM wtoki o JOIN kw k USING (w))),
+      sagg AS (SELECT c.doc_id,
+               CAST(sum(n.np) AS BIGINT) AS n_pieces_sampled
+             FROM chosen c JOIN knp n ON n.w = c.w AND n.j = c.j
+             GROUP BY 1)
+      SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+             coalesce(a.n_pieces, 0) AS n_pieces,
+             coalesce(sa.n_pieces_sampled, 0) AS n_pieces_sampled,
+             CASE WHEN coalesce(a.n_words, 0) > 0
+                  THEN a.n_pieces * 10000 // a.n_words ELSE 0
+             END AS fertility_bp,
+             CASE WHEN coalesce(a.n_words, 0) > 0
+                  THEN sa.n_pieces_sampled * 10000 // a.n_words ELSE 0
+             END AS fertility_sampled_bp
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      LEFT JOIN sagg sa USING (doc_id)"""))
+
   /** TOKENIZER-FAMILY fertility card — the comparison the two fertility
     * surfaces exist for, in one relation: per (lang, family), words vs
     * pieces under the LEARNED BPE table (8 merges, `q_bpe_fertility`'s
