@@ -158,13 +158,22 @@ object TextOps {
     * unanchored rewrite makes two genuinely different pages collide on
     * one key, and the URL rung drops by address alone.
     *
-    * IDN policy: hosts are compared AS-IS — no punycode/IDNA mapping
-    * (a corpus mixing `münchen.example` with `xn--mnchen-3ya.example`
-    * needs an explicit IDNA pass upstream; silently folding here would
-    * hide that decision). Pure builtin composition: codegen'd
-    * end-to-end, replayable in any engine with RE2-class regexes.
+    * IDN policy: hosts are compared AS-IS by default — no
+    * punycode/IDNA mapping (a corpus mixing `münchen.example` with
+    * `xn--mnchen-3ya.example` needs an explicit decision; silently
+    * folding would hide it). The `idnaFold = true` overload OPTS IN to
+    * an RFC 3490 ToASCII fold of the host (port and userinfo excluded,
+    * ASCII hosts untouched, malformed hosts kept as-is — see
+    * [[graft.functions.IdnaFold]]); it requires a session with the
+    * graft functions registered and is deliberately not the default,
+    * so every existing canonical key is byte-stable. Default form is a
+    * pure builtin composition: codegen'd end-to-end, replayable in any
+    * engine with RE2-class regexes.
     */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column): Column = canonicalUrl(url, idnaFold = false)
+
+  /** [[canonicalUrl]] with the opt-in IDNA host fold. */
+  def canonicalUrl(url: Column, idnaFold: Boolean): Column = {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -174,10 +183,16 @@ object TextOps {
     // first-'@' split is exact; no userinfo => empty string.
     val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
     val hostPort = regexp_replace(auth, "^[^@]*@", "")
-    val hostNoPort =
+    val hostNoPort0 =
       when(scheme === "http", regexp_replace(lower(hostPort), ":80$", ""))
         .when(scheme === "https", regexp_replace(lower(hostPort), ":443$", ""))
         .otherwise(lower(hostPort))
+    // opt-in IDNA: fold the HOST only — an explicit non-default port
+    // survives the fold untouched (':' is not valid ToASCII input)
+    val hostNoPort = if (!idnaFold) hostNoPort0 else concat(
+      graft.functions.VectorFunctions.idnaAscii(
+        regexp_replace(hostNoPort0, ":[0-9]+$", "")),
+      regexp_extract(hostNoPort0, "(:[0-9]+)$", 1))
     val path = regexp_extract(rest, "^[^?]*", 0)
     val query = rest.substr(length(path) + 1, length(rest)) // incl. '?'
     val track = "(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid)"

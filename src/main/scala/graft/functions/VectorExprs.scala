@@ -594,6 +594,45 @@ object TextNorm {
   }
 }
 
+object IdnaFold {
+  /** IDNA ToASCII per RFC 3490 via the JDK (`java.net.IDN`): an
+    * internationalized hostname folds to its punycode form
+    * (`münchen.example` → `xn--mnchen-3ya.example`); already-ASCII
+    * hosts — including punycode — pass through unchanged, so the fold
+    * is idempotent and mixed IDN/punycode crawls collide on one key.
+    * Malformed hosts (empty labels, overlong, illegal code points)
+    * return AS-IS instead of throwing: a crawl's garbage-host rows must
+    * not kill the canonicalization scan, and the unfolded value keeps
+    * the default as-is comparison semantics for exactly those rows.
+    */
+  def toAscii(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (str.isEmpty || str.forall(c => c < 0x80)) s
+    else try org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.net.IDN.toASCII(str))
+    catch { case _: IllegalArgumentException => s }
+  }
+}
+
+/** `idna_ascii(host)`: RFC 3490 ToASCII hostname fold (see [[IdnaFold]]).
+  * Opt-in — the canonical-URL default compares hosts as-is.
+  */
+case class IdnaAscii(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "idna_ascii"
+
+  override def nullSafeEval(a: Any): Any =
+    IdnaFold.toAscii(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.IdnaFold.toAscii($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): IdnaAscii =
+    copy(child = newChild)
+}
+
 /** `nfc_normalize(text)`: Unicode NFC as a codegen'd expression (matches
   * DuckDB's `nfc_normalize`, which is what keeps NFC-keyed dedup
   * oracle-checkable).
@@ -845,6 +884,7 @@ object VectorFunctions {
     "ngram_units" -> (exprs => NgramUnits(exprs(0),
       exprs(1).eval(null).asInstanceOf[ArrayData].toIntArray().toSeq)),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
+    "idna_ascii" -> (exprs => IdnaAscii(exprs(0))),
     "hilbert2d" -> (exprs =>
       Hilbert2D(exprs(0), exprs(1), intArg(exprs(2)))),
     "bin_lcp" -> (exprs => BinaryLcp(exprs(0), exprs(1))),
@@ -947,6 +987,9 @@ object VectorFunctions {
 
   /** Column API for [[NfcNormalize]]: Unicode NFC canonicalization. */
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  /** Column API for [[IdnaAscii]]: RFC 3490 hostname punycode fold. */
+  def idnaAscii(c: Column): Column = call_function("idna_ascii", c)
 
   /** Column API for [[Hilbert2D]]: order must be a literal. */
   def hilbert2d(x: Column, y: Column, order: Int): Column =

@@ -1691,6 +1691,33 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalUrl IDNA opt-in: mixed IDN/punycode crawls collapse " +
+      "under the flag; the default stays as-is; ports/ASCII untouched") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    def keys(flag: Boolean, urls: String*): Seq[String] =
+      urls.toDF("url")
+        .select(TextOps.canonicalUrl(col("url"), idnaFold = flag).as("k"))
+        .as[String].collect().toSeq
+    // the flag folds the IDN host onto its punycode twin
+    val folded = keys(true,
+      "http://münchen.example/x", "http://xn--mnchen-3ya.example/x")
+    assert(folded.distinct.size == 1, s"must collapse: $folded")
+    assert(folded.head == "xn--mnchen-3ya.example/x")
+    // default (as-is policy): the two crawls stay distinct keys
+    val asIs = keys(false,
+      "http://münchen.example/x", "http://xn--mnchen-3ya.example/x")
+    assert(asIs.distinct.size == 2, s"default must not fold: $asIs")
+    // explicit port excluded from the fold and preserved; ASCII hosts
+    // and the rest of the chain unchanged under the flag
+    assert(keys(true, "http://münchen.example:8080/x")
+      == Seq("xn--mnchen-3ya.example:8080/x"))
+    assert(keys(true, "HTTP://A.com:80/p/?id=1&utm_source=f")
+      == keys(false, "HTTP://A.com:80/p/?id=1&utm_source=f"))
+    // malformed host: kept as-is, scan must not throw
+    assert(keys(true, "http://bad..ühost../x").nonEmpty)
+  }
+
   test("urlGroups: six crawl variants of one page collapse to one key") {
     import spark.implicits._
     val docs = Seq(
