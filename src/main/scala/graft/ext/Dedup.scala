@@ -1161,7 +1161,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           driverLimit: Long = 500000L,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, driverLimit,
+      checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds the
+    * distributed path used (0 on the driver fast path) — the
+    * measurement behind the O(log n) claim: SkewBench's hostile shapes
+    * (the 500k chain, the 1000-branch broom) report it so the bound is
+    * a bench row, not just the cited theorem.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 25,
+                                    driverLimit: Long = 500000L,
+                                    checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     // eager in both modes: the loop needs the round materialized before
     // the convergence probe anyway
@@ -1220,7 +1232,7 @@ object Dedup {
       // entry here rather than leaking one per call into a long-running
       // caller (e.g. an ingest loop's per-batch clustering)
       edges.unpersist()
-      return rows.toDF("id", "cluster")
+      return (rows.toDF("id", "cluster"), 0)
     }
     // ---- scale path: large-star/small-star contraction --------------
     // Edge set invariant throughout: (src, dst) with src > dst, no
@@ -1290,7 +1302,7 @@ object Dedup {
     // the final labels are an (eagerly materialized) checkpoint —
     // independent of edges, which can therefore be released (see above)
     edges.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Passage-level exact dedup (the MassiveText/RefinedWeb paragraph-

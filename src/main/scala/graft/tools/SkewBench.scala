@@ -186,10 +186,31 @@ object SkewBench {
       // distributed path.
       "connectedComponents long chain" -> { s =>
         val n = baseDocs * s * 100
-        graft.ext.Dedup.connectedComponents(
+        val (labels, rounds) = graft.ext.Dedup.connectedComponentsWithRounds(
           spark.range(1, n).select(col("id").as("id_a"),
             (col("id") + 1).as("id_b")),
           driverLimit = 0L)
+        System.err.println(s"[cc chain ${s}x: $rounds contraction rounds]")
+        labels
+      },
+      // r15: the BROOM (star-of-chains) — the shape where large-star
+      // actually FANS: a hub with 1000 chain heads, each chain
+      // n/1000 long (~1.7M/5M edges at the default points). The chain
+      // row above exercises pure depth; this one makes every
+      // large-star round push a growing frontier of hub edges while
+      // small-star flattens the chains — both steps do real work every
+      // round, and the measured round count pins the ~log n claim on a
+      // fanning graph, not just the citation.
+      "connectedComponents broom 1000 chains" -> { s =>
+        val n = baseDocs * s * 333
+        val chainLen = n / 1000
+        val (labels, rounds) = graft.ext.Dedup.connectedComponentsWithRounds(
+          spark.range(1, n).select(col("id").as("id_a"),
+            when(pmod(col("id"), lit(chainLen)) === 1, lit(0L))
+              .otherwise(col("id") - 1).as("id_b")),
+          driverLimit = 0L)
+        System.err.println(s"[cc broom ${s}x: $rounds contraction rounds]")
+        labels
       },
       // r11: exact group percentiles under the low-cardinality-group
       // shape (3 groups over millions of mostly-distinct doubles). The
@@ -234,6 +255,7 @@ object SkewBench {
       val inRows =
         if (name.startsWith("survivors") ||
           name.startsWith("percentiles")) baseDocs * s * 400
+        else if (name.contains("broom")) baseDocs * s * 333
         else if (name.startsWith("connectedComponents")) baseDocs * s * 100
         else if (name.startsWith("semanticDedup")) 3000L * s
         else baseDocs * s
