@@ -44,6 +44,7 @@ object Queries
     qDedupLadder, qAdmissionLadder,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
+    qDedupJaccardSteady,
     qDedupContainmentIncremental, qDedupContainmentSteady,
     qDedupContainmentDrop, qDedupIncremental, qDedupMinhash,
     qDedupMinhashIncremental, qDedupMinhashOph, qDedupMinhashBbit,

@@ -660,6 +660,42 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       HAVING greatest(round(count(*)::DOUBLE / a.m, 4),
                       round(count(*)::DOUBLE / b.m, 4)) >= 0.5"""))
 
+  /** STEADY-STATE Jaccard: the same batch-vs-admitted near-dup check
+    * as `dedup_incremental`, scored by [[Dedup.jaccardProbe]] over the
+    * STORABLE shingle-postings relation — what the composed admission
+    * ladder's near rung probes per tick, never re-tokenizing corpus
+    * text. SAME oracle as `dedup_incremental`, so
+    * index-probe ≡ recompute-from-text hash-for-hash (the
+    * `dedup_containment_steady` convention for the resemblance
+    * family).
+    */
+  val qDedupJaccardSteady = Q("dedup_jaccard_steady",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardProbe(
+        Dedup.shinglePostings(
+          docs.filter(col("doc_id") % 11 === 0), "doc_id", "text", n = 3),
+        Dedup.shinglePostings(
+          docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", n = 3),
+        tau = 0.25)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset
+        FROM docs),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM sh)
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+             round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) AS jacc
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+        AND a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0
+      GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25"""))
+
   /** STEADY-STATE containment: the same batch-vs-admitted check as
     * `dedup_containment_incremental`, but scored by
     * [[Dedup.containmentProbe]] over the STORABLE shingle-postings
