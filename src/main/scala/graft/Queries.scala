@@ -72,6 +72,7 @@ object Queries
     qBpeFertility, qUnigramLearn, qUnigramEncode, qUnigramSample, qTokenizerFertility,
     qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
+    qScoreCard,
     qDsirSelect,
     qDsirResample, qPerplexityBuckets, qGopherRules, qC4Rules,
     qGopherRepetition,

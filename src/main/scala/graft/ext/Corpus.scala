@@ -887,6 +887,73 @@ object Corpus {
       .withColumn("mean_surprisal_x10k", expr("surprisal_x10k div n_trigrams"))
   }
 
+  /** SCORE-QUALITY CARD for any (score, binary label) relation — the
+    * measurement a classifier GATE needs before its threshold means
+    * anything: does the quality score actually rank good documents
+    * above bad ones, and where along the score axis does the positive
+    * rate move? Two published statistics, both ENGINE-EXACT:
+    *
+    *  - AUC via the Mann-Whitney rank-sum identity,
+    *    AUC = (ΣR⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), with the standard
+    *    average-rank tie convention computed EXACTLY in integers: per
+    *    distinct score, 2·avgRank = 2·cum − cnt + 1 (cum = running
+    *    count in score order), so 2ΣR⁺ is an integer sum and
+    *    auc_bp = (2ΣR⁺ − n⁺(n⁺+1))·10⁴ div (2n⁺n⁻). Products are
+    *    summed in DECIMAL(38) (the [[DataQuality.ksTest]] overflow
+    *    convention — long arithmetic overflows near ~10⁹ rows);
+    *    degenerate label sets (no positives or no negatives) report
+    *    NULL, not a fake 0.5.
+    *  - equal-mass LIFT BINS: nBins quantile bins over
+    *    (score, id) — [[Prefix.stratifiedNtile]]'s closed form, no
+    *    single-partition ntile sort — each with volume, positives,
+    *    positive rate in bp, and the score range. This is the
+    *    reliability read for an UNCALIBRATED score (raw logits have no
+    *    probability scale, so equal-mass bins over the score order are
+    *    the honest axis; a monotone pos_bp profile is what "the
+    *    threshold is meaningful" looks like).
+    *
+    * Shape: one groupBy(score) collapse (distinct-score cardinality),
+    * one range-partitioned running count over it, one broadcast-sized
+    * AUC row cross-joined onto the bin table; the bin pass is the
+    * distributed rank. Nothing buffers values.
+    *
+    * @param labelCol boolean (or 0/1-castable) column
+    * @return one row per bin: (bin, n, n_pos, pos_bp, score_min,
+    *         score_max, auc_bp) — auc_bp repeated on every row
+    */
+  def scoreCard(df: DataFrame, scoreCol: String, labelCol: String,
+                idCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val base = Materialize.multiScan(df.select(col(idCol).as("id"),
+      col(scoreCol).cast("long").as("s"),
+      col(labelCol).cast("boolean").cast("int").cast("long").as("y")))
+    val perScore = base.groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("np"))
+    val cum = Prefix.globalRunningSum(perScore, Seq(col("s")),
+      col("cnt"), "cum")
+    val auc = cum.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("cnt") - col("np")).as("n_neg"),
+        sum((col("np") * (col("cum") * 2 - col("cnt") + 1))
+          .cast("decimal(38,0)")).as("two_rpos"))
+      .select(when(col("n_pos") > 0 && col("n_neg") > 0,
+        expr("""CAST(((two_rpos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                * 10000) div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)
+                AS BIGINT)"""))
+        .as("auc_bp"))
+    // one global stratum (stratifiedNtile requires a non-empty key):
+    // a constant column keeps the closed-form ntile fully distributed
+    val binned = Prefix.stratifiedNtile(base.withColumn("__all", lit(1)),
+      Seq(col("__all")), Seq(col("s"), col("id")), nBins, "bin")
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        min(col("s")).as("score_min"), max(col("s")).as("score_max"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 10000) div n").as("pos_bp"),
+        col("score_min"), col("score_max"))
+      .crossJoin(broadcast(auc))
+  }
+
   /** fastText-style linear quality classifier (Joulin et al. 2016 "Bag
     * of Tricks for Efficient Text Classification" — the standard
     * quality-filter scorer of web-scale curation pipelines, cf. GPT-3 /

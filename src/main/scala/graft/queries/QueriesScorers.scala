@@ -208,6 +208,72 @@ private[graft] trait QueriesScorers { this: Queries.type =>
         logit * 1000 >= 0 * n_features AS keep
       FROM scored"""))
 
+  /** Score-quality card ([[Corpus.scoreCard]]): exact tie-aware AUC
+    * (Mann-Whitney rank-sum, integer 2·avgRank form) + equal-mass lift
+    * bins for the quality-classifier logit against the lang = 'en'
+    * label — the "is this gate's threshold meaningful" measurement.
+    * The oracle replays the scorer (the q_quality_score CTEs), the
+    * per-distinct-score cumulative ranks, the AUC division in HUGEINT,
+    * and the bins via DuckDB's NATIVE ntile over the same
+    * (score, id) order — independently cross-checking
+    * [[graft.ext.Prefix.stratifiedNtile]]'s closed form (the q_kfold
+    * convention).
+    */
+  val qScoreCard = Q("q_score_card",
+    (s, dir) => {
+      val w = s.range(1024).select(col("id").as("bucket"),
+        (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+          lit(21L)) - 10).as("w"))
+      val docs = t(s, dir, "documents")
+      val scored = Corpus.qualityScore(docs, "doc_id", "text", w,
+        nBuckets = 1024, thrMilli = 0L)
+      Corpus.scoreCard(
+        scored.join(docs.select(col("doc_id").as("id"),
+          (col("lang") === "en").as("is_en")), Seq("id")),
+        "logit", "is_en", "id", nBins = 10)
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      w AS (SELECT i AS bucket,
+          ('0x'||substr(md5(i::VARCHAR),1,15))::BIGINT % 21 - 10 AS w
+        FROM range(0, 1024) t(i)),
+      feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM d WHERE NOT toks = ['']
+        UNION ALL
+        SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      fb AS (SELECT doc_id,
+          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM feats),
+      scored AS (
+        SELECT fb.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS logit
+        FROM fb LEFT JOIN w USING (bucket) GROUP BY fb.doc_id),
+      lab AS (SELECT s.doc_id AS id, s.logit, (dd.lang = 'en') AS y
+              FROM scored s JOIN documents dd USING (doc_id)),
+      binned AS (SELECT id, logit, y,
+          CAST(ntile(10) OVER (ORDER BY logit, id) AS INTEGER) AS bin
+        FROM lab),
+      per AS (SELECT logit AS sv, count(*) AS cnt,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+             FROM lab GROUP BY 1),
+      cums AS (SELECT sv, cnt, np, sum(cnt) OVER (ORDER BY sv) AS cum
+              FROM per),
+      auc AS (SELECT CAST(CASE
+               WHEN sum(np) > 0 AND sum(cnt - np) > 0 THEN
+                 (sum(np * (2 * cum - cnt + 1)) - sum(np) * (sum(np) + 1))
+                   * 10000 // (2 * sum(np) * sum(cnt - np))
+             END AS BIGINT) AS auc_bp FROM cums)
+      SELECT b.bin, count(*) AS n,
+        CAST(sum(CASE WHEN b.y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(sum(CASE WHEN b.y THEN 1 ELSE 0 END) * 10000 // count(*)
+          AS BIGINT) AS pos_bp,
+        min(b.logit) AS score_min, max(b.logit) AS score_max, a.auc_bp
+      FROM binned b CROSS JOIN auc a
+      GROUP BY b.bin, a.auc_bp"""))
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
     * source's documents by self-trained LM surprisal and cut into
     * head/middle/tail terciles — the standard "keep head+middle, drop

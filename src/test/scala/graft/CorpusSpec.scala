@@ -1275,6 +1275,38 @@ class CorpusSpec extends AnyFunSuite {
       !clean.getAs[Boolean]("drop"), s"clean page must pass: $clean")
   }
 
+  test("scoreCard: tie-aware AUC matches the pair-counting definition; " +
+      "equal-mass bins and rates hand-computed; degenerate labels NULL") {
+    import spark.implicits._
+    // ties at 10 (one pos one neg) and at 20 (one pos two neg):
+    // brute-force pair AUC = 0.78125 -> 7812 bp under integer div
+    val docs = Seq(
+      (1L, 10L, false), (2L, 10L, true), (3L, 20L, false), (4L, 30L, true),
+      (5L, 5L, false), (6L, 40L, true), (7L, 20L, false), (8L, 20L, true))
+      .toDF("id", "s", "y")
+    val card = Corpus.scoreCard(docs, "s", "y", "id", nBins = 4)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(card.size == 4)
+    assert(card.values.forall(_._7 == 7812L), s"auc: ${card.values.map(_._7)}")
+    // bins over (s, id) order: (5,1),(10,1)|(10,2),(20,3)|(20,7),(20,8)|(30,4),(40,6)
+    assert(card(1) == ((1, 2L, 0L, 0L, 5L, 10L, 7812L)))
+    assert(card(2) == ((2, 2L, 1L, 5000L, 10L, 20L, 7812L)))
+    assert(card(3) == ((3, 2L, 1L, 5000L, 20L, 20L, 7812L)))
+    assert(card(4) == ((4, 2L, 2L, 10000L, 30L, 40L, 7812L)))
+    // perfect and inverted rankings hit the bounds exactly
+    val perfect = Seq((1L, 1L, false), (2L, 2L, true)).toDF("id", "s", "y")
+    assert(Corpus.scoreCard(perfect, "s", "y", "id", 1)
+      .select("auc_bp").as[Long].head == 10000L)
+    val inverted = Seq((1L, 2L, false), (2L, 1L, true)).toDF("id", "s", "y")
+    assert(Corpus.scoreCard(inverted, "s", "y", "id", 1)
+      .select("auc_bp").as[Long].head == 0L)
+    // degenerate: one class only -> NULL, not a fake 0.5
+    val onlyPos = Seq((1L, 1L, true), (2L, 2L, true)).toDF("id", "s", "y")
+    assert(Corpus.scoreCard(onlyPos, "s", "y", "id", 1)
+      .select("auc_bp").as[Option[Long]].head.isEmpty)
+  }
+
   test("langIdModel: beats the stopword/script heuristic on short " +
       "Latin-script docs the heuristic can only call 'und'") {
     val train = langSeeds.toDF("doc_id", "lang", "text")
