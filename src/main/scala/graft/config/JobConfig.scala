@@ -107,7 +107,22 @@ final case class AdmissionConf(
     lang_model_path: Option[String] = None,
     allowed_langs: List[String] = List("en"),
     lang_n: Int = 3,
-    lang_n_buckets: Int = 4096)
+    lang_n_buckets: Int = 4096,
+    /** GATE 0 — optional URL rung, the CHEAPEST admission signal (no
+      * text is read: drop by address alone, before any scorer runs):
+      * rows whose [[graft.ext.TextOps.canonicalUrl]] key is already in
+      * the persisted key index rooted here are turned away (first crawl
+      * per address wins across batches); url-rung survivors' keys land
+      * under `<dir>/batch=<id>` (Overwrite — replay-idempotent, replays
+      * probe only PRIOR batches' partitions). `url_expr` = SQL
+      * expression producing the page address; rows where it evaluates
+      * NULL pass the rung (non-page tables sharing the stream). Both
+      * keys must be set for the gate to run. IN-BATCH url variants are
+      * deliberately NOT collapsed here (the compacted batch is unique
+      * per (db, tb, pk); cross-document collapse is the dedup loop's
+      * job — [[graft.ext.IncrementalDedup.admitBatchLadder]]). */
+    url_expr: Option[String] = None,
+    url_index_dir: Option[String] = None)
 
 final case class JobConfig(
     redshift_conf: RedshiftConf,

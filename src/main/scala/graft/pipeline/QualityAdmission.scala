@@ -92,9 +92,34 @@ object QualityAdmission {
     val bypass = withText.filter(bypassCond).drop("__adm_text")
     // the compacted key (db_name, tb_name, pk) is unique per batch row
     // (compaction guarantees it) — fold it into the gate's doc id
-    val docs = withText.filter(!bypassCond)
+    val docs0 = withText.filter(!bypassCond)
       .withColumn("__adm_id",
         concat_ws("", col("db_name"), col("tb_name"), col("pk")))
+    // GATE 0 (optional): the URL rung — the cheapest signal, BEFORE any
+    // text is read. An address already in the persisted key index is a
+    // re-crawl and is turned away whole; NULL addresses pass the rung
+    // (non-page tables sharing the stream). Survivors' keys land in a
+    // per-batch Overwrite partition and a replay probes only PRIOR
+    // batches' partitions — the containment gate's replay discipline.
+    val docs = (cfg.url_expr, cfg.url_index_dir) match {
+      case (Some(uexpr), Some(dir)) =>
+        val spark = compacted.sparkSession
+        val keyed = Materialize.multiScan(docs0.withColumn("__adm_url_key",
+          graft.ext.TextOps.canonicalUrl(expr(uexpr))))
+        val survivors = priorUrlKeys(spark, dir, batchId) match {
+          case Some(ix) => keyed.filter(col("__adm_url_key").isNull)
+            .unionByName(keyed.filter(col("__adm_url_key").isNotNull)
+              .join(ix, col("__adm_url_key") === ix("url_key"), "left_anti"))
+          case None => keyed
+        }
+        val out = Materialize.multiScan(survivors.drop("__adm_url_key"))
+        survivors.filter(col("__adm_url_key").isNotNull)
+          .select(col("__adm_url_key").as("url_key"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+        keyed.unpersist()
+        out
+      case _ => docs0
+    }
     val g = IncrementalQuality.gate(docs, "__adm_id", "__adm_text",
       weights, cfg.n_buckets, cfg.thr_milli,
       lambda, cfg.dsir_thr_x10k, cfg.min_words,
@@ -170,8 +195,9 @@ object QualityAdmission {
     val out = Materialize.multiScan(admittedDocs.unionByName(bypass))
     out.count() // materialize while the gate's caches are live
     // audit trail of turned-away rows, replay-idempotent per-batch dir
+    // (docs0, not docs: rows the URL rung turned away belong in it too)
     cfg.rejected_dir.foreach { dir =>
-      docs.join(admittedScored.select(col("__adm_id")), Seq("__adm_id"),
+      docs0.join(admittedScored.select(col("__adm_id")), Seq("__adm_id"),
           "left_anti")
         .drop("__adm_text", "__adm_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
@@ -179,6 +205,7 @@ object QualityAdmission {
     if (admittedScored ne langFiltered) admittedScored.unpersist()
     if (langFiltered ne g.admitted) langFiltered.unpersist()
     g.release()
+    if (docs ne docs0) docs.unpersist()
     out
   }
 
@@ -275,6 +302,21 @@ object QualityAdmission {
       val prior = if (ix.columns.contains("batch"))
         ix.filter(col("batch") =!= batchId) else ix
       Some(prior.select(col("id"), col("m"), col("sh64")))
+    }
+  }
+
+  /** The URL-key index visible to batch `batchId` — [[priorPostings]]'
+    * contract for the url gate: prior batches' key partitions only (a
+    * replay must not be turned away by its own half-written keys);
+    * None before the first committed partition. */
+  private def priorUrlKeys(spark: SparkSession, dir: String,
+                           batchId: Long): Option[DataFrame] = {
+    if (!Layout.hasParquetData(spark, dir)) None
+    else {
+      val ix = spark.read.parquet(dir)
+      val prior = if (ix.columns.contains("batch"))
+        ix.filter(col("batch") =!= batchId) else ix
+      Some(prior.select(col("url_key")))
     }
   }
 }

@@ -42,7 +42,9 @@ class ConfigSpec extends AnyFunSuite {
           "min_words": 20, "repetition": true,
           "lm_path": "s3://frozen/lm", "max_mean_surprisal_x10k": 120000,
           "rejected_dir": "s3://audit/rejected",
-          "c4_rules": true, "c4_bad_words": ["spamword", "junkword"]
+          "c4_rules": true, "c4_bad_words": ["spamword", "junkword"],
+          "url_expr": "get_json_object(payload, '$.url')",
+          "url_index_dir": "s3://frozen/urlkeys"
         }""")
     val a = JobConfig.fromJson(withAdm).admission_conf.get
     assert(a.text_expr.contains("$.text"))
@@ -54,6 +56,9 @@ class ConfigSpec extends AnyFunSuite {
     assert(a.max_mean_surprisal_x10k.contains(120000L))
     assert(a.rejected_dir.contains("s3://audit/rejected"))
     assert(a.c4_rules && a.c4_bad_words.contains(List("spamword", "junkword")))
+    assert(a.url_expr.contains("get_json_object(payload, '$.url')"))
+    assert(a.url_index_dir.contains("s3://frozen/urlkeys"))
+    assert(a.containment_index_dir.isEmpty, "unconfigured gate stays off")
   }
 
   test("kafka reader options mirror the reference set, maxOffsetsPerTrigger wired") {

@@ -433,6 +433,90 @@ class PipelineSpec extends AnyFunSuite {
       == Set(-1L, 2L), "folded partition + the new batch's own")
   }
 
+  test("url admission gate (gate 0): re-crawled address turned away " +
+      "before any text gate, NULL urls pass the rung, replay probes " +
+      "prior batches only") {
+    import spark.implicits._
+    def docEvent(id: Int, ts: Long, text: String,
+                 url: Option[String]): String = {
+      val urlField = url.map(u => s""", \\"url\\": \\"$u\\"""").getOrElse("")
+      val row = s"""{\\"id\\": $id, \\"text\\": \\"$text\\"$urlField}"""
+      s"""{"before":null,"after":"$row",
+         |"source":{"ts_ms":$ts,"db":"shop","table":"pages"},
+         |"op":"c","ts_ms":$ts}""".stripMargin.replace("\n", "")
+    }
+    // every text clears the doc-local gates, so a turn-away is
+    // attributable to the URL rung alone
+    val textA = "the storm rolled over that quiet harbor and every boat strained"
+    val textB = "a hungry wolf and the brown bear wandered near that frozen river"
+    val textC = "every tired fox slept near the old stone wall with that grey cat"
+    val textD = "old sailors watched from the long pier and that dark cloud tonight"
+    val src = Files.createTempDirectory("graft_url_src").toString
+    val ckpt = Files.createTempDirectory("graft_url_ckpt").toString
+    val rejectDir = Files.createTempDirectory("graft_url_rej").toString
+    val ixDir = Files.createTempDirectory("graft_url_ix").toString + "/urlkeys"
+    val weightsDir = Files.createTempDirectory("graft_url_w").toString + "/weights"
+    Seq((0L, 0L)).toDF("bucket", "w").write.parquet(weightsDir)
+    val cfg = graft.config.AdmissionConf(
+      text_expr = "get_json_object(payload, '$.text')",
+      weights_path = weightsDir,
+      min_words = 5,
+      url_expr = Some("get_json_object(payload, '$.url')"),
+      url_index_dir = Some(ixDir),
+      rejected_dir = Some(rejectDir))
+    val url = "jdbc:derby:memory:urlpipe;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new graft.sink.JdbcMergeSink(url, props, graft.sink.AnsiDialect)
+    def newPipeline() = new CdcPipeline(PgCdc, sink, tiebreaker = None,
+      pipelineId = Some("urlgate"),
+      admission = Some(graft.pipeline.QualityAdmission.fromConfig(
+        spark, cfg, PgCdc.deleteMarker)))
+
+    // batch 0: page P admitted; its canonical key lands in batch=0
+    Files.writeString(java.nio.file.Paths.get(s"$src/b1.json"),
+      docEvent(1, 100L, textA, Some("http://a.com/p1")))
+    val q1 = newPipeline().start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.jdbc(url, "shop_pages", props)
+      .select("pk").as[String].collect().toSet == Set("1"))
+    assert(spark.read.parquet(s"$ixDir/batch=0")
+      .select("url_key").as[String].collect().toSeq == Seq("a.com/p1"))
+
+    // batch 1: a DECORATED re-crawl of P (different text — no content
+    // gate could turn it away) drops at the rung; a new page and a
+    // NULL-url row are admitted
+    Files.writeString(java.nio.file.Paths.get(s"$src/b2.json"),
+      Seq(docEvent(2, 200L, textB,
+          Some("HTTPS://A.COM/p1/?utm_source=feed")),
+        docEvent(3, 201L, textC, Some("http://a.com/p2")),
+        docEvent(4, 202L, textD, None)).mkString("\n"))
+    val q2 = newPipeline().start(CdcPipeline.fileSource(spark, src), ckpt, "1 seconds")
+    q2.processAllAvailable(); q2.stop()
+    val pks = spark.read.jdbc(url, "shop_pages", props)
+      .select("pk").as[String].collect().toSet
+    assert(pks == Set("1", "3", "4"), s"re-crawl must be turned away: $pks")
+    assert(spark.read.parquet(s"$rejectDir/batch=1")
+      .select("pk").as[String].collect().toSet == Set("2"),
+      "url turn-away lands in the same audit trail as the gates'")
+    // batch 1's key partition: the new page only (the NULL-url row has
+    // no key; the turned-away re-crawl writes none)
+    assert(spark.read.parquet(s"$ixDir/batch=1")
+      .select("url_key").as[String].collect().toSeq == Seq("a.com/p2"))
+
+    // replay discipline: re-admitting batch 1 with its OWN batch=1 keys
+    // already on disk must not turn the new page away
+    val compacted = Seq(("shop", "pages", "3", "c",
+        s"""{"id": 3, "text": "$textC", "url": "http://a.com/p2"}"""))
+      .toDF("db_name", "tb_name", "pk", "op", "payload")
+    val weights = spark.read.parquet(weightsDir)
+    val replayed = graft.pipeline.QualityAdmission.admit(compacted, 1L,
+      cfg, PgCdc.deleteMarker, weights, None, None)
+    assert(replayed.select("pk").as[String].collect().toSet == Set("3"),
+      "replay must probe PRIOR batches only, never its own failed write")
+    replayed.unpersist()
+  }
+
   test("containment gate: a footer-less prior postings partition reads as 'no index yet', not a poisoned stream") {
     import spark.implicits._
     // the all-rejected-first-batch shape: batch 0 committed only a
