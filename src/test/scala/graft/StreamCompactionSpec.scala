@@ -84,6 +84,50 @@ class StreamCompactionSpec extends AnyFunSuite {
       11L -> "site.com/p/3"), s"got $rows")
   }
 
+  test("composed admission ladder runs as a foreachBatch body: per-tick " +
+      "verdicts land durably, indexes carry across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lad_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_lad_ckpt").toString
+    val in = MemoryStream[(Long, String, String)]
+    def start() = in.toDS().toDF("doc_id", "text", "url")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ext.IncrementalDedup.admitBatchLadder(
+          b, "doc_id", "text", Some("url"), root, n = 3, tau = 0.5,
+          batchId = id)
+        ()
+      }.start()
+    val q1 = start()
+    in.addData((1L, "alpha beta gamma delta", "http://a.com/p1"),
+      (2L, "totally different text here", "HTTP://A.COM/p1"))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint: the NEXT tick gets a fresh batch id
+    // and probes tick 0's persisted indexes
+    val q2 = start()
+    in.addData(
+      (11L, "alpha beta gamma delta", "http://b.com/x"), // exact of ADMITTED 1
+      (12L, "fresh words nobody wrote before now", "http://a.com/p1?utm_source=x"), // re-crawl
+      (13L, "one two three four five six seven eight", "http://c.com/1"))
+    q2.processAllAvailable(); q2.stop()
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .select("id", "dropped_at")
+      .as[(Long, Option[String])].collect().toMap
+    assert(verdicts == Map(1L -> None, 2L -> Some("url"),
+      11L -> Some("exact"), 12L -> Some("url"), 13L -> None),
+      s"got $verdicts")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 13L), s"corpus $corpus")
+    // the two ticks are distinct partitions (batch ids from the stream)
+    assert(spark.read.parquet(s"$root/verdicts").select("batch")
+      .distinct().as[Int].collect().toSet == Set(0, 1))
+  }
+
   test("bloom contamination guard composes as a stateless streaming filter") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
