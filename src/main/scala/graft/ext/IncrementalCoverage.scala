@@ -47,7 +47,8 @@ import org.apache.spark.sql.functions._
   * the window length (or whose text carries no anchor — probability
   * (1-1/anchorMod)^(len-win+1)) is caught by its document fingerprint,
   * which doubles as an exact-duplicate gate across batches. Bin-pack
-  * the CORPUS directory with [[IncrementalDedup.maintain]]; the span
+  * the CORPUS directory (flat Append layout) with
+  * [[Layout.compactParquetDir]]; the span
   * index instead uses [[maintainIndex]], which preserves the bucket
   * layout (a plain round-robin bin-pack would scramble the
   * bucket-id-bearing file names the layout depends on).
@@ -123,8 +124,8 @@ object IncrementalCoverage {
     * same Murmur3 partitioning the bucket spec uses) via a shadow
     * table, then swaps directories. [[Layout.compactParquetDir]] must
     * NOT be used on the index — its round-robin rewrite scrambles the
-    * bucket-id file naming. Same serialization contract as
-    * [[IncrementalDedup.maintain]]: run inside the tick window.
+    * bucket-id file naming. Same serialization contract as every
+    * admission-layout maintenance pass: run inside the tick window.
     */
   def maintainIndex(spark: SparkSession, spanIndexDir: String,
                     indexBuckets: Int = 32): Unit = {

@@ -29,13 +29,24 @@ import org.apache.spark.sql.functions._
 object IncrementalDedup {
 
   /** One admission tick. Returns (admitted, droppedInBatch,
-    * droppedVsIndex) row counts; appends survivors to `corpusDir` and
-    * their signatures to `indexDir` (both created on first use).
-    * Caller serializes ticks (foreachBatch already does).
+    * droppedVsIndex) row counts; survivors land under
+    * `corpusDir/batch=<batchId>` and their signatures under
+    * `indexDir/batch=<batchId>` — per-batch Overwrite partitions (the
+    * [[admitBatchUrl]] recovery contract: two non-atomic Appends leave
+    * a crashed tick half-applied — corpus rows whose signatures never
+    * reached the index — so a replay re-appends duplicates, while
+    * index-FIRST Appends would instead LOSE the corpus rows to
+    * self-similarity on replay). The cross-batch probe excludes the
+    * tick's own partition, so a replay under the SAME id recomputes
+    * identical verdicts and overwrites in place; a batch redelivered
+    * under a NEW id (cross-restart at-least-once) is turned away by
+    * its own indexed signatures at distance 0 — both redelivery shapes
+    * converge on a duplicate-free corpus. Caller serializes ticks
+    * (foreachBatch already does) and passes its monotone batch id.
     */
   def admitBatch(batch: DataFrame, idCol: String, textCol: String,
                  corpusDir: String, indexDir: String,
-                 maxDist: Int): (Long, Long, Long) = {
+                 maxDist: Int, batchId: Long): (Long, Long, Long) = {
     val spark = batch.sparkSession
     val n = batch.count()
     // signatures are used by up to three joins below: compute once
@@ -48,9 +59,11 @@ object IncrementalDedup {
     val inBatchDrops = Dedup.connectedComponents(inBatchPairs)
       .filter(col("id") =!= col("cluster")) // non-minimum group members
       .select(col("id"))
-    // 2. cross-batch: drop anything near an indexed signature
+    // 2. cross-batch: drop anything near an indexed signature (other
+    // batches' partitions only — the replay contract above)
     val vsIndexDrops = indexIfExists(spark, indexDir) match {
-      case Some(index) => Dedup.simhashAgainst(sigs, index, maxDist)
+      case Some(index) => Dedup.simhashAgainst(sigs,
+          index.filter(col("batch") =!= batchId), maxDist)
         .select(col("batch_id").as("id")).distinct()
       case None => inBatchDrops.limit(0)
     }
@@ -59,12 +72,14 @@ object IncrementalDedup {
     val admitted = Materialize.multiScan(
       batch.join(dropIds, batch(idCol) === dropIds("id"), "left_anti"))
     val nAdmitted = admitted.count()
-    if (nAdmitted > 0) {
-      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
-      sigs.join(dropIds, sigs("id") === dropIds("id"), "left_anti")
-        .select(sigs("id"), col("sig"))
-        .write.mode(SaveMode.Append).parquet(indexDir)
-    }
+    // index partition first, then corpus (either order is safe under
+    // Overwrite + own-partition exclusion; index-first keeps the
+    // worst interleaving conservative: turn-away before append)
+    sigs.join(dropIds, sigs("id") === dropIds("id"), "left_anti")
+      .select(sigs("id"), col("sig"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$batchId")
+    admitted.write.mode(SaveMode.Overwrite)
+      .parquet(s"$corpusDir/batch=$batchId")
     val nInBatch = inBatchDrops.count()
     Seq(sigs, dropIds, admitted).foreach(_.unpersist())
     (nAdmitted, nInBatch, n - nAdmitted - nInBatch)
@@ -112,13 +127,20 @@ object IncrementalDedup {
     * defense, see SCALE.md.
     *
     * @return (admitted, droppedInBatch, droppedVsIndex) row counts;
-    *         survivors appended to `corpusDir`, their postings to
-    *         `postingsDir` (both created on first use). Caller
-    *         serializes ticks (foreachBatch already does).
+    *         survivors land under `corpusDir/batch=<batchId>`, their
+    *         postings under `postingsDir/batch=<batchId>` — per-batch
+    *         Overwrite partitions with the own-partition-excluded
+    *         probe (the [[admitBatchUrl]] recovery contract; see
+    *         [[admitBatch]]'s scaladoc for why neither Append order is
+    *         safe). A same-id replay overwrites in place; a NEW-id
+    *         redelivery is turned away by its own indexed postings at
+    *         containment 1.0. Caller serializes ticks (foreachBatch
+    *         already does) and passes its monotone batch id.
     */
   def admitBatchContainment(batch: DataFrame, idCol: String,
                             textCol: String, corpusDir: String,
                             postingsDir: String, n: Int, tau: Double,
+                            batchId: Long,
                             maxDocFreq: Int = Int.MaxValue): (Long, Long, Long) = {
     val spark = batch.sparkSession
     val nRows = batch.count()
@@ -130,7 +152,10 @@ object IncrementalDedup {
     // docs from serving as in-batch HOSTS (used twice below).
     val vsIndexDrops = Materialize.multiScan(
       indexIfExists(spark, postingsDir) match {
-        case Some(index) => Dedup.containmentProbe(posts, index, tau, maxDocFreq)
+        case Some(index) => Dedup.containmentProbe(posts,
+            index.filter(col("batch") =!= batchId)
+              .select(col("id"), col("m"), col("sh64")),
+            tau, maxDocFreq)
           .filter(col("cont_batch") >= tau)
           .select(col("batch_id").as("id")).distinct()
         case None => posts.select(col("id")).limit(0)
@@ -156,12 +181,11 @@ object IncrementalDedup {
     val admitted = Materialize.multiScan(
       batch.join(dropIds, batch(idCol) === dropIds("id"), "left_anti"))
     val nAdmitted = admitted.count()
-    if (nAdmitted > 0) {
-      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
-      posts.join(dropIds, posts("id") === dropIds("id"), "left_anti")
-        .select(posts("id"), col("m"), col("sh64"))
-        .write.mode(SaveMode.Append).parquet(postingsDir)
-    }
+    posts.join(dropIds, posts("id") === dropIds("id"), "left_anti")
+      .select(posts("id"), col("m"), col("sh64"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$postingsDir/batch=$batchId")
+    admitted.write.mode(SaveMode.Overwrite)
+      .parquet(s"$corpusDir/batch=$batchId")
     val nInBatch = inBatchDrops.count()
     Seq(posts, vsIndexDrops, dropIds, admitted).foreach(_.unpersist())
     (nAdmitted, nInBatch, nRows - nAdmitted - nInBatch)
@@ -426,28 +450,24 @@ object IncrementalDedup {
       Some(spark.read.parquet(indexDir))
     else None
 
-  /** Periodic index maintenance: bin-pack the corpus and signature
-    * directories ([[Layout.compactParquetDir]]). Every tick appends at
-    * least one part file to each, so an unattended loop accumulates
-    * files linearly in tick count — the small-files failure mode that
-    * dominates scan cost at 100 TB. Call every N ticks INSIDE the same
-    * serialized window that runs [[admitBatch]] (e.g. from the
-    * `foreachBatch` body on `batchId % N == N - 1`): the compaction
-    * contract requires no concurrent writer or reader of these
-    * directories, and the loop's own serialization provides exactly
-    * that. Returns (corpus files, index files) after packing; a
-    * not-yet-created directory counts 0 and is skipped.
+  /** Periodic index maintenance: fold the corpus and signature trees'
+    * COMMITTED per-batch partitions into one consolidated `batch=-1`
+    * partition each ([[Layout.foldBatchPartitions]] — the
+    * postings-index maintenance discipline). Every tick writes one
+    * `batch=<id>` partition to each tree, so an unattended loop
+    * accumulates partition directories linearly in tick count — the
+    * small-files failure mode that dominates scan cost at 100 TB. Call
+    * every N ticks INSIDE the same serialized window that runs
+    * [[admitBatch]] (e.g. from the `foreachBatch` body on
+    * `batchId % N == N - 1`, passing `committedBelow = batchId` —
+    * every partition below the current id is committed by foreachBatch
+    * serialization, and a replayed batch reuses its own id, which the
+    * fold never touches). Returns (corpus partitions folded, index
+    * partitions folded); a not-yet-created directory counts 0.
     */
   def maintain(spark: SparkSession, corpusDir: String, indexDir: String,
+               committedBelow: Long,
                targetBytes: Long = 128L << 20): (Int, Int) =
-    (compactIfExists(spark, corpusDir, targetBytes),
-      compactIfExists(spark, indexDir, targetBytes))
-
-  private[ext] def compactIfExists(spark: SparkSession, dir: String,
-                                   targetBytes: Long): Int = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Layout.compactParquetDir(spark, dir, targetBytes)
-    else 0
-  }
+    (Layout.foldBatchPartitions(spark, corpusDir, committedBelow, targetBytes),
+      Layout.foldBatchPartitions(spark, indexDir, committedBelow, targetBytes))
 }

@@ -214,4 +214,72 @@ object Layout {
         r2(col("max_key_n").cast("double") / col("__p50"))
           .as("skew_ratio"))
   }
+
+  /** Fold COMMITTED per-batch `batch=<id>` partitions of a parquet tree
+    * into one consolidated `batch=-1` partition — the generic form of
+    * the postings-index maintenance
+    * ([[graft.pipeline.QualityAdmission.maintainPostingsIndex]]
+    * delegates here): every per-batch-Overwrite admission layout
+    * (corpus slices, signature/key/postings indexes) accumulates one
+    * partition directory per micro-batch, the small-files mode that
+    * dominates scan cost at 100 TB.
+    *
+    * Only partitions with `0 ≤ batch < committedBelow` (plus a prior
+    * `batch=-1` fold) are touched: a replayed batch always reuses its
+    * own id, the fold target −1 is a value no real id takes, so the
+    * own-partition replay exclusion (`batch =!= currentId`, ids ≥ 0)
+    * always keeps folded rows. The schema is whatever the leaf files
+    * carry (partition column dropped by reading the leaf dirs
+    * directly). Same serialization contract and swap discipline as
+    * [[compactParquetDir]]: call from the serialized window that runs
+    * the ticks, snapshot-listed sources re-checked before the swap,
+    * hidden temp dir first, `.fold-old-*` dirs preserve data across
+    * the two-rename crash window.
+    *
+    * @return number of partition directories folded (0 = nothing to do)
+    */
+  def foldBatchPartitions(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, committedBelow: Long,
+                          targetBytes: Long = 128L << 20): Int = {
+    require(committedBelow >= 0, s"committedBelow must be >= 0")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    def sourceDirs(): Seq[String] = fs.listStatus(path)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter { n =>
+        n.startsWith("batch=") &&
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+            .exists(b => b == -1L || (b >= 0L && b < committedBelow))
+      }.sorted.toSeq
+    val snapshot = sourceDirs()
+    if (snapshot.isEmpty || snapshot == Seq("batch=-1")) return 0
+    val srcPaths = snapshot.map(n => new org.apache.hadoop.fs.Path(path, n))
+    val totalBytes = srcPaths.flatMap(p =>
+      fs.listStatus(p).filter(_.isFile).map(_.getLen)).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s".fold-${java.util.UUID.randomUUID()}")
+    // reading the partition dirs directly drops the `batch` column —
+    // wanted: the fold target's value comes from its directory name
+    spark.read.parquet(srcPaths.map(_.toString): _*)
+      .repartition(nFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    if (sourceDirs() != snapshot) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"$dir changed during partition fold (concurrent tick?) — " +
+          "serialize foldBatchPartitions with the admission ticks")
+    }
+    val old = srcPaths.map { p =>
+      val o = new org.apache.hadoop.fs.Path(path,
+        s".fold-old-${p.getName}-${java.util.UUID.randomUUID()}")
+      require(fs.rename(p, o), s"rename $p failed")
+      o
+    }
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "batch=-1")),
+      "rename of folded partition failed")
+    old.foreach(fs.delete(_, true))
+    snapshot.size
+  }
 }

@@ -239,49 +239,12 @@ object QualityAdmission {
     */
   def maintainPostingsIndex(spark: SparkSession, dir: String,
                             committedBelow: Long,
-                            targetBytes: Long = 128L << 20): Int = {
-    require(committedBelow >= 0, s"committedBelow must be >= 0")
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return 0
-    def sourceDirs(): Seq[String] = fs.listStatus(path)
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter { n =>
-        n.startsWith("batch=") &&
-          scala.util.Try(n.stripPrefix("batch=").toLong).toOption
-            .exists(b => b == -1L || (b >= 0L && b < committedBelow))
-      }.sorted.toSeq
-    val snapshot = sourceDirs()
-    if (snapshot.isEmpty || snapshot == Seq("batch=-1")) return 0
-    val srcPaths = snapshot.map(n => new org.apache.hadoop.fs.Path(path, n))
-    val totalBytes = srcPaths.flatMap(p =>
-      fs.listStatus(p).filter(_.isFile).map(_.getLen)).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path,
-      s".fold-${java.util.UUID.randomUUID()}")
-    // reading the partition dirs directly drops the `batch` column —
-    // wanted: the fold target's value comes from its directory name
-    spark.read.parquet(srcPaths.map(_.toString): _*)
-      .select(col("id"), col("m"), col("sh64"))
-      .repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (sourceDirs() != snapshot) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"$dir changed during postings fold (concurrent tick?) — " +
-          "serialize maintainPostingsIndex with the admission ticks")
-    }
-    val old = srcPaths.map { p =>
-      val o = new org.apache.hadoop.fs.Path(path,
-        s".fold-old-${p.getName}-${java.util.UUID.randomUUID()}")
-      require(fs.rename(p, o), s"rename $p failed")
-      o
-    }
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "batch=-1")),
-      "rename of folded partition failed")
-    old.foreach(fs.delete(_, true))
-    snapshot.size
-  }
+                            targetBytes: Long = 128L << 20): Int =
+    // the generic committed-partition fold (r15: factored to
+    // [[graft.ext.Layout.foldBatchPartitions]] so every per-batch
+    // admission layout shares one swap discipline); the leaf dirs carry
+    // exactly the (id, m, sh64) postings schema
+    Layout.foldBatchPartitions(spark, dir, committedBelow, targetBytes)
 
   /** The containment index visible to batch `batchId`: every PRIOR
     * batch's postings partition, excluding the current batch's own —

@@ -475,13 +475,13 @@ class ExtOpsSpec extends AnyFunSuite {
     // tick 1: doc 3 is an in-batch duplicate of doc 1
     val t1 = IncrementalDedup.admitBatch(
       Seq((1L, aText), (2L, bText), (3L, aText)).toDF("doc_id", "text"),
-      "doc_id", "text", corpusDir, indexDir, maxDist = 3)
+      "doc_id", "text", corpusDir, indexDir, maxDist = 3, batchId = 0L)
     assert(t1 == ((2L, 1L, 0L)), s"tick1 $t1")
     // tick 2: doc 10 duplicates the ADMITTED doc 1 (cross-batch, via the
     // index); doc 12 duplicates doc 11 in-batch
     val t2 = IncrementalDedup.admitBatch(
       Seq((10L, aText), (11L, cText), (12L, cText)).toDF("doc_id", "text"),
-      "doc_id", "text", corpusDir, indexDir, maxDist = 3)
+      "doc_id", "text", corpusDir, indexDir, maxDist = 3, batchId = 1L)
     assert(t2 == ((1L, 1L, 1L)), s"tick2 $t2")
     val corpus = spark.read.parquet(corpusDir)
       .select("doc_id").as[Long].collect().toSet
@@ -489,6 +489,16 @@ class ExtOpsSpec extends AnyFunSuite {
     val index = spark.read.parquet(indexDir)
       .select("id").as[Long].collect().toSet
     assert(index == corpus, "index must track exactly the admitted docs")
+    // SAME-ID replay (failed-attempt recovery): the tick's own
+    // partitions are excluded from the probe and overwritten in place —
+    // identical counts, no duplicate corpus rows
+    val r2 = IncrementalDedup.admitBatch(
+      Seq((10L, aText), (11L, cText), (12L, cText)).toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, indexDir, maxDist = 3, batchId = 1L)
+    assert(r2 == t2, s"same-id replay $r2 != $t2")
+    val corpusR = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(corpusR == Seq(1L, 2L, 11L), s"replay dup'd corpus: $corpusR")
   }
 
   test("winnowing: selection matches an independent reference (ties " +
@@ -809,7 +819,8 @@ class ExtOpsSpec extends AnyFunSuite {
     val t1 = IncrementalDedup.admitBatchContainment(
       Seq((1L, hText), (2L, bText), (3L, quote1), (4L, bText))
         .toDF("doc_id", "text"),
-      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5)
+      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5,
+      batchId = 0L)
     assert(t1 == ((2L, 2L, 0L)), s"tick1 $t1")
     // tick 2: 10 quotes the ADMITTED host 1 (cross-batch, via the stored
     // postings index — turned away); 11 is novel; 12 SWALLOWS admitted
@@ -817,7 +828,8 @@ class ExtOpsSpec extends AnyFunSuite {
     val t2 = IncrementalDedup.admitBatchContainment(
       Seq((10L, quote2), (11L, cText), (12L, superB))
         .toDF("doc_id", "text"),
-      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5)
+      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5,
+      batchId = 1L)
     assert(t2 == ((2L, 0L, 1L)), s"tick2 $t2")
     val corpus = spark.read.parquet(corpusDir)
       .select("doc_id").as[Long].collect().toSet
@@ -840,12 +852,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(viaIndex == viaText, s"index probe $viaIndex != recompute $viaText")
     assert(viaIndex.exists { case (b, c, cb, _) => b == 20L && c == 1L && cb == 1.0 },
       "quote1 must be fully contained in the admitted host")
-    // replay safety: a re-delivered committed batch re-probes the index,
-    // finds itself at containment 1.0, and admits nothing
+    // redelivery under a NEW id (cross-restart at-least-once): the
+    // batch re-probes the index, finds itself at containment 1.0, and
+    // admits nothing
     val replay = IncrementalDedup.admitBatchContainment(
       Seq((1L, hText), (2L, bText)).toDF("doc_id", "text"),
-      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5)
+      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5,
+      batchId = 2L)
     assert(replay == ((0L, 0L, 2L)), s"replayed batch must admit nothing: $replay")
+    // SAME-ID replay (failed-attempt recovery): the tick's own
+    // partitions are excluded and overwritten in place — identical
+    // counts, no duplicate corpus rows
+    val r2 = IncrementalDedup.admitBatchContainment(
+      Seq((10L, quote2), (11L, cText), (12L, superB))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", corpusDir, postingsDir, n = 3, tau = 0.5,
+      batchId = 1L)
+    assert(r2 == t2, s"same-id replay $r2 != $t2")
+    val corpusR = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(corpusR == Seq(1L, 2L, 11L, 12L), s"replay dup'd corpus: $corpusR")
   }
 
   test("containment admission: an index-dropped doc cannot vouch for an in-batch drop (no recall-loss cascade)") {
@@ -870,11 +896,11 @@ class ExtOpsSpec extends AnyFunSuite {
     val (c, p) = (s"$root/corpus", s"$root/postings")
     val t1 = IncrementalDedup.admitBatchContainment(
       Seq((1L, hText)).toDF("doc_id", "text"),
-      "doc_id", "text", c, p, n = 3, tau = 0.5)
+      "doc_id", "text", c, p, n = 3, tau = 0.5, batchId = 0L)
     assert(t1 == ((1L, 0L, 0L)), s"tick1 $t1")
     val t2 = IncrementalDedup.admitBatchContainment(
       Seq((10L, yText), (11L, xText)).toDF("doc_id", "text"),
-      "doc_id", "text", c, p, n = 3, tau = 0.5)
+      "doc_id", "text", c, p, n = 3, tau = 0.5, batchId = 1L)
     assert(t2 == ((1L, 0L, 1L)),
       s"y drops vs index, x must be admitted (not cascade-dropped): $t2")
     val corpus = spark.read.parquet(c).select("doc_id").as[Long].collect().toSet
@@ -930,7 +956,8 @@ class ExtOpsSpec extends AnyFunSuite {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_contfuzz$trial").toString
       val (adm, inBatch, vsIndex) = IncrementalDedup.admitBatchContainment(
-        df, "doc_id", "text", s"$root/c", s"$root/p", n = 3, tau = tau)
+        df, "doc_id", "text", s"$root/c", s"$root/p", n = 3, tau = tau,
+        batchId = 0L)
       assert(vsIndex == 0L, "no index yet: nothing can drop cross-batch")
       val admitted = spark.read.parquet(s"$root/c")
         .select("doc_id").as[Long].collect().toSet
@@ -972,9 +999,9 @@ class ExtOpsSpec extends AnyFunSuite {
     // uncommitted batches after a restart
     def start() = in.toDS().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
+                       id: Long) =>
         IncrementalDedup.admitBatch(batch, "doc_id", "text",
-          corpusDir, indexDir, maxDist = 3); ()
+          corpusDir, indexDir, maxDist = 3, batchId = id); ()
       }
       .option("checkpointLocation", ckpt).start()
 
@@ -1001,7 +1028,7 @@ class ExtOpsSpec extends AnyFunSuite {
     // semantics themselves make the tick idempotent
     val replay = IncrementalDedup.admitBatch(
       Seq((1L, aText), (2L, bText)).toDF("doc_id", "text"),
-      "doc_id", "text", corpusDir, indexDir, maxDist = 3)
+      "doc_id", "text", corpusDir, indexDir, maxDist = 3, batchId = 99L)
     assert(replay == ((0L, 0L, 2L)), s"replayed batch must admit nothing: $replay")
     assert(spark.read.parquet(corpusDir).count() == 4,
       "replay must not append to the corpus")
@@ -1063,9 +1090,6 @@ class ExtOpsSpec extends AnyFunSuite {
     val vocabPool = (0 until 400).map(i => s"word${i}x$i")
     def text(): String =
       rnd.shuffle(vocabPool).take(12).mkString(" ")
-    def parts(dir: String): Int =
-      new java.io.File(dir).listFiles().count(f =>
-        f.isFile && f.getName.startsWith("part-"))
     val firstText = text()
     val texts = firstText +: (1 until 12).map(_ => text())
     // 6 ticks x 2 unique docs; compact every 2nd tick INSIDE the
@@ -1074,13 +1098,21 @@ class ExtOpsSpec extends AnyFunSuite {
       val batch = Seq((t * 10L, texts(2 * t)), (t * 10L + 1, texts(2 * t + 1)))
         .toDF("doc_id", "text")
       IncrementalDedup.admitBatch(batch, "doc_id", "text",
-        corpusDir, indexDir, maxDist = 0)
-      if (t % 2 == 1) IncrementalDedup.maintain(spark, corpusDir, indexDir)
+        corpusDir, indexDir, maxDist = 0, batchId = t.toLong)
+      // fold COMMITTED partitions only (the current tick keeps its own)
+      if (t % 2 == 1)
+        IncrementalDedup.maintain(spark, corpusDir, indexDir,
+          committedBelow = t.toLong)
     }
-    // bounded: ticks appended >= 6 files each; maintenance packed both
-    // directories back to a single file at this size
-    assert(parts(corpusDir) == 1, s"corpus files ${parts(corpusDir)}")
-    assert(parts(indexDir) == 1, s"index files ${parts(indexDir)}")
+    // bounded: 6 ticks wrote 6 partitions each; the folds collapsed all
+    // committed ones into batch=-1, leaving it + the final tick's own
+    def partDirs(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(partDirs(corpusDir) == Set("batch=-1", "batch=5"),
+      s"corpus partitions ${partDirs(corpusDir)}")
+    assert(partDirs(indexDir) == Set("batch=-1", "batch=5"),
+      s"index partitions ${partDirs(indexDir)}")
     // content preserved: all 12 admitted, and the compacted index still
     // drops a cross-batch duplicate
     val corpus = spark.read.parquet(corpusDir)
@@ -1088,9 +1120,9 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(corpus.size == 12, s"corpus after compaction: $corpus")
     val replay = IncrementalDedup.admitBatch(
       Seq((99L, firstText)).toDF("doc_id", "text"),
-      "doc_id", "text", corpusDir, indexDir, maxDist = 0)
+      "doc_id", "text", corpusDir, indexDir, maxDist = 0, batchId = 6L)
     assert(replay == ((0L, 0L, 1L)),
-      s"compacted index must still drop duplicates: $replay")
+      s"folded index must still drop duplicates: $replay")
   }
 
   test("incremental-ANN maintenance: per-cell compaction keeps pruning layout") {
