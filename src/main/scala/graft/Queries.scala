@@ -72,7 +72,7 @@ object Queries
     qBpeFertility, qUnigramLearn, qUnigramEncode, qUnigramSample, qTokenizerFertility,
     qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
-    qScoreCard,
+    qScoreCard, qScoreThresholds,
     qDsirSelect,
     qDsirResample, qPerplexityBuckets, qGopherRules, qC4Rules,
     qGopherRepetition,

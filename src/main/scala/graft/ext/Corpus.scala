@@ -954,6 +954,49 @@ object Corpus {
       .crossJoin(broadcast(auc))
   }
 
+  /** THRESHOLD-SWEEP companion of [[scoreCard]]: for each equal-mass
+    * bin b, the operating point of the policy "keep every document
+    * scoring in bins ≥ b" — kept volume, kept positives, precision and
+    * recall in exact basis points. This is the table a gate threshold
+    * is actually PICKED from (precision = how clean the kept corpus
+    * is, recall = how much of the good material survives); score_min
+    * is the concrete logit cut the chosen row corresponds to.
+    *
+    * Shape: the same distributed closed-form ntile as [[scoreCard]],
+    * then the suffix sums come from a self-join of the BIN table
+    * (nBins rows, broadcast — deliberately NOT an unkeyed window,
+    * which the whole-surface plan audit would rightly flag) and the
+    * one-row totals cross-join. A label set with no positives reports
+    * NULL recall (nothing to recall — the shared no-fake-zero
+    * convention).
+    *
+    * @return one row per bin: (bin, score_min, n_kept, n_pos_kept,
+    *         precision_bp, recall_bp)
+    */
+  def scoreThresholds(df: DataFrame, scoreCol: String, labelCol: String,
+                      idCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val base = df.select(col(idCol).as("id"),
+      col(scoreCol).cast("long").as("s"),
+      col(labelCol).cast("boolean").cast("int").cast("long").as("y"))
+    val binned = Prefix.stratifiedNtile(base.withColumn("__all", lit(1)),
+      Seq(col("__all")), Seq(col("s"), col("id")), nBins, "bin")
+    val bins = Materialize.multiScan(binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
+        min(col("s")).as("score_min")))
+    val totals = bins.agg(sum(col("np")).as("total_pos"))
+    bins.as("t")
+      .join(broadcast(bins.select(col("bin").as("ubin"), col("n").as("un"),
+        col("np").as("unp"))), col("ubin") >= col("bin"))
+      .groupBy(col("bin"), col("score_min"))
+      .agg(sum(col("un")).as("n_kept"), sum(col("unp")).as("n_pos_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("score_min"), col("n_kept"), col("n_pos_kept"),
+        expr("(n_pos_kept * 10000) div n_kept").as("precision_bp"),
+        when(col("total_pos") > 0,
+          expr("(n_pos_kept * 10000) div total_pos")).as("recall_bp"))
+  }
+
   /** fastText-style linear quality classifier (Joulin et al. 2016 "Bag
     * of Tricks for Efficient Text Classification" — the standard
     * quality-filter scorer of web-scale curation pipelines, cf. GPT-3 /

@@ -274,6 +274,63 @@ private[graft] trait QueriesScorers { this: Queries.type =>
       FROM binned b CROSS JOIN auc a
       GROUP BY b.bin, a.auc_bp"""))
 
+  /** Threshold sweep ([[Corpus.scoreThresholds]]): per equal-mass bin,
+    * the operating point of "keep bins ≥ b" — kept volume/positives,
+    * precision and recall in exact bp — the table a gate threshold is
+    * picked from. The oracle replays the scorer, the native-ntile
+    * bins, and the suffix sums via a bin self-join.
+    */
+  val qScoreThresholds = Q("q_score_thresholds",
+    (s, dir) => {
+      val w = s.range(1024).select(col("id").as("bucket"),
+        (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+          lit(21L)) - 10).as("w"))
+      val docs = t(s, dir, "documents")
+      val scored = Corpus.qualityScore(docs, "doc_id", "text", w,
+        nBuckets = 1024, thrMilli = 0L)
+      Corpus.scoreThresholds(
+        scored.join(docs.select(col("doc_id").as("id"),
+          (col("lang") === "en").as("is_en")), Seq("id")),
+        "logit", "is_en", "id", nBins = 10)
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      w AS (SELECT i AS bucket,
+          ('0x'||substr(md5(i::VARCHAR),1,15))::BIGINT % 21 - 10 AS w
+        FROM range(0, 1024) t(i)),
+      feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM d WHERE NOT toks = ['']
+        UNION ALL
+        SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      fb AS (SELECT doc_id,
+          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM feats),
+      scored AS (
+        SELECT fb.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS logit
+        FROM fb LEFT JOIN w USING (bucket) GROUP BY fb.doc_id),
+      lab AS (SELECT s.doc_id AS id, s.logit, (dd.lang = 'en') AS y
+              FROM scored s JOIN documents dd USING (doc_id)),
+      binned AS (SELECT id, logit, y,
+          CAST(ntile(10) OVER (ORDER BY logit, id) AS INTEGER) AS bin
+        FROM lab),
+      bins AS (SELECT bin, count(*) AS n,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+               min(logit) AS score_min
+             FROM binned GROUP BY 1),
+      tot AS (SELECT CAST(sum(np) AS BIGINT) AS total_pos FROM bins)
+      SELECT t.bin, t.score_min,
+        CAST(sum(u.n) AS BIGINT) AS n_kept,
+        CAST(sum(u.np) AS BIGINT) AS n_pos_kept,
+        CAST(sum(u.np) * 10000 // sum(u.n) AS BIGINT) AS precision_bp,
+        CAST(CASE WHEN x.total_pos > 0
+          THEN sum(u.np) * 10000 // x.total_pos END AS BIGINT) AS recall_bp
+      FROM bins t JOIN bins u ON u.bin >= t.bin CROSS JOIN tot x
+      GROUP BY t.bin, t.score_min, x.total_pos"""))
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
     * source's documents by self-trained LM surprisal and cut into
     * head/middle/tail terciles — the standard "keep head+middle, drop

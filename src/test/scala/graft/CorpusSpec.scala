@@ -1307,6 +1307,27 @@ class CorpusSpec extends AnyFunSuite {
       .select("auc_bp").as[Option[Long]].head.isEmpty)
   }
 
+  test("scoreThresholds: keep-bins->=b operating points hand-computed; " +
+      "no positives -> NULL recall") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L, false), (2L, 10L, true), (3L, 20L, false), (4L, 30L, true),
+      (5L, 5L, false), (6L, 40L, true), (7L, 20L, false), (8L, 20L, true))
+      .toDF("id", "s", "y")
+    val got = Corpus.scoreThresholds(docs, "s", "y", "id", nBins = 4)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1) == ((1, 5L, 8L, 4L, 5000L, 10000L)))
+    assert(got(2) == ((2, 10L, 6L, 4L, 6666L, 10000L)))
+    assert(got(3) == ((3, 20L, 4L, 3L, 7500L, 7500L)))
+    assert(got(4) == ((4, 30L, 2L, 2L, 10000L, 5000L)))
+    val noPos = Corpus.scoreThresholds(
+      Seq((1L, 1L, false), (2L, 2L, false)).toDF("id", "s", "y"),
+      "s", "y", "id", nBins = 1)
+      .select("recall_bp").as[Option[Long]].collect()
+    assert(noPos.forall(_.isEmpty), "no positives must report NULL recall")
+  }
+
   test("langIdModel: beats the stopword/script heuristic on short " +
       "Latin-script docs the heuristic can only call 'und'") {
     val train = langSeeds.toDF("doc_id", "lang", "text")
