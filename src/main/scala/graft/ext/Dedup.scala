@@ -280,6 +280,14 @@ object Dedup {
     * [[jaccardPairs]] + [[connectedComponents]] on the reduced corpus;
     * every drop relation is ids only.
     *
+    * Cache lifetime: the rung survivors are [[Materialize.multiScan]]
+    * entries consumed by the returned (lazy) verdict relation — the
+    * standard operator contract (see [[Materialize]]): release with
+    * `unpersist`/`clearCache` after consuming the verdicts. A
+    * long-running INGEST loop should use
+    * [[IncrementalDedup.admitBatchLadder]] instead, which materializes
+    * durably and releases its own caches per tick.
+    *
     * @param urlCol optional — None skips the URL rung (corpora without
     *               addresses), verdicts then never say 'url'
     * @return (id, dropped_at) — one row per input doc
