@@ -954,6 +954,57 @@ object Corpus {
       .crossJoin(broadcast(auc))
   }
 
+  /** DECONTAMINATION MATRIX — every leakage signal side by side, one
+    * row per corpus document: the n-gram overlap fraction
+    * ([[decontaminateFraction]] — catches the mostly-benchmark page),
+    * the benchmark-side containment maximum
+    * ([[decontaminateContainment]] — catches the short eval item
+    * quoted inside a long page), and the exact shared-span coverage
+    * ([[decontaminateSpans]] — catches the verbatim quote both n-gram
+    * forms under-report), each with its policy verdict, plus the
+    * union verdict and the agreement count. This is the per-doc
+    * DISAGREEMENT diagnostic a release gate reads before choosing
+    * forms and dials: a doc with cov_bp high but overlap_bp low is
+    * exactly the diluted-verbatim-quote shape, and a form that never
+    * fires alone on a corpus is a dial miscalibration signal.
+    *
+    * Shape: three independent benchmark-broadcast passes (each form's
+    * own scan — this is the AUDIT tool; the one-tokenize composition
+    * point is the admission stage) joined on the doc id; the
+    * benchmark side stays broadcast-sized throughout, corpus text
+    * never shuffles in any pass.
+    *
+    * @return (id, overlap_bp, max_cont_bp, cov_bp, drop_fraction,
+    *         drop_containment, drop_spans, drop_any, n_forms)
+    */
+  def decontamMatrix(corpus: DataFrame, benchmark: DataFrame,
+                     idCol: String, textCol: String, n: Int = 2,
+                     fractionDropBp: Int = 2500,
+                     containmentDropBp: Int = 8000,
+                     winBytes: Int = 40, anchorMod: Int = 8,
+                     spanDropBp: Int = 2500): DataFrame = {
+    val f = decontaminateFraction(corpus, benchmark, idCol, textCol, n,
+        fractionDropBp)
+      .select(col("id"), col("overlap_bp"),
+        col("drop").as("drop_fraction"))
+    val c = decontaminateContainment(corpus, benchmark, idCol, textCol, n,
+        containmentDropBp)
+      .select(col("id"), col("max_cont_bp"),
+        col("drop").as("drop_containment"))
+    val s = decontaminateSpans(corpus, benchmark, idCol, textCol, winBytes,
+        anchorMod, spanDropBp)
+      .select(col("id"), col("cov_bp"), col("drop").as("drop_spans"))
+    f.join(c, Seq("id")).join(s, Seq("id"))
+      .select(col("id"), col("overlap_bp"), col("max_cont_bp"),
+        col("cov_bp"), col("drop_fraction"), col("drop_containment"),
+        col("drop_spans"),
+        (col("drop_fraction") || col("drop_containment") ||
+          col("drop_spans")).as("drop_any"),
+        (col("drop_fraction").cast("int") +
+          col("drop_containment").cast("int") +
+          col("drop_spans").cast("int")).cast("long").as("n_forms"))
+  }
+
   /** THRESHOLD-SWEEP companion of [[scoreCard]]: for each equal-mass
     * bin b, the operating point of the policy "keep every document
     * scoring in bins ≥ b" — kept volume, kept positives, precision and

@@ -403,6 +403,115 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         END AS dropped_at
       FROM documents d"""))
 
+  /** Decontamination MATRIX ([[Corpus.decontamMatrix]]): fraction,
+    * benchmark-side containment, and exact-span coverage signals side
+    * by side per corpus doc, with per-form verdicts, the union verdict,
+    * and the agreement count — against the SAME % 10 benchmark slice.
+    * The oracle replays all three chains (bigram overlap fraction,
+    * per-item containment argmax, anchored-window islands) and the
+    * verdict algebra in one SQL.
+    */
+  val qDecontamMatrix = Q("q_decontam_matrix",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.decontamMatrix(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 2)
+    },
+    Some("""WITH shm AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(
+            len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))-1, 0)),
+          i -> array_to_string(
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')[i:i+1], ' ')))
+          AS sset
+        FROM documents),
+      exm AS (SELECT doc_id, len(sset) AS m,
+               ('0x'||substr(md5(unnest(sset)),1,15))::BIGINT AS h
+             FROM shm),
+      -- fraction: corpus-shingle denominator
+      bf AS (SELECT DISTINCT h FROM exm WHERE doc_id % 10 = 0),
+      fr AS (SELECT e.doc_id, max(e.m) AS n_shingles,
+               sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+             FROM exm e LEFT JOIN bf b ON e.h = b.h
+             WHERE e.doc_id % 10 <> 0 GROUP BY 1),
+      frac AS (SELECT d1.doc_id,
+               CAST(CASE WHEN coalesce(fr.n_shingles, 0) > 0
+                 THEN floor(fr.n_shared * 10000 / fr.n_shingles) ELSE 0
+               END AS BIGINT) AS overlap_bp
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d1
+             LEFT JOIN fr USING (doc_id)),
+      -- containment: benchmark-item denominator, per-doc argmax
+      bm AS (SELECT doc_id AS bid, len(sset) AS mb FROM shm
+             WHERE doc_id % 10 = 0),
+      be AS (SELECT doc_id AS bid, h FROM exm WHERE doc_id % 10 = 0),
+      inter AS (
+        SELECT c.doc_id, b.bid, m.mb, count(*) AS i
+        FROM exm c JOIN be b ON c.h = b.h JOIN bm m ON m.bid = b.bid
+        WHERE c.doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+      cbest AS (
+        SELECT doc_id, (i * 10000) // mb AS cont_bp,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY (i * 10000) // mb DESC, bid ASC) AS rn
+        FROM inter),
+      cont AS (SELECT doc_id, cont_bp AS max_cont_bp FROM cbest
+               WHERE rn = 1),
+      -- spans: anchored-window islands vs the benchmark windows
+      dd AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (
+        SELECT doc_id, t, length(t) AS nl FROM dd WHERE length(t) >= 40),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, nl - 40 + 1)) AS p
+        FROM sized),
+      anch AS (
+        SELECT doc_id, t, p FROM pos
+        WHERE (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+               + ascii(substr(t, p + 7, 1))) % 8 = 0),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM anch),
+      cw AS (SELECT doc_id, p, fp FROM wins WHERE doc_id % 10 <> 0),
+      bw AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 10 = 0),
+      dup AS (SELECT DISTINCT c.doc_id, c.p FROM cw c JOIN bw b USING (fp)),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      sp AS (SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e
+             FROM isl GROUP BY 1, 2),
+      cov AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_bytes
+              FROM sp GROUP BY 1),
+      spans AS (
+        SELECT d0.doc_id,
+          CAST(CASE WHEN octet_length(encode(trim(regexp_replace(
+                 lower(d0.text),'\s+',' ','g')))) > 0
+            THEN (coalesce(c.covered_bytes, 0) * 10000)
+              // octet_length(encode(trim(regexp_replace(
+                 lower(d0.text),'\s+',' ','g'))))
+            ELSE 0 END AS BIGINT) AS cov_bp
+        FROM documents d0 LEFT JOIN cov c USING (doc_id)
+        WHERE d0.doc_id % 10 <> 0)
+      SELECT f.doc_id AS id, f.overlap_bp,
+        coalesce(c.max_cont_bp, 0) AS max_cont_bp, s.cov_bp,
+        f.overlap_bp >= 2500 AS drop_fraction,
+        coalesce(c.max_cont_bp, 0) >= 8000 AS drop_containment,
+        s.cov_bp >= 2500 AS drop_spans,
+        (f.overlap_bp >= 2500 OR coalesce(c.max_cont_bp, 0) >= 8000
+          OR s.cov_bp >= 2500) AS drop_any,
+        CAST((CASE WHEN f.overlap_bp >= 2500 THEN 1 ELSE 0 END)
+          + (CASE WHEN coalesce(c.max_cont_bp, 0) >= 8000 THEN 1 ELSE 0 END)
+          + (CASE WHEN s.cov_bp >= 2500 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_forms
+      FROM frac f LEFT JOIN cont c USING (doc_id)
+      JOIN spans s USING (doc_id)"""))
+
   val qDedupJaccard = Q("dedup_ngram_jaccard",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
       "doc_id", "text", n = 3, tau = 0.25),

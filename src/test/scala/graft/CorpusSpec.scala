@@ -1275,6 +1275,36 @@ class CorpusSpec extends AnyFunSuite {
       !clean.getAs[Boolean]("drop"), s"clean page must pass: $clean")
   }
 
+  test("decontamMatrix: the verbatim-quote page fires spans and " +
+      "containment but not fraction — the disagreement the card exists " +
+      "to show; verdict algebra exact") {
+    val quote = "the seventeen quick brown foxes jumped over the lazy sleeping dogs"
+    val filler = (1 to 120).map(i => s"fill$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $quote $filler"),
+      (2L, s"completely unrelated page $filler")).toDF("doc_id", "text")
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val m = Corpus.decontamMatrix(corpus, bench, "doc_id", "text",
+        n = 2, fractionDropBp = 2500, containmentDropBp = 8000,
+        winBytes = 40, anchorMod = 4, spanDropBp = 100)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val leak = m(1L)
+    // quote bigrams are 10 of the page's ~250 distinct bigrams: the
+    // fraction form dilutes below any usable threshold...
+    assert(!leak.getAs[Boolean]("drop_fraction") &&
+      leak.getAs[Long]("overlap_bp") < 1000, s"fraction must dilute: $leak")
+    // ...while the whole eval item is contained (10000 bp) and the
+    // exact span flags at its own policy
+    assert(leak.getAs[Boolean]("drop_containment") &&
+      leak.getAs[Long]("max_cont_bp") == 10000L, s"containment: $leak")
+    assert(leak.getAs[Boolean]("drop_spans"), s"spans: $leak")
+    assert(leak.getAs[Boolean]("drop_any") &&
+      leak.getAs[Long]("n_forms") == 2L)
+    val clean = m(2L)
+    assert(!clean.getAs[Boolean]("drop_any") &&
+      clean.getAs[Long]("n_forms") == 0L, s"clean page: $clean")
+  }
+
   test("scoreCard: tie-aware AUC matches the pair-counting definition; " +
       "equal-mass bins and rates hand-computed; degenerate labels NULL") {
     import spark.implicits._
