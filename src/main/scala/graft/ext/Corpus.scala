@@ -934,8 +934,11 @@ object Corpus {
     val auc = cum.agg(
         sum(col("np")).as("n_pos"),
         sum(col("cnt") - col("np")).as("n_neg"),
-        sum((col("np") * (col("cum") * 2 - col("cnt") + 1))
-          .cast("decimal(38,0)")).as("two_rpos"))
+        // cast an OPERAND before multiplying (the ksTest convention):
+        // casting only the long product would let a single multi-billion
+        // -row score group overflow silently (non-ANSI) first
+        sum(col("np").cast("decimal(38,0)") *
+          (col("cum") * 2 - col("cnt") + 1)).as("two_rpos"))
       .select(when(col("n_pos") > 0 && col("n_neg") > 0,
         expr("""CAST(((two_rpos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
                 * 10000) div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)

@@ -288,6 +288,13 @@ object Dedup {
     * [[IncrementalDedup.admitBatchLadder]] instead, which materializes
     * durably and releases its own caches per tick.
     *
+    * NULL addresses pass the url rung untouched (rows whose `urlCol` —
+    * or its canonical key — is NULL are url-rung SURVIVORS, the
+    * quality-admission gate-0 convention): a NULL address is "no crawl
+    * provenance", not "the same page as every other address-less doc",
+    * and Spark windows would otherwise group all NULL keys into one
+    * partition and silently keep a single survivor per batch.
+    *
     * @param urlCol optional — None skips the URL rung (corpora without
     *               addresses), verdicts then never say 'url'
     * @return (id, dropped_at) — one row per input doc
@@ -302,8 +309,11 @@ object Dedup {
         val keys = base.select(col(idCol).as("id"),
           TextOps.canonicalUrl(col(u)).as("k"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+        // NULL keys pass: without the isNotNull guard the window groups
+        // every NULL-key row together and drops all but one
         keys.withColumn("keep", min(col("id")).over(w))
-          .filter(col("id") =!= col("keep")).select(col("id"))
+          .filter(col("k").isNotNull && col("id") =!= col("keep"))
+          .select(col("id"))
     }
     val s1 = Materialize.multiScan(
       base.join(urlDrops, base(idCol) === urlDrops("id"), "left_anti"))

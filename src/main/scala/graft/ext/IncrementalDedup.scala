@@ -204,7 +204,11 @@ object IncrementalDedup {
     * Admission per batch (first arrival wins, the [[admitBatch]]
     * contract): in-batch, syntactic crawl variants of one page
     * ([[TextOps.canonicalUrl]] collapses them) keep the minimum id;
-    * cross-batch, any canonical key already in the index drops.
+    * cross-batch, any canonical key already in the index drops. Rows
+    * whose address (or canonical key) is NULL PASS the rung as
+    * survivors and never enter the key index — the quality-admission
+    * gate-0 convention: a NULL address is "no crawl provenance", not
+    * "the same page as every other address-less row".
     *
     * REPLAY IDEMPOTENCE: survivors and their keys land under per-batch
     * partitions (`corpusDir/batch=<batchId>`, `indexDir/batch=<batchId>`)
@@ -230,9 +234,14 @@ object IncrementalDedup {
     val nRows = batch.count()
     val keyed = Materialize.multiScan(
       batch.withColumn("__url_key", TextOps.canonicalUrl(col(urlCol))))
+    // NULL-key rows pass the rung whole (survivors) and never reach the
+    // groupBy: grouping would fold them into one NULL key and keep one
+    val nullRows = keyed.filter(col("__url_key").isNull).drop("__url_key")
+    val nNull = nullRows.count()
+    val withKey = keyed.filter(col("__url_key").isNotNull)
     // in-batch collapse: one row per canonical key, minimum id
     val firsts = Materialize.multiScan(
-      keyed.groupBy(col("__url_key")).agg(min(col(idCol)).as("__keep")))
+      withKey.groupBy(col("__url_key")).agg(min(col(idCol)).as("__keep")))
     // cross-batch: keys already admitted drop whole. A replayed tick's
     // own half-written partition must NOT count as "already admitted"
     // (that would turn the whole redelivered batch away and lose it),
@@ -246,10 +255,11 @@ object IncrementalDedup {
         case None => firsts
       })
     val admitted = Materialize.multiScan(
-      keyed.join(admittedFirsts,
-          keyed("__url_key") === admittedFirsts("__url_key") &&
-            keyed(idCol) === admittedFirsts("__keep"), "left_semi")
-        .drop("__url_key"))
+      withKey.join(admittedFirsts,
+          withKey("__url_key") === admittedFirsts("__url_key") &&
+            withKey(idCol) === admittedFirsts("__keep"), "left_semi")
+        .drop("__url_key")
+        .unionByName(nullRows))
     val nAdmitted = admitted.count()
     // index partition FIRST, then corpus: if the tick dies between the
     // two writes, replay sees its own index rows (excluded from the
@@ -261,8 +271,9 @@ object IncrementalDedup {
       .parquet(s"$corpusDir/batch=$batchId")
     val nKeys = firsts.count()
     Seq(keyed, firsts, admittedFirsts, admitted).foreach(_.unpersist())
-    // every batch row beyond its key's first is an in-batch variant
-    (nAdmitted, nRows - nKeys, nKeys - nAdmitted)
+    // every KEYED batch row beyond its key's first is an in-batch
+    // variant; NULL-key rows are admitted outside the key accounting
+    (nAdmitted, nRows - nNull - nKeys, nKeys - (nAdmitted - nNull))
   }
 
   /** The COMPOSED steady-state admission ladder — the streaming twin of
@@ -278,7 +289,10 @@ object IncrementalDedup {
     * within one):
     *  1. `url`   — canonical-key collapse ([[TextOps.canonicalUrl]]):
     *               in-batch non-minimum variants drop; any key already
-    *               in the url index drops whole. No text is read.
+    *               in the url index drops whole. No text is read. NULL
+    *               addresses/keys PASS and never enter the index (the
+    *               gate-0 / [[admitBatchUrl]] convention — a NULL
+    *               address identifies no page).
     *  2. `exact` — content-fingerprint collapse
     *               ([[TextOps.fingerprint]]) over url survivors:
     *               in-batch non-minimum copies drop; fingerprints
@@ -366,10 +380,19 @@ object IncrementalDedup {
             Seq("url_key"), "left_semi").select(col("id"))
           case None => empty
         }
+        // NULL keys pass the rung (the gate-0 / [[Dedup.ladder]]
+        // convention): a NULL address carries no crawl provenance, and
+        // the window would otherwise fold every NULL-key row into one
+        // partition and verdict all but one 'url'. The index probe is a
+        // plain equi-join, so NULL keys never match stored keys either.
         val drops = Materialize.multiScan(
-          withKeep.filter(col("id") =!= col("keep")).select(col("id"))
+          withKeep.filter(col("url_key").isNotNull &&
+              col("id") =!= col("keep")).select(col("id"))
             .unionByName(seen).distinct())
-        val kept = withKeep.filter(col("id") === col("keep"))
+        // NULL keys stay out of the index too: they identify no page,
+        // so they can never vouch for turning a later crawl away
+        val kept = withKeep
+          .filter(col("url_key").isNotNull && col("id") === col("keep"))
           .join(drops, Seq("id"), "left_anti")
           .select(col("url_key"), col("id").as("keep_id"))
         (drops, Some(kept))

@@ -145,9 +145,10 @@ final class UnigramTable(entries: Array[Array[String]], val unkCost: Long)
   *    tenth-millinats, so the exponent is exactly −α·Δnats); w_1 = 10⁶;
   *  - DRAW: t = md5-prefix-60-bit of "word:occ:seed" mod Σw (the
   *    [[graft.ext.TextOps.portableHash]] convention; occ = the word's
-  *    0-based occurrence index within the input string, so repeated
-  *    words segment independently), chosen = first j with
-  *    cumsum(w₁..w_j) > t.
+  *    0-based POSITION index among the input's non-empty words — NOT a
+  *    per-word repeat counter, so the same word at positions 2 and 7
+  *    hashes "w:2:seed" and "w:7:seed" — giving repeated words
+  *    independent draws), chosen = first j with cumsum(w₁..w_j) > t.
   *
   * α → ∞ (or k = 1) degenerates to the 1-best encode; α = 0 draws
   * uniformly over the n-best.

@@ -203,7 +203,9 @@ object SkewBench {
       // fanning graph, not just the citation.
       "connectedComponents broom 1000 chains" -> { s =>
         val n = baseDocs * s * 333
-        val chainLen = n / 1000
+        // guard the pmod divisor: a tiny baseDocs dial would make
+        // n/1000 = 0 and NULL every edge instead of building the broom
+        val chainLen = math.max(1L, n / 1000)
         val (labels, rounds) = graft.ext.Dedup.connectedComponentsWithRounds(
           spark.range(1, n).select(col("id").as("id_a"),
             when(pmod(col("id"), lit(chainLen)) === 1, lit(0L))

@@ -790,6 +790,62 @@ class ExtOpsSpec extends AnyFunSuite {
       s"replayed tick must not duplicate corpus rows: $corpusR")
   }
 
+  test("URL rungs: NULL addresses PASS — batch ladder, composed ladder " +
+      "and url admission all treat a NULL canonical key as a survivor, " +
+      "never as 'the same page as every other address-less row'") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_nullurl").toString
+    // two NULL-address docs with unrelated text: before the fix the url
+    // window grouped them into one NULL partition and dropped doc 3
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", Option("http://a.com/p1")),
+      (2L, "totally different text here", Option.empty[String]),
+      (3L, "third unrelated document body", Option.empty[String]),
+      (4L, "fourth unrelated content words", Option("HTTP://A.COM/p1")))
+      .toDF("doc_id", "text", "url")
+    val expected = Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some("url"))
+    val batch = Dedup.ladder(docs, "doc_id", "text", Some("url"),
+        n = 3, tau = 0.5)
+      .as[(Long, Option[String])].collect().toMap
+    assert(batch == expected, s"batch ladder $batch")
+    val composed = IncrementalDedup.admitBatchLadder(docs, "doc_id",
+        "text", Some("url"), root, n = 3, tau = 0.5, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(composed == expected, s"composed ladder $composed")
+    // NULL keys never enter the key index — they identify no page
+    val ix = spark.read.parquet(s"$root/url_index")
+    assert(ix.filter(col("url_key").isNull).count() == 0,
+      "url index must hold no NULL key")
+    // a later tick of address-less docs must pass whole, not be turned
+    // away by any stored NULL key
+    val v2 = IncrementalDedup.admitBatchLadder(
+      Seq((11L, "more new content entirely", Option.empty[String]),
+        (12L, "even newer page text body", Option.empty[String]))
+        .toDF("doc_id", "text", "url"),
+      "doc_id", "text", Some("url"), root, n = 3, tau = 0.5, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v2 == Map(11L -> None, 12L -> None), s"tick2 $v2")
+    // the standalone url admission tick: NULL rows admitted outside the
+    // key accounting, keyed rows keep the first-arrival contract
+    val root2 = java.nio.file.Files.createTempDirectory("graft_nullurl2")
+      .toString
+    val t1 = IncrementalDedup.admitBatchUrl(
+      Seq((1L, Option("http://a.com/1")), (2L, Option.empty[String]),
+        (3L, Option.empty[String])).toDF("doc_id", "url"),
+      "doc_id", "url", s"$root2/corpus", s"$root2/index", batchId = 0L)
+    assert(t1 == ((3L, 0L, 0L)), s"tick1 $t1")
+    val t2 = IncrementalDedup.admitBatchUrl(
+      Seq((10L, Option.empty[String]), (11L, Option("http://a.com/1")))
+        .toDF("doc_id", "url"),
+      "doc_id", "url", s"$root2/corpus", s"$root2/index", batchId = 1L)
+    assert(t2 == ((1L, 0L, 1L)), s"tick2 $t2")
+    val corpus = spark.read.parquet(s"$root2/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 3L, 10L), s"corpus $corpus")
+  }
+
   test("containment admission loop: stored postings index, embedded quotes turned away, probe == recompute") {
     import spark.implicits._
     import graft.ext.IncrementalDedup
