@@ -41,7 +41,7 @@ object Queries
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
-    qDedupLadder, qAdmissionLadder,
+    qDedupLadder, qAdmissionLadder, qReladder,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupJaccardSteady,

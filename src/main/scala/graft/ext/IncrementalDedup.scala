@@ -348,10 +348,23 @@ object IncrementalDedup {
     * re-reads text (bucket it by sh64, dial `maxDocFreq` at probe
     * time). Verdicts are ids + a tag.
     *
+    * The near rung's DROPPED docs keep their postings too, in a
+    * separate `postings_dropped/` subtree the PROBES never read: they
+    * are the evidence base [[reconcileNear]] replays to close the
+    * documented cross-tick divergence (a dropped doc's shingles are the
+    * missing middle of the transitive chain). Probe semantics are
+    * unchanged — only corpus content vouches for a drop at ingest time.
+    *
     * @param root    layout root: `corpus/`, `url_index/`, `fp_index/`,
-    *                `postings/`, `verdicts/` subtrees, each partitioned
-    *                by batch
+    *                `postings/`, `postings_dropped/`, `verdicts/`
+    *                subtrees, each partitioned by batch (fold them
+    *                periodically with [[maintainLadder]])
     * @param urlCol  None skips the url rung (corpora without addresses)
+    * @param monitor optional per-rung drop-rate drift monitor
+    *                ([[LadderRungMonitor]]): rung drop counts are
+    *                computed INSIDE the verdict write via
+    *                `Dataset.observe` — zero extra scans — and advance
+    *                the monitor's per-rung CUSUM states
     * @return the batch's verdict relation (id, dropped_at), read back
     *         from its just-written partition (durable provenance; no
     *         cache-lifetime contract for the caller)
@@ -359,7 +372,8 @@ object IncrementalDedup {
   def admitBatchLadder(batch: DataFrame, idCol: String, textCol: String,
                        urlCol: Option[String], root: String,
                        n: Int, tau: Double, batchId: Long,
-                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+                       maxDocFreq: Int = Int.MaxValue,
+                       monitor: Option[LadderRungMonitor] = None): DataFrame = {
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
@@ -452,12 +466,26 @@ object IncrementalDedup {
       .join(nearDrops.select(col("id"), lit("near").as("__n")), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("__u"), col("__e"), col("__n")).as("dropped_at"))
-    verdicts.write.mode(SaveMode.Overwrite).parquet(part("verdicts"))
+    // rung drop counts ride the verdict write itself (Dataset.observe —
+    // computed inside the write's pass, zero extra scans or actions)
+    val obs = monitor.map(m => (m, org.apache.spark.sql.Observation()))
+    val verdictsOut = obs.fold(verdicts) { case (m, o) =>
+      verdicts.observe(o, count(lit(1)).as("n"),
+        m.rungs.map(r => count(when(col("dropped_at") === r, 1))
+          .as(s"n_$r")): _*)
+    }
+    verdictsOut.write.mode(SaveMode.Overwrite).parquet(part("verdicts"))
+    obs.foreach { case (m, o) => m.tick(batchId, o.get) }
     urlKeysKept.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(part("url_index")))
     fpKept.write.mode(SaveMode.Overwrite).parquet(part("fp_index"))
     posts.join(admitted, posts("id") === admitted(idCol), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(part("postings"))
+    // near-DROPPED docs' postings, for [[reconcileNear]] only (never
+    // probed at ingest): s2 had postings computed, admitted kept theirs
+    // above — the difference is exactly the near rung's drops
+    posts.join(nearDrops, posts("id") === nearDrops("id"), "left_semi")
+      .write.mode(SaveMode.Overwrite).parquet(part("postings_dropped"))
     admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
     Seq(base, urlDrops, s1, exactDrops, s2, posts, vsIndexNear, nearDrops,
       admitted).foreach(_.unpersist())
@@ -493,4 +521,159 @@ object IncrementalDedup {
                targetBytes: Long = 128L << 20): (Int, Int) =
     (Layout.foldBatchPartitions(spark, corpusDir, committedBelow, targetBytes),
       Layout.foldBatchPartitions(spark, indexDir, committedBelow, targetBytes))
+
+  /** The subtrees one [[admitBatchLadder]] tick writes — the complete
+    * fold surface for [[maintainLadder]]. */
+  private[graft] val LadderSubtrees: Seq[String] = Seq(
+    "corpus", "url_index", "fp_index", "postings", "postings_dropped",
+    "verdicts")
+
+  /** Ladder-wide index maintenance — [[maintain]]'s contract extended to
+    * EVERY subtree [[admitBatchLadder]] writes (corpus, url_index,
+    * fp_index, postings, postings_dropped, verdicts): each tick adds one
+    * `batch=<id>` partition to each of the six trees, so an unattended
+    * ingest loop accumulates 6 partition directories per tick — the
+    * small-files defense must ship with the operator that creates the
+    * files, not leave the caller to fold five trees by hand. Folds each
+    * tree's COMMITTED partitions (`0 ≤ batch < committedBelow`, plus a
+    * prior fold) into its `batch=-1` partition via
+    * [[Layout.foldBatchPartitions]] — the fold target is a value no real
+    * batch id takes, so every own-partition replay exclusion
+    * (`batch =!= currentId`) keeps folded rows, which is exactly right
+    * for committed state. Same serialization contract: call from the
+    * window that runs the ticks (e.g. the `foreachBatch` body on
+    * `batchId % N == N - 1` with `committedBelow = batchId`).
+    *
+    * @return per-subtree fold counts (0 = nothing to do; a subtree the
+    *         ladder never wrote — e.g. `url_index` when `urlCol` is
+    *         None — counts 0 too)
+    */
+  def maintainLadder(spark: SparkSession, root: String,
+                     committedBelow: Long,
+                     targetBytes: Long = 128L << 20): Map[String, Int] =
+    LadderSubtrees.map(s => s -> Layout.foldBatchPartitions(
+      spark, s"$root/$s", committedBelow, targetBytes)).toMap
+
+  /** Periodic RE-LADDER RECONCILIATION — the batch pass that closes
+    * [[admitBatchLadder]]'s one documented divergence from
+    * [[Dedup.ladder]]: a near-dup chain crossing ticks THROUGH a dropped
+    * doc (x admitted in tick 1; y ~ x dropped; z ~ y arrives later with
+    * z ≁ x). The ingest ladder rightly ADMITS z — at ingest time only
+    * corpus content can vouch for a drop — but the batch ladder's
+    * connected components drop z transitively, and a periodic
+    * reconciliation is how the steady-state corpus converges to the
+    * batch semantics.
+    *
+    * Mechanism: re-run the near rung's component pass over the STORED
+    * postings — the admitted index (`postings/`) plus the near-dropped
+    * evidence (`postings_dropped/`), i.e. every doc that ever reached
+    * the near rung, with no text re-read or re-tokenization — and emit
+    * the DELTA verdict relation: admitted docs whose component minimum
+    * is another doc (id, dropped_at='near'). Dropped docs supply the
+    * missing chain middles but are never re-verdicted (they are already
+    * gone). Under arrival-ordered ids every component's minimum is an
+    * admitted doc (a dropped doc always has a smaller admitted voucher
+    * in its component), so the delta is exactly the set the batch
+    * ladder would additionally drop given the same near-rung inputs.
+    *
+    * The delta is ADVISORY output — the caller applies it in the
+    * serialized tick window (delete the ids from `corpus/`, append the
+    * updated verdicts), or just measures the divergence rate (SCALE.md
+    * records it on a synthetic re-crawl stream).
+    *
+    * Scale: postings-sized self-join (the [[Dedup.jaccardProbe]] shape,
+    * `maxDocFreq` dials boilerplate) + integer connected components —
+    * corpus text is never touched. Cache lifetime: the returned relation
+    * reads a [[Materialize.multiScan]] cache; release with
+    * `unpersist`/`clearCache` after consuming it (the [[Dedup.ladder]]
+    * contract).
+    *
+    * @return (id, dropped_at='near') — one row per admitted doc the
+    *         batch near rung would have dropped
+    */
+  def reconcileNear(spark: SparkSession, root: String, tau: Double,
+                    maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(Layout.hasParquetData(spark, s"$root/postings"),
+      s"no admitted postings under $root/postings — run the ladder first")
+    val adm = spark.read.parquet(s"$root/postings")
+      .select(col("id"), col("m"), col("sh64"))
+    val all = indexIfExists(spark, s"$root/postings_dropped") match {
+      case Some(d) => adm.unionByName(d.select(col("id"), col("m"),
+        col("sh64")))
+      case None => adm
+    }
+    val allC = Materialize.multiScan(all)
+    val pairs = Dedup.jaccardProbe(allC, allC, tau, maxDocFreq)
+      .filter(col("batch_id") < col("corpus_id"))
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    Dedup.connectedComponents(pairs)
+      .join(adm.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"), lit("near").as("dropped_at"))
+  }
+}
+
+/** Per-rung drop-RATE drift monitor for the admission ladder — the
+  * signal a crawl operator actually pages on: a url-rung drop spike is
+  * a re-crawl storm, a near-rung spike a mirror farm, an exact-rung
+  * spike a feed replaying itself. One CUSUM ([[DataQuality.cusumTick]])
+  * per rung over the rung's drop rate in integer basis points; the
+  * counts arrive from [[IncrementalDedup.admitBatchLadder]]'s verdict
+  * write via `Dataset.observe` — computed inside the write's own pass,
+  * zero extra scans, zero extra actions.
+  *
+  * Driver-side, O(rungs + keep) memory. `mu` = expected steady drop
+  * rate (bp), `kappa` = slack, `h` = alarm threshold — the
+  * [[DataQuality.cusumTick]] dials, shared by all rungs (a per-rung
+  * dial would just be several monitors).
+  */
+final class LadderRungMonitor(val rungs: Seq[String] =
+                                Seq("url", "exact", "near"),
+                              mu: Long, kappa: Long, h: Long,
+                              keep: Int = 256) {
+  require(rungs.nonEmpty, "monitor needs at least one rung")
+  import LadderRungMonitor.RungTick
+
+  private val states =
+    scala.collection.mutable.Map.empty[String, DataQuality.CusumState]
+  private val ring = scala.collection.mutable.ArrayBuffer.empty[RungTick]
+
+  /** Advance every rung's CUSUM with one tick's observed metrics
+    * (`n` + `n_<rung>` counts, the observe column contract). An empty
+    * batch advances with rate 0 — a volume collapse must be seen. */
+  def tick(batchId: Long, metrics: Map[String, Any]): RungTick =
+    synchronized {
+      val n = metrics("n").asInstanceOf[Long]
+      val bp = rungs.map { r =>
+        val c = metrics(s"n_$r").asInstanceOf[Long]
+        r -> (if (n > 0) c * 10000L / n else 0L)
+      }.toMap
+      var up = Set.empty[String]
+      var down = Set.empty[String]
+      rungs.foreach { r =>
+        val st = states.getOrElse(r, DataQuality.CusumState(0L, 0L))
+        val (next, u, d) = DataQuality.cusumTick(st, bp(r), mu, kappa, h)
+        states(r) = next
+        if (u) up += r
+        if (d) down += r
+      }
+      val t = RungTick(batchId, n, bp, up, down)
+      ring += t
+      if (ring.size > keep) ring.remove(0)
+      t
+    }
+
+  /** Snapshot, oldest first. */
+  def ticks: Seq[RungTick] = synchronized(ring.toSeq)
+
+  /** Latest tick (None before the first). */
+  def latest: Option[RungTick] = synchronized(ring.lastOption)
+}
+
+object LadderRungMonitor {
+  /** One tick's reading: batch size, per-rung drop rate (bp), and the
+    * rungs whose CUSUM crossed the alarm threshold this tick. */
+  final case class RungTick(batchId: Long, n: Long,
+                            dropBp: Map[String, Long],
+                            alarmUp: Set[String], alarmDown: Set[String])
 }

@@ -403,6 +403,118 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         END AS dropped_at
       FROM documents d"""))
 
+  /** Re-ladder RECONCILIATION ([[graft.ext.IncrementalDedup.reconcileNear]])
+    * on a synthesized divergence corpus: every doc_id triple (x, y, z =
+    * roles 0, 1, 2 of group doc_id div 3) carries overlapping 8-word
+    * texts with J(x,y) = J(y,z) = 0.5 and J(x,z) = 0.2 — the exact
+    * cross-tick chain-through-a-dropped-doc shape the composed ladder
+    * documents as its one divergence from the batch ladder. Ticks:
+    * roles 0–1 first (y drops near against x), role 2 second (z passes
+    * the postings probe — nothing in the corpus resembles it). The
+    * reconciler re-runs the near rung's components over the STORED
+    * postings (admitted + near-dropped evidence) and must emit exactly
+    * the z docs. The oracle replays both ticks AND the reconciliation
+    * CC in one SQL — including the incomplete-group edges at the id
+    * range's ends, where the divergence does NOT occur.
+    */
+  val qReladder = Q("q_reladder",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_reladder").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", transform(
+          sequence(col("doc_id") % 3 * 2, col("doc_id") % 3 * 2 + 7),
+          k => concat(lit("g"), expr("doc_id div 3").cast("string"),
+            lit("w"), k.cast("string")))).as("text"))
+      graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text",
+        None, root, n = 3, tau = 0.5, batchId = 0L)
+      graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text",
+        None, root, n = 3, tau = 0.5, batchId = 1L)
+      graft.ext.IncrementalDedup.reconcileNear(s, root, tau = 0.5)
+        .select(col("id"), col("dropped_at"))
+    },
+    Some("""WITH RECURSIVE syn AS (
+        SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS role
+        FROM documents),
+      docsyn AS (
+        SELECT doc_id, array_to_string(list_transform(
+          generate_series(role*2, role*2 + 7),
+          k -> 'g' || grp || 'w' || k), ' ') AS text FROM syn),
+      docsw AS (SELECT doc_id, string_split(text, ' ') AS w FROM docsyn),
+      shs AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset FROM docsw),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM shs),
+      -- ============ tick 1: roles 0,1 (empty indexes) ============
+      t1 AS (SELECT doc_id FROM syn WHERE role <> 2),
+      p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN t1 sa ON sa.doc_id = a.doc_id
+        JOIN t1 sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.5),
+      edges1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+                 UNION SELECT id_b, id_a FROM p1),
+      reach1(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges1)
+        UNION
+        SELECT reach1.id, e.dst FROM reach1 JOIN edges1 e ON reach1.r = e.src),
+      nd1 AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach1 GROUP BY id) WHERE id <> c),
+      adm1 AS (SELECT doc_id FROM t1
+          WHERE doc_id NOT IN (SELECT doc_id FROM nd1)),
+      -- ============ tick 2: role 2, probing tick 1's postings ============
+      t2 AS (SELECT doc_id FROM syn WHERE role = 2),
+      n2i AS (SELECT DISTINCT id_a AS doc_id FROM (
+          SELECT a.doc_id AS id_a
+          FROM ex a JOIN ex b ON a.shingle = b.shingle
+          JOIN t2 sa ON sa.doc_id = a.doc_id
+          JOIN adm1 ab ON ab.doc_id = b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.m, b.m
+          HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.5)),
+      hosts AS (SELECT doc_id FROM t2
+          WHERE doc_id NOT IN (SELECT doc_id FROM n2i)),
+      p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN hosts sa ON sa.doc_id = a.doc_id
+        JOIN hosts sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.5),
+      edges2 AS (SELECT id_a AS src, id_b AS dst FROM p2
+                 UNION SELECT id_b, id_a FROM p2),
+      reach2(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges2)
+        UNION
+        SELECT reach2.id, e.dst FROM reach2 JOIN edges2 e ON reach2.r = e.src),
+      n2b AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach2 GROUP BY id) WHERE id <> c),
+      adm AS (SELECT doc_id FROM adm1 UNION
+              SELECT doc_id FROM hosts
+              WHERE doc_id NOT IN (SELECT doc_id FROM n2b)),
+      -- ===== reconcile: CC over ALL stored postings (adm + near-dropped)
+      stored AS (SELECT doc_id FROM adm
+                 UNION SELECT doc_id FROM nd1
+                 UNION SELECT doc_id FROM n2i
+                 UNION SELECT doc_id FROM n2b),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN stored sa ON sa.doc_id = a.doc_id
+        JOIN stored sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.5),
+      edgesr AS (SELECT id_a AS src, id_b AS dst FROM pr
+                 UNION SELECT id_b, id_a FROM pr),
+      reachr(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edgesr)
+        UNION
+        SELECT reachr.id, e.dst FROM reachr JOIN edgesr e ON reachr.r = e.src)
+      SELECT x.id, 'near' AS dropped_at
+      FROM (SELECT id, min(r) AS c FROM reachr GROUP BY id) x
+      JOIN adm ON adm.doc_id = x.id
+      WHERE x.id <> x.c"""))
+
   /** Decontamination MATRIX ([[Corpus.decontamMatrix]]): fraction,
     * benchmark-side containment, and exact-span coverage signals side
     * by side per corpus doc, with per-form verdicts, the union verdict,

@@ -749,6 +749,94 @@ class ExtOpsSpec extends AnyFunSuite {
       .as[(Long, Option[String])].collect().toMap
     assert(batch(11L) == Some("near"),
       "fixture must make the batch ladder drop 11 transitively")
+    // RECONCILIATION closes the divergence: CC over the stored postings
+    // (admitted + near-dropped evidence) finds the x—y—z chain and
+    // emits exactly z as the delta; the dropped middle y is never
+    // re-verdicted, the clean survivor x never flagged
+    val delta = graft.ext.IncrementalDedup.reconcileNear(spark, root,
+        tau = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(delta == Map(11L -> "near"), s"reconcile delta $delta")
+  }
+
+  test("maintainLadder: N ticks fold to batch=-1 per subtree, contents " +
+      "byte-stable, probes and reconciliation read the folded state") {
+    import spark.implicits._
+    import graft.ext.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_ladm").toString
+    val mkTick = (ids: Seq[Long]) => ids.map(i =>
+      (i, s"doc body $i unique words here", s"http://m.com/p/$i"))
+      .toDF("doc_id", "text", "url")
+    // three ticks, each writing all six subtrees
+    for ((ids, b) <- Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L)).zipWithIndex)
+      IncrementalDedup.admitBatchLadder(mkTick(ids), "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.5, batchId = b.toLong)
+    def snapshot(sub: String): Set[String] =
+      spark.read.parquet(s"$root/$sub").drop("batch")
+        .collect().map(_.toString).toSet
+    val before = IncrementalDedup.LadderSubtrees
+      .map(s => s -> snapshot(s)).toMap
+    val folded = IncrementalDedup.maintainLadder(spark, root,
+      committedBelow = 3L)
+    assert(IncrementalDedup.LadderSubtrees.forall(s => folded(s) == 3),
+      s"fold counts $folded")
+    for (s <- IncrementalDedup.LadderSubtrees) {
+      val dirs = new java.io.File(s"$root/$s").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == Set("batch=-1"), s"$s partitions after fold: $dirs")
+      assert(snapshot(s) == before(s), s"$s contents changed by fold")
+    }
+    // the folded indexes still vouch: a re-crawl of a folded page key
+    // and an exact copy of a folded doc's text are turned away
+    val v = IncrementalDedup.admitBatchLadder(
+      Seq((10L, "fresh content for this tick", "HTTP://M.COM/p/1"),
+        (11L, "doc body 3 unique words here", "http://m.com/new"),
+        (12L, "wholly novel page text body", "http://m.com/p/99"))
+        .toDF("doc_id", "text", "url"),
+      "doc_id", "text", Some("url"), root, n = 3, tau = 0.5, batchId = 3L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v == Map(10L -> Some("url"), 11L -> Some("exact"), 12L -> None),
+      s"post-fold tick $v")
+    // a second maintain folds the new tick's partitions into the pile
+    val folded2 = IncrementalDedup.maintainLadder(spark, root,
+      committedBelow = 4L)
+    assert(folded2.values.forall(_ == 2), s"refold counts $folded2")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 3L, 4L, 5L, 6L, 12L), s"corpus $corpus")
+  }
+
+  test("LadderRungMonitor: per-rung drop-rate CUSUM over observe " +
+      "counters catches an injected url-drop spike, no extra scans") {
+    import spark.implicits._
+    import graft.ext.{IncrementalDedup, LadderRungMonitor}
+    val root = java.nio.file.Files.createTempDirectory("graft_ladmon").toString
+    // steady state ~0 bp drops; alarm when the cumulative excess over
+    // (mu + kappa) = 1500 bp passes h = 4000 bp — a 50% url-drop storm
+    // (5000 bp/tick excess 3500) alarms on its second tick
+    val mon = new LadderRungMonitor(mu = 0L, kappa = 1500L, h = 4000L)
+    def tick(ids: Seq[Long], dupUrl: Boolean, b: Long) =
+      IncrementalDedup.admitBatchLadder(
+        ids.map(i => (i, s"text body $i distinct words",
+          if (dupUrl && i % 2 == 0) "http://s.com/same"
+          else s"http://s.com/p/$i")).toDF("doc_id", "text", "url"),
+        "doc_id", "text", Some("url"), root, n = 3, tau = 0.5,
+        batchId = b, monitor = Some(mon))
+    tick(Seq(1L, 2L, 3L, 4L), dupUrl = false, b = 0L)
+    tick(Seq(11L, 12L, 13L, 14L), dupUrl = false, b = 1L)
+    assert(mon.ticks.size == 2 && mon.ticks.forall(_.alarmUp.isEmpty),
+      s"steady ticks must not alarm: ${mon.ticks}")
+    assert(mon.ticks.forall(t => t.n == 4 && t.dropBp("url") == 0L))
+    // re-crawl storm: half of each batch collapses onto one url key
+    tick(Seq(21L, 22L, 23L, 24L), dupUrl = true, b = 2L)
+    assert(mon.latest.get.dropBp("url") == 2500L &&
+      mon.latest.get.alarmUp.isEmpty, s"one storm tick: ${mon.latest}")
+    tick(Seq(31L, 32L, 33L, 34L), dupUrl = true, b = 3L)
+    tick(Seq(41L, 42L, 43L, 44L), dupUrl = true, b = 4L)
+    assert(mon.latest.get.alarmUp == Set("url"),
+      s"sustained storm must alarm the url rung: ${mon.latest}")
+    assert(mon.ticks.forall(t => t.alarmUp.subsetOf(Set("url"))),
+      s"no other rung may alarm: ${mon.ticks}")
   }
 
   test("URL admission loop: stored canonical-key index, variants " +
