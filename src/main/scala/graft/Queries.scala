@@ -41,6 +41,7 @@ object Queries
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
+    qUrlDomainCardPsl,
     qDedupLadder, qAdmissionLadder, qReladder,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,

@@ -166,8 +166,9 @@ object Dedup {
     * Production swaps in the full ~9k-rule list (same shape, one string
     * per rule); the matching logic ([[registeredDomain]]) is list-size
     * agnostic. Wildcard (`*.ck`) and exception (`!www.ck`) rules are
-    * deliberately out of contract — they cover a handful of registries
-    * and need the full list anyway.
+    * out of the SCALAR form's contract; the rules-TABLE form
+    * ([[registeredDomainFromRules]], r16) implements them in full and
+    * is the broadcast-join shape the 9k-rule list should ride anyway.
     */
   val publicSuffixes: Seq[String] = Seq(
     "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai",
@@ -246,6 +247,106 @@ object Dedup {
     urlHostCard(df, idCol, urlCol)
       .select(registeredDomain(col("host"), suffixes).as("reg_domain"),
         col("n_crawls"), col("n_pages"))
+      .groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("n_hosts"), sum(col("n_crawls")).as("n_crawls"),
+        sum(col("n_pages")).as("n_pages"))
+      .select(col("reg_domain"), col("n_hosts"), col("n_crawls"),
+        col("n_pages"),
+        expr("((n_crawls - n_pages) * 10000) div n_crawls").as("dup_bp"))
+
+  /** FULL Public-Suffix-List matching over a RULES TABLE — the form the
+    * real ~9k-rule list rides (the documented trade at
+    * [[registeredDomain]]: a per-row scan of a 9k-element array literal
+    * loses to a broadcast hash join), with the two PSL rule kinds the
+    * scalar subset leaves out of contract:
+    *
+    *  - wildcard `*.ck` — every single label is a public suffix UNDER
+    *    ck, so `shop.stores.ck` registers `shop.stores.ck` (suffix =
+    *    `stores.ck`), not `stores.ck`;
+    *  - exception `!www.ck` — carves `www.ck` back OUT of the wildcard:
+    *    its public suffix is the rule minus its leftmost label (`ck`),
+    *    so `www.ck` is itself registrable.
+    *
+    * Algorithm (publicsuffix.org): exception rules take absolute
+    * priority; otherwise the prevailing rule is the matching rule with
+    * the MOST labels; no match falls to the implicit `*` rule (TLD =
+    * last label). Registered domain = prevailing suffix + one label;
+    * a host that IS a public suffix maps to itself; a single-label
+    * unmatched host maps to itself.
+    *
+    * Shape: the input is expected to be HOST-cardinality (the rollup
+    * sits above page-level aggregation, as in [[urlHostCard]]), so the
+    * label-suffix explode is ≤ ~5 rows per host; rules ride ONE
+    * broadcast hash join keyed on the candidate string (wildcard rules
+    * are keyed on their tail with a "needs a preceding label" predicate,
+    * exceptions on their full labels with the suffix count shortened by
+    * one), and the per-host argmax is a keyed aggregate over match
+    * rows. Nothing wider than (host, candidate) ever shuffles.
+    *
+    * @param rules one string column `rule` in raw PSL line syntax
+    *              (`co.uk`, `*.ck`, `!www.ck`)
+    * @return `hosts` with `out` (the registered domain) appended
+    */
+  def registeredDomainFromRules(hosts: DataFrame, hostCol: String,
+                                rules: DataFrame,
+                                out: String = "reg_domain"): DataFrame = {
+    val prepped = rules.select(
+        when(col("rule").startsWith("!"), expr("substring(rule, 2)"))
+          .when(col("rule").startsWith("*."), expr("substring(rule, 3)"))
+          .otherwise(col("rule")).as("key"),
+        when(col("rule").startsWith("!"), lit(2))
+          .when(col("rule").startsWith("*."), lit(1))
+          .otherwise(lit(0)).as("kind"))
+      .withColumn("sufn",
+        when(col("kind") === 2, size(split(col("key"), "\\.")) - 1)
+          .when(col("kind") === 1, size(split(col("key"), "\\.")) + 1)
+          .otherwise(size(split(col("key"), "\\."))))
+    val labeled = hosts.withColumn("__ls", split(col(hostCol), "\\."))
+      .withColumn("__n", size(col("__ls")))
+    // every label-suffix of the host, with its 1-based start position:
+    // a wildcard's * consumes the label BEFORE the key match, so the
+    // match is only valid from position 2 on
+    val cands = labeled.select(col(hostCol).as("__h"), col("__n"),
+        posexplode(transform(sequence(lit(1), col("__n")),
+          i => array_join(slice(col("__ls"), i, col("__n")), "."))))
+      .select(col("__h"), (col("pos") + 1).as("__i"),
+        col("col").as("__cand"))
+    // exception priority rides the struct-max: (is_exception, sufn) —
+    // any exception outranks every normal/wildcard match; within a
+    // priority class the most-labels rule prevails (the PSL rule)
+    val matched = cands.join(broadcast(prepped),
+        col("__cand") === col("key") &&
+          (col("kind") =!= 1 || col("__i") >= 2))
+      .groupBy(col("__h"))
+      .agg(max(struct((col("kind") === 2).cast("int").as("exc"),
+        col("sufn").as("s"))).as("__best"))
+      .select(col("__h"), col("__best.s").as("__s"))
+    labeled.join(matched, labeled(hostCol) === matched("__h"), "left")
+      .withColumn(out,
+        when(col("__s").isNull,
+          when(col("__n") >= 2,
+            array_join(slice(col("__ls"), col("__n") - 1, lit(2)), "."))
+            .otherwise(col(hostCol)))
+          .when(col("__s") >= col("__n"), col(hostCol))
+          .otherwise(array_join(
+            slice(col("__ls"), col("__n") - col("__s"), col("__s") + 1),
+            ".")))
+      .drop("__ls", "__n", "__h", "__s")
+  }
+
+  /** [[urlRegisteredDomainCard]] under FULL PSL semantics — the rules-
+    * table form ([[registeredDomainFromRules]]): same page-key shuffle
+    * and host rollup, the eTLD+1 resolution now a broadcast join against
+    * an arbitrary rule table (wildcards and exceptions included) instead
+    * of the embedded-subset scalar. Under a rules table equal to
+    * [[publicSuffixes]] the two forms agree row for row (spec-pinned).
+    *
+    * @return (reg_domain, n_hosts, n_crawls, n_pages, dup_bp)
+    */
+  def urlRegisteredDomainCardRules(df: DataFrame, idCol: String,
+                                   urlCol: String,
+                                   rules: DataFrame): DataFrame =
+    registeredDomainFromRules(urlHostCard(df, idCol, urlCol), "host", rules)
       .groupBy(col("reg_domain"))
       .agg(count(lit(1)).as("n_hosts"), sum(col("n_crawls")).as("n_crawls"),
         sum(col("n_pages")).as("n_pages"))

@@ -229,6 +229,108 @@ private[graft] trait QueriesDedup { this: Queries.type =>
                * 10000 // CAST(sum(n_crawls) AS BIGINT) AS dup_bp
       FROM rd2 GROUP BY reg_domain"""))
 
+  /** FULL-PSL registered-domain rollup
+    * ([[Dedup.urlRegisteredDomainCardRules]]) — the rules-TABLE form
+    * with wildcard and exception rules live: the `*.ck` wildcard makes
+    * each `shop{k}.stores.ck` its own registrant (a naive suffix table
+    * would merge them into `stores.ck`), the `!www.ck` exception carves
+    * `www.ck` back out as registrable, the `farm.co.uk` mirror shards
+    * still concentrate, and an unmatched host takes the implicit `*`
+    * rule. The oracle replays the entire PSL algorithm — rule parsing,
+    * the candidate×rule join with the wildcard's preceding-label
+    * constraint, exception priority, most-labels prevail, both fallback
+    * branches — over the same rule list in DuckDB.
+    */
+  private val pslRules: Seq[String] =
+    graft.ext.Dedup.publicSuffixes ++ Seq("*.ck", "!www.ck")
+  private val pslRulesSql: String =
+    pslRules.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val qUrlDomainCardPsl = Q("q_url_domain_card_psl",
+    (s, dir) => {
+      import s.implicits._
+      val m = col("doc_id") % 5
+      val p = (col("doc_id") % 200).cast("string")
+      val u = when(m === 0, concat(lit("http://s"),
+          (col("doc_id") % 8).cast("string"), lit(".farm"),
+          (col("doc_id") % 2).cast("string"), lit(".co.uk/p/"), p))
+        .when(m === 1, concat(lit("http://www.ck/a/"), p))
+        .when(m === 2, concat(lit("http://shop"),
+          (col("doc_id") % 4).cast("string"), lit(".stores.ck/x/"), p))
+        .when(m === 3, concat(lit("http://www.site"),
+          (col("doc_id") % 7).cast("string"), lit(".com/a/"), p))
+        .otherwise(concat(lit("http://a"),
+          (col("doc_id") % 3).cast("string"), lit(".b.unknowntld/q/"), p))
+      Dedup.urlRegisteredDomainCardRules(
+        t(s, dir, "documents").select(col("doc_id"), u.as("url")),
+        "doc_id", "url", pslRules.toDF("rule"))
+    },
+    Some(s"""WITH urls AS (
+        SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'http://s' || CAST(doc_id % 8 AS STRING) || '.farm'
+                      || CAST(doc_id % 2 AS STRING) || '.co.uk/p/'
+                      || CAST(doc_id % 200 AS STRING)
+          WHEN 1 THEN 'http://www.ck/a/' || CAST(doc_id % 200 AS STRING)
+          WHEN 2 THEN 'http://shop' || CAST(doc_id % 4 AS STRING)
+                      || '.stores.ck/x/' || CAST(doc_id % 200 AS STRING)
+          WHEN 3 THEN 'http://www.site' || CAST(doc_id % 7 AS STRING)
+                      || '.com/a/' || CAST(doc_id % 200 AS STRING)
+          ELSE 'http://a' || CAST(doc_id % 3 AS STRING)
+               || '.b.unknowntld/q/' || CAST(doc_id % 200 AS STRING)
+        END AS url FROM documents),
+      k AS (SELECT doc_id, regexp_replace(url, '^http://', '') AS url_key
+            FROM urls),
+      g AS (SELECT url_key, count(*) AS n_copies FROM k GROUP BY url_key),
+      hh AS (SELECT regexp_extract(url_key, '^[^/?]*') AS host, n_copies
+             FROM g),
+      hc AS (SELECT host, CAST(sum(n_copies) AS BIGINT) AS n_crawls,
+               count(*) AS n_pages FROM hh GROUP BY host),
+      rules AS (SELECT unnest($pslRulesSql) AS rule),
+      pr AS (SELECT
+               CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                    WHEN rule LIKE '*.%' THEN substr(rule, 3)
+                    ELSE rule END AS key,
+               CASE WHEN rule LIKE '!%' THEN 2
+                    WHEN rule LIKE '*.%' THEN 1 ELSE 0 END AS kind
+             FROM rules),
+      pr2 AS (SELECT key, kind,
+               CASE kind WHEN 2 THEN len(string_split(key, '.')) - 1
+                         WHEN 1 THEN len(string_split(key, '.')) + 1
+                         ELSE len(string_split(key, '.')) END AS sufn
+             FROM pr),
+      cand AS (SELECT host, i,
+                 array_to_string(string_split(host, '.')[i:], '.') AS cand
+               FROM (SELECT host, unnest(generate_series(1,
+                       len(string_split(host, '.')))) AS i FROM hc)),
+      mm AS (SELECT c.host,
+               max(CASE WHEN p.kind = 2 THEN 1 ELSE 0 END) AS has_exc,
+               max(CASE WHEN p.kind = 2 THEN p.sufn END) AS exc_s,
+               max(CASE WHEN p.kind <> 2 THEN p.sufn END) AS norm_s
+             FROM cand c JOIN pr2 p
+               ON c.cand = p.key AND (p.kind <> 1 OR c.i >= 2)
+             GROUP BY c.host),
+      sel AS (SELECT host,
+               CASE WHEN has_exc = 1 THEN exc_s ELSE norm_s END AS s
+             FROM mm),
+      rd AS (SELECT hc.host, hc.n_crawls, hc.n_pages,
+               string_split(hc.host, '.') AS ls, sel.s
+             FROM hc LEFT JOIN sel USING (host)),
+      rd2 AS (SELECT n_crawls, n_pages,
+               CASE WHEN s IS NULL THEN
+                      CASE WHEN len(ls) >= 2
+                           THEN array_to_string(ls[len(ls)-1:], '.')
+                           ELSE host END
+                    WHEN s >= len(ls) THEN host
+                    ELSE array_to_string(ls[len(ls)-s:], '.')
+               END AS reg_domain
+             FROM rd)
+      SELECT reg_domain, count(*) AS n_hosts,
+             CAST(sum(n_crawls) AS BIGINT) AS n_crawls,
+             CAST(sum(n_pages) AS BIGINT) AS n_pages,
+             (CAST(sum(n_crawls) AS BIGINT) - CAST(sum(n_pages) AS BIGINT))
+               * 10000 // CAST(sum(n_crawls) AS BIGINT) AS dup_bp
+      FROM rd2 GROUP BY reg_domain"""))
+
   /** The sequential dedup ladder ([[Dedup.ladder]]): url → exact →
     * near-dup, each rung over the previous rung's survivors, one
     * per-doc verdict relation (id, dropped_at). The oracle replays the

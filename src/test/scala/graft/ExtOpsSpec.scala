@@ -605,6 +605,50 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("registeredDomainFromRules: full PSL semantics — wildcard and " +
+      "exception rules, most-labels prevail, both fallbacks; equals the " +
+      "scalar form under the embedded subset") {
+    import spark.implicits._
+    val rules = (Dedup.publicSuffixes ++ Seq("*.ck", "!www.ck"))
+      .toDF("rule")
+    val cases = Seq(
+      // wildcard: every single label under ck is a public suffix
+      ("shop.stores.ck", "shop.stores.ck"),
+      ("deep.shop.stores.ck", "shop.stores.ck"),
+      // host IS a (wildcard-derived) public suffix: maps to itself
+      ("stores.ck", "stores.ck"),
+      // bare ck: the wildcard needs a preceding label, no rule matches
+      // a single label — implicit-* single-label fallback
+      ("ck", "ck"),
+      // exception carves www.ck back out: registrable itself
+      ("www.ck", "www.ck"),
+      ("sub.www.ck", "www.ck"),
+      // the scalar contract still holds through the table form
+      ("a.b.site.co.uk", "site.co.uk"),
+      ("proj.github.io", "proj.github.io"),
+      ("co.uk", "co.uk"),
+      ("node1.cluster.internal", "cluster.internal"),
+      ("localhost", "localhost"))
+    val got = Dedup.registeredDomainFromRules(
+        cases.map(_._1).toDF("h"), "h", rules)
+      .select(col("h"), col("reg_domain")).as[(String, String)]
+      .collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"psl('$in') = '${got(in)}', want '$want'")
+    }
+    // parity: under the embedded subset (no wildcard/exception rules)
+    // the table form and the scalar form agree on every fixture host
+    val hosts = cases.map(_._1).filterNot(_.endsWith("ck")).toDF("h")
+    val table = Dedup.registeredDomainFromRules(hosts, "h",
+        Dedup.publicSuffixes.toDF("rule"))
+      .select(col("h"), col("reg_domain")).as[(String, String)]
+      .collect().toMap
+    val scalar = hosts.select(col("h"),
+        Dedup.registeredDomain(col("h")).as("d"))
+      .as[(String, String)].collect().toMap
+    assert(table == scalar, s"table $table != scalar $scalar")
+  }
+
   test("urlRegisteredDomainCard: the mirror farm host-level rollups " +
       "miss concentrates into one eTLD+1 row") {
     import spark.implicits._
