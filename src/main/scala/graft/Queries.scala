@@ -73,7 +73,7 @@ object Queries
     qBpeFertility, qUnigramLearn, qUnigramEncode, qUnigramSample, qTokenizerFertility,
     qHeavyHitters,
     qLmSurprisal, qSurprisalFrozen, qLmBigram, qLmBackoff, qQualityScore,
-    qScoreCard, qScoreThresholds,
+    qScoreCard, qScoreThresholds, qScoreCalibration,
     qDsirSelect,
     qDsirResample, qPerplexityBuckets, qGopherRules, qC4Rules,
     qGopherRepetition,

@@ -1051,6 +1051,58 @@ object Corpus {
           expr("(n_pos_kept * 10000) div total_pos")).as("recall_bp"))
   }
 
+  /** CALIBRATION companion of [[scoreCard]]/[[scoreThresholds]] — the
+    * reliability read a gate needs once its score CLAIMS a probability
+    * scale: [[scoreCard]] measures ranking (AUC) and [[scoreThresholds]]
+    * the operating points, but a score used as "this document is good
+    * with probability p" must also be RIGHT about p. Per equal-mass bin
+    * over the predicted rate (integer basis points, 0..10000): volume,
+    * positives, the OBSERVED positive rate, the mean IMPLIED rate, and
+    * their absolute gap — the reliability-diagram table — plus the
+    * pooled expected calibration error ECE = Σ n_b·|obs_b − pred_b| / N
+    * (Naeini et al. 2015's equal-mass form), repeated on every row the
+    * way [[scoreCard]] carries auc_bp. A monotone pos_bp profile with
+    * small gaps is what "the score means what it says" looks like; a
+    * high-AUC score with large gaps ranks well but lies about rates —
+    * exactly the case where a threshold picked by implied rate admits
+    * garbage.
+    *
+    * Shape: the same distributed closed-form ntile as [[scoreCard]]
+    * (one rank pass, no single-partition sort, nothing buffers values),
+    * one nBins-row aggregate, and the one-row pooled ECE cross-joined
+    * back broadcast. All integer: obs/pred/gap are exact bp, the ECE
+    * numerator Σ n·gap ≤ N·10⁴ stays far inside long range below ~10¹⁴
+    * rows (the per-operand bound, documented rather than DECIMAL'd —
+    * the factors are bp-bounded, unlike the rank products
+    * [[scoreCard]] must DECIMAL).
+    *
+    * @param predBpCol predicted positive rate in basis points (0..10000)
+    * @param labelCol  boolean (or 0/1-castable) column
+    * @return one row per bin: (bin, n, n_pos, obs_bp, pred_bp,
+    *         pred_min, pred_max, gap_bp, ece_bp) — ece_bp repeated
+    */
+  def scoreCalibration(df: DataFrame, predBpCol: String, labelCol: String,
+                       idCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val base = df.select(col(idCol).as("id"),
+      col(predBpCol).cast("long").as("p"),
+      col(labelCol).cast("boolean").cast("int").cast("long").as("y"))
+    val binned = Prefix.stratifiedNtile(base.withColumn("__all", lit(1)),
+      Seq(col("__all")), Seq(col("p"), col("id")), nBins, "bin")
+    val bins = Materialize.multiScan(binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).as("psum"),
+        min(col("p")).as("pred_min"), max(col("p")).as("pred_max"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 10000) div n").as("obs_bp"),
+        expr("psum div n").as("pred_bp"),
+        col("pred_min"), col("pred_max"))
+      .withColumn("gap_bp", abs(col("obs_bp") - col("pred_bp"))))
+    val ece = bins.agg(
+      expr("sum(n * gap_bp) div sum(n)").cast("long").as("ece_bp"))
+    bins.crossJoin(broadcast(ece))
+  }
+
   /** fastText-style linear quality classifier (Joulin et al. 2016 "Bag
     * of Tricks for Efficient Text Classification" — the standard
     * quality-filter scorer of web-scale curation pipelines, cf. GPT-3 /

@@ -331,6 +331,74 @@ private[graft] trait QueriesScorers { this: Queries.type =>
       FROM bins t JOIN bins u ON u.bin >= t.bin CROSS JOIN tot x
       GROUP BY t.bin, t.score_min, x.total_pos"""))
 
+  /** Calibration card ([[Corpus.scoreCalibration]]): per equal-mass
+    * bin, observed vs implied positive rate + pooled ECE, for a
+    * probability-scaled score — the fixture maps the quality logit
+    * through a fixed monotone bp squash (5000 + 100·logit, clamped to
+    * [0, 10000]) so the "implied rate" axis is deterministic and
+    * integer. The oracle replays the scorer, the squash, the
+    * native-ntile bins, and the gap/ECE arithmetic.
+    */
+  val qScoreCalibration = Q("q_score_calibration",
+    (s, dir) => {
+      val w = s.range(1024).select(col("id").as("bucket"),
+        (pmod(graft.ext.TextOps.portableHash(col("id").cast("string")),
+          lit(21L)) - 10).as("w"))
+      val docs = t(s, dir, "documents")
+      val scored = Corpus.qualityScore(docs, "doc_id", "text", w,
+        nBuckets = 1024, thrMilli = 0L)
+      Corpus.scoreCalibration(
+        scored.join(docs.select(col("doc_id").as("id"),
+            (col("lang") === "en").as("is_en")), Seq("id"))
+          .withColumn("pred_bp",
+            least(greatest(lit(5000L) + col("logit") * 100, lit(0L)),
+              lit(10000L))),
+        "pred_bp", "is_en", "id", nBins = 10)
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(
+          trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+        FROM documents),
+      w AS (SELECT i AS bucket,
+          ('0x'||substr(md5(i::VARCHAR),1,15))::BIGINT % 21 - 10 AS w
+        FROM range(0, 1024) t(i)),
+      feats AS (
+        SELECT doc_id, unnest(toks) AS f FROM d WHERE NOT toks = ['']
+        UNION ALL
+        SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE NOT toks = ['']),
+      fb AS (SELECT doc_id,
+          ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket FROM feats),
+      scored AS (
+        SELECT fb.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS logit
+        FROM fb LEFT JOIN w USING (bucket) GROUP BY fb.doc_id),
+      lab AS (SELECT s.doc_id AS id,
+               least(greatest(5000 + s.logit * 100, 0), 10000) AS p,
+               (dd.lang = 'en') AS y
+             FROM scored s JOIN documents dd USING (doc_id)),
+      binned AS (SELECT id, p, y,
+          CAST(ntile(10) OVER (ORDER BY p, id) AS INTEGER) AS bin
+        FROM lab),
+      bins AS (SELECT bin, count(*) AS n,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+               sum(p) AS psum, min(p) AS pred_min, max(p) AS pred_max
+             FROM binned GROUP BY 1),
+      b2 AS (SELECT bin, CAST(n AS BIGINT) AS n,
+               CAST(np AS BIGINT) AS n_pos,
+               CAST(np * 10000 // n AS BIGINT) AS obs_bp,
+               CAST(psum // n AS BIGINT) AS pred_bp,
+               CAST(pred_min AS BIGINT) AS pred_min,
+               CAST(pred_max AS BIGINT) AS pred_max
+             FROM bins),
+      b3 AS (SELECT *, abs(obs_bp - pred_bp) AS gap_bp FROM b2),
+      ece AS (SELECT CAST(sum(n * gap_bp) // sum(n) AS BIGINT) AS ece_bp
+              FROM b3)
+      SELECT b3.bin, b3.n, b3.n_pos, b3.obs_bp, b3.pred_bp, b3.pred_min,
+             b3.pred_max, b3.gap_bp, e.ece_bp
+      FROM b3 CROSS JOIN ece e"""))
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
     * source's documents by self-trained LM surprisal and cut into
     * head/middle/tail terciles — the standard "keep head+middle, drop

@@ -1358,6 +1358,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(noPos.forall(_.isEmpty), "no positives must report NULL recall")
   }
 
+  test("scoreCalibration: observed-vs-implied per equal-mass bin on a " +
+      "tie-heavy prediction set, pooled ECE hand-computed; a perfectly " +
+      "calibrated score reads zero") {
+    import spark.implicits._
+    // two massive prediction ties (2000 bp × 4 rows, 8000 bp × 4 rows):
+    // the ntile splits ties by id, each bin's implied rate is exact
+    val docs = Seq(
+      (1L, 2000L, false), (2L, 2000L, true),
+      (3L, 2000L, false), (4L, 2000L, false),
+      (5L, 8000L, true), (6L, 8000L, true),
+      (7L, 8000L, true), (8L, 8000L, false))
+      .toDF("id", "p", "y")
+    val got = Corpus.scoreCalibration(docs, "p", "y", "id", nBins = 4)
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // ECE = (2·3000 + 2·2000 + 2·2000 + 2·3000) / 8 = 2500 bp
+    assert(got(1) == ((1, 2L, 1L, 5000L, 2000L, 2000L, 2000L, 3000L, 2500L)),
+      s"bin1 ${got(1)}")
+    assert(got(2) == ((2, 2L, 0L, 0L, 2000L, 2000L, 2000L, 2000L, 2500L)))
+    assert(got(3) == ((3, 2L, 2L, 10000L, 8000L, 8000L, 8000L, 2000L, 2500L)))
+    assert(got(4) == ((4, 2L, 1L, 5000L, 8000L, 8000L, 8000L, 3000L, 2500L)))
+    // perfectly calibrated (deterministic 0/10000 predictions, labels
+    // to match): every gap 0, pooled ECE 0
+    val calib = Seq((1L, 0L, false), (2L, 10000L, true)).toDF("id", "p", "y")
+    assert(Corpus.scoreCalibration(calib, "p", "y", "id", nBins = 2)
+      .select("gap_bp", "ece_bp").as[(Long, Long)].collect()
+      .forall(t => t._1 == 0L && t._2 == 0L))
+  }
+
   test("langIdModel: beats the stopword/script heuristic on short " +
       "Latin-script docs the heuristic can only call 'und'") {
     val train = langSeeds.toDF("doc_id", "lang", "text")
