@@ -42,7 +42,7 @@ object Queries
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
     qUrlDomainCardPsl,
-    qDedupLadder, qAdmissionLadder, qReladder,
+    qDedupLadder, qAdmissionLadder, qReladder, qIngestLadder,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupJaccardSteady,
@@ -113,6 +113,18 @@ object Queries
     * the practical form (2.2 s vs 15.5 s warm at sf0.1) — timing a
     * superseded route every round cost 13% of the bench wall and added
     * nothing a sf0.01 hash row doesn't already prove.
+    *
+    * The three ladder COMPOSITION tests (`q_admission_ladder`,
+    * `q_ingest_ladder`, `q_reladder`) are side-effectful by design —
+    * two full ingest ticks each, writing 5–6 parquet subtrees per tick
+    * to a temp root, so warm ≈ cold and the timed number measures
+    * parquet-commit I/O, not a plan (the r15 verdict's
+    * `q_admission_ladder` finding: 7.9 s cold / 7.1 s warm, the bench's
+    * slowest row, all of it composition-test I/O). Their per-tick cost
+    * is measured where it means something: the `admission_ladder_tick`
+    * and `ingest_ladder_tick` rows of `BENCH_sf1eq.json`, against real
+    * persisted indexes at two scales.
     */
-  val slowTier: Set[String] = Set("dedup_substr_exact_sa")
+  val slowTier: Set[String] = Set("dedup_substr_exact_sa",
+    "q_admission_ladder", "q_ingest_ladder", "q_reladder")
 }

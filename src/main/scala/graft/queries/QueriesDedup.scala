@@ -505,6 +505,247 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         END AS dropped_at
       FROM documents d"""))
 
+  /** The UNIFIED single-pass ingest ladder
+    * ([[graft.ext.IngestLadder.admitBatch]]): url → exact → quality
+    * battery → near, ONE batch pass, ONE tokenize, ONE verdict relation
+    * — the r15 q_admission_ladder and q_corpus_curation stacks composed
+    * into the single foreachBatch body a production crawl runs. Two
+    * ingest ticks (doc_id % 3 = 0 first) through the persistent
+    * url-key / fingerprint / postings indexes, the gate rungs being the
+    * curation battery's heuristic gates (quality → repetition → lang,
+    * the q_corpus_curation scorers with dials chosen so EVERY rung
+    * fires on this fixture). The oracle replays BOTH ticks end to
+    * end in one DuckDB SQL — url windows + key probes, fingerprint
+    * windows + fp probes, all three gate verdicts on the survivors,
+    * the admitted-postings near probe, and the recursive-CTE
+    * components — so rung ORDER across both stacks (a quality-dropped
+    * doc never vouches for a near drop; a gate-dropped doc's key/fp
+    * still turn away re-arrivals) is pinned, not just each rung.
+    */
+  // planted ingest fixtures, all on url-surviving ids (< 200), all
+  // stopword-rich so the lang gate keeps them: an A-family near chain
+  // split across ticks (66 admitted in tick 1; 23/137 arrive in tick 2
+  // and drop via the stored-postings probe), a B-family in-batch near
+  // pair inside tick 2 (131 drops by components, 29 survives), and a
+  // % 89 = 11 tripled-phrase family that is BOTH exact-duplicated
+  // (ids 11/100/189 share one text) and 5-gram-repetitious (the tick-1
+  // survivor 189 passes exact then drops at the repetition gate — and
+  // its fingerprint STILL turns away tick 2's copies, the known-bad
+  // provenance rule, at oracle level)
+  private val ingA1 = "the quick brown fox jumps over the lazy dog and " +
+    "the rain falls on the quiet green hill by the old stone bridge"
+  private val ingA2 = "the quick brown fox jumps over the lazy dog and " +
+    "the rain falls on the quiet green hill by the new iron tower"
+  private val ingA3 = "the quick brown fox jumps over the lazy dog and " +
+    "the rain falls on the quiet green hill by the far white cliff"
+  private val ingB1 = "a small boat sails with the wind across the wide " +
+    "blue sea as the sun sets behind the tall dark cliffs tonight"
+  private val ingB2 = "a small boat sails with the wind across the wide " +
+    "blue sea as the sun sets behind the old grey rocks today"
+  private val ingRep =
+    ("the cat and the dog in the house of the king " * 3).trim
+
+  val qIngestLadder = Q("q_ingest_ladder",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_ingladder").toString
+      val textCol = when(col("doc_id") === 66, lit(ingA1))
+        .when(col("doc_id") === 23, lit(ingA2))
+        .when(col("doc_id") === 137, lit(ingA3))
+        .when(col("doc_id") === 29, lit(ingB1))
+        .when(col("doc_id") === 131, lit(ingB2))
+        .when(col("doc_id") % 89 === 11, lit(ingRep))
+        .otherwise(col("text"))
+      // planted docs get their own single-crawl addresses so they reach
+      // the content rungs at EVERY scale factor (under the shared six-
+      // variant scheme, any page with a tick-1 sibling url-drops its
+      // tick-2 members before the rungs under test can fire)
+      val planted = col("doc_id").isin(66L, 23L, 137L, 29L, 131L) ||
+        col("doc_id") % 89 === 11
+      val urlCol2 = when(planted,
+        concat(lit("http://plant.org/"), col("doc_id").cast("string")))
+        .otherwise(syntheticUrl)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        textCol.as("text"), urlCol2.as("url"))
+      val gates: Seq[graft.ext.IngestLadder.Gate] = Seq(
+        "quality" -> (c => c.filter(TextOps.qualityFromCounts(
+          TextOps.nTokens(col("raw")), TextOps.nStopwords(col("raw")),
+          TextOps.nPunct(col("raw")), length(col("raw"))) >= 55)
+          .select(col("id"))),
+        "repetition" -> { c =>
+          val total5 = greatest(size(col("ts")) - 4, lit(0))
+          val uniq5 = size(Dedup.wordShinglesUdf(col("t"), 5))
+          val repBp = when(total5 > 0,
+            floor(((total5 - uniq5) * 10000) / total5))
+            .otherwise(lit(0)).cast("long")
+          c.filter(repBp <= 6000).select(col("id"))
+        },
+        "lang" -> (c => c.filter(
+          TextOps.langIdHeuristic(col("raw")) === "en")
+          .select(col("id"))))
+      val v1 = graft.ext.IngestLadder.admitBatch(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        Some("url"), gates, root, n = 3, tau = 0.25, batchId = 0L)
+      val v2 = graft.ext.IngestLadder.admitBatch(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        Some("url"), gates, root, n = 3, tau = 0.25, batchId = 1L)
+      v1.unionByName(v2).select(col("id"), col("dropped_at"))
+    },
+    Some("WITH RECURSIVE " + urlCanonCtes.stripPrefix("WITH ") + s""",
+      docsrc AS (SELECT doc_id, CASE
+          WHEN doc_id = 66 THEN '$ingA1'
+          WHEN doc_id = 23 THEN '$ingA2'
+          WHEN doc_id = 137 THEN '$ingA3'
+          WHEN doc_id = 29 THEN '$ingB1'
+          WHEN doc_id = 131 THEN '$ingB2'
+          WHEN doc_id % 89 = 11 THEN '$ingRep'
+          ELSE text END AS text
+        FROM documents),
+      s6p AS (SELECT doc_id,
+          CASE WHEN doc_id IN (66, 23, 137, 29, 131) OR doc_id % 89 = 11
+               THEN 'plant.org/' || doc_id ELSE url_key END AS url_key
+        FROM s6),
+      fps AS (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM docsrc),
+      docsw AS (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+        FROM docsrc),
+      shs AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset FROM docsw),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM shs),
+      bq AS (SELECT doc_id,
+          len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+          len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+              x -> x IN ($stopList))) AS n_stop,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+          length(text) AS n_chars,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+               WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+               WHEN regexp_matches(text, '[\\x{0900}-\\x{097f}]') THEN 'hi'
+               WHEN len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                   x -> x IN ($stopList))) * 8 >= len(regexp_extract_all(text, '\\S+'))
+                 THEN 'en' ELSE 'und' END AS lang_pred,
+          greatest(len(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' '))-4, 0) AS total5,
+          len(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' '))-4, 0)),
+            i -> array_to_string(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')[i:i+4], ' ')))) AS uniq5
+        FROM docsrc),
+      gsc AS (SELECT doc_id, lang_pred,
+          (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 10
+                WHEN n_tokens < 20 THEN n_tokens // 2
+                ELSE 10000 // n_tokens END) * 5
+          + least((n_stop * 50) // greatest(n_tokens, 1), 10) * 3
+          + (10 - least((n_punct * 50) // greatest(n_chars, 1), 10)) * 2 AS quality,
+          CASE WHEN total5 > 0 THEN ((total5 - uniq5) * 10000) // total5
+               ELSE 0 END AS rep_bp
+        FROM bq),
+      -- ============ tick 1: doc_id % 3 = 0, empty indexes ============
+      u1 AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY url_key) AS keep
+          FROM s6p WHERE doc_id % 3 = 0) WHERE doc_id <> keep),
+      s11 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM u1)),
+      e1 AS (SELECT doc_id FROM (
+          SELECT f.doc_id, min(f.doc_id) OVER (PARTITION BY f.fp) AS keep
+          FROM fps f JOIN s11 USING (doc_id)) WHERE doc_id <> keep),
+      s21 AS (SELECT doc_id FROM s11
+          WHERE doc_id NOT IN (SELECT doc_id FROM e1)),
+      q1 AS (SELECT doc_id FROM gsc JOIN s21 USING (doc_id)
+             WHERE quality < 55),
+      r1 AS (SELECT doc_id FROM gsc JOIN s21 USING (doc_id)
+             WHERE quality >= 55 AND rep_bp > 6000),
+      l1 AS (SELECT doc_id FROM gsc JOIN s21 USING (doc_id)
+             WHERE quality >= 55 AND rep_bp <= 6000 AND lang_pred <> 'en'),
+      s31 AS (SELECT doc_id FROM gsc JOIN s21 USING (doc_id)
+             WHERE quality >= 55 AND rep_bp <= 6000 AND lang_pred = 'en'),
+      p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN s31 sa ON sa.doc_id = a.doc_id
+        JOIN s31 sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25),
+      edges1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+                 UNION SELECT id_b, id_a FROM p1),
+      reach1(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges1)
+        UNION
+        SELECT reach1.id, e.dst FROM reach1 JOIN edges1 e ON reach1.r = e.src),
+      n1 AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach1 GROUP BY id) WHERE id <> c),
+      adm1 AS (SELECT doc_id FROM s31
+          WHERE doc_id NOT IN (SELECT doc_id FROM n1)),
+      k1 AS (SELECT DISTINCT url_key FROM s6p WHERE doc_id % 3 = 0),
+      f1 AS (SELECT DISTINCT f.fp FROM fps f JOIN s11 USING (doc_id)),
+      -- ============ tick 2: the rest, probing tick 1 ============
+      u2 AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY url_key) AS keep
+          FROM s6p WHERE doc_id % 3 <> 0) WHERE doc_id <> keep
+        UNION
+        SELECT k.doc_id FROM s6p k JOIN k1 USING (url_key)
+        WHERE k.doc_id % 3 <> 0),
+      s12 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM u2)),
+      e2 AS (SELECT doc_id FROM (
+          SELECT f.doc_id, min(f.doc_id) OVER (PARTITION BY f.fp) AS keep
+          FROM fps f JOIN s12 USING (doc_id)) WHERE doc_id <> keep
+        UNION
+        SELECT f.doc_id FROM fps f JOIN s12 USING (doc_id)
+        JOIN f1 ON f.fp = f1.fp),
+      s22 AS (SELECT doc_id FROM s12
+          WHERE doc_id NOT IN (SELECT doc_id FROM e2)),
+      q2 AS (SELECT doc_id FROM gsc JOIN s22 USING (doc_id)
+             WHERE quality < 55),
+      r2 AS (SELECT doc_id FROM gsc JOIN s22 USING (doc_id)
+             WHERE quality >= 55 AND rep_bp > 6000),
+      l2 AS (SELECT doc_id FROM gsc JOIN s22 USING (doc_id)
+             WHERE quality >= 55 AND rep_bp <= 6000 AND lang_pred <> 'en'),
+      s32 AS (SELECT doc_id FROM gsc JOIN s22 USING (doc_id)
+             WHERE quality >= 55 AND rep_bp <= 6000 AND lang_pred = 'en'),
+      n2i AS (SELECT DISTINCT id_a AS doc_id FROM (
+          SELECT a.doc_id AS id_a
+          FROM ex a JOIN ex b ON a.shingle = b.shingle
+          JOIN s32 sa ON sa.doc_id = a.doc_id
+          JOIN adm1 ab ON ab.doc_id = b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.m, b.m
+          HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25)),
+      hosts AS (SELECT doc_id FROM s32
+          WHERE doc_id NOT IN (SELECT doc_id FROM n2i)),
+      p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN hosts sa ON sa.doc_id = a.doc_id
+        JOIN hosts sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.25),
+      edges2 AS (SELECT id_a AS src, id_b AS dst FROM p2
+                 UNION SELECT id_b, id_a FROM p2),
+      reach2(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges2)
+        UNION
+        SELECT reach2.id, e.dst FROM reach2 JOIN edges2 e ON reach2.r = e.src),
+      n2b AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach2 GROUP BY id) WHERE id <> c),
+      n2 AS (SELECT doc_id FROM n2i UNION SELECT doc_id FROM n2b)
+      SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id % 3 = 0 THEN
+          CASE WHEN d.doc_id IN (SELECT doc_id FROM u1) THEN 'url'
+               WHEN d.doc_id IN (SELECT doc_id FROM e1) THEN 'exact'
+               WHEN d.doc_id IN (SELECT doc_id FROM l1) THEN 'lang'
+               WHEN d.doc_id IN (SELECT doc_id FROM q1) THEN 'quality'
+               WHEN d.doc_id IN (SELECT doc_id FROM r1) THEN 'repetition'
+               WHEN d.doc_id IN (SELECT doc_id FROM n1) THEN 'near' END
+        ELSE
+          CASE WHEN d.doc_id IN (SELECT doc_id FROM u2) THEN 'url'
+               WHEN d.doc_id IN (SELECT doc_id FROM e2) THEN 'exact'
+               WHEN d.doc_id IN (SELECT doc_id FROM l2) THEN 'lang'
+               WHEN d.doc_id IN (SELECT doc_id FROM q2) THEN 'quality'
+               WHEN d.doc_id IN (SELECT doc_id FROM r2) THEN 'repetition'
+               WHEN d.doc_id IN (SELECT doc_id FROM n2) THEN 'near' END
+        END AS dropped_at
+      FROM documents d"""))
+
   /** Re-ladder RECONCILIATION ([[graft.ext.IncrementalDedup.reconcileNear]])
     * on a synthesized divergence corpus: every doc_id triple (x, y, z =
     * roles 0, 1, 2 of group doc_id div 3) carries overlapping 8-word

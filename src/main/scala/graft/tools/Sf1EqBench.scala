@@ -341,7 +341,100 @@ object Sf1EqBench {
               when(col("doc_id") % 16 === 15, col("doc_id") - 1)
                 .otherwise(col("doc_id")).cast("string"))),
             "doc_id", "text", Some("url"), s"$root/ladder_x$s",
-            n = 3, tau = 0.25, batchId = 0L)))
+            n = 3, tau = 0.25, batchId = 0L)),
+        // r16: the UNIFIED ingest tick — url + exact + three doc-local
+        // quality gates + near in ONE pass over one tokenize cache,
+        // writing all six subtrees; same stable-state protocol as the
+        // admission tick (own-partition-excluded probes, batchId 0)
+        "ingest_ladder_tick" -> { s =>
+          val gates: Seq[graft.ext.IngestLadder.Gate] = Seq(
+            "quality" -> (c => c.filter(graft.ext.TextOps.qualityFromCounts(
+              graft.ext.TextOps.nTokens(col("raw")),
+              graft.ext.TextOps.nStopwords(col("raw")),
+              graft.ext.TextOps.nPunct(col("raw")),
+              length(col("raw"))) >= 0).select(col("id"))),
+            "repetition" -> { c =>
+              val total5 = greatest(size(col("ts")) - 4, lit(0))
+              val uniq5 = size(graft.ext.Dedup.wordShinglesUdf(col("t"), 5))
+              c.filter(when(total5 > 0,
+                floor(((total5 - uniq5) * 10000) / total5))
+                .otherwise(lit(0)).cast("long") <= 9000)
+                .select(col("id"))
+            },
+            "lang" -> (c => c.filter(
+              graft.ext.TextOps.langIdHeuristic(col("raw")) =!= "zz")
+              .select(col("id"))))
+          graft.ext.IngestLadder.admitBatch(
+            docs(s).withColumn("url", concat(lit("http://b.com/p/"),
+              when(col("doc_id") % 16 === 15, col("doc_id") - 1)
+                .otherwise(col("doc_id")).cast("string"))),
+            "doc_id", "text", Some("url"), gates, s"$root/ingest_x$s",
+            n = 3, tau = 0.25, batchId = 0L)
+        },
+        // r16 (r15 verdict #5): the score-quality card — the budget
+        // line checks the distinct-score collapse + distributed-rank
+        // claim: 1000 distinct scores at every corpus size, so the
+        // per-score aggregate shrinks the rank input by n/1000 and the
+        // bin pass is one distributed rank, no value buffering
+        "score_card" -> (s => graft.ext.Corpus.scoreCard(
+          spark.range(baseDocs * 40 * s).select(col("id"),
+            pmod(hash(col("id")), lit(1000)).cast("long").as("sc"),
+            (pmod(hash(col("id"), lit(1)), lit(3)) === 0).as("y")),
+          "sc", "y", "id", nBins = 10)),
+        "score_thresholds" -> (s => graft.ext.Corpus.scoreThresholds(
+          spark.range(baseDocs * 40 * s).select(col("id"),
+            pmod(hash(col("id")), lit(1000)).cast("long").as("sc"),
+            (pmod(hash(col("id"), lit(1)), lit(3)) === 0).as("y")),
+          "sc", "y", "id", nBins = 10)),
+        "score_calibration" -> (s => graft.ext.Corpus.scoreCalibration(
+          spark.range(baseDocs * 40 * s).select(col("id"),
+            pmod(hash(col("id")), lit(10001)).cast("long").as("p"),
+            (pmod(hash(col("id"), lit(1)), lit(3)) === 0).as("y")),
+          "p", "y", "id", nBins = 10)),
+        // r16 (r15 verdict #5): the decontamination matrix — three
+        // benchmark-broadcast passes against a FIXED benchmark slice
+        // while the corpus scales 10×; corpus text never shuffles
+        "decontam_matrix" -> (s => graft.ext.Corpus.decontamMatrix(
+          docs(s).filter(col("doc_id") >= 500),
+          docs(s).filter(col("doc_id") < 500),
+          "doc_id", "text", n = 2)),
+        // r16 (r15 verdict #5): k-best sampled segmentation — the
+        // budget line checks the per-word k-best DP (a codegen'd
+        // expression over the distinct-word relation) stays
+        // corpus-proportional with a fixed-size vocab
+        "unigram_sample" -> (s => graft.ext.Unigram.fertilitySampled(
+          docs(s), "doc_id", "text",
+          graft.ext.Unigram.seedVocab(docs(s), "text"),
+          nBest = 3, alpha10k = 5000L, seed = "r16")),
+        // r16 (r15 verdict #5): registered-domain rollup, scalar subset
+        // AND full-PSL rules-table forms — page-key shuffle, host
+        // rollup, then a host-cardinality eTLD+1 aggregate (plus the
+        // broadcast rule join in the table form)
+        "url_domain_card" -> (s => graft.ext.Dedup.urlRegisteredDomainCard(
+          docs(s).withColumn("url", concat(lit("http://s"),
+            pmod(col("doc_id"), lit(8)).cast("string"), lit(".farm"),
+            pmod(col("doc_id"), lit(2)).cast("string"),
+            lit(".co.uk/p/"), col("doc_id").cast("string"))),
+          "doc_id", "url")),
+        "url_domain_card_psl" -> { s =>
+          import spark.implicits._
+          graft.ext.Dedup.urlRegisteredDomainCardRules(
+            docs(s).withColumn("url", concat(lit("http://s"),
+              pmod(col("doc_id"), lit(8)).cast("string"), lit(".farm"),
+              pmod(col("doc_id"), lit(2)).cast("string"),
+              lit(".co.uk/p/"), col("doc_id").cast("string"))),
+            "doc_id", "url",
+            (graft.ext.Dedup.publicSuffixes ++ Seq("*.ck", "!www.ck"))
+              .toDF("rule"))
+        },
+        // r16 (r15 verdict #5): the steady-state Jaccard probe tick —
+        // batch postings tokenized per tick, corpus side READ from the
+        // stored index (the same two-sided 10× scaling contract as
+        // containment_probe_tick)
+        "jaccard_probe_tick" -> (s => graft.ext.Dedup.jaccardProbe(
+          graft.ext.Dedup.shinglePostings(
+            spark.read.parquet(s"$root/contbatch_x$s"), "doc_id", "text", 3),
+          spark.read.parquet(s"$root/contpost_x$s"), tau = 0.25)))
 
     def release(): Unit = {
       spark.catalog.clearCache()

@@ -1,0 +1,270 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, IncrementalDedup, IncrementalQuality, IngestLadder, TextOps}
+
+/** The unified single-pass ingest ladder: rung composition and order,
+  * one-tokenize sharing, gate-survivor vouching, index provenance
+  * across ticks, replay idempotence, and equivalence with the two
+  * separate admission stacks it replaces.
+  */
+class IngestLadderSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  // simple deterministic test gates over the canon slice (id, raw, t, ts)
+  private val shortGate: IngestLadder.Gate =
+    "short" -> ((c: DataFrame) => c.filter(size(col("ts")) >= 4)
+      .select(col("id")))
+  private val badwordGate: IngestLadder.Gate =
+    "badword" -> ((c: DataFrame) => c.filter(!col("raw").contains("zzz"))
+      .select(col("id")))
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "http://a.com/p1"),
+      (2L, "totally different text here okay", "HTTP://A.COM/p1"),
+      (3L, "tiny doc", "http://a.com/p2"),
+      (4L, "alpha beta gamma delta epsilon", "http://a.com/p3"),
+      (5L, "contains zzz badness here now", "http://a.com/p4"),
+      (6L, "one two three four five six seven eight", "http://a.com/p5"),
+      (7L, "one two three four five six seven nine", "http://a.com/p6"),
+      (8L, "tiny zzz", "http://a.com/p7"),
+      (9L, "red green blue yellow purple orange zzz pink", "http://a.com/p8"),
+      (10L, "red green blue yellow purple orange violet pink", "http://a.com/p9"))
+      .toDF("doc_id", "text", "url")
+  }
+
+  private val expectedOneTick = Map[Long, Option[String]](
+    1L -> None, 2L -> Some("url"), 3L -> Some("short"),
+    4L -> Some("exact"), 5L -> Some("badword"), 6L -> None,
+    7L -> Some("near"), 8L -> Some("short"), 9L -> Some("badword"),
+    10L -> None)
+
+  test("one tick, every rung firing: url -> exact -> gates in order -> " +
+      "near; a gate-dropped doc can NOT vouch for a near drop (doc 10 " +
+      "survives although it near-matches gate-dropped 9)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest1").toString
+    val v = IngestLadder.admitBatch(fixture, "doc_id", "text", Some("url"),
+        Seq(shortGate, badwordGate), root, n = 3, tau = 0.5, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v == expectedOneTick, s"verdicts $v")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 6L, 10L), s"corpus $corpus")
+    // index provenance (rung-survivor principle): gate-dropped docs'
+    // keys and fingerprints ARE indexed (known-bad content re-arrivals
+    // drop a rung earlier); postings hold ADMITTED docs only
+    val keys = spark.read.parquet(s"$root/url_index")
+      .select("keep_id").as[Long].collect().toSet
+    assert(keys == Set(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L), s"keys $keys")
+    val fps = spark.read.parquet(s"$root/fp_index")
+      .select("keep_id").as[Long].collect().toSet
+    assert(fps == Set(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L), s"fps $fps")
+    val postIds = spark.read.parquet(s"$root/postings")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(postIds == corpus, s"postings $postIds")
+    val droppedPosts = spark.read.parquet(s"$root/postings_dropped")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(droppedPosts == Set(7L), s"postings_dropped $droppedPosts")
+  }
+
+  test("composed == sequential stacks: hand-stacking the existing " +
+      "operators (url window, fingerprint window, gate filters, " +
+      "jaccard components) in rung order yields identical verdicts") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest2").toString
+    val docs = fixture
+    val composed = IngestLadder.admitBatch(docs, "doc_id", "text",
+        Some("url"), Seq(shortGate, badwordGate), root, n = 3, tau = 0.5,
+        batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    // hand-stacked: each rung from the EXISTING standalone operators
+    val w = org.apache.spark.sql.expressions.Window
+    val keys = docs.select(col("doc_id"),
+      TextOps.canonicalUrl(col("url")).as("k"))
+    val urlDrops = keys.withColumn("keep",
+        min(col("doc_id")).over(w.partitionBy(col("k"))))
+      .filter(col("k").isNotNull && col("doc_id") =!= col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = docs.filter(!col("doc_id").isin(urlDrops.toSeq: _*))
+    val exactDrops = s1.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("keep", min(col("doc_id")).over(w.partitionBy(col("fp"))))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = s1.filter(!col("doc_id").isin(exactDrops.toSeq: _*))
+    def canon(d: DataFrame) = d.select(col("doc_id").as("id"),
+      col("text").as("raw"), TextOps.normalized(col("text")).as("t"),
+      TextOps.tokens(TextOps.normalized(col("text"))).as("ts"))
+    val shortDrops = s2.join(shortGate._2(canon(s2)),
+        s2("doc_id") === col("id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val s3a = s2.filter(!col("doc_id").isin(shortDrops.toSeq: _*))
+    val badDrops = s3a.join(badwordGate._2(canon(s3a)),
+        s3a("doc_id") === col("id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val s3 = s3a.filter(!col("doc_id").isin(badDrops.toSeq: _*))
+    val nearDrops = Dedup.connectedComponents(
+        Dedup.jaccardPairs(s3, "doc_id", "text", n = 3, tau = 0.5)
+          .select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("cluster"))
+      .select("id").as[Long].collect().toSet
+    val stacked = docs.select("doc_id").as[Long].collect().map { id =>
+      id -> (if (urlDrops(id)) Some("url")
+      else if (exactDrops(id)) Some("exact")
+      else if (shortDrops(id)) Some("short")
+      else if (badDrops(id)) Some("badword")
+      else if (nearDrops(id)) Some("near") else None)
+    }.toMap
+    assert(composed == stacked, s"composed $composed != stacked $stacked")
+  }
+
+  test("two ticks: indexes give rung-stable provenance across gates " +
+      "(re-crawl of a gate-dropped page -> url; exact copy of its text " +
+      "-> exact; near-dup of an admitted doc -> near); same-id replay " +
+      "is idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest3").toString
+    IngestLadder.admitBatch(fixture, "doc_id", "text", Some("url"),
+      Seq(shortGate, badwordGate), root, n = 3, tau = 0.5, batchId = 0L)
+    val tick2 = Seq(
+      // re-crawl of badword-dropped 5's page with clean text: the url
+      // index kept its key (content is known), turned away before any
+      // text is read
+      (21L, "brand new words entirely clean", "http://a.com/p4?utm_source=x"),
+      // exact copy of gate-dropped 5's text on a fresh url: fp index
+      (22L, "contains zzz badness here now", "http://b.com/1"),
+      // near-dup of ADMITTED 6: postings probe
+      (23L, "one two three four five six seven ten", "http://b.com/2"),
+      // clean novel doc
+      (24L, "silver copper bronze iron steel tin", "http://b.com/3"))
+      .toDF("doc_id", "text", "url")
+    val v2 = IngestLadder.admitBatch(tick2, "doc_id", "text", Some("url"),
+        Seq(shortGate, badwordGate), root, n = 3, tau = 0.5, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v2 == Map(21L -> Some("url"), 22L -> Some("exact"),
+      23L -> Some("near"), 24L -> None), s"tick2 $v2")
+    val r2 = IngestLadder.admitBatch(tick2, "doc_id", "text", Some("url"),
+        Seq(shortGate, badwordGate), root, n = 3, tau = 0.5, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(r2 == v2, s"replay $r2 != $v2")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(corpus == Seq(1L, 6L, 10L, 24L),
+      s"replay must not duplicate corpus rows: $corpus")
+    // durable provenance across both ticks
+    val stored = spark.read.parquet(s"$root/verdicts")
+      .select("id", "dropped_at").as[(Long, Option[String])]
+      .collect().toMap
+    assert(stored == expectedOneTick ++ v2)
+    // maintainLadder folds an ingest root unchanged (same six subtrees)
+    val folded = IncrementalDedup.maintainLadder(spark, root,
+      committedBelow = 2L)
+    assert(IncrementalDedup.LadderSubtrees.forall(s => folded(s) == 2),
+      s"fold counts $folded")
+    val verdictsFolded = spark.read.parquet(s"$root/verdicts")
+      .select("id", "dropped_at").as[(Long, Option[String])]
+      .collect().toMap
+    assert(verdictsFolded == stored, "fold must not change verdicts")
+  }
+
+  test("containment rung: embedded quote of an admitted host turned " +
+      "away cross-batch AND in-batch, over the near rung's own " +
+      "postings relation; the reverse direction never drops") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest4").toString
+    val hWords = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi",
+      "psi", "omega", "one", "two", "three", "four", "five", "six")
+    val hText = hWords.mkString(" ")
+    val quote1 = hWords.slice(2, 12).mkString(" ")   // cont 1.0, J ~ .27
+    val quote2 = hWords.slice(15, 25).mkString(" ")
+    // tick 1: host + in-batch embedded quote (one-directional: drops
+    // at containment regardless of id order)
+    val v1 = IngestLadder.admitBatch(
+      Seq((1L, hText), (2L, quote1)).toDF("doc_id", "text"),
+      "doc_id", "text", None, Seq.empty, root, n = 3, tau = 0.5,
+      batchId = 0L, containmentTau = Some(0.6))
+      .as[(Long, Option[String])].collect().toMap
+    assert(v1 == Map(1L -> None, 2L -> Some("containment")), s"tick1 $v1")
+    // tick 2: another quote of the ADMITTED host (stored postings) +
+    // a SUPERSET of nothing admitted (novel content, reverse direction)
+    val v2 = IngestLadder.admitBatch(
+      Seq((11L, quote2),
+        (12L, (hWords.take(6) ++ Seq("wolf", "bear", "lynx", "otter",
+          "moose", "raven", "heron", "crane", "stork", "finch", "robin",
+          "wren", "oak", "elm", "ash", "birch")).mkString(" ")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", None, Seq.empty, root, n = 3, tau = 0.5,
+      batchId = 1L, containmentTau = Some(0.6))
+      .as[(Long, Option[String])].collect().toMap
+    assert(v2 == Map(11L -> Some("containment"), 12L -> None),
+      s"tick2 $v2")
+    val droppedPosts = spark.read.parquet(s"$root/postings_dropped")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(droppedPosts == Set(2L, 11L),
+      s"containment drops keep reconcile evidence: $droppedPosts")
+  }
+
+  test("frozenGates == the IncrementalQuality stack: on a fixture where " +
+      "only quality rungs fire, the composed gate drops equal the five-" +
+      "gate admission's rejections (order-independent intersection)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest5").toString
+    // the Sf1EqBench admission fixture shape: a three-sentence tail so
+    // the C4 line rules KEEP rather than vacuously empty every page
+    val docs = graft.tools.Sf1EqBench.synthDocsEn(spark, 120L)
+      .select(col("doc_id"), concat(col("text"),
+        lit(". first tail period. second tail period. third one."))
+        .as("text"))
+    // frozen tables, the Sf1EqBench admission shapes
+    val weights = spark.range(64).select(col("id").as("bucket"),
+      (pmod(hash(col("id")), lit(21)) - 10).cast("long").as("w"))
+    val lam = graft.ext.Corpus.dsirLambda(
+      docs.filter(col("doc_id") < 60), docs.filter(col("doc_id") >= 60),
+      "doc_id", "text", nBuckets = 64)
+    val lm = graft.ext.Corpus.unigramLm(docs, "doc_id", "text")
+    val gates = IngestLadder.frozenGates(weights, nBuckets = 64,
+      thrMilli = -100000L, repetition = true,
+      lambda = Some(lam), dsirThrX10k = -1000000L,
+      lm = Some(lm), maxMeanSurprisalX10k = 200000L,
+      c4 = true, c4BadWords = Seq("verybadword"))
+    assert(gates.map(_._1) == Seq("gopher", "c4", "quality"))
+    // texts are distinct and mutually dissimilar at tau=0.99, so only
+    // the gate rungs can fire: composed drops == the quality stack's
+    val v = IngestLadder.admitBatch(docs, "doc_id", "text", None, gates,
+        root, n = 3, tau = 0.99, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    val g = IncrementalQuality.gate(docs, "doc_id", "text", weights,
+      nBuckets = 64, thrMilli = -100000L, lambda = Some(lam),
+      dsirThrX10k = -1000000L, minWords = 50,
+      stopwords = graft.ext.Corpus.GopherStopwords, repetition = true,
+      Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L),
+      Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
+          8 -> 1200L, 9 -> 1100L, 10 -> 1000L),
+      lm = Some(lm), maxMeanSurprisalX10k = 200000L,
+      unseenNat10k = 200000L, c4 = true,
+      c4BadWords = Seq("verybadword"))
+    val stackAdmitted = g.admitted.select("doc_id").as[Long]
+      .collect().toSet
+    g.release()
+    val composedAdmitted = v.collect { case (id, None) => id }.toSet
+    val gateTags = Set("gopher", "c4", "quality")
+    assert(v.values.flatten.forall(gateTags), s"non-gate drops in $v")
+    assert(composedAdmitted == stackAdmitted,
+      s"composed $composedAdmitted != stack $stackAdmitted")
+    assert(composedAdmitted.nonEmpty &&
+      composedAdmitted.size < 120, "fixture must make some gates bind")
+  }
+}

@@ -128,6 +128,56 @@ class StreamCompactionSpec extends AnyFunSuite {
       .distinct().as[Int].collect().toSet == Set(0, 1))
   }
 
+  test("unified ingest ladder runs as a foreachBatch body: quality " +
+      "rungs between exact and near, verdicts durable, indexes carry " +
+      "across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ingest_ckpt").toString
+    val gates: Seq[graft.ext.IngestLadder.Gate] = Seq(
+      "short" -> (c => c.filter(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("ts")) >= 4)
+        .select(org.apache.spark.sql.functions.col("id"))))
+    val in = MemoryStream[(Long, String, String)]
+    def start() = in.toDS().toDF("doc_id", "text", "url")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ext.IngestLadder.admitBatch(
+          b, "doc_id", "text", Some("url"), gates, root, n = 3,
+          tau = 0.5, batchId = id)
+        ()
+      }.start()
+    val q1 = start()
+    in.addData((1L, "alpha beta gamma delta epsilon", "http://a.com/p1"),
+      (2L, "too tiny", "http://a.com/p2"))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint: the NEXT tick gets a fresh batch id
+    // and probes tick 0's persisted indexes — including the quality-
+    // DROPPED doc's url key and fingerprint (known-bad provenance)
+    val q2 = start()
+    in.addData(
+      (11L, "too tiny", "http://b.com/x"), // exact copy of GATE-DROPPED 2
+      (12L, "fresh words here", "http://a.com/p2?utm_source=x"), // re-crawl of 2's page
+      (13L, "alpha beta gamma delta nine", "http://c.com/1")) // near of ADMITTED 1
+    q2.processAllAvailable(); q2.stop()
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .select("id", "dropped_at")
+      .as[(Long, Option[String])].collect().toMap
+    assert(verdicts == Map(1L -> None, 2L -> Some("short"),
+      11L -> Some("exact"), 12L -> Some("url"), 13L -> Some("near")),
+      s"got $verdicts")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L), s"corpus $corpus")
+    assert(spark.read.parquet(s"$root/verdicts").select("batch")
+      .distinct().as[Int].collect().toSet == Set(0, 1))
+  }
+
   test("bloom contamination guard composes as a stateless streaming filter") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
