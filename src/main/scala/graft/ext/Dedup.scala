@@ -422,8 +422,12 @@ object Dedup {
       val fps = s1.select(col(idCol).as("id"),
         TextOps.fingerprint(col(textCol)).as("fp"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      // NULL text ⇒ NULL fingerprint ⇒ PASS (the url rung's NULL-key
+      // convention): address-less/text-less rows are not copies of
+      // each other, and the window would otherwise keep one per batch
       fps.withColumn("keep", min(col("id")).over(w))
-        .filter(col("id") =!= col("keep")).select(col("id"))
+        .filter(col("fp").isNotNull && col("id") =!= col("keep"))
+        .select(col("id"))
     }
     val s2 = Materialize.multiScan(
       s1.join(exactDrops, s1(idCol) === exactDrops("id"), "left_anti"))

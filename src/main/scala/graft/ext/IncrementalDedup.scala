@@ -414,7 +414,10 @@ object IncrementalDedup {
     val s1 = Materialize.multiScan(
       base.join(urlDrops, base(idCol) === urlDrops("id"), "left_anti"))
 
-    // rung 2: exact — fingerprint collapse + stored-fp probe
+    // rung 2: exact — fingerprint collapse + stored-fp probe. NULL
+    // text ⇒ NULL fingerprint ⇒ PASS, and NULL fps stay out of the
+    // index (the url rung's NULL-key convention — the window would
+    // otherwise collapse every text-less row onto one survivor)
     val fps = s1.select(col(idCol).as("id"),
       TextOps.fingerprint(col(textCol)).as("fp"))
     val withKeepFp = fps.withColumn("keep",
@@ -425,9 +428,11 @@ object IncrementalDedup {
       case None => empty
     }
     val exactDrops = Materialize.multiScan(
-      withKeepFp.filter(col("id") =!= col("keep")).select(col("id"))
+      withKeepFp.filter(col("fp").isNotNull && col("id") =!= col("keep"))
+        .select(col("id"))
         .unionByName(seenFp).distinct())
-    val fpKept = withKeepFp.filter(col("id") === col("keep"))
+    val fpKept = withKeepFp
+      .filter(col("fp").isNotNull && col("id") === col("keep"))
       .join(exactDrops, Seq("id"), "left_anti")
       .select(col("fp"), col("id").as("keep_id"))
     val s2 = Materialize.multiScan(

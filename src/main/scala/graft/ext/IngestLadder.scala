@@ -149,7 +149,9 @@ object IngestLadder {
       .withColumn("__ts", TextOps.tokens(col("__t"))))
 
     // rung 2: exact — md5 of the CACHED normalized text (the
-    // TextOps.fingerprint definition without re-normalizing)
+    // TextOps.fingerprint definition without re-normalizing). NULL
+    // text ⇒ NULL fingerprint ⇒ PASS, NULL fps stay out of the index
+    // (the url rung's NULL-key convention)
     val fps = pre.select(col(idCol).as("id"), md5(col("__t")).as("fp"))
     val withKeepFp = fps.withColumn("keep",
       min(col("id")).over(w.partitionBy(col("fp"))))
@@ -159,9 +161,11 @@ object IngestLadder {
       case None => empty
     }
     val exactDrops = Materialize.multiScan(
-      withKeepFp.filter(col("id") =!= col("keep")).select(col("id"))
+      withKeepFp.filter(col("fp").isNotNull && col("id") =!= col("keep"))
+        .select(col("id"))
         .unionByName(seenFp).distinct())
-    val fpKept = withKeepFp.filter(col("id") === col("keep"))
+    val fpKept = withKeepFp
+      .filter(col("fp").isNotNull && col("id") === col("keep"))
       .join(exactDrops, Seq("id"), "left_anti")
       .select(col("fp"), col("id").as("keep_id"))
 

@@ -978,6 +978,36 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(corpus == Set(1L, 2L, 3L, 10L), s"corpus $corpus")
   }
 
+  test("exact rungs: NULL text PASSES — batch and composed ladders " +
+      "never collapse text-less rows onto one survivor, and NULL " +
+      "fingerprints stay out of the fp index") {
+    import spark.implicits._
+    import graft.ext.{IncrementalDedup, IngestLadder}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nulltext").toString
+    val docs = Seq((1L, Option("real content words here")),
+      (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val expected = Map[Long, Option[String]](1L -> None, 2L -> None,
+      3L -> None)
+    val batch = Dedup.ladder(docs, "doc_id", "text", None, n = 3,
+        tau = 0.5)
+      .as[(Long, Option[String])].collect().toMap
+    assert(batch == expected, s"batch ladder $batch")
+    val composed = IncrementalDedup.admitBatchLadder(docs, "doc_id",
+        "text", None, root, n = 3, tau = 0.5, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(composed == expected, s"composed ladder $composed")
+    assert(spark.read.parquet(s"$root/fp_index")
+      .filter(col("fp").isNull).count() == 0, "no NULL fp in the index")
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_nulltext2").toString
+    val ingest = IngestLadder.admitBatch(docs, "doc_id", "text", None,
+        Seq.empty, root2, n = 3, tau = 0.5, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(ingest == expected, s"ingest ladder $ingest")
+  }
+
   test("containment admission loop: stored postings index, embedded quotes turned away, probe == recompute") {
     import spark.implicits._
     import graft.ext.IncrementalDedup

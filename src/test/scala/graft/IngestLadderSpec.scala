@@ -50,10 +50,19 @@ class IngestLadderSpec extends AnyFunSuite {
     import spark.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_ingest1").toString
+    // gate tags ride the same observe channel as the built-in rungs
+    val mon = new graft.ext.LadderRungMonitor(
+      rungs = Seq("url", "exact", "short", "badword", "near"),
+      mu = 0L, kappa = 10000L, h = 100000L)
     val v = IngestLadder.admitBatch(fixture, "doc_id", "text", Some("url"),
-        Seq(shortGate, badwordGate), root, n = 3, tau = 0.5, batchId = 0L)
+        Seq(shortGate, badwordGate), root, n = 3, tau = 0.5, batchId = 0L,
+        monitor = Some(mon))
       .as[(Long, Option[String])].collect().toMap
     assert(v == expectedOneTick, s"verdicts $v")
+    // 10 docs: 1 url, 1 exact, 2 short, 2 badword, 1 near = 1000 bp each
+    assert(mon.latest.get.dropBp == Map("url" -> 1000L, "exact" -> 1000L,
+      "short" -> 2000L, "badword" -> 2000L, "near" -> 1000L),
+      s"monitor ${mon.latest}")
     val corpus = spark.read.parquet(s"$root/corpus")
       .select("doc_id").as[Long].collect().toSet
     assert(corpus == Set(1L, 6L, 10L), s"corpus $corpus")
