@@ -92,7 +92,7 @@ object Queries
     qCorpusPrepV3, qCorpusPrepV4,
     qChunk, qPack, qPackSorted, qPackStats, qPackBpe, qDecontam,
     qDecontamBloom, qDecontamFraction, qDecontamContainment, qDecontamSpans,
-    qDecontamMatrix,
+    qDecontamMatrix, qDecontamRewrite, qDecontamRewriteWinnow,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qKfold, qGroupKfold, qSplitCluster,
     qSplitLeakage,

@@ -528,6 +528,94 @@ object Corpus {
         (col("cov_bp") >= dropAtBp).as("drop"))
   }
 
+  /** SPAN-level decontamination REWRITE — the surgical alternative to
+    * [[decontaminateSpans]]' drop policy: instead of discarding a whole
+    * document because an eval answer is quoted inside it, CUT the
+    * leaked spans and keep the rest (the redact-vs-drop decision every
+    * published decontamination pipeline weighs — dropping a 10 KB page
+    * for a 60-byte quote throws away 99% clean text; at corpus scale
+    * the recovered volume is material). Every ≥ `winBytes`-byte span
+    * byte-identical to benchmark content is removed wherever it
+    * appears: unlike the self-dedup rewrite ([[Dedup.exactSpanRewrite]])
+    * there is NO canonical occurrence to spare — leaked benchmark text
+    * has no legitimate copy in a training corpus.
+    *
+    * Mechanism: every-offset `winBytes` window fingerprints on both
+    * sides (exact, the [[Dedup.exactSpanRewrite]] machinery); the
+    * benchmark's fingerprint set broadcasts (eval suites are tiny);
+    * corpus windows that hit it become the cut relation, and the
+    * shared island-union + complement-stitch
+    * ([[Dedup.stitchComplementBin]]) produces the cleaned bytes. Docs
+    * with no hit pass through byte-identical.
+    *
+    * Shape at 100 TB: the corpus side pays the every-offset window
+    * shuffle (~32 B/byte — the exact-rewrite price); route the corpus
+    * through the ANCHORED screen first ([[decontaminateSpans]], cheap)
+    * or use [[decontaminateRewriteWinnowed]] for the guaranteed-recall
+    * two-pass form. Benchmark side is broadcast everywhere; corpus
+    * text shuffles only inside each doc's own stitch group.
+    *
+    * @return (id, n_bytes, n_spans_cut, cut_bytes, clean_bytes,
+    *         clean_fp) — the [[Dedup.exactSpanRewrite]] schema; clean_fp
+    *         = md5 of the stitched surviving bytes
+    */
+  def decontaminateRewrite(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String,
+                           winBytes: Int = 40): DataFrame = {
+    val bw = Dedup.anchorWins(benchmark, idCol, textCol, winBytes,
+        anchorMod = 1)
+      .select(col("fp")).distinct()
+    val leaked = Dedup.anchorWins(corpus, idCol, textCol, winBytes,
+        anchorMod = 1)
+      .join(broadcast(bw), Seq("fp"), "left_semi")
+      .select(col("id"), col("p"))
+    Dedup.stitchComplementBin(corpus, idCol, textCol, winBytes, leaked)
+      .select(col("id"), col("n_bytes"), col("n_spans_cut"),
+        col("cut_bytes"),
+        length(col("clean_bin")).cast("long").as("clean_bytes"),
+        md5(col("clean_bin")).as("clean_fp"))
+  }
+
+  /** [[decontaminateRewrite]] behind a WINNOWED candidate pass — the
+    * [[Dedup.exactSpanRewriteWinnowed]] discipline applied to the
+    * benchmark direction: winnow fingerprints (density ~2/(k+1)) on
+    * BOTH sides flag candidate docs — by the winnowing theorem any
+    * shared span of ≥ winBytes+k−1 bytes selects at least one common
+    * fingerprint in both documents — and the exact every-offset cut
+    * runs over the flagged minority only; unflagged docs pass through
+    * uncut, owed to the theorem. Byte-identical to
+    * [[decontaminateRewrite]] whenever every leaked span is
+    * ≥ winBytes+k−1 bytes; spans in [winBytes, winBytes+k−1) may escape
+    * the candidate pass — the explicit deterministic recall floor,
+    * dialed by k.
+    *
+    * @return the [[decontaminateRewrite]] schema
+    */
+  def decontaminateRewriteWinnowed(corpus: DataFrame, benchmark: DataFrame,
+                                   idCol: String, textCol: String,
+                                   winBytes: Int = 40,
+                                   k: Int = 15): DataFrame = {
+    val bWin = Dedup.winnowWins(benchmark, idCol, textCol, winBytes, k)
+      .select(col("fp")).distinct()
+    val candIds = Dedup.winnowWins(corpus, idCol, textCol, winBytes, k)
+      .join(broadcast(bWin), Seq("fp"), "left_semi")
+      .select(col("id")).distinct()
+    val cands = corpus.join(candIds, corpus(idCol) === candIds("id"),
+      "left_semi")
+    val bw = Dedup.anchorWins(benchmark, idCol, textCol, winBytes,
+        anchorMod = 1)
+      .select(col("fp")).distinct()
+    val leaked = Dedup.anchorWins(cands, idCol, textCol, winBytes,
+        anchorMod = 1)
+      .join(broadcast(bw), Seq("fp"), "left_semi")
+      .select(col("id"), col("p"))
+    Dedup.stitchComplementBin(corpus, idCol, textCol, winBytes, leaked)
+      .select(col("id"), col("n_bytes"), col("n_spans_cut"),
+        col("cut_bytes"),
+        length(col("clean_bin")).cast("long").as("clean_bytes"),
+        md5(col("clean_bin")).as("clean_fp"))
+  }
+
   /** Temperature (power) resampling of the source mixture — the
     * standard multilingual/multi-source rebalance (mT5, XLM-R): stratum
     * s with corpus share p_s is sampled with probability ∝ p_s^alpha,

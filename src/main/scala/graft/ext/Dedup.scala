@@ -1940,6 +1940,22 @@ object Dedup {
     val redundant = wins.join(canon, Seq("fp"))
       .filter(struct(col("id"), col("p")) =!= col("canon"))
       .select(col("id"), col("p"))
+    stitchComplementBin(df, idCol, textCol, minLen, redundant)
+  }
+
+  /** The island-union + complement-stitch half of the rewrite: cut
+    * every byte covered by a `minLen`-byte window starting at a
+    * position in `redundant` (id, p) from the doc's normalized bytes,
+    * and stitch the survivors in order. Docs absent from `redundant`
+    * pass through uncut. Shared by the self-dedup rewrites (redundant =
+    * non-canonical duplicate windows) and the decontamination rewrite
+    * ([[Corpus.decontaminateRewrite]] — redundant = benchmark-matching
+    * windows, where NO occurrence is canonical: leaked eval content is
+    * cut wherever it appears).
+    */
+  private[graft] def stitchComplementBin(df: DataFrame, idCol: String,
+                                         textCol: String, minLen: Int,
+                                         redundant: DataFrame): DataFrame = {
     val spans = islandsOf(redundant, minLen)
     val base = df.select(col(idCol).as("id"),
       encode(TextOps.normalized(col(textCol)), "UTF-8").as("bin"))

@@ -1056,6 +1056,182 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       FROM base b LEFT JOIN cov c USING (doc_id)
       LEFT JOIN nb USING (doc_id)"""))
 
+  /** Span-level decontamination REWRITE ([[Corpus.decontaminateRewrite]]):
+    * the surgical redact-instead-of-drop form — every ≥40-byte span
+    * byte-identical to benchmark content is CUT wherever it appears
+    * (no canonical occurrence is spared: leaked eval text has no
+    * legitimate copy), survivors stitched in order, the result pinned
+    * by md5. The oracle enumerates every window position on both
+    * sides, intersects with the benchmark's fingerprint set, replays
+    * islands + complement stitch, and hashes the rebuilt text — the
+    * rewrite is checked byte-for-byte.
+    */
+  val qDecontamRewrite = Q("q_decontam_rewrite",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.decontaminateRewrite(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", winBytes = 40)
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (SELECT doc_id, t, length(t) AS n FROM d),
+      pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized WHERE n >= 40),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM pos),
+      bfp AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 10 = 0),
+      dup AS (SELECT doc_id, p FROM wins
+              WHERE doc_id % 10 <> 0 AND fp IN (SELECT fp FROM bfp)),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e
+        FROM isl GROUP BY 1, 2),
+      head AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS seg_s,
+          s AS seg_e
+        FROM spans),
+      cuts AS (
+        SELECT doc_id, max(e) AS last_e, count(*) AS n_spans_cut,
+               CAST(sum(e - s) AS BIGINT) AS cut_bytes
+        FROM spans GROUP BY 1),
+      tail AS (
+        SELECT c.doc_id, c.last_e AS seg_s, z.n + 1 AS seg_e
+        FROM cuts c JOIN sized z USING (doc_id)),
+      segs AS (SELECT * FROM head UNION ALL SELECT * FROM tail),
+      clean AS (
+        SELECT g.doc_id,
+          string_agg(substr(z.t, g.seg_s, g.seg_e - g.seg_s), ''
+            ORDER BY g.seg_s) AS ct
+        FROM segs g JOIN sized z USING (doc_id)
+        WHERE g.seg_e > g.seg_s GROUP BY g.doc_id)
+      SELECT d.doc_id AS id, CAST(length(d.t) AS BIGINT) AS n_bytes,
+        coalesce(c.n_spans_cut, 0) AS n_spans_cut,
+        coalesce(c.cut_bytes, 0) AS cut_bytes,
+        CAST(length(CASE WHEN c.doc_id IS NOT NULL
+          THEN coalesce(cl.ct, '') ELSE d.t END) AS BIGINT) AS clean_bytes,
+        md5(CASE WHEN c.doc_id IS NOT NULL
+          THEN coalesce(cl.ct, '') ELSE d.t END) AS clean_fp
+      FROM d LEFT JOIN cuts c USING (doc_id)
+      LEFT JOIN clean cl ON cl.doc_id = d.doc_id
+      WHERE d.doc_id % 10 <> 0"""))
+
+  /** Winnow-screened decontamination rewrite
+    * ([[Corpus.decontaminateRewriteWinnowed]]): winnow fingerprints on
+    * BOTH sides flag the candidate docs (guaranteed for any leaked
+    * span ≥ win+k−1 bytes), the exact every-offset cut runs over the
+    * flagged minority only. The oracle replays both passes — the
+    * selection hash + rightmost-min rule on corpus AND benchmark, the
+    * cross-side fingerprint intersection, and the candidate-restricted
+    * cut with unflagged docs passing through — pinning the two-pass
+    * composition byte-for-byte.
+    */
+  val qDecontamRewriteWinnow = Q("q_decontam_rewrite_winnow",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.decontaminateRewriteWinnowed(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", winBytes = 40, k = 15)
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS t
+        FROM documents),
+      sized AS (SELECT doc_id, t, length(t) AS n FROM d),
+      -- pass 1: winnow selection on both sides, cross-side candidates
+      spos AS (
+        SELECT doc_id, p,
+          (ascii(substr(t, p, 1)) * 4 + ascii(substr(t, p + 3, 1)) * 2
+           + ascii(substr(t, p + 7, 1))) AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+              FROM sized WHERE n >= 40)),
+      npos AS (SELECT doc_id, max(p) AS np FROM spos GROUP BY 1),
+      fullw AS (
+        SELECT doc_id, p,
+          min(struct_pack(h := h, mp := -p)) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS m
+        FROM spos),
+      sel1 AS (
+        SELECT DISTINCT f.doc_id, -(f.m).mp AS sp
+        FROM fullw f JOIN npos s USING (doc_id)
+        WHERE s.np >= 15 AND f.p <= s.np - 15 + 1),
+      sel2 AS (
+        SELECT doc_id, -(min(struct_pack(h := h, mp := -p))).mp AS sp
+        FROM spos
+        WHERE doc_id IN (SELECT doc_id FROM npos WHERE np < 15)
+        GROUP BY doc_id),
+      sel AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+      winw AS (
+        SELECT s.doc_id, md5(substr(z.t, CAST(s.sp AS INT), 40)) AS fp
+        FROM sel s JOIN sized z USING (doc_id)),
+      bfpw AS (SELECT DISTINCT fp FROM winw WHERE doc_id % 10 = 0),
+      cand AS (SELECT DISTINCT doc_id FROM winw
+               WHERE doc_id % 10 <> 0 AND fp IN (SELECT fp FROM bfpw)),
+      -- pass 2: exact every-offset cut over candidates vs the full
+      -- benchmark fingerprint set
+      rpos AS (
+        SELECT doc_id, t, unnest(generate_series(1, n - 40 + 1)) AS p
+        FROM sized WHERE n >= 40
+          AND (doc_id % 10 = 0 OR doc_id IN (SELECT doc_id FROM cand))),
+      wins AS (SELECT doc_id, p, md5(substr(t, p, 40)) AS fp FROM rpos),
+      bfp AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 10 = 0),
+      dup AS (SELECT doc_id, p FROM wins
+              WHERE doc_id % 10 <> 0 AND fp IN (SELECT fp FROM bfp)),
+      marked AS (
+        SELECT doc_id, p,
+          CASE WHEN p > coalesce(max(p + 40) OVER (PARTITION BY doc_id
+            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        FROM marked),
+      spans AS (
+        SELECT doc_id, isl_id, min(p) AS s, max(p) + 40 AS e
+        FROM isl GROUP BY 1, 2),
+      head AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS seg_s,
+          s AS seg_e
+        FROM spans),
+      cuts AS (
+        SELECT doc_id, max(e) AS last_e, count(*) AS n_spans_cut,
+               CAST(sum(e - s) AS BIGINT) AS cut_bytes
+        FROM spans GROUP BY 1),
+      tail AS (
+        SELECT c.doc_id, c.last_e AS seg_s, z.n + 1 AS seg_e
+        FROM cuts c JOIN sized z USING (doc_id)),
+      segs AS (SELECT * FROM head UNION ALL SELECT * FROM tail),
+      clean AS (
+        SELECT g.doc_id,
+          string_agg(substr(z.t, g.seg_s, g.seg_e - g.seg_s), ''
+            ORDER BY g.seg_s) AS ct
+        FROM segs g JOIN sized z USING (doc_id)
+        WHERE g.seg_e > g.seg_s GROUP BY g.doc_id)
+      SELECT d.doc_id AS id, CAST(length(d.t) AS BIGINT) AS n_bytes,
+        coalesce(c.n_spans_cut, 0) AS n_spans_cut,
+        coalesce(c.cut_bytes, 0) AS cut_bytes,
+        CAST(length(CASE WHEN c.doc_id IS NOT NULL
+          THEN coalesce(cl.ct, '') ELSE d.t END) AS BIGINT) AS clean_bytes,
+        md5(CASE WHEN c.doc_id IS NOT NULL
+          THEN coalesce(cl.ct, '') ELSE d.t END) AS clean_fp
+      FROM d LEFT JOIN cuts c USING (doc_id)
+      LEFT JOIN clean cl ON cl.doc_id = d.doc_id
+      WHERE d.doc_id % 10 <> 0"""))
+
   /** LSH candidate-quality card ([[Dedup.pairRecallCard]]): measured
     * recall/precision of the raw MinHash banding candidates (k=16,
     * bands=4 — `dedup_minhash`'s exact dials) against the exact

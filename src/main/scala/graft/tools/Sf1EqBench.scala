@@ -398,6 +398,16 @@ object Sf1EqBench {
           docs(s).filter(col("doc_id") >= 500),
           docs(s).filter(col("doc_id") < 500),
           "doc_id", "text", n = 2)),
+        // r16: the decontamination REWRITE (winnowed screen) — the
+        // budget line checks the two-pass contract against a FIXED
+        // benchmark: the winnow screen reads everything at ~2/(k+1)
+        // density, the every-offset cut pays only for docs sharing a
+        // winnow fingerprint with the benchmark
+        "decontam_rewrite_winnow" -> (s => graft.ext.Corpus
+          .decontaminateRewriteWinnowed(
+            docs(s).filter(col("doc_id") >= 500),
+            docs(s).filter(col("doc_id") < 500),
+            "doc_id", "text", winBytes = 40, k = 15)),
         // r16 (r15 verdict #5): k-best sampled segmentation — the
         // budget line checks the per-word k-best DP (a codegen'd
         // expression over the distinct-word relation) stays

@@ -1275,6 +1275,49 @@ class CorpusSpec extends AnyFunSuite {
       !clean.getAs[Boolean]("drop"), s"clean page must pass: $clean")
   }
 
+  test("decontaminateRewrite: the leaked quote is cut surgically — " +
+      "clean docs pass byte-identical, a fully-leaked doc rewrites to " +
+      "empty, and the winnowed screen is byte-identical above its floor") {
+    val quote = "the seventeen quick brown foxes jumped over the lazy sleeping dogs"
+    val filler = (1 to 120).map(i => s"fill$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $quote $filler"), // long page embedding the quote
+      (2L, s"completely unrelated page $filler"),
+      (3L, quote)) // the benchmark item itself crawled verbatim
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val r = Corpus.decontaminateRewrite(corpus, bench, "doc_id", "text",
+        winBytes = 40)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val hit = r(1L)
+    assert(hit.getAs[Long]("n_spans_cut") == 1L &&
+      hit.getAs[Long]("cut_bytes") == quote.length &&
+      hit.getAs[Long]("clean_bytes") ==
+        hit.getAs[Long]("n_bytes") - quote.length,
+      s"quote must be cut exactly: $hit")
+    val clean = r(2L)
+    assert(clean.getAs[Long]("n_spans_cut") == 0L &&
+      clean.getAs[Long]("clean_bytes") == clean.getAs[Long]("n_bytes"),
+      s"clean page must pass uncut: $clean")
+    // byte-identical pass-through: clean_fp == the content fingerprint
+    val fp2 = corpus.filter(col("doc_id") === 2L)
+      .select(graft.ext.TextOps.fingerprint(col("text")))
+      .head.getString(0)
+    assert(clean.getAs[String]("clean_fp") == fp2)
+    val full = r(3L)
+    assert(full.getAs[Long]("clean_bytes") == 0L &&
+      full.getAs[String]("clean_fp") ==
+        "d41d8cd98f00b204e9800998ecf8427e",
+      s"fully-leaked doc must rewrite to empty: $full")
+    // winnowed screen: the quote (>= win+k-1 = 54 bytes) is guaranteed
+    // to flag its docs, so the two forms agree byte for byte
+    val w = Corpus.decontaminateRewriteWinnowed(corpus, bench, "doc_id",
+        "text", winBytes = 40, k = 15)
+      .collect().map(x => x.getLong(0) -> x.toString).toMap
+    assert(w == r.map { case (k, v) => k -> v.toString },
+      s"winnowed $w != exact")
+  }
+
   test("decontamMatrix: the verbatim-quote page fires spans and " +
       "containment but not fraction — the disagreement the card exists " +
       "to show; verdict algebra exact") {
