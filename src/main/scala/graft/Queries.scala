@@ -41,8 +41,8 @@ object Queries
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
-    qUrlDomainCardPsl,
-    qDedupLadder, qAdmissionLadder, qReladder, qIngestLadder,
+    qUrlDomainCardPsl, qDomainQuota,
+    qDedupLadder, qAdmissionLadder, qLadderBloom, qReladder, qIngestLadder,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupJaccardSteady,
@@ -126,5 +126,6 @@ object Queries
     * persisted indexes at two scales.
     */
   val slowTier: Set[String] = Set("dedup_substr_exact_sa",
-    "q_admission_ladder", "q_ingest_ladder", "q_reladder")
+    "q_admission_ladder", "q_ladder_bloom", "q_ingest_ladder",
+    "q_reladder")
 }

@@ -389,9 +389,12 @@ object IncrementalDedup {
           TextOps.canonicalUrl(col(u)).as("url_key"))
         val withKeep = keyed.withColumn("keep",
           min(col("id")).over(w.partitionBy(col("url_key"))))
+        // stored-key probe, bloom-pruned when a maintenance window has
+        // built the sidecar ([[LadderBloom]] — verdict-identical, the
+        // filter only skips keys that cannot be in the covered index)
         val seen = others(s"$root/url_index") match {
-          case Some(ix) => keyed.join(ix.select(col("url_key")),
-            Seq("url_key"), "left_semi").select(col("id"))
+          case Some(ix) => LadderBloom.seenIds(keyed, "url_key", "id",
+            ix, "url_index", LadderBloom.read(spark, root, "url_index"))
           case None => empty
         }
         // NULL keys pass the rung (the gate-0 / [[Dedup.ladder]]
@@ -423,8 +426,8 @@ object IncrementalDedup {
     val withKeepFp = fps.withColumn("keep",
       min(col("id")).over(w.partitionBy(col("fp"))))
     val seenFp = others(s"$root/fp_index") match {
-      case Some(ix) => fps.join(ix.select(col("fp")), Seq("fp"),
-        "left_semi").select(col("id"))
+      case Some(ix) => LadderBloom.seenIds(fps, "fp", "id", ix,
+        "fp_index", LadderBloom.read(spark, root, "fp_index"))
       case None => empty
     }
     val exactDrops = Materialize.multiScan(
@@ -439,14 +442,19 @@ object IncrementalDedup {
       s1.join(exactDrops, s1(idCol) === exactDrops("id"), "left_anti"))
 
     // rung 3: near — stored-postings probe first (first arrival wins),
-    // then in-batch components among the probe survivors
+    // then in-batch components among the probe survivors. With a bloom
+    // sidecar the covered index is probed by the pruned batch postings
+    // only (dropping never-matching rows is exact — [[LadderBloom]])
     val posts = Materialize.multiScan(
       Dedup.shinglePostings(s2, idCol, textCol, n))
     val vsIndexNear = Materialize.multiScan(
       others(s"$root/postings") match {
-        case Some(ix) => Dedup.jaccardProbe(posts,
-            ix.select(col("id"), col("m"), col("sh64")), tau, maxDocFreq)
-          .select(col("batch_id").as("id")).distinct()
+        case Some(ix) => LadderBloom.postingsProbes(posts, ix,
+            LadderBloom.read(spark, root, "postings"))
+          .map { case (b, i) => Dedup.jaccardProbe(b,
+              i.select(col("id"), col("m"), col("sh64")), tau, maxDocFreq)
+            .select(col("batch_id").as("id")) }
+          .reduce(_ unionByName _).distinct()
         case None => empty
       })
     val hostPosts = posts.join(vsIndexNear,
@@ -497,6 +505,81 @@ object IncrementalDedup {
     spark.read.parquet(part("verdicts"))
   }
 
+  /** One DOMAIN-QUOTA admission tick — the per-registrant volume cap a
+    * web-scale corpus runs so no single site dominates the training
+    * mix (the C4/RefinedWeb-family "cap documents per domain" rule),
+    * as a steady-state `foreachBatch` body over a PERSISTENT count
+    * index. Each arriving doc resolves to its registered domain
+    * (eTLD+1, [[Dedup.registeredDomain]] over the canonical-URL host —
+    * a pure scalar projection, no join); a doc is dropped with verdict
+    * `domain` when its domain's ADMITTED count (stored index, other
+    * batches) plus its arrival rank within the batch exceeds `k`.
+    * First arrivals win (rank by id — the ladder convention); rows
+    * with a NULL address or unresolvable host PASS and are never
+    * counted (the NULL-provenance convention of [[admitBatchUrl]]).
+    *
+    * At 100 TB the index is domain-cardinality — (reg_domain, n) per
+    * batch, a few million rows against billions of docs — so the
+    * prior-count join broadcasts; the in-batch rank is one keyed
+    * window over the batch. The counts index stores ADMITTED docs
+    * only, so quota accounting never leaks drops.
+    *
+    * REPLAY IDEMPOTENCE: the [[admitBatchUrl]] contract — verdicts,
+    * counts and corpus land under per-batch Overwrite partitions, the
+    * prior-count probe excludes the tick's own partition.
+    *
+    * @return the batch's verdict relation (id, dropped_at ∈ {domain,
+    *         NULL}), read back from its just-written partition
+    */
+  def admitBatchDomainQuota(batch: DataFrame, idCol: String,
+                            urlCol: String, root: String, k: Int,
+                            batchId: Long,
+                            suffixes: Seq[String] = Dedup.publicSuffixes): DataFrame = {
+    require(k > 0, s"domain quota must be positive: $k")
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+    val base = Materialize.multiScan(batch)
+    val host = regexp_replace(regexp_replace(
+      regexp_extract(TextOps.canonicalUrl(col(urlCol)), "^[^/?]*", 0),
+      "^[^@]*@", ""), ":[0-9]+$", "")
+    // reg_domain is used by the rank, the drop join and the count
+    // write: compute the scalar once. NULL/empty hosts resolve to NULL
+    // (CaseWhen evaluates branches lazily, so registeredDomain never
+    // sees the empty host).
+    val doms = Materialize.multiScan(base.select(col(idCol).as("id"),
+      when(host.isNull || host === lit(""), lit(null).cast("string"))
+        .otherwise(Dedup.registeredDomain(host, suffixes))
+        .as("reg_domain")))
+    val prior = indexIfExists(spark, s"$root/domain_counts") match {
+      case Some(ix) => ix.filter(col("batch") =!= batchId)
+        .groupBy(col("reg_domain")).agg(sum(col("n")).as("prior"))
+      case None => doms.select(col("reg_domain"), lit(0L).as("prior"))
+        .limit(0)
+    }
+    val drops = Materialize.multiScan(
+      doms.filter(col("reg_domain").isNotNull)
+        .withColumn("r", row_number().over(
+          w.partitionBy(col("reg_domain")).orderBy(col("id"))))
+        .join(prior, Seq("reg_domain"), "left")
+        .filter(coalesce(col("prior"), lit(0L)) + col("r") > k)
+        .select(col("id")))
+    val admitted = Materialize.multiScan(
+      base.join(drops, base(idCol) === drops("id"), "left_anti"))
+    def part(sub: String) = s"$root/$sub/batch=$batchId"
+    base.select(col(idCol).as("id"))
+      .join(drops.select(col("id"), lit("domain").as("__d")),
+        Seq("id"), "left")
+      .select(col("id"), col("__d").as("dropped_at"))
+      .write.mode(SaveMode.Overwrite).parquet(part("verdicts"))
+    doms.join(admitted, doms("id") === admitted(idCol), "left_semi")
+      .filter(col("reg_domain").isNotNull)
+      .groupBy(col("reg_domain")).agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(part("domain_counts"))
+    admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
+    Seq(base, doms, drops, admitted).foreach(_.unpersist())
+    spark.read.parquet(part("verdicts"))
+  }
+
   private def indexIfExists(spark: SparkSession,
                             indexDir: String): Option[DataFrame] =
     // data-file probe, not a bare directory probe: a footer-less tree
@@ -527,11 +610,14 @@ object IncrementalDedup {
     (Layout.foldBatchPartitions(spark, corpusDir, committedBelow, targetBytes),
       Layout.foldBatchPartitions(spark, indexDir, committedBelow, targetBytes))
 
-  /** The subtrees one [[admitBatchLadder]] tick writes — the complete
-    * fold surface for [[maintainLadder]]. */
+  /** The subtrees one [[admitBatchLadder]] / [[IngestLadder.admitBatch]]
+    * / [[admitBatchDomainQuota]] tick writes — the complete fold
+    * surface for [[maintainLadder]] (a subtree a given operator never
+    * writes folds 0). `domain_counts` is row-preserving under the
+    * fold, so prior-count sums are unchanged by maintenance. */
   private[graft] val LadderSubtrees: Seq[String] = Seq(
     "corpus", "url_index", "fp_index", "postings", "postings_dropped",
-    "verdicts")
+    "domain_counts", "verdicts")
 
   /** Ladder-wide index maintenance — [[maintain]]'s contract extended to
     * EVERY subtree [[admitBatchLadder]] writes (corpus, url_index,
@@ -549,15 +635,28 @@ object IncrementalDedup {
     * window that runs the ticks (e.g. the `foreachBatch` body on
     * `batchId % N == N - 1` with `committedBelow = batchId`).
     *
+    * BLOOM SIDECARS: a fold moves committed partitions into `batch=-1`,
+    * which every sidecar watermark treats as covered — so any sidecar
+    * that exists is REBUILT here, after its subtree's fold, at this
+    * fold's watermark ([[LadderBloom]]'s one invariant). Build sidecars
+    * for the first time with [[LadderBloom.buildAll]]; from then on
+    * this keeps them fresh.
+    *
     * @return per-subtree fold counts (0 = nothing to do; a subtree the
     *         ladder never wrote — e.g. `url_index` when `urlCol` is
     *         None — counts 0 too)
     */
   def maintainLadder(spark: SparkSession, root: String,
                      committedBelow: Long,
-                     targetBytes: Long = 128L << 20): Map[String, Int] =
-    LadderSubtrees.map(s => s -> Layout.foldBatchPartitions(
+                     targetBytes: Long = 128L << 20): Map[String, Int] = {
+    val folds = LadderSubtrees.map(s => s -> Layout.foldBatchPartitions(
       spark, s"$root/$s", committedBelow, targetBytes)).toMap
+    LadderBloom.Keys.foreach { case (sub, _) =>
+      if (LadderBloom.read(spark, root, sub).isDefined)
+        LadderBloom.build(spark, root, sub, committedBelow)
+    }
+    folds
+  }
 
   /** Periodic RE-LADDER RECONCILIATION — the batch pass that closes
     * [[admitBatchLadder]]'s one documented divergence from

@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   *                        themselves survive ([[IncrementalDedup
   *                        .admitBatchContainment]]'s discipline,
   *                        including the mutual-pair minimum-id rule).
+  *   6. `domain`       — optional, LAST: per-registered-domain volume
+  *                        quota against a persistent `domain_counts/`
+  *                        index ([[IncrementalDedup
+  *                        .admitBatchDomainQuota]] composed) — runs
+  *                        after every content rung so only docs that
+  *                        actually reach the corpus consume quota.
   *
   * RUNG ORDER IS SEMANTICS, not just cost: the near/containment rungs
   * run over QUALITY SURVIVORS, so a gate-dropped doc can never vouch
@@ -75,7 +81,8 @@ object IngestLadder {
     */
   type Gate = (String, DataFrame => DataFrame)
 
-  private val ReservedTags = Set("url", "exact", "near", "containment")
+  private val ReservedTags =
+    Set("url", "exact", "near", "containment", "domain")
 
   /** One composed ingest tick (a `foreachBatch` body). Writes the six
     * ladder subtrees under `root` (per-batch Overwrite partitions) and
@@ -89,6 +96,14 @@ object IngestLadder {
     * @param containmentTau None skips the containment rung; Some(τc)
     *                       probes the same postings relation the near
     *                       rung built — no extra tokenize
+    * @param domainQuota    optional FINAL rung (requires `urlCol`): cap
+    *                       admitted docs per registered domain at k
+    *                       (verdict tag `domain`) against a persistent
+    *                       `domain_counts/` index —
+    *                       [[IncrementalDedup.admitBatchDomainQuota]]'s
+    *                       semantics composed; it runs LAST so only
+    *                       docs that pass every content rung consume
+    *                       quota, and only ADMITTED docs are counted
     * @param monitor        optional per-rung drop-rate CUSUM
     *                       ([[LadderRungMonitor]] — construct it with
     *                       exactly the rung tags to watch); counts ride
@@ -100,6 +115,7 @@ object IngestLadder {
                  root: String, n: Int, tau: Double, batchId: Long,
                  maxDocFreq: Int = Int.MaxValue,
                  containmentTau: Option[Double] = None,
+                 domainQuota: Option[Int] = None,
                  monitor: Option[LadderRungMonitor] = None): DataFrame = {
     val tags = gates.map(_._1)
     require(tags.distinct == tags, s"gate tags must be distinct: $tags")
@@ -123,9 +139,11 @@ object IngestLadder {
           TextOps.canonicalUrl(col(u)).as("url_key"))
         val withKeep = keyed.withColumn("keep",
           min(col("id")).over(w.partitionBy(col("url_key"))))
+        // bloom-pruned when a sidecar exists ([[LadderBloom]] —
+        // verdict-identical; all-novel ticks skip the covered scan)
         val seen = others(s"$root/url_index") match {
-          case Some(ix) => keyed.join(ix.select(col("url_key")),
-            Seq("url_key"), "left_semi").select(col("id"))
+          case Some(ix) => LadderBloom.seenIds(keyed, "url_key", "id",
+            ix, "url_index", LadderBloom.read(spark, root, "url_index"))
           case None => empty
         }
         val drops = Materialize.multiScan(
@@ -156,8 +174,8 @@ object IngestLadder {
     val withKeepFp = fps.withColumn("keep",
       min(col("id")).over(w.partitionBy(col("fp"))))
     val seenFp = others(s"$root/fp_index") match {
-      case Some(ix) => fps.join(ix.select(col("fp")), Seq("fp"),
-        "left_semi").select(col("id"))
+      case Some(ix) => LadderBloom.seenIds(fps, "fp", "id", ix,
+        "fp_index", LadderBloom.read(spark, root, "fp_index"))
       case None => empty
     }
     val exactDrops = Materialize.multiScan(
@@ -201,11 +219,16 @@ object IngestLadder {
         .select(col("id"), size(col("__sh")).as("m"),
           explode(col("__sh")).as("shingle"))
         .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64")))
+    // stored postings keep their batch column for the bloom sidecar's
+    // covered/tail split; each probe selects the (id, m, sh64) slice
     val storedPosts = others(s"$root/postings")
-      .map(_.select(col("id"), col("m"), col("sh64")))
+    val postingsBloom = LadderBloom.read(spark, root, "postings")
     val vsIndexNear = Materialize.multiScan(storedPosts match {
-      case Some(ix) => Dedup.jaccardProbe(posts, ix, tau, maxDocFreq)
-        .select(col("batch_id").as("id")).distinct()
+      case Some(ix) => LadderBloom.postingsProbes(posts, ix, postingsBloom)
+        .map { case (b, i) => Dedup.jaccardProbe(b,
+            i.select(col("id"), col("m"), col("sh64")), tau, maxDocFreq)
+          .select(col("batch_id").as("id")) }
+        .reduce(_ unionByName _).distinct()
       case None => empty
     })
     val hostPosts = posts.join(vsIndexNear,
@@ -224,9 +247,12 @@ object IngestLadder {
       val p4 = posts.join(nearDrops, posts("id") === nearDrops("id"),
         "left_anti")
       val vsIx = Materialize.multiScan(storedPosts match {
-        case Some(ix) => Dedup.containmentProbe(p4, ix, tauC, maxDocFreq)
-          .filter(col("cont_batch") >= tauC)
-          .select(col("batch_id").as("id")).distinct()
+        case Some(ix) => LadderBloom.postingsProbes(p4, ix, postingsBloom)
+          .map { case (b, i) => Dedup.containmentProbe(b,
+              i.select(col("id"), col("m"), col("sh64")), tauC, maxDocFreq)
+            .filter(col("cont_batch") >= tauC)
+            .select(col("batch_id").as("id")) }
+          .reduce(_ unionByName _).distinct()
         case None => empty
       })
       val hostsC = p4.join(vsIx, p4("id") === vsIx("id"), "left_anti")
@@ -242,9 +268,43 @@ object IngestLadder {
       drops
     }
 
-    val tagged: Seq[(String, DataFrame)] =
+    // rung domain (optional, LAST): per-registered-domain quota over
+    // the survivors of every content rung — only docs that pass
+    // everything else consume quota, and only ADMITTED docs are counted
+    // ([[IncrementalDedup.admitBatchDomainQuota]] composed; NULL or
+    // unresolvable hosts pass uncounted, the NULL-provenance rule)
+    val quotaDoms: Option[DataFrame] = domainQuota.map { _ =>
+      val u = urlCol.getOrElse(throw new IllegalArgumentException(
+        "domainQuota requires urlCol"))
+      val host = regexp_replace(regexp_replace(
+        regexp_extract(TextOps.canonicalUrl(col(u)), "^[^/?]*", 0),
+        "^[^@]*@", ""), ":[0-9]+$", "")
+      Materialize.multiScan(base.select(col(idCol).as("id"),
+        when(host.isNull || host === lit(""), lit(null).cast("string"))
+          .otherwise(Dedup.registeredDomain(host)).as("reg_domain")))
+    }
+    val preQuota: Seq[(String, DataFrame)] =
       Seq("url" -> urlDrops, "exact" -> exactDrops) ++ gateDrops ++
         Seq("near" -> nearDrops) ++ contDrops.map("containment" -> _)
+    val quotaDrops: Option[DataFrame] = domainQuota.map { kCap =>
+      val dropsSoFar = preQuota.map(_._2.select(col("id")))
+        .reduce(_ unionByName _).distinct()
+      val surv = quotaDoms.get.join(dropsSoFar, Seq("id"), "left_anti")
+      val prior = others(s"$root/domain_counts") match {
+        case Some(ix) => ix.groupBy(col("reg_domain"))
+          .agg(sum(col("n")).as("prior"))
+        case None => surv.select(col("reg_domain"), lit(0L).as("prior"))
+          .limit(0)
+      }
+      Materialize.multiScan(surv.filter(col("reg_domain").isNotNull)
+        .withColumn("r", row_number().over(w.partitionBy(
+          col("reg_domain")).orderBy(col("id"))))
+        .join(prior, Seq("reg_domain"), "left")
+        .filter(coalesce(col("prior"), lit(0L)) + col("r") > kCap)
+        .select(col("id")))
+    }
+    val tagged: Seq[(String, DataFrame)] =
+      preQuota ++ quotaDrops.map("domain" -> _)
     val allDrops = tagged.map(_._2.select(col("id")))
       .reduce(_ unionByName _).distinct()
     val admitted = Materialize.multiScan(
@@ -277,9 +337,16 @@ object IngestLadder {
       nearDrops.unionByName(c).distinct())
     posts.join(lateDrops, posts("id") === lateDrops("id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(part("postings_dropped"))
+    quotaDoms.foreach { doms =>
+      doms.join(admitted, doms("id") === admitted(idCol), "left_semi")
+        .filter(col("reg_domain").isNotNull)
+        .groupBy(col("reg_domain")).agg(count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(part("domain_counts"))
+    }
     admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
     (Seq(base, urlDrops, pre, exactDrops, posts, vsIndexNear, nearDrops,
-      admitted) ++ gateDrops.map(_._2) ++ contDrops).foreach(_.unpersist())
+      admitted) ++ gateDrops.map(_._2) ++ contDrops ++ quotaDoms ++
+      quotaDrops).foreach(_.unpersist())
     spark.read.parquet(part("verdicts"))
   }
 

@@ -1,0 +1,218 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bloom SIDECARS for the admission ladder's persistent key indexes —
+  * the probe-side scale lever the raw layout can't provide. Every
+  * steady-state tick probes its batch against three growing indexes
+  * (`url_index/` canonical keys, `fp_index/` content fingerprints,
+  * `postings/` shingle hashes), and on a novel crawl the overwhelming
+  * majority of batch keys match NOTHING — yet the exact semi-join still
+  * pays a pass over the index every tick. A Bloom summary of the index
+  * keys, built once per maintenance window and read back as a few MB,
+  * prunes the BATCH side of each probe to the rare possible-hit rows
+  * before the exact join runs:
+  *
+  *  - url/fp rungs: batch keys failing the filter cannot be in the
+  *    covered index (no false negatives), so only filter-passing keys
+  *    enter the semi-join — and when NO key passes, the covered index
+  *    is not scanned at all (the all-novel tick, the common case on a
+  *    frontier crawl, costs a batch-local filter and nothing else);
+  *  - postings rung: batch posting ROWS whose `sh64` the filter rejects
+  *    match no stored row, so dropping them changes neither any pair's
+  *    intersection count nor the carried per-doc shingle count `m` —
+  *    [[Dedup.jaccardProbe]] / [[Dedup.containmentProbe]] over the
+  *    pruned rows are row-for-row the unpruned probes.
+  *
+  * EXACTNESS: a Bloom filter admits false positives but never false
+  * negatives, and every filter-passing key still goes through the exact
+  * join — so verdicts are byte-identical with or without sidecars
+  * (`q_ladder_bloom` pins this against the independent DuckDB replay:
+  * same oracle SQL as the sidecar-less `q_admission_ladder`).
+  *
+  * COVERAGE WATERMARK: a sidecar summarizes partitions with
+  * `batch < coveredBelow` (which includes a prior fold's `batch = -1`
+  * target — −1 is below every real watermark). Ticks after the build
+  * write partitions at or above the watermark; those form the UNCOVERED
+  * TAIL, which each probe checks exactly (partition-pruned by the
+  * `batch` filter), so a stale sidecar degrades to less pruning, never
+  * to a missed drop. THE ONE INVARIANT a caller must keep: a FOLD moves
+  * committed partitions into `batch = -1`, which the watermark treats
+  * as covered — so folding past a sidecar's watermark without
+  * rebuilding it would hide the newly-folded keys from the probe.
+  * [[IncrementalDedup.maintainLadder]] therefore rebuilds every
+  * existing sidecar after its fold (same serialized window), and
+  * [[buildAll]] must only ever be called with `committedBelow` at or
+  * above the latest fold watermark.
+  *
+  * At 100 TB: the build is one distributed aggregation per index
+  * (map-side partial OR-merge, constant-size result) inside the
+  * maintenance window, amortized over every tick until the next fold.
+  * Filter bytes ride the task binary below
+  * [[Corpus.BloomBroadcastBytes]] and a torrent broadcast above it
+  * (the [[Corpus.decontaminateBloom]] dispatch). `nBits` is capped at
+  * [[MaxBits]] (256 MB): past ~1.7e8 keys at 10 bits/key the FPR
+  * degrades gracefully — pruning weakens, exactness is untouched.
+  */
+object LadderBloom {
+
+  /** Sidecar-carrying subtrees and the key column each summarizes. */
+  private[graft] val Keys: Seq[(String, String)] = Seq(
+    "url_index" -> "url_key", "fp_index" -> "fp", "postings" -> "sh64")
+
+  /** Bits-per-key at the default build: 10 bits + 5 probes ≈ 0.9% FPR. */
+  val BitsPerKey: Int = 10
+  val Probes: Int = 5
+
+  /** nBits ceiling — a 256 MB filter; see the scaladoc's FPR note. */
+  val MaxBits: Int = Int.MaxValue
+
+  /** Sidecars live BESIDE their index subtree (never inside it — the
+    * index dir must stay readable as one homogeneous parquet tree). */
+  def sidecarDir(root: String, sub: String): String = s"$root/bloom_$sub"
+
+  /** A read-back sidecar: the filter words plus its build watermark. */
+  final case class Sidecar(words: Array[Long], nBits: Int, k: Int,
+                           coveredBelow: Long, nKeys: Long) {
+    def bytes: Int = words.length * 8
+  }
+
+  /** The 64-bit probe value for a subtree's key column: `sh64` is
+    * already a hash; string keys go through xxhash64 — the SAME
+    * expression on build and probe sides, which is the whole contract. */
+  private def hash64(sub: String, c: Column): Column =
+    if (sub == "postings") c else xxhash64(c)
+
+  /** Build (or rebuild) one subtree's sidecar over its committed
+    * partitions (`batch < committedBelow`, including a prior fold's
+    * `-1`). Returns the summarized key-row count; 0 with no sidecar
+    * written when the subtree has no data yet. Call from the serialized
+    * maintenance window only (the [[IncrementalDedup.maintain]]
+    * contract).
+    */
+  def build(spark: SparkSession, root: String, sub: String,
+            committedBelow: Long, bitsPerKey: Int = BitsPerKey,
+            k: Int = Probes): Long = {
+    val keyName = Keys.toMap.getOrElse(sub,
+      throw new IllegalArgumentException(s"no bloom key for subtree $sub"))
+    val dir = s"$root/$sub"
+    if (!Layout.hasParquetData(spark, dir)) return 0L
+    graft.functions.VectorFunctions.register(spark)
+    val hs = spark.read.parquet(dir)
+      .filter(col("batch") < committedBelow)
+      .filter(col(keyName).isNotNull) // indexes hold no NULL keys; belt and braces
+      .select(hash64(sub, col(keyName)).as("h"))
+    val n = hs.count()
+    // distinct-count would cost another shuffle; row count only
+    // over-sizes the filter (lower FPR), never under-sizes it
+    val nBits = math.min(math.max(64L, n * bitsPerKey), MaxBits.toLong).toInt
+    val filter = hs
+      .agg(graft.functions.VectorFunctions.bloomAgg(col("h"), nBits, k))
+      .head().getAs[Array[Byte]](0)
+    import spark.implicits._
+    Seq((filter, nBits, k, committedBelow, n))
+      .toDF("filter", "n_bits", "k", "covered_below", "n_keys")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(sidecarDir(root, sub))
+    n
+  }
+
+  /** Build every subtree's sidecar (url/fp/postings). Returns the
+    * per-subtree summarized counts; an absent subtree counts 0. */
+  def buildAll(spark: SparkSession, root: String, committedBelow: Long,
+               bitsPerKey: Int = BitsPerKey, k: Int = Probes): Map[String, Long] =
+    Keys.map { case (sub, _) =>
+      sub -> build(spark, root, sub, committedBelow, bitsPerKey, k)
+    }.toMap
+
+  /** Read a subtree's sidecar; None when never built. */
+  def read(spark: SparkSession, root: String, sub: String): Option[Sidecar] =
+    if (!Layout.hasParquetData(spark, sidecarDir(root, sub))) None
+    else {
+      val r = spark.read.parquet(sidecarDir(root, sub)).head()
+      Some(Sidecar(
+        graft.functions.Bloom.toWords(r.getAs[Array[Byte]]("filter")),
+        r.getAs[Int]("n_bits"), r.getAs[Int]("k"),
+        r.getAs[Long]("covered_below"), r.getAs[Long]("n_keys")))
+    }
+
+  /** `df` filtered to rows whose hashed key the sidecar MIGHT contain.
+    * NULL keys: `xxhash64(NULL)` folds to the seed hash, so a NULL-key
+    * row can pass as a false positive — harmless, because the exact
+    * equi-join downstream never matches NULL (the convention that NULL
+    * keys are never "seen" survives pruning unchanged).
+    * Dispatches literal-vs-broadcast on the filter size and releases
+    * the broadcast handle once the returned Dataset's plan holds the
+    * reference (the [[Corpus.decontaminateBloom]] lifecycle).
+    */
+  private def mightContain(df: DataFrame, sub: String, keyName: String,
+                           sc: Sidecar): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val h = hash64(sub, col(keyName))
+    if (sc.bytes <= Corpus.BloomBroadcastBytes)
+      df.filter(graft.functions.VectorFunctions.bloomContains(
+        h, graft.functions.Bloom.toBytes(sc.words), sc.nBits, sc.k))
+    else {
+      val bcast = spark.sparkContext.broadcast(sc.words)
+      val handle = graft.functions.BloomBroadcasts.put(bcast)
+      val out = df.filter(graft.functions.VectorFunctions
+        .bloomContainsBroadcast(h, handle, sc.nBits, sc.k))
+      graft.functions.BloomBroadcasts.remove(handle)
+      out
+    }
+  }
+
+  /** The url/fp rungs' SEEN probe: ids of `keys` rows whose `keyName`
+    * appears in the (own-batch-excluded) index `ix`. With a sidecar the
+    * covered slice is consulted only for filter-passing keys — and not
+    * scanned at all when no key passes — while tail partitions (written
+    * since the build) are probed exactly; without one it is the plain
+    * semi-join. Verdict-identical either way.
+    */
+  private[graft] def seenIds(keys: DataFrame, keyName: String,
+                             idName: String, ix: DataFrame,
+                             sub: String, sc: Option[Sidecar]): DataFrame = {
+    val plain = () => keys
+      .join(ix.select(col(keyName)), Seq(keyName), "left_semi")
+      .select(col(idName))
+    sc match {
+      case None => plain()
+      case Some(s) =>
+        val covered = ix.filter(col("batch") < s.coveredBelow)
+        val tail = ix.filter(col("batch") >= s.coveredBelow)
+        val cand = mightContain(keys, sub, keyName, s)
+        // the all-novel short-circuit: no candidate ⇒ the covered index
+        // (the bulk of the state) is never read this tick. `cand` is a
+        // filter over the tick's cached batch relation — the isEmpty
+        // action is batch-local and cheap.
+        val seenCovered =
+          if (cand.isEmpty) keys.select(col(idName)).limit(0)
+          else cand.join(covered.select(col(keyName)), Seq(keyName),
+            "left_semi").select(col(idName))
+        val seenTail = keys
+          .join(tail.select(col(keyName)), Seq(keyName), "left_semi")
+          .select(col(idName))
+        seenCovered.unionByName(seenTail).distinct()
+    }
+  }
+
+  /** The postings rung's probe split: (batchSide, indexSide) pairs to
+    * run through [[Dedup.jaccardProbe]] / [[Dedup.containmentProbe]]
+    * and union. With a sidecar the covered slice is probed by the
+    * bloom-pruned batch postings only (dropping never-matching rows is
+    * exact — see the object doc) and the tail by the full batch
+    * postings; without one, a single unpruned pair.
+    */
+  private[graft] def postingsProbes(posts: DataFrame, ix: DataFrame,
+                                    sc: Option[Sidecar]): Seq[(DataFrame, DataFrame)] =
+    sc match {
+      case None => Seq((posts, ix))
+      case Some(s) =>
+        val covered = ix.filter(col("batch") < s.coveredBelow)
+        val tail = ix.filter(col("batch") >= s.coveredBelow)
+        Seq((mightContain(posts, "postings", "sh64", s), covered),
+          (posts, tail))
+    }
+}

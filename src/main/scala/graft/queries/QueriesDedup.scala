@@ -246,6 +246,96 @@ private[graft] trait QueriesDedup { this: Queries.type =>
   private val pslRulesSql: String =
     pslRules.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** Per-registered-domain admission QUOTA
+    * ([[graft.ext.IncrementalDedup.admitBatchDomainQuota]]): cap
+    * admitted docs per eTLD+1 at k=10 across two steady-state ticks
+    * against the persistent `domain_counts/` index — the
+    * C4/RefinedWeb-family "no single site dominates the mix" rule as a
+    * foreachBatch body. The synthetic crawl concentrates doc mass into
+    * few registrants (the farm shards collapse to `farm{0,1}.co.uk`,
+    * every `www.site*.com` host to its site, the no-rule hosts to the
+    * implicit-* `cluster.internal`, and one host IS a suffix), so both
+    * tick shapes fire: in-tick rank overflow AND stored-count overflow;
+    * doc_id % 13 = 5 rows carry a NULL address and must pass uncounted.
+    * The oracle replays suffix resolution, both ticks' ranked windows,
+    * and the cross-tick admitted-count join in DuckDB.
+    */
+  val qDomainQuota = Q("q_domain_quota",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_domquota").toString
+      val m = col("doc_id") % 4
+      val p = (col("doc_id") % 200).cast("string")
+      val u = when(col("doc_id") % 13 === 5, lit(null).cast("string"))
+        .when(m === 0, concat(lit("http://s"),
+          (col("doc_id") % 8).cast("string"), lit(".farm"),
+          (col("doc_id") % 2).cast("string"), lit(".co.uk/p/"), p))
+        .when(m === 1, concat(lit("http://www.site"),
+          (col("doc_id") % 5).cast("string"), lit(".com/a/"), p))
+        .when(m === 2, concat(lit("http://node"),
+          (col("doc_id") % 3).cast("string"), lit(".cluster.internal/x/"), p))
+        .otherwise(concat(lit("http://co.uk/odd/"), p))
+      val docs = t(s, dir, "documents").select(col("doc_id"), u.as("url"))
+      val v1 = graft.ext.IncrementalDedup.admitBatchDomainQuota(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "url", root,
+        k = 10, batchId = 0L)
+      val v2 = graft.ext.IncrementalDedup.admitBatchDomainQuota(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "url", root,
+        k = 10, batchId = 1L)
+      v1.unionByName(v2).select(col("id"), col("dropped_at"))
+    },
+    Some(s"""WITH urls AS (
+        SELECT doc_id, CASE
+          WHEN CAST(doc_id % 13 AS INT) = 5 THEN NULL
+          WHEN CAST(doc_id % 4 AS INT) = 0 THEN
+            'http://s' || CAST(doc_id % 8 AS STRING) || '.farm'
+              || CAST(doc_id % 2 AS STRING) || '.co.uk/p/'
+              || CAST(doc_id % 200 AS STRING)
+          WHEN CAST(doc_id % 4 AS INT) = 1 THEN
+            'http://www.site' || CAST(doc_id % 5 AS STRING)
+              || '.com/a/' || CAST(doc_id % 200 AS STRING)
+          WHEN CAST(doc_id % 4 AS INT) = 2 THEN
+            'http://node' || CAST(doc_id % 3 AS STRING)
+              || '.cluster.internal/x/' || CAST(doc_id % 200 AS STRING)
+          ELSE 'http://co.uk/odd/' || CAST(doc_id % 200 AS STRING)
+        END AS url FROM documents),
+      kq AS (SELECT doc_id, regexp_replace(url, '^http://', '') AS url_key
+             FROM urls),
+      hq AS (SELECT doc_id, regexp_extract(url_key, '^[^/?]*') AS host
+             FROM kq),
+      rdq AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+               list_filter(list_transform(
+                   generate_series(1, len(string_split(host, '.'))),
+                   i -> array_to_string(string_split(host, '.')[i:], '.')),
+                 c -> list_contains($suffixListSql, c))[1] AS suf
+             FROM hq WHERE host IS NOT NULL AND host <> ''),
+      rdq2 AS (SELECT doc_id,
+               CASE WHEN suf IS NULL THEN
+                      CASE WHEN len(ls) >= 2
+                           THEN array_to_string(ls[len(ls)-1:], '.')
+                           ELSE host END
+                    WHEN len(string_split(suf, '.')) = len(ls) THEN host
+                    ELSE array_to_string(
+                           ls[len(ls) - len(string_split(suf, '.')):], '.')
+               END AS reg_domain
+              FROM rdq),
+      tq1 AS (SELECT doc_id, reg_domain, row_number() OVER
+                (PARTITION BY reg_domain ORDER BY doc_id) AS r
+              FROM rdq2 WHERE doc_id % 3 = 0),
+      dq1 AS (SELECT doc_id FROM tq1 WHERE r > 10),
+      cq1 AS (SELECT reg_domain, count(*) AS n FROM tq1
+              WHERE r <= 10 GROUP BY reg_domain),
+      tq2 AS (SELECT doc_id, reg_domain, row_number() OVER
+                (PARTITION BY reg_domain ORDER BY doc_id) AS r
+              FROM rdq2 WHERE doc_id % 3 <> 0),
+      dq2 AS (SELECT tq2.doc_id FROM tq2 LEFT JOIN cq1 USING (reg_domain)
+              WHERE coalesce(cq1.n, 0) + tq2.r > 10)
+      SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id IN (SELECT doc_id FROM dq1)
+              OR d.doc_id IN (SELECT doc_id FROM dq2)
+             THEN 'domain' END AS dropped_at
+      FROM documents d"""))
+
   val qUrlDomainCardPsl = Q("q_url_domain_card_psl",
     (s, dir) => {
       import s.implicits._
@@ -382,34 +472,12 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         END AS dropped_at
       FROM documents d"""))
 
-  /** The COMPOSED steady-state admission ladder
-    * ([[graft.ext.IncrementalDedup.admitBatchLadder]]): two ingest
-    * ticks (doc_id % 3 = 0 arrives first, the rest second) through the
-    * persistent url-key / fingerprint / postings indexes, emitting the
-    * per-doc verdict at ingest time. The oracle replays BOTH ticks in
-    * DuckDB — tick 1 is the batch ladder on its slice (empty indexes);
-    * tick 2's url and exact rungs probe tick 1's rung-survivor keys
-    * and fingerprints, and its near rung probes tick 1's ADMITTED
-    * docs' shingle sets first (first arrival wins), then runs
-    * components among the probe survivors only — so the composed
-    * semantics (rung-survivor indexes, host-must-reach-corpus) are
-    * pinned end to end, not just per rung.
-    */
-  val qAdmissionLadder = Q("q_admission_ladder",
-    (s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q_admladder").toString
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
-        syntheticUrl.as("url"))
-      val v1 = graft.ext.IncrementalDedup.admitBatchLadder(
-        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
-        Some("url"), root, n = 3, tau = 0.25, batchId = 0L)
-      val v2 = graft.ext.IncrementalDedup.admitBatchLadder(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
-        Some("url"), root, n = 3, tau = 0.25, batchId = 1L)
-      v1.unionByName(v2).select(col("id"), col("dropped_at"))
-    },
-    Some("WITH RECURSIVE " + urlCanonCtes.stripPrefix("WITH ") + """,
+  /** The q_admission_ladder two-tick replay, shared VERBATIM with
+    * [[qLadderBloom]]: Bloom sidecars are exact overall (false
+    * positives fall through to the exact joins), so the bloom-pruned
+    * run must hash-match the SAME independent DuckDB replay. */
+  private val admissionLadderSql: String =
+    "WITH RECURSIVE " + urlCanonCtes.stripPrefix("WITH ") + """,
       fps AS (SELECT doc_id,
           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         FROM documents),
@@ -503,7 +571,63 @@ private[graft] trait QueriesDedup { this: Queries.type =>
                WHEN d.doc_id IN (SELECT doc_id FROM e2) THEN 'exact'
                WHEN d.doc_id IN (SELECT doc_id FROM n2) THEN 'near' END
         END AS dropped_at
-      FROM documents d"""))
+      FROM documents d"""
+
+  /** The COMPOSED steady-state admission ladder
+    * ([[graft.ext.IncrementalDedup.admitBatchLadder]]): two ingest
+    * ticks (doc_id % 3 = 0 arrives first, the rest second) through the
+    * persistent url-key / fingerprint / postings indexes, emitting the
+    * per-doc verdict at ingest time. The oracle replays BOTH ticks in
+    * DuckDB — tick 1 is the batch ladder on its slice (empty indexes);
+    * tick 2's url and exact rungs probe tick 1's rung-survivor keys
+    * and fingerprints, and its near rung probes tick 1's ADMITTED
+    * docs' shingle sets first (first arrival wins), then runs
+    * components among the probe survivors only — so the composed
+    * semantics (rung-survivor indexes, host-must-reach-corpus) are
+    * pinned end to end, not just per rung.
+    */
+  val qAdmissionLadder = Q("q_admission_ladder",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_admladder").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        syntheticUrl.as("url"))
+      val v1 = graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.25, batchId = 0L)
+      val v2 = graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.25, batchId = 1L)
+      v1.unionByName(v2).select(col("id"), col("dropped_at"))
+    },
+    Some(admissionLadderSql))
+
+  /** q_admission_ladder with BLOOM SIDECARS ([[graft.ext.LadderBloom]])
+    * built between the ticks: tick 1 runs on empty indexes, a
+    * maintenance window builds the url/fp/postings key summaries, and
+    * tick 2's three cross-batch probes all go through the bloom-pruned
+    * covered path. Sidecars are exact overall — a filter admits false
+    * positives but never false negatives, and every passing key still
+    * meets the exact join — so this query's oracle is the SAME DuckDB
+    * SQL as q_admission_ladder, character for character: the
+    * independent engine pins that pruning changed nothing.
+    */
+  val qLadderBloom = Q("q_ladder_bloom",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_ladbloom").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        syntheticUrl.as("url"))
+      val v1 = graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.25, batchId = 0L)
+      graft.ext.LadderBloom.buildAll(s, root, committedBelow = 1L)
+      val v2 = graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        Some("url"), root, n = 3, tau = 0.25, batchId = 1L)
+      v1.unionByName(v2).select(col("id"), col("dropped_at"))
+    },
+    Some(admissionLadderSql))
 
   /** The UNIFIED single-pass ingest ladder
     * ([[graft.ext.IngestLadder.admitBatch]]): url → exact → quality

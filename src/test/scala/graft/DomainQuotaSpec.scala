@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.{IncrementalDedup, IngestLadder}
+
+/** Per-registered-domain admission quota: the standalone steady-state
+  * tick ([[IncrementalDedup.admitBatchDomainQuota]]) and its composed
+  * form as the ingest ladder's final rung. First arrivals win, only
+  * ADMITTED docs consume quota, NULL addresses pass uncounted, and the
+  * stored counts survive maintenance folds.
+  */
+class DomainQuotaSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  test("standalone quota ticks: in-batch rank overflow, cross-tick " +
+      "stored counts, NULL urls pass uncounted, replay idempotent") {
+    import spark.implicits._
+    val root = tmp("dq1")
+    val tick1 = Seq(
+      (1L, "http://a.com/p1"), (2L, "http://sub.a.com/p2"),
+      (3L, "http://a.com/p3"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "http://b.org/x")).toDF("doc_id", "url")
+    val v1 = IncrementalDedup.admitBatchDomainQuota(tick1, "doc_id",
+        "url", root, k = 2, batchId = 0L)
+      .as[(Long, Option[String])].collect().toMap
+    // a.com holds ids 1,2,3 (sub.a.com rolls up to a.com): rank 3
+    // overflows k=2; the NULL url passes uncounted; b.org is under quota
+    assert(v1 == Map(1L -> None, 2L -> None, 3L -> Some("domain"),
+      4L -> None, 5L -> None), s"tick1 $v1")
+    val counts = spark.read.parquet(s"$root/domain_counts")
+      .select("reg_domain", "n").as[(String, Long)].collect().toMap
+    assert(counts == Map("a.com" -> 2L, "b.org" -> 1L), s"counts $counts")
+    val tick2 = Seq(
+      (11L, "http://a.com/p11"), (12L, "http://www.a.com/p12"),
+      (13L, "http://b.org/y"),
+      (14L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val v2 = IncrementalDedup.admitBatchDomainQuota(tick2, "doc_id",
+        "url", root, k = 2, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    // a.com stored count 2: both new docs overflow; b.org reaches
+    // exactly k and keeps; NULL passes
+    assert(v2 == Map(11L -> Some("domain"), 12L -> Some("domain"),
+      13L -> None, 14L -> None), s"tick2 $v2")
+    // replay under the same batch id: verdicts identical, counts and
+    // corpus overwritten in place (no double-charged quota)
+    val r2 = IncrementalDedup.admitBatchDomainQuota(tick2, "doc_id",
+        "url", root, k = 2, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(r2 == v2, s"replay $r2 != $v2")
+    val total = spark.read.parquet(s"$root/domain_counts")
+      .groupBy("reg_domain").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(total == Map("a.com" -> 2L, "b.org" -> 2L), s"totals $total")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(corpus == Seq(1L, 2L, 4L, 5L, 13L, 14L), s"corpus $corpus")
+  }
+
+  test("ingest ladder's domain rung: only docs that pass every content " +
+      "rung consume quota; the rung runs last; counts fold through " +
+      "maintainLadder") {
+    import spark.implicits._
+    val root = tmp("dq2")
+    val tick1 = Seq(
+      (1L, "unique page about alpine lichens and their habitats",
+        "http://a.com/p1"),
+      // exact copy of doc 1's text on a different page: drops at exact
+      // and must NOT consume a.com's quota
+      (2L, "unique page about alpine lichens and their habitats",
+        "http://a.com/p2"),
+      (3L, "a second distinct a.com page on glacier moraines here",
+        "http://a.com/p3"),
+      (4L, "a third distinct a.com page about fog harvesting nets",
+        "http://a.com/p4")).toDF("doc_id", "text", "url")
+    val v1 = IngestLadder.admitBatch(tick1, "doc_id", "text",
+        Some("url"), gates = Seq.empty, root = root, n = 3, tau = 0.9,
+        batchId = 0L, domainQuota = Some(2))
+      .as[(Long, Option[String])].collect().toMap
+    // survivors of the content rungs on a.com: 1, 3, 4 → ranks 1,2,3;
+    // rank 3 (doc 4) overflows k=2. Doc 2's exact drop is quota-free.
+    assert(v1 == Map(1L -> None, 2L -> Some("exact"),
+      3L -> None, 4L -> Some("domain")), s"tick1 $v1")
+    val counts = spark.read.parquet(s"$root/domain_counts")
+      .select("reg_domain", "n").as[(String, Long)].collect().toMap
+    assert(counts == Map("a.com" -> 2L), s"counts $counts")
+    // maintenance folds domain_counts with the other subtrees
+    val folded = IncrementalDedup.maintainLadder(spark, root,
+      committedBelow = 1L)
+    assert(folded("domain_counts") >= 1, s"fold $folded")
+    // tick 2: a fresh a.com page must overflow against the FOLDED count
+    val tick2 = Seq(
+      (11L, "an entirely new a.com page describing tidal bores",
+        "http://a.com/p11")).toDF("doc_id", "text", "url")
+    val v2 = IngestLadder.admitBatch(tick2, "doc_id", "text",
+        Some("url"), gates = Seq.empty, root = root, n = 3, tau = 0.9,
+        batchId = 1L, domainQuota = Some(2))
+      .as[(Long, Option[String])].collect().toMap
+    assert(v2 == Map(11L -> Some("domain")), s"tick2 $v2")
+  }
+
+  test("domainQuota without urlCol is rejected loudly") {
+    import spark.implicits._
+    val batch = Seq((1L, "some text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IngestLadder.admitBatch(batch, "doc_id", "text", None,
+        gates = Seq.empty, root = tmp("dq3"), n = 3, tau = 0.5,
+        batchId = 0L, domainQuota = Some(5))
+    }
+    assert(e.getMessage.contains("urlCol"))
+  }
+}
