@@ -93,6 +93,7 @@ object Queries
     qChunk, qPack, qPackSorted, qPackStats, qPackBpe, qDecontam,
     qDecontamBloom, qDecontamFraction, qDecontamContainment, qDecontamSpans,
     qDecontamMatrix, qDecontamRewrite, qDecontamRewriteWinnow,
+    qLineDedupFirst, qLineDedupBoiler,
     qTemperatureSample, qTemperatureSampleA25, qTemperatureSampleA75,
     qSplitAssign, qSplitExact, qKfold, qGroupKfold, qSplitCluster,
     qSplitLeakage,

@@ -1622,6 +1622,113 @@ object Corpus {
         md5(col("__clean")).as("clean_fp"))
   }
 
+  /** Line key for CROSS-DOCUMENT line dedup — CCNet's normalization
+    * (Wenzek 2020 §3.1: lowercase, strip digits) plus trim, so date
+    * stamps and counters don't hide otherwise-identical boilerplate.
+    * Lines that normalize to EMPTY (blank lines, digit-only rules) are
+    * structural, not content: both dedup forms exempt them, else every
+    * blank line in the corpus would be "a duplicate of the first". */
+  private def lineKey(l: Column): Column =
+    trim(regexp_replace(lower(l), "[0-9]", ""))
+
+  private def lineRebuild(df: DataFrame, idCol: String, textCol: String,
+                          ex: DataFrame, drops: DataFrame): DataFrame = {
+    val kept = ex.join(drops, Seq("id", "idx"), "left_anti")
+    val rebuilt = kept.groupBy(col("id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("line")))),
+        s => s("line")), "\n").as("text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"), col(textCol).isNull.as("__null"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("text"),
+        when(col("__null"), lit(0L)).otherwise(col("n_lines"))
+          .as("n_lines"),
+        when(col("__null"), lit(0L))
+          .otherwise(col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  // `k` is the 8-byte xxhash64 of the normalized line (the shingle-
+  // postings convention: the hash IS the join/window key so verdict
+  // shuffles stay 24 bytes a row; the DuckDB oracle groups by the
+  // string itself — decisions identical short of a 64-bit collision);
+  // `struct_` flags the structural (normalize-to-empty) exemption
+  private def lineExplode(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("__norm", lineKey(col("line")))
+      .select(col("id"), col("idx"), col("line"),
+        xxhash64(col("__norm")).as("k"),
+        (col("__norm") === "").as("struct_"))
+
+  /** CROSS-DOCUMENT line dedup, CCNet form (Wenzek 2020 §3.1): every
+    * line whose normalized key ([[lineKey]]) already occurred anywhere
+    * in the corpus — earlier doc, or earlier line of the same doc — is
+    * CUT; the globally first occurrence (minimum (doc id, line index))
+    * survives. This is the published first step of the CCNet pipeline:
+    * run before any quality scoring, it removes the nav menus, cookie
+    * banners and footers that repeat across a site, which both shrinks
+    * the corpus and UNMASKS near-duplicate articles the boilerplate
+    * was hiding. Structural lines (normalizing to empty) always pass.
+    *
+    * Per doc: the rebuilt text (surviving lines in original order),
+    * original line count, and lines dropped. NULL-text docs pass
+    * through with NULL text and zero counts.
+    *
+    * At 100 TB: the drop DECISION shuffles only (id, idx, key) — 24
+    * bytes a line, never text — through one keyed window on the line
+    * key (first-arrival, the dedup-ladder convention); line text moves
+    * exactly twice, in the verdict anti-join and the by-doc
+    * reassembly, which is the floor for any rewrite. The key window's
+    * worst skew IS the boilerplate line itself — a nav row repeated in
+    * 10⁸ docs lands one partition — so corpora with pathological
+    * repetition should run [[lineDedupBoilerplate]] (an aggregate, no
+    * per-occurrence window) first and this form on the remainder.
+    */
+  def lineDedupFirst(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ex = Materialize.multiScan(lineExplode(df, idCol, textCol))
+    val drops = ex.filter(!col("struct_"))
+      .select(col("id"), col("idx"), col("k"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("k")).orderBy(col("id"), col("idx"))))
+      .filter(col("rn") > 1).select(col("id"), col("idx"))
+    lineRebuild(df, idCol, textCol, ex, drops)
+  }
+
+  /** CROSS-DOCUMENT boilerplate-line removal: a line whose normalized
+    * key occurs in MORE THAN `maxDocFreq` distinct documents is cut
+    * from EVERY document — no canonical occurrence spared (a nav menu
+    * has no content value anywhere; contrast [[lineDedupFirst]], which
+    * keeps one). The document-frequency threshold is the same dial the
+    * shingle probes use (`maxDocFreq`): corpus-wide repetition IS the
+    * boilerplate signal.
+    *
+    * At 100 TB this is the skew-safe form: the decision is one keyed
+    * AGGREGATE over (key, doc) pairs — partial map-side collapse, no
+    * per-occurrence window — then a semi-join of occurrences against
+    * the hot-key set (tiny: keys above the threshold), so the nav row
+    * in 10⁸ docs costs a count, not a 10⁸-row partition sort.
+    */
+  def lineDedupBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                           maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    val ex = Materialize.multiScan(lineExplode(df, idCol, textCol))
+    val hot = ex.filter(!col("struct_"))
+      .select(col("k"), col("id")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("k"))
+    val drops = ex.filter(!col("struct_"))
+      .join(hot, Seq("k"), "left_semi")
+      .select(col("id"), col("idx"))
+    lineRebuild(df, idCol, textCol, ex, drops)
+  }
+
   /** The OTHER half of Rae et al. 2021's table A1 — the repetition
     * filters [[gopherRules]] leaves out: duplicate-line / duplicate-
     * paragraph fractions (by occurrence count and by character mass),

@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   *    match no stored row, so dropping them changes neither any pair's
   *    intersection count nor the carried per-doc shingle count `m` —
   *    [[Dedup.jaccardProbe]] / [[Dedup.containmentProbe]] over the
-  *    pruned rows are row-for-row the unpruned probes.
+  *    pruned rows are row-for-row the unpruned probes;
+  *  - and on every covered probe a REVERSE filter runs the other way:
+  *    the candidates' own per-tick Bloom filter is pushed into the
+  *    covered-index scan, so index rows the batch never mentions don't
+  *    reach the join either — the surviving index slice is near-hit
+  *    sized, the planner broadcasts it, and the per-tick probe stops
+  *    shuffling the index at all (the scan itself remains O(index)
+  *    I/O, the irreducible floor without layout changes).
   *
   * EXACTNESS: a Bloom filter admits false positives but never false
   * negatives, and every filter-passing key still goes through the exact
@@ -164,12 +171,40 @@ object LadderBloom {
     }
   }
 
+  /** Per-tick REVERSE filter bits: the batch candidates' own Bloom
+    * filter, pushed into the covered-index SCAN so the join's index
+    * side shrinks to near-hits before any exchange. 2^22 bits (512 KB
+    * task-binary literal) holds ~400k keys at <1% FPR; bigger batches
+    * degrade FPR gracefully — more index rows survive the scan filter,
+    * exactness untouched. */
+  private val ReverseBits: Int = 1 << 22
+
+  /** One action over the (cached-parent) candidate relation: row count
+    * and the candidates' Bloom filter together — the count drives the
+    * all-novel short-circuit, the filter the reverse scan prune. */
+  private def candSummary(cand: DataFrame, h: Column): (Long, Array[Byte]) = {
+    graft.functions.VectorFunctions.register(cand.sparkSession)
+    val r = cand.agg(count(lit(1)),
+      graft.functions.VectorFunctions.bloomAgg(h, ReverseBits, Probes))
+      .head()
+    (r.getLong(0), r.getAs[Array[Byte]](1))
+  }
+
   /** The url/fp rungs' SEEN probe: ids of `keys` rows whose `keyName`
-    * appears in the (own-batch-excluded) index `ix`. With a sidecar the
-    * covered slice is consulted only for filter-passing keys — and not
-    * scanned at all when no key passes — while tail partitions (written
-    * since the build) are probed exactly; without one it is the plain
-    * semi-join. Verdict-identical either way.
+    * appears in the (own-batch-excluded) index `ix`. Without a sidecar
+    * it is the plain semi-join. With one, BOTH join inputs shrink
+    * before any exchange:
+    *  - batch side: only sidecar-passing keys (possible hits) enter;
+    *  - index side: the covered scan is filtered by the candidates' own
+    *    per-tick Bloom filter (built in the same action that counts
+    *    them), so the surviving index rows are near-hits — small enough
+    *    that the planner broadcasts them and NEITHER side shuffles;
+    *  - zero candidates (the all-novel tick) skip the covered index
+    *    entirely.
+    * Tail partitions (written since the sidecar build) are probed
+    * exactly. Verdict-identical in every mode: false positives on
+    * either side fall through to the exact equi-join, false negatives
+    * are impossible.
     */
   private[graft] def seenIds(keys: DataFrame, keyName: String,
                              idName: String, ix: DataFrame,
@@ -183,27 +218,36 @@ object LadderBloom {
         val covered = ix.filter(col("batch") < s.coveredBelow)
         val tail = ix.filter(col("batch") >= s.coveredBelow)
         val cand = mightContain(keys, sub, keyName, s)
-        // the all-novel short-circuit: no candidate ⇒ the covered index
-        // (the bulk of the state) is never read this tick. `cand` is a
-        // filter over the tick's cached batch relation — the isEmpty
-        // action is batch-local and cheap.
+        val (nCand, reverse) = candSummary(cand, hash64(sub, col(keyName)))
         val seenCovered =
-          if (cand.isEmpty) keys.select(col(idName)).limit(0)
-          else cand.join(covered.select(col(keyName)), Seq(keyName),
-            "left_semi").select(col(idName))
+          if (nCand == 0) keys.select(col(idName)).limit(0)
+          else cand.join(
+            covered.filter(graft.functions.VectorFunctions.bloomContains(
+                hash64(sub, col(keyName)), reverse, ReverseBits, Probes))
+              .select(col(keyName)),
+            Seq(keyName), "left_semi").select(col(idName))
         val seenTail = keys
           .join(tail.select(col(keyName)), Seq(keyName), "left_semi")
           .select(col(idName))
-        seenCovered.unionByName(seenTail).distinct()
+        // a key present in BOTH slices yields its id twice; both ladder
+        // call sites fold seen ids through a downstream distinct (the
+        // plain path relies on the same), so no extra shuffle here
+        seenCovered.unionByName(seenTail)
     }
   }
 
   /** The postings rung's probe split: (batchSide, indexSide) pairs to
     * run through [[Dedup.jaccardProbe]] / [[Dedup.containmentProbe]]
     * and union. With a sidecar the covered slice is probed by the
-    * bloom-pruned batch postings only (dropping never-matching rows is
-    * exact — see the object doc) and the tail by the full batch
-    * postings; without one, a single unpruned pair.
+    * bloom-pruned batch postings only (dropping never-matching batch
+    * rows is exact — see the object doc) AND the covered scan itself
+    * is filtered by the pruned batch postings' own per-tick Bloom
+    * filter, so covered index rows whose shingle the batch never
+    * mentions don't reach the join either (dropping never-matching
+    * INDEX rows preserves every pair's intersection count and both
+    * carried `m`s — same argument, other side); a candidate-free batch
+    * skips the covered probe whole. The tail is probed exactly.
+    * Without a sidecar, a single unpruned pair.
     */
   private[graft] def postingsProbes(posts: DataFrame, ix: DataFrame,
                                     sc: Option[Sidecar]): Seq[(DataFrame, DataFrame)] =
@@ -212,7 +256,13 @@ object LadderBloom {
       case Some(s) =>
         val covered = ix.filter(col("batch") < s.coveredBelow)
         val tail = ix.filter(col("batch") >= s.coveredBelow)
-        Seq((mightContain(posts, "postings", "sh64", s), covered),
-          (posts, tail))
+        val cand = mightContain(posts, "postings", "sh64", s)
+        val (nCand, reverse) = candSummary(cand, col("sh64"))
+        val coveredPair =
+          if (nCand == 0) Nil
+          else Seq((cand, covered.filter(
+            graft.functions.VectorFunctions.bloomContains(
+              col("sh64"), reverse, ReverseBits, Probes))))
+        coveredPair ++ Seq((posts, tail))
     }
 }

@@ -1190,6 +1190,75 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     * islands + complement stitch, and hashes the rebuilt text — the
     * rewrite is checked byte-for-byte.
     */
+  /** CROSS-DOCUMENT line dedup ([[graft.ext.Corpus.lineDedupFirst]] /
+    * [[graft.ext.Corpus.lineDedupBoilerplate]]): the CCNet pipeline's
+    * published first step (Wenzek 2020 §3.1) — repeated lines cut
+    * across documents, first occurrence kept (or, in the boilerplate
+    * form, every occurrence of a line in > maxDocFreq docs cut). The
+    * fixture wraps each document in a shared nav header (every doc),
+    * a cookie banner (doc_id % 7 = 0) and a per-doc numbered footer —
+    * the numbers normalize away (lowercase + digit strip, the CCNet
+    * key), so "footer id 123" and "footer id 456" are the SAME line:
+    * the oracle replays normalization, the global first-occurrence
+    * window / the doc-frequency aggregate, and the per-doc reassembly,
+    * with the rebuilt text md5-pinned byte for byte.
+    */
+  private val lineDedupDocsSql: String = """
+      ldocs AS (SELECT doc_id,
+          'shared nav header' || chr(10) || text || chr(10) ||
+          CASE WHEN CAST(doc_id % 7 AS INT) = 0 THEN 'cookie banner accept'
+               ELSE 'footer id ' || CAST(doc_id AS STRING) END AS text
+        FROM documents),
+      lexl AS (SELECT doc_id, idx, ls[idx] AS ln FROM (
+          SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS idx
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM ldocs))),
+      lexk AS (SELECT doc_id, idx, ln,
+          trim(regexp_replace(lower(ln), '[0-9]', '', 'g')) AS k
+        FROM lexl)"""
+
+  private def lineDedupTailSql(dropsCte: String): String = s"""
+      $dropsCte,
+      lkept AS (SELECT e.doc_id, e.idx, e.ln FROM lexk e
+          WHERE NOT EXISTS (SELECT 1 FROM ldl d
+            WHERE d.doc_id = e.doc_id AND d.idx = e.idx)),
+      lreb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text,
+          count(*) AS n_kept FROM lkept GROUP BY doc_id),
+      lnl AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+          FROM ldocs)
+      SELECT n.doc_id AS id, CAST(n.n_lines AS BIGINT) AS n_lines,
+        CAST(n.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+        md5(r.text) AS fp
+      FROM lnl n LEFT JOIN lreb r USING (doc_id)"""
+
+  private def lineDedupInput(s: SparkSession, dir: String) =
+    t(s, dir, "documents").select(col("doc_id"), concat_ws("\n",
+      lit("shared nav header"), col("text"),
+      when(col("doc_id") % 7 === 0, lit("cookie banner accept"))
+        .otherwise(concat(lit("footer id "),
+          col("doc_id").cast("string")))).as("text"))
+
+  val qLineDedupFirst = Q("q_line_dedup_first",
+    (s, dir) => graft.ext.Corpus.lineDedupFirst(
+        lineDedupInput(s, dir), "doc_id", "text")
+      .select(col("id"), col("n_lines"), col("n_dropped"),
+        md5(col("text")).as("fp")),
+    Some("WITH " + lineDedupDocsSql.trim + "," + lineDedupTailSql("""
+      ldl AS (SELECT doc_id, idx FROM (
+          SELECT doc_id, idx, row_number() OVER
+            (PARTITION BY k ORDER BY doc_id, idx) AS rn
+          FROM lexk WHERE k <> '') WHERE rn > 1)""".trim)))
+
+  val qLineDedupBoiler = Q("q_line_dedup_boiler",
+    (s, dir) => graft.ext.Corpus.lineDedupBoilerplate(
+        lineDedupInput(s, dir), "doc_id", "text", maxDocFreq = 5)
+      .select(col("id"), col("n_lines"), col("n_dropped"),
+        md5(col("text")).as("fp")),
+    Some("WITH " + lineDedupDocsSql.trim + "," + lineDedupTailSql("""
+      ldl AS (SELECT doc_id, idx FROM lexk WHERE k <> '' AND k IN (
+          SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS df
+            FROM lexk WHERE k <> '' GROUP BY k) WHERE df > 5))""".trim)))
+
   val qDecontamRewrite = Q("q_decontam_rewrite",
     (s, dir) => {
       val d = t(s, dir, "documents")

@@ -388,14 +388,15 @@ object Sf1EqBench {
               graft.ext.TextOps.nStopwords(col("raw")),
               graft.ext.TextOps.nPunct(col("raw")),
               length(col("raw"))) >= 0).select(col("id"))),
-            "repetition" -> { c =>
-              val total5 = greatest(size(col("ts")) - 4, lit(0))
-              val uniq5 = size(graft.ext.Dedup.wordShinglesUdf(col("t"), 5))
-              c.filter(when(total5 > 0,
-                floor(((total5 - uniq5) * 10000) / total5))
-                .otherwise(lit(0)).cast("long") <= 9000)
-                .select(col("id"))
-            },
+            // the NATIVE repetition battery (ngram_units expression) —
+            // the production form frozenGates composes; the UDF
+            // formulation it replaced dominated this row's first
+            // measurement
+            "repetition" -> (c => graft.ext.Corpus.repetitionSignalsOn(c,
+                topNs = Seq(2, 3, 4), dupNs = Seq(5, 6, 7, 8, 9, 10),
+                topBpMax = Map(2 -> 9000L, 3 -> 9000L, 4 -> 9000L),
+                dupBpMax = (5 to 10).map(_ -> 9000L).toMap)
+              .filter(col("keep")).select(col("id"))),
             "lang" -> (c => c.filter(
               graft.ext.TextOps.langIdHeuristic(col("raw")) =!= "zz")
               .select(col("id"))))

@@ -1507,4 +1507,43 @@ class CorpusSpec extends AnyFunSuite {
         s"doc $id: spark ${got(id)} != driver ${expect(t).get}")
     }
   }
+
+  private val lineDocs = Seq(
+    (1L, "Hello World\n\nBody one unique\nNav Menu 2024\n777"),
+    (2L, "hello world\n\nBody two unique\nNav Menu 2025\n888"),
+    (3L, "Body three unique\nNav Menu 9"),
+    (4L, null.asInstanceOf[String]))
+
+  test("cross-doc line dedup, CCNet first-occurrence form: case+digit " +
+      "normalization collapses variants, global first (id, idx) keeps, " +
+      "structural lines exempt, NULL text passes whole") {
+    val df = lineDocs.toDF("doc_id", "text")
+    val got = Corpus.lineDedupFirst(df, "doc_id", "text")
+      .as[(Long, Option[String], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 is entirely first occurrences (777 is structural: digit-
+    // only normalizes to empty); doc 2 loses its header (dup of doc
+    // 1's, case-folded) and its nav line (digits stripped: "Nav Menu
+    // 2025" ≡ "Nav Menu 2024"); doc 3 loses only the nav line
+    assert(got(1L) == ((Some("Hello World\n\nBody one unique\nNav Menu 2024\n777"), 5L, 0L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((Some("\nBody two unique\n888"), 5L, 2L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((Some("Body three unique"), 2L, 1L)), s"doc3 ${got(3L)}")
+    assert(got(4L) == ((None, 0L, 0L)), s"doc4 ${got(4L)}")
+  }
+
+  test("cross-doc line dedup, boilerplate form: only lines above the " +
+      "doc-frequency threshold are cut — from EVERY doc, no canonical " +
+      "occurrence spared; under-threshold duplicates all survive") {
+    val df = lineDocs.toDF("doc_id", "text")
+    val got = Corpus.lineDedupBoilerplate(df, "doc_id", "text",
+        maxDocFreq = 2)
+      .as[(Long, Option[String], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // nav menu df=3 > 2: cut everywhere. "hello world" df=2: kept in
+    // BOTH docs (contrast the first-occurrence form). 777/888 exempt.
+    assert(got(1L) == ((Some("Hello World\n\nBody one unique\n777"), 5L, 1L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((Some("hello world\n\nBody two unique\n888"), 5L, 1L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((Some("Body three unique"), 2L, 1L)), s"doc3 ${got(3L)}")
+    assert(got(4L) == ((None, 0L, 0L)), s"doc4 ${got(4L)}")
+  }
 }

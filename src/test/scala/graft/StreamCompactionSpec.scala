@@ -178,6 +178,62 @@ class StreamCompactionSpec extends AnyFunSuite {
       .distinct().as[Int].collect().toSet == Set(0, 1))
   }
 
+  test("production maintenance cadence in the stream loop: fold + bloom " +
+      "rebuild inside the serialized foreachBatch window; later ticks " +
+      "probe folded state through the sidecar and fresh state through " +
+      "the tail, across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ladmaint_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ladmaint_ckpt").toString
+    val in = MemoryStream[(Long, String, String)]
+    def start() = in.toDS().toDF("doc_id", "text", "url")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ext.IncrementalDedup.admitBatchLadder(
+          b, "doc_id", "text", Some("url"), root, n = 3, tau = 0.5,
+          batchId = id)
+        // the maintenance window rides the SAME serialized body: every
+        // 2nd tick, fold committed partitions and (re)build sidecars at
+        // the fold watermark — the LadderBloom invariant in its natural
+        // habitat
+        if (id % 2 == 1) {
+          graft.ext.IncrementalDedup.maintainLadder(spark, root,
+            committedBelow = id)
+          graft.ext.LadderBloom.buildAll(spark, root, committedBelow = id)
+        }
+        ()
+      }.start()
+    val q1 = start()
+    in.addData((1L, "alpha beta gamma delta", "http://a.com/p1"))
+    q1.processAllAvailable()
+    in.addData((11L, "one two three four five six", "http://b.com/x"))
+    q1.processAllAvailable(); q1.stop()
+    // after tick 1: batch 0 folded to -1 and covered by the sidecar
+    // (watermark 1); tick 1's own partitions are the uncovered tail
+    val sc = graft.ext.LadderBloom.read(spark, root, "url_index").get
+    assert(sc.coveredBelow == 1L, s"sidecar watermark $sc")
+    val q2 = start()
+    in.addData(
+      (21L, "whatever the mirror says", "HTTP://A.COM/p1"), // folded key, via bloom
+      (22L, "irrelevant replacement text", "http://b.com/x?utm_source=z"), // tail key, exact probe
+      (23L, "one two three four five six", "http://d.com/new"), // fp of TAIL-admitted 11
+      (24L, "genuinely novel content row", "http://e.com/y"))
+    q2.processAllAvailable(); q2.stop()
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .select("id", "dropped_at")
+      .as[(Long, Option[String])].collect().toMap
+    assert(verdicts == Map(1L -> None, 11L -> None,
+      21L -> Some("url"), 22L -> Some("url"), 23L -> Some("exact"),
+      24L -> None), s"got $verdicts")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 11L, 24L), s"corpus $corpus")
+  }
+
   test("bloom contamination guard composes as a stateless streaming filter") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
