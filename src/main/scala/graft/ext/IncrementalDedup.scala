@@ -394,7 +394,8 @@ object IncrementalDedup {
         // filter only skips keys that cannot be in the covered index)
         val seen = others(s"$root/url_index") match {
           case Some(ix) => LadderBloom.seenIds(keyed, "url_key", "id",
-            ix, "url_index", LadderBloom.read(spark, root, "url_index"))
+            ix, root, "url_index", batchId,
+            LadderBloom.read(spark, root, "url_index"))
           case None => empty
         }
         // NULL keys pass the rung (the gate-0 / [[Dedup.ladder]]
@@ -427,7 +428,8 @@ object IncrementalDedup {
       min(col("id")).over(w.partitionBy(col("fp"))))
     val seenFp = others(s"$root/fp_index") match {
       case Some(ix) => LadderBloom.seenIds(fps, "fp", "id", ix,
-        "fp_index", LadderBloom.read(spark, root, "fp_index"))
+        root, "fp_index", batchId,
+        LadderBloom.read(spark, root, "fp_index"))
       case None => empty
     }
     val exactDrops = Materialize.multiScan(
@@ -449,12 +451,14 @@ object IncrementalDedup {
       Dedup.shinglePostings(s2, idCol, textCol, n))
     val vsIndexNear = Materialize.multiScan(
       others(s"$root/postings") match {
-        case Some(ix) => LadderBloom.postingsProbes(posts, ix,
+        case Some(ix) =>
+          val ps = LadderBloom.postingsProbes(posts, ix, root, batchId,
             LadderBloom.read(spark, root, "postings"))
-          .map { case (b, i) => Dedup.jaccardProbe(b,
+          if (ps.isEmpty) empty
+          else ps.map { case (b, i) => Dedup.jaccardProbe(b,
               i.select(col("id"), col("m"), col("sh64")), tau, maxDocFreq)
             .select(col("batch_id").as("id")) }
-          .reduce(_ unionByName _).distinct()
+            .reduce(_ unionByName _).distinct()
         case None => empty
       })
     val hostPosts = posts.join(vsIndexNear,

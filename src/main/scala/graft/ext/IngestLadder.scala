@@ -73,11 +73,13 @@ import org.apache.spark.sql.functions._
 object IngestLadder {
 
   /** A quality rung: (verdict tag, gate). The gate reads the CANON
-    * slice of the current survivors — columns (id, raw, t, ts): the
+    * slice of the EXACT-rung survivors — columns (id, raw, t, ts): the
     * original id and text plus the shared normalized text and token
     * array — and returns the keep ids (column `id`). Must be doc-local
-    * and deterministic in (row, frozen tables): the replay guarantee
-    * and the stream≡batch parity both ride on it.
+    * and deterministic in (row, frozen tables): the replay guarantee,
+    * the stream≡batch parity, AND the engine's right to evaluate gates
+    * independently rather than as a survivor cascade (verdicts coalesce
+    * to the first failing tag either way) all ride on it.
     */
   type Gate = (String, DataFrame => DataFrame)
 
@@ -143,7 +145,8 @@ object IngestLadder {
         // verdict-identical; all-novel ticks skip the covered scan)
         val seen = others(s"$root/url_index") match {
           case Some(ix) => LadderBloom.seenIds(keyed, "url_key", "id",
-            ix, "url_index", LadderBloom.read(spark, root, "url_index"))
+            ix, root, "url_index", batchId,
+            LadderBloom.read(spark, root, "url_index"))
           case None => empty
         }
         val drops = Materialize.multiScan(
@@ -175,7 +178,8 @@ object IngestLadder {
       min(col("id")).over(w.partitionBy(col("fp"))))
     val seenFp = others(s"$root/fp_index") match {
       case Some(ix) => LadderBloom.seenIds(fps, "fp", "id", ix,
-        "fp_index", LadderBloom.read(spark, root, "fp_index"))
+        root, "fp_index", batchId,
+        LadderBloom.read(spark, root, "fp_index"))
       case None => empty
     }
     val exactDrops = Materialize.multiScan(
@@ -187,22 +191,25 @@ object IngestLadder {
       .join(exactDrops, Seq("id"), "left_anti")
       .select(col("fp"), col("id").as("keep_id"))
 
-    // quality gate rungs — sequential over the cached canon slice; each
-    // gate's drop relation is materialized so downstream consumers read
-    // cached ids instead of re-running earlier gates
+    // quality gate rungs — every gate reads the SAME cached canon slice
+    // (the exact-rung survivors), not a chained survivor cascade: gates
+    // are doc-local by contract, so a doc's keep/drop decision is
+    // independent of which other docs the gate sees — drop sets on the
+    // chained subsets are exactly (this gate's drop set on canonAll) ∩
+    // (earlier survivors), and the ordered coalesce below attributes a
+    // multi-gate drop to its FIRST failing tag either way. Verdicts are
+    // provably identical to sequential evaluation (spec-pinned against
+    // the hand-stacked form) and the per-gate anti-join chain — k extra
+    // joins and k ever-narrower cache entries — disappears.
     val canonAll = pre
       .join(exactDrops, pre(idCol) === exactDrops("id"), "left_anti")
       .select(col(idCol).as("id"), col(textCol).as("raw"),
         col("__t").as("t"), col("__ts").as("ts"))
-    val gateDrops: Seq[(String, DataFrame)] = {
-      var surv = canonAll
-      gates.map { case (tag, gate) =>
-        val keep = gate(surv).select(col("id"))
-        val drops = Materialize.multiScan(
-          surv.select(col("id")).join(keep, Seq("id"), "left_anti"))
-        surv = surv.join(drops, Seq("id"), "left_anti")
-        tag -> drops
-      }
+    val gateDrops: Seq[(String, DataFrame)] = gates.map {
+      case (tag, gate) =>
+        val keep = gate(canonAll).select(col("id"))
+        tag -> Materialize.multiScan(
+          canonAll.select(col("id")).join(keep, Seq("id"), "left_anti"))
     }
     val allGateDrops = gateDrops.map(_._2)
       .foldLeft(empty)(_ unionByName _)
@@ -224,11 +231,14 @@ object IngestLadder {
     val storedPosts = others(s"$root/postings")
     val postingsBloom = LadderBloom.read(spark, root, "postings")
     val vsIndexNear = Materialize.multiScan(storedPosts match {
-      case Some(ix) => LadderBloom.postingsProbes(posts, ix, postingsBloom)
-        .map { case (b, i) => Dedup.jaccardProbe(b,
+      case Some(ix) =>
+        val ps = LadderBloom.postingsProbes(posts, ix, root, batchId,
+          postingsBloom)
+        if (ps.isEmpty) empty
+        else ps.map { case (b, i) => Dedup.jaccardProbe(b,
             i.select(col("id"), col("m"), col("sh64")), tau, maxDocFreq)
           .select(col("batch_id").as("id")) }
-        .reduce(_ unionByName _).distinct()
+          .reduce(_ unionByName _).distinct()
       case None => empty
     })
     val hostPosts = posts.join(vsIndexNear,
@@ -247,12 +257,15 @@ object IngestLadder {
       val p4 = posts.join(nearDrops, posts("id") === nearDrops("id"),
         "left_anti")
       val vsIx = Materialize.multiScan(storedPosts match {
-        case Some(ix) => LadderBloom.postingsProbes(p4, ix, postingsBloom)
-          .map { case (b, i) => Dedup.containmentProbe(b,
+        case Some(ix) =>
+          val ps = LadderBloom.postingsProbes(p4, ix, root, batchId,
+            postingsBloom)
+          if (ps.isEmpty) empty
+          else ps.map { case (b, i) => Dedup.containmentProbe(b,
               i.select(col("id"), col("m"), col("sh64")), tauC, maxDocFreq)
             .filter(col("cont_batch") >= tauC)
             .select(col("batch_id").as("id")) }
-          .reduce(_ unionByName _).distinct()
+            .reduce(_ unionByName _).distinct()
         case None => empty
       })
       val hostsC = p4.join(vsIx, p4("id") === vsIx("id"), "left_anti")

@@ -144,21 +144,30 @@ object LadderBloom {
         r.getAs[Long]("covered_below"), r.getAs[Long]("n_keys")))
     }
 
+  /** Sidecar literal→broadcast switch: 1 MB, deliberately far below
+    * [[Corpus.BloomBroadcastBytes]]'s 16 MB — that dial was tuned for
+    * a ONE-shot decontamination probe, while a sidecar filter is
+    * re-used by several stages of EVERY tick, and a task-binary
+    * literal is re-serialized per stage per task (a 5 MB sidecar in a
+    * six-stage tick ≈ a gigabyte of driver serialization); the torrent
+    * broadcast ships once per executor, period. */
+  val SidecarLiteralBytes: Long = 1L << 20
+
   /** `df` filtered to rows whose hashed key the sidecar MIGHT contain.
     * NULL keys: `xxhash64(NULL)` folds to the seed hash, so a NULL-key
     * row can pass as a false positive — harmless, because the exact
     * equi-join downstream never matches NULL (the convention that NULL
     * keys are never "seen" survives pruning unchanged).
-    * Dispatches literal-vs-broadcast on the filter size and releases
-    * the broadcast handle once the returned Dataset's plan holds the
-    * reference (the [[Corpus.decontaminateBloom]] lifecycle).
+    * Dispatches literal-vs-broadcast on [[SidecarLiteralBytes]] and
+    * releases the broadcast handle once the returned Dataset's plan
+    * holds the reference (the [[Corpus.decontaminateBloom]] lifecycle).
     */
   private def mightContain(df: DataFrame, sub: String, keyName: String,
                            sc: Sidecar): DataFrame = {
     val spark = df.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val h = hash64(sub, col(keyName))
-    if (sc.bytes <= Corpus.BloomBroadcastBytes)
+    if (sc.bytes <= SidecarLiteralBytes)
       df.filter(graft.functions.VectorFunctions.bloomContains(
         h, graft.functions.Bloom.toBytes(sc.words), sc.nBits, sc.k))
     else {
@@ -178,6 +187,15 @@ object LadderBloom {
     * degrade FPR gracefully — more index rows survive the scan filter,
     * exactness untouched. */
   private val ReverseBits: Int = 1 << 22
+
+  /** The reverse machinery (one driver action per rung per tick for
+    * the candidate count + filter, then the filtered-broadcast join)
+    * pays off when the covered index is big enough that shuffling it
+    * dominates; below this many summarized keys the plain covered join
+    * is already cheap and the fixed per-tick actions are pure
+    * overhead, so the probe keeps batch-side pruning only. Decisions
+    * are identical in both regimes (everything here is exact). */
+  val ReverseMinKeys: Long = 1000000L
 
   /** One action over the (cached-parent) candidate relation: row count
     * and the candidates' Bloom filter together — the count drives the
@@ -208,31 +226,53 @@ object LadderBloom {
     */
   private[graft] def seenIds(keys: DataFrame, keyName: String,
                              idName: String, ix: DataFrame,
-                             sub: String, sc: Option[Sidecar]): DataFrame = {
+                             root: String, sub: String, batchId: Long,
+                             sc: Option[Sidecar],
+                             reverseMinKeys: Long = ReverseMinKeys): DataFrame = {
     val plain = () => keys
       .join(ix.select(col(keyName)), Seq(keyName), "left_semi")
       .select(col(idName))
     sc match {
       case None => plain()
       case Some(s) =>
+        // the covered/tail split only pays for slices that EXIST — one
+        // driver-side directory listing, no job ([[Layout.batchValues]];
+        // in the steady folded state the tail is often empty and the
+        // whole branch, its join machinery included, disappears)
+        val parts = Layout.batchValues(keys.sparkSession, s"$root/$sub")
+          .filter(_ != batchId)
         val covered = ix.filter(col("batch") < s.coveredBelow)
         val tail = ix.filter(col("batch") >= s.coveredBelow)
         val cand = mightContain(keys, sub, keyName, s)
-        val (nCand, reverse) = candSummary(cand, hash64(sub, col(keyName)))
         val seenCovered =
-          if (nCand == 0) keys.select(col(idName)).limit(0)
-          else cand.join(
-            covered.filter(graft.functions.VectorFunctions.bloomContains(
-                hash64(sub, col(keyName)), reverse, ReverseBits, Probes))
-              .select(col(keyName)),
-            Seq(keyName), "left_semi").select(col(idName))
-        val seenTail = keys
-          .join(tail.select(col(keyName)), Seq(keyName), "left_semi")
-          .select(col(idName))
+          if (!parts.exists(_ < s.coveredBelow)) None
+          else if (s.nKeys <= reverseMinKeys)
+            // small covered index: batch-side pruning only — the plain
+            // join is already cheap, per-tick actions would cost more
+            Some(cand.join(covered.select(col(keyName)), Seq(keyName),
+              "left_semi").select(col(idName)))
+          else {
+            val (nCand, reverse) =
+              candSummary(cand, hash64(sub, col(keyName)))
+            if (nCand == 0) None
+            else Some(cand.join(
+              covered.filter(graft.functions.VectorFunctions
+                  .bloomContains(hash64(sub, col(keyName)), reverse,
+                    ReverseBits, Probes))
+                .select(col(keyName)),
+              Seq(keyName), "left_semi").select(col(idName)))
+          }
+        val seenTail =
+          if (!parts.exists(_ >= s.coveredBelow)) None
+          else Some(keys
+            .join(tail.select(col(keyName)), Seq(keyName), "left_semi")
+            .select(col(idName)))
         // a key present in BOTH slices yields its id twice; both ladder
         // call sites fold seen ids through a downstream distinct (the
         // plain path relies on the same), so no extra shuffle here
-        seenCovered.unionByName(seenTail)
+        (seenCovered.toSeq ++ seenTail.toSeq)
+          .reduceOption(_ unionByName _)
+          .getOrElse(keys.select(col(idName)).limit(0))
     }
   }
 
@@ -250,19 +290,30 @@ object LadderBloom {
     * Without a sidecar, a single unpruned pair.
     */
   private[graft] def postingsProbes(posts: DataFrame, ix: DataFrame,
-                                    sc: Option[Sidecar]): Seq[(DataFrame, DataFrame)] =
+                                    root: String, batchId: Long,
+                                    sc: Option[Sidecar],
+                                    reverseMinKeys: Long = ReverseMinKeys): Seq[(DataFrame, DataFrame)] =
     sc match {
       case None => Seq((posts, ix))
       case Some(s) =>
+        val parts = Layout.batchValues(posts.sparkSession,
+          s"$root/postings").filter(_ != batchId)
         val covered = ix.filter(col("batch") < s.coveredBelow)
         val tail = ix.filter(col("batch") >= s.coveredBelow)
         val cand = mightContain(posts, "postings", "sh64", s)
-        val (nCand, reverse) = candSummary(cand, col("sh64"))
         val coveredPair =
-          if (nCand == 0) Nil
-          else Seq((cand, covered.filter(
-            graft.functions.VectorFunctions.bloomContains(
-              col("sh64"), reverse, ReverseBits, Probes))))
-        coveredPair ++ Seq((posts, tail))
+          if (!parts.exists(_ < s.coveredBelow)) Nil
+          else if (s.nKeys <= reverseMinKeys) Seq((cand, covered))
+          else {
+            val (nCand, reverse) = candSummary(cand, col("sh64"))
+            if (nCand == 0) Nil
+            else Seq((cand, covered.filter(
+              graft.functions.VectorFunctions.bloomContains(
+                col("sh64"), reverse, ReverseBits, Probes))))
+          }
+        val tailPair =
+          if (!parts.exists(_ >= s.coveredBelow)) Nil
+          else Seq((posts, tail))
+        coveredPair ++ tailPair
     }
 }

@@ -238,6 +238,23 @@ object Layout {
     *
     * @return number of partition directories folded (0 = nothing to do)
     */
+  /** Driver-side listing of a batch-partitioned tree's partition values
+    * (the `batch=N` directory names) — ONE filesystem list, no Spark
+    * job. A missing tree lists empty. Probe planners use this to skip
+    * join branches whose partition slice holds nothing (the covered/
+    * tail split of [[LadderBloom]]) without paying a query. */
+  private[graft] def batchValues(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption }
+      .flatten.toSeq.sorted
+  }
+
   def foldBatchPartitions(spark: org.apache.spark.sql.SparkSession,
                           dir: String, committedBelow: Long,
                           targetBytes: Long = 128L << 20): Int = {

@@ -156,6 +156,10 @@ object Sf1EqBench {
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft-sf1eq")
+    // optional 2nd arg (local iteration only): comma-separated op names
+    // to time, instead of the full surface — the Verify `only` shape
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors())))
@@ -516,7 +520,9 @@ object Sf1EqBench {
     // below: execute the query's own plan — a stacked .count() lets
     // Catalyst eliminate the final row-preserving left joins of the
     // coverage/rewrite family and measure only the scan (graft.Bench)
-    for ((_, op) <- ops) { op(1).queryExecution.toRdd.count(); release() }
+    for ((name, op) <- ops if only.forall(_.contains(name))) {
+      op(1).queryExecution.toRdd.count(); release()
+    }
 
     def round4(v: Double): String =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -543,7 +549,8 @@ object Sf1EqBench {
     // "what does one LCP pass cost", not "what does re-reading its
     // cache cost"
     val freshRuns = Set("q_corpus_prep_v4", "dedup_lcp_longest")
-    val rows = for ((name, op) <- ops) yield {
+    val rows = for ((name, op) <- ops
+                    if only.forall(_.contains(name))) yield {
       val per = for (s <- scales) yield {
         def run(): Double = {
           val t0 = System.nanoTime()

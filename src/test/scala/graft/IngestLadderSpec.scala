@@ -174,10 +174,13 @@ class IngestLadderSpec extends AnyFunSuite {
       .select("id", "dropped_at").as[(Long, Option[String])]
       .collect().toMap
     assert(stored == expectedOneTick ++ v2)
-    // maintainLadder folds an ingest root unchanged (same six subtrees)
+    // maintainLadder folds an ingest root unchanged — every subtree
+    // this quota-less run wrote folds both ticks; domain_counts (the
+    // quota rung's subtree, absent here) counts 0 by contract
     val folded = IncrementalDedup.maintainLadder(spark, root,
       committedBelow = 2L)
-    assert(IncrementalDedup.LadderSubtrees.forall(s => folded(s) == 2),
+    assert(IncrementalDedup.LadderSubtrees.forall(s =>
+      folded(s) == (if (s == "domain_counts") 0 else 2)),
       s"fold counts $folded")
     val verdictsFolded = spark.read.parquet(s"$root/verdicts")
       .select("id", "dropped_at").as[(Long, Option[String])]

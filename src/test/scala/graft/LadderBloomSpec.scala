@@ -161,6 +161,61 @@ class LadderBloomSpec extends AnyFunSuite {
       s"fixture must fire the gate and containment rungs: $plain")
   }
 
+  test("reverse-filter path (forced via reverseMinKeys=0): seen ids and " +
+      "postings probes identical to the plain joins, all-novel batch " +
+      "short-circuits") {
+    import spark.implicits._
+    implicit val s = spark
+    val root = tmp("lbl_rev")
+    IncrementalDedup.admitBatchLadder(tick1, "doc_id", "text",
+      Some("url"), root, n = 3, tau = 0.5, batchId = 0L)
+    LadderBloom.buildAll(spark, root, committedBelow = 1L)
+    val sc = LadderBloom.read(spark, root, "url_index")
+    val keys = Seq(
+      (101L, "a.com/p1"),             // stored key (hit)
+      (102L, "nowhere.org/x"),        // novel
+      (103L, null.asInstanceOf[String])) // NULL never matches
+      .toDF("id", "url_key")
+    val ix = spark.read.parquet(s"$root/url_index")
+      .filter(col("batch") =!= 9L)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.as[Long].collect().toSet
+    val plain = ids(LadderBloom.seenIds(keys, "url_key", "id", ix,
+      root, "url_index", 9L, None))
+    val rev = ids(LadderBloom.seenIds(keys, "url_key", "id", ix,
+      root, "url_index", 9L, sc, reverseMinKeys = 0L))
+    val small = ids(LadderBloom.seenIds(keys, "url_key", "id", ix,
+      root, "url_index", 9L, sc)) // default threshold: batch-prune-only
+    assert(plain == Set(101L) && rev == plain && small == plain,
+      s"plain $plain rev $rev small $small")
+    // all-novel: the reverse path's candidate count short-circuits
+    val novel = Seq((201L, "fresh.net/a"), (202L, "fresh.net/b"))
+      .toDF("id", "url_key")
+    assert(ids(LadderBloom.seenIds(novel, "url_key", "id", ix,
+      root, "url_index", 9L, sc, reverseMinKeys = 0L)).isEmpty)
+    // postings: probe pairs through the forced reverse path reproduce
+    // the plain jaccard probe row for row
+    val posts = graft.ext.Dedup.shinglePostings(
+      Seq((301L, "one two three four five six seven ten"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3)
+    val pix = spark.read.parquet(s"$root/postings")
+      .filter(col("batch") =!= 9L)
+    val scP = LadderBloom.read(spark, root, "postings")
+    def probe(pairs: Seq[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]): Set[(Long, Long)] =
+      pairs.map { case (b, i) => graft.ext.Dedup.jaccardProbe(b,
+          i.select(col("id"), col("m"), col("sh64")), 0.5)
+        .select(col("batch_id"), col("corpus_id")) }
+        .reduce(_ unionByName _)
+        .as[(Long, Long)].collect().toSet
+    val plainP = probe(LadderBloom.postingsProbes(posts, pix, root, 9L,
+      None))
+    val revP = probe(LadderBloom.postingsProbes(posts, pix, root, 9L,
+      scP, reverseMinKeys = 0L))
+    assert(plainP == revP && plainP == Set((301L, 4L)),
+      s"plain $plainP rev $revP")
+  }
+
   test("sidecar primitives: build counts committed keys only, read " +
       "round-trips, stored keys always pass the filter (no false " +
       "negatives)") {
