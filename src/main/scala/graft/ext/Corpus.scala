@@ -1650,18 +1650,25 @@ object Corpus {
           .as("n_dropped"))
   }
 
-  // `k` is the 8-byte xxhash64 of the normalized line (the shingle-
-  // postings convention: the hash IS the join/window key so verdict
-  // shuffles stay 24 bytes a row; the DuckDB oracle groups by the
-  // string itself — decisions identical short of a 64-bit collision);
-  // `struct_` flags the structural (normalize-to-empty) exemption
-  private def lineExplode(df: DataFrame, idCol: String,
-                          textCol: String): DataFrame =
+  // the cut key is (`k`, `klen`) = (xxhash64, length) of the normalized
+  // line — ~96 key bits. The REWRITE operators below delete content
+  // irreversibly on key equality, and at the documented 100 TB scale
+  // (10¹¹⁺ lines) 64-bit birthday collisions are EXPECTED, each
+  // silently deleting a distinct line and diverging from the DuckDB
+  // oracle (which groups by the string itself); colliding hashes almost
+  // never collide in length too, pushing that probability to
+  // negligible. Probe-only paths elsewhere keep the bare-24-byte
+  // convention (a probe false positive falls through an exact join; a
+  // rewrite has no such net). `struct_` flags the structural
+  // (normalize-to-empty) exemption.
+  private[graft] def lineExplode(df: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .withColumn("__norm", lineKey(col("line")))
       .select(col("id"), col("idx"), col("line"),
         xxhash64(col("__norm")).as("k"),
+        length(col("__norm")).as("klen"),
         (col("__norm") === "").as("struct_"))
 
   /** CROSS-DOCUMENT line dedup, CCNet form (Wenzek 2020 §3.1): every
@@ -1678,9 +1685,12 @@ object Corpus {
     * original line count, and lines dropped. NULL-text docs pass
     * through with NULL text and zero counts.
     *
-    * At 100 TB: the drop DECISION shuffles only (id, idx, key) — 24
-    * bytes a line, never text — through one keyed window on the line
-    * key (first-arrival, the dedup-ladder convention); line text moves
+    * At 100 TB: the drop DECISION shuffles only (id, idx, hash, len) —
+    * ~32 bytes a line, never text — through one keyed window on the
+    * widened (hash, length) cut key (see [[lineExplode]]: rewrites
+    * delete content, so the key carries ~96 bits against 10¹¹-line
+    * birthday collisions; first-arrival, the dedup-ladder convention);
+    * line text moves
     * exactly twice, in the verdict anti-join and the by-doc
     * reassembly, which is the floor for any rewrite. The key window's
     * worst skew IS the boilerplate line itself — a nav row repeated in
@@ -1693,9 +1703,10 @@ object Corpus {
     val w = org.apache.spark.sql.expressions.Window
     val ex = Materialize.multiScan(lineExplode(df, idCol, textCol))
     val drops = ex.filter(!col("struct_"))
-      .select(col("id"), col("idx"), col("k"))
+      .select(col("id"), col("idx"), col("k"), col("klen"))
       .withColumn("rn", row_number().over(
-        w.partitionBy(col("k")).orderBy(col("id"), col("idx"))))
+        w.partitionBy(col("k"), col("klen"))
+          .orderBy(col("id"), col("idx"))))
       .filter(col("rn") > 1).select(col("id"), col("idx"))
     lineRebuild(df, idCol, textCol, ex, drops)
   }
@@ -1719,12 +1730,12 @@ object Corpus {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
     val ex = Materialize.multiScan(lineExplode(df, idCol, textCol))
     val hot = ex.filter(!col("struct_"))
-      .select(col("k"), col("id")).distinct()
-      .groupBy(col("k")).agg(count(lit(1)).as("df"))
+      .select(col("k"), col("klen"), col("id")).distinct()
+      .groupBy(col("k"), col("klen")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
-      .select(col("k"))
+      .select(col("k"), col("klen"))
     val drops = ex.filter(!col("struct_"))
-      .join(hot, Seq("k"), "left_semi")
+      .join(hot, Seq("k", "klen"), "left_semi")
       .select(col("id"), col("idx"))
     lineRebuild(df, idCol, textCol, ex, drops)
   }

@@ -956,6 +956,30 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("jacc"))
   }
 
+  /** Index-side hot-shingle pre-filter, EXACTLY the `maxDocFreq`
+    * computation [[jaccardProbe]]/[[containmentProbe]] run internally
+    * (per-sh64 row count over the index = per-shingle doc frequency,
+    * since postings are distinct shingles per doc), hoisted out so a
+    * probe PLANNER that splits the index into slices ([[LadderBloom]]'s
+    * covered/tail split, plus its reverse scan filter) can apply the
+    * dial ONCE over the FULL own-batch-excluded index before any split.
+    * Computing frequencies per slice instead would un-prune shingles
+    * hot overall but not hot within either slice — changing
+    * intersection counts, hence verdicts, versus the sidecar-less run,
+    * and making replayed batches verdict-unstable across maintenance
+    * folds. Callers that pre-filter with this MUST pass
+    * `Int.MaxValue` to the downstream probe calls (spec-pinned in
+    * `LadderBloomSpec`).
+    */
+  private[graft] def dropHotPostings(ix: DataFrame,
+                                     maxDocFreq: Int): DataFrame =
+    if (maxDocFreq == Int.MaxValue) ix else {
+      val hot = ix.groupBy(col("sh64"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
+        .select(col("sh64"))
+      ix.join(broadcast(hot), Seq("sh64"), "left_anti")
+    }
+
   /** Shared postings builder for the batch-vs-corpus family: (a, b) =
     * (batch postings (batch_id, m_a, sh64), corpus postings (corpus_id,
     * m_b, sh64)), with the corpus-side stop-shingle cap applied. See

@@ -452,11 +452,17 @@ object IncrementalDedup {
     val vsIndexNear = Materialize.multiScan(
       others(s"$root/postings") match {
         case Some(ix) =>
-          val ps = LadderBloom.postingsProbes(posts, ix, root, batchId,
+          // hot-shingle dial applied ONCE over the full own-batch-
+          // excluded index BEFORE the sidecar's covered/tail split —
+          // per-slice frequencies would differ from the sidecar-less
+          // probe's ([[Dedup.dropHotPostings]]); the per-pair probes
+          // below therefore run undialed
+          val ps = LadderBloom.postingsProbes(
+            posts, Dedup.dropHotPostings(ix, maxDocFreq), root, batchId,
             LadderBloom.read(spark, root, "postings"))
           if (ps.isEmpty) empty
           else ps.map { case (b, i) => Dedup.jaccardProbe(b,
-              i.select(col("id"), col("m"), col("sh64")), tau, maxDocFreq)
+              i.select(col("id"), col("m"), col("sh64")), tau)
             .select(col("batch_id").as("id")) }
             .reduce(_ unionByName _).distinct()
         case None => empty
@@ -655,9 +661,14 @@ object IncrementalDedup {
                      targetBytes: Long = 128L << 20): Map[String, Int] = {
     val folds = LadderSubtrees.map(s => s -> Layout.foldBatchPartitions(
       spark, s"$root/$s", committedBelow, targetBytes)).toMap
+    // existence + sizing via the column-pruned meta read — presence-
+    // testing must not deserialize a 256 MB filter into the driver,
+    // and a rebuild keeps the sidecar's original bitsPerKey/probes
     LadderBloom.Keys.foreach { case (sub, _) =>
-      if (LadderBloom.read(spark, root, sub).isDefined)
-        LadderBloom.build(spark, root, sub, committedBelow)
+      LadderBloom.readMeta(spark, root, sub).foreach {
+        case (bitsPerKey, k) =>
+          LadderBloom.build(spark, root, sub, committedBelow, bitsPerKey, k)
+      }
     }
     folds
   }

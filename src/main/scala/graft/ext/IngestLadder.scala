@@ -80,6 +80,17 @@ object IngestLadder {
     * the stream≡batch parity, AND the engine's right to evaluate gates
     * independently rather than as a survivor cascade (verdicts coalesce
     * to the first failing tag either way) all ride on it.
+    *
+    * TOTALITY: a gate must be DEFINED (no throw, a decided keep/drop)
+    * on EVERY exact-rung survivor, not just on the docs an earlier gate
+    * would have passed — because gates are evaluated independently over
+    * the shared canon slice, a gate relying on an earlier gate's
+    * precondition (e.g. assuming empty-token docs were already dropped)
+    * would throw or silently flip decisions here even though a
+    * sequential cascade would never show it those rows. Degenerate rows
+    * a gate cannot score (empty `ts`, NULL `raw`) must map to an
+    * explicit keep or drop. The [[frozenGates]] battery satisfies this
+    * (every scorer totalizes via `greatest`/`coalesce` guards).
     */
   type Gate = (String, DataFrame => DataFrame)
 
@@ -227,8 +238,13 @@ object IngestLadder {
           explode(col("__sh")).as("shingle"))
         .select(col("id"), col("m"), xxhash64(col("shingle")).as("sh64")))
     // stored postings keep their batch column for the bloom sidecar's
-    // covered/tail split; each probe selects the (id, m, sh64) slice
+    // covered/tail split; each probe selects the (id, m, sh64) slice.
+    // The hot-shingle dial is applied ONCE over the full own-batch-
+    // excluded index BEFORE any covered/tail split (per-slice
+    // frequencies would diverge from the sidecar-less probe —
+    // [[Dedup.dropHotPostings]]), so the per-pair probes run undialed.
     val storedPosts = others(s"$root/postings")
+      .map(ix => Dedup.dropHotPostings(ix, maxDocFreq))
     val postingsBloom = LadderBloom.read(spark, root, "postings")
     val vsIndexNear = Materialize.multiScan(storedPosts match {
       case Some(ix) =>
@@ -236,7 +252,7 @@ object IngestLadder {
           postingsBloom)
         if (ps.isEmpty) empty
         else ps.map { case (b, i) => Dedup.jaccardProbe(b,
-            i.select(col("id"), col("m"), col("sh64")), tau, maxDocFreq)
+            i.select(col("id"), col("m"), col("sh64")), tau)
           .select(col("batch_id").as("id")) }
           .reduce(_ unionByName _).distinct()
       case None => empty
@@ -258,11 +274,13 @@ object IngestLadder {
         "left_anti")
       val vsIx = Materialize.multiScan(storedPosts match {
         case Some(ix) =>
+          // ix is already hot-filtered once over the full index (see
+          // the near rung) — the probes run undialed
           val ps = LadderBloom.postingsProbes(p4, ix, root, batchId,
             postingsBloom)
           if (ps.isEmpty) empty
           else ps.map { case (b, i) => Dedup.containmentProbe(b,
-              i.select(col("id"), col("m"), col("sh64")), tauC, maxDocFreq)
+              i.select(col("id"), col("m"), col("sh64")), tauC)
             .filter(col("cont_batch") >= tauC)
             .select(col("batch_id").as("id")) }
             .reduce(_ unionByName _).distinct()

@@ -118,12 +118,40 @@ object LadderBloom {
       .agg(graft.functions.VectorFunctions.bloomAgg(col("h"), nBits, k))
       .head().getAs[Array[Byte]](0)
     import spark.implicits._
-    Seq((filter, nBits, k, committedBelow, n))
-      .toDF("filter", "n_bits", "k", "covered_below", "n_keys")
+    // bits_per_key rides along so a REBUILD ([[readMeta]] →
+    // [[IncrementalDedup.maintainLadder]]) preserves custom sizing
+    // instead of silently resetting to the defaults
+    Seq((filter, nBits, k, committedBelow, n, bitsPerKey))
+      .toDF("filter", "n_bits", "k", "covered_below", "n_keys",
+        "bits_per_key")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(sidecarDir(root, sub))
     n
   }
+
+  /** Sidecar BUILD PARAMETERS (bitsPerKey, k) without touching the
+    * filter column — a parquet column-pruned read, so testing for a
+    * sidecar and recovering its sizing never deserializes the up-to-
+    * 256 MB filter into the driver (the [[read]] path does, and is for
+    * probes that need the bits). None when never built. Pre-
+    * `bits_per_key` sidecars (one maintenance generation) derive
+    * bitsPerKey from n_bits/n_keys — exact unless the build hit the
+    * [[MaxBits]] cap or the 64-bit floor, where the derived value IS
+    * the effective sizing. */
+  private[graft] def readMeta(spark: SparkSession, root: String,
+                              sub: String): Option[(Int, Int)] =
+    if (!Layout.hasParquetData(spark, sidecarDir(root, sub))) None
+    else {
+      val df = spark.read.parquet(sidecarDir(root, sub))
+      if (df.columns.contains("bits_per_key")) {
+        val r = df.select(col("bits_per_key"), col("k")).head()
+        Some((r.getInt(0), r.getInt(1)))
+      } else {
+        val r = df.select(col("n_bits"), col("n_keys"), col("k")).head()
+        Some((math.max(1L,
+          r.getInt(0) / math.max(1L, r.getLong(1))).toInt, r.getInt(2)))
+      }
+    }
 
   /** Build every subtree's sidecar (url/fp/postings). Returns the
     * per-subtree summarized counts; an absent subtree counts 0. */

@@ -216,6 +216,60 @@ class LadderBloomSpec extends AnyFunSuite {
       s"plain $plainP rev $revP")
   }
 
+  test("finite maxDocFreq under a sidecar's covered/tail split: hot-" +
+      "shingle frequencies are FULL-index, so verdicts match the " +
+      "sidecar-less probe (a shingle hot overall but not hot within " +
+      "either slice is still pruned)") {
+    import spark.implicits._
+    // "x y z" appears in 2 covered docs + 1 tail doc: df = 3 > 2 =
+    // maxDocFreq overall, but ≤ 2 within each slice — per-slice
+    // frequencies would keep it, flipping the probe verdict
+    def run(bloom: Boolean): Map[Long, Option[String]] = {
+      val root = tmp(if (bloom) "lbl_hot_b" else "lbl_hot_p")
+      val t0 = Seq((1L, "x y z a1 a2 a3"), (2L, "x y z b1 b2 b3"))
+        .toDF("doc_id", "text")
+      IncrementalDedup.admitBatchLadder(t0, "doc_id", "text", None,
+        root, n = 3, tau = 0.2, batchId = 0L, maxDocFreq = 2)
+      if (bloom) LadderBloom.buildAll(spark, root, committedBelow = 1L)
+      val t1 = Seq((3L, "x y z c1 c2 c3")).toDF("doc_id", "text")
+      IncrementalDedup.admitBatchLadder(t1, "doc_id", "text", None,
+        root, n = 3, tau = 0.2, batchId = 1L, maxDocFreq = 2)
+      // probe doc: J vs doc 1 is 2/6 = 0.33 WITH the hot shingle but
+      // 1/7 = 0.14 once it is pruned — the τ = 0.2 cut discriminates
+      val t2 = Seq((4L, "x y z a1 p1 p2")).toDF("doc_id", "text")
+      IncrementalDedup.admitBatchLadder(t2, "doc_id", "text", None,
+          root, n = 3, tau = 0.2, batchId = 2L, maxDocFreq = 2)
+        .as[(Long, Option[String])].collect().toMap
+    }
+    val plain = run(bloom = false); val bloomed = run(bloom = true)
+    assert(bloomed == plain, s"bloom $bloomed != plain $plain")
+    assert(plain == Map(4L -> None),
+      s"the overall-hot shingle must be pruned from the probe: $plain")
+  }
+
+  test("maintainLadder rebuild preserves custom sidecar sizing " +
+      "(bits_per_key and probe count), via the column-pruned meta read") {
+    import spark.implicits._
+    implicit val s = spark
+    val root = tmp("lbl_size")
+    IncrementalDedup.admitBatchLadder(tick1, "doc_id", "text",
+      Some("url"), root, n = 3, tau = 0.5, batchId = 0L)
+    LadderBloom.build(spark, root, "url_index", committedBelow = 1L,
+      bitsPerKey = 20, k = 7)
+    assert(LadderBloom.readMeta(spark, root, "url_index")
+      .contains((20, 7)))
+    IncrementalDedup.admitBatchLadder(tick2, "doc_id", "text",
+      Some("url"), root, n = 3, tau = 0.5, batchId = 1L)
+    IncrementalDedup.maintainLadder(spark, root, committedBelow = 2L)
+    val sc = LadderBloom.read(spark, root, "url_index").get
+    assert(sc.coveredBelow == 2L, s"sidecar not rebuilt: $sc")
+    assert(sc.k == 7, s"custom probe count lost on rebuild: ${sc.k}")
+    assert(sc.nBits == math.max(64L, sc.nKeys * 20L).toInt,
+      s"custom bits-per-key lost on rebuild: ${sc.nBits} for ${sc.nKeys}")
+    // subtrees that never had a sidecar must not gain one from the fold
+    assert(LadderBloom.read(spark, root, "fp_index").isEmpty)
+  }
+
   test("sidecar primitives: build counts committed keys only, read " +
       "round-trips, stored keys always pass the filter (no false " +
       "negatives)") {
