@@ -42,7 +42,8 @@ object Queries
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
     qUrlDomainCardPsl, qDomainQuota,
-    qDedupLadder, qAdmissionLadder, qLadderBloom, qReladder, qIngestLadder,
+    qDedupLadder, qAdmissionLadder, qLadderBloom, qReladder,
+    qReladderApply, qIngestLadder,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupJaccardSteady,
@@ -128,5 +129,10 @@ object Queries
     */
   val slowTier: Set[String] = Set("dedup_substr_exact_sa",
     "q_admission_ladder", "q_ladder_bloom", "q_ingest_ladder",
-    "q_reladder")
+    "q_reladder", "q_reladder_apply",
+    // side-effectful two-tick composition test (temp-root parquet
+    // writes dominate its wall; the registered plan is just the
+    // verdict read-back, invisible to the plan audit) — its per-tick
+    // cost is measured by BENCH_sf1eq.json's domain_quota_tick row
+    "q_domain_quota")
 }

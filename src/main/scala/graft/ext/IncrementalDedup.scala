@@ -695,10 +695,10 @@ object IncrementalDedup {
     * in its component), so the delta is exactly the set the batch
     * ladder would additionally drop given the same near-rung inputs.
     *
-    * The delta is ADVISORY output — the caller applies it in the
-    * serialized tick window (delete the ids from `corpus/`, append the
-    * updated verdicts), or just measures the divergence rate (SCALE.md
-    * records it on a synthetic re-crawl stream).
+    * The delta is applied with [[applyReconcile]] (same serialized
+    * tick window — verdict update, corpus delete, postings retirement,
+    * replay-idempotent), or just measured as a divergence rate
+    * (SCALE.md records it on a synthetic re-crawl stream).
     *
     * Scale: postings-sized self-join (the [[Dedup.jaccardProbe]] shape,
     * `maxDocFreq` dials boilerplate) + integer connected components —
@@ -729,6 +729,236 @@ object IncrementalDedup {
       .join(adm.select(col("id")).distinct(), Seq("id"), "left_semi")
       .filter(col("id") =!= col("cluster"))
       .select(col("id"), lit("near").as("dropped_at"))
+  }
+
+  /** APPLY a [[reconcileNear]] delta — the serialized step that
+    * CONVERGES the streaming corpus to the batch ladder's semantics,
+    * closing the "advisory output, caller applies it" gap. For every
+    * delta doc (an ADMITTED doc the batch near rung would have
+    * dropped), in this order:
+    *
+    *  1. `verdicts/`  — its NULL verdict row becomes the delta's tag;
+    *  2. `corpus/`    — its row is deleted;
+    *  3. its postings MOVE from `postings/` to `postings_dropped/`
+    *     (same batch partition): retired postings can never vouch for
+    *     a future near drop (only corpus content vouches — the ladder
+    *     invariant), but remain reconciliation EVIDENCE, exactly like
+    *     an ingest-time near drop's.
+    *
+    * The subtree ORDER is the convergence contract: verdicts and
+    * corpus first, postings last, so at EVERY intermediate crash point
+    * a re-derived delta ([[reconcileNear]] again — delta membership
+    * rides the postings, untouched until step 3) still contains every
+    * unfinished doc, and re-applying finishes the job. A re-apply of a
+    * fully-applied delta (same VALUES — re-derived, or read back from a
+    * copy the caller persisted; a pre-crash lazy handle would read
+    * files this apply rewrote) is a NO-OP BY LAYOUT: hit detection
+    * finds no NULL-verdict, corpus, or postings row for any delta id,
+    * so no partition is rewritten (all counts 0).
+    *
+    * PARTITION SWAPS, not in-place Overwrites: each touched partition
+    * is rewritten to a `.apply-tmp-batch=N` sibling (complete before
+    * anything is removed), then swapped in via delete+rename; an
+    * interruption leaves either the original partition (tmp discarded
+    * and recomputed on replay) or the completed tmp with the partition
+    * gone (finished by the recovery sweep at the next entry). This is
+    * the [[Layout.foldBatchPartitions]] discipline — a plain Overwrite
+    * would hold the only copy of the partition's NON-delta rows in
+    * limbo mid-write. Per-partition rewrite jobs stay bounded because
+    * [[maintainLadder]]'s fold keeps the partition count bounded.
+    *
+    * BLOOM SIDECARS need no rebuild here, for correctness or at all:
+    * removing keys from an indexed subtree only creates STALE POSITIVES
+    * in its sidecar, and a stale positive falls through the exact join
+    * (the [[LadderBloom]] exactness argument is one-sided — only a
+    * false NEGATIVE could change a verdict, and deletion cannot create
+    * one). The next maintenance rebuild re-tightens pruning.
+    *
+    * `domain_counts/` is NOT refunded: a reconcile-deleted doc still
+    * consumed its registrant's quota (the cap stays conservative —
+    * first-arrival accounting, the [[admitBatchDomainQuota]] rule).
+    *
+    * Call from the SAME serialized window that runs the ticks, passing
+    * the current tick watermark: only partitions with
+    * `batch ∈ {-1} ∪ [0, committedBelow)` are touched, so an in-flight
+    * tick's own partition is never swapped under it.
+    *
+    * @param idCol  the corpus relation's document id column (verdicts/
+    *               postings use the ladder's canonical `id`)
+    * @param delta  [[reconcileNear]]'s output: (id, dropped_at)
+    * @return rows touched per subtree: "verdicts" updated, "corpus"
+    *         deleted, "postings" retired (moved to evidence)
+    */
+  def applyReconcile(spark: SparkSession, root: String, idCol: String,
+                     delta: DataFrame,
+                     committedBelow: Long): Map[String, Long] = {
+    require(committedBelow >= 0, s"committedBelow must be >= 0")
+    Seq("verdicts", "corpus", "postings", "postings_dropped")
+      .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
+    // SNAPSHOT the delta to a durable sibling before any swap: the
+    // incoming relation's plan reads the very postings files the apply
+    // is about to rewrite, so evaluating it lazily mid-apply (or after
+    // a cache eviction) would read files that no longer exist. The
+    // dot-dir is invisible to tree reads and overwritten per apply; a
+    // REPLAY after a crash passes a re-derived ([[reconcileNear]]) or
+    // caller-persisted delta — a lazy handle from before the crash is
+    // dead by construction.
+    val deltaDir = s"$root/.apply-delta"
+    delta.select(col("id"), col("dropped_at")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(deltaDir)
+    if (!Layout.hasParquetData(spark, deltaDir))
+      return Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L)
+    val ids = spark.read.parquet(deltaDir)
+    def inScope(b: Long): Boolean = b == -1L || b < committedBelow
+    def hitParts(dir: String, df: DataFrame, joinCol: String): Seq[(Long, Long)] =
+      df.join(ids.select(col("id").as("__rid")),
+          col(joinCol) === col("__rid"), "left_semi")
+        .groupBy(col("batch").cast("long").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => inScope(p._1)).toSeq
+
+    // 1. verdicts: NULL → delta tag (only NULL rows count as hits, so
+    // a re-apply sees none — the no-op-by-layout contract)
+    val vDir = s"$root/verdicts"
+    var nVerdicts = 0L
+    if (Layout.hasParquetData(spark, vDir)) {
+      val hits = hitParts(vDir, spark.read.parquet(vDir)
+        .filter(col("dropped_at").isNull), "id")
+      hits.foreach { case (b, n) =>
+        val cur = spark.read.parquet(s"$vDir/batch=$b")
+        val upd = cur
+          .join(ids.select(col("id"), col("dropped_at").as("__tag")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("dropped_at"), col("__tag"))
+            .as("dropped_at"))
+        swapPartition(spark, vDir, b, upd)
+        nVerdicts += n
+      }
+    }
+    // 2. corpus: delete the delta docs' rows
+    val cDir = s"$root/corpus"
+    var nCorpus = 0L
+    if (Layout.hasParquetData(spark, cDir)) {
+      val hits = hitParts(cDir, spark.read.parquet(cDir), idCol)
+      hits.foreach { case (b, n) =>
+        val cur = spark.read.parquet(s"$cDir/batch=$b")
+        swapPartition(spark, cDir, b, cur.join(
+          ids.select(col("id").as("__rid")),
+          cur(idCol) === col("__rid"), "left_anti"))
+        nCorpus += n
+      }
+    }
+    // 3. postings: move delta docs' rows to the evidence subtree, THEN
+    // retire them from the probe-visible index. Within a partition the
+    // evidence union lands first, so an interruption between the two
+    // writes replays into the same (distinct-deduped) union.
+    val pDir = s"$root/postings"; val dDir = s"$root/postings_dropped"
+    var nPostings = 0L
+    if (Layout.hasParquetData(spark, pDir)) {
+      val hits = hitParts(pDir, spark.read.parquet(pDir), "id")
+      hits.foreach { case (b, n) =>
+        val cur = spark.read.parquet(s"$pDir/batch=$b")
+        val retired = cur.join(ids.select(col("id").as("__rid")),
+          cur("id") === col("__rid"), "left_semi")
+        val existing =
+          if (Layout.hasParquetData(spark, s"$dDir/batch=$b"))
+            Some(spark.read.parquet(s"$dDir/batch=$b"))
+          else None
+        swapPartition(spark, dDir, b,
+          existing.fold(retired)(_ unionByName retired).distinct())
+        swapPartition(spark, pDir, b, cur.join(
+          ids.select(col("id").as("__rid")),
+          cur("id") === col("__rid"), "left_anti"))
+        nPostings += n
+      }
+    }
+    Map("verdicts" -> nVerdicts, "corpus" -> nCorpus,
+      "postings" -> nPostings)
+  }
+
+  /** EVIDENCE RETENTION for the reconciliation loop: delete
+    * `postings_dropped/` partitions a COMPLETED [[reconcileNear]] →
+    * [[applyReconcile]] pass has already considered (batch = -1 or
+    * batch < `coveredBelow`, the watermark that reconcile ran under).
+    * Without it the evidence subtree grows with every near/containment
+    * drop forever — superlinearly vs the corpus on dup-heavy crawls —
+    * and it is [[reconcileNear]]'s self-join input.
+    *
+    * SAFE for the converged state, provably: post-apply, every
+    * connected component of the evidence graph contains exactly ONE
+    * admitted doc — its global minimum id (arrival order; apply
+    * deleted the rest). Removing evidence nodes only SPLITS
+    * components, and the admitted doc remains the minimum of whichever
+    * fragment holds it (it was the minimum of the superset), so a
+    * re-run of [[reconcileNear]] still emits an EMPTY delta
+    * (spec-pinned with and without retirement).
+    *
+    * The TRADE, stated plainly: a FUTURE arrival that chains to the
+    * corpus only THROUGH a retired evidence doc (w ~ y_retired ~ x,
+    * w ≁ x) is admitted and stays admitted — ingest-time semantics,
+    * not batch semantics, for that chain. This is the same class as
+    * the ladder's one documented divergence, now bounded by the
+    * retention window instead of closed forever: evidence younger than
+    * the last completed reconcile still converges such chains.
+    * Retention is therefore a DIAL (run reconcile+apply+retire every K
+    * ticks), not a free lunch — the spec pins both sides.
+    *
+    * Call from the serialized maintenance window, only after
+    * [[applyReconcile]] for a reconcile at `coveredBelow` has
+    * completed.
+    *
+    * @return partitions deleted
+    */
+  def retireEvidence(spark: SparkSession, root: String,
+                     coveredBelow: Long): Int = {
+    val dir = s"$root/postings_dropped"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    val victims = Layout.batchValues(spark, dir)
+      .filter(b => b == -1L || b < coveredBelow)
+    victims.foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"batch=$b"), true))
+    victims.size
+  }
+
+  /** Rewrite one `batch=<b>` partition via tmp-write + delete + rename
+    * (never an in-place Overwrite — see [[applyReconcile]]'s swap
+    * contract). `content` must derive from reads of the CURRENT
+    * partition (it is evaluated during the tmp write, while the
+    * original is still in place). */
+  private def swapPartition(spark: SparkSession, dir: String, b: Long,
+                            content: DataFrame): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(path, s"batch=$b")
+    val tmp = new org.apache.hadoop.fs.Path(path, s".apply-tmp-batch=$b")
+    content.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(part, true)
+    require(fs.rename(tmp, part), s"rename $tmp -> $part failed")
+  }
+
+  /** Entry-time recovery for interrupted [[swapPartition]]s: a
+    * `.apply-tmp-batch=N` with its partition still present is a stale
+    * pre-swap artifact (discard — the replay recomputes it); one whose
+    * partition is GONE is a completed rewrite whose final rename was
+    * interrupted (finish it). Dot-prefixed dirs are invisible to
+    * parquet reads, so a crashed apply never corrupts concurrent
+    * readers of the tree. */
+  private def recoverSwaps(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".apply-tmp-batch="))
+      .foreach { tmp =>
+        val part = new org.apache.hadoop.fs.Path(path,
+          tmp.getName.stripPrefix(".apply-tmp-"))
+        if (fs.exists(part)) fs.delete(tmp, true)
+        else require(fs.rename(tmp, part),
+          s"recovery rename $tmp -> $part failed")
+      }
   }
 }
 

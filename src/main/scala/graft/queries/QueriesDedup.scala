@@ -982,6 +982,67 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       JOIN adm ON adm.doc_id = x.id
       WHERE x.id <> x.c"""))
 
+  /** [[qReladder]] extended one step: the reconcile delta is APPLIED
+    * ([[graft.ext.IncrementalDedup.applyReconcile]] — verdict update,
+    * corpus delete, postings retirement), after which the streaming
+    * root's verdict relation must equal the BATCH ladder's on the same
+    * synthetic chain corpus: ticks + reconcile + apply ≡ one batch CC.
+    * The oracle is exactly that batch answer — one connected-components
+    * pass over ALL docs (no tick split, no chain replay): every
+    * non-minimum member of a τ-component is 'near', everything else
+    * NULL. Convergence is the whole claim, so the simplicity of the
+    * oracle IS the assertion.
+    */
+  val qReladderApply = Q("q_reladder_apply",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_rel_apply").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", transform(
+          sequence(col("doc_id") % 3 * 2, col("doc_id") % 3 * 2 + 7),
+          k => concat(lit("g"), expr("doc_id div 3").cast("string"),
+            lit("w"), k.cast("string")))).as("text"))
+      graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text",
+        None, root, n = 3, tau = 0.5, batchId = 0L)
+      graft.ext.IncrementalDedup.admitBatchLadder(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text",
+        None, root, n = 3, tau = 0.5, batchId = 1L)
+      graft.ext.IncrementalDedup.applyReconcile(s, root, "doc_id",
+        graft.ext.IncrementalDedup.reconcileNear(s, root, tau = 0.5),
+        committedBelow = 2L)
+      s.read.parquet(s"$root/verdicts")
+        .select(col("id"), col("dropped_at"))
+    },
+    Some("""WITH RECURSIVE syn AS (
+        SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS role
+        FROM documents),
+      docsyn AS (
+        SELECT doc_id, array_to_string(list_transform(
+          generate_series(role*2, role*2 + 7),
+          k -> 'g' || grp || 'w' || k), ' ') AS text FROM syn),
+      docsw AS (SELECT doc_id, string_split(text, ' ') AS w FROM docsyn),
+      shs AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset FROM docsw),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle FROM shs),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      nd AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach GROUP BY id) WHERE id <> c)
+      SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 'near' END
+          AS dropped_at
+      FROM documents d"""))
+
   /** Decontamination MATRIX ([[Corpus.decontamMatrix]]): fraction,
     * benchmark-side containment, and exact-span coverage signals side
     * by side per corpus doc, with per-form verdicts, the union verdict,

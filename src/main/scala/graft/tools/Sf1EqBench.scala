@@ -227,6 +227,41 @@ object Sf1EqBench {
         graft.ext.LadderBloom.buildAll(spark, lroot, committedBelow = 1L)
     }
 
+    // r17 reconciliation inputs: the q_reladder divergence corpus at
+    // scale — every doc triple (x, y, z = roles 0, 1, 2 of group
+    // id div 3) carries overlapping 8-word texts; ticks land roles 0-1
+    // then role 2, so the stored state holds ~n/3 admitted-but-
+    // reconcilable docs and ~n/3 dropped-evidence docs, BOTH scaling
+    // 10× with the corpus (the evidence-volume axis of the reconcile
+    // cost claim). `reconroot` is probed read-only by reconcile_near;
+    // `applysnap` is the pristine copy reconcile_apply restores from
+    // before every timed run (apply mutates its root)
+    def reconDocs(s: Int): DataFrame = spark.range(baseDocs * s).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(col("id") % 3 * 2, col("id") % 3 * 2 + 7),
+        k => concat(lit("g"), expr("id div 3").cast("string"),
+          lit("w"), k.cast("string")))).as("text"))
+    def copyTree(src: String, dst: String): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val sp = new org.apache.hadoop.fs.Path(src)
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      val fs = sp.getFileSystem(conf)
+      fs.delete(dp, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, conf)
+    }
+    for (s <- scales) {
+      val rroot = s"$root/reconroot_x$s"
+      val rd = reconDocs(s)
+      graft.ext.IncrementalDedup.admitBatchLadder(
+        rd.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", None,
+        rroot, n = 3, tau = 0.5, batchId = 0L)
+      graft.ext.IncrementalDedup.admitBatchLadder(
+        rd.filter(col("doc_id") % 3 === 2), "doc_id", "text", None,
+        rroot, n = 3, tau = 0.5, batchId = 1L)
+      copyTree(rroot, s"$root/applysnap_x$s")
+    }
+
     // r16 domain-quota inputs: stored per-registrant counts from a
     // batch-0 tick over the corpus slice (~997 domains); the timed
     // tick charges batch docs against the persistent counts
@@ -510,7 +545,36 @@ object Sf1EqBench {
           .admitBatchDomainQuota(
             quotaUrls(docs(s).filter(col("doc_id") % 11 === 0)),
             "doc_id", "url", s"$root/domquota_x$s", k = 5,
-            batchId = 1L)))
+            batchId = 1L)),
+        // r17: reconciliation over stored postings — the CC re-run
+        // whose self-join input is admitted + EVIDENCE postings, both
+        // scaling 10× (the evidence-volume cost axis of
+        // postings_dropped retention); read-only, no text re-read
+        "reconcile_near" -> (s => graft.ext.IncrementalDedup
+          .reconcileNear(spark, s"$root/reconroot_x$s", tau = 0.5)),
+        // r17: the full converge step a maintenance window pays —
+        // reconcileNear + applyReconcile (verdict rewrite, corpus
+        // delete, postings retirement, all inside the timed op; the
+        // returned verdict read-back is the small residue). The root
+        // is restored from its pristine snapshot before every run
+        // (restoreBefore): apply mutates state, so without the restore
+        // warm runs would measure the no-op path
+        "reconcile_apply" -> { s =>
+          val aroot = s"$root/applyroot_x$s"
+          graft.ext.IncrementalDedup.applyReconcile(spark, aroot,
+            "doc_id",
+            graft.ext.IncrementalDedup.reconcileNear(spark, aroot,
+              tau = 0.5),
+            committedBelow = 2L)
+          spark.read.parquet(s"$aroot/verdicts")
+        })
+
+    // per-run input restore (outside the timer): ops that MUTATE their
+    // input state start every run — cold and warm — from a pristine
+    // snapshot, so [median, spread] is over identical executions
+    val restoreBefore: Map[String, Int => Unit] = Map(
+      "reconcile_apply" -> (s =>
+        copyTree(s"$root/applysnap_x$s", s"$root/applyroot_x$s")))
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -521,6 +585,7 @@ object Sf1EqBench {
     // Catalyst eliminate the final row-preserving left joins of the
     // coverage/rewrite family and measure only the scan (graft.Bench)
     for ((name, op) <- ops if only.forall(_.contains(name))) {
+      restoreBefore.get(name).foreach(_(1))
       op(1).queryExecution.toRdd.count(); release()
     }
 
@@ -548,11 +613,17 @@ object Sf1EqBench {
     // same fresh-run protocol applies: the committed number answers
     // "what does one LCP pass cost", not "what does re-reading its
     // cache cost"
-    val freshRuns = Set("q_corpus_prep_v4", "dedup_lcp_longest")
+    // reconcile_near re-runs the same plan (CacheManager would serve
+    // run N's Materialize cache to run N+1); reconcile_apply's restore
+    // replaces the files under identical paths (a stale plan cache
+    // would read deleted files) — both need fully fresh executions
+    val freshRuns = Set("q_corpus_prep_v4", "dedup_lcp_longest",
+      "reconcile_near", "reconcile_apply")
     val rows = for ((name, op) <- ops
                     if only.forall(_.contains(name))) yield {
       val per = for (s <- scales) yield {
         def run(): Double = {
+          restoreBefore.get(name).foreach(_(s))
           val t0 = System.nanoTime()
           val df = op(s)
           df.queryExecution.toRdd.count()
@@ -561,6 +632,7 @@ object Sf1EqBench {
           if (freshRuns(name)) release()
           t
         }
+        restoreBefore.get(name).foreach(_(s))
         val t0 = System.nanoTime()
         val df0 = op(s)
         val n = df0.queryExecution.toRdd.count()

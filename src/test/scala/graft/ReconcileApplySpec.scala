@@ -1,0 +1,253 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, IncrementalDedup, LadderBloom}
+
+/** [[IncrementalDedup.applyReconcile]] — the serialized apply step that
+  * converges the streaming corpus to batch-ladder semantics — and
+  * [[IncrementalDedup.retireEvidence]], its evidence-retention dial.
+  * Pins: post-apply parity with the batch ladder, re-reconcile
+  * emptiness, replay idempotence (same-delta no-op AND crash-shape
+  * recovery), fold/apply commutation, the no-sidecar-rebuild
+  * invariant, and both sides of the retention trade.
+  */
+class ReconcileApplySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  // the divergence chain: x (1) admitted tick 0; y (2) ~ x dropped
+  // near; z (11) ~ y but z !~ x arrives tick 1 and is ADMITTED by the
+  // ingest ladder (nothing in the corpus resembles it) — the batch
+  // ladder's CC would drop it transitively through y
+  private def chainRoot(tag: String): String = {
+    import spark.implicits._
+    val root = tmp(tag)
+    val tick1 = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val tick2 = Seq(
+      (11L, "w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text")
+    IncrementalDedup.admitBatchLadder(tick1, "doc_id", "text", None,
+      root, n = 3, tau = 0.5, batchId = 0L)
+    IncrementalDedup.admitBatchLadder(tick2, "doc_id", "text", None,
+      root, n = 3, tau = 0.5, batchId = 1L)
+    root
+  }
+
+  private def verdicts(root: String): Map[Long, Option[String]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/verdicts")
+      .select(col("id"), col("dropped_at"))
+      .as[(Long, Option[String])].collect().toMap
+  }
+  private def corpusIds(root: String): Set[Long] = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/corpus").select("doc_id")
+      .as[Long].collect().toSet
+  }
+  private def postingIds(root: String, sub: String): Set[Long] = {
+    import spark.implicits._
+    val dir = s"$root/$sub"
+    if (!graft.ext.Layout.hasParquetData(spark, dir)) Set.empty
+    else spark.read.parquet(dir).select("id").distinct()
+      .as[Long].collect().toSet
+  }
+
+  test("apply converges the corpus to batch-ladder semantics: verdict " +
+      "update + corpus delete + postings retirement; re-reconcile is " +
+      "empty; re-apply of the same delta is a no-op by layout") {
+    val root = chainRoot("rca_conv")
+    val delta = IncrementalDedup.reconcileNear(spark, root, tau = 0.5)
+    val counts = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      delta, committedBelow = 2L)
+    assert(counts == Map("verdicts" -> 1L, "corpus" -> 1L,
+      "postings" -> 6L), s"apply counts $counts") // 11 has 6 shingles
+    assert(verdicts(root) == Map(1L -> None, 2L -> Some("near"),
+      11L -> Some("near")))
+    assert(corpusIds(root) == Set(1L))
+    assert(postingIds(root, "postings") == Set(1L))
+    // evidence: the ingest-time drop (2) AND the apply-retired doc (11)
+    assert(postingIds(root, "postings_dropped") == Set(2L, 11L))
+    spark.sharedState.cacheManager.clearCache()
+    // converged: the batch near rung has nothing left to add
+    assert(IncrementalDedup.reconcileNear(spark, root, tau = 0.5)
+      .count() == 0L)
+    // re-apply of the same delta VALUES (fresh plan — the replay
+    // contract: a pre-crash lazy handle would read rewritten files):
+    // no NULL verdict, corpus or postings row matches any delta id any
+    // more — zero partitions rewritten
+    import spark.implicits._
+    val again = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      Seq((11L, "near")).toDF("id", "dropped_at"), committedBelow = 2L)
+    assert(again == Map("verdicts" -> 0L, "corpus" -> 0L,
+      "postings" -> 0L), s"re-apply must be a no-op: $again")
+  }
+
+  test("crash-shape replay: corpus deleted but postings not yet " +
+      "retired — a re-derived delta still contains the doc and a " +
+      "second apply finishes the job") {
+    import spark.implicits._
+    val root = chainRoot("rca_crash")
+    // emulate the mid-apply crash state the subtree ORDER guarantees:
+    // verdicts + corpus done, postings untouched (steps 1-2 of 3)
+    val deltaIds = Seq(11L).toDF("id")
+      .withColumn("dropped_at", lit("near"))
+    val vDir = s"$root/verdicts"
+    val v1 = spark.read.parquet(s"$vDir/batch=1")
+      .withColumn("dropped_at",
+        when(col("id") === 11L, lit("near")).otherwise(col("dropped_at")))
+    v1.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/.crash_v1")
+    spark.read.parquet(s"$root/.crash_v1").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$vDir/batch=1")
+    val cDir = s"$root/corpus"
+    val c1 = spark.read.parquet(s"$cDir/batch=1").filter(col("doc_id") =!= 11L)
+    c1.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/.crash_c1")
+    spark.read.parquet(s"$root/.crash_c1").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$cDir/batch=1")
+    spark.sharedState.cacheManager.clearCache()
+    // the postings still carry 11, so the re-derived delta re-emits it
+    val redelta = IncrementalDedup.reconcileNear(spark, root, tau = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(redelta == Map(11L -> "near"), s"re-derived delta $redelta")
+    val counts = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L)
+    // verdict and corpus hits are already gone; only postings finish
+    assert(counts == Map("verdicts" -> 0L, "corpus" -> 0L,
+      "postings" -> 6L), s"finishing apply $counts")
+    assert(corpusIds(root) == Set(1L) &&
+      postingIds(root, "postings") == Set(1L) &&
+      postingIds(root, "postings_dropped") == Set(2L, 11L))
+    spark.sharedState.cacheManager.clearCache()
+    assert(IncrementalDedup.reconcileNear(spark, root, tau = 0.5)
+      .count() == 0L)
+  }
+
+  test("interrupted partition swap recovery: a completed tmp whose " +
+      "partition is gone is renamed into place; a stale tmp beside a " +
+      "live partition is discarded") {
+    import spark.implicits._
+    val root = chainRoot("rca_swap")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cDir = s"$root/corpus"
+    // shape 1: tmp complete, partition deleted (crash between delete
+    // and final rename) — recovery must finish the swap
+    val tmp1 = s"$cDir/.apply-tmp-batch=1"
+    spark.read.parquet(s"$cDir/batch=1").filter(col("doc_id") =!= 11L)
+      .write.parquet(tmp1)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cDir/batch=1"), true)
+    // shape 2: stale tmp beside a live partition (crash before the
+    // delete) — recovery must discard it and leave the partition alone
+    val vDir = s"$root/verdicts"
+    val tmp2 = s"$vDir/.apply-tmp-batch=0"
+    Seq((999L, "bogus")).toDF("id", "dropped_at").write.parquet(tmp2)
+    // any applyReconcile entry runs the sweep (empty delta: no rewrites)
+    val counts = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      Seq.empty[(Long, String)].toDF("id", "dropped_at"),
+      committedBelow = 2L)
+    assert(counts.values.forall(_ == 0L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp1)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(tmp2)))
+    spark.sharedState.cacheManager.clearCache()
+    assert(corpusIds(root) == Set(1L), "recovered swap must hold the " +
+      "rewritten content")
+    assert(verdicts(root) == Map(1L -> None, 2L -> Some("near"),
+      11L -> None), "stale tmp must not leak into the verdict tree")
+  }
+
+  test("fold-then-apply and apply-then-fold agree on every subtree's " +
+      "row set") {
+    def allState(root: String) = (verdicts(root), corpusIds(root),
+      postingIds(root, "postings"), postingIds(root, "postings_dropped"))
+    val rootA = chainRoot("rca_fold_a")
+    IncrementalDedup.maintainLadder(spark, rootA, committedBelow = 2L)
+    IncrementalDedup.applyReconcile(spark, rootA, "doc_id",
+      IncrementalDedup.reconcileNear(spark, rootA, tau = 0.5),
+      committedBelow = 2L)
+    val rootB = chainRoot("rca_fold_b")
+    IncrementalDedup.applyReconcile(spark, rootB, "doc_id",
+      IncrementalDedup.reconcileNear(spark, rootB, tau = 0.5),
+      committedBelow = 2L)
+    IncrementalDedup.maintainLadder(spark, rootB, committedBelow = 2L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(allState(rootA) == allState(rootB))
+  }
+
+  test("bloom sidecars survive an apply UNREBUILT: deletion only " +
+      "creates stale positives, which fall through the exact join — " +
+      "a near-dup of a reconcile-deleted doc is admitted") {
+    import spark.implicits._
+    val root = chainRoot("rca_bloom")
+    LadderBloom.buildAll(spark, root, committedBelow = 2L)
+    val before = LadderBloom.read(spark, root, "postings").get
+    IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L)
+    val after = LadderBloom.read(spark, root, "postings").get
+    assert(after.coveredBelow == before.coveredBelow &&
+      after.nKeys == before.nKeys, "apply must not touch sidecars")
+    // doc 21 ~ deleted doc 11 (J = 5/7) but far from surviving doc 1
+    // (J = 2/10): its shingles hit the stale sidecar bits, the exact
+    // probe finds no stored row, the doc is admitted
+    val t = Seq((21L, "w5 w6 w7 w8 w9 w10 w11 w13")).toDF("doc_id", "text")
+    val v = IncrementalDedup.admitBatchLadder(t, "doc_id", "text", None,
+        root, n = 3, tau = 0.5, batchId = 2L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v == Map(21L -> None), s"stale positive must fall through: $v")
+  }
+
+  test("retireEvidence: safe for the converged state (re-reconcile " +
+      "stays empty), and the documented trade — a future chain only " +
+      "through retired evidence stays admitted, through retained " +
+      "evidence it reconciles") {
+    import spark.implicits._
+    // w (21) ~ y (2, dropped evidence) with J = 5/7, but J(w, x=1) =
+    // 3/9 < 0.5: w's only path to the corpus is through y
+    def arriveW(root: String): Unit = {
+      val t = Seq((21L, "w4 w5 w6 w7 w8 w9 w10 w11")).toDF("doc_id", "text")
+      val v = IncrementalDedup.admitBatchLadder(t, "doc_id", "text",
+          None, root, n = 3, tau = 0.5, batchId = 2L)
+        .as[(Long, Option[String])].collect().toMap
+      assert(v == Map(21L -> None), s"ingest admits w either way: $v")
+    }
+    def applied(tag: String): String = {
+      val root = chainRoot(tag)
+      IncrementalDedup.applyReconcile(spark, root, "doc_id",
+        IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+        committedBelow = 2L)
+      spark.sharedState.cacheManager.clearCache()
+      root
+    }
+    // retained: the next reconcile finds the w—y—x chain → delta {w}
+    val keep = applied("rca_keep")
+    arriveW(keep)
+    val dKeep = IncrementalDedup.reconcileNear(spark, keep, tau = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(dKeep == Map(21L -> "near"), s"retained evidence delta $dKeep")
+    // retired: evidence below the completed-reconcile watermark is
+    // deleted; the converged corpus still re-reconciles EMPTY...
+    val ret = applied("rca_retire")
+    val n = IncrementalDedup.retireEvidence(spark, ret, coveredBelow = 2L)
+    assert(n >= 1, s"must delete evidence partitions: $n")
+    assert(postingIds(ret, "postings_dropped").isEmpty)
+    spark.sharedState.cacheManager.clearCache()
+    assert(IncrementalDedup.reconcileNear(spark, ret, tau = 0.5)
+      .count() == 0L, "retirement must not disturb the converged state")
+    // ...but w's chain ran through y, which is gone: w stays admitted —
+    // ingest-time semantics for chains older than the retention window,
+    // the documented price of bounded evidence
+    arriveW(ret)
+    spark.sharedState.cacheManager.clearCache()
+    assert(IncrementalDedup.reconcileNear(spark, ret, tau = 0.5)
+      .count() == 0L, "chain through retired evidence is not re-dropped")
+  }
+}
