@@ -41,9 +41,9 @@ object Queries
     qRepetition, qSessionize, qFingerprint,
     qCorpusCuration, qCorpusCard, qCorpusCardXsource, qCorpusCardXsourceCont,
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
-    qUrlDomainCardPsl, qDomainQuota,
+    qUrlDomainCardPsl, qDomainQuota, qDomainQuotaPsl,
     qDedupLadder, qAdmissionLadder, qLadderBloom, qReladder,
-    qReladderApply, qIngestLadder,
+    qReladderApply, qIngestLadder, qLineRung,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupJaccardSteady,
@@ -129,10 +129,10 @@ object Queries
     */
   val slowTier: Set[String] = Set("dedup_substr_exact_sa",
     "q_admission_ladder", "q_ladder_bloom", "q_ingest_ladder",
-    "q_reladder", "q_reladder_apply",
-    // side-effectful two-tick composition test (temp-root parquet
-    // writes dominate its wall; the registered plan is just the
-    // verdict read-back, invisible to the plan audit) — its per-tick
-    // cost is measured by BENCH_sf1eq.json's domain_quota_tick row
-    "q_domain_quota")
+    "q_reladder", "q_reladder_apply", "q_line_rung",
+    // side-effectful two-tick composition tests (temp-root parquet
+    // writes dominate their wall; the registered plan is just the
+    // verdict read-back, invisible to the plan audit) — per-tick cost
+    // is measured by BENCH_sf1eq.json's domain_quota_tick row
+    "q_domain_quota", "q_domain_quota_psl")
 }

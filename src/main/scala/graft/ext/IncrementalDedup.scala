@@ -544,7 +544,8 @@ object IncrementalDedup {
   def admitBatchDomainQuota(batch: DataFrame, idCol: String,
                             urlCol: String, root: String, k: Int,
                             batchId: Long,
-                            suffixes: Seq[String] = Dedup.publicSuffixes): DataFrame = {
+                            suffixes: Seq[String] = Dedup.publicSuffixes,
+                            pslRules: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"domain quota must be positive: $k")
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
@@ -553,13 +554,13 @@ object IncrementalDedup {
       regexp_extract(TextOps.canonicalUrl(col(urlCol)), "^[^/?]*", 0),
       "^[^@]*@", ""), ":[0-9]+$", "")
     // reg_domain is used by the rank, the drop join and the count
-    // write: compute the scalar once. NULL/empty hosts resolve to NULL
-    // (CaseWhen evaluates branches lazily, so registeredDomain never
-    // sees the empty host).
-    val doms = Materialize.multiScan(base.select(col(idCol).as("id"),
-      when(host.isNull || host === lit(""), lit(null).cast("string"))
-        .otherwise(Dedup.registeredDomain(host, suffixes))
-        .as("reg_domain")))
+    // write: compute it once — via the embedded scalar subset, or
+    // (pslRules) the full wildcard/exception rules-table matcher
+    // ([[resolveRegDomains]]): a production 9k-rule deployment must
+    // quota-bucket `*.ck`-style registrants exactly as its domain card
+    // does, not by the subset approximation
+    val doms = Materialize.multiScan(
+      resolveRegDomains(base, idCol, host, suffixes, pslRules))
     val prior = indexIfExists(spark, s"$root/domain_counts") match {
       case Some(ix) => ix.filter(col("batch") =!= batchId)
         .groupBy(col("reg_domain")).agg(sum(col("n")).as("prior"))
@@ -588,6 +589,36 @@ object IncrementalDedup {
     admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
     Seq(base, doms, drops, admitted).foreach(_.unpersist())
     spark.read.parquet(part("verdicts"))
+  }
+
+  /** (id, reg_domain) for a batch: NULL/empty hosts resolve to NULL
+    * (the NULL-provenance convention — never counted, never capped),
+    * everything else through the embedded scalar subset or, when a
+    * rules table is supplied, the full PSL matcher
+    * ([[Dedup.registeredDomainFromRules]] — one broadcast join at
+    * batch-host cardinality; wildcards and exceptions live). Under a
+    * rules table equal to the scalar subset the two paths agree row
+    * for row (spec-pinned in `DomainQuotaSpec`). */
+  private[graft] def resolveRegDomains(base: DataFrame, idCol: String,
+                                       host: org.apache.spark.sql.Column,
+                                       suffixes: Seq[String],
+                                       pslRules: Option[DataFrame]): DataFrame = {
+    val withHost = base.select(col(idCol).as("id"),
+      when(host.isNull || host === lit(""), lit(null).cast("string"))
+        .otherwise(host).as("__host"))
+    pslRules match {
+      case None => withHost.select(col("id"),
+        // CaseWhen evaluates lazily: registeredDomain never sees NULL
+        when(col("__host").isNull, lit(null).cast("string"))
+          .otherwise(Dedup.registeredDomain(col("__host"), suffixes))
+          .as("reg_domain"))
+      case Some(rules) =>
+        Dedup.registeredDomainFromRules(
+            withHost.filter(col("__host").isNotNull), "__host", rules)
+          .select(col("id"), col("reg_domain"))
+          .unionByName(withHost.filter(col("__host").isNull)
+            .select(col("id"), lit(null).cast("string").as("reg_domain")))
+    }
   }
 
   private def indexIfExists(spark: SparkSession,
@@ -624,10 +655,12 @@ object IncrementalDedup {
     * / [[admitBatchDomainQuota]] tick writes — the complete fold
     * surface for [[maintainLadder]] (a subtree a given operator never
     * writes folds 0). `domain_counts` is row-preserving under the
-    * fold, so prior-count sums are unchanged by maintenance. */
+    * fold, so prior-count sums are unchanged by maintenance;
+    * `line_index` (the ingest ladder's optional lines rung) folds like
+    * any key index. */
   private[graft] val LadderSubtrees: Seq[String] = Seq(
-    "corpus", "url_index", "fp_index", "postings", "postings_dropped",
-    "domain_counts", "verdicts")
+    "corpus", "url_index", "fp_index", "line_index", "postings",
+    "postings_dropped", "domain_counts", "verdicts")
 
   /** Ladder-wide index maintenance — [[maintain]]'s contract extended to
     * EVERY subtree [[admitBatchLadder]] writes (corpus, url_index,
@@ -975,9 +1008,20 @@ object IncrementalDedup {
   * rate (bp), `kappa` = slack, `h` = alarm threshold — the
   * [[DataQuality.cusumTick]] dials, shared by all rungs (a per-rung
   * dial would just be several monitors).
+  *
+  * The default rung set covers every BUILT-IN ladder rung, including
+  * the optional `domain` quota and `lines` cut: a domain-quota storm
+  * (one registrant flooding the crawl) is precisely the
+  * page-an-operator signal the rung exists for. A rung that is
+  * configured OFF observes a constant 0 drop rate — it can never
+  * alarm UP, and with `mu = 0` never down either; deployments running
+  * `mu > 0` should construct the monitor with exactly their active
+  * rungs (that is what the parameter is for), else an absent rung's
+  * flat 0 reads as a downward drift.
   */
 final class LadderRungMonitor(val rungs: Seq[String] =
-                                Seq("url", "exact", "near"),
+                                Seq("url", "lines", "exact", "near",
+                                  "containment", "domain"),
                               mu: Long, kappa: Long, h: Long,
                               keep: Int = 256) {
   require(rungs.nonEmpty, "monitor needs at least one rung")

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   *   1. `url`          — canonical-key collapse + stored-key probe;
   *                        no text read, NULL addresses pass (the
   *                        [[IncrementalDedup.admitBatchUrl]] contract).
+  *   1.5 `lines`       — optional: the CCNet cross-document line cut
+  *                        made steady-state against a persistent
+  *                        `line_index/` (first occurrence wins, in
+  *                        batch and across ticks); every later rung —
+  *                        fingerprint, gates, shingles, the stored
+  *                        corpus — sees the REBUILT text (see the
+  *                        `lineDedup` param doc).
   *   2. `exact`        — content-fingerprint collapse + stored-fp
   *                        probe; 32-byte digests move, never documents.
   *   3. quality gates  — caller-supplied DOC-LOCAL rungs (tags are the
@@ -95,7 +102,7 @@ object IngestLadder {
   type Gate = (String, DataFrame => DataFrame)
 
   private val ReservedTags =
-    Set("url", "exact", "near", "containment", "domain")
+    Set("url", "lines", "exact", "near", "containment", "domain")
 
   /** One composed ingest tick (a `foreachBatch` body). Writes the six
     * ladder subtrees under `root` (per-batch Overwrite partitions) and
@@ -104,8 +111,43 @@ object IngestLadder {
     * just-written partition.
     *
     * @param gates          doc-local quality rungs, cheapest first;
-    *                       tags must be distinct and none of url/exact/
-    *                       near/containment
+    *                       tags must be distinct and none of url/lines/
+    *                       exact/near/containment/domain
+    * @param lineDedup      optional rung between url and exact: the
+    *                       CCNet cross-document line cut
+    *                       (`Corpus.lineDedupFirst`'s semantics) made
+    *                       STEADY-STATE against a persistent
+    *                       `line_index/` subtree. Per line instance
+    *                       (key = the widened (xxhash64, length) of the
+    *                       CCNet-normalized line; structural lines —
+    *                       normalize-to-empty — always pass): cut when
+    *                       the key is already in the index (a previous
+    *                       tick's first occurrence) or an earlier
+    *                       in-batch instance exists (order (id, idx));
+    *                       the batch's first occurrences enter the
+    *                       index. Surviving docs carry their REBUILT
+    *                       text through every later rung — the
+    *                       semantics decision, stated: line-cut happens
+    *                       BEFORE the exact rung, so the fingerprint,
+    *                       the gates' raw/t/ts slice, the shingles and
+    *                       the stored corpus row all see the CLEANED
+    *                       text (two docs differing only in boilerplate
+    *                       dedupe at `exact`, which the pre-cut
+    *                       fingerprint could never see). A doc whose
+    *                       every CONTENT line is cut gets verdict
+    *                       `lines` (had it any content to lose); docs
+    *                       with no content lines at all — NULL or
+    *                       all-structural text — pass unmodified and
+    *                       never enter the index (the NULL-provenance
+    *                       rule). First occurrences are indexed even
+    *                       when their doc later drops at a gate/near
+    *                       rung — the `fp_index` principle: a re-crawl
+    *                       of known boilerplate is cut one rung
+    *                       earlier. In-batch the window keys on the
+    *                       line hash — the boilerplate line IS the
+    *                       skew; a tick's batch bounds it (the
+    *                       lineDedupFirst caveat applies to BATCH
+    *                       runs, not ticks)
     * @param containmentTau None skips the containment rung; Some(τc)
     *                       probes the same postings relation the near
     *                       rung built — no extra tokenize
@@ -117,6 +159,16 @@ object IngestLadder {
     *                       semantics composed; it runs LAST so only
     *                       docs that pass every content rung consume
     *                       quota, and only ADMITTED docs are counted
+    * @param pslRules       optional full public-suffix rules table (one
+    *                       string column `rule`, raw PSL syntax incl.
+    *                       wildcards/exceptions) for the `domain`
+    *                       rung's eTLD+1 resolution
+    *                       ([[graft.ext.Dedup.registeredDomainFromRules]]
+    *                       via one broadcast join); None keeps the
+    *                       embedded scalar subset. A deployment running
+    *                       the 9k-rule production list must pass it
+    *                       here too, or the quota would bucket `*.ck`
+    *                       registrants differently than its domain card
     * @param monitor        optional per-rung drop-rate CUSUM
     *                       ([[LadderRungMonitor]] — construct it with
     *                       exactly the rung tags to watch); counts ride
@@ -129,6 +181,8 @@ object IngestLadder {
                  maxDocFreq: Int = Int.MaxValue,
                  containmentTau: Option[Double] = None,
                  domainQuota: Option[Int] = None,
+                 lineDedup: Boolean = false,
+                 pslRules: Option[DataFrame] = None,
                  monitor: Option[LadderRungMonitor] = None): DataFrame = {
     val tags = gates.map(_._1)
     require(tags.distinct == tags, s"gate tags must be distinct: $tags")
@@ -172,11 +226,78 @@ object IngestLadder {
     }
     val s1 = base.join(urlDrops, base(idCol) === urlDrops("id"), "left_anti")
 
-    // THE one normalize+tokenize pass: url survivors scanned once into
-    // a spill-safe cache carrying every original column plus the
+    // rung 1.5 (optional): steady-state cross-document line cut — the
+    // CCNet first step against the persistent line_index/ (see the
+    // param doc for the full semantics statement). Everything
+    // downstream of this point reads the REBUILT text.
+    val (lineDrops, lineKeysKept, s15, lineCaches) = if (!lineDedup)
+      (Materialize.multiScan(empty), None, s1,
+        Seq.empty[DataFrame])
+    else {
+      // (id, idx, line, k, klen, struct_) — the widened rewrite key
+      val ex = Materialize.multiScan(
+        Corpus.lineExplode(s1, idCol, textCol))
+      val content = ex.filter(!col("struct_"))
+      // cross-batch: instances whose key is already indexed, bloom-
+      // pruned when a sidecar exists; the instance identity rides a
+      // struct through the generic seen probe
+      val inst = content.select(
+        struct(col("id"), col("idx")).as("inst"),
+        col("k").as("line_h"), col("klen").as("line_len"))
+      val seenCut = Materialize.multiScan(
+        (others(s"$root/line_index") match {
+          case Some(ix) => LadderBloom.seenIds(inst, "line_h", "inst",
+            ix, root, "line_index", batchId,
+            LadderBloom.read(spark, root, "line_index"),
+            extraCols = Seq("line_len"))
+          case None => inst.select(col("inst")).limit(0)
+        }).select(col("inst.id").as("id"), col("inst.idx").as("idx"))
+          .distinct())
+      // in-batch: first instance per key wins (order (id, idx))
+      val wLine = w.partitionBy(col("k"), col("klen"))
+        .orderBy(col("id"), col("idx"))
+      val ranked = content
+        .select(col("id"), col("idx"), col("k"), col("klen"))
+        .withColumn("rn", row_number().over(wLine))
+      val cuts = ranked.filter(col("rn") > 1).select(col("id"), col("idx"))
+        .unionByName(seenCut).distinct()
+      // one grouped pass: rebuilt text + content-line accounting
+      // (collect_list skips the NULL structs of cut lines)
+      val docStats = Materialize.multiScan(
+        ex.join(cuts.withColumn("__cut", lit(true)), Seq("id", "idx"),
+            "left")
+          .groupBy(col("id")).agg(
+            count(when(!col("struct_"), 1)).as("__orig_content"),
+            count(when(!col("struct_") && col("__cut").isNull, 1))
+              .as("__kept_content"),
+            array_join(transform(array_sort(collect_list(
+                when(col("__cut").isNull,
+                  struct(col("idx"), col("line"))))),
+              s => s("line")), "\n").as("__cleaned")))
+      val drops = Materialize.multiScan(
+        docStats.filter(col("__orig_content") > 0 &&
+          col("__kept_content") === 0).select(col("id")))
+      // the batch's first occurrences enter the index — except keys
+      // the index already holds (their in-batch "first" was cut too)
+      val kept = ranked.filter(col("rn") === 1)
+        .join(seenCut, Seq("id", "idx"), "left_anti")
+        .select(col("k").as("line_h"), col("klen").as("line_len"),
+          col("id").as("keep_id"))
+      // survivors carry the rebuilt text; docs absent from the explode
+      // (NULL text) pass with their original column
+      val surv = s1.join(drops, s1(idCol) === drops("id"), "left_anti")
+        .join(docStats.select(col("id").as("__lid"), col("__cleaned")),
+          s1(idCol) === col("__lid"), "left")
+        .withColumn(textCol, coalesce(col("__cleaned"), col(textCol)))
+        .drop("__lid", "__cleaned")
+      (drops, Some(kept), surv, Seq(ex, seenCut, docStats))
+    }
+
+    // THE one normalize+tokenize pass: url+lines survivors scanned once
+    // into a spill-safe cache carrying every original column plus the
     // normalized text and token array; the exact rung, every gate, and
     // the shingle pass all read this cache
-    val pre = Materialize.multiScan(Materialize.spread(s1)
+    val pre = Materialize.multiScan(Materialize.spread(s15)
       .withColumn("__t", TextOps.normalized(col(textCol)))
       .withColumn("__ts", TextOps.tokens(col("__t"))))
 
@@ -310,12 +431,16 @@ object IngestLadder {
       val host = regexp_replace(regexp_replace(
         regexp_extract(TextOps.canonicalUrl(col(u)), "^[^/?]*", 0),
         "^[^@]*@", ""), ":[0-9]+$", "")
-      Materialize.multiScan(base.select(col(idCol).as("id"),
-        when(host.isNull || host === lit(""), lit(null).cast("string"))
-          .otherwise(Dedup.registeredDomain(host)).as("reg_domain")))
+      // scalar subset, or the full wildcard/exception rules table when
+      // supplied — the same dispatch as admitBatchDomainQuota, so the
+      // quota buckets registrants exactly as the domain card does
+      Materialize.multiScan(IncrementalDedup.resolveRegDomains(
+        base, idCol, host, Dedup.publicSuffixes, pslRules))
     }
     val preQuota: Seq[(String, DataFrame)] =
-      Seq("url" -> urlDrops, "exact" -> exactDrops) ++ gateDrops ++
+      Seq("url" -> urlDrops) ++
+        (if (lineDedup) Seq("lines" -> lineDrops) else Nil) ++
+        Seq("exact" -> exactDrops) ++ gateDrops ++
         Seq("near" -> nearDrops) ++ contDrops.map("containment" -> _)
     val quotaDrops: Option[DataFrame] = domainQuota.map { kCap =>
       val dropsSoFar = preQuota.map(_._2.select(col("id")))
@@ -338,8 +463,10 @@ object IngestLadder {
       preQuota ++ quotaDrops.map("domain" -> _)
     val allDrops = tagged.map(_._2.select(col("id")))
       .reduce(_ unionByName _).distinct()
+    // admitted rows come from the LINES-rung survivors (s15 = s1 when
+    // the rung is off), so the stored corpus carries the REBUILT text
     val admitted = Materialize.multiScan(
-      base.join(allDrops, base(idCol) === allDrops("id"), "left_anti"))
+      s15.join(allDrops, s15(idCol) === allDrops("id"), "left_anti"))
 
     // persist: verdicts first (pure provenance), then indexes, then the
     // corpus — any interruption replays idempotently
@@ -361,6 +488,8 @@ object IngestLadder {
     obs.foreach { case (m, o) => m.tick(batchId, o.get) }
     urlKeysKept.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(part("url_index")))
+    lineKeysKept.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(part("line_index")))
     fpKept.write.mode(SaveMode.Overwrite).parquet(part("fp_index"))
     posts.join(admitted, posts("id") === admitted(idCol), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(part("postings"))
@@ -375,9 +504,9 @@ object IngestLadder {
         .write.mode(SaveMode.Overwrite).parquet(part("domain_counts"))
     }
     admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
-    (Seq(base, urlDrops, pre, exactDrops, posts, vsIndexNear, nearDrops,
-      admitted) ++ gateDrops.map(_._2) ++ contDrops ++ quotaDoms ++
-      quotaDrops).foreach(_.unpersist())
+    (Seq(base, urlDrops, lineDrops, pre, exactDrops, posts, vsIndexNear,
+      nearDrops, admitted) ++ lineCaches ++ gateDrops.map(_._2) ++
+      contDrops ++ quotaDoms ++ quotaDrops).foreach(_.unpersist())
     spark.read.parquet(part("verdicts"))
   }
 

@@ -64,9 +64,15 @@ import org.apache.spark.sql.functions._
   */
 object LadderBloom {
 
-  /** Sidecar-carrying subtrees and the key column each summarizes. */
+  /** Sidecar-carrying subtrees and the key column each summarizes.
+    * `line_index`'s EXACT key is (line_h, line_len) — the widened
+    * rewrite key (see `Corpus.lineExplode`) — but the sidecar
+    * summarizes the hash column alone: a filter pass is conservative
+    * (the exact join still checks both columns), a miss is still a
+    * guaranteed miss on the pair. */
   private[graft] val Keys: Seq[(String, String)] = Seq(
-    "url_index" -> "url_key", "fp_index" -> "fp", "postings" -> "sh64")
+    "url_index" -> "url_key", "fp_index" -> "fp", "postings" -> "sh64",
+    "line_index" -> "line_h")
 
   /** Bits-per-key at the default build: 10 bits + 5 probes ≈ 0.9% FPR. */
   val BitsPerKey: Int = 10
@@ -85,11 +91,12 @@ object LadderBloom {
     def bytes: Int = words.length * 8
   }
 
-  /** The 64-bit probe value for a subtree's key column: `sh64` is
-    * already a hash; string keys go through xxhash64 — the SAME
-    * expression on build and probe sides, which is the whole contract. */
+  /** The 64-bit probe value for a subtree's key column: `sh64` and
+    * `line_h` are already hashes; string keys go through xxhash64 —
+    * the SAME expression on build and probe sides, which is the whole
+    * contract. */
   private def hash64(sub: String, c: Column): Column =
-    if (sub == "postings") c else xxhash64(c)
+    if (sub == "postings" || sub == "line_index") c else xxhash64(c)
 
   /** Build (or rebuild) one subtree's sidecar over its committed
     * partitions (`batch < committedBelow`, including a prior fold's
@@ -256,9 +263,16 @@ object LadderBloom {
                              idName: String, ix: DataFrame,
                              root: String, sub: String, batchId: Long,
                              sc: Option[Sidecar],
-                             reverseMinKeys: Long = ReverseMinKeys): DataFrame = {
+                             reverseMinKeys: Long = ReverseMinKeys,
+                             extraCols: Seq[String] = Nil): DataFrame = {
+    // extraCols widen the EXACT equi-join key (the line rung's
+    // (line_h, line_len) pair); the bloom filters — sidecar and
+    // reverse — still hash `keyName` alone, which stays conservative:
+    // a filter pass falls through to the widened exact join
+    val joinCols = keyName +: extraCols
+    val ixKeyed = (d: DataFrame) => d.select(joinCols.map(col): _*)
     val plain = () => keys
-      .join(ix.select(col(keyName)), Seq(keyName), "left_semi")
+      .join(ixKeyed(ix), joinCols, "left_semi")
       .select(col(idName))
     sc match {
       case None => plain()
@@ -277,23 +291,22 @@ object LadderBloom {
           else if (s.nKeys <= reverseMinKeys)
             // small covered index: batch-side pruning only — the plain
             // join is already cheap, per-tick actions would cost more
-            Some(cand.join(covered.select(col(keyName)), Seq(keyName),
+            Some(cand.join(ixKeyed(covered), joinCols,
               "left_semi").select(col(idName)))
           else {
             val (nCand, reverse) =
               candSummary(cand, hash64(sub, col(keyName)))
             if (nCand == 0) None
             else Some(cand.join(
-              covered.filter(graft.functions.VectorFunctions
-                  .bloomContains(hash64(sub, col(keyName)), reverse,
-                    ReverseBits, Probes))
-                .select(col(keyName)),
-              Seq(keyName), "left_semi").select(col(idName)))
+              ixKeyed(covered.filter(graft.functions.VectorFunctions
+                .bloomContains(hash64(sub, col(keyName)), reverse,
+                  ReverseBits, Probes))),
+              joinCols, "left_semi").select(col(idName)))
           }
         val seenTail =
           if (!parts.exists(_ >= s.coveredBelow)) None
           else Some(keys
-            .join(tail.select(col(keyName)), Seq(keyName), "left_semi")
+            .join(ixKeyed(tail), joinCols, "left_semi")
             .select(col(idName)))
         // a key present in BOTH slices yields its id twice; both ladder
         // call sites fold seen ids through a downstream distinct (the

@@ -336,6 +336,123 @@ private[graft] trait QueriesDedup { this: Queries.type =>
              THEN 'domain' END AS dropped_at
       FROM documents d"""))
 
+  /** [[qDomainQuota]] under the FULL PSL rules table
+    * ([[graft.ext.IncrementalDedup.admitBatchDomainQuota]] with
+    * `pslRules`): the `shop{k}.stores.ck` arm is the discriminator —
+    * under the `*.ck` wildcard each shop is its OWN registrant (four
+    * under-quota buckets, docs admitted) while the embedded subset
+    * would merge them all into `stores.ck` and cap hard; the `www.ck`
+    * arm exercises the `!www.ck` exception (registrable itself, one
+    * concentrated bucket the quota fires on). Two steady-state ticks
+    * against the persistent counts, NULL addresses pass uncounted.
+    * The oracle replays the whole PSL algorithm per host plus both
+    * ticks' ranked windows and the cross-tick count join.
+    */
+  val qDomainQuotaPsl = Q("q_domain_quota_psl",
+    (s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_domquota_psl").toString
+      val m = col("doc_id") % 4
+      val p = (col("doc_id") % 200).cast("string")
+      val u = when(col("doc_id") % 13 === 5, lit(null).cast("string"))
+        .when(m === 0, concat(lit("http://s"),
+          (col("doc_id") % 8).cast("string"), lit(".farm"),
+          (col("doc_id") % 2).cast("string"), lit(".co.uk/p/"), p))
+        .when(m === 1, concat(lit("http://shop"),
+          (col("doc_id") % 4).cast("string"), lit(".stores.ck/x/"), p))
+        .when(m === 2, concat(lit("http://www.site"),
+          (col("doc_id") % 5).cast("string"), lit(".com/a/"), p))
+        .otherwise(concat(lit("http://www.ck/odd/"), p))
+      val docs = t(s, dir, "documents").select(col("doc_id"), u.as("url"))
+      val rules = pslRules.toDF("rule")
+      val v1 = graft.ext.IncrementalDedup.admitBatchDomainQuota(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "url", root,
+        k = 10, batchId = 0L, pslRules = Some(rules))
+      val v2 = graft.ext.IncrementalDedup.admitBatchDomainQuota(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "url", root,
+        k = 10, batchId = 1L, pslRules = Some(rules))
+      v1.unionByName(v2).select(col("id"), col("dropped_at"))
+    },
+    Some(s"""WITH urls AS (
+        SELECT doc_id, CASE
+          WHEN CAST(doc_id % 13 AS INT) = 5 THEN NULL
+          WHEN CAST(doc_id % 4 AS INT) = 0 THEN
+            'http://s' || CAST(doc_id % 8 AS STRING) || '.farm'
+              || CAST(doc_id % 2 AS STRING) || '.co.uk/p/'
+              || CAST(doc_id % 200 AS STRING)
+          WHEN CAST(doc_id % 4 AS INT) = 1 THEN
+            'http://shop' || CAST(doc_id % 4 AS STRING)
+              || '.stores.ck/x/' || CAST(doc_id % 200 AS STRING)
+          WHEN CAST(doc_id % 4 AS INT) = 2 THEN
+            'http://www.site' || CAST(doc_id % 5 AS STRING)
+              || '.com/a/' || CAST(doc_id % 200 AS STRING)
+          ELSE 'http://www.ck/odd/' || CAST(doc_id % 200 AS STRING)
+        END AS url FROM documents),
+      kq AS (SELECT doc_id, regexp_replace(url, '^http://', '') AS url_key
+             FROM urls),
+      hq AS (SELECT doc_id, regexp_extract(url_key, '^[^/?]*') AS host
+             FROM kq WHERE url_key IS NOT NULL),
+      hosts AS (SELECT DISTINCT host FROM hq
+                WHERE host IS NOT NULL AND host <> ''),
+      rules AS (SELECT unnest($pslRulesSql) AS rule),
+      pr AS (SELECT
+               CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                    WHEN rule LIKE '*.%' THEN substr(rule, 3)
+                    ELSE rule END AS key,
+               CASE WHEN rule LIKE '!%' THEN 2
+                    WHEN rule LIKE '*.%' THEN 1 ELSE 0 END AS kind
+             FROM rules),
+      pr2 AS (SELECT key, kind,
+               CASE kind WHEN 2 THEN len(string_split(key, '.')) - 1
+                         WHEN 1 THEN len(string_split(key, '.')) + 1
+                         ELSE len(string_split(key, '.')) END AS sufn
+             FROM pr),
+      cand AS (SELECT host, i,
+                 array_to_string(string_split(host, '.')[i:], '.') AS cand
+               FROM (SELECT host, unnest(generate_series(1,
+                       len(string_split(host, '.')))) AS i FROM hosts)),
+      mm AS (SELECT c.host,
+               max(CASE WHEN p.kind = 2 THEN 1 ELSE 0 END) AS has_exc,
+               max(CASE WHEN p.kind = 2 THEN p.sufn END) AS exc_s,
+               max(CASE WHEN p.kind <> 2 THEN p.sufn END) AS norm_s
+             FROM cand c JOIN pr2 p
+               ON c.cand = p.key AND (p.kind <> 1 OR c.i >= 2)
+             GROUP BY c.host),
+      sel AS (SELECT host,
+               CASE WHEN has_exc = 1 THEN exc_s ELSE norm_s END AS s
+             FROM mm),
+      rdh AS (SELECT hosts.host, string_split(hosts.host, '.') AS ls,
+                sel.s
+              FROM hosts LEFT JOIN sel USING (host)),
+      rd2 AS (SELECT host,
+               CASE WHEN s IS NULL THEN
+                      CASE WHEN len(ls) >= 2
+                           THEN array_to_string(ls[len(ls)-1:], '.')
+                           ELSE host END
+                    WHEN s >= len(ls) THEN host
+                    ELSE array_to_string(ls[len(ls)-s:], '.')
+               END AS reg_domain
+             FROM rdh),
+      doms AS (SELECT hq.doc_id, rd2.reg_domain
+               FROM hq JOIN rd2 USING (host)),
+      tq1 AS (SELECT doc_id, reg_domain, row_number() OVER
+                (PARTITION BY reg_domain ORDER BY doc_id) AS r
+              FROM doms WHERE doc_id % 3 = 0),
+      dq1 AS (SELECT doc_id FROM tq1 WHERE r > 10),
+      cq1 AS (SELECT reg_domain, count(*) AS n FROM tq1
+              WHERE r <= 10 GROUP BY reg_domain),
+      tq2 AS (SELECT doc_id, reg_domain, row_number() OVER
+                (PARTITION BY reg_domain ORDER BY doc_id) AS r
+              FROM doms WHERE doc_id % 3 <> 0),
+      dq2 AS (SELECT tq2.doc_id FROM tq2 LEFT JOIN cq1 USING (reg_domain)
+              WHERE coalesce(cq1.n, 0) + tq2.r > 10)
+      SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id IN (SELECT doc_id FROM dq1)
+              OR d.doc_id IN (SELECT doc_id FROM dq2)
+             THEN 'domain' END AS dropped_at
+      FROM documents d"""))
+
   val qUrlDomainCardPsl = Q("q_url_domain_card_psl",
     (s, dir) => {
       import s.implicits._
@@ -1042,6 +1159,108 @@ private[graft] trait QueriesDedup { this: Queries.type =>
         CASE WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 'near' END
           AS dropped_at
       FROM documents d"""))
+
+  /** The ingest ladder's LINES rung ([[graft.ext.IngestLadder
+    * .admitBatch]] with `lineDedup = true`) replayed over two ticks:
+    * every doc carries a shared boilerplate line plus a unique body
+    * (ids letter-encoded so the CCNet digit-stripping normalization
+    * can't collapse them); `doc_id % 7 == 3` docs copy their
+    * predecessor's body with doubled inner whitespace — a DIFFERENT
+    * line key (inner spacing survives the line normalization) but the
+    * SAME whitespace-collapsing fingerprint, so the doc passes the
+    * line cut and dedupes at `exact` — the cut-BEFORE-fingerprint
+    * semantics decision, which a pre-cut fingerprint could never see.
+    * The oracle replays the cross-tick first-occurrence cut (one
+    * window over (key, tick, id, idx)), the empty-doc rule, and the
+    * two-tick exact rung over the REBUILT texts, and pins each
+    * admitted doc's rebuilt text by md5.
+    */
+  val qLineRung = Q("q_line_rung",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_line_rung").toString
+      val letters = (c: org.apache.spark.sql.Column) =>
+        translate(c.cast("string"), "0123456789", "abcdefghij")
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", lit("boilerplate nav menu"),
+          when(col("doc_id") % 7 === 3,
+            concat(lit("body words  x"), letters(col("doc_id") - 1),
+              lit(" more words here")))
+          .otherwise(concat(lit("body words x"), letters(col("doc_id")),
+            lit(" more words here")))).as("text"))
+      val v1 = graft.ext.IngestLadder.admitBatch(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", None,
+        Seq.empty, root, n = 3, tau = 0.9, batchId = 0L,
+        lineDedup = true)
+      val v2 = graft.ext.IngestLadder.admitBatch(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", None,
+        Seq.empty, root, n = 3, tau = 0.9, batchId = 1L,
+        lineDedup = true)
+      val corpus = s.read.parquet(s"$root/corpus")
+        .select(col("doc_id").as("__cid"), md5(col("text")).as("text_md5"))
+      v1.unionByName(v2)
+        .join(corpus, col("id") === col("__cid"), "left")
+        .select(col("id"), col("dropped_at"), col("text_md5"))
+    },
+    Some("""WITH lns AS (
+        SELECT doc_id, doc_id % 2 AS b, 1 AS idx,
+          'boilerplate nav menu' AS line FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id % 2 AS b, 2 AS idx,
+          CASE WHEN doc_id % 7 = 3 THEN 'body words  x' ||
+              translate((doc_id - 1)::VARCHAR, '0123456789', 'abcdefghij')
+              || ' more words here'
+            ELSE 'body words x' ||
+              translate(doc_id::VARCHAR, '0123456789', 'abcdefghij')
+              || ' more words here' END
+        FROM documents),
+      keyed AS (SELECT doc_id, b, idx, line,
+          trim(regexp_replace(lower(line), '[0-9]', '', 'g')) AS nk
+        FROM lns),
+      cut AS (SELECT doc_id, idx FROM (
+          SELECT doc_id, idx, row_number() OVER (
+            PARTITION BY nk ORDER BY b, doc_id, idx) AS rn
+          FROM keyed WHERE nk <> '') WHERE rn > 1),
+      stats AS (SELECT k.doc_id,
+          count(CASE WHEN k.nk <> '' THEN 1 END) AS orig_content,
+          count(CASE WHEN k.nk <> '' AND c.doc_id IS NULL THEN 1 END)
+            AS kept_content
+        FROM keyed k LEFT JOIN cut c
+          ON k.doc_id = c.doc_id AND k.idx = c.idx
+        GROUP BY k.doc_id),
+      ldrop AS (SELECT doc_id FROM stats
+        WHERE orig_content > 0 AND kept_content = 0),
+      docs2 AS (SELECT k.doc_id,
+          string_agg(k.line, chr(10) ORDER BY k.idx) AS text
+        FROM keyed k LEFT JOIN cut c
+          ON k.doc_id = c.doc_id AND k.idx = c.idx
+        WHERE c.doc_id IS NULL
+          AND k.doc_id NOT IN (SELECT doc_id FROM ldrop)
+        GROUP BY k.doc_id),
+      fps AS (SELECT doc_id, doc_id % 2 AS b,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM docs2),
+      e1 AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep
+          FROM fps WHERE b = 0) WHERE doc_id <> keep),
+      f1 AS (SELECT DISTINCT fp FROM fps WHERE b = 0),
+      e2 AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep
+          FROM fps WHERE b = 1) WHERE doc_id <> keep
+        UNION
+        SELECT f.doc_id FROM fps f JOIN f1 ON f.fp = f1.fp
+        WHERE f.b = 1),
+      verdict AS (SELECT d.doc_id,
+          CASE WHEN d.doc_id IN (SELECT doc_id FROM ldrop) THEN 'lines'
+               WHEN d.doc_id % 2 = 0 AND
+                 d.doc_id IN (SELECT doc_id FROM e1) THEN 'exact'
+               WHEN d.doc_id % 2 = 1 AND
+                 d.doc_id IN (SELECT doc_id FROM e2) THEN 'exact'
+          END AS dropped_at
+        FROM documents d)
+      SELECT v.doc_id AS id, v.dropped_at,
+        CASE WHEN v.dropped_at IS NULL THEN md5(d2.text) END AS text_md5
+      FROM verdict v LEFT JOIN docs2 d2 ON v.doc_id = d2.doc_id"""))
 
   /** Decontamination MATRIX ([[Corpus.decontamMatrix]]): fraction,
     * benchmark-side containment, and exact-span coverage signals side

@@ -227,6 +227,20 @@ object Sf1EqBench {
         graft.ext.LadderBloom.buildAll(spark, lroot, committedBelow = 1L)
     }
 
+    // r17 lines-rung inputs: the synthetic corpus wrapped in shared
+    // nav/footer boilerplate lines; batch 0 (the % 11 =!= 0 slice)
+    // seeds line_index with every first occurrence, so the timed tick
+    // cuts both boilerplate lines from every batch doc against the
+    // STORED index and rebuilds the text before the deeper rungs
+    def lineWrapped(d: DataFrame): DataFrame =
+      d.withColumn("text", concat(lit("shared nav menu alpha\n"),
+        col("text"), lit("\nfooter terms of service")))
+    for (s <- scales)
+      graft.ext.IngestLadder.admitBatch(
+        lineWrapped(docs(s).filter(col("doc_id") % 11 =!= 0)),
+        "doc_id", "text", None, Seq.empty, s"$root/linerung_x$s",
+        n = 3, tau = 0.25, batchId = 0L, lineDedup = true)
+
     // r17 reconciliation inputs: the q_reladder divergence corpus at
     // scale — every doc triple (x, y, z = roles 0, 1, 2 of group
     // id div 3) carries overlapping 8-word texts; ticks land roles 0-1
@@ -546,6 +560,15 @@ object Sf1EqBench {
             quotaUrls(docs(s).filter(col("doc_id") % 11 === 0)),
             "doc_id", "url", s"$root/domquota_x$s", k = 5,
             batchId = 1L)),
+        // r17: the ingest tick with the LINES rung on — every batch doc
+        // sheds its two boilerplate lines against the stored
+        // line_index, the text is rebuilt, and the deeper rungs see the
+        // cleaned form; the budget line checks the per-line (hash, len,
+        // id, idx) shuffle stays line-count-proportional
+        "line_rung_tick" -> (s => graft.ext.IngestLadder.admitBatch(
+          lineWrapped(docs(s).filter(col("doc_id") % 11 === 0)),
+          "doc_id", "text", None, Seq.empty, s"$root/linerung_x$s",
+          n = 3, tau = 0.25, batchId = 1L, lineDedup = true)),
         // r17: reconciliation over stored postings — the CC re-run
         // whose self-join input is admitted + EVIDENCE postings, both
         // scaling 10× (the evidence-volume cost axis of

@@ -104,6 +104,99 @@ class DomainQuotaSpec extends AnyFunSuite {
     assert(v2 == Map(11L -> Some("domain")), s"tick2 $v2")
   }
 
+  test("rules-table quota: a subset-equal rules table reproduces the " +
+      "scalar form verdict for verdict; the *.ck wildcard splits a " +
+      "registrant the subset merges (different drops, by design)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://s1.farm0.co.uk/a"), (2L, "http://s2.farm0.co.uk/b"),
+      (3L, "http://s3.farm0.co.uk/c"),
+      (4L, "http://shop0.stores.ck/x"), (5L, "http://shop1.stores.ck/y"),
+      (6L, "http://shop2.stores.ck/z"),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    def run(root: String, rules: Option[Seq[String]]): Map[Long, Option[String]] =
+      IncrementalDedup.admitBatchDomainQuota(docs, "doc_id", "url",
+          root, k = 2, batchId = 0L,
+          pslRules = rules.map(_.toDF("rule")))
+        .as[(Long, Option[String])].collect().toMap
+    val scalar = run(tmp("dqp_s"), None)
+    val subsetEq = run(tmp("dqp_e"),
+      Some(graft.ext.Dedup.publicSuffixes))
+    assert(subsetEq == scalar,
+      s"subset-equal rules diverge: $subsetEq vs $scalar")
+    // scalar/subset: no ck rule -> all shops merge into stores.ck,
+    // rank 3 (doc 6) overflows; farm shards merge into farm0.co.uk
+    assert(scalar == Map(1L -> None, 2L -> None, 3L -> Some("domain"),
+      4L -> None, 5L -> None, 6L -> Some("domain"), 7L -> None),
+      s"scalar $scalar")
+    // full rules with *.ck: each shop is its own registrant, all three
+    // admitted; the co.uk arm is unchanged
+    val full = run(tmp("dqp_f"),
+      Some(graft.ext.Dedup.publicSuffixes ++ Seq("*.ck")))
+    assert(full == Map(1L -> None, 2L -> None, 3L -> Some("domain"),
+      4L -> None, 5L -> None, 6L -> None, 7L -> None), s"full $full")
+  }
+
+  test("ingest ladder quota rung resolves through the rules table when " +
+      "supplied: the *.ck shops stop sharing one bucket") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "distinct page text about one topic entirely",
+        "http://shop0.stores.ck/x"),
+      (2L, "another unrelated page body on a second topic",
+        "http://shop1.stores.ck/y"),
+      (3L, "a third page concerning something else again",
+        "http://shop2.stores.ck/z")).toDF("doc_id", "text", "url")
+    def run(root: String, rules: Option[org.apache.spark.sql.DataFrame]) =
+      IngestLadder.admitBatch(docs, "doc_id", "text", Some("url"),
+          gates = Seq.empty, root = root, n = 3, tau = 0.9,
+          batchId = 0L, domainQuota = Some(1), pslRules = rules)
+        .as[(Long, Option[String])].collect().toMap
+    val subset = run(tmp("dqp_i_s"), None)
+    assert(subset == Map(1L -> None, 2L -> Some("domain"),
+      3L -> Some("domain")), s"subset $subset")
+    val full = run(tmp("dqp_i_f"),
+      Some((graft.ext.Dedup.publicSuffixes ++ Seq("*.ck")).toDF("rule")))
+    assert(full == Map(1L -> None, 2L -> None, 3L -> None), s"full $full")
+  }
+
+  test("single-domain flood: with the DEFAULT monitor rung set, only " +
+      "the domain rung's CUSUM alarms when one registrant floods past " +
+      "its quota") {
+    import spark.implicits._
+    val root = tmp("dq_flood")
+    // default rungs now include domain and lines; configured-off rungs
+    // observe 0 and stay silent at mu = 0
+    val mon = new graft.ext.LadderRungMonitor(
+      mu = 0L, kappa = 500L, h = 2000L)
+    // steady tick: three registrants, all under quota
+    val steady = Seq(
+      (1L, "page one text body alpha", "http://a.com/1"),
+      (2L, "page two text body beta", "http://b.com/1"),
+      (3L, "page three text body gamma", "http://c.com/1"))
+      .toDF("doc_id", "text", "url")
+    IngestLadder.admitBatch(steady, "doc_id", "text", Some("url"),
+      gates = Seq.empty, root = root, n = 3, tau = 0.9, batchId = 0L,
+      domainQuota = Some(2), monitor = Some(mon))
+    assert(mon.latest.exists(t => t.alarmUp.isEmpty &&
+      t.alarmDown.isEmpty), s"steady tick must not alarm: ${mon.latest}")
+    // flood tick: twelve distinct flood.net pages; quota 2 (prior 0 for
+    // that registrant) -> 10/12 drop at 'domain' (~8333 bp), every
+    // other rung flat 0
+    val flood = (21L to 32L).map(i =>
+      (i, s"flood page number $i entirely distinct body text",
+        s"http://flood.net/p$i")).toDF("doc_id", "text", "url")
+    IngestLadder.admitBatch(flood, "doc_id", "text", Some("url"),
+      gates = Seq.empty, root = root, n = 3, tau = 0.9, batchId = 1L,
+      domainQuota = Some(2), monitor = Some(mon))
+    val t = mon.latest.get
+    assert(t.alarmUp == Set("domain") && t.alarmDown.isEmpty,
+      s"flood tick alarms: $t")
+    assert(t.dropBp("domain") > 8000L &&
+      Seq("url", "lines", "exact", "near", "containment")
+        .forall(t.dropBp(_) == 0L), s"rates: ${t.dropBp}")
+  }
+
   test("domainQuota without urlCol is rejected loudly") {
     import spark.implicits._
     val batch = Seq((1L, "some text")).toDF("doc_id", "text")

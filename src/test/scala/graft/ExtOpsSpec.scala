@@ -818,15 +818,16 @@ class ExtOpsSpec extends AnyFunSuite {
     def snapshot(sub: String): Set[String] =
       spark.read.parquet(s"$root/$sub").drop("batch")
         .collect().map(_.toString).toSet
-    // the ladder's own subtrees; domain_counts (quota rung, off here)
-    // is on the fold surface but never written -> folds 0, no dir
-    val written = IncrementalDedup.LadderSubtrees
-      .filterNot(_ == "domain_counts")
+    // the ladder's own subtrees; domain_counts (quota rung) and
+    // line_index (ingest lines rung) are on the fold surface but never
+    // written by this operator -> fold 0, no dir
+    val optional = Set("domain_counts", "line_index")
+    val written = IncrementalDedup.LadderSubtrees.filterNot(optional)
     val before = written.map(s => s -> snapshot(s)).toMap
     val folded = IncrementalDedup.maintainLadder(spark, root,
       committedBelow = 3L)
     assert(written.forall(s => folded(s) == 3) &&
-      folded("domain_counts") == 0, s"fold counts $folded")
+      optional.forall(folded(_) == 0), s"fold counts $folded")
     for (s <- written) {
       val dirs = new java.io.File(s"$root/$s").listFiles()
         .filter(_.isDirectory).map(_.getName).toSet

@@ -175,12 +175,12 @@ class IngestLadderSpec extends AnyFunSuite {
       .collect().toMap
     assert(stored == expectedOneTick ++ v2)
     // maintainLadder folds an ingest root unchanged — every subtree
-    // this quota-less run wrote folds both ticks; domain_counts (the
-    // quota rung's subtree, absent here) counts 0 by contract
+    // this quota-less, lines-less run wrote folds both ticks;
+    // domain_counts and line_index (optional rungs, off here) count 0
     val folded = IncrementalDedup.maintainLadder(spark, root,
       committedBelow = 2L)
     assert(IncrementalDedup.LadderSubtrees.forall(s =>
-      folded(s) == (if (s == "domain_counts") 0 else 2)),
+      folded(s) == (if (Set("domain_counts", "line_index")(s)) 0 else 2)),
       s"fold counts $folded")
     val verdictsFolded = spark.read.parquet(s"$root/verdicts")
       .select("id", "dropped_at").as[(Long, Option[String])]
@@ -278,5 +278,158 @@ class IngestLadderSpec extends AnyFunSuite {
       s"composed $composedAdmitted != stack $stackAdmitted")
     assert(composedAdmitted.nonEmpty &&
       composedAdmitted.size < 120, "fixture must make some gates bind")
+  }
+
+  // ---- the lines rung (steady-state CCNet line cut) -----------------
+
+  private def lineTick1(implicit s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      (1L, "nav menu here\nunique body one"),   // first ever: keeps both
+      (2L, "nav menu here\nunique body two"),   // nav cut in-batch
+      (3L, "nav menu here\nnav menu here"),     // all content cut -> lines
+      (4L, null.asInstanceOf[String]),          // NULL text passes whole
+      (5L, "\n\n"),                             // all structural: passes
+      (6L, "unique body  six\nnav menu here"))  // cleaned: double-space body
+      .toDF("doc_id", "text")
+  }
+  private def lineTick2(implicit s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      (11L, "nav menu here\nunique body eleven"), // nav cut via INDEX
+      (12L, "unique body one\nfresh line x"),     // indexed line cut
+      (13L, "nav menu here"),                     // only line cut -> lines
+      // line key differs from doc 2's by inner whitespace (NOT cut)...
+      (14L, "unique  body  two\nanother tail"),
+      // ...and the whitespace-collapsing FINGERPRINT of the cleaned
+      // text equals doc 6's cleaned fp -> drops at exact, which is the
+      // cut-before-fingerprint semantics decision made visible
+      (16L, "unique body six"))
+      .toDF("doc_id", "text")
+  }
+
+  test("lines rung: in-batch first occurrence wins, cross-tick cut via " +
+      "the persistent line_index, emptied docs drop 'lines', NULL and " +
+      "all-structural text pass, and the exact rung fingerprints the " +
+      "REBUILT text") {
+    import spark.implicits._
+    implicit val s = spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_lines").toString
+    val v1 = IngestLadder.admitBatch(lineTick1, "doc_id", "text", None,
+        Seq.empty, root, n = 3, tau = 0.9, batchId = 0L,
+        lineDedup = true)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v1 == Map(1L -> None, 2L -> None, 3L -> Some("lines"),
+      4L -> None, 5L -> None, 6L -> None), s"tick1 $v1")
+    val v2 = IngestLadder.admitBatch(lineTick2, "doc_id", "text", None,
+        Seq.empty, root, n = 3, tau = 0.9, batchId = 1L,
+        lineDedup = true)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v2 == Map(11L -> None, 12L -> None, 13L -> Some("lines"),
+      14L -> None, 16L -> Some("exact")), s"tick2 $v2")
+    // the stored corpus carries the REBUILT text (nav lines gone);
+    // NULL and structural docs pass byte-identical
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id", "text").as[(Long, Option[String])]
+      .collect().toMap
+    assert(corpus(2L) == Some("unique body two") &&
+      corpus(11L) == Some("unique body eleven") &&
+      corpus(12L) == Some("fresh line x") &&
+      corpus(1L) == Some("nav menu here\nunique body one") &&
+      corpus(4L).isEmpty && corpus(5L) == Some("\n\n"), s"corpus $corpus")
+    // index provenance: tick 1 indexed the nav line's FIRST occurrence
+    // (doc 1) and nothing re-indexed it in tick 2
+    val navKeepers = spark.read.parquet(s"$root/line_index")
+      .join(lineTick1.select(lit("nav menu here").as("l")).limit(1),
+        expr("line_h = xxhash64(trim(regexp_replace(lower(l), " +
+          "'[0-9]', '')))"))
+      .select("keep_id").as[Long].collect().toSeq
+    assert(navKeepers == Seq(1L), s"nav line keepers $navKeepers")
+  }
+
+  test("lines rung replay: a redelivered tick under the same id " +
+      "recomputes identical verdicts and overwrites its index " +
+      "partition in place") {
+    import spark.implicits._
+    implicit val s = spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_lines_rp").toString
+    IngestLadder.admitBatch(lineTick1, "doc_id", "text", None,
+      Seq.empty, root, n = 3, tau = 0.9, batchId = 0L, lineDedup = true)
+    def ixRows: Seq[(Long, Long, Long)] = spark.read
+      .parquet(s"$root/line_index")
+      .select("line_h", "line_len", "keep_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val v2a = IngestLadder.admitBatch(lineTick2, "doc_id", "text", None,
+        Seq.empty, root, n = 3, tau = 0.9, batchId = 1L,
+        lineDedup = true)
+      .as[(Long, Option[String])].collect().toMap
+    val ix1 = ixRows
+    val v2b = IngestLadder.admitBatch(lineTick2, "doc_id", "text", None,
+        Seq.empty, root, n = 3, tau = 0.9, batchId = 1L,
+        lineDedup = true)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v2a == v2b && ixRows == ix1,
+      s"replay diverged: $v2a vs $v2b")
+  }
+
+  test("one batch through the lines rung rebuilds exactly " +
+      "Corpus.lineDedupFirst's text for every admitted doc") {
+    import spark.implicits._
+    implicit val s = spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_lines_eq").toString
+    IngestLadder.admitBatch(lineTick1, "doc_id", "text", None,
+      Seq.empty, root, n = 3, tau = 0.9, batchId = 0L, lineDedup = true)
+    val batch = graft.ext.Corpus.lineDedupFirst(lineTick1, "doc_id",
+        "text")
+      .select(col("id"), col("text")).as[(Long, Option[String])]
+      .collect().toMap
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id", "text").as[(Long, Option[String])]
+      .collect().toMap
+    // admitted docs (incl. the structural-only 5, which lineDedupFirst
+    // also leaves alone); the 'lines'-dropped doc 3 has no corpus row
+    corpus.foreach { case (id, text) =>
+      // NULL-text pass-through: the ladder keeps the column NULL; the
+      // batch operator reports NULL text the same way
+      assert(text == batch(id) ||
+        (text.isEmpty && batch(id).isEmpty),
+        s"doc $id: ladder $text vs batch ${batch(id)}")
+    }
+    assert(!corpus.contains(3L))
+  }
+
+  test("lines rung maintenance: maintainLadder folds line_index and " +
+      "rebuilds its bloom sidecar; a folded boilerplate line still " +
+      "cuts through the covered probe") {
+    import spark.implicits._
+    implicit val s = spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_lines_mt").toString
+    IngestLadder.admitBatch(lineTick1, "doc_id", "text", None,
+      Seq.empty, root, n = 3, tau = 0.9, batchId = 0L, lineDedup = true)
+    IngestLadder.admitBatch(lineTick2, "doc_id", "text", None,
+      Seq.empty, root, n = 3, tau = 0.9, batchId = 1L, lineDedup = true)
+    graft.ext.LadderBloom.buildAll(spark, root, committedBelow = 2L)
+    assert(graft.ext.LadderBloom.read(spark, root, "line_index")
+      .exists(_.nKeys > 0))
+    val folded = IncrementalDedup.maintainLadder(spark, root,
+      committedBelow = 2L)
+    assert(folded("line_index") == 2, s"line_index fold $folded")
+    assert(graft.ext.LadderBloom.read(spark, root, "line_index")
+      .exists(_.coveredBelow == 2L), "sidecar must rebuild at the fold")
+    val v3 = IngestLadder.admitBatch(
+        Seq((21L, "nav menu here\nunique body twentyone"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", None, Seq.empty, root, n = 3, tau = 0.9,
+        batchId = 2L, lineDedup = true)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v3 == Map(21L -> None))
+    val t21 = spark.read.parquet(s"$root/corpus")
+      .filter(col("doc_id") === 21L).select("text").as[String].head()
+    assert(t21 == "unique body twentyone",
+      s"folded nav line must cut through the covered probe: '$t21'")
   }
 }
