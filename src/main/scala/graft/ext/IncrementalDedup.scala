@@ -956,6 +956,53 @@ object IncrementalDedup {
     victims.size
   }
 
+  /** The COMPLETE periodic maintenance pass, one call — what a
+    * deployment's `foreachBatch` body runs on `batchId % N == N - 1`
+    * instead of hand-sequencing four operators. Order is the proven
+    * composition:
+    *
+    *  1. [[reconcileNear]] → [[applyReconcile]] — converge the corpus
+    *     to batch semantics first, over the current state (apply and
+    *     fold commute on row sets — spec-pinned — but applying first
+    *     means the fold below never copies soon-deleted rows);
+    *  2. [[retireEvidence]] (opt-in) — legal exactly here: the
+    *     reconcile at this watermark has completed, so retirement
+    *     provably preserves the empty re-reconcile delta. NOTE this is
+    *     the ZERO-LAG form: evidence this window's own apply just
+    *     retired is deleted too, so future chains through it revert to
+    *     ingest semantics immediately. A deployment wanting a
+    *     retention LAG (converge chains arriving within K more ticks)
+    *     keeps `retire = false` here and calls [[retireEvidence]]
+    *     itself with the K-ticks-older watermark;
+    *  3. [[maintainLadder]] — fold every subtree and rebuild existing
+    *     Bloom sidecars LAST, so the rebuilt filters reflect the
+    *     post-apply key sets (an apply leaves stale positives, which
+    *     are harmless but cost pruning — the rebuild re-tightens).
+    *
+    * Same serialization contract as every piece: call from the window
+    * that runs the ticks, with `committedBelow` = the current batch id.
+    *
+    * @return the apply's per-subtree counts plus
+    *         "evidence_partitions_retired" and "partitions_folded"
+    */
+  def reconcileWindow(spark: SparkSession, root: String, idCol: String,
+                      tau: Double, committedBelow: Long,
+                      maxDocFreq: Int = Int.MaxValue,
+                      retire: Boolean = false,
+                      targetBytes: Long = 128L << 20): Map[String, Long] = {
+    val counts =
+      if (!Layout.hasParquetData(spark, s"$root/postings"))
+        Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L)
+      else applyReconcile(spark, root, idCol,
+        reconcileNear(spark, root, tau, maxDocFreq), committedBelow)
+    val retired =
+      if (retire) retireEvidence(spark, root, committedBelow) else 0
+    val folds = maintainLadder(spark, root, committedBelow, targetBytes)
+    counts ++ Map(
+      "evidence_partitions_retired" -> retired.toLong,
+      "partitions_folded" -> folds.values.sum.toLong)
+  }
+
   /** Rewrite one `batch=<b>` partition via tmp-write + delete + rename
     * (never an in-place Overwrite — see [[applyReconcile]]'s swap
     * contract). `content` must derive from reads of the CURRENT

@@ -205,6 +205,37 @@ class ReconcileApplySpec extends AnyFunSuite {
     assert(v == Map(21L -> None), s"stale positive must fall through: $v")
   }
 
+  test("reconcileWindow: one call converges, retires, folds and " +
+      "rebuilds sidecars in the proven order; a second window is a " +
+      "no-op apply over already-converged state") {
+    import spark.implicits._
+    val root = chainRoot("rca_window")
+    LadderBloom.buildAll(spark, root, committedBelow = 2L)
+    val w1 = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 2L, retire = true)
+    assert(w1("corpus") == 1L && w1("verdicts") == 1L &&
+      w1("postings") == 6L, s"window apply counts $w1")
+    assert(w1("evidence_partitions_retired") >= 1L)
+    assert(w1("partitions_folded") > 0L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(corpusIds(root) == Set(1L))
+    assert(postingIds(root, "postings_dropped").isEmpty)
+    // every subtree folded to batch=-1; sidecars rebuilt at the fold
+    // watermark over the POST-apply keys
+    val parts = new java.io.File(s"$root/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("batch=-1"), s"postings partitions $parts")
+    val sc = LadderBloom.read(spark, root, "postings").get
+    assert(sc.coveredBelow == 2L && sc.nKeys == 6L,
+      s"sidecar must reflect post-apply keys (doc 1's 6 shingles): $sc")
+    // second window: nothing to converge, retire or fold
+    val w2 = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 2L, retire = true)
+    assert(w2("corpus") == 0L && w2("verdicts") == 0L &&
+      w2("postings") == 0L && w2("evidence_partitions_retired") == 0L &&
+      w2("partitions_folded") == 0L, s"second window must no-op: $w2")
+  }
+
   test("retireEvidence: safe for the converged state (re-reconcile " +
       "stays empty), and the documented trade — a future chain only " +
       "through retired evidence stays admitted, through retained " +
