@@ -904,13 +904,7 @@ object Dedup {
       col("m").as("m_a"), col("sh64"))
     val bAll = indexPostings.select(col("id").as("corpus_id"),
       col("m").as("m_b"), col("sh64"))
-    val b = if (maxDocFreq == Int.MaxValue) bAll else {
-      val hot = bAll.groupBy(col("sh64"))
-        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
-        .select(col("sh64"))
-      bAll.join(broadcast(hot), Seq("sh64"), "left_anti")
-    }
-    containmentJoin(a, b, tau)
+    containmentJoin(a, dropHotPostings(bAll, maxDocFreq), tau)
   }
 
   /** Steady-state JACCARD probe: score an arriving batch's postings
@@ -938,14 +932,9 @@ object Dedup {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     val a = batchPostings.select(col("id").as("batch_id"),
       col("m").as("m_a"), col("sh64"))
-    val bAll = indexPostings.select(col("id").as("corpus_id"),
-      col("m").as("m_b"), col("sh64"))
-    val b = if (maxDocFreq == Int.MaxValue) bAll else {
-      val hot = bAll.groupBy(col("sh64"))
-        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
-        .select(col("sh64"))
-      bAll.join(broadcast(hot), Seq("sh64"), "left_anti")
-    }
+    val b = dropHotPostings(indexPostings.select(
+      col("id").as("corpus_id"), col("m").as("m_b"), col("sh64")),
+      maxDocFreq)
     a.as("ja").join(b.as("jb"), col("ja.sh64") === col("jb.sh64") &&
         col("m_a") >= col("m_b") * tau && col("m_b") >= col("m_a") * tau)
       .groupBy(col("batch_id"), col("corpus_id"), col("m_a"), col("m_b"))
@@ -973,12 +962,32 @@ object Dedup {
     */
   private[graft] def dropHotPostings(ix: DataFrame,
                                      maxDocFreq: Int): DataFrame =
-    if (maxDocFreq == Int.MaxValue) ix else {
-      val hot = ix.groupBy(col("sh64"))
-        .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
-        .select(col("sh64"))
-      ix.join(broadcast(hot), Seq("sh64"), "left_anti")
+    if (maxDocFreq == Int.MaxValue) ix
+    else ix.join(broadcast(hotShingles(ix, maxDocFreq)), Seq("sh64"),
+      "left_anti")
+
+  /** [[dropHotPostings]] with the hot set MATERIALIZED (lazy cache) —
+    * for callers whose probe planner consumes the filtered index in
+    * SEVERAL branches (the ladder's near covered/tail + containment
+    * covered/tail): without the cache each branch re-runs the full-
+    * index aggregation. Returns the cache handle for the caller's
+    * end-of-tick unpersist list (None when the dial is off). */
+  private[graft] def dropHotPostingsCached(ix: DataFrame,
+                                           maxDocFreq: Int): (DataFrame, Option[DataFrame]) =
+    if (maxDocFreq == Int.MaxValue) (ix, None)
+    else {
+      val hot = Materialize.multiScan(hotShingles(ix, maxDocFreq))
+      (ix.join(broadcast(hot), Seq("sh64"), "left_anti"), Some(hot))
     }
+
+  /** The hot-shingle set over a postings relation: per-sh64 row count
+    * (= doc frequency, postings are distinct shingles per doc) above
+    * `maxDocFreq` — the ONE definition [[jaccardProbe]],
+    * [[containmentProbe]] and the pre-split ladder filter all share. */
+  private def hotShingles(ix: DataFrame, maxDocFreq: Int): DataFrame =
+    ix.groupBy(col("sh64"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxDocFreq)
+      .select(col("sh64"))
 
   /** Shared postings builder for the batch-vs-corpus family: (a, b) =
     * (batch postings (batch_id, m_a, sh64), corpus postings (corpus_id,

@@ -375,6 +375,9 @@ object IncrementalDedup {
                        maxDocFreq: Int = Int.MaxValue,
                        monitor: Option[LadderRungMonitor] = None): DataFrame = {
     val spark = batch.sparkSession
+    // a crashed applyReconcile may have left the postings tree one
+    // rename short (see [[recoverSwaps]]) — finish it before probing
+    recoverSwaps(spark, s"$root/postings")
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
     def others(dir: String): Option[DataFrame] =
@@ -449,16 +452,18 @@ object IncrementalDedup {
     // only (dropping never-matching rows is exact — [[LadderBloom]])
     val posts = Materialize.multiScan(
       Dedup.shinglePostings(s2, idCol, textCol, n))
+    // hot-shingle dial applied ONCE over the full own-batch-excluded
+    // index BEFORE the sidecar's covered/tail split — per-slice
+    // frequencies would differ from the sidecar-less probe's
+    // ([[Dedup.dropHotPostingsCached]]: the hot set is materialized so
+    // the covered and tail branches don't re-run the full-index
+    // aggregation); the per-pair probes below therefore run undialed
+    val storedNear = others(s"$root/postings")
+      .map(ix => Dedup.dropHotPostingsCached(ix, maxDocFreq))
     val vsIndexNear = Materialize.multiScan(
-      others(s"$root/postings") match {
-        case Some(ix) =>
-          // hot-shingle dial applied ONCE over the full own-batch-
-          // excluded index BEFORE the sidecar's covered/tail split —
-          // per-slice frequencies would differ from the sidecar-less
-          // probe's ([[Dedup.dropHotPostings]]); the per-pair probes
-          // below therefore run undialed
-          val ps = LadderBloom.postingsProbes(
-            posts, Dedup.dropHotPostings(ix, maxDocFreq), root, batchId,
+      storedNear match {
+        case Some((ix, _)) =>
+          val ps = LadderBloom.postingsProbes(posts, ix, root, batchId,
             LadderBloom.read(spark, root, "postings"))
           if (ps.isEmpty) empty
           else ps.map { case (b, i) => Dedup.jaccardProbe(b,
@@ -510,8 +515,9 @@ object IncrementalDedup {
     posts.join(nearDrops, posts("id") === nearDrops("id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(part("postings_dropped"))
     admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
-    Seq(base, urlDrops, s1, exactDrops, s2, posts, vsIndexNear, nearDrops,
-      admitted).foreach(_.unpersist())
+    (Seq(base, urlDrops, s1, exactDrops, s2, posts, vsIndexNear,
+      nearDrops, admitted) ++ storedNear.flatMap(_._2))
+      .foreach(_.unpersist())
     spark.read.parquet(part("verdicts"))
   }
 
@@ -595,8 +601,12 @@ object IncrementalDedup {
     * (the NULL-provenance convention — never counted, never capped),
     * everything else through the embedded scalar subset or, when a
     * rules table is supplied, the full PSL matcher
-    * ([[Dedup.registeredDomainFromRules]] — one broadcast join at
-    * batch-host cardinality; wildcards and exceptions live). Under a
+    * ([[Dedup.registeredDomainFromRules]]). The matcher is SHAPED for
+    * host-cardinality input (its candidate explode and match
+    * aggregation run per input row), so it sees the batch's DISTINCT
+    * hosts — a few per registrant against billions of docs — and the
+    * resolution joins back to docs by host; feeding it doc-cardinality
+    * rows would shuffle ~5× the batch per tick for nothing. Under a
     * rules table equal to the scalar subset the two paths agree row
     * for row (spec-pinned in `DomainQuotaSpec`). */
   private[graft] def resolveRegDomains(base: DataFrame, idCol: String,
@@ -613,8 +623,11 @@ object IncrementalDedup {
           .otherwise(Dedup.registeredDomain(col("__host"), suffixes))
           .as("reg_domain"))
       case Some(rules) =>
-        Dedup.registeredDomainFromRules(
-            withHost.filter(col("__host").isNotNull), "__host", rules)
+        val resolved = Dedup.registeredDomainFromRules(
+          withHost.filter(col("__host").isNotNull)
+            .select(col("__host")).distinct(), "__host", rules)
+        withHost.filter(col("__host").isNotNull)
+          .join(resolved, Seq("__host"), "left")
           .select(col("id"), col("reg_domain"))
           .unionByName(withHost.filter(col("__host").isNull)
             .select(col("id"), lit(null).cast("string").as("reg_domain")))
@@ -745,6 +758,12 @@ object IncrementalDedup {
     */
   def reconcileNear(spark: SparkSession, root: String, tau: Double,
                     maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // finish any swap a crashed apply left mid-rename BEFORE the file
+    // listing below — a re-derived delta computed from a tree with a
+    // partition missing would silently under-converge (and a
+    // subsequent retire could then delete evidence that delta needed)
+    Seq("postings", "postings_dropped")
+      .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
     require(Layout.hasParquetData(spark, s"$root/postings"),
       s"no admitted postings under $root/postings — run the ladder first")
     val adm = spark.read.parquet(s"$root/postings")
@@ -949,8 +968,18 @@ object IncrementalDedup {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0
+    // batch=-1 holds FOLDED evidence from every earlier maintenance
+    // window; it is retirable only when the fold's own watermark
+    // ([[Layout.foldWatermark]], recorded at fold time) sits at or
+    // below this retirement's — a LAGGED retention watermark must keep
+    // the young evidence a fold merged in after it (deleting -1
+    // unconditionally would silently defeat the lag dial). A folded
+    // tree with no marker has UNKNOWN coverage: kept, conservatively.
+    val foldCovered = Layout.foldWatermark(spark, dir)
+      .exists(_ <= coveredBelow)
     val victims = Layout.batchValues(spark, dir)
-      .filter(b => b == -1L || b < coveredBelow)
+      .filter(b => (b == -1L && foldCovered) ||
+        (b >= 0L && b < coveredBelow))
     victims.foreach(b =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"batch=$b"), true))
     victims.size
@@ -1023,10 +1052,17 @@ object IncrementalDedup {
     * `.apply-tmp-batch=N` with its partition still present is a stale
     * pre-swap artifact (discard — the replay recomputes it); one whose
     * partition is GONE is a completed rewrite whose final rename was
-    * interrupted (finish it). Dot-prefixed dirs are invisible to
-    * parquet reads, so a crashed apply never corrupts concurrent
-    * readers of the tree. */
-  private def recoverSwaps(spark: SparkSession, dir: String): Unit = {
+    * interrupted (finish it). Dot-prefixed tmp dirs are invisible to
+    * parquet reads; the delete→rename gap (a partition briefly absent)
+    * is closed by running this sweep at the entry of EVERY operation
+    * in the serialized window that reads a swap-target subtree —
+    * [[applyReconcile]] (all four), [[reconcileNear]] (postings +
+    * evidence, BEFORE its file listing), and the ingest ticks'
+    * postings probe ([[admitBatchLadder]] / [[IngestLadder.admitBatch]]
+    * — a tick probing a tree with a partition missing would re-admit
+    * near-dups of the invisible docs). One FS listing per subtree, no
+    * job. */
+  private[graft] def recoverSwaps(spark: SparkSession, dir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
@@ -1061,10 +1097,10 @@ object IncrementalDedup {
   * (one registrant flooding the crawl) is precisely the
   * page-an-operator signal the rung exists for. A rung that is
   * configured OFF observes a constant 0 drop rate — it can never
-  * alarm UP, and with `mu = 0` never down either; deployments running
-  * `mu > 0` should construct the monitor with exactly their active
-  * rungs (that is what the parameter is for), else an absent rung's
-  * flat 0 reads as a downward drift.
+  * alarm UP, and DOWN alarms are gated on the rung having ever shown
+  * a nonzero rate, so an absent rung stays silent at ANY `mu` while a
+  * genuine volume collapse on an active rung (nonzero, then flatline)
+  * still fires.
   */
 final class LadderRungMonitor(val rungs: Seq[String] =
                                 Seq("url", "lines", "exact", "near",
@@ -1077,6 +1113,14 @@ final class LadderRungMonitor(val rungs: Seq[String] =
   private val states =
     scala.collection.mutable.Map.empty[String, DataQuality.CusumState]
   private val ring = scala.collection.mutable.ArrayBuffer.empty[RungTick]
+  // rungs that have EVER observed a nonzero drop rate: a rung that is
+  // configured off (the default set spans optional rungs) reads a
+  // constant 0 forever, and with mu > 0 its down-CUSUM would
+  // eventually page an operator about a rung that never existed —
+  // down alarms only make sense for rungs that once had traffic (a
+  // genuine volume collapse on an ACTIVE rung still fires: it was
+  // nonzero before it flatlined)
+  private val active = scala.collection.mutable.Set.empty[String]
 
   /** Advance every rung's CUSUM with one tick's observed metrics
     * (`n` + `n_<rung>` counts, the observe column contract). An empty
@@ -1088,6 +1132,7 @@ final class LadderRungMonitor(val rungs: Seq[String] =
         val c = metrics(s"n_$r").asInstanceOf[Long]
         r -> (if (n > 0) c * 10000L / n else 0L)
       }.toMap
+      rungs.foreach(r => if (bp(r) > 0L) active += r)
       var up = Set.empty[String]
       var down = Set.empty[String]
       rungs.foreach { r =>
@@ -1095,7 +1140,7 @@ final class LadderRungMonitor(val rungs: Seq[String] =
         val (next, u, d) = DataQuality.cusumTick(st, bp(r), mu, kappa, h)
         states(r) = next
         if (u) up += r
-        if (d) down += r
+        if (d && active(r)) down += r
       }
       val t = RungTick(batchId, n, bp, up, down)
       ring += t

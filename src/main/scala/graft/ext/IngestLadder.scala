@@ -189,6 +189,10 @@ object IngestLadder {
     require(tags.forall(!ReservedTags(_)),
       s"gate tags may not shadow the built-in rungs: $tags")
     val spark = batch.sparkSession
+    // a crashed applyReconcile may have left the postings tree one
+    // rename short ([[IncrementalDedup.recoverSwaps]]) — finish the
+    // swap before any probe lists the tree
+    IncrementalDedup.recoverSwaps(spark, s"$root/postings")
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
     def others(dir: String): Option[DataFrame] =
@@ -362,13 +366,16 @@ object IngestLadder {
     // covered/tail split; each probe selects the (id, m, sh64) slice.
     // The hot-shingle dial is applied ONCE over the full own-batch-
     // excluded index BEFORE any covered/tail split (per-slice
-    // frequencies would diverge from the sidecar-less probe —
-    // [[Dedup.dropHotPostings]]), so the per-pair probes run undialed.
+    // frequencies would diverge from the sidecar-less probe), with the
+    // hot set MATERIALIZED — up to four probe branches (near + opt.
+    // containment, covered + tail each) consume this relation, and
+    // each would otherwise re-run the full-index aggregation
+    // ([[Dedup.dropHotPostingsCached]]). Per-pair probes run undialed.
     val storedPosts = others(s"$root/postings")
-      .map(ix => Dedup.dropHotPostings(ix, maxDocFreq))
+      .map(ix => Dedup.dropHotPostingsCached(ix, maxDocFreq))
     val postingsBloom = LadderBloom.read(spark, root, "postings")
     val vsIndexNear = Materialize.multiScan(storedPosts match {
-      case Some(ix) =>
+      case Some((ix, _)) =>
         val ps = LadderBloom.postingsProbes(posts, ix, root, batchId,
           postingsBloom)
         if (ps.isEmpty) empty
@@ -394,7 +401,7 @@ object IngestLadder {
       val p4 = posts.join(nearDrops, posts("id") === nearDrops("id"),
         "left_anti")
       val vsIx = Materialize.multiScan(storedPosts match {
-        case Some(ix) =>
+        case Some((ix, _)) =>
           // ix is already hot-filtered once over the full index (see
           // the near rung) — the probes run undialed
           val ps = LadderBloom.postingsProbes(p4, ix, root, batchId,
@@ -506,7 +513,8 @@ object IngestLadder {
     admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
     (Seq(base, urlDrops, lineDrops, pre, exactDrops, posts, vsIndexNear,
       nearDrops, admitted) ++ lineCaches ++ gateDrops.map(_._2) ++
-      contDrops ++ quotaDoms ++ quotaDrops).foreach(_.unpersist())
+      contDrops ++ quotaDoms ++ quotaDrops ++
+      storedPosts.flatMap(_._2)).foreach(_.unpersist())
     spark.read.parquet(part("verdicts"))
   }
 

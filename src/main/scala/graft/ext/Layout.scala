@@ -297,6 +297,39 @@ object Layout {
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "batch=-1")),
       "rename of folded partition failed")
     old.foreach(fs.delete(_, true))
+    // record what batch=-1 now COVERS — the one piece of provenance a
+    // fold otherwise erases. Watermark-scoped consumers (e.g.
+    // [[IncrementalDedup.retireEvidence]] deciding whether a lagged
+    // retention watermark covers the folded rows) read it back with
+    // [[foldWatermark]]. Written after the renames: a crash in between
+    // leaves a STALE (lower) watermark, which only makes consumers
+    // conservative, never wrong.
+    val marker = new org.apache.hadoop.fs.Path(path, FoldMarker)
+    val out = fs.create(marker, true)
+    out.write(committedBelow.toString.getBytes("UTF-8"))
+    out.close()
     snapshot.size
+  }
+
+  private val FoldMarker = ".fold_below"
+
+  /** The highest `committedBelow` a [[foldBatchPartitions]] run has
+    * folded into this tree's `batch=-1` (folds only grow it, so the
+    * last write is the max). None for a tree never folded — or folded
+    * before the marker existed, in which case consumers must treat
+    * `batch=-1`'s coverage as UNKNOWN (be conservative). */
+  private[graft] def foldWatermark(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir, FoldMarker)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val s = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        scala.util.Try(s.trim.toLong).toOption
+      } finally in.close()
+    }
   }
 }

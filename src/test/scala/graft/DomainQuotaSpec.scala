@@ -197,6 +197,21 @@ class DomainQuotaSpec extends AnyFunSuite {
         .forall(t.dropBp(_) == 0L), s"rates: ${t.dropBp}")
   }
 
+  test("down alarms are gated on rung activity: a configured-off rung's " +
+      "flat 0 never pages at mu > 0; an active rung that flatlines " +
+      "still does") {
+    val mon = new graft.ext.LadderRungMonitor(
+      rungs = Seq("url", "lines"), mu = 1000L, kappa = 0L, h = 1500L)
+    // url drops 3000 bp once then flatlines (a genuine collapse);
+    // lines never fires at all (the rung is configured off)
+    mon.tick(0L, Map("n" -> 10L, "n_url" -> 3L, "n_lines" -> 0L))
+    mon.tick(1L, Map("n" -> 10L, "n_url" -> 0L, "n_lines" -> 0L))
+    mon.tick(2L, Map("n" -> 10L, "n_url" -> 0L, "n_lines" -> 0L))
+    val downs = mon.ticks.flatMap(_.alarmDown).toSet
+    assert(downs == Set("url"),
+      s"only the once-active rung may down-alarm: $downs")
+  }
+
   test("domainQuota without urlCol is rejected loudly") {
     import spark.implicits._
     val batch = Seq((1L, "some text")).toDF("doc_id", "text")

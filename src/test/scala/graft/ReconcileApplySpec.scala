@@ -236,6 +236,66 @@ class ReconcileApplySpec extends AnyFunSuite {
       w2("partitions_folded") == 0L, s"second window must no-op: $w2")
   }
 
+  test("a crashed swap is finished by the NEXT serialized-window entry " +
+      "of any kind: an ingest tick and a reconcile both recover the " +
+      "missing postings partition before probing") {
+    import spark.implicits._
+    def crash(root: String): Unit = {
+      // emulate the delete->rename gap: postings/batch=1 rewritten to
+      // a completed tmp, the partition itself gone
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pDir = s"$root/postings"
+      spark.read.parquet(s"$pDir/batch=1").filter(col("id") =!= 11L)
+        .write.parquet(s"$pDir/.apply-tmp-batch=1")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$pDir/batch=1"), true)
+      spark.sharedState.cacheManager.clearCache()
+    }
+    // tick entry: without recovery, doc 11's postings are invisible
+    // and a near-dup of it would be wrongly ADMITTED; with recovery
+    // the rewritten partition (11 retired) is live and doc 21 ~ 11 is
+    // STILL admitted — but through the recovered, correct state
+    val r1 = chainRoot("rca_rec_tick"); crash(r1)
+    val v = IncrementalDedup.admitBatchLadder(
+        Seq((21L, "w5 w6 w7 w8 w9 w10 w11 w13")).toDF("doc_id", "text"),
+        "doc_id", "text", None, r1, n = 3, tau = 0.5, batchId = 2L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v == Map(21L -> None))
+    assert(postingIds(r1, "postings") == Set(1L, 21L),
+      "tick entry must finish the interrupted swap")
+    // reconcile entry: the re-derived delta must see the RECOVERED
+    // tree (11 already retired -> no postings row -> empty delta),
+    // not a tree with the partition missing
+    val r2 = chainRoot("rca_rec_rn"); crash(r2)
+    assert(IncrementalDedup.reconcileNear(spark, r2, tau = 0.5)
+      .count() == 0L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(postingIds(r2, "postings") == Set(1L),
+      "reconcile entry must finish the interrupted swap")
+  }
+
+  test("lagged retention after a fold: batch=-1 is deleted only when " +
+      "the fold's recorded watermark is covered by the retirement " +
+      "watermark") {
+    val root = chainRoot("rca_lag")
+    IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L)
+    // fold at watermark 2: evidence batches 0,1 merge into batch=-1
+    IncrementalDedup.maintainLadder(spark, root, committedBelow = 2L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(postingIds(root, "postings_dropped") == Set(2L, 11L))
+    // a LAGGED watermark (1 < fold's 2) must keep the folded evidence
+    assert(IncrementalDedup.retireEvidence(spark, root,
+      coveredBelow = 1L) == 0, "lagged retire must not touch batch=-1")
+    assert(postingIds(root, "postings_dropped") == Set(2L, 11L))
+    // a watermark at/above the fold's covers it: -1 is retirable
+    assert(IncrementalDedup.retireEvidence(spark, root,
+      coveredBelow = 2L) == 1)
+    spark.sharedState.cacheManager.clearCache()
+    assert(postingIds(root, "postings_dropped").isEmpty)
+  }
+
   test("retireEvidence: safe for the converged state (re-reconcile " +
       "stays empty), and the documented trade — a future chain only " +
       "through retired evidence stays admitted, through retained " +
