@@ -859,8 +859,14 @@ object IncrementalDedup {
     delta.select(col("id"), col("dropped_at")).distinct()
       .write.mode(SaveMode.Overwrite).parquet(deltaDir)
     if (!Layout.hasParquetData(spark, deltaDir))
-      return Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L)
+      return Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
+        "delta_ids" -> 0L)
     val ids = spark.read.parquet(deltaDir)
+    // reported so callers can detect a PARTIALLY-in-scope delta (a
+    // delta doc living in the current, uncommitted tick's partition is
+    // not touched — verdicts < delta_ids): [[reconcileWindow]] defers
+    // evidence retirement on that signal
+    val nDelta = ids.count()
     def inScope(b: Long): Boolean = b == -1L || b < committedBelow
     def hitParts(dir: String, df: DataFrame, joinCol: String): Seq[(Long, Long)] =
       df.join(ids.select(col("id").as("__rid")),
@@ -926,7 +932,7 @@ object IncrementalDedup {
       }
     }
     Map("verdicts" -> nVerdicts, "corpus" -> nCorpus,
-      "postings" -> nPostings)
+      "postings" -> nPostings, "delta_ids" -> nDelta)
   }
 
   /** EVIDENCE RETENTION for the reconciliation loop: delete
@@ -1021,11 +1027,22 @@ object IncrementalDedup {
                       targetBytes: Long = 128L << 20): Map[String, Long] = {
     val counts =
       if (!Layout.hasParquetData(spark, s"$root/postings"))
-        Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L)
+        Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
+          "delta_ids" -> 0L)
       else applyReconcile(spark, root, idCol,
         reconcileNear(spark, root, tau, maxDocFreq), committedBelow)
+    // a delta doc in the CURRENT tick's partition is out of apply
+    // scope (the tick isn't committed until its checkpoint lands, and
+    // a replay must find its partition un-swapped) — its chain has NOT
+    // converged yet, so retiring the evidence it runs through would
+    // orphan it forever. Detected as verdicts < delta_ids; retirement
+    // simply waits for the next window, where the partition is
+    // committed and the re-derived delta applies in full.
+    val fullyApplied = counts("verdicts") == counts("delta_ids")
     val retired =
-      if (retire) retireEvidence(spark, root, committedBelow) else 0
+      if (retire && fullyApplied)
+        retireEvidence(spark, root, committedBelow)
+      else 0
     val folds = maintainLadder(spark, root, committedBelow, targetBytes)
     counts ++ Map(
       "evidence_partitions_retired" -> retired.toLong,

@@ -65,7 +65,8 @@ class ReconcileApplySpec extends AnyFunSuite {
     val counts = IncrementalDedup.applyReconcile(spark, root, "doc_id",
       delta, committedBelow = 2L)
     assert(counts == Map("verdicts" -> 1L, "corpus" -> 1L,
-      "postings" -> 6L), s"apply counts $counts") // 11 has 6 shingles
+      "postings" -> 6L, "delta_ids" -> 1L), // 11 has 6 shingles
+      s"apply counts $counts")
     assert(verdicts(root) == Map(1L -> None, 2L -> Some("near"),
       11L -> Some("near")))
     assert(corpusIds(root) == Set(1L))
@@ -84,7 +85,8 @@ class ReconcileApplySpec extends AnyFunSuite {
     val again = IncrementalDedup.applyReconcile(spark, root, "doc_id",
       Seq((11L, "near")).toDF("id", "dropped_at"), committedBelow = 2L)
     assert(again == Map("verdicts" -> 0L, "corpus" -> 0L,
-      "postings" -> 0L), s"re-apply must be a no-op: $again")
+      "postings" -> 0L, "delta_ids" -> 1L),
+      s"re-apply must be a no-op: $again")
   }
 
   test("crash-shape replay: corpus deleted but postings not yet " +
@@ -122,7 +124,7 @@ class ReconcileApplySpec extends AnyFunSuite {
       committedBelow = 2L)
     // verdict and corpus hits are already gone; only postings finish
     assert(counts == Map("verdicts" -> 0L, "corpus" -> 0L,
-      "postings" -> 6L), s"finishing apply $counts")
+      "postings" -> 6L, "delta_ids" -> 1L), s"finishing apply $counts")
     assert(corpusIds(root) == Set(1L) &&
       postingIds(root, "postings") == Set(1L) &&
       postingIds(root, "postings_dropped") == Set(2L, 11L))

@@ -234,6 +234,89 @@ class StreamCompactionSpec extends AnyFunSuite {
     assert(corpus == Set(1L, 11L, 24L), s"corpus $corpus")
   }
 
+  test("the complete r17 production loop in one foreachBatch body: " +
+      "lines rung every tick, reconcileWindow on the cadence — " +
+      "retirement DEFERS while the delta doc sits in the current " +
+      "(uncommitted) tick, then converges and retires next window, " +
+      "across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r17loop_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_r17loop_ckpt").toString
+    val windows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, Long])]
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDS().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ext.IngestLadder.admitBatch(b, "doc_id", "text", None,
+          Seq.empty, root, n = 3, tau = 0.5, batchId = id,
+          lineDedup = true)
+        if (id % 2 == 1)
+          windows += id -> graft.ext.IncrementalDedup.reconcileWindow(
+            spark, root, "doc_id", tau = 0.5, committedBelow = id,
+            retire = true)
+        ()
+      }.start()
+    // tick 0: doc 0 carries the nav line's FIRST occurrence (and keeps
+    // it — so x and y shed theirs and their cleaned bodies sit at
+    // J = 0.5 exactly); x admitted, y ~ x near-dropped (evidence)
+    val q1 = start()
+    in.addData(
+      (0L, "nav menu here"),
+      (1L, "nav menu here\nwa wb wc wd we wf wg wh"),
+      (2L, "nav menu here\nwc wd we wf wg wh wi wj"))
+    q1.processAllAvailable(); q1.stop()
+    // restart; tick 1: z ~ y, z !~ x — ingest admits it (nav line cut
+    // via the persisted line_index). The id-1 window reconciles: delta
+    // {z}, but z lives in THIS tick's (uncommitted) partition — apply
+    // skips it and retirement must DEFER, else y's evidence dies with
+    // the chain unconverged
+    val q2 = start()
+    in.addData((11L, "nav menu here\nwe wf wg wh wi wj wk wl"))
+    q2.processAllAvailable()
+    // tick 2: novel filler; tick 3: novel + the id-3 window — batch 1
+    // is now committed, the re-derived delta applies in full, THEN the
+    // evidence retires
+    in.addData((21L, "nav menu here\nxa xb xc xd xe xf"))
+    q2.processAllAvailable()
+    in.addData((31L, "nav menu here\nya yb yc yd ye yf"))
+    q2.processAllAvailable(); q2.stop()
+    val byId = windows.toMap
+    assert(byId(1L)("delta_ids") == 1L && byId(1L)("verdicts") == 0L &&
+      byId(1L)("evidence_partitions_retired") == 0L,
+      s"window 1 must defer retirement: ${byId(1L)}")
+    assert(byId(3L)("delta_ids") == 1L && byId(3L)("verdicts") == 1L &&
+      byId(3L)("corpus") == 1L &&
+      byId(3L)("evidence_partitions_retired") >= 1L,
+      s"window 3 must converge then retire: ${byId(3L)}")
+    spark.sharedState.cacheManager.clearCache()
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .select("id", "dropped_at")
+      .as[(Long, Option[String])].collect().toMap
+    assert(verdicts == Map(0L -> None, 1L -> None, 2L -> Some("near"),
+      11L -> Some("near"), 21L -> None, 31L -> None), s"got $verdicts")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(corpus.keySet == Set(0L, 1L, 21L, 31L),
+      s"corpus ${corpus.keySet}")
+    // the lines rung ran every tick: only the FIRST occurrence keeps
+    // the nav boilerplate, every later survivor carries a rebuilt body
+    assert(corpus(0L) == "nav menu here" &&
+      corpus(1L) == "wa wb wc wd we wf wg wh" &&
+      corpus(21L) == "xa xb xc xd xe xf" &&
+      corpus(31L) == "ya yb yc yd ye yf", s"rebuilt texts $corpus")
+    val evIds =
+      if (!graft.ext.Layout.hasParquetData(spark,
+        s"$root/postings_dropped")) Set.empty[Long]
+      else spark.read.parquet(s"$root/postings_dropped")
+        .select("id").as[Long].collect().toSet
+    assert(evIds.isEmpty, s"evidence retired after convergence: $evIds")
+  }
+
   test("bloom contamination guard composes as a stateless streaming filter") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
