@@ -733,13 +733,23 @@ object IncrementalDedup {
     * postings — the admitted index (`postings/`) plus the near-dropped
     * evidence (`postings_dropped/`), i.e. every doc that ever reached
     * the near rung, with no text re-read or re-tokenization — and emit
-    * the DELTA verdict relation: admitted docs whose component minimum
-    * is another doc (id, dropped_at='near'). Dropped docs supply the
-    * missing chain middles but are never re-verdicted (they are already
-    * gone). Under arrival-ordered ids every component's minimum is an
-    * admitted doc (a dropped doc always has a smaller admitted voucher
-    * in its component), so the delta is exactly the set the batch
-    * ladder would additionally drop given the same near-rung inputs.
+    * the DELTA verdict relation: admitted docs whose component's
+    * minimum ADMITTED id is another doc (id, dropped_at='near').
+    * Dropped docs supply the missing chain middles but are never
+    * re-verdicted (they are already gone). Under arrival-ordered ids
+    * the minimum admitted id IS the component minimum (a dropped doc
+    * always has a smaller admitted voucher in its component), so the
+    * delta is exactly the set the batch ladder would additionally drop
+    * given the same near-rung inputs. The admitted-min anchor matters
+    * because ids are CALLER-SUPPLIED and nothing enforces monotonicity
+    * with tick order: if a later tick's doc with a SMALLER id dropped
+    * as evidence, anchoring on the raw component minimum would emit
+    * EVERY admitted member of its component — and [[applyReconcile]]
+    * would then delete the only surviving copies of that content (the
+    * evidence doc's text was dropped at ingest and cannot be
+    * resurrected). Keeping the minimum admitted doc per component
+    * preserves exactly one corpus representative on any id order
+    * (spec-pinned with a non-monotone fixture).
     *
     * The delta is applied with [[applyReconcile]] (same serialized
     * tick window — verdict update, corpus delete, postings retirement,
@@ -777,9 +787,25 @@ object IncrementalDedup {
     val pairs = Dedup.jaccardProbe(allC, allC, tau, maxDocFreq)
       .filter(col("batch_id") < col("corpus_id"))
       .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
-    Dedup.connectedComponents(pairs)
-      .join(adm.select(col("id")).distinct(), Seq("id"), "left_semi")
-      .filter(col("id") =!= col("cluster"))
+    deltaFromComponents(Dedup.connectedComponents(pairs),
+      adm.select(col("id")).distinct())
+  }
+
+  /** The reconcile DELTA from a component labeling: each component's
+    * minimum ADMITTED id survives; every other admitted member is
+    * emitted (id, dropped_at='near'). Anchoring on the admitted minimum
+    * — not the raw component minimum — is what keeps one corpus
+    * representative per component when ids are not monotone with
+    * arrival (see [[reconcileNear]]'s scaladoc). Component-cardinality
+    * joins only; the extra per-cluster min is one keyed aggregate over
+    * the admitted members. */
+  private def deltaFromComponents(cc: DataFrame,
+                                  admittedIds: DataFrame): DataFrame = {
+    val admCc = cc.join(admittedIds, Seq("id"), "left_semi")
+    val keep = admCc.groupBy(col("cluster"))
+      .agg(min(col("id")).as("__keep"))
+    admCc.join(keep, Seq("cluster"))
+      .filter(col("id") =!= col("__keep"))
       .select(col("id"), lit("near").as("dropped_at"))
   }
 
@@ -856,7 +882,15 @@ object IncrementalDedup {
     // caller-persisted delta — a lazy handle from before the crash is
     // dead by construction.
     val deltaDir = s"$root/.apply-delta"
-    delta.select(col("id"), col("dropped_at")).distinct()
+    // dedupe by ID, not by (id, dropped_at): the API accepts arbitrary
+    // caller-persisted deltas, and a delta carrying one id under two
+    // tags would otherwise keep both rows — the verdict rewrite's left
+    // join on id then duplicates that verdict row in the swapped
+    // partition, corrupting the one-row-per-id relation. min(tag) makes
+    // the pick deterministic; [[reconcileNear]]'s own output is
+    // single-tag, where this is the plain distinct.
+    delta.groupBy(col("id"))
+      .agg(min(col("dropped_at")).as("dropped_at"))
       .write.mode(SaveMode.Overwrite).parquet(deltaDir)
     if (!Layout.hasParquetData(spark, deltaDir))
       return Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
@@ -945,12 +979,12 @@ object IncrementalDedup {
     *
     * SAFE for the converged state, provably: post-apply, every
     * connected component of the evidence graph contains exactly ONE
-    * admitted doc — its global minimum id (arrival order; apply
-    * deleted the rest). Removing evidence nodes only SPLITS
-    * components, and the admitted doc remains the minimum of whichever
-    * fragment holds it (it was the minimum of the superset), so a
-    * re-run of [[reconcileNear]] still emits an EMPTY delta
-    * (spec-pinned with and without retirement).
+    * admitted doc — its minimum ADMITTED id (apply deleted the rest;
+    * no arrival-order assumption, see [[reconcileNear]]'s admitted-min
+    * anchor). Removing evidence nodes only SPLITS components, and each
+    * fragment holds at most one admitted doc — trivially its own
+    * admitted minimum — so a re-run of [[reconcileNear]] still emits
+    * an EMPTY delta (spec-pinned with and without retirement).
     *
     * The TRADE, stated plainly: a FUTURE arrival that chains to the
     * corpus only THROUGH a retired evidence doc (w ~ y_retired ~ x,
@@ -1141,12 +1175,15 @@ final class LadderRungMonitor(val rungs: Seq[String] =
 
   /** Advance every rung's CUSUM with one tick's observed metrics
     * (`n` + `n_<rung>` counts, the observe column contract). An empty
-    * batch advances with rate 0 — a volume collapse must be seen. */
+    * batch advances with rate 0 — a volume collapse must be seen. A
+    * MISSING `n_<rung>` key observes 0 (the configured-off semantics
+    * the down-alarm gating was built for), so a caller feeding a
+    * hand-built metrics map for a rung subset never throws. */
   def tick(batchId: Long, metrics: Map[String, Any]): RungTick =
     synchronized {
       val n = metrics("n").asInstanceOf[Long]
       val bp = rungs.map { r =>
-        val c = metrics(s"n_$r").asInstanceOf[Long]
+        val c = metrics.getOrElse(s"n_$r", 0L).asInstanceOf[Long]
         r -> (if (n > 0) c * 10000L / n else 0L)
       }.toMap
       rungs.foreach(r => if (bp(r) > 0L) active += r)

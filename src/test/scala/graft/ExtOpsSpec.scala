@@ -887,6 +887,23 @@ class ExtOpsSpec extends AnyFunSuite {
       s"no other rung may alarm: ${mon.ticks}")
   }
 
+  test("LadderRungMonitor: a hand-built metrics map missing a rung's " +
+      "n_<rung> key observes 0 for it (configured-off semantics), " +
+      "never throws") {
+    import graft.ext.LadderRungMonitor
+    // default rung set spans all six built-ins; feed only url+exact
+    val mon = new LadderRungMonitor(mu = 100L, kappa = 0L, h = 1L)
+    val t = mon.tick(0L, Map("n" -> 10L, "n_url" -> 5L, "n_exact" -> 0L))
+    assert(t.dropBp("url") == 5000L && t.dropBp("near") == 0L &&
+      t.dropBp("domain") == 0L, s"missing rungs observe 0: $t")
+    // absent rungs never became active, so the down-CUSUM stays gated
+    (1L to 5L).foreach(b =>
+      mon.tick(b, Map("n" -> 10L, "n_url" -> 0L)))
+    assert(mon.ticks.forall(t => !t.alarmDown.exists(
+        Set("lines", "near", "containment", "domain"))),
+      s"absent rungs must stay silent: ${mon.ticks.map(_.alarmDown)}")
+  }
+
   test("URL admission loop: stored canonical-key index, variants " +
       "collapse in-batch, seen pages turned away cross-batch") {
     import spark.implicits._

@@ -89,6 +89,60 @@ class ReconcileApplySpec extends AnyFunSuite {
       s"re-apply must be a no-op: $again")
   }
 
+  test("non-monotone ids: a later tick's SMALLER-id doc dropped as " +
+      "evidence does not anchor the component — the minimum ADMITTED " +
+      "doc survives and the corpus never loses its last copy") {
+    import spark.implicits._
+    val root = tmp("rca_nonmono")
+    // tick 0: doc 10 admitted alone
+    IncrementalDedup.admitBatchLadder(
+      Seq((10L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 0L)
+    // tick 1 (ids SMALLER than tick 0's): doc 2 ~ 10 drops near vs the
+    // index (evidence, id below every admitted id); doc 6 ~ 2 but
+    // 6 !~ 10 is admitted — the chain runs through evidence doc 2
+    val v1 = IncrementalDedup.admitBatchLadder(
+      Seq((2L, "w3 w4 w5 w6 w7 w8 w9 w10"),
+        (6L, "w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(v1 == Map(2L -> Some("near"), 6L -> None), s"tick1 $v1")
+    // component {2, 6, 10}: raw minimum is EVIDENCE doc 2 — anchoring
+    // there would emit both admitted members {6, 10} and apply would
+    // delete the component's every surviving copy. The admitted-min
+    // anchor keeps 6 and emits exactly {10}.
+    val delta = IncrementalDedup.reconcileNear(spark, root, tau = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(delta == Map(10L -> "near"), s"admitted-min delta $delta")
+    IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(corpusIds(root) == Set(6L),
+      "one admitted representative must survive per component")
+    assert(IncrementalDedup.reconcileNear(spark, root, tau = 0.5)
+      .count() == 0L, "post-apply state must be converged")
+  }
+
+  test("a caller-persisted delta carrying one id under two tags is " +
+      "deduped by id (deterministic min tag): the verdict rewrite " +
+      "never duplicates the id's row") {
+    import spark.implicits._
+    val root = chainRoot("rca_dualtag")
+    val dual = Seq((11L, "near"), (11L, "containment"))
+      .toDF("id", "dropped_at")
+    val counts = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      dual, committedBelow = 2L)
+    assert(counts("delta_ids") == 1L, s"deduped by id: $counts")
+    spark.sharedState.cacheManager.clearCache()
+    val vRows = spark.read.parquet(s"$root/verdicts")
+      .filter(col("id") === 11L)
+      .select(col("id"), col("dropped_at"))
+      .as[(Long, Option[String])].collect().toSeq
+    assert(vRows == Seq((11L, Some("containment"))),
+      s"one verdict row, min tag: $vRows")
+  }
+
   test("crash-shape replay: corpus deleted but postings not yet " +
       "retired — a re-derived delta still contains the doc and a " +
       "second apply finishes the job") {
