@@ -791,6 +791,118 @@ object IncrementalDedup {
       adm.select(col("id")).distinct())
   }
 
+  /** INCREMENTAL [[reconcileNear]] — the maintenance window's reconcile
+    * without the full-corpus self-join. The full form re-derives pairs
+    * over the ENTIRE postings+evidence relation every window: O(corpus
+    * postings) per window at 100 TB even when only a few ticks arrived
+    * since the last one. But after a COMPLETED reconcile+apply at
+    * watermark `sinceBatch` (the [[reconciledWatermarks]] certificate)
+    * the state is converged — a re-run emits an empty delta
+    * (spec-pinned) — and a component of the CURRENT graph whose nodes
+    * all predate the watermark is EXACTLY a converged old component
+    * (no new node ⇒ no new edge ⇒ same node set; post-apply it holds
+    * one admitted doc, its admitted minimum, and evidence retirement
+    * only splits such components). New delta rows can therefore only
+    * arise in components containing a node added SINCE the watermark.
+    *
+    * Mechanism:
+    *  1. SEED: postings/evidence rows in partitions `batch >=
+    *     sinceBatch` (plus a folded `batch=-1` whose
+    *     [[Layout.foldWatermark]] is missing or above the watermark —
+    *     unknown coverage reads as new, conservatively);
+    *  2. CLOSURE: iterated sh64 semi-joins — each hop broadcasts the
+    *     frontier (and then its shingle set) against the full
+    *     relation, so the big side never shuffles; a post-prune τ-edge
+    *     requires a shared surviving shingle, so the shingle-graph
+    *     closure contains every τ-component that touches a seed. Hops
+    *     are bounded by component diameter (near-dup chains are
+    *     shallow); if `maxHops` is ever exhausted the closure degrades
+    *     to the full node set — the full reconcile, never an
+    *     under-emission;
+    *  3. the pair join + connected components + admitted-min delta of
+    *     [[reconcileNear]], on the reachable subgraph only.
+    *
+    * The hot-shingle dial is applied ONCE over the FULL relation
+    * before the closure (the r17 per-slice lesson: per-subgraph
+    * frequencies would diverge from the full run's), so a dialed
+    * window still pays one map-side-combined key-count aggregation
+    * over the index — the honest cost of the dial, O(distinct
+    * shingles) shuffle, not O(postings) pairs. Each closure hop scans
+    * the postings relation (bucket it by sh64 and the semi-joins
+    * partition-prune); the saving vs the full form is the self-join's
+    * shuffle and the corpus-sized pair/CC work, which become
+    * frontier-sized.
+    *
+    * DELTA-EQUIVALENT to [[reconcileNear]] whenever `sinceBatch` is a
+    * completed-reconcile watermark (spec-pinned, including chains that
+    * cross the watermark through OLD evidence — the closure walks
+    * backwards into converged territory as far as the chain reaches).
+    * `sinceBatch = 0` degenerates to the full reconcile by
+    * construction (every partition seeds).
+    *
+    * @param sinceBatch a COMPLETED reconcile watermark for `root`
+    *                   (from [[reconciledWatermarks]]); seeding from
+    *                   any EARLIER value is also sound (a bigger seed
+    *                   only widens the closure)
+    */
+  def reconcileNearIncremental(spark: SparkSession, root: String,
+                               tau: Double, sinceBatch: Long,
+                               maxDocFreq: Int = Int.MaxValue,
+                               maxHops: Int = 64): DataFrame = {
+    Seq("postings", "postings_dropped")
+      .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
+    require(Layout.hasParquetData(spark, s"$root/postings"),
+      s"no admitted postings under $root/postings — run the ladder first")
+    def tree(sub: String): Option[DataFrame] =
+      indexIfExists(spark, s"$root/$sub").map { df =>
+        val foldCovered = Layout.foldWatermark(spark, s"$root/$sub")
+          .exists(_ <= sinceBatch)
+        val isNew =
+          if (foldCovered) col("batch") >= sinceBatch
+          else col("batch") >= sinceBatch || col("batch") === -1L
+        df.select(col("id"), col("m"), col("sh64"), isNew.as("__new"))
+      }
+    val adm = tree("postings").get
+    val all = tree("postings_dropped").fold(adm)(adm.unionByName(_))
+    val (pruned0, _) = Dedup.dropHotPostingsCached(all, maxDocFreq)
+    val pruned = Materialize.multiScan(pruned0)
+    var reached = Materialize.multiScan(
+      pruned.filter(col("__new")).select(col("id")).distinct())
+    var frontier = reached
+    var n = frontier.count()
+    var hops = 0
+    while (n > 0 && hops < maxHops) {
+      val fsh = pruned.join(frontier, Seq("id"), "left_semi")
+        .select(col("sh64")).distinct()
+      val nbr = Materialize.multiScan(
+        pruned.join(fsh, Seq("sh64"), "left_semi")
+          .select(col("id")).distinct()
+          .join(reached, Seq("id"), "left_anti"))
+      reached = Materialize.multiScan(reached.unionByName(nbr))
+      frontier = nbr
+      n = frontier.count()
+      hops += 1
+    }
+    // maxHops exhausted with a live frontier: degrade to the full node
+    // set (= the full reconcile) rather than ever under-emitting
+    val scope =
+      if (n > 0) pruned.select(col("id")).distinct() else reached
+    val sub = pruned.join(scope, Seq("id"), "left_semi")
+      .select(col("id"), col("m"), col("sh64"))
+    // the dial already ran over the full relation: probe undialed (the
+    // [[Dedup.dropHotPostingsCached]] contract)
+    val pairs = Dedup.jaccardProbe(sub, sub, tau)
+      .filter(col("batch_id") < col("corpus_id"))
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    val admInScope = adm.join(scope, Seq("id"), "left_semi")
+      .select(col("id")).distinct()
+    // cache lifetime: the closure's multiScan entries back the returned
+    // lazy delta's plan — the [[reconcileNear]] contract applies
+    // (applyReconcile snapshots the delta before any rewrite; release
+    // with clearCache/unpersist after the window)
+    deltaFromComponents(Dedup.connectedComponents(pairs), admInScope)
+  }
+
   /** The reconcile DELTA from a component labeling: each component's
     * minimum ADMITTED id survives; every other admitted member is
     * emitted (id, dropped_at='near'). Anchoring on the admitted minimum
@@ -869,7 +981,8 @@ object IncrementalDedup {
     */
   def applyReconcile(spark: SparkSession, root: String, idCol: String,
                      delta: DataFrame,
-                     committedBelow: Long): Map[String, Long] = {
+                     committedBelow: Long,
+                     recordWatermark: Boolean = false): Map[String, Long] = {
     require(committedBelow >= 0, s"committedBelow must be >= 0")
     Seq("verdicts", "corpus", "postings", "postings_dropped")
       .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
@@ -892,9 +1005,13 @@ object IncrementalDedup {
     delta.groupBy(col("id"))
       .agg(min(col("dropped_at")).as("dropped_at"))
       .write.mode(SaveMode.Overwrite).parquet(deltaDir)
-    if (!Layout.hasParquetData(spark, deltaDir))
+    if (!Layout.hasParquetData(spark, deltaDir)) {
+      // an empty delta is trivially applied in full: the state is
+      // already converged at this watermark
+      if (recordWatermark) recordReconciled(spark, root, committedBelow)
       return Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
         "delta_ids" -> 0L)
+    }
     val ids = spark.read.parquet(deltaDir)
     // reported so callers can detect a PARTIALLY-in-scope delta (a
     // delta doc living in the current, uncommitted tick's partition is
@@ -965,8 +1082,65 @@ object IncrementalDedup {
         nPostings += n
       }
     }
+    // FULL application (every delta doc's NULL verdict was in scope and
+    // rewritten) certifies the corpus converged at this watermark: the
+    // durable marker the retention lag and the incremental reconcile
+    // both anchor on. A crash between the last swap and this write is
+    // closed by the next window: its re-derived delta is empty (state
+    // converged), which records the marker through the trivial path
+    // above. NOT recorded on partial scope (verdicts < delta_ids — a
+    // delta doc sits in the current uncommitted tick's partition) or
+    // on a replay whose verdict hits were already rewritten pre-crash
+    // (the next window's empty re-derive records it one window late,
+    // conservatively).
+    if (recordWatermark && nVerdicts == nDelta)
+      recordReconciled(spark, root, committedBelow)
     Map("verdicts" -> nVerdicts, "corpus" -> nCorpus,
       "postings" -> nPostings, "delta_ids" -> nDelta)
+  }
+
+  private val ReconcileMarker = "_reconciled"
+  private val ReconcileMarkerKeep = 64
+
+  /** COMPLETED-reconcile watermark history for `root` (ascending,
+    * deduped, last [[ReconcileMarkerKeep]] kept): each entry W
+    * certifies a [[reconcileNear]] → [[applyReconcile]] pass at
+    * watermark W applied in FULL — the precondition both
+    * [[retireEvidence]] (evidence below W is converged) and an
+    * incremental reconcile (components untouched since W are
+    * converged) stand on. Written by [[applyReconcile]] under
+    * `recordWatermark = true` (the [[reconcileWindow]] path); empty
+    * for a root never reconciled, or reconciled only before the marker
+    * existed — consumers fall back to the full recompute / zero-lag
+    * behavior. A torn write (crash mid-rewrite) can only LOSE history,
+    * which defers retirement and widens the incremental seed — always
+    * conservative, never wrong. */
+  private[graft] def reconciledWatermarks(spark: SparkSession,
+                                          root: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(root, ReconcileMarker)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val in = fs.open(path)
+      try {
+        new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .split("\n").toSeq
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+          .distinct.sorted
+      } finally in.close()
+    }
+  }
+
+  private def recordReconciled(spark: SparkSession, root: String,
+                               w: Long): Unit = {
+    val ws = (reconciledWatermarks(spark, root) :+ w)
+      .distinct.sorted.takeRight(ReconcileMarkerKeep)
+    val path = new org.apache.hadoop.fs.Path(root, ReconcileMarker)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write(ws.mkString("\n").getBytes("UTF-8"))
+    out.close()
   }
 
   /** EVIDENCE RETENTION for the reconciliation loop: delete
@@ -1030,19 +1204,30 @@ object IncrementalDedup {
     * instead of hand-sequencing four operators. Order is the proven
     * composition:
     *
-    *  1. [[reconcileNear]] → [[applyReconcile]] — converge the corpus
-    *     to batch semantics first, over the current state (apply and
-    *     fold commute on row sets — spec-pinned — but applying first
-    *     means the fold below never copies soon-deleted rows);
+    *  1. reconcile → [[applyReconcile]] — converge the corpus to batch
+    *     semantics first, over the current state (apply and fold
+    *     commute on row sets — spec-pinned — but applying first means
+    *     the fold below never copies soon-deleted rows). The reconcile
+    *     is [[reconcileNearIncremental]] seeded at the last COMPLETED
+    *     watermark ([[reconciledWatermarks]], recorded by the apply
+    *     itself) — window cost scales with the frontier since the last
+    *     window, not the corpus; a root with no recorded watermark
+    *     (first window, or pre-marker history) runs the full
+    *     [[reconcileNear]] once and records;
     *  2. [[retireEvidence]] (opt-in) — legal exactly here: the
     *     reconcile at this watermark has completed, so retirement
-    *     provably preserves the empty re-reconcile delta. NOTE this is
-    *     the ZERO-LAG form: evidence this window's own apply just
-    *     retired is deleted too, so future chains through it revert to
-    *     ingest semantics immediately. A deployment wanting a
-    *     retention LAG (converge chains arriving within K more ticks)
-    *     keeps `retire = false` here and calls [[retireEvidence]]
-    *     itself with the K-ticks-older watermark;
+    *     provably preserves the empty re-reconcile delta. With
+    *     `retireLagWindows = 0` this is the ZERO-LAG form: evidence
+    *     this window's own apply just retired is deleted too, so
+    *     future chains through it revert to ingest semantics
+    *     immediately. `retireLagWindows = K` retires at the K-windows-
+    *     OLDER completed watermark instead (read from the persisted
+    *     [[reconciledWatermarks]] history — no caller bookkeeping):
+    *     chains arriving within K more maintenance windows still
+    *     converge through the retained evidence, the lag the
+    *     retention-trade scaladoc prices. Fewer than K+1 completed
+    *     windows recorded → nothing retires yet (the history survives
+    *     restarts, so the lag is honored across them);
     *  3. [[maintainLadder]] — fold every subtree and rebuild existing
     *     Bloom sidecars LAST, so the rebuilt filters reflect the
     *     post-apply key sets (an apply leaves stale positives, which
@@ -1058,13 +1243,24 @@ object IncrementalDedup {
                       tau: Double, committedBelow: Long,
                       maxDocFreq: Int = Int.MaxValue,
                       retire: Boolean = false,
-                      targetBytes: Long = 128L << 20): Map[String, Long] = {
+                      targetBytes: Long = 128L << 20,
+                      retireLagWindows: Int = 0): Map[String, Long] = {
+    require(retireLagWindows >= 0,
+      s"retireLagWindows must be >= 0: $retireLagWindows")
     val counts =
       if (!Layout.hasParquetData(spark, s"$root/postings"))
         Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
           "delta_ids" -> 0L)
-      else applyReconcile(spark, root, idCol,
-        reconcileNear(spark, root, tau, maxDocFreq), committedBelow)
+      else {
+        val delta = reconciledWatermarks(spark, root)
+          .filter(_ <= committedBelow).lastOption match {
+          case Some(w) =>
+            reconcileNearIncremental(spark, root, tau, w, maxDocFreq)
+          case None => reconcileNear(spark, root, tau, maxDocFreq)
+        }
+        applyReconcile(spark, root, idCol, delta, committedBelow,
+          recordWatermark = true)
+      }
     // a delta doc in the CURRENT tick's partition is out of apply
     // scope (the tick isn't committed until its checkpoint lands, and
     // a replay must find its partition un-swapped) — its chain has NOT
@@ -1074,9 +1270,16 @@ object IncrementalDedup {
     // committed and the re-derived delta applies in full.
     val fullyApplied = counts("verdicts") == counts("delta_ids")
     val retired =
-      if (retire && fullyApplied)
-        retireEvidence(spark, root, committedBelow)
-      else 0
+      if (retire && fullyApplied) {
+        // the K-windows-older COMPLETED watermark (this window's own,
+        // just recorded, is entry 0 — retireLagWindows = 0 reproduces
+        // the zero-lag behavior exactly)
+        val ws = reconciledWatermarks(spark, root)
+          .filter(_ <= committedBelow)
+        if (ws.size > retireLagWindows)
+          retireEvidence(spark, root, ws(ws.size - 1 - retireLagWindows))
+        else 0
+      } else 0
     val folds = maintainLadder(spark, root, committedBelow, targetBytes)
     counts ++ Map(
       "evidence_partitions_retired" -> retired.toLong,

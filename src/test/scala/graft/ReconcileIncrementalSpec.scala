@@ -1,0 +1,203 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.{IncrementalDedup, Layout}
+
+/** [[IncrementalDedup.reconcileNearIncremental]] — the frontier-seeded
+  * reconcile — and the persisted completed-reconcile watermark history
+  * ([[IncrementalDedup.reconciledWatermarks]]) that both it and
+  * [[IncrementalDedup.reconcileWindow]]'s retention lag stand on.
+  * Pins: delta-equivalence to the full [[IncrementalDedup
+  * .reconcileNear]] (including chains crossing the watermark through
+  * OLD evidence), fold interaction on the seed, marker crash recovery,
+  * and the K-windows retention lag.
+  */
+class ReconcileIncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  private def deltaMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] = {
+    import spark.implicits._
+    df.select(col("id"), col("dropped_at")).as[(Long, String)]
+      .collect().toMap
+  }
+  private def evidenceIds(root: String): Set[Long] = {
+    import spark.implicits._
+    val dir = s"$root/postings_dropped"
+    if (!Layout.hasParquetData(spark, dir)) Set.empty
+    else spark.read.parquet(dir).select("id").distinct()
+      .as[Long].collect().toSet
+  }
+
+  // tick 0: x (1) admitted, y (2) ~ x dropped near (evidence); an
+  // INDEPENDENT converged pair far away (30 admitted, 31 evidence)
+  // that no later chain touches
+  private def seedRoot(tag: String): String = {
+    import spark.implicits._
+    val root = tmp(tag)
+    IncrementalDedup.admitBatchLadder(Seq(
+        (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        (2L, "w3 w4 w5 w6 w7 w8 w9 w10"),
+        (30L, "q1 q2 q3 q4 q5 q6 q7 q8"),
+        (31L, "q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 0L)
+    root
+  }
+  // tick 1: z (11) ~ y but z !~ x — the chain the incremental seed
+  // must walk BACKWARDS across the watermark through OLD evidence
+  private def tickZ(root: String): Unit = {
+    import spark.implicits._
+    IncrementalDedup.admitBatchLadder(
+      Seq((11L, "w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 1L)
+  }
+
+  test("delta-equivalence to the full reconcile: a chain crossing the " +
+      "watermark through OLD evidence is found by the backwards " +
+      "closure; the untouched old component stays out") {
+    val root = seedRoot("rni_eq")
+    // window at watermark 1: converged (y/31 dropped at ingest), the
+    // empty delta records the completed watermark
+    val w1 = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 1L)
+    assert(w1("delta_ids") == 0L)
+    assert(IncrementalDedup.reconciledWatermarks(spark, root) == Seq(1L))
+    tickZ(root)
+    spark.sharedState.cacheManager.clearCache()
+    val inc = deltaMap(IncrementalDedup.reconcileNearIncremental(
+      spark, root, tau = 0.5, sinceBatch = 1L))
+    spark.sharedState.cacheManager.clearCache()
+    val full = deltaMap(IncrementalDedup.reconcileNear(spark, root,
+      tau = 0.5))
+    assert(inc == full, s"inc $inc vs full $full")
+    assert(inc == Map(11L -> "near"),
+      s"chain through old evidence must emit z only: $inc")
+  }
+
+  test("sinceBatch = 0 degenerates to the full reconcile; a converged " +
+      "state yields an empty delta from an empty seed") {
+    val root = seedRoot("rni_zero")
+    tickZ(root)
+    spark.sharedState.cacheManager.clearCache()
+    val inc0 = deltaMap(IncrementalDedup.reconcileNearIncremental(
+      spark, root, tau = 0.5, sinceBatch = 0L))
+    spark.sharedState.cacheManager.clearCache()
+    val full = deltaMap(IncrementalDedup.reconcileNear(spark, root,
+      tau = 0.5))
+    assert(inc0 == full && inc0 == Map(11L -> "near"))
+    IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(deltaMap(IncrementalDedup.reconcileNearIncremental(
+      spark, root, tau = 0.5, sinceBatch = 2L)).isEmpty,
+      "post-apply incremental delta must be empty")
+  }
+
+  test("fold interaction: a fold COVERED by the watermark drops " +
+      "batch=-1 from the seed; an uncovered (later) fold reads it as " +
+      "new — both produce the full delta") {
+    // covered: fold at the reconcile watermark, then tick — the seed
+    // is the tick partition alone
+    val a = seedRoot("rni_fold_cov")
+    IncrementalDedup.reconcileWindow(spark, a, "doc_id", tau = 0.5,
+      committedBelow = 1L) // records 1, folds at 1 (batch=0 -> -1)
+    tickZ(a)
+    spark.sharedState.cacheManager.clearCache()
+    assert(Layout.foldWatermark(spark, s"$a/postings").contains(1L))
+    assert(deltaMap(IncrementalDedup.reconcileNearIncremental(
+      spark, a, tau = 0.5, sinceBatch = 1L)) == Map(11L -> "near"))
+    // uncovered: fold at watermark 2 AFTER the tick, seed since 1 —
+    // batch=-1's coverage (2) exceeds the seed watermark, so its rows
+    // count as new (superset seed, same delta)
+    val b = seedRoot("rni_fold_unc")
+    IncrementalDedup.applyReconcile(spark, b, "doc_id",
+      IncrementalDedup.reconcileNear(spark, b, tau = 0.5),
+      committedBelow = 1L, recordWatermark = true)
+    tickZ(b)
+    IncrementalDedup.maintainLadder(spark, b, committedBelow = 2L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(Layout.foldWatermark(spark, s"$b/postings").contains(2L))
+    assert(deltaMap(IncrementalDedup.reconcileNearIncremental(
+      spark, b, tau = 0.5, sinceBatch = 1L)) == Map(11L -> "near"))
+  }
+
+  test("reconcileWindow rides the persisted watermark: the second " +
+      "window reconciles incrementally and converges the cross-window " +
+      "chain; history survives as a durable file") {
+    import spark.implicits._
+    val root = seedRoot("rni_window")
+    IncrementalDedup.reconcileWindow(spark, root, "doc_id", tau = 0.5,
+      committedBelow = 1L)
+    tickZ(root)
+    spark.sharedState.cacheManager.clearCache()
+    val w2 = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 2L)
+    assert(w2("delta_ids") == 1L && w2("corpus") == 1L,
+      s"second window must converge z: $w2")
+    assert(IncrementalDedup.reconciledWatermarks(spark, root) ==
+      Seq(1L, 2L))
+    spark.sharedState.cacheManager.clearCache()
+    val v = spark.read.parquet(s"$root/verdicts")
+      .select(col("id"), col("dropped_at"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(v == Map(1L -> None, 2L -> Some("near"), 11L -> Some("near"),
+      30L -> None, 31L -> Some("near")), s"batch semantics: $v")
+  }
+
+  test("marker crash recovery: apply completed but the watermark " +
+      "never recorded — the next window's empty re-derive records it " +
+      "through the trivial path") {
+    val root = seedRoot("rni_crash")
+    tickZ(root)
+    // the 'crash': a full apply WITHOUT recordWatermark (the marker
+    // write is the last step, so this is the crash-between shape)
+    IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L)
+    assert(IncrementalDedup.reconciledWatermarks(spark, root).isEmpty)
+    spark.sharedState.cacheManager.clearCache()
+    // replay window: no marker -> full reconcile -> empty delta ->
+    // marker safely rewritten
+    val w = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 2L)
+    assert(w("delta_ids") == 0L)
+    assert(IncrementalDedup.reconciledWatermarks(spark, root) == Seq(2L))
+  }
+
+  test("retireLagWindows: evidence retires at the K-windows-older " +
+      "completed watermark; zero-lag is unchanged; fewer than K+1 " +
+      "windows retire nothing") {
+    import spark.implicits._
+    val root = seedRoot("rni_lag")
+    // window 1 (lag 1): only one completed watermark -> nothing retires
+    val w1 = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 1L, retire = true,
+      retireLagWindows = 1)
+    assert(w1("evidence_partitions_retired") == 0L,
+      s"one watermark, lag 1: $w1")
+    assert(evidenceIds(root) == Set(2L, 31L), "evidence kept under lag")
+    // tick 1 brings z (chains through y) plus a fresh evidence pair
+    IncrementalDedup.admitBatchLadder(Seq(
+        (11L, "w5 w6 w7 w8 w9 w10 w11 w12"),
+        (20L, "r1 r2 r3 r4 r5 r6 r7 r8"),
+        (21L, "r2 r3 r4 r5 r6 r7 r8 r9")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 1L)
+    spark.sharedState.cacheManager.clearCache()
+    // window 2 (lag 1): retires at watermark 1 — the PRE-window-1
+    // evidence partitions (batch=-1, fold-covered at 1) go; the tick-1
+    // evidence (21) and this window's own retiree (11) stay
+    val w2 = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 2L, retire = true,
+      retireLagWindows = 1)
+    assert(w2("delta_ids") == 1L, s"window 2 converges z: $w2")
+    assert(w2("evidence_partitions_retired") >= 1L, s"lagged retire: $w2")
+    spark.sharedState.cacheManager.clearCache()
+    assert(evidenceIds(root) == Set(21L, 11L),
+      s"window-1-old evidence retired, younger kept: ${evidenceIds(root)}")
+  }
+}
