@@ -317,6 +317,10 @@ object LadderBloom {
     }
   }
 
+  /** Estimated bytes per postings row (id 8 + m 4 + sh64 8 + framing)
+    * for the broadcast-regime test below. */
+  private[graft] val PostingRowBytes: Long = 24L
+
   /** The postings rung's probe split: (batchSide, indexSide) pairs to
     * run through [[Dedup.jaccardProbe]] / [[Dedup.containmentProbe]]
     * and union. With a sidecar the covered slice is probed by the
@@ -329,13 +333,36 @@ object LadderBloom {
     * carried `m`s — same argument, other side); a candidate-free batch
     * skips the covered probe whole. The tail is probed exactly.
     * Without a sidecar, a single unpruned pair.
+    *
+    * BROADCAST-PROBE REGIME (`broadcastSkip`, default on): when the
+    * batch postings fit under the session's broadcast threshold, the
+    * planner broadcasts THEM and the plain probe already streams the
+    * index with zero exchange — the sidecar machinery (batch-side
+    * filter, per-tick candidate-summary action, reverse scan filter)
+    * is pure overhead there, measured as a sign flip on the near rung
+    * in `REVERSE_TICK.json` (plain 0.06 MB / 1.36 s vs bloom 0.43 MB /
+    * 1.73 s at a 2.5M-key index). The probe therefore counts the batch
+    * postings (one action on the caller's already-cached relation —
+    * the same relation every probe branch scans anyway) and falls back
+    * to the plain single pair when `rows × PostingRowBytes` fits the
+    * threshold. Decisions are identical in every mode (all paths are
+    * exact); the dial exists so specs can pin both positions. The
+    * url/fp rungs keep their sidecars unconditionally — their reverse
+    * probes WIN in this regime (the key relations are doc-count-sized,
+    * not postings-sized, and the measured gain is ~100×).
     */
   private[graft] def postingsProbes(posts: DataFrame, ix: DataFrame,
                                     root: String, batchId: Long,
                                     sc: Option[Sidecar],
-                                    reverseMinKeys: Long = ReverseMinKeys): Seq[(DataFrame, DataFrame)] =
+                                    reverseMinKeys: Long = ReverseMinKeys,
+                                    broadcastSkip: Boolean = true): Seq[(DataFrame, DataFrame)] =
     sc match {
       case None => Seq((posts, ix))
+      case Some(s) if broadcastSkip && {
+        val bc = posts.sparkSession.sessionState.conf
+          .autoBroadcastJoinThreshold
+        bc > 0 && posts.count() * PostingRowBytes <= bc
+      } => Seq((posts, ix))
       case Some(s) =>
         val parts = Layout.batchValues(posts.sparkSession,
           s"$root/postings").filter(_ != batchId)

@@ -211,9 +211,54 @@ class LadderBloomSpec extends AnyFunSuite {
     val plainP = probe(LadderBloom.postingsProbes(posts, pix, root, 9L,
       None))
     val revP = probe(LadderBloom.postingsProbes(posts, pix, root, 9L,
-      scP, reverseMinKeys = 0L))
+      scP, reverseMinKeys = 0L, broadcastSkip = false))
     assert(plainP == revP && plainP == Set((301L, 4L)),
       s"plain $plainP rev $revP")
+  }
+
+  test("broadcast-probe regime: a batch postings relation under the " +
+      "broadcast threshold auto-skips the postings sidecar (plain " +
+      "single pair); above it the covered/tail machinery runs; " +
+      "decisions identical in both positions") {
+    import spark.implicits._
+    implicit val s = spark
+    val root = tmp("lbl_bskip")
+    IncrementalDedup.admitBatchLadder(tick1, "doc_id", "text",
+      Some("url"), root, n = 3, tau = 0.5, batchId = 0L)
+    LadderBloom.buildAll(spark, root, committedBelow = 1L)
+    val posts = graft.ext.Dedup.shinglePostings(
+      Seq((301L, "one two three four five six seven ten"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3)
+    val pix = spark.read.parquet(s"$root/postings")
+      .filter(col("batch") =!= 9L)
+    val scP = LadderBloom.read(spark, root, "postings")
+    // tiny batch, default threshold (10 MB): the skip fires — ONE pair
+    // whose batch side is the unpruned posts relation itself
+    val skipped = LadderBloom.postingsProbes(posts, pix, root, 9L, scP)
+    assert(skipped.size == 1 && (skipped.head._1 eq posts),
+      "broadcast regime must return the plain single pair")
+    // same call with the skip disabled: the sidecar split runs
+    val split = LadderBloom.postingsProbes(posts, pix, root, 9L, scP,
+      broadcastSkip = false)
+    assert(split.size >= 1 && !split.exists(_._1 eq posts),
+      "sidecar path must prune the batch side")
+    // a zero broadcast threshold (broadcast disabled) keeps the sidecar
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noBc = LadderBloom.postingsProbes(posts, pix, root, 9L, scP)
+      assert(!noBc.exists(_._1 eq posts),
+        "no broadcast regime -> sidecar path")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    def probe(pairs: Seq[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]): Set[(Long, Long)] =
+      pairs.map { case (b, i) => graft.ext.Dedup.jaccardProbe(b,
+          i.select(col("id"), col("m"), col("sh64")), 0.5)
+        .select(col("batch_id"), col("corpus_id")) }
+        .reduce(_ unionByName _)
+        .as[(Long, Long)].collect().toSet
+    assert(probe(skipped) == probe(split),
+      "both dial positions must score identically")
   }
 
   test("finite maxDocFreq under a sidecar's covered/tail split: hot-" +
