@@ -43,7 +43,7 @@ object Queries
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
     qUrlDomainCardPsl, qDomainQuota, qDomainQuotaPsl,
     qDedupLadder, qAdmissionLadder, qLadderBloom, qReladder,
-    qReladderApply, qIngestLadder, qLineRung,
+    qReladderApply, qReladderRefund, qIngestLadder, qLineRung,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupJaccardSteady,
@@ -129,7 +129,7 @@ object Queries
     */
   val slowTier: Set[String] = Set("dedup_substr_exact_sa",
     "q_admission_ladder", "q_ladder_bloom", "q_ingest_ladder",
-    "q_reladder", "q_reladder_apply", "q_line_rung",
+    "q_reladder", "q_reladder_apply", "q_reladder_refund", "q_line_rung",
     // side-effectful two-tick composition tests (temp-root parquet
     // writes dominate their wall; the registered plan is just the
     // verdict read-back, invisible to the plan audit) — per-tick cost

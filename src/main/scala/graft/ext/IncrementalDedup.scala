@@ -547,6 +547,15 @@ object IncrementalDedup {
     * @return the batch's verdict relation (id, dropped_at ∈ {domain,
     *         NULL}), read back from its just-written partition
     */
+  /** The quota family's shared host extraction: canonical-URL
+    * authority, userinfo and port stripped — ONE definition so the
+    * quota rung, the ingest ladder's domain rung, and the apply-time
+    * refund all bucket a url identically. */
+  private[graft] def hostOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(
+      regexp_extract(TextOps.canonicalUrl(url), "^[^/?]*", 0),
+      "^[^@]*@", ""), ":[0-9]+$", "")
+
   def admitBatchDomainQuota(batch: DataFrame, idCol: String,
                             urlCol: String, root: String, k: Int,
                             batchId: Long,
@@ -554,11 +563,12 @@ object IncrementalDedup {
                             pslRules: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"domain quota must be positive: $k")
     val spark = batch.sparkSession
+    // a crashed refund swap may have left the counts tree one rename
+    // short — finish it before the prior-count probe lists the tree
+    recoverSwaps(spark, s"$root/domain_counts")
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
-    val host = regexp_replace(regexp_replace(
-      regexp_extract(TextOps.canonicalUrl(col(urlCol)), "^[^/?]*", 0),
-      "^[^@]*@", ""), ":[0-9]+$", "")
+    val host = hostOf(col(urlCol))
     // reg_domain is used by the rank, the drop join and the count
     // write: compute it once — via the embedded scalar subset, or
     // (pslRules) the full wildcard/exception rules-table matcher
@@ -964,9 +974,39 @@ object IncrementalDedup {
     * false NEGATIVE could change a verdict, and deletion cannot create
     * one). The next maintenance rebuild re-tightens pruning.
     *
-    * `domain_counts/` is NOT refunded: a reconcile-deleted doc still
-    * consumed its registrant's quota (the cap stays conservative —
-    * first-arrival accounting, the [[admitBatchDomainQuota]] rule).
+    * `domain_counts/` is NOT refunded by default: a reconcile-deleted
+    * doc still consumed its registrant's quota (the cap stays
+    * conservative — first-arrival accounting, the
+    * [[admitBatchDomainQuota]] rule). Over long horizons with
+    * aggressive reconciliation that drifts dup-heavy registrants
+    * permanently under-quota vs batch semantics, so `refundQuota =
+    * Some(...)` opts into decrementing the deleted docs' registered
+    * domains: a NEGATIVE-count partition lands under `domain_counts/`
+    * at the watermark-keyed id `batch = -(committedBelow + 2)` (real
+    * ids are ≥ 0 and the fold target is −1, so the key collides with
+    * nothing; prior-count sums read it like any other partition, and
+    * [[Layout.foldBatchPartitions]] folds committed refund partitions
+    * into `batch=-1` like committed ticks). Replay-idempotent by the
+    * same two levers as everything here: the partition id is
+    * deterministic per watermark (a replay overwrites the same values
+    * in place), and the delta SNAPSHOT carries each doc's resolved
+    * `reg_domain` and MERGES with a same-watermark predecessor — a
+    * crash-replay's re-derived delta misses docs whose corpus rows
+    * (hence urls) were already deleted, and the predecessor snapshot
+    * still holds their domains, so the recomputed refund is always the
+    * FULL window's. The refund is SCOPE-GATED like every other step: a
+    * delta doc in the current uncommitted tick's partition is not
+    * deleted by this apply, so it does not refund either — the later
+    * window that actually deletes it refunds it (its corpus row, hence
+    * url, is still present to resolve). Docs with NULL/unresolvable
+    * hosts never refund
+    * (they were never counted — the NULL-provenance rule); the refund
+    * step is skipped entirely when `domain_counts/` holds no data (no
+    * quota rung ran, nothing to refund). Quota drops that already
+    * happened remain dropped — the refund corrects the count for
+    * FUTURE arrivals, which is exactly batch parity when quota
+    * pressure follows the maintenance window (fixture-pinned in
+    * `q_reladder_refund`).
     *
     * Call from the SAME serialized window that runs the ticks, passing
     * the current tick watermark: only partitions with
@@ -982,9 +1022,11 @@ object IncrementalDedup {
   def applyReconcile(spark: SparkSession, root: String, idCol: String,
                      delta: DataFrame,
                      committedBelow: Long,
-                     recordWatermark: Boolean = false): Map[String, Long] = {
+                     recordWatermark: Boolean = false,
+                     refundQuota: Option[QuotaRefund] = None): Map[String, Long] = {
     require(committedBelow >= 0, s"committedBelow must be >= 0")
-    Seq("verdicts", "corpus", "postings", "postings_dropped")
+    Seq("verdicts", "corpus", "postings", "postings_dropped",
+        "domain_counts")
       .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
     // SNAPSHOT the delta to a durable sibling before any swap: the
     // incoming relation's plan reads the very postings files the apply
@@ -995,6 +1037,19 @@ object IncrementalDedup {
     // caller-persisted delta — a lazy handle from before the crash is
     // dead by construction.
     val deltaDir = s"$root/.apply-delta"
+    val deltaTmp = s"$root/.apply-delta-tmp"
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // entry recovery for an interrupted snapshot swap (refund path): a
+    // completed tmp whose final dir is gone is renamed into place; a
+    // stale tmp beside a live snapshot is discarded
+    val tmpPath = new org.apache.hadoop.fs.Path(deltaTmp)
+    if (fsRoot.exists(tmpPath)) {
+      val dirPath = new org.apache.hadoop.fs.Path(deltaDir)
+      if (fsRoot.exists(dirPath)) fsRoot.delete(tmpPath, true)
+      else require(fsRoot.rename(tmpPath, dirPath),
+        s"snapshot recovery rename $deltaTmp failed")
+    }
     // dedupe by ID, not by (id, dropped_at): the API accepts arbitrary
     // caller-persisted deltas, and a delta carrying one id under two
     // tags would otherwise keep both rows — the verdict rewrite's left
@@ -1002,17 +1057,78 @@ object IncrementalDedup {
     // partition, corrupting the one-row-per-id relation. min(tag) makes
     // the pick deterministic; [[reconcileNear]]'s own output is
     // single-tag, where this is the plain distinct.
-    delta.groupBy(col("id"))
+    val deduped = delta.groupBy(col("id"))
       .agg(min(col("dropped_at")).as("dropped_at"))
-      .write.mode(SaveMode.Overwrite).parquet(deltaDir)
+    refundQuota match {
+      case None =>
+        deduped.write.mode(SaveMode.Overwrite).parquet(deltaDir)
+      case Some(q) =>
+        // resolve each delta doc's registered domain NOW, while its
+        // corpus row (hence url) still exists — the refund's input must
+        // survive the corpus deletion below and any crash after it
+        val resolved =
+          if (!Layout.hasParquetData(spark, s"$root/corpus"))
+            deduped.withColumn("reg_domain",
+              lit(null).cast("string"))
+          else {
+            val c = spark.read.parquet(s"$root/corpus")
+            val hit = c.join(deduped.select(col("id").as("__rid")),
+              c(idCol) === col("__rid"), "left_semi")
+            val doms = resolveRegDomains(hit, idCol,
+              hostOf(col(q.urlCol)), q.suffixes, q.pslRules)
+            // SCOPE GATE: a delta doc in the current uncommitted
+            // tick's partition is not deleted by this apply (the
+            // hitParts scope rule below), so refunding it now would
+            // double-count when a later window deletes it for real —
+            // its reg_domain is nulled here and the later window's
+            // snapshot re-resolves it (the corpus row is still there)
+            val scoped = hit
+              .select(col(idCol).as("id"), col("batch").cast("long")
+                .as("__cb"))
+            deduped.join(doms, Seq("id"), "left")
+              .join(scoped, Seq("id"), "left")
+              .select(col("id"), col("dropped_at"),
+                when(col("__cb") === -1L || col("__cb") < committedBelow,
+                  col("reg_domain")).as("reg_domain"))
+          }
+        // MERGE with a same-watermark predecessor snapshot: a
+        // crash-replay's re-derived delta misses already-processed
+        // docs whose corpus rows are gone; their domains live only in
+        // the predecessor. max(reg_domain) ignores NULLs, so the
+        // resolved value wins over an unresolvable replay row.
+        val prev =
+          if (!Layout.hasParquetData(spark, deltaDir)) None
+          else {
+            val p = spark.read.parquet(deltaDir)
+            if (p.columns.contains("__wm") &&
+              p.columns.contains("reg_domain"))
+              Some(p.filter(col("__wm") === committedBelow)
+                .select(col("id"), col("dropped_at"), col("reg_domain")))
+            else None
+          }
+        val merged = prev.fold(resolved)(pv =>
+          resolved.unionByName(pv).groupBy(col("id"))
+            .agg(min(col("dropped_at")).as("dropped_at"),
+              max(col("reg_domain")).as("reg_domain")))
+        // tmp-write + swap: the merge READS the current snapshot dir,
+        // so an in-place Overwrite would consume its own input
+        merged.withColumn("__wm", lit(committedBelow))
+          .write.mode(SaveMode.Overwrite).parquet(deltaTmp)
+        fsRoot.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
+        require(fsRoot.rename(tmpPath,
+          new org.apache.hadoop.fs.Path(deltaDir)),
+          s"snapshot rename $deltaTmp -> $deltaDir failed")
+    }
     if (!Layout.hasParquetData(spark, deltaDir)) {
       // an empty delta is trivially applied in full: the state is
       // already converged at this watermark
       if (recordWatermark) recordReconciled(spark, root, committedBelow)
       return Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
-        "delta_ids" -> 0L)
+        "delta_ids" -> 0L) ++
+        refundQuota.map(_ => "quota_refunded" -> 0L)
     }
-    val ids = spark.read.parquet(deltaDir)
+    val idsAll = spark.read.parquet(deltaDir)
+    val ids = idsAll.select(col("id"), col("dropped_at"))
     // reported so callers can detect a PARTIALLY-in-scope delta (a
     // delta doc living in the current, uncommitted tick's partition is
     // not touched — verdicts < delta_ids): [[reconcileWindow]] defers
@@ -1058,7 +1174,25 @@ object IncrementalDedup {
         nCorpus += n
       }
     }
-    // 3. postings: move delta docs' rows to the evidence subtree, THEN
+    // 3. (opt-in) quota refund: one negative-count partition at the
+    // watermark-keyed id, computed from the SNAPSHOT's resolved
+    // domains (complete across crash-replays by the merge above).
+    // BEFORE the postings retirement so the re-derived delta stays
+    // complete for as long as possible; a replay overwrites the same
+    // partition with the same values.
+    var nRefund = 0L
+    refundQuota.foreach { _ =>
+      val qDir = s"$root/domain_counts"
+      if (Layout.hasParquetData(spark, qDir)) {
+        val doms = idsAll.filter(col("reg_domain").isNotNull)
+        nRefund = doms.count()
+        if (nRefund > 0)
+          swapPartition(spark, qDir, -(committedBelow + 2L),
+            doms.groupBy(col("reg_domain"))
+              .agg((-count(lit(1))).as("n")))
+      }
+    }
+    // 4. postings: move delta docs' rows to the evidence subtree, THEN
     // retire them from the probe-visible index. Within a partition the
     // evidence union lands first, so an interruption between the two
     // writes replays into the same (distinct-deduped) union.
@@ -1096,8 +1230,20 @@ object IncrementalDedup {
     if (recordWatermark && nVerdicts == nDelta)
       recordReconciled(spark, root, committedBelow)
     Map("verdicts" -> nVerdicts, "corpus" -> nCorpus,
-      "postings" -> nPostings, "delta_ids" -> nDelta)
+      "postings" -> nPostings, "delta_ids" -> nDelta) ++
+      refundQuota.map(_ => "quota_refunded" -> nRefund)
   }
+
+  /** Opt-in quota-refund configuration for [[applyReconcile]] /
+    * [[reconcileWindow]]: how a reconcile-deleted doc's registered
+    * domain is resolved — the SAME url column, embedded-subset /
+    * rules-table dispatch as the quota rung that counted it
+    * ([[admitBatchDomainQuota]], [[IngestLadder.admitBatch]]'s
+    * `domain` rung), so refund buckets registrants exactly as
+    * admission did. */
+  final case class QuotaRefund(urlCol: String,
+                               suffixes: Seq[String] = Dedup.publicSuffixes,
+                               pslRules: Option[DataFrame] = None)
 
   private val ReconcileMarker = "_reconciled"
   private val ReconcileMarkerKeep = 64
@@ -1244,13 +1390,15 @@ object IncrementalDedup {
                       maxDocFreq: Int = Int.MaxValue,
                       retire: Boolean = false,
                       targetBytes: Long = 128L << 20,
-                      retireLagWindows: Int = 0): Map[String, Long] = {
+                      retireLagWindows: Int = 0,
+                      refundQuota: Option[QuotaRefund] = None): Map[String, Long] = {
     require(retireLagWindows >= 0,
       s"retireLagWindows must be >= 0: $retireLagWindows")
     val counts =
       if (!Layout.hasParquetData(spark, s"$root/postings"))
         Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
-          "delta_ids" -> 0L)
+          "delta_ids" -> 0L) ++
+          refundQuota.map(_ => "quota_refunded" -> 0L)
       else {
         val delta = reconciledWatermarks(spark, root)
           .filter(_ <= committedBelow).lastOption match {
@@ -1259,7 +1407,7 @@ object IncrementalDedup {
           case None => reconcileNear(spark, root, tau, maxDocFreq)
         }
         applyReconcile(spark, root, idCol, delta, committedBelow,
-          recordWatermark = true)
+          recordWatermark = true, refundQuota = refundQuota)
       }
     // a delta doc in the CURRENT tick's partition is out of apply
     // scope (the tick isn't committed until its checkpoint lands, and

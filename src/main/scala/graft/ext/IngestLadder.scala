@@ -189,10 +189,13 @@ object IngestLadder {
     require(tags.forall(!ReservedTags(_)),
       s"gate tags may not shadow the built-in rungs: $tags")
     val spark = batch.sparkSession
-    // a crashed applyReconcile may have left the postings tree one
-    // rename short ([[IncrementalDedup.recoverSwaps]]) — finish the
-    // swap before any probe lists the tree
+    // a crashed applyReconcile may have left the postings tree (or,
+    // under an opt-in quota refund, the counts tree) one rename short
+    // ([[IncrementalDedup.recoverSwaps]]) — finish the swaps before
+    // any probe lists the trees
     IncrementalDedup.recoverSwaps(spark, s"$root/postings")
+    if (domainQuota.isDefined)
+      IncrementalDedup.recoverSwaps(spark, s"$root/domain_counts")
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
     def others(dir: String): Option[DataFrame] =

@@ -262,12 +262,21 @@ object Layout {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0
+    // b <= -2 partitions are watermark-keyed quota REFUNDS
+    // ([[IncrementalDedup.applyReconcile]]'s `batch = -(W + 2)` key):
+    // committed exactly when their watermark W = -b - 2 is below this
+    // fold's (serialized windows are monotone, and a window only
+    // replays before the NEXT one starts) — folding them keeps the
+    // counts tree's partition count bounded by the tick fold cadence
+    // instead of growing one dir per maintenance window forever. The
+    // fold is row-preserving, so prior-count sums are unchanged.
     def sourceDirs(): Seq[String] = fs.listStatus(path)
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter { n =>
         n.startsWith("batch=") &&
           scala.util.Try(n.stripPrefix("batch=").toLong).toOption
-            .exists(b => b == -1L || (b >= 0L && b < committedBelow))
+            .exists(b => b == -1L || (b >= 0L && b < committedBelow) ||
+              (b <= -2L && -b - 2L < committedBelow))
       }.sorted.toSeq
     val snapshot = sourceDirs()
     if (snapshot.isEmpty || snapshot == Seq("batch=-1")) return 0

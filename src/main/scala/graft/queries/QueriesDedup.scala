@@ -1160,6 +1160,87 @@ private[graft] trait QueriesDedup { this: Queries.type =>
           AS dropped_at
       FROM documents d"""))
 
+  /** [[qReladderApply]] with the QUOTA dimension: the full ingest
+    * ladder (url + near + per-registered-domain quota, k = 2) over
+    * three ticks with a reconcile window — refund ENABLED — in the
+    * middle. Groups of 5 docs share one registered domain: role 0 is
+    * the host, role 1 its near-dup (drops at ingest, evidence), role 2
+    * chains to the corpus only through role 1 (admitted at ingest,
+    * consumes quota, then reconciled away — `applyReconcile` with
+    * `refundQuota` decrements its domain), roles 3-4 arrive AFTER the
+    * window as pure quota pressure. With the refund, role 3 fits the
+    * corrected count (1 + 1 ≤ 2) and role 4 overflows — exactly the
+    * batch ladder-with-quota answer the oracle computes (one near CC +
+    * one rank-per-domain pass, no tick replay: convergence is the
+    * claim). WITHOUT the refund role 3 would read prior = 2 and drop
+    * `domain` — the discriminating row.
+    */
+  val qReladderRefund = Q("q_reladder_refund",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_rel_refund").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", transform(
+          when(col("doc_id") % 5 === 3, sequence(lit(12), lit(19)))
+            .when(col("doc_id") % 5 === 4, sequence(lit(22), lit(29)))
+            .otherwise(sequence(col("doc_id") % 5 * 2,
+              col("doc_id") % 5 * 2 + 7)),
+          k => concat(lit("g"), expr("doc_id div 5").cast("string"),
+            lit("w"), k.cast("string")))).as("text"),
+        concat(lit("http://d"), expr("doc_id div 5").cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")).as("url"))
+      def tick(cond: org.apache.spark.sql.Column, b: Long) =
+        graft.ext.IngestLadder.admitBatch(docs.filter(cond), "doc_id",
+          "text", Some("url"), Seq.empty, root, n = 3, tau = 0.5,
+          batchId = b, domainQuota = Some(2))
+      tick(col("doc_id") % 5 < 2, 0L)
+      tick(col("doc_id") % 5 === 2, 1L)
+      graft.ext.IncrementalDedup.reconcileWindow(s, root, "doc_id",
+        tau = 0.5, committedBelow = 2L,
+        refundQuota = Some(graft.ext.IncrementalDedup.QuotaRefund("url")))
+      tick(col("doc_id") % 5 >= 3, 2L)
+      s.read.parquet(s"$root/verdicts")
+        .select(col("id"), col("dropped_at"))
+    },
+    Some("""WITH RECURSIVE syn AS (
+        SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS role
+        FROM documents),
+      docsyn AS (
+        SELECT doc_id, grp, array_to_string(list_transform(
+          CASE WHEN role = 3 THEN generate_series(12, 19)
+               WHEN role = 4 THEN generate_series(22, 29)
+               ELSE generate_series(role*2, role*2 + 7) END,
+          k -> 'g' || grp || 'w' || k), ' ') AS text FROM syn),
+      docsw AS (SELECT doc_id, grp, string_split(text, ' ') AS w
+        FROM docsyn),
+      shs AS (SELECT doc_id, grp, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset FROM docsw),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle
+        FROM shs),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      nd AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach GROUP BY id) WHERE id <> c),
+      q AS (SELECT doc_id FROM (
+          SELECT s.doc_id, row_number() OVER (
+            PARTITION BY s.grp ORDER BY s.doc_id) AS rnk
+          FROM syn s
+          WHERE s.doc_id NOT IN (SELECT doc_id FROM nd)) WHERE rnk > 2)
+      SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 'near'
+             WHEN d.doc_id IN (SELECT doc_id FROM q) THEN 'domain' END
+          AS dropped_at
+      FROM documents d"""))
+
   /** The ingest ladder's LINES rung ([[graft.ext.IngestLadder
     * .admitBatch]] with `lineDedup = true`) replayed over two ticks:
     * every doc carries a shared boilerplate line plus a unique body

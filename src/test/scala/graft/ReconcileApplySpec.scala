@@ -220,6 +220,120 @@ class ReconcileApplySpec extends AnyFunSuite {
       11L -> None), "stale tmp must not leak into the verdict tree")
   }
 
+  // the chain fixture under the FULL ingest ladder with a domain quota
+  // (k = 2, all docs on one registrant): 1 admitted, 2 drops near at
+  // ingest (never counted), 11 chains through 2 and is admitted — it
+  // CONSUMED quota, so reconciling it away leaves the count stale
+  private def quotaRoot(tag: String): String = {
+    import spark.implicits._
+    val root = tmp(tag)
+    def tick(rows: Seq[(Long, String, String)], b: Long) =
+      graft.ext.IngestLadder.admitBatch(
+        rows.toDF("doc_id", "text", "url"), "doc_id", "text",
+        Some("url"), Seq.empty, root, n = 3, tau = 0.5, batchId = b,
+        domainQuota = Some(2))
+    tick(Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8", "http://d.com/1"),
+      (2L, "w3 w4 w5 w6 w7 w8 w9 w10", "http://d.com/2")), 0L)
+    tick(Seq(
+      (11L, "w5 w6 w7 w8 w9 w10 w11 w12", "http://d.com/11")), 1L)
+    root
+  }
+  private def domainSum(root: String): Long = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/domain_counts")
+      .agg(sum(col("n"))).as[Long].head()
+  }
+  private val refund =
+    Some(IncrementalDedup.QuotaRefund("url"))
+
+  test("quota refund: the reconcile-deleted doc's domain is " +
+      "decremented through a watermark-keyed negative partition; " +
+      "future arrivals see the corrected count; a replay rewrites the " +
+      "same values; the fold absorbs committed refund partitions") {
+    import spark.implicits._
+    val root = quotaRoot("rca_refund")
+    assert(domainSum(root) == 2L, "1 and 11 consumed quota")
+    val counts = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L, refundQuota = refund)
+    assert(counts("quota_refunded") == 1L && counts("corpus") == 1L,
+      s"refund counts $counts")
+    spark.sharedState.cacheManager.clearCache()
+    assert(domainSum(root) == 1L, "11's consumption refunded")
+    // quota pressure AFTER the window reads the corrected prior: one
+    // slot left, 20 fits, 21 overflows — batch parity
+    val v2 = graft.ext.IngestLadder.admitBatch(Seq(
+        (20L, "r1 r2 r3 r4 r5 r6 r7 r8", "http://d.com/20"),
+        (21L, "s1 s2 s3 s4 s5 s6 s7 s8", "http://d.com/21"))
+        .toDF("doc_id", "text", "url"), "doc_id", "text", Some("url"),
+        Seq.empty, root, n = 3, tau = 0.5, batchId = 2L,
+        domainQuota = Some(2))
+      .as[(Long, Option[String])].collect().toMap
+    assert(v2 == Map(20L -> None, 21L -> Some("domain")),
+      s"corrected prior must admit exactly one: $v2")
+    // replay at the same watermark (re-derived delta is empty; the
+    // merged snapshot still carries the full window): same values land
+    // in the same partition — domain sums unchanged
+    spark.sharedState.cacheManager.clearCache()
+    val again = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L, refundQuota = refund)
+    assert(again("verdicts") == 0L && again("corpus") == 0L,
+      s"replay no-op $again")
+    spark.sharedState.cacheManager.clearCache()
+    assert(domainSum(root) == 2L, "refund replay must not double-count")
+    // the fold folds committed refund partitions (batch <= -2 with
+    // watermark below the fold's) into batch=-1, sums preserved
+    IncrementalDedup.maintainLadder(spark, root, committedBelow = 3L)
+    spark.sharedState.cacheManager.clearCache()
+    val parts = new java.io.File(s"$root/domain_counts").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("batch=-1"), s"refund partitions folded: $parts")
+    assert(domainSum(root) == 2L, "fold is row-preserving over refunds")
+  }
+
+  test("quota refund crash-merge: corpus row already deleted when the " +
+      "replay resolves domains — the same-watermark predecessor " +
+      "snapshot restores them and the refund is the FULL window's") {
+    import spark.implicits._
+    val root = quotaRoot("rca_refund_crash")
+    // the crash state applyReconcile's order guarantees: snapshot (with
+    // resolved domains) + verdicts + corpus done; refund and postings
+    // pending
+    Seq((11L, "near", "d.com", 2L))
+      .toDF("id", "dropped_at", "reg_domain", "__wm")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/.apply-delta")
+    val vDir = s"$root/verdicts"
+    spark.read.parquet(s"$vDir/batch=1")
+      .withColumn("dropped_at",
+        when(col("id") === 11L, lit("near")).otherwise(col("dropped_at")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/.crash_v1")
+    spark.read.parquet(s"$root/.crash_v1").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$vDir/batch=1")
+    val cDir = s"$root/corpus"
+    spark.read.parquet(s"$cDir/batch=1").filter(col("doc_id") =!= 11L)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/.crash_c1")
+    spark.read.parquet(s"$root/.crash_c1").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$cDir/batch=1")
+    spark.sharedState.cacheManager.clearCache()
+    // replay: the re-derived delta still holds 11 (postings intact),
+    // but its corpus row — hence url — is gone; only the predecessor
+    // snapshot knows the domain
+    val counts = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L, refundQuota = refund)
+    assert(counts("quota_refunded") == 1L && counts("postings") == 6L,
+      s"crash replay must refund through the merged snapshot: $counts")
+    spark.sharedState.cacheManager.clearCache()
+    assert(domainSum(root) == 1L, s"full refund after crash replay")
+  }
+
   test("fold-then-apply and apply-then-fold agree on every subtree's " +
       "row set") {
     def allState(root: String) = (verdicts(root), corpusIds(root),
