@@ -466,6 +466,83 @@ class ReconcileApplySpec extends AnyFunSuite {
     assert(postingIds(root, "postings_dropped").isEmpty)
   }
 
+  test("adversarial interleaving: crash after corpus delete but before " +
+      "postings retirement, then a window whose re-derived delta holds " +
+      "OTHER docs (one out of scope) — retirement waits for exactly " +
+      "the right watermark and the half-applied doc's chain is never " +
+      "orphaned") {
+    import spark.implicits._
+    // TWO independent chains: the w-chain (1 — 2 evidence — 11) and
+    // the q-chain (30 — 31 evidence — 41), disjoint vocabularies so
+    // neither interferes with the other at ingest
+    val root = tmp("rca_adv")
+    IncrementalDedup.admitBatchLadder(Seq(
+        (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        (2L, "w3 w4 w5 w6 w7 w8 w9 w10"),
+        (30L, "q1 q2 q3 q4 q5 q6 q7 q8"),
+        (31L, "q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 0L)
+    IncrementalDedup.admitBatchLadder(
+      Seq((11L, "w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 1L)
+    // the mid-apply crash state for doc 11 (verdicts + corpus done,
+    // postings untouched — steps 1-2 of the subtree order)
+    val vDir = s"$root/verdicts"
+    spark.read.parquet(s"$vDir/batch=1")
+      .withColumn("dropped_at",
+        when(col("id") === 11L, lit("near")).otherwise(col("dropped_at")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/.adv_v1")
+    spark.read.parquet(s"$root/.adv_v1").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$vDir/batch=1")
+    val cDir = s"$root/corpus"
+    spark.read.parquet(s"$cDir/batch=1").filter(col("doc_id") =!= 11L)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/.adv_c1")
+    spark.read.parquet(s"$root/.adv_c1").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$cDir/batch=1")
+    spark.sharedState.cacheManager.clearCache()
+    // tick 2 brings the q-chain's cross-tick doc (41 ~ 31 evidence,
+    // far from 30): admitted at ingest — the re-derived delta is now
+    // {11 (half-applied), 41 (fresh, in the uncommitted tick)}
+    IncrementalDedup.admitBatchLadder(
+      Seq((41L, "q5 q6 q7 q8 q9 q10 q11 q12")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 2L)
+    // window INSIDE tick 2 (committedBelow = 2): 11 is in scope (its
+    // postings finish retiring), 41 is NOT (its partition is the
+    // uncommitted tick) — partial scope, so retirement and the
+    // watermark must both WAIT
+    val w1 = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 2L, retire = true)
+    assert(w1("delta_ids") == 2L && w1("verdicts") == 0L &&
+      w1("postings") == 6L &&
+      w1("evidence_partitions_retired") == 0L,
+      s"partial-scope window must defer retirement: $w1")
+    assert(IncrementalDedup.reconciledWatermarks(spark, root).isEmpty,
+      "no watermark while any delta doc is out of scope")
+    spark.sharedState.cacheManager.clearCache()
+    assert(postingIds(root, "postings_dropped") == Set(2L, 11L, 31L),
+      "evidence must survive the deferral — 41's chain runs through it")
+    // next window (batch 2 committed): 41 converges, the watermark
+    // records, and retirement finally runs at the RIGHT watermark
+    val w2 = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = 0.5, committedBelow = 3L, retire = true)
+    assert(w2("delta_ids") == 1L && w2("verdicts") == 1L &&
+      w2("corpus") == 1L && w2("evidence_partitions_retired") >= 1L,
+      s"committed window must converge then retire: $w2")
+    assert(IncrementalDedup.reconciledWatermarks(spark, root) == Seq(3L))
+    spark.sharedState.cacheManager.clearCache()
+    assert(verdicts(root) == Map(1L -> None, 2L -> Some("near"),
+      30L -> None, 31L -> Some("near"),
+      11L -> Some("near"), 41L -> Some("near")))
+    assert(corpusIds(root) == Set(1L, 30L))
+    assert(postingIds(root, "postings_dropped").isEmpty)
+    assert(IncrementalDedup.reconcileNear(spark, root, tau = 0.5)
+      .count() == 0L, "converged, nothing orphaned")
+  }
+
   test("retireEvidence: safe for the converged state (re-reconcile " +
       "stays empty), and the documented trade — a future chain only " +
       "through retired evidence stays admitted, through retained " +

@@ -169,6 +169,51 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     assert(IncrementalDedup.reconciledWatermarks(spark, root) == Seq(2L))
   }
 
+  test("the sf1eq fixture shape: a fixed-size tick over a CONVERGED " +
+      "group corpus chains only through apply-retired evidence; the " +
+      "incremental delta is exactly the tick and matches the full " +
+      "reconcile") {
+    import spark.implicits._
+    val root = tmp("rni_sf1eq")
+    // the q_reladder divergence corpus in miniature: 10 groups of
+    // (role0 admitted, role1 evidence, role2 reconciled away)
+    val rd = spark.range(30).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(col("id") % 3 * 2, col("id") % 3 * 2 + 7),
+        k => concat(lit("g"), expr("id div 3").cast("string"),
+          lit("w"), k.cast("string")))).as("text"))
+    IncrementalDedup.admitBatchLadder(rd.filter(col("doc_id") % 3 =!= 2),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 0L)
+    IncrementalDedup.admitBatchLadder(rd.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 1L)
+    IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L, recordWatermark = true)
+    assert(IncrementalDedup.reconciledWatermarks(spark, root) == Seq(2L))
+    // the frontier tick: words 6-13 of group g — J = 0.5 against the
+    // RETIRED role-2 doc, < τ against everything admitted
+    val tick = spark.range(5).select(
+      (col("id") + 1000L).as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(6), lit(13)),
+        k => concat(lit("g"), col("id").cast("string"),
+          lit("w"), k.cast("string")))).as("text"))
+    val v = IncrementalDedup.admitBatchLadder(tick, "doc_id", "text",
+        None, root, n = 3, tau = 0.5, batchId = 2L)
+      .select(col("id"), col("dropped_at"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(v.values.forall(_.isEmpty), s"tick must admit whole: $v")
+    spark.sharedState.cacheManager.clearCache()
+    val inc = deltaMap(IncrementalDedup.reconcileNearIncremental(
+      spark, root, tau = 0.5, sinceBatch = 2L))
+    spark.sharedState.cacheManager.clearCache()
+    val full = deltaMap(IncrementalDedup.reconcileNear(spark, root,
+      tau = 0.5))
+    assert(inc == full, s"inc $inc vs full $full")
+    assert(inc.keySet == (1000L to 1004L).toSet &&
+      inc.values.forall(_ == "near"),
+      s"delta must be exactly the frontier tick: $inc")
+  }
+
   test("retireLagWindows: evidence retires at the K-windows-older " +
       "completed watermark; zero-lag is unchanged; fewer than K+1 " +
       "windows retire nothing") {
