@@ -376,8 +376,11 @@ object IncrementalDedup {
                        monitor: Option[LadderRungMonitor] = None): DataFrame = {
     val spark = batch.sparkSession
     // a crashed applyReconcile may have left the postings tree one
-    // rename short (see [[recoverSwaps]]) — finish it before probing
+    // rename short (see [[recoverSwaps]]) or a postings→evidence move
+    // half-done ([[recoverEvidenceMoves]]) — finish both before probing
     recoverSwaps(spark, s"$root/postings")
+    recoverSwaps(spark, s"$root/postings_dropped")
+    recoverEvidenceMoves(spark, root)
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
     def others(dir: String): Option[DataFrame] =
@@ -714,9 +717,18 @@ object IncrementalDedup {
     */
   def maintainLadder(spark: SparkSession, root: String,
                      committedBelow: Long,
-                     targetBytes: Long = 128L << 20): Map[String, Int] = {
+                     targetBytes: Long = 128L << 20,
+                     foldBelowOverride: Map[String, Long] = Map.empty): Map[String, Int] = {
+    // foldBelowOverride caps a subtree's fold watermark below the
+    // window's — the retention-lag interaction ([[reconcileWindow]]):
+    // folding evidence at the FULL watermark would merge not-yet-
+    // retirable partitions into batch=-1 and stamp it with a fold
+    // watermark the lagged retire can never cover, so a lag >= 2 would
+    // silently never retire anything. Evidence younger than the lag
+    // horizon stays in per-batch partitions, individually retirable.
     val folds = LadderSubtrees.map(s => s -> Layout.foldBatchPartitions(
-      spark, s"$root/$s", committedBelow, targetBytes)).toMap
+      spark, s"$root/$s",
+      foldBelowOverride.getOrElse(s, committedBelow), targetBytes)).toMap
     // existence + sizing via the column-pruned meta read — presence-
     // testing must not deserialize a 256 MB filter into the driver,
     // and a rebuild keeps the sidecar's original bitsPerKey/probes
@@ -784,6 +796,7 @@ object IncrementalDedup {
     // subsequent retire could then delete evidence that delta needed)
     Seq("postings", "postings_dropped")
       .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
+    recoverEvidenceMoves(spark, root)
     require(Layout.hasParquetData(spark, s"$root/postings"),
       s"no admitted postings under $root/postings — run the ladder first")
     val adm = spark.read.parquet(s"$root/postings")
@@ -861,6 +874,7 @@ object IncrementalDedup {
                                maxHops: Int = 64): DataFrame = {
     Seq("postings", "postings_dropped")
       .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
+    recoverEvidenceMoves(spark, root)
     require(Layout.hasParquetData(spark, s"$root/postings"),
       s"no admitted postings under $root/postings — run the ladder first")
     def tree(sub: String): Option[DataFrame] =
@@ -1028,6 +1042,7 @@ object IncrementalDedup {
     Seq("verdicts", "corpus", "postings", "postings_dropped",
         "domain_counts")
       .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
+    recoverEvidenceMoves(spark, root)
     // SNAPSHOT the delta to a durable sibling before any swap: the
     // incoming relation's plan reads the very postings files the apply
     // is about to rewrite, so evaluating it lazily mid-apply (or after
@@ -1195,7 +1210,15 @@ object IncrementalDedup {
     // 4. postings: move delta docs' rows to the evidence subtree, THEN
     // retire them from the probe-visible index. Within a partition the
     // evidence union lands first, so an interruption between the two
-    // writes replays into the same (distinct-deduped) union.
+    // writes replays into the same (distinct-deduped) union. A crash
+    // BETWEEN the two completed swaps would leave the doc's rows in
+    // BOTH trees — and the reconcilers' adm∪evidence union would then
+    // double its per-pair intersection counts, inflating jaccard past
+    // τ for unrelated pairs (a silent exactness corruption). The
+    // per-partition MOVE MARKER closes it: created before the evidence
+    // swap, deleted after the retirement swap, and any lingering
+    // marker makes the half-done move detectable — the entry sweep
+    // ([[recoverEvidenceMoves]]) finishes the retirement.
     val pDir = s"$root/postings"; val dDir = s"$root/postings_dropped"
     var nPostings = 0L
     if (Layout.hasParquetData(spark, pDir)) {
@@ -1208,11 +1231,14 @@ object IncrementalDedup {
           if (Layout.hasParquetData(spark, s"$dDir/batch=$b"))
             Some(spark.read.parquet(s"$dDir/batch=$b"))
           else None
+        val marker = moveMarkerPath(root, b)
+        fsRoot.create(marker, true).close()
         swapPartition(spark, dDir, b,
           existing.fold(retired)(_ unionByName retired).distinct())
         swapPartition(spark, pDir, b, cur.join(
           ids.select(col("id").as("__rid")),
           cur("id") === col("__rid"), "left_anti"))
+        fsRoot.delete(marker, false)
         nPostings += n
       }
     }
@@ -1382,6 +1408,16 @@ object IncrementalDedup {
     * Same serialization contract as every piece: call from the window
     * that runs the ticks, with `committedBelow` = the current batch id.
     *
+    * CACHE LIFETIME: the window's reconcile persists corpus-scale
+    * relations ([[Materialize.multiScan]] — the postings+evidence
+    * union, the closure frontiers) whose release is the CALLER's job
+    * (the library-wide contract). The returned counts are fully
+    * materialized and the delta is snapshotted durably before any
+    * swap, so nothing lazy escapes this call — a long-running loop
+    * must release after each window (`cacheManager.clearCache()` +
+    * RDD unpersist, as [[graft.tools.RunIngest]] does) or it
+    * accumulates one corpus-sized cache entry per window.
+    *
     * @return the apply's per-subtree counts plus
     *         "evidence_partitions_retired" and "partitions_folded"
     */
@@ -1417,18 +1453,34 @@ object IncrementalDedup {
     // simply waits for the next window, where the partition is
     // committed and the re-derived delta applies in full.
     val fullyApplied = counts("verdicts") == counts("delta_ids")
-    val retired =
-      if (retire && fullyApplied) {
-        // the K-windows-older COMPLETED watermark (this window's own,
-        // just recorded, is entry 0 — retireLagWindows = 0 reproduces
-        // the zero-lag behavior exactly)
+    // the K-windows-older COMPLETED watermark (this window's own, just
+    // recorded, is entry 0 — retireLagWindows = 0 reproduces the
+    // zero-lag behavior exactly); None while fewer than K+1 windows
+    // completed
+    val lagWatermark: Option[Long] =
+      if (!retire) None
+      else {
         val ws = reconciledWatermarks(spark, root)
           .filter(_ <= committedBelow)
         if (ws.size > retireLagWindows)
-          retireEvidence(spark, root, ws(ws.size - 1 - retireLagWindows))
-        else 0
-      } else 0
-    val folds = maintainLadder(spark, root, committedBelow, targetBytes)
+          Some(ws(ws.size - 1 - retireLagWindows))
+        else None
+      }
+    val retired =
+      if (fullyApplied) lagWatermark.fold(0)(retireEvidence(spark, root, _))
+      else 0
+    // under a retention LAG the evidence subtree folds only up to the
+    // retire watermark: a full-watermark fold would merge
+    // not-yet-retirable evidence into batch=-1 and stamp it with a
+    // coverage the lagged retire never reaches (zero retirement
+    // forever — spec-pinned at K = 2). Zero-lag and retire-off keep
+    // the full fold.
+    val evidenceFold: Map[String, Long] =
+      if (retire && retireLagWindows > 0)
+        Map("postings_dropped" -> lagWatermark.getOrElse(0L))
+      else Map.empty
+    val folds = maintainLadder(spark, root, committedBelow, targetBytes,
+      evidenceFold)
     counts ++ Map(
       "evidence_partitions_retired" -> retired.toLong,
       "partitions_folded" -> folds.values.sum.toLong)
@@ -1448,6 +1500,49 @@ object IncrementalDedup {
     content.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(part, true)
     require(fs.rename(tmp, part), s"rename $tmp -> $part failed")
+  }
+
+  private def moveMarkerPath(root: String, b: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root, s".apply-move-batch=$b")
+
+  /** Entry-time recovery for an interrupted postings→evidence MOVE
+    * (step 4 of [[applyReconcile]]): a lingering `.apply-move-batch=N`
+    * marker means the apply may have crashed BETWEEN the two completed
+    * partition swaps, leaving a doc's rows in BOTH trees — the state
+    * the reconcilers' adm∪evidence union would read as doubled
+    * intersection counts (inflated jaccard, false component merges).
+    * Recovery finishes the retirement: any id present in the evidence
+    * partition is removed from the postings partition (legitimate
+    * states keep the two trees id-disjoint per partition, so overlap ⟹
+    * interrupted move). Run AFTER [[recoverSwaps]] on both trees (a
+    * mid-swap crash must be finished first so both partitions are
+    * whole). Zero overlap (crash before the evidence swap, or after
+    * both swaps but before the marker delete) recovers as a no-op; the
+    * partition-scoped join runs only when a marker exists. */
+  private[graft] def recoverEvidenceMoves(spark: SparkSession,
+                                          root: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) return
+    fs.listStatus(rp).map(_.getPath)
+      .filter(_.getName.startsWith(".apply-move-batch="))
+      .foreach { m =>
+        val b = m.getName.stripPrefix(".apply-move-batch=").toLong
+        val pPart = s"$root/postings/batch=$b"
+        val dPart = s"$root/postings_dropped/batch=$b"
+        if (Layout.hasParquetData(spark, pPart) &&
+          Layout.hasParquetData(spark, dPart)) {
+          val cur = spark.read.parquet(pPart)
+          val ev = spark.read.parquet(dPart)
+            .select(col("id").as("__eid")).distinct()
+          val overlapped = !cur.join(ev, cur("id") === col("__eid"),
+            "left_semi").isEmpty
+          if (overlapped)
+            swapPartition(spark, s"$root/postings", b,
+              cur.join(ev, cur("id") === col("__eid"), "left_anti"))
+        }
+        fs.delete(m, false)
+      }
   }
 
   /** Entry-time recovery for interrupted [[swapPartition]]s: a
@@ -1474,8 +1569,20 @@ object IncrementalDedup {
         val part = new org.apache.hadoop.fs.Path(path,
           tmp.getName.stripPrefix(".apply-tmp-"))
         if (fs.exists(part)) fs.delete(tmp, true)
-        else require(fs.rename(tmp, part),
-          s"recovery rename $tmp -> $part failed")
+        else if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+          require(fs.rename(tmp, part),
+            s"recovery rename $tmp -> $part failed")
+        else
+          // tmp without its job-commit marker AND no live partition: a
+          // crash MID-tmp-write whose target never pre-existed — newly
+          // reachable since the quota refund swaps into a partition id
+          // that may not exist yet ([[applyReconcile]]'s
+          // `batch = -(W+2)`). Promoting a half-written tmp would feed
+          // partial refunds into the prior-count probe; discard it —
+          // the replayed apply recomputes the full partition. (For
+          // pre-existing targets this arm is unreachable: the original
+          // is only deleted after the tmp write committed.)
+          fs.delete(tmp, true)
       }
   }
 }

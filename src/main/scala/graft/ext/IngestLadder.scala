@@ -191,9 +191,12 @@ object IngestLadder {
     val spark = batch.sparkSession
     // a crashed applyReconcile may have left the postings tree (or,
     // under an opt-in quota refund, the counts tree) one rename short
-    // ([[IncrementalDedup.recoverSwaps]]) — finish the swaps before
-    // any probe lists the trees
+    // ([[IncrementalDedup.recoverSwaps]]), or a postings→evidence move
+    // half-done ([[IncrementalDedup.recoverEvidenceMoves]]) — finish
+    // them before any probe lists the trees
     IncrementalDedup.recoverSwaps(spark, s"$root/postings")
+    IncrementalDedup.recoverSwaps(spark, s"$root/postings_dropped")
+    IncrementalDedup.recoverEvidenceMoves(spark, root)
     if (domainQuota.isDefined)
       IncrementalDedup.recoverSwaps(spark, s"$root/domain_counts")
     val w = org.apache.spark.sql.expressions.Window
@@ -400,9 +403,17 @@ object IngestLadder {
 
     // rung containment (optional): the SAME postings relation, the
     // admitBatchContainment semantics scoped to near survivors
+    val contCaches = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
     val contDrops: Option[DataFrame] = containmentTau.map { tauC =>
-      val p4 = posts.join(nearDrops, posts("id") === nearDrops("id"),
-        "left_anti")
+      // cached: the probe split scans this relation from several
+      // branches AND the broadcast-regime heuristic counts it — an
+      // uncached p4 would re-run the anti-join once per consumer
+      // (released with the tick's other caches after the writes)
+      val p4 = Materialize.multiScan(
+        posts.join(nearDrops, posts("id") === nearDrops("id"),
+          "left_anti"))
+      contCaches += p4
       val vsIx = Materialize.multiScan(storedPosts match {
         case Some((ix, _)) =>
           // ix is already hot-filtered once over the full index (see
@@ -438,14 +449,14 @@ object IngestLadder {
     val quotaDoms: Option[DataFrame] = domainQuota.map { _ =>
       val u = urlCol.getOrElse(throw new IllegalArgumentException(
         "domainQuota requires urlCol"))
-      val host = regexp_replace(regexp_replace(
-        regexp_extract(TextOps.canonicalUrl(col(u)), "^[^/?]*", 0),
-        "^[^@]*@", ""), ":[0-9]+$", "")
       // scalar subset, or the full wildcard/exception rules table when
       // supplied — the same dispatch as admitBatchDomainQuota, so the
-      // quota buckets registrants exactly as the domain card does
+      // quota buckets registrants exactly as the domain card does; the
+      // host extraction is the ONE shared definition the apply-time
+      // refund also uses ([[IncrementalDedup.hostOf]])
       Materialize.multiScan(IncrementalDedup.resolveRegDomains(
-        base, idCol, host, Dedup.publicSuffixes, pslRules))
+        base, idCol, IncrementalDedup.hostOf(col(u)),
+        Dedup.publicSuffixes, pslRules))
     }
     val preQuota: Seq[(String, DataFrame)] =
       Seq("url" -> urlDrops) ++
@@ -515,8 +526,8 @@ object IngestLadder {
     }
     admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
     (Seq(base, urlDrops, lineDrops, pre, exactDrops, posts, vsIndexNear,
-      nearDrops, admitted) ++ lineCaches ++ gateDrops.map(_._2) ++
-      contDrops ++ quotaDoms ++ quotaDrops ++
+      nearDrops, admitted) ++ lineCaches ++ contCaches ++
+      gateDrops.map(_._2) ++ contDrops ++ quotaDoms ++ quotaDrops ++
       storedPosts.flatMap(_._2)).foreach(_.unpersist())
     spark.read.parquet(part("verdicts"))
   }

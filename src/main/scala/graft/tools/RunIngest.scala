@@ -114,7 +114,13 @@ object RunIngest {
           .options(cfg.source_options).load(path)
     }
 
-    var sidecarsBuilt = false
+    // restart-stable: probe for an existing sidecar instead of a
+    // session-local flag (postings always exists for a ladder root
+    // with data, so its sidecar is the presence witness) — a restarted
+    // process must not re-run buildAll right after maintainLadder
+    // already rebuilt the sidecars in the same window
+    var sidecarsBuilt =
+      LadderBloom.readMeta(spark, cfg.root, "postings").isDefined
     val writer = source.writeStream
       .option("checkpointLocation", cfg.checkpoint_location)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -144,6 +150,18 @@ object RunIngest {
             LadderBloom.buildAll(spark, cfg.root, committedBelow = id)
             sidecarsBuilt = true
           }
+          // release the window's operator caches: the reconcilers
+          // persist corpus-scale relations (the full postings+evidence
+          // union, per-hop closure frontiers) whose lifetime contract
+          // is caller-release — the window's counts are fully
+          // materialized and the delta is snapshotted durably, so
+          // nothing lazy escapes; without this a long-running stream
+          // accumulates one corpus-sized cache entry per window until
+          // memory/disk exhaustion. Ticks clean up after themselves;
+          // frozen gate tables are re-read (broadcast-sized) next tick.
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(false))
           System.err.println(s"[ingest-maintain] batch=$id $w")
         }
         ()

@@ -466,6 +466,59 @@ class ReconcileApplySpec extends AnyFunSuite {
     assert(postingIds(root, "postings_dropped").isEmpty)
   }
 
+  test("interrupted postings→evidence MOVE: a crash between the two " +
+      "completed swaps leaves a doc in BOTH trees — the move marker " +
+      "makes the next entry finish the retirement, so the reconcile " +
+      "union never double-counts intersections") {
+    import spark.implicits._
+    val root = chainRoot("rca_move")
+    // emulate the between-swaps crash faithfully: steps 1-3 done
+    // (verdict flipped, corpus row deleted), the evidence swap done,
+    // the postings retirement swap NOT — 11's rows in BOTH trees,
+    // marker lingering
+    def rewrite(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/.crash_tmp")
+      spark.read.parquet(s"$root/.crash_tmp").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    }
+    rewrite(s"$root/verdicts/batch=1",
+      spark.read.parquet(s"$root/verdicts/batch=1")
+        .withColumn("dropped_at", when(col("id") === 11L, lit("near"))
+          .otherwise(col("dropped_at"))))
+    rewrite(s"$root/corpus/batch=1",
+      spark.read.parquet(s"$root/corpus/batch=1")
+        .filter(col("doc_id") =!= 11L))
+    val pPart = s"$root/postings/batch=1"
+    val dPart = s"$root/postings_dropped/batch=1"
+    rewrite(dPart, spark.read.parquet(dPart).unionByName(
+      spark.read.parquet(pPart).filter(col("id") === 11L)).distinct())
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      ".apply-move-batch=1"), true).close()
+    spark.sharedState.cacheManager.clearCache()
+    // WITHOUT recovery the adm∪evidence union would hold 11's rows
+    // TWICE (doubled intersection counts); the reconcile entry sweeps
+    // the marker first, finishes the retirement, and sees the
+    // converged state
+    assert(IncrementalDedup.reconcileNear(spark, root, tau = 0.5)
+      .count() == 0L, "recovered state is converged")
+    spark.sharedState.cacheManager.clearCache()
+    assert(postingIds(root, "postings") == Set(1L),
+      "the entry sweep must finish retiring 11 from the probe index")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      ".apply-move-batch=1")), "marker consumed")
+    // a lingering marker with NO overlap (crash before the evidence
+    // swap, or after both) recovers as a no-op
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      ".apply-move-batch=0"), true).close()
+    IncrementalDedup.recoverEvidenceMoves(spark, root)
+    spark.sharedState.cacheManager.clearCache()
+    assert(postingIds(root, "postings") == Set(1L) &&
+      postingIds(root, "postings_dropped") == Set(2L, 11L))
+  }
+
   test("adversarial interleaving: crash after corpus delete but before " +
       "postings retirement, then a window whose re-derived delta holds " +
       "OTHER docs (one out of scope) — retirement waits for exactly " +

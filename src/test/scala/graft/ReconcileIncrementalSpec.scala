@@ -214,6 +214,38 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
       s"delta must be exactly the frontier tick: $inc")
   }
 
+  test("retireLagWindows = 2 stays LIVE: the evidence fold is capped " +
+      "at the retire watermark, so lagged retirement eventually runs " +
+      "instead of deadlocking behind the window's own fold") {
+    import spark.implicits._
+    val root = seedRoot("rni_lag2")
+    def window(below: Long) = IncrementalDedup.reconcileWindow(spark,
+      root, "doc_id", tau = 0.5, committedBelow = below, retire = true,
+      retireLagWindows = 2)
+    // windows 1 and 2: fewer than 3 completed watermarks — nothing
+    // retires, and the evidence subtree must NOT be folded past the
+    // (nonexistent) retire watermark
+    assert(window(1L)("evidence_partitions_retired") == 0L)
+    IncrementalDedup.admitBatchLadder(
+      Seq((40L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 1L)
+    assert(window(2L)("evidence_partitions_retired") == 0L)
+    IncrementalDedup.admitBatchLadder(
+      Seq((41L, "y1 y2 y3 y4 y5 y6 y7 y8")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 2L)
+    spark.sharedState.cacheManager.clearCache()
+    // window 3: watermarks [1,2,3] — retire at the 2-older entry (1):
+    // the batch-0 evidence (docs 2, 31) is finally below a covered
+    // watermark and goes; with the old full-watermark fold it would
+    // sit in batch=-1 stamped at 2 and never retire
+    val w3 = window(3L)
+    assert(w3("evidence_partitions_retired") >= 1L,
+      s"lag-2 retirement must eventually fire: $w3")
+    spark.sharedState.cacheManager.clearCache()
+    assert(evidenceIds(root).isEmpty,
+      s"pre-window-1 evidence retired: ${evidenceIds(root)}")
+  }
+
   test("retireLagWindows: evidence retires at the K-windows-older " +
       "completed watermark; zero-lag is unchanged; fewer than K+1 " +
       "windows retire nothing") {
