@@ -71,6 +71,22 @@ object Bench {
     // timing purposes are not re-timed every round — see Queries.slowTier
     val (skipped, benched) = Queries.all.partition(q =>
       Queries.slowTier(q.name))
+
+    // FIXED WARMUP, untimed: JIT compilation, whole-stage-codegen
+    // class loading, parquet footer/FS caches and the first shuffle
+    // service spin-up all land on whichever queries run first — r17's
+    // artifact showed 1.6-2.0x phantom "regressions" clustered at the
+    // START of the bench sequence on untouched files while the median
+    // across 218 shared queries sat at 1.011. Three representative
+    // queries (scan+agg, join+top-k, window) absorb those one-time
+    // costs before the first timed row; their own timed runs later
+    // still pay cold plan compilation (per-query codegen), so `cold`
+    // keeps its meaning.
+    val warmup = Seq(Queries.q1Pricing, Queries.qTopParts,
+      Queries.qWindowRunning)
+    warmup.foreach { q => once(q.fn); release() }
+    System.err.println("[bench] warmup done: " +
+      warmup.map(_.name).mkString(", "))
     if (skipped.nonEmpty)
       System.err.println("[bench] slow-tier queries excluded from timing " +
         "(still in the correctness gate): " +
