@@ -276,6 +276,39 @@ object Sf1EqBench {
       copyTree(rroot, s"$root/applysnap_x$s")
     }
 
+    // r18 incremental-reconcile inputs: the recon corpus CONVERGED
+    // (reconcile + apply + recorded watermark at 2), then ONE
+    // FIXED-SIZE tick (500 docs at every scale) whose docs chain into
+    // the corpus only through APPLY-RETIRED evidence (words 6-13 of
+    // group g overlap the reconciled role-2 doc at J = 0.5 and nothing
+    // admitted). The timed op is reconcileNearIncremental at the
+    // recorded watermark: its frontier is the 500-doc tick regardless
+    // of corpus scale, so the 1×/10× ratio measures the
+    // frontier-not-corpus claim (the full reconcile_near row above
+    // scales with the corpus; this one should stay ≈ flat — only the
+    // per-hop index scans grow)
+    for (s <- scales) {
+      val iroot = s"$root/reconincroot_x$s"
+      val rd = reconDocs(s)
+      graft.ext.IncrementalDedup.admitBatchLadder(
+        rd.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", None,
+        iroot, n = 3, tau = 0.5, batchId = 0L)
+      graft.ext.IncrementalDedup.admitBatchLadder(
+        rd.filter(col("doc_id") % 3 === 2), "doc_id", "text", None,
+        iroot, n = 3, tau = 0.5, batchId = 1L)
+      graft.ext.IncrementalDedup.applyReconcile(spark, iroot, "doc_id",
+        graft.ext.IncrementalDedup.reconcileNear(spark, iroot, tau = 0.5),
+        committedBelow = 2L, recordWatermark = true)
+      val tick = spark.range(500).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(6), lit(13)),
+          k => concat(lit("g"), col("id").cast("string"),
+            lit("w"), k.cast("string")))).as("text"))
+      graft.ext.IncrementalDedup.admitBatchLadder(tick, "doc_id",
+        "text", None, iroot, n = 3, tau = 0.5, batchId = 2L)
+      spark.catalog.clearCache()
+    }
+
     // r16 domain-quota inputs: stored per-registrant counts from a
     // batch-0 tick over the corpus slice (~997 domains); the timed
     // tick charges batch docs against the persistent counts
@@ -590,7 +623,16 @@ object Sf1EqBench {
               tau = 0.5),
             committedBelow = 2L)
           spark.read.parquet(s"$aroot/verdicts")
-        })
+        },
+        // r18: the INCREMENTAL reconcile at a fixed 500-doc frontier
+        // over the converged corpus — the maintenance window's actual
+        // reconcile ([[graft.ext.IncrementalDedup.reconcileWindow]]
+        // rides this). Read-only; the ratio column IS the claim:
+        // frontier-sized window cost at 10× the corpus (vs the full
+        // reconcile_near row, whose self-join scales with the corpus)
+        "reconcile_near_inc" -> (s => graft.ext.IncrementalDedup
+          .reconcileNearIncremental(spark, s"$root/reconincroot_x$s",
+            tau = 0.5, sinceBatch = 2L)))
 
     // per-run input restore (outside the timer): ops that MUTATE their
     // input state start every run — cold and warm — from a pristine
@@ -641,7 +683,7 @@ object Sf1EqBench {
     // replaces the files under identical paths (a stale plan cache
     // would read deleted files) — both need fully fresh executions
     val freshRuns = Set("q_corpus_prep_v4", "dedup_lcp_longest",
-      "reconcile_near", "reconcile_apply")
+      "reconcile_near", "reconcile_apply", "reconcile_near_inc")
     val rows = for ((name, op) <- ops
                     if only.forall(_.contains(name))) yield {
       val per = for (s <- scales) yield {
