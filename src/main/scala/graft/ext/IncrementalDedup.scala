@@ -375,12 +375,10 @@ object IncrementalDedup {
                        maxDocFreq: Int = Int.MaxValue,
                        monitor: Option[LadderRungMonitor] = None): DataFrame = {
     val spark = batch.sparkSession
-    // a crashed applyReconcile may have left the postings tree one
-    // rename short (see [[recoverSwaps]]) or a postings→evidence move
-    // half-done ([[recoverEvidenceMoves]]) — finish both before probing
-    recoverSwaps(spark, s"$root/postings")
-    recoverSwaps(spark, s"$root/postings_dropped")
-    recoverEvidenceMoves(spark, root)
+    // a crashed applyReconcile may have left the postings trees one
+    // rename short or a postings→evidence move half-done — finish both
+    // before probing ([[recoverLadderEntry]])
+    recoverLadderEntry(spark, root)
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
     def others(dir: String): Option[DataFrame] =
@@ -794,9 +792,7 @@ object IncrementalDedup {
     // listing below — a re-derived delta computed from a tree with a
     // partition missing would silently under-converge (and a
     // subsequent retire could then delete evidence that delta needed)
-    Seq("postings", "postings_dropped")
-      .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
-    recoverEvidenceMoves(spark, root)
+    recoverLadderEntry(spark, root)
     require(Layout.hasParquetData(spark, s"$root/postings"),
       s"no admitted postings under $root/postings — run the ladder first")
     val adm = spark.read.parquet(s"$root/postings")
@@ -872,9 +868,7 @@ object IncrementalDedup {
                                tau: Double, sinceBatch: Long,
                                maxDocFreq: Int = Int.MaxValue,
                                maxHops: Int = 64): DataFrame = {
-    Seq("postings", "postings_dropped")
-      .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
-    recoverEvidenceMoves(spark, root)
+    recoverLadderEntry(spark, root)
     require(Layout.hasParquetData(spark, s"$root/postings"),
       s"no admitted postings under $root/postings — run the ladder first")
     def tree(sub: String): Option[DataFrame] =
@@ -1039,10 +1033,9 @@ object IncrementalDedup {
                      recordWatermark: Boolean = false,
                      refundQuota: Option[QuotaRefund] = None): Map[String, Long] = {
     require(committedBelow >= 0, s"committedBelow must be >= 0")
-    Seq("verdicts", "corpus", "postings", "postings_dropped",
-        "domain_counts")
+    recoverLadderEntry(spark, root)
+    Seq("verdicts", "corpus", "domain_counts")
       .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
-    recoverEvidenceMoves(spark, root)
     // SNAPSHOT the delta to a durable sibling before any swap: the
     // incoming relation's plan reads the very postings files the apply
     // is about to rewrite, so evaluating it lazily mid-apply (or after
@@ -1231,6 +1224,27 @@ object IncrementalDedup {
           if (Layout.hasParquetData(spark, s"$dDir/batch=$b"))
             Some(spark.read.parquet(s"$dDir/batch=$b"))
           else None
+        // moving rows from a SOURCE tree folded at a higher watermark
+        // into the evidence batch=-1 must keep the evidence fold
+        // marker an upper bound on the merged rows' arrival ticks: the
+        // two trees fold at different watermarks under a retention LAG
+        // (the evidence fold is capped — [[reconcileWindow]]), and a
+        // lagged retire reading the lower marker could delete evidence
+        // whose docs arrived after its watermark. Bump (or, when the
+        // source's coverage is unknown, CLEAR — unknown is kept
+        // conservatively) BEFORE the swap: overstating coverage only
+        // delays retirement.
+        if (b == -1L) {
+          val srcCov = Layout.foldWatermark(spark, pDir)
+          val dstCov = Layout.foldWatermark(spark, dDir)
+          srcCov match {
+            case Some(s) if dstCov.forall(_ < s) =>
+              Layout.writeFoldWatermark(spark, dDir, s)
+            case None if dstCov.isDefined =>
+              Layout.clearFoldWatermark(spark, dDir)
+            case _ => ()
+          }
+        }
         val marker = moveMarkerPath(root, b)
         fsRoot.create(marker, true).close()
         swapPartition(spark, dDir, b,
@@ -1491,6 +1505,13 @@ object IncrementalDedup {
     * contract). `content` must derive from reads of the CURRENT
     * partition (it is evaluated during the tmp write, while the
     * original is still in place). */
+  /** The swap's OWN commit witness inside a tmp dir — written after
+    * the parquet job returns, independent of the Hadoop committer's
+    * `_SUCCESS` setting (`marksuccessfuljobs=false` is a standard
+    * object-store tuning; recovery must not depend on it). Underscore-
+    * prefixed: invisible to parquet reads after the rename. */
+  private val SwapCommitMarker = "_graft_commit"
+
   private def swapPartition(spark: SparkSession, dir: String, b: Long,
                             content: DataFrame): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -1498,12 +1519,27 @@ object IncrementalDedup {
     val part = new org.apache.hadoop.fs.Path(path, s"batch=$b")
     val tmp = new org.apache.hadoop.fs.Path(path, s".apply-tmp-batch=$b")
     content.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, SwapCommitMarker), true)
+      .close()
     fs.delete(part, true)
     require(fs.rename(tmp, part), s"rename $tmp -> $part failed")
   }
 
   private def moveMarkerPath(root: String, b: Long): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(root, s".apply-move-batch=$b")
+
+  /** The ONE entry-recovery preamble every serialized-window operation
+    * that reads the postings/evidence trees must run — interrupted
+    * partition swaps finished ([[recoverSwaps]]), then interrupted
+    * postings→evidence moves ([[recoverEvidenceMoves]], which needs
+    * both trees whole first). Shared so a future recovery mechanism is
+    * added in one place, not hand-propagated to every entry site. */
+  private[graft] def recoverLadderEntry(spark: SparkSession,
+                                        root: String): Unit = {
+    Seq("postings", "postings_dropped")
+      .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
+    recoverEvidenceMoves(spark, root)
+  }
 
   /** Entry-time recovery for an interrupted postings→evidence MOVE
     * (step 4 of [[applyReconcile]]): a lingering `.apply-move-batch=N`
@@ -1569,11 +1605,19 @@ object IncrementalDedup {
         val part = new org.apache.hadoop.fs.Path(path,
           tmp.getName.stripPrefix(".apply-tmp-"))
         if (fs.exists(part)) fs.delete(tmp, true)
-        else if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+        else if (fs.exists(new org.apache.hadoop.fs.Path(tmp,
+            SwapCommitMarker)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+          // the swap's own commit marker (or, for tmps written before
+          // it existed, the Hadoop committer's _SUCCESS) certifies the
+          // tmp is a COMPLETED rewrite whose final rename was
+          // interrupted — finish it. The explicit marker keeps this
+          // arm correct when `marksuccessfuljobs=false` (standard
+          // object-store tuning) suppresses _SUCCESS.
           require(fs.rename(tmp, part),
             s"recovery rename $tmp -> $part failed")
         else
-          // tmp without its job-commit marker AND no live partition: a
+          // tmp without any commit witness AND no live partition: a
           // crash MID-tmp-write whose target never pre-existed — newly
           // reachable since the quota refund swaps into a partition id
           // that may not exist yet ([[applyReconcile]]'s

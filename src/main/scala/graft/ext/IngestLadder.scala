@@ -189,14 +189,11 @@ object IngestLadder {
     require(tags.forall(!ReservedTags(_)),
       s"gate tags may not shadow the built-in rungs: $tags")
     val spark = batch.sparkSession
-    // a crashed applyReconcile may have left the postings tree (or,
-    // under an opt-in quota refund, the counts tree) one rename short
-    // ([[IncrementalDedup.recoverSwaps]]), or a postings→evidence move
-    // half-done ([[IncrementalDedup.recoverEvidenceMoves]]) — finish
-    // them before any probe lists the trees
-    IncrementalDedup.recoverSwaps(spark, s"$root/postings")
-    IncrementalDedup.recoverSwaps(spark, s"$root/postings_dropped")
-    IncrementalDedup.recoverEvidenceMoves(spark, root)
+    // a crashed applyReconcile may have left the postings trees (or,
+    // under an opt-in quota refund, the counts tree) one rename short,
+    // or a postings→evidence move half-done — finish them before any
+    // probe lists the trees ([[IncrementalDedup.recoverLadderEntry]])
+    IncrementalDedup.recoverLadderEntry(spark, root)
     if (domainQuota.isDefined)
       IncrementalDedup.recoverSwaps(spark, s"$root/domain_counts")
     val w = org.apache.spark.sql.expressions.Window

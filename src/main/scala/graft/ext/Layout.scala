@@ -313,14 +313,36 @@ object Layout {
     // [[foldWatermark]]. Written after the renames: a crash in between
     // leaves a STALE (lower) watermark, which only makes consumers
     // conservative, never wrong.
-    val marker = new org.apache.hadoop.fs.Path(path, FoldMarker)
-    val out = fs.create(marker, true)
-    out.write(committedBelow.toString.getBytes("UTF-8"))
-    out.close()
+    writeFoldWatermark(spark, dir, committedBelow)
     snapshot.size
   }
 
   private val FoldMarker = ".fold_below"
+
+  /** (Over)write a tree's fold-coverage marker — [[foldBatchPartitions]]
+    * stamps its own folds, and [[IncrementalDedup.applyReconcile]] bumps
+    * the EVIDENCE tree's when it merges rows from a source folded at a
+    * HIGHER watermark into `batch=-1` (the coverage claim must stay an
+    * upper bound on the merged rows' arrival ticks, or a lagged
+    * retirement could delete evidence younger than its promise). */
+  private[graft] def writeFoldWatermark(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String, w: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, FoldMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    out.write(w.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Remove a tree's fold marker — UNKNOWN coverage, which every
+    * consumer treats conservatively (see [[foldWatermark]]). Used when
+    * rows of unknown arrival are merged into `batch=-1`. */
+  private[graft] def clearFoldWatermark(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, FoldMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
+  }
 
   /** The highest `committedBelow` a [[foldBatchPartitions]] run has
     * folded into this tree's `batch=-1` (folds only grow it, so the

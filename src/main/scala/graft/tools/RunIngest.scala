@@ -114,13 +114,6 @@ object RunIngest {
           .options(cfg.source_options).load(path)
     }
 
-    // restart-stable: probe for an existing sidecar instead of a
-    // session-local flag (postings always exists for a ladder root
-    // with data, so its sidecar is the presence witness) — a restarted
-    // process must not re-run buildAll right after maintainLadder
-    // already rebuilt the sidecars in the same window
-    var sidecarsBuilt =
-      LadderBloom.readMeta(spark, cfg.root, "postings").isDefined
     val writer = source.writeStream
       .option("checkpointLocation", cfg.checkpoint_location)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -144,12 +137,19 @@ object RunIngest {
             targetBytes = cfg.target_bytes,
             retireLagWindows = cfg.retire_lag_windows,
             refundQuota = refund)
-          if (cfg.build_sidecars && !sidecarsBuilt) {
-            // first window: create the sidecars (every later window's
-            // fold rebuilds existing ones through maintainLadder)
-            LadderBloom.buildAll(spark, cfg.root, committedBelow = id)
-            sidecarsBuilt = true
-          }
+          if (cfg.build_sidecars)
+            // build any MISSING sidecar (one column-pruned meta probe
+            // per key tree; existing ones were just rebuilt by the
+            // window's maintainLadder). Per-window and per-subtree, not
+            // a one-shot flag: restart-stable, survives a crash
+            // mid-buildAll, and a subtree that gains data later (e.g.
+            // line_index after lineDedup turns on) still gets its
+            // sidecar; build() itself skips trees with no data.
+            LadderBloom.Keys.foreach { case (sub, _) =>
+              if (LadderBloom.readMeta(spark, cfg.root, sub).isEmpty)
+                LadderBloom.build(spark, cfg.root, sub,
+                  committedBelow = id)
+            }
           // release the window's operator caches: the reconcilers
           // persist corpus-scale relations (the full postings+evidence
           // union, per-hop closure frontiers) whose lifetime contract

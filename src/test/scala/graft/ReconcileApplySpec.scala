@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, IncrementalDedup, LadderBloom}
+import graft.ext.{Dedup, IncrementalDedup, LadderBloom, Layout}
 
 /** [[IncrementalDedup.applyReconcile]] — the serialized apply step that
   * converges the streaming corpus to batch-ladder semantics — and
@@ -332,6 +332,35 @@ class ReconcileApplySpec extends AnyFunSuite {
       s"crash replay must refund through the merged snapshot: $counts")
     spark.sharedState.cacheManager.clearCache()
     assert(domainSum(root) == 1L, s"full refund after crash replay")
+  }
+
+  test("swap recovery commit witness: a complete tmp is promoted even " +
+      "without _SUCCESS (the swap's own marker decides), a mid-write " +
+      "tmp whose target never existed is discarded") {
+    import spark.implicits._
+    val root = chainRoot("rca_commitmark")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qDir = s"$root/domain_counts"
+    // shape 1: completed rewrite, target gone, committer _SUCCESS
+    // suppressed (object-store tuning) but the swap's own marker
+    // present — recovery must still promote it
+    val tmp1 = s"$qDir/.apply-tmp-batch=-4"
+    Seq(("d.com", -1L)).toDF("reg_domain", "n").write.parquet(tmp1)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp1, "_SUCCESS"), false)
+    fs.create(new org.apache.hadoop.fs.Path(tmp1, "_graft_commit"),
+      true).close()
+    // shape 2: mid-write artifact (no witness at all) whose target
+    // never existed — must be discarded, never promoted
+    val tmp2 = s"$qDir/.apply-tmp-batch=-6"
+    Seq(("e.com", -1L)).toDF("reg_domain", "n").write.parquet(tmp2)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp2, "_SUCCESS"), false)
+    IncrementalDedup.recoverSwaps(spark, qDir)
+    assert(Layout.hasParquetData(spark, s"$qDir/batch=-4"),
+      "committed tmp promoted on the swap's own witness")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$qDir/batch=-6")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(tmp2)),
+      "uncommitted tmp discarded")
   }
 
   test("fold-then-apply and apply-then-fold agree on every subtree's " +

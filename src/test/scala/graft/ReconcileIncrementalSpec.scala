@@ -169,6 +169,49 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     assert(IncrementalDedup.reconciledWatermarks(spark, root) == Seq(2L))
   }
 
+  test("apply into folded evidence keeps the coverage marker honest: " +
+      "merging rows from a higher-watermark source into batch=-1 bumps " +
+      "the evidence fold marker, so a lagged retire cannot delete " +
+      "evidence younger than its watermark") {
+    import spark.implicits._
+    val root = tmp("rni_markerbump")
+    IncrementalDedup.admitBatchLadder(Seq(
+        (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        (2L, "w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 0L)
+    IncrementalDedup.admitBatchLadder(
+      Seq((11L, "w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = 0.5, batchId = 1L)
+    // the lag shape: evidence folded at 1 (lagged cap), postings at 2
+    // (full) — the two trees' coverages diverge
+    Layout.foldBatchPartitions(spark, s"$root/postings_dropped", 1L)
+    Layout.foldBatchPartitions(spark, s"$root/postings", 2L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(Layout.foldWatermark(spark, s"$root/postings_dropped")
+      .contains(1L))
+    // the apply moves doc 11's postings out of postings/batch=-1
+    // (coverage 2) into evidence batch=-1 (coverage 1): the marker
+    // must bump to 2 BEFORE the merge
+    IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L)
+    assert(Layout.foldWatermark(spark, s"$root/postings_dropped")
+      .contains(2L), "evidence coverage must cover the merged rows")
+    // a lagged retire at 1 now KEEPS batch=-1 (doc 11's evidence,
+    // converged at 2, arrived in a tick the watermark doesn't cover);
+    // retire at 2 deletes it
+    assert(IncrementalDedup.retireEvidence(spark, root,
+      coveredBelow = 1L) == 0)
+    spark.sharedState.cacheManager.clearCache()
+    assert(spark.read.parquet(s"$root/postings_dropped").select("id")
+      .distinct().as[Long].collect().toSet == Set(2L, 11L))
+    assert(IncrementalDedup.retireEvidence(spark, root,
+      coveredBelow = 2L) >= 1)
+    spark.sharedState.cacheManager.clearCache()
+    assert(!Layout.hasParquetData(spark, s"$root/postings_dropped") ||
+      spark.read.parquet(s"$root/postings_dropped").isEmpty)
+  }
+
   test("the sf1eq fixture shape: a fixed-size tick over a CONVERGED " +
       "group corpus chains only through apply-retired evidence; the " +
       "incremental delta is exactly the tick and matches the full " +
