@@ -875,9 +875,17 @@ object IncrementalDedup {
       indexIfExists(spark, s"$root/$sub").map { df =>
         val foldCovered = Layout.foldWatermark(spark, s"$root/$sub")
           .exists(_ <= sinceBatch)
+        // batch ≤ -2 evidence partitions are apply-MOVED rows keyed by
+        // their apply watermark W = -b-2: moved at or before the
+        // certificate they are converged state (old); moved after it
+        // they seed, conservatively (an apply whose record crashed may
+        // have rearranged admitted membership the certificate predates)
+        val movedNew =
+          col("batch") <= -2L && (-col("batch") - 2L) > sinceBatch
         val isNew =
-          if (foldCovered) col("batch") >= sinceBatch
-          else col("batch") >= sinceBatch || col("batch") === -1L
+          if (foldCovered) col("batch") >= sinceBatch || movedNew
+          else col("batch") >= sinceBatch || col("batch") === -1L ||
+            movedNew
         df.select(col("id"), col("m"), col("sh64"), isNew.as("__new"))
       }
     val adm = tree("postings").get
@@ -948,10 +956,16 @@ object IncrementalDedup {
     *  1. `verdicts/`  — its NULL verdict row becomes the delta's tag;
     *  2. `corpus/`    — its row is deleted;
     *  3. its postings MOVE from `postings/` to `postings_dropped/`
-    *     (same batch partition): retired postings can never vouch for
-    *     a future near drop (only corpus content vouches — the ladder
-    *     invariant), but remain reconciliation EVIDENCE, exactly like
-    *     an ingest-time near drop's.
+    *     (same batch partition for per-tick sources; rows from the
+    *     FOLDED `batch=-1` land in the watermark-keyed evidence
+    *     partition `batch = -(committedBelow+2)` so they stay
+    *     individually retirable under a retention lag — merging them
+    *     into evidence `batch=-1` would chain its fold marker to the
+    *     postings tree's full watermark, which a lagged retire never
+    *     reaches): retired postings can never vouch for a future near
+    *     drop (only corpus content vouches — the ladder invariant),
+    *     but remain reconciliation EVIDENCE, exactly like an
+    *     ingest-time near drop's.
     *
     * The subtree ORDER is the convergence contract: verdicts and
     * corpus first, postings last, so at EVERY intermediate crash point
@@ -1049,14 +1063,23 @@ object IncrementalDedup {
     val fsRoot = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // entry recovery for an interrupted snapshot swap (refund path): a
-    // completed tmp whose final dir is gone is renamed into place; a
-    // stale tmp beside a live snapshot is discarded
+    // stale tmp beside a live snapshot is discarded; a tmp whose final
+    // dir is gone is promoted ONLY when it carries the swap's own
+    // commit witness ([[SwapCommitMarker]], written after the parquet
+    // job returns) — the first-ever refund apply has no snapshot dir,
+    // so a crash MID-tmp-write would otherwise rename a half-written
+    // snapshot into place and feed a partial refund merge forever. A
+    // witness-less tmp is discarded: the replayed apply re-derives the
+    // delta and rebuilds the snapshot from scratch.
     val tmpPath = new org.apache.hadoop.fs.Path(deltaTmp)
     if (fsRoot.exists(tmpPath)) {
       val dirPath = new org.apache.hadoop.fs.Path(deltaDir)
       if (fsRoot.exists(dirPath)) fsRoot.delete(tmpPath, true)
-      else require(fsRoot.rename(tmpPath, dirPath),
-        s"snapshot recovery rename $deltaTmp failed")
+      else if (fsRoot.exists(new org.apache.hadoop.fs.Path(tmpPath,
+          SwapCommitMarker)))
+        require(fsRoot.rename(tmpPath, dirPath),
+          s"snapshot recovery rename $deltaTmp failed")
+      else fsRoot.delete(tmpPath, true)
     }
     // dedupe by ID, not by (id, dropped_at): the API accepts arbitrary
     // caller-persisted deltas, and a delta carrying one id under two
@@ -1119,9 +1142,13 @@ object IncrementalDedup {
             .agg(min(col("dropped_at")).as("dropped_at"),
               max(col("reg_domain")).as("reg_domain")))
         // tmp-write + swap: the merge READS the current snapshot dir,
-        // so an in-place Overwrite would consume its own input
+        // so an in-place Overwrite would consume its own input. The
+        // commit witness lands after the parquet job returns — the
+        // entry recovery above promotes witness-bearing tmps only.
         merged.withColumn("__wm", lit(committedBelow))
           .write.mode(SaveMode.Overwrite).parquet(deltaTmp)
+        fsRoot.create(new org.apache.hadoop.fs.Path(tmpPath,
+          SwapCommitMarker), true).close()
         fsRoot.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
         require(fsRoot.rename(tmpPath,
           new org.apache.hadoop.fs.Path(deltaDir)),
@@ -1220,34 +1247,29 @@ object IncrementalDedup {
         val cur = spark.read.parquet(s"$pDir/batch=$b")
         val retired = cur.join(ids.select(col("id").as("__rid")),
           cur("id") === col("__rid"), "left_semi")
+        // rows retired out of the FOLDED postings partition (b = -1)
+        // land in a WATERMARK-KEYED evidence partition (the refund's
+        // `batch = -(W+2)` scheme, collision-free with real ids ≥ 0 and
+        // the fold target −1) rather than merging into evidence
+        // batch=-1: merging would force its fold marker up to the
+        // postings tree's FULL watermark, which under a retention lag
+        // is always above the K-lagged retire watermark — so the
+        // folded evidence could never retire and apply-retired rows
+        // would accumulate there forever. Keyed by watermark they stay
+        // individually retirable the moment the lagged watermark
+        // passes W ([[retireEvidence]] deletes `-b-2 ≤ coveredBelow`),
+        // fold like committed refund partitions, and the incremental
+        // seed reads `-b-2 > sinceBatch` as new (moved since the
+        // certificate — conservative; a completed window's own moves
+        // are converged at its watermark and read as old).
+        val dB = if (b == -1L) -(committedBelow + 2L) else b
         val existing =
-          if (Layout.hasParquetData(spark, s"$dDir/batch=$b"))
-            Some(spark.read.parquet(s"$dDir/batch=$b"))
+          if (Layout.hasParquetData(spark, s"$dDir/batch=$dB"))
+            Some(spark.read.parquet(s"$dDir/batch=$dB"))
           else None
-        // moving rows from a SOURCE tree folded at a higher watermark
-        // into the evidence batch=-1 must keep the evidence fold
-        // marker an upper bound on the merged rows' arrival ticks: the
-        // two trees fold at different watermarks under a retention LAG
-        // (the evidence fold is capped — [[reconcileWindow]]), and a
-        // lagged retire reading the lower marker could delete evidence
-        // whose docs arrived after its watermark. Bump (or, when the
-        // source's coverage is unknown, CLEAR — unknown is kept
-        // conservatively) BEFORE the swap: overstating coverage only
-        // delays retirement.
-        if (b == -1L) {
-          val srcCov = Layout.foldWatermark(spark, pDir)
-          val dstCov = Layout.foldWatermark(spark, dDir)
-          srcCov match {
-            case Some(s) if dstCov.forall(_ < s) =>
-              Layout.writeFoldWatermark(spark, dDir, s)
-            case None if dstCov.isDefined =>
-              Layout.clearFoldWatermark(spark, dDir)
-            case _ => ()
-          }
-        }
-        val marker = moveMarkerPath(root, b)
+        val marker = moveMarkerPath(root, b, committedBelow)
         fsRoot.create(marker, true).close()
-        swapPartition(spark, dDir, b,
+        swapPartition(spark, dDir, dB,
           existing.fold(retired)(_ unionByName retired).distinct())
         swapPartition(spark, pDir, b, cur.join(
           ids.select(col("id").as("__rid")),
@@ -1375,11 +1397,19 @@ object IncrementalDedup {
     // the young evidence a fold merged in after it (deleting -1
     // unconditionally would silently defeat the lag dial). A folded
     // tree with no marker has UNKNOWN coverage: kept, conservatively.
+    // batch ≤ -2 partitions are watermark-keyed APPLY-MOVED evidence
+    // ([[applyReconcile]] retires folded-postings rows into
+    // `batch = -(W+2)`): the completed pass at W considered those rows
+    // (they were postings at its reconcile), so they retire once this
+    // retirement's watermark reaches W = -b-2 — the individual
+    // retirability that merging into batch=-1 (whose marker the
+    // postings fold would force above any lagged watermark) destroyed.
     val foldCovered = Layout.foldWatermark(spark, dir)
       .exists(_ <= coveredBelow)
     val victims = Layout.batchValues(spark, dir)
       .filter(b => (b == -1L && foldCovered) ||
-        (b >= 0L && b < coveredBelow))
+        (b >= 0L && b < coveredBelow) ||
+        (b <= -2L && -b - 2L <= coveredBelow))
     victims.foreach(b =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"batch=$b"), true))
     victims.size
@@ -1444,6 +1474,12 @@ object IncrementalDedup {
                       refundQuota: Option[QuotaRefund] = None): Map[String, Long] = {
     require(retireLagWindows >= 0,
       s"retireLagWindows must be >= 0: $retireLagWindows")
+    // the watermark history keeps the last ReconcileMarkerKeep entries:
+    // a lag at or past that bound makes `ws.size > retireLagWindows`
+    // permanently false — retirement would silently never fire
+    require(retireLagWindows < ReconcileMarkerKeep,
+      s"retireLagWindows must be < $ReconcileMarkerKeep (the persisted " +
+        s"watermark-history bound): $retireLagWindows")
     val counts =
       if (!Layout.hasParquetData(spark, s"$root/postings"))
         Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
@@ -1525,8 +1561,31 @@ object IncrementalDedup {
     require(fs.rename(tmp, part), s"rename $tmp -> $part failed")
   }
 
-  private def moveMarkerPath(root: String, b: Long): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(root, s".apply-move-batch=$b")
+  /** The postings→evidence move marker for source partition `b`. For
+    * the folded source (b = -1) the name also carries the apply
+    * watermark, because the destination is the watermark-keyed
+    * evidence partition `batch = -(W+2)` — recovery must know where
+    * the evidence landed to detect a half-done move. */
+  private def moveMarkerPath(root: String, b: Long,
+                             w: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root,
+      if (b == -1L) s".apply-move-batch=-1-wm=$w"
+      else s".apply-move-batch=$b")
+
+  /** (source partition, evidence destination partition) encoded in a
+    * move-marker name; None for an unparseable stray file. A legacy
+    * `...batch=-1` marker (pre-watermark-keyed scheme) reads as
+    * destination -1 — exactly where that scheme moved the rows. */
+  private def parseMoveMarker(name: String): Option[(Long, Long)] = {
+    val s = name.stripPrefix(".apply-move-batch=")
+    if (s.contains("-wm=")) {
+      val parts = s.split("-wm=")
+      for {
+        b <- scala.util.Try(parts(0).toLong).toOption
+        w <- scala.util.Try(parts(1).toLong).toOption
+      } yield (b, -(w + 2L))
+    } else scala.util.Try(s.toLong).toOption.map(b => (b, b))
+  }
 
   /** The ONE entry-recovery preamble every serialized-window operation
     * that reads the postings/evidence trees must run — interrupted
@@ -1563,9 +1622,11 @@ object IncrementalDedup {
     fs.listStatus(rp).map(_.getPath)
       .filter(_.getName.startsWith(".apply-move-batch="))
       .foreach { m =>
-        val b = m.getName.stripPrefix(".apply-move-batch=").toLong
+        parseMoveMarker(m.getName) match {
+          case None => fs.delete(m, false) // stray unparseable file
+          case Some((b, dB)) =>
         val pPart = s"$root/postings/batch=$b"
-        val dPart = s"$root/postings_dropped/batch=$b"
+        val dPart = s"$root/postings_dropped/batch=$dB"
         if (Layout.hasParquetData(spark, pPart) &&
           Layout.hasParquetData(spark, dPart)) {
           val cur = spark.read.parquet(pPart)
@@ -1578,6 +1639,7 @@ object IncrementalDedup {
               cur.join(ev, cur("id") === col("__eid"), "left_anti"))
         }
         fs.delete(m, false)
+        }
       }
   }
 

@@ -262,14 +262,16 @@ object Layout {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0
-    // b <= -2 partitions are watermark-keyed quota REFUNDS
-    // ([[IncrementalDedup.applyReconcile]]'s `batch = -(W + 2)` key):
-    // committed exactly when their watermark W = -b - 2 is below this
-    // fold's (serialized windows are monotone, and a window only
-    // replays before the NEXT one starts) — folding them keeps the
-    // counts tree's partition count bounded by the tick fold cadence
-    // instead of growing one dir per maintenance window forever. The
-    // fold is row-preserving, so prior-count sums are unchanged.
+    // b <= -2 partitions are watermark-keyed APPLY artifacts — quota
+    // REFUNDS in the counts tree and apply-MOVED retired postings in
+    // the evidence tree ([[IncrementalDedup.applyReconcile]]'s
+    // `batch = -(W + 2)` key): committed exactly when their watermark
+    // W = -b - 2 is below this fold's (serialized windows are
+    // monotone, and a window only replays before the NEXT one starts)
+    // — folding them keeps each tree's partition count bounded by the
+    // tick fold cadence instead of growing one dir per maintenance
+    // window forever. The fold is row-preserving, so prior-count sums
+    // and evidence graphs are unchanged.
     def sourceDirs(): Seq[String] = fs.listStatus(path)
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter { n =>
@@ -320,11 +322,14 @@ object Layout {
   private val FoldMarker = ".fold_below"
 
   /** (Over)write a tree's fold-coverage marker — [[foldBatchPartitions]]
-    * stamps its own folds, and [[IncrementalDedup.applyReconcile]] bumps
-    * the EVIDENCE tree's when it merges rows from a source folded at a
-    * HIGHER watermark into `batch=-1` (the coverage claim must stay an
-    * upper bound on the merged rows' arrival ticks, or a lagged
-    * retirement could delete evidence younger than its promise). */
+    * stamps its own folds with the watermark they covered; the marker
+    * is the ONE piece of provenance a fold otherwise erases, and the
+    * coverage claim must stay an upper bound on `batch=-1`'s rows'
+    * arrival ticks (a lagged retirement could otherwise delete
+    * evidence younger than its promise). Rows merged into `batch=-1`
+    * from another source would break that bound — which is why
+    * [[IncrementalDedup.applyReconcile]] retires folded-postings rows
+    * into watermark-KEYED evidence partitions instead of merging. */
   private[graft] def writeFoldWatermark(spark: org.apache.spark.sql.SparkSession,
                                         dir: String, w: Long): Unit = {
     val marker = new org.apache.hadoop.fs.Path(dir, FoldMarker)
@@ -332,16 +337,6 @@ object Layout {
     val out = fs.create(marker, true)
     out.write(w.toString.getBytes("UTF-8"))
     out.close()
-  }
-
-  /** Remove a tree's fold marker — UNKNOWN coverage, which every
-    * consumer treats conservatively (see [[foldWatermark]]). Used when
-    * rows of unknown arrival are merged into `batch=-1`. */
-  private[graft] def clearFoldWatermark(spark: org.apache.spark.sql.SparkSession,
-                                        dir: String): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(dir, FoldMarker)
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) fs.delete(marker, false)
   }
 
   /** The highest `committedBelow` a [[foldBatchPartitions]] run has

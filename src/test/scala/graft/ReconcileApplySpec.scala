@@ -363,6 +363,54 @@ class ReconcileApplySpec extends AnyFunSuite {
       "uncommitted tmp discarded")
   }
 
+  test("delta-snapshot tmp recovery honors the commit witness: a " +
+      "witness-less tmp with no snapshot dir (first-ever refund apply " +
+      "crashed mid-tmp-write) is discarded and the replay rebuilds the " +
+      "full snapshot; a witness-bearing tmp is promoted") {
+    import spark.implicits._
+    val root = quotaRoot("rca_deltatmp")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the crash: a half-written first-ever snapshot tmp — some rows
+    // missing, NO witness (the parquet job never returned), no
+    // .apply-delta dir to fall back on
+    Seq((999L, "near", null.asInstanceOf[String], 2L))
+      .toDF("id", "dropped_at", "reg_domain", "__wm")
+      .write.parquet(s"$root/.apply-delta-tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/.apply-delta-tmp/_SUCCESS"), false)
+    spark.sharedState.cacheManager.clearCache()
+    val counts = IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L, refundQuota = refund)
+    // the half-written tmp (phantom doc 999) was discarded, not
+    // promoted: the replay re-derived the true delta (doc 11) and the
+    // refund is the real window's
+    assert(counts("delta_ids") == 1L && counts("quota_refunded") == 1L,
+      s"replay must rebuild the snapshot from scratch: $counts")
+    spark.sharedState.cacheManager.clearCache()
+    assert(spark.read.parquet(s"$root/.apply-delta")
+      .filter(col("id") === 999L).isEmpty,
+      "phantom rows from the discarded tmp must not survive")
+    assert(domainSum(root) == 1L, "full-window refund after recovery")
+    // a COMPLETED tmp (witness present) whose snapshot dir is gone is
+    // promoted instead — the other arm of the same recovery
+    val tmp2 = new org.apache.hadoop.fs.Path(s"$root/.apply-delta-tmp")
+    Seq((11L, "near", "d.com", 2L))
+      .toDF("id", "dropped_at", "reg_domain", "__wm")
+      .write.parquet(tmp2.toString)
+    fs.create(new org.apache.hadoop.fs.Path(tmp2, "_graft_commit"),
+      true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.apply-delta"), true)
+    spark.sharedState.cacheManager.clearCache()
+    IncrementalDedup.applyReconcile(spark, root, "doc_id",
+      IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
+      committedBelow = 2L, refundQuota = refund)
+    spark.sharedState.cacheManager.clearCache()
+    assert(domainSum(root) == 1L,
+      "promoted predecessor snapshot keeps the refund replay-stable")
+  }
+
   test("fold-then-apply and apply-then-fold agree on every subtree's " +
       "row set") {
     def allState(root: String) = (verdicts(root), corpusIds(root),

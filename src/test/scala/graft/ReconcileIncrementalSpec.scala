@@ -169,12 +169,12 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     assert(IncrementalDedup.reconciledWatermarks(spark, root) == Seq(2L))
   }
 
-  test("apply into folded evidence keeps the coverage marker honest: " +
-      "merging rows from a higher-watermark source into batch=-1 bumps " +
-      "the evidence fold marker, so a lagged retire cannot delete " +
-      "evidence younger than its watermark") {
+  test("apply retires folded-postings rows into a WATERMARK-KEYED " +
+      "evidence partition: it stays individually retirable once the " +
+      "lagged watermark passes, while older folded evidence retires " +
+      "independently — the fold markers never fight") {
     import spark.implicits._
-    val root = tmp("rni_markerbump")
+    val root = tmp("rni_movedkey")
     IncrementalDedup.admitBatchLadder(Seq(
         (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
         (2L, "w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text"),
@@ -189,27 +189,69 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
     assert(Layout.foldWatermark(spark, s"$root/postings_dropped")
       .contains(1L))
-    // the apply moves doc 11's postings out of postings/batch=-1
-    // (coverage 2) into evidence batch=-1 (coverage 1): the marker
-    // must bump to 2 BEFORE the merge
+    // the apply moves doc 11's postings out of postings/batch=-1 into
+    // the watermark-keyed evidence partition batch=-(2+2); the
+    // evidence fold marker stays at 1 (the merged-coverage conflict is
+    // gone by construction)
     IncrementalDedup.applyReconcile(spark, root, "doc_id",
       IncrementalDedup.reconcileNear(spark, root, tau = 0.5),
       committedBelow = 2L)
     assert(Layout.foldWatermark(spark, s"$root/postings_dropped")
-      .contains(2L), "evidence coverage must cover the merged rows")
-    // a lagged retire at 1 now KEEPS batch=-1 (doc 11's evidence,
-    // converged at 2, arrived in a tick the watermark doesn't cover);
-    // retire at 2 deletes it
+      .contains(1L), "evidence fold marker untouched by the move")
+    assert(Layout.hasParquetData(spark, s"$root/postings_dropped/batch=-4"),
+      "moved rows land at batch=-(W+2)")
+    // a lagged retire at 1 deletes ONLY the pre-watermark folded
+    // evidence (doc 2, fold-covered at 1); doc 11's moved partition
+    // (W = 2 > 1) survives until the lagged watermark reaches 2
     assert(IncrementalDedup.retireEvidence(spark, root,
-      coveredBelow = 1L) == 0)
+      coveredBelow = 1L) == 1)
     spark.sharedState.cacheManager.clearCache()
-    assert(spark.read.parquet(s"$root/postings_dropped").select("id")
-      .distinct().as[Long].collect().toSet == Set(2L, 11L))
+    assert(evidenceIds(root) == Set(11L),
+      s"doc 2 retired, moved doc 11 kept: ${evidenceIds(root)}")
     assert(IncrementalDedup.retireEvidence(spark, root,
       coveredBelow = 2L) >= 1)
     spark.sharedState.cacheManager.clearCache()
-    assert(!Layout.hasParquetData(spark, s"$root/postings_dropped") ||
-      spark.read.parquet(s"$root/postings_dropped").isEmpty)
+    assert(evidenceIds(root).isEmpty)
+  }
+
+  test("retention lag >= 2: evidence the apply retires OUT OF the " +
+      "folded postings eventually retires instead of accumulating " +
+      "forever behind an unreachable batch=-1 fold marker") {
+    import spark.implicits._
+    val root = seedRoot("rni_lag2moved")
+    def window(below: Long) = IncrementalDedup.reconcileWindow(spark,
+      root, "doc_id", tau = 0.5, committedBelow = below, retire = true,
+      retireLagWindows = 2)
+    // window 1 folds postings (batch 0 -> -1); tick 1 brings z, whose
+    // convergence at window 2 must move z's rows OUT OF postings
+    // batch=-1 into evidence — the folded-source move
+    window(1L)
+    tickZ(root)
+    spark.sharedState.cacheManager.clearCache()
+    val w2 = window(2L)
+    assert(w2("delta_ids") == 1L && w2("postings") >= 1L,
+      s"window 2 must retire z's folded postings: $w2")
+    assert(evidenceIds(root).contains(11L))
+    // two more empty windows advance the lag horizon past watermark 2;
+    // z's moved evidence (keyed at W=2) must then retire — under the
+    // old batch=-1 merge its fold marker sat at the FULL watermark and
+    // the 2-lagged retire could never cover it
+    assert(window(3L)("delta_ids") == 0L)
+    spark.sharedState.cacheManager.clearCache()
+    val w4 = window(4L)
+    spark.sharedState.cacheManager.clearCache()
+    assert(!evidenceIds(root).contains(11L),
+      s"moved evidence must retire under lag 2: $w4 ${evidenceIds(root)}")
+  }
+
+  test("retireLagWindows at or past the watermark-history bound is " +
+      "rejected loudly instead of silently never retiring") {
+    val root = seedRoot("rni_lagbound")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.reconcileWindow(spark, root, "doc_id", tau = 0.5,
+        committedBelow = 1L, retire = true, retireLagWindows = 64)
+    }
+    assert(e.getMessage.contains("64"), e.getMessage)
   }
 
   test("the sf1eq fixture shape: a fixed-size tick over a CONVERGED " +
