@@ -43,7 +43,8 @@ object Queries
     qDedupExact, qDedupNfc, qDedupUrl, qUrlHostCard, qUrlDomainCard,
     qUrlDomainCardPsl, qDomainQuota, qDomainQuotaPsl,
     qDedupLadder, qAdmissionLadder, qLadderBloom, qReladder,
-    qReladderApply, qReladderRefund, qIngestLadder, qLineRung,
+    qReladderApply, qReladderRefund, qReladderRefundLag, qIngestLadder,
+    qLineRung,
     qDedupJaccard, qDedupJaccardPrefix,
     qDedupContainment,
     qDedupJaccardSteady,
@@ -129,7 +130,8 @@ object Queries
     */
   val slowTier: Set[String] = Set("dedup_substr_exact_sa",
     "q_admission_ladder", "q_ladder_bloom", "q_ingest_ladder",
-    "q_reladder", "q_reladder_apply", "q_reladder_refund", "q_line_rung",
+    "q_reladder", "q_reladder_apply", "q_reladder_refund",
+    "q_reladder_refund_lag", "q_line_rung",
     // side-effectful two-tick composition tests (temp-root parquet
     // writes dominate their wall; the registered plan is just the
     // verdict read-back, invisible to the plan audit) — per-tick cost

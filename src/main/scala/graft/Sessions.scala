@@ -25,6 +25,15 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // point-lookup pushdown: the incremental reconcile's closure
+      // hops push collected key sets as IN filters into the parquet
+      // scans of the sh64-sorted postings / id-sorted doc_shingles
+      // folds. Above this threshold Spark degrades IN to a [min,max]
+      // range filter, which prunes NOTHING for uniformly-hashed keys —
+      // the whole file-group-pruning design rides on the native IN
+      // predicate reaching the footer stats, so the threshold must sit
+      // above the frontier guard's key bound.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000000")
       // streaming state on RocksDB: keyed state (cross-batch compaction,
       // corpus dedup, quotas, sketches) must be disk-backed with bounded
       // heap at real key cardinalities — the in-memory default holds

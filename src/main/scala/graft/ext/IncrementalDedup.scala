@@ -379,6 +379,10 @@ object IncrementalDedup {
     // rename short or a postings→evidence move half-done — finish both
     // before probing ([[recoverLadderEntry]])
     recoverLadderEntry(spark, root)
+    // complete-from-genesis test for the shingle-count sidecar, taken
+    // BEFORE this tick writes anything
+    val freshRoot = !Layout.hasParquetData(spark, s"$root/postings") &&
+      !Layout.hasParquetData(spark, s"$root/postings_dropped")
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
     def others(dir: String): Option[DataFrame] =
@@ -464,8 +468,8 @@ object IncrementalDedup {
     val vsIndexNear = Materialize.multiScan(
       storedNear match {
         case Some((ix, _)) =>
-          val ps = LadderBloom.postingsProbes(posts, ix, root, batchId,
-            LadderBloom.read(spark, root, "postings"))
+          val (ps, _) = LadderBloom.postingsProbes(posts, ix, root,
+            batchId, LadderBloom.read(spark, root, "postings"))
           if (ps.isEmpty) empty
           else ps.map { case (b, i) => Dedup.jaccardProbe(b,
               i.select(col("id"), col("m"), col("sh64")), tau)
@@ -515,6 +519,9 @@ object IncrementalDedup {
     // above — the difference is exactly the near rung's drops
     posts.join(nearDrops, posts("id") === nearDrops("id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(part("postings_dropped"))
+    // shingle-count sidecar: admitted ∪ near drops = every doc whose
+    // postings the two writes above persisted = all of posts here
+    writeTickCounts(posts, root, batchId, freshRoot)
     admitted.write.mode(SaveMode.Overwrite).parquet(part("corpus"))
     (Seq(base, urlDrops, s1, exactDrops, s2, posts, vsIndexNear,
       nearDrops, admitted) ++ storedNear.flatMap(_._2))
@@ -684,7 +691,17 @@ object IncrementalDedup {
     * any key index. */
   private[graft] val LadderSubtrees: Seq[String] = Seq(
     "corpus", "url_index", "fp_index", "line_index", "postings",
-    "postings_dropped", "domain_counts", "verdicts")
+    "postings_dropped", "domain_counts", "shingle_counts",
+    "doc_shingles", "verdicts")
+
+  /** Fold sort orders — the point-lookup layout contract: the postings
+    * trees answer "which docs carry these shingles" (sh64-sorted
+    * folds), the doc sidecar answers "which shingles do these docs
+    * carry" (id-sorted), so both directions of a closure hop prune
+    * file groups through pushed IN filters instead of scanning. */
+  private val FoldSort: Map[String, String] = Map(
+    "postings" -> "sh64", "postings_dropped" -> "sh64",
+    DocShinglesSubtree -> "id")
 
   /** Ladder-wide index maintenance — [[maintain]]'s contract extended to
     * EVERY subtree [[admitBatchLadder]] writes (corpus, url_index,
@@ -726,7 +743,8 @@ object IncrementalDedup {
     // horizon stays in per-batch partitions, individually retirable.
     val folds = LadderSubtrees.map(s => s -> Layout.foldBatchPartitions(
       spark, s"$root/$s",
-      foldBelowOverride.getOrElse(s, committedBelow), targetBytes)).toMap
+      foldBelowOverride.getOrElse(s, committedBelow), targetBytes,
+      FoldSort.get(s))).toMap
     // existence + sizing via the column-pruned meta read — presence-
     // testing must not deserialize a 256 MB filter into the driver,
     // and a rebuild keeps the sidecar's original bitsPerKey/probes
@@ -843,14 +861,20 @@ object IncrementalDedup {
     *
     * The hot-shingle dial is applied ONCE over the FULL relation
     * before the closure (the r17 per-slice lesson: per-subgraph
-    * frequencies would diverge from the full run's), so a dialed
-    * window still pays one map-side-combined key-count aggregation
-    * over the index — the honest cost of the dial, O(distinct
-    * shingles) shuffle, not O(postings) pairs. Each closure hop scans
-    * the postings relation (bucket it by sh64 and the semi-joins
-    * partition-prune); the saving vs the full form is the self-join's
-    * shuffle and the corpus-sized pair/CC work, which become
-    * frontier-sized.
+    * frequencies would diverge from the full run's). Its hot set is
+    * read from the per-tick-maintained `shingle_counts/` sidecar when
+    * complete — a counts-cardinality aggregate, not a re-aggregation
+    * of O(corpus) postings per window — with identical decisions to
+    * the full aggregate (spec-pinned, including after apply-time
+    * retirements). DIAL SOUNDNESS across retirement: a retirement can
+    * drop a shingle's doc frequency below the dial, UN-pruning it and
+    * adding τ-edges between docs that both predate the watermark —
+    * invisible to the batch seed. The persisted hot set at the
+    * certificate ([[writeHotAt]], recorded by [[reconcileWindow]])
+    * closes it: every doc carrying a formerly-hot shingle seeds too.
+    * With no comparable record (pre-sidecar roots, a dial change) the
+    * incremental claim is not dial-sound and the call degrades to the
+    * full [[reconcileNear]] — conservative, never wrong.
     *
     * DELTA-EQUIVALENT to [[reconcileNear]] whenever `sinceBatch` is a
     * completed-reconcile watermark (spec-pinned, including chains that
@@ -867,66 +891,197 @@ object IncrementalDedup {
   def reconcileNearIncremental(spark: SparkSession, root: String,
                                tau: Double, sinceBatch: Long,
                                maxDocFreq: Int = Int.MaxValue,
-                               maxHops: Int = 64): DataFrame = {
+                               maxHops: Int = 64,
+                               maxFrontierKeys: Int = DefaultMaxFrontierKeys,
+                               seedFractionCrossover: Double = 0.5): DataFrame =
+    reconcileNearIncrementalMode(spark, root, tau, sinceBatch,
+      maxDocFreq, maxHops, maxFrontierKeys, seedFractionCrossover)._1
+
+  /** Frontier keys (ids or shingle hashes) the closure will hold on
+    * the driver and push as an IN filter before degrading to the full
+    * reconcile: 256k longs ≈ 2 MB of literals per pushed filter —
+    * comfortably under broadcast/plan-size budgets, far above any
+    * steady-state frontier. */
+  val DefaultMaxFrontierKeys: Int = 1 << 18
+
+  /** Labels for the `reconcile_mode` code [[reconcileWindow]] returns
+    * (and [[graft.tools.RunIngest]] prints): 0 is the incremental
+    * closure; every other value names the guard that degraded the
+    * window to the full [[reconcileNear]] — identical delta by
+    * construction, different cost shape. */
+  val ReconcileModes: Map[Long, String] = Map(
+    0L -> "incremental", 1L -> "full_first_window",
+    2L -> "full_no_doc_index", 3L -> "full_no_counts",
+    4L -> "full_dial_history", 5L -> "full_seed_fraction",
+    6L -> "full_frontier_guard", 7L -> "full_max_hops")
+
+  /** [[reconcileNearIncremental]] with its regime decision: (delta,
+    * mode code per [[ReconcileModes]]). The closure runs as driver-
+    * collected point lookups against the sorted folds — each hop
+    * pushes the frontier's ids into the id-sorted `doc_shingles/`
+    * fold and the resulting shingle set into the sh64-sorted postings
+    * folds as IN filters, so a hop READS frontier-sized file groups,
+    * not the corpus (the guards below bound the driver sets and
+    * degrade to the full reconcile — never under-emitting — when the
+    * frontier regime doesn't hold). */
+  private[graft] def reconcileNearIncrementalMode(
+      spark: SparkSession, root: String, tau: Double, sinceBatch: Long,
+      maxDocFreq: Int = Int.MaxValue, maxHops: Int = 64,
+      maxFrontierKeys: Int = DefaultMaxFrontierKeys,
+      seedFractionCrossover: Double = 0.5): (DataFrame, Long) = {
     recoverLadderEntry(spark, root)
     require(Layout.hasParquetData(spark, s"$root/postings"),
       s"no admitted postings under $root/postings — run the ladder first")
-    def tree(sub: String): Option[DataFrame] =
-      indexIfExists(spark, s"$root/$sub").map { df =>
-        val foldCovered = Layout.foldWatermark(spark, s"$root/$sub")
-          .exists(_ <= sinceBatch)
-        // batch ≤ -2 evidence partitions are apply-MOVED rows keyed by
-        // their apply watermark W = -b-2: moved at or before the
-        // certificate they are converged state (old); moved after it
-        // they seed, conservatively (an apply whose record crashed may
-        // have rearranged admitted membership the certificate predates)
-        val movedNew =
-          col("batch") <= -2L && (-col("batch") - 2L) > sinceBatch
-        val isNew =
-          if (foldCovered) col("batch") >= sinceBatch || movedNew
-          else col("batch") >= sinceBatch || col("batch") === -1L ||
-            movedNew
-        df.select(col("id"), col("m"), col("sh64"), isNew.as("__new"))
+    def full(mode: Long) =
+      (reconcileNear(spark, root, tau, maxDocFreq), mode)
+    // the id-direction lookups ride the doc sidecar; the dial (when
+    // on) rides the counts sidecar and the recorded hot set at the
+    // certificate (dial-soundness across retirement — see the object
+    // docs). Any missing piece → the full reconcile, conservatively.
+    if (!docShinglesComplete(spark, root)) return full(2L)
+    val dialed = maxDocFreq != Int.MaxValue
+    if (dialed && !countsComplete(spark, root)) return full(3L)
+    val storedHot: Option[DataFrame] =
+      if (!dialed) None
+      else readHotAt(spark, root, sinceBatch, maxDocFreq) match {
+        case some @ Some(_) => some
+        case None => return full(4L)
       }
-    val adm = tree("postings").get
-    val all = tree("postings_dropped").fold(adm)(adm.unionByName(_))
-    val (pruned0, _) = Dedup.dropHotPostingsCached(all, maxDocFreq)
-    val pruned = Materialize.multiScan(pruned0)
-    var reached = Materialize.multiScan(
-      pruned.filter(col("__new")).select(col("id")).distinct())
-    var frontier = reached
-    var n = frontier.count()
+
+    val trees = Seq("postings" -> true, "postings_dropped" -> false)
+    def isNewPred(sub: String): org.apache.spark.sql.Column = {
+      val foldCovered = Layout.foldWatermark(spark, s"$root/$sub")
+        .exists(_ <= sinceBatch)
+      // batch ≤ -2 evidence partitions are apply-MOVED rows keyed by
+      // their apply watermark W = -b-2: moved at or before the
+      // certificate they are converged state (old); moved after it
+      // they seed, conservatively
+      val movedNew =
+        col("batch") <= -2L && (-col("batch") - 2L) > sinceBatch
+      if (foldCovered) col("batch") >= sinceBatch || movedNew
+      else col("batch") >= sinceBatch || col("batch") === -1L || movedNew
+    }
+    // seed-fraction crossover: when the seed partitions hold most of
+    // the trees' bytes (first windows, small corpora, marker loss),
+    // the incremental machinery costs more than the full form it
+    // approximates — one driver listing decides
+    val (seedBytes, totalBytes) = trees.map { case (sub, _) =>
+      val foldCovered = Layout.foldWatermark(spark, s"$root/$sub")
+        .exists(_ <= sinceBatch)
+      val parts = Layout.partitionBytes(spark, s"$root/$sub")
+      def seedPart(b: Long): Boolean =
+        b >= sinceBatch || (b == -1L && !foldCovered) ||
+          (b <= -2L && -b - 2L > sinceBatch)
+      (parts.filter(p => seedPart(p._1)).values.sum, parts.values.sum)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    if (totalBytes > 0 &&
+      seedBytes.toDouble / totalBytes > seedFractionCrossover)
+      return full(5L)
+
+    def treeDf(sub: String, admFlag: Boolean): Option[DataFrame] =
+      indexIfExists(spark, s"$root/$sub").map(_.select(col("id"),
+        col("m"), col("sh64"), lit(admFlag).as("__adm"),
+        isNewPred(sub).as("__new")))
+    val union = trees.flatMap { case (sub, f) => treeDf(sub, f) }
+      .reduce(_ unionByName _)
+    val hot: Option[DataFrame] =
+      if (!dialed) None
+      else Some(Materialize.multiScan(
+        hotFromCounts(spark, root, maxDocFreq)))
+    def antiHot(df: DataFrame): DataFrame =
+      hot.fold(df)(h => df.join(broadcast(h), Seq("sh64"), "left_anti"))
+
+    // guarded driver collect: all rows when under the bound, None when
+    // over (→ full fallback)
+    def takeGuarded(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+      val rows = df.take(maxFrontierKeys + 1)
+      if (rows.length > maxFrontierKeys) None else Some(rows)
+    }
+
+    // SEED: new-partition docs (partition-pruned batch predicates) +,
+    // under the dial, docs carrying formerly-hot shingles (the
+    // retirement-unpruned edges — sh64-pruned fetch)
+    val seedNew = union.filter(col("__new"))
+      .select(col("id"), col("__adm")).distinct()
+    val seedDf = storedHot match {
+      case None => seedNew
+      case Some(sh) =>
+        val formerly = takeGuarded(
+          sh.join(hot.get, Seq("sh64"), "left_anti")
+            .select(col("sh64")).distinct()) match {
+          case None => return full(6L)
+          case Some(rows) => rows.map(_.getLong(0))
+        }
+        if (formerly.isEmpty) seedNew
+        else seedNew.unionByName(
+          union.filter(col("sh64").isin(formerly.toSeq: _*))
+            .select(col("id"), col("__adm")).distinct()).distinct()
+    }
+    val seedRows = takeGuarded(seedDf) match {
+      case None => return full(6L)
+      case Some(rows) => rows
+    }
+
+    // CLOSURE: reached ids (with their admitted tag, learned at
+    // discovery — postings rows are admitted, evidence rows are not)
+    // expand by alternating point lookups: frontier ids → shingle sets
+    // (doc sidecar, id-pruned) → carriers (postings trees,
+    // sh64-pruned). Ids are caller-typed; the driver sets hold them as
+    // values and push them back as IN literals.
+    val reached = scala.collection.mutable.HashMap.empty[Any, Boolean]
+    seedRows.foreach(r => reached.update(r.get(0),
+      reached.getOrElse(r.get(0), false) || r.getBoolean(1)))
+    var frontier: Seq[Any] = reached.keys.toSeq
+    val docShingles = spark.read.parquet(s"$root/$DocShinglesSubtree")
     var hops = 0
-    while (n > 0 && hops < maxHops) {
-      val fsh = pruned.join(frontier, Seq("id"), "left_semi")
-        .select(col("sh64")).distinct()
-      val nbr = Materialize.multiScan(
-        pruned.join(fsh, Seq("sh64"), "left_semi")
-          .select(col("id")).distinct()
-          .join(reached, Seq("id"), "left_anti"))
-      reached = Materialize.multiScan(reached.unionByName(nbr))
-      frontier = nbr
-      n = frontier.count()
+    var guardTripped = false
+    while (frontier.nonEmpty && hops < maxHops && !guardTripped) {
+      val fsh = takeGuarded(antiHot(
+        docShingles.filter(col("id").isin(frontier: _*))
+          .select(explode(col("shs")).as("sh64")))
+        .select(col("sh64")).distinct()) match {
+        case None => guardTripped = true; Array.empty[Long]
+        case Some(rows) => rows.map(_.getLong(0))
+      }
+      if (!guardTripped) {
+        if (fsh.isEmpty) frontier = Nil
+        else takeGuarded(union.filter(col("sh64").isin(fsh.toSeq: _*))
+          .select(col("id"), col("__adm")).distinct()) match {
+          case None => guardTripped = true
+          case Some(nbr) =>
+            val fresh = nbr.filter(r => !reached.contains(r.get(0)))
+            fresh.foreach(r => reached.update(r.get(0), r.getBoolean(1)))
+            frontier = fresh.map(_.get(0)).toSeq
+        }
+      }
       hops += 1
     }
-    // maxHops exhausted with a live frontier: degrade to the full node
-    // set (= the full reconcile) rather than ever under-emitting
-    val scope =
-      if (n > 0) pruned.select(col("id")).distinct() else reached
-    val sub = pruned.join(scope, Seq("id"), "left_semi")
-      .select(col("id"), col("m"), col("sh64"))
-    // the dial already ran over the full relation: probe undialed (the
-    // [[Dedup.dropHotPostingsCached]] contract)
+    if (guardTripped) return full(6L)
+    // maxHops exhausted with a live frontier: the closure is not
+    // provably complete — run the full reconcile, never under-emit
+    if (frontier.nonEmpty) return full(7L)
+
+    // PAIR JOIN on the reachable subgraph only: rows re-derived from
+    // the doc sidecar (id-pruned fetch; array length = the probe's m),
+    // dialed rows dropped AFTER the fetch — exactly the full form's
+    // prune-then-pair semantics
+    val scopeIds = reached.keys.toSeq
+    if (scopeIds.isEmpty) // converged: nothing new, nothing un-pruned
+      return (docShingles.select(col("id"),
+        lit("near").as("dropped_at")).limit(0), 0L)
+    val sub = Materialize.multiScan(antiHot(
+      docShingles.filter(col("id").isin(scopeIds: _*))
+        .select(col("id"), col("m"), explode(col("shs")).as("sh64"))))
     val pairs = Dedup.jaccardProbe(sub, sub, tau)
       .filter(col("batch_id") < col("corpus_id"))
       .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
-    val admInScope = adm.join(scope, Seq("id"), "left_semi")
-      .select(col("id")).distinct()
-    // cache lifetime: the closure's multiScan entries back the returned
-    // lazy delta's plan — the [[reconcileNear]] contract applies
-    // (applyReconcile snapshots the delta before any rewrite; release
-    // with clearCache/unpersist after the window)
-    deltaFromComponents(Dedup.connectedComponents(pairs), admInScope)
+    val admVals = reached.collect { case (id, true) => id }.toSeq
+    val admInScope =
+      if (admVals.isEmpty) sub.select(col("id")).limit(0)
+      else sub.select(col("id")).filter(col("id").isin(admVals: _*))
+        .distinct()
+    (deltaFromComponents(Dedup.connectedComponents(pairs), admInScope),
+      0L)
   }
 
   /** The reconcile DELTA from a component labeling: each component's
@@ -1351,6 +1506,243 @@ object IncrementalDedup {
     out.close()
   }
 
+  // ---------------------------------------------------------------
+  // Shingle doc-frequency sidecar (`shingle_counts/`): per-sh64 row
+  // counts over EXACTLY the rows the postings + evidence trees hold,
+  // maintained per tick through the same per-batch-Overwrite / fold /
+  // swap discipline as every other subtree — so the hot-shingle dial
+  // reads an aggregate of counts-cardinality rows instead of
+  // re-aggregating the O(corpus) postings union every maintenance
+  // window (the 100 TB dial cost). Invariants:
+  //  - a tick writes `shingle_counts/batch=<id>` = the per-sh64 counts
+  //    of the postings rows it persisted (admitted + near/containment
+  //    evidence — quota-dropped docs persist no postings and count 0);
+  //  - apply-time MOVES change nothing (the union is unchanged);
+  //  - retirement writes one NEGATIVE partition at the watermark-keyed
+  //    `batch = -(coveredBelow+2)` summarizing the deleted evidence
+  //    rows, guarded by a retire marker for crash-exactness;
+  //  - folds are row-preserving, so the per-sh64 SUM is an exact
+  //    doc-frequency at every point a serialized window observes.
+  // The `_complete` marker certifies the tree has covered every tick
+  // since the root's genesis (written by the first tick on a fresh
+  // root, or by [[ensureShingleCounts]]'s backfill); consumers without
+  // it fall back to the full-union aggregate.
+  // ---------------------------------------------------------------
+
+  private[graft] val CountsSubtree = "shingle_counts"
+  /** Doc-keyed shingle sidecar (`doc_shingles/`): ONE row per persisted
+    * doc — (id, m, shs: array<sh64>) — the id-direction lookup the
+    * closure hops need (frontier doc → its shingle set) served by an
+    * id-SORTED fold so the fetch prunes file groups, while the
+    * postings trees stay sh64-sorted for the other direction. Rows are
+    * immutable facts (a doc's shingle set never changes), so apply
+    * moves and retirements need no maintenance here: the closure only
+    * ever looks up ids it just read from the live union, so rows for
+    * departed docs are dead weight, reaped opportunistically by the
+    * fold. Same per-batch-Overwrite replay contract and `_complete`
+    * certification as the counts sidecar. */
+  private[graft] val DocShinglesSubtree = "doc_shingles"
+  private val CompleteMarker = "_complete"
+
+  private def sidecarComplete(spark: SparkSession, root: String,
+                              sub: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$sub", CompleteMarker)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  private def markSidecarComplete(spark: SparkSession, root: String,
+                                  sub: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$sub", CompleteMarker)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
+  private[graft] def countsComplete(spark: SparkSession,
+                                    root: String): Boolean =
+    sidecarComplete(spark, root, CountsSubtree)
+  private[graft] def markCountsComplete(spark: SparkSession,
+                                        root: String): Unit =
+    markSidecarComplete(spark, root, CountsSubtree)
+  private[graft] def docShinglesComplete(spark: SparkSession,
+                                         root: String): Boolean =
+    sidecarComplete(spark, root, DocShinglesSubtree)
+
+  /** The hot-shingle set from the sidecar — identical decisions to
+    * [[Dedup.dropHotPostingsCached]]'s full-union aggregate whenever
+    * the `_complete` invariant holds (spec-pinned, including after
+    * apply-time retirements), at counts-cardinality cost. */
+  private[graft] def hotFromCounts(spark: SparkSession, root: String,
+                                   maxDocFreq: Int): DataFrame =
+    spark.read.parquet(s"$root/$CountsSubtree")
+      .groupBy(col("sh64")).agg(sum(col("n")).as("c"))
+      .filter(col("c") > maxDocFreq).select(col("sh64"))
+
+  /** BACKFILL for roots that predate the sidecar: replace the counts
+    * tree with one aggregate over the current postings + evidence
+    * union — committed rows into `batch=-1`, any uncommitted tick's
+    * rows into its own `batch=<id>` partition (the tick's replay
+    * Overwrites its own partition, so absorbing it into the fold would
+    * double-count on redelivery) — then certify `_complete`. One
+    * O(corpus postings) aggregate, paid ONCE per root ever; from then
+    * on ticks maintain the tree incrementally. Idempotent and
+    * crash-safe: any interruption leaves the marker unwritten and the
+    * next call rebuilds from scratch. Returns the distinct-shingle row
+    * count written, or -1 when the tree was already complete. */
+  private[graft] def ensureShingleCounts(spark: SparkSession,
+                                         root: String,
+                                         committedBelow: Long): Long = {
+    if (countsComplete(spark, root)) return -1L
+    val trees = Seq("postings", "postings_dropped")
+      .map(s => s"$root/$s")
+      .filter(Layout.hasParquetData(spark, _))
+    if (trees.isEmpty) return 0L
+    val cDir = s"$root/$CountsSubtree"
+    val fs = new org.apache.hadoop.fs.Path(cDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cDir), true)
+    val union = trees.map(spark.read.parquet(_)
+      .select(col("sh64"), col("batch").cast("long").as("batch")))
+      .reduce(_ unionByName _)
+    def committed(b: org.apache.spark.sql.Column) =
+      b < committedBelow // folds, moves and refunds are all < 0
+    val folded = union.filter(committed(col("batch")))
+      .groupBy(col("sh64")).agg(count(lit(1)).as("n"))
+    folded.write.mode(SaveMode.Overwrite).parquet(s"$cDir/batch=-1")
+    val uncommitted = trees.flatMap(Layout.batchValues(spark, _))
+      .distinct.filter(_ >= committedBelow)
+    uncommitted.foreach { b =>
+      union.filter(col("batch") === b)
+        .groupBy(col("sh64")).agg(count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$cDir/batch=$b")
+    }
+    Layout.writeFoldWatermark(spark, cDir, committedBelow)
+    markCountsComplete(spark, root)
+    spark.read.parquet(cDir).count()
+  }
+
+  /** One tick's sidecar partitions — the per-sh64 counts AND the
+    * per-doc shingle rows of exactly the postings rows the tick
+    * persisted (across both trees). Same replay contract as every
+    * subtree — per-batch Overwrite. Marks the trees complete when the
+    * root had no postings data before this tick (complete-from-
+    * genesis); pre-existing roots get the markers from
+    * [[ensureShingleCounts]] / [[ensureDocShingles]]'s backfills. */
+  private[graft] def writeTickCounts(persisted: DataFrame, root: String,
+                                     batchId: Long,
+                                     freshRoot: Boolean): Unit = {
+    persisted.groupBy(col("sh64")).agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/$CountsSubtree/batch=$batchId")
+    persisted.groupBy(col("id"))
+      .agg(max(col("m")).as("m"), collect_list(col("sh64")).as("shs"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/$DocShinglesSubtree/batch=$batchId")
+    if (freshRoot) {
+      markCountsComplete(persisted.sparkSession, root)
+      markSidecarComplete(persisted.sparkSession, root,
+        DocShinglesSubtree)
+    }
+  }
+
+  /** BACKFILL for the doc-keyed sidecar — [[ensureShingleCounts]]'s
+    * twin: one pass over the current postings+evidence union, grouped
+    * per doc, committed rows into an id-sorted `batch=-1`, uncommitted
+    * ticks into their own partitions (the replay-Overwrite contract).
+    * Idempotent, crash-safe through the unwritten marker. */
+  private[graft] def ensureDocShingles(spark: SparkSession,
+                                       root: String,
+                                       committedBelow: Long): Long = {
+    if (docShinglesComplete(spark, root)) return -1L
+    val trees = Seq("postings", "postings_dropped")
+      .map(s => s"$root/$s")
+      .filter(Layout.hasParquetData(spark, _))
+    if (trees.isEmpty) return 0L
+    val dDir = s"$root/$DocShinglesSubtree"
+    val fs = new org.apache.hadoop.fs.Path(dDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dDir), true)
+    val union = trees.map(spark.read.parquet(_)
+      .select(col("id"), col("m"), col("sh64"),
+        col("batch").cast("long").as("batch")))
+      .reduce(_ unionByName _)
+    def grouped(df: DataFrame): DataFrame = df.groupBy(col("id"))
+      .agg(max(col("m")).as("m"), collect_list(col("sh64")).as("shs"))
+    grouped(union.filter(col("batch") < committedBelow))
+      .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dDir/batch=-1")
+    val uncommitted = trees.flatMap(Layout.batchValues(spark, _))
+      .distinct.filter(_ >= committedBelow)
+    uncommitted.foreach { b =>
+      grouped(union.filter(col("batch") === b))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dDir/batch=$b")
+    }
+    Layout.writeFoldWatermark(spark, dDir, committedBelow)
+    markSidecarComplete(spark, root, DocShinglesSubtree)
+    spark.read.parquet(dDir).count()
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted HOT-SET history (`hot_at/wm=<W>`): the dial's hot-shingle
+  // set at each completed-reconcile watermark, written by
+  // [[reconcileWindow]] when the dial is on. Retirement can drop a
+  // shingle's doc frequency BELOW the dial, un-pruning it — which adds
+  // τ-edges between docs that both predate the watermark, a component
+  // change the batch-seeded closure cannot see (neither endpoint is
+  // new). The incremental reconcile therefore additionally seeds every
+  // doc carrying a shingle that was hot at the watermark but is not
+  // hot now; with no recorded hot set (pre-sidecar roots, dial just
+  // turned on, or a different dial value) it falls back to the full
+  // reconcile — conservative, never wrong.
+  // ---------------------------------------------------------------
+
+  private def hotAtDir(root: String, w: Long): String =
+    s"$root/hot_at/wm=$w"
+  private val HotAtDialMarker = "_dial"
+
+  private[graft] def writeHotAt(spark: SparkSession, root: String,
+                                w: Long, maxDocFreq: Int,
+                                hot: DataFrame): Unit = {
+    val dir = hotAtDir(root, w)
+    hot.select(col("sh64")).write.mode(SaveMode.Overwrite).parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, HotAtDialMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(maxDocFreq.toString.getBytes("UTF-8"))
+    out.close()
+    // prune beyond the watermark-history bound (the marker file's own
+    // retention) — one listing, oldest first
+    val base = new org.apache.hadoop.fs.Path(s"$root/hot_at")
+    val dirs = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .flatMap(d => scala.util.Try(
+        d.getName.stripPrefix("wm=").toLong).toOption.map(_ -> d))
+      .sortBy(_._1)
+    dirs.dropRight(ReconcileMarkerKeep).foreach(d => fs.delete(d._2, true))
+  }
+
+  /** The stored hot set at watermark `w` — None when never recorded or
+    * recorded under a DIFFERENT dial value (a changed dial invalidates
+    * the comparison; the caller falls back to the full reconcile). A
+    * dir whose dial marker is missing (crash between the two writes)
+    * reads as None — conservative. */
+  private[graft] def readHotAt(spark: SparkSession, root: String,
+                               w: Long, maxDocFreq: Int): Option[DataFrame] = {
+    val dir = hotAtDir(root, w)
+    if (!Layout.hasParquetData(spark, dir)) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(dir, HotAtDialMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val dial = try {
+          new String(org.apache.hadoop.io.IOUtils
+            .readFullyToByteArray(in), "UTF-8").trim.toInt
+        } finally in.close()
+        if (dial == maxDocFreq) Some(spark.read.parquet(dir))
+        else None
+      }
+    }
+  }
+
   /** EVIDENCE RETENTION for the reconciliation loop: delete
     * `postings_dropped/` partitions a COMPLETED [[reconcileNear]] →
     * [[applyReconcile]] pass has already considered (batch = -1 or
@@ -1410,9 +1802,86 @@ object IncrementalDedup {
       .filter(b => (b == -1L && foldCovered) ||
         (b >= 0L && b < coveredBelow) ||
         (b <= -2L && -b - 2L <= coveredBelow))
-    victims.foreach(b =>
+    if (victims.isEmpty) return 0
+    // sidecar decrement: the deleted evidence rows leave the
+    // postings+evidence union, so their per-sh64 counts come off the
+    // shingle_counts tree through ONE negative partition at the
+    // watermark-keyed id — written from the victim partitions BEFORE
+    // they are deleted (the only moment the rows still exist), guarded
+    // by a retire marker naming the victims so a crash between the
+    // decrement and the deletions is finished by the next entry's
+    // [[recoverRetire]] instead of double-decrementing on replay. The
+    // scan is frontier-sized in steady state: victims are the
+    // partitions the lag horizon just passed, not the corpus.
+    if (countsComplete(spark, root)) {
+      val cDir = s"$root/$CountsSubtree"
+      recoverSwaps(spark, cDir)
+      val negPart = -(coveredBelow + 2L)
+      writeRetireMarker(spark, root, coveredBelow, victims)
+      if (!Layout.hasParquetData(spark, s"$cDir/batch=$negPart")) {
+        val neg = spark.read.parquet(
+            victims.map(b => s"$dir/batch=$b"): _*)
+          .groupBy(col("sh64")).agg((-count(lit(1))).as("n"))
+        swapPartition(spark, cDir, negPart, neg)
+      }
+      victims.foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"batch=$b"), true))
+      fs.delete(retireMarkerPath(root, coveredBelow), false)
+    } else victims.foreach(b =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"batch=$b"), true))
     victims.size
+  }
+
+  private def retireMarkerPath(root: String, w: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root, s".retire-wm=$w")
+
+  private def writeRetireMarker(spark: SparkSession, root: String,
+                                w: Long, victims: Seq[Long]): Unit = {
+    val p = retireMarkerPath(root, w)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(victims.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Entry-time recovery for an interrupted counted retirement: a
+    * lingering `.retire-wm=<C>` marker means [[retireEvidence]] may
+    * have crashed after committing its negative counts partition but
+    * before deleting (all of) the victim partitions it named — leaving
+    * the sidecar understating the union, and a naive replay would
+    * decrement the leftovers AGAIN at a later watermark. If the
+    * negative partition is committed, finish the named deletions; if
+    * it never committed ([[recoverSwaps]] discarded its tmp), just
+    * drop the marker — the victims are intact and the window replay
+    * redoes the whole retirement. */
+  private[graft] def recoverRetire(spark: SparkSession,
+                                   root: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) return
+    fs.listStatus(rp).map(_.getPath)
+      .filter(_.getName.startsWith(".retire-wm="))
+      .foreach { m =>
+        scala.util.Try(
+          m.getName.stripPrefix(".retire-wm=").toLong).toOption match {
+          case None => fs.delete(m, false)
+          case Some(w) =>
+            val committedNeg = Layout.hasParquetData(spark,
+              s"$root/$CountsSubtree/batch=${-(w + 2L)}")
+            if (committedNeg) {
+              val in = fs.open(m)
+              val named = try {
+                new String(org.apache.hadoop.io.IOUtils
+                  .readFullyToByteArray(in), "UTF-8")
+                  .split("\n").toSeq
+                  .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+              } finally in.close()
+              named.foreach(b => fs.delete(new org.apache.hadoop.fs.Path(
+                s"$root/postings_dropped/batch=$b"), true))
+            }
+            fs.delete(m, false)
+        }
+      }
   }
 
   /** The COMPLETE periodic maintenance pass, one call — what a
@@ -1480,8 +1949,17 @@ object IncrementalDedup {
     require(retireLagWindows < ReconcileMarkerKeep,
       s"retireLagWindows must be < $ReconcileMarkerKeep (the persisted " +
         s"watermark-history bound): $retireLagWindows")
+    val hasPostings = Layout.hasParquetData(spark, s"$root/postings")
+    // sidecar backfills for roots that predate them: one full-union
+    // aggregate each, ever — after which the dial reads are counts-
+    // cardinality and the closure's id lookups prune file groups
+    if (hasPostings) {
+      ensureShingleCounts(spark, root, committedBelow)
+      ensureDocShingles(spark, root, committedBelow)
+    }
+    var mode = 1L // full_first_window until a certificate exists
     val counts =
-      if (!Layout.hasParquetData(spark, s"$root/postings"))
+      if (!hasPostings)
         Map("verdicts" -> 0L, "corpus" -> 0L, "postings" -> 0L,
           "delta_ids" -> 0L) ++
           refundQuota.map(_ => "quota_refunded" -> 0L)
@@ -1489,7 +1967,10 @@ object IncrementalDedup {
         val delta = reconciledWatermarks(spark, root)
           .filter(_ <= committedBelow).lastOption match {
           case Some(w) =>
-            reconcileNearIncremental(spark, root, tau, w, maxDocFreq)
+            val (d, m) = reconcileNearIncrementalMode(spark, root, tau,
+              w, maxDocFreq)
+            mode = m
+            d
           case None => reconcileNear(spark, root, tau, maxDocFreq)
         }
         applyReconcile(spark, root, idCol, delta, committedBelow,
@@ -1503,6 +1984,16 @@ object IncrementalDedup {
     // simply waits for the next window, where the partition is
     // committed and the re-derived delta applies in full.
     val fullyApplied = counts("verdicts") == counts("delta_ids")
+    // record the certificate's hot set while the pre-retire union is
+    // still intact (apply moves don't change counts; the retirement
+    // below does): the comparison the NEXT window's incremental seed
+    // needs to stay dial-sound. Written exactly when the watermark
+    // itself was recorded (full application), from the sidecar the
+    // backfill above guarantees.
+    if (hasPostings && fullyApplied && maxDocFreq != Int.MaxValue &&
+      countsComplete(spark, root))
+      writeHotAt(spark, root, committedBelow, maxDocFreq,
+        hotFromCounts(spark, root, maxDocFreq))
     // the K-windows-older COMPLETED watermark (this window's own, just
     // recorded, is entry 0 — retireLagWindows = 0 reproduces the
     // zero-lag behavior exactly); None while fewer than K+1 windows
@@ -1533,7 +2024,11 @@ object IncrementalDedup {
       evidenceFold)
     counts ++ Map(
       "evidence_partitions_retired" -> retired.toLong,
-      "partitions_folded" -> folds.values.sum.toLong)
+      "partitions_folded" -> folds.values.sum.toLong,
+      // the regime decision, for observability ([[ReconcileModes]]):
+      // a deployment debugging a window-cost cliff must be able to see
+      // WHICH form ran without reading plans
+      "reconcile_mode" -> mode)
   }
 
   /** Rewrite one `batch=<b>` partition via tmp-write + delete + rename
@@ -1595,9 +2090,10 @@ object IncrementalDedup {
     * added in one place, not hand-propagated to every entry site. */
   private[graft] def recoverLadderEntry(spark: SparkSession,
                                         root: String): Unit = {
-    Seq("postings", "postings_dropped")
+    Seq("postings", "postings_dropped", CountsSubtree)
       .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
     recoverEvidenceMoves(spark, root)
+    recoverRetire(spark, root)
   }
 
   /** Entry-time recovery for an interrupted postings→evidence MOVE
@@ -1721,7 +2217,10 @@ final class LadderRungMonitor(val rungs: Seq[String] =
                                 Seq("url", "lines", "exact", "near",
                                   "containment", "domain"),
                               mu: Long, kappa: Long, h: Long,
-                              keep: Int = 256) {
+                              keep: Int = 256,
+                              stateDir: Option[String] = None,
+                              hadoopConf: org.apache.hadoop.conf.Configuration =
+                                new org.apache.hadoop.conf.Configuration()) {
   require(rungs.nonEmpty, "monitor needs at least one rung")
   import LadderRungMonitor.RungTick
 
@@ -1736,6 +2235,47 @@ final class LadderRungMonitor(val rungs: Seq[String] =
   // genuine volume collapse on an ACTIVE rung still fires: it was
   // nonzero before it flatlined)
   private val active = scala.collection.mutable.Set.empty[String]
+
+  // PERSISTENCE (opt-in via stateDir): CUSUM accumulators + the
+  // active-rung set survive a stream restart, so a slow drift that
+  // spans restarts still accumulates to an alarm — without it every
+  // restart silently zeroes detection state exactly when a deployment
+  // is most likely to be churning. One small text file (the
+  // foldWatermark marker pattern) written post-tick, read here at
+  // construction; no file → fresh state, byte-identical to the
+  // unpersisted monitor. The diagnostic ring is NOT persisted (it is
+  // operator telemetry, not detection state).
+  private def statePath: Option[org.apache.hadoop.fs.Path] =
+    stateDir.map(d => new org.apache.hadoop.fs.Path(d, "_monitor_state"))
+  statePath.foreach { p =>
+    val fs = p.getFileSystem(hadoopConf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try {
+        new String(org.apache.hadoop.io.IOUtils
+          .readFullyToByteArray(in), "UTF-8")
+      } finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).foreach { l =>
+        l.split(",") match {
+          case Array(r, sp, sn, a) =>
+            scala.util.Try {
+              states(r) = DataQuality.CusumState(sp.toLong, sn.toLong)
+              if (a == "1") active += r
+            }
+          case _ => ()
+        }
+      }
+    }
+  }
+  private def saveState(): Unit = statePath.foreach { p =>
+    val fs = p.getFileSystem(hadoopConf)
+    val out = fs.create(p, true)
+    out.write(rungs.map { r =>
+      val st = states.getOrElse(r, DataQuality.CusumState(0L, 0L))
+      s"$r,${st.sp},${st.sn},${if (active(r)) 1 else 0}"
+    }.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
 
   /** Advance every rung's CUSUM with one tick's observed metrics
     * (`n` + `n_<rung>` counts, the observe column contract). An empty
@@ -1763,6 +2303,7 @@ final class LadderRungMonitor(val rungs: Seq[String] =
       val t = RungTick(batchId, n, bp, up, down)
       ring += t
       if (ring.size > keep) ring.remove(0)
+      saveState()
       t
     }
 

@@ -101,6 +101,18 @@ object IngestLadder {
     */
   type Gate = (String, DataFrame => DataFrame)
 
+  /** Per-tick regime-decision sink (observability, zero extra scans):
+    * the tick records silent plan-shape choices here so a deployment
+    * can see WHICH regime fired without reading plans.
+    * `nearSidecarSkipped` = Some(true) when a postings sidecar exists
+    * but the broadcast-probe regime bypassed it
+    * ([[LadderBloom.postingsProbes]]); Some(false) when the
+    * covered/tail split ran; None when the near rung probed no stored
+    * index this tick. */
+  final class RegimeLog {
+    @volatile var nearSidecarSkipped: Option[Boolean] = None
+  }
+
   private val ReservedTags =
     Set("url", "lines", "exact", "near", "containment", "domain")
 
@@ -183,7 +195,8 @@ object IngestLadder {
                  domainQuota: Option[Int] = None,
                  lineDedup: Boolean = false,
                  pslRules: Option[DataFrame] = None,
-                 monitor: Option[LadderRungMonitor] = None): DataFrame = {
+                 monitor: Option[LadderRungMonitor] = None,
+                 regime: Option[RegimeLog] = None): DataFrame = {
     val tags = gates.map(_._1)
     require(tags.distinct == tags, s"gate tags must be distinct: $tags")
     require(tags.forall(!ReservedTags(_)),
@@ -196,6 +209,10 @@ object IngestLadder {
     IncrementalDedup.recoverLadderEntry(spark, root)
     if (domainQuota.isDefined)
       IncrementalDedup.recoverSwaps(spark, s"$root/domain_counts")
+    // complete-from-genesis test for the shingle-count sidecar, taken
+    // BEFORE this tick writes anything
+    val freshRoot = !Layout.hasParquetData(spark, s"$root/postings") &&
+      !Layout.hasParquetData(spark, s"$root/postings_dropped")
     val w = org.apache.spark.sql.expressions.Window
     val base = Materialize.multiScan(batch)
     def others(dir: String): Option[DataFrame] =
@@ -379,8 +396,9 @@ object IngestLadder {
     val postingsBloom = LadderBloom.read(spark, root, "postings")
     val vsIndexNear = Materialize.multiScan(storedPosts match {
       case Some((ix, _)) =>
-        val ps = LadderBloom.postingsProbes(posts, ix, root, batchId,
-          postingsBloom)
+        val (ps, skipped) = LadderBloom.postingsProbes(posts, ix, root,
+          batchId, postingsBloom)
+        regime.foreach(_.nearSidecarSkipped = Some(skipped))
         if (ps.isEmpty) empty
         else ps.map { case (b, i) => Dedup.jaccardProbe(b,
             i.select(col("id"), col("m"), col("sh64")), tau)
@@ -415,8 +433,8 @@ object IngestLadder {
         case Some((ix, _)) =>
           // ix is already hot-filtered once over the full index (see
           // the near rung) — the probes run undialed
-          val ps = LadderBloom.postingsProbes(p4, ix, root, batchId,
-            postingsBloom)
+          val (ps, _) = LadderBloom.postingsProbes(p4, ix, root,
+            batchId, postingsBloom)
           if (ps.isEmpty) empty
           else ps.map { case (b, i) => Dedup.containmentProbe(b,
               i.select(col("id"), col("m"), col("sh64")), tauC)
@@ -515,6 +533,14 @@ object IngestLadder {
       nearDrops.unionByName(c).distinct())
     posts.join(lateDrops, posts("id") === lateDrops("id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(part("postings_dropped"))
+    // shingle-count sidecar: exactly the rows the two postings writes
+    // persisted — admitted ∪ near/containment evidence; quota-dropped
+    // docs persist no postings and must not count
+    val persistedIds = admitted.select(col(idCol).as("id"))
+      .unionByName(lateDrops.select(col("id")))
+    IncrementalDedup.writeTickCounts(
+      posts.join(persistedIds, Seq("id"), "left_semi"),
+      root, batchId, freshRoot)
     quotaDoms.foreach { doms =>
       doms.join(admitted, doms("id") === admitted(idCol), "left_semi")
         .filter(col("reg_domain").isNotNull)

@@ -350,19 +350,25 @@ object LadderBloom {
     * url/fp rungs keep their sidecars unconditionally — their reverse
     * probes WIN in this regime (the key relations are doc-count-sized,
     * not postings-sized, and the measured gain is ~100×).
+    *
+    * @return (probe pairs, skipped) — `skipped` is true exactly when a
+    *         sidecar exists but the broadcast-probe regime bypassed it
+    *         (the silent plan-shape change a deployment debugging a
+    *         perf cliff needs surfaced — [[graft.tools.RunIngest]]
+    *         reports it on the maintenance line)
     */
   private[graft] def postingsProbes(posts: DataFrame, ix: DataFrame,
                                     root: String, batchId: Long,
                                     sc: Option[Sidecar],
                                     reverseMinKeys: Long = ReverseMinKeys,
-                                    broadcastSkip: Boolean = true): Seq[(DataFrame, DataFrame)] =
+                                    broadcastSkip: Boolean = true): (Seq[(DataFrame, DataFrame)], Boolean) =
     sc match {
-      case None => Seq((posts, ix))
+      case None => (Seq((posts, ix)), false)
       case Some(s) if broadcastSkip && {
         val bc = posts.sparkSession.sessionState.conf
           .autoBroadcastJoinThreshold
         bc > 0 && posts.count() * PostingRowBytes <= bc
-      } => Seq((posts, ix))
+      } => (Seq((posts, ix)), true)
       case Some(s) =>
         val parts = Layout.batchValues(posts.sparkSession,
           s"$root/postings").filter(_ != batchId)
@@ -382,6 +388,6 @@ object LadderBloom {
         val tailPair =
           if (!parts.exists(_ >= s.coveredBelow)) Nil
           else Seq((posts, tail))
-        coveredPair ++ tailPair
+        (coveredPair ++ tailPair, false)
     }
 }

@@ -255,9 +255,48 @@ object Layout {
       .flatten.toSeq.sorted
   }
 
+  /** Per-partition byte volume of a batch-partitioned tree — one
+    * recursive driver listing, no job. Used by seed-fraction
+    * crossovers that must estimate "how much of this tree is new"
+    * without scanning it. A missing tree maps empty. */
+  private[graft] def partitionBytes(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): Map[Long, Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Map.empty
+    else fs.listStatus(path).filter(_.isDirectory)
+      .flatMap { d =>
+        scala.util.Try(d.getPath.getName.stripPrefix("batch=").toLong)
+          .toOption.filter(_ => d.getPath.getName.startsWith("batch="))
+          .map { b =>
+            val it = fs.listFiles(d.getPath, true)
+            var bytes = 0L
+            while (it.hasNext) {
+              val s = it.next()
+              val n = s.getPath.getName
+              if (s.isFile && n.endsWith(".parquet") &&
+                !n.startsWith("_") && !n.startsWith(".")) bytes += s.getLen
+            }
+            b -> bytes
+          }
+      }.toMap
+  }
+
   def foldBatchPartitions(spark: org.apache.spark.sql.SparkSession,
                           dir: String, committedBelow: Long,
-                          targetBytes: Long = 128L << 20): Int = {
+                          targetBytes: Long = 128L << 20): Int =
+    foldBatchPartitions(spark, dir, committedBelow, targetBytes, None)
+
+  /** `sortCol`: range-partition + sort the folded `batch=-1` output by
+    * this column, so point-lookup IN filters against the fold prune
+    * file groups via parquet min/max stats (the incremental
+    * reconcile's closure-hop contract: postings folds sort by `sh64`,
+    * doc_shingles folds by `id`). Row content is unchanged — sorting
+    * is a pure layout property, so every fold consumer is unaffected. */
+  def foldBatchPartitions(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, committedBelow: Long,
+                          targetBytes: Long,
+                          sortCol: Option[String]): Int = {
     require(committedBelow >= 0, s"committedBelow must be >= 0")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -290,9 +329,14 @@ object Layout {
       s".fold-${java.util.UUID.randomUUID()}")
     // reading the partition dirs directly drops the `batch` column —
     // wanted: the fold target's value comes from its directory name
-    spark.read.parquet(srcPaths.map(_.toString): _*)
-      .repartition(nFiles)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    val src = spark.read.parquet(srcPaths.map(_.toString): _*)
+    val shaped = sortCol match {
+      case None => src.repartition(nFiles)
+      case Some(c) => src.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(col(c))
+    }
+    shaped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
     if (sourceDirs() != snapshot) {
       fs.delete(tmp, true)
       throw new IllegalStateException(

@@ -1241,6 +1241,122 @@ private[graft] trait QueriesDedup { this: Queries.type =>
           AS dropped_at
       FROM documents d"""))
 
+  /** The THREE-WAY maintenance composition — quota REFUND × retention
+    * LAG × full-PSL bucketing — in one oracle, each dial load-bearing
+    * on a different role's final verdict (groups of 7 = `doc_id div 7`,
+    * role = `doc_id % 7`, hosts `a.d<g>.ck` for roles 0-3 and
+    * `b.d<g>.ck` for 4-6 under a `*.ck` wildcard rule):
+    *
+    *  - role 1 drops near in-batch (tick 0); role 2 chains through its
+    *    evidence (tick 1, the documented divergence), converges at
+    *    window A (cb=2) and REFUNDS `a.d<g>.ck`;
+    *  - role 3 (tick 2) is admitted ONLY because of that refund
+    *    (prior 1 + rank 1 ≤ 2; an unrefunded prior of 2 would verdict
+    *    it `domain` forever) and then converges `near` at window B
+    *    ONLY because the lag (retireLagWindows = 1) kept role 1's
+    *    evidence across window A — zero-lag retirement would have
+    *    orphaned its chain;
+    *  - role 4 (tick 3) is admitted ONLY under PSL bucketing: `*.ck`
+    *    makes `d<g>.ck` a public suffix, so `b.d<g>.ck` is a FRESH
+    *    registrant with prior 0 (the embedded-subset's 2-label
+    *    bucketing would merge it into an exhausted `d<g>.ck`);
+    *  - roles 5-6 fill the b-bucket: 6 overflows (`domain`).
+    *
+    * The stream-with-maintenance must converge to the batch answer the
+    * DuckDB side derives from scratch (recursive-CTE CC for `near`,
+    * PSL-bucketed rank for `domain`) — any one dial mis-wired breaks a
+    * different row. Three windows at lag 1 also exercise the
+    * lagged-retirement schedule end to end (window B retires window
+    * A's evidence; window C retires window B's watermark-keyed moves).
+    */
+  val qReladderRefundLag = Q("q_reladder_refund_lag",
+    (s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q_rel_rlag").toString
+      val role = col("doc_id") % 7
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", transform(
+          when(role === 1, sequence(lit(2), lit(9)))
+            .when(role === 2, sequence(lit(4), lit(11)))
+            .when(role === 3, sequence(lit(3), lit(10)))
+            .when(role === 4, sequence(lit(22), lit(29)))
+            .when(role === 5, sequence(lit(32), lit(39)))
+            .when(role === 6, sequence(lit(42), lit(49)))
+            .otherwise(sequence(lit(0), lit(7))),
+          k => concat(lit("g"), expr("doc_id div 7").cast("string"),
+            lit("w"), k.cast("string")))).as("text"),
+        concat(when(role < 4, lit("http://a.d")).otherwise(lit("http://b.d")),
+          expr("doc_id div 7").cast("string"), lit(".ck/p/"),
+          col("doc_id").cast("string")).as("url"))
+      val rules = (graft.ext.Dedup.publicSuffixes :+ "*.ck").toDF("rule")
+      def tick(cond: org.apache.spark.sql.Column, b: Long) =
+        graft.ext.IngestLadder.admitBatch(docs.filter(cond), "doc_id",
+          "text", Some("url"), Seq.empty, root, n = 3, tau = 0.5,
+          batchId = b, domainQuota = Some(2), pslRules = Some(rules))
+      def window(cb: Long): Unit = {
+        graft.ext.IncrementalDedup.reconcileWindow(
+          s, root, "doc_id", tau = 0.5, committedBelow = cb,
+          retire = true, retireLagWindows = 1,
+          refundQuota = Some(graft.ext.IncrementalDedup.QuotaRefund(
+            "url", graft.ext.Dedup.publicSuffixes, Some(rules))))
+        // the window's cache-lifetime contract: the CALLER releases its
+        // corpus-scale multiScan entries (exactly what RunIngest does
+        // per window) — a later window's same-path scans would
+        // otherwise be served the pre-tick state by the plan-matched
+        // cache and silently reconcile against stale trees
+        s.sharedState.cacheManager.clearCache()
+      }
+      tick(role < 2, 0L); tick(role === 2, 1L); window(2L)
+      tick(role === 3, 2L); tick(role === 4, 3L); window(4L)
+      tick(role === 5, 4L); tick(role === 6, 5L); window(6L)
+      s.read.parquet(s"$root/verdicts")
+        .select(col("id"), col("dropped_at"))
+    },
+    Some("""WITH RECURSIVE syn AS (
+        SELECT doc_id, doc_id // 7 AS grp, doc_id % 7 AS role
+        FROM documents),
+      docsyn AS (
+        SELECT doc_id, grp, role, array_to_string(list_transform(
+          CASE WHEN role = 1 THEN generate_series(2, 9)
+               WHEN role = 2 THEN generate_series(4, 11)
+               WHEN role = 3 THEN generate_series(3, 10)
+               WHEN role = 4 THEN generate_series(22, 29)
+               WHEN role = 5 THEN generate_series(32, 39)
+               WHEN role = 6 THEN generate_series(42, 49)
+               ELSE generate_series(0, 7) END,
+          k -> 'g' || grp || 'w' || k), ' ') AS text FROM syn),
+      docsw AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM docsyn),
+      shs AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(w)-2, 0)),
+          i -> array_to_string(w[i:i+2], ' '))) AS sset FROM docsw),
+      ex AS (SELECT doc_id, len(sset) AS m, unnest(sset) AS shingle
+        FROM shs),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.m, b.m
+        HAVING round(count(*)::DOUBLE / (a.m + b.m - count(*)), 4) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      nd AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS c FROM reach GROUP BY id) WHERE id <> c),
+      q AS (SELECT doc_id FROM (
+          SELECT s.doc_id, row_number() OVER (
+            PARTITION BY s.grp, CASE WHEN s.role < 4 THEN 'a' ELSE 'b' END
+            ORDER BY s.doc_id) AS rnk
+          FROM syn s
+          WHERE s.doc_id NOT IN (SELECT doc_id FROM nd)) WHERE rnk > 2)
+      SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 'near'
+             WHEN d.doc_id IN (SELECT doc_id FROM q) THEN 'domain' END
+          AS dropped_at
+      FROM documents d"""))
+
   /** The ingest ladder's LINES rung ([[graft.ext.IngestLadder
     * .admitBatch]] with `lineDedup = true`) replayed over two ticks:
     * every doc carries a shared boilerplate line plus a unique body

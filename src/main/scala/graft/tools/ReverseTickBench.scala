@@ -137,14 +137,13 @@ object ReverseTickBench {
         // cached postings relation (the regime heuristic's row count
         // materializes the same cache every probe branch then reads)
         val bp = graft.ext.Materialize.multiScan(batchPosts)
-        val pairs = LadderBloom.postingsProbes(bp,
+        val (pairs, skipped) = LadderBloom.postingsProbes(bp,
           ix(vroot, "postings"), vroot, 1L, sc(vroot, "postings", bloom))
         // the broadcast-regime heuristic: a batch-postings relation
         // under the broadcast threshold auto-skips the sidecar (the
         // plain probe is already exchange-free there) — record the
         // decision so the JSON says which path was measured
-        if (bloom) nearSkipped =
-          pairs.size == 1 && (pairs.head._1 eq bp)
+        if (bloom) nearSkipped = skipped
         pairs.map { case (b, i) => Dedup.jaccardProbe(b,
             i.select(col("id"), col("m"), col("sh64")), 0.5)
           .select(col("batch_id")) }

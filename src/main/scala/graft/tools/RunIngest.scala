@@ -52,6 +52,11 @@ object RunIngest {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the incremental reconcile's closure hops push collected key
+      // sets as IN filters into sorted-fold parquet scans; above this
+      // threshold Spark degrades IN to a useless [min,max] range (see
+      // graft.Sessions)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000000")
       .getOrCreate()
     start(spark, cfg).awaitTermination()
   }
@@ -86,10 +91,16 @@ object RunIngest {
         cfg.url_col.getOrElse(throw new IllegalArgumentException(
           "refund_quota requires url_col")),
         Dedup.publicSuffixes, pslRules))
+    // CUSUM state persists under root by default: a restart must not
+    // silently zero drift accumulation (slow drifts spanning restarts
+    // would otherwise never alarm) — the state file is read back at
+    // construction, so the restarted monitor continues mid-drift
     val monitor = cfg.monitor_conf.map(m => new LadderRungMonitor(
       m.rungs.map(_.toSeq).getOrElse(
         Seq("url", "lines", "exact", "near", "containment", "domain")),
-      mu = m.mu_bp, kappa = m.kappa_bp, h = m.h_bp))
+      mu = m.mu_bp, kappa = m.kappa_bp, h = m.h_bp,
+      stateDir = Some(cfg.root),
+      hadoopConf = spark.sparkContext.hadoopConfiguration))
 
     val source: DataFrame = cfg.source_format match {
       case "kafka" =>
@@ -114,6 +125,12 @@ object RunIngest {
           .options(cfg.source_options).load(path)
     }
 
+    // regime observability: silent plan-shape decisions (the near
+    // sidecar's broadcast skip, the incremental-vs-full reconcile
+    // choice) surface on the [ingest-maintain] line so a deployment
+    // debugging a window-cost cliff can see which regime fired —
+    // recorded by the operators themselves, zero extra scans
+    val regime = new IngestLadder.RegimeLog
     val writer = source.writeStream
       .option("checkpointLocation", cfg.checkpoint_location)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -122,7 +139,7 @@ object RunIngest {
           batchId = id, maxDocFreq = maxDocFreq,
           containmentTau = contTau, domainQuota = cfg.domain_quota,
           lineDedup = cfg.line_dedup, pslRules = pslRules,
-          monitor = monitor)
+          monitor = monitor, regime = Some(regime))
         monitor.flatMap(_.latest)
           .filter(t => t.alarmUp.nonEmpty || t.alarmDown.nonEmpty)
           .foreach(t => System.err.println(
@@ -162,7 +179,11 @@ object RunIngest {
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(false))
-          System.err.println(s"[ingest-maintain] batch=$id $w")
+          val modeLabel = IncrementalDedup.ReconcileModes.getOrElse(
+            w.getOrElse("reconcile_mode", -1L), "unknown")
+          System.err.println(s"[ingest-maintain] batch=$id $w " +
+            s"reconcile_mode=$modeLabel near_sidecar_skipped=" +
+            regime.nearSidecarSkipped.map(_.toString).getOrElse("n/a"))
         }
         ()
       }

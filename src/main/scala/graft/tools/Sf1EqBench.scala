@@ -321,6 +321,42 @@ object Sf1EqBench {
         quotaUrls(docs(s).filter(col("doc_id") % 11 =!= 0)),
         "doc_id", "url", s"$root/domquota_x$s", k = 5, batchId = 0L)
 
+    // r19 run_ingest_loop inputs: the REAL production entry point
+    // ([[RunIngest.start]]) over a 4-file parquet stream of the ladder
+    // corpus (~6% url re-crawls, planted near-copies), one tick per
+    // file (maxFilesPerTrigger=1), a maintenance window every 2 ticks
+    // (incremental reconcile + refund + lag-1 retirement + fold +
+    // sidecars + persisted monitor). The timed op runs the WHOLE loop
+    // from a pristine root+checkpoint (restoreBefore wipes them): per-
+    // run wall = 4 ticks + 2 windows through the deployed wiring.
+    for (s <- scales) {
+      val base = s"$root/ringest_x$s"
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val d = ladderUrls(docs(s))
+      for (t <- 0 until 4)
+        d.filter(pmod(col("doc_id"), lit(4)) === t).coalesce(1)
+          .write.mode("append").parquet(s"$base/src")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/ringest_cfg_x$s.json"),
+        s"""{
+           |  "source_format": "parquet",
+           |  "source_path": "$base/src",
+           |  "source_options": {"maxFilesPerTrigger": "1"},
+           |  "source_schema_ddl": "doc_id LONG, text STRING, url STRING",
+           |  "id_col": "doc_id", "text_col": "text", "url_col": "url",
+           |  "root": "$base/run/root",
+           |  "checkpoint_location": "$base/run/ckpt",
+           |  "shingle_n": 3, "near_tau_x10k": 2500,
+           |  "domain_quota": 1000, "maintain_every": 2,
+           |  "retire_evidence": true, "retire_lag_windows": 1,
+           |  "refund_quota": true, "build_sidecars": true,
+           |  "monitor_conf": {"mu_bp": 0, "kappa_bp": 5000,
+           |    "h_bp": 1000000}
+           |}""".stripMargin)
+    }
+
     val envelope = Seq(
       graft.Queries.qEnvelopePg, graft.Queries.qEnvelopeMongo,
       graft.Queries.qEnvelopeDms, graft.Queries.qEnvelopeDlq)
@@ -632,14 +668,34 @@ object Sf1EqBench {
         // reconcile_near row, whose self-join scales with the corpus)
         "reconcile_near_inc" -> (s => graft.ext.IncrementalDedup
           .reconcileNearIncremental(spark, s"$root/reconincroot_x$s",
-            tau = 0.5, sinceBatch = 2L)))
+            tau = 0.5, sinceBatch = 2L)),
+        // r19: the production loop end to end — 4 ticks + 2 maintenance
+        // windows through graft.tools.RunIngest.start (file stream,
+        // config fixture, persisted monitor). restoreBefore wipes
+        // root+checkpoint so every run is the full pristine loop; the
+        // returned verdicts relation is the loop's durable output
+        "run_ingest_loop" -> { s =>
+          val cfg = graft.config.IngestConfig.fromFile(
+            s"$root/ringest_cfg_x$s.json")
+          val q = graft.tools.RunIngest.start(spark, cfg)
+          q.processAllAvailable(); q.stop()
+          spark.read.parquet(s"${cfg.root}/verdicts")
+        })
 
     // per-run input restore (outside the timer): ops that MUTATE their
     // input state start every run — cold and warm — from a pristine
     // snapshot, so [median, spread] is over identical executions
     val restoreBefore: Map[String, Int => Unit] = Map(
       "reconcile_apply" -> (s =>
-        copyTree(s"$root/applysnap_x$s", s"$root/applyroot_x$s")))
+        copyTree(s"$root/applysnap_x$s", s"$root/applyroot_x$s")),
+      // the loop mutates root AND the checkpoint marks files consumed:
+      // without the wipe a warm run would replay ZERO ticks
+      "run_ingest_loop" -> { s =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/ringest_x$s/run")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        ()
+      })
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -682,8 +738,11 @@ object Sf1EqBench {
     // run N's Materialize cache to run N+1); reconcile_apply's restore
     // replaces the files under identical paths (a stale plan cache
     // would read deleted files) — both need fully fresh executions
+    // run_ingest_loop: the restore wipes its state, and the loop's own
+    // per-window clearCache must not leak into the next op's warm runs
     val freshRuns = Set("q_corpus_prep_v4", "dedup_lcp_longest",
-      "reconcile_near", "reconcile_apply", "reconcile_near_inc")
+      "reconcile_near", "reconcile_apply", "reconcile_near_inc",
+      "run_ingest_loop")
     val rows = for ((name, op) <- ops
                     if only.forall(_.contains(name))) yield {
       val per = for (s <- scales) yield {

@@ -83,6 +83,59 @@ class IngestLadderSpec extends AnyFunSuite {
     assert(droppedPosts == Set(7L), s"postings_dropped $droppedPosts")
   }
 
+  test("monitor CUSUM state persists across a restart: a slow drift " +
+      "split across the restart still accumulates to an alarm, the " +
+      "active-rung set survives (down alarms stay gated right), and " +
+      "with no state file behavior is identical to the unpersisted " +
+      "monitor") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_monstate").toString
+    def mkMon(persist: Boolean) = new graft.ext.LadderRungMonitor(
+      rungs = Seq("url", "near"), mu = 0L, kappa = 0L, h = 1000L,
+      stateDir = if (persist) Some(dir) else None)
+    def drift(m: graft.ext.LadderRungMonitor, from: Long, n: Int) =
+      (0 until n).map(i => m.tick(from + i,
+        Map("n" -> 100L, "n_url" -> 3L, "n_near" -> 0L))).last
+    // two 300bp ticks: sp = 600, under h — then 'restart'
+    val m1 = mkMon(persist = true)
+    assert(!drift(m1, 0L, 2).alarmUp.contains("url"))
+    // the restarted monitor reads the persisted accumulators and the
+    // drift keeps accumulating: two more ticks cross h = 1000
+    val m2 = mkMon(persist = true)
+    assert(drift(m2, 2L, 2).alarmUp.contains("url"),
+      "drift split across the restart must still fire")
+    // a FRESH monitor (reset semantics) would NOT have fired yet —
+    // the blind spot persistence closes
+    val fresh = mkMon(persist = false)
+    assert(!drift(fresh, 2L, 2).alarmUp.contains("url"),
+      "without persisted state the same ticks stay silent")
+    // active-set continuity: url was active pre-restart; a flatline
+    // after the restart must still raise the DOWN alarm under mu > 0
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_monstate2").toString
+    val d1 = new graft.ext.LadderRungMonitor(rungs = Seq("url"),
+      mu = 500L, kappa = 0L, h = 400L, stateDir = Some(dir2))
+    d1.tick(0L, Map("n" -> 100L, "n_url" -> 5L)) // 500bp: on-target
+    val d2 = new graft.ext.LadderRungMonitor(rungs = Seq("url"),
+      mu = 500L, kappa = 0L, h = 400L, stateDir = Some(dir2))
+    val down = d2.tick(1L, Map("n" -> 100L, "n_url" -> 0L))
+    assert(down.alarmDown.contains("url"),
+      "post-restart flatline on a once-active rung must alarm down")
+    // an unpersisted twin of the same two ticks agrees tick for tick
+    // (no state file -> byte-identical behavior)
+    val twinDir = java.nio.file.Files
+      .createTempDirectory("graft_monstate3").toString
+    val p = new graft.ext.LadderRungMonitor(rungs = Seq("url"),
+      mu = 0L, kappa = 0L, h = 1000L, stateDir = Some(twinDir))
+    val u = new graft.ext.LadderRungMonitor(rungs = Seq("url"),
+      mu = 0L, kappa = 0L, h = 1000L)
+    val ticksP = (0 until 3).map(i => p.tick(i.toLong,
+      Map("n" -> 100L, "n_url" -> 4L)))
+    val ticksU = (0 until 3).map(i => u.tick(i.toLong,
+      Map("n" -> 100L, "n_url" -> 4L)))
+    assert(ticksP == ticksU, "persistence must not change decisions")
+  }
+
   test("composed == sequential stacks: hand-stacking the existing " +
       "operators (url window, fingerprint window, gate filters, " +
       "jaccard components) in rung order yields identical verdicts") {

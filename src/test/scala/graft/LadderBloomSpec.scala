@@ -209,9 +209,9 @@ class LadderBloomSpec extends AnyFunSuite {
         .reduce(_ unionByName _)
         .as[(Long, Long)].collect().toSet
     val plainP = probe(LadderBloom.postingsProbes(posts, pix, root, 9L,
-      None))
+      None)._1)
     val revP = probe(LadderBloom.postingsProbes(posts, pix, root, 9L,
-      scP, reverseMinKeys = 0L, broadcastSkip = false))
+      scP, reverseMinKeys = 0L, broadcastSkip = false)._1)
     assert(plainP == revP && plainP == Set((301L, 4L)),
       s"plain $plainP rev $revP")
   }
@@ -234,20 +234,22 @@ class LadderBloomSpec extends AnyFunSuite {
     val scP = LadderBloom.read(spark, root, "postings")
     // tiny batch, default threshold (10 MB): the skip fires — ONE pair
     // whose batch side is the unpruned posts relation itself
-    val skipped = LadderBloom.postingsProbes(posts, pix, root, 9L, scP)
-    assert(skipped.size == 1 && (skipped.head._1 eq posts),
-      "broadcast regime must return the plain single pair")
+    val (skipped, skipFlag) =
+      LadderBloom.postingsProbes(posts, pix, root, 9L, scP)
+    assert(skipped.size == 1 && (skipped.head._1 eq posts) && skipFlag,
+      "broadcast regime must return the plain single pair and say so")
     // same call with the skip disabled: the sidecar split runs
-    val split = LadderBloom.postingsProbes(posts, pix, root, 9L, scP,
-      broadcastSkip = false)
-    assert(split.size >= 1 && !split.exists(_._1 eq posts),
+    val (split, splitFlag) = LadderBloom.postingsProbes(posts, pix,
+      root, 9L, scP, broadcastSkip = false)
+    assert(split.size >= 1 && !split.exists(_._1 eq posts) && !splitFlag,
       "sidecar path must prune the batch side")
     // a zero broadcast threshold (broadcast disabled) keeps the sidecar
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val noBc = LadderBloom.postingsProbes(posts, pix, root, 9L, scP)
-      assert(!noBc.exists(_._1 eq posts),
+      val (noBc, noBcFlag) =
+        LadderBloom.postingsProbes(posts, pix, root, 9L, scP)
+      assert(!noBc.exists(_._1 eq posts) && !noBcFlag,
         "no broadcast regime -> sidecar path")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     def probe(pairs: Seq[(org.apache.spark.sql.DataFrame,

@@ -25,6 +25,19 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     df.select(col("id"), col("dropped_at")).as[(Long, String)]
       .collect().toMap
   }
+  /** The incremental reconcile FORCED onto its closure path (the
+    * byte-based seed-fraction crossover legitimately degrades these
+    * miniature fixtures to the full form — which would make a closure
+    * pin vacuous), with the mode asserted so the pin is honest. */
+  private def incClosure(root: String, tau: Double, since: Long,
+                         maxDocFreq: Int = Int.MaxValue): Map[Long, String] = {
+    val (d, mode) = IncrementalDedup.reconcileNearIncrementalMode(
+      spark, root, tau, since, maxDocFreq,
+      seedFractionCrossover = 1.0)
+    assert(mode == 0L, s"closure pin requires the incremental path: " +
+      s"mode ${IncrementalDedup.ReconcileModes(mode)}")
+    deltaMap(d)
+  }
   private def evidenceIds(root: String): Set[Long] = {
     import spark.implicits._
     val dir = s"$root/postings_dropped"
@@ -68,8 +81,7 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     assert(IncrementalDedup.reconciledWatermarks(spark, root) == Seq(1L))
     tickZ(root)
     spark.sharedState.cacheManager.clearCache()
-    val inc = deltaMap(IncrementalDedup.reconcileNearIncremental(
-      spark, root, tau = 0.5, sinceBatch = 1L))
+    val inc = incClosure(root, tau = 0.5, since = 1L)
     spark.sharedState.cacheManager.clearCache()
     val full = deltaMap(IncrementalDedup.reconcileNear(spark, root,
       tau = 0.5))
@@ -109,8 +121,7 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     tickZ(a)
     spark.sharedState.cacheManager.clearCache()
     assert(Layout.foldWatermark(spark, s"$a/postings").contains(1L))
-    assert(deltaMap(IncrementalDedup.reconcileNearIncremental(
-      spark, a, tau = 0.5, sinceBatch = 1L)) == Map(11L -> "near"))
+    assert(incClosure(a, tau = 0.5, since = 1L) == Map(11L -> "near"))
     // uncovered: fold at watermark 2 AFTER the tick, seed since 1 —
     // batch=-1's coverage (2) exceeds the seed watermark, so its rows
     // count as new (superset seed, same delta)
@@ -122,8 +133,7 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     IncrementalDedup.maintainLadder(spark, b, committedBelow = 2L)
     spark.sharedState.cacheManager.clearCache()
     assert(Layout.foldWatermark(spark, s"$b/postings").contains(2L))
-    assert(deltaMap(IncrementalDedup.reconcileNearIncremental(
-      spark, b, tau = 0.5, sinceBatch = 1L)) == Map(11L -> "near"))
+    assert(incClosure(b, tau = 0.5, since = 1L) == Map(11L -> "near"))
   }
 
   test("reconcileWindow rides the persisted watermark: the second " +
@@ -288,8 +298,7 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
       .as[(Long, Option[String])].collect().toMap
     assert(v.values.forall(_.isEmpty), s"tick must admit whole: $v")
     spark.sharedState.cacheManager.clearCache()
-    val inc = deltaMap(IncrementalDedup.reconcileNearIncremental(
-      spark, root, tau = 0.5, sinceBatch = 2L))
+    val inc = incClosure(root, tau = 0.5, since = 2L)
     spark.sharedState.cacheManager.clearCache()
     val full = deltaMap(IncrementalDedup.reconcileNear(spark, root,
       tau = 0.5))
@@ -329,6 +338,75 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
     assert(evidenceIds(root).isEmpty,
       s"pre-window-1 evidence retired: ${evidenceIds(root)}")
+  }
+
+  test("dial soundness across retirement: retiring evidence un-prunes " +
+      "a hot shingle and creates a tau-edge between two PRE-watermark " +
+      "admitted docs — the persisted hot set seeds them and the " +
+      "incremental delta matches the full reconcile; with no recorded " +
+      "hot set the call degrades to the full reconcile") {
+    import spark.implicits._
+    val root = tmp("rni_dial")
+    val tau = 0.25; val dial = 2
+    // s = (c1 c2 c3) is carried by A'(5), C1(11), C2(12), B(21) and
+    // the evidence docs y(2), y'(4): doc frequency 6 under dial 2 ->
+    // pruned everywhere. A' and B ALSO share u = (u1 u2 u3); with s
+    // pruned J(A',B) = 1/8 < tau, with s counted 2/7 >= tau — the
+    // edge only the un-pruning creates.
+    IncrementalDedup.admitBatchLadder(Seq(
+        (1L, "d1 d2 c1 c2"),                  // D: y's voucher
+        (2L, "d1 d2 c1 c2 c3 k1 k5"),         // y: evidence, ~D, ~C1
+        (3L, "d5 d6 c1 c2"),                  // D': y''s voucher
+        (4L, "d5 d6 c1 c2 c3 k2 k6"),         // y': evidence, ~D', ~C2
+        (5L, "c1 c2 c3 u1 u2 u3")             // A': carries s and u
+      ).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = tau, batchId = 0L,
+      maxDocFreq = dial)
+    // C1 ~ y (through non-s shingles), C1 !~ D: the documented
+    // divergence — admitted now, reconciled away at the window. Same
+    // for C2 ~ y'. Both carry s.
+    IncrementalDedup.admitBatchLadder(Seq(
+        (11L, "c1 c2 c3 k1 k5"), (12L, "c1 c2 c3 k2 k6"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = tau, batchId = 1L,
+      maxDocFreq = dial)
+    // B: admitted BECAUSE s is ingest-hot (admitted carriers A', C1,
+    // C2 = 3 > dial) — unpruned it would match A' at 2/7 >= tau
+    IncrementalDedup.admitBatchLadder(
+      Seq((21L, "c1 c2 c3 z u1 u2 u3")).toDF("doc_id", "text"),
+      "doc_id", "text", None, root, n = 3, tau = tau, batchId = 2L,
+      maxDocFreq = dial)
+    spark.sharedState.cacheManager.clearCache()
+    assert(spark.read.parquet(s"$root/verdicts")
+      .filter(col("id").isin(5L, 11L, 12L, 21L) &&
+        col("dropped_at").isNotNull).isEmpty,
+      "A', C1, C2, B all admitted at ingest")
+    // the window: reconciles C1/C2 away (delta 2), records hot_at =
+    // {s}, then retirement deletes every evidence partition — the
+    // union's s carriers fall to A', B (= dial), un-pruning s
+    val w = IncrementalDedup.reconcileWindow(spark, root, "doc_id",
+      tau = tau, committedBelow = 3L, maxDocFreq = dial, retire = true)
+    assert(w("delta_ids") == 2L && w("evidence_partitions_retired") >= 1L,
+      s"window must converge C1/C2 and retire: $w")
+    spark.sharedState.cacheManager.clearCache()
+    val inc = incClosure(root, tau = tau, since = 3L, maxDocFreq = dial)
+    spark.sharedState.cacheManager.clearCache()
+    val full = deltaMap(IncrementalDedup.reconcileNear(spark, root,
+      tau = tau, maxDocFreq = dial))
+    assert(full == Map(21L -> "near"),
+      s"un-pruned s must merge A' and B: $full")
+    assert(inc == full,
+      s"the formerly-hot seed must find the pre-watermark edge: $inc")
+    // conservative arm: with the hot-set history gone (pre-sidecar
+    // root / dial change), the incremental call degrades to the full
+    // reconcile rather than trusting a dial-unsound certificate
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/hot_at"), true)
+    spark.sharedState.cacheManager.clearCache()
+    assert(deltaMap(IncrementalDedup.reconcileNearIncremental(
+      spark, root, tau = tau, sinceBatch = 3L, maxDocFreq = dial)) == full,
+      "no recorded hot set -> full-reconcile fallback")
   }
 
   test("retireLagWindows: evidence retires at the K-windows-older " +

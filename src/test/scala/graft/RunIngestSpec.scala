@@ -83,17 +83,52 @@ class RunIngestSpec extends AnyFunSuite {
       graft.ext.LadderBloom.sidecarDir(root, "postings")),
       "sidecars built at the first completed window")
 
+    // monitor continuity: the loop persists CUSUM state under root
+    // post-tick, so the restarted monitor resumes mid-drift instead of
+    // silently zeroing (the unit pin is in IngestLadderSpec; here the
+    // production wiring must actually write and re-read the file)
+    val stateFile = new java.io.File(s"$root/_monitor_state")
+    assert(stateFile.exists, "monitor state persisted by the loop")
+    val stateBefore = java.nio.file.Files.readString(stateFile.toPath)
+    assert(stateBefore.linesIterator.nonEmpty)
+
     // RESTART from the checkpoint; batch 4: two more d.com docs — the
-    // REFUNDED count (1) admits exactly one of them
-    val q2 = graft.tools.RunIngest.start(spark, cfg)
-    feed(Seq((41L, "r1 r2 r3 r4 r5 r6 r7 r8", "http://d.com/41"),
-      (42L, "s1 s2 s3 s4 s5 s6 s7 s8", "http://d.com/42")))
-    drain(q2)
-    // batch 5: filler + the id-5 window — incremental reconcile from
-    // the persisted watermark finds nothing; history grows
-    feed(Seq((51L, "t1 t2 t3 t4 t5 t6 t7 t8", "http://g.com/51")))
-    drain(q2); q2.stop()
+    // REFUNDED count (1) admits exactly one of them. Stderr captured:
+    // the maintenance line must surface the silent regime decisions
+    // (reconcile mode, near-sidecar broadcast skip).
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(
+      new java.io.OutputStream {
+        override def write(b: Int): Unit = { errBuf.write(b); realErr.write(b) }
+        override def write(b: Array[Byte], o: Int, l: Int): Unit = {
+          errBuf.write(b, o, l); realErr.write(b, o, l)
+        }
+      }, true))
+    try {
+      val q2 = graft.tools.RunIngest.start(spark, cfg)
+      feed(Seq((41L, "r1 r2 r3 r4 r5 r6 r7 r8", "http://d.com/41"),
+        (42L, "s1 s2 s3 s4 s5 s6 s7 s8", "http://d.com/42")))
+      drain(q2)
+      // batch 5: filler + the id-5 window — incremental reconcile from
+      // the persisted watermark finds nothing; history grows
+      feed(Seq((51L, "t1 t2 t3 t4 t5 t6 t7 t8", "http://g.com/51")))
+      drain(q2); q2.stop()
+    } finally System.setErr(realErr)
     spark.sharedState.cacheManager.clearCache()
+    val maintains = errBuf.toString("UTF-8").linesIterator
+      .filter(_.contains("[ingest-maintain]")).toSeq
+    assert(maintains.nonEmpty, "maintenance line printed")
+    assert(maintains.forall(l =>
+      "reconcile_mode=(incremental|full_[a-z_]+)".r
+        .findFirstIn(l).isDefined &&
+      "near_sidecar_skipped=(true|false|n/a)".r
+        .findFirstIn(l).isDefined),
+      s"regime fields missing: $maintains")
+    assert(stateFile.exists &&
+      java.nio.file.Files.readString(stateFile.toPath)
+        .split("\n").length == stateBefore.split("\n").length,
+      "monitor state rewritten post-tick after the restart")
 
     val verdicts = spark.read.parquet(s"$root/verdicts")
       .select(col("id"), col("dropped_at"))

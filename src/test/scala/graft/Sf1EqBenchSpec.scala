@@ -21,6 +21,62 @@ class Sf1EqBenchSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("run_ingest_loop fixture shape: a 4-file parquet stream + config " +
+      "drives the REAL RunIngest entry point — one tick per file, a " +
+      "maintenance window every 2 ticks, verdicts cover every doc, the " +
+      "url plant drops, and a state wipe makes the run repeatable") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ringest_fix").toString
+    // miniature of the bench generator: ScaleBench docs + the ~6%
+    // re-crawl url plant, split into 4 tick files
+    val d = graft.tools.ScaleBench.synthDocs(spark, 200L)
+      .withColumn("url", concat(lit("http://b.com/p/"),
+        when(col("doc_id") % 16 === 15, col("doc_id") - 1)
+          .otherwise(col("doc_id")).cast("string")))
+    for (t <- 0 until 4)
+      d.filter(pmod(col("doc_id"), lit(4)) === t).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    val cfgPath = s"$base/cfg.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "source_format": "parquet", "source_path": "$base/src",
+         |  "source_options": {"maxFilesPerTrigger": "1"},
+         |  "source_schema_ddl": "doc_id LONG, text STRING, url STRING",
+         |  "id_col": "doc_id", "text_col": "text", "url_col": "url",
+         |  "root": "$base/run/root",
+         |  "checkpoint_location": "$base/run/ckpt",
+         |  "shingle_n": 3, "near_tau_x10k": 2500,
+         |  "domain_quota": 1000, "maintain_every": 2,
+         |  "retire_evidence": true, "retire_lag_windows": 1,
+         |  "refund_quota": true, "build_sidecars": true,
+         |  "monitor_conf": {"mu_bp": 0, "kappa_bp": 5000,
+         |    "h_bp": 1000000}
+         |}""".stripMargin)
+    def runOnce(): Map[Option[String], Long] = {
+      val cfg = graft.config.IngestConfig.fromFile(cfgPath)
+      val q = graft.tools.RunIngest.start(spark, cfg)
+      q.processAllAvailable(); q.stop()
+      spark.sharedState.cacheManager.clearCache()
+      spark.read.parquet(s"${cfg.root}/verdicts")
+        .groupBy(col("dropped_at")).agg(count(lit(1)).as("n"))
+        .as[(Option[String], Long)].collect().toMap
+    }
+    val v1 = runOnce()
+    assert(v1.values.sum == 200L, s"verdicts cover every doc: $v1")
+    assert(v1.getOrElse(Some("url"), 0L) > 0, s"url plant binding: $v1")
+    // maxFilesPerTrigger=1 -> 4 ticks -> windows at ids 1 and 3: the
+    // second window records on the incremental path's watermark chain
+    assert(graft.ext.IncrementalDedup.reconciledWatermarks(
+      spark, s"$base/run/root") == Seq(1L, 3L), "two windows recorded")
+    // the bench's restoreBefore contract: wiping run/ makes the loop
+    // repeat from scratch with identical verdicts
+    val p = new org.apache.hadoop.fs.Path(s"$base/run")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    assert(runOnce() == v1, "pristine-restore runs are identical")
+  }
+
   test("synthDocsEn: lang+quality gates binding — gibberish plant dropped, clean docs admitted") {
     import graft.ext.TextOps
     val docs = Sf1EqBench.synthDocsEn(spark, 1000L)
