@@ -745,6 +745,29 @@ object IncrementalDedup {
       spark, s"$root/$s",
       foldBelowOverride.getOrElse(s, committedBelow), targetBytes,
       FoldSort.get(s))).toMap
+    // doc_shingles REAPER: its rows are immutable per-doc facts the
+    // closure only ever queries for ids read from the LIVE union, so
+    // rows for departed docs are never wrong — but retirement deletes
+    // the union rows they shadow, and without a reaper the sidecar
+    // asymptotically stores every doc ever persisted. Reap at fold
+    // time (growth bounded by the fold cadence): rewrite batch=-1
+    // keeping only ids still in the union, preserving the id-sorted
+    // point-lookup layout.
+    if (folds.getOrElse(DocShinglesSubtree, 0) > 0 &&
+      Layout.hasParquetData(spark, s"$root/$DocShinglesSubtree/batch=-1")) {
+      val live = Seq("postings", "postings_dropped")
+        .map(s0 => s"$root/$s0").filter(Layout.hasParquetData(spark, _))
+        .map(spark.read.parquet(_).select(col("id")))
+      if (live.nonEmpty) {
+        val cur = spark.read.parquet(
+          s"$root/$DocShinglesSubtree/batch=-1")
+        swapPartition(spark, s"$root/$DocShinglesSubtree", -1L,
+          cur.join(live.reduce(_ unionByName _).distinct(), Seq("id"),
+              "left_semi")
+            .repartitionByRange(col("id"))
+            .sortWithinPartitions(col("id")))
+      }
+    }
     // existence + sizing via the column-pruned meta read — presence-
     // testing must not deserialize a 256 MB filter into the driver,
     // and a rebuild keeps the sidecar's original bitsPerKey/probes
@@ -941,12 +964,20 @@ object IncrementalDedup {
     if (!docShinglesComplete(spark, root)) return full(2L)
     val dialed = maxDocFreq != Int.MaxValue
     if (dialed && !countsComplete(spark, root)) return full(3L)
-    val storedHot: Option[DataFrame] =
-      if (!dialed) None
-      else readHotAt(spark, root, sinceBatch, maxDocFreq) match {
-        case some @ Some(_) => some
-        case None => return full(4L)
-      }
+    // retirement, a dial change, or removing the dial outright can
+    // UN-PRUNE a shingle (present in the certificate's hot set, absent
+    // from the current one), adding τ-edges between docs that both
+    // predate the certificate — a component change the batch seed
+    // cannot see. The recorded hot set at the watermark closes it for
+    // EVERY transition: seed the carriers of `stored \ current`
+    // (tightening only removes edges, which merely splits converged
+    // components). With the dial ON and no record (pre-record root,
+    // torn write) the certificate's pruning is unknown → full
+    // reconcile; with the dial OFF and no record the certificate is
+    // treated as undialed — from r19 on every completed window
+    // records, dial on or off, so the unknown case ages out.
+    val storedHot: Option[DataFrame] = readHotAt(spark, root, sinceBatch)
+    if (dialed && storedHot.isEmpty) return full(4L)
 
     val trees = Seq("postings" -> true, "postings_dropped" -> false)
     def isNewPred(sub: String): org.apache.spark.sql.Column = {
@@ -1006,8 +1037,11 @@ object IncrementalDedup {
     val seedDf = storedHot match {
       case None => seedNew
       case Some(sh) =>
+        // stored \ current: the shingles whose pruning the certificate
+        // had and the present state lacks (current hot is empty when
+        // the dial is off — dial REMOVAL un-prunes the whole set)
         val formerly = takeGuarded(
-          sh.join(hot.get, Seq("sh64"), "left_anti")
+          hot.fold(sh)(h => sh.join(h, Seq("sh64"), "left_anti"))
             .select(col("sh64")).distinct()) match {
           case None => return full(6L)
           case Some(rows) => rows.map(_.getLong(0))
@@ -1052,6 +1086,10 @@ object IncrementalDedup {
             val fresh = nbr.filter(r => !reached.contains(r.get(0)))
             fresh.foreach(r => reached.update(r.get(0), r.getBoolean(1)))
             frontier = fresh.map(_.get(0)).toSeq
+            // the ACCUMULATED closure is what the final pair-join fetch
+            // pushes as IN literals — per-hop guards alone would let a
+            // long thin chain grow it to maxHops × the bound
+            if (reached.size > maxFrontierKeys) guardTripped = true
         }
       }
       hops += 1
@@ -1576,48 +1614,58 @@ object IncrementalDedup {
       .groupBy(col("sh64")).agg(sum(col("n")).as("c"))
       .filter(col("c") > maxDocFreq).select(col("sh64"))
 
-  /** BACKFILL for roots that predate the sidecar: replace the counts
-    * tree with one aggregate over the current postings + evidence
-    * union — committed rows into `batch=-1`, any uncommitted tick's
-    * rows into its own `batch=<id>` partition (the tick's replay
-    * Overwrites its own partition, so absorbing it into the fold would
-    * double-count on redelivery) — then certify `_complete`. One
-    * O(corpus postings) aggregate, paid ONCE per root ever; from then
-    * on ticks maintain the tree incrementally. Idempotent and
-    * crash-safe: any interruption leaves the marker unwritten and the
-    * next call rebuilds from scratch. Returns the distinct-shingle row
-    * count written, or -1 when the tree was already complete. */
-  private[graft] def ensureShingleCounts(spark: SparkSession,
-                                         root: String,
-                                         committedBelow: Long): Long = {
-    if (countsComplete(spark, root)) return -1L
+  /** Shared BACKFILL skeleton for roots that predate a sidecar:
+    * replace the sidecar tree with one pass over the current
+    * postings + evidence union — committed rows (`batch <
+    * committedBelow`; folds, moves and refunds are all < 0) into
+    * `batch=-1`, any uncommitted tick's rows into its own partition
+    * (the tick's replay Overwrites its own partition, so absorbing it
+    * into the fold would double-count on redelivery) — then certify
+    * `_complete`. One O(corpus postings) pass, paid ONCE per root
+    * ever; from then on ticks maintain the tree incrementally.
+    * Idempotent and crash-safe: any interruption leaves the marker
+    * unwritten and the next call rebuilds from scratch. Returns the
+    * row count written, or -1 when already complete. MUST run after
+    * [[recoverLadderEntry]] (a half-done move would double-count —
+    * [[reconcileWindow]] recovers before backfilling). */
+  private def backfillSidecar(spark: SparkSession, root: String,
+                              sub: String,
+                              grouped: DataFrame => DataFrame,
+                              sortCol: Option[String],
+                              committedBelow: Long): Long = {
+    if (sidecarComplete(spark, root, sub)) return -1L
     val trees = Seq("postings", "postings_dropped")
       .map(s => s"$root/$s")
       .filter(Layout.hasParquetData(spark, _))
     if (trees.isEmpty) return 0L
-    val cDir = s"$root/$CountsSubtree"
-    val fs = new org.apache.hadoop.fs.Path(cDir)
+    val dir = s"$root/$sub"
+    val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(cDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val union = trees.map(spark.read.parquet(_)
-      .select(col("sh64"), col("batch").cast("long").as("batch")))
+      .select(col("id"), col("m"), col("sh64"),
+        col("batch").cast("long").as("batch")))
       .reduce(_ unionByName _)
-    def committed(b: org.apache.spark.sql.Column) =
-      b < committedBelow // folds, moves and refunds are all < 0
-    val folded = union.filter(committed(col("batch")))
-      .groupBy(col("sh64")).agg(count(lit(1)).as("n"))
-    folded.write.mode(SaveMode.Overwrite).parquet(s"$cDir/batch=-1")
-    val uncommitted = trees.flatMap(Layout.batchValues(spark, _))
-      .distinct.filter(_ >= committedBelow)
-    uncommitted.foreach { b =>
-      union.filter(col("batch") === b)
-        .groupBy(col("sh64")).agg(count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$cDir/batch=$b")
-    }
-    Layout.writeFoldWatermark(spark, cDir, committedBelow)
-    markCountsComplete(spark, root)
-    spark.read.parquet(cDir).count()
+    val folded = grouped(union.filter(col("batch") < committedBelow))
+    sortCol.fold(folded)(c => folded.repartitionByRange(col(c))
+        .sortWithinPartitions(col(c)))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=-1")
+    trees.flatMap(Layout.batchValues(spark, _))
+      .distinct.filter(_ >= committedBelow).foreach { b =>
+        grouped(union.filter(col("batch") === b))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$b")
+      }
+    Layout.writeFoldWatermark(spark, dir, committedBelow)
+    markSidecarComplete(spark, root, sub)
+    spark.read.parquet(dir).count()
   }
+
+  private[graft] def ensureShingleCounts(spark: SparkSession,
+                                         root: String,
+                                         committedBelow: Long): Long =
+    backfillSidecar(spark, root, CountsSubtree,
+      _.groupBy(col("sh64")).agg(count(lit(1)).as("n")),
+      sortCol = None, committedBelow)
 
   /** One tick's sidecar partitions — the per-sh64 counts AND the
     * per-doc shingle rows of exactly the postings rows the tick
@@ -1643,42 +1691,15 @@ object IncrementalDedup {
     }
   }
 
-  /** BACKFILL for the doc-keyed sidecar — [[ensureShingleCounts]]'s
-    * twin: one pass over the current postings+evidence union, grouped
-    * per doc, committed rows into an id-sorted `batch=-1`, uncommitted
-    * ticks into their own partitions (the replay-Overwrite contract).
-    * Idempotent, crash-safe through the unwritten marker. */
+  /** [[ensureShingleCounts]]'s doc-keyed twin — same
+    * [[backfillSidecar]] skeleton, grouped per doc, id-sorted fold. */
   private[graft] def ensureDocShingles(spark: SparkSession,
                                        root: String,
-                                       committedBelow: Long): Long = {
-    if (docShinglesComplete(spark, root)) return -1L
-    val trees = Seq("postings", "postings_dropped")
-      .map(s => s"$root/$s")
-      .filter(Layout.hasParquetData(spark, _))
-    if (trees.isEmpty) return 0L
-    val dDir = s"$root/$DocShinglesSubtree"
-    val fs = new org.apache.hadoop.fs.Path(dDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dDir), true)
-    val union = trees.map(spark.read.parquet(_)
-      .select(col("id"), col("m"), col("sh64"),
-        col("batch").cast("long").as("batch")))
-      .reduce(_ unionByName _)
-    def grouped(df: DataFrame): DataFrame = df.groupBy(col("id"))
-      .agg(max(col("m")).as("m"), collect_list(col("sh64")).as("shs"))
-    grouped(union.filter(col("batch") < committedBelow))
-      .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dDir/batch=-1")
-    val uncommitted = trees.flatMap(Layout.batchValues(spark, _))
-      .distinct.filter(_ >= committedBelow)
-    uncommitted.foreach { b =>
-      grouped(union.filter(col("batch") === b))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dDir/batch=$b")
-    }
-    Layout.writeFoldWatermark(spark, dDir, committedBelow)
-    markSidecarComplete(spark, root, DocShinglesSubtree)
-    spark.read.parquet(dDir).count()
-  }
+                                       committedBelow: Long): Long =
+    backfillSidecar(spark, root, DocShinglesSubtree,
+      _.groupBy(col("id"))
+        .agg(max(col("m")).as("m"), collect_list(col("sh64")).as("shs")),
+      sortCol = Some("id"), committedBelow)
 
   // ---------------------------------------------------------------
   // Persisted HOT-SET history (`hot_at/wm=<W>`): the dial's hot-shingle
@@ -1718,29 +1739,23 @@ object IncrementalDedup {
     dirs.dropRight(ReconcileMarkerKeep).foreach(d => fs.delete(d._2, true))
   }
 
-  /** The stored hot set at watermark `w` — None when never recorded or
-    * recorded under a DIFFERENT dial value (a changed dial invalidates
-    * the comparison; the caller falls back to the full reconcile). A
-    * dir whose dial marker is missing (crash between the two writes)
-    * reads as None — conservative. */
+  /** The stored hot set at watermark `w` — None when never recorded.
+    * The dial marker doubles as the record's commit witness (written
+    * after the parquet job; a dir without it is a torn write and reads
+    * as None, conservative). The stored DIAL VALUE is provenance only:
+    * the soundness argument needs the SET, not dial equality — edges
+    * the current state has that the certificate's didn't are exactly
+    * pairs sharing a shingle in `stored \ current` (any dial
+    * transition included: loosening or removing the dial un-prunes
+    * `stored \ current`; tightening only removes edges, which can only
+    * split converged components). */
   private[graft] def readHotAt(spark: SparkSession, root: String,
-                               w: Long, maxDocFreq: Int): Option[DataFrame] = {
+                               w: Long): Option[DataFrame] = {
     val dir = hotAtDir(root, w)
-    if (!Layout.hasParquetData(spark, dir)) None
-    else {
-      val p = new org.apache.hadoop.fs.Path(dir, HotAtDialMarker)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val dial = try {
-          new String(org.apache.hadoop.io.IOUtils
-            .readFullyToByteArray(in), "UTF-8").trim.toInt
-        } finally in.close()
-        if (dial == maxDocFreq) Some(spark.read.parquet(dir))
-        else None
-      }
-    }
+    val p = new org.apache.hadoop.fs.Path(dir, HotAtDialMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !Layout.hasParquetData(spark, dir)) None
+    else Some(spark.read.parquet(dir))
   }
 
   /** EVIDENCE RETENTION for the reconciliation loop: delete
@@ -1949,6 +1964,12 @@ object IncrementalDedup {
     require(retireLagWindows < ReconcileMarkerKeep,
       s"retireLagWindows must be < $ReconcileMarkerKeep (the persisted " +
         s"watermark-history bound): $retireLagWindows")
+    // recovery BEFORE the backfills: a half-done postings→evidence
+    // move leaves a doc's rows in BOTH trees, and a backfill over that
+    // union would certify doubled shingle rows with `_complete` —
+    // permanently inflating intersection counts (the corruption the
+    // move marker exists to prevent)
+    recoverLadderEntry(spark, root)
     val hasPostings = Layout.hasParquetData(spark, s"$root/postings")
     // sidecar backfills for roots that predate them: one full-union
     // aggregate each, ever — after which the dial reads are counts-
@@ -1986,12 +2007,12 @@ object IncrementalDedup {
     val fullyApplied = counts("verdicts") == counts("delta_ids")
     // record the certificate's hot set while the pre-retire union is
     // still intact (apply moves don't change counts; the retirement
-    // below does): the comparison the NEXT window's incremental seed
-    // needs to stay dial-sound. Written exactly when the watermark
-    // itself was recorded (full application), from the sidecar the
-    // backfill above guarantees.
-    if (hasPostings && fullyApplied && maxDocFreq != Int.MaxValue &&
-      countsComplete(spark, root))
+    // below does): the `stored \ current` comparison the NEXT window's
+    // incremental seed stands on. Written on EVERY full application —
+    // dial off records the empty set, which is exactly what makes a
+    // later dial-ON (or off→on→off) transition comparable instead of
+    // forcing the full-reconcile fallback forever.
+    if (hasPostings && fullyApplied && countsComplete(spark, root))
       writeHotAt(spark, root, committedBelow, maxDocFreq,
         hotFromCounts(spark, root, maxDocFreq))
     // the K-windows-older COMPLETED watermark (this window's own, just
@@ -2090,7 +2111,8 @@ object IncrementalDedup {
     * added in one place, not hand-propagated to every entry site. */
   private[graft] def recoverLadderEntry(spark: SparkSession,
                                         root: String): Unit = {
-    Seq("postings", "postings_dropped", CountsSubtree)
+    Seq("postings", "postings_dropped", CountsSubtree,
+      DocShinglesSubtree)
       .foreach(sub => recoverSwaps(spark, s"$root/$sub"))
     recoverEvidenceMoves(spark, root)
     recoverRetire(spark, root)
@@ -2247,6 +2269,13 @@ final class LadderRungMonitor(val rungs: Seq[String] =
   // operator telemetry, not detection state).
   private def statePath: Option[org.apache.hadoop.fs.Path] =
     stateDir.map(d => new org.apache.hadoop.fs.Path(d, "_monitor_state"))
+  // highest batch id whose tick the persisted state already includes:
+  // the state file is written BEFORE the stream's checkpoint commits,
+  // so an at-least-once redelivery after a restart replays a batch the
+  // restored accumulators already counted — advancing again would
+  // double-count the same data and could manufacture a threshold
+  // crossing out of a restart. Replayed ids (≤ this) advance nothing.
+  private var persistedThrough: Option[Long] = None
   statePath.foreach { p =>
     val fs = p.getFileSystem(hadoopConf)
     if (fs.exists(p)) {
@@ -2256,7 +2285,10 @@ final class LadderRungMonitor(val rungs: Seq[String] =
           .readFullyToByteArray(in), "UTF-8")
       } finally in.close()
       txt.split("\n").map(_.trim).filter(_.nonEmpty).foreach { l =>
-        l.split(",") match {
+        if (l.startsWith("#batch="))
+          persistedThrough = scala.util.Try(
+            l.stripPrefix("#batch=").toLong).toOption
+        else l.split(",") match {
           case Array(r, sp, sn, a) =>
             scala.util.Try {
               states(r) = DataQuality.CusumState(sp.toLong, sn.toLong)
@@ -2267,14 +2299,15 @@ final class LadderRungMonitor(val rungs: Seq[String] =
       }
     }
   }
-  private def saveState(): Unit = statePath.foreach { p =>
+  private def saveState(batchId: Long): Unit = statePath.foreach { p =>
     val fs = p.getFileSystem(hadoopConf)
     val out = fs.create(p, true)
-    out.write(rungs.map { r =>
+    out.write((s"#batch=$batchId" +: rungs.map { r =>
       val st = states.getOrElse(r, DataQuality.CusumState(0L, 0L))
       s"$r,${st.sp},${st.sn},${if (active(r)) 1 else 0}"
-    }.mkString("\n").getBytes("UTF-8"))
+    }).mkString("\n").getBytes("UTF-8"))
     out.close()
+    persistedThrough = Some(batchId)
   }
 
   /** Advance every rung's CUSUM with one tick's observed metrics
@@ -2290,6 +2323,12 @@ final class LadderRungMonitor(val rungs: Seq[String] =
         val c = metrics.getOrElse(s"n_$r", 0L).asInstanceOf[Long]
         r -> (if (n > 0) c * 10000L / n else 0L)
       }.toMap
+      // a REPLAYED batch (id at or below the persisted-through mark)
+      // already advanced the restored accumulators pre-crash: observe
+      // without advancing — no alarms re-fire (the original delivery
+      // raised them), no double count
+      if (persistedThrough.exists(batchId <= _))
+        return RungTick(batchId, n, bp, Set.empty, Set.empty)
       rungs.foreach(r => if (bp(r) > 0L) active += r)
       var up = Set.empty[String]
       var down = Set.empty[String]
@@ -2303,7 +2342,7 @@ final class LadderRungMonitor(val rungs: Seq[String] =
       val t = RungTick(batchId, n, bp, up, down)
       ring += t
       if (ring.size > keep) ring.remove(0)
-      saveState()
+      saveState(batchId)
       t
     }
 

@@ -99,10 +99,19 @@ class IngestLadderSpec extends AnyFunSuite {
     // two 300bp ticks: sp = 600, under h — then 'restart'
     val m1 = mkMon(persist = true)
     assert(!drift(m1, 0L, 2).alarmUp.contains("url"))
-    // the restarted monitor reads the persisted accumulators and the
-    // drift keeps accumulating: two more ticks cross h = 1000
+    // the restarted monitor reads the persisted accumulators; an
+    // at-least-once REDELIVERY of the last persisted batch (the state
+    // file is written before the checkpoint commits) must advance
+    // NOTHING — a double count would cross h one tick early and
+    // manufacture an alarm out of the restart
     val m2 = mkMon(persist = true)
-    assert(drift(m2, 2L, 2).alarmUp.contains("url"),
+    val replay = m2.tick(1L, Map("n" -> 100L, "n_url" -> 3L))
+    assert(replay.alarmUp.isEmpty && replay.alarmDown.isEmpty)
+    assert(!drift(m2, 2L, 1).alarmUp.contains("url"),
+      "sp must be 900 (replay not double-counted), under h")
+    // the drift keeps accumulating where it left off: one more tick
+    // crosses h = 1000
+    assert(drift(m2, 3L, 1).alarmUp.contains("url"),
       "drift split across the restart must still fire")
     // a FRESH monitor (reset semantics) would NOT have fired yet —
     // the blind spot persistence closes

@@ -397,9 +397,27 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
       s"un-pruned s must merge A' and B: $full")
     assert(inc == full,
       s"the formerly-hot seed must find the pre-watermark edge: $inc")
+    // dial REMOVAL (on -> off): the certificate was computed with s
+    // pruned; undialed, the A'-B edge exists outright — the stored
+    // hot set (minus the now-empty current one) must still seed the
+    // carriers, or the removal silently under-emits forever
+    spark.sharedState.cacheManager.clearCache()
+    val incOff = incClosure(root, tau = tau, since = 3L)
+    spark.sharedState.cacheManager.clearCache()
+    val fullOff = deltaMap(IncrementalDedup.reconcileNear(spark, root,
+      tau = tau))
+    assert(incOff == fullOff && incOff == Map(21L -> "near"),
+      s"dial-off transition must seed the formerly-hot carriers: $incOff")
+    // frontier guard: an absurdly small key bound trips mid-closure
+    // and degrades to the full reconcile — identical delta, mode says so
+    val (gd, gmode) = IncrementalDedup.reconcileNearIncrementalMode(
+      spark, root, tau, sinceBatch = 3L, maxDocFreq = dial,
+      maxFrontierKeys = 1, seedFractionCrossover = 1.0)
+    assert(gmode == 6L && deltaMap(gd) == full,
+      s"guard trip must fall back whole: mode $gmode")
     // conservative arm: with the hot-set history gone (pre-sidecar
-    // root / dial change), the incremental call degrades to the full
-    // reconcile rather than trusting a dial-unsound certificate
+    // root / torn record), the dialed incremental call degrades to the
+    // full reconcile rather than trusting a dial-unsound certificate
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/hot_at"), true)

@@ -161,6 +161,36 @@ class ShingleCountsSpec extends AnyFunSuite {
     assertExact(root, "after shape-2 recovery")
   }
 
+  test("backfill after a crashed move: reconcileWindow recovers the " +
+      "half-done postings->evidence move BEFORE certifying the " +
+      "sidecars, so the backfilled counts never double the moved " +
+      "doc's rows") {
+    import spark.implicits._
+    val root = seedRoot("sc_bfcrash")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pre-sidecar root: drop both sidecar trees
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/shingle_counts"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/doc_shingles"), true)
+    // the crash state recoverEvidenceMoves exists for: doc 11's rows
+    // in BOTH trees with the move marker still present
+    spark.read.parquet(s"$root/postings/batch=1")
+      .write.mode("overwrite").parquet(s"$root/.crash_keep")
+    spark.read.parquet(s"$root/.crash_keep")
+      .write.mode("overwrite").parquet(s"$root/postings_dropped/batch=1")
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      ".apply-move-batch=1"), true).close()
+    spark.sharedState.cacheManager.clearCache()
+    // the window must recover FIRST (finishing the retirement), then
+    // backfill over the now-disjoint union — counts exact, no doubles
+    IncrementalDedup.reconcileWindow(spark, root, "doc_id", tau = 0.5,
+      committedBelow = 2L)
+    assert(IncrementalDedup.countsComplete(spark, root))
+    assertExact(root, "after backfill over the recovered union")
+    assert(sidecarCounts(root).values.forall(_ > 0),
+      "no doubled-then-negated residue")
+  }
+
   test("quota-dropped docs persist no postings and count nothing: the " +
       "ingest ladder's sidecar partition covers exactly the rows it " +
       "wrote") {
