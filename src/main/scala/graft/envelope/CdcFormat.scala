@@ -231,13 +231,25 @@ final case class DmsCdc(recordIdKey: String = "id") extends CdcFormat {
       StructField("table-name", StringType))), nullable = false)))
 
   def extract(df: DataFrame, passthrough: Seq[String] = Nil): DataFrame = df
-    .filter(col("env.metadata.`record-type`") === "data")
+    // the control-record filter references the PARSED envelope, and a
+    // plain filter-on-env gets pushed below the parse projection by the
+    // optimizer, which DUPLICATES the from_json: every row then pays
+    // the full envelope parse twice (once in the cloned filter at the
+    // scan, once in the projection — the guide §4.4 shape, measured in
+    // the r19 plan dump). explode(array(env)) is a Generate barrier:
+    // filters on a generated attribute cannot push below the Generate,
+    // so the parse evaluates exactly once per row. A 1-element explode
+    // preserves row count and null behavior (env=null yields one
+    // env=null row, which the filter drops — identical to before).
+    .select(col("env") +: passthrough.map(col): _*)
+    .select(explode(array(col("env"))).as("__env") +: passthrough.map(col): _*)
+    .filter(col("__env.metadata.`record-type`") === "data")
     .select(Seq(
-      col("env.metadata.`schema-name`").as("db_name"),
-      col("env.metadata.`table-name`").as("tb_name"),
-      get_json_object(col("env.data"), s"$$.$recordIdKey").as("pk"),
-      unix_millis(to_timestamp(col("env.metadata.timestamp"),
+      col("__env.metadata.`schema-name`").as("db_name"),
+      col("__env.metadata.`table-name`").as("tb_name"),
+      get_json_object(col("__env.data"), s"$$.$recordIdKey").as("pk"),
+      unix_millis(to_timestamp(col("__env.metadata.timestamp"),
         "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")).as("ts_ms"),
-      col("env.metadata.operation").as("op"),
-      col("env.data").as("payload")) ++ passthrough.map(col): _*)
+      col("__env.metadata.operation").as("op"),
+      col("__env.data").as("payload")) ++ passthrough.map(col): _*)
 }

@@ -412,10 +412,23 @@ object Corpus {
     */
   def decontaminateFraction(corpus: DataFrame, benchmark: DataFrame,
                             idCol: String, textCol: String, n: Int,
-                            dropAtBp: Int = 2500): DataFrame = {
-    graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val c = Dedup.explodedShingles(corpus, idCol, textCol, n)
-      .select(col("id"), col("m"), TextOps.portableHash(col("shingle")).as("h"))
+                            dropAtBp: Int = 2500): DataFrame =
+    decontaminateFractionOn(
+      Dedup.explodedShingles(corpus, idCol, textCol, n)
+        .select(col("id"), col("m"),
+          TextOps.portableHash(col("shingle")).as("h")),
+      corpus.select(col(idCol).as("id")), benchmark, idCol, textCol, n,
+      dropAtBp)
+
+  /** [[decontaminateFraction]] from a pre-exploded hashed corpus
+    * relation (id, m, h) — the share point [[decontamMatrix]] uses so
+    * the corpus tokenizes once for both n-gram forms. */
+  private[graft] def decontaminateFractionOn(c: DataFrame, ids: DataFrame,
+                                             benchmark: DataFrame,
+                                             idCol: String, textCol: String,
+                                             n: Int,
+                                             dropAtBp: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(benchmark.sparkSession)
     val b = Dedup.explodedShingles(benchmark, idCol, textCol, n)
       .select(TextOps.portableHash(col("shingle")).as("h")).distinct()
       .withColumn("hit", lit(1L))
@@ -423,7 +436,7 @@ object Corpus {
       .groupBy(col("id"))
       .agg(max(col("m")).cast("long").as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
-    corpus.select(col(idCol).as("id"))
+    ids
       .join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
@@ -460,10 +473,21 @@ object Corpus {
     */
   def decontaminateContainment(corpus: DataFrame, benchmark: DataFrame,
                                idCol: String, textCol: String, n: Int,
-                               dropAtBp: Int = 8000): DataFrame = {
-    graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val c = Dedup.explodedShingles(corpus, idCol, textCol, n)
-      .select(col("id"), TextOps.portableHash(col("shingle")).as("h"))
+                               dropAtBp: Int = 8000): DataFrame =
+    decontaminateContainmentOn(
+      Dedup.explodedShingles(corpus, idCol, textCol, n)
+        .select(col("id"), TextOps.portableHash(col("shingle")).as("h")),
+      corpus.select(col(idCol).as("id")), benchmark, idCol, textCol, n,
+      dropAtBp)
+
+  /** [[decontaminateContainment]] from a pre-exploded hashed corpus
+    * relation (id, h) — the [[decontamMatrix]] share point. */
+  private[graft] def decontaminateContainmentOn(c: DataFrame, ids: DataFrame,
+                                                benchmark: DataFrame,
+                                                idCol: String,
+                                                textCol: String, n: Int,
+                                                dropAtBp: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(benchmark.sparkSession)
     val b = Dedup.explodedShingles(benchmark, idCol, textCol, n)
       .select(col("id").as("bid"), col("m").cast("long").as("mb"),
         TextOps.portableHash(col("shingle")).as("h"))
@@ -477,7 +501,7 @@ object Corpus {
       .agg(max(struct(col("cont_bp"), (-col("bid")).as("nbid"))).as("b"))
       .select(col("id"), col("b.cont_bp").as("max_cont_bp"),
         (-col("b.nbid")).cast("long").as("worst_bench"))
-    corpus.select(col(idCol).as("id"))
+    ids
       .join(best, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("max_cont_bp"), lit(0L)).as("max_cont_bp"),
@@ -1074,12 +1098,21 @@ object Corpus {
                      containmentDropBp: Int = 8000,
                      winBytes: Int = 40, anchorMod: Int = 8,
                      spanDropBp: Int = 2500): DataFrame = {
-    val f = decontaminateFraction(corpus, benchmark, idCol, textCol, n,
+    // the two n-gram forms consume the SAME corpus shingle relation:
+    // explode+hash once, share the cache (one corpus tokenize pass
+    // instead of two — r19); the span form keeps its own (byte-window)
+    // scan by nature
+    val pre = Materialize.multiScan(
+      Dedup.explodedShingles(corpus, idCol, textCol, n)
+        .select(col("id"), col("m"),
+          TextOps.portableHash(col("shingle")).as("h")))
+    val ids = Materialize.multiScan(corpus.select(col(idCol).as("id")))
+    val f = decontaminateFractionOn(pre, ids, benchmark, idCol, textCol, n,
         fractionDropBp)
       .select(col("id"), col("overlap_bp"),
         col("drop").as("drop_fraction"))
-    val c = decontaminateContainment(corpus, benchmark, idCol, textCol, n,
-        containmentDropBp)
+    val c = decontaminateContainmentOn(pre.select(col("id"), col("h")), ids,
+        benchmark, idCol, textCol, n, containmentDropBp)
       .select(col("id"), col("max_cont_bp"),
         col("drop").as("drop_containment"))
     val s = decontaminateSpans(corpus, benchmark, idCol, textCol, winBytes,
@@ -1289,11 +1322,14 @@ object Corpus {
                   n: Int = 3, nBuckets: Int = 4096): DataFrame = {
     require(n >= 1 && nBuckets >= 2, s"bad langIdTrain dials: n=$n, nBuckets=$nBuckets")
     graft.functions.VectorFunctions.register(labeled.sparkSession)
-    val feats = Materialize.spread(labeled)
+    // feats feeds TWO aggregates (counts, ltot): materialize the hashed
+    // relation once or the char-n-gram explode over the corpus runs
+    // per consumer (r19)
+    val feats = Materialize.multiScan(Materialize.spread(labeled)
       .select(col(langCol).as("lang"),
         explode(TextOps.charNgrams(col(textCol), n)).as("g"))
       .select(col("lang"),
-        pmod(TextOps.portableHash(col("g")), lit(nBuckets.toLong)).as("bucket"))
+        pmod(TextOps.portableHash(col("g")), lit(nBuckets.toLong)).as("bucket")))
     val counts = feats.groupBy(col("bucket"), col("lang"))
       .agg(count(lit(1)).as("c"))
     val ltot = feats.groupBy(col("lang")).agg(count(lit(1)).as("nfeat"))
@@ -1338,11 +1374,13 @@ object Corpus {
                     model: DataFrame, n: Int = 3,
                     nBuckets: Int = 4096): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val feats = Materialize.spread(df)
+    // feats feeds TWO branches (matched join, unmatched anti-join):
+    // materialize once or the explode+hash runs per branch (r19)
+    val feats = Materialize.multiScan(Materialize.spread(df)
       .select(col(idCol).as("id"),
         explode(TextOps.charNgrams(col(textCol), n)).as("g"))
       .select(col("id"),
-        pmod(TextOps.portableHash(col("g")), lit(nBuckets.toLong)).as("bucket"))
+        pmod(TextOps.portableHash(col("g")), lit(nBuckets.toLong)).as("bucket")))
     // the model is read by FOUR downstream branches (matched join,
     // unmatched anti-join probe, unseen defaults, priors): materialize
     // it once — when the caller passes a freshly-TRAINED model (the

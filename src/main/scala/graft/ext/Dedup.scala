@@ -1532,13 +1532,25 @@ object Dedup {
         count(lit(1)).as("n_occ"),
         min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
+      // fps group/shuffle as raw 16-byte digests; hex only the output
+      .select(lower(hex(col("fp"))).as("fp"), col("n_docs"), col("n_occ"),
+        col("first_doc"))
   }
 
-  /** (id, p, fp) anchored-window relation shared by the substring ops. */
+  /** (id, p, fp) anchored-window relation shared by the substring ops.
+    * The normalize + per-offset fingerprint scan is the family's
+    * CPU-heavy narrow stage, so the input is spread to session
+    * parallelism FIRST ([[Materialize.spread]], no-op on real multi-
+    * split inputs): a single small parquet file is one split, and
+    * without the spread the whole explode-and-md5 pass — and the one-
+    * partition cache every consumer then scans — runs in ONE task
+    * regardless of cluster size (measured 6.5 s → 2.8 s warm on
+    * dedup_substr_rewrite at sf0.1, r19). */
   private[ext] def anchorWins(df: DataFrame, idCol: String, textCol: String,
                          winBytes: Int, anchorMod: Int): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
+    Materialize.spread(df.select(col(idCol).as("id"), col(textCol).as("__t0")))
+      .select(col("id"), TextOps.normalized(col("__t0")).as("t"))
       .select(col("id"), explode(graft.functions.VectorFunctions
         .anchorWindows(col("t"), winBytes, anchorMod)).as("w"))
       .select(col("id"), col("w.p").as("p"), col("w.fp").as("fp"))
@@ -1550,7 +1562,9 @@ object Dedup {
   private[ext] def winnowWins(df: DataFrame, idCol: String, textCol: String,
                               winBytes: Int, k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
+    // spread before the heavy narrow stage — see [[anchorWins]]
+    Materialize.spread(df.select(col(idCol).as("id"), col(textCol).as("__t0")))
+      .select(col("id"), TextOps.normalized(col("__t0")).as("t"))
       .select(col("id"), explode(graft.functions.VectorFunctions
         .winnowWindows(col("t"), winBytes, k)).as("w"))
       .select(col("id"), col("w.p").as("p"), col("w.fp").as("fp"))
@@ -1577,6 +1591,9 @@ object Dedup {
         count(lit(1)).as("n_occ"),
         min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
+      // raw digests internally; hex only the output (see substringDupSpans)
+      .select(lower(hex(col("fp"))).as("fp"), col("n_docs"), col("n_occ"),
+        col("first_doc"))
 
   /** Per-document duplicated-span COVERAGE — the decision step of
     * ExactSubstr dedup: how much of each document is covered by spans
@@ -1989,9 +2006,18 @@ object Dedup {
   private[graft] def stitchComplementBin(df: DataFrame, idCol: String,
                                          textCol: String, minLen: Int,
                                          redundant: DataFrame): DataFrame = {
-    val spans = islandsOf(redundant, minLen)
-    val base = df.select(col(idCol).as("id"),
-      encode(TextOps.normalized(col(textCol)), "UTF-8").as("bin"))
+    // spans is doc-cardinality-small but feeds THREE consumers
+    // (headSegs, cuts → tailSegs, and the final left join); without the
+    // persist each consumer subtree replays the whole canon aggregate +
+    // island pass over the full window relation — three ~57 MB shuffles
+    // of the same data at sf0.1 instead of one (measured r19)
+    val spans = Materialize.multiScan(islandsOf(redundant, minLen))
+    // normalize+encode is this pass's CPU-heavy narrow stage and feeds
+    // three consumers — spread it like [[anchorWins]] does
+    val base = Materialize.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t0")))
+      .select(col("id"),
+        encode(TextOps.normalized(col("__t0")), "UTF-8").as("bin"))
       .withColumn("n", length(col("bin")))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("s"))

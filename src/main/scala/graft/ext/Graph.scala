@@ -91,25 +91,34 @@ object Graph {
   def pageRank(pairs: DataFrame, iters: Int = 5,
                idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val edges = edgesOf(pairs, idA, idB)
+    val edges0 = edgesOf(pairs, idA, idB)
     val deg = Materialize.multiScan(
-      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+      edges0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     requireRankBound(deg.count())
+    // the source degree is loop-invariant: fold it onto each edge ONCE
+    // here instead of re-joining deg inside every round — each round
+    // then pays one join + one aggregation, not two joins (r19)
+    val edges = Materialize.multiScan(
+      edges0.join(deg.withColumnRenamed("id", "src"), Seq("src")))
     var ranks = deg.select(col("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       // per-edge contribution r(src) div deg(src), re-keyed on dst:
       // ONE join + ONE aggregation per round, both on the node id
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"),
           expr("rank_micro div deg").as("c"))
       ranks = contrib.groupBy(col("id"))
         .agg(expr("150000 + (850000 * sum(c)) div 1000000")
           .as("rank_micro"))
-        .localCheckpoint()
     }
-    ranks
+    // checkpoint ONCE after the loop: the iteration chain is LINEAR
+    // (each round's plan references the previous exactly once), so the
+    // plan grows linearly in rounds and one job materializes all of
+    // them — per-round eager checkpoints paid one driver round-trip per
+    // iteration for no plan-size benefit (r19). The final checkpoint
+    // still protects multi-consumer reads from re-deriving the chain.
+    ranks.localCheckpoint()
   }
 
   /** Triangle enumeration via the degree-ordered "forward" algorithm
@@ -250,19 +259,22 @@ object Graph {
         s"max edge weight $maxW overflows rank*weight for $n nodes " +
           s"(need <= ${Long.MaxValue / n / 1000000L})")
     }
+    // loop-invariant weighted degree folded onto edges once — see
+    // [[pageRank]]
+    val edgesWd = Materialize.multiScan(
+      edges.join(wdeg.withColumnRenamed("id", "src"), Seq("src")))
     var ranks = wdeg.select(col("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = edgesWd
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(wdeg.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"),
           expr("(rank_micro * w) div wd").as("c"))
       ranks = contrib.groupBy(col("id"))
         .agg(expr("150000 + (850000 * sum(c)) div 1000000")
           .as("rank_micro"))
-        .localCheckpoint()
     }
-    ranks
+    // single post-loop checkpoint — see [[pageRank]] (linear chain)
+    ranks.localCheckpoint()
   }
 
   /** Degree-assortativity card (Newman 2002): the Pearson correlation

@@ -74,8 +74,12 @@ object IncrementalCoverage {
     val docFps = Materialize.multiScan(batch.select(
       col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp")))
     val exactDrops = docFps.join(idx, Seq("fp")).select(col("id"))
+    // the span-index store persists HEX fps (shared column with the doc
+    // fingerprints and stable across versions), so the batch's raw
+    // binary window digests hexify here, once, batch-sized
     val wins = Materialize.multiScan(
-      Dedup.anchorWins(batch, idCol, textCol, winBytes, anchorMod))
+      Dedup.anchorWins(batch, idCol, textCol, winBytes, anchorMod)
+        .withColumn("fp", lower(hex(col("fp")))))
     val batchDupFps = wins.groupBy(col("fp"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("fp"))
     // dup = window seen in the store OR >= 2 times in the batch. Two

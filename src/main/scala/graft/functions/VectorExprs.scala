@@ -444,7 +444,7 @@ case class AnchorWindowMd5(child: Expression, winBytes: Int, anchorMod: Int)
       org.apache.spark.sql.types.StructField("p",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("fp",
-        org.apache.spark.sql.types.StringType, nullable = false))),
+        org.apache.spark.sql.types.BinaryType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "anchor_windows"
 
@@ -487,7 +487,7 @@ case class WinnowWindowMd5(child: Expression, winBytes: Int, k: Int)
       org.apache.spark.sql.types.StructField("p",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("fp",
-        org.apache.spark.sql.types.StringType, nullable = false))),
+        org.apache.spark.sql.types.BinaryType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "winnow_windows"
 
@@ -504,7 +504,10 @@ case class WinnowWindowMd5(child: Expression, winBytes: Int, k: Int)
 
 object WinnowWindowMd5 {
   /** Array of (p, fp) structs at the winnow-SELECTED positions; p is
-    * the 1-based byte offset, fp the winBytes-window md5 hex. */
+    * the 1-based byte offset, fp the winBytes-window RAW md5 digest
+    * (16 bytes — half the hex form's shuffle/sort/cache bytes and three
+    * fewer allocations per window; consumers that surface fps hex() at
+    * the output boundary). */
   def compute(bytes: Array[Byte], win: Int, k: Int): ArrayData = {
     val nPos = bytes.length - win + 1
     val out = scala.collection.mutable.ArrayBuffer
@@ -545,8 +548,7 @@ object WinnowWindowMd5 {
         md.reset()
         md.update(bytes, i, win)
         out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](i + 1, org.apache.spark.unsafe.types.UTF8String.fromString(
-            org.apache.commons.codec.binary.Hex.encodeHexString(md.digest()))))
+          Array[Any](i + 1, md.digest()))
       }
       i += 1
     }
@@ -556,7 +558,8 @@ object WinnowWindowMd5 {
 
 object AnchorWindowMd5 {
   /** Array of (p, fp) structs — p is the 1-based BYTE offset (== char
-    * offset on ASCII), fp the window's md5 hex. */
+    * offset on ASCII), fp the window's RAW md5 digest (16 bytes; see
+    * [[WinnowWindowMd5.compute]] on why binary, not hex). */
   def compute(bytes: Array[Byte], win: Int, mod: Int): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.catalyst.InternalRow]
@@ -569,8 +572,7 @@ object AnchorWindowMd5 {
         md.reset()
         md.update(bytes, i, win)
         out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](i + 1, org.apache.spark.unsafe.types.UTF8String.fromString(
-            org.apache.commons.codec.binary.Hex.encodeHexString(md.digest()))))
+          Array[Any](i + 1, md.digest()))
       }
       i += 1
     }

@@ -2567,8 +2567,12 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     */
   val qGraphCentral = Q("graph_central",
     (s, dir) => {
-      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 3, tau = 0.25)
+      // pairs feeds TWO consumers (CC and PageRank, each with its own
+      // edge materialization) — persist it or the shingle self-join +
+      // pair aggregate run twice (r19)
+      val pairs = graft.ext.Materialize.multiScan(
+        Dedup.jaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, tau = 0.25))
       graft.ext.Graph.centralSurvivors(
         Dedup.connectedComponents(pairs),
         graft.ext.Graph.pageRank(pairs, iters = 5))
