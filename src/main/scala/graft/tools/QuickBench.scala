@@ -1,7 +1,7 @@
 package graft.tools
 object QuickBench {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Sessions.local("32")
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("q_pack", "q_vocab", "q_fuzzy_snm", "q_kmv_distinct", "dedup_simhash")
     names.foreach { n =>
