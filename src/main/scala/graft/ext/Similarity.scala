@@ -136,7 +136,11 @@ object Similarity {
       else corpus.orderBy(col("id")).limit(nCentroids)
         .select(col("id").as("cid"), col("embedding").as("cent"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val c = corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb"))
+    // spread: the corpus-side scoring (cosine per probed pair after the
+    // broadcast join) is the heavy narrow stage and otherwise runs with
+    // the scan's single-split partitioning
+    val c = Materialize.spread(
+        corpus.select(col("id").as("nn_id"), col("embedding").as("c_emb")))
       .withColumn("cell", cellOf(col("c_emb"), cents))
     val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(probeCells(col("q_emb"), cents, nProbe)))
@@ -218,7 +222,10 @@ object Similarity {
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(embCol).as("cent"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val assigned = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+    // spread: the assignment scan feeds the quota window's exchange and
+    // otherwise runs in the scan's single input split
+    val assigned = Materialize.spread(
+        corpus.select(col(idCol).as("id"), col(embCol).as("emb")))
       .withColumn("cell", cellOf(col("emb"), cents))
     Corpus.quotaSample(assigned, Seq("cell"), Seq("id"), quota)
       .select(col("cell"), col("sample_rank"), col("id"))
@@ -266,20 +273,28 @@ object Similarity {
   def kmeansFit(corpus: DataFrame, k: Int, maxIter: Int,
                 trace: Boolean = true): (Array[Array[Float]], Seq[Double]) = {
     ensureRegistered(corpus)
-    val first = corpus.select(col("embedding")).head()
+    // the loop scans the SAME (id, embedding) relation maxIter(+trace)
+    // times: persist it once — and spread it first, because every
+    // iteration's assignment + vector-sum aggregate is a narrow pass
+    // that otherwise runs in the scan's single input split (one task
+    // per iteration on a one-file table, O(iters · corpus · k · dim)
+    // of serial work)
+    val rel = Materialize.multiScan(Materialize.spread(
+      corpus.select(col("id"), col("embedding"))))
+    val first = rel.select(col("embedding")).head()
     val dim = first.getSeq[Float](0).length
-    var cents: Array[Array[Float]] = corpus.orderBy(col("id")).limit(k)
+    var cents: Array[Array[Float]] = rel.orderBy(col("id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     val objs = scala.collection.mutable.ArrayBuffer.empty[Double]
     def objective(cs: Array[Array[Float]]): Double =
-      corpus.agg(sum(graft.functions.VectorFunctions
+      rel.agg(sum(graft.functions.VectorFunctions
         .bestCentroidSim(col("embedding"), indexed(cs))).as("obj"))
         .head().getDouble(0)
     if (trace) objs += objective(cents)
     var iter = 0
     while (iter < maxIter) {
-      val assigned = corpus.withColumn("cell",
+      val assigned = rel.withColumn("cell",
         cellOf(col("embedding"), indexed(cents)).cast("int"))
       // ONE vector-sum aggregate (double[dim] buffer + count, map-side
       // partial merge) instead of dim separate avg(embedding[i])
@@ -363,7 +378,10 @@ object Similarity {
                             idCol: String, embCol: String,
                             tau: Double): DataFrame = {
     ensureRegistered(corpus)
-    val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+    // spread: the corpus × benchmark scoring scan is the whole operator
+    // and otherwise runs with the scan's single-split partitioning
+    val c = Materialize.spread(
+      corpus.select(col(idCol).as("id"), col(embCol).as("emb")))
     val b = benchmark.select(col(idCol).as("b_id"), col(embCol).as("b_emb"))
     c.crossJoin(broadcast(b))
       .withColumn("sim", round(cosine(col("emb"), col("b_emb")), 3))
@@ -429,8 +447,12 @@ object Similarity {
     import spark.implicits._
     val centsDf = cents.toSeq.map { case (c, v) => (c.toInt, v) }
       .toDF("cell", "cent")
+    // spread before the persist: assignment + the per-cell pair join run
+    // with the scan's partitioning otherwise (single task on a one-file
+    // table) — the cellNeighbors fix, same mechanism
     val assigned = Materialize.multiScan(
-      base.withColumn("cell", cellOf(col("emb"), cents).cast("int"))
+      Materialize.spread(base)
+        .withColumn("cell", cellOf(col("emb"), cents).cast("int"))
         .join(broadcast(centsDf), Seq("cell"))
         .withColumn("cent_sim", round(cosine(col("emb"), col("cent")), 3))
         .drop("cent"))
@@ -710,8 +732,14 @@ object Similarity {
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(embCol).as("cent"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // spread before the persist: the cell assignment AND the within-cell
+    // scoring join below otherwise inherit the scan's partitioning — one
+    // task for a single-file table, i.e. the whole |cell|² cosine pass
+    // runs serially (measured: one 1.0 s single-task stage dominating
+    // label_kappa's warm run)
     val assigned = Materialize.multiScan(
-      corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      Materialize.spread(corpus.select(col(idCol).as("id"),
+          col(embCol).as("emb")))
         .withColumn("cell", cellOf(col("emb"), cents)))
     val pool = if (maxCellPool == Int.MaxValue) assigned else {
       val pw = Window.partitionBy(col("cell"))
@@ -777,7 +805,12 @@ object Similarity {
     *
     * @return one row (n_total, n_agree, po_micro, pe_micro, kappa_micro)
     */
-  def labelKappaCard(conf: DataFrame): DataFrame = {
+  def labelKappaCard(conf0: DataFrame): DataFrame = {
+    // persist the (labels × labels)-sized matrix: the totals, row-margin
+    // and column-margin aggregates below are three consumers, and
+    // without the share point each re-runs the ENTIRE upstream confusion
+    // pipeline — the |cell|² kNN self-join — once per consumer
+    val conf = Materialize.multiScan(conf0)
     val tot = conf.agg(sum(col("n")).as("n_total"),
       sum(when(col("label") === col("predicted_label"), col("n"))
         .otherwise(0L)).as("n_agree"))

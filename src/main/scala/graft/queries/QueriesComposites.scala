@@ -281,10 +281,22 @@ private[graft] trait QueriesComposites { this: Queries.type =>
   val qCorpusPrepV3 = Q("q_corpus_prep_v3",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // ONE normalize+tokenize pass shared by every full-corpus rung
+      // (Gopher shape battery, repetition battery, surprisal, and both
+      // DSIR feature sides) — the rungs consume it through their *On
+      // share points, so the corpus is scanned/normalized once instead
+      // of five times, and the spread fixes the single-split scan the
+      // un-spread gopherRules path inherited on a one-file table
+      val pre = graft.ext.Materialize.multiScan(
+        graft.ext.Materialize.spread(docs)
+          .select(col("doc_id").as("id"), col("source"),
+            col("text").as("raw"),
+            graft.ext.TextOps.normalized(col("text")).as("t"))
+          .withColumn("ts", graft.ext.TextOps.tokens(col("t"))))
       // 1. the FULL Gopher filter — shape battery AND repetition battery,
       // both doc-local
-      val gKeep = Corpus.gopherRules(docs, "doc_id", "text",
-          stopwords = graft.ext.TextOps.Stopwords)
+      val gKeep = Corpus.gopherRulesOn(pre, 50, 100000,
+          graft.ext.TextOps.Stopwords)
         .filter(col("keep")).select(col("id").as("doc_id"))
         // top-n-gram dials tightened to the corpus (the stoplist
         // precedent): Rae's web-text 20/18/16% coverages are vacuous on
@@ -292,30 +304,43 @@ private[graft] trait QueriesComposites { this: Queries.type =>
         // near 9%, so the published dials would gate nothing here —
         // 7/8/9% makes the rung BINDING (drops 40 of 234 at sf0.01),
         // which is what lets the end-to-end hash pin the wiring
-        .join(Corpus.repetitionSignals(docs, "doc_id", "text",
-            topBpMax = Map(2 -> 700L, 3 -> 800L, 4 -> 900L))
+        .join(Corpus.repetitionSignalsOn(pre,
+            topNs = Seq(2, 3, 4), dupNs = Seq(5, 6, 7, 8, 9, 10),
+            topBpMax = Map(2 -> 700L, 3 -> 800L, 4 -> 900L),
+            dupBpMax = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
+              8 -> 1200L, 9 -> 1100L, 10 -> 1000L))
           .filter(col("keep")).select(col("id").as("doc_id")),
           Seq("doc_id"))
       // 2. per-source surprisal terciles over the Gopher survivors
-      val surp = Corpus.unigramSurprisal(docs, "doc_id", "text")
+      val surp = Corpus.unigramSurprisalOn(pre)
         .select(col("id").as("doc_id"), col("mean_surprisal_x10k"))
       val ranked = graft.ext.Prefix.stratifiedNtile(
         surp.join(gKeep, Seq("doc_id"))
-          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+          .join(pre.select(col("id").as("doc_id"), col("source")),
+            Seq("doc_id")),
         Seq(col("source")),
         Seq(col("mean_surprisal_x10k"), col("doc_id")), 3, "bucket")
       val pKeep = ranked.filter(col("bucket") <= 2).select("doc_id")
-      // 3. DSIR Gumbel-top-k: λ on the survivor pool, bench never selectable
-      val sel = Corpus.dsirResample(
-          docs.join(pKeep, Seq("doc_id")).filter(col("doc_id") % 97 =!= 0),
-          docs.filter(col("doc_id") % 97 === 0),
-          "doc_id", "text", k = 100, nBuckets = 1024)
+      // 3. DSIR Gumbel-top-k: λ on the survivor pool, bench never
+      // selectable — both feature sides reuse the shared token arrays
+      val preTs = pre.select(col("id"), col("ts"))
+      val sel = Corpus.dsirResampleOn(
+          preTs.join(pKeep.select(col("doc_id").as("id")), Seq("id"))
+            .filter(col("id") % 97 =!= 0),
+          preTs.filter(col("id") % 97 === 0),
+          k = 100, nBuckets = 1024)
         .select(col("id").as("doc_id"))
-      // cached: temperatureSample derives rates from this relation and
-      // then filters it — two scans of the whole gate prefix otherwise
-      val selSrc = graft.ext.Materialize.multiScan(
-        sel.join(docs.select(col("doc_id"), col("source"), col("text")),
-          Seq("doc_id")))
+      // localCheckpoint, not persist: the selection is k rows (≤ 100),
+      // and every downstream consumer (the temperature rate collect,
+      // the pack prefix sum, the final aggregate) re-analyzed the ENTIRE
+      // multi-rung lineage — thousands of plan nodes — per action; the
+      // checkpoint truncates the plan at a k-row leaf, which is where
+      // the composite's warm cost actually lived (driver analysis, not
+      // tasks)
+      val selSrc = sel.join(
+          pre.select(col("id").as("doc_id"), col("source"),
+            col("raw").as("text")),
+          Seq("doc_id")).localCheckpoint()
       // 4. temperature rebalance on the selected set's source mix
       val sampled = Corpus.temperatureSample(selSrc, "source",
         Seq("doc_id"), alpha = 0.5)

@@ -670,7 +670,10 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
-      docs.select(col("doc_id"),
+      // spread: the per-doc encode (chained replace per merge over every
+      // word) is the query's dominant narrow stage and would otherwise
+      // run with the scan's partitioning — one task on a one-file table
+      graft.ext.Materialize.spread(docs).select(col("doc_id"),
           graft.ext.Bpe.encode(col("text"), merges).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_bpe_tokens"),
@@ -697,7 +700,8 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
-      docs.select(col("lang"),
+      // spread: same single-split encode-scan fix as q_bpe_encode
+      graft.ext.Materialize.spread(docs).select(col("lang"),
           graft.ext.TextOps.nTokens(col("text")).cast("long").as("__w"),
           size(graft.ext.Bpe.encode(col("text"), merges)).cast("long")
             .as("__b"))
@@ -976,7 +980,8 @@ private[graft] trait QueriesTemporalSampling { this: Queries.type =>
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.ext.Bpe.learn(docs, "text", nMerges = 8)
-      val bpe = docs.select(col("lang"),
+      // spread: same single-split encode-scan fix as q_bpe_encode
+      val bpe = graft.ext.Materialize.spread(docs).select(col("lang"),
           TextOps.nTokens(col("text")).cast("long").as("__w"),
           size(graft.ext.Bpe.encode(col("text"), merges)).cast("long")
             .as("__p"))
