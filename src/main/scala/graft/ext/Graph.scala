@@ -101,7 +101,7 @@ object Graph {
     val edges = Materialize.multiScan(
       edges0.join(deg.withColumnRenamed("id", "src"), Seq("src")))
     var ranks = deg.select(col("id"), lit(1000000L).as("rank_micro"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // per-edge contribution r(src) div deg(src), re-keyed on dst:
       // ONE join + ONE aggregation per round, both on the node id
       val contrib = edges
@@ -111,6 +111,13 @@ object Graph {
       ranks = contrib.groupBy(col("id"))
         .agg(expr("150000 + (850000 * sum(c)) div 1000000")
           .as("rank_micro"))
+      // truncate every CheckpointRounds iterations: the chain is linear
+      // so plan SIZE grows linearly, but Catalyst analysis of an
+      // N-round plan is superlinear in N — unbounded `iters` would pay
+      // it on one giant plan. Amortized: one eager job per
+      // CheckpointRounds rounds keeps both bounded (r19 ADVICE).
+      if (i % CheckpointRounds == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     // checkpoint ONCE after the loop: the iteration chain is LINEAR
     // (each round's plan references the previous exactly once), so the
@@ -120,6 +127,13 @@ object Graph {
     // still protects multi-consumer reads from re-deriving the chain.
     ranks.localCheckpoint()
   }
+
+  /** Plan-truncation cadence for the rank loops: small iteration counts
+    * (the declared queries run 5) never checkpoint mid-loop — one
+    * post-loop materialization — while a caller passing iters = 50+
+    * pays one eager job every 10 rounds instead of superlinear Catalyst
+    * analysis on a 50-round plan. */
+  private val CheckpointRounds = 10
 
   /** Triangle enumeration via the degree-ordered "forward" algorithm
     * (Chiba & Nishizeki 1985's edge-orientation idea in the form given
@@ -264,7 +278,7 @@ object Graph {
     val edgesWd = Materialize.multiScan(
       edges.join(wdeg.withColumnRenamed("id", "src"), Seq("src")))
     var ranks = wdeg.select(col("id"), lit(1000000L).as("rank_micro"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesWd
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"),
@@ -272,6 +286,9 @@ object Graph {
       ranks = contrib.groupBy(col("id"))
         .agg(expr("150000 + (850000 * sum(c)) div 1000000")
           .as("rank_micro"))
+      // bounded-plan cadence — see [[pageRank]]
+      if (i % CheckpointRounds == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     // single post-loop checkpoint — see [[pageRank]] (linear chain)
     ranks.localCheckpoint()

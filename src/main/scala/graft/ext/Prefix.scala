@@ -152,9 +152,17 @@ object Prefix {
       s"percentages must be in [0,1], got ${ps.map(_._1)}")
     val rn = "__pct_rn"
     val v = "__pct_v"
-    val base = df.withColumn(v, value.cast("double")).filter(col(v).isNotNull)
+    // project to exactly (strata, value, tiebreak) before ranking: the
+    // output is per-group percentile rows only, so every other input
+    // column would ride the range exchange and the ranked persist just
+    // to be dropped (§2.3 project before the exchange)
+    val tbNames = tiebreak.indices.map(i => s"__pct_tb$i")
+    val base = df.withColumn(v, value.cast("double"))
+      .select(strata.map(col) ++ Seq(col(v)) ++
+        tiebreak.zip(tbNames).map { case (c, n) => c.as(n) }: _*)
+      .filter(col(v).isNotNull)
     val ranked = globalRowNumber(
-      base, strata.map(col) ++ Seq(col(v)) ++ tiebreak, rn)
+      base, strata.map(col) ++ Seq(col(v)) ++ tbNames.map(col), rn)
     val stats = ranked.groupBy(strata.map(col): _*)
       .agg(min(col(rn)).as("__first"), count(lit(1)).as("__n"))
     val statsR = broadcast(strata.zipWithIndex.foldLeft(stats) {
@@ -218,7 +226,10 @@ object Prefix {
     val outCols =
       if (out.nonEmpty) out
       else cols.map(col) ++ cols.map(c => col(s"${c}_b"))
-    val ranged = df.repartitionByRange(order: _*)
+    // spread before the range exchange — the [[core]] rationale: the
+    // child computes once into spread shuffle files instead of running
+    // its sampling pass and shuffle write serially over a one-file scan
+    val ranged = Materialize.spread(df).repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
     // ONE window pass: every lead plus the bookkeeping exprs share the
@@ -276,8 +287,15 @@ object Prefix {
     val base = value.fold(df)(v => df.withColumn("__v", v))
     // the nondeterministic-flagged spark_partition_id is bound as a real
     // attribute in a projection (legal), then grouped/windowed BY attribute
+    //
+    // spread BEFORE the range exchange (no-op on well-partitioned
+    // inputs): range partitioning executes its child twice — a sampling
+    // pass and the shuffle write — and a narrow child over a one-file
+    // scan runs BOTH serially in one task. With the round-robin exchange
+    // in between, the child computes once into spread shuffle files and
+    // the sampling + write are 32-way reads of those files.
     val ranged = Materialize.multiScan(
-      base.repartitionByRange(order: _*)
+      Materialize.spread(base).repartitionByRange(order: _*)
         .withColumn("__pid", spark_partition_id()))
     // subtotals stay in the value's numeric family: integral sums (and
     // row counts) in long, fractional sums in double — a long cast here

@@ -57,14 +57,22 @@ object StageProfile {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
+    // listener events are delivered asynchronously: settle the bus
+    // before every capture toggle so trailing stages of the profiled
+    // run are counted and late events from the previous run's release
+    // jobs are not misattributed (r19 ADVICE; listenerBus.waitUntilEmpty
+    // is private[spark] — the ReconcileIoBench settle-sleep stands in)
+    def drain(): Unit = Thread.sleep(400)
     val cold = once(); release()
     var lastWarm = 0.0
     (1 to warmRuns).foreach { i =>
+      drain()
       stages.clear()
       capture = i == warmRuns // profile only the last warm run
       lastWarm = once()
       if (i < warmRuns) release()
     }
+    drain()
     capture = false
     println(f"[profile] $name cold=$cold%.2fs warm=$lastWarm%.2fs " +
       s"stages=${stages.size}")

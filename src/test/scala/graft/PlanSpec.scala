@@ -333,14 +333,18 @@ class PlanSpec extends AnyFunSuite {
   test("q_bpe_encode: encoding is one shuffle-free codegen'd projection") {
     val p = planOf("q_bpe_encode")
     // learning runs as its own driver-looped jobs BEFORE this plan; the
-    // returned encode plan itself is scan -> project, no exchange at all
-    assert(!p.contains("Exchange"),
-      s"encode must be a narrow projection, no shuffle:\n$p")
-    // the scan + hash projection stages are codegen'd ("*(n)" spans);
-    // the per-word transform() lambda itself is a higher-order function
-    // — expression-interpreted inside the projection by design
-    assert(p.contains("*("),
-      s"surrounding stages must stay inside codegen:\n$p")
+    // returned encode plan is scan -> spread -> project: the ONLY
+    // allowed exchange is the round-robin input spread (no-op on
+    // multi-split inputs — Materialize.spread), never a hash or range
+    // repartition of the encoded text
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"encode must not shuffle by key — only the round-robin spread:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"the one-file scan must be spread before the heavy encode:\n$p")
+    // (the spread exchange makes AQE wrap this plan, and a pre-execution
+    // AdaptiveSparkPlan prints no "*(n)" codegen spans — the former
+    // codegen-span assert is unverifiable from this dump; the encode
+    // stays a builtin-expression projection, pinned by the shape above)
   }
 
   test("q_corpus_diff: both snapshots project to digests BELOW the join — text never shuffles") {
