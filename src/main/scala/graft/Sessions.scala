@@ -28,12 +28,20 @@ object Sessions {
       // point-lookup pushdown: the incremental reconcile's closure
       // hops push collected key sets as IN filters into the parquet
       // scans of the sh64-sorted postings / id-sorted doc_shingles
-      // folds. Above this threshold Spark degrades IN to a [min,max]
-      // range filter, which prunes NOTHING for uniformly-hashed keys —
-      // the whole file-group-pruning design rides on the native IN
-      // predicate reaching the footer stats, so the threshold must sit
-      // above the frontier guard's key bound.
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000000")
+      // folds. At or below this threshold Spark pushes the set as an
+      // OR-chain of equality predicates that prunes row groups via
+      // footer stats; above it, a [min,max] range filter (which prunes
+      // nothing for uniformly-hashed keys — the InSet data filter still
+      // applies post-scan, so results are identical either way). The
+      // r19 value of 1,000,000 was WRONG: parquet-mr evaluates the
+      // OR-chain recursively, and a few thousand pushed keys overflow
+      // the task stack (StackOverflowError, first observed running
+      // ReconcileIoBench's 10× fixture — the value had never been
+      // exercised). 1024 keeps point pruning for the steady-state
+      // small-frontier case at a recursion depth far from the limit;
+      // larger closures were already the regime the frontier guards
+      // hand to the full path.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       // streaming state on RocksDB: keyed state (cross-batch compaction,
       // corpus dedup, quotas, sketches) must be disk-backed with bounded
       // heap at real key cardinalities — the in-memory default holds

@@ -926,6 +926,13 @@ object IncrementalDedup {
     * comfortably under broadcast/plan-size budgets, far above any
     * steady-state frontier. */
   val DefaultMaxFrontierKeys: Int = 1 << 18
+  /** Keys per pruned point-lookup scan — kept under the session's
+    * parquet inFilterThreshold (1024) so every chunk pushes as a
+    * stats-pruning OR-chain at safe recursion depth. */
+  private val PointLookupChunk = 1000
+  /** Chunked-union cap: past this many chunks the plan cost outweighs
+    * pruning and one un-pruned scan + InSet filter wins. */
+  private val PointLookupMaxChunks = 64
 
   /** Labels for the `reconcile_mode` code [[reconcileWindow]] returns
     * (and [[graft.tools.RunIngest]] prints): 0 is the incremental
@@ -1028,6 +1035,40 @@ object IncrementalDedup {
       val rows = df.take(maxFrontierKeys + 1)
       if (rows.length > maxFrontierKeys) None else Some(rows)
     }
+    // point-lookup fetch that PRUNES at any key count: parquet pushes
+    // an IN as a stats-pruning OR-chain only up to the session's
+    // inFilterThreshold (1024 — larger chains overflow parquet-mr's
+    // recursive evaluator, the r20 fix; larger sets degrade to a
+    // [min,max] range filter that prunes nothing for hashed keys, with
+    // the InSet data filter keeping results exact either way). Keys
+    // split into threshold-sized chunks, one pruned scan per chunk,
+    // unioned — disjoint keys, disjoint rows. Past PointLookupMaxChunks
+    // the union's plan cost outweighs pruning and the single un-pruned
+    // scan is the honest fallback (that regime is near the frontier
+    // guard's full-path handoff anyway).
+    def pointLookup(df: DataFrame, keyCol: String,
+                    keys: Seq[Any]): DataFrame =
+      if (keys.isEmpty) df.limit(0)
+      else if (keys.size <= PointLookupChunk ||
+          keys.size > PointLookupChunk * PointLookupMaxChunks)
+        df.filter(col(keyCol).isin(keys: _*))
+      else {
+        // chunks must be CONTIGUOUS in the column's sort order (the
+        // folds are sh64-/id-sorted): an arbitrary-order chunk spans
+        // the whole key range and every chunk scans every row group —
+        // measured 3x MORE bytes than one un-pruned scan. Sorted, each
+        // chunk's OR-chain fails fast outside its narrow stats range.
+        val sorted = keys.head match {
+          case _: Long =>
+            keys.asInstanceOf[Seq[Long]].sorted.asInstanceOf[Seq[Any]]
+          case _: String =>
+            keys.asInstanceOf[Seq[String]].sorted.asInstanceOf[Seq[Any]]
+          case _ => keys
+        }
+        sorted.grouped(PointLookupChunk)
+          .map(ch => df.filter(col(keyCol).isin(ch: _*)))
+          .reduce(_ unionByName _)
+      }
 
     // SEED: new-partition docs (partition-pruned batch predicates) +,
     // under the dial, docs carrying formerly-hot shingles (the
@@ -1048,7 +1089,7 @@ object IncrementalDedup {
         }
         if (formerly.isEmpty) seedNew
         else seedNew.unionByName(
-          union.filter(col("sh64").isin(formerly.toSeq: _*))
+          pointLookup(union, "sh64", formerly.toSeq)
             .select(col("id"), col("__adm")).distinct()).distinct()
     }
     val seedRows = takeGuarded(seedDf) match {
@@ -1071,7 +1112,7 @@ object IncrementalDedup {
     var guardTripped = false
     while (frontier.nonEmpty && hops < maxHops && !guardTripped) {
       val fsh = takeGuarded(antiHot(
-        docShingles.filter(col("id").isin(frontier: _*))
+        pointLookup(docShingles, "id", frontier)
           .select(explode(col("shs")).as("sh64")))
         .select(col("sh64")).distinct()) match {
         case None => guardTripped = true; Array.empty[Long]
@@ -1079,7 +1120,7 @@ object IncrementalDedup {
       }
       if (!guardTripped) {
         if (fsh.isEmpty) frontier = Nil
-        else takeGuarded(union.filter(col("sh64").isin(fsh.toSeq: _*))
+        else takeGuarded(pointLookup(union, "sh64", fsh.toSeq)
           .select(col("id"), col("__adm")).distinct()) match {
           case None => guardTripped = true
           case Some(nbr) =>
@@ -1108,7 +1149,7 @@ object IncrementalDedup {
       return (docShingles.select(col("id"),
         lit("near").as("dropped_at")).limit(0), 0L)
     val sub = Materialize.multiScan(antiHot(
-      docShingles.filter(col("id").isin(scopeIds: _*))
+      pointLookup(docShingles, "id", scopeIds)
         .select(col("id"), col("m"), explode(col("shs")).as("sh64"))))
     val pairs = Dedup.jaccardProbe(sub, sub, tau)
       .filter(col("batch_id") < col("corpus_id"))

@@ -458,4 +458,23 @@ class ReconcileIncrementalSpec extends AnyFunSuite {
     assert(evidenceIds(root) == Set(21L, 11L),
       s"window-1-old evidence retired, younger kept: ${evidenceIds(root)}")
   }
+
+  test("large pushed IN on a parquet scan completes (inFilterThreshold regression)") {
+    // r19 set spark.sql.parquet.pushdown.inFilterThreshold to 10^6,
+    // which turns a multi-thousand-key closure isin into a parquet
+    // OR-chain whose RECURSIVE evaluation overflows the task stack
+    // (first observed at ~4k keys on ReconcileIoBench's 10x fixture).
+    // Pin: a key set well past the session threshold both COMPLETES
+    // (range filter + InSet post-filter, no OR-chain recursion) and
+    // returns exactly the point-lookup rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_infilter")
+      .toString
+    spark.range(100000).selectExpr("id", "id * 2 AS v")
+      .write.mode("overwrite").parquet(dir)
+    val keys = (0L until 8000L).map(_ * 12 + 1) // ~8k keys, sparse hits
+    val got = spark.read.parquet(dir)
+      .filter(col("id").isin(keys: _*)).count()
+    assert(got == keys.count(_ < 100000L),
+      s"beyond-threshold IN must still point-filter exactly: $got")
+  }
 }
